@@ -1,0 +1,13 @@
+package graft.queries0
+
+import graft.Q
+
+/** Single place that stitches the per-module query lists together.
+  * (Package named queries0 to avoid clashing with SparkEntry.queries.) */
+object Registry {
+  lazy val all: Seq[Q] = {
+    val qs = graft.queries.Relational.queries
+    require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
+    qs
+  }
+}
