@@ -34,15 +34,22 @@ object Bench {
       val run = () => { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); () }
       try {
         run() // warm-up
-        q.name -> math.min(timeOnce(run), timeOnce(run))
+        (q.name, math.min(timeOnce(run), timeOnce(run)), true)
       } catch {
-        case _: Throwable => q.name -> -1.0
+        case e: Throwable =>
+          System.err.println(s"[bench] FAILED ${q.name}: ${e.getMessage}")
+          (q.name, -1.0, false)
       }
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // A failed query must not read as a speedup: report the failed list
+    // explicitly, and exit non-zero so the driver sees the regression.
+    val failed = results.collect { case (n, _, false) => n }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.filter(_._3).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

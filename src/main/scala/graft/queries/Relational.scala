@@ -20,9 +20,11 @@ import org.apache.spark.sql.expressions.Window
   *
   * Scale notes (100 TB design): every query below is a declarative plan —
   * filters/projections push to the parquet scan, aggregates run
-  * partial+final, small dimension tables (region/nation/customer/supplier/
-  * part are ~1e-5 of lineitem) are broadcast explicitly so the fact table
-  * never shuffles for star joins.
+  * partial+final. Broadcast hints appear ONLY on tables of constant
+  * cardinality (region=5, nation=25). customer/supplier/part scale
+  * linearly with SF (~1.5e9/1e8/2e9 rows at 100 TB) so their join
+  * strategy is left to AQE, which broadcasts when the runtime size is
+  * under the threshold and falls back to shuffle join when it is not.
   */
 object Relational {
 
@@ -81,8 +83,8 @@ object Relational {
     }.copy(bench = true),
 
     // ── 4-way star join + agg: revenue by nation ────────────────────────
-    // Dimensions broadcast; only the fact table streams. At 100 TB the
-    // lineitem→orders join is the lone shuffle (both sides large).
+    // nation (25 rows, constant) is broadcast; customer scales with SF so
+    // AQE picks its strategy. lineitem→orders shuffles (both sides large).
     Q(
       "q3_revenue_by_nation",
       """SELECT n_name,
@@ -95,7 +97,7 @@ object Relational {
         |GROUP BY n_name""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
@@ -280,14 +282,14 @@ object Relational {
     Q(
       "q17_conditional_agg",
       """SELECT l_returnflag,
-        |  sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)                        AS n_high_disc,
+        |  CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)        AS n_high_disc,
         |  round(sum(CASE WHEN l_quantity > 25 THEN l_extendedprice ELSE 0 END), 2)  AS rev_big_qty
         |FROM lineitem
         |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          sum(when(col("l_discount") > 0.05, 1).otherwise(0)).as("n_high_disc"),
+          sum(when(col("l_discount") > 0.05, 1).otherwise(0)).cast("long").as("n_high_disc"),
           round(sum(when(col("l_quantity") > 25, col("l_extendedprice")).otherwise(0)), 2).as("rev_big_qty"))
     },
 
@@ -352,8 +354,8 @@ object Relational {
         |JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY p_brand, s_name""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("p_brand"), col("s_name"))
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
     }.copy(bench = true),
@@ -372,6 +374,11 @@ object Relational {
     },
 
     // ── Correlated scalar-subquery shape: above-average order lines ─────
+    // Expressed as a window avg over l_partkey: ONE shuffle on the part
+    // key and nothing materialized driver-side. The self-join alternative
+    // would shuffle lineitem twice (once for the agg, once for the join);
+    // broadcasting the per-partkey agg would collect |part|-cardinality
+    // rows to the driver — unbounded at scale.
     Q(
       "q23_above_avg_lines",
       """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
@@ -380,9 +387,9 @@ object Relational {
         |      FROM lineitem GROUP BY l_partkey) p
         |  ON l.l_partkey = p.l_partkey
         |WHERE l.l_quantity > 1.5 * p.aq""".stripMargin) { (s, dir) =>
-      val l = t(s, dir, "lineitem")
-      val avgQ = l.groupBy(col("l_partkey").as("pk")).agg(avg(col("l_quantity")).as("aq"))
-      l.join(broadcast(avgQ), l("l_partkey") === avgQ("pk"))
+      val w = Window.partitionBy(col("l_partkey"))
+      t(s, dir, "lineitem")
+        .withColumn("aq", avg(col("l_quantity")).over(w))
         .filter(col("l_quantity") > lit(1.5) * col("aq"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     })

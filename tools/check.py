@@ -18,6 +18,10 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
+            try:
+                s = s.dt.tz_localize(None)
+            except (TypeError, AttributeError):
+                pass
             df[c] = s.astype("datetime64[us]").astype("int64")
         elif pd.api.types.is_float_dtype(s):
             df[c] = s.round(6)
@@ -54,11 +58,14 @@ def main(sf_dir, out_dir):
             print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
         except AssertionError as e:
             print(f"FAIL {name}: {str(e).splitlines()[0][:200]}")
-            diff = (g != w)
-            bad_cols = [c for c in g.columns if diff[c].any()]
-            for c in bad_cols[:3]:
-                i = diff[c].idxmax()
-                print(f"   col {c} row {i}: spark={g[c][i]!r} duck={w[c][i]!r}")
+            try:
+                diff = (g != w)
+                bad_cols = [c for c in g.columns if diff[c].any()]
+                for c in bad_cols[:3]:
+                    i = diff[c].idxmax()
+                    print(f"   col {c} row {i}: spark={g[c][i]!r} duck={w[c][i]!r}")
+            except Exception as de:
+                print(f"   (diff detail unavailable: {str(de)[:120]})")
             n_fail += 1
     # rows-only queries (declared but no oracle)
     for d in sorted(os.listdir(out_dir)):
