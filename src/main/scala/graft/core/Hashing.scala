@@ -1,0 +1,84 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Hash/identity helpers (SURVEY.md §2.3 P3–P5).
+  *
+  * The reference hashes with SHA-1 (resource.go:27-34, pkg/hash/hash.go).
+  * Identity needs only a stable digest, and the DuckDB oracle has sha256
+  * but not sha1 — so this engine standardizes on SHA-256. All helpers are
+  * pure Column expressions: codegen'd builtins, no UDFs, so they run
+  * inside WholeStageCodegen and are usable in any pushdown-friendly plan.
+  *
+  * Each Column helper has a Scala mirror (used executor-side in the
+  * external-process stage and in property tests) that MUST produce the
+  * same hex string — HashingSpec asserts the equivalence.
+  */
+object Hashing {
+
+  /** P3 — resource identity: digest of the URL string (resource.go:27-34). */
+  def urlHash(url: Column): Column = sha2(url, 256)
+
+  /** P4 — order-insensitive collated hash (pkg/hash/hash.go:26-40): each
+    * member is hashed, member hashes are sorted, concatenated, re-hashed.
+    * Collate({a,b}) == Collate({b,a}) by construction.
+    */
+  def collatedHash(members: Column*): Column =
+    sha2(array_join(sort_array(array(members.map(sha2(_, 256)): _*)), ""), 256)
+
+  /** Task identity = collated hash over {input url, output url}
+    * (task.go:44-50: Identity() collates InputResource and
+    * OutputResource hashes).
+    */
+  def taskHash(inputUrl: Column, outputUrl: Column): Column =
+    collatedHash(inputUrl, outputUrl)
+
+  /** P5 — canonical struct hash. The reference gob-encodes the struct
+    * with map fields pre-sorted into (k,v) tuple arrays
+    * (hash.go:42-58, core/util.go:6-22); only determinism matters, not
+    * the exact bytes. Canonical form here: map entries sorted by key,
+    * rendered "k=v" joined by newline (the same shape as the reference's
+    * env-string, executor_docker.go:242-251), prefixed by the scalar
+    * fields joined by "|".
+    */
+  def canonicalKv(m: Column): Column =
+    array_join(
+      sort_array(transform(map_entries(m), e => concat(e("key"), lit("="), e("value")))),
+      "\n")
+
+  def strategyHash(executor: Column, config: Column): Column =
+    sha2(concat_ws("|", executor, canonicalKv(config)), 256)
+
+  // ── Scala mirrors (executor-side / tests) ─────────────────────────────
+
+  def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  def urlHashStr(url: String): String = sha256Hex(url)
+
+  def collatedHashStr(members: Seq[String]): String =
+    sha256Hex(members.map(sha256Hex).sorted.mkString(""))
+
+  def taskHashStr(inputUrl: String, outputUrl: String): String =
+    collatedHashStr(Seq(inputUrl, outputUrl))
+
+  def canonicalKvStr(m: Map[String, String]): String =
+    m.toSeq.map { case (k, v) => s"$k=$v" }.sorted.mkString("\n")
+
+  def strategyHashStr(executor: String, config: Map[String, String]): String =
+    sha256Hex(s"$executor|${canonicalKvStr(config)}")
+
+  /** P7 — env-string split (executor_docker.go:242-251): "A=1\nB=2" →
+    * list of assignments; blank lines dropped. */
+  def envStrToSeq(envStr: String): Seq[String] =
+    envStr.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** P8 — path → key join (pkg/aws/s3.go:159-162): relativize `path`
+    * against `baseDir`, re-root under `basePrefix`. */
+  def pathToKey(baseDir: String, basePrefix: String, path: String): String = {
+    val rel = java.nio.file.Paths.get(baseDir).relativize(java.nio.file.Paths.get(path))
+    (basePrefix.stripSuffix("/") + "/" + rel.toString).stripPrefix("/")
+  }
+}

@@ -6,7 +6,9 @@ import graft.Q
   * (Package named queries0 to avoid clashing with SparkEntry.queries.) */
 object Registry {
   lazy val all: Seq[Q] = {
-    val qs = graft.queries.Relational.queries
+    val qs =
+      graft.queries.Relational.queries ++
+      graft.queries.PipelineOps.queries
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }

@@ -1,0 +1,67 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** SURVEY §5.1–5.2: hash determinism + order-insensitivity, and the
+  * Column-expression / Scala-mirror equivalence that the execute stage
+  * relies on (executor computes task paths from task_hash strings that
+  * the plan stage computed as Columns).
+  *
+  * scalatestplus-scalacheck isn't in the offline cache, so properties
+  * sample Gen directly (fixed seed sequence → reproducible). */
+class HashingSpec extends SparkSpec {
+
+  private val str: Gen[String] = Gen.asciiPrintableStr.map(_.take(40))
+
+  /** Draw n reproducible samples from a generator. */
+  private def samples[A](g: Gen[A], n: Int = 100): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("collated hash is order-insensitive (hash.go:31-40 semantics)") {
+    samples(Gen.zip(str, str, str)).foreach { case (a, b, c) =>
+      assert(Hashing.collatedHashStr(Seq(a, b, c)) == Hashing.collatedHashStr(Seq(c, a, b)))
+      assert(Hashing.taskHashStr(a, b) == Hashing.taskHashStr(b, a))
+    }
+  }
+
+  test("collated hash distinguishes different member sets") {
+    assert(Hashing.taskHashStr("s3://a/x", "s3://b/y") != Hashing.taskHashStr("s3://a/x", "s3://b/z"))
+  }
+
+  test("canonical kv is insensitive to map insertion order (core/util.go:6-22)") {
+    val kv = Gen.zip(Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(10)), str)
+    samples(Gen.mapOf(kv)).foreach { m =>
+      // Map equality in Scala is order-free, so rebuild in reversed insertion order
+      val reversed = m.toSeq.reverse.toMap
+      assert(Hashing.canonicalKvStr(m) == Hashing.canonicalKvStr(reversed))
+      assert(Hashing.strategyHashStr("docker", m) == Hashing.strategyHashStr("docker", reversed))
+    }
+  }
+
+  test("Column expressions agree with the Scala mirrors") {
+    import spark.implicits._
+    val rows = Seq(
+      ("s3://bucket/video/a.mov", "s3://mirror/chyme/bucket/video/a.mov/"),
+      ("file:///tmp/x.mp4", "file:///tmp/out/"),
+      ("s3://b/k", "s3://b/k")) // identical members: still deterministic
+    val got = rows.toDF("in_url", "out_url")
+      .select(
+        Hashing.urlHash($"in_url").as("uh"),
+        Hashing.taskHash($"in_url", $"out_url").as("th"),
+        Hashing.strategyHash(lit("process"), map(lit("b"), lit("2"), lit("a"), lit("1"))).as("sh"))
+      .collect()
+    rows.zip(got).foreach { case ((in, out), r) =>
+      assert(r.getString(0) == Hashing.urlHashStr(in))
+      assert(r.getString(1) == Hashing.taskHashStr(in, out))
+      assert(r.getString(2) == Hashing.strategyHashStr("process", Map("a" -> "1", "b" -> "2")))
+    }
+  }
+
+  test("env split drops blanks; path→key relativizes (P7/P8)") {
+    assert(Hashing.envStrToSeq("A=1\nB=2\n\n") == Seq("A=1", "B=2"))
+    assert(Hashing.pathToKey("/work/in", "mirror/docs", "/work/in/src0/1.txt") == "mirror/docs/src0/1.txt")
+  }
+}
