@@ -8,7 +8,8 @@ object Registry {
   lazy val all: Seq[Q] = {
     val qs =
       graft.queries.Relational.queries ++
-      graft.queries.PipelineOps.queries
+      graft.queries.PipelineOps.queries ++
+      graft.queries.IngestOps.queries
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }
