@@ -9,7 +9,8 @@ object Registry {
     val qs =
       graft.queries.Relational.queries ++
       graft.queries.PipelineOps.queries ++
-      graft.queries.IngestOps.queries
+      graft.queries.IngestOps.queries ++
+      graft.queries.PlanOps.queries
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }
