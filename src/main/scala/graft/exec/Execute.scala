@@ -1,0 +1,240 @@
+package graft.exec
+
+import graft.core.{ExecutionResult, Hashing, Task}
+import graft.store.Store
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.concurrent.TimeUnit
+
+/** The execute (worker) job — SURVEY.md §2.6 X1–X7, §2.7 K1–K7, §2.8
+  * T3–T5.
+  *
+  * Reference: each task runs in a Docker container with its workspace
+  * bind-mounted (internal/core/executor_docker.go:36-221), driven by a
+  * download→execute→upload state machine (worker/service.go:119-183),
+  * failures to a DLQ (task.go:132-147). Spark-native shape:
+  * `Dataset[Task].mapPartitions` running an external process per record,
+  * entirely executor-side — the driver only sees result rows.
+  *
+  * - X7 workspace: `<tmp>/<task_hash>/{input,output,internal}` created
+  *   0700-style and deleted in `finally` (task.go:205-224, 264-266).
+  * - S5 download: input resource content copied into the input dir;
+  *   `phony` resources skip it (resource.go:17, loader.go:83-85).
+  * - X1 dispatch: `strategy.executor` looked up in a registry; unknown
+  *   executor or hook tag → DLQ row, never an exception
+  *   (executor.go:67-71, worker/service.go:86-89).
+  * - X2 run: `/bin/sh -c <command>` with TASK_INPUT_DIR / TASK_OUTPUT_DIR
+  *   / TASK_HASH (+ config "env" k=v lines) in the environment; timeout
+  *   enforced with `waitFor(timeout)` + `destroyForcibly` — the SIGKILL
+  *   path (executor_docker.go:83-88); non-zero exit is a task error
+  *   (:99-101). Container reuse maps to executor-JVM reuse; Spark task
+  *   retry replaces the visibility-timeout lease (T4).
+  * - K1–K3/K5/K7 upload: the output dir syncs to the deterministic
+  *   task-hash-keyed location under the object root, delete-first —
+  *   overwrite-safe under Spark task retry, which is what makes
+  *   at-least-once execution idempotent (the reference's own trick,
+  *   task.go:206).
+  * - K4 metadata: `metadata*.json` files also sync under the metadata
+  *   resource keyed by task hash (task.go:248-261).
+  * - X6 capacity: input size × scale factor must fit the workspace
+  *   volume (loader.go:133-146) — failure is a DLQ row, not a crash.
+  *
+  * Scale: tasks are spread across partitions (T3 worker concurrency =
+  * partition parallelism); all I/O is executor-local or object-store
+  * writes from executors; result rows are the only thing that crosses
+  * the shuffle boundary. 100 TB of media never touches the driver.
+  */
+object Execute {
+
+  /** X3/X4-equivalent built-in commands. The real ffmpeg/Bento4/gopro
+    * binaries aren't in this container (and aren't the point) — these
+    * deterministic stand-ins produce the same OUTPUT SHAPE the reference
+    * documents (DASH manifest + segments, process_mov.sh:3-8; telemetry
+    * metadata.json, process_mp4.sh:5-7) via real external processes, so
+    * the whole execution path is exercised for real. Swapping a value
+    * for an actual ffmpeg invocation is a config change, not a code
+    * change.
+    */
+  val commandRegistry: Map[String, String] = Map(
+    "process_mov" ->
+      """cp -r "$TASK_INPUT_DIR/." "$TASK_OUTPUT_DIR/" &&
+        |printf 'MPD:%s\n' "$TASK_HASH" > "$TASK_OUTPUT_DIR/manifest.mpd"""".stripMargin,
+    "process_mp4" ->
+      """cp -r "$TASK_INPUT_DIR/." "$TASK_OUTPUT_DIR/" &&
+        |printf 'MPD:%s\n' "$TASK_HASH" > "$TASK_OUTPUT_DIR/manifest.mpd" &&
+        |printf '{"device":"gopro","samples":[1,2,3]}' > "$TASK_OUTPUT_DIR/metadata.json"""".stripMargin,
+    "process_thumb" ->
+      """printf 'THUMB:%s' "$TASK_HASH" > "$TASK_OUTPUT_DIR/thumb.jpg"""".stripMargin,
+    // test stubs (FIXTURES.md §2): forced failure and timeout exercise
+    "fail_stub" -> "exit 3",
+    "sleep_stub" -> "sleep 30")
+
+  val knownHooks: Set[String] = Set("mov", "mp4", "thumb", "")
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toVector.foreach(deleteRecursively)
+      s.close()
+    }
+    Files.deleteIfExists(p)
+    ()
+  }
+
+  private def copyTree(from: Path, to: Path): Long = {
+    var n = 0L
+    Files.createDirectories(to)
+    val s = Files.walk(from)
+    import scala.jdk.CollectionConverters._
+    s.iterator().asScala.foreach { p =>
+      val target = to.resolve(from.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(target)
+      else { Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING); n += 1 }
+    }
+    s.close()
+    n
+  }
+
+  /** Map an object URL (s3://bucket/key or file://path) to its local
+    * stand-in under the object-store root. */
+  private def localObjectPath(objectRoot: String, url: String): Path = {
+    val noScheme = url.replaceFirst("^[a-z0-9]+://", "")
+    Paths.get(objectRoot).resolve(noScheme.stripPrefix("/"))
+  }
+
+  /** Execute one task end-to-end on the executor. Never throws: every
+    * failure mode becomes an error row (→ DLQ). */
+  def executeOne(task: Task, objectRoot: String, workRoot: String): ExecutionResult = {
+    val t0 = System.nanoTime()
+    def result(exit: Int, err: String, files: Long) = ExecutionResult(
+      task.task_hash, task.input.url, task.output.url, task.hooks,
+      exit, err, files, (System.nanoTime() - t0) / 1000000L)
+
+    val ws = Paths.get(workRoot).resolve(task.task_hash)
+    val inDir = ws.resolve("input")
+    val outDir = ws.resolve("output")
+    try {
+      // T8/X1 guards first: unknown hook or executor → DLQ
+      if (!knownHooks.contains(task.hooks))
+        return result(-1, s"unknown hooks '${task.hooks}'", 0)
+      if (task.strategy.executor != "process")
+        return result(-1, s"unknown executor '${task.strategy.executor}'", 0)
+      val cmd = task.strategy.config.get("cmd")
+        .orElse(task.strategy.config.get("command").flatMap(commandRegistry.get))
+      if (cmd.isEmpty)
+        return result(-1, s"unknown command '${task.strategy.config.getOrElse("command", "")}'", 0)
+
+      // X7 workspace (fresh per attempt — wipe any stale retry leftovers)
+      deleteRecursively(ws)
+      Seq(inDir, outDir, ws.resolve("internal")).foreach(Files.createDirectories(_))
+
+      // S5 download (skip phony inputs)
+      if (!task.input.phony) {
+        if (task.input.scheme != "file")
+          return result(-1, s"unsupported input scheme '${task.input.scheme}'", 0)
+        val src = Paths.get(task.input.url.stripPrefix("file://"))
+        if (!Files.exists(src))
+          return result(-1, s"input not found: ${task.input.url}", 0)
+        // X6 capacity check (loader.go:133-146): input × 2 must fit
+        val free = ws.toFile.getUsableSpace
+        if (Files.size(src) * 2 > free)
+          return result(-1, s"insufficient workspace capacity", 0)
+        Files.copy(src, inDir.resolve(src.getFileName.toString),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+
+      // X2 external process with timeout + kill
+      val pb = new ProcessBuilder("/bin/sh", "-c", cmd.get)
+      val env = pb.environment()
+      env.put("TASK_INPUT_DIR", inDir.toString)
+      env.put("TASK_OUTPUT_DIR", outDir.toString)
+      env.put("TASK_HASH", task.task_hash)
+      Hashing.envStrToSeq(task.strategy.config.getOrElse("env", ""))
+        .foreach { kv =>
+          val i = kv.indexOf('=')
+          if (i > 0) env.put(kv.substring(0, i), kv.substring(i + 1))
+        }
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(ws.resolve("internal/process.log").toFile)
+      val proc = pb.start()
+      val finished = proc.waitFor(task.timeout_s, TimeUnit.SECONDS)
+      if (!finished) {
+        proc.destroyForcibly().waitFor() // SIGKILL path (executor_docker.go:83-88)
+        return result(-1, s"timeout after ${task.timeout_s}s", 0)
+      }
+      val exit = proc.exitValue()
+      if (exit != 0)
+        return result(exit, s"process exited $exit", 0)
+
+      // K1–K3/K5/K7 upload: delete-first sync to the deterministic target
+      val target = localObjectPath(objectRoot, task.output.url)
+      deleteRecursively(target)
+      val uploaded = copyTree(outDir, target)
+
+      // K4 metadata sink: metadata*.json → <metadata>/<task_hash>/<name>
+      val metaFiles = Files.list(outDir)
+      import scala.jdk.CollectionConverters._
+      metaFiles.iterator().asScala
+        .filter(p => p.getFileName.toString.matches("metadata.*\\.json"))
+        .foreach { p =>
+          val mt = localObjectPath(objectRoot, task.metadata.url)
+            .resolve(task.task_hash).resolve(p.getFileName.toString)
+          Files.createDirectories(mt.getParent)
+          Files.copy(p, mt, StandardCopyOption.REPLACE_EXISTING)
+        }
+      metaFiles.close()
+
+      result(0, null, uploaded)
+    } catch {
+      case e: Throwable => result(-1, s"${e.getClass.getSimpleName}: ${e.getMessage}", 0)
+    } finally {
+      deleteRecursively(ws) // X7 cleanup, always (task.go:264-266)
+    }
+  }
+
+  /** Drain up to `batchSize` tasks from task_queue: execute, route
+    * successes → task_done, failures → dlq (with error), leave the rest
+    * queued. Returns (done, failed). */
+  def run(spark: SparkSession, store: Store, objectRoot: String,
+      batchSize: Int = Int.MaxValue): (Long, Long) = {
+    import spark.implicits._
+    val taskSchema = Encoders.product[Task].schema
+    val queue = Store.readOrEmpty(spark, store.taskQueue, taskSchema)
+    val batch = (if (batchSize == Int.MaxValue) queue else queue.limit(batchSize)).as[Task]
+
+    val workRoot = System.getProperty("java.io.tmpdir") + "/graft_exec"
+    val results = batch
+      .mapPartitions(_.map(t => executeOne(t, objectRoot, workRoot)))
+      .toDF()
+      .persist()
+    results.count() // force execution exactly once
+
+    val ok = results.filter(col("error").isNull)
+    val failed = results.filter(col("error").isNotNull)
+
+    val doneRows = queue.join(ok.select("task_hash", "exit_code", "elapsed_ms", "output_files"),
+      Seq("task_hash"))
+    val dlqRows = queue.join(failed.select("task_hash", "error", "exit_code"), Seq("task_hash"))
+    Store.append(doneRows, store.taskDone)
+    Store.append(dlqRows, store.dlq)
+
+    // consume the queue: remaining = queue ∖ processed (written fresh,
+    // then swapped in — single-writer table semantics, SURVEY §7.5)
+    val remaining = queue.join(results.select("task_hash"), Seq("task_hash"), "left_anti")
+      .select(queue.columns.map(col): _*)
+    val tmp = store.taskQueue + "__next"
+    Store.delete(spark, tmp)
+    remaining.write.parquet(tmp)
+    Store.delete(spark, store.taskQueue)
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(store.taskQueue))
+
+    val counts = (ok.count(), failed.count())
+    results.unpersist()
+    counts
+  }
+}

@@ -1,0 +1,151 @@
+package graft.exec
+
+import graft.SparkSpec
+import graft.core.{ExecutionStrategy, Resource, Task}
+import graft.core.Hashing
+import graft.ingest.{FixtureTree, Ingest}
+import graft.plan.{Plan, Templates, TemplateDef}
+import graft.store.Store
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+/** SURVEY §5.4: the execution stage with stub commands — success path,
+  * non-zero exit → DLQ, timeout → kill → DLQ, unknown hook/executor →
+  * DLQ, idempotent re-execution. */
+class ExecuteSpec extends SparkSpec {
+
+  private def mkTask(url: String, cmd: String, timeoutS: Long = 60,
+      hooks: String = "mov", executor: String = "process"): Task = {
+    val in = Resource(url, "file", "/tmp/graft_bucket", "x", 0L, phony = false,
+      Hashing.urlHashStr(url))
+    val slot = math.abs(cmd.hashCode).toString
+    val outUrl = s"s3://mirror/test/$slot/x/"
+    val out = Resource(outUrl, "s3", "mirror", s"test/$slot/x/", 0L, phony = false,
+      Hashing.urlHashStr(outUrl))
+    val meta = out.copy(url = outUrl + "meta/", key = out.key + "meta/", phony = true)
+    Task(in, out, meta, hooks,
+      ExecutionStrategy(executor, Map("cmd" -> cmd)),
+      timeoutS, "test", Hashing.taskHashStr(url, outUrl))
+  }
+
+  private def freshDirs(): (String, String) = {
+    val obj = Files.createTempDirectory("graft_obj").toString
+    val work = Files.createTempDirectory("graft_work").toString
+    (obj, work)
+  }
+
+  test("success path: output synced to deterministic path; workspace cleaned") {
+    FixtureTree.ensure()
+    val (obj, work) = freshDirs()
+    val t = mkTask(s"file://${FixtureTree.root}/video/b.mov",
+      """printf 'OK:%s' "$TASK_HASH" > "$TASK_OUTPUT_DIR/result.txt"""")
+    val r = Execute.executeOne(t, obj, work)
+    assert(r.error == null && r.exit_code == 0 && r.output_files == 1)
+    val resultFile = Paths.get(obj).resolve(s"mirror/${t.output.key}result.txt")
+    assert(Files.exists(resultFile))
+    assert(new String(Files.readAllBytes(resultFile)) == s"OK:${t.task_hash}")
+    assert(!Files.exists(Paths.get(work, t.task_hash))) // X7 cleanup
+  }
+
+  test("input is downloaded into the workspace before the command runs (S5)") {
+    FixtureTree.ensure()
+    val (obj, work) = freshDirs()
+    val t = mkTask(s"file://${FixtureTree.root}/video/b.mov",
+      """cat "$TASK_INPUT_DIR/b.mov" > "$TASK_OUTPUT_DIR/copy.txt"""")
+    val r = Execute.executeOne(t, obj, work)
+    assert(r.error == null)
+    val copied = Paths.get(obj).resolve(s"mirror/${t.output.key}copy.txt")
+    assert(new String(Files.readAllBytes(copied)) == "video/b.mov") // fixture content = key
+  }
+
+  test("non-zero exit routes to error (executor_docker.go:99-101)") {
+    val (obj, work) = freshDirs()
+    val r = Execute.executeOne(mkTask("file:///nonexistent", "exit 3").copy(
+      input = Resource("file:///x", "file", "b", "x", 0L, phony = true, "h")), obj, work)
+    assert(r.exit_code == 3 && r.error.contains("exited 3"))
+  }
+
+  test("timeout kills the process (executor_docker.go:83-88)") {
+    val (obj, work) = freshDirs()
+    val t0 = System.nanoTime()
+    val r = Execute.executeOne(
+      mkTask("file:///x", "sleep 30", timeoutS = 1).copy(
+        input = Resource("file:///x", "file", "b", "x", 0L, phony = true, "h")),
+      obj, work)
+    val elapsedS = (System.nanoTime() - t0) / 1e9
+    assert(r.error.contains("timeout"))
+    assert(elapsedS < 10, s"kill took ${elapsedS}s — destroyForcibly not effective")
+  }
+
+  test("unknown hooks / executor / command are DLQ errors, not exceptions") {
+    val (obj, work) = freshDirs()
+    assert(Execute.executeOne(mkTask("file:///x", "true", hooks = "nope"), obj, work)
+      .error.contains("unknown hooks"))
+    assert(Execute.executeOne(mkTask("file:///x", "true", executor = "docker"), obj, work)
+      .error.contains("unknown executor"))
+    val noCmd = mkTask("file:///x", "true").copy(
+      strategy = ExecutionStrategy("process", Map("command" -> "no_such")))
+    assert(Execute.executeOne(noCmd, obj, work).error.contains("unknown command"))
+    assert(Execute.executeOne(mkTask("file:///missing.mov", "true"), obj, work)
+      .error.contains("input not found"))
+  }
+
+  test("re-execution is idempotent (K7: deterministic overwrite-safe paths)") {
+    FixtureTree.ensure()
+    val (obj, work) = freshDirs()
+    val t = mkTask(s"file://${FixtureTree.root}/video/b.mov",
+      """printf 'X' > "$TASK_OUTPUT_DIR/f.txt"""")
+    assert(Execute.executeOne(t, obj, work).error == null)
+    assert(Execute.executeOne(t, obj, work).error == null)
+    val dir = Paths.get(obj).resolve(s"mirror/${t.output.key}")
+    val listed = Files.list(dir)
+    import scala.jdk.CollectionConverters._
+    assert(listed.iterator().asScala.size == 1) // no duplicate artifacts
+    listed.close()
+  }
+
+  test("e2e ingest→plan→execute: done/dlq/queue bookkeeping (T5, K6)") {
+    FixtureTree.ensure()
+    val store = Store("/tmp/graft_test_state/exec_e2e")
+    Seq(store.resourceIndex, store.taskQueue, store.taskDone, store.dlq)
+      .foreach(Store.delete(spark, _))
+    val (obj, _) = freshDirs()
+
+    Ingest.run(spark, FixtureTree.root, "ext/mov", 4, store)
+    Plan.run(spark, store) // 4 × (mov+thumb) = 8 tasks
+
+    val (done, failedN) = Execute.run(spark, store, obj)
+    assert((done, failedN) == (8L, 0L))
+    assert(spark.read.parquet(store.taskDone).count() == 8)
+    // queue fully drained
+    assert(spark.read.parquet(store.taskQueue).count() == 0)
+    // mov outputs: manifest + copied input per task; metadata none for mov
+    val manifests = graft.ingest.Listing.listResources(spark, obj, 12)
+      .filter(col("key").endsWith("manifest.mpd"))
+    assert(manifests.count() == 4)
+    // replan after completion: nothing new (D3 against task_done)
+    assert(Plan.run(spark, store) == 0)
+  }
+
+  test("forced failure lands in dlq with error; successes unaffected (K6)") {
+    FixtureTree.ensure()
+    val store = Store("/tmp/graft_test_state/exec_dlq")
+    Seq(store.resourceIndex, store.taskQueue, store.taskDone, store.dlq)
+      .foreach(Store.delete(spark, _))
+    val (obj, _) = freshDirs()
+
+    Ingest.run(spark, FixtureTree.root, "ext/mov", 4, store)
+    val failing = Seq(
+      TemplateDef("mov", Seq("mov"), "img", "fail_stub", 60),
+      TemplateDef("thumb", Seq("mov"), "img", "process_thumb", 60))
+    Plan.run(spark, store, failing)
+
+    val (done, failedN) = Execute.run(spark, store, obj)
+    assert((done, failedN) == (4L, 4L))
+    val dlq = spark.read.parquet(store.dlq)
+    assert(dlq.count() == 4)
+    assert(dlq.select("error").head().getString(0).contains("exited 3"))
+    assert(dlq.select("hooks").distinct().head().getString(0) == "mov")
+  }
+}
