@@ -10,7 +10,8 @@ object Registry {
       graft.queries.Relational.queries ++
       graft.queries.PipelineOps.queries ++
       graft.queries.IngestOps.queries ++
-      graft.queries.PlanOps.queries
+      graft.queries.PlanOps.queries ++
+      graft.queries.TextQueries.queries
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }

@@ -1,0 +1,100 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-training-data surface (builder
+  * brief: language-ID, quality scoring, token counting, document
+  * fingerprinting). The reference has no text surface at all — its
+  * closest analog is the per-record metadata extraction of the MP4
+  * pipeline (images/mp4/process_mp4.sh:5-7), which §2.6 X4 maps to
+  * "extract structured signal per record". These operators are that idea
+  * applied to text columns.
+  *
+  * Every operator is a pure Column composition over built-ins
+  * (split/filter/transform/aggregate/regexp) — codegen'd, no UDFs, no
+  * shuffle. At 100 TB they run at parquet-scan speed and the derived
+  * columns (lang, quality) become partition/clustering keys for the
+  * downstream pipeline. All are DuckDB-oracle-expressible so the driver
+  * hash-checks every value.
+  */
+object TextOps {
+
+  /** Whitespace tokens. The fixture corpus is single-space separated;
+    * a production corpus would normalize whitespace first
+    * (regexp_replace(text, "\\s+", " ")). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count: letter runs, digit runs, and single
+    * punctuation marks each count as one token — the standard cheap
+    * proxy for byte-pair-encoded token counts when no tokenizer model
+    * is shippable. */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast("long")
+
+  /** English stopword sample used by the quality score. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "is", "in", "it", "for", "on")
+
+  /** Occurrences of any `members` element among the whitespace tokens. */
+  def memberHits(text: Column, members: Seq[String]): Column = {
+    val arr = array(members.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(arr, t))).cast("long")
+  }
+
+  def stopwordRatio(text: Column): Column =
+    memberHits(text, Stopwords).cast("double") / tokenCount(text)
+
+  def punctRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9 ]"), lit(0))).cast("double") /
+      length(text)
+
+  def avgWordLen(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") / tokenCount(text)
+
+  /** Composite quality score in [0,1]: length saturation + low
+    * punctuation + natural-language stopword density — the standard
+    * heuristic trio for pretraining-corpus filtering. */
+  def qualityScore(text: Column): Column =
+    lit(0.4) * least(lit(1.0), length(text).cast("double") / 500.0) +
+      lit(0.3) * (lit(1.0) - punctRatio(text)) +
+      lit(0.3) * least(lit(1.0), stopwordRatio(text) * 4.0)
+
+  /** Marker-word lists for the n-gram/stopword language-ID heuristic.
+    * Order matters: ties resolve to the earliest entry, so the list IS
+    * the tie-break priority. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    memberHits(text, markers).cast("double") / tokenCount(text)
+
+  /** Predicted language = argmax marker score, ties to the earlier
+    * entry in LangMarkers (deterministic CASE chain — identical shape
+    * in the DuckDB oracle). */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, m) => l -> langScore(text, m) }
+    scores.init.foldRight(lit(scores.last._1)) { case ((l, s), rest) =>
+      val notBeaten = scores.filter(_._1 != l)
+        .map(_._2).foldLeft(lit(true))((acc, o) => acc && s >= o)
+      when(notBeaten, l).otherwise(rest)
+    }
+  }
+
+  /** Document fingerprint: the minimum md5 over the sliding char
+    * 8-grams (winnowing-style rolling-hash fingerprint, robust to
+    * local edits), alongside md5(text) as the exact fingerprint. */
+  def rollingFingerprint(text: Column, k: Int = 8): Column =
+    array_min(transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => md5(text.substr(i, lit(k)))))
+
+  def exactFingerprint(text: Column): Column = md5(text)
+}
