@@ -1,0 +1,108 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the LLM-training-data surface (builder
+  * brief: exact, MinHash-LSH, SimHash, n-gram Jaccard). The reference's
+  * only dedup is URL set-insert (SURVEY §2.4 D1, resource.go:77-87);
+  * these operators generalize that to content-level identity, the way a
+  * pretraining pipeline needs.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - Exact dedup is a hash-groupBy on md5(text) — partial+final
+  *    aggregation, one shuffle on the digest, never on the text itself.
+  *  - Near-dup is MinHash-LSH: signatures are per-row column work
+  *    (codegen'd, no shuffle); candidate generation explodes b band
+  *    hashes per doc and self-joins on (band, band_hash) — a shuffle
+  *    hash join on a compound key whose buckets are collision groups,
+  *    NEVER an all-pairs cross join. Verification runs true Jaccard
+  *    only on the candidate pairs.
+  *  - SimHash gives a 32-bit sketch per document; hamming distance is a
+  *    cheap scalar compare usable as a blocking key (prefix buckets).
+  * All hash math is md5-based built-ins so the DuckDB oracle recomputes
+  * every value (DuckDB has no sha1; md5/sha256 are the shared digests).
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of a single-space-tokenized text. */
+  def wordShingles(text: Column, n: Int = 2): Column = {
+    val w = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(0), size(w) - n),
+      i => concat_ws(" ", (0 until n).map(j => get(w, i + j)): _*)))
+  }
+
+  /** MinHash signature: `numHashes` salted-md5 minima over the shingle
+    * set. Pure column work — the signature travels, the shingles don't. */
+  def minhashSignature(shingles: Column, numHashes: Int = 12): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingles, s => md5(concat(i.cast("string"), lit(":"), s)))))
+
+  /** LSH band hashes: the signature split into `bands` bands of
+    * `rowsPerBand`, each band re-hashed. Two docs collide in a band iff
+    * that band of their signatures is identical. */
+  def bandHashes(sig: Column, bands: Int = 6, rowsPerBand: Int = 2): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws("", (0 until rowsPerBand).map(r => get(sig, b * rowsPerBand + r)): _*)))
+
+  /** Jaccard similarity of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Exact-dedup survivors: one keeper row (min id) per distinct text
+    * digest, with the duplicate count. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_fp"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** MinHash-LSH near-duplicate pairs over (idCol, textCol):
+    * shingle → sign → band → bucket-join → Jaccard-verify. Returns
+    * (id_a, id_b, jaccard) for verified pairs with jaccard >= threshold.
+    * The only shuffles are the (band, band_hash) join and the two
+    * id-equi joins that re-attach shingles for verification.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.6, numHashes: Int = 12, bands: Int = 6): DataFrame = {
+    val sh = df.select(
+      col(idCol).as("doc_id"),
+      wordShingles(col(textCol)).as("shingles"))
+    val sig = sh.select(col("doc_id"),
+      bandHashes(minhashSignature(col("shingles"), numHashes), bands, numHashes / bands)
+        .as("bands"))
+    val exploded = sig.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
+    val cand = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash over whitespace tokens as a '0'/'1' bit string.
+    * Per token, bit i of md5 (hex-digit decode, i div 4 picks the
+    * digit, 3 - i mod 4 the bit) votes +1/-1; the sign of the vote sum
+    * is the sketch bit. Entirely builtin expressions (nested
+    * higher-order functions) so it runs inside codegen and the oracle
+    * can recompute it. */
+  def simhash(textCol: String, bits: Int = 32): Column = expr(
+    s"""array_join(transform(sequence(0, ${bits - 1}), i ->
+       |  CASE WHEN aggregate(split($textCol, ' '), 0,
+       |    (acc, t) -> acc + CASE WHEN
+       |      (shiftright(instr('0123456789abcdef', substring(md5(t), 1 + (i div 4), 1)) - 1,
+       |                  3 - i % 4) & 1) = 1
+       |      THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END), '')""".stripMargin)
+
+  /** Hamming distance between two equal-length bit strings. */
+  def hamming(a: Column, b: Column): Column =
+    size(filter(
+      sequence(lit(1), length(a)),
+      i => a.substr(i, lit(1)) =!= b.substr(i, lit(1)))).cast("long")
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.dedup.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries for the dedup operator family (builder brief:
+  * exact, MinHash-LSH, SimHash, n-gram Jaccard) over `documents`.
+  *
+  * The fixture corpus has no duplicate texts (500/500 distinct at
+  * sf0.01), so each query PLANTS duplicates deterministically — exact
+  * copies for exact dedup, one-token-appended mutants for near-dup —
+  * with both engines building the identical augmented corpus. That way
+  * the queries demonstrate non-trivial recall (the planted pairs must
+  * come back) while staying fully value-checked against the oracle.
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** documents ∪ near-dup mutants of doc_id<50 (text + one extra token). */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionAll(d.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" xtra")).as("text")))
+  }
+
+  private val nearDupCorpusSql =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text || ' xtra' AS text
+      |  FROM documents WHERE doc_id < 50""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // ── Exact dedup: hash-groupBy survivors over planted exact copies ──
+    Q(
+      "dedup_exact",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id < 100)
+        |SELECT md5(text) AS text_fp,
+        |       CAST(min(doc_id) AS BIGINT) AS keeper,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM corpus GROUP BY 1""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val corpus = d.unionAll(d.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      Dedup.exactDedup(corpus, "doc_id", "text")
+    },
+
+    // ── MinHash-LSH near-dup: band-bucket join, never all-pairs ────────
+    // 12 hashes, 6 bands × 2 rows (s-curve threshold ≈ 0.41 Jaccard);
+    // verified pairs at jaccard ≥ 0.6 include all 50 planted mutants.
+    Q(
+      "dedup_minhash_lsh",
+      s"""WITH corpus AS (
+         |  $nearDupCorpusSql),
+         |tok AS (SELECT doc_id, str_split(text, ' ') AS w FROM corpus),
+         |sh AS (SELECT doc_id,
+         |         list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS shingles
+         |       FROM tok),
+         |sig AS (SELECT doc_id, shingles,
+         |          list_transform(range(0, 12), i ->
+         |            list_min(list_transform(shingles, s -> md5(i || ':' || s)))) AS sig
+         |        FROM sh),
+         |bands AS (SELECT doc_id, bs.b AS band, md5(sig[2*bs.b+1] || sig[2*bs.b+2]) AS bh
+         |          FROM sig, (SELECT unnest(range(0, 6)) AS b) bs),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT id_a, id_b,
+         |            CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |              / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+         |          FROM cand
+         |          JOIN sh sa ON sa.doc_id = cand.id_a
+         |          JOIN sh sb ON sb.doc_id = cand.id_b)
+         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.6""".stripMargin) { (s, dir) =>
+      Dedup.nearDupPairs(nearDupCorpus(s, dir), "doc_id", "text", threshold = 0.6)
+    },
+
+    // ── SimHash sketches + hamming distance of planted near-dup pairs ──
+    // A one-token edit flips few sketch bits: hamming(orig, mutant) is
+    // small, making the 32-bit sketch a valid blocking key.
+    Q(
+      "dedup_simhash",
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 50
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text || ' xtra' AS text
+         |  FROM documents WHERE doc_id < 50),
+         |sk AS (SELECT doc_id,
+         |  array_to_string(list_transform(range(0, 32), i ->
+         |    CASE WHEN list_sum(list_transform(str_split(text, ' '), t ->
+         |      CASE WHEN ((instr('0123456789abcdef', substring(md5(t), 1 + i // 4, 1)) - 1)
+         |                 >> (3 - i % 4)) & 1 = 1
+         |      THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END), '') AS simhash
+         |  FROM corpus)
+         |SELECT a.doc_id AS doc_id, a.simhash AS simhash,
+         |  CAST(len(list_filter(range(1, 33), i ->
+         |    substring(a.simhash, i, 1) <> substring(b.simhash, i, 1))) AS BIGINT) AS hamming_to_mutant
+         |FROM sk a JOIN sk b ON b.doc_id = a.doc_id + 100000""".stripMargin) { (s, dir) =>
+      val corpus = docs(s, dir).filter(col("doc_id") < 50).select("doc_id", "text")
+        .unionAll(docs(s, dir).filter(col("doc_id") < 50)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" xtra")).as("text")))
+      val sk = corpus.select(col("doc_id"), Dedup.simhash("text").as("simhash"))
+      sk.as("a").join(sk.as("b"), col("b.doc_id") === col("a.doc_id") + 100000)
+        .select(col("a.doc_id").as("doc_id"), col("a.simhash").as("simhash"),
+          Dedup.hamming(col("a.simhash"), col("b.simhash")).as("hamming_to_mutant"))
+    },
+
+    // ── n-gram Jaccard as a direct pairwise measure (trigram shingles) ─
+    // Deterministic candidate pairing (adjacent doc_ids) verifies the
+    // scalar operator itself, independent of LSH recall.
+    Q(
+      "dedup_ngram_jaccard",
+      """WITH tok AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(w) - 1),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh3
+        |       FROM tok)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.sh3, b.sh3)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh3, b.sh3))) AS jaccard3
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin) { (s, dir) =>
+      val sh = docs(s, dir).select(col("doc_id"),
+        Dedup.wordShingles(col("text"), n = 3).as("sh3"))
+      sh.as("a").join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          Dedup.jaccard(col("a.sh3"), col("b.sh3")).as("jaccard3"))
+    })
+}

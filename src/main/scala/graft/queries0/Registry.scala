@@ -11,7 +11,8 @@ object Registry {
       graft.queries.PipelineOps.queries ++
       graft.queries.IngestOps.queries ++
       graft.queries.PlanOps.queries ++
-      graft.queries.TextQueries.queries
+      graft.queries.TextQueries.queries ++
+      graft.queries.DedupQueries.queries
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }
