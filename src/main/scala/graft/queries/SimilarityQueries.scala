@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.sim.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries for the similarity-search family over
+  * `embeddings`. DuckDB recomputes cosine in double precision
+  * (`list_cosine_similarity` over `embedding::DOUBLE[]`), so the check
+  * is value-level on every score, with (score DESC, vec_id) as the
+  * deterministic rank tie-break on both sides.
+  *
+  * The LSH variant is approximate by design, so it is NOT oracle-bound;
+  * SimilaritySpec checks its recall against the brute-force baseline.
+  */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  val queries: Seq[Q] = Seq(
+
+    // ── Brute-force cosine top-k: the exact baseline ───────────────────
+    Q(
+      "ann_bruteforce_topk",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(q.qv, e.v) AS score,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) AS rank
+        |  FROM q, e)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
+        |FROM scored WHERE rank <= 10""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, k = 10)
+    },
+
+    // ── IVF top-k: the bucketed scale path, same exactness within cells ─
+    Q(
+      "ann_ivf_topk",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, cent.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.cid) AS rn
+        |    FROM e, cent) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |probes AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.qid, cent.cid,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC, cent.cid) AS rn
+        |    FROM q, cent) WHERE rn <= 3),
+        |scored AS (
+        |  SELECT p.qid AS query_id, a.vec_id,
+        |    list_cosine_similarity(q.qv, e.v) AS score,
+        |    row_number() OVER (PARTITION BY p.qid
+        |      ORDER BY list_cosine_similarity(q.qv, e.v) DESC, a.vec_id) AS rank
+        |  FROM probes p
+        |  JOIN assign a ON a.cid = p.cid
+        |  JOIN q ON q.qid = p.qid
+        |  JOIN e ON e.vec_id = a.vec_id)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
+        |FROM scored WHERE rank <= 10""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, k = 10,
+        centroidEvery = 50, nProbe = 3)
+    },
+
+    // ── Embedding near-dup: sign-block + cosine threshold ──────────────
+    // Planted exact copies (vec_id<20 → +10000) must all come back;
+    // both engines use the identical sign-bit blocking, so any natural
+    // pair the blocks admit is checked too.
+    Q(
+      "emb_near_dup",
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 20),
+        |b AS (SELECT vec_id, v,
+        |        array_to_string(list_transform(v[1:16],
+        |          x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS block
+        |      FROM corpus)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       list_cosine_similarity(a.v, b.v) AS cos
+        |FROM b a JOIN b b ON a.block = b.block AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.999""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val corpus = e.unionAll(e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Similarity.nearDupPairs(corpus, threshold = 0.999, blockDims = 16)
+    },
+
+    // ── Sign-LSH ANN: approximate scale path (recall-checked in spec) ──
+    Q.rowsOnly("ann_lsh_topk") { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.lshTopK(e.filter(col("vec_id") < 5), e, k = 10)
+    })
+}

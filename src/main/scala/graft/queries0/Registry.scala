@@ -12,7 +12,8 @@ object Registry {
       graft.queries.IngestOps.queries ++
       graft.queries.PlanOps.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.DedupQueries.queries
+      graft.queries.DedupQueries.queries ++
+      graft.queries.SimilarityQueries.queries
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }

@@ -1,0 +1,63 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup invariants beyond the oracle: planted-pair recall through the
+  * LSH s-curve, sketch locality, and plan shape (bucket join, never
+  * cartesian). */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    .select("doc_id", "text")
+
+  private lazy val planted = docs.unionAll(
+    docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" xtra")).as("text")))
+
+  test("MinHash-LSH recall: all 50 planted near-dup pairs survive band+verify") {
+    val pairs = Dedup.nearDupPairs(planted, "doc_id", "text", threshold = 0.6)
+    val found = pairs.filter(col("id_b") === col("id_a") + 100000).count()
+    assert(found == 50, s"only $found/50 planted pairs found")
+  }
+
+  test("LSH candidate generation joins on (band, band_hash) — no cartesian") {
+    val plan = Dedup.nearDupPairs(planted, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in LSH plan:\n$plan")
+  }
+
+  test("exact dedup keeps one keeper per distinct text; idempotent") {
+    val corpus = docs.unionAll(docs.select(col("doc_id") + 7777, col("text")))
+    val survivors = Dedup.exactDedup(corpus, "doc_id", "text")
+    assert(survivors.count() == docs.count())
+    assert(survivors.agg(max("n_copies")).head().getLong(0) == 2)
+    // keeper is always the original (minimum) id
+    assert(survivors.filter(col("keeper") >= 7777).count() == 0)
+  }
+
+  test("simhash: deterministic, 32 bits, and a one-token edit flips few bits") {
+    val sk = planted.select(col("doc_id"), Dedup.simhash("text").as("h"))
+    assert(sk.filter(length(col("h")) =!= 32).count() == 0)
+    val ham = sk.as("a")
+      .join(sk.as("b"), col("b.doc_id") === col("a.doc_id") + 100000)
+      .select(Dedup.hamming(col("a.h"), col("b.h")).as("d"))
+    assert(ham.agg(max("d")).head().getLong(0) <= 10,
+      "one-token edit should flip few sketch bits")
+    // unrelated docs are mostly far apart: median pairwise distance is large
+    val far = sk.filter(col("doc_id") < 20)
+    val dists = far.as("a").join(far.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(Dedup.hamming(col("a.h"), col("b.h")).as("d"))
+    assert(dists.agg(expr("percentile(d, 0.5)")).head().getDouble(0) >= 6.0)
+  }
+
+  test("jaccard: identical sets → 1.0, disjoint → 0.0, order-insensitive") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a b", "b c"), Seq("b c", "a b")),
+      (Seq("a b"), Seq("x y"))).toDF("s1", "s2")
+    val r = df.select(Dedup.jaccard(col("s1"), col("s2")).as("j")).collect().map(_.getDouble(0))
+    assert(r(0) == 1.0 && r(1) == 0.0)
+  }
+}

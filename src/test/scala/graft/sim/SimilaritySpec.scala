@@ -1,0 +1,64 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Similarity-search invariants the oracle can't express: approximate
+  * recall vs the exact baseline, and plan shape (the scale paths must
+  * never plan a cartesian product over the corpus). */
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+  private lazy val queries = e.filter(col("vec_id") < 10)
+
+  test("brute-force top-k: self is rank 1 with score ~1.0; k rows per query") {
+    val r = Similarity.bruteForceTopK(queries, e, k = 10).cache()
+    assert(r.count() == 100)
+    val self = r.filter(col("rank") === 1).collect()
+    assert(self.forall(row => row.getAs[Long]("query_id") == row.getAs[Long]("vec_id")))
+    assert(self.forall(row => math.abs(row.getAs[Double]("score") - 1.0) < 1e-12))
+  }
+
+  test("LSH top-k recall@10 vs brute force is usable (approximate scale path)") {
+    val exact = Similarity.bruteForceTopK(queries, e, k = 10)
+      .select("query_id", "vec_id")
+    val approx = Similarity.lshTopK(queries, e, k = 10)
+      .select("query_id", "vec_id")
+    val hit = exact.intersect(approx).count()
+    val recall = hit.toDouble / exact.count()
+    assert(recall >= 0.3, s"recall@10 = $recall — LSH bucketing is broken, not just lossy")
+    // self-match always shares every bucket with itself
+    assert(approx.filter(col("query_id") === col("vec_id")).count() == queries.count())
+  }
+
+  test("LSH candidate join is a hash join on (table, bucket), not cartesian") {
+    val plan = Similarity.lshTopK(queries, e, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in LSH plan:\n$plan")
+  }
+
+  test("IVF top-k: per-query rows bounded by k; probing fewer cells shrinks candidates") {
+    val r3 = Similarity.ivfTopK(queries, e, k = 10, centroidEvery = 50, nProbe = 3)
+    val r1 = Similarity.ivfTopK(queries, e, k = 10, centroidEvery = 50, nProbe = 1)
+    val n3 = r3.groupBy("query_id").count().agg(max("count")).head().getLong(0)
+    assert(n3 <= 10)
+    assert(r1.count() <= r3.count(), "nProbe=1 must not see more candidates than nProbe=3")
+  }
+
+  test("IVF recall@10 vs brute force (nProbe=3 of 10 cells)") {
+    val exact = Similarity.bruteForceTopK(queries, e, k = 10).select("query_id", "vec_id")
+    val ivf = Similarity.ivfTopK(queries, e, k = 10).select("query_id", "vec_id")
+    val recall = exact.intersect(ivf).count().toDouble / exact.count()
+    assert(recall >= 0.3, s"IVF recall@10 = $recall")
+  }
+
+  test("near-dup blocking finds planted exact copies and nothing below threshold") {
+    val corpus = e.select("vec_id", "embedding")
+      .unionAll(e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val pairs = Similarity.nearDupPairs(corpus, threshold = 0.999).cache()
+    val planted = pairs.filter(col("id_b") === col("id_a") + 10000)
+    assert(planted.count() == 20)
+    assert(pairs.agg(min("cos")).head().getDouble(0) >= 0.999)
+  }
+}
