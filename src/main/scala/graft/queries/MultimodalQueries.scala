@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.ingest.FixtureTree
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries for the multimodal-column family. The binary
+  * payloads are the documents' UTF-8 bytes (and the fixture-tree files
+  * whose content is their own key), so DuckDB can re-derive n_bytes /
+  * hashes / stub-decoded metadata from text alone — a full value check
+  * of the mapPartitions decode plumbing.
+  */
+object MultimodalQueries {
+
+  /** documents with a real binary content column (UTF-8 of text). */
+  private def mediaDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+
+  private val hexValSql = (c: String) => s"(instr('0123456789abcdef', $c) - 1)"
+
+  val queries: Seq[Q] = Seq(
+
+    // ── Decode: binary → typed metadata struct via batched mapPartitions
+    Q(
+      "multimodal_decode",
+      s"""SELECT doc_id,
+         |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+         |  sha256(text) AS content_hash,
+         |  320 + 16 * ${hexValSql("substring(sha256(text), 1, 1)")} AS width,
+         |  240 + 16 * ${hexValSql("substring(sha256(text), 2, 1)")} AS height,
+         |  1 + ${hexValSql("substring(sha256(text), 3, 1)")} % 3 AS channels,
+         |  CASE WHEN ${hexValSql("substring(sha256(text), 4, 1)")} < 8
+         |       THEN 'rgb' ELSE 'yuv' END AS format
+         |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Multimodal.decode(mediaDocs(s, dir).as[Multimodal.MediaIn]).toDF()
+    },
+
+    // ── Frame sampling: bounded explode keyed by content hash ──────────
+    Q(
+      "multimodal_frame_sample",
+      """SELECT doc_id, CAST(f.i AS BIGINT) AS frame_idx,
+        |  sha256(sha256(text) || ':' || f.i) AS frame_hash
+        |FROM documents,
+        |  LATERAL (SELECT unnest(range(0, 1 + strlen(text) % 8)) AS i) f""".stripMargin) { (s, dir) =>
+      Multimodal.sampleFrames(Multimodal.withMetadata(mediaDocs(s, dir)))
+    },
+
+    // ── Binary scan: binaryFile source over the fixture object tree ────
+    Q(
+      "multimodal_binary_scan",
+      """SELECT key, CAST(strlen(key) AS BIGINT) AS length, sha256(key) AS content_hash
+        |FROM (VALUES
+        |  ('video/a.MOV'), ('video/b.mov'), ('video/c.mp4'),
+        |  ('video/deep/d.mov'), ('video/deep/deeper/e.mov'),
+        |  ('video/noext'), ('docs/readme.txt')) t(key)""".stripMargin) { (s, _) =>
+      FixtureTree.ensure()
+      Multimodal.scanBinary(s, FixtureTree.root)
+        .select(col("key"), col("length"),
+          sha2(col("content"), 256).as("content_hash"))
+    })
+}

@@ -13,7 +13,8 @@ object Registry {
       graft.queries.PlanOps.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
-      graft.queries.SimilarityQueries.queries
+      graft.queries.SimilarityQueries.queries ++
+      graft.queries.MultimodalQueries.queries
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }
