@@ -14,8 +14,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // The fixture writes TIMESTAMP(NANOS), which Spark 4's parquet
+      // reader rejects outright; read nanos as long and truncate to µs
+      // (exactly what DuckDB's µs-native reader does on its side).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Register every fixture table as a temp view (for SQL-surface queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =

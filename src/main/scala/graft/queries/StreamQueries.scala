@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.Q
+import graft.exec.Execute
+import graft.ingest.{FixtureTree, Ingest}
+import graft.plan.Plan
+import graft.store.Store
+import graft.streaming.StreamingJobs
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Oracle-checked queries for the streaming surface and the execute
+  * job. The streaming queries run REAL Structured Streaming queries
+  * (file source → watermark/window/dedup → memory sink, drained with
+  * Trigger.AvailableNow) and the oracle checks the drained result
+  * against DuckDB's batch semantics — the strongest available check
+  * that stream and batch agree.
+  */
+object StreamQueries {
+
+  val queries: Seq[Q] = Seq(
+
+    // ── Event-time tumbling window + watermark (extension flagship) ────
+    Q(
+      "stream_window_agg",
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ts_bucket, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  sum(value) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      StreamingJobs.windowedEventCounts(s, dir)
+    },
+
+    // ── Streaming dedup within watermark: doubled stream, each once ────
+    Q(
+      "stream_dedup_watermark",
+      """SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      StreamingJobs.dedupedEventCounts(s, dir)
+    },
+
+    // ── Batch execute job e2e: ingest → plan → execute, constant counts ─
+    // 4 .mov resources × (mov+thumb) = 8 tasks, all succeed with the
+    // stub commands; queue drains; re-plan after completion adds 0 (D3).
+    Q(
+      "pipeline_execute",
+      """SELECT CAST(8 AS BIGINT) AS n_done, CAST(0 AS BIGINT) AS n_dlq,
+        |       CAST(0 AS BIGINT) AS n_queue_left, CAST(0 AS BIGINT) AS n_replan""".stripMargin) { (s, _) =>
+      FixtureTree.ensure()
+      val store = Store("/tmp/graft_state/exec_e2e")
+      Seq(store.resourceIndex, store.taskQueue, store.taskDone, store.dlq)
+        .foreach(Store.delete(s, _))
+      val obj = Files.createTempDirectory("graft_obj_q").toString
+      Ingest.run(s, FixtureTree.root, "ext/mov", 4, store)
+      Plan.run(s, store)
+      val (done, failed) = Execute.run(s, store, obj)
+      val queueLeft = s.read.parquet(store.taskQueue).count()
+      val replan = Plan.run(s, store)
+      import s.implicits._
+      Seq((done, failed, queueLeft, replan))
+        .toDF("n_done", "n_dlq", "n_queue_left", "n_replan")
+    },
+
+    // ── Streaming execute job e2e: queue file-source + checkpoint ──────
+    // Same pipeline driven as a streaming query (S2/S3 semantics): drain
+    // with AvailableNow, then restart from the checkpoint — the second
+    // run must process nothing new (T6 resume).
+    Q(
+      "pipeline_execute_stream",
+      """SELECT CAST(8 AS BIGINT) AS n_done, CAST(0 AS BIGINT) AS n_dlq,
+        |       CAST(8 AS BIGINT) AS n_done_after_resume""".stripMargin) { (s, _) =>
+      FixtureTree.ensure()
+      val store = Store("/tmp/graft_state/exec_stream_e2e")
+      Seq(store.resourceIndex, store.taskQueue, store.taskDone, store.dlq)
+        .foreach(Store.delete(s, _))
+      val obj = Files.createTempDirectory("graft_obj_qs").toString
+      val ckpt = Files.createTempDirectory("graft_ckpt_q").toString
+      Ingest.run(s, FixtureTree.root, "ext/mov", 4, store)
+      Plan.run(s, store)
+      def countOrZero(path: String): Long =
+        try s.read.parquet(path).count() catch { case _: Throwable => 0L }
+      val q1 = StreamingJobs.executeStream(s, store, obj, ckpt)
+      q1.awaitTermination()
+      val done1 = s.read.parquet(store.taskDone).count()
+      val dlq1 = countOrZero(store.dlq)
+      val q2 = StreamingJobs.executeStream(s, store, obj, ckpt) // resume: no new files
+      q2.awaitTermination()
+      val done2 = s.read.parquet(store.taskDone).count()
+      import s.implicits._
+      Seq((done1, dlq1, done2)).toDF("n_done", "n_dlq", "n_done_after_resume")
+    })
+}

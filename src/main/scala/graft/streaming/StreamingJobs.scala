@@ -1,0 +1,154 @@
+package graft.streaming
+
+import graft.core.Task
+import graft.exec.Execute
+import graft.store.Store
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+import java.nio.file.Files
+
+/** Structured-Streaming surface (SURVEY.md §2.8 T1/T2/T6, §2.1 S2–S4,
+  * plus the event-time extension the reference lacks).
+  *
+  * Reference orchestration → Spark mapping:
+  *  - 30 s tasker poll ticker (cmd/tasker.go:85-98)      → Trigger.ProcessingTime("30 seconds")
+  *  - SQS drain-all (pkg/aws/sqs.go:134-162)             → Trigger.AvailableNow
+  *  - SPOPN batch-size rate limit (resource.go:54-75)    → maxFilesPerTrigger source option
+  *  - batch failure → re-add + retry (tasker/service.go:47-51) → micro-batch retry from checkpoint
+  *  - .chstate.json stage persistence (persistance.go)   → checkpointLocation (offsets + state)
+  *  - visibility-timeout lease (T4)                      → idempotent sink (anti-join vs task_done)
+  *
+  * Event-time semantics (watermarks, windows, streaming dedup) have no
+  * reference analog (SURVEY §2.8: "absent") — they are the §2.9/§7
+  * extension surface, exercised over the `events` fixture.
+  */
+object StreamingJobs {
+
+  /** T1 — the tasker's production cadence. Tests/queries use
+    * AvailableNow to drain deterministically. */
+  val PollTrigger: Trigger = Trigger.ProcessingTime("30 seconds")
+
+  private def tmpCheckpoint(tag: String): String =
+    Files.createTempDirectory(s"graft_ckpt_$tag").toString
+
+  /** File-source stream over one fixture table. The fixture parquet
+    * carries TIMESTAMP(NANOS), which the streaming parquet source
+    * rejects, so the table is staged once into a µs-timestamp copy —
+    * split into several files so AvailableNow actually iterates
+    * multiple micro-batches (maxFilesPerTrigger=1), exercising
+    * incremental state, not a single-batch degenerate run. */
+  def tableStream(spark: SparkSession, sfDir: String, table: String,
+      parts: Int = 4): DataFrame = {
+    val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src/${table}_${sfDir.hashCode.toHexString}"
+    val staged = new org.apache.hadoop.fs.Path(stage)
+    val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(staged)) {
+      graft.Tables.load(spark, sfDir, table)
+        .repartition(parts)
+        .write.mode("overwrite").parquet(stage)
+    }
+    val schema = spark.read.parquet(stage).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage)
+  }
+
+  /** Run a streaming frame into an in-memory sink until AvailableNow
+    * drains, then return the sink contents as a batch frame. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", tmpCheckpoint(name))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** Event-time tumbling-window aggregation with a watermark: the
+    * extension surface's flagship. Complete mode so the drained result
+    * equals the batch aggregation exactly (append mode would hold back
+    * the final unexpired window). */
+  def windowedEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = tableStream(spark, sfDir, "events")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("w.start").as("ts_bucket"), col("event_type"),
+        col("n_events"), col("total_value"))
+    runToMemory(agg, "stream_window_agg_sink", OutputMode.Complete())
+  }
+
+  /** Streaming exact dedup within the watermark: the stream is unioned
+    * with itself (every event arrives twice) and
+    * dropDuplicatesWithinWatermark must emit each exactly once. The
+    * delay budget covers the fixture's whole event-time span (30 days)
+    * because the staged files arrive in arbitrary time order — with a
+    * smaller budget the watermark would race ahead and correctly drop
+    * out-of-order events as late, breaking stream≡batch equality (that
+    * lateness behavior is pinned separately in StreamingSpec). */
+  def dedupedEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val s1 = tableStream(spark, sfDir, "events")
+    val s2 = tableStream(spark, sfDir, "events")
+    val deduped = s1.unionAll(s2)
+      .withWatermark("ts", "800 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+    val emitted = runToMemory(deduped, "stream_dedup_sink", OutputMode.Append())
+    emitted.groupBy("event_type")
+      .agg(count(lit(1)).as("n_unique"))
+  }
+
+  /** The execute job as a streaming query over the task_queue table
+    * (S2 queue source semantics): new parquet files appended by Plan are
+    * discovered by the file source, executed per micro-batch, results
+    * routed to task_done/dlq. The checkpoint makes restarts resume after
+    * the last committed batch (T6); the anti-join against task_done
+    * makes batch REPLAY idempotent (T2/K7 — at-least-once delivery +
+    * idempotent sink ≡ effective exactly-once).
+    *
+    * @param maxFilesPerTrigger S4's batch-size rate limit
+    */
+  def executeStream(spark: SparkSession, store: Store, objectRoot: String,
+      checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Int = 10,
+      failInjector: DataFrame => Unit = _ => ()): StreamingQuery = {
+    val taskSchema = Encoders.product[Task].schema
+    val stream = spark.readStream
+      .schema(taskSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(store.taskQueue)
+
+    val workRoot = System.getProperty("java.io.tmpdir") + "/graft_exec_stream"
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        failInjector(batch) // test hook: T2 batch-failure → retry path
+        import batch.sparkSession.implicits._
+        val doneHashes = Store.readOrEmpty(batch.sparkSession, store.taskDone, taskSchema)
+          .select("task_hash")
+        val todo = batch.join(doneHashes, Seq("task_hash"), "left_anti").as[Task]
+        val results = todo
+          .mapPartitions(_.map(t => Execute.executeOne(t, objectRoot, workRoot)))
+          .toDF()
+          .persist()
+        results.count()
+        val ok = results.filter(col("error").isNull)
+        val failed = results.filter(col("error").isNotNull)
+        Store.append(
+          batch.join(ok.select("task_hash", "exit_code", "elapsed_ms", "output_files"),
+            Seq("task_hash")),
+          store.taskDone)
+        Store.append(
+          batch.join(failed.select("task_hash", "error", "exit_code"), Seq("task_hash")),
+          store.dlq)
+        results.unpersist()
+        ()
+      }
+      .start()
+  }
+}

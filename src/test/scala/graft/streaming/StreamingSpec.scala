@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ingest.{FixtureTree, Ingest}
+import graft.plan.Plan
+import graft.store.Store
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Streaming semantics the oracle can't check: checkpoint resume after
+  * new queue files (T6), micro-batch failure → retry idempotency (T2 +
+  * K7), and watermark lateness dropping (the behavior the oracle-bound
+  * dedup query deliberately sizes its delay budget around). */
+class StreamingSpec extends SparkSpec {
+
+  private def freshStore(tag: String): Store = {
+    val store = Store(s"/tmp/graft_test_state/stream_$tag")
+    Seq(store.resourceIndex, store.taskQueue, store.taskDone, store.dlq)
+      .foreach(Store.delete(spark, _))
+    store
+  }
+
+  test("T6 resume: restart after Plan appends new files processes only the delta") {
+    FixtureTree.ensure()
+    val store = freshStore("resume")
+    val obj = Files.createTempDirectory("graft_obj_s").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_s").toString
+
+    Ingest.run(spark, FixtureTree.root, "ext/mov", 2, store) // depth 2: 2 .mov files
+    Plan.run(spark, store) // 2 × (mov+thumb) = 4 tasks
+    StreamingJobs.executeStream(spark, store, obj, ckpt).awaitTermination()
+    assert(spark.read.parquet(store.taskDone).count() == 4)
+
+    // deepen the scan: 2 more resources → 4 more tasks appended
+    Ingest.run(spark, FixtureTree.root, "ext/mov", 4, store)
+    Plan.run(spark, store)
+    StreamingJobs.executeStream(spark, store, obj, ckpt).awaitTermination()
+    val done = spark.read.parquet(store.taskDone)
+    assert(done.count() == 8)
+    // no task executed twice
+    assert(done.select("task_hash").distinct().count() == 8)
+  }
+
+  test("T2 retry: a failing micro-batch reprocesses idempotently on restart") {
+    FixtureTree.ensure()
+    val store = freshStore("retry")
+    val obj = Files.createTempDirectory("graft_obj_r").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_r").toString
+
+    Ingest.run(spark, FixtureTree.root, "ext/mov", 4, store)
+    Plan.run(spark, store) // 8 tasks
+
+    // First run: the injector kills the FIRST batch after the executor
+    // work has already appended results — the worst case for
+    // duplication (work done, offset not committed).
+    val calls = new AtomicInteger(0)
+    val boom: DataFrame => Unit = _ =>
+      if (calls.incrementAndGet() == 1) throw new RuntimeException("injected batch failure")
+    val q = StreamingJobs.executeStream(spark, store, obj, ckpt, failInjector = boom)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+
+    // Restart with the same checkpoint: the failed batch replays; the
+    // task_done anti-join makes the replay a no-op for completed work.
+    StreamingJobs.executeStream(spark, store, obj, ckpt).awaitTermination()
+    val done = spark.read.parquet(store.taskDone)
+    assert(done.count() == 8, "all tasks completed exactly once after retry")
+    assert(done.select("task_hash").distinct().count() == 8)
+  }
+
+  test("watermark lateness: a small delay budget on out-of-order input drops late rows") {
+    val withBudget = StreamingJobs.dedupedEventCounts(spark, sf("sf0.001"))
+      .agg(sum("n_unique")).head().getLong(0)
+    assert(withBudget == 1000, "full-span budget emits every unique event")
+
+    // same doubled stream, 1-hour budget: staged files arrive in
+    // arbitrary time order, so the watermark races ahead and late
+    // arrivals are dropped — strictly fewer emissions.
+    val s1 = StreamingJobs.tableStream(spark, sf("sf0.001"), "events")
+    val s2 = StreamingJobs.tableStream(spark, sf("sf0.001"), "events")
+    val tight = s1.unionAll(s2)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val emitted = StreamingJobs.runToMemory(tight, "tight_dedup_sink", OutputMode.Append())
+      .count()
+    assert(emitted < 1000, s"expected lateness drops, got $emitted")
+  }
+
+  test("stream≡batch: windowed aggregation equals the batch plan over the same data") {
+    val streamed = StreamingJobs.windowedEventCounts(spark, sf("sf0.001"))
+    val batch = graft.Tables.load(spark, sf("sf0.001"), "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("w.start").as("ts_bucket"), col("event_type"),
+        col("n_events"), col("total_value"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+}
