@@ -42,8 +42,16 @@ object Dedup {
 
   /** LSH band hashes: the signature split into `bands` bands of
     * `rowsPerBand`, each band re-hashed. Two docs collide in a band iff
-    * that band of their signatures is identical. */
-  def bandHashes(sig: Column, bands: Int = 6, rowsPerBand: Int = 2): Column =
+    * that band of their signatures is identical.
+    *
+    * Defaults are 4 bands × 3 rows (s-curve threshold (1/4)^(1/3) ≈
+    * 0.63): on a low-entropy corpus (shared vocabulary — exactly what a
+    * pretraining crawl looks like) 2-row bands collide on the two
+    * globally-most-common shingle minima and buckets grow to a large
+    * fraction of the corpus, which makes the candidate join quadratic.
+    * 3-row bands need three shared minima — discriminative even when
+    * vocabulary overlaps heavily. */
+  def bandHashes(sig: Column, bands: Int = 4, rowsPerBand: Int = 3): Column =
     transform(
       sequence(lit(0), lit(bands - 1)),
       b => md5(concat_ws("", (0 until rowsPerBand).map(r => get(sig, b * rowsPerBand + r)): _*)))
@@ -63,16 +71,41 @@ object Dedup {
     * (id_a, id_b, jaccard) for verified pairs with jaccard >= threshold.
     * The only shuffles are the (band, band_hash) join and the two
     * id-equi joins that re-attach shingles for verification.
+    *
+    * `maxBucketSize` is the skew guard that makes the candidate join
+    * survive scale: a bucket holding a large fraction of the corpus is
+    * a non-discriminative collision (its band carries no similarity
+    * signal) but would contribute O(bucket²) candidate pairs in ONE
+    * join partition. Oversized buckets are dropped; genuinely similar
+    * pairs still collide in their other, discriminative bands. This is
+    * the LSH analog of salting a skewed join key.
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.6, numHashes: Int = 12, bands: Int = 6): DataFrame = {
+      threshold: Double = 0.6, numHashes: Int = 12, bands: Int = 4,
+      maxBucketSize: Int = 64): DataFrame = {
     val sh = df.select(
       col(idCol).as("doc_id"),
       wordShingles(col(textCol)).as("shingles"))
-    val sig = sh.select(col("doc_id"),
-      bandHashes(minhashSignature(col("shingles"), numHashes), bands, numHashes / bands)
-        .as("bands"))
-    val exploded = sig.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
+    // Signature via explode + hash-aggregate, NOT the array
+    // minhashSignature helper: higher-order-function expressions are
+    // interpreted (no codegen, no subexpression elimination), which
+    // measured 10–80× slower at sf0.1. Exploding shingles and taking
+    // `numHashes` min(md5(...)) aggregates keeps the whole signature
+    // inside WholeStageCodegen with map-side partial mins — at scale the
+    // shuffle carries one tiny row per (doc, 12 digests), never the
+    // shingle sets.
+    val tok = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val mhCols = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
+    val sigd = tok.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    val sigArr = array((0 until numHashes).map(i => col(s"mh$i")): _*)
+    val exploded = sigd
+      .select(col("doc_id"),
+        posexplode(bandHashes(sigArr, bands, numHashes / bands)).as(Seq("band", "bh")))
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .filter(col("bsz") <= maxBucketSize)
+      .select("doc_id", "band", "bh")
     val cand = exploded.as("a")
       .join(exploded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

@@ -36,7 +36,7 @@ object SimilarityQueries {
         |FROM scored WHERE rank <= 10""".stripMargin) { (s, dir) =>
       val e = emb(s, dir)
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, k = 10)
-    },
+    }.copy(bench = true),
 
     // ── IVF top-k: the bucketed scale path, same exactness within cells ─
     Q(

@@ -29,7 +29,7 @@ object StreamQueries {
         |  sum(value) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       StreamingJobs.windowedEventCounts(s, dir)
-    },
+    }.copy(bench = true),
 
     // ── Streaming dedup within watermark: doubled stream, each once ────
     Q(

@@ -56,7 +56,7 @@ object TextQueries {
         TextOps.punctRatio(col("text")).as("punct_ratio"),
         TextOps.avgWordLen(col("text")).as("avg_word_len"),
         TextOps.qualityScore(col("text")).as("quality"))
-    },
+    }.copy(bench = true),
 
     // ── Language-ID: marker-score argmax with deterministic tie-break ──
     Q(
