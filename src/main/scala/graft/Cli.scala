@@ -1,0 +1,104 @@
+package graft
+
+import graft.exec.Execute
+import graft.ingest.Ingest
+import graft.plan.Plan
+import graft.store.Store
+import graft.streaming.StreamingJobs
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+/** S7 — the engine's command-line entry point (the Spark analog of the
+  * reference's three services behind one CLI, SURVEY.md §7.1: `chyme
+  * indexer ingest s3://bucket/prefix --filter ext/mov --recursion 3`,
+  * cmd/ingest.go:17-25 / tasker.go / worker.go). No HTTP hop, no
+  * long-running daemons: each subcommand is one Spark job over the
+  * table layer, so the whole pipeline is `graft ingest && graft plan &&
+  * graft execute` (or `execute-stream` for the continuous worker).
+  *
+  * Prints exactly one JSON result line on stdout per invocation.
+  */
+object Cli {
+
+  private val usage =
+    """usage: graft <command> [args]
+      |  ingest <rootDir> <filterSpec> <depth> [storeDir]   scan + filter + dedup into resource_index
+      |  plan [storeDir]                                    template fan-out into task_queue
+      |  execute [storeDir] [objectRoot] [batchSize]        drain task_queue (batch)
+      |  execute-stream [storeDir] [objectRoot] [ckptDir] [--continuous]
+      |                                                     streaming worker; --continuous = 30 s trigger
+      |  query <name> <sfDir>                               run a declared query, print row count
+      |  list-queries                                       all declared query names""".stripMargin
+
+  private val defaultStore = "/tmp/graft_store"
+
+  def run(spark: SparkSession, args: Array[String]): String = args.toList match {
+    case "ingest" :: root :: filter :: depth :: rest =>
+      val n = Ingest.run(spark, root, filter, depth.toInt,
+        Store(rest.headOption.getOrElse(defaultStore)))
+      s"""{"cmd":"ingest","resources":$n}"""
+
+    case "plan" :: rest =>
+      val n = Plan.run(spark, Store(rest.headOption.getOrElse(defaultStore)))
+      s"""{"cmd":"plan","tasks":$n}"""
+
+    case "execute" :: rest =>
+      val store = Store(rest.headOption.getOrElse(defaultStore))
+      val objects = rest.drop(1).headOption.getOrElse(s"${store.root}/objects")
+      val batch = rest.drop(2).headOption.map(_.toInt).getOrElse(Int.MaxValue)
+      val (done, failed) = Execute.run(spark, store, objects, batch)
+      s"""{"cmd":"execute","done":$done,"failed":$failed}"""
+
+    case "execute-stream" :: rest =>
+      val positional = rest.filterNot(_.startsWith("--"))
+      val store = Store(positional.headOption.getOrElse(defaultStore))
+      val objects = positional.drop(1).headOption.getOrElse(s"${store.root}/objects")
+      val ckpt = positional.drop(2).headOption.getOrElse(s"${store.root}/checkpoint")
+      val continuous = rest.contains("--continuous")
+      val trigger =
+        if (continuous) StreamingJobs.PollTrigger // T1: 30 s micro-batches
+        else Trigger.AvailableNow()               // S3: drain and stop
+      val q = StreamingJobs.executeStream(spark, store, objects, ckpt, trigger)
+      // T7 — graceful shutdown: SIGINT/SIGTERM stops the query at a
+      // batch boundary; the checkpoint resumes it next run
+      // (cmd/util.go:110-115's done-channel, Spark-shaped).
+      val hook = sys.addShutdownHook { if (q.isActive) q.stop() }
+      q.awaitTermination()
+      hook.remove()
+      val done = try spark.read.parquet(store.taskDone).count() catch { case _: Throwable => 0L }
+      s"""{"cmd":"execute-stream","continuous":$continuous,"task_done":$done}"""
+
+    case "query" :: name :: sfDir :: Nil =>
+      SparkEntry.queries.get(name) match {
+        case Some(fn) => s"""{"cmd":"query","name":"$name","rows":${fn(spark, sfDir).count()}}"""
+        case None => throw new IllegalArgumentException(
+          s"unknown query '$name' — see list-queries")
+      }
+
+    case "list-queries" :: Nil =>
+      SparkEntry.allQueries.map(q => "\"" + q.name + "\"")
+        .mkString("""{"cmd":"list-queries","queries":[""", ",", "]}")
+
+    case other =>
+      throw new IllegalArgumentException(s"bad args: ${other.mkString(" ")}\n$usage")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try println(run(spark, args))
+    catch {
+      case e: IllegalArgumentException =>
+        System.err.println(e.getMessage); spark.stop(); sys.exit(2)
+    }
+    spark.stop()
+  }
+}

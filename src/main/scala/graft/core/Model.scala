@@ -44,7 +44,10 @@ final case class Task(
     task_hash: String)
 
 /** Result of executing one task (executor.go:18-22), flattened for the
-  * task_done / dlq tables: error is null on success. */
+  * task_done / dlq tables: error is null on success. bytes_in/bytes_up
+  * are the A3 transfer counters (the reference wraps readers/writers in
+  * CountingReader/CountingWriterAt, pkg/util/util.go:8-52; here the
+  * counts ride the result row and aggregate for free). */
 final case class ExecutionResult(
     task_hash: String,
     input_url: String,
@@ -53,4 +56,6 @@ final case class ExecutionResult(
     exit_code: Int,
     error: String,
     output_files: Long,
+    bytes_in: Long,
+    bytes_up: Long,
     elapsed_ms: Long)

@@ -71,7 +71,6 @@ object Execute {
     "fail_stub" -> "exit 3",
     "sleep_stub" -> "sleep 30")
 
-  val knownHooks: Set[String] = Set("mov", "mp4", "thumb", "")
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
@@ -84,18 +83,23 @@ object Execute {
     ()
   }
 
-  private def copyTree(from: Path, to: Path): Long = {
+  /** Sync a tree, returning (files, bytes) — the A3 upload counter. */
+  private def copyTree(from: Path, to: Path): (Long, Long) = {
     var n = 0L
+    var bytes = 0L
     Files.createDirectories(to)
     val s = Files.walk(from)
     import scala.jdk.CollectionConverters._
     s.iterator().asScala.foreach { p =>
       val target = to.resolve(from.relativize(p).toString)
       if (Files.isDirectory(p)) Files.createDirectories(target)
-      else { Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING); n += 1 }
+      else {
+        Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING)
+        n += 1; bytes += Files.size(p)
+      }
     }
     s.close()
-    n
+    (n, bytes)
   }
 
   /** Map an object URL (s3://bucket/key or file://path) to its local
@@ -109,17 +113,22 @@ object Execute {
     * failure mode becomes an error row (→ DLQ). */
   def executeOne(task: Task, objectRoot: String, workRoot: String): ExecutionResult = {
     val t0 = System.nanoTime()
-    def result(exit: Int, err: String, files: Long) = ExecutionResult(
+    var bytesIn = 0L
+    def result(exit: Int, err: String, files: Long, bytesUp: Long = 0L) = ExecutionResult(
       task.task_hash, task.input.url, task.output.url, task.hooks,
-      exit, err, files, (System.nanoTime() - t0) / 1000000L)
+      exit, err, files, bytesIn, bytesUp, (System.nanoTime() - t0) / 1000000L)
 
     val ws = Paths.get(workRoot).resolve(task.task_hash)
     val inDir = ws.resolve("input")
     val outDir = ws.resolve("output")
     try {
-      // T8/X1 guards first: unknown hook or executor → DLQ
-      if (!knownHooks.contains(task.hooks))
+      // T8/X1 guards first: unknown hook or executor → DLQ. (Plain
+      // `return` only — a return inside a lambda/by-name arg would
+      // throw NonLocalReturnControl into the catch-all below.)
+      val hooksOpt = Hooks.resolve(task.hooks)
+      if (hooksOpt.isEmpty)
         return result(-1, s"unknown hooks '${task.hooks}'", 0)
+      val hooks = hooksOpt.get
       if (task.strategy.executor != "process")
         return result(-1, s"unknown executor '${task.strategy.executor}'", 0)
       val cmd = task.strategy.config.get("cmd")
@@ -130,8 +139,10 @@ object Execute {
       // X7 workspace (fresh per attempt — wipe any stale retry leftovers)
       deleteRecursively(ws)
       Seq(inDir, outDir, ws.resolve("internal")).foreach(Files.createDirectories(_))
+      val hookCtx = Hooks.Ctx(task, inDir, outDir, ws.resolve("internal"))
 
       // S5 download (skip phony inputs)
+      hooks.preDownload(hookCtx)
       if (!task.input.phony) {
         if (task.input.scheme != "file")
           return result(-1, s"unsupported input scheme '${task.input.scheme}'", 0)
@@ -144,9 +155,11 @@ object Execute {
           return result(-1, s"insufficient workspace capacity", 0)
         Files.copy(src, inDir.resolve(src.getFileName.toString),
           StandardCopyOption.REPLACE_EXISTING)
+        bytesIn += Files.size(src) // A3 download counter (util.go:8-52)
       }
 
       // X2 external process with timeout + kill
+      hooks.preExecute(hookCtx)
       val pb = new ProcessBuilder("/bin/sh", "-c", cmd.get)
       val env = pb.environment()
       env.put("TASK_INPUT_DIR", inDir.toString)
@@ -170,9 +183,10 @@ object Execute {
         return result(exit, s"process exited $exit", 0)
 
       // K1–K3/K5/K7 upload: delete-first sync to the deterministic target
+      hooks.preUpload(hookCtx)
       val target = localObjectPath(objectRoot, task.output.url)
       deleteRecursively(target)
-      val uploaded = copyTree(outDir, target)
+      val (uploaded, bytesUp) = copyTree(outDir, target)
 
       // K4 metadata sink: metadata*.json → <metadata>/<task_hash>/<name>
       val metaFiles = Files.list(outDir)
@@ -186,8 +200,9 @@ object Execute {
           Files.copy(p, mt, StandardCopyOption.REPLACE_EXISTING)
         }
       metaFiles.close()
+      hooks.postUpload(hookCtx)
 
-      result(0, null, uploaded)
+      result(0, null, uploaded, bytesUp)
     } catch {
       case e: Throwable => result(-1, s"${e.getClass.getSimpleName}: ${e.getMessage}", 0)
     } finally {
@@ -210,12 +225,19 @@ object Execute {
       .mapPartitions(_.map(t => executeOne(t, objectRoot, workRoot)))
       .toDF()
       .persist()
-    results.count() // force execution exactly once
+    // A3 — byte-transfer totals ride the forcing action as observe()
+    // metrics (pkg/util/util.go:8-52's counters, without a second pass).
+    val a3 = new org.apache.spark.sql.Observation("a3_transfer")
+    results.observe(a3, sum("bytes_in").as("bytes_in"),
+      sum("bytes_up").as("bytes_up"), count(lit(1)).as("n_tasks"))
+      .count() // force execution exactly once
+    System.err.println(s"[execute] A3 transfer totals: ${a3.get}")
 
     val ok = results.filter(col("error").isNull)
     val failed = results.filter(col("error").isNotNull)
 
-    val doneRows = queue.join(ok.select("task_hash", "exit_code", "elapsed_ms", "output_files"),
+    val doneRows = queue.join(
+      ok.select("task_hash", "exit_code", "elapsed_ms", "output_files", "bytes_in", "bytes_up"),
       Seq("task_hash"))
     val dlqRows = queue.join(failed.select("task_hash", "error", "exit_code"), Seq("task_hash"))
     Store.append(doneRows, store.taskDone)

@@ -15,7 +15,8 @@ object Registry {
       graft.queries.DedupQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
-      graft.queries.StreamQueries.queries
+      graft.queries.StreamQueries.queries ++
+      graft.queries.ExecOps.queries
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }

@@ -140,7 +140,8 @@ object StreamingJobs {
         val ok = results.filter(col("error").isNull)
         val failed = results.filter(col("error").isNotNull)
         Store.append(
-          batch.join(ok.select("task_hash", "exit_code", "elapsed_ms", "output_files"),
+          batch.join(
+          ok.select("task_hash", "exit_code", "elapsed_ms", "output_files", "bytes_in", "bytes_up"),
             Seq("task_hash")),
           store.taskDone)
         Store.append(

@@ -1,0 +1,40 @@
+package graft
+
+import graft.ingest.FixtureTree
+import graft.store.Store
+
+import java.nio.file.Files
+
+/** S7 — the CLI drives the whole pipeline end-to-end with the same
+  * subcommand grammar a reference user would expect. */
+class CliSpec extends SparkSpec {
+
+  test("ingest → plan → execute → execute-stream resume, all via the CLI") {
+    FixtureTree.ensure()
+    val root = s"/tmp/graft_test_state/cli_${System.nanoTime()}"
+    val store = Store(root)
+    val obj = Files.createTempDirectory("graft_cli_obj").toString
+
+    assert(Cli.run(spark, Array("ingest", FixtureTree.root, "ext/mov", "4", root))
+      == """{"cmd":"ingest","resources":4}""")
+    assert(Cli.run(spark, Array("plan", root))
+      == """{"cmd":"plan","tasks":8}""")
+    assert(Cli.run(spark, Array("execute", root, obj))
+      == """{"cmd":"execute","done":8,"failed":0}""")
+    // queue drained; a fresh streaming worker over the same store sees
+    // nothing new (idempotent resume path)
+    val out = Cli.run(spark, Array("execute-stream", root, obj))
+    assert(out == """{"cmd":"execute-stream","continuous":false,"task_done":8}""")
+    assert(spark.read.parquet(store.taskDone).count() == 8)
+  }
+
+  test("query subcommand runs a declared query; unknown name is rejected") {
+    val out = Cli.run(spark, Array("query", "q6_top_orders", sf("sf0.001")))
+    assert(out == """{"cmd":"query","name":"q6_top_orders","rows":25}""")
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, Array("query", "no_such", sf("sf0.001")))
+    }
+    intercept[IllegalArgumentException] { Cli.run(spark, Array("bogus")) }
+    assert(Cli.run(spark, Array("list-queries")).contains("\"q1_pricing_summary\""))
+  }
+}

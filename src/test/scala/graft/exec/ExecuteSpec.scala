@@ -105,6 +105,41 @@ class ExecuteSpec extends SparkSpec {
     listed.close()
   }
 
+  test("T8 hooks fire in stage order around the external process") {
+    FixtureTree.ensure()
+    val (obj, work) = freshDirs()
+    // the command snapshots hooks.log mid-run: only the two pre-process
+    // stages can have fired by then
+    val t = mkTask(s"file://${FixtureTree.root}/video/b.mov",
+      """cp "$(dirname "$TASK_INPUT_DIR")/internal/hooks.log" "$TASK_OUTPUT_DIR/"""")
+    val r = Execute.executeOne(t, obj, work)
+    assert(r.error == null)
+    val log = Paths.get(obj).resolve(s"mirror/${t.output.key}hooks.log")
+    assert(new String(Files.readAllBytes(log)) == "pre_download:mov\npre_execute:mov\n")
+  }
+
+  test("T8 hooks interface: all four edges, in order") {
+    val dir = Files.createTempDirectory("graft_hooks")
+    val ctx = Hooks.Ctx(mkTask("file:///x", "true"), dir, dir, dir)
+    val h = Hooks.resolve("mp4").get
+    h.preDownload(ctx); h.preExecute(ctx); h.preUpload(ctx); h.postUpload(ctx)
+    val log = new String(Files.readAllBytes(dir.resolve("hooks.log")))
+    assert(log == "pre_download:mp4\npre_execute:mp4\npre_upload:mp4\npost_upload:mp4\n")
+    assert(Hooks.resolve("nope").isEmpty) // unknown tag → caller DLQs
+  }
+
+  test("A3 byte counters: bytes_in = input size, bytes_up = synced output bytes") {
+    FixtureTree.ensure()
+    val (obj, work) = freshDirs()
+    val t = mkTask(s"file://${FixtureTree.root}/video/deep/d.mov", // 16 bytes
+      """cp -r "$TASK_INPUT_DIR/." "$TASK_OUTPUT_DIR/" &&
+        |printf 'MPD:%s\n' "$TASK_HASH" > "$TASK_OUTPUT_DIR/manifest.mpd"""".stripMargin)
+    val r = Execute.executeOne(t, obj, work)
+    assert(r.error == null)
+    assert(r.bytes_in == 16)
+    assert(r.bytes_up == 16 + 69) // copied input + "MPD:"+64-hex+"\n"
+  }
+
   test("e2e ingest→plan→execute: done/dlq/queue bookkeeping (T5, K6)") {
     FixtureTree.ensure()
     val store = Store("/tmp/graft_test_state/exec_e2e")
