@@ -141,7 +141,10 @@ object Execute {
       Seq(inDir, outDir, ws.resolve("internal")).foreach(Files.createDirectories(_))
       val hookCtx = Hooks.Ctx(task, inDir, outDir, ws.resolve("internal"))
 
-      // S5 download (skip phony inputs)
+      // S5/S6 download (skip phony inputs). An input URL ending in "/"
+      // is a prefix (F5): its depth-1 objects are downloaded into the
+      // input dir — matching DownloadPrefix, which supports depth 1
+      // only (pkg/aws/s3.go:164-205, deeper returns "not implemented").
       hooks.preDownload(hookCtx)
       if (!task.input.phony) {
         if (task.input.scheme != "file")
@@ -149,13 +152,26 @@ object Execute {
         val src = Paths.get(task.input.url.stripPrefix("file://"))
         if (!Files.exists(src))
           return result(-1, s"input not found: ${task.input.url}", 0)
+        val isPrefix = task.input.url.endsWith("/")
+        val srcFiles =
+          if (!isPrefix) Seq(src)
+          else {
+            val ls = Files.list(src)
+            import scala.jdk.CollectionConverters._
+            val fs = ls.iterator().asScala.filter(Files.isRegularFile(_)).toVector
+            ls.close()
+            fs
+          }
         // X6 capacity check (loader.go:133-146): input × 2 must fit
-        val free = ws.toFile.getUsableSpace
-        if (Files.size(src) * 2 > free)
+        val inputBytes = srcFiles.map(Files.size(_)).sum
+        if (inputBytes * 2 > ws.toFile.getUsableSpace)
           return result(-1, s"insufficient workspace capacity", 0)
-        Files.copy(src, inDir.resolve(src.getFileName.toString),
-          StandardCopyOption.REPLACE_EXISTING)
-        bytesIn += Files.size(src) // A3 download counter (util.go:8-52)
+        srcFiles.foreach { f =>
+          Files.copy(f, inDir.resolve(f.getFileName.toString),
+            StandardCopyOption.REPLACE_EXISTING)
+          ()
+        }
+        bytesIn += inputBytes // A3 download counter (util.go:8-52)
       }
 
       // X2 external process with timeout + kill
@@ -182,11 +198,35 @@ object Execute {
       if (exit != 0)
         return result(exit, s"process exited $exit", 0)
 
-      // K1–K3/K5/K7 upload: delete-first sync to the deterministic target
+      // K1–K3/K5/K7 upload — the reference's 4-case (prefix|object) ×
+      // (dir|file) dispatch (loader.go:199-286), delete-first:
+      //  dir → prefix: tree sync (case 1);
+      //  single file → object: exact-key upload (case 2);
+      //  single file → prefix: keep filename under prefix (case 3, same
+      //    as tree sync of a 1-file dir);
+      //  multi-file dir → object: unimplemented tar archival in the
+      //    reference (loader.go:275-283) — here an explicit DLQ error.
       hooks.preUpload(hookCtx)
       val target = localObjectPath(objectRoot, task.output.url)
+      val outIsPrefix = task.output.url.endsWith("/")
+      val outFiles = {
+        val ls = Files.list(outDir)
+        import scala.jdk.CollectionConverters._
+        val fs = ls.iterator().asScala.toVector
+        ls.close()
+        fs
+      }
+      if (!outIsPrefix && outFiles.size != 1)
+        return result(-1,
+          s"dir->object upload needs archival (unimplemented in reference); ${outFiles.size} outputs", 0)
       deleteRecursively(target)
-      val (uploaded, bytesUp) = copyTree(outDir, target)
+      val (uploaded, bytesUp) =
+        if (outIsPrefix) copyTree(outDir, target)
+        else {
+          Files.createDirectories(target.getParent)
+          Files.copy(outFiles.head, target, StandardCopyOption.REPLACE_EXISTING)
+          (1L, Files.size(outFiles.head))
+        }
 
       // K4 metadata sink: metadata*.json → <metadata>/<task_hash>/<name>
       val metaFiles = Files.list(outDir)

@@ -392,5 +392,31 @@ object Relational {
         .withColumn("aq", avg(col("l_quantity")).over(w))
         .filter(col("l_quantity") > lit(1.5) * col("aq"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    },
+
+    // ── Skew-safe cumulative aggregation (q8's scale-path variant) ──────
+    // q8's per-row window partitions by l_suppkey: with few suppliers and
+    // billions of lines, one partition = one giant sorted task. The
+    // pre-aggregated form below computes per-(supplier, month) partial
+    // sums FIRST (a partial+final hash agg — fully parallel), then runs
+    // the cumulative window over supplier×month — cardinality |suppliers|
+    // × |months|, thousands of times smaller than lineitem and bounded
+    // regardless of data volume. This is the coarse-grained prefix-sum
+    // pattern a 100 TB cumulative report actually uses.
+    Q(
+      "q24_running_qty_bucketed",
+      """SELECT l_suppkey, month,
+        |  sum(month_qty) OVER (PARTITION BY l_suppkey ORDER BY month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM (SELECT l_suppkey, strftime(l_shipdate, '%Y-%m') AS month,
+        |        sum(l_quantity) AS month_qty
+        |      FROM lineitem GROUP BY 1, 2)""".stripMargin) { (s, dir) =>
+      val monthly = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"), date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+        .agg(sum(col("l_quantity")).as("month_qty"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("month"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      monthly.select(col("l_suppkey"), col("month"),
+        sum(col("month_qty")).over(w).as("running_qty"))
     })
 }

@@ -140,6 +140,45 @@ class ExecuteSpec extends SparkSpec {
     assert(r.bytes_up == 16 + 69) // copied input + "MPD:"+64-hex+"\n"
   }
 
+  test("S6 prefix input: depth-1 objects under the prefix land in the input dir") {
+    FixtureTree.ensure()
+    val (obj, work) = freshDirs()
+    val t = mkTask(s"file://${FixtureTree.root}/video/",
+      """ls "$TASK_INPUT_DIR" | sort | tr '\n' ',' > "$TASK_OUTPUT_DIR/listing.txt"""")
+    val r = Execute.executeOne(t, obj, work)
+    assert(r.error == null)
+    val listing = Paths.get(obj).resolve(s"mirror/${t.output.key}listing.txt")
+    // depth 1 only: deep/ not descended (s3.go:164-205 semantics)
+    assert(new String(Files.readAllBytes(listing)) == "a.MOV,b.mov,c.mp4,noext,")
+    assert(r.bytes_in == 11 + 11 + 11 + 11) // the four depth-1 files
+  }
+
+  test("K3 dispatch: file→object exact-key upload; multi-file→object is a DLQ error") {
+    FixtureTree.ensure()
+    val (obj, work) = freshDirs()
+    // single output + object (non-/) URL → exact key
+    val single = {
+      val base = mkTask(s"file://${FixtureTree.root}/video/b.mov",
+        """printf 'X' > "$TASK_OUTPUT_DIR/artifact.bin"""")
+      val outUrl = "s3://mirror/exact/artifact.bin"
+      base.copy(
+        output = base.output.copy(url = outUrl, key = "exact/artifact.bin"),
+        task_hash = graft.core.Hashing.taskHashStr(base.input.url, outUrl))
+    }
+    assert(Execute.executeOne(single, obj, work).error == null)
+    assert(Files.exists(Paths.get(obj).resolve("mirror/exact/artifact.bin")))
+    // two outputs + object URL → the reference's unimplemented tar case
+    val multi = {
+      val base = mkTask(s"file://${FixtureTree.root}/video/b.mov",
+        """printf 'X' > "$TASK_OUTPUT_DIR/a"; printf 'Y' > "$TASK_OUTPUT_DIR/b"""")
+      val outUrl = "s3://mirror/exact/one.bin"
+      base.copy(
+        output = base.output.copy(url = outUrl, key = "exact/one.bin"),
+        task_hash = graft.core.Hashing.taskHashStr(base.input.url, outUrl))
+    }
+    assert(Execute.executeOne(multi, obj, work).error.contains("archival"))
+  }
+
   test("e2e ingest→plan→execute: done/dlq/queue bookkeeping (T5, K6)") {
     FixtureTree.ensure()
     val store = Store("/tmp/graft_test_state/exec_e2e")
