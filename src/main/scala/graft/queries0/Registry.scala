@@ -16,7 +16,8 @@ object Registry {
       graft.queries.SimilarityQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
       graft.queries.StreamQueries.queries ++
-      graft.queries.ExecOps.queries
+      graft.queries.ExecOps.queries ++
+      graft.queries.FormatQueries.queries
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }
