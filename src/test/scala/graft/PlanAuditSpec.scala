@@ -1,0 +1,71 @@
+package graft
+
+/** Plan hygiene across the declared query surface (the brief's
+  * ".explain and iterate" discipline, pinned as tests):
+  *
+  *  - No CartesianProduct anywhere. The only unconditioned joins in the
+  *    engine (brute-force ANN, IVF cell assignment) must plan as
+  *    BroadcastNestedLoopJoin with the bounded side broadcast.
+  *  - Filters on the flagship scans reach the parquet reader
+  *    (PushedFilters), so a 100 TB scan prunes at the source.
+  *  - No per-row Scala UDFs in any plan — everything is builtin
+  *    expressions (codegen) or explicit mapPartitions stages.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Pure queries only: the pipeline_/a3_/a4_/d1_/s1_/stream_ entries
+    * execute real jobs (ingest/exec/streaming) while BUILDING their
+    * result frame, and the memory-sink streaming results have no
+    * interesting batch plan. */
+  private def pureQueries: Seq[Q] = SparkEntry.allQueries.filter { q =>
+    val n = q.name
+    !(n.startsWith("pipeline_") || n.startsWith("a3_") || n.startsWith("a4_") ||
+      n.startsWith("d1_") || n.startsWith("s1_") || n.startsWith("stream_") ||
+      n.startsWith("multimodal_binary") || n.startsWith("format_") ||
+      n.startsWith("f1_") || n.startsWith("f5_") || n.startsWith("a2_"))
+  }
+
+  test("no CartesianProduct in any declared query plan") {
+    val offenders = pureQueries.flatMap { q =>
+      val plan = q.fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian plans: ${offenders.mkString(", ")}")
+  }
+
+  test("no Scala UDFs anywhere in the declared plans") {
+    val offenders = pureQueries.flatMap { q =>
+      val plan = q.fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+      if (plan.contains("UDF(")) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"UDF plans: ${offenders.mkString(", ")}")
+  }
+
+  /** AQE wraps plans in AdaptiveSparkPlanExec until first execution —
+    * run the frame, then read the final plan tree. */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+    df.collect() // a write would spawn a separate execution and leave THIS plan unfinalized
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1 filter is pushed to the parquet scan") {
+    val plan = finalPlan("q1_pricing_summary")
+    assert(plan.contains("PushedFilters: [") && plan.contains("LessThanOrEqual(l_shipdate"),
+      s"no shipdate pushdown:\n$plan")
+  }
+
+  test("brute-force ANN plans broadcast nested-loop, never shuffle-cartesian") {
+    val plan = SparkEntry.queries("ann_bruteforce_topk")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("whole-stage codegen covers the relational flagships") {
+    for (name <- Seq("q1_pricing_summary", "q3_revenue_by_nation", "q24_running_qty_bucketed")) {
+      // codegen'd spans print as "*(n) Operator" in the simple plan string
+      assert(finalPlan(name).contains("*("), s"$name fell out of codegen")
+    }
+  }
+}
