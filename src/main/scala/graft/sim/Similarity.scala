@@ -1,6 +1,7 @@
 package graft.sim
 
 import graft.core.Hashing
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -36,8 +37,18 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Reference (interpreted) form — kept for the equivalence spec;
+    * the operators below use the codegen'd native expression. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Codegen'd cosine (graft.functions.CosineSimilarity), registered
+    * idempotently on the frame's session. Bit-identical to `cosine`
+    * (both accumulate left-to-right in f64). */
+  private def nativeCosine(df: DataFrame)(a: Column, b: Column): Column = {
+    GraftFunctions.register(df.sparkSession)
+    GraftFunctions.cosine(a, b)
+  }
 
   /** Exact top-k: per query row, rank the whole corpus by cosine.
     * `queries`/`corpus` must expose (idCol, vecCol); ids must not clash
@@ -46,7 +57,8 @@ object Similarity {
     val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("ce"))
     val scored = broadcast(q).crossJoin(c)
-      .select(col("query_id"), col("vec_id"), cosine(col("qe"), col("ce")).as("score"))
+      .select(col("query_id"), col("vec_id"),
+        nativeCosine(corpus)(col("qe"), col("ce")).as("score"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "score")
@@ -62,15 +74,16 @@ object Similarity {
     val emb = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
     val cent = emb.filter(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("cid"), col("e").as("ce"))
+    val sim = nativeCosine(corpus) _
     val bySim = row_number().over(
-      Window.partitionBy("vec_id").orderBy(cosine(col("e"), col("ce")).desc, col("cid")))
+      Window.partitionBy("vec_id").orderBy(sim(col("e"), col("ce")).desc, col("cid")))
     val assign = emb.crossJoin(broadcast(cent))
       .withColumn("rn", bySim).filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"))
     val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
     val probes = q.crossJoin(broadcast(cent))
       .withColumn("rn", row_number().over(
-        Window.partitionBy("qid").orderBy(cosine(col("qe"), col("ce")).desc, col("cid"))))
+        Window.partitionBy("qid").orderBy(sim(col("qe"), col("ce")).desc, col("cid"))))
       .filter(col("rn") <= nProbe)
       .select(col("qid"), col("cid"))
     val candidates = probes.join(assign, "cid").select(col("qid"), col("vec_id"))
@@ -78,7 +91,7 @@ object Similarity {
       .join(q, "qid")
       .join(emb, "vec_id")
       .select(col("qid").as("query_id"), col("vec_id"),
-        cosine(col("qe"), col("e")).as("score"))
+        sim(col("qe"), col("e")).as("score"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "score")
@@ -124,7 +137,8 @@ object Similarity {
       .select(col("query_id"), col("qe"), col("vec_id"), col("ce"))
       .dropDuplicates("query_id", "vec_id")
     val scored = candidates
-      .select(col("query_id"), col("vec_id"), cosine(col("qe"), col("ce")).as("score"))
+      .select(col("query_id"), col("vec_id"),
+        nativeCosine(corpus)(col("qe"), col("ce")).as("score"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "score")
@@ -141,7 +155,7 @@ object Similarity {
     b.as("a").join(b.as("b"),
         col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        cosine(col("a.e"), col("b.e")).as("cos"))
+        nativeCosine(corpus)(col("a.e"), col("b.e")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }
