@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** Event-time analytics over `events` beyond the streaming queries:
+  * sessionization, sliding (hopping) windows, and JSON-props
+  * extraction. All batch DataFrame plans, value-checked against DuckDB
+  * (gaps-and-islands SQL, two-bucket hop expansion, json_extract).
+  */
+object EventQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  val queries: Seq[Q] = Seq(
+
+    // ── Sessionization: 30-minute inactivity gap per user ──────────────
+    // Gaps-and-islands on both sides (deterministic tie-break by
+    // event_id). EventSpec separately proves the built-in
+    // session_window() assigns identical session counts.
+    Q(
+      "events_sessionize",
+      """WITH d AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS session_id FROM d)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end, sum(value) AS total_value
+        |FROM s GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gap = 30 * 60 // seconds
+      events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > gap, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          sum(col("value")).as("total_value"))
+    },
+
+    // ── Sliding (hopping) window: 1 h windows every 30 min ─────────────
+    // Spark's window(ts, 1h, 30m) generator vs DuckDB's explicit
+    // two-bucket expansion — every event lands in exactly two hops.
+    Q(
+      "events_sliding_window",
+      """SELECT w.ws AS window_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events, sum(value) AS total_value
+        |FROM events,
+        |  LATERAL (SELECT unnest([
+        |    time_bucket(INTERVAL 30 MINUTE, ts),
+        |    time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws) w
+        |WHERE ts >= w.ws AND ts < w.ws + INTERVAL 1 HOUR
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n_events"), col("total_value"))
+    },
+
+    // ── JSON props extraction: from_json into typed columns ────────────
+    Q(
+      "events_props_json",
+      """SELECT event_type,
+        |  CAST(sum(json_extract(props, '$.k')::INT) AS BIGINT) AS k_sum,
+        |  CAST(max(json_extract(props, '$.k')::INT) AS BIGINT) AS k_max,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      val schema = StructType(Seq(StructField("k", IntegerType)))
+      events(s, dir)
+        .withColumn("p", from_json(col("props"), schema))
+        .groupBy("event_type")
+        .agg(sum(col("p.k")).cast("long").as("k_sum"),
+          max(col("p.k")).cast("long").as("k_max"),
+          count(lit(1)).as("n"))
+    })
+}

@@ -17,7 +17,8 @@ object Registry {
       graft.queries.MultimodalQueries.queries ++
       graft.queries.StreamQueries.queries ++
       graft.queries.ExecOps.queries ++
-      graft.queries.FormatQueries.queries
+      graft.queries.FormatQueries.queries ++
+      graft.queries.EventQueries.queries
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }

@@ -102,6 +102,39 @@ object StreamingJobs {
       .agg(count(lit(1)).as("n_unique"))
   }
 
+  /** The plan (tasker) job as a streaming query over the resource_index
+    * table — the reference's 30 s poll loop (T1, cmd/tasker.go:85-98)
+    * as a file-source stream: each Ingest append becomes a micro-batch,
+    * fanned out through the template registry and anti-joined against
+    * task_done/task_queue inside foreachBatch (D3 — the dedup the
+    * reference intended but commented out, tasker/service.go:104-112).
+    * A failed batch retries from the checkpoint and the anti-joins make
+    * the retry idempotent (T2). */
+  def planStream(spark: SparkSession, store: Store, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val resourceStream = spark.readStream
+      .schema(graft.ingest.Ingest.resourceSchema)
+      .parquet(store.resourceIndex)
+    resourceStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val tasks = graft.plan.Templates.fanOut(batch).dropDuplicates("task_hash")
+        def hashOnly(path: String) = Store.readOrEmpty(spark, path,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("task_hash",
+              org.apache.spark.sql.types.StringType)))).select("task_hash")
+        val fresh = tasks
+          .join(hashOnly(store.taskDone), Seq("task_hash"), "left_anti")
+          .join(hashOnly(store.taskQueue), Seq("task_hash"), "left_anti")
+          .select(tasks.columns.map(col): _*)
+        Store.append(fresh, store.taskQueue)
+        ()
+      }
+      .start()
+  }
+
   /** The execute job as a streaming query over the task_queue table
     * (S2 queue source semantics): new parquet files appended by Plan are
     * discovered by the file source, executed per micro-batch, results

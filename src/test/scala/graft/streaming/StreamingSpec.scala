@@ -45,6 +45,22 @@ class StreamingSpec extends SparkSpec {
     assert(done.select("task_hash").distinct().count() == 8)
   }
 
+  test("T1 tasker-as-stream: planStream fans out only newly ingested resources") {
+    FixtureTree.ensure()
+    val store = freshStore("planstream")
+    val ckpt = Files.createTempDirectory("graft_ckpt_p").toString
+
+    Ingest.run(spark, FixtureTree.root, "ext/mov", 2, store) // 2 resources
+    StreamingJobs.planStream(spark, store, ckpt).awaitTermination()
+    assert(spark.read.parquet(store.taskQueue).count() == 4) // 2 × (mov+thumb)
+
+    Ingest.run(spark, FixtureTree.root, "ext/mov", 4, store) // +2 resources
+    StreamingJobs.planStream(spark, store, ckpt).awaitTermination()
+    val queue = spark.read.parquet(store.taskQueue)
+    assert(queue.count() == 8)
+    assert(queue.select("task_hash").distinct().count() == 8) // no re-fan-out
+  }
+
   test("T2 retry: a failing micro-batch reprocesses idempotently on restart") {
     FixtureTree.ensure()
     val store = freshStore("retry")
