@@ -18,7 +18,8 @@ object Registry {
       graft.queries.StreamQueries.queries ++
       graft.queries.ExecOps.queries ++
       graft.queries.FormatQueries.queries ++
-      graft.queries.EventQueries.queries
+      graft.queries.EventQueries.queries ++
+      graft.queries.CurationQueries.queries
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }
