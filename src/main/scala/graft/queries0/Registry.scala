@@ -19,7 +19,8 @@ object Registry {
       graft.queries.ExecOps.queries ++
       graft.queries.FormatQueries.queries ++
       graft.queries.EventQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.MetadataQueries.queries
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }
