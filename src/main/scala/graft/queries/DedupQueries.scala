@@ -120,6 +120,41 @@ object DedupQueries {
           Dedup.hamming(col("a.simhash"), col("b.simhash")).as("hamming_to_mutant"))
     },
 
+    // ── SimHash-blocked near-dup: sketch prefix as the blocking key ────
+    // The scale pattern the 32-bit sketch exists for: block on the
+    // first 12 sketch bits (a one-token edit rarely flips the prefix),
+    // verify hamming within blocks only. Planted mutants whose prefix
+    // survives are found without any all-pairs compare; the oracle
+    // recomputes the identical blocked join.
+    Q(
+      "dedup_simhash_blocked",
+      s"""WITH corpus AS (
+         |  $nearDupCorpusSql),
+         |sk AS (SELECT doc_id,
+         |  array_to_string(list_transform(range(0, 32), i ->
+         |    CASE WHEN list_sum(list_transform(str_split(text, ' '), t ->
+         |      CASE WHEN ((instr('0123456789abcdef', substring(md5(t), 1 + i // 4, 1)) - 1)
+         |                 >> (3 - i % 4)) & 1 = 1
+         |      THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END), '') AS simhash
+         |  FROM corpus)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_filter(range(1, 33), i ->
+         |    substring(a.simhash, i, 1) <> substring(b.simhash, i, 1))) AS BIGINT) AS hamming
+         |FROM sk a JOIN sk b
+         |  ON substring(a.simhash, 1, 12) = substring(b.simhash, 1, 12)
+         | AND a.doc_id < b.doc_id
+         |WHERE len(list_filter(range(1, 33), i ->
+         |    substring(a.simhash, i, 1) <> substring(b.simhash, i, 1))) <= 6""".stripMargin) { (s, dir) =>
+      val sk = nearDupCorpus(s, dir)
+        .select(col("doc_id"), Dedup.simhash("text").as("simhash"))
+      sk.as("a").join(sk.as("b"),
+          substring(col("a.simhash"), 1, 12) === substring(col("b.simhash"), 1, 12) &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          Dedup.hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+        .filter(col("hamming") <= 6)
+    },
+
     // ── n-gram Jaccard as a direct pairwise measure (trigram shingles) ─
     // Deterministic candidate pairing (adjacent doc_ids) verifies the
     // scalar operator itself, independent of LSH recall.

@@ -73,6 +73,15 @@ object EventQueries {
           col("n_events"), col("total_value"))
     },
 
+    // ── D4 at scale: HLL approximate distinct (sketch, mergeable) ──────
+    // Not oracle-bound (HLL estimates are engine-specific); EventSpec
+    // pins the relative error against the exact count.
+    Q.rowsOnly("events_approx_distinct") { (s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count(lit(1)).as("n"))
+    },
+
     // ── JSON props extraction: from_json into typed columns ────────────
     Q(
       "events_props_json",

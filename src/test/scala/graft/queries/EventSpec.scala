@@ -22,6 +22,20 @@ class EventSpec extends SparkSpec {
     assert(islands.exceptAll(builtin).count() == 0)
     assert(builtin.exceptAll(islands).count() == 0)
   }
+
+  test("approx_count_distinct within its rsd bound of the exact count (D4 scale path)") {
+    val dir = sf("sf0.001")
+    val approx = SparkEntryHelpers.run("events_approx_distinct", spark, dir)
+      .select("event_type", "approx_users")
+    val exact = Tables.load(spark, dir, "events").groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    val joined = approx.join(exact, "event_type").collect()
+    joined.foreach { r =>
+      val a = r.getAs[Long]("approx_users").toDouble
+      val e = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(a - e) / e < 0.1, s"${r.getString(0)}: approx $a vs exact $e")
+    }
+  }
 }
 
 private object SparkEntryHelpers {
