@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Temporal-join operators over `events`: as-of join (union-window
+  * implementation vs DuckDB's native ASOF JOIN as the oracle), a
+  * key-bounded range join, and exact interpolated percentiles.
+  */
+object JoinQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  val queries: Seq[Q] = Seq(
+
+    // ── As-of join: each event enriched with the latest prior purchase ─
+    // Right side deduped to one row per (user, ts) so the as-of match
+    // is uniquely defined on both engines.
+    Q(
+      "events_asof_join",
+      """WITH p AS (SELECT user_id, ts AS pts, max(value) AS pval
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, p.pts AS last_purchase_ts,
+        |       p.pval AS last_purchase_value
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts >= p.pts""".stripMargin) { (s, dir) =>
+      val e = events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("pts"))
+        .agg(max("value").as("pval"))
+        .select(col("user_id"), col("pts"), col("pval"))
+      AsOfJoin.asOf(
+        e.select("event_id", "user_id", "ts"), purchases,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "pts",
+        rightPayload = Seq("pts", "pval"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("pts").as("last_purchase_ts"), col("pval").as("last_purchase_value"))
+    },
+
+    // ── Range join bounded by the equi key: events within 1 h of signup ─
+    // The range predicate rides a user_id equi join (sort-merge on the
+    // key, filter within) — never an unbounded interval cross join.
+    Q(
+      "events_range_join",
+      """SELECT s.event_id AS signup_id, e.event_id,
+        |  CAST(date_diff('second', s.ts, e.ts) AS BIGINT) AS secs_after_signup
+        |FROM events s JOIN events e
+        |  ON e.user_id = s.user_id
+        | AND s.event_type = 'signup' AND e.event_type <> 'signup'
+        | AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 1 HOUR""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("sts"))
+      val others = ev.filter(col("event_type") =!= "signup")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      signups.join(others,
+          others("user_id") === signups("user_id") &&
+            col("ts") > col("sts") &&
+            col("ts") <= col("sts") + expr("INTERVAL 1 HOUR"))
+        .select(col("signup_id"), col("event_id"),
+          (col("ts").cast("long") - col("sts").cast("long")).as("secs_after_signup"))
+    },
+
+    // ── Exact interpolated percentiles (quantile_cont ≡ percentile) ────
+    Q(
+      "events_percentiles",
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95,
+        |  quantile_cont(value, 0.99) AS p99
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"),
+          expr("percentile(value, 0.99)").as("p99"))
+    })
+}

@@ -20,7 +20,8 @@ object Registry {
       graft.queries.FormatQueries.queries ++
       graft.queries.EventQueries.queries ++
       graft.queries.CurationQueries.queries ++
-      graft.queries.MetadataQueries.queries
+      graft.queries.MetadataQueries.queries ++
+      graft.queries.JoinQueries.queries
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }
