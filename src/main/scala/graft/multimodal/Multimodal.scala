@@ -88,6 +88,21 @@ object Multimodal {
         sha2(concat(col("content_hash"), lit(":"), col("frame_idx").cast("string")), 256)
           .as("frame_hash"))
 
+  /** Resize (stub): recompute target dimensions to fit `maxDim`
+    * preserving aspect ratio — the metadata half of a real resize; the
+    * pixel half would run in the same decodeBatch seam. Pure integer
+    * math (floor scaling) so the oracle re-derives it. */
+  def resizeMeta(metaDf: DataFrame, maxDim: Int = 256): DataFrame = {
+    val w = col("meta.width")
+    val h = col("meta.height")
+    val longest = greatest(w, h)
+    val needs = longest > maxDim
+    val outW = when(needs, floor(w * lit(maxDim) / longest)).otherwise(w).cast("int")
+    val outH = when(needs, floor(h * lit(maxDim) / longest)).otherwise(h).cast("int")
+    metaDf.select(col("doc_id"), w.as("width"), h.as("height"),
+      outW.as("resized_width"), outH.as("resized_height"))
+  }
+
   /** Binary scan of an object tree (S5/S6's Spark shape): the
     * binaryFile datasource — content + length + path, executor-side
     * reads, no driver materialization. */

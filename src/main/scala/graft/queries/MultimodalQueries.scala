@@ -49,6 +49,22 @@ object MultimodalQueries {
       Multimodal.sampleFrames(Multimodal.withMetadata(mediaDocs(s, dir)))
     },
 
+    // ── Resize: aspect-preserving dimension scaling (metadata half) ────
+    Q(
+      "multimodal_resize",
+      s"""WITH m AS (SELECT doc_id,
+         |  320 + 16 * ${hexValSql("substring(sha256(text), 1, 1)")} AS width,
+         |  240 + 16 * ${hexValSql("substring(sha256(text), 2, 1)")} AS height
+         |  FROM documents)
+         |SELECT doc_id, width, height,
+         |  CAST(CASE WHEN greatest(width, height) > 256
+         |       THEN floor(width * 256.0 / greatest(width, height)) ELSE width END AS INT) AS resized_width,
+         |  CAST(CASE WHEN greatest(width, height) > 256
+         |       THEN floor(height * 256.0 / greatest(width, height)) ELSE height END AS INT) AS resized_height
+         |FROM m""".stripMargin) { (s, dir) =>
+      Multimodal.resizeMeta(Multimodal.withMetadata(mediaDocs(s, dir)), maxDim = 256)
+    },
+
     // ── Binary scan: binaryFile source over the fixture object tree ────
     Q(
       "multimodal_binary_scan",
