@@ -39,6 +39,15 @@ object StreamQueries {
       StreamingJobs.dedupedEventCounts(s, dir)
     },
 
+    // ── Arbitrary stateful streaming: flatMapGroupsWithState totals ────
+    Q(
+      "stream_stateful_totals",
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  sum(value) AS total_value
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      StreamingJobs.statefulUserTotals(s, dir)
+    },
+
     // ── Batch execute job e2e: ingest → plan → execute, constant counts ─
     // 4 .mov resources × (mov+thumb) = 8 tasks, all succeed with the
     // stub commands; queue drains; re-plan after completion adds 0 (D3).

@@ -102,6 +102,38 @@ object StreamingJobs {
       .agg(count(lit(1)).as("n_unique"))
   }
 
+  /** Custom streaming state via flatMapGroupsWithState (the T8-adjacent
+    * "arbitrary stateful" surface): a per-user running aggregate
+    * carried in GroupState across micro-batches. Each batch emits the
+    * user's updated running totals; the LAST emission per user (highest
+    * n) is the final aggregate, which the batch oracle recomputes. */
+  final case class UserAgg(n: Long, total: Double)
+
+  def statefulUserTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val stream = tableStream(spark, sfDir, "events")
+      .select(col("user_id"), col("value")).as[(Long, Double)]
+    val emitted = stream.groupByKey(_._1)
+      .flatMapGroupsWithState[UserAgg, (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { r => n += 1; total += r._2 }
+          state.update(UserAgg(n, total))
+          Iterator((user, n, total))
+      }
+      .toDF("user_id", "n_events", "total_value")
+    val sunk = runToMemory(emitted, "stream_stateful_sink", OutputMode.Append())
+    // last emission per user = max n (strictly increasing across batches)
+    sunk.groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("total_value"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.total_value").as("total_value"))
+  }
+
   /** The plan (tasker) job as a streaming query over the resource_index
     * table — the reference's 30 s poll loop (T1, cmd/tasker.go:85-98)
     * as a file-source stream: each Ingest append becomes a micro-batch,
