@@ -48,7 +48,13 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // The round-1 bench set, as its own subtotal: "value" grew because the
+    // LLM-operator headliners were ADDED to the bench — like-for-like
+    // comparison against BENCH_r01 uses this field, not the new total.
+    val r1Set = Set("q1_pricing_summary", "q2_forecast_revenue",
+      "q3_revenue_by_nation", "q7_top_customers_per_nation", "q21_brand_supplier_volume")
+    val r1Total = results.filter(r => r._3 && r1Set(r._1)).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"r1_subset_total":$r1Total,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
