@@ -45,9 +45,15 @@ object StreamingJobs {
     val staged = new org.apache.hadoop.fs.Path(stage)
     val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(staged)) {
+      // write-then-rename so a crashed half-write can never satisfy the
+      // exists() check on a later run
+      val tmp = new org.apache.hadoop.fs.Path(stage + "__staging")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
       graft.Tables.load(spark, sfDir, table)
         .repartition(parts)
-        .write.mode("overwrite").parquet(stage)
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.rename(tmp, staged) && !fs.exists(staged))
+        throw new IllegalStateException(s"stream stage rename failed: $stage")
     }
     val schema = spark.read.parquet(stage).schema
     spark.readStream.schema(schema)
