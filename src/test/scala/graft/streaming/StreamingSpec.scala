@@ -89,6 +89,31 @@ class StreamingSpec extends SparkSpec {
     assert(done.select("task_hash").distinct().count() == 8)
   }
 
+  test("T1/T7: live ProcessingTime trigger drains the queue; stop() is graceful") {
+    FixtureTree.ensure()
+    val store = freshStore("live")
+    val obj = Files.createTempDirectory("graft_obj_live").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_live").toString
+    Ingest.run(spark, FixtureTree.root, "ext/mov", 2, store)
+    Plan.run(spark, store) // 4 tasks
+
+    val q = StreamingJobs.executeStream(spark, store, obj, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def done(): Long =
+        try spark.read.parquet(store.taskDone).count() catch { case _: Throwable => 0L }
+      while (done() < 4 && System.nanoTime() < deadline) Thread.sleep(250)
+      assert(done() == 4, "live trigger did not process the batch in time")
+    } finally {
+      q.stop() // T7: graceful stop at a batch boundary
+    }
+    assert(!q.isActive)
+    // the checkpoint survives the stop: a later run resumes with nothing to do
+    StreamingJobs.executeStream(spark, store, obj, ckpt).awaitTermination()
+    assert(spark.read.parquet(store.taskDone).count() == 4)
+  }
+
   test("watermark lateness: a small delay budget on out-of-order input drops late rows") {
     val withBudget = StreamingJobs.dedupedEventCounts(spark, sf("sf0.001"))
       .agg(sum("n_unique")).head().getLong(0)
