@@ -27,6 +27,7 @@ object Cli {
       |  execute [storeDir] [objectRoot] [batchSize]        drain task_queue (batch)
       |  execute-stream [storeDir] [objectRoot] [ckptDir] [--continuous]
       |                                                     streaming worker; --continuous = 30 s trigger
+      |  stats [storeDir]                                   index/queue/done/dlq counts (A1/A4)
       |  query <name> <sfDir>                               run a declared query, print row count
       |  list-queries                                       all declared query names""".stripMargin
 
@@ -67,6 +68,16 @@ object Cli {
       hook.remove()
       val done = try spark.read.parquet(store.taskDone).count() catch { case _: Throwable => 0L }
       s"""{"cmd":"execute-stream","continuous":$continuous,"task_done":$done}"""
+
+    case "stats" :: rest =>
+      // A1/A4 — the operational counters (the reference's SCARD /
+      // ApproximateNumberOfMessages inspections, README.md:112-116)
+      val store = Store(rest.headOption.getOrElse(defaultStore))
+      def n(path: String): Long =
+        try spark.read.parquet(path).count() catch { case _: Throwable => 0L }
+      s"""{"cmd":"stats","resource_index":${n(store.resourceIndex)},""" +
+        s""""task_queue":${n(store.taskQueue)},"task_done":${n(store.taskDone)},""" +
+        s""""dlq":${n(store.dlq)}}"""
 
     case "query" :: name :: sfDir :: Nil =>
       SparkEntry.queries.get(name) match {

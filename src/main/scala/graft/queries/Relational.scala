@@ -169,15 +169,20 @@ object Relational {
     // ── Running-total window (cumulative frame) ─────────────────────────
     // l_quantity is integral-valued, so the running double sum is exact on
     // both engines regardless of DuckDB's segment-tree evaluation.
+    // ORDER BY must be a TOTAL order: sf0.1 contains duplicate
+    // (suppkey, shipdate, orderkey, linenumber) rows with different
+    // quantities, and a ROWS cumulative over an ambiguous order is
+    // engine-dependent — quantity/extendedprice complete the tie-break.
     Q(
       "q8_running_quantity",
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "lineitem")
         .select(

@@ -26,6 +26,8 @@ class CliSpec extends SparkSpec {
     val out = Cli.run(spark, Array("execute-stream", root, obj))
     assert(out == """{"cmd":"execute-stream","continuous":false,"task_done":8}""")
     assert(spark.read.parquet(store.taskDone).count() == 8)
+    assert(Cli.run(spark, Array("stats", root))
+      == """{"cmd":"stats","resource_index":4,"task_queue":0,"task_done":8,"dlq":0}""")
   }
 
   test("query subcommand runs a declared query; unknown name is rejected") {
