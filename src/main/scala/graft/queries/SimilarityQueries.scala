@@ -42,7 +42,7 @@ object SimilarityQueries {
     Q(
       "ann_ivf_topk",
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 10),
         |assign AS (
         |  SELECT vec_id, cid FROM (
         |    SELECT e.vec_id, cent.cid,
@@ -69,7 +69,7 @@ object SimilarityQueries {
         |FROM scored WHERE rank <= 10""".stripMargin) { (s, dir) =>
       val e = emb(s, dir)
       Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, k = 10,
-        centroidEvery = 50, nProbe = 3)
+        numCentroids = 10, nProbe = 3)
     },
 
     // ── Embedding near-dup: sign-block + cosine threshold ──────────────

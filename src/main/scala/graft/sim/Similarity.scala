@@ -64,15 +64,20 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "score")
   }
 
-  /** IVF top-k. Centroids = the deterministic `vec_id % centroidEvery
-    * == 0` subset (a stand-in for k-means — the index structure, not
-    * the training, is what's under test). Each corpus vector is
-    * assigned to its nearest centroid; each query probes the `nProbe`
-    * nearest cells and ranks only their members. */
+  /** IVF top-k. Centroids = the FIRST `numCentroids` vectors by id (a
+    * stand-in for k-means — the index structure, not the training, is
+    * what's under test). The centroid count is FIXED, not a fraction of
+    * the corpus: the centroid set is broadcast, and a corpus-
+    * proportional selection (e.g. every 50th vector) would grow
+    * unboundedly with data volume and break the broadcast at scale —
+    * real IVF indexes likewise pick k by memory/recall budget, not
+    * corpus size. Each corpus vector is assigned to its nearest
+    * centroid; each query probes the `nProbe` nearest cells and ranks
+    * only their members. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      centroidEvery: Int = 50, nProbe: Int = 3): DataFrame = {
+      numCentroids: Int = 10, nProbe: Int = 3): DataFrame = {
     val emb = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-    val cent = emb.filter(col("vec_id") % centroidEvery === 0)
+    val cent = emb.filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cid"), col("e").as("ce"))
     val sim = nativeCosine(corpus) _
     val bySim = row_number().over(
@@ -146,7 +151,10 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: block on the sign-bit string of
     * the first `blockDims` coordinates (identical vectors always
-    * collide), verify cosine within blocks. Never all-pairs. */
+    * collide), verify cosine within blocks. Never all-pairs.
+    * Scale: expected block size ≈ N / 2^blockDims for centered data —
+    * size blockDims ≈ log2(N) − 8 so blocks stay O(hundreds) as the
+    * corpus grows (16 bits ≈ right for ~10M rows; 100 TB wants ~30). */
   def nearDupPairs(corpus: DataFrame, threshold: Double, blockDims: Int = 16): DataFrame = {
     val e = asDouble(col("embedding"))
     val block = array_join(

@@ -38,8 +38,8 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("IVF top-k: per-query rows bounded by k; probing fewer cells shrinks candidates") {
-    val r3 = Similarity.ivfTopK(queries, e, k = 10, centroidEvery = 50, nProbe = 3)
-    val r1 = Similarity.ivfTopK(queries, e, k = 10, centroidEvery = 50, nProbe = 1)
+    val r3 = Similarity.ivfTopK(queries, e, k = 10, numCentroids = 10, nProbe = 3)
+    val r1 = Similarity.ivfTopK(queries, e, k = 10, numCentroids = 10, nProbe = 1)
     val n3 = r3.groupBy("query_id").count().agg(max("count")).head().getLong(0)
     assert(n3 <= 10)
     assert(r1.count() <= r3.count(), "nProbe=1 must not see more candidates than nProbe=3")
