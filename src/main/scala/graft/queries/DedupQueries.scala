@@ -114,22 +114,24 @@ object DedupQueries {
         .unionAll(docs(s, dir).filter(col("doc_id") < 50)
           .select((col("doc_id") + 100000).as("doc_id"),
             concat(col("text"), lit(" xtra")).as("text")))
-      val sk = corpus.select(col("doc_id"), Dedup.simhash("text").as("simhash"))
+      val sk = Dedup.simhashAgg(corpus, "doc_id", "text")
       sk.as("a").join(sk.as("b"), col("b.doc_id") === col("a.doc_id") + 100000)
         .select(col("a.doc_id").as("doc_id"), col("a.simhash").as("simhash"),
           Dedup.hamming(col("a.simhash"), col("b.simhash")).as("hamming_to_mutant"))
     },
 
     // ── SimHash-blocked near-dup: sketch prefix as the blocking key ────
-    // The scale pattern the 32-bit sketch exists for: block on the
-    // first 12 sketch bits (a one-token edit rarely flips the prefix),
-    // verify hamming within blocks only. Planted mutants whose prefix
-    // survives are found without any all-pairs compare; the oracle
-    // recomputes the identical blocked join.
+    // Block on the first 12 sketch bits (a one-token edit rarely flips
+    // the prefix), verify hamming within blocks only. Corpus bounded to
+    // 500 docs: on THIS low-entropy corpus simhash prefixes cluster
+    // (shared vocabulary dominates the bit votes), so prefix blocks
+    // grow super-linearly with corpus size — the MinHash-LSH path with
+    // its bucket cap is the near-dup operator that scales; this query
+    // demonstrates the sketch-blocking semantics at bounded cost.
     Q(
       "dedup_simhash_blocked",
       s"""WITH corpus AS (
-         |  $nearDupCorpusSql),
+         |  SELECT doc_id, text FROM ($nearDupCorpusSql) WHERE doc_id < 500 OR doc_id >= 100000),
          |sk AS (SELECT doc_id,
          |  array_to_string(list_transform(range(0, 32), i ->
          |    CASE WHEN list_sum(list_transform(str_split(text, ' '), t ->
@@ -145,8 +147,9 @@ object DedupQueries {
          | AND a.doc_id < b.doc_id
          |WHERE len(list_filter(range(1, 33), i ->
          |    substring(a.simhash, i, 1) <> substring(b.simhash, i, 1))) <= 6""".stripMargin) { (s, dir) =>
-      val sk = nearDupCorpus(s, dir)
-        .select(col("doc_id"), Dedup.simhash("text").as("simhash"))
+      val sk = Dedup.simhashAgg(
+        nearDupCorpus(s, dir).filter(col("doc_id") < 500 || col("doc_id") >= 100000),
+        "doc_id", "text")
       sk.as("a").join(sk.as("b"),
           substring(col("a.simhash"), 1, 12) === substring(col("b.simhash"), 1, 12) &&
             col("a.doc_id") < col("b.doc_id"))

@@ -38,7 +38,12 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash: deterministic, 32 bits, and a one-token edit flips few bits") {
-    val sk = planted.select(col("doc_id"), Dedup.simhash("text").as("h"))
+    val sk = Dedup.simhashAgg(planted, "doc_id", "text").withColumnRenamed("simhash", "h")
+    // the codegen'd aggregate form must equal the HOF column expression
+    val viaExpr = planted.limit(20).select(col("doc_id"), Dedup.simhash("text").as("h"))
+    val agree = viaExpr.join(sk.withColumnRenamed("h", "h2"), "doc_id")
+      .filter(col("h") =!= col("h2")).count()
+    assert(agree == 0, "simhashAgg diverges from the simhash expression")
     assert(sk.filter(length(col("h")) =!= 32).count() == 0)
     val ham = sk.as("a")
       .join(sk.as("b"), col("b.doc_id") === col("a.doc_id") + 100000)
