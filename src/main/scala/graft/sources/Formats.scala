@@ -26,4 +26,31 @@ object Formats {
 
   val csvOptions: Map[String, String] =
     Map("header" -> "true", "quote" -> "\"", "escape" -> "\"")
+
+  /** PERMISSIVE read with quarantine routing (SURVEY §2.1 S4's
+    * corrupt-record mapping, K6's quarantine applied to sources): rows
+    * that fail to parse land in `_corrupt_record` instead of killing
+    * the job; the caller gets (good, quarantined) frames and appends
+    * the latter to a dlq table. At scale this is the difference between
+    * one bad line failing a 100 TB load and a bounded quarantine audit.
+    */
+  def readWithQuarantine(spark: SparkSession, format: String,
+      schema: StructType, path: String,
+      options: Map[String, String] = Map.empty): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val withCorrupt = StructType(schema.fields :+
+      StructField("_corrupt_record", StringType))
+    val raw = spark.read.format(format)
+      .options(options)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .load(path)
+      .cache() // required: corrupt-record queries must not prune the raw columns
+    val good = raw.filter(raw("_corrupt_record").isNull)
+      .select(schema.fieldNames.map(raw(_)): _*)
+    val bad = raw.filter(raw("_corrupt_record").isNotNull)
+      .select(raw("_corrupt_record").as("corrupt_record"))
+    (good, bad)
+  }
 }
