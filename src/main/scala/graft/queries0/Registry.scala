@@ -21,7 +21,8 @@ object Registry {
       graft.queries.EventQueries.queries ++
       graft.queries.CurationQueries.queries ++
       graft.queries.MetadataQueries.queries ++
-      graft.queries.JoinQueries.queries
+      graft.queries.JoinQueries.queries ++
+      graft.queries.SqlPassthrough.queries
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }
