@@ -189,12 +189,25 @@ object Execute {
       pb.redirectErrorStream(true)
       pb.redirectOutput(ws.resolve("internal/process.log").toFile)
       val proc = pb.start()
+      // SIGKILL path (executor_docker.go:83-88). The whole process TREE
+      // dies, not just /bin/sh: a compound command's children (ffmpeg
+      // et al.) would otherwise outlive the timeout, burn CPU, and hold
+      // deleted-workspace inodes open. The reap wait is bounded so an
+      // uninterruptible-sleep zombie can't hang the Spark task.
+      def killTree(): Unit = {
+        import scala.jdk.CollectionConverters._
+        proc.descendants().iterator().asScala.foreach { h => h.destroyForcibly(); () }
+        proc.destroyForcibly()
+        proc.waitFor(10, TimeUnit.SECONDS)
+        ()
+      }
       val finished = proc.waitFor(task.timeout_s, TimeUnit.SECONDS)
       if (!finished) {
-        proc.destroyForcibly().waitFor() // SIGKILL path (executor_docker.go:83-88)
+        killTree()
         return result(-1, s"timeout after ${task.timeout_s}s", 0)
       }
       val exit = proc.exitValue()
+      killTree() // reap any daemonized leftovers even on normal exit
       if (exit != 0)
         return result(exit, s"process exited $exit", 0)
 
@@ -207,7 +220,15 @@ object Execute {
       //  multi-file dir → object: unimplemented tar archival in the
       //    reference (loader.go:275-283) — here an explicit DLQ error.
       hooks.preUpload(hookCtx)
+      // Queue rows are untrusted input (unknown executor/hook/command
+      // already DLQ): a '..' in the output URL must not let the
+      // delete-first step reach outside the object root.
+      val rootNorm = Paths.get(objectRoot).toAbsolutePath.normalize
+      def escapesRoot(p: Path): Boolean =
+        !p.toAbsolutePath.normalize.startsWith(rootNorm)
       val target = localObjectPath(objectRoot, task.output.url)
+      if (escapesRoot(target))
+        return result(-1, s"output path escapes object root: ${task.output.url}", 0)
       val outIsPrefix = task.output.url.endsWith("/")
       val outFiles = {
         val ls = Files.list(outDir)
@@ -216,7 +237,10 @@ object Execute {
         ls.close()
         fs
       }
-      if (!outIsPrefix && outFiles.size != 1)
+      // object (non-/) targets take exactly one REGULAR file — a lone
+      // directory entry would "upload" as an empty dir and silently
+      // drop its contents (the reference's unimplemented tar case).
+      if (!outIsPrefix && (outFiles.size != 1 || !Files.isRegularFile(outFiles.head)))
         return result(-1,
           s"dir->object upload needs archival (unimplemented in reference); ${outFiles.size} outputs", 0)
       deleteRecursively(target)
@@ -229,13 +253,15 @@ object Execute {
         }
 
       // K4 metadata sink: metadata*.json → <metadata>/<task_hash>/<name>
+      val metaRoot = localObjectPath(objectRoot, task.metadata.url)
+      if (escapesRoot(metaRoot))
+        return result(-1, s"metadata path escapes object root: ${task.metadata.url}", 0)
       val metaFiles = Files.list(outDir)
       import scala.jdk.CollectionConverters._
       metaFiles.iterator().asScala
         .filter(p => p.getFileName.toString.matches("metadata.*\\.json"))
         .foreach { p =>
-          val mt = localObjectPath(objectRoot, task.metadata.url)
-            .resolve(task.task_hash).resolve(p.getFileName.toString)
+          val mt = metaRoot.resolve(task.task_hash).resolve(p.getFileName.toString)
           Files.createDirectories(mt.getParent)
           Files.copy(p, mt, StandardCopyOption.REPLACE_EXISTING)
         }
@@ -246,8 +272,38 @@ object Execute {
     } catch {
       case e: Throwable => result(-1, s"${e.getClass.getSimpleName}: ${e.getMessage}", 0)
     } finally {
-      deleteRecursively(ws) // X7 cleanup, always (task.go:264-266)
+      // X7 cleanup, always (task.go:264-266) — but never throw out of
+      // the never-throws contract (an unreadable dir the command
+      // chmod'ed would otherwise fail the whole Spark partition)
+      try deleteRecursively(ws) catch { case _: Throwable => () }
     }
+  }
+
+  /** Run a typed task batch through executeOne, with the workspace root
+    * isolated PER TASK ATTEMPT: under speculative execution or retry,
+    * two attempts of the same task on one node must not wipe each
+    * other's live workspaces (the wipe-on-start at the top of
+    * executeOne is per-attempt, the uploads stay idempotent). */
+  def executeBatch(batch: org.apache.spark.sql.Dataset[Task], objectRoot: String): DataFrame = {
+    val workBase = System.getProperty("java.io.tmpdir") + "/graft_exec"
+    batch.mapPartitions { it =>
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId().toString).getOrElse("local")
+      it.map(t => executeOne(t, objectRoot, s"$workBase/att_$attempt"))
+    }(Encoders.product[ExecutionResult]).toDF()
+  }
+
+  /** Route execution results: successes → task_done, failures → dlq —
+    * the ONE place the done/dlq row shapes are defined (shared by the
+    * batch drain below and StreamingJobs.executeStream). */
+  def routeResults(source: DataFrame, results: DataFrame, store: Store): Unit = {
+    val ok = results.filter(col("error").isNull)
+    val failed = results.filter(col("error").isNotNull)
+    Store.append(source.join(
+      ok.select("task_hash", "exit_code", "elapsed_ms", "output_files", "bytes_in", "bytes_up"),
+      Seq("task_hash")), store.taskDone)
+    Store.append(source.join(
+      failed.select("task_hash", "error", "exit_code"), Seq("task_hash")), store.dlq)
   }
 
   /** Drain up to `batchSize` tasks from task_queue: execute, route
@@ -255,37 +311,44 @@ object Execute {
     * queued. Returns (done, failed). */
   def run(spark: SparkSession, store: Store, objectRoot: String,
       batchSize: Int = Int.MaxValue): (Long, Long) = {
-    import spark.implicits._
     val taskSchema = Encoders.product[Task].schema
     val queue = Store.readOrEmpty(spark, store.taskQueue, taskSchema)
-    val batch = (if (batchSize == Int.MaxValue) queue else queue.limit(batchSize)).as[Task]
-
-    val workRoot = System.getProperty("java.io.tmpdir") + "/graft_exec"
-    val results = batch
-      .mapPartitions(_.map(t => executeOne(t, objectRoot, workRoot)))
-      .toDF()
+    // K7/T2 idempotence: a crash between the done-append and the queue
+    // swap leaves completed hashes in the queue — never re-execute them
+    // (the streaming path anti-joins identically).
+    val doneHashes = Store.readOrEmpty(spark, store.taskDone, taskSchema)
+      .select("task_hash")
+    val pending = queue.join(doneHashes, Seq("task_hash"), "left_anti")
+    val batchDf =
+      if (batchSize == Int.MaxValue) pending
+      else // limit() collapses to one partition — re-spread for T3 parallelism
+        pending.limit(batchSize)
+          .repartition(math.min(spark.sparkContext.defaultParallelism, 32))
+    val results = executeBatch(batchDf.as[Task](Encoders.product[Task]), objectRoot)
       .persist()
-    // A3 — byte-transfer totals ride the forcing action as observe()
-    // metrics (pkg/util/util.go:8-52's counters, without a second pass).
-    val a3 = new org.apache.spark.sql.Observation("a3_transfer")
-    results.observe(a3, sum("bytes_in").as("bytes_in"),
-      sum("bytes_up").as("bytes_up"), count(lit(1)).as("n_tasks"))
+
+    // A3 — byte totals AND the ok/failed counts ride the one forcing
+    // action as observe() metrics: no extra jobs, and no re-derivation
+    // from `results` after the queue files below are swapped away.
+    val m = new org.apache.spark.sql.Observation("exec_metrics")
+    results.observe(m,
+      sum("bytes_in").as("bytes_in"), sum("bytes_up").as("bytes_up"),
+      count(lit(1)).as("n_tasks"),
+      sum(when(col("error").isNull, 1L).otherwise(0L)).as("n_ok"))
       .count() // force execution exactly once
-    System.err.println(s"[execute] A3 transfer totals: ${a3.get}")
+    val metrics = m.get
+    def metric(k: String): Long =
+      Option(metrics(k)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val (nTasks, nOk) = (metric("n_tasks"), metric("n_ok"))
+    System.err.println(s"[execute] A3 transfer totals: $metrics")
 
-    val ok = results.filter(col("error").isNull)
-    val failed = results.filter(col("error").isNotNull)
+    routeResults(queue, results, store)
 
-    val doneRows = queue.join(
-      ok.select("task_hash", "exit_code", "elapsed_ms", "output_files", "bytes_in", "bytes_up"),
-      Seq("task_hash"))
-    val dlqRows = queue.join(failed.select("task_hash", "error", "exit_code"), Seq("task_hash"))
-    Store.append(doneRows, store.taskDone)
-    Store.append(dlqRows, store.dlq)
-
-    // consume the queue: remaining = queue ∖ processed (written fresh,
-    // then swapped in — single-writer table semantics, SURVEY §7.5)
-    val remaining = queue.join(results.select("task_hash"), Seq("task_hash"), "left_anti")
+    // consume the queue: remaining = queue ∖ (executed ∪ already-done)
+    // (written fresh, then swapped in — single-writer table semantics,
+    // SURVEY §7.5)
+    val remaining = queue
+      .join(results.select("task_hash").unionAll(doneHashes), Seq("task_hash"), "left_anti")
       .select(queue.columns.map(col): _*)
     val tmp = store.taskQueue + "__next"
     Store.delete(spark, tmp)
@@ -293,10 +356,13 @@ object Execute {
     Store.delete(spark, store.taskQueue)
     val fs = new org.apache.hadoop.fs.Path(tmp)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(store.taskQueue))
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(store.taskQueue)) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(store.taskQueue)))
+      throw new IllegalStateException(
+        s"task_queue swap rename failed; remaining tasks are at $tmp")
 
-    val counts = (ok.count(), failed.count())
     results.unpersist()
-    counts
+    (nOk, nTasks - nOk)
   }
 }

@@ -193,31 +193,18 @@ object StreamingJobs {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(store.taskQueue)
 
-    val workRoot = System.getProperty("java.io.tmpdir") + "/graft_exec_stream"
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         failInjector(batch) // test hook: T2 batch-failure → retry path
-        import batch.sparkSession.implicits._
         val doneHashes = Store.readOrEmpty(batch.sparkSession, store.taskDone, taskSchema)
           .select("task_hash")
-        val todo = batch.join(doneHashes, Seq("task_hash"), "left_anti").as[Task]
-        val results = todo
-          .mapPartitions(_.map(t => Execute.executeOne(t, objectRoot, workRoot)))
-          .toDF()
-          .persist()
+        val todo = batch.join(doneHashes, Seq("task_hash"), "left_anti")
+          .as[Task](Encoders.product[Task])
+        val results = Execute.executeBatch(todo, objectRoot).persist()
         results.count()
-        val ok = results.filter(col("error").isNull)
-        val failed = results.filter(col("error").isNotNull)
-        Store.append(
-          batch.join(
-          ok.select("task_hash", "exit_code", "elapsed_ms", "output_files", "bytes_in", "bytes_up"),
-            Seq("task_hash")),
-          store.taskDone)
-        Store.append(
-          batch.join(failed.select("task_hash", "error", "exit_code"), Seq("task_hash")),
-          store.dlq)
+        Execute.routeResults(batch, results, store)
         results.unpersist()
         ()
       }

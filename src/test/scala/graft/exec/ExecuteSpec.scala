@@ -179,6 +179,73 @@ class ExecuteSpec extends SparkSpec {
     assert(Execute.executeOne(multi, obj, work).error.contains("archival"))
   }
 
+  test("path traversal in output/metadata URLs is rejected to the DLQ") {
+    FixtureTree.ensure()
+    val (obj, work) = freshDirs()
+    val outside = Files.createTempDirectory("graft_outside")
+    Files.write(outside.resolve("precious.txt"), "keep".getBytes("UTF-8"))
+    val base = mkTask(s"file://${FixtureTree.root}/video/b.mov", "true")
+    val evil = base.copy(output = base.output.copy(
+      url = s"s3://mirror/../../..$outside/", key = s"../../..$outside/"))
+    val r = Execute.executeOne(evil, obj, work)
+    assert(r.error.contains("escapes object root"))
+    assert(Files.exists(outside.resolve("precious.txt")), "outside tree was touched")
+  }
+
+  test("single-directory output to an object URL is the archival error, not silent loss") {
+    FixtureTree.ensure()
+    val (obj, work) = freshDirs()
+    val base = mkTask(s"file://${FixtureTree.root}/video/b.mov",
+      """mkdir "$TASK_OUTPUT_DIR/dash" && printf seg > "$TASK_OUTPUT_DIR/dash/seg1.m4s"""")
+    val t = base.copy(
+      output = base.output.copy(url = "s3://mirror/exact/one.bin", key = "exact/one.bin"),
+      task_hash = Hashing.taskHashStr(base.input.url, "s3://mirror/exact/one.bin"))
+    assert(Execute.executeOne(t, obj, work).error.contains("archival"))
+  }
+
+  test("timeout kills the whole process tree, not just the shell") {
+    val (obj, work) = freshDirs()
+    val marker = s"graft_orphan_${System.nanoTime()}"
+    val t = mkTask("file:///x", s"sleep 300 && echo $marker & wait", timeoutS = 1).copy(
+      input = Resource("file:///x", "file", "b", "x", 0L, phony = true, "h"))
+    val r = Execute.executeOne(t, obj, work)
+    assert(r.error.contains("timeout"))
+    Thread.sleep(500)
+    // [g] bracket: the probe's own cmdline contains the marker text and
+    // would otherwise match itself
+    val survivors = new ProcessBuilder("/bin/sh", "-c",
+      s"pgrep -f '[g]raft_orphan_${marker.stripPrefix("graft_orphan_")}' | wc -l")
+      .start()
+    survivors.waitFor()
+    val n = new String(survivors.getInputStream.readAllBytes()).trim.toInt
+    assert(n == 0, s"$n orphaned grandchildren survived the kill")
+  }
+
+  test("crash between done-append and queue swap does not re-execute (batch anti-join)") {
+    FixtureTree.ensure()
+    val store = Store("/tmp/graft_test_state/exec_crash")
+    Seq(store.resourceIndex, store.taskQueue, store.taskDone, store.dlq)
+      .foreach(Store.delete(spark, _))
+    val (obj, _) = freshDirs()
+    Ingest.run(spark, FixtureTree.root, "ext/mov", 4, store)
+    Plan.run(spark, store) // 8 tasks
+    val (done1, _) = Execute.run(spark, store, obj)
+    assert(done1 == 8)
+    // simulate the crash: done rows exist but the queue was never
+    // swapped — re-plan the same tasks back into the queue
+    Store.delete(spark, store.taskQueue)
+    Plan.run(spark, store) // anti-joins task_done → adds 0, queue stays empty
+    // but even with completed hashes forced into the queue...
+    spark.read.parquet(store.taskDone)
+      .select("input", "output", "metadata", "hooks", "strategy",
+        "timeout_s", "version", "task_hash")
+      .write.mode("append").parquet(store.taskQueue)
+    val (done2, failed2) = Execute.run(spark, store, obj)
+    assert((done2, failed2) == (0L, 0L), "completed tasks were re-executed")
+    assert(spark.read.parquet(store.taskDone).count() == 8, "task_done duplicated")
+    assert(spark.read.parquet(store.taskQueue).count() == 0, "queue not drained of done hashes")
+  }
+
   test("e2e ingest→plan→execute: done/dlq/queue bookkeeping (T5, K6)") {
     FixtureTree.ensure()
     val store = Store("/tmp/graft_test_state/exec_e2e")
