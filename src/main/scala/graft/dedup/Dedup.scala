@@ -32,9 +32,14 @@ object Dedup {
     * stays inside codegen. */
   def wordShingles(text: Column, n: Int = 2): Column = {
     val w = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(0), size(w) - n),
-      i => concat_ws(" ", (0 until n).map(j => get(w, i + j)): _*)))
+    // guard: sequence(0, negative) would run DESCENDING and fabricate
+    // partial shingles for docs shorter than n tokens — such docs have
+    // no n-grams (matching explodedShingles and the oracle's range())
+    when(size(w) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(j => get(w, i + j)): _*))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Distinct word n-gram shingles as ROWS (doc_id, s): posexplode the
@@ -109,10 +114,16 @@ object Dedup {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.6, numHashes: Int = 12, bands: Int = 4,
       maxBucketSize: Int = 64): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0 && numHashes / bands >= 1,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands) — " +
+        "integer division would silently drop signature hashes or empty every band")
     // Shingles as rows, computed ONCE and persisted: the shingle set
     // feeds three branches (signatures, per-doc sizes, pair
     // intersections) and recomputing the lineage per branch measured
-    // ~2.5 s/pass at sf0.1. The persisted frame is one small row per
+    // ~2.5 s/pass at sf0.1. The cache is released by LRU eviction or
+    // session close (lazy results leave no safe unpersist point);
+    // long-lived sessions invoking this repeatedly should
+    // spark.catalog.clearCache() between runs. The persisted frame is one small row per
     // distinct (doc, shingle). Signature = numHashes min(md5) hash
     // aggregates — map-side partial mins, fully codegen'd; the shuffle
     // carries one tiny row per doc, never the shingle sets.

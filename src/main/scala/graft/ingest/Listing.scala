@@ -62,15 +62,21 @@ object Listing {
   def listResources(spark: SparkSession, root: String, depth: Int): DataFrame = {
     import spark.implicits._
     require(depth >= 1, "depth must be >= 1")
+    // normalize once: deeper levels carry ABSOLUTE paths (from e.url),
+    // and relativize() against a relative root would throw
+    val absRoot = java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString
 
-    var dirs: Dataset[String] = spark.createDataset(Seq(root))
+    var dirs: Dataset[String] = spark.createDataset(Seq(absRoot))
     var files: Option[Dataset[Entry]] = None
 
     for (_ <- 1 to depth) {
       // Spread this level's directories across the cluster before listing:
       // at scale one level can be millions of prefixes.
+      // persisted per level (it feeds both the files union and the next
+      // level's dirs); entries are path metadata — bytes per object —
+      // so the cache is bounded by the tree size, not the data size
       val level = dirs.repartition(spark.sparkContext.defaultParallelism.min(32))
-        .flatMap(listOneLevel(root) _)
+        .flatMap(listOneLevel(absRoot) _)
         .persist()
       val levelFiles = level.filter(!_.is_dir)
       files = Some(files.map(_.union(levelFiles)).getOrElse(levelFiles))

@@ -22,22 +22,32 @@ import org.apache.spark.sql.types._
   */
 object Plan {
 
-  private def hashOnly(spark: SparkSession, path: String): DataFrame =
+  private[graft] def hashOnly(spark: SparkSession, path: String): DataFrame =
     Store.readOrEmpty(spark, path,
       StructType(Seq(StructField("task_hash", StringType))))
       .select("task_hash")
+
+  /** The planning core shared by the batch job and the streaming tasker
+    * (StreamingJobs.planStream): fan the given resources out through
+    * the templates and drop anything already done or already queued —
+    * ONE implementation, so batch and streaming planners can never
+    * derive different task identities for the same resources. */
+  private[graft] def freshTasks(spark: SparkSession, resources: DataFrame, store: Store,
+      templates: Seq[TemplateDef], cfg: Templates.PlanConfig): DataFrame = {
+    val tasks = Templates.fanOut(resources, templates, cfg)
+      .dropDuplicates("task_hash")
+    tasks
+      .join(hashOnly(spark, store.taskDone), Seq("task_hash"), "left_anti")
+      .join(hashOnly(spark, store.taskQueue), Seq("task_hash"), "left_anti")
+      .select(tasks.columns.map(col): _*) // stable column order across appends
+  }
 
   /** Fan out un-planned resources into task_queue; returns tasks added. */
   def run(spark: SparkSession, store: Store,
       templates: Seq[TemplateDef] = Templates.registry,
       cfg: Templates.PlanConfig = Templates.PlanConfig()): Long = {
     val resources = Store.readOrEmpty(spark, store.resourceIndex, Ingest.resourceSchema)
-    val tasks = Templates.fanOut(resources, templates, cfg)
-      .dropDuplicates("task_hash")
-    val fresh = tasks
-      .join(hashOnly(spark, store.taskDone), Seq("task_hash"), "left_anti")
-      .join(hashOnly(spark, store.taskQueue), Seq("task_hash"), "left_anti")
-      .select(tasks.columns.map(col): _*) // stable column order across appends
+    val fresh = freshTasks(spark, resources, store, templates, cfg)
     // count via the written table so the number reflects what landed
     val before = hashOnly(spark, store.taskQueue).count()
     Store.append(fresh, store.taskQueue)

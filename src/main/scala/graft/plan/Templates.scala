@@ -49,9 +49,11 @@ object Templates {
       metadataPrefix: String = "meta",
       version: String = "0.2")
 
+  /** F4 applicability = the same extension semantics as the ingest
+    * filter (ONE implementation — divergence here would let a resource
+    * pass ingest but match no template, or vice versa). */
   private def extMatches(url: Column, exts: Seq[String]): Column =
-    exts.map(e => lower(url).rlike("^(.+)\\." + java.util.regex.Pattern.quote(e.toLowerCase) + "$"))
-      .reduce(_ || _)
+    graft.ingest.Filters.extPredicate(url, exts)
 
   /** P1 — mirror-URL rewrite (mov.go:28-30): output is a directory-like
     * URL `s3://<mirror_bucket>/<mirror_prefix>/<template>/<src_bucket>/

@@ -77,7 +77,10 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       numCentroids: Int = 10, nProbe: Int = 3): DataFrame = {
     val emb = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-    val cent = emb.filter(col("vec_id") < numCentroids)
+    // first numCentroids by id — orderBy+limit (TakeOrdered, bounded by
+    // numCentroids rows) so sparse or offset id spaces still yield
+    // exactly numCentroids centroids
+    val cent = emb.orderBy("vec_id").limit(numCentroids)
       .select(col("vec_id").as("cid"), col("e").as("ce"))
     val sim = nativeCosine(corpus) _
     val bySim = row_number().over(

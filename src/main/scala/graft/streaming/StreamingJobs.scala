@@ -46,9 +46,11 @@ object StreamingJobs {
     val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(staged)) {
       // write-then-rename so a crashed half-write can never satisfy the
-      // exists() check on a later run
-      val tmp = new org.apache.hadoop.fs.Path(stage + "__staging")
-      if (fs.exists(tmp)) fs.delete(tmp, true)
+      // exists() check on a later run; writer-unique tmp path so
+      // concurrent JVMs staging the same table can't publish each
+      // other's half-written copies (first rename wins)
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"${stage}__staging_${ProcessHandle.current().pid()}_${System.nanoTime()}")
       graft.Tables.load(spark, sfDir, table)
         .repartition(parts)
         .write.mode("overwrite").parquet(tmp.toString)
@@ -149,7 +151,9 @@ object StreamingJobs {
     * A failed batch retries from the checkpoint and the anti-joins make
     * the retry idempotent (T2). */
   def planStream(spark: SparkSession, store: Store, checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      templates: Seq[graft.plan.TemplateDef] = graft.plan.Templates.registry,
+      cfg: graft.plan.Templates.PlanConfig = graft.plan.Templates.PlanConfig()): StreamingQuery = {
     val resourceStream = spark.readStream
       .schema(graft.ingest.Ingest.resourceSchema)
       .parquet(store.resourceIndex)
@@ -157,17 +161,11 @@ object StreamingJobs {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val tasks = graft.plan.Templates.fanOut(batch).dropDuplicates("task_hash")
-        def hashOnly(path: String) = Store.readOrEmpty(spark, path,
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("task_hash",
-              org.apache.spark.sql.types.StringType)))).select("task_hash")
-        val fresh = tasks
-          .join(hashOnly(store.taskDone), Seq("task_hash"), "left_anti")
-          .join(hashOnly(store.taskQueue), Seq("task_hash"), "left_anti")
-          .select(tasks.columns.map(col): _*)
-        Store.append(fresh, store.taskQueue)
+        // same planning core as the batch job — identical task
+        // identities for identical resources, whichever planner runs
+        Store.append(
+          graft.plan.Plan.freshTasks(batch.sparkSession, batch, store, templates, cfg),
+          store.taskQueue)
         ()
       }
       .start()
