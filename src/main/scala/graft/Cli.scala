@@ -33,6 +33,15 @@ object Cli {
 
   private val defaultStore = "/tmp/graft_store"
 
+  /** 0 only for a genuinely-missing table; a corrupt table must FAIL,
+    * not read as empty (an operator would mistake damage for a clean
+    * drained store). */
+  private def tableCount(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(path).count() else 0L
+  }
+
   def run(spark: SparkSession, args: Array[String]): String = args.toList match {
     case "ingest" :: root :: filter :: depth :: rest =>
       val n = Ingest.run(spark, root, filter, depth.toInt,
@@ -66,15 +75,14 @@ object Cli {
       val hook = sys.addShutdownHook { if (q.isActive) q.stop() }
       q.awaitTermination()
       hook.remove()
-      val done = try spark.read.parquet(store.taskDone).count() catch { case _: Throwable => 0L }
+      val done = tableCount(spark, store.taskDone)
       s"""{"cmd":"execute-stream","continuous":$continuous,"task_done":$done}"""
 
     case "stats" :: rest =>
       // A1/A4 — the operational counters (the reference's SCARD /
       // ApproximateNumberOfMessages inspections, README.md:112-116)
       val store = Store(rest.headOption.getOrElse(defaultStore))
-      def n(path: String): Long =
-        try spark.read.parquet(path).count() catch { case _: Throwable => 0L }
+      def n(path: String): Long = tableCount(spark, path)
       s"""{"cmd":"stats","resource_index":${n(store.resourceIndex)},""" +
         s""""task_queue":${n(store.taskQueue)},"task_done":${n(store.taskDone)},""" +
         s""""dlq":${n(store.dlq)}}"""

@@ -52,9 +52,11 @@ object Hashing {
 
   // ── Scala mirrors (executor-side / tests) ─────────────────────────────
 
-  def sha256Hex(s: String): String =
+  def sha256Hex(s: String): String = sha256HexBytes(s.getBytes("UTF-8"))
+
+  def sha256HexBytes(b: Array[Byte]): String =
     java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(b).map("%02x".format(_)).mkString
 
   def urlHashStr(url: String): String = sha256Hex(url)
 
@@ -64,8 +66,19 @@ object Hashing {
   def taskHashStr(inputUrl: String, outputUrl: String): String =
     collatedHashStr(Seq(inputUrl, outputUrl))
 
-  def canonicalKvStr(m: Map[String, String]): String =
-    m.toSeq.map { case (k, v) => s"$k=$v" }.sorted.mkString("\n")
+  /** Sorted in UTF-8 unsigned-byte order — Spark's string comparison —
+    * NOT Scala's default UTF-16 code-unit order, which disagrees for
+    * supplementary-plane characters. */
+  def canonicalKvStr(m: Map[String, String]): String = {
+    val byUtf8: Ordering[String] = (a: String, b: String) => {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n && x(i) == y(i)) i += 1
+      if (i < n) (x(i) & 0xff) - (y(i) & 0xff) else x.length - y.length
+    }
+    m.toSeq.map { case (k, v) => s"$k=$v" }.sorted(byUtf8).mkString("\n")
+  }
 
   def strategyHashStr(executor: String, config: Map[String, String]): String =
     sha256Hex(s"$executor|${canonicalKvStr(config)}")

@@ -45,7 +45,7 @@ object Multimodal {
     * image/audio codec (libjpeg/ffmpeg/...) exactly here — the
     * per-partition batching is what a vectorized UDF needs either way. */
   def decodeBatch(batch: Seq[MediaIn]): Seq[MediaMeta] = batch.map { m =>
-    val h = graft.core.Hashing.sha256Hex(new String(m.content, "UTF-8"))
+    val h = graft.core.Hashing.sha256HexBytes(m.content) // raw bytes: non-UTF8 binaries must not collide
     MediaMeta(
       doc_id = m.doc_id,
       n_bytes = m.content.length.toLong,
@@ -112,6 +112,9 @@ object Multimodal {
       .option("recursiveFileLookup", "true")
       .load(rootDir)
       .select(
-        regexp_replace(col("path"), lit("^file:" + rootDir + "/"), lit("")).as("key"),
+        // substring, not regexp_replace: a root containing regex
+        // metacharacters must not corrupt (or crash) the key-stripping
+        col("path").substr(lit(s"file:$rootDir/".length + 1), length(col("path")))
+          .as("key"),
         col("length"), col("content"))
 }

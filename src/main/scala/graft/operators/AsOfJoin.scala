@@ -49,8 +49,12 @@ object AsOfJoin {
         col(rightTs).as("__ts"), lit(0).as("__side"),
         lit(null).cast(lType).as("__l"), rStruct.as("__r")): _*)
 
+    // __r as the final sort key: multiple right rows sharing (key, ts)
+    // would otherwise be ordered arbitrarily and last() would pick
+    // nondeterministically; payload-struct order makes the winner stable
+    // (the max payload at equal ts).
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     lTagged.unionByName(rTagged)

@@ -35,22 +35,26 @@ object EventQueries {
         |        ROWS UNBOUNDED PRECEDING) AS session_id FROM d)
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  CAST(count(*) AS BIGINT) AS n_events,
-        |  min(ts) AS session_start, max(ts) AS session_end, sum(value) AS total_value
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  round(sum(value), 4) AS total_value
         |FROM s GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val gap = 30 * 60 // seconds
+      // exact-µs gap compare: cast("long") would truncate to seconds and
+      // split sessions differently than the oracle's INTERVAL compare
+      // for fractional gaps at the 1800 s boundary
+      val gapMicros = 30L * 60 * 1000000
       events(s, dir)
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .withColumn("new_s",
           when(col("prev_ts").isNull ||
-            col("ts").cast("long") - col("prev_ts").cast("long") > gap, 1).otherwise(0))
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMicros, 1).otherwise(0))
         .withColumn("session_id",
           sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .cast("long"))
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_events"),
           min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
-          sum(col("value")).as("total_value"))
+          round(sum(col("value")), 4).as("total_value"))
     },
 
     // ── Sliding (hopping) window: 1 h windows every 30 min ─────────────
@@ -59,7 +63,8 @@ object EventQueries {
     Q(
       "events_sliding_window",
       """SELECT w.ws AS window_start, event_type,
-        |  CAST(count(*) AS BIGINT) AS n_events, sum(value) AS total_value
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 4) AS total_value
         |FROM events,
         |  LATERAL (SELECT unnest([
         |    time_bucket(INTERVAL 30 MINUTE, ts),
@@ -68,7 +73,7 @@ object EventQueries {
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       events(s, dir)
         .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("total_value"))
         .select(col("w.start").as("window_start"), col("event_type"),
           col("n_events"), col("total_value"))
     },

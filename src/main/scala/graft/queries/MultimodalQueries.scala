@@ -29,9 +29,9 @@ object MultimodalQueries {
       s"""SELECT doc_id,
          |  CAST(strlen(text) AS BIGINT) AS n_bytes,
          |  sha256(text) AS content_hash,
-         |  320 + 16 * ${hexValSql("substring(sha256(text), 1, 1)")} AS width,
-         |  240 + 16 * ${hexValSql("substring(sha256(text), 2, 1)")} AS height,
-         |  1 + ${hexValSql("substring(sha256(text), 3, 1)")} % 3 AS channels,
+         |  CAST(320 + 16 * ${hexValSql("substring(sha256(text), 1, 1)")} AS INTEGER) AS width,
+         |  CAST(240 + 16 * ${hexValSql("substring(sha256(text), 2, 1)")} AS INTEGER) AS height,
+         |  CAST(1 + ${hexValSql("substring(sha256(text), 3, 1)")} % 3 AS INTEGER) AS channels,
          |  CASE WHEN ${hexValSql("substring(sha256(text), 4, 1)")} < 8
          |       THEN 'rgb' ELSE 'yuv' END AS format
          |FROM documents""".stripMargin) { (s, dir) =>
@@ -53,8 +53,8 @@ object MultimodalQueries {
     Q(
       "multimodal_resize",
       s"""WITH m AS (SELECT doc_id,
-         |  320 + 16 * ${hexValSql("substring(sha256(text), 1, 1)")} AS width,
-         |  240 + 16 * ${hexValSql("substring(sha256(text), 2, 1)")} AS height
+         |  CAST(320 + 16 * ${hexValSql("substring(sha256(text), 1, 1)")} AS INTEGER) AS width,
+         |  CAST(240 + 16 * ${hexValSql("substring(sha256(text), 2, 1)")} AS INTEGER) AS height
          |  FROM documents)
          |SELECT doc_id, width, height,
          |  CAST(CASE WHEN greatest(width, height) > 256

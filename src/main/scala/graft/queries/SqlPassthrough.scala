@@ -19,7 +19,7 @@ object SqlPassthrough {
   val RegionRevenueSql: String =
     """SELECT r_name,
       |  CAST(count(*) AS BIGINT) AS n_lines,
-      |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey

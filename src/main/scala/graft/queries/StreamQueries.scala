@@ -26,9 +26,10 @@ object StreamQueries {
       "stream_window_agg",
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ts_bucket, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,
-        |  sum(value) AS total_value
+        |  round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       StreamingJobs.windowedEventCounts(s, dir)
+        .withColumn("total_value", round(col("total_value"), 4))
     }.copy(bench = true),
 
     // ── Streaming dedup within watermark: doubled stream, each once ────
@@ -43,9 +44,10 @@ object StreamQueries {
     Q(
       "stream_stateful_totals",
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-        |  sum(value) AS total_value
+        |  round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
       StreamingJobs.statefulUserTotals(s, dir)
+        .withColumn("total_value", round(col("total_value"), 4))
     },
 
     // ── Batch execute job e2e: ingest → plan → execute, constant counts ─
