@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.text.TextOps
+
+/** Shared DuckDB-oracle SQL builders — ONE rendering of each operator's
+  * oracle semantics, consumed by TextQueries, DedupQueries and the
+  * corpus_curation composite. The Spark side of these semantics lives
+  * in TextOps/Dedup; keeping a single SQL mirror per operator means a
+  * parameter change (stopword list, band count, bucket cap, threshold)
+  * can't silently desynchronize one query's oracle from another's.
+  */
+private[queries] object OracleSnippets {
+
+  /** DuckDB mirror of TextOps.memberHits. */
+  def hitsSql(members: Seq[String]): String =
+    s"len(list_filter(str_split(text, ' '), t -> t IN (${members.map("'" + _ + "'").mkString(",")})))"
+
+  /** DuckDB mirror of TextOps.qualityScore. */
+  val qualitySql: String =
+    s"""0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+       |    + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text))
+       |    + 0.3 * least(1.0, CAST(${hitsSql(TextOps.Stopwords)} AS DOUBLE)
+       |                         / len(str_split(text, ' ')) * 4.0)""".stripMargin
+
+  /** Per-language marker-score select list (s_en, s_es, ...). */
+  val langScoresSql: String = TextOps.LangMarkers.map { case (l, m) =>
+    s"CAST(${hitsSql(m)} AS DOUBLE) / len(str_split(text, ' ')) AS s_$l"
+  }.mkString(", ")
+
+  /** DuckDB mirror of TextOps.langId's argmax CASE chain. */
+  val langCaseSql: String = {
+    val langs = TextOps.LangMarkers.map(_._1)
+    val cases = langs.init.map { l =>
+      val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"CASE $cases ELSE '${langs.last}' END"
+  }
+
+  /** DuckDB mirror of Dedup.nearDupPairs over a corpus CTE named
+    * `corpus(doc_id, text)`: bigram shingles → 12-hash signature →
+    * 4×3 bands with the 64-bucket skew cap → verified Jaccard pairs.
+    * Emits the tok/sh/sig/bands/sized/cand/pairs chain; callers SELECT
+    * from `pairs` (id_a, id_b, jaccard). */
+  val minhashLshPairsCte: String =
+    """tok AS (SELECT doc_id, str_split(text, ' ') AS w FROM corpus),
+      |sh AS (SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS shingles
+      |       FROM tok),
+      |sig AS (SELECT doc_id, shingles,
+      |          list_transform(range(0, 12), i ->
+      |            list_min(list_transform(shingles, s -> md5(i || ':' || s)))) AS sig
+      |        FROM sh),
+      |bands AS (SELECT doc_id, bs.b AS band,
+      |            md5(sig[3*bs.b+1] || sig[3*bs.b+2] || sig[3*bs.b+3]) AS bh
+      |          FROM sig, (SELECT unnest(range(0, 4)) AS b) bs),
+      |sized AS (SELECT doc_id, band, bh,
+      |            count(*) OVER (PARTITION BY band, bh) AS bsz FROM bands),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM sized a JOIN sized b
+      |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+      |         WHERE a.bsz <= 64),
+      |pairs AS (SELECT id_a, id_b,
+      |            CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+      |              / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+      |          FROM cand
+      |          JOIN sh sa ON sa.doc_id = cand.id_a
+      |          JOIN sh sb ON sb.doc_id = cand.id_b)""".stripMargin
+}

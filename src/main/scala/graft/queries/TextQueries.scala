@@ -16,9 +16,7 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** DuckDB mirror of TextOps.memberHits. */
-  private def hitsSql(members: Seq[String]): String =
-    s"len(list_filter(str_split(text, ' '), t -> t IN (${members.map("'" + _ + "'").mkString(",")})))"
+  import OracleSnippets.hitsSql
 
   val queries: Seq[Q] = Seq(
 
@@ -45,10 +43,7 @@ object TextQueries {
          |    / length(text) AS punct_ratio,
          |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
          |    / len(str_split(text, ' ')) AS avg_word_len,
-         |  0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
-         |    + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text))
-         |    + 0.3 * least(1.0, CAST(${hitsSql(TextOps.Stopwords)} AS DOUBLE)
-         |                         / len(str_split(text, ' ')) * 4.0) AS quality
+         |  ${OracleSnippets.qualitySql} AS quality
          |FROM documents""".stripMargin) { (s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -60,19 +55,10 @@ object TextQueries {
 
     // ── Language-ID: marker-score argmax with deterministic tie-break ──
     Q(
-      "text_lang_id", {
-        val scoreSql = TextOps.LangMarkers.map { case (l, m) =>
-          s"CAST(${hitsSql(m)} AS DOUBLE) / len(str_split(text, ' ')) AS s_$l"
-        }.mkString(",\n  ")
-        val langs = TextOps.LangMarkers.map(_._1)
-        val caseSql = langs.init.map { l =>
-          val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
-          s"WHEN $conds THEN '$l'"
-        }.mkString("\n    ")
-        s"""SELECT doc_id, lang, s_en, s_es,
-           |  CASE $caseSql ELSE '${langs.last}' END AS pred_lang
-           |FROM (SELECT doc_id, lang, $scoreSql FROM documents)""".stripMargin
-      }) { (s, dir) =>
+      "text_lang_id",
+      s"""SELECT doc_id, lang, s_en, s_es,
+         |  ${OracleSnippets.langCaseSql} AS pred_lang
+         |FROM (SELECT doc_id, lang, ${OracleSnippets.langScoresSql} FROM documents)""".stripMargin) { (s, dir) =>
       docs(s, dir).select(
         col("doc_id"), col("lang"),
         TextOps.langScore(col("text"), TextOps.LangMarkers.head._2).as("s_en"),
