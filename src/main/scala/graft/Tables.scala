@@ -15,6 +15,10 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Every declared query flows through here — make the graft native
+    // functions (cosine, token hits, minhash bands) available on the
+    // session regardless of how it was built. Idempotent and cheap.
+    graft.functions.GraftFunctions.register(spark)
     if (name == "events") {
       // The fixture writes TIMESTAMP(NANOS), which Spark 4's parquet
       // reader rejects outright; read nanos as long and truncate to µs

@@ -117,48 +117,50 @@ object Dedup {
     require(bands >= 1 && numHashes % bands == 0 && numHashes / bands >= 1,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands) — " +
         "integer division would silently drop signature hashes or empty every band")
-    // Shingles as rows, computed ONCE and persisted: the shingle set
-    // feeds three branches (signatures, per-doc sizes, pair
-    // intersections) and recomputing the lineage per branch measured
-    // ~2.5 s/pass at sf0.1. The cache is released by LRU eviction or
-    // session close (lazy results leave no safe unpersist point);
-    // long-lived sessions invoking this repeatedly should
-    // spark.catalog.clearCache() between runs. The persisted frame is one small row per
-    // distinct (doc, shingle). Signature = numHashes min(md5) hash
-    // aggregates — map-side partial mins, fully codegen'd; the shuffle
-    // carries one tiny row per doc, never the shingle sets.
-    val tok = explodedShingles(df, idCol, textCol).persist()
-    val mhCols = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
-    val sigd = tok.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-    val sigArr = array((0 until numHashes).map(i => col(s"mh$i")): _*)
-    val exploded = sigd
-      .select(col("doc_id"),
-        posexplode(bandHashes(sigArr, bands, numHashes / bands)).as(Seq("band", "bh")))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // Shingle → sign → band in ONE per-row native kernel
+    // (graft.functions.MinHashBands): no shingle rows, no window, no
+    // distinct, no signature shuffle, no persist. The only data that
+    // ever shuffles after the kernel is (doc_id, band, band_hash) —
+    // three scalar columns. (The round-2 row-form pipeline shuffled the
+    // exploded shingle set three times and needed an unbounded persist
+    // to avoid recomputing it.)
+    //
+    // The repartition spreads the CPU-heavy kernel across all cores:
+    // a small corpus arrives as one parquet split, which would pin the
+    // digest work to one thread. It shuffles each text ONCE — strictly
+    // less data than round 2's exploded-token window shuffle — and at
+    // cluster scale, where the scan already has thousands of splits,
+    // it keys the work by doc_id so skewed input files still balance.
+    val banded = base.repartition(col("doc_id")).select(col("doc_id"),
+      posexplode(graft.functions.GraftFunctions.minhashBands(
+        col("text"), 2, numHashes, bands)).as(Seq("band", "bh")))
+    val sized = banded
       .withColumn("bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
       .filter(col("bsz") <= maxBucketSize)
       .select("doc_id", "band", "bh")
-    val cand = exploded.as("a")
-      .join(exploded.as("b"),
+    val cand = sized.as("a")
+      .join(sized.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // Verification without array intersects (interpreted): count the
-    // shared shingles of each candidate pair with two equi-joins over
-    // the shingle rows, then |∪| = |A| + |B| − |∩|.
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = cand
-      .join(tok.select(col("doc_id").as("id_a"), col("s")), "id_a")
-      .join(tok.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+    // Verification on the candidate pairs ONLY: re-attach the two texts
+    // (candidates are a tiny fraction of the corpus — AQE broadcasts
+    // them, so the corpus side never shuffles), shingle each side once
+    // per pair, and compare sets. The HOF forms are interpreted but run
+    // on candidates, not the corpus; each shingle array is materialized
+    // once via its own projection (CollapseProject keeps multi-referenced
+    // non-cheap producers separate).
+    val withTexts = cand
+      .join(base.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(base.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+        wordShingles(col("text_a")).as("sh_a"), wordShingles(col("text_b")).as("sh_b"))
+    withTexts
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -79,7 +79,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * idempotent per-session registrar for sessions built without it. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftFunctions.cosineDescriptor)
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftFunctions {
@@ -93,13 +93,38 @@ object GraftFunctions {
       CosineSimilarity(Cast(args.head, double), Cast(args(1), double))
     })
 
-  /** Idempotent registration into an existing session. */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = cosineDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-    ()
-  }
+  val tokenHitsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_token_hits"),
+    new ExpressionInfo(classOf[TokenMemberCounts].getName, "graft_token_hits"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, s"graft_token_hits expects 2 args, got ${args.length}")
+      TokenMemberCounts(args.head, args(1))
+    })
 
-  /** Column form; requires register(spark) first. */
+  val minhashBandsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_minhash_bands"),
+    new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands"),
+    MinHashBands.fromArgs _)
+
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(cosineDescriptor, tokenHitsDescriptor, minhashBandsDescriptor)
+
+  /** Idempotent registration into an existing session. */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+
+  /** Column forms; require register(spark) first. */
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
+  def tokenHits(text: Column, lists: Seq[Seq[String]]): Column =
+    call_function("graft_token_hits", text,
+      org.apache.spark.sql.functions.typedlit(lists))
+
+  def minhashBands(text: Column, n: Int, numHashes: Int, bands: Int): Column =
+    call_function("graft_minhash_bands", text,
+      org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(numHashes),
+      org.apache.spark.sql.functions.lit(bands))
 }

@@ -1,0 +1,220 @@
+package graft.functions
+
+import java.util.{HashSet => JHashSet}
+
+import org.apache.commons.codec.digest.DigestUtils
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen kernels for the per-document text hot path (builder
+  * brief's preference ladder: native Expression with doGenCode > composed
+  * builtins > HOFs > UDF).
+  *
+  * Both expressions exist because their higher-order-function equivalents
+  * run interpreted (no codegen, no common-subexpression elimination):
+  * round-2 profiling put `corpus_curation` at 24 s driver-side with ~31
+  * interpreted `filter(tokens, ...)` walks per document plus a
+  * window+distinct shingle pipeline. Each kernel below is one tight JVM
+  * loop per row, invoked from inside WholeStageCodegen, with eval()
+  * mirroring it for the interpreted path. Semantics are bit-identical to
+  * the composed forms (and the DuckDB oracle SQL, which is unchanged):
+  * tokenization is `split(text, ' ', -1)` and all digests are lowercase
+  * md5 hex, so every value stays hash-checkable.
+  */
+object TextKernels {
+
+  /** `[n_tokens, hits(set_0), hits(set_1), ...]` in ONE tokenize pass.
+    * Matches `size(split(text,' '))` and, per set,
+    * `size(filter(split(text,' '), t -> array_contains(set, t)))`. */
+  def memberCounts(text: UTF8String, sets: Array[JHashSet[String]]): ArrayData = {
+    val s = text.toString
+    val out = new Array[Long](sets.length + 1)
+    val len = s.length
+    var start = 0
+    var i = 0
+    var n = 0L
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        n += 1
+        val tok = s.substring(start, i)
+        var j = 0
+        while (j < sets.length) {
+          if (sets(j).contains(tok)) out(j + 1) += 1
+          j += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    out(0) = n
+    new GenericArrayData(out)
+  }
+
+  /** MinHash-LSH band hashes in one pass: distinct word n-gram shingles →
+    * `numHashes` salted-md5 minima → `bands` band digests. Returns an
+    * EMPTY array for docs with fewer than n tokens (no n-grams — such
+    * docs can never be near-dup candidates; the oracle's NULL band
+    * hashes likewise never join). Hash math matches the oracle CTE
+    * exactly: min is over lowercase-hex strings (ASCII order == byte
+    * order), salt is `"$i:"`, band digest is md5 of the concatenated
+    * row hex strings. */
+  def minhashBands(text: UTF8String, n: Int, numHashes: Int, bands: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n) return TextKernels.EmptyStringArray
+    val rowsPerBand = numHashes / bands
+    val shingles = new JHashSet[String](math.max(16, toks.length * 2))
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      shingles.add(sb.toString)
+      i += 1
+    }
+    // Min-tracking over RAW digest bytes (unsigned compare == lowercase
+    // hex string order), one thread-local MessageDigest, salt prefixes
+    // pre-encoded — ~3× cheaper than a DigestUtils call per salted
+    // string. Hex encoding happens once per doc, for the band digest
+    // input, which the oracle defines over hex strings.
+    val md = md5Digest.get()
+    val salts = saltBytes(numHashes)
+    val mins = new Array[Array[Byte]](numHashes)
+    val it = shingles.iterator()
+    while (it.hasNext) {
+      val sBytes = it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var h = 0
+      while (h < numHashes) {
+        md.reset()
+        md.update(salts(h))
+        md.update(sBytes)
+        val d = md.digest()
+        if (mins(h) == null || unsignedLess(d, mins(h))) mins(h) = d
+        h += 1
+      }
+    }
+    val out = new Array[AnyRef](bands)
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var r = 0
+      while (r < rowsPerBand) {
+        appendHex(sb, mins(b * rowsPerBand + r))
+        r += 1
+      }
+      out(b) = UTF8String.fromString(DigestUtils.md5Hex(sb.toString))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  val EmptyStringArray: ArrayData = new GenericArrayData(new Array[AnyRef](0))
+
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** `"$i:"` salt prefixes as UTF-8 bytes, cached per hash count. */
+  private val saltCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def saltBytes(numHashes: Int): Array[Array[Byte]] =
+    saltCache.computeIfAbsent(numHashes, k =>
+      Array.tabulate(k)(i => s"$i:".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val ai = a(i) & 0xff
+      val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+
+  private val Hex = "0123456789abcdef".toCharArray
+  private def appendHex(sb: java.lang.StringBuilder, d: Array[Byte]): Unit = {
+    var i = 0
+    while (i < d.length) {
+      sb.append(Hex((d(i) >> 4) & 0xf)).append(Hex(d(i) & 0xf))
+      i += 1
+    }
+  }
+}
+
+/** `graft_token_hits(text, array(array<string>...))` →
+  * `array<bigint>` of `[n_tokens, hits_0, hits_1, ...]`. The member
+  * lists must be a foldable literal (they parameterize the operator, they
+  * don't vary per row). */
+case class TokenMemberCounts(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_token_hits"
+
+  @transient private lazy val sets: Array[JHashSet[String]] = {
+    require(right.foldable, "graft_token_hits member lists must be a literal")
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    (0 until arr.numElements()).map { i =>
+      val inner = arr.getArray(i)
+      val set = new JHashSet[String]()
+      (0 until inner.numElements()).foreach(j => set.add(inner.getUTF8String(j).toString))
+      set
+    }.toArray
+  }
+
+  override protected def nullSafeEval(t: Any, l: Any): Any =
+    TextKernels.memberCounts(t.asInstanceOf[UTF8String], sets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsRef = ctx.addReferenceObj("memberSets", sets, "java.util.HashSet[]")
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = graft.functions.TextKernels.memberCounts($t, $setsRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TokenMemberCounts =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_minhash_bands(text, n, numHashes, bands)` → `array<string>` of
+  * the LSH band digests (empty for docs with < n tokens). */
+case class MinHashBands(child: Expression, n: Int, numHashes: Int, bands: Int)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_minhash_bands"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.minhashBands(t.asInstanceOf[UTF8String], n, numHashes, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextKernels.minhashBands($t, $n, $numHashes, $bands);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+object MinHashBands {
+  /** Registry builder: int params arrive as foldable literals. */
+  private[functions] def fromArgs(args: Seq[Expression]): MinHashBands = {
+    require(args.length == 4, s"graft_minhash_bands expects 4 args, got ${args.length}")
+    def intArg(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_minhash_bands $what must be an int literal, got $other")
+    }
+    MinHashBands(args.head, intArg(args(1), "n"),
+      intArg(args(2), "numHashes"), intArg(args(3), "bands"))
+  }
+}

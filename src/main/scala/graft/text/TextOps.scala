@@ -39,30 +39,6 @@ object TextOps {
   /** English stopword sample used by the quality score. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "is", "in", "it", "for", "on")
 
-  /** Occurrences of any `members` element among the whitespace tokens. */
-  def memberHits(text: Column, members: Seq[String]): Column = {
-    val arr = array(members.map(lit): _*)
-    size(filter(tokens(text), t => array_contains(arr, t))).cast("long")
-  }
-
-  def stopwordRatio(text: Column): Column =
-    memberHits(text, Stopwords).cast("double") / tokenCount(text)
-
-  def punctRatio(text: Column): Column =
-    size(regexp_extract_all(text, lit("[^A-Za-z0-9 ]"), lit(0))).cast("double") /
-      length(text)
-
-  def avgWordLen(text: Column): Column =
-    length(regexp_replace(text, " ", "")).cast("double") / tokenCount(text)
-
-  /** Composite quality score in [0,1]: length saturation + low
-    * punctuation + natural-language stopword density — the standard
-    * heuristic trio for pretraining-corpus filtering. */
-  def qualityScore(text: Column): Column =
-    lit(0.4) * least(lit(1.0), length(text).cast("double") / 500.0) +
-      lit(0.3) * (lit(1.0) - punctRatio(text)) +
-      lit(0.3) * least(lit(1.0), stopwordRatio(text) * 4.0)
-
   /** Marker-word lists for the n-gram/stopword language-ID heuristic.
     * Order matters: ties resolve to the earliest entry, so the list IS
     * the tie-break priority. */
@@ -73,20 +49,75 @@ object TextOps {
     "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3"))
 
-  def langScore(text: Column, markers: Seq[String]): Column =
-    memberHits(text, markers).cast("double") / tokenCount(text)
+  /** All member lists the scoring surface needs, in stat order:
+    * stats = [n_tokens, stopword_hits, en_hits, es_hits, fr_hits,
+    * de_hits, zh_hits]. */
+  val StatLists: Seq[Seq[String]] = Stopwords +: LangMarkers.map(_._2)
+
+  /** ONE fused tokenize-and-count pass per document (native codegen
+    * kernel graft.functions.TokenMemberCounts — the round-2 interpreted
+    * `filter` HOF walked the token array ~31× per document and was 67%
+    * of the bench). Every ratio/score below is arithmetic over elements
+    * of this array; within one projection, identical tokenStats trees
+    * are a single common subexpression. Requires
+    * GraftFunctions.register (done by Tables.load). */
+  def tokenStats(text: Column): Column =
+    graft.functions.GraftFunctions.tokenHits(text, StatLists)
+
+  private def nTokens(stats: Column): Column = element_at(stats, 1)
+  private def stopHits(stats: Column): Column = element_at(stats, 2)
+  private def langHits(stats: Column, langIdx: Int): Column = element_at(stats, 3 + langIdx)
+
+  /** Occurrences of any `members` element among the whitespace tokens. */
+  def memberHits(text: Column, members: Seq[String]): Column =
+    element_at(graft.functions.GraftFunctions.tokenHits(text, Seq(members)), 2)
+
+  def stopwordRatioFrom(stats: Column): Column =
+    stopHits(stats).cast("double") / nTokens(stats)
+
+  def stopwordRatio(text: Column): Column = stopwordRatioFrom(tokenStats(text))
+
+  def punctRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9 ]"), lit(0))).cast("double") /
+      length(text)
+
+  def avgWordLenFrom(text: Column, stats: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") / nTokens(stats)
+
+  def avgWordLen(text: Column): Column = avgWordLenFrom(text, tokenStats(text))
+
+  /** Composite quality score in [0,1]: length saturation + low
+    * punctuation + natural-language stopword density — the standard
+    * heuristic trio for pretraining-corpus filtering. */
+  def qualityScoreFrom(text: Column, stats: Column): Column =
+    lit(0.4) * least(lit(1.0), length(text).cast("double") / 500.0) +
+      lit(0.3) * (lit(1.0) - punctRatio(text)) +
+      lit(0.3) * least(lit(1.0), stopwordRatioFrom(stats) * 4.0)
+
+  def qualityScore(text: Column): Column = qualityScoreFrom(text, tokenStats(text))
+
+  def langScoreFrom(stats: Column, langIdx: Int): Column =
+    langHits(stats, langIdx).cast("double") / nTokens(stats)
+
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val idx = LangMarkers.indexWhere(_._2 == markers)
+    require(idx >= 0, "langScore markers must be one of LangMarkers")
+    langScoreFrom(tokenStats(text), idx)
+  }
 
   /** Predicted language = argmax marker score, ties to the earlier
     * entry in LangMarkers (deterministic CASE chain — identical shape
     * in the DuckDB oracle). */
-  def langId(text: Column): Column = {
-    val scores = LangMarkers.map { case (l, m) => l -> langScore(text, m) }
+  def langIdFrom(stats: Column): Column = {
+    val scores = LangMarkers.zipWithIndex.map { case ((l, _), i) => l -> langScoreFrom(stats, i) }
     scores.init.foldRight(lit(scores.last._1)) { case ((l, s), rest) =>
       val notBeaten = scores.filter(_._1 != l)
         .map(_._2).foldLeft(lit(true))((acc, o) => acc && s >= o)
       when(notBeaten, l).otherwise(rest)
     }
   }
+
+  def langId(text: Column): Column = langIdFrom(tokenStats(text))
 
   /** Document fingerprint: the minimum md5 over the sliding char
     * 8-grams (winnowing-style rolling-hash fingerprint, robust to
