@@ -42,7 +42,7 @@ object SimilarityQueries {
     Q(
       "ann_ivf_topk",
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 10),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 10),
         |assign AS (
         |  SELECT vec_id, cid FROM (
         |    SELECT e.vec_id, cent.cid,

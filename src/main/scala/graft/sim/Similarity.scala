@@ -64,42 +64,110 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "score")
   }
 
-  /** IVF top-k. Centroids = the FIRST `numCentroids` vectors by id (a
-    * stand-in for k-means — the index structure, not the training, is
-    * what's under test). The centroid count is FIXED, not a fraction of
-    * the corpus: the centroid set is broadcast, and a corpus-
-    * proportional selection (e.g. every 50th vector) would grow
-    * unboundedly with data volume and break the broadcast at scale —
-    * real IVF indexes likewise pick k by memory/recall budget, not
-    * corpus size. Each corpus vector is assigned to its nearest
-    * centroid; each query probes the `nProbe` nearest cells and ranks
-    * only their members. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      numCentroids: Int = 10, nProbe: Int = 3): DataFrame = {
+  /** The IVF index metadata: (cid, centroid vector) pairs, held
+    * driver-side. Bounded by k — NEVER corpus-proportional — exactly the
+    * state a real IVF index keeps in RAM; the k-row collect below is the
+    * index build, not a driver-side data loop. */
+  type Centroids = Seq[(Long, Seq[Double])]
+
+  private def litVec(v: Seq[Double]): Column = array(v.map(lit): _*)
+
+  /** Untrained centroid seed: the first `k` corpus vectors by id
+    * (orderBy+limit = TakeOrdered, bounded by k rows, so sparse or
+    * offset id spaces still yield exactly k centroids). This is the
+    * oracle-checked path — DuckDB recomputes it with an
+    * `ORDER BY vec_id LIMIT k` CTE. */
+  def initialCentroids(corpus: DataFrame, k: Int): Centroids =
+    corpus.select(col("vec_id").cast("long"), asDouble(col("embedding")))
+      .orderBy(col("vec_id")).limit(k)
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+  /** Per-centroid (score, -cid) structs for one row's vector. Struct
+    * ordering compares fields left to right, so the MAX struct is the
+    * (highest-score, lowest-cid) centroid — the same tie-break as a
+    * `row_number ... ORDER BY score DESC, cid` window, with zero
+    * exchange: the centroid set rides into codegen as literal arrays. */
+  private def centScores(df: DataFrame, cents: Centroids, vec: Column): Seq[Column] =
+    cents.map { case (cid, cv) =>
+      struct(nativeCosine(df)(vec, litVec(cv)).as("score"), lit(-cid).as("neg_cid"))
+    }
+
+  /** Nearest-centroid id as a PER-ROW expression — the cell assignment
+    * never shuffles (round-2/3 audit: the window form exchanged
+    * |corpus|×k rows each carrying two embedding arrays). */
+  private def nearestCid(df: DataFrame, cents: Centroids, vec: Column): Column =
+    if (cents.sizeIs == 1) lit(cents.head._1)
+    else -greatest(centScores(df, cents, vec): _*).getField("neg_cid")
+
+  /** The `nProbe` nearest cell ids for one row, best first — sort_array
+    * DESC on (score, -cid) structs gives score DESC, cid ASC. */
+  private def probeCids(df: DataFrame, cents: Centroids, vec: Column, nProbe: Int): Column =
+    transform(
+      slice(sort_array(array(centScores(df, cents, vec): _*), asc = false), 1, nProbe),
+      s => -s.getField("neg_cid"))
+
+  /** Lloyd's k-means over the corpus, k fixed: assign per-row (zero
+    * shuffle), re-estimate means via posexplode + groupBy(cid, pos) —
+    * one scalar-column shuffle of (cid, pos, x) per iteration, partial
+    * aggregation map-side. The k×dim mean collect is index-sized (k
+    * vectors), not data-sized. Empty cells keep their previous centroid.
+    *
+    * NOT oracle-bound: a distributed f64 mean's summation order is
+    * partition-dependent, so trained centroids are bit-stable only
+    * within one engine — recall (not hashes) is the spec for this path
+    * (SimilaritySpec). */
+  def trainCentroids(corpus: DataFrame, k: Int, iters: Int): Centroids = {
     val emb = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-    // first numCentroids by id — orderBy+limit (TakeOrdered, bounded by
-    // numCentroids rows) so sparse or offset id spaces still yield
-    // exactly numCentroids centroids
-    val cent = emb.orderBy("vec_id").limit(numCentroids)
-      .select(col("vec_id").as("cid"), col("e").as("ce"))
-    val sim = nativeCosine(corpus) _
-    val bySim = row_number().over(
-      Window.partitionBy("vec_id").orderBy(sim(col("e"), col("ce")).desc, col("cid")))
-    val assign = emb.crossJoin(broadcast(cent))
-      .withColumn("rn", bySim).filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"))
-    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
-    val probes = q.crossJoin(broadcast(cent))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("qid").orderBy(sim(col("qe"), col("ce")).desc, col("cid"))))
-      .filter(col("rn") <= nProbe)
-      .select(col("qid"), col("cid"))
-    val candidates = probes.join(assign, "cid").select(col("qid"), col("vec_id"))
-    val scored = candidates
-      .join(q, "qid")
-      .join(emb, "vec_id")
-      .select(col("qid").as("query_id"), col("vec_id"),
-        sim(col("qe"), col("e")).as("score"))
+    var cents = initialCentroids(corpus, k)
+    for (_ <- 0 until iters) {
+      val means = emb
+        .select(nearestCid(corpus, cents, col("e")).as("cid"),
+          posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("m"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      cents = cents.map { case (cid, old) =>
+        val updated = old.indices.map(p => means.get((cid, p)))
+        if (updated.forall(_.isDefined)) (cid, updated.map(_.get)) else (cid, old)
+      }
+    }
+    cents
+  }
+
+  /** IVF top-k. The centroid count is FIXED, not a fraction of the
+    * corpus: a corpus-proportional selection would grow unboundedly with
+    * data volume — real IVF indexes pick k by memory/recall budget, not
+    * corpus size. Each corpus vector is assigned to its nearest centroid
+    * PER ROW (no exchange); each query probes the `nProbe` nearest cells
+    * and ranks only their members. `trainIters > 0` runs Lloyd's
+    * iterations from the first-k seed (approximate path — see
+    * trainCentroids).
+    *
+    * Plan shape at scale: corpus scan → per-row cid → broadcast-hash
+    * join against the (|Q|×nProbe)-row probe set → scalar projection →
+    * one shuffle of (query_id, vec_id, score) for the top-k window. No
+    * exchange anywhere carries an embedding array (pinned by
+    * PlanAuditSpec). At rest the assignment is a write-once clustering
+    * key — partitioning the corpus by cid makes probing partition
+    * pruning. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      numCentroids: Int = 10, nProbe: Int = 3, trainIters: Int = 0): DataFrame = {
+    val cents =
+      if (trainIters > 0) trainCentroids(corpus, numCentroids, trainIters)
+      else initialCentroids(corpus, numCentroids)
+    ivfTopKWith(queries, corpus, k, cents, nProbe)
+  }
+
+  /** IVF search against an explicit (pre-built/pre-trained) centroid set. */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
+      cents: Centroids, nProbe: Int): DataFrame = {
+    val cells = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("cid", nearestCid(corpus, cents, col("e")))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+      .withColumn("cid", explode(probeCids(queries, cents, col("qe"), nProbe)))
+    val scored = cells.join(broadcast(probes), "cid")
+      .select(col("query_id"), col("vec_id"),
+        nativeCosine(corpus)(col("qe"), col("e")).as("score"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "score")

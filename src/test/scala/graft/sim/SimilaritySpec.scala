@@ -52,6 +52,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall@10 = $recall")
   }
 
+  test("IVF trained centroids (Lloyd's): k preserved, centroids move, recall holds") {
+    val cents0 = Similarity.initialCentroids(e, 10)
+    val cents2 = Similarity.trainCentroids(e, 10, iters = 2)
+    assert(cents2.size == 10)
+    assert(cents2.map(_._1) == cents0.map(_._1), "cell ids must be stable across training")
+    assert(cents2.exists { case (cid, v) => v != cents0.find(_._1 == cid).get._2 },
+      "training never moved any centroid")
+    val exact = Similarity.bruteForceTopK(queries, e, k = 10).select("query_id", "vec_id")
+    val trained = Similarity.ivfTopK(queries, e, k = 10, numCentroids = 10,
+      nProbe = 3, trainIters = 2).select("query_id", "vec_id")
+    val recall = exact.intersect(trained).count().toDouble / exact.count()
+    assert(recall >= 0.3, s"trained IVF recall@10 = $recall")
+  }
+
   test("near-dup blocking finds planted exact copies and nothing below threshold") {
     val corpus = e.select("vec_id", "embedding")
       .unionAll(e.filter(col("vec_id") < 20)
