@@ -28,8 +28,10 @@ object Dedup {
   /** Distinct word n-gram shingles of a single-space-tokenized text, as
     * an array column. NOTE: higher-order-function expressions run
     * interpreted — fine for small/targeted use (the trigram pairwise
-    * query), but the LSH pipeline uses explodedShingles below, which
-    * stays inside codegen. */
+    * query, candidate-pair verification); the LSH pipeline's corpus
+    * pass uses the native MinHashBands kernel instead
+    * (graft.functions.TextKernels, equivalence pinned by
+    * TextExpressionsSpec). */
   def wordShingles(text: Column, n: Int = 2): Column = {
     val w = split(text, " ")
     // guard: sequence(0, negative) would run DESCENDING and fabricate
@@ -42,30 +44,10 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Distinct word n-gram shingles as ROWS (doc_id, s): posexplode the
-    * tokens, assemble each n-gram with window lead() over token
-    * position. Fully codegen'd (generator + window + project) —
-    * measured ~2.5× faster than the HOF array form per pass, and as
-    * rows it feeds the signature aggregation and the verification joins
-    * without ever re-entering interpreted expression land. */
-  def explodedShingles(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 2): DataFrame = {
-    val tok = df.select(col(idCol).as("doc_id"),
-      posexplode(split(col(textCol), " ")).as(Seq("pos", "w0")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val withLeads = (1 until n).foldLeft(tok) { (acc, j) =>
-      acc.withColumn(s"w$j", lead(col("w0"), j).over(w))
-    }
-    withLeads
-      .filter(col(s"w${n - 1}").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", (0 until n).map(j => col(s"w$j")): _*).as("s"))
-      .distinct()
-  }
-
   /** MinHash signature: `numHashes` salted-md5 minima over the shingle
-    * set. Pure column work — the signature travels, the shingles don't. */
+    * set. Composed REFERENCE form (interpreted) — the LSH pipeline uses
+    * the native MinHashBands kernel; TextExpressionsSpec pins the two
+    * equivalent. */
   def minhashSignature(shingles: Column, numHashes: Int = 12): Column =
     transform(
       sequence(lit(0), lit(numHashes - 1)),
@@ -127,13 +109,19 @@ object Dedup {
     // exploded shingle set three times and needed an unbounded persist
     // to avoid recomputing it.)
     //
-    // The repartition spreads the CPU-heavy kernel across all cores:
-    // a small corpus arrives as one parquet split, which would pin the
-    // digest work to one thread. It shuffles each text ONCE — strictly
-    // less data than round 2's exploded-token window shuffle — and at
-    // cluster scale, where the scan already has thousands of splits,
-    // it keys the work by doc_id so skewed input files still balance.
-    val banded = base.repartition(col("doc_id")).select(col("doc_id"),
+    // The repartition spreads the CPU-heavy kernel across all cores
+    // when (and ONLY when) the input arrives underpartitioned — a small
+    // corpus lands as one parquet split, which would pin the digest
+    // work to one thread. At cluster scale the scan already has
+    // thousands of splits, so an unconditional repartition would
+    // shuffle every text byte per invocation for nothing (round-3
+    // audit); the gate keeps the shuffle a small-input-only fixup.
+    val sc = df.sparkSession.sparkContext
+    val spread =
+      if (base.rdd.getNumPartitions < sc.defaultParallelism)
+        base.repartition(sc.defaultParallelism, col("doc_id"))
+      else base
+    val banded = spread.select(col("doc_id"),
       posexplode(graft.functions.GraftFunctions.minhashBands(
         col("text"), 2, numHashes, bands)).as(Seq("band", "bh")))
     val sized = banded
@@ -149,18 +137,18 @@ object Dedup {
       .distinct()
     // Verification on the candidate pairs ONLY: re-attach the two texts
     // (candidates are a tiny fraction of the corpus — AQE broadcasts
-    // them, so the corpus side never shuffles), shingle each side once
-    // per pair, and compare sets. The HOF forms are interpreted but run
-    // on candidates, not the corpus; each shingle array is materialized
-    // once via its own projection (CollapseProject keeps multi-referenced
-    // non-cheap producers separate).
-    val withTexts = cand
+    // them, so the corpus side never shuffles) and score each pair with
+    // the fused ShingleJaccard kernel — one codegen'd pass per pair.
+    // (The composed wordShingles+jaccard HOF form is bit-equivalent but
+    // interpreted: round-4 profiling measured it at ~5 s for 3k pairs,
+    // dominating the whole query; TextExpressionsSpec pins the
+    // equivalence.)
+    cand
       .join(base.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
       .join(base.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        wordShingles(col("text_a")).as("sh_a"), wordShingles(col("text_b")).as("sh_b"))
-    withTexts
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        graft.functions.GraftFunctions.shingleJaccard(
+          col("text_a"), col("text_b"), 2).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -106,8 +106,13 @@ object GraftFunctions {
     new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands"),
     MinHashBands.fromArgs _)
 
+  val shingleJaccardDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_shingle_jaccard"),
+    new ExpressionInfo(classOf[ShingleJaccard].getName, "graft_shingle_jaccard"),
+    ShingleJaccard.fromArgs _)
+
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq(cosineDescriptor, tokenHitsDescriptor, minhashBandsDescriptor)
+    Seq(cosineDescriptor, tokenHitsDescriptor, minhashBandsDescriptor, shingleJaccardDescriptor)
 
   /** Idempotent registration into an existing session. */
   def register(spark: SparkSession): Unit =
@@ -127,4 +132,8 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(n),
       org.apache.spark.sql.functions.lit(numHashes),
       org.apache.spark.sql.functions.lit(bands))
+
+  def shingleJaccard(a: Column, b: Column, n: Int): Column =
+    call_function("graft_shingle_jaccard", a, b,
+      org.apache.spark.sql.functions.lit(n))
 }

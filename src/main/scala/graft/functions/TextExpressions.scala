@@ -53,19 +53,14 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
-  /** MinHash-LSH band hashes in one pass: distinct word n-gram shingles →
-    * `numHashes` salted-md5 minima → `bands` band digests. Returns an
-    * EMPTY array for docs with fewer than n tokens (no n-grams — such
-    * docs can never be near-dup candidates; the oracle's NULL band
-    * hashes likewise never join). Hash math matches the oracle CTE
-    * exactly: min is over lowercase-hex strings (ASCII order == byte
-    * order), salt is `"$i:"`, band digest is md5 of the concatenated
-    * row hex strings. */
-  def minhashBands(text: UTF8String, n: Int, numHashes: Int, bands: Int): ArrayData = {
+  /** Distinct word n-gram shingle set of a single-space tokenization —
+    * shared by the LSH signature and Jaccard kernels; matches
+    * `array_distinct(transform(...))` in Dedup.wordShingles. Empty set
+    * for docs with fewer than n tokens. */
+  private def shingleSet(text: UTF8String, n: Int): JHashSet[String] = {
     val toks = text.toString.split(" ", -1)
-    if (toks.length < n) return TextKernels.EmptyStringArray
-    val rowsPerBand = numHashes / bands
     val shingles = new JHashSet[String](math.max(16, toks.length * 2))
+    if (toks.length < n) return shingles
     val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i <= toks.length - n) {
@@ -79,6 +74,41 @@ object TextKernels {
       shingles.add(sb.toString)
       i += 1
     }
+    shingles
+  }
+
+  /** Word-shingle Jaccard of two texts in one fused pass — the LSH
+    * verification scalar. Bit-identical to the composed
+    * `size(array_intersect)/size(array_union)` over wordShingles
+    * arrays (int counts, one f64 division), which round-4 profiling
+    * measured at ~5 s for 3k candidate pairs (two interpreted HOF
+    * shingle walks per pair). Returns -1.0 when the union is empty —
+    * the expression wrapper maps that to NULL (try_divide semantics;
+    * the plain `/` composed form raises DIVIDE_BY_ZERO there under
+    * default ANSI mode). */
+  def shingleJaccard(a: UTF8String, b: UTF8String, n: Int): Double = {
+    val sa = shingleSet(a, n)
+    val sb = shingleSet(b, n)
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    val union = sa.size + sb.size - inter
+    if (union == 0) -1.0 else inter.toDouble / union
+  }
+
+  /** MinHash-LSH band hashes in one pass: distinct word n-gram shingles →
+    * `numHashes` salted-md5 minima → `bands` band digests. Returns an
+    * EMPTY array for docs with fewer than n tokens (no n-grams — such
+    * docs can never be near-dup candidates; the oracle's NULL band
+    * hashes likewise never join). Hash math matches the oracle CTE
+    * exactly: min is over lowercase-hex strings (ASCII order == byte
+    * order), salt is `"$i:"`, band digest is md5 of the concatenated
+    * row hex strings. */
+  def minhashBands(text: UTF8String, n: Int, numHashes: Int, bands: Int): ArrayData = {
+    val shingles = shingleSet(text, n)
+    if (shingles.isEmpty) return TextKernels.EmptyStringArray
+    val rowsPerBand = numHashes / bands
+    val sb = new java.lang.StringBuilder(64)
     // Min-tracking over RAW digest bytes (unsigned compare == lowercase
     // hex string order), one thread-local MessageDigest, salt prefixes
     // pre-encoded — ~3× cheaper than a DigestUtils call per salted
@@ -203,6 +233,52 @@ case class MinHashBands(child: Expression, n: Int, numHashes: Int, bands: Int)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashBands =
     copy(child = newChild)
+}
+
+/** `graft_shingle_jaccard(text_a, text_b, n)` → DOUBLE Jaccard of the
+  * two texts' distinct word n-gram shingle sets; NULL when both sets
+  * are empty (try_divide semantics for the 0/0 case). One fused pass
+  * per pair — the codegen'd LSH verification scalar. */
+case class ShingleJaccard(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def prettyName: String = "graft_shingle_jaccard"
+
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    val j = TextKernels.shingleJaccard(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n)
+    if (j < 0) null else j
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${ev.value} = graft.functions.TextKernels.shingleJaccard($a, $b, $n);
+         |if (${ev.value} < 0) { ${ev.isNull} = true; ${ev.value} = 0.0; }
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+object ShingleJaccard {
+  private[functions] def fromArgs(args: Seq[Expression]): ShingleJaccard = {
+    require(args.length == 3, s"graft_shingle_jaccard expects 3 args, got ${args.length}")
+    args(2) match {
+      case Literal(v: Int, IntegerType) => ShingleJaccard(args.head, args(1), v)
+      case other => throw new IllegalArgumentException(
+        s"graft_shingle_jaccard n must be an int literal, got $other")
+    }
+  }
 }
 
 object MinHashBands {

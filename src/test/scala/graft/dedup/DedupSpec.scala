@@ -57,23 +57,6 @@ class DedupSpec extends SparkSpec {
     assert(dists.agg(expr("percentile(d, 0.5)")).head().getDouble(0) >= 6.0)
   }
 
-  test("array minhashSignature ≡ the explode+agg signature the LSH path uses") {
-    import org.apache.spark.sql.Row
-    val sample = docs.limit(20)
-    val viaArray = sample.select(col("doc_id"),
-        Dedup.minhashSignature(Dedup.wordShingles(col("text")), 12).as("sig"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
-    val tok = Dedup.explodedShingles(sample, "doc_id", "text")
-    val mh = (0 until 12).map(i =>
-      min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
-    val viaAgg = tok.groupBy("doc_id").agg(mh.head, mh.tail: _*)
-      .collect().map { case r: Row =>
-        r.getLong(0) -> (1 to 12).map(r.getString)
-      }.toMap
-    assert(viaArray.keySet == viaAgg.keySet)
-    viaArray.foreach { case (id, sig) => assert(sig == viaAgg(id), s"doc $id") }
-  }
-
   test("jaccard: identical sets → 1.0, disjoint → 0.0, order-insensitive") {
     import spark.implicits._
     val df = Seq(
