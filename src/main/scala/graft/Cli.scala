@@ -24,6 +24,7 @@ object Cli {
     """usage: graft <command> [args]
       |  ingest <rootDir> <filterSpec> <depth> [storeDir]   scan + filter + dedup into resource_index
       |  plan [storeDir]                                    template fan-out into task_queue
+      |  plan-stream [storeDir] [ckptDir] [--continuous]    streaming tasker over resource_index
       |  execute [storeDir] [objectRoot] [batchSize]        drain task_queue (batch)
       |  execute-stream [storeDir] [objectRoot] [ckptDir] [--continuous]
       |                                                     streaming worker; --continuous = 30 s trigger
@@ -51,6 +52,25 @@ object Cli {
     case "plan" :: rest =>
       val n = Plan.run(spark, Store(rest.headOption.getOrElse(defaultStore)))
       s"""{"cmd":"plan","tasks":$n}"""
+
+    case "plan-stream" :: rest =>
+      // the reference's tasker service as a stream (T1): each ingest
+      // append becomes a micro-batch fanned out into task_queue —
+      // together with execute-stream this gives all three continuous
+      // services a streaming analog (ingest is inherently a batch scan)
+      val positional = rest.filterNot(_.startsWith("--"))
+      val store = Store(positional.headOption.getOrElse(defaultStore))
+      val ckpt = positional.drop(1).headOption.getOrElse(s"${store.root}/checkpoint_plan")
+      val continuous = rest.contains("--continuous")
+      val trigger =
+        if (continuous) StreamingJobs.PollTrigger
+        else Trigger.AvailableNow()
+      val q = StreamingJobs.planStream(spark, store, ckpt, trigger)
+      val hook = sys.addShutdownHook { if (q.isActive) q.stop() }
+      q.awaitTermination()
+      hook.remove()
+      val queued = tableCount(spark, store.taskQueue)
+      s"""{"cmd":"plan-stream","continuous":$continuous,"task_queue":$queued}"""
 
     case "execute" :: rest =>
       val store = Store(rest.headOption.getOrElse(defaultStore))
@@ -103,16 +123,8 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName("graft")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local("graft",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     try println(run(spark, args))
     catch {
       case e: IllegalArgumentException =>

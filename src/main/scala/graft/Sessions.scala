@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The ONE place the engine's local SparkSession defaults live — Cli,
+  * Bench and Verify previously each duplicated this block (and could
+  * drift). `SPARK_MASTER` overrides the master for cluster submission;
+  * shuffle partitions track the core count (the brief's local[32]
+  * sizing, not the 200 default). */
+object Sessions {
+  def local(appName: String, cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -354,15 +354,36 @@ object Execute {
     Store.delete(spark, tmp)
     remaining.write.parquet(tmp)
     Store.delete(spark, store.taskQueue)
-    val fs = new org.apache.hadoop.fs.Path(tmp)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(store.taskQueue)) &&
-      !fs.exists(new org.apache.hadoop.fs.Path(store.taskQueue)))
-      throw new IllegalStateException(
-        s"task_queue swap rename failed; remaining tasks are at $tmp")
+    swapInQueue(spark, tmp, store.taskQueue)
 
     results.unpersist()
     (nOk, nTasks - nOk)
+  }
+
+  /** Publish the freshly-written queue at its table path. Throws on ANY
+    * swap anomaly — a silent failure here would leave a stale queue in
+    * place and re-execute drained tasks (DLQ'd failures are not masked
+    * by the done anti-join):
+    *  - rename returning false (e.g. the target reappeared as a file):
+    *    unconditional failure, even if some queue table still exists —
+    *    proceeding with the STALE one is exactly the bug.
+    *  - rename returning true but landing NESTED: Hadoop's local
+    *    rename falls back to FileUtil.copy when the destination dir
+    *    already exists (a concurrent writer re-created it), which
+    *    copies tmp INTO it and reports success — detected by the
+    *    tmp-basename child check, because that layout breaks partition
+    *    discovery for every later reader. */
+  private[exec] def swapInQueue(spark: SparkSession, tmp: String, dst: String): Unit = {
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val dstPath = new org.apache.hadoop.fs.Path(dst)
+    val fs = tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.rename(tmpPath, dstPath))
+      throw new IllegalStateException(
+        s"task_queue swap rename failed; remaining tasks are at $tmp")
+    val nested = new org.apache.hadoop.fs.Path(dstPath, tmpPath.getName)
+    if (fs.exists(nested))
+      throw new IllegalStateException(
+        s"task_queue swap landed nested at $nested (concurrent writer re-created $dst); " +
+          "the table is polluted — recover the queue from the nested copy")
   }
 }

@@ -23,9 +23,15 @@ import org.apache.spark.sql.functions.call_function
   * private[sql] in Spark 4), so callers pass float `embedding` columns
   * directly.
   *
-  * Results are bit-identical to the composed form: both accumulate
-  * left-to-right in f64, which is what keeps the DuckDB oracle's
-  * value-level hash compare green.
+  * Results are bit-identical to the composed form for equal-length
+  * arrays of non-null elements (every embedding fixture row): both
+  * accumulate left-to-right in f64, which is what keeps the DuckDB
+  * oracle's value-level hash compare green. Edge semantics
+  * deliberately follow the fused-loop shape instead of the composed
+  * form's: zero-norm vectors yield NaN (not a null/error from `/`),
+  * unequal lengths truncate to the shorter side (not zip_with's null
+  * padding), and null ELEMENTS are read as raw doubles — CosineSimilaritySpec
+  * pins the NaN/null-input behavior.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {

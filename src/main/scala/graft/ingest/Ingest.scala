@@ -34,26 +34,36 @@ object Ingest {
     StructField("phony", BooleanType),
     StructField("hash", StringType)))
 
-  /** List + filter + hash: the resource rows an ingest WOULD add,
-    * before index dedup (pure — no writes). */
-  def scan(spark: SparkSession, root: String, filterSpec: String, depth: Int): DataFrame =
-    Listing.listResources(spark, root, depth)
+  /** Filter + hash over a listing frame: the resource rows an ingest
+    * WOULD add, before index dedup (pure — no writes). */
+  private def toResources(listed: DataFrame, filterSpec: String): DataFrame =
+    listed
       .filter(Filters.compile(filterSpec, col("url")))
       .select(
         col("url"), col("scheme"), col("bucket"), col("key"), col("size"),
         lit(false).as("phony"),
         Hashing.urlHash(col("url")).as("hash"))
 
+  /** List + filter + hash (pure — no writes). The returned frame reads
+    * a checkpointed listing the ContextCleaner releases on GC; run()
+    * below releases it deterministically instead. */
+  def scan(spark: SparkSession, root: String, filterSpec: String, depth: Int): DataFrame =
+    toResources(Listing.listResources(spark, root, depth), filterSpec)
+
   /** Full ingest: append new resources to the index, return its
     * cardinality (A1). Idempotent: re-running with the same tree adds
-    * nothing. */
+    * nothing; no cache entries survive the call (the listing checkpoint
+    * is dropped once the append lands). */
   def run(spark: SparkSession, root: String, filterSpec: String, depth: Int,
           store: Store): Long = {
-    val incoming = scan(spark, root, filterSpec, depth).dropDuplicates("url")
-    val existing = Store.readOrEmpty(spark, store.resourceIndex, resourceSchema)
-    val fresh = incoming.join(existing.select("url"), Seq("url"), "left_anti")
-      .select(resourceSchema.fieldNames.map(col): _*)
-    Store.append(fresh, store.resourceIndex)
-    spark.read.schema(resourceSchema).parquet(store.resourceIndex).count()
+    val (listed, release) = Listing.listResourcesManaged(spark, root, depth)
+    try {
+      val incoming = toResources(listed, filterSpec).dropDuplicates("url")
+      val existing = Store.readOrEmpty(spark, store.resourceIndex, resourceSchema)
+      val fresh = incoming.join(existing.select("url"), Seq("url"), "left_anti")
+        .select(resourceSchema.fieldNames.map(col): _*)
+      Store.append(fresh, store.resourceIndex)
+      spark.read.schema(resourceSchema).parquet(store.resourceIndex).count()
+    } finally release()
   }
 }

@@ -58,8 +58,17 @@ object Listing {
   /** List `root` down to `depth` directory levels (depth 1 = root's own
     * entries only — the reference's --recursion flag, cmd/ingest.go:18).
     * Returns a DataFrame of file entries (dirs are traversal-internal).
-    */
-  def listResources(spark: SparkSession, root: String, depth: Int): DataFrame = {
+    * The frame reads a checkpointed listing the ContextCleaner releases
+    * on GC; callers that want deterministic release use
+    * listResourcesManaged. */
+  def listResources(spark: SparkSession, root: String, depth: Int): DataFrame =
+    listResourcesManaged(spark, root, depth)._1
+
+  /** listResources plus an explicit release hook for the checkpointed
+    * listing storage (Dataset.unpersist can't reach it — it only clears
+    * CacheManager entries, and the checkpoint is RDD-level). */
+  def listResourcesManaged(spark: SparkSession, root: String,
+      depth: Int): (DataFrame, () => Unit) = {
     import spark.implicits._
     require(depth >= 1, "depth must be >= 1")
     // normalize once: deeper levels carry ABSOLUTE paths (from e.url),
@@ -68,21 +77,40 @@ object Listing {
 
     var dirs: Dataset[String] = spark.createDataset(Seq(absRoot))
     var files: Option[Dataset[Entry]] = None
+    val levels = scala.collection.mutable.ArrayBuffer.empty[Dataset[Entry]]
 
     for (_ <- 1 to depth) {
       // Spread this level's directories across the cluster before listing:
       // at scale one level can be millions of prefixes.
-      // persisted per level (it feeds both the files union and the next
-      // level's dirs); entries are path metadata — bytes per object —
+      // persisted + materialized per level (it feeds both the files
+      // union and the next level's dirs, and each FS listing must run
+      // exactly once); entries are path metadata — bytes per object —
       // so the cache is bounded by the tree size, not the data size
       val level = dirs.repartition(spark.sparkContext.defaultParallelism.min(32))
         .flatMap(listOneLevel(absRoot) _)
         .persist()
+      level.count()
+      levels += level
       val levelFiles = level.filter(!_.is_dir)
       files = Some(files.map(_.union(levelFiles)).getOrElse(levelFiles))
       dirs = level.filter(_.is_dir).map(e => e.url.stripPrefix("file://"))
     }
 
-    files.get.toDF()
+    // One eager pass assembles the result from the hot level caches and
+    // CUTS the lineage to them (localCheckpoint), so every per-level
+    // cache can be dropped here instead of leaking for the session's
+    // lifetime (round-3 audit). The checkpointed frame itself is the
+    // caller's to release via the returned hook (Ingest.run calls it
+    // after the index append; the ContextCleaner GC-collects it for
+    // lazier callers).
+    val out = files.get.toDF().localCheckpoint(true)
+    levels.foreach(_.unpersist(false))
+    val release: () => Unit = () => {
+      out.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false); ()
+        case _ => ()
+      }
+    }
+    (out, release)
   }
 }

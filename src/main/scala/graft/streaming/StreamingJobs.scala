@@ -41,21 +41,38 @@ object StreamingJobs {
     * incremental state, not a single-batch degenerate run. */
   def tableStream(spark: SparkSession, sfDir: String, table: String,
       parts: Int = 4): DataFrame = {
-    val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src/${table}_${sfDir.hashCode.toHexString}"
+    // content-keyed stage id: full digest of the dir path, not
+    // String.hashCode — two sfDirs colliding on a 32-bit hash would
+    // silently share one staged copy
+    val dirKey = graft.core.Hashing.sha256Hex(sfDir).take(16)
+    val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src/${table}_$dirKey"
     val staged = new org.apache.hadoop.fs.Path(stage)
     val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(staged)) {
       // write-then-rename so a crashed half-write can never satisfy the
       // exists() check on a later run; writer-unique tmp path so
       // concurrent JVMs staging the same table can't publish each
-      // other's half-written copies (first rename wins)
+      // other's half-written copies (first COMPLETED rename wins)
       val tmp = new org.apache.hadoop.fs.Path(
         s"${stage}__staging_${ProcessHandle.current().pid()}_${System.nanoTime()}")
       graft.Tables.load(spark, sfDir, table)
         .repartition(parts)
         .write.mode("overwrite").parquet(tmp.toString)
-      if (!fs.rename(tmp, staged) && !fs.exists(staged))
-        throw new IllegalStateException(s"stream stage rename failed: $stage")
+      if (!fs.rename(tmp, staged)) {
+        // lost the publish race (or genuine failure): discard our copy
+        // and require SOMEONE's stage to have landed
+        fs.delete(tmp, true)
+        if (!fs.exists(staged))
+          throw new IllegalStateException(s"stream stage rename failed: $stage")
+      } else {
+        // Hadoop's local rename can also "succeed" against a stage that
+        // appeared concurrently by copying tmp INTO it (a nested
+        // non-partition subdir that breaks parquet discovery for every
+        // later reader) — repair by dropping the nested copy; the
+        // winner's stage is complete by construction
+        val nested = new org.apache.hadoop.fs.Path(staged, tmp.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
+      }
     }
     val schema = spark.read.parquet(stage).schema
     spark.readStream.schema(schema)

@@ -30,6 +30,30 @@ class CliSpec extends SparkSpec {
       == """{"cmd":"stats","resource_index":4,"task_queue":0,"task_done":8,"dlq":0}""")
   }
 
+  test("streaming pipeline: ingest → plan-stream → execute-stream, both drained via CLI") {
+    FixtureTree.ensure()
+    val root = s"/tmp/graft_test_state/cli_stream_${System.nanoTime()}"
+    val store = Store(root)
+    val obj = Files.createTempDirectory("graft_cli_sobj").toString
+
+    assert(Cli.run(spark, Array("ingest", FixtureTree.root, "ext/mov", "4", root))
+      == """{"cmd":"ingest","resources":4}""")
+    // the streaming tasker fans the indexed resources out into tasks
+    assert(Cli.run(spark, Array("plan-stream", root))
+      == """{"cmd":"plan-stream","continuous":false,"task_queue":8}""")
+    // the streaming worker drains them
+    assert(Cli.run(spark, Array("execute-stream", root, obj))
+      == """{"cmd":"execute-stream","continuous":false,"task_done":8}""")
+    // a second ingest round with a broader filter flows through the SAME
+    // checkpoints incrementally: only the new resource becomes new tasks
+    assert(Cli.run(spark, Array("ingest", FixtureTree.root, "ext/mov/mp4", "4", root))
+      == """{"cmd":"ingest","resources":5}""")
+    assert(Cli.run(spark, Array("plan-stream", root))
+      == """{"cmd":"plan-stream","continuous":false,"task_queue":10}""")
+    assert(Cli.run(spark, Array("execute-stream", root, obj))
+      == """{"cmd":"execute-stream","continuous":false,"task_done":10}""")
+  }
+
   test("query subcommand runs a declared query; unknown name is rejected") {
     val out = Cli.run(spark, Array("query", "q6_top_orders", sf("sf0.001")))
     assert(out == """{"cmd":"query","name":"q6_top_orders","rows":25}""")

@@ -269,6 +269,47 @@ class ExecuteSpec extends SparkSpec {
     assert(Plan.run(spark, store) == 0)
   }
 
+  test("queue swap: rename failure throws even with a stale queue present") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_swap").toString
+    val tmp = s"$root/task_queue__next"
+    val dst = s"$root/task_queue"
+    Seq(("h1", 1)).toDF("task_hash", "n").write.parquet(tmp)
+    // destination reappears as a FILE (stale queue artifact): rename of
+    // a directory onto it returns false — must throw, never proceed
+    // against the stale table
+    Files.write(Paths.get(dst), "stale".getBytes)
+    val e = intercept[IllegalStateException](Execute.swapInQueue(spark, tmp, dst))
+    assert(e.getMessage.contains("swap rename failed"))
+    assert(Files.exists(Paths.get(tmp)), "tmp queue must survive for recovery")
+  }
+
+  test("queue swap: rename 'success' that copies INTO a re-created dir is detected") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_swap2").toString
+    val tmp = s"$root/task_queue__next"
+    val dst = s"$root/task_queue"
+    Seq(("h1", 1)).toDF("task_hash", "n").write.parquet(tmp)
+    // a concurrent writer re-created the destination DIR between the
+    // delete and the rename: Hadoop's local rename falls back to
+    // copying tmp INTO it and returns true — the nested-layout check
+    // must catch the pollution
+    Seq(("h2", 2)).toDF("task_hash", "n").write.parquet(dst)
+    val e = intercept[IllegalStateException](Execute.swapInQueue(spark, tmp, dst))
+    assert(e.getMessage.contains("nested"))
+  }
+
+  test("queue swap: clean rename publishes the new queue") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_swap3").toString
+    val tmp = s"$root/task_queue__next"
+    val dst = s"$root/task_queue"
+    Seq(("h1", 1)).toDF("task_hash", "n").write.parquet(tmp)
+    Execute.swapInQueue(spark, tmp, dst)
+    assert(spark.read.parquet(dst).count() == 1)
+    assert(!Files.exists(Paths.get(tmp)))
+  }
+
   test("forced failure lands in dlq with error; successes unaffected (K6)") {
     FixtureTree.ensure()
     val store = Store("/tmp/graft_test_state/exec_dlq")

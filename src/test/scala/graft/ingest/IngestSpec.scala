@@ -59,6 +59,17 @@ class IngestSpec extends SparkSpec {
     assert(row.getString(1) == graft.core.Hashing.urlHashStr(row.getString(0)))
   }
 
+  test("Ingest.run leaves no new persistent RDDs behind (listing caches released)") {
+    FixtureTree.ensure()
+    val store = Store("/tmp/graft_test_state/ingest_nopersist")
+    Store.delete(spark, store.resourceIndex)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Ingest.run(spark, FixtureTree.root, "ext/mov", 4, store)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"ingest leaked persistent RDD ids $leaked — per-level listing caches or the checkpoint survived")
+  }
+
   test("ingest with a broader filter later adds only the new files") {
     FixtureTree.ensure()
     val store = Store("/tmp/graft_test_state/ingest_grow")
