@@ -72,6 +72,39 @@ object Execute {
     "sleep_stub" -> "sleep 30")
 
 
+  /** X1's `docker` strategy — the reference's actual production
+    * executor (executor_docker.go:36-221): image from
+    * `config("image")` (missing → DLQ, :40-43), workspace bind-mounted
+    * at /in and /out (:198-199), env forwarded (:201-204), container
+    * named by the task hash — its identity/reuse key (:157-182, 216) —
+    * non-zero status and timeout-SIGKILL handled by the shared process
+    * path (:82-101). Implemented as a `docker run` CLI invocation from
+    * the executor JVM: the daemon-API client is a dependency this
+    * library can't take, and the CLI contract is public and stable;
+    * `--rm` matches shouldRemove=true. Queue rows are untrusted, so the
+    * image ref and env keys are validated instead of quoted into the
+    * shell line. */
+  private val ImageRef = "^[A-Za-z0-9][A-Za-z0-9._/:@-]*$"
+
+  private[exec] def dockerCommand(task: Task): Either[String, String] =
+    task.strategy.config.get("image").filter(_.nonEmpty) match {
+      case None => Left("invalid configuration: no image specified")
+      case Some(img) if !img.matches(ImageRef) =>
+        Left(s"invalid image reference '$img'")
+      case Some(img) =>
+        val envKeys = Hashing.envStrToSeq(task.strategy.config.getOrElse("env", ""))
+          .map(_.takeWhile(_ != '='))
+          .filter(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
+        // -e KEY forwards the value from the process environment, where
+        // the executor already exported every config env entry
+        val envFlags = envKeys.map(k => s"-e $k ").mkString
+        Right(
+          "command -v docker >/dev/null 2>&1 || exit 127; " +
+            "docker run --rm --name \"graft_$TASK_HASH\" " +
+            "-v \"$TASK_INPUT_DIR\":/in -v \"$TASK_OUTPUT_DIR\":/out " +
+            envFlags + img)
+    }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
       val s = Files.list(p)
@@ -129,12 +162,18 @@ object Execute {
       if (hooksOpt.isEmpty)
         return result(-1, s"unknown hooks '${task.hooks}'", 0)
       val hooks = hooksOpt.get
-      if (task.strategy.executor != "process")
-        return result(-1, s"unknown executor '${task.strategy.executor}'", 0)
-      val cmd = task.strategy.config.get("cmd")
-        .orElse(task.strategy.config.get("command").flatMap(commandRegistry.get))
-      if (cmd.isEmpty)
-        return result(-1, s"unknown command '${task.strategy.config.getOrElse("command", "")}'", 0)
+      val isDocker = task.strategy.executor == "docker"
+      val cmdOrErr: Either[String, String] = task.strategy.executor match {
+        case "process" =>
+          task.strategy.config.get("cmd")
+            .orElse(task.strategy.config.get("command").flatMap(commandRegistry.get))
+            .toRight(s"unknown command '${task.strategy.config.getOrElse("command", "")}'")
+        case "docker" => dockerCommand(task)
+        case other => Left(s"unknown executor '$other'")
+      }
+      if (cmdOrErr.isLeft)
+        return result(-1, cmdOrErr.swap.toOption.get, 0)
+      val cmd = cmdOrErr.toOption
 
       // X7 workspace (fresh per attempt — wipe any stale retry leftovers)
       deleteRecursively(ws)
@@ -204,10 +243,21 @@ object Execute {
       val finished = proc.waitFor(task.timeout_s, TimeUnit.SECONDS)
       if (!finished) {
         killTree()
+        // killing the CLI client does not stop the daemon-side
+        // container — send the reference's SIGKILL through the daemon
+        // too (executor_docker.go:84, 219-221), best-effort
+        if (isDocker) {
+          val kill = new ProcessBuilder("/bin/sh", "-c",
+            s"docker kill graft_${task.task_hash} >/dev/null 2>&1 || true")
+          kill.environment().putAll(env)
+          kill.start().waitFor(10, TimeUnit.SECONDS)
+        }
         return result(-1, s"timeout after ${task.timeout_s}s", 0)
       }
       val exit = proc.exitValue()
       killTree() // reap any daemonized leftovers even on normal exit
+      if (exit == 127 && isDocker)
+        return result(exit, "docker binary not found (exit 127)", 0)
       if (exit != 0)
         return result(exit, s"process exited $exit", 0)
 

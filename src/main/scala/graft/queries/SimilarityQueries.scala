@@ -96,8 +96,48 @@ object SimilarityQueries {
       Similarity.nearDupPairs(corpus, threshold = 0.999, blockDims = 16)
     },
 
-    // ── Sign-LSH ANN: approximate scale path (recall-checked in spec) ──
-    Q.rowsOnly("ann_lsh_topk") { (s, dir) =>
+    // ── Sign-LSH ANN: approximate scale path, fully oracle-bound ──────
+    // The hyperplanes are DETERMINISTIC literals (parity of the first
+    // hex digit of sha256("table:plane:dim")), so DuckDB recomputes the
+    // exact buckets, candidate set, and ranking — the approximation is
+    // shared, the check is value-level. Recall vs brute force is pinned
+    // separately in SimilaritySpec.
+    Q(
+      "ann_lsh_topk",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |planes AS (
+        |  SELECT t.range AS t, p.range AS p,
+        |    list_transform(range(0, 64), j -> CASE WHEN
+        |        instr('13579bdf', substring(sha256(
+        |          t.range::VARCHAR || ':' || p.range::VARCHAR || ':' || j::VARCHAR), 1, 1)) > 0
+        |      THEN 1.0 ELSE -1.0 END) AS h
+        |  FROM range(0, 8) t, range(0, 5) p),
+        |cb AS (
+        |  SELECT e.vec_id, pl.t,
+        |    string_agg(CASE WHEN
+        |        list_sum(list_transform(range(1, 65), j -> e.v[j] * pl.h[j])) >= 0
+        |      THEN '1' ELSE '0' END, '' ORDER BY pl.p) AS bucket
+        |  FROM e, planes pl GROUP BY e.vec_id, pl.t),
+        |qb AS (
+        |  SELECT q.query_id, pl.t,
+        |    string_agg(CASE WHEN
+        |        list_sum(list_transform(range(1, 65), j -> q.qv[j] * pl.h[j])) >= 0
+        |      THEN '1' ELSE '0' END, '' ORDER BY pl.p) AS bucket
+        |  FROM q, planes pl GROUP BY q.query_id, pl.t),
+        |cand AS (
+        |  SELECT DISTINCT qb.query_id, cb.vec_id
+        |  FROM qb JOIN cb ON cb.t = qb.t AND cb.bucket = qb.bucket),
+        |scored AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    list_cosine_similarity(q.qv, e.v) AS score,
+        |    row_number() OVER (PARTITION BY c.query_id
+        |      ORDER BY list_cosine_similarity(q.qv, e.v) DESC, c.vec_id) AS rank
+        |  FROM cand c
+        |  JOIN q ON q.query_id = c.query_id
+        |  JOIN e ON e.vec_id = c.vec_id)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
+        |FROM scored WHERE rank <= 10""".stripMargin) { (s, dir) =>
       val e = emb(s, dir)
       Similarity.lshTopK(e.filter(col("vec_id") < 5), e, k = 10)
     })

@@ -82,7 +82,7 @@ class ExecuteSpec extends SparkSpec {
     val (obj, work) = freshDirs()
     assert(Execute.executeOne(mkTask("file:///x", "true", hooks = "nope"), obj, work)
       .error.contains("unknown hooks"))
-    assert(Execute.executeOne(mkTask("file:///x", "true", executor = "docker"), obj, work)
+    assert(Execute.executeOne(mkTask("file:///x", "true", executor = "podman"), obj, work)
       .error.contains("unknown executor"))
     val noCmd = mkTask("file:///x", "true").copy(
       strategy = ExecutionStrategy("process", Map("command" -> "no_such")))
@@ -267,6 +267,91 @@ class ExecuteSpec extends SparkSpec {
     assert(manifests.count() == 4)
     // replan after completion: nothing new (D3 against task_done)
     assert(Plan.run(spark, store) == 0)
+  }
+
+  /** A minimal `docker` CLI stand-in (the daemon isn't in this
+    * container): parses the exact `docker run --rm --name N -v a:/in
+    * -v b:/out [-e K]... IMAGE` line dockerCommand builds, "runs" the
+    * known test image by copying /in to /out and writing a manifest,
+    * and fails with docker's own exit 125 for unknown images. */
+  private def dockerShimPath(): String = {
+    val dir = Files.createTempDirectory("graft_docker_shim")
+    val script = dir.resolve("docker")
+    Files.writeString(script,
+      """#!/bin/sh
+        |[ "$1" = "run" ] || { echo "unsupported subcommand: $1" >&2; exit 64; }
+        |shift
+        |IN= OUT= IMG= NAME=
+        |while [ $# -gt 0 ]; do
+        |  case "$1" in
+        |    --rm) ;;
+        |    --name) shift; NAME=$1 ;;
+        |    -v) shift
+        |        case "$1" in
+        |          *:/in) IN=${1%:/in} ;;
+        |          *:/out) OUT=${1%:/out} ;;
+        |        esac ;;
+        |    -e) shift ;;
+        |    *) IMG=$1 ;;
+        |  esac
+        |  shift
+        |done
+        |case "$IMG" in
+        |  graft/test-image)
+        |    cp -r "$IN/." "$OUT/" &&
+        |    printf 'MPD:%s\n' "$NAME" > "$OUT/manifest.mpd"
+        |    ;;
+        |  *) echo "Unable to find image '$IMG' locally" >&2; exit 125 ;;
+        |esac
+        |""".stripMargin)
+    script.toFile.setExecutable(true)
+    dir.toString
+  }
+
+  private def dockerTask(image: String, pathDirs: String): graft.core.Task = {
+    val t = mkTask(s"file://${FixtureTree.root}/video/b.mov", "unused")
+    t.copy(strategy = ExecutionStrategy("docker",
+      (if (image.isEmpty) Map.empty[String, String] else Map("image" -> image)) +
+        ("env" -> s"PATH=$pathDirs")))
+  }
+
+  test("docker executor: container run via CLI, workspace bind semantics, named by task hash") {
+    FixtureTree.ensure()
+    val (obj, work) = freshDirs()
+    val shim = dockerShimPath()
+    val t = dockerTask("graft/test-image", s"$shim:/usr/bin:/bin")
+    val r = Execute.executeOne(t, obj, work)
+    assert(r.error == null && r.exit_code == 0, s"docker run failed: ${r.error}")
+    // /in → /out copy-through proves the bind-mount plumbing
+    val copied = Paths.get(obj).resolve(s"mirror/${t.output.key}b.mov")
+    assert(Files.exists(copied))
+    // container name is the reference's task-hash identity key
+    val manifest = Paths.get(obj).resolve(s"mirror/${t.output.key}manifest.mpd")
+    assert(new String(Files.readAllBytes(manifest)).trim == s"MPD:graft_${t.task_hash}")
+  }
+
+  test("docker executor: unknown image is a DLQ error (docker's own exit code)") {
+    FixtureTree.ensure()
+    val (obj, work) = freshDirs()
+    val shim = dockerShimPath()
+    val r = Execute.executeOne(dockerTask("graft/no-such-image", s"$shim:/usr/bin:/bin"), obj, work)
+    assert(r.exit_code == 125 && r.error.contains("exited 125"))
+  }
+
+  test("docker executor: missing image config and missing binary are DLQ errors") {
+    FixtureTree.ensure()
+    val (obj, work) = freshDirs()
+    val noImage = Execute.executeOne(dockerTask("", "/usr/bin:/bin"), obj, work)
+    assert(noImage.error == "invalid configuration: no image specified")
+    // PATH without any docker → explicit binary-missing DLQ row
+    val noBinary = Execute.executeOne(
+      dockerTask("graft/test-image", "/var/empty"), obj, work)
+    assert(noBinary.error.contains("docker binary not found"))
+    // untrusted queue row: shell metacharacters in the image ref are
+    // rejected before any command line is built
+    val injected = Execute.executeOne(
+      dockerTask("img; rm -rf /tmp/x", "/usr/bin:/bin"), obj, work)
+    assert(injected.error.contains("invalid image reference"))
   }
 
   test("queue swap: rename failure throws even with a stale queue present") {
