@@ -360,7 +360,12 @@ object Execute {
     * successes → task_done, failures → dlq (with error), leave the rest
     * queued. Returns (done, failed). */
   def run(spark: SparkSession, store: Store, objectRoot: String,
-      batchSize: Int = Int.MaxValue): (Long, Long) = {
+      batchSize: Int = Int.MaxValue): (Long, Long) =
+    // the snapshot→execute→swap below REWRITES task_queue: a planner
+    // append landing inside the window would be dropped by the rewrite,
+    // so the whole drain holds the queue lock (see StoreLock)
+    graft.store.StoreLock.withLock(spark, store, "task_queue",
+      timeoutMs = 600000) {
     val taskSchema = Encoders.product[Task].schema
     val queue = Store.readOrEmpty(spark, store.taskQueue, taskSchema)
     // K7/T2 idempotence: a crash between the done-append and the queue
@@ -408,7 +413,7 @@ object Execute {
 
     results.unpersist()
     (nOk, nTasks - nOk)
-  }
+    }
 
   /** Publish the freshly-written queue at its table path. Throws on ANY
     * swap anomaly — a silent failure here would leave a stale queue in

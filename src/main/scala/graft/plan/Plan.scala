@@ -42,15 +42,19 @@ object Plan {
       .select(tasks.columns.map(col): _*) // stable column order across appends
   }
 
-  /** Fan out un-planned resources into task_queue; returns tasks added. */
+  /** Fan out un-planned resources into task_queue; returns tasks added.
+    * The plan-and-append runs under the queue lock: an append landing
+    * inside a concurrent batch drain's snapshot→swap window would be
+    * silently dropped by the queue rewrite (see StoreLock). */
   def run(spark: SparkSession, store: Store,
       templates: Seq[TemplateDef] = Templates.registry,
-      cfg: Templates.PlanConfig = Templates.PlanConfig()): Long = {
-    val resources = Store.readOrEmpty(spark, store.resourceIndex, Ingest.resourceSchema)
-    val fresh = freshTasks(spark, resources, store, templates, cfg)
-    // count via the written table so the number reflects what landed
-    val before = hashOnly(spark, store.taskQueue).count()
-    Store.append(fresh, store.taskQueue)
-    hashOnly(spark, store.taskQueue).count() - before
-  }
+      cfg: Templates.PlanConfig = Templates.PlanConfig()): Long =
+    graft.store.StoreLock.withLock(spark, store, "task_queue") {
+      val resources = Store.readOrEmpty(spark, store.resourceIndex, Ingest.resourceSchema)
+      val fresh = freshTasks(spark, resources, store, templates, cfg)
+      // count via the written table so the number reflects what landed
+      val before = hashOnly(spark, store.taskQueue).count()
+      Store.append(fresh, store.taskQueue)
+      hashOnly(spark, store.taskQueue).count() - before
+    }
 }

@@ -27,6 +27,57 @@ final case class Store(root: String) {
   val metadata: String = s"$root/metadata"
 }
 
+/** Advisory exclusive lock on a store table, held as an atomically
+  * created lock FILE under the store root. Guards the one genuinely
+  * destructive section in the engine — the batch drain's
+  * read-snapshot → execute → queue-swap in Execute.run — against
+  * concurrent queue APPENDS (Plan.run / planStream): an append landing
+  * between the snapshot and the swap would be silently dropped by the
+  * rewrite (lost update), so both sides serialize on this lock.
+  * Local/HDFS `create(overwrite=false)` is atomic; object stores
+  * without atomic create want a real coordination service (or Delta's
+  * ACID log) behind this same seam. A crash can leave the file behind —
+  * the timeout error names it for manual removal (same operational
+  * contract as any advisory lock file). */
+object StoreLock {
+  def withLock[T](spark: SparkSession, store: Store, table: String,
+      timeoutMs: Long = 60000)(body: => T): T = {
+    val p = new org.apache.hadoop.fs.Path(s"${store.root}/.lock_$table")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val deadline = System.currentTimeMillis() + timeoutMs
+    // Hadoop's LOCAL create(overwrite=false) is check-then-create (not
+    // atomic — concurrent creators all pass the exists check), so the
+    // file:// path uses NIO's O_CREAT|O_EXCL instead; HDFS enforces
+    // no-overwrite atomically namenode-side via the Hadoop call.
+    def tryAcquire(): Boolean =
+      if (fs.getScheme == "file") {
+        try {
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(p.toUri.getPath))
+          java.nio.file.Files.write(java.nio.file.Paths.get(p.toUri.getPath),
+            s"pid=${ProcessHandle.current().pid()}\n".getBytes)
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        try {
+          val out = fs.create(p, false)
+          out.writeBytes(s"pid=${ProcessHandle.current().pid()}\n")
+          out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      }
+    while (!tryAcquire()) {
+      if (System.currentTimeMillis() > deadline)
+        throw new IllegalStateException(
+          s"could not acquire '$table' lock at $p within ${timeoutMs}ms — " +
+            "held by a live writer, or stale after a crash (delete the file to recover)")
+      Thread.sleep(100)
+    }
+    try body
+    finally { fs.delete(p, false); () }
+  }
+}
+
 object Store {
 
   /** Read a parquet table, or an empty frame with the given schema when

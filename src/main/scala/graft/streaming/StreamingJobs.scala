@@ -179,10 +179,14 @@ object StreamingJobs {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // same planning core as the batch job — identical task
-        // identities for identical resources, whichever planner runs
-        Store.append(
-          graft.plan.Plan.freshTasks(batch.sparkSession, batch, store, templates, cfg),
-          store.taskQueue)
+        // identities for identical resources, whichever planner runs;
+        // the append takes the queue lock so it can't be dropped by a
+        // concurrent batch drain's queue rewrite (see StoreLock)
+        graft.store.StoreLock.withLock(batch.sparkSession, store, "task_queue") {
+          Store.append(
+            graft.plan.Plan.freshTasks(batch.sparkSession, batch, store, templates, cfg),
+            store.taskQueue)
+        }
         ()
       }
       .start()
