@@ -1,12 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for cosine similarity over two
   * `array<double>` columns — the hot scalar of the similarity-search
@@ -80,6 +81,95 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused sign-LSH bucketing: all `tables × planes` hyperplane dot
+  * products of one vector in a single primitive loop. The hyperplanes
+  * are the same deterministic sha256-parity literals as
+  * graft.sim.Similarity.hyperplane (component j of plane p in table t =
+  * +1 iff the first hex digit of sha256("t:p:j") is odd), cached per
+  * (tables, planes, dim). The composed HOF form (one interpreted
+  * aggregate+zip_with dot per plane — 40 walks/row at the defaults) is
+  * kept in Similarity as the reference form; SimilaritySpec pins the
+  * equivalence. Dots accumulate left-to-right in f64, matching both the
+  * HOF fold and the DuckDB oracle's list_sum. */
+object SimKernels {
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+
+  private def planesFor(tables: Int, planes: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((tables, planes, dim), { _ =>
+      val out = new Array[Array[Double]](tables * planes)
+      var t = 0
+      while (t < tables) {
+        var p = 0
+        while (p < planes) {
+          out(t * planes + p) = Array.tabulate(dim) { j =>
+            val h = graft.core.Hashing.sha256Hex(s"$t:$p:$j")
+            if ((Integer.parseInt(h.substring(0, 1), 16) & 1) == 1) 1.0 else -1.0
+          }
+          p += 1
+        }
+        t += 1
+      }
+      out
+    })
+
+  def lshBuckets(vec: ArrayData, tables: Int, planes: Int, dim: Int): ArrayData = {
+    val hp = planesFor(tables, planes, dim)
+    val n = math.min(dim, vec.numElements()) // zip_with truncation semantics
+    val out = new Array[AnyRef](tables)
+    val sb = new java.lang.StringBuilder(planes)
+    var t = 0
+    while (t < tables) {
+      sb.setLength(0)
+      var p = 0
+      while (p < planes) {
+        val h = hp(t * planes + p)
+        var dot = 0.0
+        var j = 0
+        while (j < n) { dot += vec.getDouble(j) * h(j); j += 1 }
+        sb.append(if (dot >= 0) '1' else '0')
+        p += 1
+      }
+      out(t) = UTF8String.fromString(sb.toString)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_lsh_buckets(vec, tables, planes, dim)` → `array<string>` of
+  * one sign-bit bucket id per table. */
+case class LshBuckets(child: Expression, tables: Int, planes: Int, dim: Int)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_lsh_buckets"
+
+  override protected def nullSafeEval(v: Any): Any =
+    SimKernels.lshBuckets(v.asInstanceOf[ArrayData], tables, planes, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.SimKernels.lshBuckets($v, $tables, $planes, $dim);")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+    copy(child = newChild)
+}
+
+object LshBuckets {
+  private[functions] def fromArgs(args: Seq[Expression]): LshBuckets = {
+    require(args.length == 4, s"graft_lsh_buckets expects 4 args, got ${args.length}")
+    def intArg(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, t) if t == org.apache.spark.sql.types.IntegerType => v
+      case other => throw new IllegalArgumentException(
+        s"graft_lsh_buckets $what must be an int literal, got $other")
+    }
+    LshBuckets(Cast(args.head, ArrayType(DoubleType)),
+      intArg(args(1), "tables"), intArg(args(2), "planes"), intArg(args(3), "dim"))
+  }
+}
+
 /** Registration: both the SparkSessionExtensions hook (for
   * `spark.sql.extensions=graft.functions.GraftExtensions`) and an
   * idempotent per-session registrar for sessions built without it. */
@@ -117,8 +207,14 @@ object GraftFunctions {
     new ExpressionInfo(classOf[ShingleJaccard].getName, "graft_shingle_jaccard"),
     ShingleJaccard.fromArgs _)
 
+  val lshBucketsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_lsh_buckets"),
+    new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
+    LshBuckets.fromArgs _)
+
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq(cosineDescriptor, tokenHitsDescriptor, minhashBandsDescriptor, shingleJaccardDescriptor)
+    Seq(cosineDescriptor, tokenHitsDescriptor, minhashBandsDescriptor,
+      shingleJaccardDescriptor, lshBucketsDescriptor)
 
   /** Idempotent registration into an existing session. */
   def register(spark: SparkSession): Unit =
@@ -142,4 +238,10 @@ object GraftFunctions {
   def shingleJaccard(a: Column, b: Column, n: Int): Column =
     call_function("graft_shingle_jaccard", a, b,
       org.apache.spark.sql.functions.lit(n))
+
+  def lshBuckets(vec: Column, tables: Int, planes: Int, dim: Int): Column =
+    call_function("graft_lsh_buckets", vec,
+      org.apache.spark.sql.functions.lit(tables),
+      org.apache.spark.sql.functions.lit(planes),
+      org.apache.spark.sql.functions.lit(dim))
 }

@@ -193,26 +193,41 @@ object Similarity {
 
   /** Multi-table sign-LSH ANN: candidates = corpus rows sharing any
     * table's bucket with the query, ranked exactly. Approximate —
-    * recall is checked against bruteForceTopK in SimilaritySpec.
-    * Defaults (8 tables × 5 planes = 32 buckets/table) are tuned for
-    * near-orthogonal random embeddings where true neighbors sit at low
-    * cosine: candidate sets ~25% of the corpus per query. Clustered
-    * real-world embeddings tolerate more planes/fewer tables. */
+    * recall is checked against bruteForceTopK in SimilaritySpec; the
+    * buckets themselves are deterministic, so the whole query is also
+    * oracle-bound (ann_lsh_topk). Defaults (8 tables × 5 planes = 32
+    * buckets/table) are tuned for near-orthogonal random embeddings
+    * where true neighbors sit at low cosine: candidate sets ~25% of the
+    * corpus per query. Clustered real-world embeddings tolerate more
+    * planes/fewer tables.
+    *
+    * Plan shape at scale: one fused-kernel pass per row computes all
+    * table buckets (graft_lsh_buckets — the per-plane HOF dot form ran
+    * 40 interpreted walks/row), the bucket join carries only
+    * (id, tbl, bucket) scalars with the |Q|×tables query side
+    * broadcast, and embeddings re-attach only to the candidate set —
+    * no shuffle exchange anywhere carries an embedding array (pinned by
+    * PlanAuditSpec). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       tables: Int = 8, planes: Int = 5, dim: Int = 64): DataFrame = {
-    def withBuckets(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
-      val e = asDouble(col("embedding"))
-      df.select(col("vec_id").as(idAs), e.as(vecAs),
-        explode(array((0 until tables).map(t =>
-          struct(lit(t).as("tbl"), lshBucket(e, t, planes, dim).as("bucket"))): _*)).as("tb"))
-        .select(col(idAs), col(vecAs), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    }
-    val qb = withBuckets(queries, "query_id", "qe")
-    val cb = withBuckets(corpus, "vec_id", "ce")
-    val candidates = qb.join(cb, Seq("tbl", "bucket"))
-      .select(col("query_id"), col("qe"), col("vec_id"), col("ce"))
+    GraftFunctions.register(corpus.sparkSession)
+    def buckets(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs),
+        posexplode(GraftFunctions.lshBuckets(col("embedding"), tables, planes, dim))
+          .as(Seq("tbl", "bucket")))
+    val cand = buckets(corpus, "vec_id")
+      .join(broadcast(buckets(queries, "query_id")), Seq("tbl", "bucket"))
+      .select(col("query_id"), col("vec_id"))
       .dropDuplicates("query_id", "vec_id")
-    val scored = candidates
+    val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("ce"))
+    // candidate (query_id, vec_id) scalar pairs broadcast against the
+    // corpus — the corpus never shuffles; bounded by |Q| × the LSH
+    // collision fraction (small-|Q| serving; huge-|Q| batch rerank is a
+    // different operator)
+    val scored = c
+      .join(broadcast(cand), "vec_id")
+      .join(broadcast(q), "query_id")
       .select(col("query_id"), col("vec_id"),
         nativeCosine(corpus)(col("qe"), col("ce")).as("score"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))

@@ -62,20 +62,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
-  test("IVF plan: no shuffle exchange carries an embedding array") {
+  test("ANN plans: no shuffle exchange carries an embedding array") {
     // AQE off so the physical tree is inspectable without running it
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val df = SparkEntry.queries("ann_ivf_topk")(spark, sf("sf0.001"))
-      val shuffles = df.queryExecution.executedPlan.collect {
-        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      for (name <- Seq("ann_ivf_topk", "ann_lsh_topk", "ann_bruteforce_topk")) {
+        val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+        val shuffles = df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+        }
+        assert(shuffles.nonEmpty, s"$name: expected at least the top-k window exchange")
+        val offenders = shuffles.filter(
+          _.output.exists(_.dataType.catalogString.contains("array<")))
+        assert(offenders.isEmpty,
+          s"$name shuffle exchanges carry array columns:\n${offenders.mkString("\n\n")}")
       }
-      assert(shuffles.nonEmpty, "expected the top-k window exchange")
-      val offenders = shuffles.filter(
-        _.output.exists(_.dataType.catalogString.contains("array<")))
-      assert(offenders.isEmpty,
-        s"IVF shuffle exchanges carry array columns:\n${offenders.mkString("\n\n")}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 

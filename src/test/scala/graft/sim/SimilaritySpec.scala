@@ -31,6 +31,18 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.filter(col("query_id") === col("vec_id")).count() == queries.count())
   }
 
+  test("lshBuckets kernel ≡ per-plane HOF lshBucket reference form") {
+    graft.functions.GraftFunctions.register(spark)
+    val e64 = Similarity.asDouble(col("embedding"))
+    val composed = array((0 until 8).map(t =>
+      Similarity.lshBucket(e64, t, 5, 64)): _*)
+    val diff = e.limit(100).select(
+      graft.functions.GraftFunctions.lshBuckets(col("embedding"), 8, 5, 64).as("k"),
+      composed.as("c"))
+      .filter(col("k") =!= col("c"))
+    assert(diff.count() == 0)
+  }
+
   test("LSH candidate join is a hash join on (table, bucket), not cartesian") {
     val plan = Similarity.lshTopK(queries, e, k = 10)
       .queryExecution.executedPlan.toString
