@@ -19,6 +19,38 @@ object SimilarityQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** Shared by the in-memory and at-rest IVF queries — both must equal
+    * this DuckDB recomputation exactly (centroids = first 10 by id,
+    * structurally coupled to Similarity.initialCentroids via the
+    * ORDER BY vec_id LIMIT 10 CTE). */
+  private val IvfOracleSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 10),
+      |assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, cent.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.cid) AS rn
+      |    FROM e, cent) WHERE rn = 1),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |probes AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT q.qid, cent.cid,
+      |      row_number() OVER (PARTITION BY q.qid
+      |        ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC, cent.cid) AS rn
+      |    FROM q, cent) WHERE rn <= 3),
+      |scored AS (
+      |  SELECT p.qid AS query_id, a.vec_id,
+      |    list_cosine_similarity(q.qv, e.v) AS score,
+      |    row_number() OVER (PARTITION BY p.qid
+      |      ORDER BY list_cosine_similarity(q.qv, e.v) DESC, a.vec_id) AS rank
+      |  FROM probes p
+      |  JOIN assign a ON a.cid = p.cid
+      |  JOIN q ON q.qid = p.qid
+      |  JOIN e ON e.vec_id = a.vec_id)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
+      |FROM scored WHERE rank <= 10""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ── Brute-force cosine top-k: the exact baseline ───────────────────
@@ -41,35 +73,24 @@ object SimilarityQueries {
     // ── IVF top-k: the bucketed scale path, same exactness within cells ─
     Q(
       "ann_ivf_topk",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 10),
-        |assign AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT e.vec_id, cent.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.cid) AS rn
-        |    FROM e, cent) WHERE rn = 1),
-        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
-        |probes AS (
-        |  SELECT qid, cid FROM (
-        |    SELECT q.qid, cent.cid,
-        |      row_number() OVER (PARTITION BY q.qid
-        |        ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC, cent.cid) AS rn
-        |    FROM q, cent) WHERE rn <= 3),
-        |scored AS (
-        |  SELECT p.qid AS query_id, a.vec_id,
-        |    list_cosine_similarity(q.qv, e.v) AS score,
-        |    row_number() OVER (PARTITION BY p.qid
-        |      ORDER BY list_cosine_similarity(q.qv, e.v) DESC, a.vec_id) AS rank
-        |  FROM probes p
-        |  JOIN assign a ON a.cid = p.cid
-        |  JOIN q ON q.qid = p.qid
-        |  JOIN e ON e.vec_id = a.vec_id)
-        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
-        |FROM scored WHERE rank <= 10""".stripMargin) { (s, dir) =>
+      IvfOracleSql) { (s, dir) =>
       val e = emb(s, dir)
       Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, k = 10,
         numCentroids = 10, nProbe = 3)
+    },
+
+    // ── IVF against the written (cid-partitioned) index: identical
+    // results to the in-memory path — same oracle — with probing as
+    // partition pruning (SimilaritySpec pins the PartitionFilters) ────
+    Q(
+      "ann_ivf_index_topk",
+      IvfOracleSql) { (s, dir) =>
+      val e = emb(s, dir)
+      val cents = Similarity.initialCentroids(e, 10)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_index").toString
+      Similarity.writeIvfIndex(e, idx, cents)
+      Similarity.ivfTopKFromIndex(s, idx, e.filter(col("vec_id") < 5),
+        k = 10, cents, nProbe = 3)
     },
 
     // ── Embedding near-dup: sign-block + cosine threshold ──────────────

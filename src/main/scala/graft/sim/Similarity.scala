@@ -157,6 +157,41 @@ object Similarity {
     ivfTopKWith(queries, corpus, k, cents, nProbe)
   }
 
+  /** Materialize the corpus as an IVF-partitioned table: one parquet
+    * partition directory per cell (`cid=<n>/`). This is the at-rest
+    * form of the index the ivfTopK docs promise: the cell assignment is
+    * a write-once clustering key, and probing becomes PARTITION PRUNING
+    * — a 100 TB corpus with k=4096 cells and nProbe=32 reads <1% of its
+    * files, no filter evaluation, no shuffle. */
+  def writeIvfIndex(corpus: DataFrame, path: String, cents: Centroids): Unit =
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("cid", nearestCid(corpus, cents, col("e")))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+
+  /** IVF top-k against a written index: the probed cell ids become an
+    * `isin` literal filter on the partition column, so the scan prunes
+    * to nProbe directories before reading a byte (pinned by
+    * SimilaritySpec's PartitionFilters assertion). Results are
+    * identical to ivfTopKWith over the same centroids. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      queries: DataFrame, k: Int, cents: Centroids, nProbe: Int): DataFrame = {
+    val probes = queries
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+      .withColumn("cid", explode(probeCids(queries, cents, col("qe"), nProbe)))
+    // the probed cell set is index metadata (≤ |Q| × nProbe ≤ k ids) —
+    // collected so the scan sees a LITERAL partition predicate
+    val probedCells = probes.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cells = spark.read.parquet(indexPath)
+      .filter(col("cid").isin(probedCells: _*))
+    val scored = cells.join(broadcast(probes), "cid")
+      .select(col("query_id"), col("vec_id"),
+        nativeCosine(queries)(col("qe"), col("e")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "score")
+  }
+
   /** IVF search against an explicit (pre-built/pre-trained) centroid set. */
   def ivfTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
       cents: Centroids, nProbe: Int): DataFrame = {

@@ -78,6 +78,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"trained IVF recall@10 = $recall")
   }
 
+  test("IVF at-rest index: probing is partition pruning; results match the in-memory path") {
+    val cents = Similarity.initialCentroids(e, 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    Similarity.writeIvfIndex(e, dir, cents)
+    val fromIdx = Similarity.ivfTopKFromIndex(spark, dir, queries, k = 10, cents, nProbe = 3)
+    val inMem = Similarity.ivfTopKWith(queries, e, k = 10, cents, nProbe = 3)
+    assert(fromIdx.exceptAll(inMem).count() == 0 && inMem.exceptAll(fromIdx).count() == 0,
+      "index path diverges from in-memory IVF")
+    // the probed cells must reach the scan as a PARTITION filter — the
+    // whole point of the at-rest layout
+    fromIdx.collect()
+    val plan = fromIdx.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).isDefined,
+      s"probe set did not become a partition filter:\n$plan")
+  }
+
   test("near-dup blocking finds planted exact copies and nothing below threshold") {
     val corpus = e.select("vec_id", "embedding")
       .unionAll(e.filter(col("vec_id") < 20)
