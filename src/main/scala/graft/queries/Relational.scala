@@ -423,5 +423,32 @@ object Relational {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       monthly.select(col("l_suppkey"), col("month"),
         sum(col("month_qty")).over(w).as("running_qty"))
+    },
+
+    // ── Pivot: long → wide reshaping (groupBy().pivot().agg()) ──────────
+    // The pivoted column set is declared explicitly — at scale an
+    // implicit pivot would first run a distinct scan over the pivot
+    // column AND make the output schema data-dependent; with literal
+    // values it's a single partial+final hash agg with conditional
+    // sums, which is also exactly how the oracle expresses it.
+    Q(
+      "q25_pivot_status_by_flag",
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_f,
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_o,
+        |  CAST(count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+        |  CAST(count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS n_o
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot(col("l_linestatus"), Seq("F", "O"))
+        .agg(
+          round(sum(coalesce(col("l_quantity"), lit(0.0))), 2).as("qty"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          coalesce(col("F_qty"), lit(0.0)).as("qty_f"),
+          coalesce(col("O_qty"), lit(0.0)).as("qty_o"),
+          coalesce(col("F_n"), lit(0L)).as("n_f"),
+          coalesce(col("O_n"), lit(0L)).as("n_o"))
     })
 }

@@ -1,0 +1,95 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based kernel ≡ composed-form equivalence over adversarial
+  * inputs the fixtures never produce: consecutive/leading/trailing
+  * spaces (empty tokens!), unicode, single chars, empty strings, and
+  * arbitrary-sign vectors. The composed HOF forms are the executable
+  * spec; the kernels must match them on EVERY input, not just corpus
+  * text. scalatestplus-scalacheck isn't in the offline cache, so
+  * properties sample Gen directly with fixed seeds (reproducible) and
+  * batch all samples into one DataFrame per test. */
+class KernelPropertySpec extends SparkSpec {
+
+  // words incl. empty (consecutive-space artifacts), unicode, punctuation
+  private val word: Gen[String] = Gen.frequency(
+    4 -> Gen.alphaNumStr.map(_.take(6)),
+    2 -> Gen.oneOf("héllo", "wörld", "日本語", "a", "", "x.y", "-"),
+    1 -> Gen.const(""))
+  private val text: Gen[String] =
+    Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def composedHits(t: Column, lists: Seq[Seq[String]]): Column = {
+    val toks = split(t, " ", -1)
+    array((size(toks).cast("long") +: lists.map(l =>
+      size(filter(toks, x => array_contains(typedlit(l), x))).cast("long"))): _*)
+  }
+
+  private val memberLists = Seq(Seq("a", "héllo", ""), Seq("x.y", "-"))
+
+  test("property: tokenHits ≡ composed over 200 adversarial texts") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = samples(text, 200).toDF("t")
+    val diff = df.select(col("t"),
+      GraftFunctions.tokenHits(col("t"), memberLists).as("k"),
+      composedHits(col("t"), memberLists).as("c"))
+      .filter(col("k") =!= col("c"))
+    assert(diff.count() == 0, s"diverged on: ${diff.select("t").collect().mkString(", ")}")
+  }
+
+  test("property: minhashBands ≡ composed shingle→sign→band over adversarial texts") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // composed form has no short-doc guard — restrict to ≥2 tokens
+    val df = samples(text, 120).toDF("t")
+      .filter(size(split(col("t"), " ", -1)) >= 2)
+    val diff = df.select(col("t"),
+      GraftFunctions.minhashBands(col("t"), 2, 12, 4).as("k"),
+      Dedup.bandHashes(Dedup.minhashSignature(
+        Dedup.wordShingles(col("t"), 2), 12), 4, 3).as("c"))
+      .filter(col("k") =!= col("c"))
+    assert(diff.count() == 0, s"diverged on: ${diff.select("t").collect().mkString(", ")}")
+  }
+
+  test("property: shingleJaccard ≡ composed try_divide form over adversarial pairs") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = samples(Gen.zip(text, text), 150).toDF("a", "b")
+    def sh(c: Column) = Dedup.wordShingles(c)
+    val composed = try_divide(
+      size(array_intersect(sh(col("a")), sh(col("b")))).cast("double"),
+      size(array_union(sh(col("a")), sh(col("b")))))
+    val diff = df.select(col("a"), col("b"),
+      GraftFunctions.shingleJaccard(col("a"), col("b"), 2).as("k"),
+      composed.as("c"))
+      .filter((col("k").isNull =!= col("c").isNull) ||
+        (col("k").isNotNull && col("k") =!= col("c")))
+    assert(diff.count() == 0)
+  }
+
+  test("property: lshBuckets ≡ per-plane HOF form over arbitrary-sign vectors") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val vec: Gen[Seq[Double]] = Gen.listOfN(8,
+      Gen.oneOf(Gen.chooseNum(-5.0, 5.0), Gen.const(0.0))).map(_.toSeq)
+    val df = samples(vec, 150).toDF("embedding")
+    val e = graft.sim.Similarity.asDouble(col("embedding"))
+    val composed = array((0 until 4).map(t =>
+      graft.sim.Similarity.lshBucket(e, t, 3, 8)): _*)
+    val diff = df.select(
+      GraftFunctions.lshBuckets(col("embedding"), 4, 3, 8).as("k"),
+      composed.as("c"))
+      .filter(col("k") =!= col("c"))
+    assert(diff.count() == 0)
+  }
+}
