@@ -212,9 +212,14 @@ object GraftFunctions {
     new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
     LshBuckets.fromArgs _)
 
+  val shingleStatsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_shingle_stats"),
+    new ExpressionInfo(classOf[ShingleStats].getName, "graft_shingle_stats"),
+    ShingleStats.fromArgs _)
+
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(cosineDescriptor, tokenHitsDescriptor, minhashBandsDescriptor,
-      shingleJaccardDescriptor, lshBucketsDescriptor)
+      shingleJaccardDescriptor, lshBucketsDescriptor, shingleStatsDescriptor)
 
   /** Idempotent registration into an existing session. */
   def register(spark: SparkSession): Unit =
@@ -244,4 +249,8 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(tables),
       org.apache.spark.sql.functions.lit(planes),
       org.apache.spark.sql.functions.lit(dim))
+
+  def shingleStats(text: Column, n: Int): Column =
+    call_function("graft_shingle_stats", text,
+      org.apache.spark.sql.functions.lit(n))
 }

@@ -54,11 +54,10 @@ object TextKernels {
   }
 
   /** Distinct word n-gram shingle set of a single-space tokenization —
-    * shared by the LSH signature and Jaccard kernels; matches
-    * `array_distinct(transform(...))` in Dedup.wordShingles. Empty set
-    * for docs with fewer than n tokens. */
-  private def shingleSet(text: UTF8String, n: Int): JHashSet[String] = {
-    val toks = text.toString.split(" ", -1)
+    * shared by the LSH signature, Jaccard, and repetition kernels;
+    * matches `array_distinct(transform(...))` in Dedup.wordShingles.
+    * Empty set for docs with fewer than n tokens. */
+  private def shingleSetOf(toks: Array[String], n: Int): JHashSet[String] = {
     val shingles = new JHashSet[String](math.max(16, toks.length * 2))
     if (toks.length < n) return shingles
     val sb = new java.lang.StringBuilder(64)
@@ -75,6 +74,19 @@ object TextKernels {
       i += 1
     }
     shingles
+  }
+
+  private def shingleSet(text: UTF8String, n: Int): JHashSet[String] =
+    shingleSetOf(text.toString.split(" ", -1), n)
+
+  /** `[total_ngram_occurrences, distinct_ngrams]` in one pass — the
+    * within-document repetition signal (Gopher-style duplicate n-gram
+    * fraction = 1 − distinct/total). [0, 0] for docs with < n tokens. */
+  def shingleStats(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val total = math.max(toks.length - n + 1, 0).toLong
+    if (total == 0L) return new GenericArrayData(Array(0L, 0L))
+    new GenericArrayData(Array(total, shingleSetOf(toks, n).size.toLong))
   }
 
   /** Word-shingle Jaccard of two texts in one fused pass — the LSH
@@ -277,6 +289,37 @@ object ShingleJaccard {
       case Literal(v: Int, IntegerType) => ShingleJaccard(args.head, args(1), v)
       case other => throw new IllegalArgumentException(
         s"graft_shingle_jaccard n must be an int literal, got $other")
+    }
+  }
+}
+
+/** `graft_shingle_stats(text, n)` → `array<bigint>` of
+  * [total_ngram_occurrences, distinct_ngrams]. */
+case class ShingleStats(child: Expression, n: Int)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_shingle_stats"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.shingleStats(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextKernels.shingleStats($t, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStats =
+    copy(child = newChild)
+}
+
+object ShingleStats {
+  private[functions] def fromArgs(args: Seq[Expression]): ShingleStats = {
+    require(args.length == 2, s"graft_shingle_stats expects 2 args, got ${args.length}")
+    args(1) match {
+      case Literal(v: Int, IntegerType) => ShingleStats(args.head, v)
+      case other => throw new IllegalArgumentException(
+        s"graft_shingle_stats n must be an int literal, got $other")
     }
   }
 }

@@ -78,5 +78,70 @@ object TextQueries {
         col("doc_id"),
         TextOps.exactFingerprint(col("text")).as("exact_fp"),
         TextOps.rollingFingerprint(col("text")).as("rolling_fp"))
+    },
+
+    // ── Within-document repetition (Gopher-style duplicate-n-gram
+    // fraction). The fixture corpus carries natural bigram repeats;
+    // self-concatenated mutants are planted for a strong high-repetition
+    // signal (dup_fraction ≈ 0.5), identically on both engines. ────────
+    Q(
+      "text_repetition",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text || ' ' || text
+        |  FROM documents WHERE doc_id < 25),
+        |tok AS (SELECT doc_id, str_split(text, ' ') AS w FROM corpus),
+        |st AS (SELECT doc_id,
+        |         greatest(len(w) - 1, 0) AS total,
+        |         CASE WHEN len(w) >= 2 THEN
+        |           len(list_distinct(list_transform(range(1, len(w)),
+        |             i -> w[i] || ' ' || w[i+1])))
+        |         ELSE 0 END AS dist
+        |       FROM tok)
+        |SELECT doc_id,
+        |  CAST(total AS BIGINT) AS total_ngrams,
+        |  CAST(dist AS BIGINT) AS distinct_ngrams,
+        |  CASE WHEN total > 0 THEN 1.0 - CAST(dist AS DOUBLE) / total
+        |       ELSE 0.0 END AS dup_fraction
+        |FROM st""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val corpus = d.unionAll(d.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat_ws(" ", col("text"), col("text")).as("text")))
+      val st = TextOps.shingleStats(col("text"))
+      corpus.select(
+        col("doc_id"),
+        element_at(st, 1).as("total_ngrams"),
+        element_at(st, 2).as("distinct_ngrams"),
+        TextOps.duplicateNgramFraction(col("text")).as("dup_fraction"))
+    },
+
+    // ── Contact/link pattern counts (C4-style PII & boilerplate
+    // signals). The fixture has no emails/URLs, so mutants with one of
+    // each are planted identically on both engines. ────────────────────
+    Q(
+      "text_patterns",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 400000,
+        |         text || ' contact user' || doc_id ||
+        |         '@example.com or https://example.org/doc/' || doc_id
+        |  FROM documents WHERE doc_id < 25)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls
+        |FROM corpus""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val corpus = d.unionAll(d.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or https://example.org/doc/"), col("doc_id")).as("text")))
+      corpus.select(
+        col("doc_id"),
+        TextOps.emailCount(col("text")).as("n_emails"),
+        TextOps.urlCount(col("text")).as("n_urls"))
     })
 }

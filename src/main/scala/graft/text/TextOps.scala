@@ -119,6 +119,36 @@ object TextOps {
 
   def langId(text: Column): Column = langIdFrom(tokenStats(text))
 
+  /** `[total_ngram_occurrences, distinct_ngrams]` in one kernel pass
+    * (graft.functions.ShingleStats). */
+  def shingleStats(text: Column, n: Int = 2): Column =
+    graft.functions.GraftFunctions.shingleStats(text, n)
+
+  /** Within-document repetition: the fraction of n-gram OCCURRENCES
+    * that are repeats of an earlier n-gram (1 − distinct/total) — the
+    * Gopher-style duplicate-n-gram quality filter. 0.0 for docs with
+    * fewer than n tokens. */
+  def duplicateNgramFraction(text: Column, n: Int = 2): Column = {
+    val st = shingleStats(text, n)
+    val total = element_at(st, 1)
+    when(total > 0,
+      lit(1.0) - element_at(st, 2).cast("double") / total)
+      .otherwise(lit(0.0))
+  }
+
+  /** Contact/link pattern counts — the C4-style signals for PII
+    * scrubbing and boilerplate detection. Patterns stay inside the
+    * RE2-compatible subset so the DuckDB oracle recomputes them
+    * identically (no backreferences, no lookaround). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^ ]+"
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long")
+
+  def urlCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(UrlPattern), lit(0))).cast("long")
+
   /** Document fingerprint: the minimum md5 over the sliding char
     * 8-grams (winnowing-style rolling-hash fingerprint, robust to
     * local edits), alongside md5(text) as the exact fingerprint. */

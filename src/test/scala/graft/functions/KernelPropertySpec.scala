@@ -77,6 +77,19 @@ class KernelPropertySpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("property: shingleStats ≡ composed split/wordShingles counts over adversarial texts") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = samples(text, 200).toDF("t")
+    val composed = array(
+      greatest(size(split(col("t"), " ", -1)) - 1, lit(0)).cast("long"),
+      size(Dedup.wordShingles(col("t"), 2)).cast("long"))
+    val diff = df.select(col("t"),
+      GraftFunctions.shingleStats(col("t"), 2).as("k"), composed.as("c"))
+      .filter(col("k") =!= col("c"))
+    assert(diff.count() == 0, s"diverged on: ${diff.select("t").collect().mkString(", ")}")
+  }
+
   test("property: lshBuckets ≡ per-plane HOF form over arbitrary-sign vectors") {
     GraftFunctions.register(spark)
     import spark.implicits._
