@@ -76,6 +76,34 @@ object Multimodal {
     df.join(meta, "doc_id")
   }
 
+  /** One media record's stub feature vector (doc_id, per-dim rows via
+    * posexplode downstream). */
+  final case class MediaFeatures(doc_id: Long, features: Seq[Double])
+
+  /** STUB feature extraction (the brief's feature-extract step): a
+    * real implementation batches these bytes through an embedding
+    * model right here — same seam, same batch shape as decodeBatch.
+    * The stub derives dim hex-pair bytes of the sha256 normalized to
+    * [0,1], so the oracle re-derives every component. */
+  def extractFeaturesBatch(batch: Seq[MediaIn], dim: Int): Seq[MediaFeatures] = {
+    require(dim >= 1 && dim <= 32, s"stub features take dim in [1,32], got $dim")
+    batch.map { m =>
+      val h = graft.core.Hashing.sha256HexBytes(m.content)
+      val f = Array.tabulate(dim) { j =>
+        (hexVal(h.charAt(2 * j)) * 16 + hexVal(h.charAt(2 * j + 1))) / 255.0
+      }
+      MediaFeatures(m.doc_id, f.toSeq)
+    }
+  }
+
+  /** Feature extraction over a binary Dataset, partition-batched like
+    * decode (the vectorized-UDF shape an embedding model needs). */
+  def extractFeatures(ds: Dataset[MediaIn], dim: Int = 8,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(g => extractFeaturesBatch(g.toSeq, dim)))
+  }
+
   /** Frame sampling: one row per sampled frame, frame count derived
     * (stub) from the content hash, frame id = hash(content, idx). The
     * explode is bounded (≤ maxFrames) so the fan-out is predictable. */

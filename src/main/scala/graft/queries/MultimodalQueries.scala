@@ -65,6 +65,23 @@ object MultimodalQueries {
       Multimodal.resizeMeta(Multimodal.withMetadata(mediaDocs(s, dir)), maxDim = 256)
     },
 
+    // ── Feature extraction: batched stub-embedding over binary content,
+    // exploded to (doc_id, dim_idx, value) scalar rows so the oracle
+    // value-checks every component ─────────────────────────────────────
+    Q(
+      "multimodal_features",
+      s"""SELECT doc_id, CAST(f.j AS BIGINT) AS dim_idx,
+         |  (${hexValSql("substring(sha256(text), 1 + 2 * f.j, 1)")} * 16
+         |   + ${hexValSql("substring(sha256(text), 2 + 2 * f.j, 1)")}) / 255.0 AS value
+         |FROM documents,
+         |  LATERAL (SELECT unnest(range(0, 8)) AS j) f""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Multimodal.extractFeatures(mediaDocs(s, dir).as[Multimodal.MediaIn], dim = 8)
+        .toDF()
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("dim_idx", "value")))
+        .select(col("doc_id"), col("dim_idx").cast("long").as("dim_idx"), col("value"))
+    },
+
     // ── Binary scan: binaryFile source over the fixture object tree ────
     Q(
       "multimodal_binary_scan",
