@@ -68,7 +68,9 @@ object Cli {
       val q = StreamingJobs.planStream(spark, store, ckpt, trigger)
       val hook = sys.addShutdownHook { if (q.isActive) q.stop() }
       q.awaitTermination()
-      hook.remove()
+      // remove() throws IllegalStateException if the JVM is ALREADY shutting
+      // down (i.e. the hook itself stopped the query) — that path is fine
+      scala.util.Try(hook.remove())
       val queued = tableCount(spark, store.taskQueue)
       s"""{"cmd":"plan-stream","continuous":$continuous,"task_queue":$queued}"""
 
@@ -94,7 +96,9 @@ object Cli {
       // (cmd/util.go:110-115's done-channel, Spark-shaped).
       val hook = sys.addShutdownHook { if (q.isActive) q.stop() }
       q.awaitTermination()
-      hook.remove()
+      // remove() throws IllegalStateException if the JVM is ALREADY shutting
+      // down (i.e. the hook itself stopped the query) — that path is fine
+      scala.util.Try(hook.remove())
       val done = tableCount(spark, store.taskDone)
       s"""{"cmd":"execute-stream","continuous":$continuous,"task_done":$done}"""
 

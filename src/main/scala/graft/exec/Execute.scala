@@ -86,6 +86,21 @@ object Execute {
     * shell line. */
   private val ImageRef = "^[A-Za-z0-9][A-Za-z0-9._/:@-]*$"
 
+  /** Is a `docker` executable reachable on the PATH the task will run
+    * with (its config env overrides the inherited one)? Checked
+    * JVM-side so a missing client is an unambiguous DLQ error — exit
+    * codes can't distinguish it, since `docker run` also propagates the
+    * CONTAINER's own 127 for a missing entrypoint. */
+  private def dockerOnPath(task: Task): Boolean = {
+    val path = Hashing.envStrToSeq(task.strategy.config.getOrElse("env", ""))
+      .find(_.startsWith("PATH="))
+      .map(_.stripPrefix("PATH="))
+      .orElse(Option(System.getenv("PATH")))
+      .getOrElse("")
+    path.split(':').exists(d =>
+      d.nonEmpty && Files.isExecutable(Paths.get(d, "docker")))
+  }
+
   private[exec] def dockerCommand(task: Task): Either[String, String] =
     task.strategy.config.get("image").filter(_.nonEmpty) match {
       case None => Left("invalid configuration: no image specified")
@@ -94,15 +109,20 @@ object Execute {
       case Some(img) =>
         val envKeys = Hashing.envStrToSeq(task.strategy.config.getOrElse("env", ""))
           .map(_.takeWhile(_ != '='))
-          .filter(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
-        // -e KEY forwards the value from the process environment, where
-        // the executor already exported every config env entry
-        val envFlags = envKeys.map(k => s"-e $k ").mkString
-        Right(
-          "command -v docker >/dev/null 2>&1 || exit 127; " +
+        val badKey = envKeys.find(!_.matches("[A-Za-z_][A-Za-z0-9_]*"))
+        if (badKey.isDefined)
+          Left(s"invalid env key '${badKey.get}'") // DLQ, never silently dropped
+        else if (!dockerOnPath(task))
+          Left("docker binary not found on PATH")
+        else {
+          // -e KEY forwards the value from the process environment,
+          // where the executor already exported every config env entry
+          val envFlags = envKeys.map(k => s"-e $k ").mkString
+          Right(
             "docker run --rm --name \"graft_$TASK_HASH\" " +
-            "-v \"$TASK_INPUT_DIR\":/in -v \"$TASK_OUTPUT_DIR\":/out " +
-            envFlags + img)
+              "-v \"$TASK_INPUT_DIR\":/in -v \"$TASK_OUTPUT_DIR\":/out " +
+              envFlags + img)
+        }
     }
 
   private def deleteRecursively(p: Path): Unit = {
@@ -247,8 +267,11 @@ object Execute {
         // container — send the reference's SIGKILL through the daemon
         // too (executor_docker.go:84, 219-221), best-effort
         if (isDocker) {
+          // container name comes from the ENVIRONMENT, never
+          // interpolated into the shell line — task_hash is an
+          // untrusted queue value
           val kill = new ProcessBuilder("/bin/sh", "-c",
-            s"docker kill graft_${task.task_hash} >/dev/null 2>&1 || true")
+            "docker kill \"graft_$TASK_HASH\" >/dev/null 2>&1 || true")
           kill.environment().putAll(env)
           kill.start().waitFor(10, TimeUnit.SECONDS)
         }
@@ -256,8 +279,6 @@ object Execute {
       }
       val exit = proc.exitValue()
       killTree() // reap any daemonized leftovers even on normal exit
-      if (exit == 127 && isDocker)
-        return result(exit, "docker binary not found (exit 127)", 0)
       if (exit != 0)
         return result(exit, s"process exited $exit", 0)
 
@@ -360,12 +381,7 @@ object Execute {
     * successes → task_done, failures → dlq (with error), leave the rest
     * queued. Returns (done, failed). */
   def run(spark: SparkSession, store: Store, objectRoot: String,
-      batchSize: Int = Int.MaxValue): (Long, Long) =
-    // the snapshot→execute→swap below REWRITES task_queue: a planner
-    // append landing inside the window would be dropped by the rewrite,
-    // so the whole drain holds the queue lock (see StoreLock)
-    graft.store.StoreLock.withLock(spark, store, "task_queue",
-      timeoutMs = 600000) {
+      batchSize: Int = Int.MaxValue): (Long, Long) = {
     val taskSchema = Encoders.product[Task].schema
     val queue = Store.readOrEmpty(spark, store.taskQueue, taskSchema)
     // K7/T2 idempotence: a crash between the done-append and the queue
@@ -399,46 +415,34 @@ object Execute {
 
     routeResults(queue, results, store)
 
-    // consume the queue: remaining = queue ∖ (executed ∪ already-done)
-    // (written fresh, then swapped in — single-writer table semantics,
-    // SURVEY §7.5)
-    val remaining = queue
-      .join(results.select("task_hash").unionAll(doneHashes), Seq("task_hash"), "left_anti")
-      .select(queue.columns.map(col): _*)
-    val tmp = store.taskQueue + "__next"
-    Store.delete(spark, tmp)
-    remaining.write.parquet(tmp)
-    Store.delete(spark, store.taskQueue)
-    swapInQueue(spark, tmp, store.taskQueue)
+    // Consume the queue. The rewrite holds the queue lock, but ONLY for
+    // the swap — not the (unbounded) execution above, which would stall
+    // concurrent planners past their lock timeout. Correctness without
+    // locking execution: `remaining` is recomputed from the LIVE queue
+    // inside the critical section, so a planner append that landed
+    // mid-execution is carried into the rewritten table instead of
+    // being dropped with the pre-execution snapshot.
+    graft.store.StoreLock.withLock(spark, store, "task_queue") {
+      val live = Store.readOrEmpty(spark, store.taskQueue, taskSchema)
+      val remaining = live
+        .join(results.select("task_hash").unionAll(doneHashes), Seq("task_hash"), "left_anti")
+        .select(live.columns.map(col): _*)
+      val tmp = store.taskQueue + "__next"
+      Store.delete(spark, tmp)
+      remaining.write.parquet(tmp)
+      Store.delete(spark, store.taskQueue)
+      swapInQueue(spark, tmp, store.taskQueue)
+    }
 
     results.unpersist()
     (nOk, nTasks - nOk)
-    }
-
-  /** Publish the freshly-written queue at its table path. Throws on ANY
-    * swap anomaly — a silent failure here would leave a stale queue in
-    * place and re-execute drained tasks (DLQ'd failures are not masked
-    * by the done anti-join):
-    *  - rename returning false (e.g. the target reappeared as a file):
-    *    unconditional failure, even if some queue table still exists —
-    *    proceeding with the STALE one is exactly the bug.
-    *  - rename returning true but landing NESTED: Hadoop's local
-    *    rename falls back to FileUtil.copy when the destination dir
-    *    already exists (a concurrent writer re-created it), which
-    *    copies tmp INTO it and reports success — detected by the
-    *    tmp-basename child check, because that layout breaks partition
-    *    discovery for every later reader. */
-  private[exec] def swapInQueue(spark: SparkSession, tmp: String, dst: String): Unit = {
-    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-    val dstPath = new org.apache.hadoop.fs.Path(dst)
-    val fs = tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.rename(tmpPath, dstPath))
-      throw new IllegalStateException(
-        s"task_queue swap rename failed; remaining tasks are at $tmp")
-    val nested = new org.apache.hadoop.fs.Path(dstPath, tmpPath.getName)
-    if (fs.exists(nested))
-      throw new IllegalStateException(
-        s"task_queue swap landed nested at $nested (concurrent writer re-created $dst); " +
-          "the table is polluted — recover the queue from the nested copy")
   }
+
+  /** Publish the freshly-written queue at its table path. Swap
+    * semantics (Store.publishDir with reuseExisting = false): ANY
+    * anomaly throws, because a silent failure here would leave a stale
+    * queue in place and re-execute drained tasks (DLQ'd failures are
+    * not masked by the done anti-join). */
+  private[exec] def swapInQueue(spark: SparkSession, tmp: String, dst: String): Unit =
+    Store.publishDir(spark, tmp, dst, reuseExisting = false)
 }

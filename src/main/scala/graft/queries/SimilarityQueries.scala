@@ -87,8 +87,18 @@ object SimilarityQueries {
       IvfOracleSql) { (s, dir) =>
       val e = emb(s, dir)
       val cents = Similarity.initialCentroids(e, 10)
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_index").toString
-      Similarity.writeIvfIndex(e, idx, cents)
+      // content-keyed staged index, written once per sfDir and reused —
+      // a fresh temp copy per invocation would leak a full corpus copy
+      // every Verify/Bench run (same publish discipline as tableStream)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index/" +
+        graft.core.Hashing.sha256Hex(dir).take(16)
+      val idxPath = new org.apache.hadoop.fs.Path(idx)
+      val fs = idxPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(idxPath)) {
+        val tmp = s"${idx}__staging_${ProcessHandle.current().pid()}_${System.nanoTime()}"
+        Similarity.writeIvfIndex(e, tmp, cents)
+        graft.store.Store.publishDir(s, tmp, idx, reuseExisting = true)
+      }
       Similarity.ivfTopKFromIndex(s, idx, e.filter(col("vec_id") < 5),
         k = 10, cents, nProbe = 3)
     },

@@ -98,4 +98,43 @@ object Store {
     if (fs.exists(p)) fs.delete(p, true)
     ()
   }
+
+  /** Publish a freshly-written `tmp` directory at `dst` via rename —
+    * the ONE implementation of the two Hadoop local-FS publish traps
+    * (previously hand-rolled separately by the stream staging and the
+    * queue swap):
+    *  - `rename` returns false when dst exists as a file / reappeared;
+    *  - `rename` "succeeds" against a dst DIRECTORY that appeared
+    *    concurrently by falling back to FileUtil.copy — it copies tmp
+    *    INTO dst (a nested non-partition subdir that breaks parquet
+    *    discovery), detected via the tmp-basename child.
+    *
+    * `reuseExisting = true` — staging semantics: losing the publish
+    * race is fine (tmp is discarded, the winner's complete dst is
+    * used) and a nested copy is repaired by deleting it.
+    * `reuseExisting = false` — swap semantics: ANY anomaly throws,
+    * because proceeding against a stale dst is a lost update. */
+  def publishDir(spark: SparkSession, tmp: String, dst: String,
+      reuseExisting: Boolean): Unit = {
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val dstPath = new org.apache.hadoop.fs.Path(dst)
+    val fs = tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.rename(tmpPath, dstPath)) {
+      if (!reuseExisting)
+        throw new IllegalStateException(
+          s"table swap rename failed; data remains at $tmp")
+      fs.delete(tmpPath, true)
+      if (!fs.exists(dstPath))
+        throw new IllegalStateException(s"publish rename failed and no table at $dst")
+      ()
+    } else {
+      val nested = new org.apache.hadoop.fs.Path(dstPath, tmpPath.getName)
+      if (fs.exists(nested)) {
+        if (reuseExisting) { fs.delete(nested, true); () }
+        else throw new IllegalStateException(
+          s"table swap landed nested at $nested (concurrent writer re-created $dst); " +
+            "the table is polluted — recover from the nested copy")
+      }
+    }
+  }
 }

@@ -58,21 +58,9 @@ object StreamingJobs {
       graft.Tables.load(spark, sfDir, table)
         .repartition(parts)
         .write.mode("overwrite").parquet(tmp.toString)
-      if (!fs.rename(tmp, staged)) {
-        // lost the publish race (or genuine failure): discard our copy
-        // and require SOMEONE's stage to have landed
-        fs.delete(tmp, true)
-        if (!fs.exists(staged))
-          throw new IllegalStateException(s"stream stage rename failed: $stage")
-      } else {
-        // Hadoop's local rename can also "succeed" against a stage that
-        // appeared concurrently by copying tmp INTO it (a nested
-        // non-partition subdir that breaks parquet discovery for every
-        // later reader) — repair by dropping the nested copy; the
-        // winner's stage is complete by construction
-        val nested = new org.apache.hadoop.fs.Path(staged, tmp.getName)
-        if (fs.exists(nested)) fs.delete(nested, true)
-      }
+      // staging semantics: losing the publish race uses the winner's
+      // complete stage; a copied-INTO nested dir is repaired
+      Store.publishDir(spark, tmp.toString, stage, reuseExisting = true)
     }
     val schema = spark.read.parquet(stage).schema
     spark.readStream.schema(schema)

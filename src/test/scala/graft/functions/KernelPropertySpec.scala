@@ -28,11 +28,8 @@ class KernelPropertySpec extends SparkSpec {
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
 
-  private def composedHits(t: Column, lists: Seq[Seq[String]]): Column = {
-    val toks = split(t, " ", -1)
-    array((size(toks).cast("long") +: lists.map(l =>
-      size(filter(toks, x => array_contains(typedlit(l), x))).cast("long"))): _*)
-  }
+  private def composedHits(t: Column, lists: Seq[Seq[String]]): Column =
+    ComposedForms.tokenHits(t, lists)
 
   private val memberLists = Seq(Seq("a", "héllo", ""), Seq("x.y", "-"))
 

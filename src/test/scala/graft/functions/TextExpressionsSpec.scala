@@ -38,13 +38,10 @@ class TextExpressionsSpec extends SparkSpec {
       .unionAll(extra)
   }
 
-  /** Composed reference form of the memberCounts kernel:
-    * [n_tokens, size(filter(tokens, contains(set_i)))...]. */
-  private def composedHits(text: Column, lists: Seq[Seq[String]]): Column = {
-    val toks = split(text, " ", -1)
-    array((size(toks).cast("long") +: lists.map(l =>
-      size(filter(toks, t => array_contains(typedlit(l), t))).cast("long"))): _*)
-  }
+  /** Composed reference form of the memberCounts kernel (shared —
+    * ComposedForms keeps both suites pinned to one executable spec). */
+  private def composedHits(text: Column, lists: Seq[Seq[String]]): Column =
+    ComposedForms.tokenHits(text, lists)
 
   private val lists = Seq(
     Seq("the", "and", "of"),      // stopword-ish
