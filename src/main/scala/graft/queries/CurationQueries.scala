@@ -6,8 +6,9 @@ import graft.text.TextOps
 import org.apache.spark.sql.functions._
 
 /** The flagship LLM-data use case, end to end in ONE declarative plan:
-  * corpus curation = quality scoring → language filter → near-dup
-  * removal (MinHash-LSH, keep the lower doc_id of each verified pair).
+  * corpus curation = quality scoring → language filter → repetition
+  * filter (Gopher-style duplicate-bigram fraction) → near-dup removal
+  * (MinHash-LSH, keep the lower doc_id of each verified pair).
   * This is the composition every piece of the text/dedup surface exists
   * for, and the whole thing stays a single Catalyst plan — scoring is
   * codegen'd scan work, the LSH join is bucketed, and the final
@@ -29,7 +30,8 @@ object CurationQueries {
       "corpus_curation",
       s"""WITH scored AS $scoredSql,
          |corpus AS (SELECT doc_id, text FROM scored
-         |           WHERE quality >= 0.6 AND pred_lang = 'en'),
+         |           WHERE quality >= 0.6 AND pred_lang = 'en'
+         |             AND ${OracleSnippets.dupFractionSql} < 0.08),
          |kept AS (SELECT c.doc_id, sc.quality FROM corpus c
          |         JOIN scored sc ON sc.doc_id = c.doc_id),
          |${OracleSnippets.minhashLshPairsCte}
@@ -41,7 +43,12 @@ object CurationQueries {
         .select(col("doc_id"), col("text"),
           TextOps.qualityScore(col("text")).as("quality"),
           TextOps.langId(col("text")).as("pred_lang"))
-      val kept = scored.filter(col("quality") >= 0.6 && col("pred_lang") === "en")
+      // repetition threshold 0.08: the fixture corpus's natural
+      // duplicate-bigram fraction tops out ≈0.10 (median 0.03), so the
+      // filter drops a real high-repetition tail without gutting the
+      // corpus — production pipelines tune this per-source
+      val kept = scored.filter(col("quality") >= 0.6 && col("pred_lang") === "en" &&
+        TextOps.duplicateNgramFraction(col("text")) < 0.08)
       val dropIds = Dedup.nearDupPairs(kept, "doc_id", "text", threshold = 0.6)
         .select(col("id_b").as("doc_id")).distinct()
       kept.join(dropIds, Seq("doc_id"), "left_anti")

@@ -37,6 +37,16 @@ private[queries] object OracleSnippets {
     s"CASE $cases ELSE '${langs.last}' END"
   }
 
+  /** DuckDB mirror of TextOps.duplicateNgramFraction (bigram
+    * repetition: 1 − distinct/total occurrences; 0.0 below 2 tokens). */
+  val dupFractionSql: String =
+    """(CASE WHEN len(str_split(text, ' ')) >= 2 THEN
+      |  1.0 - CAST(len(list_distinct(list_transform(
+      |          range(1, len(str_split(text, ' '))),
+      |          i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1]))) AS DOUBLE)
+      |        / (len(str_split(text, ' ')) - 1)
+      | ELSE 0.0 END)""".stripMargin
+
   /** DuckDB mirror of Dedup.nearDupPairs over a corpus CTE named
     * `corpus(doc_id, text)`: bigram shingles → 12-hash signature →
     * 4×3 bands with the 64-bucket skew cap → verified Jaccard pairs.
