@@ -193,4 +193,56 @@ object Dedup {
     size(filter(
       sequence(lit(1), length(a)),
       i => a.substr(i, lit(1)) =!= b.substr(i, lit(1)))).cast("long")
+
+  /** Connected components over an undirected pair list — the cluster
+    * step a production dedup pipeline runs AFTER near-dup pair
+    * generation: transitive chains (A~B, B~C without A~C) must
+    * deduplicate as ONE cluster with one keeper, which per-pair
+    * dropping only approximates. Returns (doc_id, component) for every
+    * vertex that appears in a pair, component = the minimum doc_id
+    * reachable from it (deterministic canonical label).
+    *
+    * Algorithm: iterative min-label propagation (each vertex adopts the
+    * smallest label among itself and its neighbors until fixpoint) —
+    * the Pregel-style loop; iterations are bounded by the component
+    * diameter, and near-dup graphs are overwhelmingly tiny
+    * star/clique clusters, so 2–3 rounds converge. Scale per round:
+    * one shuffle of (id, label) scalars keyed by vertex — edges and
+    * labels hash-partition on the same key, and the label frame is
+    * re-persisted per round so lineage stays flat. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).persist()
+    try {
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        val neighborLabels = edges.join(labels, edges("dst") === labels("id"))
+          .select(edges("src").as("id"), col("component"))
+        val updated = labels.select("id", "component").unionAll(neighborLabels)
+          .groupBy("id").agg(min("component").as("component"))
+          .persist()
+        changed = updated.join(labels.withColumnRenamed("component", "prev"), "id")
+          .filter(col("component") =!= col("prev")).count()
+        labels.unpersist(blocking = false)
+        labels = updated
+        iter += 1
+      }
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds — component " +
+            "diameter exceeds the bound; raise maxIter")
+      // detach the result from the persisted loop frame before released
+      labels.select("id", "component").localCheckpoint(true)
+        .select(col("id").as("doc_id"), col("component"))
+    } finally {
+      edges.unpersist(blocking = false)
+      labels.unpersist(blocking = false)
+      ()
+    }
+  }
 }

@@ -67,6 +67,48 @@ object DedupQueries {
       Dedup.nearDupPairs(nearDupCorpus(s, dir), "doc_id", "text", threshold = 0.6)
     }.copy(bench = true),
 
+    // ── Connected components over the LSH pairs: the cluster step a
+    // production dedup runs after pair generation (transitive chains
+    // dedupe as ONE cluster). Corpus plants A~B and B~C chains (mutant
+    // of doc and mutant-of-mutant) so components genuinely merge; the
+    // oracle computes the same min-reachable-id labels via a recursive
+    // CTE over the identical pair set. ─────────────────────────────────
+    Q(
+      "dedup_components",
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text || ' xtra' AS text
+         |  FROM documents WHERE doc_id < 50
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id, text || ' xtra ytra' AS text
+         |  FROM documents WHERE doc_id < 50),
+         |${OracleSnippets.minhashLshPairsCte},
+         |good AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.6),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM good
+         |          UNION SELECT id_b, id_a FROM good),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT reach.src, e.dst FROM reach JOIN edges e ON e.src = reach.dst),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges)
+         |SELECT n.id AS doc_id,
+         |       CAST(least(n.id, min(r.dst)) AS BIGINT) AS component
+         |FROM nodes n JOIN reach r ON r.src = n.id
+         |GROUP BY n.id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val corpus = d
+        .unionAll(d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" xtra")).as("text")))
+        .unionAll(d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" xtra ytra")).as("text")))
+      val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.6)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("doc_id"), col("component").cast("long").as("component"))
+    },
+
     // ── SimHash sketches + hamming distance of planted near-dup pairs ──
     // A one-token edit flips few sketch bits: hamming(orig, mutant) is
     // small, making the 32-bit sketch a valid blocking key.

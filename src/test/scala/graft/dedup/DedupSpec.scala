@@ -57,6 +57,17 @@ class DedupSpec extends SparkSpec {
     assert(dists.agg(expr("percentile(d, 0.5)")).head().getDouble(0) >= 6.0)
   }
 
+  test("connected components: chains merge, labels are min-reachable id, isolated pairs stay apart") {
+    import spark.implicits._
+    // 1~2~3 chain (no direct 1-3 edge), isolated 10~11, and 20~21~22 star
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("jaccard: identical sets → 1.0, disjoint → 0.0, order-insensitive") {
     import spark.implicits._
     val df = Seq(
