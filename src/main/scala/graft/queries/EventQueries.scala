@@ -102,5 +102,70 @@ object EventQueries {
         .agg(sum(col("p.k")).cast("long").as("k_sum"),
           max(col("p.k")).cast("long").as("k_max"),
           count(lit(1)).as("n"))
+    },
+
+    // ── Funnel: view → click → purchase, strictly ordered per user ─────
+    // Step N counts users whose earliest step-N event follows their
+    // earliest step-(N−1) completion — the standard ordered-funnel
+    // semantics. One row out; each step is a groupBy + join, no window
+    // over the full event stream.
+    Q(
+      "events_funnel",
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(count(s1.user_id) AS BIGINT) AS n_view,
+        |       CAST(count(s2.user_id) AS BIGINT) AS n_view_click,
+        |       CAST(count(s3.user_id) AS BIGINT) AS n_view_click_purchase
+        |FROM s1
+        |LEFT JOIN s2 ON s2.user_id = s1.user_id
+        |LEFT JOIN s3 ON s3.user_id = s1.user_id""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      def firstAfter(typ: String, prev: DataFrame, prevTs: String, as: String): DataFrame =
+        ev.filter(col("event_type") === typ)
+          .join(prev, Seq("user_id"))
+          .filter(col("ts") > col(prevTs))
+          .groupBy("user_id").agg(min(col("ts")).as(as))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val s2 = firstAfter("click", s1, "t1", "t2")
+      val s3 = firstAfter("purchase", s2, "t2", "t3")
+      s1.join(s2.select(col("user_id"), lit(1).as("hit2")), Seq("user_id"), "left")
+        .join(s3.select(col("user_id"), lit(1).as("hit3")), Seq("user_id"), "left")
+        .agg(count(col("user_id")).as("n_view"),
+          count(col("hit2")).as("n_view_click"),
+          count(col("hit3")).as("n_view_click_purchase"))
+    },
+
+    // ── Retention cohorts: first-seen week × active-week offset ────────
+    // The cohort heat-map input. Week truncation is Monday-based on
+    // both engines; the offset divides exact 7-day multiples of
+    // week-truncated dates, so values are integer on both sides.
+    Q(
+      "events_retention",
+      """WITH first AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+        |act AS (SELECT DISTINCT e.user_id,
+        |          date_trunc('week', f.first_ts) AS cohort_week,
+        |          (datediff('day', CAST(date_trunc('week', f.first_ts) AS DATE),
+        |                    CAST(date_trunc('week', e.ts) AS DATE)) // 7) AS week_offset
+        |        FROM events e JOIN first f ON f.user_id = e.user_id)
+        |SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+        |       CAST(count(*) AS BIGINT) AS n_active
+        |FROM act GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val first = ev.groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+      ev.join(first, "user_id")
+        .select(col("user_id"),
+          date_trunc("week", col("first_ts")).as("cohort_week"),
+          (datediff(date_trunc("week", col("ts")), date_trunc("week", col("first_ts"))) / 7)
+            .cast("long").as("week_offset"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_active"))
     })
 }
