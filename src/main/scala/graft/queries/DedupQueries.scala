@@ -85,17 +85,9 @@ object DedupQueries {
          |  FROM documents WHERE doc_id < 50),
          |${OracleSnippets.minhashLshPairsCte},
          |good AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.6),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM good
-         |          UNION SELECT id_b, id_a FROM good),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT reach.src, e.dst FROM reach JOIN edges e ON e.src = reach.dst),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges)
-         |SELECT n.id AS doc_id,
-         |       CAST(least(n.id, min(r.dst)) AS BIGINT) AS component
-         |FROM nodes n JOIN reach r ON r.src = n.id
-         |GROUP BY n.id""".stripMargin) { (s, dir) =>
+         |${OracleSnippets.componentsCte}
+         |SELECT id AS doc_id, CAST(component AS BIGINT) AS component
+         |FROM comp""".stripMargin) { (s, dir) =>
       val d = docs(s, dir).select("doc_id", "text")
       val corpus = d
         .unionAll(d.filter(col("doc_id") < 50)
@@ -107,6 +99,74 @@ object DedupQueries {
       val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.6)
       Dedup.connectedComponents(pairs, "id_a", "id_b")
         .select(col("doc_id"), col("component").cast("long").as("component"))
+    },
+
+    // ── Leakage-safe train/val/test split: the split bucket hashes the
+    // near-dup CLUSTER id, not the doc id, so a document and its
+    // near-duplicates can never straddle train/test (contamination).
+    // n_leaky_naive counts clusters that naive doc-id hashing WOULD
+    // have split across sets — nonzero on this corpus, proving the
+    // guard is load-bearing, and recomputed identically by the oracle. ─
+    Q(
+      "dedup_split_leakage_safe",
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text || ' xtra' AS text
+         |  FROM documents WHERE doc_id < 50
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id, text || ' xtra ytra' AS text
+         |  FROM documents WHERE doc_id < 50),
+         |${OracleSnippets.minhashLshPairsCte},
+         |good AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.6),
+         |${OracleSnippets.componentsCte},
+         |clustered AS (
+         |  SELECT c.doc_id, coalesce(cp.component, c.doc_id) AS cluster
+         |  FROM corpus c LEFT JOIN comp cp ON cp.id = c.doc_id),
+         |assigned AS (
+         |  SELECT doc_id, cluster,
+         |    ${OracleSnippets.md5BucketSql("CAST(cluster AS VARCHAR)")} AS b,
+         |    ${OracleSnippets.md5BucketSql("CAST(doc_id AS VARCHAR)")} AS naive_b
+         |  FROM clustered),
+         |leaky AS (SELECT count(*) AS n FROM (
+         |  SELECT cluster FROM assigned GROUP BY cluster
+         |  HAVING count(DISTINCT CASE WHEN naive_b < 8 THEN 'train'
+         |                             WHEN naive_b = 8 THEN 'val'
+         |                             ELSE 'test' END) > 1))
+         |SELECT
+         |  CAST(count(CASE WHEN b < 8 THEN 1 END) AS BIGINT) AS n_train,
+         |  CAST(count(CASE WHEN b = 8 THEN 1 END) AS BIGINT) AS n_val,
+         |  CAST(count(CASE WHEN b = 9 THEN 1 END) AS BIGINT) AS n_test,
+         |  CAST((SELECT n FROM leaky) AS BIGINT) AS n_leaky_naive
+         |FROM assigned""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val corpus = d
+        .unionAll(d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" xtra")).as("text")))
+        .unionAll(d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" xtra ytra")).as("text")))
+      val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.6)
+      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      def bucket(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long") % 10
+      val assigned = corpus.select("doc_id")
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster"))
+        .select(col("doc_id"), col("cluster"),
+          bucket(col("cluster")).as("b"), bucket(col("doc_id")).as("naive_b"))
+      val naiveSplit = when(col("naive_b") < 8, "train")
+        .when(col("naive_b") === 8, "val").otherwise("test")
+      val leaky = assigned.groupBy("cluster")
+        .agg(countDistinct(naiveSplit).as("k"))
+        .agg(sum(when(col("k") > 1, 1L).otherwise(0L)).cast("long").as("n_leaky_naive"))
+      assigned.agg(
+        count(when(col("b") < 8, 1)).as("n_train"),
+        count(when(col("b") === 8, 1)).as("n_val"),
+        count(when(col("b") === 9, 1)).as("n_test"))
+        .crossJoin(leaky)
     },
 
     // ── SimHash sketches + hamming distance of planted near-dup pairs ──

@@ -47,6 +47,31 @@ private[queries] object OracleSnippets {
       |        / (len(str_split(text, ' ')) - 1)
       | ELSE 0.0 END)""".stripMargin
 
+  /** DuckDB mirror of Dedup.connectedComponents over a `good(id_a,
+    * id_b)` CTE of verified pairs: recursive reachability, component =
+    * min reachable id. Emits edges/reach/nodes/comp; callers SELECT
+    * from `comp(id, component)`. Must appear under a WITH RECURSIVE
+    * prologue. */
+  val componentsCte: String =
+    """edges AS (SELECT id_a AS src, id_b AS dst FROM good
+      |          UNION SELECT id_b, id_a FROM good),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT reach.src, e.dst FROM reach JOIN edges e ON e.src = reach.dst),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |comp AS (SELECT n.id, least(n.id, min(r.dst)) AS component
+      |         FROM nodes n JOIN reach r ON r.src = n.id GROUP BY n.id)""".stripMargin
+
+  /** DuckDB mirror of a 0–9 bucket from the first 4 hex digits of
+    * md5(expr) — the deterministic hash-split primitive (Spark side:
+    * conv(substring(md5, 1, 4), 16, 10) % 10). */
+  def md5BucketSql(expr: String): String = {
+    def hexDigit(i: Int) =
+      s"(instr('0123456789abcdef', substring(md5($expr), $i, 1)) - 1)"
+    s"((4096 * ${hexDigit(1)} + 256 * ${hexDigit(2)} + 16 * ${hexDigit(3)} + ${hexDigit(4)}) % 10)"
+  }
+
   /** DuckDB mirror of Dedup.nearDupPairs over a corpus CTE named
     * `corpus(doc_id, text)`: bigram shingles → 12-hash signature →
     * 4×3 bands with the 64-bucket skew cap → verified Jaccard pairs.
