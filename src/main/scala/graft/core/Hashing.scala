@@ -94,4 +94,13 @@ object Hashing {
     val rel = java.nio.file.Paths.get(baseDir).relativize(java.nio.file.Paths.get(path))
     (basePrefix.stripSuffix("/") + "/" + rel.toString).stripPrefix("/")
   }
+
+  /** Deterministic 0..n-1 bucket from the first 4 hex digits of
+    * md5(string(c)) — the hash primitive behind reproducible splits,
+    * shards, and sampling decisions (OracleSnippets.md5BucketSql is the
+    * DuckDB mirror). 16 bits of entropy; n should stay well below 2^16,
+    * and n not dividing 65536 leaves a ≤0.2% bucket-size bias, which is
+    * acceptable for splitting but not for statistics. */
+  def md5Bucket(c: Column, n: Int): Column =
+    conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long") % n
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.core.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a training-data pipeline needs between
+  * curation and the trainer: packing documents into fixed-token-budget
+  * sequences and deterministic stratified downsampling.
+  *
+  * Both are designed so the SAME input always yields the SAME output
+  * regardless of cluster size or partitioning — reproducibility is a
+  * correctness property for training-data builds, so nothing here may
+  * depend on row arrival order, task scheduling, or RNG state.
+  */
+object CorpusOps {
+
+  /** Concat-and-chunk sequence packing, the standard pretraining
+    * tokenization layout: within a shard, documents are concatenated in
+    * id order and the token stream is cut every `budgetTokens`; a
+    * document belongs to the chunk where it STARTS (its tail may spill
+    * into the next chunk — the trainer reads contiguous chunks, so no
+    * tokens are lost, and no per-sequence bin-packing search is needed).
+    *
+    * Scale shape: the only exchange is a hash partition by `shardCol`,
+    * and the running-sum window sorts each shard independently — there
+    * is NO global sort. Shard count is the caller's output-shard count
+    * (thousands in production, so one window partition ≈ one output
+    * file's worth of rows, bounded regardless of corpus size).
+    *
+    * Emits `start_tok` (token offset of the document within its shard's
+    * stream) and `seq` (chunk index = start_tok / budgetTokens).
+    */
+  def packConcatChunk(
+      df: DataFrame,
+      idCol: String,
+      tokCol: String,
+      shardCol: String,
+      budgetTokens: Int): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val w = Window.partitionBy(shardCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("start_tok", sum(col(tokCol)).over(w) - col(tokCol))
+      .withColumn("seq", floor(col("start_tok") / budgetTokens).cast("long"))
+  }
+
+  /** Deterministic per-stratum keep predicate: row survives when its
+    * md5 bucket (0..99 from the id) is below the stratum's percentage
+    * rate. Hash-based rather than random so (a) reruns and retried
+    * tasks make identical decisions — no RNG seeds to thread through a
+    * cluster — and (b) the sample is a stable subset: raising a rate
+    * only ADDS documents, it never swaps them (monotone bucket cut).
+    * This is how corpora rebalance language/source mixes at scale.
+    */
+  def stratumKeep(
+      id: Column,
+      stratum: Column,
+      ratesPct: Map[String, Int],
+      defaultPct: Int): Column = {
+    require((ratesPct.values ++ Seq(defaultPct)).forall(r => r >= 0 && r <= 100),
+      s"rates must be percentages in 0..100: $ratesPct default=$defaultPct")
+    val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
+      when(stratum === k, v).otherwise(acc)
+    }
+    Hashing.md5Bucket(id, 100) < rate
+  }
+}

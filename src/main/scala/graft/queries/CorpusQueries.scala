@@ -1,0 +1,117 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.core.Hashing
+import graft.operators.CorpusOps
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries for the corpus-preparation operators that sit
+  * between curation and the trainer (builder brief: large-scale
+  * training-data pipeline ops): sequence packing, stratified sampling,
+  * and vocabulary statistics over the `documents` fixture. All three
+  * are deterministic by construction, so the DuckDB oracle recomputes
+  * them value-for-value.
+  */
+object CorpusQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** 4 shards keeps every shard populated at sf0.001; production uses
+    * thousands (one per output file). */
+  private val PackShards = 4
+  private val PackBudget = 512 // tokens per training sequence
+
+  /** Per-language keep percentages for the stratified sample: downweight
+    * the majority language, keep the rest whole (a mix-rebalance). */
+  private val SampleRates = Map("en" -> 60, "es" -> 25)
+  private val SampleDefault = 100
+
+  val queries: Seq[Q] = Seq(
+
+    // ── Concat-and-chunk sequence packing: shard by id hash, order by
+    // id within shard, cut the concatenated token stream every 512
+    // tokens; report per-chunk occupancy. first_doc pins that both
+    // engines assign the SAME documents to the same chunk, not just the
+    // same counts. ────────────────────────────────────────────────────
+    Q(
+      "pack_sequences",
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |         ${OracleSnippets.md5BucketSql("CAST(doc_id AS VARCHAR)", PackShards)} AS shard,
+         |         len(str_split(text, ' ')) AS tok
+         |  FROM documents),
+         |cum AS (
+         |  SELECT shard, doc_id, tok,
+         |         sum(tok) OVER (PARTITION BY shard ORDER BY doc_id) - tok AS start_tok
+         |  FROM tok)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |       CAST(floor(start_tok / ${PackBudget}.0) AS BIGINT) AS seq,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(tok) AS BIGINT) AS n_tokens,
+         |       CAST(min(doc_id) AS BIGINT) AS first_doc
+         |FROM cum GROUP BY shard, seq""".stripMargin) { (s, dir) =>
+      val tok = docs(s, dir).select(
+        col("doc_id"),
+        Hashing.md5Bucket(col("doc_id"), PackShards).as("shard"),
+        TextOps.tokenCount(col("text")).as("tok"))
+      CorpusOps.packConcatChunk(tok, "doc_id", "tok", "shard", PackBudget)
+        .groupBy("shard", "seq")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("n_tokens"),
+          min(col("doc_id")).cast("long").as("first_doc"))
+        .select(col("shard").cast("long").as("shard"), col("seq"),
+          col("n_docs"), col("n_tokens"), col("first_doc"))
+    },
+
+    // ── Deterministic stratified sampling: per language tag, a
+    // hash-bucket cut keeps rate% of documents; reports pre/post counts
+    // per stratum (the fixture carries 5 languages, so the downweighted
+    // en/es strata and the kept-whole rest all appear). Reruns keep the
+    // identical subset (no RNG). ──────────────────────────────────────
+    Q(
+      "corpus_sample_stratified",
+      s"""WITH rated AS (
+         |  SELECT lang,
+         |         ${OracleSnippets.md5BucketSql("CAST(doc_id AS VARCHAR)", 100)} AS bucket,
+         |         CASE lang ${SampleRates.map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")}
+         |              ELSE $SampleDefault END AS rate
+         |  FROM documents)
+         |SELECT lang,
+         |       CAST(count(*) AS BIGINT) AS n_total,
+         |       CAST(count(CASE WHEN bucket < rate THEN 1 END) AS BIGINT) AS n_sampled
+         |FROM rated GROUP BY lang""".stripMargin) { (s, dir) =>
+      val keep = CorpusOps.stratumKeep(
+        col("doc_id"), col("lang"), SampleRates, SampleDefault)
+      docs(s, dir).groupBy("lang").agg(
+        count(lit(1)).as("n_total"),
+        count(when(keep, 1)).as("n_sampled"))
+    },
+
+    // ── Vocabulary statistics: top-50 whitespace tokens by total
+    // occurrences (tie-broken by token so the cut is deterministic),
+    // with document frequency. Plan shape: partial map-side agg on the
+    // exploded tokens, then a TakeOrdered top-k — never a full sort of
+    // the vocabulary. ──────────────────────────────────────────────────
+    Q(
+      "vocab_top_tokens",
+      """SELECT token,
+        |       CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY n_total DESC, token
+        |LIMIT 50""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token")
+        .agg(count(lit(1)).as("n_total"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_total").desc, col("token").asc)
+        .limit(50)
+    })
+}

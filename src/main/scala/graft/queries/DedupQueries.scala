@@ -150,7 +150,7 @@ object DedupQueries {
       val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.6)
       val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
       def bucket(c: org.apache.spark.sql.Column) =
-        conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long") % 10
+        graft.core.Hashing.md5Bucket(c, 10)
       val assigned = corpus.select("doc_id")
         .join(comps, Seq("doc_id"), "left")
         .select(col("doc_id"),

@@ -63,13 +63,13 @@ private[queries] object OracleSnippets {
       |comp AS (SELECT n.id, least(n.id, min(r.dst)) AS component
       |         FROM nodes n JOIN reach r ON r.src = n.id GROUP BY n.id)""".stripMargin
 
-  /** DuckDB mirror of a 0–9 bucket from the first 4 hex digits of
-    * md5(expr) — the deterministic hash-split primitive (Spark side:
-    * conv(substring(md5, 1, 4), 16, 10) % 10). */
-  def md5BucketSql(expr: String): String = {
+  /** DuckDB mirror of Hashing.md5Bucket: a 0..n-1 bucket from the
+    * first 4 hex digits of md5(expr) — the deterministic hash-split
+    * primitive (Spark side: conv(substring(md5, 1, 4), 16, 10) % n). */
+  def md5BucketSql(expr: String, n: Int = 10): String = {
     def hexDigit(i: Int) =
       s"(instr('0123456789abcdef', substring(md5($expr), $i, 1)) - 1)"
-    s"((4096 * ${hexDigit(1)} + 256 * ${hexDigit(2)} + 16 * ${hexDigit(3)} + ${hexDigit(4)}) % 10)"
+    s"((4096 * ${hexDigit(1)} + 256 * ${hexDigit(2)} + 16 * ${hexDigit(3)} + ${hexDigit(4)}) % $n)"
   }
 
   /** DuckDB mirror of Dedup.nearDupPairs over a corpus CTE named

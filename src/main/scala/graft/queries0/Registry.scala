@@ -20,6 +20,7 @@ object Registry {
       graft.queries.FormatQueries.queries ++
       graft.queries.EventQueries.queries ++
       graft.queries.CurationQueries.queries ++
+      graft.queries.CorpusQueries.queries ++
       graft.queries.MetadataQueries.queries ++
       graft.queries.JoinQueries.queries ++
       graft.queries.SqlPassthrough.queries

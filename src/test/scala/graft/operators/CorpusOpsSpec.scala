@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Hashing
+import org.apache.spark.sql.functions._
+
+/** Invariants of the corpus-preparation operators that the oracle's
+  * corpus-level hash can't see branch-by-branch: chunk accounting in
+  * packConcatChunk and the monotone-subset property of stratumKeep. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tokens = Seq(
+    // (doc_id, shard, tok) — one shard with exact-boundary hits, one
+    // with a giant document spanning several chunks
+    (1L, 0, 100L), (2L, 0, 412L), (3L, 0, 100L), (4L, 0, 1200L), (5L, 0, 1L),
+    (6L, 1, 512L), (7L, 1, 512L), (8L, 1, 1L)
+  ).toDF("doc_id", "shard", "tok")
+
+  test("packConcatChunk assigns each doc to the chunk of its start offset") {
+    val out = CorpusOps.packConcatChunk(tokens, "doc_id", "tok", "shard", 512)
+      .select("doc_id", "start_tok", "seq").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    // shard 0 stream: starts 0, 100, 512, 612, 1812
+    // shard 1 stream: starts 0, 512, 1024
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L), (2L, 100L, 0L), (3L, 512L, 1L), (4L, 612L, 1L),
+      (5L, 1812L, 3L), // the 1200-token doc SPANS chunks 1-3; next doc starts in 3
+      (6L, 0L, 0L), (7L, 512L, 1L), (8L, 1024L, 2L)))
+  }
+
+  test("packConcatChunk conserves tokens and never reorders within a shard") {
+    val out = CorpusOps.packConcatChunk(tokens, "doc_id", "tok", "shard", 512)
+    assert(out.agg(sum("tok")).as[Long].head ==
+      tokens.agg(sum("tok")).as[Long].head)
+    // start_tok of each doc == sum of tok of all earlier docs in the shard
+    val bad = out.as[(Long, Int, Long, Long, Long)].collect().count {
+      case (id, shard, tok, start, _) =>
+        val expect = tokens.filter(col("shard") === shard && col("doc_id") < id)
+          .agg(coalesce(sum("tok"), lit(0L))).as[Long].head
+        start != expect
+    }
+    assert(bad == 0)
+  }
+
+  test("stratumKeep is a monotone subset: raising a rate only adds rows") {
+    val docs = spark.range(500).select(
+      col("id").as("doc_id"),
+      (col("id") % 3).cast("string").as("stratum"))
+    def kept(rate: Int) = docs
+      .filter(CorpusOps.stratumKeep(col("doc_id"), col("stratum"),
+        Map("0" -> rate), defaultPct = 100))
+      .select("doc_id").as[Long].collect().toSet
+    val k25 = kept(25); val k60 = kept(60); val k100 = kept(100)
+    assert(k25.subsetOf(k60) && k60.subsetOf(k100))
+    assert(k100.size == 500)
+    // the cut actually bites: strictly between the extremes
+    assert(k25.size < k60.size && k60.size < k100.size)
+  }
+
+  test("stratumKeep matches the md5-bucket definition per stratum") {
+    val docs = spark.range(200).select(
+      col("id").as("doc_id"),
+      when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))
+    val keep = CorpusOps.stratumKeep(col("doc_id"), col("lang"),
+      Map("en" -> 30), defaultPct = 100)
+    val rows = docs.select(col("doc_id"), col("lang"), keep.as("keep"),
+      Hashing.md5Bucket(col("doc_id"), 100).as("b"))
+      .as[(Long, String, Boolean, Long)].collect()
+    rows.foreach { case (_, lang, k, b) =>
+      assert(k == (if (lang == "en") b < 30 else true))
+    }
+  }
+}
