@@ -127,6 +127,40 @@ object SimilarityQueries {
       Similarity.nearDupPairs(corpus, threshold = 0.999, blockDims = 16)
     },
 
+    // ── Semantic dedup (SemDeDup-shaped): cluster cells via the same
+    // deterministic first-10 centroids as IVF, pairwise cosine ONLY
+    // within a cell, drop the higher id of any pair ≥ 0.999. Planted
+    // exact copies (vec_id<20 → +10000) land in their original's cell
+    // and must all be dropped; survivors carry their cell id, so the
+    // oracle checks the full assignment, not just the drop count. ─────
+    Q(
+      "emb_semantic_dedup",
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 20),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM corpus ORDER BY vec_id LIMIT 10),
+        |assign AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT c.vec_id, c.v, cent.cid,
+        |      row_number() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_cosine_similarity(c.v, cent.cv) DESC, cent.cid) AS rn
+        |    FROM corpus c, cent) WHERE rn = 1),
+        |drops AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM assign a JOIN assign b
+        |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.999)
+        |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid
+        |FROM assign a LEFT JOIN drops d ON d.vec_id = a.vec_id
+        |WHERE d.vec_id IS NULL""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val corpus = e.unionAll(e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Similarity.semanticDedup(corpus,
+        Similarity.initialCentroids(corpus, 10), threshold = 0.999)
+    },
+
     // ── Sign-LSH ANN: approximate scale path, fully oracle-bound ──────
     // The hyperplanes are DETERMINISTIC literals (parity of the first
     // hex digit of sha256("table:plane:dim")), so DuckDB recomputes the

@@ -270,6 +270,31 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "score")
   }
 
+  /** Semantic dedup (SemDeDup-shaped): assign every vector to its
+    * nearest centroid cell, compare pairs ONLY within a cell, and drop
+    * the higher id of any pair with cosine ≥ threshold. Survivors keep
+    * their cell id. The keep-lowest-id rule makes the result
+    * deterministic (the published heuristic — keep the vector farthest
+    * from the centroid — is an orthogonal one-line swap of the drop
+    * rule).
+    *
+    * Scale shape: the cell assignment is the zero-shuffle per-row
+    * argmin; the ONE exchange co-locates each cell's vectors for the
+    * pairwise pass — inherent to within-cluster comparison, and bounded
+    * because k is sized so a cell (≈N/k rows) fits a task. That
+    * per-cell quadratic is the whole point of clustering first: k grows
+    * with the corpus, all-pairs cost stays (N/k)² per cell, never N².
+    */
+  def semanticDedup(corpus: DataFrame, cents: Centroids, threshold: Double): DataFrame = {
+    val cells = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("cid", nearestCid(corpus, cents, col("e")))
+    val drops = cells.as("a").join(cells.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(nativeCosine(corpus)(col("a.e"), col("b.e")) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    cells.join(drops, Seq("vec_id"), "left_anti").select("vec_id", "cid")
+  }
+
   /** Embedding near-duplicate pairs: block on the sign-bit string of
     * the first `blockDims` coordinates (identical vectors always
     * collide), verify cosine within blocks. Never all-pairs.
