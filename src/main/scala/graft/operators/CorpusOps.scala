@@ -45,6 +45,36 @@ object CorpusOps {
       .withColumn("seq", floor(col("start_tok") / budgetTokens).cast("long"))
   }
 
+  /** Benchmark decontamination: (corpus doc, benchmark doc) pairs that
+    * share at least one word n-gram, with the count of distinct shared
+    * n-grams — the standard overlap test run before training so eval
+    * examples leaking into the corpus are caught (13-gram in published
+    * pipelines; n is a parameter here).
+    *
+    * Scale shape: the benchmark side is an EVAL SET — thousands of
+    * docs, not corpus-scale — so its exploded n-gram set is broadcast
+    * and the corpus streams past it map-side; the only exchange is the
+    * final groupBy on scalar (doc_id, bench_id) pairs, bounded by the
+    * contamination hits, not the corpus.
+    */
+  def contaminationPairs(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      benchIdCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    def shingled(df: DataFrame, id: String, as: String) =
+      df.select(col(id).as(as),
+        explode(graft.dedup.Dedup.wordShingles(col(textCol), n)).as("sh"))
+    shingled(corpus, idCol, idCol)
+      .join(broadcast(shingled(bench, benchIdCol, benchIdCol)), "sh")
+      // wordShingles is per-doc distinct, so count(*) counts DISTINCT
+      // shared n-grams
+      .groupBy(idCol, benchIdCol)
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Deterministic per-stratum keep predicate: row survives when its
     * md5 bucket (0..99 from the id) is below the stratum's percentage
     * rate. Hash-based rather than random so (a) reruns and retried

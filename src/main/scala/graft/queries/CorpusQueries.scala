@@ -91,6 +91,43 @@ object CorpusQueries {
         count(when(keep, 1)).as("n_sampled"))
     },
 
+    // ── Benchmark decontamination: corpus docs sharing any 8-gram with
+    // an eval doc (the first 20 docs stand in for the benchmark; the
+    // planted mutants embed a full benchmark text behind a changed
+    // prefix, so n-gram overlap catches what exact/hash dedup cannot).
+    // Both engines compute identical (doc, bench, n_shared) pairs. ────
+    Q(
+      "corpus_decontaminate",
+      """WITH bench AS (
+        |  SELECT doc_id AS bench_id, text FROM documents WHERE doc_id < 20),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 20
+        |  UNION ALL
+        |  SELECT doc_id + 500000, 'zzz intro words ' || text
+        |  FROM documents WHERE doc_id < 20),
+        |csh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(str_split(text, ' ')) - 6),
+        |    i -> array_to_string(str_split(text, ' ')[i:i+7], ' ')))) AS sh
+        |  FROM corpus)),
+        |bsh AS (SELECT DISTINCT bench_id, sh FROM (
+        |  SELECT bench_id, unnest(list_distinct(list_transform(
+        |    range(1, len(str_split(text, ' ')) - 6),
+        |    i -> array_to_string(str_split(text, ' ')[i:i+7], ' ')))) AS sh
+        |  FROM bench))
+        |SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM csh c JOIN bsh b ON b.sh = c.sh
+        |GROUP BY c.doc_id, b.bench_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val bench = d.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val corpus = d.filter(col("doc_id") >= 20)
+        .unionAll(d.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 500000).as("doc_id"),
+            concat(lit("zzz intro words "), col("text")).as("text")))
+      CorpusOps.contaminationPairs(corpus, bench, "doc_id", "bench_id", "text", n = 8)
+    },
+
     // ── Vocabulary statistics: top-50 whitespace tokens by total
     // occurrences (tie-broken by token so the cut is deterministic),
     // with document frequency. Plan shape: partial map-side agg on the

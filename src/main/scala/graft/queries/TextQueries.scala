@@ -143,5 +143,30 @@ object TextQueries {
         col("doc_id"),
         TextOps.emailCount(col("text")).as("n_emails"),
         TextOps.urlCount(col("text")).as("n_urls"))
+    },
+
+    // ── PII redaction: emails then URLs → typed placeholders, same
+    // planted corpus as text_patterns so the replacements actually
+    // fire; the oracle hash-checks every redacted string. ─────────────
+    Q(
+      "text_redact",
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 400000,
+         |         text || ' contact user' || doc_id ||
+         |         '@example.com or https://example.org/doc/' || doc_id
+         |  FROM documents WHERE doc_id < 25)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(text,
+         |    '${TextOps.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${TextOps.UrlPattern}', '<URL>', 'g') AS redacted
+         |FROM corpus""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val corpus = d.unionAll(d.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or https://example.org/doc/"), col("doc_id")).as("text")))
+      corpus.select(col("doc_id"), TextOps.redact(col("text")).as("redacted"))
     })
 }

@@ -149,6 +149,16 @@ object TextOps {
   def urlCount(text: Column): Column =
     size(regexp_extract_all(text, lit(UrlPattern), lit(0))).cast("long")
 
+  /** PII/boilerplate redaction: every email, then every URL, replaced
+    * by a typed placeholder token. Application ORDER is part of the
+    * semantics (an email inside a URL's userinfo is redacted before the
+    * URL pattern sees it) — the oracle applies the same order. Pure
+    * codegen'd regexp_replace: a scan-side transform at any scale. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, lit(EmailPattern), lit("<EMAIL>")),
+      lit(UrlPattern), lit("<URL>"))
+
   /** Document fingerprint: the minimum md5 over the sliding char
     * 8-grams (winnowing-style rolling-hash fingerprint, robust to
     * local edits), alongside md5(text) as the exact fingerprint. */
