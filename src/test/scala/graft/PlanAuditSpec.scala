@@ -87,4 +87,50 @@ class PlanAuditSpec extends SparkSpec {
       assert(finalPlan(name).contains("*("), s"$name fell out of codegen")
     }
   }
+
+  test("vocab top-k plans as TakeOrdered, never a global sort of the vocabulary") {
+    val plan = finalPlan("vocab_top_tokens")
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
+    // partial aggregation must run map-side before the token exchange
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"no partial agg before the exchange:\n$plan")
+  }
+
+  test("sequence packing shuffles once, by shard, with scalar columns only") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("pack_sequences")(spark, sf("sf0.001"))
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      // one exchange for the per-shard window; the groupBy(shard, seq)
+      // reuses that partitioning (shard ⊂ grouping keys → no re-shuffle)
+      assert(shuffles.size == 1,
+        s"expected exactly the shard window exchange, got ${shuffles.size}")
+      assert(shuffles.head.outputPartitioning.toString.contains("shard"),
+        s"window exchange not keyed by shard: ${shuffles.head.outputPartitioning}")
+      assert(!shuffles.head.output.exists(_.dataType.catalogString.contains("array<")),
+        "packing shuffled an array column")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("decontamination broadcasts the benchmark side; the corpus never shuffles its text") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("corpus_decontaminate")(spark, sf("sf0.001"))
+      val plan = df.queryExecution.executedPlan
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        s"benchmark shingles not broadcast:\n$plan")
+      val shuffles = plan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      // only the final (doc_id, bench_id) count aggregation may exchange
+      val offenders = shuffles.filter(_.output.exists(a =>
+        a.name == "text" || a.name == "sh"))
+      assert(offenders.isEmpty,
+        s"corpus text/shingles crossed an exchange:\n${offenders.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
