@@ -91,6 +91,35 @@ object CorpusQueries {
         count(when(keep, 1)).as("n_sampled"))
     },
 
+    // ── Quality-weighted sampling: keep probability = the document's
+    // quality score (keep iff bucket < floor(quality·100)), so better
+    // documents survive proportionally more often — the deterministic
+    // form of score-weighted corpus reweighting. The avg-quality uplift
+    // of the kept set is part of the checked result. Both engines
+    // compute quality in f64 with the same expression order, so the
+    // floor boundary is bit-identical. ────────────────────────────────
+    Q(
+      "corpus_sample_quality_weighted",
+      s"""WITH scored AS (
+         |  SELECT doc_id, ${OracleSnippets.qualitySql} AS quality FROM documents),
+         |b AS (SELECT doc_id, quality,
+         |        ${OracleSnippets.md5BucketSql("CAST(doc_id AS VARCHAR)", 100)} AS bucket
+         |      FROM scored)
+         |SELECT CAST(count(*) AS BIGINT) AS n_total,
+         |       CAST(count(CASE WHEN bucket < floor(quality * 100) THEN 1 END) AS BIGINT) AS n_kept,
+         |       avg(quality) AS avg_quality_all,
+         |       avg(CASE WHEN bucket < floor(quality * 100) THEN quality END) AS avg_quality_kept
+         |FROM b""".stripMargin) { (s, dir) =>
+      val scored = docs(s, dir).select(
+        col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+      val keep = Hashing.md5Bucket(col("doc_id"), 100) < floor(col("quality") * 100)
+      scored.agg(
+        count(lit(1)).as("n_total"),
+        count(when(keep, 1)).as("n_kept"),
+        avg(col("quality")).as("avg_quality_all"),
+        avg(when(keep, col("quality"))).as("avg_quality_kept"))
+    },
+
     // ── Benchmark decontamination: corpus docs sharing any 8-gram with
     // an eval doc (the first 20 docs stand in for the benchmark; the
     // planted mutants embed a full benchmark text behind a changed

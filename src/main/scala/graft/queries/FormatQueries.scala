@@ -29,5 +29,9 @@ object FormatQueries {
 
   val queries: Seq[Q] = Seq(
     Q("format_csv_roundtrip", aggSql)(roundTripAgg("csv", Formats.csvOptions)),
-    Q("format_json_roundtrip", aggSql)(roundTripAgg("json", Map.empty)))
+    Q("format_json_roundtrip", aggSql)(roundTripAgg("json", Map.empty)),
+    // ORC: the columnar alternative bundled with spark-sql (avro's
+    // connector jar isn't on the fixed classpath, so orc is the second
+    // columnar format alongside parquet)
+    Q("format_orc_roundtrip", aggSql)(roundTripAgg("orc", Map.empty)))
 }
