@@ -40,6 +40,15 @@ object StreamQueries {
       StreamingJobs.dedupedEventCounts(s, dir)
     },
 
+    // ── Streaming curation: quality kernel + filter per micro-batch ────
+    Q(
+      "stream_quality_filter",
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, avg(quality) AS avg_quality
+         |FROM (SELECT lang, ${OracleSnippets.qualitySql} AS quality FROM documents)
+         |WHERE quality >= 0.6 GROUP BY lang""".stripMargin) { (s, dir) =>
+      StreamingJobs.streamingQualityFilter(s, dir)
+    },
+
     // ── Arbitrary stateful streaming: flatMapGroupsWithState totals ────
     Q(
       "stream_stateful_totals",

@@ -129,6 +129,25 @@ object StreamingJobs {
     * n) is the final aggregate, which the batch oracle recomputes. */
   final case class UserAgg(n: Long, total: Double)
 
+  /** Streaming corpus curation: the quality/lang scoring kernels
+    * applied INSIDE a Structured Streaming query — documents arrive as
+    * micro-batches, each batch is scored and filtered statelessly
+    * (append mode, no watermark needed), and the drained keep-set is
+    * aggregated per language. This is the incremental form of the
+    * corpus_curation scoring stage: at scale a curation pipeline runs
+    * exactly like this over a landing zone instead of re-scanning the
+    * full corpus per run. The oracle recomputes the same filter over
+    * the whole table — stream ≡ batch for stateless transforms. */
+  def streamingQualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = tableStream(spark, sfDir, "documents", maxFilesPerTrigger = 2)
+      .select(col("doc_id"), col("lang"),
+        graft.text.TextOps.qualityScore(col("text")).as("quality"))
+      .filter(col("quality") >= 0.6)
+    val emitted = runToMemory(scored, "stream_quality_sink", OutputMode.Append())
+    emitted.groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), avg(col("quality")).as("avg_quality"))
+  }
+
   def statefulUserTotals(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
