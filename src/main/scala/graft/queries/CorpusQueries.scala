@@ -157,6 +157,33 @@ object CorpusQueries {
       CorpusOps.contaminationPairs(corpus, bench, "doc_id", "bench_id", "text", n = 8)
     },
 
+    // ── Corpus report: per-language doc counts, token totals, and the
+    // token-length distribution (exact interpolated percentiles — the
+    // numbers a corpus card publishes and a capacity plan needs; at
+    // scale swap `percentile` for `percentile_approx` at the cost of
+    // the oracle bind). One scan, one scalar-only exchange. ───────────
+    Q(
+      "corpus_stats",
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  quantile_cont(len(str_split(text, ' ')), 0.5) AS p50_tokens,
+        |  quantile_cont(len(str_split(text, ' ')), 0.9) AS p90_tokens,
+        |  CAST(min(len(str_split(text, ' '))) AS BIGINT) AS min_tokens,
+        |  CAST(max(len(str_split(text, ' '))) AS BIGINT) AS max_tokens
+        |FROM documents GROUP BY lang""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("lang"), TextOps.tokenCount(col("text")).as("tok"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("tok").as("total_tokens"),
+          expr("percentile(tok, 0.5)").as("p50_tokens"),
+          expr("percentile(tok, 0.9)").as("p90_tokens"),
+          min("tok").as("min_tokens"),
+          max("tok").as("max_tokens"))
+    },
+
     // ── Vocabulary statistics: top-50 whitespace tokens by total
     // occurrences (tie-broken by token so the cut is deterministic),
     // with document frequency. Plan shape: partial map-side agg on the
