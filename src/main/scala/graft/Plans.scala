@@ -11,7 +11,9 @@ object Plans {
   val Headliners: Seq[String] = Seq(
     "q1_pricing_summary", "q3_revenue_by_nation", "q24_running_qty_bucketed",
     "dedup_minhash_lsh", "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk",
-    "ann_ivf_index_topk", "corpus_curation", "events_asof_join")
+    "ann_ivf_index_topk", "corpus_curation", "events_asof_join",
+    "pack_sequences", "corpus_decontaminate", "vocab_top_tokens",
+    "emb_semantic_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
