@@ -157,6 +157,26 @@ object CorpusQueries {
       CorpusOps.contaminationPairs(corpus, bench, "doc_id", "bench_id", "text", n = 8)
     },
 
+    // ── Overlapping chunking (RAG/window prep): fixed-size character
+    // chunks with overlap, stride = size − overlap, chunk i starting at
+    // offset i·stride — one row per chunk with its index and text. Pure
+    // per-row explode: scan-side work, no exchange at all until a
+    // downstream op needs one. ────────────────────────────────────────
+    Q(
+      "text_chunk_overlap",
+      """SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |       substring(text, CAST(i AS INT) * 150 + 1, 200) AS chunk
+        |FROM (SELECT doc_id, text,
+        |        unnest(range(0, (length(text) - 1) // 150 + 1)) AS i
+        |      FROM documents)""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L),
+            floor((length(col("text")) - 1) / 150).cast("long"))).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          col("text").substr(col("chunk_idx").cast("int") * 150 + 1, lit(200)).as("chunk"))
+    },
+
     // ── Corpus report: per-language doc counts, token totals, and the
     // token-length distribution (exact interpolated percentiles — the
     // numbers a corpus card publishes and a capacity plan needs; at

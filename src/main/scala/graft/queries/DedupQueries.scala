@@ -101,6 +101,62 @@ object DedupQueries {
         .select(col("doc_id"), col("component").cast("long").as("component"))
     },
 
+    // ── Cluster-aware retention: keep the BEST-quality member of each
+    // near-dup cluster (tie-broken by id), not blindly the lowest id —
+    // the canonical-selection policy a curation pipeline actually wants
+    // (the mutants append junk tokens, so quality genuinely
+    // discriminates). One scalar-only exchange for the per-cluster
+    // window; text never shuffles. ────────────────────────────────────
+    Q(
+      "dedup_keep_best",
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text || ' xtra' AS text
+         |  FROM documents WHERE doc_id < 50
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id, text || ' xtra ytra' AS text
+         |  FROM documents WHERE doc_id < 50),
+         |${OracleSnippets.minhashLshPairsCte},
+         |good AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.6),
+         |${OracleSnippets.componentsCte},
+         |scored AS (
+         |  SELECT c.doc_id, coalesce(cp.component, c.doc_id) AS cluster,
+         |         ${OracleSnippets.qualitySql} AS quality
+         |  FROM corpus c LEFT JOIN comp cp ON cp.id = c.doc_id),
+         |ranked AS (
+         |  SELECT cluster, doc_id, quality,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY quality DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY cluster) AS n_members
+         |  FROM scored)
+         |SELECT CAST(cluster AS BIGINT) AS cluster, doc_id AS kept_doc_id,
+         |       quality AS kept_quality, CAST(n_members AS BIGINT) AS n_members
+         |FROM ranked WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val corpus = d
+        .unionAll(d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" xtra")).as("text")))
+        .unionAll(d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" xtra ytra")).as("text")))
+      val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.6)
+      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val scored = corpus.join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).cast("long").as("cluster"),
+          graft.text.TextOps.qualityScore(col("text")).as("quality"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+      scored
+        .withColumn("rn",
+          row_number().over(w.orderBy(col("quality").desc, col("doc_id"))))
+        .withColumn("n_members", count(lit(1)).over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("doc_id").as("kept_doc_id"),
+          col("quality").as("kept_quality"), col("n_members"))
+    },
+
     // ── Leakage-safe train/val/test split: the split bucket hashes the
     // near-dup CLUSTER id, not the doc id, so a document and its
     // near-duplicates can never straddle train/test (contamination).
