@@ -226,5 +226,46 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_total"), countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("n_total").desc, col("token").asc)
         .limit(50)
+    },
+
+    // ── Vocabulary application: per-document out-of-vocabulary rate
+    // against the corpus-derived top-50 vocabulary — the build-stats →
+    // apply-stats two-phase pattern (tokenizer coverage / filtering by
+    // OOV share). The tiny vocabulary broadcasts; the corpus token
+    // stream anti-joins against it map-side, so the only exchange
+    // aggregates scalar (doc_id, counts). ─────────────────────────────
+    Q(
+      "vocab_oov_rate",
+      """WITH vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS n_total
+        |    FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents)
+        |    WHERE token <> ''
+        |    GROUP BY token ORDER BY n_total DESC, token LIMIT 50)),
+        |tok AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+        |flags AS (
+        |  SELECT t.doc_id,
+        |         CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tok t LEFT JOIN vocab v ON v.token = t.token
+        |  WHERE t.token <> '')
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(oov) AS BIGINT) AS n_oov,
+        |       CAST(sum(oov) AS DOUBLE) / count(*) AS oov_rate
+        |FROM flags GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      val vocab = tok.groupBy("token").agg(count(lit(1)).as("n_total"))
+        .orderBy(col("n_total").desc, col("token").asc).limit(50)
+        .select(col("token"), lit(1).as("in_vocab"))
+      tok.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
     })
 }
