@@ -101,6 +101,9 @@ object Hashing {
     * DuckDB mirror). 16 bits of entropy; n should stay well below 2^16,
     * and n not dividing 65536 leaves a ≤0.2% bucket-size bias, which is
     * acceptable for splitting but not for statistics. */
-  def md5Bucket(c: Column, n: Int): Column =
+  def md5Bucket(c: Column, n: Int): Column = {
+    require(n >= 1 && n <= 65536,
+      s"md5Bucket n must be in 1..65536 (4 hex digits = 16 bits of entropy): $n")
     conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long") % n
+  }
 }

@@ -31,6 +31,12 @@ object CorpusOps {
     *
     * Emits `start_tok` (token offset of the document within its shard's
     * stream) and `seq` (chunk index = start_tok / budgetTokens).
+    *
+    * PRECONDITION: `idCol` must be unique within a shard — the window's
+    * row frame breaks id ties by arrival order, which would make
+    * start_tok/seq retry-dependent and violate the reproducibility
+    * contract above. Ids are document keys in every caller, so this is
+    * a documentation constraint, not a runtime scan.
     */
   def packConcatChunk(
       df: DataFrame,

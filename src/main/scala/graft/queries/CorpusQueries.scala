@@ -127,26 +127,20 @@ object CorpusQueries {
     // Both engines compute identical (doc, bench, n_shared) pairs. ────
     Q(
       "corpus_decontaminate",
-      """WITH bench AS (
-        |  SELECT doc_id AS bench_id, text FROM documents WHERE doc_id < 20),
-        |corpus AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id >= 20
-        |  UNION ALL
-        |  SELECT doc_id + 500000, 'zzz intro words ' || text
-        |  FROM documents WHERE doc_id < 20),
-        |csh AS (SELECT DISTINCT doc_id, sh FROM (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, len(str_split(text, ' ')) - 6),
-        |    i -> array_to_string(str_split(text, ' ')[i:i+7], ' ')))) AS sh
-        |  FROM corpus)),
-        |bsh AS (SELECT DISTINCT bench_id, sh FROM (
-        |  SELECT bench_id, unnest(list_distinct(list_transform(
-        |    range(1, len(str_split(text, ' ')) - 6),
-        |    i -> array_to_string(str_split(text, ' ')[i:i+7], ' ')))) AS sh
-        |  FROM bench))
-        |SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
-        |FROM csh c JOIN bsh b ON b.sh = c.sh
-        |GROUP BY c.doc_id, b.bench_id""".stripMargin) { (s, dir) =>
+      s"""WITH bench AS (
+         |  SELECT doc_id AS bench_id, text FROM documents WHERE doc_id < 20),
+         |corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id >= 20
+         |  UNION ALL
+         |  SELECT doc_id + 500000, 'zzz intro words ' || text
+         |  FROM documents WHERE doc_id < 20),
+         |csh AS (SELECT doc_id, unnest(${OracleSnippets.wordShinglesSql(8)}) AS sh
+         |        FROM corpus),
+         |bsh AS (SELECT bench_id, unnest(${OracleSnippets.wordShinglesSql(8)}) AS sh
+         |        FROM bench)
+         |SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM csh c JOIN bsh b ON b.sh = c.sh
+         |GROUP BY c.doc_id, b.bench_id""".stripMargin) { (s, dir) =>
       val d = docs(s, dir).select("doc_id", "text")
       val bench = d.filter(col("doc_id") < 20)
         .select(col("doc_id").as("bench_id"), col("text"))
@@ -169,10 +163,15 @@ object CorpusQueries {
         |FROM (SELECT doc_id, text,
         |        unnest(range(0, (length(text) - 1) // 150 + 1)) AS i
         |      FROM documents)""".stripMargin) { (s, dir) =>
+      // empty-text guard: sequence(0, -1) would run DESCENDING and emit
+      // a bogus chunk_idx=-1 row where the oracle's range(0, 0) is
+      // empty (same pitfall Dedup.wordShingles documents); empty docs
+      // get an empty array, which explode drops
+      val nChunks = floor((length(col("text")) - 1) / 150).cast("long")
       docs(s, dir)
         .select(col("doc_id"), col("text"),
-          explode(sequence(lit(0L),
-            floor((length(col("text")) - 1) / 150).cast("long"))).as("chunk_idx"))
+          explode(when(length(col("text")) > 0, sequence(lit(0L), nChunks))
+            .otherwise(array().cast("array<bigint>"))).as("chunk_idx"))
         .select(col("doc_id"), col("chunk_idx"),
           col("text").substr(col("chunk_idx").cast("int") * 150 + 1, lit(200)).as("chunk"))
     },

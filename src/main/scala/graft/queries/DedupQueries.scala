@@ -34,6 +34,31 @@ object DedupQueries {
       |  SELECT doc_id + 100000 AS doc_id, text || ' xtra' AS text
       |  FROM documents WHERE doc_id < 50""".stripMargin
 
+  /** Spark twin of OracleSnippets.chainedMutantCorpusSql — the ONE
+    * corpus construction the cluster-family queries (components,
+    * keep-best, leakage-safe split) share; edit both together. */
+  private def chainedMutantCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionAll(d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" xtra")).as("text")))
+      .unionAll(d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" xtra ytra")).as("text")))
+  }
+
+  /** (doc_id, cluster) labels over a corpus: LSH pairs → connected
+    * components, singletons keeping their own id (the shared
+    * cluster-derivation of keep-best and the leakage-safe split). */
+  private def clusterLabels(corpus: DataFrame): DataFrame =
+    corpus.select("doc_id")
+      .join(Dedup.connectedComponents(
+          Dedup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.6),
+          "id_a", "id_b"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).cast("long").as("cluster"))
+
   val queries: Seq[Q] = Seq(
 
     // ── Exact dedup: hash-groupBy survivors over planted exact copies ──
@@ -75,27 +100,10 @@ object DedupQueries {
     // CTE over the identical pair set. ─────────────────────────────────
     Q(
       "dedup_components",
-      s"""WITH RECURSIVE corpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 100000 AS doc_id, text || ' xtra' AS text
-         |  FROM documents WHERE doc_id < 50
-         |  UNION ALL
-         |  SELECT doc_id + 200000 AS doc_id, text || ' xtra ytra' AS text
-         |  FROM documents WHERE doc_id < 50),
-         |${OracleSnippets.minhashLshPairsCte},
-         |good AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.6),
-         |${OracleSnippets.componentsCte}
+      s"""WITH RECURSIVE ${OracleSnippets.mutantClusterPrologue}
          |SELECT id AS doc_id, CAST(component AS BIGINT) AS component
          |FROM comp""".stripMargin) { (s, dir) =>
-      val d = docs(s, dir).select("doc_id", "text")
-      val corpus = d
-        .unionAll(d.filter(col("doc_id") < 50)
-          .select((col("doc_id") + 100000).as("doc_id"),
-            concat(col("text"), lit(" xtra")).as("text")))
-        .unionAll(d.filter(col("doc_id") < 50)
-          .select((col("doc_id") + 200000).as("doc_id"),
-            concat(col("text"), lit(" xtra ytra")).as("text")))
+      val corpus = chainedMutantCorpus(s, dir)
       val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.6)
       Dedup.connectedComponents(pairs, "id_a", "id_b")
         .select(col("doc_id"), col("component").cast("long").as("component"))
@@ -109,17 +117,7 @@ object DedupQueries {
     // window; text never shuffles. ────────────────────────────────────
     Q(
       "dedup_keep_best",
-      s"""WITH RECURSIVE corpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 100000 AS doc_id, text || ' xtra' AS text
-         |  FROM documents WHERE doc_id < 50
-         |  UNION ALL
-         |  SELECT doc_id + 200000 AS doc_id, text || ' xtra ytra' AS text
-         |  FROM documents WHERE doc_id < 50),
-         |${OracleSnippets.minhashLshPairsCte},
-         |good AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.6),
-         |${OracleSnippets.componentsCte},
+      s"""WITH RECURSIVE ${OracleSnippets.mutantClusterPrologue},
          |scored AS (
          |  SELECT c.doc_id, coalesce(cp.component, c.doc_id) AS cluster,
          |         ${OracleSnippets.qualitySql} AS quality
@@ -133,20 +131,11 @@ object DedupQueries {
          |SELECT CAST(cluster AS BIGINT) AS cluster, doc_id AS kept_doc_id,
          |       quality AS kept_quality, CAST(n_members AS BIGINT) AS n_members
          |FROM ranked WHERE rn = 1""".stripMargin) { (s, dir) =>
-      val d = docs(s, dir).select("doc_id", "text")
-      val corpus = d
-        .unionAll(d.filter(col("doc_id") < 50)
-          .select((col("doc_id") + 100000).as("doc_id"),
-            concat(col("text"), lit(" xtra")).as("text")))
-        .unionAll(d.filter(col("doc_id") < 50)
-          .select((col("doc_id") + 200000).as("doc_id"),
-            concat(col("text"), lit(" xtra ytra")).as("text")))
-      val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.6)
-      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
-      val scored = corpus.join(comps, Seq("doc_id"), "left")
+      val corpus = chainedMutantCorpus(s, dir)
+      val scored = corpus
         .select(col("doc_id"),
-          coalesce(col("component"), col("doc_id")).cast("long").as("cluster"),
           graft.text.TextOps.qualityScore(col("text")).as("quality"))
+        .join(clusterLabels(corpus), Seq("doc_id"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
       scored
         .withColumn("rn",
@@ -165,17 +154,7 @@ object DedupQueries {
     // guard is load-bearing, and recomputed identically by the oracle. ─
     Q(
       "dedup_split_leakage_safe",
-      s"""WITH RECURSIVE corpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 100000 AS doc_id, text || ' xtra' AS text
-         |  FROM documents WHERE doc_id < 50
-         |  UNION ALL
-         |  SELECT doc_id + 200000 AS doc_id, text || ' xtra ytra' AS text
-         |  FROM documents WHERE doc_id < 50),
-         |${OracleSnippets.minhashLshPairsCte},
-         |good AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.6),
-         |${OracleSnippets.componentsCte},
+      s"""WITH RECURSIVE ${OracleSnippets.mutantClusterPrologue},
          |clustered AS (
          |  SELECT c.doc_id, coalesce(cp.component, c.doc_id) AS cluster
          |  FROM corpus c LEFT JOIN comp cp ON cp.id = c.doc_id),
@@ -195,22 +174,9 @@ object DedupQueries {
          |  CAST(count(CASE WHEN b = 9 THEN 1 END) AS BIGINT) AS n_test,
          |  CAST((SELECT n FROM leaky) AS BIGINT) AS n_leaky_naive
          |FROM assigned""".stripMargin) { (s, dir) =>
-      val d = docs(s, dir).select("doc_id", "text")
-      val corpus = d
-        .unionAll(d.filter(col("doc_id") < 50)
-          .select((col("doc_id") + 100000).as("doc_id"),
-            concat(col("text"), lit(" xtra")).as("text")))
-        .unionAll(d.filter(col("doc_id") < 50)
-          .select((col("doc_id") + 200000).as("doc_id"),
-            concat(col("text"), lit(" xtra ytra")).as("text")))
-      val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.6)
-      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
       def bucket(c: org.apache.spark.sql.Column) =
         graft.core.Hashing.md5Bucket(c, 10)
-      val assigned = corpus.select("doc_id")
-        .join(comps, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("component"), col("doc_id")).as("cluster"))
+      val assigned = clusterLabels(chainedMutantCorpus(s, dir))
         .select(col("doc_id"), col("cluster"),
           bucket(col("cluster")).as("b"), bucket(col("doc_id")).as("naive_b"))
       val naiveSplit = when(col("naive_b") < 8, "train")

@@ -63,6 +63,39 @@ private[queries] object OracleSnippets {
       |comp AS (SELECT n.id, least(n.id, min(r.dst)) AS component
       |         FROM nodes n JOIN reach r ON r.src = n.id GROUP BY n.id)""".stripMargin
 
+  /** DuckDB mirror of Dedup.wordShingles(text, n): the distinct word
+    * n-grams of a single-space-tokenized `text` column (empty for docs
+    * shorter than n tokens — range() is empty when its bound is ≤ 1). */
+  def wordShinglesSql(n: Int): String =
+    s"list_distinct(list_transform(range(1, len(str_split(text, ' ')) - ${n - 2}), " +
+      s"i -> array_to_string(str_split(text, ' ')[i:i+${n - 1}], ' ')))"
+
+  /** The mutant-CHAIN corpus the cluster-family dedup queries share:
+    * documents ∪ (+100000, ' xtra') ∪ (+200000, ' xtra ytra') for
+    * doc_id<50 — A~B and B~C near-dup chains so components genuinely
+    * merge. Spark twin: DedupQueries.chainedMutantCorpus. */
+  val chainedMutantCorpusSql: String =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text || ' xtra' AS text
+      |  FROM documents WHERE doc_id < 50
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, text || ' xtra ytra' AS text
+      |  FROM documents WHERE doc_id < 50""".stripMargin
+
+  /** Full cluster-query prologue: chained-mutant corpus → LSH pairs →
+    * verified pairs → connected components. Callers continue with
+    * their own CTEs and SELECT from `corpus`/`comp`. Must follow a
+    * `WITH RECURSIVE` keyword. */
+  // lazy: minhashLshPairsCte is defined further down the file — a
+  // strict val here would capture null at object init
+  lazy val mutantClusterPrologue: String =
+    s"""corpus AS (
+       |  $chainedMutantCorpusSql),
+       |$minhashLshPairsCte,
+       |good AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.6),
+       |$componentsCte""".stripMargin
+
   /** DuckDB mirror of Hashing.md5Bucket: a 0..n-1 bucket from the
     * first 4 hex digits of md5(expr) — the deterministic hash-split
     * primitive (Spark side: conv(substring(md5, 1, 4), 16, 10) % n). */
