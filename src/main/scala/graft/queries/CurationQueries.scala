@@ -53,5 +53,70 @@ object CurationQueries {
         .select(col("id_b").as("doc_id")).distinct()
       kept.join(dropIds, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("quality"))
-    }.copy(bench = true))
+    }.copy(bench = true),
+
+    // ── The full training-data build, end to end in ONE plan: quality
+    // filter → near-dup clusters → keep the best member per cluster →
+    // leakage-safe split hashed on the CLUSTER id → concat-and-chunk
+    // packing within each split. Every stage is a shared snippet /
+    // operator verified on its own elsewhere; this pins that the
+    // COMPOSITION stays oracle-exact. Output: per split, the document,
+    // token, and packed-sequence counts a training run consumes.
+    // (Packing partitions by split here — production adds a shard key
+    // inside each split, the packConcatChunk shardCol, to bound window
+    // partitions; 3 partitions is the fixture-scale stand-in.) ────────
+    Q(
+      "corpus_training_build",
+      s"""WITH RECURSIVE base AS (
+         |  ${OracleSnippets.chainedMutantCorpusSql}),
+         |corpus AS (
+         |  SELECT doc_id, text FROM base
+         |  WHERE ${OracleSnippets.qualitySql} >= 0.6),
+         |${OracleSnippets.minhashLshPairsCte},
+         |good AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.6),
+         |${OracleSnippets.componentsCte},
+         |clustered AS (
+         |  SELECT c.doc_id, c.text, coalesce(cp.component, c.doc_id) AS cluster
+         |  FROM corpus c LEFT JOIN comp cp ON cp.id = c.doc_id),
+         |kept AS (SELECT doc_id, text, cluster FROM (
+         |  SELECT doc_id, text, cluster,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY ${OracleSnippets.qualitySql} DESC, doc_id) AS rn
+         |  FROM clustered) WHERE rn = 1),
+         |assigned AS (
+         |  SELECT doc_id, len(str_split(text, ' ')) AS tok,
+         |    CASE WHEN ${OracleSnippets.md5BucketSql("CAST(cluster AS VARCHAR)")} < 8 THEN 'train'
+         |         WHEN ${OracleSnippets.md5BucketSql("CAST(cluster AS VARCHAR)")} = 8 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM kept),
+         |packed AS (
+         |  SELECT split, tok,
+         |    sum(tok) OVER (PARTITION BY split ORDER BY doc_id) - tok AS start_tok
+         |  FROM assigned)
+         |SELECT split,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT floor(start_tok / 512.0)) AS BIGINT) AS n_sequences
+         |FROM packed GROUP BY split""".stripMargin) { (s, dir) =>
+      val base = DedupQueries.chainedMutantCorpus(s, dir)
+      val corpus = base.filter(TextOps.qualityScore(col("text")) >= 0.6)
+      val clustered = corpus.join(DedupQueries.clusterLabels(corpus), Seq("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+        .orderBy(TextOps.qualityScore(col("text")).desc, col("doc_id"))
+      val kept = clustered.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val assigned = kept.select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("tok"),
+        when(graft.core.Hashing.md5Bucket(col("cluster"), 10) < 8, "train")
+          .when(graft.core.Hashing.md5Bucket(col("cluster"), 10) === 8, "val")
+          .otherwise("test").as("split"))
+      graft.operators.CorpusOps
+        .packConcatChunk(assigned, "doc_id", "tok", "split", 512)
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("n_tokens"),
+          countDistinct(col("seq")).as("n_sequences"))
+    })
 }

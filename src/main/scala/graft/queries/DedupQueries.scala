@@ -36,8 +36,9 @@ object DedupQueries {
 
   /** Spark twin of OracleSnippets.chainedMutantCorpusSql — the ONE
     * corpus construction the cluster-family queries (components,
-    * keep-best, leakage-safe split) share; edit both together. */
-  private def chainedMutantCorpus(s: SparkSession, dir: String): DataFrame = {
+    * keep-best, leakage-safe split, the training-build composite)
+    * share; edit both together. */
+  private[queries] def chainedMutantCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
     d.unionAll(d.filter(col("doc_id") < 50)
         .select((col("doc_id") + 100000).as("doc_id"),
@@ -50,7 +51,7 @@ object DedupQueries {
   /** (doc_id, cluster) labels over a corpus: LSH pairs → connected
     * components, singletons keeping their own id (the shared
     * cluster-derivation of keep-best and the leakage-safe split). */
-  private def clusterLabels(corpus: DataFrame): DataFrame =
+  private[queries] def clusterLabels(corpus: DataFrame): DataFrame =
     corpus.select("doc_id")
       .join(Dedup.connectedComponents(
           Dedup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.6),
