@@ -13,7 +13,7 @@ object Plans {
     "dedup_minhash_lsh", "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk",
     "ann_ivf_index_topk", "corpus_curation", "events_asof_join",
     "pack_sequences", "corpus_decontaminate", "vocab_top_tokens",
-    "emb_semantic_dedup")
+    "emb_semantic_dedup", "corpus_training_build")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
