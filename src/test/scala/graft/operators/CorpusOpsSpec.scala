@@ -58,6 +58,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(k25.size < k60.size && k60.size < k100.size)
   }
 
+  test("contaminationPairs: docs shorter than n tokens can never pair") {
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("bench_id", "text")
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota"), // shares the 8-gram
+      (11L, "alpha beta gamma"), // 3 tokens — no 8-gram exists
+      (12L, "")                  // empty — no tokens at all
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.contaminationPairs(corpus, bench, "doc_id", "bench_id", "text", n = 8)
+      .select("doc_id", "bench_id", "n_shared").as[(Long, Long, Long)].collect()
+    // the 8-token bench doc has exactly ONE 8-gram; doc 10 contains it
+    assert(out.toSeq == Seq((10L, 1L, 1L)))
+  }
+
   test("stratumKeep matches the md5-bucket definition per stratum") {
     val docs = spark.range(200).select(
       col("id").as("doc_id"),
