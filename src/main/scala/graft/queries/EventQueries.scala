@@ -167,5 +167,31 @@ object EventQueries {
         .distinct()
         .groupBy("cohort_week", "week_offset")
         .agg(count(lit(1)).as("n_active"))
+    },
+
+    // ── Outlier detection: per-type 3σ rule via a broadcast stats join —
+    // the per-group mean/stddev frame is group-cardinality-sized, so
+    // the events scan streams past it without shuffling (the standard
+    // two-pass z-score at scale). Counts only, so the float boundary
+    // (|z| vs 3.0) is the checked semantics, not a float column. ──────
+    Q(
+      "events_outliers",
+      """WITH stats AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(CASE WHEN abs(e.value - s.mu) > 3 * s.sigma THEN 1 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN stats s ON s.event_type = e.event_type
+        |GROUP BY e.event_type""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val stats = ev.groupBy("event_type")
+        .agg(avg("value").as("mu"), stddev_pop("value").as("sigma"))
+      ev.join(broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(when(abs(col("value") - col("mu")) > lit(3) * col("sigma"), 1))
+            .as("n_outliers"))
     })
 }
