@@ -95,7 +95,7 @@ object Dedup {
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.6, numHashes: Int = 12, bands: Int = 4,
-      maxBucketSize: Int = 64): DataFrame = {
+      maxBucketSize: Int = 64, partitionsHint: Option[Int] = None): DataFrame = {
     require(bands >= 1 && numHashes % bands == 0 && numHashes / bands >= 1,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands) — " +
         "integer division would silently drop signature hashes or empty every band")
@@ -116,9 +116,17 @@ object Dedup {
     // thousands of splits, so an unconditional repartition would
     // shuffle every text byte per invocation for nothing (round-3
     // audit); the gate keeps the shuffle a small-input-only fixup.
+    // The probe reads the partition count from the INTERNAL-row plan
+    // (`executedPlan.execute()`), not `base.rdd` — the latter grafts a
+    // whole Row-conversion lineage onto a second physical plan just to
+    // read a count (round-4 advice). Callers that already know their
+    // parallelism (e.g. a chained-mutant union whose plan is expensive
+    // to build twice) skip the probe entirely via `partitionsHint`.
     val sc = df.sparkSession.sparkContext
+    val inputParts = partitionsHint.getOrElse(
+      base.queryExecution.executedPlan.execute().getNumPartitions)
     val spread =
-      if (base.rdd.getNumPartitions < sc.defaultParallelism)
+      if (inputParts < sc.defaultParallelism)
         base.repartition(sc.defaultParallelism, col("doc_id"))
       else base
     val banded = spread.select(col("doc_id"),

@@ -118,8 +118,16 @@ object Execute {
           // -e KEY forwards the value from the process environment,
           // where the executor already exported every config env entry
           val envFlags = envKeys.map(k => s"-e $k ").mkString
+          // rm -f first: a retried attempt of the same task (or a retry
+          // racing the async --rm reaper after a timeout kill) would
+          // otherwise hit "name already in use" (exit 125) and be
+          // spuriously DLQ'd. The reference avoids the collision by
+          // REUSING the found container (executor_docker.go:157-182);
+          // here attempts are workspace-isolated, so a fresh container
+          // per attempt with delete-first gives the same idempotence.
           Right(
-            "docker run --rm --name \"graft_$TASK_HASH\" " +
+            "docker rm -f \"graft_$TASK_HASH\" >/dev/null 2>&1; " +
+              "docker run --rm --name \"graft_$TASK_HASH\" " +
               "-v \"$TASK_INPUT_DIR\":/in -v \"$TASK_OUTPUT_DIR\":/out " +
               envFlags + img)
         }

@@ -39,19 +39,36 @@ object CurationQueries {
          |LEFT JOIN (SELECT DISTINCT id_b FROM pairs WHERE jaccard >= 0.6) drop_ids
          |  ON k.doc_id = drop_ids.id_b
          |WHERE drop_ids.id_b IS NULL""".stripMargin) { (s, dir) =>
-      val scored = Tables.load(s, dir, "documents")
+      val docs = Tables.load(s, dir, "documents")
+      val scored = docs
         .select(col("doc_id"), col("text"),
           TextOps.qualityScore(col("text")).as("quality"),
           TextOps.langId(col("text")).as("pred_lang"))
       // repetition threshold 0.08: the fixture corpus's natural
       // duplicate-bigram fraction tops out ≈0.10 (median 0.03), so the
       // filter drops a real high-repetition tail without gutting the
-      // corpus — production pipelines tune this per-source
-      val kept = scored.filter(col("quality") >= 0.6 && col("pred_lang") === "en" &&
-        TextOps.duplicateNgramFraction(col("text")) < 0.08)
-      val dropIds = Dedup.nearDupPairs(kept, "doc_id", "text", threshold = 0.6)
+      // corpus — production pipelines tune this per-source.
+      //
+      // The keep DECISION is computed once and materialized as a tiny
+      // (doc_id, quality) frame — the scoring kernels otherwise re-run
+      // over the full corpus in every consumer of the filtered set (the
+      // LSH band scan, its two text re-attach joins, and the final
+      // anti-join: 4× in round 4, which is exactly the bench regression
+      // the repetition kernel exposed). Consumers that need text
+      // re-attach it by a doc_id equi-join against the RAW scan — a
+      // cheap hash probe (AQE broadcasts the id set when small), never
+      // a repeated kernel pass. This is the in-session analog of the
+      // production shape: curated-id manifest at rest, text stays put.
+      val keptIds = scored
+        .filter(col("quality") >= 0.6 && col("pred_lang") === "en" &&
+          TextOps.duplicateNgramFraction(col("text")) < 0.08)
+        .select(col("doc_id"), col("quality"))
+        .localCheckpoint(true)
+      val keptText = docs.select(col("doc_id"), col("text"))
+        .join(keptIds.select("doc_id"), Seq("doc_id"))
+      val dropIds = Dedup.nearDupPairs(keptText, "doc_id", "text", threshold = 0.6)
         .select(col("id_b").as("doc_id")).distinct()
-      kept.join(dropIds, Seq("doc_id"), "left_anti")
+      keptIds.join(dropIds, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("quality"))
     }.copy(bench = true),
 

@@ -286,14 +286,19 @@ object Similarity {
     * with the corpus, all-pairs cost stays (N/k)² per cell, never N².
     */
   def semanticDedup(corpus: DataFrame, cents: Centroids, threshold: Double): DataFrame = {
-    // persisted: the assignment subtree (scan + k-way argmin per row)
-    // feeds both self-join sides AND the final anti-join — without this
-    // the argmin runs up to 3×. Production materializes the assignment
-    // at rest instead (writeIvfIndex's cid-partitioned form); the
-    // persist is the in-session analog, spill-safe at corpus scale.
+    // Materialized once: the assignment subtree (scan + k-way argmin per
+    // row) feeds both self-join sides AND the final anti-join — without
+    // this the argmin runs up to 3×. An eager localCheckpoint (not
+    // persist) so the blocks are ContextCleaner-collected when the
+    // result frame is dropped — a plain persist registers in the
+    // session CacheManager and leaks storage across repeated calls
+    // (round-4 advice; same class as the round-3 Listing fix).
+    // Production materializes the assignment at rest instead
+    // (writeIvfIndex's cid-partitioned form); this is the in-session
+    // analog, spill-safe at corpus scale (MEMORY_AND_DISK blocks).
     val cells = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("cid", nearestCid(corpus, cents, col("e")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val drops = cells.as("a").join(cells.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
       .filter(nativeCosine(corpus)(col("a.e"), col("b.e")) >= threshold)

@@ -59,12 +59,27 @@ object StoreLock {
           true
         } catch { case _: java.nio.file.FileAlreadyExistsException => false }
       } else {
-        try {
-          val out = fs.create(p, false)
-          out.writeBytes(s"pid=${ProcessHandle.current().pid()}\n")
-          out.close()
-          true
-        } catch { case _: java.io.IOException => false }
+        // Only the create() can mean "someone else holds it". A failure
+        // AFTER the create succeeded (write/close) would otherwise leave
+        // the caller spinning against its OWN orphaned lock file until
+        // timeout — and block every later writer until manual deletion —
+        // so the file is best-effort removed before reporting failure.
+        val created =
+          try Some(fs.create(p, false))
+          catch { case _: java.io.IOException => None }
+        created match {
+          case None => false
+          case Some(out) =>
+            try {
+              out.writeBytes(s"pid=${ProcessHandle.current().pid()}\n")
+              out.close()
+              true
+            } catch {
+              case _: java.io.IOException =>
+                try fs.delete(p, false) catch { case _: java.io.IOException => () }
+                false
+            }
+        }
       }
     while (!tryAcquire()) {
       if (System.currentTimeMillis() > deadline)
