@@ -81,6 +81,68 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Per-stratum integer keep percentages that rebalance a corpus
+    * toward `targetWeights` by DOWNSAMPLING ONLY (no duplication): the
+    * largest total satisfying every target share is bounded by the
+    * scarcest stratum (min over counts/weight); every other stratum is
+    * cut to its share of that total. Strata without a positive target
+    * weight are dropped (rate 0). Rates floor to integer percent so the
+    * cut composes with `stratumKeep`'s md5-bucket predicate — the
+    * whole decision stays deterministic and rerun-stable.
+    *
+    * This is the data-mixing step of a training build (e.g. DoReMi-style
+    * domain weights applied to a crawl): `counts` is an index-sized
+    * per-stratum aggregate (one tiny groupBy, collected driver-side —
+    * never row data), the returned map rides into the per-row predicate
+    * as a literal CASE chain.
+    *
+    * All arithmetic is f64 with a fixed evaluation order
+    * (`100.0 * tmax * w / c`, left-associative) so an external oracle
+    * computing the same expression reproduces the rates bit-exactly.
+    */
+  def mixRates(
+      counts: Map[String, Long],
+      targetWeights: Map[String, Double]): Map[String, Int] = {
+    require(targetWeights.values.forall(_ >= 0), s"negative target weight: $targetWeights")
+    val feasible = counts.collect {
+      case (s, c) if targetWeights.getOrElse(s, 0.0) > 0 => c / targetWeights(s)
+    }
+    require(feasible.nonEmpty, "no stratum has a positive target weight")
+    val tmax = feasible.min
+    counts.map { case (s, c) =>
+      val w = targetWeights.getOrElse(s, 0.0)
+      s -> (if (w <= 0) 0
+            else math.min(math.floor(100.0 * tmax * w / c).toInt, 100))
+    }
+  }
+
+  /** Token-budget selection: within each stratum, keep documents in
+    * `orderCol`-descending order (ties broken by `idCol`) while the
+    * RUNNING token total stays within `budgetTokens` — the "best
+    * documents up to N tokens per source" step of a data-mixing plan
+    * (a budget is how mixes are actually specified: token counts, not
+    * document counts).
+    *
+    * Scale shape: one hash exchange on `strataCol`, then an
+    * independent per-stratum window — no global sort. Stratum
+    * cardinality (sources/domains) is plan-sized, not corpus-sized;
+    * a skewed giant stratum wants a shard sub-key the same way
+    * `packConcatChunk`'s shardCol bounds its windows.
+    */
+  def selectToTokenBudget(
+      df: DataFrame,
+      strataCol: String,
+      orderCol: String,
+      idCol: String,
+      tokCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val w = Window.partitionBy(strataCol).orderBy(col(orderCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tok", sum(col(tokCol)).over(w))
+      .filter(col("cum_tok") <= budgetTokens)
+  }
+
   /** Deterministic per-stratum keep predicate: row survives when its
     * md5 bucket (0..99 from the id) is below the stratum's percentage
     * rate. Hash-based rather than random so (a) reruns and retried

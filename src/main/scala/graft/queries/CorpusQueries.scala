@@ -29,6 +29,16 @@ object CorpusQueries {
   private val SampleRates = Map("en" -> 60, "es" -> 25)
   private val SampleDefault = 100
 
+  /** Target language mix for corpus_mix_to_target — zh carries no
+    * weight, demonstrating the drop-a-stratum path. */
+  private val MixTargets =
+    Map("en" -> 0.35, "es" -> 0.25, "de" -> 0.25, "fr" -> 0.15)
+  private val MixCaseSql = MixTargets
+    .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+
+  /** Tokens kept per source by corpus_token_budget. */
+  private val TokenBudget = 800L
+
   val queries: Seq[Q] = Seq(
 
     // ── Concat-and-chunk sequence packing: shard by id hash, order by
@@ -266,5 +276,84 @@ object CorpusQueries {
           sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
         .select(col("doc_id"), col("n_tokens"), col("n_oov"),
           (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+    },
+
+    // ── Mix-to-target rebalancing: derive per-language keep rates FROM
+    // the data (largest downsample-only total honoring the target
+    // shares — the scarcest weighted stratum binds at rate 100), then
+    // apply them as the deterministic md5-bucket cut. The per-stratum
+    // counts are an index-sized aggregate; only integer rates ride into
+    // the per-row predicate. zh has no target weight → rate 0 (dropped
+    // stratum). Both engines compute rates with the identical f64
+    // expression order, so the floor boundaries agree bit-exactly. ─────
+    Q(
+      "corpus_mix_to_target",
+      s"""WITH counts AS (
+         |  SELECT lang, CAST(count(*) AS DOUBLE) AS c FROM documents GROUP BY lang),
+         |w AS (SELECT lang, c, CASE lang $MixCaseSql ELSE 0.0 END AS wt FROM counts),
+         |t AS (SELECT min(c / wt) AS tmax FROM w WHERE wt > 0),
+         |rates AS (
+         |  SELECT lang,
+         |         CASE WHEN wt <= 0 THEN 0
+         |              ELSE least(CAST(floor(100.0 * tmax * wt / c) AS BIGINT), 100)
+         |         END AS rate
+         |  FROM w, t),
+         |rated AS (
+         |  SELECT d.lang, r.rate,
+         |         ${OracleSnippets.md5BucketSql("CAST(doc_id AS VARCHAR)", 100)} AS bucket
+         |  FROM documents d JOIN rates r USING (lang))
+         |SELECT lang, CAST(rate AS BIGINT) AS rate_pct,
+         |       CAST(count(*) AS BIGINT) AS n_total,
+         |       CAST(count(CASE WHEN bucket < rate THEN 1 END) AS BIGINT) AS n_kept
+         |FROM rated GROUP BY lang, rate""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      // index-sized: one row per language, collected to compute rates
+      val counts = d.groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rates = CorpusOps.mixRates(counts, MixTargets)
+      val keep = CorpusOps.stratumKeep(col("doc_id"), col("lang"), rates, 0)
+      val rateCol = rates.foldLeft(lit(0)) { case (acc, (k, v)) =>
+        when(col("lang") === k, v).otherwise(acc)
+      }
+      d.groupBy("lang").agg(
+          count(lit(1)).as("n_total"),
+          count(when(keep, 1)).as("n_kept"))
+        .select(col("lang"), rateCol.cast("long").as("rate_pct"),
+          col("n_total"), col("n_kept"))
+    },
+
+    // ── Token-budget selection: per source, keep the highest-quality
+    // documents while the running token total stays within the budget —
+    // mixes are specified in tokens, not document counts. One exchange
+    // on source, per-source windows, no global sort. min_quality pins
+    // that both engines keep the SAME documents (identical f64 quality
+    // ordering), not just the same counts. ────────────────────────────
+    Q(
+      "corpus_token_budget",
+      s"""WITH scored AS (
+         |  SELECT doc_id, source, len(str_split(text, ' ')) AS tok,
+         |         ${OracleSnippets.qualitySql} AS quality
+         |  FROM documents),
+         |cum AS (
+         |  SELECT source, tok, quality,
+         |         sum(tok) OVER (PARTITION BY source
+         |                        ORDER BY quality DESC, doc_id) AS cum_tok
+         |  FROM scored)
+         |SELECT source,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(tok) AS BIGINT) AS n_tokens,
+         |       min(quality) AS min_quality
+         |FROM cum WHERE cum_tok <= $TokenBudget GROUP BY source""".stripMargin) { (s, dir) =>
+      val scored = docs(s, dir).select(
+        col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).as("tok"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      CorpusOps.selectToTokenBudget(
+          scored, "source", "quality", "doc_id", "tok", TokenBudget)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("n_tokens"),
+          min(col("quality")).as("min_quality"))
     })
 }

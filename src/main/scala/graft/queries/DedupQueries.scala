@@ -280,5 +280,40 @@ object DedupQueries {
       sh.as("a").join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
           Dedup.jaccard(col("a.sh3"), col("b.sh3")).as("jaccard3"))
+    },
+
+    // ── Cross-source duplication matrix: near-dup pair counts between
+    // source pairs — the dataset diagnostic that tells a corpus build
+    // WHERE its duplication lives (mirror sites, cross-posted content)
+    // and which sources to dedup against each other first. Pairs come
+    // from the standard LSH pipeline over the chained-mutant corpus;
+    // each side maps back to its origin document's source (mutant ids
+    // are origin + 100000/200000). Scale: the matrix is |sources|² at
+    // most — aggregate-sized — and the joins attach a scalar source to
+    // already-bounded pair rows. ──────────────────────────────────────
+    Q(
+      "dedup_cross_source_matrix",
+      s"""WITH corpus AS (
+         |  ${OracleSnippets.chainedMutantCorpusSql}),
+         |${OracleSnippets.minhashLshPairsCte},
+         |good AS (SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.6)
+         |SELECT da.source AS source_a, db.source AS source_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       avg(jaccard) AS avg_jaccard
+         |FROM good g
+         |JOIN documents da ON da.doc_id = g.id_a % 100000
+         |JOIN documents db ON db.doc_id = g.id_b % 100000
+         |GROUP BY da.source, db.source""".stripMargin) { (s, dir) =>
+      val src = docs(s, dir).select(col("doc_id").as("orig_id"), col("source"))
+      val pairs = Dedup.nearDupPairs(
+        chainedMutantCorpus(s, dir), "doc_id", "text", threshold = 0.6)
+      pairs
+        .join(src.withColumnRenamed("source", "source_a"),
+          pmod(col("id_a"), lit(100000L)) === col("orig_id"))
+        .drop("orig_id")
+        .join(src.withColumnRenamed("source", "source_b"),
+          pmod(col("id_b"), lit(100000L)) === col("orig_id"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"), avg(col("jaccard")).as("avg_jaccard"))
     })
 }

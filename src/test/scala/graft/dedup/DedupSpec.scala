@@ -68,6 +68,26 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("partitionsHint bypasses the partition probe and gates the repartition") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d e"), (3L, "x y z w")).toDF("doc_id", "text")
+    def hasRepartition(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
+      }.nonEmpty
+    // hinted as already well-partitioned → the full-corpus shuffle must
+    // NOT appear in the plan (the round-3 scale-killer this gate fixed)
+    val wellPartitioned = Dedup.nearDupPairs(docs, "doc_id", "text",
+      partitionsHint = Some(10000))
+    assert(!hasRepartition(wellPartitioned),
+      "hinted-wide input still planned the full-corpus repartition")
+    // hinted as a single split → the spread kicks in
+    val narrow = Dedup.nearDupPairs(docs, "doc_id", "text", partitionsHint = Some(1))
+    assert(hasRepartition(narrow), "underpartitioned input lost its CPU-spread repartition")
+    // results identical either way
+    assert(wellPartitioned.collect().toSet == narrow.collect().toSet)
+  }
+
   test("jaccard: identical sets → 1.0, disjoint → 0.0, order-insensitive") {
     import spark.implicits._
     val df = Seq(

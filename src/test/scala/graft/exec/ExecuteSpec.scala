@@ -273,13 +273,26 @@ class ExecuteSpec extends SparkSpec {
     * container): parses the exact `docker run --rm --name N -v a:/in
     * -v b:/out [-e K]... IMAGE` line dockerCommand builds, "runs" the
     * known test image by copying /in to /out and writing a manifest,
-    * and fails with docker's own exit 125 for unknown images. */
+    * and fails with docker's own exit 125 for unknown images. It also
+    * mimics the daemon's NAME REGISTRY (a state dir next to the shim):
+    * `run --name N` fails with docker's real "name already in use"
+    * exit 125 when N is registered, and `rm -f N` deregisters — which
+    * is what makes the executor's delete-first line load-bearing. */
   private def dockerShimPath(): String = {
     val dir = Files.createTempDirectory("graft_docker_shim")
     val script = dir.resolve("docker")
     Files.writeString(script,
       """#!/bin/sh
-        |[ "$1" = "run" ] || { echo "unsupported subcommand: $1" >&2; exit 64; }
+        |STATE="$(dirname "$0")/containers"
+        |mkdir -p "$STATE"
+        |case "$1" in
+        |  rm) shift
+        |      [ "$1" = "-f" ] && shift
+        |      rm -f "$STATE/$1"
+        |      exit 0 ;;
+        |  run) ;;
+        |  *) echo "unsupported subcommand: $1" >&2; exit 64 ;;
+        |esac
         |shift
         |IN= OUT= IMG= NAME=
         |while [ $# -gt 0 ]; do
@@ -296,13 +309,21 @@ class ExecuteSpec extends SparkSpec {
         |  esac
         |  shift
         |done
+        |if [ -e "$STATE/$NAME" ]; then
+        |  echo "docker: Error response from daemon: Conflict. The container name \"/$NAME\" is already in use" >&2
+        |  exit 125
+        |fi
+        |touch "$STATE/$NAME"
         |case "$IMG" in
         |  graft/test-image)
         |    cp -r "$IN/." "$OUT/" &&
         |    printf 'MPD:%s\n' "$NAME" > "$OUT/manifest.mpd"
+        |    RC=$?
         |    ;;
-        |  *) echo "Unable to find image '$IMG' locally" >&2; exit 125 ;;
+        |  *) echo "Unable to find image '$IMG' locally" >&2; RC=125 ;;
         |esac
+        |rm -f "$STATE/$NAME"   # --rm reaper
+        |exit $RC
         |""".stripMargin)
     script.toFile.setExecutable(true)
     dir.toString
@@ -328,6 +349,23 @@ class ExecuteSpec extends SparkSpec {
     // container name is the reference's task-hash identity key
     val manifest = Paths.get(obj).resolve(s"mirror/${t.output.key}manifest.mpd")
     assert(new String(Files.readAllBytes(manifest)).trim == s"MPD:graft_${t.task_hash}")
+  }
+
+  test("docker executor: stale same-name container from a raced retry is removed, not a DLQ") {
+    FixtureTree.ensure()
+    val (obj, work) = freshDirs()
+    val shim = dockerShimPath()
+    val t = dockerTask("graft/test-image", s"$shim:/usr/bin:/bin")
+    // a previous attempt's container still holds the task-hash name
+    // (e.g. the async --rm reaper hasn't finished after a timeout
+    // kill) — without the executor's delete-first line this run exits
+    // 125 "name already in use" and the task is spuriously DLQ'd
+    val state = Paths.get(shim).resolve("containers")
+    Files.createDirectories(state)
+    Files.createFile(state.resolve(s"graft_${t.task_hash}"))
+    val r = Execute.executeOne(t, obj, work)
+    assert(r.error == null && r.exit_code == 0,
+      s"retry against a stale container name failed: ${r.error}")
   }
 
   test("docker executor: unknown image is a DLQ error (docker's own exit code)") {

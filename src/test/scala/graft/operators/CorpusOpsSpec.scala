@@ -85,4 +85,47 @@ class CorpusOpsSpec extends SparkSpec {
       assert(k == (if (lang == "en") b < 30 else true))
     }
   }
+
+  test("mixRates: scarcest weighted stratum binds at 100; zero-weight strata drop to 0") {
+    val rates = CorpusOps.mixRates(
+      Map("en" -> 1000L, "de" -> 100L, "zh" -> 500L),
+      Map("en" -> 0.5, "de" -> 0.5))
+    // de is the scarcest per unit weight (100/0.5 = 200 < 1000/0.5)
+    assert(rates("de") == 100)
+    // en is cut to match: total 200 × 0.5 share = 100 of 1000 → 10%
+    assert(rates("en") == 10)
+    assert(rates("zh") == 0, "no target weight → dropped stratum")
+  }
+
+  test("mixRates: kept counts approximate the target shares (downsample-only)") {
+    val counts = Map("a" -> 800L, "b" -> 150L, "c" -> 50L)
+    val weights = Map("a" -> 0.6, "b" -> 0.3, "c" -> 0.1)
+    val rates = CorpusOps.mixRates(counts, weights)
+    val kept = counts.map { case (s, c) => s -> c * rates(s) / 100.0 }
+    val total = kept.values.sum
+    // c binds (50/0.1 = 500); shares of the kept corpus ≈ targets
+    // (integer-percent floors cost at most 1% per stratum)
+    weights.foreach { case (s, w) =>
+      assert(math.abs(kept(s) / total - w) < 0.02,
+        s"stratum $s share ${kept(s) / total} vs target $w")
+    }
+    assert(rates.values.forall(r => r >= 0 && r <= 100))
+  }
+
+  test("selectToTokenBudget: keeps best-first within budget, per stratum independently") {
+    val docsDf = Seq(
+      // (doc_id, src, tok, score) — src A: budget admits the two best
+      // docs (300+400=700 ≤ 800) but not the third (+200 > 800)
+      (1L, "A", 300L, 0.9), (2L, "A", 400L, 0.8), (3L, "A", 200L, 0.7),
+      // src B: the top-ranked doc alone exceeds the budget — the kept
+      // set is a PREFIX of the quality-ranked stream, so everything at
+      // and below it is excluded too (greedy prefix semantics, same as
+      // the oracle's window filter — not best-fit bin packing)
+      (4L, "B", 900L, 0.99), (5L, "B", 100L, 0.5)
+    ).toDF("doc_id", "src", "tok", "score")
+    val kept = CorpusOps.selectToTokenBudget(docsDf, "src", "score", "doc_id", "tok", 800L)
+      .select("doc_id", "cum_tok").as[(Long, Long)].collect().toMap
+    assert(kept.keySet == Set(1L, 2L))
+    assert(kept(2L) == 700L, "running total must accumulate in score-desc order")
+  }
 }

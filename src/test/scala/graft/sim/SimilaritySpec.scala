@@ -103,4 +103,29 @@ class SimilaritySpec extends SparkSpec {
     assert(planted.count() == 20)
     assert(pairs.agg(min("cos")).head().getDouble(0) >= 0.999)
   }
+
+  test("semanticDedup drops planted copies and registers nothing in the CacheManager") {
+    val corpus = e.select("vec_id", "embedding")
+      .unionAll(e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val cents = Similarity.initialCentroids(corpus, 8)
+    val out = Similarity.semanticDedup(corpus, cents, threshold = 0.999)
+    val survivors = out.select("vec_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    // a planted copy is bit-identical to its origin → same cell, cosine
+    // 1.0 → the higher id (the copy) is dropped, every time
+    assert((0L until 20L).forall(survivors.contains))
+    assert(survivors.forall(_ < 10000))
+    // the assignment materialization must be a localCheckpoint (an
+    // ExistingRDD leaf the ContextCleaner collects with the frame),
+    // NEVER a CacheManager-registered persist, which leaks storage per
+    // invocation for the session's lifetime (round-4 advice)
+    val optimized = out.queryExecution.optimizedPlan
+    val cached = optimized.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(cached.isEmpty, "semanticDedup planned through an InMemoryRelation (persist leak)")
+    assert(optimized.collectLeaves().exists(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+      "expected the checkpointed assignment as an ExistingRDD leaf")
+  }
 }
