@@ -28,7 +28,7 @@ object DedupQueries {
         concat(col("text"), lit(" xtra")).as("text")))
   }
 
-  private val nearDupCorpusSql =
+  private[queries] val nearDupCorpusSql =
     """SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 100000 AS doc_id, text || ' xtra' AS text

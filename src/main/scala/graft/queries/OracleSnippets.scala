@@ -110,28 +110,45 @@ private[queries] object OracleSnippets {
     * 4×3 bands with the 64-bucket skew cap → verified Jaccard pairs.
     * Emits the tok/sh/sig/bands/sized/cand/pairs chain; callers SELECT
     * from `pairs` (id_a, id_b, jaccard). */
-  val minhashLshPairsCte: String =
-    """tok AS (SELECT doc_id, str_split(text, ' ') AS w FROM corpus),
-      |sh AS (SELECT doc_id,
-      |         list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS shingles
-      |       FROM tok),
-      |sig AS (SELECT doc_id, shingles,
-      |          list_transform(range(0, 12), i ->
-      |            list_min(list_transform(shingles, s -> md5(i || ':' || s)))) AS sig
-      |        FROM sh),
-      |bands AS (SELECT doc_id, bs.b AS band,
-      |            md5(sig[3*bs.b+1] || sig[3*bs.b+2] || sig[3*bs.b+3]) AS bh
-      |          FROM sig, (SELECT unnest(range(0, 4)) AS b) bs),
-      |sized AS (SELECT doc_id, band, bh,
-      |            count(*) OVER (PARTITION BY band, bh) AS bsz FROM bands),
-      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |         FROM sized a JOIN sized b
-      |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-      |         WHERE a.bsz <= 64),
-      |pairs AS (SELECT id_a, id_b,
-      |            CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-      |              / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
-      |          FROM cand
-      |          JOIN sh sa ON sa.doc_id = cand.id_a
-      |          JOIN sh sb ON sb.doc_id = cand.id_b)""".stripMargin
+  val minhashLshPairsCte: String = minhashLshCte(cap = Some(64))
+
+  /** The cap-free variant, mirroring the INCREMENTAL (streaming) LSH:
+    * an increment-at-a-time pipeline can't apply a global bucket-size
+    * cap — bucket sizes are only known once the whole corpus has
+    * arrived — so its candidate set is the raw bucket-collision set. */
+  val minhashLshPairsNoCapCte: String = minhashLshCte(cap = None)
+
+  private def minhashLshCte(cap: Option[Int]): String = {
+    val candCte = cap match {
+      case Some(c) =>
+        s"""sized AS (SELECT doc_id, band, bh,
+           |            count(*) OVER (PARTITION BY band, bh) AS bsz FROM bands),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |         FROM sized a JOIN sized b
+           |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+           |         WHERE a.bsz <= $c)""".stripMargin
+      case None =>
+        """cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |         FROM bands a JOIN bands b
+          |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+    }
+    s"""tok AS (SELECT doc_id, str_split(text, ' ') AS w FROM corpus),
+       |sh AS (SELECT doc_id,
+       |         list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS shingles
+       |       FROM tok),
+       |sig AS (SELECT doc_id, shingles,
+       |          list_transform(range(0, 12), i ->
+       |            list_min(list_transform(shingles, s -> md5(i || ':' || s)))) AS sig
+       |        FROM sh),
+       |bands AS (SELECT doc_id, bs.b AS band,
+       |            md5(sig[3*bs.b+1] || sig[3*bs.b+2] || sig[3*bs.b+3]) AS bh
+       |          FROM sig, (SELECT unnest(range(0, 4)) AS b) bs),
+       |$candCte,
+       |pairs AS (SELECT id_a, id_b,
+       |            CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |              / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+       |          FROM cand
+       |          JOIN sh sa ON sa.doc_id = cand.id_a
+       |          JOIN sh sb ON sb.doc_id = cand.id_b)""".stripMargin
+  }
 }

@@ -49,6 +49,20 @@ object StreamQueries {
       StreamingJobs.streamingQualityFilter(s, dir)
     },
 
+    // ── Incremental LSH dedup: per-micro-batch band collisions against
+    // an at-rest band index — the drained pairs table must equal the
+    // batch LSH run over the same (documents ∪ planted-mutant) corpus,
+    // proving arrival-order independence. Cap-free candidate set on
+    // both sides (a global bucket cap is unknowable mid-stream). ───────
+    Q(
+      "stream_incremental_lsh",
+      s"""WITH corpus AS (
+         |  ${DedupQueries.nearDupCorpusSql}),
+         |${OracleSnippets.minhashLshPairsNoCapCte}
+         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.6""".stripMargin) {
+      (s, dir) => StreamingJobs.incrementalLshPairs(s, dir, threshold = 0.6)
+    },
+
     // ── Arbitrary stateful streaming: flatMapGroupsWithState totals ────
     Q(
       "stream_stateful_totals",

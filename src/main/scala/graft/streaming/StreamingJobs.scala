@@ -148,6 +148,94 @@ object StreamingJobs {
       .agg(count(lit(1)).as("n_kept"), avg(col("quality")).as("avg_quality"))
   }
 
+  /** Incremental MinHash-LSH near-dup detection: each micro-batch's
+    * documents are banded by the per-row kernel, candidates are the
+    * batch's band collisions against an AT-REST band index (plus
+    * within-batch collisions), verified pairs append to a pairs table,
+    * and the batch's own bands/texts then join the index. This is how a
+    * 100 TB corpus dedups its daily increment: the increment joins a
+    * (band, bh)-keyed history index — work scales with the increment
+    * and its collision set, never with a history rescan; history TEXT
+    * is fetched for verified candidates only.
+    *
+    * Arrival-order independence (the correctness property the oracle
+    * checks): every unordered pair sharing a band bucket is discovered
+    * exactly once — when its LATER member arrives (new×history) or in
+    * the shared batch (new×new) — so the drained pairs table equals the
+    * batch LSH run, whatever the file order. No global bucket-size cap:
+    * bucket sizes are unknowable mid-stream (the batch operator's skew
+    * guard is a whole-corpus construct; an incremental deployment
+    * bounds buckets by capping per-bucket index growth instead).
+    *
+    * Planted mutants (doc_id < 50 → +100000, one appended token) ride
+    * in as a second stream so cross-batch recall is non-trivial. */
+  def incrementalLshPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.6, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+    import graft.functions.GraftFunctions
+    import org.apache.spark.sql.types._
+    GraftFunctions.register(spark)
+    val stateRoot = Files.createTempDirectory("graft_inc_lsh").toString
+    val bandIndexPath = s"$stateRoot/band_index"
+    val docTextPath = s"$stateRoot/doc_texts"
+    val pairsPath = s"$stateRoot/pairs"
+    val bandsSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("band", IntegerType), StructField("bh", StringType)))
+    val docsSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val pairsSchema = StructType(Seq(StructField("id_a", LongType),
+      StructField("id_b", LongType), StructField("jaccard", DoubleType)))
+
+    val originals = tableStream(spark, sfDir, "documents", maxFilesPerTrigger = 2)
+      .select(col("doc_id"), col("text"))
+    val mutants = tableStream(spark, sfDir, "documents", maxFilesPerTrigger = 2)
+      .filter(col("doc_id") < 50)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" xtra")).as("text"))
+    val q = originals.unionAll(mutants).writeStream
+      .option("checkpointLocation", tmpCheckpoint("inc_lsh"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        GraftFunctions.register(s)
+        // the batch feeds banding, verification texts, and the index
+        // append — materialize once, not three source replays
+        val docsB = batch.select("doc_id", "text").persist()
+        docsB.count()
+        val bandsB = docsB.select(col("doc_id"),
+          posexplode(GraftFunctions.minhashBands(col("text"), 2, numHashes, bands))
+            .as(Seq("band", "bh")))
+        val histBands = Store.readOrEmpty(s, bandIndexPath, bandsSchema)
+        val histDocs = Store.readOrEmpty(s, docTextPath, docsSchema)
+        val newVsHist = bandsB.as("n").join(histBands.as("h"),
+            col("n.band") === col("h.band") && col("n.bh") === col("h.bh"))
+          .select(least(col("n.doc_id"), col("h.doc_id")).as("id_a"),
+            greatest(col("n.doc_id"), col("h.doc_id")).as("id_b"))
+        val newVsNew = bandsB.as("a").join(bandsB.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        val cand = newVsHist.unionAll(newVsNew).distinct()
+        val texts = histDocs.unionAll(docsB)
+        val verified = cand
+          .join(texts.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
+          .join(texts.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            GraftFunctions.shingleJaccard(col("text_a"), col("text_b"), 2).as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+        // pairs FIRST (it reads the pre-batch index state), THEN the
+        // batch joins the index — reversing this would double-discover
+        // within-batch pairs through the history join
+        Store.append(verified, pairsPath)
+        Store.append(bandsB, bandIndexPath)
+        Store.append(docsB, docTextPath)
+        docsB.unpersist()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    Store.readOrEmpty(spark, pairsPath, pairsSchema)
+  }
+
   def statefulUserTotals(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
