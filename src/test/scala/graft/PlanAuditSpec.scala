@@ -133,4 +133,43 @@ class PlanAuditSpec extends SparkSpec {
         s"corpus text/shingles crossed an exchange:\n${offenders.mkString("\n")}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("curation scoring kernels run in exactly one place (the keep-decision subtree)") {
+    // The round-4 regression: the scored+filtered corpus subtree was
+    // re-evaluated in every consumer (LSH band scan, two text re-attach
+    // joins, final anti-join), re-running the scoring kernels 4× over
+    // the corpus. The fix materializes the keep decision once; these
+    // counts pin it. The kernels appear ZERO times in the final plan —
+    // they live behind the checkpointed keep-decision leaf — and the
+    // checkpoint leaf itself must be present.
+    val df = SparkEntry.queries("corpus_curation")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    for (kernel <- Seq("graft_token_hits", "graft_shingle_stats")) {
+      val n = kernel.r.findAllIn(plan).length
+      assert(n == 0,
+        s"$kernel appears $n× in the curation plan — the keep decision leaked out of its checkpoint:\n$plan")
+    }
+    assert(plan.contains("Scan ExistingRDD"),
+      s"checkpointed keep-decision leaf missing from the curation plan:\n$plan")
+  }
+
+  test("token-budget selection shuffles once, by stratum, scalar columns only") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("corpus_token_budget")(spark, sf("sf0.001"))
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      // one exchange for the per-source window; the groupBy(source)
+      // reuses that partitioning (source = grouping key → no re-shuffle)
+      assert(shuffles.size == 1,
+        s"expected exactly the source window exchange, got ${shuffles.size}")
+      assert(shuffles.head.outputPartitioning.toString.contains("source"),
+        s"window exchange not keyed by source: ${shuffles.head.outputPartitioning}")
+      assert(!shuffles.head.output.exists(a =>
+        a.name == "text" || a.dataType.catalogString.contains("array<")),
+        "token-budget selection shuffled text or an array column")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
