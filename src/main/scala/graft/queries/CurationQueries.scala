@@ -66,7 +66,14 @@ object CurationQueries {
         .localCheckpoint(true)
       val keptText = docs.select(col("doc_id"), col("text"))
         .join(keptIds.select("doc_id"), Seq("doc_id"))
-      val dropIds = Dedup.nearDupPairs(keptText, "doc_id", "text", threshold = 0.6)
+      // partitionsHint: probing keptText itself would replan its join
+      // (and under AQE materialize the broadcast a second time); the
+      // broadcast join preserves the scan's partitioning, so the cheap
+      // exchange-free probe of the raw scan is the same number
+      val scanParts = docs.select(col("doc_id"))
+        .queryExecution.executedPlan.execute().getNumPartitions
+      val dropIds = Dedup.nearDupPairs(keptText, "doc_id", "text", threshold = 0.6,
+          partitionsHint = Some(scanParts))
         .select(col("id_b").as("doc_id")).distinct()
       keptIds.join(dropIds, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("quality"))

@@ -305,8 +305,14 @@ object DedupQueries {
          |JOIN documents db ON db.doc_id = g.id_b % 100000
          |GROUP BY da.source, db.source""".stripMargin) { (s, dir) =>
       val src = docs(s, dir).select(col("doc_id").as("orig_id"), col("source"))
+      // partitionsHint: probe the base scan (exchange-free, cheap)
+      // instead of letting nearDupPairs replan the 3-way mutant union —
+      // the hint's motivating caller (round-5 review)
+      val scanParts = docs(s, dir).select(col("doc_id"))
+        .queryExecution.executedPlan.execute().getNumPartitions
       val pairs = Dedup.nearDupPairs(
-        chainedMutantCorpus(s, dir), "doc_id", "text", threshold = 0.6)
+        chainedMutantCorpus(s, dir), "doc_id", "text", threshold = 0.6,
+        partitionsHint = Some(scanParts))
       pairs
         .join(src.withColumnRenamed("source", "source_a"),
           pmod(col("id_a"), lit(100000L)) === col("orig_id"))

@@ -89,24 +89,15 @@ object SimilarityQueries {
       val cents = Similarity.initialCentroids(e, 10)
       // content-keyed staged index, written once per fixture STATE and
       // reused — a fresh temp copy per invocation would leak a full
-      // corpus copy every Verify/Bench run (same publish discipline as
-      // tableStream). The key folds in a fingerprint of the embeddings
-      // table (per-file name/length/mtime), not just the sfDir path:
-      // regenerating the fixture in place would otherwise silently
-      // reuse a stale index and change QUERY RESULTS (round-4 advice).
-      val srcPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-      val srcFs = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val fingerprint = srcFs.listStatus(srcPath)
-        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-        .sorted.mkString(",")
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index/" +
-        graft.core.Hashing.sha256Hex(s"$dir|$fingerprint").take(16)
-      val idxPath = new org.apache.hadoop.fs.Path(idx)
-      val fs = idxPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(idxPath)) {
-        val tmp = s"${idx}__staging_${ProcessHandle.current().pid()}_${System.nanoTime()}"
+      // corpus copy every Verify/Bench run, and a path-only key would
+      // silently reuse a stale index (= wrong results) after in-place
+      // fixture regeneration (round-4 advice). Staging also prunes
+      // superseded index versions, bounding tmp growth.
+      val idx = graft.store.Staging.contentKeyed(
+        s, s"$dir/embeddings.parquet",
+        s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index",
+        salt = "ivf_k10") { tmp =>
         Similarity.writeIvfIndex(e, tmp, cents)
-        graft.store.Store.publishDir(s, tmp, idx, reuseExisting = true)
       }
       Similarity.ivfTopKFromIndex(s, idx, e.filter(col("vec_id") < 5),
         k = 10, cents, nProbe = 3)

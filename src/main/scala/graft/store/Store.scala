@@ -76,6 +76,11 @@ object StoreLock {
               true
             } catch {
               case _: java.io.IOException =>
+                // close the won handle FIRST — an open stream leaks a
+                // descriptor per retry, and some filesystems refuse to
+                // delete a file with a live writer (which would
+                // resurrect exactly the orphan this path removes)
+                try out.close() catch { case _: java.io.IOException => () }
                 try fs.delete(p, false) catch { case _: java.io.IOException => () }
                 false
             }
@@ -90,6 +95,50 @@ object StoreLock {
     }
     try body
     finally { fs.delete(p, false); () }
+  }
+}
+
+/** Content-keyed staged copies of source tables (stream staging, the
+  * at-rest IVF index): the stage path folds in a FINGERPRINT of the
+  * source files (name/length/mtime per file), so regenerating a fixture
+  * in place can never silently reuse a stale copy — which would change
+  * query results (round-4 advice; round-5 review generalized it from
+  * the IVF call site to every stager). Layout is
+  * `<root>/<srcKey>/<versionKey>`: all versions of one source share a
+  * parent, so publishing a fresh version prunes the stale siblings and
+  * tmp growth stays bounded at one live copy per source. */
+object Staging {
+  def contentKeyed(spark: SparkSession, src: String, stageRoot: String,
+      salt: String = "")(write: String => Unit): String = {
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcFs = srcPath.getFileSystem(conf)
+    val fingerprint = srcFs.listStatus(srcPath)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString(",")
+    val srcKey = graft.core.Hashing.sha256Hex(src).take(16)
+    val verKey = graft.core.Hashing.sha256Hex(s"$salt|$fingerprint").take(16)
+    val parent = new org.apache.hadoop.fs.Path(s"$stageRoot/$srcKey")
+    val stage = new org.apache.hadoop.fs.Path(parent, verKey)
+    val fs = stage.getFileSystem(conf)
+    if (!fs.exists(stage)) {
+      // write-then-rename so a crashed half-write can never satisfy the
+      // exists() check on a later run; writer-unique tmp path so
+      // concurrent JVMs staging the same version can't publish each
+      // other's half-written copies (first COMPLETED rename wins)
+      val tmp = s"${stage}__staging_${ProcessHandle.current().pid()}_${System.nanoTime()}"
+      write(tmp)
+      Store.publishDir(spark, tmp, stage.toString, reuseExisting = true)
+      // prune STALE versions of this source — only completed version
+      // dirs (16-hex names), never a concurrent writer's live
+      // `__staging_` tmp, whose publish must be allowed to lose the
+      // race on its own terms
+      fs.listStatus(parent).foreach { st =>
+        val n = st.getPath.getName
+        if (n != verKey && n.matches("[0-9a-f]{16}")) { fs.delete(st.getPath, true); () }
+      }
+    }
+    stage.toString
   }
 }
 

@@ -38,29 +38,18 @@ object StreamingJobs {
     * rejects, so the table is staged once into a µs-timestamp copy —
     * split into several files so AvailableNow actually iterates
     * multiple micro-batches (maxFilesPerTrigger=1), exercising
-    * incremental state, not a single-batch degenerate run. */
+    * incremental state, not a single-batch degenerate run. The stage is
+    * content-keyed (graft.store.Staging): regenerating the fixture in
+    * place gets a fresh copy, never a silent stale reuse. */
   def tableStream(spark: SparkSession, sfDir: String, table: String,
       parts: Int = 4, maxFilesPerTrigger: Int = 1): DataFrame = {
-    // content-keyed stage id: full digest of the dir path, not
-    // String.hashCode — two sfDirs colliding on a 32-bit hash would
-    // silently share one staged copy
-    val dirKey = graft.core.Hashing.sha256Hex(sfDir).take(16)
-    val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src/${table}_$dirKey"
-    val staged = new org.apache.hadoop.fs.Path(stage)
-    val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(staged)) {
-      // write-then-rename so a crashed half-write can never satisfy the
-      // exists() check on a later run; writer-unique tmp path so
-      // concurrent JVMs staging the same table can't publish each
-      // other's half-written copies (first COMPLETED rename wins)
-      val tmp = new org.apache.hadoop.fs.Path(
-        s"${stage}__staging_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+    val stage = graft.store.Staging.contentKeyed(
+      spark, s"$sfDir/$table.parquet",
+      s"${System.getProperty("java.io.tmpdir")}/graft_stream_src",
+      salt = s"$table|$parts") { tmp =>
       graft.Tables.load(spark, sfDir, table)
         .repartition(parts)
-        .write.mode("overwrite").parquet(tmp.toString)
-      // staging semantics: losing the publish race uses the winner's
-      // complete stage; a copied-INTO nested dir is repaired
-      Store.publishDir(spark, tmp.toString, stage, reuseExisting = true)
+        .write.mode("overwrite").parquet(tmp)
     }
     val schema = spark.read.parquet(stage).schema
     spark.readStream.schema(schema)
@@ -201,9 +190,17 @@ object StreamingJobs {
         // append — materialize once, not three source replays
         val docsB = batch.select("doc_id", "text").persist()
         docsB.count()
+        // bandsB likewise has FOUR consumers (history join, both sides
+        // of the within-batch self-join, index append): without its own
+        // materialization the MinHash kernel re-runs over the batch
+        // text per consumer — the diamond-recomputation class the
+        // curation fix removed (round-5 review). Three scalar columns,
+        // so the footprint is trivial next to the text.
         val bandsB = docsB.select(col("doc_id"),
           posexplode(GraftFunctions.minhashBands(col("text"), 2, numHashes, bands))
             .as(Seq("band", "bh")))
+          .persist()
+        bandsB.count()
         val histBands = Store.readOrEmpty(s, bandIndexPath, bandsSchema)
         val histDocs = Store.readOrEmpty(s, docTextPath, docsSchema)
         val newVsHist = bandsB.as("n").join(histBands.as("h"),
@@ -228,6 +225,7 @@ object StreamingJobs {
         Store.append(verified, pairsPath)
         Store.append(bandsB, bandIndexPath)
         Store.append(docsB, docTextPath)
+        bandsB.unpersist()
         docsB.unpersist()
         ()
       }

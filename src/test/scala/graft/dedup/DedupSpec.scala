@@ -81,8 +81,11 @@ class DedupSpec extends SparkSpec {
       partitionsHint = Some(10000))
     assert(!hasRepartition(wellPartitioned),
       "hinted-wide input still planned the full-corpus repartition")
-    // hinted as a single split → the spread kicks in
-    val narrow = Dedup.nearDupPairs(docs, "doc_id", "text", partitionsHint = Some(1))
+    // hinted below any possible parallelism → the spread kicks in
+    // (Some(0), not Some(1): on a 1-core runner defaultParallelism is 1
+    // and `1 < 1` would correctly skip the spread, failing the test for
+    // an environment reason)
+    val narrow = Dedup.nearDupPairs(docs, "doc_id", "text", partitionsHint = Some(0))
     assert(hasRepartition(narrow), "underpartitioned input lost its CPU-spread repartition")
     // results identical either way
     assert(wellPartitioned.collect().toSet == narrow.collect().toSet)
