@@ -116,8 +116,13 @@ object Staging {
     val fingerprint = srcFs.listStatus(srcPath)
       .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
       .sorted.mkString(",")
-    val srcKey = graft.core.Hashing.sha256Hex(src).take(16)
-    val verKey = graft.core.Hashing.sha256Hex(s"$salt|$fingerprint").take(16)
+    // salt belongs in the PARENT key, not the version key: consumers
+    // staging different derivations of one source (different salt) get
+    // separate parents, so one consumer's publish-and-prune can never
+    // delete another's live stage — pruning only ever supersedes
+    // versions of the SAME derivation
+    val srcKey = graft.core.Hashing.sha256Hex(s"$src|$salt").take(16)
+    val verKey = graft.core.Hashing.sha256Hex(fingerprint).take(16)
     val parent = new org.apache.hadoop.fs.Path(s"$stageRoot/$srcKey")
     val stage = new org.apache.hadoop.fs.Path(parent, verKey)
     val fs = stage.getFileSystem(conf)
