@@ -217,9 +217,18 @@ object GraftFunctions {
     new ExpressionInfo(classOf[ShingleStats].getName, "graft_shingle_stats"),
     ShingleStats.fromArgs _)
 
+  val nfcDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_nfc"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, s"graft_nfc expects 1 arg, got ${args.length}")
+      NfcNormalize(args.head)
+    })
+
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(cosineDescriptor, tokenHitsDescriptor, minhashBandsDescriptor,
-      shingleJaccardDescriptor, lshBucketsDescriptor, shingleStatsDescriptor)
+      shingleJaccardDescriptor, lshBucketsDescriptor, shingleStatsDescriptor,
+      nfcDescriptor)
 
   /** Idempotent registration into an existing session. */
   def register(spark: SparkSession): Unit =
@@ -253,4 +262,6 @@ object GraftFunctions {
   def shingleStats(text: Column, n: Int): Column =
     call_function("graft_shingle_stats", text,
       org.apache.spark.sql.functions.lit(n))
+
+  def nfc(text: Column): Column = call_function("graft_nfc", text)
 }

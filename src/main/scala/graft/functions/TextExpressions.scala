@@ -89,6 +89,23 @@ object TextKernels {
     new GenericArrayData(Array(total, shingleSetOf(toks, n).size.toLong))
   }
 
+  /** Unicode NFC (UAX#15 canonical composition) of one text — the
+    * standard pre-tokenization cleanup (combining sequences composed,
+    * so 'e'+U+0301 and 'é' hash/tokenize identically). ASCII fast
+    * path: NFC is the identity on ASCII, and a crawl corpus is mostly
+    * ASCII, so the byte scan avoids the String round-trip per row.
+    * Matches DuckDB's nfc_normalize (same UAX#15 algorithm), which is
+    * what keeps the oracle bind exact. */
+  def nfc(text: UTF8String): UTF8String = {
+    val n = text.numBytes()
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) { if (text.getByte(i) < 0) ascii = false; i += 1 }
+    if (ascii) text
+    else UTF8String.fromString(java.text.Normalizer.normalize(
+      text.toString, java.text.Normalizer.Form.NFC))
+  }
+
   /** Word-shingle Jaccard of two texts in one fused pass — the LSH
     * verification scalar. Bit-identical to the composed
     * `size(array_intersect)/size(array_union)` over wordShingles
@@ -322,6 +339,25 @@ object ShingleStats {
         s"graft_shingle_stats n must be an int literal, got $other")
     }
   }
+}
+
+/** `graft_nfc(text)` → Unicode NFC normalization (TextKernels.nfc). */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "graft_nfc"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.nfc(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextKernels.nfc($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
 }
 
 object MinHashBands {

@@ -168,5 +168,38 @@ object TextQueries {
           concat(col("text"), lit(" contact user"), col("doc_id"),
             lit("@example.com or https://example.org/doc/"), col("doc_id")).as("text")))
       corpus.select(col("doc_id"), TextOps.redact(col("text")).as("redacted"))
+    },
+
+    // ── Canonical normalization: NFC (the graft_nfc kernel) + control
+    // chars → spaces + space-run collapse + trim. Planted mutants carry
+    // a combining acute (U+0301), a tab, a BEL, and space runs, so
+    // every branch fires; the oracle (DuckDB nfc_normalize implements
+    // the same UAX#15 composition) hash-checks every normalized string
+    // and the char counts pin that both engines count code points. ────
+    Q(
+      "text_normalize",
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 600000,
+         |         'Cafe' || chr(769) || '  du' || chr(9) || 'monde' || chr(7) || ' ' || text || '  '
+         |  FROM documents WHERE doc_id < 30),
+         |n AS (SELECT doc_id, text,
+         |        trim(regexp_replace(regexp_replace(nfc_normalize(text),
+         |          '[\\x00-\\x1F\\x7F]', ' ', 'g'), ' {2,}', ' ', 'g')) AS norm
+         |      FROM corpus)
+         |SELECT doc_id, norm,
+         |       CAST(length(text) AS BIGINT) AS orig_chars,
+         |       CAST(length(norm) AS BIGINT) AS norm_chars
+         |FROM n""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val corpus = d.unionAll(d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 600000).as("doc_id"),
+          concat(lit("Café  du\tmonde "), col("text"), lit("  ")).as("text")))
+      corpus
+        .select(col("doc_id"), col("text"), TextOps.normalize(col("text")).as("norm"))
+        .select(col("doc_id"), col("norm"),
+          length(col("text")).cast("long").as("orig_chars"),
+          length(col("norm")).cast("long").as("norm_chars"))
     })
 }

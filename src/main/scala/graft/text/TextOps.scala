@@ -149,6 +149,21 @@ object TextOps {
   def urlCount(text: Column): Column =
     size(regexp_extract_all(text, lit(UrlPattern), lit(0))).cast("long")
 
+  /** Canonical text normalization, the C4-style cleanup that runs
+    * before any tokenization or hashing: Unicode NFC (combining
+    * sequences composed, so 'e'+U+0301 and 'é' dedup/tokenize
+    * identically — the graft_nfc kernel), control characters to
+    * spaces, space runs collapsed, ends trimmed. Application ORDER is
+    * part of the semantics and the oracle applies the same order.
+    * Regex classes are spelled as explicit byte ranges (not \\s or
+    * \\p{Cntrl}) because Java regex and DuckDB's RE2 disagree on the
+    * shorthands' exact membership (e.g. \\x0B). */
+  def normalize(text: Column): Column = {
+    val composed = graft.functions.GraftFunctions.nfc(text)
+    val noCtrl = regexp_replace(composed, "[\\x00-\\x1F\\x7F]", " ")
+    trim(regexp_replace(noCtrl, " {2,}", " "))
+  }
+
   /** PII/boilerplate redaction: every email, then every URL, replaced
     * by a typed placeholder token. Application ORDER is part of the
     * semantics (an email inside a URL's userinfo is redacted before the

@@ -154,4 +154,28 @@ class TextExpressionsSpec extends SparkSpec {
     val found = pairs.filter(col("id_b") === col("id_a") + 100000).count()
     assert(found == 10, s"only $found/10 planted pairs found on pre-partitioned input")
   }
+
+  test("nfc kernel: composition, ASCII identity fast path, idempotence, eval ≡ codegen") {
+    GraftFunctions.register(spark)
+    val decomposed = "Café naïve" // e+◌́, i+◌̈
+    val composed = "Café naïve"
+    // interpreted eval composes
+    val evalOut = NfcNormalize(Literal(UTF8String.fromString(decomposed), StringType))
+      .eval(null).asInstanceOf[UTF8String].toString
+    assert(evalOut == composed)
+    // ASCII fast path returns the input UNCHANGED (identity, no realloc)
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(TextKernels.nfc(ascii) eq ascii)
+    // idempotence: NFC(NFC(x)) == NFC(x)
+    assert(TextKernels.nfc(UTF8String.fromString(evalOut)).toString == evalOut)
+    // codegen path agrees with eval (non-foldable input defeats
+    // constant folding, same trick as the other kernels)
+    val row = spark.range(1).select(
+        concat(lit(decomposed), when(col("id") === 0, lit("")).otherwise(lit(" y")))
+          .as("text"))
+      .select(GraftFunctions.nfc(col("text")).as("n"))
+    assert(row.queryExecution.executedPlan.toString.contains("*("),
+      "nfc kernel fell out of whole-stage codegen")
+    assert(row.head().getString(0) == composed)
+  }
 }
