@@ -77,5 +77,29 @@ object JoinQueries {
           expr("percentile(value, 0.5)").as("p50"),
           expr("percentile(value, 0.95)").as("p95"),
           expr("percentile(value, 0.99)").as("p99"))
+    },
+
+    // ── Co-located bucketed join: orders and lineitem written bucketed
+    // by the join key into the same bucket count join with NO exchange
+    // on either side (PlanAuditSpec pins zero pre-join shuffles) — the
+    // at-rest layout that makes repeated fact-table joins shuffle-free
+    // at 100 TB. Results are layout-independent, so the oracle is the
+    // plain join. ──────────────────────────────────────────────────────
+    Q(
+      "join_bucketed_colocated",
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val o = s.table(graft.store.Bucketing.ensureBucketed(
+        s, dir, "orders", "o_orderkey", 8))
+      val l = s.table(graft.store.Bucketing.ensureBucketed(
+        s, dir, "lineitem", "l_orderkey", 8))
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     })
 }

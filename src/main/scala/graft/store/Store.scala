@@ -98,6 +98,45 @@ object StoreLock {
   }
 }
 
+/** Bucketed (pre-partitioned, pre-sorted) table copies — Spark's
+  * at-rest co-location primitive. A join between two tables bucketed
+  * by the join key into the same bucket count needs NO exchange on
+  * either side: each bucket pair joins locally, which at 100 TB is the
+  * difference between a full-corpus shuffle per join and none. The
+  * same layout serves every future join on that key (the write is
+  * amortized across reads — exactly how fact tables are laid out in
+  * production warehouses). `sortBy` additionally lets SortMergeJoin
+  * skip its per-bucket sort.
+  *
+  * Bucket metadata lives in the session catalog (this build has no
+  * Hive metastore), so the physical files persist in the warehouse but
+  * each new session re-registers by rewriting — the operator's plan
+  * effect (PlanAuditSpec pins zero pre-join exchanges) is identical to
+  * a metastore deployment. */
+object Bucketing {
+  def ensureBucketed(spark: SparkSession, sfDir: String, table: String,
+      bucketCol: String, buckets: Int): String = {
+    val key = graft.core.Hashing.sha256Hex(s"$sfDir|$bucketCol|$buckets").take(12)
+    val name = s"graft_bkt_${table}_$key"
+    if (!spark.catalog.tableExists(name)) {
+      // a previous SESSION's managed files may survive in the warehouse
+      // while this session's in-memory catalog has no table entry —
+      // CREATE then refuses the occupied location. The copy is derived
+      // and regenerable, so clear the orphaned location and rewrite.
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
+      graft.Tables.load(spark, sfDir, table)
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, bucketCol)
+        .sortBy(bucketCol)
+        .saveAsTable(name)
+    }
+    name
+  }
+}
+
 /** Content-keyed staged copies of source tables (stream staging, the
   * at-rest IVF index): the stage path folds in a FINGERPRINT of the
   * source files (name/length/mtime per file), so regenerating a fixture

@@ -153,6 +153,32 @@ class PlanAuditSpec extends SparkSpec {
       s"checkpointed keep-decision leaf missing from the curation plan:\n$plan")
   }
 
+  test("bucketed co-located join: zero exchanges before the join") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // tiny fixture tables would broadcast, which ALSO avoids the
+    // shuffle but proves nothing about the at-rest layout — force the
+    // shuffle-join path so the missing exchanges are bucketing's doing
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("join_bucketed_colocated")(spark, sf("sf0.001"))
+      val plan = df.queryExecution.executedPlan
+      val shuffles = plan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      assert(shuffles.size == 1,
+        s"expected only the aggregation exchange, got ${shuffles.size}:\n$plan")
+      assert(shuffles.head.outputPartitioning.toString.contains("o_orderpriority"),
+        s"the surviving exchange is not the aggregation's: ${shuffles.head.outputPartitioning}")
+      assert(plan.toString.contains("SortMergeJoin"),
+        s"bucketed join did not plan as a sort-merge join:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("token-budget selection shuffles once, by stratum, scalar columns only") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
