@@ -110,6 +110,24 @@ object DedupQueries {
         .select(col("doc_id"), col("component").cast("long").as("component"))
     },
 
+    // ── Cluster-size histogram: how big do near-dup clusters get — the
+    // dedup report a corpus card publishes (a heavy tail here means the
+    // corpus has template/mirror content that pairwise thresholds alone
+    // understate). Aggregate-of-aggregate over scalar ids only. ────────
+    Q(
+      "dedup_cluster_sizes",
+      s"""WITH RECURSIVE ${OracleSnippets.mutantClusterPrologue},
+         |sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+         |SELECT CAST(sz AS BIGINT) AS cluster_size,
+         |       CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM sizes GROUP BY sz""".stripMargin) { (s, dir) =>
+      val corpus = chainedMutantCorpus(s, dir)
+      val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.6)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    },
+
     // ── Cluster-aware retention: keep the BEST-quality member of each
     // near-dup cluster (tie-broken by id), not blindly the lowest id —
     // the canonical-selection policy a curation pipeline actually wants

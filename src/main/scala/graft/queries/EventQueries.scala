@@ -193,5 +193,45 @@ object EventQueries {
           count(lit(1)).as("n_events"),
           count(when(abs(col("value") - col("mu")) > lit(3) * col("sigma"), 1))
             .as("n_outliers"))
+    },
+
+    // ── Robust outliers: median/MAD instead of mean/σ — σ is dragged
+    // by the very outliers it's meant to flag, MAD isn't (the standard
+    // robust scale estimate). Two broadcast-stats passes (median, then
+    // MAD around it), then the scan streams past both tiny frames; the
+    // med/mad columns are part of the checked result, pinning that both
+    // engines interpolate percentiles identically. ────────────────────
+    Q(
+      "events_outliers_robust",
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN med m ON m.event_type = e.event_type
+        |  GROUP BY e.event_type)
+        |SELECT e.event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(CASE WHEN abs(e.value - m.med) > 3 * d.mad THEN 1 END) AS BIGINT) AS n_outliers,
+        |       m.med AS med, d.mad AS mad
+        |FROM events e
+        |JOIN med m ON m.event_type = e.event_type
+        |JOIN mad d ON d.event_type = e.event_type
+        |GROUP BY e.event_type, m.med, d.mad""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      ev.join(broadcast(med), "event_type")
+        .join(broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(when(abs(col("value") - col("med")) > lit(3) * col("mad"), 1))
+            .as("n_outliers"))
+        .select(col("event_type"), col("n_events"), col("n_outliers"),
+          col("med"), col("mad"))
     })
 }
