@@ -13,7 +13,8 @@ object Plans {
     "dedup_minhash_lsh", "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk",
     "ann_ivf_index_topk", "corpus_curation", "events_asof_join",
     "pack_sequences", "corpus_decontaminate", "vocab_top_tokens",
-    "emb_semantic_dedup", "corpus_training_build")
+    "emb_semantic_dedup", "corpus_training_build",
+    "corpus_token_budget", "join_bucketed_colocated")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
