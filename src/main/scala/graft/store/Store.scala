@@ -116,26 +116,59 @@ object StoreLock {
 object Bucketing {
   def ensureBucketed(spark: SparkSession, sfDir: String, table: String,
       bucketCol: String, buckets: Int): String = {
-    val key = graft.core.Hashing.sha256Hex(s"$sfDir|$bucketCol|$buckets").take(12)
+    // content-fingerprinted key (same contract as Staging.contentKeyed):
+    // regenerating the fixture in place yields a NEW table name, so a
+    // long-lived session can never serve a stale bucketed copy while
+    // the oracle reads the live parquet (round-5 review)
+    val fp = Staging.fingerprintOf(spark, s"$sfDir/$table.parquet")
+    val key = graft.core.Hashing.sha256Hex(s"$sfDir|$bucketCol|$buckets|$fp").take(12)
     val name = s"graft_bkt_${table}_$key"
-    if (!spark.catalog.tableExists(name)) {
-      // a previous SESSION's managed files may survive in the warehouse
-      // while this session's in-memory catalog has no table entry —
-      // CREATE then refuses the occupied location. The copy is derived
-      // and regenerable, so clear the orphaned location and rewrite.
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) { fs.delete(loc, true); () }
+    if (spark.catalog.tableExists(name)) return name
+    val conf = spark.sparkContext.hadoopConfiguration
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, name.toLowerCase)
+    val fs = loc.getFileSystem(conf)
+    if (!fs.exists(loc)) {
+      // write through a pid-unique throwaway MANAGED table, then
+      // publish its files at the content-keyed location by rename —
+      // never delete-then-rewrite a shared path another JVM may be
+      // scanning (first completed publish wins; losers discard).
+      // Bucket ids are encoded in the part filenames, so the files
+      // stay a valid bucketed layout wherever the directory lands.
+      val tmpName = s"${name}_w${ProcessHandle.current().pid()}_${System.nanoTime()}"
       graft.Tables.load(spark, sfDir, table)
         .write.mode(SaveMode.Overwrite)
         .bucketBy(buckets, bucketCol)
         .sortBy(bucketCol)
-        .saveAsTable(name)
+        .saveAsTable(tmpName)
+      val tmpLoc = new org.apache.hadoop.fs.Path(warehouse, tmpName.toLowerCase)
+      Store.publishDir(spark, tmpLoc.toString, loc.toString, reuseExisting = true)
+      // the files have moved; dropping the throwaway entry only clears
+      // catalog metadata (its managed location no longer exists)
+      spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+      // prune SUPERSEDED versions (older fingerprints) of this table's
+      // bucketed copies — never tmp writer dirs (their names carry the
+      // _w<pid> marker), mirroring Staging's bounded-growth contract
+      val prefix = s"graft_bkt_${table}_"
+      fs.listStatus(new org.apache.hadoop.fs.Path(warehouse)).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(prefix) && n != name.toLowerCase && n.matches(s"$prefix[0-9a-f]{12}")) {
+          fs.delete(st.getPath, true); ()
+        }
+      }
     }
+    // register the content-keyed location as an EXTERNAL bucketed table
+    // (explicit schema + CLUSTERED BY DDL — catalog API has no bucket
+    // spec); external, so dropping/re-registering never touches files
+    val schemaDdl = graft.Tables.load(spark, sfDir, table).schema.toDDL
+    spark.sql(
+      s"""CREATE TABLE $name ($schemaDdl) USING parquet
+         |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $buckets BUCKETS
+         |LOCATION '$loc'""".stripMargin)
     name
   }
 }
+
 
 /** Content-keyed staged copies of source tables (stream staging, the
   * at-rest IVF index): the stage path folds in a FINGERPRINT of the
@@ -147,14 +180,22 @@ object Bucketing {
   * parent, so publishing a fresh version prunes the stale siblings and
   * tmp growth stays bounded at one live copy per source. */
 object Staging {
-  def contentKeyed(spark: SparkSession, src: String, stageRoot: String,
-      salt: String = "")(write: String => Unit): String = {
+
+  /** Per-file name/length/mtime digest of a source table/dir — the
+    * "has this fixture been regenerated in place?" signal every
+    * content-keyed copy (stage, IVF index, bucketed table) keys on. */
+  def fingerprintOf(spark: SparkSession, src: String): String = {
     val srcPath = new org.apache.hadoop.fs.Path(src)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val srcFs = srcPath.getFileSystem(conf)
-    val fingerprint = srcFs.listStatus(srcPath)
+    val srcFs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    srcFs.listStatus(srcPath)
       .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
       .sorted.mkString(",")
+  }
+
+  def contentKeyed(spark: SparkSession, src: String, stageRoot: String,
+      salt: String = "")(write: String => Unit): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fingerprint = fingerprintOf(spark, src)
     // salt belongs in the PARENT key, not the version key: consumers
     // staging different derivations of one source (different salt) get
     // separate parents, so one consumer's publish-and-prune can never
@@ -180,6 +221,20 @@ object Staging {
       fs.listStatus(parent).foreach { st =>
         val n = st.getPath.getName
         if (n != verKey && n.matches("[0-9a-f]{16}")) { fs.delete(st.getPath, true); () }
+      }
+      // one-time migration sweep: the pre-versioned layout wrote flat
+      // `<name>_<hash16>` dirs (stream stages), bare 16-hex dirs
+      // holding files DIRECTLY (old IVF indexes), and root-level
+      // `__staging_` tmps — none visible to the per-parent prune
+      // above, so without this they'd hold full table copies in tmp
+      // forever (round-5 review). New-scheme parents are pure 16-hex
+      // dirs containing only subdirs, so the patterns can't collide.
+      fs.listStatus(new org.apache.hadoop.fs.Path(stageRoot)).foreach { st =>
+        val n = st.getPath.getName
+        val legacyFlat = n.matches(".+_[0-9a-f]{16}") || n.contains("__staging_")
+        val legacyBare = n.matches("[0-9a-f]{16}") && st.isDirectory &&
+          fs.listStatus(st.getPath).exists(_.isFile)
+        if (legacyFlat || legacyBare) { fs.delete(st.getPath, true); () }
       }
     }
     stage.toString
