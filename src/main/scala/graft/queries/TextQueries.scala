@@ -201,5 +201,30 @@ object TextQueries {
         .select(col("doc_id"), col("norm"),
           length(col("text")).cast("long").as("orig_chars"),
           length(col("norm")).cast("long").as("norm_chars"))
+    },
+
+    // ── Model-based quality: logistic over the kernel features (the
+    // learned-filter seam — literal weights stand in for trained
+    // ones). Same single tokenize pass as the heuristic; per-document
+    // scores hash-checked, plus the ≥0.5 keep decision. ───────────────
+    Q(
+      "text_quality_model",
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |         -1.0 +
+         |         2.0 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0) +
+         |         (-3.0) * (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text)) +
+         |         2.0 * least(1.0, CAST(${OracleSnippets.hitsSql(TextOps.Stopwords)} AS DOUBLE)
+         |                            / len(str_split(text, ' ')) * 4.0) +
+         |         (-5.0) * ${OracleSnippets.dupFractionSql} AS z
+         |  FROM documents)
+         |SELECT doc_id,
+         |       1.0 / (1.0 + exp(-z)) AS model_score,
+         |       CAST(CASE WHEN 1.0 / (1.0 + exp(-z)) >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM f""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.qualityModelScore(col("text")).as("model_score"))
+        .select(col("doc_id"), col("model_score"),
+          when(col("model_score") >= 0.5, 1L).otherwise(0L).as("keep"))
     })
 }

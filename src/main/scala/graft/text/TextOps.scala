@@ -96,6 +96,32 @@ object TextOps {
 
   def qualityScore(text: Column): Column = qualityScoreFrom(text, tokenStats(text))
 
+  /** Literal stand-ins for trained parameters — the seam a
+    * fastText/DCLM-style learned quality filter plugs into (swap the
+    * constants for fitted weights; the plan shape is identical). Order:
+    * bias, length-saturation, punctuation, stopword-density,
+    * duplicate-bigram-fraction. */
+  val QualityModelWeights: (Double, Double, Double, Double, Double) =
+    (-1.0, 2.0, -3.0, 2.0, -5.0)
+
+  /** Model-based quality: logistic over the same kernel features the
+    * heuristic score uses — score = σ(b + Σ wᵢfᵢ), still one fused
+    * tokenize pass per document plus scan-side arithmetic, so the
+    * "classifier" costs the same as the heuristic at any scale. All
+    * f64 with a fixed evaluation order; the oracle recomputes the
+    * identical expression (exp() differences are below the compare's
+    * rounding). */
+  def qualityModelScore(text: Column): Column = {
+    val (b, wLen, wPunct, wStop, wDup) = QualityModelWeights
+    val stats = tokenStats(text)
+    val z = lit(b) +
+      lit(wLen) * least(lit(1.0), length(text).cast("double") / 500.0) +
+      lit(wPunct) * punctRatio(text) +
+      lit(wStop) * least(lit(1.0), stopwordRatioFrom(stats) * 4.0) +
+      lit(wDup) * duplicateNgramFraction(text)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
   def langScoreFrom(stats: Column, langIdx: Int): Column =
     langHits(stats, langIdx).cast("double") / nTokens(stats)
 
