@@ -143,6 +143,93 @@ object CorpusOps {
       .filter(col("cum_tok") <= budgetTokens)
   }
 
+  /** Per-document top-`k` terms by tf-idf (keyword extraction — the
+    * standard corpus-card / topic-drift report, and the feature input
+    * of cheap relevance filters). tf = term occurrences in the doc,
+    * idf = ln(N / df) with df = documents containing the term; scores
+    * are rounded to 6 dp BEFORE ranking so the top-k cut is
+    * reproducible across engines (ties after rounding break on the
+    * term string), then ranked per document.
+    *
+    * Scale shape: the token explode is scan-side; tf is a partial+final
+    * aggregate keyed (doc, term); df aggregates tf down to VOCAB size,
+    * so it broadcasts (as does the 1-row corpus count), and the only
+    * other exchange is the per-document ranking window — keyed by doc
+    * id, never a global sort.
+    */
+  def tfIdfTopTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val tok = docs
+      .select(col(idCol), explode(graft.text.TextOps.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("term"),
+        round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
+    val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("term_rank", row_number().over(w).cast("long"))
+      .filter(col("term_rank") <= k)
+  }
+
+  /** Corpus-trained bigram language-model score per document: the mean
+    * log-probability avg ln P(w_i | w_{i-1}) under an add-one-smoothed
+    * bigram model whose counts come from the corpus itself — the
+    * KenLM/CCNet-style perplexity-proxy quality signal (low score =
+    * unusual token sequences = boilerplate, garbled, or off-domain
+    * text). P(w2|w1) = (C(w1,w2) + 1) / (C(w1) + V) with V the
+    * unigram-vocabulary size. Documents under 2 tokens have no bigrams
+    * and are absent from the result (the caller decides their fate).
+    *
+    * Scale shape: bigrams are built PER ROW (zip of the token array
+    * with its own tail — no position window, no self-join) and
+    * exploded scan-side. The model tables are vocabulary-sized
+    * (unigrams) and vocab²-bounded-by-observed (bigrams), so both
+    * broadcast; the per-document score is then one partial+final
+    * aggregate keyed by doc id. Nothing corpus-sized is ever shuffled
+    * except the (doc, w1, w2, count) stream, which partial map-side
+    * aggregation compacts first. The score is rounded to 6 dp, wide
+    * enough that f64 summation-order differences across engines
+    * (~1e-14) never surface.
+    */
+  def bigramLmScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), graft.text.TextOps.tokens(col(textCol)).as("w"))
+    val emptyBigrams = array().cast("array<struct<w1:string,w2:string>>")
+    val bigrams = tok
+      .select(col(idCol),
+        explode(when(size(col("w")) >= 2,
+          zip_with(
+            slice(col("w"), lit(1), size(col("w")) - 1),
+            slice(col("w"), lit(2), size(col("w")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2"))))
+          .otherwise(emptyBigrams)).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bc = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = tok.select(explode(col("w")).as("w1")).groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = uni.agg(count(lit(1)).cast("double").as("v"))
+    val perDoc = bigrams.groupBy(idCol, "w1", "w2").agg(count(lit(1)).as("k"))
+    perDoc
+      .join(broadcast(bc), Seq("w1", "w2"))
+      .join(broadcast(uni), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy(idCol)
+      .agg(
+        sum(col("k")).as("n_bigrams"),
+        round(sum(col("k") * log((col("c12") + 1.0) / (col("c1") + col("v")))) / sum(col("k")), 6)
+          .as("lm_score"))
+  }
+
   /** Deterministic per-stratum keep predicate: row survives when its
     * md5 bucket (0..99 from the id) is below the stratum's percentage
     * rate. Hash-based rather than random so (a) reruns and retried

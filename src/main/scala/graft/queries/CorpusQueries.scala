@@ -278,6 +278,59 @@ object CorpusQueries {
           (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
     },
 
+    // ── tf-idf keyword extraction: per-document top-3 terms by
+    // tf·ln(N/df), scores rounded to 6 dp BEFORE the rank so the cut is
+    // the same on both engines, rounding-ties broken by term. The full
+    // (doc_id, term, score, rank) result is hash-checked — same terms,
+    // same scores, same order. ─────────────────────────────────────────
+    Q(
+      "vocab_tfidf_top_terms",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |       FROM tok WHERE term <> '' GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tf.term AS term, round(tf * ln(n_docs / df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term, tfidf, CAST(rn AS BIGINT) AS term_rank
+        |FROM ranked WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      CorpusOps.tfIdfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("term"), col("tfidf"), col("term_rank"))
+    },
+
+    // ── Corpus-trained bigram LM quality score (perplexity proxy): the
+    // model counts come from the corpus itself, add-one smoothed over
+    // the unigram vocabulary; per-document mean log-prob hash-checked
+    // to 6 dp. Docs under 2 tokens have no bigrams → absent on BOTH
+    // engines by construction. ─────────────────────────────────────────
+    Q(
+      "corpus_lm_score",
+      """WITH tok AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(w)), i -> {'w1': w[i], 'w2': w[i+1]})) AS b
+        |  FROM tok WHERE len(w) >= 2),
+        |bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+        |bc AS (SELECT w1, w2, count(*) AS c12 FROM bgf GROUP BY w1, w2),
+        |uni AS (SELECT w1, count(*) AS c1
+        |        FROM (SELECT unnest(w) AS w1 FROM tok) GROUP BY w1),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+        |k AS (SELECT doc_id, w1, w2, count(*) AS k FROM bgf GROUP BY doc_id, w1, w2)
+        |SELECT doc_id,
+        |       CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |       round(sum(k * ln((c12 + 1.0)/(c1 + v))) / sum(k), 6) AS lm_score
+        |FROM k JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+        |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      CorpusOps.bigramLmScore(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"), col("lm_score"))
+    },
+
     // ── Mix-to-target rebalancing: derive per-language keep rates FROM
     // the data (largest downsample-only total honoring the target
     // shares — the scarcest weighted stratum binds at rate 100), then
