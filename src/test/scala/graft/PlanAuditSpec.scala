@@ -198,4 +198,27 @@ class PlanAuditSpec extends SparkSpec {
         "token-budget selection shuffled text or an array column")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("tf-idf and bigram-LM: model tables broadcast; no exchange carries text or token arrays") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (name <- Seq("vocab_tfidf_top_terms", "corpus_lm_score")) {
+        val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
+          .queryExecution.executedPlan
+        // df/N (tf-idf) and bigram/unigram/V counts (LM) must ride in as
+        // broadcasts — the corpus-sized stream only ever joins map-side
+        assert(plan.toString.contains("BroadcastHashJoin") ||
+               plan.toString.contains("BroadcastNestedLoopJoin"),
+          s"$name: model tables not broadcast:\n$plan")
+        val shuffles = plan.collect {
+          case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+        }
+        val offenders = shuffles.filter(_.output.exists(a =>
+          a.name == "text" || a.dataType.catalogString.contains("array<")))
+        assert(offenders.isEmpty,
+          s"$name shuffled text or a token array:\n${offenders.mkString("\n")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }

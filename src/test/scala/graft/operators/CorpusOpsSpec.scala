@@ -128,4 +128,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept.keySet == Set(1L, 2L))
     assert(kept(2L) == 700L, "running total must accumulate in score-desc order")
   }
+
+  test("tfIdfTopTerms: hand-computed scores, rank order, and tie-break") {
+    val docsDf = Seq(
+      (1L, "a a b"),   // tf a=2 b=1
+      (2L, "a c"),     // tf a=1 c=1 — a/c tie on tfidf, term breaks it
+      (3L, "c c c d")  // tf c=3 d=1
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.tfIdfTopTerms(docsDf, "doc_id", "text", k = 2)
+      .select("doc_id", "term", "tfidf", "term_rank")
+      .as[(Long, String, Double, Long)].collect().toSet
+    // N=3; df: a=2 b=1 c=2 d=1; ln(3/2)=0.405465, ln(3)=1.098612 (6 dp)
+    assert(out == Set(
+      (1L, "b", 1.098612, 1L), (1L, "a", 0.81093, 2L),
+      (2L, "a", 0.405465, 1L), (2L, "c", 0.405465, 2L),
+      (3L, "c", 1.216395, 1L), (3L, "d", 1.098612, 2L)))
+  }
+
+  test("bigramLmScore: hand-computed add-one bigram log-probs; short docs absent") {
+    val docsDf = Seq(
+      (1L, "a b a"), // bigrams (a,b) (b,a)
+      (2L, "a b"),   // bigram  (a,b)
+      (3L, "c")      // no bigrams → absent from the result
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.bigramLmScore(docsDf, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "lm_score")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, s) => id -> ((n, s)) }.toMap
+    // unigrams a=3 b=2 c=1 → V=3; C(a,b)=2 C(b,a)=1
+    // P(b|a)=(2+1)/(3+3)=0.5 → ln=-0.693147; P(a|b)=(1+1)/(2+3)=0.4 → ln=-0.916291
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((2L, -0.804719)), "mean of ln(0.5), ln(0.4)")
+    assert(out(2L) == ((1L, -0.693147)))
+  }
 }
