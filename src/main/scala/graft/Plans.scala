@@ -14,7 +14,8 @@ object Plans {
     "ann_ivf_index_topk", "corpus_curation", "events_asof_join",
     "pack_sequences", "corpus_decontaminate", "vocab_top_tokens",
     "emb_semantic_dedup", "corpus_training_build",
-    "corpus_token_budget", "join_bucketed_colocated")
+    "corpus_token_budget", "join_bucketed_colocated",
+    "vocab_tfidf_top_terms", "corpus_lm_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
