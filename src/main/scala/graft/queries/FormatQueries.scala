@@ -33,5 +33,22 @@ object FormatQueries {
     // ORC: the columnar alternative bundled with spark-sql (avro's
     // connector jar isn't on the fixed classpath, so orc is the second
     // columnar format alongside parquet)
-    Q("format_orc_roundtrip", aggSql)(roundTripAgg("orc", Map.empty)))
+    Q("format_orc_roundtrip", aggSql)(roundTripAgg("orc", Map.empty)),
+
+    // ── Hive-partitioned layout: documents written one directory per
+    // lang, read back with a lang filter — the scan must prune to the
+    // en/ directory alone (PartitionFilters, pinned by PlanAuditSpec).
+    // The oracle aggregates the original table under the same filter,
+    // so a partition/row mismatch in the layout breaks the hash. ──────
+    Q(
+      "format_partitioned_roundtrip",
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin) { (s, dir) =>
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_fmt/part_docs"
+      Formats.partitionedRoundTrip(Tables.load(s, dir, "documents"), tmp, "lang")
+        .filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+    })
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, SkewJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -101,5 +101,28 @@ object JoinQueries {
         .agg(
           count(lit(1)).as("n_items"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    },
+
+    // ── Salted skew join: lineitem⋈supplier with a deterministic salt
+    // splitting every supplier key across 8 (key, salt) shuffle
+    // partitions — the explicit hot-key defense for when AQE's skew
+    // split can't re-plan the stage. The result is row-identical to the
+    // unsalted join, so the oracle is the PLAIN join: any salt leakage
+    // (dropped rows, duplicate replication) breaks the hash. ──────────
+    Q(
+      "join_skew_salted",
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |GROUP BY s_nationkey""".stripMargin) { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"))
+      val sup = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      SkewJoin.saltedJoin(l, sup, "suppkey", factor = 8)
+        .groupBy("s_nationkey")
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
     })
 }

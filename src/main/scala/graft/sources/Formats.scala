@@ -27,6 +27,20 @@ object Formats {
   val csvOptions: Map[String, String] =
     Map("header" -> "true", "quote" -> "\"", "escape" -> "\"")
 
+  /** Hive-style partitioned-layout round-trip: write `df` with one
+    * directory per `partitionCol` value, read the tree back. At 100 TB
+    * the layout IS the index — a filter on the partition column prunes
+    * whole directories before any IO (the scan's PartitionFilters,
+    * pinned by PlanAuditSpec), so per-language / per-source jobs read
+    * only their slice of the corpus. Partition values here are alpha
+    * tags, so type inference can't mis-narrow them. */
+  def partitionedRoundTrip(df: DataFrame, path: String,
+      partitionCol: String): DataFrame = {
+    val spark = df.sparkSession
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    spark.read.parquet(path)
+  }
+
   /** PERMISSIVE read with quarantine routing (SURVEY §2.1 S4's
     * corrupt-record mapping, K6's quarantine applied to sources): rows
     * that fail to parse land in `_corrupt_record` instead of killing

@@ -199,6 +199,16 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("partitioned layout: the lang filter prunes at the directory level") {
+    val df = SparkEntry.queries("format_partitioned_roundtrip")(spark, sf("sf0.001"))
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the scan must carry the predicate as a PartitionFilter (directory
+    // pruning), not a data Filter over all partitions
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*lang[^\\]]*=[^\\]]*en[^\\]]*\\].*"),
+      s"no directory-level pruning on lang:\n$plan")
+  }
+
   test("tf-idf and bigram-LM: model tables broadcast; no exchange carries text or token arrays") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
