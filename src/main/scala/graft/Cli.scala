@@ -29,6 +29,7 @@ object Cli {
       |  execute-stream [storeDir] [objectRoot] [ckptDir] [--continuous]
       |                                                     streaming worker; --continuous = 30 s trigger
       |  stats [storeDir]                                   index/queue/done/dlq counts (A1/A4)
+      |  compact <table> [storeDir] [targetMB]              rewrite a store table into evenly-sized files
       |  query <name> <sfDir>                               run a declared query, print row count
       |  list-queries                                       all declared query names""".stripMargin
 
@@ -110,6 +111,17 @@ object Cli {
       s"""{"cmd":"stats","resource_index":${n(store.resourceIndex)},""" +
         s""""task_queue":${n(store.taskQueue)},"task_done":${n(store.taskDone)},""" +
         s""""dlq":${n(store.dlq)}}"""
+
+    case "compact" :: table :: rest =>
+      // operational table maintenance: micro-batch appends accumulate
+      // small files; compaction rewrites to scan-efficient sizes under
+      // the table lock (see Store.compact for the 100 TB rationale)
+      val store = Store(rest.headOption.getOrElse(defaultStore))
+      val targetMB = rest.drop(1).headOption.map(_.toLong).getOrElse(128L)
+      val ((fb, bb), (fa, ba)) =
+        Store.compact(spark, store, table, targetMB * 1024 * 1024)
+      s"""{"cmd":"compact","table":"$table","files_before":$fb,"bytes_before":$bb,""" +
+        s""""files_after":$fa,"bytes_after":$ba}"""
 
     case "query" :: name :: sfDir :: Nil =>
       SparkEntry.queries.get(name) match {

@@ -262,6 +262,49 @@ object Store {
     ()
   }
 
+  /** Small-file compaction: rewrite a store table into
+    * max(1, ceil(totalBytes / targetBytes)) files and swap the
+    * directory in atomically. Micro-batch sinks (execute-stream's
+    * per-trigger appends) and partition-batched bulk inserts accumulate
+    * files far below a scan-efficient split, and at 100 TB file COUNT
+    * is itself a scale limit: listing cost, per-file task overhead,
+    * split-planning memory. Runs under the table's StoreLock so a
+    * concurrent planner append can't land between the snapshot and the
+    * swap (the queue drain's lost-update defense); the swap uses
+    * publishDir's strict semantics — any rename anomaly throws rather
+    * than leaving a half-published table. `repartition` (not coalesce)
+    * so output files are evenly sized — the one shuffle IS the
+    * compaction job's cost, amortized across every later scan.
+    * Returns (files, bytes) before and after.
+    */
+  def compact(spark: SparkSession, store: Store, table: String,
+      targetBytes: Long = 128L * 1024 * 1024): ((Int, Long), (Int, Long)) = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val path = s"${store.root}/$table"
+    StoreLock.withLock(spark, store, table) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def census(): (Int, Long) =
+        if (!fs.exists(p)) (0, 0L)
+        else {
+          val data = fs.listStatus(p)
+            .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+          (data.length, data.map(_.getLen).sum)
+        }
+      val before = census()
+      if (before._1 == 0) (before, before)
+      else {
+        val nOut = math.max(1L, (before._2 + targetBytes - 1) / targetBytes).toInt
+        val tmp = path + "__compact"
+        delete(spark, tmp)
+        spark.read.parquet(path).repartition(nOut).write.parquet(tmp)
+        delete(spark, path)
+        publishDir(spark, tmp, path, reuseExisting = false)
+        (before, census())
+      }
+    }
+  }
+
   /** Publish a freshly-written `tmp` directory at `dst` via rename —
     * the ONE implementation of the two Hadoop local-FS publish traps
     * (previously hand-rolled separately by the stream staging and the

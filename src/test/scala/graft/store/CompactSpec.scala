@@ -1,0 +1,81 @@
+package graft.store
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Small-file compaction: content must survive byte-for-byte, the file
+  * count must actually shrink, and the op must be safe to re-run and to
+  * point at a missing table. */
+class CompactSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore(): Store =
+    Store(Files.createTempDirectory("graft_compact").toString)
+
+  private def dataFiles(path: String): Array[org.apache.hadoop.fs.FileStatus] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+  }
+
+  test("compact shrinks the file count and preserves every row") {
+    val store = freshStore()
+    val path = s"${store.root}/metadata"
+    // 5 appends of 4 partitions each — the micro-batch small-file shape
+    (0 until 5).foreach { i =>
+      Store.append(
+        spark.range(i * 100, (i + 1) * 100).repartition(4)
+          .select(col("id"), (col("id") * 2).as("v")),
+        path)
+    }
+    val before = dataFiles(path)
+    assert(before.length >= 20, s"fixture should be fragmented, got ${before.length} files")
+    val expected = spark.read.parquet(path).as[(Long, Long)].collect().sorted
+
+    val ((fb, bb), (fa, ba)) =
+      Store.compact(spark, store, "metadata", targetBytes = 1L << 30)
+    assert(fb == before.length && fa == 1, s"expected 1 output file, got $fa of $fb")
+    assert(bb > 0 && ba > 0)
+    assert(dataFiles(path).length == 1)
+    assert(spark.read.parquet(path).as[(Long, Long)].collect().sorted.sameElements(expected),
+      "compaction changed the table contents")
+  }
+
+  test("compact splits to ceil(bytes/target) evenly-sized files") {
+    val store = freshStore()
+    val path = s"${store.root}/metadata"
+    Store.append(spark.range(0, 5000).repartition(10).toDF("id"), path)
+    val total = dataFiles(path).map(_.getLen).sum
+    val target = total / 3 + 1 // → ceil < 4 output files, > 1
+    val ((_, _), (fa, _)) = Store.compact(spark, store, "metadata", target)
+    val nOut = ((total + target - 1) / target).toInt
+    assert(fa == nOut, s"expected $nOut files, got $fa")
+    assert(spark.read.parquet(path).count() == 5000)
+  }
+
+  test("compact of a missing table is a no-op; rerun is idempotent; lock is released") {
+    val store = freshStore()
+    assert(Store.compact(spark, store, "metadata") == ((0, 0L), (0, 0L)))
+    val path = s"${store.root}/metadata"
+    Store.append(spark.range(0, 10).toDF("id"), path)
+    val r1 = Store.compact(spark, store, "metadata")
+    val r2 = Store.compact(spark, store, "metadata")
+    assert(r2._1._1 == 1 && r2._2._1 == 1, s"rerun not idempotent: $r2")
+    assert(r1._2._2 == r2._2._2, "byte size drifted across reruns")
+    // the lock file must be gone — a held lock would starve the planner
+    val lock = new org.apache.hadoop.fs.Path(s"${store.root}/.lock_metadata")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(lock), "compaction leaked its table lock")
+  }
+
+  test("CLI compact subcommand reports the before/after census") {
+    val store = freshStore()
+    Store.append(spark.range(0, 50).repartition(5).toDF("id"), s"${store.root}/dlq")
+    val out = graft.Cli.run(spark, Array("compact", "dlq", store.root, "128"))
+    assert(out.contains(""""cmd":"compact"""") && out.contains(""""table":"dlq""""))
+    assert(out.contains(""""files_before":5""") && out.contains(""""files_after":1"""), out)
+  }
+}
