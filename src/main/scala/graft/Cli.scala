@@ -29,7 +29,8 @@ object Cli {
       |  execute-stream [storeDir] [objectRoot] [ckptDir] [--continuous]
       |                                                     streaming worker; --continuous = 30 s trigger
       |  stats [storeDir]                                   index/queue/done/dlq counts (A1/A4)
-      |  compact <table> [storeDir] [targetMB]              rewrite a store table into evenly-sized files
+      |  compact <table> [storeDir] [targetMB] [clusterCol] rewrite a store table into evenly-sized files
+      |                                                     (clusterCol → range-clustered, file-skippable)
       |  query <name> <sfDir>                               run a declared query, print row count
       |  list-queries                                       all declared query names""".stripMargin
 
@@ -118,8 +119,9 @@ object Cli {
       // the table lock (see Store.compact for the 100 TB rationale)
       val store = Store(rest.headOption.getOrElse(defaultStore))
       val targetMB = rest.drop(1).headOption.map(_.toLong).getOrElse(128L)
+      val clusterBy = rest.drop(2).headOption
       val ((fb, bb), (fa, ba)) =
-        Store.compact(spark, store, table, targetMB * 1024 * 1024)
+        Store.compact(spark, store, table, targetMB * 1024 * 1024, clusterBy)
       s"""{"cmd":"compact","table":"$table","files_before":$fb,"bytes_before":$bb,""" +
         s""""files_after":$fa,"bytes_after":$ba}"""
 

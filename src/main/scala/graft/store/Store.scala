@@ -275,10 +275,17 @@ object Store {
     * than leaving a half-published table. `repartition` (not coalesce)
     * so output files are evenly sized — the one shuffle IS the
     * compaction job's cost, amortized across every later scan.
-    * Returns (files, bytes) before and after.
+    *
+    * `clusterBy` additionally range-partitions and sorts the rewrite on
+    * a column, so each output file covers a DISJOINT value range and
+    * parquet min/max footer stats let later scans skip whole files —
+    * compaction doubling as the table's clustered index (the
+    * single-dimension form of Z-ordering; at 100 TB, data layout is the
+    * cheapest index there is). Returns (files, bytes) before and after.
     */
   def compact(spark: SparkSession, store: Store, table: String,
-      targetBytes: Long = 128L * 1024 * 1024): ((Int, Long), (Int, Long)) = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Option[String] = None): ((Int, Long), (Int, Long)) = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val path = s"${store.root}/$table"
     StoreLock.withLock(spark, store, table) {
@@ -297,7 +304,14 @@ object Store {
         val nOut = math.max(1L, (before._2 + targetBytes - 1) / targetBytes).toInt
         val tmp = path + "__compact"
         delete(spark, tmp)
-        spark.read.parquet(path).repartition(nOut).write.parquet(tmp)
+        val df = spark.read.parquet(path)
+        val laid = clusterBy match {
+          case Some(c) =>
+            import org.apache.spark.sql.functions.col
+            df.repartitionByRange(nOut, col(c)).sortWithinPartitions(col(c))
+          case None => df.repartition(nOut)
+        }
+        laid.write.parquet(tmp)
         delete(spark, path)
         publishDir(spark, tmp, path, reuseExisting = false)
         (before, census())

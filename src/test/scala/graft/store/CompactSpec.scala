@@ -71,6 +71,36 @@ class CompactSpec extends SparkSpec {
     assert(!fs.exists(lock), "compaction leaked its table lock")
   }
 
+  test("clusterBy compaction yields disjoint per-file value ranges") {
+    val store = freshStore()
+    val path = s"${store.root}/metadata"
+    // shuffled ids across many appends — every file initially spans the
+    // whole id domain, so nothing is file-skippable before compaction
+    (0 until 4).foreach { i =>
+      Store.append(
+        spark.range(0, 2000).filter(col("id") % 4 === i).repartition(3).toDF("id"),
+        path)
+    }
+    val total = dataFiles(path).map(_.getLen).sum
+    Store.compact(spark, store, "metadata", total / 3 + 1, clusterBy = Some("id"))
+    val files = dataFiles(path)
+    assert(files.length > 1, "need several files to prove disjointness")
+    // each output file must cover a range disjoint from every other —
+    // that is what lets parquet min/max footer stats skip whole files
+    val ranges = files.map { st =>
+      val r = spark.read.parquet(st.getPath.toString)
+        .agg(min("id"), max("id")).as[(Long, Long)].head()
+      r
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"file ranges overlap: ${ranges.mkString(", ")}")
+      case _ =>
+    }
+    assert(spark.read.parquet(path).as[Long].collect().sorted.sameElements(0L until 2000L),
+      "cluster compaction changed the table contents")
+  }
+
   test("CLI compact subcommand reports the before/after census") {
     val store = freshStore()
     Store.append(spark.range(0, 50).repartition(5).toDF("id"), s"${store.root}/dlq")
