@@ -87,6 +87,20 @@ object EventQueries {
           count(lit(1)).as("n"))
     },
 
+    // ── Percentiles at scale: the KLL/GK-style sketch form of
+    // events_percentiles. Exact `percentile` holds every value per
+    // group; `percentile_approx` is a bounded-memory mergeable sketch —
+    // the only form that survives 100 TB groups. Not oracle-bound
+    // (sketch internals are engine-specific); EventSpec pins the rank
+    // error against the exact interpolated percentiles. ───────────────
+    Q.rowsOnly("events_percentiles_approx") { (s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(
+          expr("percentile_approx(value, 0.5, 1000)").as("p50"),
+          expr("percentile_approx(value, 0.95, 1000)").as("p95"),
+          expr("percentile_approx(value, 0.99, 1000)").as("p99"))
+    },
+
     // ── JSON props extraction: from_json into typed columns ────────────
     Q(
       "events_props_json",

@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   * expressible in portable SQL): same session count and same total
   * event count per user. */
 class EventSpec extends SparkSpec {
+  import spark.implicits._
 
   test("session_window ≡ gaps-and-islands sessionization (30 min gap)") {
     val dir = sf("sf0.001")
@@ -21,6 +22,32 @@ class EventSpec extends SparkSpec {
         sum("cnt").as("n_events"))
     assert(islands.exceptAll(builtin).count() == 0)
     assert(builtin.exceptAll(islands).count() == 0)
+  }
+
+  test("percentile_approx honors its RANK-error contract per group") {
+    val dir = sf("sf0.001")
+    val approx = SparkEntryHelpers.run("events_percentiles_approx", spark, dir).collect()
+    assert(approx.nonEmpty)
+    val byType = Tables.load(spark, dir, "events")
+      .select("event_type", "value").as[(String, Double)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // the sketch's guarantee is on the returned element's RANK, not its
+    // value (a sparse tail can make nearby ranks far apart in value):
+    // accuracy=1000 ⇒ relative rank error ≤ 1/1000, plus one element of
+    // slack for the exact query's interpolation
+    approx.foreach { r =>
+      val vals = byType(r.getString(0))
+      val n = vals.length.toDouble
+      val tol = 1.0 / 1000 + 2.0 / n
+      for ((c, p) <- Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99))) {
+        val av = r.getAs[Double](c)
+        val atMost = vals.count(_ <= av) / n  // rank ceiling of av
+        val below = vals.count(_ < av) / n    // rank floor of av
+        assert(atMost >= p - tol && below <= p + tol,
+          s"${r.getString(0)} $c=$av sits at rank [$below, $atMost], " +
+            s"outside $p ± $tol (n=${vals.length})")
+      }
+    }
   }
 
   test("approx_count_distinct within its rsd bound of the exact count (D4 scale path)") {
