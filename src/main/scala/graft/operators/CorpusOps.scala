@@ -230,6 +230,61 @@ object CorpusOps {
           .as("lm_score"))
   }
 
+  /** Learn the first `k` BPE merge rules from the corpus — the TRAINER
+    * side of tokenization (`TextOps.bpeTokenCount` applies a regex
+    * proxy; this learns real merges). Classic byte-pair encoding over
+    * word character sequences: repeatedly merge the most frequent
+    * adjacent symbol pair, ties broken lexicographically so training
+    * is deterministic.
+    *
+    * Scale shape — the standard tokenizer-trainer split: the ONE
+    * corpus-sized pass is the distributed word-frequency aggregation
+    * (partial+final count keyed by word); the merge iterations then
+    * run over that WORD TABLE, which is vocabulary-sized (millions of
+    * rows at web scale, not corpus-sized) and is collected — exactly
+    * how production BPE trainers work. A vocabulary too large for one
+    * node wants a min-frequency floor on the word table first, not a
+    * distributed merge loop.
+    *
+    * Returns (left, right, pairCount) in merge order.
+    */
+  def learnBpeMerges(docs: DataFrame, textCol: String, k: Int): Seq[(String, String, Long)] = {
+    require(k > 0, s"k must be positive: $k")
+    val wordFreq = docs
+      .select(explode(graft.text.TextOps.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    var words: Array[(Array[String], Long)] =
+      wordFreq.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var i = 0
+    while (i < k) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- words; j <- 0 until syms.length - 1) {
+        val p = (syms(j), syms(j + 1))
+        counts(p) = counts.getOrElse(p, 0L) + c
+      }
+      if (counts.isEmpty) i = k
+      else {
+        val ((a, b), cnt) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+        merges += ((a, b, cnt))
+        words = words.map { case (syms, c) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+              out += a + b; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          (out.toArray, c)
+        }
+        i += 1
+      }
+    }
+    merges.toSeq
+  }
+
   /** Deterministic per-stratum keep predicate: row survives when its
     * md5 bucket (0..99 from the id) is below the stratum's percentage
     * rate. Hash-based rather than random so (a) reruns and retried

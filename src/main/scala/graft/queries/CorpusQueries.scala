@@ -331,6 +331,19 @@ object CorpusQueries {
         .select(col("doc_id"), col("n_bigrams"), col("lm_score"))
     },
 
+    // ── BPE merge learning (the tokenizer TRAINER; text_token_counts
+    // applies a regex proxy): first 10 merge rules from the corpus.
+    // The iterative merge loop isn't SQL-expressible, so the row is
+    // rows-only; CorpusOpsSpec pins the algorithm on a hand-computed
+    // corpus. Deterministic: ties break lexicographically. ────────────
+    Q.rowsOnly("vocab_bpe_merges") { (s, dir) =>
+      import s.implicits._
+      CorpusOps.learnBpeMerges(docs(s, dir), "text", k = 10)
+        .zipWithIndex
+        .map { case ((a, b, c), i) => (i.toLong + 1, a, b, a + b, c) }
+        .toDF("merge_rank", "left", "right", "merged", "pair_count")
+    },
+
     // ── Mix-to-target rebalancing: derive per-language keep rates FROM
     // the data (largest downsample-only total honoring the target
     // shares — the scarcest weighted stratum binds at rate 100), then

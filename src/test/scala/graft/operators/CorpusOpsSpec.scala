@@ -145,6 +145,26 @@ class CorpusOpsSpec extends SparkSpec {
       (3L, "c", 1.216395, 1L), (3L, "d", 1.098612, 2L)))
   }
 
+  test("learnBpeMerges: the classic hug/pug/hugs trace, merge-by-merge") {
+    // word frequencies: hug×10 pug×5 hugs×5 (docs carry the repeats)
+    val docsDf = Seq(
+      (1L, Array.fill(10)("hug").mkString(" ")),
+      (2L, Array.fill(5)("pug").mkString(" ")),
+      (3L, Array.fill(5)("hugs").mkString(" "))
+    ).toDF("doc_id", "text")
+    val merges = CorpusOps.learnBpeMerges(docsDf, "text", k = 3)
+    // pairs: (h,u)=15 (u,g)=20 (p,u)=5 (g,s)=5 → merge (u,g) 20
+    // then (h,ug)=15 (p,ug)=5 (ug,s)=5       → merge (h,ug) 15
+    // then (hug,s)=5 (p,ug)=5 — tie, "hug"<"p" → merge (hug,s) 5
+    assert(merges == Seq(("u", "g", 20L), ("h", "ug", 15L), ("hug", "s", 5L)))
+  }
+
+  test("learnBpeMerges stops early when no pairs remain") {
+    val docsDf = Seq((1L, "a b a")).toDF("doc_id", "text")
+    // single-char words have no adjacent pairs at all
+    assert(CorpusOps.learnBpeMerges(docsDf, "text", k = 5).isEmpty)
+  }
+
   test("bigramLmScore: hand-computed add-one bigram log-probs; short docs absent") {
     val docsDf = Seq(
       (1L, "a b a"), // bigrams (a,b) (b,a)
