@@ -14,6 +14,16 @@ object JoinQueries {
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
+  /** ONE rendering of the range-join oracle — shared with the
+    * stream-stream twin (stream_range_join), so the two can't drift. */
+  val rangeJoinSql: String =
+    """SELECT s.event_id AS signup_id, e.event_id,
+      |  CAST(date_diff('second', s.ts, e.ts) AS BIGINT) AS secs_after_signup
+      |FROM events s JOIN events e
+      |  ON e.user_id = s.user_id
+      | AND s.event_type = 'signup' AND e.event_type <> 'signup'
+      | AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 1 HOUR""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ── As-of join: each event enriched with the latest prior purchase ─
@@ -43,14 +53,7 @@ object JoinQueries {
     // ── Range join bounded by the equi key: events within 1 h of signup ─
     // The range predicate rides a user_id equi join (sort-merge on the
     // key, filter within) — never an unbounded interval cross join.
-    Q(
-      "events_range_join",
-      """SELECT s.event_id AS signup_id, e.event_id,
-        |  CAST(date_diff('second', s.ts, e.ts) AS BIGINT) AS secs_after_signup
-        |FROM events s JOIN events e
-        |  ON e.user_id = s.user_id
-        | AND s.event_type = 'signup' AND e.event_type <> 'signup'
-        | AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 1 HOUR""".stripMargin) { (s, dir) =>
+    Q("events_range_join", rangeJoinSql) { (s, dir) =>
       val ev = events(s, dir)
       val signups = ev.filter(col("event_type") === "signup")
         .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("sts"))

@@ -63,6 +63,13 @@ object StreamQueries {
       (s, dir) => StreamingJobs.incrementalLshPairs(s, dir, threshold = 0.6)
     },
 
+    // ── Stream-stream interval join: two live streams, matches emitted
+    // as both sides arrive; drained result must equal the BATCH range
+    // join (same oracle SQL object — they cannot drift). ───────────────
+    Q("stream_range_join", JoinQueries.rangeJoinSql) { (s, dir) =>
+      StreamingJobs.streamRangeJoin(s, dir)
+    },
+
     // ── Arbitrary stateful streaming: flatMapGroupsWithState totals ────
     Q(
       "stream_stateful_totals",

@@ -234,6 +234,33 @@ object StreamingJobs {
     Store.readOrEmpty(spark, pairsPath, pairsSchema)
   }
 
+  /** Stream-stream interval join — the streaming twin of
+    * events_range_join: signups and follow-up events arrive as TWO
+    * independent streams, and the inner join emits each (signup, event)
+    * match as soon as both sides have arrived, whatever the file order
+    * (inner-join emission never waits for the watermark; the watermark
+    * only bounds the buffered join state). The delay budget covers the
+    * fixture's whole event-time span so stream ≡ batch exactly —
+    * production sets it to the business lateness bound, buffering only
+    * that window of each stream. At scale this is how "event within 1 h
+    * of signup" enrichment runs continuously with no batch re-join. */
+  def streamRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val signups = tableStream(spark, sfDir, "events", maxFilesPerTrigger = 2)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
+        col("ts").as("sts"))
+      .withWatermark("sts", "800 hours")
+    val others = tableStream(spark, sfDir, "events", maxFilesPerTrigger = 2)
+      .filter(col("event_type") =!= "signup")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withWatermark("ts", "800 hours")
+    val joined = signups.join(others,
+        expr("user_id = s_user AND ts > sts AND ts <= sts + interval 1 hour"))
+      .select(col("signup_id"), col("event_id"),
+        (col("ts").cast("long") - col("sts").cast("long")).as("secs_after_signup"))
+    runToMemory(joined, "stream_range_join_sink", OutputMode.Append())
+  }
+
   def statefulUserTotals(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
