@@ -204,7 +204,11 @@ object CorpusOps {
       docs: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol), graft.text.TextOps.tokens(col(textCol)).as("w"))
+    // empty tokens (consecutive/leading spaces) are dropped, matching
+    // tfIdfTopTerms/learnBpeMerges — "" must not join the vocabulary
+    // and inflate V for every probability
+    val tok = docs.select(col(idCol),
+      filter(graft.text.TextOps.tokens(col(textCol)), t => t =!= "").as("w"))
     val emptyBigrams = array().cast("array<struct<w1:string,w2:string>>")
     val bigrams = tok
       .select(col(idCol),
@@ -215,10 +219,14 @@ object CorpusOps {
             (a, b) => struct(a.as("w1"), b.as("w2"))))
           .otherwise(emptyBigrams)).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val bc = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val uni = tok.select(explode(col("w")).as("w1")).groupBy("w1").agg(count(lit(1)).as("c1"))
     val v = uni.agg(count(lit(1)).cast("double").as("v"))
     val perDoc = bigrams.groupBy(idCol, "w1", "w2").agg(count(lit(1)).as("k"))
+    // global bigram counts derive from the per-doc counts (the same
+    // trick tfIdfTopTerms uses for df) — deriving them from `bigrams`
+    // directly would re-run the corpus scan + zip + explode a second
+    // time, since the differing grouping keys defeat exchange reuse
+    val bc = perDoc.groupBy("w1", "w2").agg(sum(col("k")).as("c12"))
     perDoc
       .join(broadcast(bc), Seq("w1", "w2"))
       .join(broadcast(uni), Seq("w1"))
@@ -255,8 +263,13 @@ object CorpusOps {
       .filter(col("w") =!= "")
       .groupBy("w").count()
       .collect().map(r => r.getString(0) -> r.getLong(1))
+    // split on CODE POINTS, not UTF-16 units — a char-level split would
+    // break non-BMP symbols (emoji, rare CJK) into unpaired surrogate
+    // halves and learn merges over malformed strings
     var words: Array[(Array[String], Long)] =
-      wordFreq.map { case (w, c) => (w.map(_.toString).toArray, c) }
+      wordFreq.map { case (w, c) =>
+        (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), c)
+      }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var i = 0
     while (i < k) {

@@ -311,7 +311,9 @@ object CorpusQueries {
     // engines by construction. ─────────────────────────────────────────
     Q(
       "corpus_lm_score",
-      """WITH tok AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+      """WITH tok AS (SELECT doc_id,
+        |              list_filter(str_split(text, ' '), t -> t <> '') AS w
+        |            FROM documents),
         |bg AS (
         |  SELECT doc_id,
         |         unnest(list_transform(range(1, len(w)), i -> {'w1': w[i], 'w2': w[i+1]})) AS b

@@ -45,8 +45,9 @@ object FormatQueries {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin) { (s, dir) =>
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_fmt/part_docs"
-      Formats.partitionedRoundTrip(Tables.load(s, dir, "documents"), tmp, "lang")
+      Formats.partitionedRoundTrip(
+          Tables.load(s, dir, "documents"), s"$dir/documents.parquet",
+          s"${System.getProperty("java.io.tmpdir")}/graft_fmt_part", "lang")
         .filter(col("lang") === "en")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))

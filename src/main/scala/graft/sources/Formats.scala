@@ -33,12 +33,21 @@ object Formats {
     * whole directories before any IO (the scan's PartitionFilters,
     * pinned by PlanAuditSpec), so per-language / per-source jobs read
     * only their slice of the corpus. Partition values here are alpha
-    * tags, so type inference can't mis-narrow them. */
-  def partitionedRoundTrip(df: DataFrame, path: String,
+    * tags, so type inference can't mis-narrow them.
+    *
+    * The tree is staged content-keyed (Staging.contentKeyed: writer-
+    * unique tmp + rename publish, keyed by a fingerprint of `src`) —
+    * a fixed shared path would race concurrent JVMs (one overwrite
+    * deleting part-files under another's live scan) and re-write the
+    * whole table on every call even when the source is unchanged. */
+  def partitionedRoundTrip(df: DataFrame, src: String, stageRoot: String,
       partitionCol: String): DataFrame = {
     val spark = df.sparkSession
-    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
-    spark.read.parquet(path)
+    val stage = graft.store.Staging.contentKeyed(spark, src, stageRoot,
+      salt = s"partitioned|$partitionCol") { tmp =>
+      df.write.partitionBy(partitionCol).parquet(tmp)
+    }
+    spark.read.parquet(stage)
   }
 
   /** PERMISSIVE read with quarantine routing (SURVEY §2.1 S4's

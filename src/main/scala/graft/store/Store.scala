@@ -264,17 +264,31 @@ object Store {
 
   /** Small-file compaction: rewrite a store table into
     * max(1, ceil(totalBytes / targetBytes)) files and swap the
-    * directory in atomically. Micro-batch sinks (execute-stream's
-    * per-trigger appends) and partition-batched bulk inserts accumulate
-    * files far below a scan-efficient split, and at 100 TB file COUNT
-    * is itself a scale limit: listing cost, per-file task overhead,
-    * split-planning memory. Runs under the table's StoreLock so a
-    * concurrent planner append can't land between the snapshot and the
-    * swap (the queue drain's lost-update defense); the swap uses
-    * publishDir's strict semantics — any rename anomaly throws rather
-    * than leaving a half-published table. `repartition` (not coalesce)
-    * so output files are evenly sized — the one shuffle IS the
-    * compaction job's cost, amortized across every later scan.
+    * directory in. Micro-batch sinks (execute-stream's per-trigger
+    * appends) and partition-batched bulk inserts accumulate files far
+    * below a scan-efficient split, and at 100 TB file COUNT is itself
+    * a scale limit: listing cost, per-file task overhead,
+    * split-planning memory. `repartition` (not coalesce) so output
+    * files are evenly sized — the one shuffle IS the compaction job's
+    * cost, amortized across every later scan.
+    *
+    * Concurrency (the queue drain's lock discipline, Execute.run): the
+    * unbounded rewrite runs OUTSIDE the table lock against a file
+    * SNAPSHOT, so concurrent writers never stall past their lock
+    * timeout; the lock is held only for reconcile + swap, where files
+    * appended since the snapshot are COPIED into the compacted output
+    * first — a locked writer (task_queue's planners) can therefore
+    * never lose an append. Writers that do not take the table lock
+    * (done/dlq/index appends) are protected for everything landing up
+    * to the reconcile listing; compact those tables at pipeline
+    * quiescence.
+    *
+    * Crash safety: the swap parks the old directory at
+    * `<table>__pre_compact`, publishes the rewrite, then drops the
+    * parked copy — a crash at ANY point leaves the data intact under
+    * one of the two names, and the next compact (or any caller of
+    * `recoverParked`) restores it; no window ends in silent loss,
+    * unlike a bare delete-then-rename.
     *
     * `clusterBy` additionally range-partitions and sorts the rewrite on
     * a column, so each output file covers a DISJOINT value range and
@@ -288,34 +302,78 @@ object Store {
       clusterBy: Option[String] = None): ((Int, Long), (Int, Long)) = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val path = s"${store.root}/$table"
-    StoreLock.withLock(spark, store, table) {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      def census(): (Int, Long) =
-        if (!fs.exists(p)) (0, 0L)
-        else {
-          val data = fs.listStatus(p)
-            .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
-          (data.length, data.map(_.getLen).sum)
-        }
-      val before = census()
-      if (before._1 == 0) (before, before)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def dataFiles(): Array[org.apache.hadoop.fs.FileStatus] =
+      if (!fs.exists(p)) Array.empty
       else {
-        val nOut = math.max(1L, (before._2 + targetBytes - 1) / targetBytes).toInt
-        val tmp = path + "__compact"
-        delete(spark, tmp)
-        val df = spark.read.parquet(path)
-        val laid = clusterBy match {
-          case Some(c) =>
-            import org.apache.spark.sql.functions.col
-            df.repartitionByRange(nOut, col(c)).sortWithinPartitions(col(c))
-          case None => df.repartition(nOut)
-        }
-        laid.write.parquet(tmp)
-        delete(spark, path)
-        publishDir(spark, tmp, path, reuseExisting = false)
-        (before, census())
+        val entries = fs.listStatus(p)
+        // engine store tables are flat parquet dirs; a nested layout
+        // (hive-partitioned) would be INVISIBLE to this census and
+        // silently skipped — refuse loudly instead
+        require(!entries.exists(_.isDirectory),
+          s"compact does not support nested/partitioned layouts: $path")
+        entries.filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
       }
+
+    StoreLock.withLock(spark, store, table) { recoverParked(spark, path) }
+    val snapshot = dataFiles()
+    val before = (snapshot.length, snapshot.map(_.getLen).sum)
+    if (before._1 == 0) return (before, before)
+
+    // unbounded rewrite, NO lock held: read the snapshot files by name
+    // so appends landing mid-rewrite are neither read twice nor lost —
+    // they are reconciled below
+    val nOut = math.max(1L, (before._2 + targetBytes - 1) / targetBytes).toInt
+    val tmp = path + "__compact"
+    delete(spark, tmp)
+    val df = spark.read.parquet(snapshot.map(_.getPath.toString): _*)
+    val laid = clusterBy match {
+      case Some(c) =>
+        import org.apache.spark.sql.functions.col
+        df.repartitionByRange(nOut, col(c)).sortWithinPartitions(col(c))
+      case None => df.repartition(nOut)
+    }
+    laid.write.parquet(tmp)
+
+    StoreLock.withLock(spark, store, table) {
+      // reconcile: copy (not move — the live table stays complete until
+      // the park) every file appended since the snapshot into the
+      // compacted output
+      val snapNames = snapshot.map(_.getPath.getName).toSet
+      val late = dataFiles().filterNot(st => snapNames(st.getPath.getName))
+      late.foreach { st =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new org.apache.hadoop.fs.Path(tmp, s"late-${st.getPath.getName}"),
+          false, spark.sparkContext.hadoopConfiguration)
+      }
+      val parked = new org.apache.hadoop.fs.Path(path + "__pre_compact")
+      if (!fs.rename(p, parked))
+        throw new IllegalStateException(s"compact could not park $path")
+      publishDir(spark, tmp, path, reuseExisting = false)
+      fs.delete(parked, true)
+      ()
+    }
+    val after = dataFiles()
+    (before, (after.length, after.map(_.getLen).sum))
+  }
+
+  /** Restore a table left parked by a compact that crashed mid-swap:
+    * `<table>__pre_compact` present with the table missing → the crash
+    * hit between park and publish, so the parked directory IS the
+    * table — rename it back; both present → the publish completed (the
+    * live table is the compacted copy, the parked one its pre-compact
+    * twin) — drop the leftover. Callers hold the table lock. */
+  private[store] def recoverParked(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val parked = new org.apache.hadoop.fs.Path(path + "__pre_compact")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(parked)) {
+      if (!fs.exists(p)) {
+        if (!fs.rename(parked, p))
+          throw new IllegalStateException(s"could not restore parked table at $parked")
+      } else { fs.delete(parked, true); () }
     }
   }
 

@@ -101,6 +101,32 @@ class CompactSpec extends SparkSpec {
       "cluster compaction changed the table contents")
   }
 
+  test("compact self-heals a table parked by a crashed swap") {
+    val store = freshStore()
+    val path = s"${store.root}/metadata"
+    Store.append(spark.range(0, 100).repartition(4).toDF("id"), path)
+    // simulate a crash between park and publish: table parked, none live
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__pre_compact")))
+    val ((fb, _), (fa, _)) = Store.compact(spark, store, "metadata")
+    assert(fb == 4 && fa == 1, s"recovered table should compact 4→1, got $fb→$fa")
+    assert(spark.read.parquet(path).count() == 100, "parked rows lost")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__pre_compact")))
+  }
+
+  test("compact refuses nested (hive-partitioned) layouts loudly") {
+    val store = freshStore()
+    spark.range(0, 100)
+      .select(col("id"), (col("id") % 3).cast("string").as("part"))
+      .write.partitionBy("part").parquet(s"${store.root}/metadata")
+    val e = intercept[IllegalArgumentException] {
+      Store.compact(spark, store, "metadata")
+    }
+    assert(e.getMessage.contains("nested"), e.getMessage)
+  }
+
   test("CLI compact subcommand reports the before/after census") {
     val store = freshStore()
     Store.append(spark.range(0, 50).repartition(5).toDF("id"), s"${store.root}/dlq")
