@@ -282,20 +282,60 @@ object CorpusOps {
       else {
         val ((a, b), cnt) = counts.minBy { case ((x, y), c) => (-c, x, y) }
         merges += ((a, b, cnt))
-        words = words.map { case (syms, c) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          var j = 0
-          while (j < syms.length) {
-            if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
-              out += a + b; j += 2
-            } else { out += syms(j); j += 1 }
-          }
-          (out.toArray, c)
-        }
+        words = words.map { case (syms, c) => (mergePair(syms, a, b), c) }
         i += 1
       }
     }
     merges.toSeq
+  }
+
+  /** One left-to-right pass replacing every adjacent (a, b) with the
+    * merged symbol — the step shared by training and application. */
+  private def mergePair(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+        out += a + b; j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  /** Segment one word under an ordered merge-rule list (BPE
+    * application: each rule applies exhaustively in learned priority
+    * order) — returns the piece sequence. */
+  def segmentBpe(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms = word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    merges.foreach { case (a, b) => syms = mergePair(syms, a, b) }
+    syms.toSeq
+  }
+
+  /** Apply learned BPE merges to the corpus: per-document piece counts
+    * under the rule list — the APPLY half of the tokenizer two-phase
+    * (learnBpeMerges trains). Each DISTINCT word is segmented exactly
+    * once over the vocabulary (vocab-sized, like the trainer's word
+    * table); the per-word piece counts then broadcast, and the
+    * corpus-sized token stream joins them map-side — the same
+    * build-stats → apply-stats shape as vocab_oov_rate. The only
+    * corpus-keyed exchange aggregates scalar (doc, counts).
+    */
+  def applyBpePieceCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    val tok = docs
+      .select(col(idCol), explode(graft.text.TextOps.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val vocab = tok.select("token").distinct().collect().map(_.getString(0))
+    val pieceCounts = vocab.map(w => (w, segmentBpe(w, merges).length.toLong)).toSeq
+    import spark.implicits._
+    val piecesDf = pieceCounts.toDF("token", "n_pieces")
+    tok.join(broadcast(piecesDf), "token")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_pieces")).as("n_pieces"))
   }
 
   /** Deterministic per-stratum keep predicate: row survives when its

@@ -346,6 +346,18 @@ object CorpusQueries {
         .toDF("merge_rank", "left", "right", "merged", "pair_count")
     },
 
+    // ── BPE application (train → apply round trip): per-document piece
+    // counts under the 10 learned merges. Piece counts can only SHRINK
+    // from the raw code-point count as merges apply, so the oracle-less
+    // row is sanity-bounded in spec (n_pieces between n_tokens and the
+    // char count); CorpusOpsSpec pins exact segmentation. ──────────────
+    Q.rowsOnly("vocab_bpe_apply") { (s, dir) =>
+      val d = docs(s, dir)
+      val merges = CorpusOps.learnBpeMerges(d, "text", k = 10)
+        .map { case (a, b, _) => (a, b) }
+      CorpusOps.applyBpePieceCounts(d, "doc_id", "text", merges)
+    },
+
     // ── Mix-to-target rebalancing: derive per-language keep rates FROM
     // the data (largest downsample-only total honoring the target
     // shares — the scarcest weighted stratum binds at rate 100), then

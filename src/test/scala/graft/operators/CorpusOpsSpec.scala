@@ -159,6 +159,50 @@ class CorpusOpsSpec extends SparkSpec {
     assert(merges == Seq(("u", "g", 20L), ("h", "ug", 15L), ("hug", "s", 5L)))
   }
 
+  test("applyBpePieceCounts: the trained rules segment the training corpus correctly") {
+    val docsDf = Seq(
+      (1L, Array.fill(10)("hug").mkString(" ")),
+      (2L, Array.fill(5)("pug").mkString(" ")),
+      (3L, Array.fill(5)("hugs").mkString(" ")),
+      (4L, "hug pug hugs")
+    ).toDF("doc_id", "text")
+    val merges = CorpusOps.learnBpeMerges(docsDf, "text", k = 3)
+      .map { case (a, b, _) => (a, b) }
+    // under [(u,g),(h,ug),(hug,s)]: hug→[hug](1) pug→[p,ug](2) hugs→[hugs](1)
+    assert(CorpusOps.segmentBpe("hug", merges) == Seq("hug"))
+    assert(CorpusOps.segmentBpe("pug", merges) == Seq("p", "ug"))
+    assert(CorpusOps.segmentBpe("hugs", merges) == Seq("hugs"))
+    assert(CorpusOps.segmentBpe("unseen", merges) == Seq("u", "n", "s", "e", "e", "n"))
+    val out = CorpusOps.applyBpePieceCounts(docsDf, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((10L, 10L)), "ten hug tokens, one piece each")
+    assert(out(2L) == ((5L, 10L)), "five pug tokens, two pieces each")
+    assert(out(4L) == ((3L, 4L)), "hug(1) + pug(2) + hugs(1)")
+  }
+
+  test("vocab_bpe_apply on the fixture: pieces bounded by tokens below, characters above") {
+    val d = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    val merges = CorpusOps.learnBpeMerges(d, "text", k = 10)
+      .map { case (a, b, _) => (a, b) }
+    val out = CorpusOps.applyBpePieceCounts(d, "doc_id", "text", merges)
+    val viol = out
+      .join(d.select(col("doc_id"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_chars")), "doc_id")
+      .filter(col("n_pieces") < col("n_tokens") || col("n_pieces") > col("n_chars"))
+      .count()
+    assert(viol == 0, "piece counts outside [n_tokens, n_chars]")
+    // the rules must actually bite (pieces < chars) without collapsing
+    // everything to whole words (pieces > tokens) — 10 merges over this
+    // vocabulary land strictly between the two extremes
+    val agg = out
+      .join(d.select(col("doc_id"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_chars")), "doc_id")
+      .agg(sum("n_pieces"), sum("n_tokens"), sum("n_chars"))
+      .as[(Long, Long, Long)].head()
+    assert(agg._1 > agg._2 && agg._1 < agg._3,
+      s"pieces ${agg._1} should sit strictly between tokens ${agg._2} and chars ${agg._3}")
+  }
+
   test("learnBpeMerges stops early when no pairs remain") {
     val docsDf = Seq((1L, "a b a")).toDF("doc_id", "text")
     // single-char words have no adjacent pairs at all
