@@ -205,5 +205,28 @@ object SimilarityQueries {
         |FROM scored WHERE rank <= 10""".stripMargin) { (s, dir) =>
       val e = emb(s, dir)
       Similarity.lshTopK(e.filter(col("vec_id") < 5), e, k = 10)
+    },
+
+    // ── int8 quantization fidelity report: per-vector scale and the
+    // mean/max reconstruction error of floor(v·127/mx + 0.5) — the
+    // decision input for quantizing an embedding store 4×. floor(+0.5)
+    // keeps quantized values bit-identical across engines, so every
+    // per-vector error is hash-checked to 6 dp. ────────────────────────
+    Q(
+      "emb_quantize_error",
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM e),
+        |q AS (SELECT vec_id, mx,
+        |        list_transform(emb,
+        |          v -> abs(v - floor(v * 127.0 / mx + 0.5) * mx / 127.0)) AS errs
+        |      FROM m WHERE mx > 0)
+        |SELECT vec_id, round(mx, 6) AS max_abs,
+        |       round(list_sum(errs) / len(errs), 6) AS mean_err,
+        |       round(list_max(errs), 6) AS max_err
+        |FROM q""".stripMargin) { (s, dir) =>
+      Similarity.int8QuantizeError(emb(s, dir), "vec_id", "embedding")
     })
 }

@@ -323,4 +323,33 @@ object Similarity {
         nativeCosine(corpus)(col("a.e"), col("b.e")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Symmetric int8 quantization error report: per-vector scale
+    * (max |v| / 127) and the mean/max absolute reconstruction error of
+    * `q = floor(v·127/mx + 0.5)` — the storage-scale decision input
+    * (int8 cuts an embedding store 4× vs f32; the report says what that
+    * costs in fidelity per vector). floor(+0.5) rather than round()
+    * keeps the quantized values bit-identical across engines. All-zero
+    * vectors have no scale and are excluded.
+    *
+    * Shape: per-element errors go through explode + a codegen'd
+    * aggregate rather than `aggregate`/`array_max` HOFs — the mean and
+    * max would otherwise re-evaluate the interpreted error transform
+    * once per consumer (the diamond the dedup kernels eliminated). The
+    * one exchange carries scalar (id, mx, err) rows, map-side combined.
+    */
+  def int8QuantizeError(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val e = asDouble(col(embCol))
+    df.select(col(idCol), e.as("emb"))
+      .withColumn("mx", array_max(transform(col("emb"), v => abs(v))))
+      .filter(col("mx") > 0)
+      .select(col(idCol), col("mx"), explode(col("emb")).as("v"))
+      .withColumn("err",
+        abs(col("v") - floor(col("v") * lit(127.0) / col("mx") + lit(0.5)) * col("mx") / lit(127.0)))
+      .groupBy(idCol)
+      .agg(
+        round(first(col("mx")), 6).as("max_abs"),
+        round(avg(col("err")), 6).as("mean_err"),
+        round(max(col("err")), 6).as("max_err"))
+  }
 }
