@@ -263,13 +263,8 @@ object CorpusOps {
       .filter(col("w") =!= "")
       .groupBy("w").count()
       .collect().map(r => r.getString(0) -> r.getLong(1))
-    // split on CODE POINTS, not UTF-16 units — a char-level split would
-    // break non-BMP symbols (emoji, rare CJK) into unpaired surrogate
-    // halves and learn merges over malformed strings
     var words: Array[(Array[String], Long)] =
-      wordFreq.map { case (w, c) =>
-        (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), c)
-      }
+      wordFreq.map { case (w, c) => (toSymbols(w), c) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var i = 0
     while (i < k) {
@@ -289,6 +284,14 @@ object CorpusOps {
     merges.toSeq
   }
 
+  /** Base segmentation shared by training and application — the two
+    * MUST split identically or learned rules stop matching at apply
+    * time. Splits on CODE POINTS, not UTF-16 units: a char-level split
+    * would break non-BMP symbols (emoji, rare CJK) into unpaired
+    * surrogate halves and learn merges over malformed strings. */
+  private def toSymbols(word: String): Array[String] =
+    word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
   /** One left-to-right pass replacing every adjacent (a, b) with the
     * merged symbol — the step shared by training and application. */
   private def mergePair(syms: Array[String], a: String, b: String): Array[String] = {
@@ -306,7 +309,7 @@ object CorpusOps {
     * application: each rule applies exhaustively in learned priority
     * order) — returns the piece sequence. */
   def segmentBpe(word: String, merges: Seq[(String, String)]): Seq[String] = {
-    var syms = word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    var syms = toSymbols(word)
     merges.foreach { case (a, b) => syms = mergePair(syms, a, b) }
     syms.toSeq
   }
@@ -319,6 +322,11 @@ object CorpusOps {
     * corpus-sized token stream joins them map-side — the same
     * build-stats → apply-stats shape as vocab_oov_rate. The only
     * corpus-keyed exchange aggregates scalar (doc, counts).
+    *
+    * Documents with no non-empty tokens have nothing to segment and
+    * are ABSENT from the result (the same absence contract as
+    * bigramLmScore's sub-2-token documents — the caller decides their
+    * fate).
     */
   def applyBpePieceCounts(
       docs: DataFrame,

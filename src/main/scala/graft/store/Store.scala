@@ -273,22 +273,26 @@ object Store {
     * cost, amortized across every later scan.
     *
     * Concurrency (the queue drain's lock discipline, Execute.run): the
-    * unbounded rewrite runs OUTSIDE the table lock against a file
-    * SNAPSHOT, so concurrent writers never stall past their lock
-    * timeout; the lock is held only for reconcile + swap, where files
-    * appended since the snapshot are COPIED into the compacted output
-    * first — a locked writer (task_queue's planners) can therefore
-    * never lose an append. Writers that do not take the table lock
-    * (done/dlq/index appends) are protected for everything landing up
-    * to the reconcile listing; compact those tables at pipeline
-    * quiescence.
+    * whole operation is serialized against OTHER COMPACTORS by a
+    * dedicated `compact_<table>` lock (plus a writer-unique tmp dir, so
+    * even a rogue unserialized compactor can't clobber a rewrite in
+    * progress), while the TABLE lock — the one writers contend on — is
+    * held only for reconcile + swap, never across the unbounded
+    * rewrite. The rewrite reads a file SNAPSHOT; files appended since
+    * the snapshot are COPIED into the compacted output inside the table
+    * lock, so a locked writer (task_queue's planners) can never lose an
+    * append. Writers that do not take the table lock (done/dlq/index
+    * appends) are protected for everything landing up to the reconcile
+    * listing; compact those tables at pipeline quiescence.
     *
     * Crash safety: the swap parks the old directory at
-    * `<table>__pre_compact`, publishes the rewrite, then drops the
-    * parked copy — a crash at ANY point leaves the data intact under
-    * one of the two names, and the next compact (or any caller of
-    * `recoverParked`) restores it; no window ends in silent loss,
-    * unlike a bare delete-then-rename.
+    * `<table>__pre_compact`, publishes the rewrite (whose `_COMPACTED`
+    * marker is the positive completion signal recovery keys on), then
+    * drops the parked copy — a crash at ANY point leaves the data
+    * intact under one of the two names, and the next compact (or any
+    * caller of `recoverParked`) restores it, folding in files any
+    * writer appended to a post-crash re-created table; no window ends
+    * in silent loss, unlike a bare delete-then-rename.
     *
     * `clusterBy` additionally range-partitions and sorts the rewrite on
     * a column, so each output file covers a DISJOINT value range and
@@ -311,60 +315,89 @@ object Store {
         val entries = fs.listStatus(p)
         // engine store tables are flat parquet dirs; a nested layout
         // (hive-partitioned) would be INVISIBLE to this census and
-        // silently skipped — refuse loudly instead
-        require(!entries.exists(_.isDirectory),
+        // silently skipped — refuse loudly. `_`/`.`-prefixed dirs are
+        // exempt: an in-flight append keeps a live `_temporary` dir
+        // here, and aborting on one would fail compact for exactly the
+        // concurrency this design permits
+        require(!entries.exists(st => st.isDirectory &&
+            !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")),
           s"compact does not support nested/partitioned layouts: $path")
-        entries.filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+        entries.filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
       }
 
-    StoreLock.withLock(spark, store, table) { recoverParked(spark, path) }
-    val snapshot = dataFiles()
-    val before = (snapshot.length, snapshot.map(_.getLen).sum)
-    if (before._1 == 0) return (before, before)
+    // one compactor at a time — a second concurrent compact would
+    // mistake the first's published output for "late appends" (its
+    // part-file names differ from every snapshot name) and duplicate
+    // the whole table into its own rewrite
+    StoreLock.withLock(spark, store, s"compact_$table") {
+      StoreLock.withLock(spark, store, table) { recoverParked(spark, path) }
+      // sweep rewrite dirs left by compactors that crashed mid-write —
+      // safe under the compact lock: no other compactor is live
+      fs.globStatus(new org.apache.hadoop.fs.Path(path + "__compact_w*"))
+        .foreach(st => fs.delete(st.getPath, true))
+      val snapshot = dataFiles()
+      val before = (snapshot.length, snapshot.map(_.getLen).sum)
+      if (before._1 == 0) (before, before)
+      else {
+        // unbounded rewrite, table lock NOT held: read the snapshot
+        // files by name so appends landing mid-rewrite are neither read
+        // twice nor lost — they are reconciled below
+        val nOut = math.max(1L, (before._2 + targetBytes - 1) / targetBytes).toInt
+        val tmp = path + s"__compact_w${ProcessHandle.current().pid()}_${System.nanoTime()}"
+        val df = spark.read.parquet(snapshot.map(_.getPath.toString): _*)
+        val laid = clusterBy match {
+          case Some(c) =>
+            import org.apache.spark.sql.functions.col
+            df.repartitionByRange(nOut, col(c)).sortWithinPartitions(col(c))
+          case None => df.repartition(nOut)
+        }
+        laid.write.parquet(tmp)
+        // the positive completion signal recoverParked keys on: only a
+        // fully-written compacted directory carries it, and parquet
+        // readers ignore `_`-prefixed files
+        fs.create(new org.apache.hadoop.fs.Path(tmp, CompactedMarker), true).close()
 
-    // unbounded rewrite, NO lock held: read the snapshot files by name
-    // so appends landing mid-rewrite are neither read twice nor lost —
-    // they are reconciled below
-    val nOut = math.max(1L, (before._2 + targetBytes - 1) / targetBytes).toInt
-    val tmp = path + "__compact"
-    delete(spark, tmp)
-    val df = spark.read.parquet(snapshot.map(_.getPath.toString): _*)
-    val laid = clusterBy match {
-      case Some(c) =>
-        import org.apache.spark.sql.functions.col
-        df.repartitionByRange(nOut, col(c)).sortWithinPartitions(col(c))
-      case None => df.repartition(nOut)
-    }
-    laid.write.parquet(tmp)
-
-    StoreLock.withLock(spark, store, table) {
-      // reconcile: copy (not move — the live table stays complete until
-      // the park) every file appended since the snapshot into the
-      // compacted output
-      val snapNames = snapshot.map(_.getPath.getName).toSet
-      val late = dataFiles().filterNot(st => snapNames(st.getPath.getName))
-      late.foreach { st =>
-        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
-          new org.apache.hadoop.fs.Path(tmp, s"late-${st.getPath.getName}"),
-          false, spark.sparkContext.hadoopConfiguration)
+        StoreLock.withLock(spark, store, table) {
+          // reconcile: copy (not move — the live table stays complete
+          // until the park) every file appended since the snapshot into
+          // the compacted output
+          val snapNames = snapshot.map(_.getPath.getName).toSet
+          val late = dataFiles().filterNot(st => snapNames(st.getPath.getName))
+          late.foreach { st =>
+            org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+              new org.apache.hadoop.fs.Path(tmp, s"late-${st.getPath.getName}"),
+              false, spark.sparkContext.hadoopConfiguration)
+          }
+          val parked = new org.apache.hadoop.fs.Path(path + "__pre_compact")
+          if (!fs.rename(p, parked))
+            throw new IllegalStateException(s"compact could not park $path")
+          publishDir(spark, tmp, path, reuseExisting = false)
+          fs.delete(parked, true)
+          ()
+        }
+        val after = dataFiles()
+        (before, (after.length, after.map(_.getLen).sum))
       }
-      val parked = new org.apache.hadoop.fs.Path(path + "__pre_compact")
-      if (!fs.rename(p, parked))
-        throw new IllegalStateException(s"compact could not park $path")
-      publishDir(spark, tmp, path, reuseExisting = false)
-      fs.delete(parked, true)
-      ()
     }
-    val after = dataFiles()
-    (before, (after.length, after.map(_.getLen).sum))
   }
 
-  /** Restore a table left parked by a compact that crashed mid-swap:
-    * `<table>__pre_compact` present with the table missing → the crash
-    * hit between park and publish, so the parked directory IS the
-    * table — rename it back; both present → the publish completed (the
-    * live table is the compacted copy, the parked one its pre-compact
-    * twin) — drop the leftover. Callers hold the table lock. */
+  private val CompactedMarker = "_COMPACTED"
+
+  /** Restore a table left parked by a compact that crashed mid-swap.
+    * The decision keys on the POSITIVE completion marker, not bare
+    * existence (a writer may have re-created the table directory after
+    * the crash, which bare existence would mistake for a completed
+    * publish and delete the parked original):
+    *  - parked present, table missing → crash between park and publish:
+    *    the parked directory IS the table — rename it back;
+    *  - parked present, table carries `_COMPACTED` → the publish
+    *    completed and only the cleanup was lost — drop the parked twin;
+    *  - parked present, table present WITHOUT the marker → a writer
+    *    re-created the table post-crash: fold its files into the parked
+    *    original (as `post_crash-` appends), then restore the parked
+    *    directory — both pre-crash and post-crash rows survive.
+    * Callers hold the table lock. */
   private[store] def recoverParked(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val parked = new org.apache.hadoop.fs.Path(path + "__pre_compact")
@@ -373,7 +406,22 @@ object Store {
       if (!fs.exists(p)) {
         if (!fs.rename(parked, p))
           throw new IllegalStateException(s"could not restore parked table at $parked")
-      } else { fs.delete(parked, true); () }
+      } else if (fs.exists(new org.apache.hadoop.fs.Path(p, CompactedMarker))) {
+        fs.delete(parked, true); ()
+      } else {
+        fs.listStatus(p)
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .foreach { st =>
+            if (!fs.rename(st.getPath,
+                new org.apache.hadoop.fs.Path(parked, s"post_crash-${st.getPath.getName}")))
+              throw new IllegalStateException(
+                s"could not fold post-crash file ${st.getPath} into $parked")
+          }
+        fs.delete(p, true)
+        if (!fs.rename(parked, p))
+          throw new IllegalStateException(s"could not restore parked table at $parked")
+      }
     }
   }
 

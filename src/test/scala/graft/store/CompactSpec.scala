@@ -116,6 +116,40 @@ class CompactSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__pre_compact")))
   }
 
+  test("recovery folds a post-crash re-created table into the parked original") {
+    val store = freshStore()
+    val path = s"${store.root}/metadata"
+    Store.append(spark.range(0, 100).toDF("id"), path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash between park and publish…
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__pre_compact")))
+    // …then a writer re-creates the table with NEW rows (no marker)
+    Store.append(spark.range(100, 120).toDF("id"), path)
+    Store.compact(spark, store, "metadata")
+    // both the parked 100 pre-crash rows and the 20 post-crash rows survive
+    assert(spark.read.parquet(path).as[Long].collect().sorted.sameElements(0L until 120L),
+      "recovery lost pre-crash or post-crash rows")
+  }
+
+  test("recovery trusts the _COMPACTED marker: a completed publish drops the parked twin") {
+    val store = freshStore()
+    val path = s"${store.root}/metadata"
+    Store.append(spark.range(0, 50).toDF("id"), path)
+    // first compact publishes the marker
+    Store.compact(spark, store, "metadata")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_COMPACTED")))
+    // simulate a crash AFTER publish but before parked cleanup: the
+    // parked twin holds the same (stale) rows
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path + "__pre_compact"))
+    Store.compact(spark, store, "metadata")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__pre_compact")))
+    assert(spark.read.parquet(path).count() == 50, "live rows must be untouched")
+  }
+
   test("compact refuses nested (hive-partitioned) layouts loudly") {
     val store = freshStore()
     spark.range(0, 100)
@@ -125,6 +159,31 @@ class CompactSpec extends SparkSpec {
       Store.compact(spark, store, "metadata")
     }
     assert(e.getMessage.contains("nested"), e.getMessage)
+  }
+
+  test("compacting the queue under a checkpointed streaming worker stays idempotent") {
+    graft.ingest.FixtureTree.ensure()
+    val store = Store(Files.createTempDirectory("graft_compact_stream").toString)
+    val obj = Files.createTempDirectory("graft_obj_cs").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_cs").toString
+    graft.ingest.Ingest.run(spark, graft.ingest.FixtureTree.root, "ext/mov", 4, store)
+    graft.plan.Plan.run(spark, store)
+    val q1 = graft.streaming.StreamingJobs.executeStream(spark, store, obj, ckpt)
+    q1.awaitTermination()
+    val done1 = spark.read.parquet(store.taskDone).count()
+    assert(done1 > 0)
+    // compaction rewrites the queue into NEW file names; the
+    // checkpointed file source treats them as unseen and replays every
+    // task — the done anti-join must make that replay a no-op
+    Store.compact(spark, store, "task_queue")
+    val q2 = graft.streaming.StreamingJobs.executeStream(spark, store, obj, ckpt)
+    q2.awaitTermination()
+    assert(spark.read.parquet(store.taskDone).count() == done1,
+      "replay after queue compaction re-executed completed tasks")
+    val dlqP = new org.apache.hadoop.fs.Path(store.dlq)
+    val fs = dlqP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(dlqP) || spark.read.parquet(store.dlq).count() == 0,
+      "queue compaction produced dead letters")
   }
 
   test("CLI compact subcommand reports the before/after census") {
