@@ -27,6 +27,17 @@ object Hashing {
   def collatedHash(members: Column*): Column =
     sha2(array_join(sort_array(array(members.map(sha2(_, 256)): _*)), ""), 256)
 
+  /** Per-row digest designed for the commutative `bit_xor` AGGREGATE:
+    * the low 60 bits of md5(id|payload) as a long. collatedHash's
+    * sort-concat form gives a per-ROW order-insensitive identity; this
+    * is the GROUP form a corpus manifest needs at 100 TB — xor combines
+    * map-side in any order, so a group digest never sorts, collects, or
+    * concatenates its members. 15 hex digits keep the value inside a
+    * signed long on both engines. */
+  def rowDigest(id: Column, payload: Column): Column =
+    conv(substring(md5(concat(id.cast("string"), lit("|"), payload)), 1, 15), 16, 10)
+      .cast("long")
+
   /** Task identity = collated hash over {input url, output url}
     * (task.go:44-50: Identity() collates InputResource and
     * OutputResource hashes).

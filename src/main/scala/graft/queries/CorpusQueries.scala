@@ -333,6 +333,27 @@ object CorpusQueries {
         .select(col("doc_id"), col("n_bigrams"), col("lm_score"))
     },
 
+    // ── Corpus manifest (the provenance/data-card record a training
+    // build publishes): per-source doc counts, token totals, and an
+    // order-insensitive content digest — xor of per-row md5-derived
+    // longs, so the digest map-side combines in any row order and any
+    // added/removed/edited document flips it. Rerun-reproducible by
+    // construction; both engines compute the digest bit-exactly. ──────
+    Q(
+      "corpus_manifest",
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(bit_xor(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15)) AS BIGINT)) AS BIGINT) AS content_digest
+        |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("source"),
+          TextOps.tokenCount(col("text")).as("tok"),
+          Hashing.rowDigest(col("doc_id"), col("text")).as("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("total_tokens"),
+          expr("bit_xor(h)").as("content_digest"))
+    },
+
     // ── BPE merge learning (the tokenizer TRAINER; text_token_counts
     // applies a regex proxy): first 10 merge rules from the corpus.
     // The iterative merge loop isn't SQL-expressible, so the row is
