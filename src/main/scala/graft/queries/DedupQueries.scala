@@ -339,5 +339,46 @@ object DedupQueries {
           pmod(col("id_b"), lit(100000L)) === col("orig_id"))
         .groupBy("source_a", "source_b")
         .agg(count(lit(1)).as("n_pairs"), avg(col("jaccard")).as("avg_jaccard"))
+    },
+
+    // ── Entity resolution (fuzzy RECORD dedup — text dedup's structured
+    // sibling): customer names plus planted one-char-dropped typo
+    // mutants, blocked by nation, matched at edit distance ≤ 1. The
+    // uniform fixture names also pair near-neighbor ORIGINALS (ids
+    // differing in one digit) — kept: both engines compute the same
+    // deterministic pair set, and real entity resolution tunes the
+    // threshold against exactly this precision trade-off. Blocking is
+    // what makes it 100 TB-shaped: candidates are per-block pairs, not
+    // corpus², and the block key exchange carries scalars only. ───────
+    Q(
+      "dedup_entity_fuzzy",
+      """WITH corpus AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nk FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 100000,
+        |         substring(c_name, 1, length(c_name) - 4) ||
+        |           substring(c_name, length(c_name) - 2),
+        |         c_nationkey
+        |  FROM customer WHERE c_custkey < 40)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM corpus a JOIN corpus b ON a.nk = b.nk AND a.id < b.id
+        |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_nationkey").as("nk"))
+      val mutants = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") < 40)
+        .select((col("c_custkey") + 100000L).as("id"),
+          concat(
+            expr("substring(c_name, 1, length(c_name) - 4)"),
+            expr("substring(c_name, length(c_name) - 2, 3)")).as("name"),
+          col("c_nationkey").as("nk"))
+      val corpus = c.unionAll(mutants)
+      corpus.as("a").join(corpus.as("b"),
+          col("a.nk") === col("b.nk") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          levenshtein(col("a.name"), col("b.name")).cast("long").as("dist"))
+        .filter(col("dist") <= 1)
     })
 }
