@@ -33,7 +33,8 @@ object Hashing {
     * is the GROUP form a corpus manifest needs at 100 TB — xor combines
     * map-side in any order, so a group digest never sorts, collects, or
     * concatenates its members. 15 hex digits keep the value inside a
-    * signed long on both engines. */
+    * signed long on both engines. DuckDB twin:
+    * OracleSnippets.rowDigestSql — edit both together. */
   def rowDigest(id: Column, payload: Column): Column =
     conv(substring(md5(concat(id.cast("string"), lit("|"), payload)), 1, 15), 16, 10)
       .cast("long")

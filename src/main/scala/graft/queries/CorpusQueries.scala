@@ -341,10 +341,10 @@ object CorpusQueries {
     // construction; both engines compute the digest bit-exactly. ──────
     Q(
       "corpus_manifest",
-      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
-        |  CAST(bit_xor(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15)) AS BIGINT)) AS BIGINT) AS content_digest
-        |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
+         |  CAST(bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS BIGINT) AS content_digest
+         |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
       docs(s, dir)
         .select(col("source"),
           TextOps.tokenCount(col("text")).as("tok"),

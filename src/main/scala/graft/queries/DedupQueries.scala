@@ -352,14 +352,15 @@ object DedupQueries {
     // corpus², and the block key exchange carries scalars only. ───────
     Q(
       "dedup_entity_fuzzy",
-      """WITH corpus AS (
+      """WITH off AS (SELECT max(c_custkey) + 1 AS off FROM customer),
+        |corpus AS (
         |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nk FROM customer
         |  UNION ALL
-        |  SELECT c_custkey + 100000,
+        |  SELECT c_custkey + off,
         |         substring(c_name, 1, length(c_name) - 4) ||
         |           substring(c_name, length(c_name) - 2),
         |         c_nationkey
-        |  FROM customer WHERE c_custkey < 40)
+        |  FROM customer CROSS JOIN off WHERE c_custkey < 40)
         |SELECT a.id AS id_a, b.id AS id_b,
         |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
         |FROM corpus a JOIN corpus b ON a.nk = b.nk AND a.id < b.id
@@ -367,9 +368,15 @@ object DedupQueries {
       val c = Tables.load(s, dir, "customer")
         .select(col("c_custkey").as("id"), col("c_name").as("name"),
           col("c_nationkey").as("nk"))
+      // mutant ids offset past max(custkey), derived FROM the data — a
+      // fixed constant would collide with real keys at larger scale
+      // factors, silently merging two records under one id
+      val off = Tables.load(s, dir, "customer")
+        .agg((max(col("c_custkey")) + 1).as("off"))
       val mutants = Tables.load(s, dir, "customer")
         .filter(col("c_custkey") < 40)
-        .select((col("c_custkey") + 100000L).as("id"),
+        .crossJoin(broadcast(off))
+        .select((col("c_custkey") + col("off")).as("id"),
           concat(
             expr("substring(c_name, 1, length(c_name) - 4)"),
             expr("substring(c_name, length(c_name) - 2, 3)")).as("name"),

@@ -96,6 +96,12 @@ private[queries] object OracleSnippets {
        |good AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.6),
        |$componentsCte""".stripMargin
 
+  /** DuckDB mirror of Hashing.rowDigest: low 60 bits of
+    * md5(id|payload) as a BIGINT, for the commutative bit_xor group
+    * digest — edit both together. */
+  def rowDigestSql(idExpr: String, payloadExpr: String): String =
+    s"CAST(('0x' || substring(md5(CAST($idExpr AS VARCHAR) || '|' || $payloadExpr), 1, 15)) AS BIGINT)"
+
   /** DuckDB mirror of Hashing.md5Bucket: a 0..n-1 bucket from the
     * first 4 hex digits of md5(expr) — the deterministic hash-split
     * primitive (Spark side: conv(substring(md5, 1, 4), 16, 10) % n). */
