@@ -212,6 +212,33 @@ object SimilarityQueries {
     // decision input for quantizing an embedding store 4×. floor(+0.5)
     // keeps quantized values bit-identical across engines, so every
     // per-vector error is hash-checked to 6 dp. ────────────────────────
+    // ── Per-source drift: each source's centroid and its members'
+    // cosine-to-centroid spread (documents⋈embeddings on the shared id
+    // space) — the domain-shift diagnostic. 4 dp rounding absorbs
+    // f64 summation-order differences in the means. ───────────────────
+    Q(
+      "emb_source_drift",
+      """WITH j AS (
+        |  SELECT d.source, e.vec_id, e.embedding
+        |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+        |dims AS (
+        |  SELECT source, vec_id, generate_subscripts(embedding, 1) AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM j),
+        |cent AS (SELECT source, dim, avg(v) AS c FROM dims GROUP BY source, dim),
+        |dots AS (
+        |  SELECT dims.source, vec_id,
+        |         sum(v * c) AS vc, sum(v * v) AS vv, sum(c * c) AS cc
+        |  FROM dims JOIN cent ON cent.source = dims.source AND cent.dim = dims.dim
+        |  GROUP BY dims.source, vec_id),
+        |cos AS (SELECT source, vec_id, vc / (sqrt(vv) * sqrt(cc)) AS cos FROM dots)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       round(avg(cos), 4) AS avg_cos, round(min(cos), 4) AS min_cos
+        |FROM cos GROUP BY source""".stripMargin) { (s, dir) =>
+      Similarity.sourceDrift(
+        Tables.load(s, dir, "documents"), emb(s, dir))
+    },
+
     Q(
       "emb_quantize_error",
       """WITH e AS (SELECT vec_id,
