@@ -11,6 +11,26 @@ class SimilaritySpec extends SparkSpec {
   private lazy val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
   private lazy val queries = e.filter(col("vec_id") < 10)
 
+  test("sourceDrift: identical members sit exactly at their centroid (cos 1)") {
+    import spark.implicits._
+    // src A: three copies of one vector → centroid == the vector;
+    // src B: two orthogonal vectors → centroid halfway, cos < 1
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (3L, Array(1.0f, 0.0f)),
+      (4L, Array(1.0f, 0.0f)), (5L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val docsDf = Seq(
+      (1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B")
+    ).toDF("doc_id", "source")
+    val out = Similarity.sourceDrift(docsDf, emb)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("A") == ((3L, 1.0, 1.0)), s"identical members must score cos 1: ${out("A")}")
+    // B's centroid is (0.5, 0.5); each member's cosine to it = 1/sqrt(2)
+    assert(out("B")._1 == 2L)
+    assert(math.abs(out("B")._2 - 0.7071) < 1e-9 && math.abs(out("B")._3 - 0.7071) < 1e-9)
+  }
+
   test("brute-force top-k: self is rank 1 with score ~1.0; k rows per query") {
     val r = Similarity.bruteForceTopK(queries, e, k = 10).cache()
     assert(r.count() == 100)
