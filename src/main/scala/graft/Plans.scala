@@ -15,7 +15,8 @@ object Plans {
     "pack_sequences", "corpus_decontaminate", "vocab_top_tokens",
     "emb_semantic_dedup", "corpus_training_build",
     "corpus_token_budget", "join_bucketed_colocated",
-    "vocab_tfidf_top_terms", "corpus_lm_score")
+    "vocab_tfidf_top_terms", "corpus_lm_score",
+    "emb_source_drift", "corpus_manifest", "dedup_entity_fuzzy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
