@@ -31,6 +31,25 @@ class HashingSpec extends SparkSpec {
     assert(Hashing.taskHashStr("s3://a/x", "s3://b/y") != Hashing.taskHashStr("s3://a/x", "s3://b/z"))
   }
 
+  test("rowDigest xor-aggregate: row-order invariant, any single-row edit flips it") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def digest(rows: Seq[(Long, String)]): Long = rows.toDF("id", "payload")
+      .select(Hashing.rowDigest(col("id"), col("payload")).as("h"))
+      .agg(expr("bit_xor(h)")).as[Long].head()
+    val rows = samples(str, 30).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val base = digest(rows)
+    assert(digest(scala.util.Random.shuffle(rows.toList)) == base,
+      "digest must not depend on row order")
+    assert(digest(rows.updated(7, (7L, rows(7)._2 + "!"))) != base,
+      "editing a row must flip the digest")
+    assert(digest(rows.drop(1)) != base, "removing a row must flip the digest")
+    // values stay within the signed-long low-60-bit budget on every row
+    val hs = rows.toDF("id", "payload")
+      .select(Hashing.rowDigest(col("id"), col("payload")).as("h")).as[Long].collect()
+    assert(hs.forall(h => h >= 0 && h < (1L << 60)))
+  }
+
   test("canonical kv is insensitive to map insertion order (core/util.go:6-22)") {
     val kv = Gen.zip(Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(10)), str)
     samples(Gen.mapOf(kv)).foreach { m =>
