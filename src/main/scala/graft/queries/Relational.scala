@@ -450,5 +450,25 @@ object Relational {
           coalesce(col("O_qty"), lit(0.0)).as("qty_o"),
           coalesce(col("F_n"), lit(0L)).as("n_f"),
           coalesce(col("O_n"), lit(0L)).as("n_o"))
+    },
+
+    // ── Ranking-window family: ntile quartiles and percent_rank within
+    // per-nation partitions (the remaining window shapes q7/q8/q24
+    // don't cover). Ties broken by custkey so bucket boundaries are
+    // deterministic; percent_rank is exact rational arithmetic, so no
+    // rounding is needed. Per-nation windows, never a global sort. ─────
+    Q(
+      "q26_balance_quartiles",
+      """SELECT c_custkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"))
     })
 }
