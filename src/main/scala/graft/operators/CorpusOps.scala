@@ -250,18 +250,24 @@ object CorpusOps {
     * (partial+final count keyed by word); the merge iterations then
     * run over that WORD TABLE, which is vocabulary-sized (millions of
     * rows at web scale, not corpus-sized) and is collected — exactly
-    * how production BPE trainers work. A vocabulary too large for one
-    * node wants a min-frequency floor on the word table first, not a
-    * distributed merge loop.
+    * how production BPE trainers work. `minFreq` is the trainer's
+    * vocabulary bound: a web-scale corpus's word table (typos, URLs,
+    * unicode noise) is long-tailed, and dropping words seen fewer than
+    * `minFreq` times BEFORE the collect caps what the driver holds —
+    * rare words contribute ~nothing to pair counts, so the floor
+    * trades negligible merge-quality for a hard memory bound.
     *
     * Returns (left, right, pairCount) in merge order.
     */
-  def learnBpeMerges(docs: DataFrame, textCol: String, k: Int): Seq[(String, String, Long)] = {
+  def learnBpeMerges(docs: DataFrame, textCol: String, k: Int,
+      minFreq: Long = 1L): Seq[(String, String, Long)] = {
     require(k > 0, s"k must be positive: $k")
+    require(minFreq >= 1, s"minFreq must be >= 1: $minFreq")
     val wordFreq = docs
       .select(explode(graft.text.TextOps.tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").count()
+      .filter(col("count") >= minFreq)
       .collect().map(r => r.getString(0) -> r.getLong(1))
     var words: Array[(Array[String], Long)] =
       wordFreq.map { case (w, c) => (toSymbols(w), c) }
@@ -317,11 +323,16 @@ object CorpusOps {
   /** Apply learned BPE merges to the corpus: per-document piece counts
     * under the rule list — the APPLY half of the tokenizer two-phase
     * (learnBpeMerges trains). Each DISTINCT word is segmented exactly
-    * once over the vocabulary (vocab-sized, like the trainer's word
-    * table); the per-word piece counts then broadcast, and the
-    * corpus-sized token stream joins them map-side — the same
-    * build-stats → apply-stats shape as vocab_oov_rate. The only
-    * corpus-keyed exchange aggregates scalar (doc, counts).
+    * once, DISTRIBUTEDLY: the merge list is k-sized and broadcasts,
+    * and the vocabulary-sized distinct-token table segments inside a
+    * `mapPartitions` stage — NOTHING vocab- or corpus-sized is ever
+    * collected to the driver (a web corpus's distinct-token set —
+    * typos, URLs, unicode noise — is orders of magnitude past driver
+    * RAM; CorpusOpsSpec pins that building this frame runs zero jobs).
+    * The corpus-sized token stream is compacted to per-document token
+    * counts first (partial map-side combine), so the piece-count join
+    * and the final aggregate only ever exchange scalar
+    * (doc, token, count) rows.
     *
     * Documents with no non-empty tokens have nothing to segment and
     * are ABSENT from the result (the same absence contract as
@@ -334,16 +345,21 @@ object CorpusOps {
       textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
+    import spark.implicits._
     val tok = docs
       .select(col(idCol), explode(graft.text.TextOps.tokens(col(textCol))).as("token"))
       .filter(col("token") =!= "")
-    val vocab = tok.select("token").distinct().collect().map(_.getString(0))
-    val pieceCounts = vocab.map(w => (w, segmentBpe(w, merges).length.toLong)).toSeq
-    import spark.implicits._
-    val piecesDf = pieceCounts.toDF("token", "n_pieces")
-    tok.join(broadcast(piecesDf), "token")
+    val perDocTok = tok.groupBy(idCol, "token").agg(count(lit(1)).as("cnt"))
+    val mergesB = spark.sparkContext.broadcast(merges)
+    val pieces = perDocTok.select("token").distinct().as[String]
+      .mapPartitions { it =>
+        val m = mergesB.value
+        it.map(w => (w, segmentBpe(w, m).length.toLong))
+      }.toDF("token", "n_pieces")
+    perDocTok.join(pieces, "token")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_tokens"), sum(col("n_pieces")).as("n_pieces"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("n_pieces")).as("n_pieces"))
   }
 
   /** Deterministic per-stratum keep predicate: row survives when its

@@ -356,10 +356,14 @@ object CorpusQueries {
 
     // ── BPE merge learning (the tokenizer TRAINER; text_token_counts
     // applies a regex proxy): first 10 merge rules from the corpus.
-    // The iterative merge loop isn't SQL-expressible, so the row is
-    // rows-only; CorpusOpsSpec pins the algorithm on a hand-computed
-    // corpus. Deterministic: ties break lexicographically. ────────────
-    Q.rowsOnly("vocab_bpe_merges") { (s, dir) =>
+    // The merge loop is iterative but k is FIXED, so the oracle UNROLLS
+    // it: 10 (pair-count → argmax → list_reduce merge pass) CTE pairs
+    // recompute the exact rules — counts, tie-breaks and all — and the
+    // row is fully hash-checked (was rows-only through round 5).
+    // Deterministic: ties break lexicographically on (left, right). ────
+    Q(
+      "vocab_bpe_merges",
+      OracleSnippets.bpeMergesSql(k = 10)) { (s, dir) =>
       import s.implicits._
       CorpusOps.learnBpeMerges(docs(s, dir), "text", k = 10)
         .zipWithIndex
@@ -368,11 +372,15 @@ object CorpusQueries {
     },
 
     // ── BPE application (train → apply round trip): per-document piece
-    // counts under the 10 learned merges. Piece counts can only SHRINK
-    // from the raw code-point count as merges apply, so the oracle-less
-    // row is sanity-bounded in spec (n_pieces between n_tokens and the
-    // char count); CorpusOpsSpec pins exact segmentation. ──────────────
-    Q.rowsOnly("vocab_bpe_apply") { (s, dir) =>
+    // counts under the 10 learned merges. The oracle reuses the
+    // training prologue — its final word table IS the segmentation of
+    // every corpus word — so the per-document counts are recomputed
+    // value-for-value (was rows-only through round 5); CorpusOpsSpec
+    // additionally pins exact segmentation on a hand trace and that
+    // building the frame collects nothing. ─────────────────────────────
+    Q(
+      "vocab_bpe_apply",
+      OracleSnippets.bpeApplySql(k = 10)) { (s, dir) =>
       val d = docs(s, dir)
       val merges = CorpusOps.learnBpeMerges(d, "text", k = 10)
         .map { case (a, b, _) => (a, b) }

@@ -111,6 +111,82 @@ private[queries] object OracleSnippets {
     s"((4096 * ${hexDigit(1)} + 256 * ${hexDigit(2)} + 16 * ${hexDigit(3)} + ${hexDigit(4)}) % $n)"
   }
 
+  // ── BPE (CorpusOps.learnBpeMerges / applyBpePieceCounts) ────────────
+
+  /** One left-to-right merge pass of rule `(a, b)` (columns of the
+    * 1-row CTE `rule`) over a `syms` symbol list, as a `list_reduce`
+    * fold: the accumulator is the output symbols joined by chr(31) (a
+    * control char that can never appear in whitespace tokens); a step
+    * either merges `x` into the accumulator's LAST symbol (when that
+    * symbol is `a` and `x` is `b`) or appends `x`. Equivalent to
+    * CorpusOps.mergePair's scan: after a merge the last symbol becomes
+    * `a||b`, which can't immediately re-match a rule whose left is `a`
+    * — the same non-overlap a j+=2 skip enforces. */
+  private def mergePassSql(rule: String): String = {
+    val acc = "str_split(acc, chr(31))"
+    s"""str_split(list_reduce(syms, (acc, x) -> CASE
+       |      WHEN $acc[-1] = $rule.a AND x = $rule.b
+       |      THEN array_to_string(list_append($acc[1:len($acc)-1], $rule.a || $rule.b), chr(31))
+       |      ELSE acc || chr(31) || x END), chr(31))""".stripMargin
+  }
+
+  /** DuckDB mirror of the full BPE TRAINING loop, UNROLLED: k is fixed
+    * and small, so each iteration is a (pair-count → argmax → merge
+    * pass) CTE pair — p_i holds merge rule i (ORDER BY cnt DESC, a, b
+    * LIMIT 1 = the trainer's (-count, left, right) tie-break), s_i the
+    * word table after applying it. Word frequencies come from the same
+    * whitespace tokens as the trainer; symbols split per CODE POINT
+    * (DuckDB substring is character-indexed), matching toSymbols.
+    * Callers continue from `s$k` (the fully-segmented word table,
+    * carrying w/freq/syms) and `p1..p$k` (the rules). */
+  def bpeTrainingCtes(k: Int): String = {
+    val head = Seq(
+      """w0 AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w)""".stripMargin,
+      """s0 AS (SELECT w, freq,
+        |  list_transform(range(1, length(w) + 1), i -> substring(w, i, 1)) AS syms
+        |  FROM w0)""".stripMargin)
+    val iters = (1 to k).flatMap { i =>
+      Seq(
+        s"""p$i AS (
+           |  SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT unnest(list_transform(range(1, len(syms)),
+           |             j -> {'a': syms[j], 'b': syms[j+1]})) AS pr, freq
+           |    FROM s${i - 1})
+           |  GROUP BY pr.a, pr.b ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin,
+        s"""s$i AS (SELECT w, freq, ${mergePassSql(s"p$i")} AS syms
+           |  FROM s${i - 1} CROSS JOIN p$i)""".stripMargin)
+    }
+    (head ++ iters).mkString(",\n")
+  }
+
+  /** The learned rule list as rows (merge_rank, left, right, merged,
+    * pair_count) — the vocab_bpe_merges oracle body. */
+  def bpeMergesSql(k: Int): String = {
+    val union = (1 to k)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS merge_rank, a, b, cnt FROM p$i")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeTrainingCtes(k)},
+       |merges AS ($union)
+       |SELECT merge_rank, a AS "left", b AS "right", a || b AS merged,
+       |       cnt AS pair_count
+       |FROM merges""".stripMargin
+  }
+
+  /** Train-then-apply round trip: the training chain's final word
+    * table s$k IS the segmentation of every corpus word, so per-word
+    * piece counts are just len(syms) — the vocab_bpe_apply oracle. */
+  def bpeApplySql(k: Int): String =
+    s"""WITH ${bpeTrainingCtes(k)},
+       |pieces AS (SELECT w, len(syms) AS n_pieces FROM s$k),
+       |tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |       CAST(sum(n_pieces) AS BIGINT) AS n_pieces
+       |FROM tok JOIN pieces ON pieces.w = tok.token
+       |WHERE token <> '' GROUP BY doc_id""".stripMargin
+
   /** DuckDB mirror of Dedup.nearDupPairs over a corpus CTE named
     * `corpus(doc_id, text)`: bigram shingles → 12-hash signature →
     * 4×3 bands with the 64-bucket skew cap → verified Jaccard pairs.

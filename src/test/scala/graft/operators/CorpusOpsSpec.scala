@@ -203,6 +203,56 @@ class CorpusOpsSpec extends SparkSpec {
       s"pieces ${agg._1} should sit strictly between tokens ${agg._2} and chars ${agg._3}")
   }
 
+  test("applyBpePieceCounts builds its plan without running any job (no driver vocab collect)") {
+    // the round-5 implementation collected the full distinct vocabulary
+    // to the driver WHILE CONSTRUCTING the frame — at web scale a
+    // driver-OOM. The distributed form segments the vocabulary inside a
+    // mapPartitions stage, so frame construction must launch ZERO jobs.
+    // range-backed (NOT Seq.toDF — that plants its own LocalTableScan
+    // leaf and would false-trip the assertion below)
+    val docsDf = spark.range(4).select(col("id").as("doc_id"),
+      concat(lit("hug pug hugs word"), col("id").cast("string")).as("text"))
+    docsDf.count() // materialize inputs before arming the listener
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = CorpusOps.applyBpePieceCounts(docsDf, "doc_id", "text",
+        Seq(("u", "g"), ("h", "ug")))
+      // a collect inside the builder runs its job synchronously, so its
+      // start event is already enqueued by now; give the bus a moment
+      Thread.sleep(2000)
+      assert(jobs.get() == 0,
+        s"building the apply frame ran ${jobs.get()} job(s) — a driver-side collect is back")
+      val plan = out.queryExecution.executedPlan.toString
+      // the distributed segmentation is in the plan, not the driver: a
+      // collected vocabulary would surface as a LocalTableScan leaf
+      assert(plan.contains("MapPartitions"),
+        "vocabulary segmentation is not a mapPartitions stage")
+      assert(!plan.contains("LocalTableScan"),
+        "a driver-materialized (collected) vocabulary leaf is back in the plan")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("learnBpeMerges minFreq floor: rare words are dropped before the driver collect") {
+    val docsDf = Seq(
+      (1L, Array.fill(10)("hug").mkString(" ")),
+      (2L, Array.fill(5)("pug").mkString(" ")),
+      (3L, "zzzzz") // frequency 1 — below a minFreq=2 floor
+    ).toDF("doc_id", "text")
+    val floored = CorpusOps.learnBpeMerges(docsDf, "text", k = 5, minFreq = 2L)
+    assert(!floored.exists { case (a, b, _) => a.contains("z") || b.contains("z") },
+      s"rare word leaked into the trainer: $floored")
+    // without the floor the rare word's (z,z) pairs do surface
+    val unfloored = CorpusOps.learnBpeMerges(docsDf, "text", k = 5)
+    assert(unfloored.exists { case (a, b, _) => a.contains("z") || b.contains("z") },
+      s"fixture no longer exercises the floor: $unfloored")
+  }
+
   test("learnBpeMerges stops early when no pairs remain") {
     val docsDf = Seq((1L, "a b a")).toDF("doc_id", "text")
     // single-char words have no adjacent pairs at all
