@@ -343,13 +343,18 @@ object DedupQueries {
 
     // ── Entity resolution (fuzzy RECORD dedup — text dedup's structured
     // sibling): customer names plus planted one-char-dropped typo
-    // mutants, blocked by nation, matched at edit distance ≤ 1. The
-    // uniform fixture names also pair near-neighbor ORIGINALS (ids
-    // differing in one digit) — kept: both engines compute the same
-    // deterministic pair set, and real entity resolution tunes the
-    // threshold against exactly this precision trade-off. Blocking is
-    // what makes it 100 TB-shaped: candidates are per-block pairs, not
-    // corpus², and the block key exchange carries scalars only. ───────
+    // mutants, matched at edit distance ≤ 1. The uniform fixture names
+    // also pair near-neighbor ORIGINALS (ids differing in one digit) —
+    // kept: both engines compute the same deterministic pair set, and
+    // real entity resolution tunes the threshold against exactly this
+    // precision trade-off. Blocking is (nation, deletion-neighborhood
+    // key): the round-5 nation-only block was constant-cardinality (25
+    // values — O((N/25)²) pairwise work forever), while the symmetric-
+    // delete keys are name-derived so block-key cardinality GROWS with
+    // the data, recall stays 1.0 for dist ≤ 1 by construction, and the
+    // LSH-style oversize guard caps any degenerate block. The pair SET
+    // is identical to the unblocked round-5 semantics (within-nation
+    // dist ≤ 1) — the blocking is exact, not approximate. ─────────────
     Q(
       "dedup_entity_fuzzy",
       """WITH off AS (SELECT max(c_custkey) + 1 AS off FROM customer),
@@ -360,11 +365,25 @@ object DedupQueries {
         |         substring(c_name, 1, length(c_name) - 4) ||
         |           substring(c_name, length(c_name) - 2),
         |         c_nationkey
-        |  FROM customer CROSS JOIN off WHERE c_custkey < 40)
-        |SELECT a.id AS id_a, b.id AS id_b,
-        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
-        |FROM corpus a JOIN corpus b ON a.nk = b.nk AND a.id < b.id
-        |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin) { (s, dir) =>
+        |  FROM customer CROSS JOIN off WHERE c_custkey < 40),
+        |keys AS (
+        |  SELECT id, name, nk,
+        |         unnest(list_distinct(list_concat([name],
+        |           list_transform(range(1, length(name) + 1),
+        |             i -> substring(name, 1, i - 1) ||
+        |                  substring(name, i + 1, length(name) - i))))) AS bk
+        |  FROM corpus),
+        |sized AS (
+        |  SELECT id, name, nk, bk FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY nk, bk) AS bsz FROM keys)
+        |  WHERE bsz <= 64),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |         a.name AS name_a, b.name AS name_b
+        |  FROM sized a JOIN sized b
+        |    ON a.nk = b.nk AND a.bk = b.bk AND a.id < b.id)
+        |SELECT id_a, id_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 1""".stripMargin) { (s, dir) =>
       val c = Tables.load(s, dir, "customer")
         .select(col("c_custkey").as("id"), col("c_name").as("name"),
           col("c_nationkey").as("nk"))
@@ -382,10 +401,6 @@ object DedupQueries {
             expr("substring(c_name, length(c_name) - 2, 3)")).as("name"),
           col("c_nationkey").as("nk"))
       val corpus = c.unionAll(mutants)
-      corpus.as("a").join(corpus.as("b"),
-          col("a.nk") === col("b.nk") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          levenshtein(col("a.name"), col("b.name")).cast("long").as("dist"))
-        .filter(col("dist") <= 1)
+      Dedup.editBlockedPairs(corpus, "id", "name", "nk", maxBlockSize = 64)
     })
 }

@@ -199,6 +199,28 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("entity resolution: scalar-only exchanges and a size-guarded block join") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("dedup_entity_fuzzy")(spark, sf("sf0.001"))
+      val plan = df.queryExecution.executedPlan
+      // deletion keys explode scan-side: every exchange carries scalar
+      // (id, name, blk, bk) strings, never the key array
+      val shuffles = plan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      val offenders = shuffles.filter(
+        _.output.exists(_.dataType.catalogString.contains("array<")))
+      assert(offenders.isEmpty,
+        s"entity-resolution exchange carries an array:\n${offenders.mkString("\n")}")
+      // the oversize-block guard must be IN the plan feeding the self-
+      // join — blocks past maxBlockSize never reach the pairwise stage
+      assert(plan.toString.matches("(?s).*Filter.*bsz.*<= 64.*"),
+        s"oversize-block guard missing from the plan:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("partitioned layout: the lang filter prunes at the directory level") {
     val df = SparkEntry.queries("format_partitioned_roundtrip")(spark, sf("sf0.001"))
     df.collect() // finalize the adaptive plan

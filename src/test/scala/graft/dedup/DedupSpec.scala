@@ -91,6 +91,52 @@ class DedupSpec extends SparkSpec {
     assert(wellPartitioned.collect().toSet == narrow.collect().toSet)
   }
 
+  test("editBlockedPairs: deletion-neighborhood blocking finds exactly the dist ≤ 1 pairs") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "martin", 0L), (2L, "martn", 0L),   // deletion        → dist 1
+      (3L, "marvin", 0L),                       // substitution vs martin → dist 1
+      (4L, "martini", 0L),                      // insertion vs martin    → dist 1
+      (5L, "martin", 1L),                       // same name, OTHER block → no pair
+      (6L, "zeta", 0L)                          // far from everything
+    ).toDF("id", "name", "blk")
+    val pairs = Dedup.editBlockedPairs(recs, "id", "name", "blk")
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+    // brute-force truth within the block: every pair of {1,2,3,4,6} at dist ≤ 1
+    assert(pairs == Set((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L)),
+      s"got $pairs")
+  }
+
+  test("editBlockedPairs: identical records pair at dist 0; empty names don't explode") {
+    import spark.implicits._
+    val recs = Seq((1L, "anna", 0L), (2L, "anna", 0L), (3L, "", 0L), (4L, "", 0L))
+      .toDF("id", "name", "blk")
+    val pairs = Dedup.editBlockedPairs(recs, "id", "name", "blk")
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+    // the two empty names share their self-key and are dist 0; "a" vs ""
+    // is dist 1 but "anna"/"" never share a key (dist 4 — correctly absent)
+    assert(pairs == Set((1L, 2L, 0L), (3L, 4L, 0L)), s"got $pairs")
+  }
+
+  test("editBlockedPairs: the oversize-block guard drops non-discriminative keys") {
+    import spark.implicits._
+    // 80 records with the SAME name in one block: every key is shared by
+    // all 80 (> maxBlockSize=64), so the guard must drop the whole block
+    // — 80² pairwise work is exactly what it exists to prevent
+    val degenerate = (1L to 80L).map(i => (i, "template-name", 0L))
+    // plus a pair on a rare name that must SURVIVE the guard
+    val recs = (degenerate ++ Seq((100L, "unique", 0L), (101L, "uniqu", 0L)))
+      .toDF("id", "name", "blk")
+    val pairs = Dedup.editBlockedPairs(recs, "id", "name", "blk", maxBlockSize = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 101L)),
+      s"oversized block leaked pairs (or the rare pair was lost): ${pairs.take(5)}")
+    // raising the cap readmits the degenerate block — the guard, not the
+    // keys, was what dropped it
+    val uncapped = Dedup.editBlockedPairs(recs, "id", "name", "blk", maxBlockSize = 1000)
+    assert(uncapped.count() == 80L * 79 / 2 + 1)
+  }
+
   test("jaccard: identical sets → 1.0, disjoint → 0.0, order-insensitive") {
     import spark.implicits._
     val df = Seq(
