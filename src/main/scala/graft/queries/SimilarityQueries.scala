@@ -169,42 +169,23 @@ object SimilarityQueries {
     // separately in SimilaritySpec.
     Q(
       "ann_lsh_topk",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
-        |planes AS (
-        |  SELECT t.range AS t, p.range AS p,
-        |    list_transform(range(0, 64), j -> CASE WHEN
-        |        instr('13579bdf', substring(sha256(
-        |          t.range::VARCHAR || ':' || p.range::VARCHAR || ':' || j::VARCHAR), 1, 1)) > 0
-        |      THEN 1.0 ELSE -1.0 END) AS h
-        |  FROM range(0, 8) t, range(0, 5) p),
-        |cb AS (
-        |  SELECT e.vec_id, pl.t,
-        |    string_agg(CASE WHEN
-        |        list_sum(list_transform(range(1, 65), j -> e.v[j] * pl.h[j])) >= 0
-        |      THEN '1' ELSE '0' END, '' ORDER BY pl.p) AS bucket
-        |  FROM e, planes pl GROUP BY e.vec_id, pl.t),
-        |qb AS (
-        |  SELECT q.query_id, pl.t,
-        |    string_agg(CASE WHEN
-        |        list_sum(list_transform(range(1, 65), j -> q.qv[j] * pl.h[j])) >= 0
-        |      THEN '1' ELSE '0' END, '' ORDER BY pl.p) AS bucket
-        |  FROM q, planes pl GROUP BY q.query_id, pl.t),
-        |cand AS (
-        |  SELECT DISTINCT qb.query_id, cb.vec_id
-        |  FROM qb JOIN cb ON cb.t = qb.t AND cb.bucket = qb.bucket),
-        |scored AS (
-        |  SELECT c.query_id, c.vec_id,
-        |    list_cosine_similarity(q.qv, e.v) AS score,
-        |    row_number() OVER (PARTITION BY c.query_id
-        |      ORDER BY list_cosine_similarity(q.qv, e.v) DESC, c.vec_id) AS rank
-        |  FROM cand c
-        |  JOIN q ON q.query_id = c.query_id
-        |  JOIN e ON e.vec_id = c.vec_id)
-        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
-        |FROM scored WHERE rank <= 10""".stripMargin) { (s, dir) =>
+      lshOracleSql(queryPred = "vec_id < 5")) { (s, dir) =>
       val e = emb(s, dir)
       Similarity.lshTopK(e.filter(col("vec_id") < 5), e, k = 10)
+    },
+
+    // ── Batch LSH rerank: the corpus-scale (|Q| ≈ N) variant — every
+    // vector queries the whole corpus (cross-corpus retrieval / hard-
+    // negative mining shape). Same buckets, same ranking, same oracle
+    // recomputation as ann_lsh_topk, but the Spark plan swaps every
+    // broadcast for shuffle hash joins on scalar keys (PlanAuditSpec
+    // pins: no broadcast join, exactly two array-carrying exchanges —
+    // the two embedding re-attach sides). ─────────────────────────────
+    Q(
+      "ann_lsh_batch_topk",
+      lshOracleSql(queryPred = "TRUE")) { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.lshTopKLarge(e, e, k = 10)
     },
 
     // ── int8 quantization fidelity report: per-vector scale and the
@@ -256,4 +237,43 @@ object SimilarityQueries {
         |FROM q""".stripMargin) { (s, dir) =>
       Similarity.int8QuantizeError(emb(s, dir), "vec_id", "embedding")
     })
+
+  /** DuckDB mirror of the sign-LSH pipeline, parameterized by the
+    * query-set predicate — ann_lsh_topk (small serving set) and
+    * ann_lsh_batch_topk (whole corpus) share every other line. */
+  private def lshOracleSql(queryPred: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE $queryPred),
+       |planes AS (
+       |  SELECT t.range AS t, p.range AS p,
+       |    list_transform(range(0, 64), j -> CASE WHEN
+       |        instr('13579bdf', substring(sha256(
+       |          t.range::VARCHAR || ':' || p.range::VARCHAR || ':' || j::VARCHAR), 1, 1)) > 0
+       |      THEN 1.0 ELSE -1.0 END) AS h
+       |  FROM range(0, 8) t, range(0, 5) p),
+       |cb AS (
+       |  SELECT e.vec_id, pl.t,
+       |    string_agg(CASE WHEN
+       |        list_sum(list_transform(range(1, 65), j -> e.v[j] * pl.h[j])) >= 0
+       |      THEN '1' ELSE '0' END, '' ORDER BY pl.p) AS bucket
+       |  FROM e, planes pl GROUP BY e.vec_id, pl.t),
+       |qb AS (
+       |  SELECT q.query_id, pl.t,
+       |    string_agg(CASE WHEN
+       |        list_sum(list_transform(range(1, 65), j -> q.qv[j] * pl.h[j])) >= 0
+       |      THEN '1' ELSE '0' END, '' ORDER BY pl.p) AS bucket
+       |  FROM q, planes pl GROUP BY q.query_id, pl.t),
+       |cand AS (
+       |  SELECT DISTINCT qb.query_id, cb.vec_id
+       |  FROM qb JOIN cb ON cb.t = qb.t AND cb.bucket = qb.bucket),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    list_cosine_similarity(q.qv, e.v) AS score,
+       |    row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY list_cosine_similarity(q.qv, e.v) DESC, c.vec_id) AS rank
+       |  FROM cand c
+       |  JOIN q ON q.query_id = c.query_id
+       |  JOIN e ON e.vec_id = c.vec_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
+       |FROM scored WHERE rank <= 10""".stripMargin
 }

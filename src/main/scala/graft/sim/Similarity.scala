@@ -270,6 +270,47 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "score")
   }
 
+  /** Corpus-scale batch LSH rerank — lshTopK's non-broadcast sibling
+    * for |Q| ≈ N workloads (hard-negative mining, cross-corpus
+    * retrieval), where broadcasting either the query buckets or the
+    * candidate set would OOM the executors. Identical semantics and
+    * results to lshTopK (SimilaritySpec pins the equivalence); only
+    * the plan differs — the Spark ML approxSimilarityJoin shape:
+    *
+    *  - both bucket streams keep their embedding attached and meet in
+    *    a SHUFFLE HASH join on scalar (tbl, bucket) keys — embeddings
+    *    cross exactly these TWO exchanges, ×tables amplified but
+    *    LINEAR in corpus size (pinned by PlanAuditSpec);
+    *  - each colliding pair scores AT the join, so no candidate-pair
+    *    intermediate ever re-shuffles an embedding — a re-attach-by-id
+    *    plan would push the candidate set (the one table that grows
+    *    with collision fraction × N × |Q|, dwarfing the corpus) through
+    *    an array-carrying exchange;
+    *  - pairs colliding in several tables score bit-identically each
+    *    time (deterministic f64 expression), so the dedup is a scalar
+    *    groupBy max, and the top-k window exchanges scalars only.
+    *
+    * At corpus-scale |Q| the collision fraction is the cost driver:
+    * size `planes` up (buckets = 2^planes per table) so per-bucket
+    * populations stay bounded, exactly as a production LSH index does.
+    */
+  def lshTopKLarge(queries: DataFrame, corpus: DataFrame, k: Int,
+      tables: Int = 8, planes: Int = 5, dim: Int = 64): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    def banded(df: DataFrame, idAs: String, embAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), asDouble(col("embedding")).as(embAs),
+        posexplode(GraftFunctions.lshBuckets(col("embedding"), tables, planes, dim))
+          .as(Seq("tbl", "bucket")))
+    val scored = banded(corpus, "vec_id", "ce")
+      .join(banded(queries, "query_id", "qe").hint("shuffle_hash"), Seq("tbl", "bucket"))
+      .select(col("query_id"), col("vec_id"),
+        nativeCosine(corpus)(col("qe"), col("ce")).as("score"))
+      .groupBy("query_id", "vec_id").agg(max("score").as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "score")
+  }
+
   /** Semantic dedup (SemDeDup-shaped): assign every vector to its
     * nearest centroid cell, compare pairs ONLY within a cell, and drop
     * the higher id of any pair with cosine ≥ threshold. Survivors keep

@@ -81,6 +81,39 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("batch LSH rerank: no broadcasts; embeddings cross exactly the two re-attach exchanges") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("ann_lsh_batch_topk")(spark, sf("sf0.001"))
+      val plan = df.queryExecution.executedPlan
+      val planStr = plan.toString
+      // corpus-scale |Q|: nothing may broadcast — every join must be a
+      // shuffle join on scalar keys
+      assert(!planStr.contains("BroadcastHashJoin") &&
+             !planStr.contains("BroadcastNestedLoopJoin"),
+        s"batch rerank broadcasts a corpus-scale side:\n$planStr")
+      assert(planStr.contains("ShuffledHashJoin"),
+        s"expected shuffle hash joins:\n$planStr")
+      // embedding arrays cross exactly the TWO (tbl, bucket) bucket
+      // exchanges — linear in corpus size; the pair dedup and top-k
+      // window exchanges stay scalar (a candidate-pair intermediate
+      // carrying arrays would scale with collisions × N × |Q|)
+      val arrayExchanges = plan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if s.output.exists(_.dataType.catalogString.contains("array<")) => s
+      }
+      assert(arrayExchanges.size == 2,
+        s"expected exactly the two bucket exchanges to carry embeddings, got " +
+          s"${arrayExchanges.size}:\n${arrayExchanges.mkString("\n")}")
+      arrayExchanges.foreach { s =>
+        val part = s.outputPartitioning.toString
+        assert(part.contains("tbl") && part.contains("bucket"),
+          s"array exchange not keyed by (tbl, bucket): $part")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("whole-stage codegen covers the relational flagships") {
     for (name <- Seq("q1_pricing_summary", "q3_revenue_by_nation", "q24_running_qty_bucketed")) {
       // codegen'd spans print as "*(n) Operator" in the simple plan string

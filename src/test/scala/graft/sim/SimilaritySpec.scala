@@ -63,6 +63,16 @@ class SimilaritySpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("lshTopKLarge ≡ lshTopK: the batch rerank changes join strategy, never results") {
+    val broadcastForm = Similarity.lshTopK(queries, e, k = 10)
+      .select("query_id", "rank", "vec_id")
+    val shuffleForm = Similarity.lshTopKLarge(queries, e, k = 10)
+      .select("query_id", "rank", "vec_id")
+    assert(broadcastForm.exceptAll(shuffleForm).count() == 0 &&
+           shuffleForm.exceptAll(broadcastForm).count() == 0,
+      "batch rerank diverged from the broadcast form on identical input")
+  }
+
   test("LSH candidate join is a hash join on (table, bucket), not cartesian") {
     val plan = Similarity.lshTopK(queries, e, k = 10)
       .queryExecution.executedPlan.toString
