@@ -38,11 +38,30 @@ object Cli {
 
   /** 0 only for a genuinely-missing table; a corrupt table must FAIL,
     * not read as empty (an operator would mistake damage for a clean
-    * drained store). */
+    * drained store — ParquetFileReader.open throws on damage).
+    *
+    * METADATA-ONLY: sums the row counts out of each file's parquet
+    * footer, driver-side — no Spark job (CliSpec pins zero jobs per
+    * stats call). The reference's counters are O(1) metadata reads
+    * (Redis SCARD / queue-depth attributes, README.md:112-116); a full
+    * count() scan matched the VALUE but not the COST — on a 100 TB
+    * table `stats` would be a cluster job, and operational counters
+    * get polled. Footer reads are O(files), the same census compact's
+    * file listing already does. */
   private def tableCount(spark: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(path).count() else 0L
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) 0L
+    else
+      fs.listStatus(p)
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map { st =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
   }
 
   def run(spark: SparkSession, args: Array[String]): String = args.toList match {

@@ -335,15 +335,23 @@ object CorpusQueries {
 
     // ── Corpus manifest (the provenance/data-card record a training
     // build publishes): per-source doc counts, token totals, and an
-    // order-insensitive content digest — xor of per-row md5-derived
-    // longs, so the digest map-side combines in any row order and any
-    // added/removed/edited document flips it. Rerun-reproducible by
-    // construction; both engines compute the digest bit-exactly. ──────
+    // order-insensitive content digest. TWO commutative combines of
+    // the per-row md5-derived longs — xor AND sum mod 2^60 — because
+    // either alone has a blind spot the pair closes: xor cancels
+    // even-multiplicity changes ({X,X,Y} and {Z,Z,Y} xor alike), sum
+    // alone is weaker against crafted value swaps; together any
+    // added/removed/edited document flips at least one component.
+    // Both combine map-side in any row order (no per-group sort or
+    // collect at 100 TB), and both engines compute them bit-exactly —
+    // integer arithmetic end to end (HashingSpec pins the cancellation
+    // case). ──────────────────────────────────────────────────────────
     Q(
       "corpus_manifest",
       s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
-         |  CAST(bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS BIGINT) AS content_digest
+         |  CAST(bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS BIGINT) AS content_digest,
+         |  CAST(sum(${OracleSnippets.rowDigestSql("doc_id", "text")}) % 1152921504606846976 AS BIGINT)
+         |    AS content_digest_sum
          |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
       docs(s, dir)
         .select(col("source"),
@@ -351,7 +359,11 @@ object CorpusQueries {
           Hashing.rowDigest(col("doc_id"), col("text")).as("h"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("tok").as("total_tokens"),
-          expr("bit_xor(h)").as("content_digest"))
+          expr("bit_xor(h)").as("content_digest"),
+          // decimal sum: h < 2^60, so a long sum would overflow past
+          // ~8 rows; decimal(38,0) holds ~10^18 rows' worth exactly
+          (sum(col("h").cast("decimal(38,0)")) % lit(BigDecimal(1152921504606846976L)))
+            .cast("long").as("content_digest_sum"))
     },
 
     // ── BPE merge learning (the tokenizer TRAINER; text_token_counts

@@ -212,7 +212,8 @@ object SimilarityQueries {
         |         sum(v * c) AS vc, sum(v * v) AS vv, sum(c * c) AS cc
         |  FROM dims JOIN cent ON cent.source = dims.source AND cent.dim = dims.dim
         |  GROUP BY dims.source, vec_id),
-        |cos AS (SELECT source, vec_id, vc / (sqrt(vv) * sqrt(cc)) AS cos FROM dots)
+        |cos AS (SELECT source, vec_id, vc / (sqrt(vv) * sqrt(cc)) AS cos
+        |        FROM dots WHERE vv > 0 AND cc > 0)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_vecs,
         |       round(avg(cos), 4) AS avg_cos, round(min(cos), 4) AS min_cos
         |FROM cos GROUP BY source""".stripMargin) { (s, dir) =>

@@ -365,6 +365,45 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Per-source embedding drift report: each source's mean vector
+    * (centroid) and the distribution of its members' cosine to it —
+    * the domain-shift diagnostic a corpus card tracks (a source whose
+    * members scatter away from their own centroid is heterogeneous or
+    * drifting; compare snapshots to watch it move). Joins the text
+    * table to the embedding table on the shared id space.
+    *
+    * Shape: the embedding explodes to scalar (source, id, dim, value)
+    * rows scan-side; the centroid is a partial+final mean keyed
+    * (source, dim) — sources×dims rows, plan-sized, so it BROADCASTS
+    * back onto the dim stream; the per-vector cosine reduces to three
+    * running sums keyed (source, id). No exchange ever carries an
+    * embedding array.
+    *
+    * Degenerate input: an all-zero vector (or all-zero centroid) has
+    * no direction, so its cosine is undefined — such rows are FILTERED
+    * (vv > 0 AND cc > 0, mirroring int8QuantizeError's mx > 0 guard)
+    * rather than left to non-ANSI division, whose NULL would silently
+    * vanish inside avg/min while an IEEE engine said NaN. */
+  def sourceDrift(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val dims = emb
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .join(docs.select(col("doc_id"), col("source")), col("doc_id") === col("vec_id"))
+      .select(col("source"), col("vec_id"), posexplode(col("emb")).as(Seq("dim", "v")))
+    val cent = dims.groupBy("source", "dim").agg(avg("v").as("c"))
+    val cos = dims.join(broadcast(cent), Seq("source", "dim"))
+      .groupBy("source", "vec_id")
+      .agg(
+        sum(col("v") * col("c")).as("vc"),
+        sum(col("v") * col("v")).as("vv"),
+        sum(col("c") * col("c")).as("cc"))
+      .filter(col("vv") > 0 && col("cc") > 0)
+      .select(col("source"), (col("vc") / (sqrt(col("vv")) * sqrt(col("cc")))).as("cos"))
+    cos.groupBy("source").agg(
+      count(lit(1)).as("n_vecs"),
+      round(avg("cos"), 4).as("avg_cos"),
+      round(min("cos"), 4).as("min_cos"))
+  }
+
   /** Symmetric int8 quantization error report: per-vector scale
     * (max |v| / 127) and the mean/max absolute reconstruction error of
     * `q = floor(v·127/mx + 0.5)` — the storage-scale decision input
@@ -379,38 +418,6 @@ object Similarity {
     * once per consumer (the diamond the dedup kernels eliminated). The
     * one exchange carries scalar (id, mx, err) rows, map-side combined.
     */
-  /** Per-source embedding drift report: each source's mean vector
-    * (centroid) and the distribution of its members' cosine to it —
-    * the domain-shift diagnostic a corpus card tracks (a source whose
-    * members scatter away from their own centroid is heterogeneous or
-    * drifting; compare snapshots to watch it move). Joins the text
-    * table to the embedding table on the shared id space.
-    *
-    * Shape: the embedding explodes to scalar (source, id, dim, value)
-    * rows scan-side; the centroid is a partial+final mean keyed
-    * (source, dim) — sources×dims rows, plan-sized, so it BROADCASTS
-    * back onto the dim stream; the per-vector cosine reduces to three
-    * running sums keyed (source, id). No exchange ever carries an
-    * embedding array. */
-  def sourceDrift(docs: DataFrame, emb: DataFrame): DataFrame = {
-    val dims = emb
-      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      .join(docs.select(col("doc_id"), col("source")), col("doc_id") === col("vec_id"))
-      .select(col("source"), col("vec_id"), posexplode(col("emb")).as(Seq("dim", "v")))
-    val cent = dims.groupBy("source", "dim").agg(avg("v").as("c"))
-    val cos = dims.join(broadcast(cent), Seq("source", "dim"))
-      .groupBy("source", "vec_id")
-      .agg(
-        sum(col("v") * col("c")).as("vc"),
-        sum(col("v") * col("v")).as("vv"),
-        sum(col("c") * col("c")).as("cc"))
-      .select(col("source"), (col("vc") / (sqrt(col("vv")) * sqrt(col("cc")))).as("cos"))
-    cos.groupBy("source").agg(
-      count(lit(1)).as("n_vecs"),
-      round(avg("cos"), 4).as("avg_cos"),
-      round(min("cos"), 4).as("min_cos"))
-  }
-
   def int8QuantizeError(df: DataFrame, idCol: String, embCol: String): DataFrame = {
     val e = asDouble(col(embCol))
     df.select(col(idCol), e.as("emb"))

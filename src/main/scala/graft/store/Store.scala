@@ -281,9 +281,13 @@ object Store {
     * rewrite. The rewrite reads a file SNAPSHOT; files appended since
     * the snapshot are COPIED into the compacted output inside the table
     * lock, so a locked writer (task_queue's planners) can never lose an
-    * append. Writers that do not take the table lock (done/dlq/index
-    * appends) are protected for everything landing up to the reconcile
-    * listing; compact those tables at pipeline quiescence.
+    * append. Writers that do NOT take the table lock (done/dlq/index
+    * appends) are covered too: after the atomic park rename the parked
+    * directory is re-listed and any file the reconcile listing missed
+    * is folded into the rewrite — the listing-to-park window is closed
+    * exactly, not documented away. An append that begins after the park
+    * re-creates the table directory, which publishDir detects and
+    * REFUSES (loud failure, never silent loss).
     *
     * Crash safety: the swap parks the old directory at
     * `<table>__pre_compact`, publishes the rewrite (whose `_COMPACTED`
@@ -369,9 +373,32 @@ object Store {
               new org.apache.hadoop.fs.Path(tmp, s"late-${st.getPath.getName}"),
               false, spark.sparkContext.hadoopConfiguration)
           }
+          // test seam: CompactSpec injects an unlocked append HERE to
+          // pin that the listing-to-park window cannot lose files
+          testHookBeforePark()
           val parked = new org.apache.hadoop.fs.Path(path + "__pre_compact")
           if (!fs.rename(p, parked))
             throw new IllegalStateException(s"compact could not park $path")
+          // Writers that do NOT take the table lock (done/dlq/index
+          // appends) may have landed files between the reconcile
+          // listing above and the park rename — inside the parked
+          // directory now, and a bare delete would silently drop them
+          // (round-5 advice: an operator compacting dlq against a live
+          // executeStream lost dead letters). The park rename is atomic,
+          // so re-listing the PARKED directory closes the window
+          // exactly: copy any file not already accounted for into the
+          // rewrite. (Appends that start after the park re-create the
+          // table directory, which publishDir detects and refuses —
+          // loud, never silent loss.)
+          val accounted = snapNames ++ late.map(_.getPath.getName)
+          fs.listStatus(parked)
+            .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith(".") && !accounted(st.getPath.getName))
+            .foreach { st =>
+              org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+                new org.apache.hadoop.fs.Path(tmp, s"late-${st.getPath.getName}"),
+                false, spark.sparkContext.hadoopConfiguration)
+            }
           publishDir(spark, tmp, path, reuseExisting = false)
           fs.delete(parked, true)
           ()
@@ -383,6 +410,11 @@ object Store {
   }
 
   private val CompactedMarker = "_COMPACTED"
+
+  /** Test-only injection point inside compact's reconcile-to-park
+    * window (no-op in production) — the only way to exercise that race
+    * deterministically. */
+  private[store] var testHookBeforePark: () => Unit = () => ()
 
   /** Restore a table left parked by a compact that crashed mid-swap.
     * The decision keys on the POSITIVE completion marker, not bare

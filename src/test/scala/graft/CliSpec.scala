@@ -26,8 +26,23 @@ class CliSpec extends SparkSpec {
     val out = Cli.run(spark, Array("execute-stream", root, obj))
     assert(out == """{"cmd":"execute-stream","continuous":false,"task_done":8}""")
     assert(spark.read.parquet(store.taskDone).count() == 8)
-    assert(Cli.run(spark, Array("stats", root))
-      == """{"cmd":"stats","resource_index":4,"task_queue":0,"task_done":8,"dlq":0}""")
+    // stats is METADATA-ONLY: counts come from parquet footers, so the
+    // call must launch zero Spark jobs — on a 100 TB store a count()
+    // scan would turn a polled operational counter into a cluster job
+    // (the reference's counters are O(1) SCARD / queue-attribute reads)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(Cli.run(spark, Array("stats", root))
+        == """{"cmd":"stats","resource_index":4,"task_queue":0,"task_done":8,"dlq":0}""")
+      Thread.sleep(2000) // job-start events enqueue synchronously; let the bus drain
+      assert(jobs.get() == 0, s"stats ran ${jobs.get()} Spark job(s) — no longer metadata-only")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("streaming pipeline: ingest → plan-stream → execute-stream, both drained via CLI") {

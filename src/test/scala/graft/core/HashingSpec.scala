@@ -50,6 +50,26 @@ class HashingSpec extends SparkSpec {
     assert(hs.forall(h => h >= 0 && h < (1L << 60)))
   }
 
+  test("sum digest catches the even-multiplicity changes the xor digest cancels") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // duplicate rows cancel pairwise under xor: {X,X,Y} and {Z,Z,Y}
+    // share n_docs AND bit_xor — the round-5 advice blind spot. The
+    // manifest's second component (sum mod 2^60) must tell them apart.
+    def digests(rows: Seq[(Long, String)]): (Long, Long) = rows.toDF("id", "payload")
+      .select(Hashing.rowDigest(col("id"), col("payload")).as("h"))
+      .agg(expr("bit_xor(h)"),
+        (sum(col("h").cast("decimal(38,0)")) % lit(BigDecimal(1L << 60))).cast("long"))
+      .as[(Long, Long)].head()
+    val x = (1L, "alpha"); val y = (2L, "beta"); val z = (3L, "gamma")
+    val (xorA, sumA) = digests(Seq(x, x, y))
+    val (xorB, sumB) = digests(Seq(z, z, y))
+    assert(xorA == xorB, "fixture must exercise the xor cancellation")
+    assert(sumA != sumB, "the sum component failed to catch an even-multiplicity change")
+    // and the sum is as order-invariant as the xor
+    assert(digests(Seq(y, x, x))._2 == sumA)
+  }
+
   test("canonical kv is insensitive to map insertion order (core/util.go:6-22)") {
     val kv = Gen.zip(Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(10)), str)
     samples(Gen.mapOf(kv)).foreach { m =>

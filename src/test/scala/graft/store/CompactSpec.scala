@@ -101,6 +101,25 @@ class CompactSpec extends SparkSpec {
       "cluster compaction changed the table contents")
   }
 
+  test("an unlocked append landing between reconcile and park survives compaction") {
+    // done/dlq/index writers do NOT take the table lock; round 5 could
+    // silently delete a file they landed between the reconcile listing
+    // and the park rename (it vanished with the parked directory). The
+    // post-park re-list must fold it into the rewrite.
+    val store = freshStore()
+    val path = s"${store.root}/metadata"
+    (0 until 3).foreach(i =>
+      Store.append(spark.range(i * 100, (i + 1) * 100).toDF("id"), path))
+    Store.testHookBeforePark = () =>
+      Store.append(spark.range(1000, 1100).toDF("id"), path)
+    try {
+      Store.compact(spark, store, "metadata", targetBytes = 1L << 30)
+    } finally Store.testHookBeforePark = () => ()
+    val ids = spark.read.parquet(path).as[Long].collect().sorted
+    assert(ids.length == 400 && ids.takeRight(100).sameElements(1000L until 1100L),
+      s"the in-window append was lost: ${ids.length} rows")
+  }
+
   test("compact self-heals a table parked by a crashed swap") {
     val store = freshStore()
     val path = s"${store.root}/metadata"
