@@ -108,6 +108,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"trained IVF recall@10 = $recall")
   }
 
+  test("IVF training earns its keep: trained centroids beat the first-k seed on clustered data") {
+    import spark.implicits._
+    // The fixture embeddings are near-uniform, where any centroid set
+    // performs alike — this corpus is CLUSTERED (10 gaussian blobs) and
+    // id-ordered so the first-k seed is adversarial: ids 0..49 all sit
+    // in blob 0, so all 10 seed centroids land in ONE blob and probing
+    // 2 of 10 cells misses most true neighbors. Lloyd's iterations must
+    // spread the centroids and lift recall at the SAME probe budget.
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(10)(Array.fill(64)(rnd.nextGaussian()))
+    val rows = (0 until 500).map { i =>
+      val c = centers(i / 50)
+      (i.toLong, c.map(x => (x + 0.3 * rnd.nextGaussian()).toFloat))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queriesC = corpus.filter(col("vec_id") % 50 === 25) // one per blob
+    val exact = Similarity.bruteForceTopK(queriesC, corpus, k = 10)
+      .select("query_id", "vec_id")
+    def recall(cents: Similarity.Centroids): Double =
+      Similarity.ivfTopKWith(queriesC, corpus, k = 10, cents, nProbe = 2)
+        .select("query_id", "vec_id")
+        .intersect(exact).count().toDouble / exact.count()
+    val seedRecall = recall(Similarity.initialCentroids(corpus, 10))
+    val trainedRecall = recall(Similarity.trainCentroids(corpus, 10, iters = 5))
+    assert(trainedRecall > seedRecall,
+      s"training did not improve recall: seed=$seedRecall trained=$trainedRecall")
+    assert(trainedRecall >= 0.5,
+      s"trained recall unusably low on clustered data: $trainedRecall (seed=$seedRecall)")
+  }
+
   test("IVF at-rest index: probing is partition pruning; results match the in-memory path") {
     val cents = Similarity.initialCentroids(e, 10)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
