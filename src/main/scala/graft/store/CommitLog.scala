@@ -1,0 +1,200 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Minimal Delta-style transaction log — the ACID seam Store's
+  * docstrings promise for object-store deployments (Store.scala:39-41:
+  * the advisory lock FILE is correct on local/HDFS, but multi-writer
+  * safety on a store without atomic create needs a real log).
+  *
+  * Protocol (the published Delta/Iceberg core, stripped to appends +
+  * rewrites over one flat parquet table):
+  *
+  *  - The table directory carries `_graft_log/` holding numbered
+  *    commit files `%020d.commit`; each commit lists data-file names
+  *    ADDED (`+name`) and REMOVED (`-name`). The LIVE file set is the
+  *    log replayed in version order — readers never list data files.
+  *  - Writers first land data files under writer-unique names (via an
+  *    `_`-prefixed staging dir, invisible to any parquet scan), then
+  *    try to publish commit N+1. Publication is atomic-rename-if-
+  *    absent, so exactly ONE writer wins each version; losers re-read
+  *    the log and retry at the next number. Uncommitted data files are
+  *    invisible, so a crash at ANY point loses nothing and corrupts
+  *    nothing — vacuum() reclaims the orphans later.
+  *  - A rewrite (compaction) commits `adds ++ removes` as ONE version:
+  *    readers see the old files or the new files, never both, never
+  *    neither. A concurrent append simply wins an earlier or later
+  *    version — its files are not in the rewrite's remove set, so
+  *    nothing is lost (the lost-update window the lock file guards in
+  *    the unlogged layout does not exist here).
+  *
+  * Rename-if-absent needs one primitive per filesystem: HDFS rename
+  * refuses an existing destination namenode-side; the local FS would
+  * happily clobber (POSIX rename replaces), so file:// uses a hard
+  * LINK — createLink throws FileAlreadyExistsException atomically. On
+  * S3-class stores this seam is where a coordination service (or a
+  * conditional PUT) plugs in; the PROTOCOL above is unchanged.
+  *
+  * The unlogged Store layout stays the default for local/HDFS — this
+  * layer is opt-in per table (LoggedStoreSpec drives it; the two
+  * layouts never mix on one table).
+  */
+object CommitLog {
+
+  private val LogDir = "_graft_log"
+  private val CommitRe = "([0-9]{20})\\.commit".r
+
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (latest version, live data-file names) — 0 / empty for a table
+    * with no commits yet. Incomplete commit files cannot exist: content
+    * becomes visible atomically with the rename. */
+  def liveFiles(spark: SparkSession, tablePath: String): (Long, Seq[String]) = {
+    val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
+    val fs = fsOf(spark, log)
+    if (!fs.exists(log)) return (0L, Seq.empty)
+    val commits = fs.listStatus(log).flatMap { st =>
+      st.getPath.getName match {
+        case CommitRe(v) => Some(v.toLong -> st.getPath)
+        case _ => None
+      }
+    }.sortBy(_._1)
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    commits.foreach { case (_, p) =>
+      val in = fs.open(p)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      content.linesIterator.filter(_.nonEmpty).foreach { line =>
+        if (line.startsWith("+")) { live += line.drop(1); () }
+        else if (line.startsWith("-")) { live -= line.drop(1); () }
+        else throw new IllegalStateException(s"corrupt commit line in $p: $line")
+      }
+    }
+    (commits.lastOption.map(_._1).getOrElse(0L), live.toSeq)
+  }
+
+  /** Publish a commit adding/removing the given data-file names.
+    * Optimistic: races for the next version number; on losing, re-reads
+    * and retries (appends and disjoint rewrites never conflict
+    * semantically, so retrying is always safe). Returns the version
+    * won. */
+  def commit(spark: SparkSession, tablePath: String,
+      adds: Seq[String], removes: Seq[String] = Seq.empty): Long = {
+    require(adds.nonEmpty || removes.nonEmpty, "empty commit")
+    val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
+    val fs = fsOf(spark, log)
+    fs.mkdirs(log)
+    val content = (adds.map("+" + _) ++ removes.map("-" + _)).mkString("\n")
+    var attempts = 0
+    while (attempts < 10000) {
+      val next = liveFiles(spark, tablePath)._1 + 1
+      val dst = new org.apache.hadoop.fs.Path(log, f"$next%020d.commit")
+      val tmp = new org.apache.hadoop.fs.Path(log,
+        s"_tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+      val out = fs.create(tmp, false)
+      try { out.write(content.getBytes("UTF-8")); out.close() }
+      catch { case e: java.io.IOException => fs.delete(tmp, false); throw e }
+      val won =
+        if (fs.getScheme == "file") {
+          // POSIX rename REPLACES an existing destination — a hard link
+          // is the atomic create-if-absent primitive on a local FS
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(dst.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            true
+          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        } else fs.rename(tmp, dst)
+      if (fs.getScheme == "file" || !won) fs.delete(tmp, false)
+      if (won) return next
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"could not win a commit version for $tablePath after $attempts attempts")
+  }
+
+  /** Logged append: land the frame's part files under writer-unique
+    * names, then publish them in one commit. Readers see all rows or
+    * none. Safe under arbitrary concurrent writers — no lock. */
+  def append(df: DataFrame, tablePath: String): Long = {
+    val spark = df.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = fsOf(spark, dir)
+    val writerId = s"w${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
+    df.write.parquet(staging.toString)
+    val parts = fs.listStatus(staging).filter(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    val names = parts.map { st =>
+      val n = s"$writerId-${st.getPath.getName}"
+      if (!fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dir, n)))
+        throw new IllegalStateException(s"could not land data file $n in $tablePath")
+      n
+    }.toSeq
+    fs.delete(staging, true)
+    commit(spark, tablePath, adds = names)
+  }
+
+  /** Snapshot read of the live file set (empty frame with `schema` for
+    * a table with no commits). */
+  def read(spark: SparkSession, tablePath: String, schema: StructType): DataFrame = {
+    val (_, files) = liveFiles(spark, tablePath)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files.map(f => s"$tablePath/$f"): _*)
+  }
+
+  /** Logged compaction: rewrite the current live set into
+    * ceil(bytes/target) files and publish adds+removes as ONE commit —
+    * readers switch atomically, and a concurrent append's files are
+    * untouched (they are not in this rewrite's remove set). No parking,
+    * no lock: a crash leaves only invisible orphans for vacuum(). */
+  def compact(spark: SparkSession, tablePath: String, targetBytes: Long): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val dir = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = fsOf(spark, dir)
+    val (_, files) = liveFiles(spark, tablePath)
+    if (files.isEmpty) return liveFiles(spark, tablePath)._1
+    val paths = files.map(f => s"$tablePath/$f")
+    val totalBytes = paths.map(p => fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val writerId = s"c${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
+    spark.read.parquet(paths: _*).repartition(nOut).write.parquet(staging.toString)
+    val parts = fs.listStatus(staging).filter(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    val names = parts.map { st =>
+      val n = s"$writerId-${st.getPath.getName}"
+      if (!fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dir, n)))
+        throw new IllegalStateException(s"could not land compacted file $n in $tablePath")
+      n
+    }.toSeq
+    fs.delete(staging, true)
+    commit(spark, tablePath, adds = names, removes = files)
+  }
+
+  /** Reclaim data files no commit references — compaction leftovers
+    * and crashed writers' orphans. `minAgeMs` protects in-flight
+    * writers that landed files but have not committed yet (production
+    * uses hours; tests pass 0). Staging dirs older than the threshold
+    * are swept too. Never touches the log itself. */
+  def vacuum(spark: SparkSession, tablePath: String, minAgeMs: Long): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) return Seq.empty
+    val live = liveFiles(spark, tablePath)._2.toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    fs.listStatus(dir).flatMap { st =>
+      val n = st.getPath.getName
+      val stale = st.getModificationTime <= cutoff
+      if (st.isFile && !n.startsWith("_") && !n.startsWith(".") && !live(n) && stale) {
+        fs.delete(st.getPath, false); Some(n)
+      } else if (st.isDirectory && n.startsWith("_staging_") && stale) {
+        fs.delete(st.getPath, true); Some(n)
+      } else None
+    }.toSeq
+  }
+}

@@ -35,8 +35,9 @@ final case class Store(root: String) {
   * between the snapshot and the swap would be silently dropped by the
   * rewrite (lost update), so both sides serialize on this lock.
   * Local/HDFS `create(overwrite=false)` is atomic; object stores
-  * without atomic create want a real coordination service (or Delta's
-  * ACID log) behind this same seam. A crash can leave the file behind —
+  * without atomic create want the commit-log layer instead (graft.store
+  * .CommitLog — same seam, log-serialized writers, no lock file at
+  * all). A crash can leave the file behind —
   * the timeout error names it for manual removal (same operational
   * contract as any advisory lock file). */
 object StoreLock {
