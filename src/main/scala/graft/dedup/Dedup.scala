@@ -160,6 +160,54 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-document repeated SUBSTRING detection — the character-level
+    * dedup that document-level identity misses (published ablations
+    * show long verbatim spans shared across otherwise-distinct pages —
+    * boilerplate, licenses, syndicated text — measurably hurt trained
+    * models; the operator a "dedup at the substring level" pass needs).
+    *
+    * Fingerprint windows: every `stride`-aligned character window of
+    * length `window` hashes to md5; two documents sharing ANY window
+    * fingerprint share a ≥`window`-char run up to stride alignment.
+    * Returns (id_a, id_b, n_shared) = distinct shared fingerprints per
+    * pair.
+    *
+    * Scale shape: windows explode scan-side (stride-aligned, so
+    * len/stride rows per doc — bounded amplification, tunable);
+    * everything that shuffles is scalar (doc_id, fp) after a per-doc
+    * distinct. The fingerprint join is hash-partitioned with
+    * nearDupPairs' oversize-bucket guard transplanted: a fingerprint
+    * shared by more than `maxBucketSize` documents is boilerplate (its
+    * pairs are quadratic and its signal is "this is template text",
+    * better handled by a frequency report than a pair list) and is
+    * dropped. */
+  def substringSpanPairs(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 100, stride: Int = 50, maxBucketSize: Int = 64): DataFrame = {
+    require(window >= 1 && stride >= 1, s"window/stride must be positive: $window/$stride")
+    val text = col(textCol)
+    // stride-aligned offsets 0, stride, … while offset + window <= len;
+    // docs shorter than one window have none (the sequence() descending
+    // pitfall wordShingles documents)
+    val nWin = floor((length(text) - window) / stride) + 1
+    val fps = df
+      .select(col(idCol).as("doc_id"), text.as("text"),
+        explode(when(length(text) >= window, sequence(lit(0L), nWin - 1))
+          .otherwise(array().cast("array<bigint>"))).as("i"))
+      .select(col("doc_id"),
+        md5(col("text").substr((col("i") * stride + 1).cast("int"), lit(window))).as("fp"))
+      .distinct()
+    val sized = fps
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("bsz") <= maxBucketSize)
+      .select("doc_id", "fp")
+    sized.as("a")
+      .join(sized.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Distance-1 deletion neighborhood of a string: the string itself
     * plus every one-character-deleted variant, distinct. Two strings
     * with levenshtein ≤ 1 ALWAYS share at least one member (equal →

@@ -362,6 +362,79 @@ object CorpusOps {
         sum(col("cnt") * col("n_pieces")).as("n_pieces"))
   }
 
+  /** The learned tokenizer's VOCABULARY with corpus frequencies: every
+    * piece the merge rules produce, weighted by word frequency — the
+    * table a tokenizer ships (and the coverage diagnostic for choosing
+    * k). Top-`k` pieces by total occurrences, ties on the piece string.
+    *
+    * Scale shape — same trainer split as applyBpePieceCounts: one
+    * corpus pass aggregates word frequencies (partial+final, keyed by
+    * word); the vocabulary-sized word table segments DISTRIBUTEDLY in
+    * a mapPartitions stage with the k-sized merge list broadcast;
+    * pieces explode off it and aggregate keyed by piece; the cut is a
+    * TakeOrdered, never a full vocabulary sort. Nothing is collected.
+    */
+  def bpePieceFrequencies(
+      docs: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)],
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wordFreq = docs
+      .select(explode(graft.text.TextOps.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val mergesB = spark.sparkContext.broadcast(merges)
+    val segmented = wordFreq.as[(String, Long)]
+      .mapPartitions { it =>
+        val m = mergesB.value
+        it.map { case (w, f) => (f, segmentBpe(w, m).toArray) }
+      }.toDF("freq", "pieces")
+    segmented
+      .select(col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("piece"))
+      .limit(k)
+  }
+
+  /** Length-bucketed inference batching: docs bucket by the power-of-2
+    * ceiling of their token count (bucket = bit-length of tok−1, an
+    * INTEGER computation so engines agree exactly — f64 log2 wobbles
+    * at the boundaries), batch within a bucket in id order, `maxBatch`
+    * docs per batch. Returns per-batch occupancy and the padding
+    * efficiency (real tokens / padded slot tokens at the bucket's
+    * padded length 2^bucket) — the report that decides a serving/eval
+    * batcher's bucket boundaries: batching by length is how inference
+    * avoids padding every sequence to the corpus max.
+    *
+    * Scale shape: one hash exchange on the bucket key for the
+    * per-bucket window (bucket count is log-sized); the batch
+    * aggregate reuses that partitioning (bucket ⊂ grouping keys).
+    * Deterministic: same input → same batches, any cluster size. */
+  def packLengthBucketed(
+      df: DataFrame,
+      idCol: String,
+      tokCol: String,
+      maxBatch: Int): DataFrame = {
+    require(maxBatch > 0, s"maxBatch must be positive: $maxBatch")
+    val bucket = length(bin(col(tokCol) - 1)).cast("long").as("bucket")
+    val w = Window.partitionBy("bucket").orderBy(idCol)
+    df.filter(col(tokCol) >= 1)
+      .select(col(idCol), col(tokCol), bucket)
+      .withColumn("batch", floor((row_number().over(w) - 1) / maxBatch).cast("long"))
+      .groupBy("bucket", "batch")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokCol)).as("n_tokens"),
+        max(col(tokCol)).as("max_tokens"),
+        min(col(idCol)).as("first_doc"),
+        round(sum(col(tokCol)) /
+          (count(lit(1)) * pow(lit(2.0), col("bucket").cast("double"))), 6)
+          .as("pad_efficiency"))
+  }
+
   /** Deterministic per-stratum keep predicate: row survives when its
     * md5 bucket (0..99 from the id) is below the stratum's percentage
     * rate. Hash-based rather than random so (a) reruns and retried

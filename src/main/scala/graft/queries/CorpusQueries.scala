@@ -399,6 +399,48 @@ object CorpusQueries {
       CorpusOps.applyBpePieceCounts(d, "doc_id", "text", merges)
     },
 
+    // ── BPE vocabulary with corpus frequencies: the top-50 pieces the
+    // 10 learned merges produce, weighted by word frequency — the
+    // table a tokenizer ships. The oracle reads pieces straight off
+    // the unrolled training chain's final word table; the Spark side
+    // segments the distributed word-frequency table (mapPartitions,
+    // merge list broadcast, TakeOrdered cut — nothing collected). ─────
+    Q(
+      "vocab_bpe_piece_freq",
+      OracleSnippets.bpePieceFreqSql(k = 10, topK = 50)) { (s, dir) =>
+      val d = docs(s, dir)
+      val merges = CorpusOps.learnBpeMerges(d, "text", k = 10)
+        .map { case (a, b, _) => (a, b) }
+      CorpusOps.bpePieceFrequencies(d, "text", merges, k = 50)
+    },
+
+    // ── Length-bucketed inference batching: docs bucket by the
+    // power-of-2 ceiling of their token count (integer bit-length, so
+    // both engines agree exactly at the boundaries), batch in id order
+    // within a bucket, 32 docs per batch; per-batch occupancy and
+    // padding efficiency at the bucket's padded length 2^bucket — the
+    // report that sets a serving/eval batcher's boundaries. ───────────
+    Q(
+      "pack_length_bucketed",
+      """WITH tok AS (SELECT doc_id, len(str_split(text, ' ')) AS tok FROM documents),
+        |b AS (SELECT doc_id, tok, CAST(length(bin(tok - 1)) AS BIGINT) AS bucket
+        |      FROM tok WHERE tok >= 1),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+        |      FROM b),
+        |g AS (SELECT bucket, CAST(floor((rn - 1) / 32.0) AS BIGINT) AS batch, doc_id, tok
+        |      FROM w)
+        |SELECT bucket, batch,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |       CAST(max(tok) AS BIGINT) AS max_tokens,
+        |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |       round(sum(tok) / (count(*) * power(2.0, bucket)), 6) AS pad_efficiency
+        |FROM g GROUP BY bucket, batch""".stripMargin) { (s, dir) =>
+      val tok = docs(s, dir).select(
+        col("doc_id"), TextOps.tokenCount(col("text")).as("tok"))
+      CorpusOps.packLengthBucketed(tok, "doc_id", "tok", maxBatch = 32)
+    },
+
     // ── Mix-to-target rebalancing: derive per-language keep rates FROM
     // the data (largest downsample-only total honoring the target
     // shares — the scarcest weighted stratum binds at rate 100), then

@@ -341,6 +341,43 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_pairs"), avg(col("jaccard")).as("avg_jaccard"))
     },
 
+    // ── Cross-document repeated substrings (character-level dedup):
+    // stride-aligned 100-char window fingerprints, pairs = documents
+    // sharing any fingerprint — catches the long verbatim spans
+    // (boilerplate, licenses, syndicated text) that document-level
+    // near-dup misses because the surrounding text differs. Planted:
+    // mutants embed a 250-char slice of their original behind 50 junk
+    // chars, alignment preserved, so each (orig, mutant) pair must
+    // share the span's interior windows. The md5 fingerprints are
+    // recomputed by DuckDB value-for-value; the oversize-fingerprint
+    // guard (boilerplate cap) is mirrored. ────────────────────────────
+    Q(
+      "dedup_substring_spans",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000, repeat('x', 50) || substring(text, 51, 250)
+        |  FROM documents WHERE doc_id < 30),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, md5(substring(text, CAST(i * 50 + 1 AS INT), 100)) AS fp
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(0, CAST(floor((length(text) - 100) / 50.0) + 1 AS BIGINT))) AS i
+        |        FROM corpus WHERE length(text) >= 100)),
+        |sized AS (
+        |  SELECT doc_id, fp FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY fp) AS bsz FROM fps)
+        |  WHERE bsz <= 64)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(count(*) AS BIGINT) AS n_shared
+        |FROM sized a JOIN sized b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val corpus = d.unionAll(d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(lit("x" * 50), expr("substring(text, 51, 250)")).as("text")))
+      Dedup.substringSpanPairs(corpus, "doc_id", "text", window = 100, stride = 50)
+    },
+
     // ── Entity resolution (fuzzy RECORD dedup — text dedup's structured
     // sibling): customer names plus planted one-char-dropped typo
     // mutants, matched at edit distance ≤ 1. The uniform fixture names

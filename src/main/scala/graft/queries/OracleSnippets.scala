@@ -187,6 +187,16 @@ private[queries] object OracleSnippets {
        |FROM tok JOIN pieces ON pieces.w = tok.token
        |WHERE token <> '' GROUP BY doc_id""".stripMargin
 
+  /** Piece-frequency vocabulary off the training chain: the final word
+    * table's symbols ARE the segmentation, so piece totals are one
+    * unnest + weighted sum — the vocab_bpe_piece_freq oracle. */
+  def bpePieceFreqSql(k: Int, topK: Int): String =
+    s"""WITH ${bpeTrainingCtes(k)},
+       |pf AS (SELECT unnest(syms) AS piece, freq FROM s$k)
+       |SELECT piece, CAST(sum(freq) AS BIGINT) AS n_occurrences
+       |FROM pf GROUP BY piece
+       |ORDER BY n_occurrences DESC, piece LIMIT $topK""".stripMargin
+
   /** DuckDB mirror of Dedup.nearDupPairs over a corpus CTE named
     * `corpus(doc_id, text)`: bigram shingles → 12-hash signature →
     * 4×3 bands with the 64-bucket skew cap → verified Jaccard pairs.

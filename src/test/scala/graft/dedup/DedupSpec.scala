@@ -91,6 +91,41 @@ class DedupSpec extends SparkSpec {
     assert(wellPartitioned.collect().toSet == narrow.collect().toSet)
   }
 
+  test("substringSpanPairs: aligned shared spans are found; short docs and boilerplate are not") {
+    import spark.implicits._
+    // doc 1: 300 distinct chars; doc 2 embeds doc 1's chars 101..300
+    // at the SAME stride alignment behind 100 junk chars — the two
+    // share exactly the windows fully inside the common span: offsets
+    // 100 and 150 of a 200-char span with window=100, stride=50 → 3
+    // aligned windows ([100,200) [150,250) [200,300))
+    val base = (0 until 300).map(i => ('a' + i % 26).toChar).mkString
+    val shared = base.substring(100)
+    val recs = Seq(
+      (1L, base),
+      (2L, "!" * 100 + shared),
+      (3L, "too short"),                  // < window → zero fingerprints
+      (4L, base.reverse)                  // same chars, different content
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.substringSpanPairs(recs, "doc_id", "text", window = 100, stride = 50)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 3L)), s"got $pairs")
+  }
+
+  test("substringSpanPairs: the boilerplate guard drops fingerprints shared corpus-wide") {
+    import spark.implicits._
+    val boiler = "b" * 100
+    // 80 docs all carrying the identical text: every fingerprint is in
+    // an 80-doc bucket (> 64) → dropped, zero pairs; plus one rare
+    // 2-doc span that must survive
+    val rare = (0 until 100).map(i => ('a' + i % 26).toChar).mkString
+    val recs = ((1L to 80L).map(i => (i, boiler)) ++ Seq((100L, rare), (101L, rare)))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.substringSpanPairs(recs, "doc_id", "text", window = 100, stride = 50)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 101L, 1L)),
+      s"boilerplate leaked or the rare pair was lost: ${pairs.take(5)}")
+  }
+
   test("editBlockedPairs: deletion-neighborhood blocking finds exactly the dist ≤ 1 pairs") {
     import spark.implicits._
     val recs = Seq(

@@ -253,6 +253,43 @@ class CorpusOpsSpec extends SparkSpec {
       s"fixture no longer exercises the floor: $unfloored")
   }
 
+  test("bpePieceFrequencies: hand-computed vocabulary totals, rank and tie order") {
+    val docsDf = Seq(
+      (1L, Array.fill(10)("hug").mkString(" ")),
+      (2L, Array.fill(5)("pug").mkString(" ")),
+      (3L, Array.fill(5)("hugs").mkString(" "))
+    ).toDF("doc_id", "text")
+    val merges = CorpusOps.learnBpeMerges(docsDf, "text", k = 3)
+      .map { case (a, b, _) => (a, b) }
+    // segmentations: hug→[hug]×10, pug→[p,ug]×5, hugs→[hugs]×5
+    val out = CorpusOps.bpePieceFrequencies(docsDf, "text", merges, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("hug", 10L), ("hugs", 5L), ("p", 5L), ("ug", 5L)),
+      s"got $out")
+    // the cut is a real top-k, ties broken on the piece string
+    assert(CorpusOps.bpePieceFrequencies(docsDf, "text", merges, k = 2)
+      .as[(String, Long)].collect().toSeq == Seq(("hug", 10L), ("hugs", 5L)))
+  }
+
+  test("packLengthBucketed: power-of-2 buckets, id-ordered batches, exact pad efficiency") {
+    val docsDf = Seq(
+      // (doc_id, tok): buckets — 1,2→b1(pad 2); 3,4→b2(pad 4); 5→b3(pad 8)
+      (1L, 2L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 5L), (6L, 2L)
+    ).toDF("doc_id", "tok")
+    val out = CorpusOps.packLengthBucketed(docsDf, "doc_id", "tok", maxBatch = 2)
+      .select("bucket", "batch", "n_docs", "n_tokens", "max_tokens", "first_doc", "pad_efficiency")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      // bucket 1 (pad 2): docs 1,2 then 6 — batches of ≤2 in id order
+      (1L, 0L, 2L, 3L, 2L, 1L, 0.75),    // 3 real / 4 padded
+      (1L, 1L, 1L, 2L, 2L, 6L, 1.0),
+      // bucket 2 (pad 4): docs 3,4
+      (2L, 0L, 2L, 7L, 4L, 3L, 0.875),   // 7 / 8
+      // bucket 3 (pad 8): doc 5
+      (3L, 0L, 1L, 5L, 5L, 5L, 0.625)),  // 5 / 8
+      s"got $out")
+  }
+
   test("learnBpeMerges stops early when no pairs remain") {
     val docsDf = Seq((1L, "a b a")).toDF("doc_id", "text")
     // single-char words have no adjacent pairs at all
