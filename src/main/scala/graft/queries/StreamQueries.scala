@@ -40,6 +40,32 @@ object StreamQueries {
       StreamingJobs.dedupedEventCounts(s, dir)
     },
 
+    // ── Native session windows: gap-based per-user sessions merged as
+    // events arrive (session_window + watermark), drained and checked
+    // against DuckDB's islands recomputation OF THE SAME semantics —
+    // diff >= gap splits (session_window's non-overlap rule; the batch
+    // events_sessionize islands use strict >), end = last + gap. ──────
+    Q(
+      "stream_session_window",
+      """WITH d AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM d)
+        |SELECT user_id,
+        |  min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 4) AS total_value
+        |FROM s GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      StreamingJobs.sessionWindowTotals(s, dir)
+        .withColumn("total_value", round(col("total_value"), 4))
+    },
+
     // ── Streaming curation: quality kernel + filter per micro-batch ────
     Q(
       "stream_quality_filter",

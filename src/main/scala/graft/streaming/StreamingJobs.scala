@@ -92,6 +92,26 @@ object StreamingJobs {
     runToMemory(agg, "stream_window_agg_sink", OutputMode.Complete())
   }
 
+  /** Event-time SESSION windows per user — Spark's native gap-based
+    * session_window aggregation (windows merge as events arrive; a
+    * session closes when no event lands within the gap). The streaming
+    * form of the batch gaps-and-islands sessionization, with one
+    * boundary difference the oracle mirrors exactly: session_window
+    * treats an event at preciselystart+gap as NON-overlapping (diff >=
+    * gap starts a new session, where the islands form splits only on
+    * diff > gap), and a session's end is last event + gap. Complete
+    * mode so every merged session is in the drained result. */
+  def sessionWindowTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = tableStream(spark, sfDir, "events", maxFilesPerTrigger = 2)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("user_id"),
+        col("sw.start").as("session_start"), col("sw.end").as("session_end"),
+        col("n_events"), col("total_value"))
+    runToMemory(agg, "stream_session_window_sink", OutputMode.Complete())
+  }
+
   /** Streaming exact dedup within the watermark: the stream is unioned
     * with itself (every event arrives twice) and
     * dropDuplicatesWithinWatermark must emit each exactly once. The

@@ -254,6 +254,26 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("substring-span dedup: text never crosses an exchange; the fp join is size-guarded") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("dedup_substring_spans")(spark, sf("sf0.001"))
+      val plan = df.queryExecution.executedPlan
+      // window fingerprints are computed scan-side: every exchange
+      // carries (doc_id, fp[, bsz]) scalars, never document text
+      val shuffles = plan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      val offenders = shuffles.filter(_.output.exists(a =>
+        a.name == "text" || a.dataType.catalogString.contains("array<")))
+      assert(offenders.isEmpty,
+        s"document text crossed an exchange:\n${offenders.mkString("\n")}")
+      assert(plan.toString.matches("(?s).*Filter.*bsz.*<= 64.*"),
+        s"boilerplate-fingerprint guard missing from the plan:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("partitioned layout: the lang filter prunes at the directory level") {
     val df = SparkEntry.queries("format_partitioned_roundtrip")(spark, sf("sf0.001"))
     df.collect() // finalize the adaptive plan
