@@ -435,6 +435,40 @@ object CorpusOps {
           .as("pad_efficiency"))
   }
 
+  /** Snapshot diff — the provenance operator that pairs with the
+    * corpus manifest: given two versions of a corpus, report per
+    * stratum how many documents were added, removed, changed
+    * (same id, different content digest) and unchanged. This is the
+    * record a data-card release publishes next to its manifest, and
+    * the guardrail a retrain-decision reads ("2% of source X changed
+    * since the last build").
+    *
+    * Scale shape: each side reduces to scalar (id, stratum, digest)
+    * AT THE SCAN — document text never crosses an exchange; the
+    * full-outer join is keyed by id, and the per-stratum rollup is an
+    * aggregate over four 0/1 flags. */
+  def snapshotDiff(
+      before: DataFrame,
+      after: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      strataCol: String): DataFrame = {
+    def keyed(df: DataFrame, side: String) = df.select(
+      col(idCol).as(s"id_$side"), col(strataCol).as(s"src_$side"),
+      Hashing.rowDigest(col(idCol), col(payloadCol)).as(s"h_$side"))
+    keyed(before, "a")
+      .join(keyed(after, "b"), col("id_a") === col("id_b"), "full_outer")
+      .select(coalesce(col("src_a"), col("src_b")).as("source"),
+        when(col("id_a").isNull, 1L).otherwise(0L).as("added"),
+        when(col("id_b").isNull, 1L).otherwise(0L).as("removed"),
+        when(col("id_a").isNotNull && col("id_b").isNotNull &&
+          col("h_a") =!= col("h_b"), 1L).otherwise(0L).as("changed"),
+        when(col("h_a") === col("h_b"), 1L).otherwise(0L).as("unchanged"))
+      .groupBy("source")
+      .agg(sum("added").as("n_added"), sum("removed").as("n_removed"),
+        sum("changed").as("n_changed"), sum("unchanged").as("n_unchanged"))
+  }
+
   /** Deterministic per-stratum keep predicate: row survives when its
     * md5 bucket (0..99 from the id) is below the stratum's percentage
     * rate. Hash-based rather than random so (a) reruns and retried

@@ -366,6 +366,44 @@ object CorpusQueries {
             .cast("long").as("content_digest_sum"))
     },
 
+    // ── Snapshot diff (provenance): documents vs a planted second
+    // version — some docs removed (id % 97 = 0), some edited
+    // (id % 101 = 0), some added (+700000) — reported per source as
+    // added/removed/changed/unchanged counts via content digests.
+    // Text reduces to a scalar digest at the scan; the diff is an
+    // id-keyed full-outer join. ───────────────────────────────────────
+    Q(
+      "corpus_snapshot_diff",
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN doc_id % 101 = 0 THEN text || ' edited' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 97 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 700000, source, 'new doc ' || text
+         |  FROM documents WHERE doc_id < 15),
+         |ka AS (SELECT doc_id, source,
+         |         ${OracleSnippets.rowDigestSql("doc_id", "text")} AS h FROM documents),
+         |kb AS (SELECT doc_id, source,
+         |         ${OracleSnippets.rowDigestSql("doc_id", "text")} AS h FROM b)
+         |SELECT coalesce(ka.source, kb.source) AS source,
+         |  CAST(count(CASE WHEN ka.doc_id IS NULL THEN 1 END) AS BIGINT) AS n_added,
+         |  CAST(count(CASE WHEN kb.doc_id IS NULL THEN 1 END) AS BIGINT) AS n_removed,
+         |  CAST(count(CASE WHEN ka.doc_id IS NOT NULL AND kb.doc_id IS NOT NULL
+         |                   AND ka.h <> kb.h THEN 1 END) AS BIGINT) AS n_changed,
+         |  CAST(count(CASE WHEN ka.h = kb.h THEN 1 END) AS BIGINT) AS n_unchanged
+         |FROM ka FULL OUTER JOIN kb ON kb.doc_id = ka.doc_id
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val a = docs(s, dir).select("doc_id", "source", "text")
+      val b = a.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 101 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(a.filter(col("doc_id") < 15)
+          .select((col("doc_id") + 700000).as("doc_id"), col("source"),
+            concat(lit("new doc "), col("text")).as("text")))
+      CorpusOps.snapshotDiff(a, b, "doc_id", "text", "source")
+    },
+
     // ── BPE merge learning (the tokenizer TRAINER; text_token_counts
     // applies a regex proxy): first 10 merge rules from the corpus.
     // The merge loop is iterative but k is FIXED, so the oracle UNROLLS

@@ -296,6 +296,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(CorpusOps.learnBpeMerges(docsDf, "text", k = 5).isEmpty)
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged accounting per stratum") {
+    val before = Seq(
+      (1L, "s1", "a"), (2L, "s1", "b"), (3L, "s2", "c"), (4L, "s2", "d")
+    ).toDF("doc_id", "source", "text")
+    val after = Seq(
+      (2L, "s1", "b-edited"), (3L, "s2", "c"), (4L, "s2", "d"), (5L, "s1", "e")
+    ).toDF("doc_id", "source", "text")
+    val out = CorpusOps.snapshotDiff(before, after, "doc_id", "text", "source")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("s1") == ((1L, 1L, 1L, 0L)), s"s1: ${out("s1")}") // +5, -1, ~2
+    assert(out("s2") == ((0L, 0L, 0L, 2L)), s"s2: ${out("s2")}")
+  }
+
   test("bigramLmScore: hand-computed add-one bigram log-probs; short docs absent") {
     val docsDf = Seq(
       (1L, "a b a"), // bigrams (a,b) (b,a)
