@@ -53,8 +53,17 @@ object Cli {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) 0L
-    else
-      fs.listStatus(p)
+    else {
+      val entries = fs.listStatus(p)
+      // engine store tables are flat parquet dirs; a nested (hive-
+      // partitioned) layout would be invisible to this census and read
+      // as UNDERCOUNTED — refuse loudly, exactly like Store.compact's
+      // file census (`_`/`.`-prefixed dirs exempt: in-flight appends
+      // keep a live _temporary here)
+      require(!entries.exists(st => st.isDirectory &&
+          !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")),
+        s"stats does not support nested/partitioned layouts: $path")
+      entries
         .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
           !st.getPath.getName.startsWith("."))
         .map { st =>
@@ -62,6 +71,7 @@ object Cli {
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           try r.getRecordCount finally r.close()
         }.sum
+    }
   }
 
   def run(spark: SparkSession, args: Array[String]): String = args.toList match {

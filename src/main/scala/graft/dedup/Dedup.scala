@@ -240,8 +240,11 @@ object Dedup {
     * `maxBlockSize` is nearDupPairs' skew guard transplanted: a key
     * shared by more than `maxBlockSize` records is non-discriminative
     * boilerplate (empty names, template values) contributing O(block²)
-    * pairs in one task — dropped; true dist ≤ 1 pairs still collide on
-    * their other, rarer keys (DedupSpec pins the guard bites). */
+    * pairs in one task — dropped. A pair whose OTHER shared keys are
+    * rarer still survives; records whose every key is over-cap (near-
+    * identical template names at scale) lose their pairs by design —
+    * the same precision-for-boundedness trade the guard makes in the
+    * LSH path (DedupSpec pins both the drop and the survival). */
   def editBlockedPairs(records: DataFrame, idCol: String, nameCol: String,
       blockCol: String, maxBlockSize: Int = 64): DataFrame = {
     // two projections: deriving bk in the same select that aliases

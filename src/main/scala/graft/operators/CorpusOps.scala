@@ -402,8 +402,9 @@ object CorpusOps {
   /** Length-bucketed inference batching: docs bucket by the power-of-2
     * ceiling of their token count (bucket = bit-length of tok−1, an
     * INTEGER computation so engines agree exactly — f64 log2 wobbles
-    * at the boundaries), batch within a bucket in id order, `maxBatch`
-    * docs per batch. Returns per-batch occupancy and the padding
+    * at the boundaries; tok = 1 is bucket 0 explicitly, since the
+    * bit-length of 0 renders as 1 in both engines' bin()), batch
+    * within a bucket in id order, `maxBatch` docs per batch. Returns per-batch occupancy and the padding
     * efficiency (real tokens / padded slot tokens at the bucket's
     * padded length 2^bucket) — the report that decides a serving/eval
     * batcher's bucket boundaries: batching by length is how inference
@@ -419,7 +420,8 @@ object CorpusOps {
       tokCol: String,
       maxBatch: Int): DataFrame = {
     require(maxBatch > 0, s"maxBatch must be positive: $maxBatch")
-    val bucket = length(bin(col(tokCol) - 1)).cast("long").as("bucket")
+    val bucket = when(col(tokCol) === 1, 0L)
+      .otherwise(length(bin(col(tokCol) - 1)).cast("long")).as("bucket")
     val w = Window.partitionBy("bucket").orderBy(idCol)
     df.filter(col(tokCol) >= 1)
       .select(col(idCol), col(tokCol), bucket)

@@ -461,7 +461,9 @@ object CorpusQueries {
     Q(
       "pack_length_bucketed",
       """WITH tok AS (SELECT doc_id, len(str_split(text, ' ')) AS tok FROM documents),
-        |b AS (SELECT doc_id, tok, CAST(length(bin(tok - 1)) AS BIGINT) AS bucket
+        |b AS (SELECT doc_id, tok,
+        |        CASE WHEN tok = 1 THEN 0
+        |             ELSE CAST(length(bin(tok - 1)) AS BIGINT) END AS bucket
         |      FROM tok WHERE tok >= 1),
         |w AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
         |      FROM b),

@@ -388,10 +388,13 @@ object DedupQueries {
     // key): the round-5 nation-only block was constant-cardinality (25
     // values — O((N/25)²) pairwise work forever), while the symmetric-
     // delete keys are name-derived so block-key cardinality GROWS with
-    // the data, recall stays 1.0 for dist ≤ 1 by construction, and the
-    // LSH-style oversize guard caps any degenerate block. The pair SET
-    // is identical to the unblocked round-5 semantics (within-nation
-    // dist ≤ 1) — the blocking is exact, not approximate. ─────────────
+    // the data, and recall is 1.0 for dist ≤ 1 by construction — UP TO
+    // the LSH-style oversize guard: records whose every shared key
+    // sits in an over-cap block (>64 records with near-identical
+    // names, i.e. template values) lose their pairs by design, the
+    // same precision-for-boundedness trade the guard makes everywhere
+    // else. On this fixture no block nears the cap, so the pair set
+    // equals the unblocked round-5 semantics (within-nation dist ≤ 1). ─
     Q(
       "dedup_entity_fuzzy",
       """WITH off AS (SELECT max(c_custkey) + 1 AS off FROM customer),

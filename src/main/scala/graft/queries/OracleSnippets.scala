@@ -156,8 +156,14 @@ private[queries] object OracleSnippets {
            |             j -> {'a': syms[j], 'b': syms[j+1]})) AS pr, freq
            |    FROM s${i - 1})
            |  GROUP BY pr.a, pr.b ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin,
-        s"""s$i AS (SELECT w, freq, ${mergePassSql(s"p$i")} AS syms
-           |  FROM s${i - 1} CROSS JOIN p$i)""".stripMargin)
+        // LEFT JOIN ON TRUE, not CROSS JOIN: when the corpus runs out
+        // of pairs before iteration k the p_i CTE is EMPTY, and a
+        // cross join would empty s_i (and every later word table) —
+        // the Scala trainer stops early and keeps its word table, so
+        // the oracle must too (NULL rule → identity pass)
+        s"""s$i AS (SELECT w, freq,
+           |  CASE WHEN p$i.a IS NULL THEN syms ELSE ${mergePassSql(s"p$i")} END AS syms
+           |  FROM s${i - 1} LEFT JOIN p$i ON TRUE)""".stripMargin)
     }
     (head ++ iters).mkString(",\n")
   }

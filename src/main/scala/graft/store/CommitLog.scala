@@ -76,11 +76,34 @@ object CommitLog {
     (commits.lastOption.map(_._1).getOrElse(0L), live.toSeq)
   }
 
+  /** Latest committed version from the log LISTING alone — one
+    * directory list, no commit-content reads. The version race loop
+    * polls this; the full replay is reserved for readers and for
+    * remove-validation (a micro-batch table accumulates thousands of
+    * commits, and O(V) content reads per append would make the commit
+    * path O(V²) over the table's lifetime). */
+  private def latestVersion(fs: org.apache.hadoop.fs.FileSystem,
+      log: org.apache.hadoop.fs.Path): Long =
+    if (!fs.exists(log)) 0L
+    else fs.listStatus(log).foldLeft(0L) { (mx, st) =>
+      st.getPath.getName match {
+        case CommitRe(v) => math.max(mx, v.toLong)
+        case _ => mx
+      }
+    }
+
   /** Publish a commit adding/removing the given data-file names.
-    * Optimistic: races for the next version number; on losing, re-reads
-    * and retries (appends and disjoint rewrites never conflict
-    * semantically, so retrying is always safe). Returns the version
-    * won. */
+    * Optimistic: races for the next version number; on losing,
+    * re-lists and retries. Appends (no removes) never conflict
+    * semantically. A commit WITH removes is a rewrite, and blind
+    * retry would be a data-duplication hazard: two concurrent
+    * compactors reading the same live set would each add their own
+    * rewrite while removing the same inputs — the second to land
+    * doubles the table. So before every attempt a removing commit
+    * re-validates its removes against the CURRENT live set and
+    * FAILS LOUDLY on conflict (the Delta-style conflict check; the
+    * loser's rewrite files stay invisible and vacuum reclaims them).
+    * Returns the version won. */
   def commit(spark: SparkSession, tablePath: String,
       adds: Seq[String], removes: Seq[String] = Seq.empty): Long = {
     require(adds.nonEmpty || removes.nonEmpty, "empty commit")
@@ -90,7 +113,16 @@ object CommitLog {
     val content = (adds.map("+" + _) ++ removes.map("-" + _)).mkString("\n")
     var attempts = 0
     while (attempts < 10000) {
-      val next = liveFiles(spark, tablePath)._1 + 1
+      if (removes.nonEmpty) {
+        val live = liveFiles(spark, tablePath)._2.toSet
+        val gone = removes.filterNot(live)
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"rewrite conflict on $tablePath: inputs already removed by a " +
+              s"concurrent commit (${gone.take(3).mkString(", ")}…) — " +
+              "re-read the live set and rerun the rewrite")
+      }
+      val next = latestVersion(fs, log) + 1
       val dst = new org.apache.hadoop.fs.Path(log, f"$next%020d.commit")
       val tmp = new org.apache.hadoop.fs.Path(log,
         s"_tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
@@ -116,6 +148,25 @@ object CommitLog {
       s"could not win a commit version for $tablePath after $attempts attempts")
   }
 
+  /** Land a staged parquet write's part files in the table directory
+    * under writer-unique names (still uncommitted — invisible until
+    * the caller's commit references them). The ONE landing protocol
+    * both append and compact use; vacuum keys on the name scheme. */
+  private def landStaged(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, staging: org.apache.hadoop.fs.Path,
+      writerId: String): Seq[String] = {
+    val parts = fs.listStatus(staging).filter(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    val names = parts.map { st =>
+      val n = s"$writerId-${st.getPath.getName}"
+      if (!fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dir, n)))
+        throw new IllegalStateException(s"could not land data file $n in $dir")
+      n
+    }.toSeq
+    fs.delete(staging, true)
+    names
+  }
+
   /** Logged append: land the frame's part files under writer-unique
     * names, then publish them in one commit. Readers see all rows or
     * none. Safe under arbitrary concurrent writers — no lock. */
@@ -126,15 +177,7 @@ object CommitLog {
     val writerId = s"w${ProcessHandle.current().pid()}_${System.nanoTime()}"
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
     df.write.parquet(staging.toString)
-    val parts = fs.listStatus(staging).filter(st => st.isFile &&
-      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
-    val names = parts.map { st =>
-      val n = s"$writerId-${st.getPath.getName}"
-      if (!fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dir, n)))
-        throw new IllegalStateException(s"could not land data file $n in $tablePath")
-      n
-    }.toSeq
-    fs.delete(staging, true)
+    val names = landStaged(fs, dir, staging, writerId)
     commit(spark, tablePath, adds = names)
   }
 
@@ -164,15 +207,9 @@ object CommitLog {
     val writerId = s"c${ProcessHandle.current().pid()}_${System.nanoTime()}"
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
     spark.read.parquet(paths: _*).repartition(nOut).write.parquet(staging.toString)
-    val parts = fs.listStatus(staging).filter(st => st.isFile &&
-      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
-    val names = parts.map { st =>
-      val n = s"$writerId-${st.getPath.getName}"
-      if (!fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dir, n)))
-        throw new IllegalStateException(s"could not land compacted file $n in $tablePath")
-      n
-    }.toSeq
-    fs.delete(staging, true)
+    val names = landStaged(fs, dir, staging, writerId)
+    // commit() validates `files` against the live set and throws on a
+    // concurrent rewrite — never a silent table doubling
     commit(spark, tablePath, adds = names, removes = files)
   }
 

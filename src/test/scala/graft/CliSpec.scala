@@ -40,8 +40,12 @@ class CliSpec extends SparkSpec {
     try {
       assert(Cli.run(spark, Array("stats", root))
         == """{"cmd":"stats","resource_index":4,"task_queue":0,"task_done":8,"dlq":0}""")
-      Thread.sleep(2000) // job-start events enqueue synchronously; let the bus drain
-      assert(jobs.get() == 0, s"stats ran ${jobs.get()} Spark job(s) — no longer metadata-only")
+      // sentinel drain: the bus is FIFO, so once this single-job
+      // action's start event arrives, any job stats ran is counted
+      spark.sparkContext.parallelize(Seq(1)).count()
+      val deadline = System.currentTimeMillis() + 30000
+      while (jobs.get() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(jobs.get() == 1, s"stats ran ${jobs.get() - 1} Spark job(s) — no longer metadata-only")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 

@@ -223,11 +223,15 @@ class CorpusOpsSpec extends SparkSpec {
     try {
       val out = CorpusOps.applyBpePieceCounts(docsDf, "doc_id", "text",
         Seq(("u", "g"), ("h", "ug")))
-      // a collect inside the builder runs its job synchronously, so its
-      // start event is already enqueued by now; give the bus a moment
-      Thread.sleep(2000)
-      assert(jobs.get() == 0,
-        s"building the apply frame ran ${jobs.get()} job(s) — a driver-side collect is back")
+      // sentinel drain: run a known single-job action AFTER the build —
+      // the listener bus is FIFO, so once the sentinel's start event
+      // arrives, any job the builder ran would already be counted (a
+      // fixed sleep is both slower and racier)
+      spark.sparkContext.parallelize(Seq(1)).count()
+      val deadline = System.currentTimeMillis() + 30000
+      while (jobs.get() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(jobs.get() == 1,
+        s"building the apply frame ran ${jobs.get() - 1} job(s) — a driver-side collect is back")
       val plan = out.queryExecution.executedPlan.toString
       // the distributed segmentation is in the plan, not the driver: a
       // collected vocabulary would surface as a LocalTableScan leaf
@@ -273,16 +277,18 @@ class CorpusOpsSpec extends SparkSpec {
 
   test("packLengthBucketed: power-of-2 buckets, id-ordered batches, exact pad efficiency") {
     val docsDf = Seq(
-      // (doc_id, tok): buckets — 1,2→b1(pad 2); 3,4→b2(pad 4); 5→b3(pad 8)
+      // (doc_id, tok): buckets — 1→b0(pad 1); 2→b1(pad 2); 3,4→b2(pad 4); 5→b3(pad 8)
       (1L, 2L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 5L), (6L, 2L)
     ).toDF("doc_id", "tok")
     val out = CorpusOps.packLengthBucketed(docsDf, "doc_id", "tok", maxBatch = 2)
       .select("bucket", "batch", "n_docs", "n_tokens", "max_tokens", "first_doc", "pad_efficiency")
       .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSet
     assert(out == Set(
-      // bucket 1 (pad 2): docs 1,2 then 6 — batches of ≤2 in id order
-      (1L, 0L, 2L, 3L, 2L, 1L, 0.75),    // 3 real / 4 padded
-      (1L, 1L, 1L, 2L, 2L, 6L, 1.0),
+      // bucket 0 (pad 1): the single-token doc — padding-free, NOT
+      // merged into the 2-token bucket (the bin(0)='0' edge)
+      (0L, 0L, 1L, 1L, 1L, 2L, 1.0),
+      // bucket 1 (pad 2): docs 1,6
+      (1L, 0L, 2L, 4L, 2L, 1L, 1.0),
       // bucket 2 (pad 4): docs 3,4
       (2L, 0L, 2L, 7L, 4L, 3L, 0.875),   // 7 / 8
       // bucket 3 (pad 8): doc 5

@@ -73,6 +73,22 @@ class LoggedStoreSpec extends SparkSpec {
     assert(CommitLog.read(spark, t, schema).count() == 50)
   }
 
+  test("two rewrites of the same live set: the second fails loudly, never doubles the table") {
+    val t = freshTable()
+    CommitLog.append(spark.range(0, 100).toDF("id"), t)
+    val (_, oldFiles) = CommitLog.liveFiles(spark, t)
+    // both "compactors" read the same live set; the first rewrite wins
+    CommitLog.compact(spark, t, targetBytes = 1L << 30)
+    // the second tries to commit a rewrite whose inputs are gone — a
+    // blind retry here would ADD its rewrite on top of the winner's,
+    // doubling every row
+    intercept[java.util.ConcurrentModificationException] {
+      CommitLog.commit(spark, t, adds = Seq("stale-rewrite.parquet"), removes = oldFiles)
+    }
+    assert(CommitLog.read(spark, t, schema).count() == 100,
+      "the conflicting rewrite changed the table")
+  }
+
   test("an append committing in the middle of a compaction is never lost") {
     val t = freshTable()
     (0 until 3).foreach(i =>
