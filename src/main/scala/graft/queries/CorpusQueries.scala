@@ -347,12 +347,7 @@ object CorpusQueries {
     // case). ──────────────────────────────────────────────────────────
     Q(
       "corpus_manifest",
-      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
-         |  CAST(bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS BIGINT) AS content_digest,
-         |  CAST(sum(${OracleSnippets.rowDigestSql("doc_id", "text")}) % 1152921504606846976 AS BIGINT)
-         |    AS content_digest_sum
-         |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
+      OracleSnippets.manifestSql) { (s, dir) =>
       docs(s, dir)
         .select(col("source"),
           TextOps.tokenCount(col("text")).as("tok"),

@@ -193,6 +193,17 @@ private[queries] object OracleSnippets {
        |FROM tok JOIN pieces ON pieces.w = tok.token
        |WHERE token <> '' GROUP BY doc_id""".stripMargin
 
+  /** The corpus-manifest oracle — shared by the batch query
+    * (corpus_manifest) and its incrementally-maintained streaming twin
+    * (stream_manifest), so the two semantics cannot drift. */
+  lazy val manifestSql: String =
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
+       |  CAST(bit_xor(${rowDigestSql("doc_id", "text")}) AS BIGINT) AS content_digest,
+       |  CAST(sum(${rowDigestSql("doc_id", "text")}) % 1152921504606846976 AS BIGINT)
+       |    AS content_digest_sum
+       |FROM documents GROUP BY source""".stripMargin
+
   /** Piece-frequency vocabulary off the training chain: the final word
     * table's symbols ARE the segmentation, so piece totals are one
     * unnest + weighted sum — the vocab_bpe_piece_freq oracle. */

@@ -66,6 +66,18 @@ object StreamQueries {
         .withColumn("total_value", round(col("total_value"), 4))
     },
 
+    // ── Incrementally-maintained manifest: counts, token totals, and
+    // both content digests as running streaming state — drained result
+    // bit-identical to the batch corpus_manifest (SHARED oracle SQL).
+    // Possible because the digest pair is commutative+mergeable by
+    // design (xor and an exact decimal sum); an ordered hash chain
+    // could not be maintained incrementally. ──────────────────────────
+    Q(
+      "stream_manifest",
+      OracleSnippets.manifestSql) { (s, dir) =>
+      StreamingJobs.streamingManifest(s, dir)
+    },
+
     // ── Streaming curation: quality kernel + filter per micro-batch ────
     Q(
       "stream_quality_filter",

@@ -157,6 +157,28 @@ object StreamingJobs {
       .agg(count(lit(1)).as("n_kept"), avg(col("quality")).as("avg_quality"))
   }
 
+  /** Incrementally-maintained corpus manifest: the per-source counts,
+    * token totals, and BOTH content digests as a streaming aggregation
+    * — possible precisely because the manifest's combines are all
+    * commutative+mergeable (count, sum, bit_xor, and the sum-mod-2^60
+    * digest taken after an overflow-free decimal sum), which is why
+    * rowDigest was designed as an xor/sum pair rather than an ordered
+    * hash chain. Each micro-batch folds its rows into running state;
+    * the drained result must be bit-identical to the batch manifest
+    * (shared oracle SQL — they cannot drift). */
+  def streamingManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = tableStream(spark, sfDir, "documents", maxFilesPerTrigger = 2)
+      .select(col("source"),
+        graft.text.TextOps.tokenCount(col("text")).as("tok"),
+        graft.core.Hashing.rowDigest(col("doc_id"), col("text")).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("total_tokens"),
+        expr("bit_xor(h)").as("content_digest"),
+        (sum(col("h").cast("decimal(38,0)")) % lit(BigDecimal(1152921504606846976L)))
+          .cast("long").as("content_digest_sum"))
+    runToMemory(agg, "stream_manifest_sink", OutputMode.Complete())
+  }
+
   /** Incremental MinHash-LSH near-dup detection: each micro-batch's
     * documents are banded by the per-row kernel, candidates are the
     * batch's band collisions against an AT-REST band index (plus
