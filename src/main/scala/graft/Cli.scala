@@ -30,7 +30,8 @@ object Cli {
       |                                                     streaming worker; --continuous = 30 s trigger
       |  stats [storeDir]                                   index/queue/done/dlq counts (A1/A4)
       |  compact <table> [storeDir] [targetMB] [clusterCol] rewrite a store table into evenly-sized files
-      |                                                     (clusterCol → range-clustered, file-skippable)
+      |                                                     (clusterCol → range-clustered, file-skippable;
+      |                                                      "a,b" → two-column z-order)
       |  query <name> <sfDir>                               run a declared query, print row count
       |  list-queries                                       all declared query names""".stripMargin
 

@@ -242,6 +242,38 @@ object Staging {
   }
 }
 
+/** Z-order (Morton) clustering for two-column compaction layouts.
+  * Single-column range clustering gives disjoint per-file ranges on ONE
+  * column; scans filtering the other column still read every file. The
+  * z-value interleaves the bit patterns of both columns' normalized
+  * bucket indices, so sorting by it co-locates rows that are close in
+  * BOTH dimensions — each output file covers a rectangle of the value
+  * space and parquet min/max footers prune scans on EITHER column (the
+  * standard lakehouse multi-dimension layout; at 100 TB, data layout is
+  * the cheapest index there is).
+  *
+  * Buckets are min/max-normalized `bits`-bit indices (one tiny agg job
+  * over the snapshot — negligible next to the rewrite it feeds); the
+  * interleave is plain integer arithmetic inside codegen. */
+object ZOrder {
+  def zValue(df: DataFrame, c1: String, c2: String, bits: Int = 8): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val r = df.agg(
+      min(col(c1).cast("double")), max(col(c1).cast("double")),
+      min(col(c2).cast("double")), max(col(c2).cast("double"))).head()
+    def bucket(c: String, mn: Double, mx: Double): org.apache.spark.sql.Column =
+      if (!(mx > mn)) lit(0L)
+      else least(lit((1L << bits) - 1),
+        floor((col(c).cast("double") - mn) / (mx - mn) * (1L << bits)).cast("long"))
+    val a = bucket(c1, r.getDouble(0), r.getDouble(1))
+    val b = bucket(c2, r.getDouble(2), r.getDouble(3))
+    (0 until bits).map { i =>
+      shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+}
+
 object Store {
 
   /** Read a parquet table, or an empty frame with the given schema when
@@ -302,9 +334,11 @@ object Store {
     * `clusterBy` additionally range-partitions and sorts the rewrite on
     * a column, so each output file covers a DISJOINT value range and
     * parquet min/max footer stats let later scans skip whole files —
-    * compaction doubling as the table's clustered index (the
-    * single-dimension form of Z-ordering; at 100 TB, data layout is the
-    * cheapest index there is). Returns (files, bytes) before and after.
+    * compaction doubling as the table's clustered index. A two-column
+    * spec ("a,b") upgrades this to true Z-ORDER (see ZOrder): each file
+    * covers a rectangle of the two-dimensional value space, so scans
+    * filtering on EITHER column skip files. At 100 TB, data layout is
+    * the cheapest index there is. Returns (files, bytes) before/after.
     */
   def compact(spark: SparkSession, store: Store, table: String,
       targetBytes: Long = 128L * 1024 * 1024,
@@ -352,6 +386,18 @@ object Store {
         val tmp = path + s"__compact_w${ProcessHandle.current().pid()}_${System.nanoTime()}"
         val df = spark.read.parquet(snapshot.map(_.getPath.toString): _*)
         val laid = clusterBy match {
+          // "a,b" → two-column Z-ORDER: range-partition and sort on the
+          // interleaved z-value so every output file covers a rectangle
+          // of the (a, b) space — min/max footers prune on either column
+          case Some(spec) if spec.contains(',') =>
+            import org.apache.spark.sql.functions.col
+            val cols = spec.split(',').map(_.trim)
+            require(cols.length == 2,
+              s"z-order clustering takes exactly two columns, got: $spec")
+            df.withColumn("__z", ZOrder.zValue(df, cols(0), cols(1)))
+              .repartitionByRange(nOut, col("__z"))
+              .sortWithinPartitions("__z")
+              .drop("__z")
           case Some(c) =>
             import org.apache.spark.sql.functions.col
             df.repartitionByRange(nOut, col(c)).sortWithinPartitions(col(c))

@@ -101,6 +101,40 @@ class CompactSpec extends SparkSpec {
       "cluster compaction changed the table contents")
   }
 
+  test("z-order compaction bounds per-file ranges on BOTH columns") {
+    val store = freshStore()
+    val path = s"${store.root}/metadata"
+    // a 64×64 grid in row-major id order: single-column clustering on
+    // `a` would leave every file spanning the FULL b domain
+    Store.append(
+      spark.range(0, 64 * 64).select(
+        (col("id") % 64).as("a"), expr("id div 64").as("b")).repartition(8),
+      path)
+    val total = dataFiles(path).map(_.getLen).sum
+    Store.compact(spark, store, "metadata", total / 4 + 1, clusterBy = Some("a,b"))
+    val files = dataFiles(path)
+    assert(files.length >= 4, s"need several files, got ${files.length}")
+    // the property single-column clustering CANNOT give: min/max
+    // footers prune files for predicates on EITHER column. Clustering
+    // on `a` alone leaves every file spanning the full b domain, so a
+    // b-filter skips nothing; z-order must leave some file entirely
+    // outside a low-a window AND some file entirely outside a low-b
+    // window. (Exact per-file rectangles depend on where the sampled
+    // range partitioner cuts the curve, so this asserts prunability,
+    // not cut positions.)
+    val ranges = files.map { st =>
+      spark.read.parquet(st.getPath.toString)
+        .agg(min("a"), max("a"), min("b"), max("b"))
+        .as[(Long, Long, Long, Long)].head()
+    }
+    assert(ranges.exists(_._1 > 15),
+      s"no file skippable for a <= 15: ${ranges.mkString(", ")}")
+    assert(ranges.exists(_._3 > 15),
+      s"no file skippable for b <= 15: ${ranges.mkString(", ")}")
+    assert(spark.read.parquet(path).count() == 64 * 64,
+      "z-order compaction changed the table contents")
+  }
+
   test("an unlocked append landing between reconcile and park survives compaction") {
     // done/dlq/index writers do NOT take the table lock; round 5 could
     // silently delete a file they landed between the reconcile listing
