@@ -48,16 +48,20 @@ object CommitLog {
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** (latest version, live data-file names) — 0 / empty for a table
-    * with no commits yet. Incomplete commit files cannot exist: content
-    * becomes visible atomically with the rename. */
-  def liveFiles(spark: SparkSession, tablePath: String): (Long, Seq[String]) = {
+  /** (latest version ≤ asOf, live data-file names at that version) —
+    * 0 / empty for a table with no commits yet. `asOf` is TIME TRAVEL:
+    * the log replayed up to an earlier version IS that snapshot, for
+    * free, as long as vacuum hasn't reclaimed its files (same
+    * retention contract as Delta). Incomplete commit files cannot
+    * exist: content becomes visible atomically with the rename. */
+  def liveFiles(spark: SparkSession, tablePath: String,
+      asOf: Long = Long.MaxValue): (Long, Seq[String]) = {
     val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
     val fs = fsOf(spark, log)
     if (!fs.exists(log)) return (0L, Seq.empty)
     val commits = fs.listStatus(log).flatMap { st =>
       st.getPath.getName match {
-        case CommitRe(v) => Some(v.toLong -> st.getPath)
+        case CommitRe(v) if v.toLong <= asOf => Some(v.toLong -> st.getPath)
         case _ => None
       }
     }.sortBy(_._1)
@@ -182,9 +186,12 @@ object CommitLog {
   }
 
   /** Snapshot read of the live file set (empty frame with `schema` for
-    * a table with no commits). */
-  def read(spark: SparkSession, tablePath: String, schema: StructType): DataFrame = {
-    val (_, files) = liveFiles(spark, tablePath)
+    * a table with no commits); `asOf` reads the table as of an earlier
+    * committed version — vacuumed versions are gone, matching every
+    * log-structured table format's retention contract. */
+  def read(spark: SparkSession, tablePath: String, schema: StructType,
+      asOf: Long = Long.MaxValue): DataFrame = {
+    val (_, files) = liveFiles(spark, tablePath, asOf)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(files.map(f => s"$tablePath/$f"): _*)

@@ -73,6 +73,21 @@ class LoggedStoreSpec extends SparkSpec {
     assert(CommitLog.read(spark, t, schema).count() == 50)
   }
 
+  test("time travel: asOf reads reproduce each committed snapshot until vacuumed") {
+    val t = freshTable()
+    CommitLog.append(spark.range(0, 100).toDF("id"), t)          // v1
+    CommitLog.append(spark.range(100, 150).toDF("id"), t)        // v2
+    CommitLog.compact(spark, t, targetBytes = 1L << 30)          // v3
+    assert(CommitLog.read(spark, t, schema, asOf = 1L).count() == 100)
+    assert(CommitLog.read(spark, t, schema, asOf = 2L).count() == 150)
+    assert(CommitLog.read(spark, t, schema).count() == 150)
+    // vacuum reclaims the pre-compaction files — old snapshots are gone
+    // (the standard retention trade), the current one is untouched
+    CommitLog.vacuum(spark, t, minAgeMs = 0)
+    assert(CommitLog.read(spark, t, schema).count() == 150)
+    intercept[Exception] { CommitLog.read(spark, t, schema, asOf = 1L).count() }
+  }
+
   test("two rewrites of the same live set: the second fails loudly, never doubles the table") {
     val t = freshTable()
     CommitLog.append(spark.range(0, 100).toDF("id"), t)
