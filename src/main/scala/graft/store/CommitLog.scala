@@ -44,40 +44,71 @@ object CommitLog {
 
   private val LogDir = "_graft_log"
   private val CommitRe = "([0-9]{20})\\.commit".r
+  private val CheckpointRe = "([0-9]{20})\\.checkpoint".r
+
+  /** A checkpoint (full live set snapshot) is written every this many
+    * versions, so a read replays at most this many commit files past
+    * the newest checkpoint instead of the whole history — the Delta
+    * checkpoint mechanism, which bounds read cost on a micro-batch
+    * table that accumulates thousands of commits. */
+  private[store] val CheckpointInterval = 10L
 
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def readLines(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Iterator[String] = {
+    val in = fs.open(p)
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    content.linesIterator.filter(_.nonEmpty)
+  }
+
   /** (latest version ≤ asOf, live data-file names at that version) —
-    * 0 / empty for a table with no commits yet. `asOf` is TIME TRAVEL:
-    * the log replayed up to an earlier version IS that snapshot, for
-    * free, as long as vacuum hasn't reclaimed its files (same
-    * retention contract as Delta). Incomplete commit files cannot
-    * exist: content becomes visible atomically with the rename. */
+    * 0 / empty for a table with no commits yet. Replay starts from the
+    * newest checkpoint ≤ asOf (if any) and folds only the commits
+    * after it. `asOf` is TIME TRAVEL: the log replayed up to an
+    * earlier version IS that snapshot, for free, as long as vacuum
+    * hasn't reclaimed its files (same retention contract as Delta).
+    * Incomplete commit/checkpoint files cannot exist: content becomes
+    * visible atomically with the publish rename. */
   def liveFiles(spark: SparkSession, tablePath: String,
       asOf: Long = Long.MaxValue): (Long, Seq[String]) = {
     val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
     val fs = fsOf(spark, log)
     if (!fs.exists(log)) return (0L, Seq.empty)
-    val commits = fs.listStatus(log).flatMap { st =>
+    val entries = fs.listStatus(log)
+    val ckpt = entries.flatMap { st =>
       st.getPath.getName match {
-        case CommitRe(v) if v.toLong <= asOf => Some(v.toLong -> st.getPath)
+        case CheckpointRe(v) if v.toLong <= asOf => Some(v.toLong -> st.getPath)
+        case _ => None
+      }
+    }.sortBy(_._1).lastOption
+    val base = ckpt.map(_._1).getOrElse(0L)
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    ckpt.foreach { case (_, p) =>
+      readLines(fs, p).foreach { line =>
+        if (!line.startsWith("+"))
+          throw new IllegalStateException(s"corrupt checkpoint line in $p: $line")
+        live += line.drop(1); ()
+      }
+    }
+    val commits = entries.flatMap { st =>
+      st.getPath.getName match {
+        case CommitRe(v) if v.toLong > base && v.toLong <= asOf =>
+          Some(v.toLong -> st.getPath)
         case _ => None
       }
     }.sortBy(_._1)
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
     commits.foreach { case (_, p) =>
-      val in = fs.open(p)
-      val content =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      content.linesIterator.filter(_.nonEmpty).foreach { line =>
+      readLines(fs, p).foreach { line =>
         if (line.startsWith("+")) { live += line.drop(1); () }
         else if (line.startsWith("-")) { live -= line.drop(1); () }
         else throw new IllegalStateException(s"corrupt commit line in $p: $line")
       }
     }
-    (commits.lastOption.map(_._1).getOrElse(0L), live.toSeq)
+    (commits.lastOption.map(_._1).getOrElse(base), live.toSeq)
   }
 
   /** Latest committed version from the log LISTING alone — one
@@ -128,28 +159,53 @@ object CommitLog {
       }
       val next = latestVersion(fs, log) + 1
       val dst = new org.apache.hadoop.fs.Path(log, f"$next%020d.commit")
-      val tmp = new org.apache.hadoop.fs.Path(log,
-        s"_tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
-      val out = fs.create(tmp, false)
-      try { out.write(content.getBytes("UTF-8")); out.close() }
-      catch { case e: java.io.IOException => fs.delete(tmp, false); throw e }
-      val won =
-        if (fs.getScheme == "file") {
-          // POSIX rename REPLACES an existing destination — a hard link
-          // is the atomic create-if-absent primitive on a local FS
+      if (publishExclusive(fs, log, dst, content)) {
+        // periodic checkpoint so readers replay a bounded commit
+        // suffix; best-effort — a concurrent writer producing the
+        // same version's checkpoint writes IDENTICAL content, and a
+        // skipped checkpoint only costs replay length, never
+        // correctness
+        if (next % CheckpointInterval == 0) {
+          val snap = liveFiles(spark, tablePath, asOf = next)._2
           try {
-            java.nio.file.Files.createLink(
-              java.nio.file.Paths.get(dst.toUri.getPath),
-              java.nio.file.Paths.get(tmp.toUri.getPath))
-            true
-          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-        } else fs.rename(tmp, dst)
-      if (fs.getScheme == "file" || !won) fs.delete(tmp, false)
-      if (won) return next
+            publishExclusive(fs, log,
+              new org.apache.hadoop.fs.Path(log, f"$next%020d.checkpoint"),
+              snap.map("+" + _).mkString("\n"))
+          } catch { case _: java.io.IOException => false }
+          ()
+        }
+        return next
+      }
       attempts += 1
     }
     throw new IllegalStateException(
       s"could not win a commit version for $tablePath after $attempts attempts")
+  }
+
+  /** Atomically publish `content` at `dst` if and only if `dst` does
+    * not exist; false = lost the race. POSIX rename REPLACES an
+    * existing destination, so file:// publishes via hard link
+    * (createLink throws FileAlreadyExistsException atomically); HDFS
+    * rename refuses an existing destination namenode-side. */
+  private def publishExclusive(fs: org.apache.hadoop.fs.FileSystem,
+      log: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path,
+      content: String): Boolean = {
+    val tmp = new org.apache.hadoop.fs.Path(log,
+      s"_tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+    val out = fs.create(tmp, false)
+    try { out.write(content.getBytes("UTF-8")); out.close() }
+    catch { case e: java.io.IOException => fs.delete(tmp, false); throw e }
+    val won =
+      if (fs.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else fs.rename(tmp, dst)
+    if (fs.getScheme == "file" || !won) fs.delete(tmp, false)
+    won
   }
 
   /** Land a staged parquet write's part files in the table directory

@@ -73,6 +73,32 @@ class LoggedStoreSpec extends SparkSpec {
     assert(CommitLog.read(spark, t, schema).count() == 50)
   }
 
+  test("checkpoints bound replay: reads survive deletion of all pre-checkpoint commits") {
+    val t = freshTable()
+    (0 until 25).foreach(i =>
+      CommitLog.append(spark.range(i, i + 1).repartition(1).toDF("id"), t))
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = new org.apache.hadoop.fs.Path(t, "_graft_log")
+    val ckpts = fs.listStatus(log).map(_.getPath.getName)
+      .filter(_.endsWith(".checkpoint")).sorted
+    assert(ckpts.length == 2 && ckpts.last.startsWith("0" * 18 + "20"),
+      s"expected checkpoints at v10 and v20, got ${ckpts.mkString(", ")}")
+    // time travel across a checkpoint boundary: ckpt10 + commits 11..15
+    assert(CommitLog.read(spark, t, schema, asOf = 15L).count() == 15)
+    // the load-bearing property: replay does NOT need the commits a
+    // checkpoint subsumes — delete every commit file <= v20 and the
+    // current read must be unchanged (ckpt20 + commits 21..25)
+    fs.listStatus(log).foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".commit") && n.stripSuffix(".commit").toLong <= 20)
+        fs.delete(st.getPath, false)
+    }
+    val ids = CommitLog.read(spark, t, schema).as[Long].collect().sorted
+    assert(ids.sameElements(0L until 25L),
+      s"replay depended on checkpointed commits: ${ids.length} rows")
+  }
+
   test("time travel: asOf reads reproduce each committed snapshot until vacuumed") {
     val t = freshTable()
     CommitLog.append(spark.range(0, 100).toDF("id"), t)          // v1
