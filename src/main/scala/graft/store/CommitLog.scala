@@ -108,21 +108,35 @@ object CommitLog {
         else throw new IllegalStateException(s"corrupt commit line in $p: $line")
       }
     }
-    (commits.lastOption.map(_._1).getOrElse(base), live.toSeq)
+    val reached = commits.lastOption.map(_._1).getOrElse(base)
+    // an EXPLICIT asOf must resolve exactly: versions are contiguous by
+    // construction, so reaching a lower version means the requested one
+    // never existed or its commits were pruned past a checkpoint —
+    // silently answering with a different snapshot would be a wrong
+    // historical read (Delta throws VersionNotFound here too)
+    if (asOf != Long.MaxValue && reached != asOf)
+      throw new IllegalStateException(
+        s"version $asOf of $tablePath unavailable (latest reachable: $reached — " +
+          "nonexistent, or its commits were pruned past a checkpoint)")
+    (reached, live.toSeq)
   }
 
-  /** Latest committed version from the log LISTING alone — one
-    * directory list, no commit-content reads. The version race loop
-    * polls this; the full replay is reserved for readers and for
-    * remove-validation (a micro-batch table accumulates thousands of
-    * commits, and O(V) content reads per append would make the commit
-    * path O(V²) over the table's lifetime). */
+  /** Latest version from the log LISTING alone — one directory list,
+    * no content reads. The version race loop polls this; the full
+    * replay is reserved for readers and for remove-validation (a
+    * micro-batch table accumulates thousands of commits, and O(V)
+    * content reads per append would make the commit path O(V²) over
+    * the table's lifetime). CHECKPOINT versions count too: after the
+    * supported prune-commits-behind-a-checkpoint cleanup, a
+    * commits-only max would restart numbering below the checkpoint
+    * base and every new commit would be invisible to replay. */
   private def latestVersion(fs: org.apache.hadoop.fs.FileSystem,
       log: org.apache.hadoop.fs.Path): Long =
     if (!fs.exists(log)) 0L
     else fs.listStatus(log).foldLeft(0L) { (mx, st) =>
       st.getPath.getName match {
         case CommitRe(v) => math.max(mx, v.toLong)
+        case CheckpointRe(v) => math.max(mx, v.toLong)
         case _ => mx
       }
     }
@@ -148,31 +162,43 @@ object CommitLog {
     val content = (adds.map("+" + _) ++ removes.map("-" + _)).mkString("\n")
     var attempts = 0
     while (attempts < 10000) {
-      if (removes.nonEmpty) {
-        val live = liveFiles(spark, tablePath)._2.toSet
-        val gone = removes.filterNot(live)
-        if (gone.nonEmpty)
-          throw new java.util.ConcurrentModificationException(
-            s"rewrite conflict on $tablePath: inputs already removed by a " +
-              s"concurrent commit (${gone.take(3).mkString(", ")}…) — " +
-              "re-read the live set and rerun the rewrite")
-      }
-      val next = latestVersion(fs, log) + 1
+      // A removing commit must publish at EXACTLY validated-version + 1:
+      // validating against one listing and then racing latestVersion()
+      // from a SECOND listing is a TOCTOU hole — a rewrite landing
+      // between the two would make this commit's first publish attempt
+      // land on a version number past the conflict, skipping
+      // re-validation and doubling the table. Deriving `next` from the
+      // same replay that validated means any interleaved commit forces
+      // a LOSING publish, which loops back through validation.
+      val next =
+        if (removes.nonEmpty) {
+          val (v, liveSeq) = liveFiles(spark, tablePath)
+          val live = liveSeq.toSet
+          val gone = removes.filterNot(live)
+          if (gone.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"rewrite conflict on $tablePath: inputs already removed by a " +
+                s"concurrent commit (${gone.take(3).mkString(", ")}…) — " +
+                "re-read the live set and rerun the rewrite")
+          v + 1
+        } else latestVersion(fs, log) + 1
       val dst = new org.apache.hadoop.fs.Path(log, f"$next%020d.commit")
       if (publishExclusive(fs, log, dst, content)) {
         // periodic checkpoint so readers replay a bounded commit
-        // suffix; best-effort — a concurrent writer producing the
-        // same version's checkpoint writes IDENTICAL content, and a
-        // skipped checkpoint only costs replay length, never
-        // correctness
+        // suffix; WHOLLY best-effort — the commit is already durable,
+        // so no failure here (snapshot replay included) may surface to
+        // the caller: a thrown "append failed" after a landed commit
+        // would drive an at-least-once caller to double-commit. A
+        // version-tie loser wrote identical content; a skipped
+        // checkpoint only costs replay length, never correctness.
         if (next % CheckpointInterval == 0) {
-          val snap = liveFiles(spark, tablePath, asOf = next)._2
           try {
+            val snap = liveFiles(spark, tablePath, asOf = next)._2
             publishExclusive(fs, log,
               new org.apache.hadoop.fs.Path(log, f"$next%020d.checkpoint"),
               snap.map("+" + _).mkString("\n"))
-          } catch { case _: java.io.IOException => false }
-          ()
+            ()
+          } catch { case scala.util.control.NonFatal(_) => () }
         }
         return next
       }
@@ -262,8 +288,8 @@ object CommitLog {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
-    val (_, files) = liveFiles(spark, tablePath)
-    if (files.isEmpty) return liveFiles(spark, tablePath)._1
+    val (version, files) = liveFiles(spark, tablePath)
+    if (files.isEmpty) return version
     val paths = files.map(f => s"$tablePath/$f")
     val totalBytes = paths.map(p => fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt

@@ -261,10 +261,23 @@ object ZOrder {
     val r = df.agg(
       min(col(c1).cast("double")), max(col(c1).cast("double")),
       min(col(c2).cast("double")), max(col(c2).cast("double"))).head()
+    // fail with a NAMED error, not a mid-compaction NPE: an all-null,
+    // non-numeric (cast → null), or zero-row snapshot has no value
+    // range to normalize
+    Seq(c1 -> 0, c2 -> 2).foreach { case (c, i) =>
+      require(!r.isNullAt(i) && !r.isNullAt(i + 1),
+        s"z-order column '$c' has no numeric values to cluster on " +
+          "(non-numeric, all-null, or empty snapshot)")
+    }
     def bucket(c: String, mn: Double, mx: Double): org.apache.spark.sql.Column =
       if (!(mx > mn)) lit(0L)
-      else least(lit((1L << bits) - 1),
-        floor((col(c).cast("double") - mn) / (mx - mn) * (1L << bits)).cast("long"))
+      // per-row nulls cluster at the origin corner (bucket 0), the
+      // conventional nulls-first layout — least() alone would silently
+      // send them to the MAX corner because it skips null operands
+      else coalesce(
+        least(lit((1L << bits) - 1),
+          floor((col(c).cast("double") - mn) / (mx - mn) * (1L << bits)).cast("long")),
+        lit(0L))
     val a = bucket(c1, r.getDouble(0), r.getDouble(1))
     val b = bucket(c2, r.getDouble(2), r.getDouble(3))
     (0 until bits).map { i =>
@@ -394,10 +407,14 @@ object Store {
             val cols = spec.split(',').map(_.trim)
             require(cols.length == 2,
               s"z-order clustering takes exactly two columns, got: $spec")
-            df.withColumn("__z", ZOrder.zValue(df, cols(0), cols(1)))
-              .repartitionByRange(nOut, col("__z"))
-              .sortWithinPartitions("__z")
-              .drop("__z")
+            // writer-unique scratch column name — withColumn would
+            // silently OVERWRITE (and drop would then delete) a real
+            // table column that happened to share the name
+            val zc = s"__z_${System.nanoTime()}"
+            df.withColumn(zc, ZOrder.zValue(df, cols(0), cols(1)))
+              .repartitionByRange(nOut, col(zc))
+              .sortWithinPartitions(zc)
+              .drop(zc)
           case Some(c) =>
             import org.apache.spark.sql.functions.col
             df.repartitionByRange(nOut, col(c)).sortWithinPartitions(col(c))

@@ -97,6 +97,17 @@ class LoggedStoreSpec extends SparkSpec {
     val ids = CommitLog.read(spark, t, schema).as[Long].collect().sorted
     assert(ids.sameElements(0L until 25L),
       s"replay depended on checkpointed commits: ${ids.length} rows")
+    // a time-travel read whose commits were pruned must THROW, not
+    // silently answer with the older checkpoint's snapshot
+    intercept[IllegalStateException] {
+      CommitLog.liveFiles(spark, t, asOf = 15L)
+    }
+    // and new commits must number PAST the checkpoint base even though
+    // the pre-checkpoint commit files are gone — a commits-only version
+    // counter would restart at 1 and make every new append invisible
+    val v = CommitLog.append(spark.range(1000, 1001).repartition(1).toDF("id"), t)
+    assert(v == 26L, s"post-prune append won version $v, expected 26")
+    assert(CommitLog.read(spark, t, schema).count() == 26)
   }
 
   test("time travel: asOf reads reproduce each committed snapshot until vacuumed") {
