@@ -361,6 +361,32 @@ object CorpusQueries {
             .cast("long").as("content_digest_sum"))
     },
 
+    // ── Quality-threshold calibration: production filters pick their
+    // cutoff from a KEEP BUDGET, not a magic constant — here "keep the
+    // top 60%", so the threshold is the corpus's 40th quality
+    // percentile (exact interpolated percentile, proven engine-
+    // bit-identical by corpus_stats), echoed with per-language kept
+    // counts. The threshold is a 1-row aggregate broadcast back onto
+    // the scan — derive-then-apply, nothing collected. ────────────────
+    Q(
+      "corpus_quality_calibrate",
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, ${OracleSnippets.qualitySql} AS quality FROM documents),
+         |t AS (SELECT quantile_cont(quality, 0.4) AS thr FROM scored)
+         |SELECT lang, round(thr, 6) AS threshold,
+         |       CAST(count(*) AS BIGINT) AS n_total,
+         |       CAST(count(CASE WHEN quality >= thr THEN 1 END) AS BIGINT) AS n_kept
+         |FROM scored, t GROUP BY lang, thr""".stripMargin) { (s, dir) =>
+      val scored = docs(s, dir).select(col("doc_id"), col("lang"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      val thr = scored.agg(expr("percentile(quality, 0.4)").as("thr"))
+      scored.crossJoin(broadcast(thr))
+        .groupBy(col("lang"), round(col("thr"), 6).as("threshold"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("quality") >= col("thr"), 1)).as("n_kept"))
+        .select("lang", "threshold", "n_total", "n_kept")
+    },
+
     // ── Snapshot diff (provenance): documents vs a planted second
     // version — some docs removed (id % 97 = 0), some edited
     // (id % 101 = 0), some added (+700000) — reported per source as

@@ -221,6 +221,26 @@ object SimilarityQueries {
         Tables.load(s, dir, "documents"), emb(s, dir))
     },
 
+    // ── Per-dimension standardization (z-score): the preprocessing
+    // pass before ANN/clustering so no dimension dominates the metric.
+    // Exploded scalar output — every standardized value hash-checked
+    // (32k rows at sf0.01); zero-variance dims map to 0 on both
+    // engines instead of dividing by zero. ────────────────────────────
+    Q(
+      "emb_standardize",
+      """WITH dims AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |stats AS (
+        |  SELECT dim, avg(v) AS mu, avg(v * v) - avg(v) * avg(v) AS var
+        |  FROM dims GROUP BY dim)
+        |SELECT vec_id, dim,
+        |       round(CASE WHEN var > 0 THEN (v - mu) / sqrt(var) ELSE 0.0 END, 6) AS v_std
+        |FROM dims JOIN stats USING (dim)""".stripMargin) { (s, dir) =>
+      Similarity.standardizeDims(emb(s, dir), "vec_id", "embedding")
+    },
+
     Q(
       "emb_quantize_error",
       """WITH e AS (SELECT vec_id,

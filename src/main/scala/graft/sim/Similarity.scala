@@ -418,6 +418,32 @@ object Similarity {
     * once per consumer (the diamond the dedup kernels eliminated). The
     * one exchange carries scalar (id, mx, err) rows, map-side combined.
     */
+  /** Per-dimension standardization (z-score) of an embedding column —
+    * the preprocessing step real vector pipelines run before ANN /
+    * clustering so no dimension dominates the metric. Returns
+    * (idCol, dim, v_std) in EXPLODED scalar form: the caller
+    * re-assembles or aggregates downstream, and nothing array-typed
+    * ever crosses an exchange (the sourceDrift shape).
+    *
+    * Stats are a (dims)-sized aggregate — plan-sized, broadcast back
+    * onto the dim stream. Population std (the normalizing constant,
+    * not an estimator); zero-variance dims standardize to 0 rather
+    * than dividing by zero (the constant carries no signal). Values
+    * round to 6 dp so both engines' f64 agree bit-exactly. */
+  def standardizeDims(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val dims = df.select(col(idCol),
+      posexplode(asDouble(col(embCol))).as(Seq("dim", "v")))
+    val stats = dims.groupBy("dim").agg(
+      avg("v").as("mu"),
+      // population variance via the moment form, f64 exact expression
+      // order shared with the oracle
+      (avg(col("v") * col("v")) - avg("v") * avg("v")).as("var"))
+    dims.join(broadcast(stats), "dim")
+      .select(col(idCol), col("dim"),
+        round(when(col("var") > 0,
+          (col("v") - col("mu")) / sqrt(col("var"))).otherwise(0.0), 6).as("v_std"))
+  }
+
   def int8QuantizeError(df: DataFrame, idCol: String, embCol: String): DataFrame = {
     val e = asDouble(col(embCol))
     df.select(col(idCol), e.as("emb"))

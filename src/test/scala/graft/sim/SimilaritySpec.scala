@@ -31,6 +31,18 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(out("B")._2 - 0.7071) < 1e-9 && math.abs(out("B")._3 - 0.7071) < 1e-9)
   }
 
+  test("standardizeDims: hand-computed z-scores; constant dims map to 0") {
+    import spark.implicits._
+    // dim 0: values 1,3 → mu 2, var 1 → z = ∓1; dim 1: constant → 0
+    val emb2 = Seq(
+      (1L, Array(1.0f, 7.0f)), (2L, Array(3.0f, 7.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.standardizeDims(emb2, "vec_id", "embedding")
+      .as[(Long, Int, Double)].collect().toSet
+    assert(out == Set((1L, 0, -1.0), (2L, 0, 1.0), (1L, 1, 0.0), (2L, 1, 0.0)),
+      s"got $out")
+  }
+
   test("brute-force top-k: self is rank 1 with score ~1.0; k rows per query") {
     val r = Similarity.bruteForceTopK(queries, e, k = 10).cache()
     assert(r.count() == 100)
