@@ -404,29 +404,42 @@ object CorpusOps {
     * INTEGER computation so engines agree exactly — f64 log2 wobbles
     * at the boundaries; tok = 1 is bucket 0 explicitly, since the
     * bit-length of 0 renders as 1 in both engines' bin()), batch
-    * within a bucket in id order, `maxBatch` docs per batch. Returns per-batch occupancy and the padding
-    * efficiency (real tokens / padded slot tokens at the bucket's
-    * padded length 2^bucket) — the report that decides a serving/eval
-    * batcher's bucket boundaries: batching by length is how inference
-    * avoids padding every sequence to the corpus max.
+    * within a (bucket, shard) group in id order, `maxBatch` docs per
+    * batch. Returns per-batch occupancy and the padding efficiency
+    * (real tokens / padded slot tokens at the bucket's padded length
+    * 2^bucket) — the report that decides a serving/eval batcher's
+    * bucket boundaries: batching by length is how inference avoids
+    * padding every sequence to the corpus max.
     *
-    * Scale shape: one hash exchange on the bucket key for the
-    * per-bucket window (bucket count is log-sized); the batch
-    * aggregate reuses that partitioning (bucket ⊂ grouping keys).
-    * Deterministic: same input → same batches, any cluster size. */
+    * Scale shape: the bucket key alone is LOG-SIZED (~30 power-of-2
+    * ceilings exist, ever), so a bucket-partitioned window would cap
+    * the sort stage at ~30 tasks each holding N/30 rows — the same
+    * constant-cardinality-key failure the entity-resolution re-block
+    * eliminated. Batches are therefore numbered within
+    * (bucket, shard): a deterministic md5 shard of the id (the
+    * packConcatChunk shard pattern) keeps every window partition
+    * bounded at N/(buckets·shards) while batches stay reproducible —
+    * same input → same batches, any cluster size. One hash exchange on
+    * (bucket, shard); the batch aggregate reuses that partitioning
+    * ((bucket, shard) ⊂ grouping keys). A batch never mixes shards —
+    * exactly how a distributed batcher runs anyway: each output writer
+    * owns a shard and pads within it. */
   def packLengthBucketed(
       df: DataFrame,
       idCol: String,
       tokCol: String,
-      maxBatch: Int): DataFrame = {
+      maxBatch: Int,
+      shards: Int = 16): DataFrame = {
     require(maxBatch > 0, s"maxBatch must be positive: $maxBatch")
+    require(shards > 0, s"shards must be positive: $shards")
     val bucket = when(col(tokCol) === 1, 0L)
       .otherwise(length(bin(col(tokCol) - 1)).cast("long")).as("bucket")
-    val w = Window.partitionBy("bucket").orderBy(idCol)
+    val w = Window.partitionBy("bucket", "shard").orderBy(idCol)
     df.filter(col(tokCol) >= 1)
-      .select(col(idCol), col(tokCol), bucket)
+      .select(col(idCol), col(tokCol), bucket,
+        Hashing.md5Bucket(col(idCol), shards).cast("long").as("shard"))
       .withColumn("batch", floor((row_number().over(w) - 1) / maxBatch).cast("long"))
-      .groupBy("bucket", "batch")
+      .groupBy("bucket", "shard", "batch")
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col(tokCol)).as("n_tokens"),

@@ -39,6 +39,11 @@ object CorpusQueries {
   /** Tokens kept per source by corpus_token_budget. */
   private val TokenBudget = 800L
 
+  /** Shards for the length-bucketed batcher's per-bucket windows —
+    * 4 keeps every (bucket, shard) group populated at test SFs;
+    * production sizes this with the cluster (see packLengthBucketed). */
+  private val PackLenShards = 4
+
   val queries: Seq[Q] = Seq(
 
     // ── Concat-and-chunk sequence packing: shard by id hash, order by
@@ -367,7 +372,13 @@ object CorpusQueries {
     // percentile (exact interpolated percentile, proven engine-
     // bit-identical by corpus_stats), echoed with per-language kept
     // counts. The threshold is a 1-row aggregate broadcast back onto
-    // the scan — derive-then-apply, nothing collected. ────────────────
+    // the scored set — derive-then-apply, nothing collected. The scored
+    // leaf is materialized ONCE (eager localCheckpoint, the
+    // semanticDedup pattern): it feeds both the percentile aggregate
+    // and the final group-by, and without the checkpoint the quality
+    // kernel would re-run over the corpus for each consumer (the
+    // diamond the curation pipeline pins away; PlanAuditSpec pins this
+    // one too). ───────────────────────────────────────────────────────
     Q(
       "corpus_quality_calibrate",
       s"""WITH scored AS (
@@ -379,6 +390,7 @@ object CorpusQueries {
          |FROM scored, t GROUP BY lang, thr""".stripMargin) { (s, dir) =>
       val scored = docs(s, dir).select(col("doc_id"), col("lang"),
         TextOps.qualityScore(col("text")).as("quality"))
+        .localCheckpoint(true)
       val thr = scored.agg(expr("percentile(quality, 0.4)").as("thr"))
       scored.crossJoin(broadcast(thr))
         .groupBy(col("lang"), round(col("thr"), 6).as("threshold"))
@@ -476,30 +488,36 @@ object CorpusQueries {
     // ── Length-bucketed inference batching: docs bucket by the
     // power-of-2 ceiling of their token count (integer bit-length, so
     // both engines agree exactly at the boundaries), batch in id order
-    // within a bucket, 32 docs per batch; per-batch occupancy and
-    // padding efficiency at the bucket's padded length 2^bucket — the
-    // report that sets a serving/eval batcher's boundaries. ───────────
+    // within (bucket, shard) — the shard is a deterministic md5 cut of
+    // the id, so window parallelism scales with data instead of capping
+    // at the ~30 buckets that can ever exist — 8 docs per batch;
+    // per-batch occupancy and padding efficiency at the bucket's padded
+    // length 2^bucket — the report that sets a serving/eval batcher's
+    // boundaries. ─────────────────────────────────────────────────────
     Q(
       "pack_length_bucketed",
-      """WITH tok AS (SELECT doc_id, len(str_split(text, ' ')) AS tok FROM documents),
-        |b AS (SELECT doc_id, tok,
-        |        CASE WHEN tok = 1 THEN 0
-        |             ELSE CAST(length(bin(tok - 1)) AS BIGINT) END AS bucket
-        |      FROM tok WHERE tok >= 1),
-        |w AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
-        |      FROM b),
-        |g AS (SELECT bucket, CAST(floor((rn - 1) / 32.0) AS BIGINT) AS batch, doc_id, tok
-        |      FROM w)
-        |SELECT bucket, batch,
-        |       CAST(count(*) AS BIGINT) AS n_docs,
-        |       CAST(sum(tok) AS BIGINT) AS n_tokens,
-        |       CAST(max(tok) AS BIGINT) AS max_tokens,
-        |       CAST(min(doc_id) AS BIGINT) AS first_doc,
-        |       round(sum(tok) / (count(*) * power(2.0, bucket)), 6) AS pad_efficiency
-        |FROM g GROUP BY bucket, batch""".stripMargin) { (s, dir) =>
+      s"""WITH tok AS (SELECT doc_id, len(str_split(text, ' ')) AS tok FROM documents),
+         |b AS (SELECT doc_id, tok,
+         |        CASE WHEN tok = 1 THEN 0
+         |             ELSE CAST(length(bin(tok - 1)) AS BIGINT) END AS bucket,
+         |        ${OracleSnippets.md5BucketSql("CAST(doc_id AS VARCHAR)", PackLenShards)} AS shard
+         |      FROM tok WHERE tok >= 1),
+         |w AS (SELECT *, row_number() OVER (PARTITION BY bucket, shard ORDER BY doc_id) AS rn
+         |      FROM b),
+         |g AS (SELECT bucket, CAST(shard AS BIGINT) AS shard,
+         |             CAST(floor((rn - 1) / 8.0) AS BIGINT) AS batch, doc_id, tok
+         |      FROM w)
+         |SELECT bucket, shard, batch,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(tok) AS BIGINT) AS n_tokens,
+         |       CAST(max(tok) AS BIGINT) AS max_tokens,
+         |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+         |       round(sum(tok) / (count(*) * power(2.0, bucket)), 6) AS pad_efficiency
+         |FROM g GROUP BY bucket, shard, batch""".stripMargin) { (s, dir) =>
       val tok = docs(s, dir).select(
         col("doc_id"), TextOps.tokenCount(col("text")).as("tok"))
-      CorpusOps.packLengthBucketed(tok, "doc_id", "tok", maxBatch = 32)
+      CorpusOps.packLengthBucketed(tok, "doc_id", "tok", maxBatch = 8,
+        shards = PackLenShards)
     },
 
     // ── Mix-to-target rebalancing: derive per-language keep rates FROM

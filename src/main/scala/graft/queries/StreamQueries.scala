@@ -32,6 +32,29 @@ object StreamQueries {
         .withColumn("total_value", round(col("total_value"), 4))
     }.copy(bench = true),
 
+    // ── PRODUCTION (Append) mode of the windowed aggregation: each
+    // window emitted exactly once when the watermark passes its end,
+    // state evicted — the mode a 24/7 deployment runs (Complete above
+    // is the oracle-drain mode; it retains and re-emits all state
+    // forever). The drained result is the CLOSED-WINDOW PREFIX of the
+    // batch aggregation: window end ≤ final watermark = max event time
+    // − 1 h — which the oracle mirrors as bucket + 2 h ≤ max(ts)
+    // (bucket end is hour-aligned, so the watermark's ms flooring
+    // cannot move the cut). StreamingSpec pins that state-store rows
+    // are evicted mid-drain and the final state is a fraction of the
+    // emitted result. ─────────────────────────────────────────────────
+    Q(
+      "stream_window_agg_append",
+      """SELECT * FROM (
+        |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ts_bucket, event_type,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    round(sum(value), 4) AS total_value
+        |  FROM events GROUP BY 1, 2)
+        |WHERE ts_bucket + INTERVAL 2 HOUR <= (SELECT max(ts) FROM events)""".stripMargin) { (s, dir) =>
+      StreamingJobs.windowedEventCountsAppend(s, dir)
+        .withColumn("total_value", round(col("total_value"), 4))
+    },
+
     // ── Streaming dedup within watermark: doubled stream, each once ────
     Q(
       "stream_dedup_watermark",
@@ -63,6 +86,38 @@ object StreamQueries {
         |  round(sum(value), 4) AS total_value
         |FROM s GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
       StreamingJobs.sessionWindowTotals(s, dir)
+        .withColumn("total_value", round(col("total_value"), 4))
+    },
+
+    // ── PRODUCTION (Append) mode of the session aggregation: a session
+    // is emitted exactly once when the watermark passes its end
+    // (end = last event + gap), state evicted — closed sessions only.
+    // Session ends carry µs precision while Spark's watermark floors
+    // max event time to MILLISECONDS before subtracting the delay, so
+    // the oracle's cut floors the same way (date_trunc to ms). ────────
+    Q(
+      "stream_session_window_append",
+      """WITH d AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM d),
+        |sess AS (
+        |  SELECT user_id,
+        |    min(ts) AS session_start,
+        |    max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    round(sum(value), 4) AS total_value
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT user_id, session_start, session_end, n_events, total_value
+        |FROM sess
+        |WHERE session_end <= (SELECT date_trunc('milliseconds', max(ts))
+        |                      FROM events) - INTERVAL 1 HOUR""".stripMargin) { (s, dir) =>
+      StreamingJobs.sessionWindowTotalsAppend(s, dir)
         .withColumn("total_value", round(col("total_value"), 4))
     },
 

@@ -59,7 +59,14 @@ object StreamingJobs {
 
   /** Run a streaming frame into an in-memory sink until AvailableNow
     * drains, then return the sink contents as a batch frame. */
-  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame =
+    runToMemoryWithQuery(df, name, mode)._1
+
+  /** runToMemory, additionally returning the TERMINATED query so
+    * callers (the bounded-state StreamingSpec) can read its progress
+    * history — state-store row counts, eviction counts. */
+  def runToMemoryWithQuery(df: DataFrame, name: String,
+      mode: OutputMode): (DataFrame, StreamingQuery) = {
     val q = df.writeStream
       .format("memory")
       .queryName(name)
@@ -68,14 +75,13 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    df.sparkSession.table(name)
+    (df.sparkSession.table(name), q)
   }
 
-  /** Event-time tumbling-window aggregation with a watermark: the
-    * extension surface's flagship. Complete mode so the drained result
-    * equals the batch aggregation exactly (append mode would hold back
-    * the final unexpired window). */
-  def windowedEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The windowed-count streaming aggregation both output modes share:
+    * event-time tumbling windows with a 1-hour watermark. */
+  private[graft] def windowedEventCountsStream(spark: SparkSession,
+      sfDir: String): DataFrame =
     // 2 files per trigger: still multiple micro-batches of incremental
     // window state (the semantics under test), at half the fixed
     // per-trigger cost — measured ~1 s/trigger of offset-log + state
@@ -83,14 +89,36 @@ object StreamingJobs {
     // likewise sizes triggers by throughput, not one file at a time.
     // The dedup/lateness paths below keep file-at-a-time arrival: their
     // out-of-order pressure IS the behavior under test.
-    val agg = tableStream(spark, sfDir, "events", maxFilesPerTrigger = 2)
+    tableStream(spark, sfDir, "events", maxFilesPerTrigger = 2)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
       .select(col("w.start").as("ts_bucket"), col("event_type"),
         col("n_events"), col("total_value"))
-    runToMemory(agg, "stream_window_agg_sink", OutputMode.Complete())
-  }
+
+  /** Event-time tumbling-window aggregation with a watermark: the
+    * extension surface's flagship. Complete mode so the drained result
+    * equals the batch aggregation exactly (append mode would hold back
+    * the final unexpired window) — the ORACLE-DRAIN mode; a 24/7
+    * deployment runs windowedEventCountsAppend, whose watermark evicts
+    * state. */
+  def windowedEventCounts(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(windowedEventCountsStream(spark, sfDir),
+      "stream_window_agg_sink", OutputMode.Complete())
+
+  /** The PRODUCTION mode of the windowed aggregation: Append output,
+    * so each window is emitted exactly once — when the watermark passes
+    * its end — and its state is EVICTED. State and sink stay bounded by
+    * the watermark horizon over an unbounded run (StreamingSpec pins
+    * eviction happening mid-drain), where Complete mode retains and
+    * re-emits every window forever. The drained result is the
+    * CLOSED-WINDOW PREFIX of the batch aggregation: windows with
+    * end ≤ final watermark (= ms-floored max event time − 1 h; the
+    * boundary is inclusive — Spark's state eviction predicate is
+    * `window.end ≤ watermark`); the oracle applies the same cut. */
+  def windowedEventCountsAppend(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(windowedEventCountsStream(spark, sfDir),
+      "stream_window_agg_append_sink", OutputMode.Append())
 
   /** Event-time SESSION windows per user — Spark's native gap-based
     * session_window aggregation (windows merge as events arrive; a
@@ -101,16 +129,32 @@ object StreamingJobs {
     * gap starts a new session, where the islands form splits only on
     * diff > gap), and a session's end is last event + gap. Complete
     * mode so every merged session is in the drained result. */
-  def sessionWindowTotals(spark: SparkSession, sfDir: String): DataFrame = {
-    val agg = tableStream(spark, sfDir, "events", maxFilesPerTrigger = 2)
+  def sessionWindowTotals(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(sessionWindowStream(spark, sfDir),
+      "stream_session_window_sink", OutputMode.Complete())
+
+  /** The session-window streaming aggregation both output modes share. */
+  private[graft] def sessionWindowStream(spark: SparkSession,
+      sfDir: String): DataFrame =
+    tableStream(spark, sfDir, "events", maxFilesPerTrigger = 2)
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
       .select(col("user_id"),
         col("sw.start").as("session_start"), col("sw.end").as("session_end"),
         col("n_events"), col("total_value"))
-    runToMemory(agg, "stream_session_window_sink", OutputMode.Complete())
-  }
+
+  /** PRODUCTION mode of the session aggregation: Append output — a
+    * session is emitted exactly once, when the watermark passes its end
+    * (end = last event + gap), and its state is evicted; over an
+    * unbounded run state is bounded by the sessions still open within
+    * the watermark horizon. The drained result is the closed-session
+    * prefix: session_end ≤ final watermark (ms-floored max event time
+    * − 1 h, inclusive boundary — session ends carry µs precision, so
+    * the ms flooring is part of the oracle's cut too). */
+  def sessionWindowTotalsAppend(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(sessionWindowStream(spark, sfDir),
+      "stream_session_window_append_sink", OutputMode.Append())
 
   /** Streaming exact dedup within the watermark: the stream is unioned
     * with itself (every event arrives twice) and

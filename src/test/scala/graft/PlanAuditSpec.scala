@@ -148,6 +148,26 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("length-bucketed batching windows on (bucket, shard), never bucket alone") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("pack_length_bucketed")(spark, sf("sf0.001"))
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      // one exchange for the (bucket, shard) window; the groupBy
+      // (bucket, shard, batch) reuses that partitioning. A bucket-only
+      // key would cap the window sort at the ~30 buckets that can ever
+      // exist — the constant-cardinality-key failure mode.
+      assert(shuffles.size == 1,
+        s"expected exactly the window exchange, got ${shuffles.size}")
+      val part = shuffles.head.outputPartitioning.toString
+      assert(part.contains("bucket") && part.contains("shard"),
+        s"window exchange not keyed by (bucket, shard): $part")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("decontamination broadcasts the benchmark side; the corpus never shuffles its text") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -184,6 +204,21 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(plan.contains("Scan ExistingRDD"),
       s"checkpointed keep-decision leaf missing from the curation plan:\n$plan")
+  }
+
+  test("quality calibration evaluates the scoring kernel exactly once") {
+    // The scored leaf feeds BOTH the percentile aggregate (threshold)
+    // and the final per-language group-by — without its checkpoint the
+    // quality kernel runs 2× over the corpus (round-6 review #3). The
+    // kernel must appear zero times in the final plan (it lives behind
+    // the checkpointed leaf), and the leaf itself must be present.
+    val df = SparkEntry.queries("corpus_quality_calibrate")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    val n = "graft_token_hits".r.findAllIn(plan).length
+    assert(n == 0,
+      s"graft_token_hits appears $n× in the calibration plan — scoring leaked out of its checkpoint:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"checkpointed scored leaf missing from the calibration plan:\n$plan")
   }
 
   test("bucketed co-located join: zero exchanges before the join") {

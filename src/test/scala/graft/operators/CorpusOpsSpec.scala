@@ -280,20 +280,47 @@ class CorpusOpsSpec extends SparkSpec {
       // (doc_id, tok): buckets — 1→b0(pad 1); 2→b1(pad 2); 3,4→b2(pad 4); 5→b3(pad 8)
       (1L, 2L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 5L), (6L, 2L)
     ).toDF("doc_id", "tok")
-    val out = CorpusOps.packLengthBucketed(docsDf, "doc_id", "tok", maxBatch = 2)
-      .select("bucket", "batch", "n_docs", "n_tokens", "max_tokens", "first_doc", "pad_efficiency")
-      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSet
+    // shards = 1 isolates the bucket/batch semantics (shard ≡ 0)
+    val out = CorpusOps.packLengthBucketed(docsDf, "doc_id", "tok", maxBatch = 2, shards = 1)
+      .select("bucket", "shard", "batch", "n_docs", "n_tokens", "max_tokens", "first_doc", "pad_efficiency")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)].collect().toSet
     assert(out == Set(
       // bucket 0 (pad 1): the single-token doc — padding-free, NOT
       // merged into the 2-token bucket (the bin(0)='0' edge)
-      (0L, 0L, 1L, 1L, 1L, 2L, 1.0),
+      (0L, 0L, 0L, 1L, 1L, 1L, 2L, 1.0),
       // bucket 1 (pad 2): docs 1,6
-      (1L, 0L, 2L, 4L, 2L, 1L, 1.0),
+      (1L, 0L, 0L, 2L, 4L, 2L, 1L, 1.0),
       // bucket 2 (pad 4): docs 3,4
-      (2L, 0L, 2L, 7L, 4L, 3L, 0.875),   // 7 / 8
+      (2L, 0L, 0L, 2L, 7L, 4L, 3L, 0.875),   // 7 / 8
       // bucket 3 (pad 8): doc 5
-      (3L, 0L, 1L, 5L, 5L, 5L, 0.625)),  // 5 / 8
+      (3L, 0L, 0L, 1L, 5L, 5L, 5L, 0.625)),  // 5 / 8
       s"got $out")
+  }
+
+  test("packLengthBucketed: sharded batches refine the unsharded ones deterministically") {
+    val docsDf = (1L to 200L).map(i => (i, (i % 13) + 1)).toDF("doc_id", "tok")
+    val sharded = CorpusOps.packLengthBucketed(docsDf, "doc_id", "tok", maxBatch = 4, shards = 8)
+      .select("bucket", "shard", "n_docs", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    // every doc lands in exactly one (bucket, shard) batch: per-bucket
+    // doc and token totals equal the unsharded run's — sharding only
+    // REFINES the grouping, it never drops or duplicates rows
+    val unsharded = CorpusOps.packLengthBucketed(docsDf, "doc_id", "tok", maxBatch = 4, shards = 1)
+      .groupBy("bucket").agg(sum("n_docs").as("d"), sum("n_tokens").as("t"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val byBucket = sharded.groupBy(_._1).map { case (b, rows) =>
+      b -> ((rows.map(_._3).sum, rows.map(_._4).sum))
+    }
+    assert(byBucket == unsharded, s"sharded totals drifted: $byBucket vs $unsharded")
+    // the md5 shard key actually spreads the biggest bucket's window
+    // across >1 partition (the whole point of the shard)
+    assert(sharded.map(r => (r._1, r._2)).distinct.groupBy(_._1).values.exists(_.size > 1),
+      "no bucket used more than one shard — shard key not spreading")
+    // rerun is bit-identical (deterministic hash, no RNG)
+    val rerun = CorpusOps.packLengthBucketed(docsDf, "doc_id", "tok", maxBatch = 4, shards = 8)
+      .select("bucket", "shard", "n_docs", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rerun.toSet == sharded.toSet)
   }
 
   test("learnBpeMerges stops early when no pairs remain") {

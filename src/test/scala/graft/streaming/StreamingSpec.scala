@@ -132,6 +132,30 @@ class StreamingSpec extends SparkSpec {
     assert(emitted < 1000, s"expected lateness drops, got $emitted")
   }
 
+  test("append mode evicts window state as the watermark advances (bounded state)") {
+    val (result, q) = StreamingJobs.runToMemoryWithQuery(
+      StreamingJobs.windowedEventCountsStream(spark, sf("sf0.001")),
+      "bounded_state_sink", OutputMode.Append())
+    val emitted = result.count()
+    assert(emitted > 0)
+    val progresses = q.recentProgress.filter(_.stateOperators.nonEmpty)
+    assert(progresses.nonEmpty, "no state-operator progress recorded")
+    // eviction must happen MID-DRAIN, not only at the end: the
+    // watermark advances per micro-batch and closed windows leave the
+    // store as they are emitted
+    val removed = progresses.map(_.stateOperators(0).numRowsRemoved).sum
+    assert(removed > 0, "append run never evicted state rows")
+    // the store ends holding only the watermark horizon's open windows
+    // — a fraction of everything emitted (Complete mode would retain
+    // ALL emitted windows as state forever)
+    val finalRows = progresses.last.stateOperators(0).numRowsTotal
+    assert(finalRows < emitted / 2,
+      s"final state $finalRows not bounded vs $emitted emitted windows")
+    // every emitted window is closed: nothing is ever emitted twice
+    assert(result.groupBy("ts_bucket", "event_type").count()
+      .filter(col("count") > 1).count() == 0, "append emitted a window twice")
+  }
+
   test("stream≡batch: windowed aggregation equals the batch plan over the same data") {
     val streamed = StreamingJobs.windowedEventCounts(spark, sf("sf0.001"))
     val batch = graft.Tables.load(spark, sf("sf0.001"), "events")
