@@ -404,20 +404,6 @@ object Similarity {
       round(min("cos"), 4).as("min_cos"))
   }
 
-  /** Symmetric int8 quantization error report: per-vector scale
-    * (max |v| / 127) and the mean/max absolute reconstruction error of
-    * `q = floor(v·127/mx + 0.5)` — the storage-scale decision input
-    * (int8 cuts an embedding store 4× vs f32; the report says what that
-    * costs in fidelity per vector). floor(+0.5) rather than round()
-    * keeps the quantized values bit-identical across engines. All-zero
-    * vectors have no scale and are excluded.
-    *
-    * Shape: per-element errors go through explode + a codegen'd
-    * aggregate rather than `aggregate`/`array_max` HOFs — the mean and
-    * max would otherwise re-evaluate the interpreted error transform
-    * once per consumer (the diamond the dedup kernels eliminated). The
-    * one exchange carries scalar (id, mx, err) rows, map-side combined.
-    */
   /** Per-dimension standardization (z-score) of an embedding column —
     * the preprocessing step real vector pipelines run before ANN /
     * clustering so no dimension dominates the metric. Returns
@@ -444,6 +430,20 @@ object Similarity {
           (col("v") - col("mu")) / sqrt(col("var"))).otherwise(0.0), 6).as("v_std"))
   }
 
+  /** Symmetric int8 quantization error report: per-vector scale
+    * (max |v| / 127) and the mean/max absolute reconstruction error of
+    * `q = floor(v·127/mx + 0.5)` — the storage-scale decision input
+    * (int8 cuts an embedding store 4× vs f32; the report says what that
+    * costs in fidelity per vector). floor(+0.5) rather than round()
+    * keeps the quantized values bit-identical across engines. All-zero
+    * vectors have no scale and are excluded.
+    *
+    * Shape: per-element errors go through explode + a codegen'd
+    * aggregate rather than `aggregate`/`array_max` HOFs — the mean and
+    * max would otherwise re-evaluate the interpreted error transform
+    * once per consumer (the diamond the dedup kernels eliminated). The
+    * one exchange carries scalar (id, mx, err) rows, map-side combined.
+    */
   def int8QuantizeError(df: DataFrame, idCol: String, embCol: String): DataFrame = {
     val e = asDouble(col(embCol))
     df.select(col(idCol), e.as("emb"))

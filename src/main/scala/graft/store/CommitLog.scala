@@ -29,12 +29,14 @@ import org.apache.spark.sql.types.StructType
   *    nothing is lost (the lost-update window the lock file guards in
   *    the unlogged layout does not exist here).
   *
-  * Rename-if-absent needs one primitive per filesystem: HDFS rename
-  * refuses an existing destination namenode-side; the local FS would
-  * happily clobber (POSIX rename replaces), so file:// uses a hard
-  * LINK — createLink throws FileAlreadyExistsException atomically. On
-  * S3-class stores this seam is where a coordination service (or a
-  * conditional PUT) plugs in; the PROTOCOL above is unchanged.
+  * Publish-if-absent is the ONE primitive the protocol needs, and it
+  * is pluggable ([[AtomicPublisher]]): [[RenameOrLinkPublisher]] (the
+  * default) covers HDFS (namenode-side exclusive rename) and file://
+  * (hard link — POSIX rename would clobber); S3-class stores plug in
+  * [[ConditionalPutPublisher]], which PUTs the commit file whole under
+  * a server-side create-if-absent condition (`If-None-Match: *`) —
+  * no rename, no coordination service. The PROTOCOL is identical under
+  * both; LoggedStoreSpec drives the full suite against each.
   *
   * The unlogged Store layout stays the default for local/HDFS — this
   * layer is opt-in per table (LoggedStoreSpec drives it; the two
@@ -154,7 +156,8 @@ object CommitLog {
     * loser's rewrite files stay invisible and vacuum reclaims them).
     * Returns the version won. */
   def commit(spark: SparkSession, tablePath: String,
-      adds: Seq[String], removes: Seq[String] = Seq.empty): Long = {
+      adds: Seq[String], removes: Seq[String] = Seq.empty,
+      publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
     require(adds.nonEmpty || removes.nonEmpty, "empty commit")
     val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
     val fs = fsOf(spark, log)
@@ -183,7 +186,7 @@ object CommitLog {
           v + 1
         } else latestVersion(fs, log) + 1
       val dst = new org.apache.hadoop.fs.Path(log, f"$next%020d.commit")
-      if (publishExclusive(fs, log, dst, content)) {
+      if (publisher.publish(fs, log, dst, content)) {
         // periodic checkpoint so readers replay a bounded commit
         // suffix; WHOLLY best-effort — the commit is already durable,
         // so no failure here (snapshot replay included) may surface to
@@ -194,7 +197,7 @@ object CommitLog {
         if (next % CheckpointInterval == 0) {
           try {
             val snap = liveFiles(spark, tablePath, asOf = next)._2
-            publishExclusive(fs, log,
+            publisher.publish(fs, log,
               new org.apache.hadoop.fs.Path(log, f"$next%020d.checkpoint"),
               snap.map("+" + _).mkString("\n"))
             ()
@@ -206,32 +209,6 @@ object CommitLog {
     }
     throw new IllegalStateException(
       s"could not win a commit version for $tablePath after $attempts attempts")
-  }
-
-  /** Atomically publish `content` at `dst` if and only if `dst` does
-    * not exist; false = lost the race. POSIX rename REPLACES an
-    * existing destination, so file:// publishes via hard link
-    * (createLink throws FileAlreadyExistsException atomically); HDFS
-    * rename refuses an existing destination namenode-side. */
-  private def publishExclusive(fs: org.apache.hadoop.fs.FileSystem,
-      log: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path,
-      content: String): Boolean = {
-    val tmp = new org.apache.hadoop.fs.Path(log,
-      s"_tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
-    val out = fs.create(tmp, false)
-    try { out.write(content.getBytes("UTF-8")); out.close() }
-    catch { case e: java.io.IOException => fs.delete(tmp, false); throw e }
-    val won =
-      if (fs.getScheme == "file") {
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(dst.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else fs.rename(tmp, dst)
-    if (fs.getScheme == "file" || !won) fs.delete(tmp, false)
-    won
   }
 
   /** Land a staged parquet write's part files in the table directory
@@ -253,18 +230,38 @@ object CommitLog {
     names
   }
 
+  /** Writer ids embed the WALL-CLOCK ms at staging start (plus pid and
+    * nanos for uniqueness): vacuum parses the stamp back out of landed
+    * file names and honors it alongside the filesystem mod time, so a
+    * file is only reclaimed when BOTH say it predates the retention
+    * window — mod times alone are one skewed NFS/object-store clock
+    * away from eating an in-flight writer's files. */
+  private def freshWriterId(prefix: String): String =
+    s"$prefix${ProcessHandle.current().pid()}_${System.currentTimeMillis()}_${System.nanoTime()}"
+
+  /** The staging-start ms embedded in a landed data file's or staging
+    * dir's name, if the name carries one (`w<pid>_<ms>_<nanos>-part-…`
+    * for landed files, `w<pid>_<ms>_<nanos>` for staging dirs). */
+  private[store] def writerStampMs(name: String): Option[Long] =
+    name match {
+      case WriterStampRe(ms, _) => Some(ms.toLong)
+      case _ => None
+    }
+  private val WriterStampRe = "^[wc][0-9]+_([0-9]+)_[0-9]+(-.*)?$".r
+
   /** Logged append: land the frame's part files under writer-unique
     * names, then publish them in one commit. Readers see all rows or
     * none. Safe under arbitrary concurrent writers — no lock. */
-  def append(df: DataFrame, tablePath: String): Long = {
+  def append(df: DataFrame, tablePath: String,
+      publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
     val spark = df.sparkSession
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
-    val writerId = s"w${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
     df.write.parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
-    commit(spark, tablePath, adds = names)
+    commit(spark, tablePath, adds = names, publisher = publisher)
   }
 
   /** Snapshot read of the live file set (empty frame with `schema` for
@@ -284,7 +281,8 @@ object CommitLog {
     * readers switch atomically, and a concurrent append's files are
     * untouched (they are not in this rewrite's remove set). No parking,
     * no lock: a crash leaves only invisible orphans for vacuum(). */
-  def compact(spark: SparkSession, tablePath: String, targetBytes: Long): Long = {
+  def compact(spark: SparkSession, tablePath: String, targetBytes: Long,
+      publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
@@ -293,21 +291,27 @@ object CommitLog {
     val paths = files.map(f => s"$tablePath/$f")
     val totalBytes = paths.map(p => fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val writerId = s"c${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    val writerId = freshWriterId("c")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
     spark.read.parquet(paths: _*).repartition(nOut).write.parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     // commit() validates `files` against the live set and throws on a
     // concurrent rewrite — never a silent table doubling
-    commit(spark, tablePath, adds = names, removes = files)
+    commit(spark, tablePath, adds = names, removes = files, publisher = publisher)
   }
 
   /** Reclaim data files no commit references — compaction leftovers
     * and crashed writers' orphans. `minAgeMs` protects in-flight
     * writers that landed files but have not committed yet (production
-    * uses hours; tests pass 0). Staging dirs older than the threshold
-    * are swept too. Never touches the log itself. */
+    * uses HOURS — comfortably past any staging-to-commit gap a live
+    * writer can have, GC pauses included; tests pass 0). A file is
+    * reclaimed only when BOTH its filesystem mod time AND the
+    * staging-start stamp embedded in its writer-id name prefix (when
+    * present) predate the window, so a skewed storage clock alone
+    * cannot eat an in-flight writer's files. Staging dirs older than
+    * the threshold are swept too. Never touches the log itself. */
   def vacuum(spark: SparkSession, tablePath: String, minAgeMs: Long): Seq[String] = {
+    require(minAgeMs >= 0, s"minAgeMs must be >= 0: $minAgeMs")
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
     if (!fs.exists(dir)) return Seq.empty
@@ -315,7 +319,8 @@ object CommitLog {
     val cutoff = System.currentTimeMillis() - minAgeMs
     fs.listStatus(dir).flatMap { st =>
       val n = st.getPath.getName
-      val stale = st.getModificationTime <= cutoff
+      val stale = st.getModificationTime <= cutoff &&
+        writerStampMs(n.stripPrefix("_staging_")).forall(_ <= cutoff)
       if (st.isFile && !n.startsWith("_") && !n.startsWith(".") && !live(n) && stale) {
         fs.delete(st.getPath, false); Some(n)
       } else if (st.isDirectory && n.startsWith("_staging_") && stale) {

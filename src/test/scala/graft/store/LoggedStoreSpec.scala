@@ -7,9 +7,16 @@ import java.nio.file.Files
 
 /** The commit-log table layer's ACID claims, exercised concretely:
   * atomic visibility, multi-writer serialization without a lock, the
-  * no-lost-update property under append-during-compact, and orphan
-  * reclamation. */
-class LoggedStoreSpec extends SparkSpec {
+  * no-lost-update property under append-during-compact, orphan
+  * reclamation, and a racing-writers stress run across 100+ versions.
+  *
+  * The suite is publisher-parameterized and runs TWICE: once against
+  * the default rename/hard-link publisher (HDFS/local semantics) and
+  * once against the conditional-PUT publisher over the local S3-class
+  * emulation (no atomic rename, last-writer-wins PUT, server-side
+  * create-if-absent) — the protocol must hold identically on both.
+  */
+abstract class LoggedStoreBehavior(publisher: AtomicPublisher) extends SparkSpec {
   import spark.implicits._
 
   private def freshTable(): String =
@@ -17,10 +24,15 @@ class LoggedStoreSpec extends SparkSpec {
 
   private val schema = spark.range(0).toDF("id").schema
 
+  private def append(df: org.apache.spark.sql.DataFrame, t: String): Long =
+    CommitLog.append(df, t, publisher)
+  private def commit(t: String, adds: Seq[String], removes: Seq[String] = Seq.empty): Long =
+    CommitLog.commit(spark, t, adds, removes, publisher)
+
   test("append/read round trip; files without a commit are invisible") {
     val t = freshTable()
     assert(CommitLog.read(spark, t, schema).count() == 0)
-    val v1 = CommitLog.append(spark.range(0, 100).toDF("id"), t)
+    val v1 = append(spark.range(0, 100).toDF("id"), t)
     assert(v1 == 1L)
     assert(CommitLog.read(spark, t, schema).count() == 100)
     // a writer that crashed after landing a data file but before its
@@ -41,11 +53,33 @@ class LoggedStoreSpec extends SparkSpec {
     assert(CommitLog.read(spark, t, schema).count() == 100)
   }
 
+  test("vacuum honors the writer-id staging stamp, not just storage mod times") {
+    val t = freshTable()
+    append(spark.range(0, 10).toDF("id"), t)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an in-flight writer's landed-but-uncommitted file whose STORAGE
+    // mod time reads far in the past (skewed object-store clock) — the
+    // wall-clock stamp in its name says it just started, so a
+    // retention window must protect it
+    val now = System.currentTimeMillis()
+    val inflight = s"w99999_${now}_1-part-00000.parquet"
+    val p = new org.apache.hadoop.fs.Path(t, inflight)
+    fs.create(p, true).close()
+    fs.setTimes(p, now - 48L * 3600 * 1000, -1)
+    val swept = CommitLog.vacuum(spark, t, minAgeMs = 3600 * 1000)
+    assert(!swept.contains(inflight),
+      "vacuum trusted a skewed mod time over the writer's own stamp")
+    // with age 0 (test mode) it is reclaimable as before
+    assert(CommitLog.vacuum(spark, t, minAgeMs = 0).contains(inflight))
+    intercept[IllegalArgumentException] { CommitLog.vacuum(spark, t, minAgeMs = -1) }
+  }
+
   test("eight lockless concurrent writers: every row survives, versions serialize") {
     val t = freshTable()
     val threads = (0 until 8).map { i =>
       new Thread(() => {
-        CommitLog.append(spark.range(i * 100, (i + 1) * 100).toDF("id"), t); ()
+        append(spark.range(i * 100, (i + 1) * 100).toDF("id"), t); ()
       })
     }
     threads.foreach(_.start()); threads.foreach(_.join())
@@ -59,10 +93,10 @@ class LoggedStoreSpec extends SparkSpec {
   test("compact: one atomic commit, contents identical, old files reclaimed by vacuum") {
     val t = freshTable()
     (0 until 5).foreach(i =>
-      CommitLog.append(spark.range(i * 10, (i + 1) * 10).repartition(3).toDF("id"), t))
+      append(spark.range(i * 10, (i + 1) * 10).repartition(3).toDF("id"), t))
     val before = CommitLog.liveFiles(spark, t)._2
     assert(before.size >= 10, s"fixture should be fragmented: ${before.size}")
-    CommitLog.compact(spark, t, targetBytes = 1L << 30)
+    CommitLog.compact(spark, t, targetBytes = 1L << 30, publisher = publisher)
     val (_, after) = CommitLog.liveFiles(spark, t)
     assert(after.size == 1, s"expected 1 compacted file, got ${after.size}")
     assert(CommitLog.read(spark, t, schema).as[Long].collect().sorted
@@ -76,7 +110,7 @@ class LoggedStoreSpec extends SparkSpec {
   test("checkpoints bound replay: reads survive deletion of all pre-checkpoint commits") {
     val t = freshTable()
     (0 until 25).foreach(i =>
-      CommitLog.append(spark.range(i, i + 1).repartition(1).toDF("id"), t))
+      append(spark.range(i, i + 1).repartition(1).toDF("id"), t))
     val fs = new org.apache.hadoop.fs.Path(t)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val log = new org.apache.hadoop.fs.Path(t, "_graft_log")
@@ -105,16 +139,16 @@ class LoggedStoreSpec extends SparkSpec {
     // and new commits must number PAST the checkpoint base even though
     // the pre-checkpoint commit files are gone — a commits-only version
     // counter would restart at 1 and make every new append invisible
-    val v = CommitLog.append(spark.range(1000, 1001).repartition(1).toDF("id"), t)
+    val v = append(spark.range(1000, 1001).repartition(1).toDF("id"), t)
     assert(v == 26L, s"post-prune append won version $v, expected 26")
     assert(CommitLog.read(spark, t, schema).count() == 26)
   }
 
   test("time travel: asOf reads reproduce each committed snapshot until vacuumed") {
     val t = freshTable()
-    CommitLog.append(spark.range(0, 100).toDF("id"), t)          // v1
-    CommitLog.append(spark.range(100, 150).toDF("id"), t)        // v2
-    CommitLog.compact(spark, t, targetBytes = 1L << 30)          // v3
+    append(spark.range(0, 100).toDF("id"), t)                            // v1
+    append(spark.range(100, 150).toDF("id"), t)                          // v2
+    CommitLog.compact(spark, t, targetBytes = 1L << 30, publisher = publisher) // v3
     assert(CommitLog.read(spark, t, schema, asOf = 1L).count() == 100)
     assert(CommitLog.read(spark, t, schema, asOf = 2L).count() == 150)
     assert(CommitLog.read(spark, t, schema).count() == 150)
@@ -127,15 +161,15 @@ class LoggedStoreSpec extends SparkSpec {
 
   test("two rewrites of the same live set: the second fails loudly, never doubles the table") {
     val t = freshTable()
-    CommitLog.append(spark.range(0, 100).toDF("id"), t)
+    append(spark.range(0, 100).toDF("id"), t)
     val (_, oldFiles) = CommitLog.liveFiles(spark, t)
     // both "compactors" read the same live set; the first rewrite wins
-    CommitLog.compact(spark, t, targetBytes = 1L << 30)
+    CommitLog.compact(spark, t, targetBytes = 1L << 30, publisher = publisher)
     // the second tries to commit a rewrite whose inputs are gone — a
     // blind retry here would ADD its rewrite on top of the winner's,
     // doubling every row
     intercept[java.util.ConcurrentModificationException] {
-      CommitLog.commit(spark, t, adds = Seq("stale-rewrite.parquet"), removes = oldFiles)
+      commit(t, adds = Seq("stale-rewrite.parquet"), removes = oldFiles)
     }
     assert(CommitLog.read(spark, t, schema).count() == 100,
       "the conflicting rewrite changed the table")
@@ -144,7 +178,7 @@ class LoggedStoreSpec extends SparkSpec {
   test("an append committing in the middle of a compaction is never lost") {
     val t = freshTable()
     (0 until 3).foreach(i =>
-      CommitLog.append(spark.range(i * 10, (i + 1) * 10).toDF("id"), t))
+      append(spark.range(i * 10, (i + 1) * 10).toDF("id"), t))
     // replay compact's protocol by hand so an append can interleave at
     // the worst point — between the rewrite's read and its commit
     // (with the unlogged layout this exact window was the lost-update
@@ -160,11 +194,116 @@ class LoggedStoreSpec extends SparkSpec {
     fs.rename(part, new org.apache.hadoop.fs.Path(t, "compacted-0.parquet"))
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     // the interleaved append wins the next version FIRST
-    CommitLog.append(spark.range(1000, 1010).toDF("id"), t)
+    append(spark.range(1000, 1010).toDF("id"), t)
     // the compaction commits after — removing only ITS input files
-    CommitLog.commit(spark, t, adds = Seq("compacted-0.parquet"), removes = oldFiles)
+    commit(t, adds = Seq("compacted-0.parquet"), removes = oldFiles)
     val ids = CommitLog.read(spark, t, schema).as[Long].collect().sorted
     assert(ids.sameElements((0L until 30L) ++ (1000L until 1010L)),
       s"append lost across compaction: ${ids.length} rows")
   }
+
+  test("stress: racing appenders + a compactor across 100+ versions stay exactly serialized") {
+    // Log-level race (synthetic file names, no Spark jobs per commit,
+    // so the loop reaches 120+ versions fast): 4 appender threads × 30
+    // commits each race a compactor rewriting the whole live set in a
+    // loop. Checkpoint publication (every 10 versions) happens MID-RACE
+    // ~12 times, so replay-from-checkpoint is exercised under
+    // contention, not just in the quiet suites above.
+    val t = freshTable()
+    val nThreads = 4
+    val perThread = 30
+    val wonAppends = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val wonRewrites = new java.util.concurrent.ConcurrentHashMap[Long, (String, Set[String])]()
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger
+    val errors = new java.util.concurrent.CopyOnWriteArrayList[Throwable]()
+    val appenders = (0 until nThreads).map { i =>
+      new Thread(() => {
+        try {
+          for (j <- 0 until perThread) {
+            val f = s"f_${i}_$j.parquet"
+            val v = commit(t, adds = Seq(f))
+            wonAppends.put(v, f); ()
+          }
+        } catch { case e: Throwable => errors.add(e); () }
+      })
+    }
+    val compactor = new Thread(() => {
+      var i = 0
+      while (appenders.exists(_.isAlive)) {
+        try {
+          val live = CommitLog.liveFiles(spark, t)._2
+          if (live.nonEmpty) {
+            val out = s"rw_$i.parquet"
+            val v = commit(t, adds = Seq(out), removes = live)
+            wonRewrites.put(v, (out, live.toSet)); ()
+          }
+          i += 1
+        } catch {
+          // a concurrent rewrite/append invalidated the inputs — the
+          // REQUIRED loud failure; anything else is a real bug
+          case _: java.util.ConcurrentModificationException =>
+            conflicts.incrementAndGet(); ()
+          case e: Throwable => errors.add(e); ()
+        }
+        Thread.sleep(2)
+      }
+    })
+    appenders.foreach(_.start()); compactor.start()
+    appenders.foreach(_.join()); compactor.join()
+
+    assert(errors.isEmpty,
+      s"non-conflict failures under race: ${errors.toArray.mkString("; ")}")
+    assert(wonAppends.size == nThreads * perThread,
+      s"lost appends: ${wonAppends.size} of ${nThreads * perThread}")
+
+    // versions are gap-free and uniquely owned: every version from 1
+    // to max was won by exactly one commit
+    import scala.jdk.CollectionConverters._
+    val versions = (wonAppends.keySet.asScala ++ wonRewrites.keySet.asScala).toSeq
+    val vMax = versions.max
+    assert(vMax >= 100L, s"stress run too short to exercise checkpoints: $vMax")
+    assert(versions.size == versions.distinct.size, "two commits share a version")
+    assert(versions.sorted == (1L to vMax),
+      s"version sequence has gaps: ${versions.sorted.take(20)}…")
+
+    // ground truth by replaying the win history in version order
+    def replayTo(v: Long): Set[String] =
+      (1L to v).foldLeft(Set.empty[String]) { (live, ver) =>
+        wonRewrites.asScala.get(ver) match {
+          case Some((out, removed)) => live -- removed + out
+          case None => live + wonAppends.get(ver)
+        }
+      }
+    val (vFinal, liveFinal) = CommitLog.liveFiles(spark, t)
+    assert(vFinal == vMax)
+    assert(liveFinal.toSet == replayTo(vMax),
+      s"final live set diverged from the serialized history")
+    // historical reads stay exact across checkpoint boundaries
+    for (v <- Seq(1L, 7L, 10L, 35L, 50L, vMax / 2, vMax - 1)) {
+      assert(CommitLog.liveFiles(spark, t, asOf = v)._2.toSet == replayTo(v),
+        s"asOf($v) diverged from the serialized history")
+    }
+    // checkpoints were written mid-race
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nCkpt = fs.listStatus(new org.apache.hadoop.fs.Path(t, "_graft_log"))
+      .count(_.getPath.getName.endsWith(".checkpoint"))
+    assert(nCkpt >= vMax / CommitLog.CheckpointInterval / 2,
+      s"too few checkpoints landed under race: $nCkpt for $vMax versions")
+    // every rewrite the compactor BELIEVES it won is consistent with
+    // what the log serialized (no silently-dropped remove)
+    wonRewrites.asScala.foreach { case (v, (_, removed)) =>
+      assert(removed.subsetOf(replayTo(v - 1)),
+        s"rewrite at v$v removed files that were not live at v${v - 1}")
+    }
+  }
 }
+
+/** HDFS/local semantics: exclusive rename / hard link. */
+class LoggedStoreSpec extends LoggedStoreBehavior(RenameOrLinkPublisher)
+
+/** S3-class semantics: conditional PUT over the local emulation — no
+  * atomic rename exists; the server-side create-if-absent is the only
+  * atomicity primitive, and the whole ACID suite must hold on it. */
+class LoggedStoreS3Spec extends LoggedStoreBehavior(
+  new ConditionalPutPublisher(new LocalConditionalPutStore))
