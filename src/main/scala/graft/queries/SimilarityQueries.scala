@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.sim.Similarity
+import graft.sim.{IvfRefresh, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -239,6 +239,47 @@ object SimilarityQueries {
         |       round(CASE WHEN var > 0 THEN (v - mu) / sqrt(var) ELSE 0.0 END, 6) AS v_std
         |FROM dims JOIN stats USING (dim)""".stripMargin) { (s, dir) =>
       Similarity.standardizeDims(emb(s, dir), "vec_id", "embedding")
+    },
+
+    // ── Drift-triggered index lifecycle e2e: bootstrap → healthy no-op
+    // → forced-drift retrain, generations swapped atomically through a
+    // CommitLog-backed registry. The emitted values are control-flow
+    // constants (generation numbers, refresh decisions, time-travel
+    // visibility), so the oracle is exact; recall-after-refresh ≥
+    // recall-before is pinned separately in IvfRefreshSpec (trained
+    // centroids are distributed f64 means — not oracle territory). The
+    // fixture embeddings are near-uniform, so every source reads
+    // scattered: a threshold below any cosine (-2) reads healthy, a
+    // threshold above (+2) reads drifted — both branches exercised
+    // against the same real drift reading. ─────────────────────────────
+    Q(
+      "ann_ivf_refresh",
+      """SELECT CAST(1 AS BIGINT) AS gen_boot, true  AS refreshed_boot,
+        |       CAST(1 AS BIGINT) AS gen_noop, false AS refreshed_noop,
+        |       CAST(2 AS BIGINT) AS gen_drift, true AS refreshed_drift,
+        |       CAST(1 AS BIGINT) AS gen_asof1,
+        |       CAST(10 AS BIGINT) AS n_centroids""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val e = emb(s, dir)
+      val base = s"/tmp/graft_state/ivf_refresh"
+      val (reg, root) = (s"$base/registry", s"$base/generations")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val boot = IvfRefresh.refreshIndexIfDrifted(docs, e, reg, root,
+        minCosThreshold = -2.0, trainIters = 2)
+      val noop = IvfRefresh.refreshIndexIfDrifted(docs, e, reg, root,
+        minCosThreshold = -2.0, trainIters = 2)
+      val drift = IvfRefresh.refreshIndexIfDrifted(docs, e, reg, root,
+        minCosThreshold = 2.0, trainIters = 2)
+      val asof1 = IvfRefresh.currentGeneration(s, reg, asOf = 1L).get
+      import s.implicits._
+      Seq((boot.gen.generation, boot.refreshed,
+        noop.gen.generation, noop.refreshed,
+        drift.gen.generation, drift.refreshed,
+        asof1.generation, drift.gen.centroids.size.toLong))
+        .toDF("gen_boot", "refreshed_boot", "gen_noop", "refreshed_noop",
+          "gen_drift", "refreshed_drift", "gen_asof1", "n_centroids")
     },
 
     Q(

@@ -1,0 +1,138 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.store.{AtomicPublisher, CommitLog, RenameOrLinkPublisher}
+
+/** Drift-triggered IVF index lifecycle: monitor → (maybe) retrain →
+  * atomic swap.
+  *
+  * An IVF index is a snapshot of the corpus's cluster structure; when
+  * the corpus drifts (new sources, domain shift), the frozen centroids
+  * partition the new data badly and recall decays at a fixed probe
+  * budget. Retraining on every write is wasteful — the index rewrite is
+  * the one corpus-sized operation here — so the refresh is GATED on the
+  * cheap drift monitor ([[Similarity.sourceDrift]], scalar exchanges
+  * only): only when the worst source's mean member-to-own-centroid
+  * cosine falls below the caller's threshold does a rebuild run.
+  *
+  * Generations are published through a [[CommitLog]]-backed REGISTRY
+  * table — a control-plane table of one row per index generation
+  * (generation, index path, centroid set, drift reading at build time).
+  * Each refresh writes a NEW index directory (`gen-<n>/`, never touching
+  * the live one) and then appends one registry row; that single log
+  * commit is the swap point, so readers move from gen n to gen n+1
+  * atomically, in-flight readers of the old directory are undisturbed,
+  * and `asOf` reads of the registry reproduce any historical
+  * generation (the CommitLog time-travel contract). A crashed refresh
+  * leaves an unreferenced index directory and no registry row —
+  * invisible, reclaimable, never a torn index.
+  *
+  * Scale shape: the monitor is sourceDrift (nothing array-typed crosses
+  * an exchange); training is Lloyd's with k-bounded driver state; the
+  * registry is k×dims-sized per row — the only corpus-sized cost is the
+  * gated index rewrite itself, which is exactly the cost the trigger
+  * exists to avoid paying on every cycle.
+  *
+  * Provenance: the reference refreshes derived artifacts only when a
+  * re-scan shows upstream change (`tasker/service.go` re-plan on
+  * ingest delta); this transplants that trigger-not-schedule shape to
+  * the vector-index surface.
+  */
+object IvfRefresh {
+
+  /** One published index generation, as read back from the registry. */
+  case class IndexGen(
+      generation: Long,
+      indexPath: String,
+      centroids: Similarity.Centroids,
+      minSourceCos: Double)
+
+  /** What a refresh call did and the generation now live. */
+  case class RefreshResult(refreshed: Boolean, reason: String, gen: IndexGen)
+
+  /** Registry row layout. Centroids ride as a flat text encoding
+    * (`cid:v1,v2,…;cid:…`) — k×dims doubles, control-plane-sized; the
+    * f64 round trip is exact via toString/toDouble. */
+  val registrySchema: StructType = StructType(Seq(
+    StructField("generation", LongType),
+    StructField("index_path", StringType),
+    StructField("centroids", StringType),
+    StructField("min_source_cos", DoubleType)))
+
+  private def encodeCents(cents: Similarity.Centroids): String =
+    cents.map { case (cid, v) => s"$cid:" + v.mkString(",") }.mkString(";")
+
+  private def decodeCents(s: String): Similarity.Centroids =
+    s.split(';').toSeq.map { part =>
+      val i = part.indexOf(':')
+      (part.substring(0, i).toLong,
+        part.substring(i + 1).split(',').toSeq.map(_.toDouble))
+    }
+
+  /** The generation readers should search, if any has been published.
+    * Snapshot-consistent: one registry read at one log version. */
+  def currentGeneration(spark: SparkSession, registryPath: String,
+      asOf: Long = Long.MaxValue): Option[IndexGen] =
+    CommitLog.read(spark, registryPath, registrySchema, asOf)
+      .orderBy(col("generation").desc).limit(1)
+      .collect().headOption
+      .map(r => IndexGen(r.getLong(0), r.getString(1),
+        decodeCents(r.getString(2)), r.getDouble(3)))
+
+  /** The scalar drift trigger: the WORST source's mean cosine of
+    * members to their own centroid (a scattered source reads low).
+    * Corpora with no usable drift rows (all-zero vectors everywhere)
+    * read as fully drifted — a monitor that cannot see must not
+    * silently report health. */
+  def minSourceCos(docs: DataFrame, emb: DataFrame): Double =
+    Similarity.sourceDrift(docs, emb).agg(min("avg_cos"))
+      .collect().headOption.filterNot(_.isNullAt(0)).map(_.getDouble(0))
+      .getOrElse(Double.NegativeInfinity)
+
+  /** Retrain-and-swap iff the corpus has drifted past `minCosThreshold`
+    * (or no index exists yet — bootstrap always builds). Returns what
+    * happened and the live generation either way. The new index lands
+    * at `indexRoot/gen-<n>` and becomes visible only through the
+    * registry commit. */
+  def refreshIndexIfDrifted(docs: DataFrame, emb: DataFrame,
+      registryPath: String, indexRoot: String, minCosThreshold: Double,
+      numCentroids: Int = 10, trainIters: Int = 3,
+      publisher: AtomicPublisher = RenameOrLinkPublisher): RefreshResult = {
+    val spark = emb.sparkSession
+    val current = currentGeneration(spark, registryPath)
+    val drift = minSourceCos(docs, emb)
+
+    def build(gen: Long, reason: String): RefreshResult = {
+      val cents = Similarity.trainCentroids(emb, numCentroids, trainIters)
+      val path = s"$indexRoot/gen-$gen"
+      Similarity.writeIvfIndex(emb, path, cents)
+      import spark.implicits._
+      val row = Seq((gen, path, encodeCents(cents), drift))
+        .toDF("generation", "index_path", "centroids", "min_source_cos")
+      CommitLog.append(row, registryPath, publisher)
+      RefreshResult(refreshed = true, reason, IndexGen(gen, path, cents, drift))
+    }
+
+    current match {
+      case None => build(1L, "bootstrap: no generation published")
+      case Some(gen) if drift < minCosThreshold =>
+        build(gen.generation + 1,
+          f"drifted: min source cos $drift%.4f < $minCosThreshold%.4f")
+      case Some(gen) =>
+        RefreshResult(refreshed = false,
+          f"healthy: min source cos $drift%.4f >= $minCosThreshold%.4f", gen)
+    }
+  }
+
+  /** Search the live generation: partition-pruned probe of the at-rest
+    * index ([[Similarity.ivfTopKFromIndex]]). */
+  def topK(spark: SparkSession, registryPath: String, queries: DataFrame,
+      k: Int, nProbe: Int = 3): DataFrame = {
+    val gen = currentGeneration(spark, registryPath).getOrElse(
+      throw new IllegalStateException(s"no index generation published at $registryPath"))
+    Similarity.ivfTopKFromIndex(spark, gen.indexPath, queries, k, gen.centroids, nProbe)
+  }
+}
