@@ -14,14 +14,18 @@ import org.apache.spark.sql.functions._
   * column, with the decode step executed per-partition in batches (the
   * JVM shape of a Pandas `mapInPandas` UDF).
   *
-  * THE DECODE IS A STUB: no image/audio libs ship in this container, so
-  * `decodeBatch` derives deterministic pseudo-metadata from the sha256
-  * of the bytes. Every piece of Spark plumbing around it — binary
-  * schema, typed Dataset, partition-batched iteration, exploded frame
-  * sampling — is real; swapping `decodeBatch`'s body for an actual
-  * decoder changes no plan shape. Because the stub is a pure function
-  * of the bytes, the DuckDB oracle re-derives every value (full
-  * value-level check of the plumbing).
+  * THE DECODE IS REAL FOR IMAGES, STUBBED FOR THE REST: the JDK's
+  * `javax.imageio` registry (java.desktop — pure JVM, present in every
+  * container this runs in) decodes PNG/JPEG/BMP/GIF/TIFF/WBMP headers,
+  * so `decodeBatch` emits true width/height/channels/format for any
+  * payload a registered reader sniffs (`multimodal_decode_image`
+  * oracle-checks this against fixture images of known geometry). Bytes
+  * NO reader claims — video, audio, text; their codecs don't ship in
+  * this container — fall back to deterministic pseudo-metadata derived
+  * from the sha256 of the bytes, which keeps the fallback a pure
+  * function of content that the DuckDB oracle re-derives
+  * (`multimodal_decode`). Swapping the fallback for ffmpeg changes no
+  * plan shape: both paths run inside the same partition-batched seam.
   *
   * Scale: content bytes never shuffle — decode is a mapPartitions
   * (narrow), metadata is the only thing that aggregates. Frame sampling
@@ -41,19 +45,69 @@ object Multimodal {
 
   private def hexVal(c: Char): Int = Integer.parseInt(c.toString, 16)
 
-  /** STUB decode of one batch. Real implementation: hand `batch` to an
-    * image/audio codec (libjpeg/ffmpeg/...) exactly here — the
-    * per-partition batching is what a vectorized UDF needs either way. */
+  /** Header-only image decode of one payload via the JDK's ImageIO
+    * reader registry. Reads the HEADER, not the pixel buffer:
+    * width/height come from the stream metadata and the channel count
+    * from the reader's image-type specifier, so per-row cost is
+    * O(header bytes), not O(pixels) — the property that keeps a
+    * metadata pass over a 100 TB media corpus affordable. None = no
+    * registered reader claims the bytes (video/audio/text), or the
+    * header is truncated/corrupt — the caller's fallback path.
+    *
+    * Sniffing must not MISCLAIM arbitrary bytes as images, so two lax
+    * readers are gated: WBMP (no magic at all — its sniffer accepts
+    * near-anything starting with low bytes) is rejected outright, and
+    * BMP (magic is just "BM", two ASCII letters any text can open
+    * with) is accepted only when the header's reserved bytes 6–9 are
+    * zero, which the BMP spec mandates and running text never hits. */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, String)] = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          val fmt = r.getFormatName.toLowerCase
+          val plausible = fmt match {
+            case "wbmp" => false
+            case "bmp" => bytes.length > 10 &&
+              bytes(6) == 0 && bytes(7) == 0 && bytes(8) == 0 && bytes(9) == 0
+            case _ => true // png/jpeg/gif/tiff: strong multi-byte magic
+          }
+          if (!plausible) None
+          else {
+            r.setInput(iis, true, true)
+            val channels = r.getImageTypes(0).next().getColorModel.getNumComponents
+            Some((r.getWidth(0), r.getHeight(0), channels, fmt))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+        finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** Decode one batch: real header decode for anything the JVM's image
+    * readers recognize; deterministic sha256-derived pseudo-metadata
+    * for bytes no reader claims (the honest stand-in for codecs this
+    * container lacks — a real ffmpeg integration lands in this same
+    * per-partition batch seam, which is what a vectorized UDF needs
+    * either way). */
   def decodeBatch(batch: Seq[MediaIn]): Seq[MediaMeta] = batch.map { m =>
     val h = graft.core.Hashing.sha256HexBytes(m.content) // raw bytes: non-UTF8 binaries must not collide
-    MediaMeta(
-      doc_id = m.doc_id,
-      n_bytes = m.content.length.toLong,
-      content_hash = h,
-      width = 320 + 16 * hexVal(h.charAt(0)),
-      height = 240 + 16 * hexVal(h.charAt(1)),
-      channels = 1 + hexVal(h.charAt(2)) % 3,
-      format = if (hexVal(h.charAt(3)) < 8) "rgb" else "yuv")
+    decodeImage(m.content) match {
+      case Some((w, ht, ch, fmt)) =>
+        MediaMeta(m.doc_id, m.content.length.toLong, h, w, ht, ch, fmt)
+      case None => MediaMeta(
+        doc_id = m.doc_id,
+        n_bytes = m.content.length.toLong,
+        content_hash = h,
+        width = 320 + 16 * hexVal(h.charAt(0)),
+        height = 240 + 16 * hexVal(h.charAt(1)),
+        channels = 1 + hexVal(h.charAt(2)) % 3,
+        format = if (hexVal(h.charAt(3)) < 8) "rgb" else "yuv")
+    }
   }
 
   /** Decode a binary column into typed metadata, batched per partition

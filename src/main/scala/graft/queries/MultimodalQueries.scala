@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.ingest.FixtureTree
-import graft.multimodal.Multimodal
+import graft.multimodal.{ImageFixture, Multimodal}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -37,6 +37,29 @@ object MultimodalQueries {
          |FROM documents""".stripMargin) { (s, dir) =>
       import s.implicits._
       Multimodal.decode(mediaDocs(s, dir).as[Multimodal.MediaIn]).toDF()
+    },
+
+    // ── REAL image decode: fixture images of known geometry (pure
+    // arithmetic in the image index — ImageFixture), scanned via the
+    // binaryFile source and decoded header-only by the JDK's ImageIO
+    // readers. The oracle recomputes width/height/channels/format from
+    // range() alone — if the engine's decode path were hashing instead
+    // of decoding, every row would miss. ───────────────────────────────
+    Q(
+      "multimodal_decode_image",
+      """SELECT CAST(i AS BIGINT) AS doc_id,
+        |  CAST(8 + i % 16 AS INTEGER) AS width,
+        |  CAST(8 + (i * 7) % 16 AS INTEGER) AS height,
+        |  CAST(CASE WHEN i % 3 = 0 THEN 4 ELSE 3 END AS INTEGER) AS channels,
+        |  CASE i % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'jpeg' END AS format
+        |FROM range(0, 48) t(i)""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val media = Multimodal.scanBinary(s, ImageFixture.ensure())
+        .select(regexp_extract(col("key"), "img_(\\d+)", 1).cast("long").as("doc_id"),
+          col("content"))
+        .as[Multimodal.MediaIn]
+      Multimodal.decode(media).toDF()
+        .select("doc_id", "width", "height", "channels", "format")
     },
 
     // ── Frame sampling: bounded explode keyed by content hash ──────────

@@ -1,0 +1,57 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** The real-vs-fallback decode contract: JDK-readable image bytes
+  * yield true header geometry; bytes no reader can claim — and bytes a
+  * LAX reader would misclaim — take the deterministic hash-derived
+  * fallback. */
+class MultimodalDecodeSpec extends SparkSpec {
+
+  private def png(w: Int, h: Int, argb: Boolean): Array[Byte] = {
+    val t = if (argb) java.awt.image.BufferedImage.TYPE_INT_ARGB
+            else java.awt.image.BufferedImage.TYPE_INT_RGB
+    val img = new java.awt.image.BufferedImage(w, h, t)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImage reads true geometry from png/jpeg headers") {
+    assert(Multimodal.decodeImage(png(13, 7, argb = true)).contains((13, 7, 4, "png")))
+    assert(Multimodal.decodeImage(png(320, 1, argb = false)).contains((320, 1, 3, "png")))
+    val img = new java.awt.image.BufferedImage(5, 9, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    val Some((w, h, ch, fmt)) = Multimodal.decodeImage(bos.toByteArray)
+    assert((w, h, ch, fmt) == (5, 9, 3, "jpeg"))
+  }
+
+  test("non-image bytes fall back to the hash stub — including text opening with 'BM'") {
+    val text = "BMW drivers, read the manual".getBytes("UTF-8")
+    assert(Multimodal.decodeImage(text).isEmpty,
+      "the two-letter BMP magic must not claim running text")
+    assert(Multimodal.decodeImage("plain text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(Array[Byte](0, 0, 0, 0, 0, 0, 0, 0)).isEmpty,
+      "the magic-less WBMP sniffer must stay gated")
+    // truncated real header: claimed by the png reader, fails parse, falls back
+    assert(Multimodal.decodeImage(png(4, 4, argb = false).take(16)).isEmpty)
+    // the batch path stitches the fallback in deterministically
+    val meta = Multimodal.decodeBatch(Seq(Multimodal.MediaIn(1L, text))).head
+    assert(meta.width >= 320 && meta.format == "rgb" || meta.format == "yuv")
+  }
+
+  test("the fixture tree decodes to exactly its construction parameters") {
+    ImageFixture.ensure()
+    (0 until ImageFixture.n).foreach { i =>
+      val f = new java.io.File(ImageFixture.root).listFiles()
+        .find(_.getName.contains(f"img_$i%03d")).get
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val Some((w, h, ch, fmt)) = Multimodal.decodeImage(bytes)
+      assert((w, h, ch, fmt) ==
+        (ImageFixture.widthOf(i), ImageFixture.heightOf(i),
+          ImageFixture.channelsOf(i), ImageFixture.formatOf(i)),
+        s"fixture $i decoded to ($w,$h,$ch,$fmt)")
+    }
+  }
+}
