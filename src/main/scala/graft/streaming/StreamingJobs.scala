@@ -62,20 +62,38 @@ object StreamingJobs {
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame =
     runToMemoryWithQuery(df, name, mode)._1
 
+  /** State partition count for the drain harness. A stateful operator
+    * instantiates ONE state store per shuffle partition and every
+    * micro-batch pays a commit (delta file + snapshot bookkeeping) per
+    * instance, so the per-trigger floor scales with the partition
+    * count, not the data: at the drain's state volume the batch-side
+    * default (32) is almost entirely fixed cost. Real deployments size
+    * this to state volume the same way — it is a per-query sizing
+    * decision, frozen into the checkpoint at first start. 8 keeps the
+    * state sharded (parallelism, skew) at a quarter of the commit
+    * overhead; 4 measured no better — the lost processing parallelism
+    * eats the commit savings. */
+  private val StateShufflePartitions = 8
+
   /** runToMemory, additionally returning the TERMINATED query so
     * callers (the bounded-state StreamingSpec) can read its progress
     * history — state-store row counts, eviction counts. */
   def runToMemoryWithQuery(df: DataFrame, name: String,
       mode: OutputMode): (DataFrame, StreamingQuery) = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .option("checkpointLocation", tmpCheckpoint(name))
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    (df.sparkSession.table(name), q)
+    val conf = df.sparkSession.conf
+    val saved = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", StateShufflePartitions.toString)
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tmpCheckpoint(name))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (df.sparkSession.table(name), q)
+    } finally conf.set("spark.sql.shuffle.partitions", saved)
   }
 
   /** The windowed-count streaming aggregation both output modes share:
