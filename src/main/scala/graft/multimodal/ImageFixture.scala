@@ -55,3 +55,59 @@ object ImageFixture {
     require(ok, s"no JDK writer for ${formatOf(i)}")
   }
 }
+
+/** Deterministic audio fixtures for the real audio-decode path: `n`
+  * tiny PCM clips of KNOWN header parameters, cycling the three
+  * JDK-writable containers (WAV little-endian, AIFF and AU
+  * big-endian), with
+  *
+  *   sample rate = 8000 + 1000·(i%5)
+  *   channels    = 1 + i%2
+  *   frames      = 200 + 40·(i%8)
+  *
+  * — pure arithmetic in i for the DuckDB `range()` oracle, same
+  * contract as [[ImageFixture]]. Sample values are deterministic and
+  * never enter the check; only the header does. */
+object AudioFixture {
+  val root: String = "/tmp/graft_state/audio_fixture"
+  val n = 30
+
+  def sampleRateOf(i: Int): Int = 8000 + 1000 * (i % 5)
+  def channelsOf(i: Int): Int = 1 + i % 2
+  def framesOf(i: Int): Int = 200 + 40 * (i % 8)
+  def formatOf(i: Int): String = (i % 3) match {
+    case 0 => "wave"; case 1 => "aiff"; case _ => "au"
+  }
+
+  def ensure(): String = synchronized {
+    val dir = new File(root)
+    val want = (0 until n).map(fileName).toSet
+    val have = Option(dir.listFiles()).getOrElse(Array.empty).map(_.getName).toSet
+    if (have != want) {
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); () }
+      dir.mkdirs()
+      (0 until n).foreach(write)
+    }
+    root
+  }
+
+  private def fileName(i: Int): String = {
+    val ext = (i % 3) match { case 0 => "wav"; case 1 => "aiff"; case _ => "au" }
+    f"clip_$i%03d.$ext"
+  }
+
+  private def write(i: Int): Unit = {
+    import javax.sound.sampled._
+    val (rate, ch, frames) = (sampleRateOf(i), channelsOf(i), framesOf(i))
+    val fmt = new AudioFormat(rate.toFloat, 16, ch, true, i % 3 != 0) // WAV LE, AIFF/AU BE
+    val pcm = Array.tabulate[Byte](frames * ch * 2)(j => ((i * 131 + j * 7) & 0x7F).toByte)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val tpe = (i % 3) match {
+      case 0 => AudioFileFormat.Type.WAVE
+      case 1 => AudioFileFormat.Type.AIFF
+      case _ => AudioFileFormat.Type.AU
+    }
+    val written = AudioSystem.write(ais, tpe, new File(root, fileName(i)))
+    require(written > 0, s"no JDK writer for $tpe")
+  }
+}

@@ -130,6 +130,56 @@ object Multimodal {
     df.join(meta, "doc_id")
   }
 
+  /** Typed metadata out of the audio decoder. */
+  final case class AudioMeta(
+      doc_id: Long, n_bytes: Long, content_hash: String,
+      sample_rate: Int, channels: Int, n_frames: Long, format: String)
+
+  /** Header-only audio decode via the JDK's sampled-audio registry
+    * (java.desktop ships WAV/AIFF/AU/SND parsers — pure JVM). Like
+    * decodeImage: reads the header, never the sample data, so per-row
+    * cost is O(header). None = not a recognized audio container or a
+    * corrupt header. All three containers carry ≥ 4-byte magics
+    * ("RIFF…WAVE", "FORM…AIFF", ".snd"), so there is no lax-sniffer
+    * misclaim class to gate here. */
+  def decodeAudioHeader(bytes: Array[Byte]): Option[(Int, Int, Long, String)] =
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = aff.getFormat
+      Some((f.getSampleRate.toInt, f.getChannels, aff.getFrameLength.toLong,
+        aff.getType.toString.toLowerCase))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Decode one audio batch: real header decode for JDK-recognized
+    * containers, deterministic hash-derived pseudo-metadata for the
+    * rest (the same honest-fallback contract as decodeBatch). */
+  def decodeAudioBatch(batch: Seq[MediaIn]): Seq[AudioMeta] = batch.map { m =>
+    val h = graft.core.Hashing.sha256HexBytes(m.content)
+    decodeAudioHeader(m.content) match {
+      case Some((rate, ch, frames, fmt)) =>
+        AudioMeta(m.doc_id, m.content.length.toLong, h, rate, ch, frames, fmt)
+      case None => AudioMeta(
+        doc_id = m.doc_id,
+        n_bytes = m.content.length.toLong,
+        content_hash = h,
+        sample_rate = 8000 + 800 * hexVal(h.charAt(0)),
+        channels = 1 + hexVal(h.charAt(1)) % 2,
+        n_frames = 1000L + 100L * hexVal(h.charAt(2)),
+        format = "pcm")
+    }
+  }
+
+  /** Audio decode over a binary Dataset, partition-batched like
+    * decode. */
+  def decodeAudio(ds: Dataset[MediaIn], batchSize: Int = 64): Dataset[AudioMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(g => decodeAudioBatch(g.toSeq)))
+  }
+
   /** One media record's stub feature vector (doc_id, per-dim rows via
     * posexplode downstream). */
   final case class MediaFeatures(doc_id: Long, features: Seq[Double])

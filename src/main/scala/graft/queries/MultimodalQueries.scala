@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.ingest.FixtureTree
-import graft.multimodal.{ImageFixture, Multimodal}
+import graft.multimodal.{AudioFixture, ImageFixture, Multimodal}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -60,6 +60,27 @@ object MultimodalQueries {
         .as[Multimodal.MediaIn]
       Multimodal.decode(media).toDF()
         .select("doc_id", "width", "height", "channels", "format")
+    },
+
+    // ── REAL audio decode: same contract as the image row — fixture
+    // clips of arithmetic-known header parameters (WAV/AIFF/AU),
+    // header-only decode via the JDK's sampled-audio registry, oracle
+    // recomputed from range() alone. ───────────────────────────────────
+    Q(
+      "multimodal_decode_audio",
+      """SELECT CAST(i AS BIGINT) AS doc_id,
+        |  CAST(8000 + 1000 * (i % 5) AS INTEGER) AS sample_rate,
+        |  CAST(1 + i % 2 AS INTEGER) AS channels,
+        |  CAST(200 + 40 * (i % 8) AS BIGINT) AS n_frames,
+        |  CASE i % 3 WHEN 0 THEN 'wave' WHEN 1 THEN 'aiff' ELSE 'au' END AS format
+        |FROM range(0, 30) t(i)""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val media = Multimodal.scanBinary(s, AudioFixture.ensure())
+        .select(regexp_extract(col("key"), "clip_(\\d+)", 1).cast("long").as("doc_id"),
+          col("content"))
+        .as[Multimodal.MediaIn]
+      Multimodal.decodeAudio(media).toDF()
+        .select("doc_id", "sample_rate", "channels", "n_frames", "format")
     },
 
     // ── Frame sampling: bounded explode keyed by content hash ──────────

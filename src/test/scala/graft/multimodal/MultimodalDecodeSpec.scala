@@ -41,6 +41,30 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(meta.width >= 320 && meta.format == "rgb" || meta.format == "yuv")
   }
 
+  test("audio headers decode to true parameters; non-audio falls back to the pcm stub") {
+    AudioFixture.ensure()
+    (0 until AudioFixture.n).foreach { i =>
+      val f = new java.io.File(AudioFixture.root).listFiles()
+        .find(_.getName.contains(f"clip_$i%03d")).get
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val Some((rate, ch, frames, fmt)) = Multimodal.decodeAudioHeader(bytes)
+      assert((rate, ch, frames, fmt) ==
+        (AudioFixture.sampleRateOf(i), AudioFixture.channelsOf(i),
+          AudioFixture.framesOf(i).toLong, AudioFixture.formatOf(i)),
+        s"clip $i decoded to ($rate,$ch,$frames,$fmt)")
+    }
+    assert(Multimodal.decodeAudioHeader("not audio at all".getBytes("UTF-8")).isEmpty)
+    val meta = Multimodal.decodeAudioBatch(
+      Seq(Multimodal.MediaIn(1L, "not audio".getBytes("UTF-8")))).head
+    assert(meta.format == "pcm" && meta.sample_rate >= 8000)
+    // an image is not audio and audio is not an image — the two real
+    // decoders never claim each other's bytes
+    assert(Multimodal.decodeAudioHeader(png(4, 4, argb = false)).isEmpty)
+    val wav = java.nio.file.Files.readAllBytes(
+      new java.io.File(AudioFixture.root).listFiles().minBy(_.getName).toPath)
+    assert(Multimodal.decodeImage(wav).isEmpty)
+  }
+
   test("the fixture tree decodes to exactly its construction parameters") {
     ImageFixture.ensure()
     (0 until ImageFixture.n).foreach { i =>
