@@ -127,6 +127,35 @@ object IvfRefresh {
     }
   }
 
+  /** Reclaim index generation directories: everything under
+    * `indexRoot` except the newest `keepLatest` published generations,
+    * age-gated like [[CommitLog.vacuum]] so an in-flight refresh's
+    * half-written directory (not yet published — invisible) is never
+    * eaten. Reclaims BOTH superseded generations and crashed-refresh
+    * orphans (directories no registry row ever referenced). After a
+    * vacuum, registry `asOf` reads older than the keep horizon still
+    * return their metadata but can no longer be served — the same
+    * time-travel-until-vacuumed contract as the commit log itself.
+    * Returns the reclaimed directory names. */
+  def vacuumGenerations(spark: SparkSession, registryPath: String,
+      indexRoot: String, keepLatest: Int = 2, minAgeMs: Long = 0L): Seq[String] = {
+    require(keepLatest >= 1, s"keepLatest must be >= 1: $keepLatest")
+    require(minAgeMs >= 0, s"minAgeMs must be >= 0: $minAgeMs")
+    val keep = CommitLog.read(spark, registryPath, registrySchema)
+      .orderBy(col("generation").desc).limit(keepLatest)
+      .collect().map(r => new org.apache.hadoop.fs.Path(r.getString(1)).getName).toSet
+    val root = new org.apache.hadoop.fs.Path(indexRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    fs.listStatus(root).toSeq.collect {
+      case st if st.isDirectory && !keep(st.getPath.getName) &&
+          st.getModificationTime <= cutoff =>
+        fs.delete(st.getPath, true)
+        st.getPath.getName
+    }
+  }
+
   /** Search the live generation: partition-pruned probe of the at-rest
     * index ([[Similarity.ivfTopKFromIndex]]). */
   def topK(spark: SparkSession, registryPath: String, queries: DataFrame,

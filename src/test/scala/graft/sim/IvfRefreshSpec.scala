@@ -127,6 +127,35 @@ class IvfRefreshSpec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(refreshed.gen.indexPath)))
   }
 
+  test("generation vacuum keeps the newest, reclaims superseded gens and crashed orphans") {
+    val (reg, root) = freshPaths()
+    val corpusA = blobCorpus(seed = 7, centers(1))
+    IvfRefresh.refreshIndexIfDrifted(docs(tight = true), corpusA, reg, root,
+      minCosThreshold = 0.5, trainIters = 1)                      // gen 1
+    val corpusB = blobCorpus(seed = 8, centers(2))
+    val g2 = IvfRefresh.refreshIndexIfDrifted(docs(tight = false), corpusB, reg, root,
+      minCosThreshold = 0.5, trainIters = 1)                      // gen 2
+    assert(g2.gen.generation == 2L)
+    // a crashed refresh's orphan: landed a directory, never published
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "gen-99"))
+
+    // age-gated: a fresh orphan survives a retention window
+    assert(IvfRefresh.vacuumGenerations(spark, reg, root,
+      keepLatest = 1, minAgeMs = 3600 * 1000).isEmpty)
+    // test-mode age 0: gen-1 (superseded) and gen-99 (orphan) go, gen-2 stays
+    val swept = IvfRefresh.vacuumGenerations(spark, reg, root, keepLatest = 1).toSet
+    assert(swept == Set("gen-1", "gen-99"), s"swept $swept")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "gen-2")))
+    // the live generation still serves
+    val q = corpusB.filter(col("vec_id") % 50 === 25)
+    assert(IvfRefresh.topK(spark, reg, q, k = 10, nProbe = 2).count() > 0)
+    intercept[IllegalArgumentException] {
+      IvfRefresh.vacuumGenerations(spark, reg, root, keepLatest = 0)
+    }
+  }
+
   test("a corpus the monitor cannot read (all-zero vectors) counts as drifted, not healthy") {
     val zero = (0 until 20).map(i => (i.toLong, Seq.fill(64)(0.0f))).toDF("vec_id", "embedding")
     val d = (0 until 20).map(i => (i.toLong, "s0")).toDF("doc_id", "source")
