@@ -504,4 +504,62 @@ object CorpusOps {
     }
     Hashing.md5Bucket(id, 100) < rate
   }
+
+  /** Count-min sketch of the corpus token stream: `depth` independent
+    * hash rows × `width` counters, each token incrementing one counter
+    * per row (bucket = md5-bucket of "d:token"). The sketch is
+    * depth×width scalar counters REGARDLESS of corpus size — the
+    * bounded-memory frequency summary that replaces a vocabulary-sized
+    * exact count table at stream/100 TB scale — and it MERGES by plain
+    * addition: sketches built per partition, per shard, or per
+    * micro-batch sum into the corpus sketch (the exchange here carries
+    * only (d, bucket) pairs, map-side combined down to ≤ depth×width
+    * rows per task).
+    *
+    * Unlike the HLL/KLL sketch rows (approximate AND engine-seeded,
+    * so spec-bounded rather than oracle-bound), the hash rows here are
+    * md5-derived and deterministic: DuckDB recomputes the identical
+    * sketch, so estimates are hash-checkable to the last count. The
+    * estimate guarantee is one-sided — est ≥ true count always, with
+    * overestimates bounded by collision mass (CorpusOpsSpec pins
+    * both). */
+  def countMinSketch(df: DataFrame, textCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in 1..16: $depth")
+    val stream = df
+      .select(explode(graft.text.TextOps.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    hashRows(stream, depth, width)
+      .groupBy("d", "bucket").agg(count(lit(1)).as("c"))
+  }
+
+  /** The (d, bucket) hash-row explosion shared by sketch build and
+    * estimate: one output row per hash row d, bucket = md5("d:token")
+    * mod width. */
+  private def hashRows(tokens: DataFrame, depth: Int, width: Int): DataFrame =
+    tokens.select(col("*"), explode(array((0 until depth).map { d =>
+      struct(lit(d).as("d"),
+        Hashing.md5Bucket(concat(lit(s"$d:"), col("token")), width).as("bucket"))
+    }: _*)).as("h"))
+      .select(col("token"), col("h.d").as("d"), col("h.bucket").as("bucket"))
+
+  /** Heavy hitters by count-min estimate: each candidate token's
+    * estimate is the MIN of its `depth` counters, ranked
+    * (est DESC, token) and cut to k. Candidates here are the corpus's
+    * distinct tokens (vocabulary-sized — the same driver-free shape as
+    * the exact top-k); the sketch's win is that the FREQUENCY table
+    * behind the ranking is depth×width, not vocabulary-sized, and
+    * already merged across shards/batches. */
+  def cmHeavyHitters(df: DataFrame, textCol: String, k: Int,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    val sketch = countMinSketch(df, textCol, depth, width)
+    val candidates = df
+      .select(explode(graft.text.TextOps.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "").distinct()
+    hashRows(candidates, depth, width)
+      .join(sketch, Seq("d", "bucket"))
+      .groupBy("token").agg(min("c").as("est_count"))
+      .orderBy(col("est_count").desc, col("token").asc)
+      .limit(k)
+  }
 }

@@ -242,6 +242,29 @@ object CorpusQueries {
         .limit(50)
     },
 
+    // ── Count-min heavy hitters: the bounded-memory (depth×width
+    // counters, mergeable-by-addition) frequency summary, ranked by
+    // estimate. The md5-derived hash rows are deterministic, so —
+    // unlike the engine-seeded HLL/KLL rows — DuckDB recomputes the
+    // IDENTICAL sketch and every estimate is hash-checked; the
+    // one-sided est ≥ truth guarantee and the collision bound are
+    // pinned in CorpusOpsSpec. ─────────────────────────────────────────
+    Q(
+      "vocab_cm_heavy_hitters",
+      s"""WITH toks AS (SELECT unnest(str_split(text, ' ')) AS token FROM documents),
+         |tf AS (SELECT token, count(*) AS cnt FROM toks WHERE token <> '' GROUP BY token),
+         |hr AS (SELECT d.range AS d, token, cnt,
+         |         ${OracleSnippets.md5BucketSql("d.range || ':' || token", 256)} AS bucket
+         |       FROM tf, range(0, 4) d),
+         |sketch AS (SELECT d, bucket, sum(cnt) AS c FROM hr GROUP BY d, bucket),
+         |est AS (SELECT hr.token, min(s.c) AS est_count
+         |        FROM hr JOIN sketch s ON s.d = hr.d AND s.bucket = hr.bucket
+         |        GROUP BY hr.token)
+         |SELECT token, CAST(est_count AS BIGINT) AS est_count
+         |FROM est ORDER BY est_count DESC, token LIMIT 50""".stripMargin) { (s, dir) =>
+      CorpusOps.cmHeavyHitters(docs(s, dir), "text", k = 50)
+    },
+
     // ── Vocabulary application: per-document out-of-vocabulary rate
     // against the corpus-derived top-50 vocabulary — the build-stats →
     // apply-stats two-phase pattern (tokenizer coverage / filtering by

@@ -359,4 +359,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(1L) == ((2L, -0.804719)), "mean of ln(0.5), ln(0.4)")
     assert(out(2L) == ((1L, -0.693147)))
   }
+
+  test("count-min: est >= truth for every token, overestimates bounded by collision mass") {
+    val docsDf = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    val exact = docsDf
+      .select(explode(graft.text.TextOps.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val est = CorpusOps.cmHeavyHitters(docsDf, "text", k = exact.size + 10)
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet == exact.keySet, "estimates must cover exactly the distinct tokens")
+    // the one-sided CM guarantee: never an underestimate
+    exact.foreach { case (t, n) =>
+      assert(est(t) >= n, s"CM underestimated '$t': ${est(t)} < $n")
+    }
+    // overestimate bound: E[error] = collision mass ≈ N/width per row;
+    // min over 4 independent rows keeps the worst observed error well
+    // under a few multiples of that
+    val totalN = exact.values.sum
+    val bound = 8.0 * totalN / 256
+    val worst = exact.map { case (t, n) => est(t) - n }.max
+    assert(worst <= bound, s"worst overestimate $worst exceeds ${bound.toInt}")
+  }
+
+  test("count-min sketches merge by addition: sharded build == whole-corpus build") {
+    val docsDf = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    val whole = CorpusOps.countMinSketch(docsDf, "text")
+      .as[(Int, Long, Long)].collect().map { case (d, b, c) => (d, b) -> c }.toMap
+    val half1 = CorpusOps.countMinSketch(docsDf.filter(col("doc_id") % 2 === 0), "text")
+      .as[(Int, Long, Long)].collect().map { case (d, b, c) => (d, b) -> c }.toMap
+    val half2 = CorpusOps.countMinSketch(docsDf.filter(col("doc_id") % 2 === 1), "text")
+      .as[(Int, Long, Long)].collect().map { case (d, b, c) => (d, b) -> c }.toMap
+    val merged = (half1.keySet ++ half2.keySet).map { k =>
+      k -> (half1.getOrElse(k, 0L) + half2.getOrElse(k, 0L))
+    }.toMap
+    assert(merged == whole, "counter-wise sum of shard sketches must equal the corpus sketch")
+  }
 }
