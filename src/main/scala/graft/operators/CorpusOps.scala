@@ -526,40 +526,51 @@ object CorpusOps {
   def countMinSketch(df: DataFrame, textCol: String,
       depth: Int = 4, width: Int = 256): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth must be in 1..16: $depth")
-    val stream = df
-      .select(explode(graft.text.TextOps.tokens(col(textCol))).as("token"))
-      .filter(col("token") =!= "")
-    hashRows(stream, depth, width)
+    hashRows(tokenStream(df, textCol), depth, width)
       .groupBy("d", "bucket").agg(count(lit(1)).as("c"))
   }
 
   /** The (d, bucket) hash-row explosion shared by sketch build and
     * estimate: one output row per hash row d, bucket = md5("d:token")
     * mod width. */
-  private def hashRows(tokens: DataFrame, depth: Int, width: Int): DataFrame =
+  private[graft] def hashRows(tokens: DataFrame, depth: Int, width: Int): DataFrame =
     tokens.select(col("*"), explode(array((0 until depth).map { d =>
       struct(lit(d).as("d"),
         Hashing.md5Bucket(concat(lit(s"$d:"), col("token")), width).as("bucket"))
     }: _*)).as("h"))
       .select(col("token"), col("h.d").as("d"), col("h.bucket").as("bucket"))
 
-  /** Heavy hitters by count-min estimate: each candidate token's
-    * estimate is the MIN of its `depth` counters, ranked
-    * (est DESC, token) and cut to k. Candidates here are the corpus's
-    * distinct tokens (vocabulary-sized — the same driver-free shape as
-    * the exact top-k); the sketch's win is that the FREQUENCY table
-    * behind the ranking is depth×width, not vocabulary-sized, and
-    * already merged across shards/batches. */
-  def cmHeavyHitters(df: DataFrame, textCol: String, k: Int,
-      depth: Int = 4, width: Int = 256): DataFrame = {
-    val sketch = countMinSketch(df, textCol, depth, width)
-    val candidates = df
-      .select(explode(graft.text.TextOps.tokens(col(textCol))).as("token"))
-      .filter(col("token") =!= "").distinct()
-    hashRows(candidates, depth, width)
-      .join(sketch, Seq("d", "bucket"))
+  /** The corpus token stream as (token) rows — sketch input and
+    * heavy-hitter candidate source. */
+  private[graft] def tokenStream(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(graft.text.TextOps.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+
+  /** Rank candidate tokens by count-min estimate against an
+    * already-built sketch: each candidate's estimate is the MIN of its
+    * `depth` counters, ranked (est DESC, token) and cut to k. The
+    * sketch is depth×width BY CONSTRUCTION, so it broadcasts — the
+    * candidate stream never shuffles for the join (PlanAuditSpec pins
+    * broadcast-only), and the one exchange carries (token, est)
+    * scalars for the ranking. Accepting the sketch as an input is what
+    * lets a streaming-maintained sketch feed the same ranking
+    * (StreamingJobs.streamingCmHeavyHitters). */
+  def cmHeavyHittersFrom(sketch: DataFrame, candidates: DataFrame, k: Int,
+      depth: Int = 4, width: Int = 256): DataFrame =
+    hashRows(candidates.distinct(), depth, width)
+      .join(broadcast(sketch), Seq("d", "bucket"))
       .groupBy("token").agg(min("c").as("est_count"))
       .orderBy(col("est_count").desc, col("token").asc)
       .limit(k)
-  }
+
+  /** Heavy hitters by count-min estimate, end to end: build the sketch
+    * over the corpus, then rank its distinct tokens (vocabulary-sized
+    * candidate set — the same driver-free shape as the exact top-k);
+    * the sketch's win is that the FREQUENCY table behind the ranking
+    * is depth×width, not vocabulary-sized, and already merged across
+    * shards/batches. */
+  def cmHeavyHitters(df: DataFrame, textCol: String, k: Int,
+      depth: Int = 4, width: Int = 256): DataFrame =
+    cmHeavyHittersFrom(countMinSketch(df, textCol, depth, width),
+      tokenStream(df, textCol), k, depth, width)
 }

@@ -44,6 +44,25 @@ object CorpusQueries {
     * production sizes this with the cluster (see packLengthBucketed). */
   private val PackLenShards = 4
 
+  /** DuckDB recomputation of the IDENTICAL count-min sketch (the hash
+    * rows are md5-derived, so both engines build the same counter
+    * table) and its heavy-hitter ranking — shared by the batch row and
+    * the streaming drain (stream_cm_heavy_hitters): addition is
+    * associative+commutative, so the streaming sketch cannot drift
+    * from the batch one. */
+  val cmHeavyHittersSql: String =
+    s"""WITH toks AS (SELECT unnest(str_split(text, ' ')) AS token FROM documents),
+       |tf AS (SELECT token, count(*) AS cnt FROM toks WHERE token <> '' GROUP BY token),
+       |hr AS (SELECT d.range AS d, token, cnt,
+       |         ${OracleSnippets.md5BucketSql("d.range || ':' || token", 256)} AS bucket
+       |       FROM tf, range(0, 4) d),
+       |sketch AS (SELECT d, bucket, sum(cnt) AS c FROM hr GROUP BY d, bucket),
+       |est AS (SELECT hr.token, min(s.c) AS est_count
+       |        FROM hr JOIN sketch s ON s.d = hr.d AND s.bucket = hr.bucket
+       |        GROUP BY hr.token)
+       |SELECT token, CAST(est_count AS BIGINT) AS est_count
+       |FROM est ORDER BY est_count DESC, token LIMIT 50""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ── Concat-and-chunk sequence packing: shard by id hash, order by
@@ -251,17 +270,7 @@ object CorpusQueries {
     // pinned in CorpusOpsSpec. ─────────────────────────────────────────
     Q(
       "vocab_cm_heavy_hitters",
-      s"""WITH toks AS (SELECT unnest(str_split(text, ' ')) AS token FROM documents),
-         |tf AS (SELECT token, count(*) AS cnt FROM toks WHERE token <> '' GROUP BY token),
-         |hr AS (SELECT d.range AS d, token, cnt,
-         |         ${OracleSnippets.md5BucketSql("d.range || ':' || token", 256)} AS bucket
-         |       FROM tf, range(0, 4) d),
-         |sketch AS (SELECT d, bucket, sum(cnt) AS c FROM hr GROUP BY d, bucket),
-         |est AS (SELECT hr.token, min(s.c) AS est_count
-         |        FROM hr JOIN sketch s ON s.d = hr.d AND s.bucket = hr.bucket
-         |        GROUP BY hr.token)
-         |SELECT token, CAST(est_count AS BIGINT) AS est_count
-         |FROM est ORDER BY est_count DESC, token LIMIT 50""".stripMargin) { (s, dir) =>
+      CorpusQueries.cmHeavyHittersSql) { (s, dir) =>
       CorpusOps.cmHeavyHitters(docs(s, dir), "text", k = 50)
     },
 

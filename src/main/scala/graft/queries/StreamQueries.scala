@@ -156,6 +156,17 @@ object StreamQueries {
       (s, dir) => StreamingJobs.incrementalLshPairs(s, dir, threshold = 0.6)
     },
 
+    // ── Streaming count-min sketch: the depth×width counter table
+    // maintained as a streaming aggregation (state bounded by the
+    // sketch size forever — no watermark, no unbounded keyspace), then
+    // ranked through the same broadcast join as the batch path. Shared
+    // oracle SQL with vocab_cm_heavy_hitters: addition is associative+
+    // commutative, so the drained sketch ≡ the batch sketch under any
+    // micro-batch arrival order. ───────────────────────────────────────
+    Q("stream_cm_heavy_hitters", CorpusQueries.cmHeavyHittersSql) { (s, dir) =>
+      StreamingJobs.streamingCmHeavyHitters(s, dir)
+    },
+
     // ── Stream-stream interval join: two live streams, matches emitted
     // as both sides arrive; drained result must equal the BATCH range
     // join (same oracle SQL object — they cannot drift). ───────────────

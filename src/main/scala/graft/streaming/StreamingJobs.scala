@@ -241,6 +241,30 @@ object StreamingJobs {
     runToMemory(agg, "stream_manifest_sink", OutputMode.Complete())
   }
 
+  /** Streaming count-min sketch + heavy hitters: the sketch's counters
+    * merge by plain addition, so maintaining it over a stream is a
+    * vanilla streaming aggregation — each micro-batch folds its token
+    * stream into the depth×width running counter table, state bounded
+    * by depth×width FOREVER (the sketch's whole point: no watermark
+    * needed, no unbounded keyspace — compare the vocabulary-sized
+    * state an exact streaming token count would carry). The drained
+    * sketch then feeds the same broadcast-join ranking as the batch
+    * path (`CorpusOps.cmHeavyHittersFrom`), and the result must equal
+    * the batch heavy hitters exactly (shared oracle SQL — the
+    * streaming and batch sketches cannot drift because addition is
+    * associative+commutative across any micro-batch arrival order). */
+  def streamingCmHeavyHitters(spark: SparkSession, sfDir: String,
+      k: Int = 50, depth: Int = 4, width: Int = 256): DataFrame = {
+    val toks = graft.operators.CorpusOps.tokenStream(
+      tableStream(spark, sfDir, "documents", maxFilesPerTrigger = 2), "text")
+    val sketchAgg = graft.operators.CorpusOps.hashRows(toks, depth, width)
+      .groupBy("d", "bucket").agg(count(lit(1)).as("c"))
+    val sketch = runToMemory(sketchAgg, "stream_cm_sink", OutputMode.Complete())
+    val candidates = graft.operators.CorpusOps.tokenStream(
+      graft.Tables.load(spark, sfDir, "documents"), "text")
+    graft.operators.CorpusOps.cmHeavyHittersFrom(sketch, candidates, k, depth, width)
+  }
+
   /** Incremental MinHash-LSH near-dup detection: each micro-batch's
     * documents are banded by the per-row kernel, candidates are the
     * batch's band collisions against an AT-REST band index (plus

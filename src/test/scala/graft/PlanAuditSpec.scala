@@ -129,6 +129,24 @@ class PlanAuditSpec extends SparkSpec {
       s"no partial agg before the exchange:\n$plan")
   }
 
+  test("count-min heavy hitters: the sketch broadcasts; candidates never sort-merge") {
+    val df = SparkEntry.queries("vocab_cm_heavy_hitters")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the sketch is depth×width BY CONSTRUCTION — the estimates join
+    // must broadcast it, never shuffle the candidate token stream into
+    // a sort-merge/shuffled-hash join
+    assert(plan.contains("BroadcastHashJoin"), s"sketch not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"candidate stream shuffled for the sketch join:\n$plan")
+    // ranking cuts with TakeOrdered, never a global sort of the vocab
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
+    val shuffled = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    assert(shuffled.forall(!_.output.exists(_.dataType.catalogString.contains("array<"))),
+      "a CM exchange carried an array column")
+  }
+
   test("sequence packing shuffles once, by shard, with scalar columns only") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
