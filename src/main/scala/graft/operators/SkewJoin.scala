@@ -36,4 +36,28 @@ object SkewJoin {
       explode(sequence(lit(0), lit(factor - 1))))
     leftSalted.join(rightSalted, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** The diagnostic that DECIDES whether a key needs the treatment
+    * above: the k hottest keys with their row counts, corpus share,
+    * and skew-vs-uniform ratio (n·n_keys/total — 1.0 means the key
+    * holds exactly a uniform share; a shuffle on this key runs at the
+    * speed of the hottest ratio). Run it on a join/groupBy key BEFORE
+    * picking salting factors or AQE thresholds — at 100 TB the report
+    * costs one scalar-key aggregation; discovering the skew from a
+    * straggling stage costs the stage.
+    *
+    * Plan shape: counts aggregate map-side to one (key, n) exchange;
+    * the 2-value totals row broadcasts back; the cut is TakeOrdered
+    * (n DESC, key — deterministic under ties), never a global sort. */
+  def keySkewReport(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n_rows"))
+    val totals = counts.agg(sum("n_rows").as("total"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("key"), col("n_rows"),
+        round(col("n_rows") * lit(100.0) / col("total"), 4).as("share_pct"),
+        round(col("n_rows") * col("n_keys") / col("total").cast("double"), 4)
+          .as("skew_vs_uniform"))
+      .orderBy(col("n_rows").desc, col("key").asc)
+      .limit(k)
+  }
 }

@@ -469,6 +469,37 @@ object CorpusQueries {
       CorpusOps.snapshotDiff(a, b, "doc_id", "text", "source")
     },
 
+    // ── Version diff through the commit log: the same added/removed/
+    // changed/unchanged accounting, but the two snapshots are TIME
+    // TRAVEL reads of one logged table (asOf v1 vs v2) rather than two
+    // caller-supplied frames — "what changed in version 2" as a query.
+    // The engine builds the logged table (half the docs at v1, the
+    // rest appended at v2); the oracle recomputes the same split from
+    // the documents table directly, so the row checks BOTH the diff
+    // arithmetic and the log's version isolation (a wrong asOf read —
+    // seeing v2 rows at v1 — shifts every count). ─────────────────────
+    Q(
+      "store_version_diff",
+      """SELECT source,
+        |  CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_added,
+        |  CAST(0 AS BIGINT) AS n_removed,
+        |  CAST(0 AS BIGINT) AS n_changed,
+        |  CAST(count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_unchanged
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.store.CommitLog
+      val a = docs(s, dir).select("doc_id", "source", "text")
+      val table = "/tmp/graft_state/version_diff_docs"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      val v1 = CommitLog.append(a.filter(col("doc_id") % 2 === 0), table)
+      val v2 = CommitLog.append(a.filter(col("doc_id") % 2 === 1), table)
+      CorpusOps.snapshotDiff(
+        CommitLog.read(s, table, a.schema, asOf = v1),
+        CommitLog.read(s, table, a.schema, asOf = v2),
+        "doc_id", "text", "source")
+    },
+
     // ── BPE merge learning (the tokenizer TRAINER; text_token_counts
     // applies a regex proxy): first 10 merge rules from the corpus.
     // The merge loop is iterative but k is FIXED, so the oracle UNROLLS

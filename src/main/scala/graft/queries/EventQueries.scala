@@ -18,6 +18,21 @@ object EventQueries {
 
   val queries: Seq[Q] = Seq(
 
+    // ── Key-skew diagnostic: the k hottest keys with corpus share and
+    // skew-vs-uniform ratio — the report that decides salting factors /
+    // AQE skew thresholds BEFORE a shuffle straggles on the hot key. ───
+    Q(
+      "events_key_skew",
+      """WITH c AS (SELECT user_id AS key, count(*) AS n_rows FROM events GROUP BY 1),
+        |t AS (SELECT sum(n_rows) AS total, count(*) AS n_keys FROM c)
+        |SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+        |  round(n_rows * 100.0 / total, 4) AS share_pct,
+        |  round(n_rows * n_keys * 1.0 / total, 4) AS skew_vs_uniform
+        |FROM c, t
+        |ORDER BY n_rows DESC, key LIMIT 20""".stripMargin) { (s, dir) =>
+      graft.operators.SkewJoin.keySkewReport(events(s, dir), "user_id", k = 20)
+    },
+
     // ── Sessionization: 30-minute inactivity gap per user ──────────────
     // Gaps-and-islands on both sides (deterministic tie-break by
     // event_id). EventSpec separately proves the built-in
