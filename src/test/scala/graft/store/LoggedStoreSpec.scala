@@ -75,6 +75,24 @@ abstract class LoggedStoreBehavior(publisher: AtomicPublisher) extends SparkSpec
     intercept[IllegalArgumentException] { CommitLog.vacuum(spark, t, minAgeMs = -1) }
   }
 
+  test("add-column schema evolution: old files read as null under the evolved schema") {
+    val t = freshTable()
+    append(spark.range(0, 10).toDF("id"), t)                        // v1: (id)
+    append(spark.range(10, 20).toDF("id")
+      .withColumn("tag", org.apache.spark.sql.functions.lit("new")), t) // v2: (id, tag)
+    val evolved = org.apache.spark.sql.types.StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("tag",
+        org.apache.spark.sql.types.StringType))
+    val rows = CommitLog.read(spark, t, evolved)
+    assert(rows.count() == 20)
+    assert(rows.filter("tag IS NULL").count() == 10, "pre-evolution rows must read as null")
+    assert(rows.filter("tag = 'new'").count() == 10)
+    // readers pinned to the old schema still project cleanly
+    assert(CommitLog.read(spark, t, schema).count() == 20)
+    // and time travel applies the evolved schema to historical files
+    assert(CommitLog.read(spark, t, evolved, asOf = 1L).filter("tag IS NULL").count() == 10)
+  }
+
   test("eight lockless concurrent writers: every row survives, versions serialize") {
     val t = freshTable()
     val threads = (0 until 8).map { i =>
