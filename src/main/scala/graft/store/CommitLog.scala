@@ -282,6 +282,7 @@ object CommitLog {
     * untouched (they are not in this rewrite's remove set). No parking,
     * no lock: a crash leaves only invisible orphans for vacuum(). */
   def compact(spark: SparkSession, tablePath: String, targetBytes: Long,
+      clusterBy: Option[String] = None,
       publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val dir = new org.apache.hadoop.fs.Path(tablePath)
@@ -293,7 +294,11 @@ object CommitLog {
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val writerId = freshWriterId("c")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
-    spark.read.parquet(paths: _*).repartition(nOut).write.parquet(staging.toString)
+    // same layout semantics as the unlogged compactor: plain, range-
+    // clustered, or "a,b" z-order (ZOrder.layout) — compaction doubling
+    // as the logged table's clustered index
+    ZOrder.layout(spark.read.parquet(paths: _*), nOut, clusterBy)
+      .write.parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     // commit() validates `files` against the live set and throws on a
     // concurrent rewrite — never a silent table doubling

@@ -285,6 +285,34 @@ object ZOrder {
         shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
   }
+
+  /** Lay a compaction rewrite out into `nOut` files: plain repartition
+    * (None), single-column range clustering ("c" — disjoint per-file
+    * ranges, min/max footers prune on c), or two-column Z-order
+    * ("a,b" — each file covers a rectangle of the (a, b) space, prunes
+    * on either column). Shared by the unlogged compactor
+    * (Store.compact) and the commit-log one (CommitLog.compact) so the
+    * two layers cannot drift on layout semantics. */
+  def layout(df: DataFrame, nOut: Int, clusterBy: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    clusterBy match {
+      case Some(spec) if spec.contains(',') =>
+        val cols = spec.split(',').map(_.trim)
+        require(cols.length == 2,
+          s"z-order clustering takes exactly two columns, got: $spec")
+        // writer-unique scratch column name — withColumn would
+        // silently OVERWRITE (and drop would then delete) a real
+        // table column that happened to share the name
+        val zc = s"__z_${System.nanoTime()}"
+        df.withColumn(zc, zValue(df, cols(0), cols(1)))
+          .repartitionByRange(nOut, col(zc))
+          .sortWithinPartitions(zc)
+          .drop(zc)
+      case Some(c) =>
+        df.repartitionByRange(nOut, col(c)).sortWithinPartitions(col(c))
+      case None => df.repartition(nOut)
+    }
+  }
 }
 
 object Store {
@@ -398,28 +426,7 @@ object Store {
         val nOut = math.max(1L, (before._2 + targetBytes - 1) / targetBytes).toInt
         val tmp = path + s"__compact_w${ProcessHandle.current().pid()}_${System.nanoTime()}"
         val df = spark.read.parquet(snapshot.map(_.getPath.toString): _*)
-        val laid = clusterBy match {
-          // "a,b" → two-column Z-ORDER: range-partition and sort on the
-          // interleaved z-value so every output file covers a rectangle
-          // of the (a, b) space — min/max footers prune on either column
-          case Some(spec) if spec.contains(',') =>
-            import org.apache.spark.sql.functions.col
-            val cols = spec.split(',').map(_.trim)
-            require(cols.length == 2,
-              s"z-order clustering takes exactly two columns, got: $spec")
-            // writer-unique scratch column name — withColumn would
-            // silently OVERWRITE (and drop would then delete) a real
-            // table column that happened to share the name
-            val zc = s"__z_${System.nanoTime()}"
-            df.withColumn(zc, ZOrder.zValue(df, cols(0), cols(1)))
-              .repartitionByRange(nOut, col(zc))
-              .sortWithinPartitions(zc)
-              .drop(zc)
-          case Some(c) =>
-            import org.apache.spark.sql.functions.col
-            df.repartitionByRange(nOut, col(c)).sortWithinPartitions(col(c))
-          case None => df.repartition(nOut)
-        }
+        val laid = ZOrder.layout(df, nOut, clusterBy)
         laid.write.parquet(tmp)
         // the positive completion signal recoverParked keys on: only a
         // fully-written compacted directory carries it, and parquet

@@ -125,6 +125,33 @@ abstract class LoggedStoreBehavior(publisher: AtomicPublisher) extends SparkSpec
     assert(CommitLog.read(spark, t, schema).count() == 50)
   }
 
+  test("clustered logged compaction: contents identical, per-file id ranges disjoint") {
+    val t = freshTable()
+    // shuffled appends so the pre-compact layout interleaves ids
+    Seq(0L -> 40L, 40L -> 80L, 80L -> 120L).foreach { case (a, b) =>
+      append(spark.range(a, b)
+        .select((col("id") * 7919 % 120).as("id")).repartition(3), t)
+    }
+    CommitLog.compact(spark, t, targetBytes = 2048, clusterBy = Some("id"),
+      publisher = publisher)
+    val (_, files) = CommitLog.liveFiles(spark, t)
+    assert(files.size >= 2, s"fixture too small to check range disjointness: $files")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(s"$t/$f")
+        .agg(org.apache.spark.sql.functions.min("id"),
+          org.apache.spark.sql.functions.max("id")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"file ranges overlap after range clustering: $ranges")
+      case _ =>
+    }
+    // contents survive the clustered rewrite exactly
+    val ids = CommitLog.read(spark, t, schema).as[Long].collect().sorted
+    assert(ids.length == 120)
+  }
+
   test("checkpoints bound replay: reads survive deletion of all pre-checkpoint commits") {
     val t = freshTable()
     (0 until 25).foreach(i =>
