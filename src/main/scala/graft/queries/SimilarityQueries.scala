@@ -56,19 +56,45 @@ object SimilarityQueries {
     // ── Brute-force cosine top-k: the exact baseline ───────────────────
     Q(
       "ann_bruteforce_topk",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.query_id, e.vec_id,
-        |    list_cosine_similarity(q.qv, e.v) AS score,
-        |    row_number() OVER (PARTITION BY q.query_id
-        |      ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) AS rank
-        |  FROM q, e)
-        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
-        |FROM scored WHERE rank <= 10""".stripMargin) { (s, dir) =>
+      s"""$bruteForceCte
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
+         |FROM bf WHERE rank <= 10""".stripMargin) { (s, dir) =>
       val e = emb(s, dir)
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, k = 10)
     }.copy(bench = true),
+
+    // ── Recall evaluation: the report an ANN deployment runs before
+    // trusting an index — per-query recall@k of the LSH path against
+    // the exact baseline, computed INSIDE the engine. Both paths are
+    // deterministic in both engines, so even this eval is hash-checked:
+    // the oracle recomputes exact top-k, LSH top-k, and the overlap. ───
+    Q(
+      "ann_recall_report",
+      s"""$bruteForceCte,
+         |$lshCte,
+         |ex AS (SELECT query_id, vec_id FROM bf WHERE rank <= 10),
+         |ap AS (SELECT query_id, vec_id FROM lsh WHERE rank <= 10)
+         |SELECT ex.query_id,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(ap.vec_id) AS BIGINT) AS n_hit,
+         |  round(count(ap.vec_id) / 10.0, 4) AS recall_at_10
+         |FROM ex LEFT JOIN ap
+         |  ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
+         |GROUP BY ex.query_id""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(queries, e, k = 10)
+        .select("query_id", "vec_id")
+      val approx = Similarity.lshTopK(queries, e, k = 10)
+        .select(col("query_id"), col("vec_id").as("hit_id"))
+      exact.join(approx,
+          approx("query_id") === exact("query_id") && col("hit_id") === exact("vec_id"),
+          "left")
+        .drop(approx("query_id"))
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit_id")).as("n_hit"),
+          round(count(col("hit_id")) / lit(10.0), 4).as("recall_at_10"))
+    },
 
     // ── IVF top-k: the bucketed scale path, same exactness within cells ─
     Q(
@@ -300,13 +326,27 @@ object SimilarityQueries {
       Similarity.int8QuantizeError(emb(s, dir), "vec_id", "embedding")
     })
 
-  /** DuckDB mirror of the sign-LSH pipeline, parameterized by the
-    * query-set predicate — ann_lsh_topk (small serving set) and
-    * ann_lsh_batch_topk (whole corpus) share every other line. */
-  private def lshOracleSql(queryPred: String): String =
+  /** Shared WITH prefix: the f64 corpus and the predicate-selected
+    * query set. Every ANN oracle builds on these two names. */
+  private def baseCte(queryPred: String): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE $queryPred),
-       |planes AS (
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE $queryPred)""".stripMargin
+
+  /** Exact brute-force ranking as a CTE named `bf` (appended after
+    * baseCte). */
+  private def bruteForceCte: String =
+    s"""${baseCte("vec_id < 5")},
+       |bf AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    list_cosine_similarity(q.qv, e.v) AS score,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) AS rank
+       |  FROM q, e)""".stripMargin
+
+  /** The sign-LSH pipeline as CTEs ending in `lsh` (ranked candidates)
+    * — appended after a WITH that already defines e and q. */
+  private def lshCte: String =
+    s"""planes AS (
        |  SELECT t.range AS t, p.range AS p,
        |    list_transform(range(0, 64), j -> CASE WHEN
        |        instr('13579bdf', substring(sha256(
@@ -328,14 +368,21 @@ object SimilarityQueries {
        |cand AS (
        |  SELECT DISTINCT qb.query_id, cb.vec_id
        |  FROM qb JOIN cb ON cb.t = qb.t AND cb.bucket = qb.bucket),
-       |scored AS (
+       |lsh AS (
        |  SELECT c.query_id, c.vec_id,
        |    list_cosine_similarity(q.qv, e.v) AS score,
        |    row_number() OVER (PARTITION BY c.query_id
        |      ORDER BY list_cosine_similarity(q.qv, e.v) DESC, c.vec_id) AS rank
        |  FROM cand c
        |  JOIN q ON q.query_id = c.query_id
-       |  JOIN e ON e.vec_id = c.vec_id)
+       |  JOIN e ON e.vec_id = c.vec_id)""".stripMargin
+
+  /** DuckDB mirror of the sign-LSH pipeline, parameterized by the
+    * query-set predicate — ann_lsh_topk (small serving set) and
+    * ann_lsh_batch_topk (whole corpus) share every other line. */
+  private def lshOracleSql(queryPred: String): String =
+    s"""${baseCte(queryPred)},
+       |$lshCte
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
-       |FROM scored WHERE rank <= 10""".stripMargin
+       |FROM lsh WHERE rank <= 10""".stripMargin
 }
