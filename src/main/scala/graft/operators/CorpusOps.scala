@@ -505,6 +505,30 @@ object CorpusOps {
     Hashing.md5Bucket(id, 100) < rate
   }
 
+  /** Deterministic epoch shuffle: the reproducible global training
+    * order a data loader needs — a fresh pseudo-random permutation per
+    * (seed, epoch), identical on every rerun/retry, with NO RNG state
+    * and NO global sort. Each doc's shuffle key is md5(seed:epoch:id);
+    * its position is (shard, pos): shard = the key's top byte modulo
+    * `shards` (so consumers stream shards in order to see the full
+    * permutation), pos = rank within the shard. The only exchange is
+    * the shard-keyed window — shard count is the caller's reader
+    * parallelism, exactly the packConcatChunk scale shape. A new epoch
+    * reshuffles everything (the key changes), while the same
+    * (seed, epoch) is bit-stable forever — which is what makes
+    * mid-training resumption and data-order debugging possible. */
+  def epochOrder(df: DataFrame, idCol: String, seed: Long, epoch: Int,
+      shards: Int = 8): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1: $shards")
+    val key = md5(concat(lit(s"$seed:$epoch:"), col(idCol).cast("string")))
+    val w = Window.partitionBy("shard").orderBy(col("shuffle_key"), col(idCol))
+    df.select(col(idCol), key.as("shuffle_key"))
+      .withColumn("shard",
+        (conv(substring(col("shuffle_key"), 1, 2), 16, 10).cast("long") % shards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** Count-min sketch of the corpus token stream: `depth` independent
     * hash rows × `width` counters, each token incrementing one counter
     * per row (bucket = md5-bucket of "d:token"). The sketch is

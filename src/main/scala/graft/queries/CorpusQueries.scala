@@ -261,6 +261,22 @@ object CorpusQueries {
         .limit(50)
     },
 
+    // ── Deterministic epoch shuffle: a reproducible training-order
+    // permutation per (seed, epoch) with no RNG state and no global
+    // sort — shard = the md5 key's top byte, pos = rank within shard.
+    // Every (doc, shard, pos) assignment is hash-checked. ──────────────
+    Q(
+      "corpus_epoch_order",
+      """WITH k AS (SELECT doc_id, md5('7:2:' || doc_id) AS key FROM documents),
+        |s AS (SELECT doc_id, key,
+        |        CAST(CAST(('0x' || substring(key, 1, 2)) AS BIGINT) % 8 AS INTEGER) AS shard
+        |      FROM k)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS BIGINT) AS pos
+        |FROM s""".stripMargin) { (s, dir) =>
+      CorpusOps.epochOrder(docs(s, dir), "doc_id", seed = 7L, epoch = 2)
+    },
+
     // ── Count-min heavy hitters: the bounded-memory (depth×width
     // counters, mergeable-by-addition) frequency summary, ranked by
     // estimate. The md5-derived hash rows are deterministic, so —

@@ -360,6 +360,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(2L) == ((1L, -0.693147)))
   }
 
+  test("epochOrder: a true permutation, bit-stable per (seed, epoch), fresh per epoch") {
+    val docsDf = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    val n = docsDf.count()
+    val e2 = CorpusOps.epochOrder(docsDf, "doc_id", seed = 7L, epoch = 2)
+      .as[(Long, Int, Long)].collect()
+    // permutation: every doc exactly once, per-shard positions contiguous from 1
+    assert(e2.length == n && e2.map(_._1).distinct.length == n)
+    e2.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length),
+        s"shard $shard positions not contiguous")
+    }
+    // bit-stable on rerun; reshuffled by epoch and by seed
+    val rerun = CorpusOps.epochOrder(docsDf, "doc_id", seed = 7L, epoch = 2)
+      .as[(Long, Int, Long)].collect()
+    assert(e2.sortBy(_._1).sameElements(rerun.sortBy(_._1)))
+    val e3 = CorpusOps.epochOrder(docsDf, "doc_id", seed = 7L, epoch = 3)
+      .as[(Long, Int, Long)].collect()
+    assert(e2.sortBy(_._1).map(r => (r._2, r._3)).toSeq !=
+      e3.sortBy(_._1).map(r => (r._2, r._3)).toSeq,
+      "epoch 3 produced the same order as epoch 2")
+  }
+
   test("count-min: est >= truth for every token, overestimates bounded by collision mass") {
     val docsDf = graft.Tables.load(spark, sf("sf0.001"), "documents")
     val exact = docsDf
