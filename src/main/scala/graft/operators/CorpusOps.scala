@@ -592,7 +592,15 @@ object CorpusOps {
     * candidate set — the same driver-free shape as the exact top-k);
     * the sketch's win is that the FREQUENCY table behind the ranking
     * is depth×width, not vocabulary-sized, and already merged across
-    * shards/batches. */
+    * shards/batches.
+    *
+    * Cost note: this convenience form scans the corpus TWICE (sketch
+    * pass + candidate pass) — unavoidable when the candidates come
+    * from the corpus itself, and materializing the token stream to
+    * avoid it would cost more than the rescan. At scale, pass an
+    * externally-known candidate set (query vocabulary, prior epoch's
+    * hitters) to cmHeavyHittersFrom and only the sketch pass touches
+    * the corpus. */
   def cmHeavyHitters(df: DataFrame, textCol: String, k: Int,
       depth: Int = 4, width: Int = 256): DataFrame =
     cmHeavyHittersFrom(countMinSketch(df, textCol, depth, width),

@@ -50,7 +50,14 @@ object SkewJoin {
     * the 2-value totals row broadcasts back; the cut is TakeOrdered
     * (n DESC, key — deterministic under ties), never a global sort. */
   def keySkewReport(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    // materialized once: the counts subtree (full scan + key exchange)
+    // feeds BOTH the totals aggregate and the report projection —
+    // without this the table scans twice. Eager localCheckpoint, not
+    // persist, so the (key-cardinality-sized) blocks are
+    // ContextCleaner-collected with the result frame (the
+    // semanticDedup pattern).
     val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint(true)
     val totals = counts.agg(sum("n_rows").as("total"), count(lit(1)).as("n_keys"))
     counts.crossJoin(broadcast(totals))
       .select(col("key"), col("n_rows"),
