@@ -18,7 +18,90 @@ object TextQueries {
 
   import OracleSnippets.hitsSql
 
+  /** The deterministic HTML wrapper both engines build around each
+    * fixture document for the markup-strip check — covers script/style
+    * content exclusion, attribute-carrying and self-closing tags,
+    * every decoded entity, and the &amp;lt; double-decode trap. */
+  private val WrapSqlExpr =
+    """'<html><body onload="load()"><h1>Doc ' || doc_id || '</h1><p>' || text ||
+      |'</p><script type="text/x">var t = "<p>not text</p>";</script>' ||
+      |'<style>p { color: red }</style><br/>&quot;fin&#39;&quot; &amp;lt;tag&amp;gt; &amp;&nbsp;done</body></html>'"""
+      .stripMargin.replace("\n", "")
+
   val queries: Seq[Q] = Seq(
+
+    // ── Markup stripping: HTML/XML → text, the boilerplate-removal
+    // stage between a crawl and every other text operator. The engine
+    // and the oracle wrap each document in the same deterministic
+    // markup, then strip independently — script/style bodies must
+    // vanish, entities decode (&amp; last), whitespace collapses. ─────
+    Q(
+      "text_strip_markup",
+      s"""WITH wrapped AS (SELECT doc_id, $WrapSqlExpr AS html FROM documents),
+         |s1 AS (SELECT doc_id,
+         |         regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t
+         |       FROM wrapped),
+         |s2 AS (SELECT doc_id,
+         |         regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+         |s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]+>', ' ', 'g') AS t FROM s2),
+         |s4 AS (SELECT doc_id,
+         |         replace(replace(replace(replace(replace(replace(t,
+         |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |           '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+         |       FROM s3)
+         |SELECT doc_id,
+         |  trim(regexp_replace(t, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS clean_text
+         |FROM s4""".stripMargin) { (s, dir) =>
+      val html = concat(
+        lit("""<html><body onload="load()"><h1>Doc """), col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        lit("""</p><script type="text/x">var t = "<p>not text</p>";</script>"""),
+        lit("""<style>p { color: red }</style><br/>&quot;fin&#39;&quot; &amp;lt;tag&amp;gt; &amp;&nbsp;done</body></html>"""))
+      docs(s, dir).select(col("doc_id"),
+        TextOps.stripMarkup(html).as("clean_text"))
+    },
+
+    // ── URL canonicalization: the identity key web-corpus dedup joins
+    // on. The fixture text carries no URLs, so both engines derive the
+    // same messy synthetic URL per document (case-varied host, default
+    // port, shuffled params, utm_ tracking, fragment) and normalize
+    // independently — every canonical string value-checked. ────────────
+    Q(
+      "text_url_normalize",
+      """WITH u AS (SELECT doc_id,
+        |    'HTTPS://WWW.' || source || '.Example.COM:443/Docs/' || doc_id ||
+        |    '/?utm_source=feed&z=' || lang || '&utm_campaign=x&b=2&a=1#sec-' || doc_id AS url
+        |  FROM documents),
+        |n AS (SELECT doc_id, str_split(url, '#')[1] AS nofrag FROM u),
+        |p AS (SELECT doc_id, str_split(nofrag, '?')[1] AS base,
+        |        CASE WHEN contains(nofrag, '?')
+        |             THEN regexp_replace(nofrag, '^[^?]*\?', '') ELSE '' END AS query
+        |      FROM n),
+        |parts AS (SELECT doc_id,
+        |    lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1)) AS hostport,
+        |    regexp_replace(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', '') AS rawpath,
+        |    query
+        |  FROM p),
+        |norm AS (SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         ELSE hostport END AS host,
+        |    CASE WHEN rawpath IN ('', '/') THEN ''
+        |         ELSE regexp_replace(rawpath, '/$', '') END AS path,
+        |    array_to_string(list_sort(list_filter(str_split(query, '&'),
+        |      x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS params
+        |  FROM parts)
+        |SELECT doc_id, scheme || '://' || host || path ||
+        |  CASE WHEN params = '' THEN '' ELSE '?' || params END AS canonical_url
+        |FROM norm""".stripMargin) { (s, dir) =>
+      val url = concat(
+        lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443/Docs/"),
+        col("doc_id").cast("string"), lit("/?utm_source=feed&z="), col("lang"),
+        lit("&utm_campaign=x&b=2&a=1#sec-"), col("doc_id").cast("string"))
+      docs(s, dir).select(col("doc_id"),
+        TextOps.normalizeUrl(url).as("canonical_url"))
+    },
 
     // ── Token counting: whitespace + BPE-ish regex (brief: text analysis)
     Q(

@@ -209,4 +209,57 @@ object TextOps {
       i => md5(text.substr(i, lit(k)))))
 
   def exactFingerprint(text: Column): Column = md5(text)
+
+  /** Markup stripping (HTML/XML → text): the boilerplate-removal stage
+    * between a web crawl and every text operator above. Script and
+    * style blocks go CONTENT AND ALL (their bodies are code, not
+    * prose); remaining tags become spaces; the five predefined
+    * entities plus nbsp/#39 decode — `&amp;` LAST, the standard order
+    * that keeps `&amp;lt;` from double-decoding into a phantom `<`;
+    * whitespace collapses. Application order is part of the semantics
+    * and the oracle mirrors it step for step. Pure codegen'd
+    * regexp/replace chain — a scan-side transform at any scale.
+    * Lossy by design on text that uses bare `<`/`>` as prose (same
+    * trade every tag stripper makes); RE2-compatible patterns (no
+    * backreferences — script and style get separate passes). */
+  def stripMarkup(text: Column): Column = {
+    val noScript = regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (k, v)) => replace(c, lit(k), lit(v)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** URL canonicalization: the identity key for web-corpus dedup —
+    * crawls see the same page under case-varied hosts, default ports,
+    * tracking params in shuffled order, and fragments; dedup by raw
+    * string misses them all. Steps (order is the semantics, oracle
+    * mirrors): drop fragment; lowercase scheme and host; strip the
+    * scheme's default port (:443 https, :80 http); strip the path's
+    * trailing slash (root stays bare); drop `utm_*` tracking params;
+    * sort surviving params. Built-in split/filter/sort_array column
+    * ops — the array HOFs run per URL, not per corpus row of anything
+    * larger, and a scan-side transform at any scale. */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = split(url, "#").getItem(0)
+    val base = split(noFrag, "\\?").getItem(0)
+    val query = when(noFrag.contains("?"),
+      regexp_replace(noFrag, "^[^?]*\\?", "")).otherwise(lit(""))
+    val scheme = lower(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1))
+    val host = when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .otherwise(hostPort)
+    val rawPath = regexp_replace(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")
+    val path = when(rawPath === "" || rawPath === "/", lit(""))
+      .otherwise(regexp_replace(rawPath, "/$", ""))
+    val params = array_join(
+      sort_array(filter(split(query, "&"),
+        p => p =!= "" && !p.startsWith("utm_"))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+  }
 }
