@@ -505,6 +505,49 @@ object CorpusOps {
     Hashing.md5Bucket(id, 100) < rate
   }
 
+  /** Boilerplate line removal (the CCNet/C4 line-dedup stage): lines
+    * that recur across ≥ `minDocs` documents — nav menus, footers,
+    * cookie banners — are struck from every document; unique prose
+    * survives. Two passes, build-stats → broadcast-apply (the vocab
+    * pattern):
+    *
+    *  1. line-frequency pass: explode to (doc_id, line-md5) SCALARS —
+    *     line text never crosses the exchange — and count distinct
+    *     docs per hash;
+    *  2. apply pass: the boilerplate hash set (bounded by
+    *     `maxBoilerLines`, loudly — boilerplate is few DISTINCT
+    *     strings by nature, however many copies exist) rides into
+    *     codegen as a literal array, and each doc filters and
+    *     reassembles its own lines scan-side — zero shuffles, no
+    *     reassembly exchange carrying text.
+    *
+    * Emits (idCol, clean_text, n_removed). A document that was all
+    * boilerplate comes back as the empty string, not a dropped row. */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      sep: String, minDocs: Int, maxBoilerLines: Int = 100000): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val lineHashes = df
+      .select(col(idCol), explode(split(col(textCol), sepLit)).as("line"))
+      .select(col(idCol), md5(col("line")).as("lh"))
+      .groupBy("lh").agg(countDistinct(col(idCol)).as("n"))
+      .filter(col("n") >= minDocs)
+      .select("lh").collect().map(_.getString(0))
+    require(lineHashes.length <= maxBoilerLines,
+      s"${lineHashes.length} boilerplate lines exceed maxBoilerLines=$maxBoilerLines " +
+        "— raise the bound or minDocs")
+    val linesArr = split(col(textCol), sepLit)
+    val kept =
+      if (lineHashes.isEmpty) linesArr
+      else {
+        val boiler = array(lineHashes.sorted.map(lit): _*)
+        filter(linesArr, l => !array_contains(boiler, md5(l)))
+      }
+    df.select(col(idCol),
+      array_join(kept, sep).as("clean_text"),
+      (size(linesArr) - size(kept)).cast("long").as("n_removed"))
+  }
+
   /** Deterministic epoch shuffle: the reproducible global training
     * order a data loader needs — a fresh pseudo-random permutation per
     * (seed, epoch), identical on every rerun/retry, with NO RNG state

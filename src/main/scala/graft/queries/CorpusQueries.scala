@@ -261,6 +261,39 @@ object CorpusQueries {
         .limit(50)
     },
 
+    // ── Boilerplate line removal (CCNet/C4 line-dedup): lines recurring
+    // across >= 5 docs are struck everywhere. The fixture text is
+    // single-line, so both engines plant the same structure — a footer
+    // on every doc (500 occurrences → removed), a header on even docs
+    // (250 → removed), the doc's own text line surviving unless its
+    // exact text recurs in >= 5 docs (the oracle recomputes whichever
+    // is true). Every clean_text and removal count hash-checked. ──────
+    Q(
+      "corpus_boilerplate_lines",
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'HEADER NAV MENU' || chr(10) ELSE '' END
+        |      || text || chr(10) || 'COPYRIGHT FOOTER 2026' AS txt
+        |  FROM documents),
+        |l AS (SELECT doc_id, generate_subscripts(str_split(txt, chr(10)), 1) AS idx,
+        |        unnest(str_split(txt, chr(10))) AS line
+        |      FROM t),
+        |b AS (SELECT md5(line) AS lh FROM l
+        |      GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5),
+        |k AS (SELECT doc_id, idx, line FROM l
+        |      WHERE md5(line) NOT IN (SELECT lh FROM b)),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+        |          count(*) AS n_kept
+        |        FROM k GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+        |  CAST(len(str_split(t.txt, chr(10))) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin) { (s, dir) =>
+      val withLines = docs(s, dir).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("HEADER NAV MENU\n")).otherwise(lit("")),
+          col("text"), lit("\nCOPYRIGHT FOOTER 2026")).as("text"))
+      CorpusOps.removeBoilerplateLines(withLines, "doc_id", "text", "\n", minDocs = 5)
+    },
+
     // ── Deterministic epoch shuffle: a reproducible training-order
     // permutation per (seed, epoch) with no RNG state and no global
     // sort — shard = the md5 key's top byte, pos = rank within shard.

@@ -360,6 +360,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(2L) == ((1L, -0.693147)))
   }
 
+  test("removeBoilerplateLines: recurring lines vanish, unique prose survives, edges hold") {
+    val docsDf = Seq(
+      (1L, "FOOTER\nunique one\nFOOTER"),
+      (2L, "unique two\nFOOTER"),
+      (3L, "FOOTER"),          // all boilerplate → empty, not dropped
+      (4L, "only prose here")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.removeBoilerplateLines(docsDf, "doc_id", "text", "\n", minDocs = 3)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("unique one", 2L)))
+    assert(out(2L) == (("unique two", 1L)))
+    assert(out(3L) == (("", 1L)), "an all-boilerplate doc must come back empty, not dropped")
+    assert(out(4L) == (("only prose here", 0L)))
+    // below threshold: nothing qualifies, everything passes through
+    val none = CorpusOps.removeBoilerplateLines(docsDf, "doc_id", "text", "\n", minDocs = 4)
+      .as[(Long, String, Long)].collect()
+    assert(none.forall(_._3 == 0L), "no line recurs in 4 docs — nothing may be removed")
+    intercept[IllegalArgumentException] {
+      CorpusOps.removeBoilerplateLines(docsDf, "doc_id", "text", "\n",
+        minDocs = 3, maxBoilerLines = 0)
+    }
+  }
+
   test("epochOrder: a true permutation, bit-stable per (seed, epoch), fresh per epoch") {
     val docsDf = graft.Tables.load(spark, sf("sf0.001"), "documents")
     val n = docsDf.count()
