@@ -116,6 +116,58 @@ object CorpusOps {
     }
   }
 
+  /** Epochs-per-source upsampling rates: the COMPLEMENT of mixRates'
+    * downsample-only plan. Where mixRates shrinks abundant strata to
+    * hit target weights, repeatRates REPEATS scarce ones — the
+    * "code × 4 epochs, web × 1" knob real training mixes turn. The
+    * scale anchors at the most-abundant-relative-to-target stratum
+    * (repeat rate exactly 1.0 — nothing is downsampled), and every
+    * other stratum's rate rises to hit the weights. Rates are in
+    * hundredths (250 = 2.5 epochs) so the fractional part stays
+    * integer-deterministic. Zero-weight strata drop to 0. */
+  def repeatRates(
+      counts: Map[String, Long],
+      targetWeights: Map[String, Double]): Map[String, Int] = {
+    require(targetWeights.values.forall(_ >= 0), s"negative target weight: $targetWeights")
+    val anchored = counts.collect {
+      case (s, c) if targetWeights.getOrElse(s, 0.0) > 0 => c / targetWeights(s)
+    }
+    require(anchored.nonEmpty, "no stratum has a positive target weight")
+    val tmin = anchored.max // the stratum already at/above its share
+    counts.map { case (s, c) =>
+      val w = targetWeights.getOrElse(s, 0.0)
+      // floor in the same f64 expression order as the oracle — the
+      // mixRates boundary discipline
+      s -> (if (w <= 0) 0 else math.floor(100.0 * tmin * w / c).toInt)
+    }
+  }
+
+  /** Apply repeat rates: each document emits floor(rate) copies plus
+    * one more when its md5 bucket (0..99 from the id) falls below the
+    * fractional hundredths — deterministic under rerun and retry like
+    * every sampling decision here (no RNG), and a stable superset as a
+    * rate rises. Output adds a `copy` index (0-based) so downstream
+    * packing/shuffling sees distinct rows. Scan-side explode of a
+    * bounded per-row count — no exchange. */
+  def upsampleByRate(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      ratesHundredths: Map[String, Int]): DataFrame = {
+    require(ratesHundredths.values.forall(r => r >= 0 && r <= 10000),
+      s"rates must be hundredths in 0..10000 (≤ 100 epochs): $ratesHundredths")
+    val rate = ratesHundredths.foldLeft(lit(0)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, v).otherwise(acc)
+    }
+    val extra = when(Hashing.md5Bucket(col(idCol), 100) < rate % 100, 1).otherwise(0)
+    val copies = (rate / 100).cast("int") + extra
+    // explode(null) emits no rows — a zero-copy doc drops entirely
+    // (sequence(0, -1) would wrongly DESCEND, not empty out)
+    df.withColumn("copy",
+        explode(when(copies > 0, sequence(lit(0), copies - 1))))
+      .withColumn("copy", col("copy").cast("long"))
+  }
+
   /** Token-budget selection: within each stratum, keep documents in
     * `orderCol`-descending order (ties broken by `idCol`) while the
     * RUNNING token total stays within `budgetTokens` — the "best

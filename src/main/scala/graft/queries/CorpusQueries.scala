@@ -676,6 +676,40 @@ object CorpusQueries {
           col("n_total"), col("n_kept"))
     },
 
+    // ── Epochs-per-source upsampling: the complement of the downsample
+    // mix — scarce strata REPEAT to hit target weights, anchored at the
+    // most-abundant stratum (rate exactly 1.0, nothing downsampled).
+    // Every (doc, copy) row hash-checked: floor(rate/100) copies plus
+    // one more when the doc's md5 bucket falls under the fractional
+    // hundredths; zero-weight strata vanish. ───────────────────────────
+    Q(
+      "corpus_upsample",
+      s"""WITH counts AS (
+         |  SELECT lang, CAST(count(*) AS DOUBLE) AS c FROM documents GROUP BY lang),
+         |w AS (SELECT lang, c, CASE lang $MixCaseSql ELSE 0.0 END AS wt FROM counts),
+         |t AS (SELECT max(c / wt) AS tmin FROM w WHERE wt > 0),
+         |rates AS (
+         |  SELECT lang,
+         |         CASE WHEN wt <= 0 THEN 0
+         |              ELSE CAST(floor(100.0 * tmin * wt / c) AS BIGINT)
+         |         END AS rate
+         |  FROM w, t),
+         |rated AS (
+         |  SELECT d.doc_id, d.lang, r.rate,
+         |         CAST(floor(r.rate / 100.0) AS BIGINT)
+         |           + CASE WHEN ${OracleSnippets.md5BucketSql("CAST(doc_id AS VARCHAR)", 100)}
+         |                       < r.rate % 100 THEN 1 ELSE 0 END AS n_copies
+         |  FROM documents d JOIN rates r USING (lang))
+         |SELECT doc_id, lang, CAST(f.copy AS BIGINT) AS copy
+         |FROM rated, LATERAL (SELECT unnest(range(0, n_copies)) AS copy) f""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val counts = d.groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rates = CorpusOps.repeatRates(counts, MixTargets)
+      CorpusOps.upsampleByRate(d, "doc_id", "lang", rates)
+        .select("doc_id", "lang", "copy")
+    },
+
     // ── Token-budget selection: per source, keep the highest-quality
     // documents while the running token total stays within the budget —
     // mixes are specified in tokens, not document counts. One exchange

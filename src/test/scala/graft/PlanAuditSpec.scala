@@ -129,6 +129,19 @@ class PlanAuditSpec extends SparkSpec {
       s"no partial agg before the exchange:\n$plan")
   }
 
+  test("boilerplate apply pass is scan-side narrow: zero shuffles, no text exchange") {
+    val df = SparkEntry.queries("corpus_boilerplate_lines")(spark, sf("sf0.001"))
+    // building the frame ran the line-frequency pass (scalar-hash
+    // exchange + driver-bounded collect); the RESULT plan is the apply
+    // pass — filter + reassemble per doc against the literal hash set,
+    // which must be completely exchange-free
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    assert(shuffles.isEmpty,
+      s"boilerplate apply pass shuffles:\n${df.queryExecution.executedPlan}")
+  }
+
   test("count-min heavy hitters: the sketch broadcasts; candidates never sort-merge") {
     val df = SparkEntry.queries("vocab_cm_heavy_hitters")(spark, sf("sf0.001"))
     val plan = df.queryExecution.executedPlan.toString

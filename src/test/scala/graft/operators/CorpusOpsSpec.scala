@@ -360,6 +360,39 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(2L) == ((1L, -0.693147)))
   }
 
+  test("repeatRates anchors at the abundant stratum; upsampleByRate explodes exactly") {
+    // en is at/above its share → anchor (rate 100 = 1 epoch, nothing
+    // downsampled); code is scarce → repeated; zero-weight drops
+    val rates = CorpusOps.repeatRates(
+      Map("en" -> 800L, "code" -> 100L, "junk" -> 50L),
+      Map("en" -> 0.8, "code" -> 0.2, "junk" -> 0.0))
+    assert(rates("en") == 100, s"anchor stratum must get exactly 1.0 epochs: $rates")
+    assert(rates("code") == 200, s"code wants 2 epochs to hit 20%: $rates")
+    assert(rates("junk") == 0)
+
+    val df = (0 until 100).map(i => (i.toLong, if (i < 80) "en" else "code"))
+      .toDF("doc_id", "stratum")
+    val out = CorpusOps.upsampleByRate(df, "doc_id", "stratum",
+        Map("en" -> 100, "code" -> 250, "zz" -> 0))
+      .as[(Long, String, Long)].collect()
+    // en: exactly 1 copy each; code: 2 + ~50% bernoulli via md5 bucket
+    assert(out.count(_._2 == "en") == 80)
+    val codeCopies = out.filter(_._2 == "code")
+    assert(codeCopies.groupBy(_._1).values.forall(c => c.length == 2 || c.length == 3))
+    // copy indices are dense from 0 per doc
+    out.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._3).sorted.sameElements(0L until rows.length))
+    }
+    // deterministic: rerun is identical
+    val rerun = CorpusOps.upsampleByRate(df, "doc_id", "stratum",
+        Map("en" -> 100, "code" -> 250, "zz" -> 0))
+      .as[(Long, String, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._3)).sameElements(rerun.sortBy(r => (r._1, r._3))))
+    // zero-rate stratum rows vanish entirely
+    val zeroed = CorpusOps.upsampleByRate(df, "doc_id", "stratum", Map("en" -> 0, "code" -> 100))
+    assert(zeroed.filter(col("stratum") === "en").count() == 0)
+  }
+
   test("removeBoilerplateLines: recurring lines vanish, unique prose survives, edges hold") {
     val docsDf = Seq(
       (1L, "FOOTER\nunique one\nFOOTER"),
