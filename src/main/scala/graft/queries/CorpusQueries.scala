@@ -676,6 +676,34 @@ object CorpusQueries {
           col("n_total"), col("n_kept"))
     },
 
+    // ── Commit-log history: the DESCRIBE HISTORY surface, driven over
+    // a fresh logged table built from two appends — the version
+    // sequence, operation tags, and remove counts are the
+    // deterministic contract here (per-append FILE counts vary with
+    // session parallelism, so they are pinned in LoggedStoreSpec where
+    // the layout is controlled). ───────────────────────────────────────
+    Q(
+      "store_log_history",
+      """SELECT CAST(1 AS BIGINT) AS version, 'append' AS operation,
+        |       CAST(0 AS BIGINT) AS n_removed
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'append', CAST(0 AS BIGINT)
+        |ORDER BY version""".stripMargin) { (s, dir) =>
+      import graft.store.CommitLog
+      val a = docs(s, dir).select("doc_id", "source", "text")
+      val table = "/tmp/graft_state/log_history_docs"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      CommitLog.append(a.filter(col("doc_id") % 2 === 0), table)
+      CommitLog.append(a.filter(col("doc_id") % 2 === 1), table)
+      // file counts per append vary with session parallelism — the
+      // version sequence, operation tags, and remove counts are the
+      // deterministic contract (add counts are pinned in
+      // LoggedStoreSpec where the layout is controlled)
+      CommitLog.history(s, table).select("version", "operation", "n_removed")
+    },
+
     // ── Epochs-per-source upsampling: the complement of the downsample
     // mix — scarce strata REPEAT to hit target weights, anchored at the
     // most-abundant stratum (rate exactly 1.0, nothing downsampled).

@@ -305,6 +305,39 @@ object CommitLog {
     commit(spark, tablePath, adds = names, removes = files, publisher = publisher)
   }
 
+  /** The table's commit history as a DataFrame — the DESCRIBE HISTORY
+    * introspection surface: one row per surviving commit file with its
+    * add/remove counts and an operation tag derived from the commit
+    * shape (append = adds only; rewrite = adds+removes — compaction or
+    * any atomic replace). Commits older than a pruned checkpoint are
+    * summarized by the checkpoint row itself (`checkpoint`, its add
+    * count = the live-set size it snapshots) — history is bounded by
+    * the same replay window reads are. Driver cost is one log-dir
+    * listing plus one small read per surviving commit file — log-sized,
+    * never data-sized. */
+  def history(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
+    val fs = fsOf(spark, log)
+    val rows: Seq[(Long, String, Long, Long)] =
+      if (!fs.exists(log)) Seq.empty
+      else fs.listStatus(log).toSeq.sortBy(_.getPath.getName).flatMap { st =>
+        val n = st.getPath.getName
+        def version = n.takeWhile(_ != '.').toLong
+        if (n.endsWith(".commit")) {
+          val lines = readLines(fs, st.getPath).toSeq
+          val adds = lines.count(_.startsWith("+"))
+          val removes = lines.count(_.startsWith("-"))
+          val op = if (removes > 0) "rewrite" else "append"
+          Some((version, op, adds.toLong, removes.toLong))
+        } else if (n.endsWith(".checkpoint")) {
+          Some((version, "checkpoint",
+            readLines(fs, st.getPath).count(_.startsWith("+")).toLong, 0L))
+        } else None
+      }
+    rows.toDF("version", "operation", "n_added", "n_removed")
+  }
+
   /** Reclaim data files no commit references — compaction leftovers
     * and crashed writers' orphans. `minAgeMs` protects in-flight
     * writers that landed files but have not committed yet (production

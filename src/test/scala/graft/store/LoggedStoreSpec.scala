@@ -125,6 +125,20 @@ abstract class LoggedStoreBehavior(publisher: AtomicPublisher) extends SparkSpec
     assert(CommitLog.read(spark, t, schema).count() == 50)
   }
 
+  test("history: appends, rewrites, and checkpoint summaries with exact counts") {
+    val t = freshTable()
+    append(spark.range(0, 10).repartition(2).toDF("id"), t)      // v1: 2 adds
+    append(spark.range(10, 20).repartition(3).toDF("id"), t)     // v2: 3 adds
+    CommitLog.compact(spark, t, targetBytes = 1L << 30, publisher = publisher) // v3
+    val h = CommitLog.history(spark, t)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toList
+    assert(h == List(
+      (1L, "append", 2L, 0L),
+      (2L, "append", 3L, 0L),
+      (3L, "rewrite", 1L, 5L)), s"history: $h")
+    assert(CommitLog.history(spark, freshTable()).count() == 0)
+  }
+
   test("clustered logged compaction: contents identical, per-file id ranges disjoint") {
     val t = freshTable()
     // shuffled appends so the pre-compact layout interleaves ids
