@@ -700,4 +700,138 @@ object CorpusOps {
       depth: Int = 4, width: Int = 256): DataFrame =
     cmHeavyHittersFrom(countMinSketch(df, textCol, depth, width),
       tokenStream(df, textCol), k, depth, width)
+
+  /** Temperature-scaled mixing shares (the multilingual-rebalance knob:
+    * p_i ∝ n_i^α): per-stratum token counts become sampling shares
+    * raised to temperature `alpha` and renormalized — α = 1 keeps the
+    * natural mix, α = 0 is uniform, and the published multilingual
+    * recipes sit between (α ≈ 0.3 upweights tail languages without
+    * drowning the head). Emits the knob table a mix designer reads:
+    * natural share, tempered share, and the boost each stratum gets —
+    * the output feeds mixRates/repeatRates as target weights.
+    *
+    * Scale shape: one partial+final aggregate keyed by the stratum
+    * column reduces the corpus to a strata-sized frame; the two
+    * normalizing totals are a 1-row aggregate of THAT frame,
+    * broadcast back (the quality-calibrate derive-then-apply shape).
+    * Nothing corpus-sized crosses more than the one stratum exchange,
+    * and nothing is collected. Shares round to 6 dp (f64 pow agrees
+    * across engines well inside that) and boost to 4. */
+  def temperatureShares(df: DataFrame, strataCol: String, textCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0, 1]: $alpha")
+    val strata = df
+      .select(col(strataCol), graft.text.TextOps.tokenCount(col(textCol)).as("tok"))
+      .groupBy(strataCol)
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+    val totals = strata.agg(
+      sum("n_tokens").as("tt"),
+      sum(pow(col("n_tokens"), alpha)).as("tp"))
+    strata.crossJoin(broadcast(totals))
+      .select(col(strataCol), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("tt"), 6).as("raw_share"),
+        round(pow(col("n_tokens"), alpha) / col("tp"), 6).as("temp_share"),
+        round((pow(col("n_tokens"), alpha) / col("tp")) /
+          (col("n_tokens") / col("tt")), 4).as("boost"))
+  }
+
+  /** Per-source Jensen–Shannon divergence from the corpus-wide unigram
+    * distribution — the mixture-monitoring metric (is source X's token
+    * distribution drifting from the blend it feeds?). JS rather than
+    * KL because sources miss corpus vocabulary (KL's q=0 blows up);
+    * JS is bounded in [0, ln 2] and symmetric-safe with zeros.
+    *
+    * Scale shape — the naive form joins every source against the FULL
+    * corpus vocabulary (V×S rows; V is web-corpus vocabulary, easily
+    * 10⁸). This implementation never builds it: for tokens ABSENT from
+    * a source, p = 0 and the JS term collapses to ½·q·ln 2, so the
+    * absent mass sums in closed form as ½·ln 2·(1 − Σ_present q) and
+    * only the per-(source, token) rows that already exist are ever
+    * computed. Exchanges carry scalar (source, token, count) rows: one
+    * keyed by (source, token), a re-aggregate keyed by token for the
+    * global counts, the token-keyed join between them, and a final
+    * strata-sized reduce. The per-source totals frame is strata-sized
+    * and broadcast; the corpus total is 1 row.
+    *
+    * Emits (source, n_tokens, vocab, covered_mass, js): covered_mass =
+    * share of corpus token mass whose types the source has seen (a
+    * legible coverage diagnostic alongside the divergence). */
+  def jsDivergenceBySource(df: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val ln2 = math.log(2.0)
+    val st = df
+      .select(col(sourceCol), explode(graft.text.TextOps.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(sourceCol, "token").agg(count(lit(1)).as("c"))
+    val global = st.groupBy("token").agg(sum("c").as("gc"))
+    val perSource = st.groupBy(sourceCol).agg(sum("c").as("n"))
+    val total = st.agg(sum("c").as("nn"))
+    val p = col("c") / col("n")
+    val q = col("gc") / col("nn")
+    val m = (p + q) / 2
+    st.join(global, "token")
+      .join(broadcast(perSource), sourceCol)
+      .crossJoin(broadcast(total))
+      .select(col(sourceCol), col("n"),
+        (p * log(p / m) / 2 + q * log(q / m) / 2).as("term"),
+        q.as("qmass"))
+      .groupBy(col(sourceCol), col("n")) // n is constant per source
+      .agg(
+        count(lit(1)).as("vocab"),
+        round(sum("qmass"), 6).as("covered_mass"),
+        round(sum("term") + lit(ln2 / 2) * (lit(1.0) - sum("qmass")), 6).as("js"))
+      .select(col(sourceCol), col("n").as("n_tokens"), col("vocab"),
+        col("covered_mass"), col("js"))
+  }
+
+  /** Global exact paragraph dedup (the C4/RefinedWeb exact-span stage,
+    * complement of [[removeBoilerplateLines]]): every paragraph that
+    * recurs ANYWHERE in the corpus survives only at its first
+    * occurrence (lowest (id, position)); later copies are struck.
+    * Where boilerplate removal kills the few distinct strings that
+    * recur in ≥ minDocs docs (a collected, bounded set), the duplicate
+    * set here is CORPUS-SIZED — mirrored press releases, syndicated
+    * articles, quoted blocks — so nothing collects and the keep-set
+    * flows back as a join. Paragraphs shorter than `minLen` chars are
+    * exempt (blank lines and "---" separators are not content to
+    * dedup).
+    *
+    * Scale shape: the occurrence marks are SCALAR (id, idx, md5) rows
+    * — paragraph text never enters the first-occurrence window, whose
+    * key (the paragraph hash) has corpus-scale cardinality, so
+    * parallelism scales with data. The kept positions fold to one
+    * int-array row per doc, and full text crosses exactly ONE exchange
+    * — the id-keyed reassembly join — which is inherent: the keep-set
+    * is corpus-sized, so no broadcast exists. Reassembly filters the
+    * scan-side line array by kept index (per-doc cost lines ×
+    * |kept|, bounded by a document's own length).
+    *
+    * Emits (idCol, clean_text, n_removed); a doc that was entirely
+    * duplicate text comes back empty, not dropped. */
+  def dedupParagraphsGlobal(df: DataFrame, idCol: String, textCol: String,
+      sep: String, minLen: Int = 5): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1: $minLen")
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val linesArr = split(col(textCol), sepLit)
+    val marks = df
+      .select(col(idCol), posexplode(linesArr).as(Seq("idx", "line")))
+      .filter(length(col("line")) >= minLen)
+      .select(col(idCol), col("idx"), md5(col("line")).as("lh"))
+    val w = Window.partitionBy("lh").orderBy(col(idCol), col("idx"))
+    val keptIdx = marks
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("idx"))).as("keep"))
+    df.join(keptIdx, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("keep"), array().cast("array<int>")).as("keep"),
+        linesArr.as("lines"))
+      .select(col(idCol),
+        filter(col("lines"), (l, i) =>
+          length(l) < minLen || array_contains(col("keep"), i)).as("kept"),
+        size(col("lines")).as("n_lines"))
+      .select(col(idCol),
+        array_join(col("kept"), sep).as("clean_text"),
+        (col("n_lines") - size(col("kept"))).cast("long").as("n_removed"))
+  }
 }

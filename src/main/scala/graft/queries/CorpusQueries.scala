@@ -771,5 +771,88 @@ object CorpusQueries {
           count(lit(1)).as("n_docs"),
           sum(col("tok")).as("n_tokens"),
           min(col("quality")).as("min_quality"))
+    },
+
+    // ── Temperature-scaled mixing shares (p_i ∝ n_i^α, the
+    // multilingual-rebalance knob at α = 0.3): natural share, tempered
+    // share, and each language's boost — every value hash-checked
+    // against DuckDB's pow/round of the same token counts. ─────────────
+    Q(
+      "corpus_mix_temperature",
+      """WITH s AS (SELECT lang,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tt,
+        |        sum(pow(n_tokens, 0.3)) AS tp FROM s)
+        |SELECT lang, n_docs, n_tokens,
+        |  round(n_tokens / tt, 6) AS raw_share,
+        |  round(pow(n_tokens, 0.3) / tp, 6) AS temp_share,
+        |  round((pow(n_tokens, 0.3) / tp) / (n_tokens / tt), 4) AS boost
+        |FROM s, t""".stripMargin) { (s, dir) =>
+      CorpusOps.temperatureShares(docs(s, dir), "lang", "text", alpha = 0.3)
+    },
+
+    // ── Per-source JS divergence from the corpus unigram distribution
+    // (the mixture-drift monitor). The oracle computes the NAIVE full
+    // vocabulary-×-sources expansion; the engine never builds it —
+    // absent-token mass sums in closed form (½·ln2·(1 − covered)) —
+    // so a hash match doubles as a check of the decomposition. ─────────
+    Q(
+      "corpus_source_divergence",
+      """WITH tok AS (SELECT source, unnest(str_split(text, ' ')) AS token
+        |    FROM documents),
+        |st AS (SELECT source, token, CAST(count(*) AS DOUBLE) AS c
+        |    FROM tok WHERE token <> '' GROUP BY 1, 2),
+        |g AS (SELECT token, sum(c) AS gc FROM st GROUP BY 1),
+        |ns AS (SELECT source, sum(c) AS n FROM st GROUP BY 1),
+        |tt AS (SELECT sum(c) AS nn FROM st),
+        |srcs AS (SELECT DISTINCT source FROM st),
+        |vfull AS (SELECT srcs.source, g.token, g.gc, coalesce(st.c, 0) AS c
+        |    FROM srcs CROSS JOIN g
+        |    LEFT JOIN st ON st.source = srcs.source AND st.token = g.token),
+        |terms AS (SELECT f.source, f.c / ns.n AS p, f.gc / tt.nn AS q
+        |    FROM vfull f JOIN ns USING (source), tt),
+        |agg AS (SELECT source,
+        |    sum(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS vocab,
+        |    sum(CASE WHEN p > 0 THEN q ELSE 0 END) AS covered,
+        |    sum(CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END
+        |        + 0.5 * q * ln(q / ((p + q) / 2))) AS js
+        |  FROM terms GROUP BY source)
+        |SELECT a.source, CAST(n.n AS BIGINT) AS n_tokens,
+        |  CAST(a.vocab AS BIGINT) AS vocab,
+        |  round(a.covered, 6) AS covered_mass, round(a.js, 6) AS js
+        |FROM agg a JOIN ns n USING (source)""".stripMargin) { (s, dir) =>
+      CorpusOps.jsDivergenceBySource(docs(s, dir), "source", "text")
+    },
+
+    // ── Global exact paragraph dedup (the C4 exact-span stage): a
+    // promo block shared by doc_id % 7 survives only at its first
+    // (doc, position) occurrence — plus whatever natural line
+    // duplication the corpus carries, which the oracle recomputes
+    // identically. Every clean_text and removal count hash-checked. ────
+    Q(
+      "corpus_paragraph_dedup",
+      """WITH t AS (SELECT doc_id,
+        |    text || chr(10) || 'SHARED PROMO BLOCK ' || CAST(doc_id % 7 AS VARCHAR) AS txt
+        |  FROM documents),
+        |l AS (SELECT doc_id, generate_subscripts(str_split(txt, chr(10)), 1) AS idx,
+        |        unnest(str_split(txt, chr(10))) AS line
+        |      FROM t),
+        |el AS (SELECT doc_id, idx FROM l WHERE len(line) >= 5
+        |       QUALIFY row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, idx) = 1),
+        |k AS (SELECT l.doc_id, l.idx, l.line FROM l
+        |      LEFT JOIN el ON el.doc_id = l.doc_id AND el.idx = l.idx
+        |      WHERE len(l.line) < 5 OR el.idx IS NOT NULL),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+        |          count(*) AS n_kept
+        |        FROM k GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+        |  CAST(len(str_split(t.txt, chr(10))) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin) { (s, dir) =>
+      val withPromo = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit("\nSHARED PROMO BLOCK "),
+          (col("doc_id") % 7).cast("string")).as("text"))
+      CorpusOps.dedupParagraphsGlobal(withPromo, "doc_id", "text", "\n", minLen = 5)
     })
 }

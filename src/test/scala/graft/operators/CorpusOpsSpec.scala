@@ -474,4 +474,93 @@ class CorpusOpsSpec extends SparkSpec {
     }.toMap
     assert(merged == whole, "counter-wise sum of shard sketches must equal the corpus sketch")
   }
+
+  test("temperatureShares: α=1 keeps the natural mix, α=0 is uniform, α=0.3 boosts the tail") {
+    val corpus = Seq(
+      (1L, "en", "a b c d e f g h i j k l m n o p"), // 16 tokens
+      (2L, "en", "a b c d e f g h i j k l m n o p"),
+      (3L, "de", "x y z w")) // 4 tokens — the tail language
+      .toDF("doc_id", "lang", "text")
+    def shares(alpha: Double) =
+      CorpusOps.temperatureShares(corpus, "lang", "text", alpha)
+        .select("lang", "raw_share", "temp_share", "boost")
+        .as[(String, Double, Double, Double)].collect()
+        .map(r => r._1 -> r).toMap
+    val s1 = shares(1.0)
+    s1.values.foreach { case (_, raw, temp, boost) =>
+      assert(math.abs(raw - temp) < 1e-9 && math.abs(boost - 1.0) < 1e-3)
+    }
+    val s0 = shares(0.0)
+    s0.values.foreach { case (_, _, temp, _) => assert(math.abs(temp - 0.5) < 1e-9) }
+    val s3 = shares(0.3)
+    assert(s3("de")._4 > 1.0, "tail language must be boosted")
+    assert(s3("en")._4 < 1.0, "head language must be damped")
+    // shares always renormalize
+    assert(math.abs(s3.values.map(_._3).sum - 1.0) < 1e-5)
+    assert(math.abs(s3.values.map(_._2).sum - 1.0) < 1e-5)
+  }
+
+  test("jsDivergenceBySource: single source is 0; values match the naive full-vocab formula") {
+    val single = Seq((1L, "web", "a b c a")).toDF("doc_id", "source", "text")
+    val s = CorpusOps.jsDivergenceBySource(single, "source", "text")
+      .select("covered_mass", "js").as[(Double, Double)].head()
+    assert(s == ((1.0, 0.0)), s"source == corpus must give (1, 0): $s")
+
+    // independent naive recomputation over the FULL vocab (the V×S
+    // expansion the operator's closed form avoids)
+    val corpus = Seq(
+      (1L, "web", "a a b c"),
+      (2L, "web", "a d"),
+      (3L, "book", "b b e e e"),
+      (4L, "book", "a")).toDF("doc_id", "source", "text")
+    val counts: Map[(String, String), Long] = corpus
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .as[(String, String)].collect()
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val vocab = counts.keySet.map(_._2)
+    val bySource = counts.keySet.map(_._1)
+    val nTotal = counts.values.sum.toDouble
+    val expect = bySource.map { src =>
+      val n = counts.collect { case ((s2, _), c) if s2 == src => c }.sum.toDouble
+      val js = vocab.toSeq.map { t =>
+        val p = counts.getOrElse((src, t), 0L) / n
+        val q = counts.collect { case ((_, t2), c) if t2 == t => c }.sum / nTotal
+        val m = (p + q) / 2
+        (if (p > 0) 0.5 * p * math.log(p / m) else 0.0) + 0.5 * q * math.log(q / m)
+      }.sum
+      src -> BigDecimal(js).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = CorpusOps.jsDivergenceBySource(corpus, "source", "text")
+      .select("source", "js").as[(String, Double)].collect().toMap
+    assert(got == expect, s"closed-form result $got != naive $expect")
+    got.values.foreach(v => assert(v >= 0 && v <= math.log(2.0) + 1e-9))
+  }
+
+  test("dedupParagraphsGlobal: first occurrence survives, order holds, short lines exempt") {
+    val corpus = Seq(
+      (1L, "unique alpha\nSHARED PARAGRAPH HERE\n--\nclosing one"),
+      (2L, "SHARED PARAGRAPH HERE\nunique beta\n--"),
+      (3L, "SHARED PARAGRAPH HERE")) // entirely duplicate text
+      .toDF("doc_id", "text")
+    val out = CorpusOps.dedupParagraphsGlobal(corpus, "doc_id", "text", "\n", minLen = 5)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "unique alpha\nSHARED PARAGRAPH HERE\n--\nclosing one", 0L)),
+      "doc 1 owns the first occurrence and keeps everything")
+    assert(out(1) == ((2L, "unique beta\n--", 1L)),
+      "doc 2 loses the shared paragraph but keeps its short separator in place")
+    assert(out(2) == ((3L, "", 1L)),
+      "an all-duplicate doc comes back empty, not dropped")
+  }
+
+  test("dedupParagraphsGlobal is idempotent: a second pass removes nothing") {
+    val docsDf = graft.Tables.load(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"),
+        concat(col("text"), lit("\nPROMO "), (col("doc_id") % 5).cast("string")).as("text"))
+    val once = CorpusOps.dedupParagraphsGlobal(docsDf, "doc_id", "text", "\n")
+    assert(once.agg(sum("n_removed")).as[Long].head() > 0, "the promo must actually dedup")
+    val twice = CorpusOps.dedupParagraphsGlobal(
+      once.select(col("doc_id"), col("clean_text").as("text")), "doc_id", "text", "\n")
+    assert(twice.agg(sum("n_removed")).as[Long].head() == 0L,
+      "a deduped corpus has no recurring paragraphs left")
+  }
 }
