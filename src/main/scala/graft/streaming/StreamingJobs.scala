@@ -57,6 +57,52 @@ object StreamingJobs {
       .parquet(stage)
   }
 
+  /** Fixed mtime base for time-ordered staged files (any stable past
+    * instant works; the file source only compares mtimes relatively,
+    * and the spread stays far under its 7-day maxFileAge horizon). */
+  private val OrderedMtimeBase = 1600000000000L
+
+  /** Time-ordered file-source stream: the table is staged as
+    * range-sliced files (repartitionByRange on the event-time column,
+    * sorted within each slice) whose modification times are sequenced
+    * in range order, so the file source's mtime-ordered listing
+    * replays the table in EVENT-TIME order — the arrival contract a
+    * watermark assumes (disorder bounded by the delay). The unordered
+    * `tableStream` staging deliberately violates that contract (its
+    * out-of-order pressure is what the Complete-mode drains and the
+    * lateness spec exercise; Complete mode never drops late rows).
+    * Append-mode drains MUST use this source: replaying 30 days of
+    * disordered files against a 1-hour watermark is not a flake but a
+    * semantic loss — the watermark races to (global max − delay) after
+    * the first micro-batch carrying near-max timestamps, and every
+    * later batch is correctly dropped as late. A production Append
+    * deployment has the same obligation: its ingest feed must bound
+    * disorder by the delay budget, or widen the budget. */
+  def tableStreamTimeOrdered(spark: SparkSession, sfDir: String, table: String,
+      tsCol: String, parts: Int = 6, maxFilesPerTrigger: Int = 2): DataFrame = {
+    val stage = graft.store.Staging.contentKeyed(
+      spark, s"$sfDir/$table.parquet",
+      s"${System.getProperty("java.io.tmpdir")}/graft_stream_src",
+      salt = s"$table|$parts|ordered:$tsCol") { tmp =>
+      graft.Tables.load(spark, sfDir, table)
+        .repartitionByRange(parts, col(tsCol))
+        .sortWithinPartitions(tsCol)
+        .write.mode("overwrite").parquet(tmp)
+      // sequence mtimes in range order (part file index = range
+      // partition index); rename-publish preserves them
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName).zipWithIndex
+        .foreach { case (st, i) =>
+          fs.setTimes(st.getPath, OrderedMtimeBase + i * 60000L, -1) }
+    }
+    val schema = spark.read.parquet(stage).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(stage)
+  }
+
   /** Run a streaming frame into an in-memory sink until AvailableNow
     * drains, then return the sink contents as a batch frame. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame =
@@ -99,15 +145,20 @@ object StreamingJobs {
   /** The windowed-count streaming aggregation both output modes share:
     * event-time tumbling windows with a 1-hour watermark. */
   private[graft] def windowedEventCountsStream(spark: SparkSession,
-      sfDir: String): DataFrame =
-    // 2 files per trigger: still multiple micro-batches of incremental
-    // window state (the semantics under test), at half the fixed
-    // per-trigger cost — measured ~1 s/trigger of offset-log + state
-    // commit overhead regardless of data volume; a real deployment
-    // likewise sizes triggers by throughput, not one file at a time.
-    // The dedup/lateness paths below keep file-at-a-time arrival: their
-    // out-of-order pressure IS the behavior under test.
-    tableStream(spark, sfDir, "events", maxFilesPerTrigger = 2)
+      sfDir: String, ordered: Boolean = false): DataFrame =
+    // 6 files, 2 per trigger: THREE micro-batches of incremental
+    // window state (multi-batch increments are the semantics under
+    // test; two would be the degenerate minimum), at half the fixed
+    // per-trigger cost of file-at-a-time arrival — measured ~1 s/trigger
+    // of offset-log + state commit overhead regardless of data volume; a
+    // real deployment likewise sizes triggers by throughput, not one
+    // file at a time. The dedup/lateness paths below keep
+    // file-at-a-time arrival: their out-of-order pressure IS the
+    // behavior under test. `ordered` selects the event-time-ordered
+    // staging the Append drain requires (see tableStreamTimeOrdered).
+    (if (ordered) tableStreamTimeOrdered(spark, sfDir, "events", "ts",
+        parts = 6, maxFilesPerTrigger = 2)
+     else tableStream(spark, sfDir, "events", parts = 6, maxFilesPerTrigger = 2))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
@@ -133,9 +184,12 @@ object StreamingJobs {
     * CLOSED-WINDOW PREFIX of the batch aggregation: windows with
     * end ≤ final watermark (= ms-floored max event time − 1 h; the
     * boundary is inclusive — Spark's state eviction predicate is
-    * `window.end ≤ watermark`); the oracle applies the same cut. */
+    * `window.end ≤ watermark`); the oracle applies the same cut.
+    * Consumes the event-time-ordered staging: Append's late-row drop
+    * is real semantics, so its input must honor the watermark's
+    * bounded-disorder contract (tableStreamTimeOrdered's doc). */
   def windowedEventCountsAppend(spark: SparkSession, sfDir: String): DataFrame =
-    runToMemory(windowedEventCountsStream(spark, sfDir),
+    runToMemory(windowedEventCountsStream(spark, sfDir, ordered = true),
       "stream_window_agg_append_sink", OutputMode.Append())
 
   /** Event-time SESSION windows per user — Spark's native gap-based
@@ -151,10 +205,14 @@ object StreamingJobs {
     runToMemory(sessionWindowStream(spark, sfDir),
       "stream_session_window_sink", OutputMode.Complete())
 
-  /** The session-window streaming aggregation both output modes share. */
+  /** The session-window streaming aggregation both output modes share;
+    * `ordered` selects the event-time-ordered staging the Append drain
+    * requires (see tableStreamTimeOrdered). */
   private[graft] def sessionWindowStream(spark: SparkSession,
-      sfDir: String): DataFrame =
-    tableStream(spark, sfDir, "events", maxFilesPerTrigger = 2)
+      sfDir: String, ordered: Boolean = false): DataFrame =
+    (if (ordered) tableStreamTimeOrdered(spark, sfDir, "events", "ts",
+        parts = 6, maxFilesPerTrigger = 2)
+     else tableStream(spark, sfDir, "events", maxFilesPerTrigger = 2))
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
@@ -171,7 +229,7 @@ object StreamingJobs {
     * − 1 h, inclusive boundary — session ends carry µs precision, so
     * the ms flooring is part of the oracle's cut too). */
   def sessionWindowTotalsAppend(spark: SparkSession, sfDir: String): DataFrame =
-    runToMemory(sessionWindowStream(spark, sfDir),
+    runToMemory(sessionWindowStream(spark, sfDir, ordered = true),
       "stream_session_window_append_sink", OutputMode.Append())
 
   /** Streaming exact dedup within the watermark: the stream is unioned
@@ -210,6 +268,10 @@ object StreamingJobs {
     * full corpus per run. The oracle recomputes the same filter over
     * the whole table — stream ≡ batch for stateless transforms. */
   def streamingQualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    // explicit: the scoring kernels resolve registered SQL functions,
+    // and this query's only table access is the staged stream — on a
+    // warm stage cache nothing else would have registered them
+    graft.functions.GraftFunctions.register(spark)
     val scored = tableStream(spark, sfDir, "documents", maxFilesPerTrigger = 2)
       .select(col("doc_id"), col("lang"),
         graft.text.TextOps.qualityScore(col("text")).as("quality"))
