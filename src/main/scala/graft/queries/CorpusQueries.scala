@@ -549,6 +549,45 @@ object CorpusQueries {
         "doc_id", "text", "source")
     },
 
+    // ── Change feed through the commit log: rows added per commit in
+    // (since, latest], tagged with the commit version — the
+    // incremental-consumption primitive (Delta CDF's insert feed). The
+    // engine builds the logged table fresh (thirds of the docs at v1,
+    // v2; a COMPACTION rewrite at v3; the last third at v4) and feeds
+    // changesSince(v1): versions 2 and 4 must come back, version 3
+    // must contribute NOTHING (rewrites are row-preserving by
+    // protocol), and the per-(version, source) xor digest proves the
+    // fed ROWS are value-exact, not just counted — a compaction row
+    // leaking into the feed flips both the count and the digest. ──────
+    Q(
+      "store_change_feed",
+      s"""WITH feed AS (
+         |  SELECT 2 AS commit_version, doc_id, source, text
+         |  FROM documents WHERE doc_id % 3 = 1
+         |  UNION ALL
+         |  SELECT 4, doc_id, source, text
+         |  FROM documents WHERE doc_id % 3 = 2)
+         |SELECT CAST(commit_version AS BIGINT) AS commit_version, source,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS content_digest
+         |FROM feed GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      import graft.store.CommitLog
+      val a = docs(s, dir).select("doc_id", "source", "text")
+      val table = "/tmp/graft_state/change_feed_docs"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      val v1 = CommitLog.append(a.filter(col("doc_id") % 3 === 0), table)
+      CommitLog.append(a.filter(col("doc_id") % 3 === 1), table)
+      CommitLog.compact(s, table, targetBytes = Long.MaxValue)
+      CommitLog.append(a.filter(col("doc_id") % 3 === 2), table)
+      CommitLog.changesSince(s, table, sinceVersion = v1, a.schema)
+        .withColumn("h", graft.core.Hashing.rowDigest(col("doc_id"), col("text")))
+        .groupBy(col("_commit_version").as("commit_version"), col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("content_digest"))
+    },
+
     // ── BPE merge learning (the tokenizer TRAINER; text_token_counts
     // applies a regex proxy): first 10 merge rules from the corpus.
     // The merge loop is iterative but k is FIXED, so the oracle UNROLLS

@@ -338,6 +338,69 @@ object CommitLog {
     rows.toDF("version", "operation", "n_added", "n_removed")
   }
 
+  /** CDC-style change feed: the rows ADDED by each commit in
+    * (sinceVersion, asOf], tagged with their `_commit_version` — the
+    * incremental-consumption primitive (Delta CDF's insert feed): a
+    * downstream pipeline checkpoints the last version it processed and
+    * asks only for what landed since, so consumption cost scales with
+    * the INCREMENT, never with a table rescan — at 100 TB the
+    * difference between a usable feed and none.
+    *
+    * Rewrite commits (adds+removes) contribute NOTHING: in this
+    * protocol a removing commit is an atomic rewrite of existing rows
+    * (compact is the only producer), row-preserving by construction —
+    * the Delta `dataChange = false` convention, derived from commit
+    * shape instead of a flag. A future row-DELETING operation must add
+    * an explicit marker before reusing the rewrite shape.
+    *
+    * One scan, not one per commit: every fed file is read in a single
+    * parquet load and the version tag is joined scan-side from a
+    * commit-range-sized (file name → version) literal map over
+    * `_metadata.file_name` — log-sized driver state, no shuffle, no
+    * per-commit job. Throws when commits in the range were pruned past
+    * a checkpoint: a consumer that fell behind the retention window
+    * must re-bootstrap from a snapshot read (same contract as Delta —
+    * silently skipping unseen versions would be data loss). */
+  def changesSince(spark: SparkSession, tablePath: String, sinceVersion: Long,
+      schema: StructType, asOf: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, typedLit}
+    val withVersion = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withVersion)
+    val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
+    val fs = fsOf(spark, log)
+    require(sinceVersion >= 0, s"sinceVersion must be >= 0: $sinceVersion")
+    if (!fs.exists(log)) return empty
+    val upper = if (asOf == Long.MaxValue) latestVersion(fs, log) else asOf
+    require(sinceVersion <= upper,
+      s"sinceVersion $sinceVersion past latest version $upper of $tablePath")
+    val commits = fs.listStatus(log).flatMap { st =>
+      st.getPath.getName match {
+        case CommitRe(v) if v.toLong > sinceVersion && v.toLong <= upper =>
+          Some(v.toLong -> st.getPath)
+        case _ => None
+      }
+    }.sortBy(_._1)
+    val missing = ((sinceVersion + 1) to upper).toSet -- commits.map(_._1).toSet
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"change feed for $tablePath cannot replay version(s) " +
+          s"${missing.min}..${missing.max}: commits pruned past a checkpoint — " +
+          "re-bootstrap from a snapshot read()")
+    val fileToVersion: Seq[(String, Long)] = commits.toSeq.flatMap { case (v, p) =>
+      val lines = readLines(fs, p).toSeq
+      if (lines.exists(_.startsWith("-"))) Seq.empty // rewrite: row-preserving
+      else lines.filter(_.startsWith("+")).map(l => l.drop(1) -> v)
+    }
+    if (fileToVersion.isEmpty) return empty
+    spark.read.schema(schema)
+      .parquet(fileToVersion.map(f => s"$tablePath/${f._1}"): _*)
+      .withColumn("_commit_version",
+        element_at(typedLit(fileToVersion.toMap), col("_metadata.file_name")))
+  }
+
   /** Reclaim data files no commit references — compaction leftovers
     * and crashed writers' orphans. `minAgeMs` protects in-flight
     * writers that landed files but have not committed yet (production

@@ -93,6 +93,53 @@ abstract class LoggedStoreBehavior(publisher: AtomicPublisher) extends SparkSpec
     assert(CommitLog.read(spark, t, evolved, asOf = 1L).filter("tag IS NULL").count() == 10)
   }
 
+  test("change feed: per-commit inserts tagged with version; rewrites feed nothing") {
+    val t = freshTable()
+    // bootstrap from zero: the feed from 0 IS the table
+    val v1 = append(spark.range(0, 50).toDF("id"), t)
+    val boot = CommitLog.changesSince(spark, t, 0L, schema)
+    assert(boot.count() == 50 &&
+      boot.filter(col("_commit_version") === v1).count() == 50)
+    // two appends + an interleaved compaction rewrite
+    val v2 = append(spark.range(50, 80).toDF("id"), t)
+    CommitLog.compact(spark, t, targetBytes = Long.MaxValue, publisher = publisher)
+    val v4 = append(spark.range(80, 100).toDF("id"), t)
+    val feed = CommitLog.changesSince(spark, t, sinceVersion = v1, schema)
+    // versions: only the appends; the rewrite is row-preserving
+    assert(feed.select("_commit_version").distinct().as[Long].collect().sorted
+      .sameElements(Array(v2, v4)))
+    // rows: exactly the appended ids, each tagged with its own commit
+    assert(feed.filter(col("_commit_version") === v2)
+      .select("id").as[Long].collect().sorted.sameElements(50L until 80L))
+    assert(feed.filter(col("_commit_version") === v4)
+      .select("id").as[Long].collect().sorted.sameElements(80L until 100L))
+    // caught-up consumer: empty feed, with the version column present
+    val caughtUp = CommitLog.changesSince(spark, t, v4, schema)
+    assert(caughtUp.count() == 0 &&
+      caughtUp.columns.contains("_commit_version"))
+    // a consumer past the log is a caller bug, not an empty feed
+    intercept[IllegalArgumentException] {
+      CommitLog.changesSince(spark, t, v4 + 10, schema)
+    }
+  }
+
+  test("change feed: a pruned commit range fails loudly, never skips versions") {
+    val t = freshTable()
+    append(spark.range(0, 10).toDF("id"), t)
+    append(spark.range(10, 20).toDF("id"), t)
+    append(spark.range(20, 30).toDF("id"), t)
+    // simulate the prune-commits-behind-a-checkpoint cleanup eating v2
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(t, f"_graft_log/${2L}%020d.commit"), false))
+    val e = intercept[IllegalStateException] {
+      CommitLog.changesSince(spark, t, 0L, schema).count()
+    }
+    assert(e.getMessage.contains("pruned"), e.getMessage)
+    // versions after the gap are still consumable
+    assert(CommitLog.changesSince(spark, t, 2L, schema).count() == 10)
+  }
+
   test("eight lockless concurrent writers: every row survives, versions serialize") {
     val t = freshTable()
     val threads = (0 until 8).map { i =>
