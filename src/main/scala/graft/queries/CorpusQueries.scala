@@ -588,6 +588,49 @@ object CorpusQueries {
           expr("bit_xor(h)").as("content_digest"))
     },
 
+    // ── Column-level table profile: null rates, exact cardinality,
+    // native-typed min/max, mean rendered width — the QA pass run on
+    // every corpus drop, as ONE aggregation job (row-per-column shape
+    // is a driver-side unpivot of the 1-row aggregate). A derived
+    // column with CASE-planted nulls exercises the null accounting the
+    // all-populated fixture columns cannot. ───────────────────────────
+    Q(
+      "profile_table",
+      """WITH d AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS maybe_lang
+        |  FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM d)
+        |SELECT p.column_name, n.n_rows, p.n_nulls, p.n_distinct,
+        |       p.min_value, p.max_value, p.avg_len
+        |FROM n, (
+        |  SELECT 'doc_id' AS column_name,
+        |    CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+        |    CAST(min(doc_id) AS VARCHAR) AS min_value,
+        |    CAST(max(doc_id) AS VARCHAR) AS max_value,
+        |    avg(length(CAST(doc_id AS VARCHAR))) AS avg_len
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'source', CAST(count(*) - count(source) AS BIGINT),
+        |    CAST(count(DISTINCT source) AS BIGINT),
+        |    min(source), max(source), avg(length(source)) FROM d
+        |  UNION ALL
+        |  SELECT 'maybe_lang', CAST(count(*) - count(maybe_lang) AS BIGINT),
+        |    CAST(count(DISTINCT maybe_lang) AS BIGINT),
+        |    min(maybe_lang), max(maybe_lang), avg(length(maybe_lang)) FROM d
+        |  UNION ALL
+        |  SELECT 'text', CAST(count(*) - count(text) AS BIGINT),
+        |    CAST(count(DISTINCT text) AS BIGINT),
+        |    min(text), max(text), avg(length(text)) FROM d) p""".stripMargin) {
+      (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"),
+        when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("lang"))
+          .as("maybe_lang"))
+      graft.operators.TableProfile.profileColumns(
+        d, Seq("doc_id", "source", "maybe_lang", "text"))
+    },
+
     // ── BPE merge learning (the tokenizer TRAINER; text_token_counts
     // applies a regex proxy): first 10 merge rules from the corpus.
     // The merge loop is iterative but k is FIXED, so the oracle UNROLLS
