@@ -588,6 +588,34 @@ object CorpusQueries {
           expr("bit_xor(h)").as("content_digest"))
     },
 
+    // ── Row-level delete through the commit log (DELETE WHERE — the
+    // right-to-be-forgotten operation): the engine builds the logged
+    // table in two appends, deletes a deterministic doc_id slice, and
+    // reads the survivors; the oracle recomputes the complement from
+    // the documents table directly. The per-source xor digest proves
+    // the surviving ROWS are value-exact — a lost or duplicated row
+    // from the copy-on-write file rewrite flips it. ───────────────────
+    Q(
+      "store_delete_where",
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS content_digest
+         |FROM documents WHERE NOT (doc_id % 5 = 2)
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.store.CommitLog
+      val a = docs(s, dir).select("doc_id", "source", "text")
+      val table = "/tmp/graft_state/delete_where_docs"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      CommitLog.append(a.filter(col("doc_id") % 2 === 0), table)
+      CommitLog.append(a.filter(col("doc_id") % 2 === 1), table)
+      CommitLog.deleteWhere(s, table, a.schema, col("doc_id") % 5 === 2)
+      CommitLog.read(s, table, a.schema)
+        .withColumn("h", graft.core.Hashing.rowDigest(col("doc_id"), col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
+    },
+
     // ── Column-level table profile: null rates, exact cardinality,
     // native-typed min/max, mean rendered width — the QA pass run on
     // every corpus drop, as ONE aggregation job (row-per-column shape

@@ -107,6 +107,7 @@ object CommitLog {
       readLines(fs, p).foreach { line =>
         if (line.startsWith("+")) { live += line.drop(1); () }
         else if (line.startsWith("-")) { live -= line.drop(1); () }
+        else if (line.startsWith("#")) () // operation header (e.g. #op=delete)
         else throw new IllegalStateException(s"corrupt commit line in $p: $line")
       }
     }
@@ -157,12 +158,19 @@ object CommitLog {
     * Returns the version won. */
   def commit(spark: SparkSession, tablePath: String,
       adds: Seq[String], removes: Seq[String] = Seq.empty,
-      publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
+      publisher: AtomicPublisher = RenameOrLinkPublisher,
+      opTag: Option[String] = None): Long = {
     require(adds.nonEmpty || removes.nonEmpty, "empty commit")
+    require(opTag.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      s"malformed opTag: $opTag")
     val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
     val fs = fsOf(spark, log)
     fs.mkdirs(log)
-    val content = (adds.map("+" + _) ++ removes.map("-" + _)).mkString("\n")
+    // optional `#op=<tag>` header: a rewrite that is NOT row-preserving
+    // (deleteWhere) must say so, or change-feed consumers would skip it
+    // as a compaction; untagged commits keep the shape-derived meaning
+    val content = (opTag.map("#op=" + _).toSeq ++
+      adds.map("+" + _) ++ removes.map("-" + _)).mkString("\n")
     var attempts = 0
     while (attempts < 10000) {
       // A removing commit must publish at EXACTLY validated-version + 1:
@@ -305,6 +313,52 @@ object CommitLog {
     commit(spark, tablePath, adds = names, removes = files, publisher = publisher)
   }
 
+  /** Row-level delete — the right-to-be-forgotten / retention operation
+    * (DELETE WHERE): every live file holding a matching row is
+    * rewritten WITHOUT its matching rows and the swap commits as ONE
+    * `#op=delete`-tagged version — readers see all deletions or none,
+    * and `asOf` still reads the pre-delete snapshot until vacuum
+    * reclaims it (the retention window IS the forget horizon — run
+    * vacuum after the window to make the purge physical).
+    *
+    * Scale shape: one pruning scan finds the AFFECTED files (predicate
+    * pushdown + parquet min/max make this cheap; the collect is
+    * file-count-sized) and only those files are rewritten — a delete
+    * touching 0.1% of files costs 0.1% of a full rewrite, the
+    * copy-on-write Delta/Iceberg model. Untouched files keep their
+    * identity (spec-pinned), so incremental consumers and caches over
+    * them stay valid.
+    *
+    * SQL DELETE semantics: rows where the predicate is TRUE go; rows
+    * where it is false OR NULL stay. A concurrent compaction of an
+    * affected file surfaces as the rewrite-conflict exception (rerun
+    * the delete); `changesSince` refuses to cross the tagged version —
+    * an insert-only feed silently skipping a delete would hand
+    * consumers forgotten rows as if still live. */
+  def deleteWhere(spark: SparkSession, tablePath: String, schema: StructType,
+      predicate: org.apache.spark.sql.Column,
+      publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val dir = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = fsOf(spark, dir)
+    val (version, files) = liveFiles(spark, tablePath)
+    if (files.isEmpty) return version
+    val paths = files.map(f => s"$tablePath/$f")
+    val affected = spark.read.schema(schema).parquet(paths: _*)
+      .filter(predicate)
+      .select(col("_metadata.file_name")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (affected.isEmpty) return version // nothing matched: no new version
+    val writerId = freshWriterId("w")
+    val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
+    spark.read.schema(schema).parquet(affected.map(f => s"$tablePath/$f"): _*)
+      .filter(not(coalesce(predicate, lit(false))))
+      .write.parquet(staging.toString)
+    val names = landStaged(fs, dir, staging, writerId)
+    commit(spark, tablePath, adds = names, removes = affected,
+      publisher = publisher, opTag = Some("delete"))
+  }
+
   /** The table's commit history as a DataFrame — the DESCRIBE HISTORY
     * introspection surface: one row per surviving commit file with its
     * add/remove counts and an operation tag derived from the commit
@@ -328,7 +382,10 @@ object CommitLog {
           val lines = readLines(fs, st.getPath).toSeq
           val adds = lines.count(_.startsWith("+"))
           val removes = lines.count(_.startsWith("-"))
-          val op = if (removes > 0) "rewrite" else "append"
+          // explicit header wins; otherwise derive from commit shape
+          val op = lines.collectFirst {
+            case l if l.startsWith("#op=") => l.stripPrefix("#op=")
+          }.getOrElse(if (removes > 0) "rewrite" else "append")
           Some((version, op, adds.toLong, removes.toLong))
         } else if (n.endsWith(".checkpoint")) {
           Some((version, "checkpoint",
@@ -391,6 +448,13 @@ object CommitLog {
           "re-bootstrap from a snapshot read()")
     val fileToVersion: Seq[(String, Long)] = commits.toSeq.flatMap { case (v, p) =>
       val lines = readLines(fs, p).toSeq
+      // a DELETE is not row-preserving and an insert-only feed cannot
+      // represent it: silently skipping would hand consumers forgotten
+      // rows as still-live — refuse, consumers re-bootstrap past it
+      if (lines.contains("#op=delete"))
+        throw new IllegalStateException(
+          s"change feed for $tablePath crosses a row-deleting commit " +
+            s"(version $v): re-bootstrap from a snapshot read() past it")
       if (lines.exists(_.startsWith("-"))) Seq.empty // rewrite: row-preserving
       else lines.filter(_.startsWith("+")).map(l => l.drop(1) -> v)
     }

@@ -123,6 +123,58 @@ abstract class LoggedStoreBehavior(publisher: AtomicPublisher) extends SparkSpec
     }
   }
 
+  test("deleteWhere: matching rows go atomically; unaffected files keep their identity") {
+    val t = freshTable()
+    val v1 = append(spark.range(0, 100).toDF("id"), t)      // file A
+    val v2 = append(spark.range(100, 200).toDF("id"), t)    // file B
+    assert(v1 == 1L && v2 == 2L)
+    val before = CommitLog.liveFiles(spark, t)._2.toSet
+    // delete hits only file B's range
+    val v3 = CommitLog.deleteWhere(spark, t, schema,
+      col("id") >= 150, publisher = publisher)
+    assert(v3 == 3L)
+    val ids = CommitLog.read(spark, t, schema).as[Long].collect().sorted
+    assert(ids.sameElements(0L until 150L), s"wrong survivors: ${ids.length}")
+    // file A (untouched range) keeps its identity — caches stay valid
+    val after = CommitLog.liveFiles(spark, t)._2.toSet
+    assert((before intersect after).nonEmpty,
+      "delete rewrote files with no matching rows")
+    assert((before diff after).nonEmpty && (after diff before).nonEmpty)
+    // time travel still reads the pre-delete snapshot
+    assert(CommitLog.read(spark, t, schema, asOf = v2).count() == 200)
+    // history names the operation explicitly, not as a generic rewrite
+    assert(CommitLog.history(spark, t)
+      .filter(col("version") === v3 && col("operation") === "delete").count() == 1)
+    // a no-match delete is a no-op, not an empty commit
+    assert(CommitLog.deleteWhere(spark, t, schema,
+      col("id") > 10000, publisher = publisher) == v3)
+  }
+
+  test("deleteWhere keeps rows where the predicate is null (SQL DELETE semantics)") {
+    val t = freshTable()
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(50L)))
+      .toDF("id", "score")
+    CommitLog.append(df, t, publisher)
+    CommitLog.deleteWhere(spark, t, df.schema, col("score") > 10, publisher)
+    val left = CommitLog.read(spark, t, df.schema)
+      .select("id").as[Long].collect().sorted
+    assert(left.sameElements(Array(1L, 2L)),
+      "a NULL predicate row must survive a DELETE")
+  }
+
+  test("change feed refuses to cross a delete; resumes cleanly after it") {
+    val t = freshTable()
+    val v1 = append(spark.range(0, 50).toDF("id"), t)
+    val v2 = CommitLog.deleteWhere(spark, t, schema, col("id") < 10, publisher)
+    append(spark.range(50, 60).toDF("id"), t)
+    val e = intercept[IllegalStateException] {
+      CommitLog.changesSince(spark, t, v1, schema).count()
+    }
+    assert(e.getMessage.contains("row-deleting"), e.getMessage)
+    // consumers re-bootstrap past the delete and the feed works again
+    assert(CommitLog.changesSince(spark, t, v2, schema).count() == 10)
+  }
+
   test("change feed: a pruned commit range fails loudly, never skips versions") {
     val t = freshTable()
     append(spark.range(0, 10).toDF("id"), t)
