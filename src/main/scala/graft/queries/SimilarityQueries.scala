@@ -129,6 +129,29 @@ object SimilarityQueries {
         k = 10, cents, nProbe = 3)
     },
 
+    // ── Incremental IVF insert: the index bootstrapped from half the
+    // vectors, the rest APPENDED under the same centroids — probing
+    // the grown index must return exactly what a full rebuild returns
+    // (same oracle SQL as ann_ivf_index_topk: under fixed centroids
+    // cell assignment depends only on (vector, centroids), so the
+    // insert path is exact; volume grows by appends, geometry refresh
+    // is the separate drift-triggered retrain). ───────────────────────
+    Q(
+      "ann_ivf_append_topk",
+      IvfOracleSql) { (s, dir) =>
+      val e = emb(s, dir)
+      val cents = Similarity.initialCentroids(e, 10)
+      val idx = graft.store.Staging.contentKeyed(
+        s, s"$dir/embeddings.parquet",
+        s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index",
+        salt = "ivf_k10_appended") { tmp =>
+        Similarity.writeIvfIndex(e.filter(col("vec_id") % 2 === 0), tmp, cents)
+        Similarity.appendToIvfIndex(e.filter(col("vec_id") % 2 =!= 0), tmp, cents)
+      }
+      Similarity.ivfTopKFromIndex(s, idx, e.filter(col("vec_id") < 5),
+        k = 10, cents, nProbe = 3)
+    },
+
     // ── Embedding near-dup: sign-block + cosine threshold ──────────────
     // Planted exact copies (vec_id<20 → +10000) must all come back;
     // both engines use the identical sign-bit blocking, so any natural

@@ -164,9 +164,29 @@ object Similarity {
     * — a 100 TB corpus with k=4096 cells and nProbe=32 reads <1% of its
     * files, no filter evaluation, no shuffle. */
   def writeIvfIndex(corpus: DataFrame, path: String, cents: Centroids): Unit =
-    corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .withColumn("cid", nearestCid(corpus, cents, col("e")))
-      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    assignAndWrite(corpus, path, cents, "overwrite")
+
+  /** Incremental INSERT path of the at-rest index: assign the new
+    * vectors to the EXISTING centroids (the same zero-shuffle per-row
+    * argmin) and append their files under the matching `cid=`
+    * partition directories — work scales with the increment, never a
+    * rebuild, and probing picks the new files up with no reader
+    * change. Under fixed centroids this is EXACT, not approximate:
+    * append-then-probe ≡ rebuild-then-probe (the shared
+    * `ann_ivf_index_topk` oracle pins it), because cell assignment
+    * depends only on (vector, centroids). What an insert-only index
+    * does degrade over time is cell BALANCE under distribution drift —
+    * which is precisely the `IvfRefresh.refreshIndexIfDrifted` trigger:
+    * inserts handle volume, the drift monitor decides when geometry
+    * has moved enough to pay for retraining. */
+  def appendToIvfIndex(newVectors: DataFrame, path: String, cents: Centroids): Unit =
+    assignAndWrite(newVectors, path, cents, "append")
+
+  private def assignAndWrite(vectors: DataFrame, path: String,
+      cents: Centroids, mode: String): Unit =
+    vectors.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("cid", nearestCid(vectors, cents, col("e")))
+      .write.mode(mode).partitionBy("cid").parquet(path)
 
   /** IVF top-k against a written index: the probed cell ids become an
     * `isin` literal filter on the partition column, so the scan prunes

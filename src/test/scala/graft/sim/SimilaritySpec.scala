@@ -99,6 +99,25 @@ class SimilaritySpec extends SparkSpec {
     assert(r1.count() <= r3.count(), "nProbe=1 must not see more candidates than nProbe=3")
   }
 
+  test("IVF insert path: append-then-probe ≡ rebuild-then-probe, file-level append only") {
+    val cents = Similarity.initialCentroids(e, 10)
+    val full = java.nio.file.Files.createTempDirectory("ivf_full").toString
+    val grown = java.nio.file.Files.createTempDirectory("ivf_grown").toString
+    Similarity.writeIvfIndex(e, full, cents)
+    Similarity.writeIvfIndex(e.filter(col("vec_id") % 2 === 0), grown, cents)
+    val bootFiles = spark.read.parquet(grown)
+      .select(col("_metadata.file_path")).distinct().count()
+    Similarity.appendToIvfIndex(e.filter(col("vec_id") % 2 =!= 0), grown, cents)
+    // strictly additive: every bootstrap file survives the append
+    val grownFiles = spark.read.parquet(grown)
+      .select(col("_metadata.file_path")).distinct().count()
+    assert(grownFiles > bootFiles, "append produced no new files")
+    val a = Similarity.ivfTopKFromIndex(spark, full, queries, 10, cents, nProbe = 3)
+    val b = Similarity.ivfTopKFromIndex(spark, grown, queries, 10, cents, nProbe = 3)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "insert path diverged from a full rebuild under fixed centroids")
+  }
+
   test("IVF recall@10 vs brute force (nProbe=3 of 10 cells)") {
     val exact = Similarity.bruteForceTopK(queries, e, k = 10).select("query_id", "vec_id")
     val ivf = Similarity.ivfTopK(queries, e, k = 10).select("query_id", "vec_id")
