@@ -588,6 +588,40 @@ object CorpusQueries {
           expr("bit_xor(h)").as("content_digest"))
     },
 
+    // ── Incrementally-maintained curation view: the quality-scoring
+    // stage kept current by consuming the source table's CHANGE FEED —
+    // two source appends, a refresh after each, and the view must
+    // equal the batch filter over the whole corpus (the materialized-
+    // view invariant; shares stream_quality_filter's oracle shape).
+    // The consumer checkpoint rides the view's own commit as a
+    // `consumed=<v>` tag — one atomic publish carries rows AND
+    // checkpoint, so no crash point double-applies an increment. ──────
+    Q(
+      "corpus_incremental_curation",
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, avg(quality) AS avg_quality
+         |FROM (SELECT lang, ${OracleSnippets.qualitySql} AS quality FROM documents)
+         |WHERE quality >= 0.6 GROUP BY lang""".stripMargin) { (s, dir) =>
+      import graft.store.{CommitLog, IncrementalView}
+      val d = docs(s, dir).select("doc_id", "lang", "text")
+      val src = "/tmp/graft_state/inc_curation_src"
+      val view = "/tmp/graft_state/inc_curation_view"
+      val fs = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(src, view).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val score: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        df => df.select(col("doc_id"), col("lang"),
+            graft.text.TextOps.qualityScore(col("text")).as("quality"))
+          .filter(col("quality") >= 0.6)
+      CommitLog.append(d.filter(col("doc_id") % 2 === 0), src)
+      IncrementalView.refresh(s, src, d.schema, view, score)
+      CommitLog.append(d.filter(col("doc_id") % 2 === 1), src)
+      IncrementalView.refresh(s, src, d.schema, view, score)
+      CommitLog.read(s, view, score(d).schema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), avg(col("quality")).as("avg_quality"))
+    },
+
     // ── Row-level delete through the commit log (DELETE WHERE — the
     // right-to-be-forgotten operation): the engine builds the logged
     // table in two appends, deletes a deterministic doc_id slice, and

@@ -223,7 +223,7 @@ object CommitLog {
     * under writer-unique names (still uncommitted — invisible until
     * the caller's commit references them). The ONE landing protocol
     * both append and compact use; vacuum keys on the name scheme. */
-  private def landStaged(fs: org.apache.hadoop.fs.FileSystem,
+  private[store] def landStaged(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, staging: org.apache.hadoop.fs.Path,
       writerId: String): Seq[String] = {
     val parts = fs.listStatus(staging).filter(st => st.isFile &&
@@ -244,7 +244,7 @@ object CommitLog {
     * file is only reclaimed when BOTH say it predates the retention
     * window — mod times alone are one skewed NFS/object-store clock
     * away from eating an in-flight writer's files. */
-  private def freshWriterId(prefix: String): String =
+  private[store] def freshWriterId(prefix: String): String =
     s"$prefix${ProcessHandle.current().pid()}_${System.currentTimeMillis()}_${System.nanoTime()}"
 
   /** The staging-start ms embedded in a landed data file's or staging
@@ -261,7 +261,8 @@ object CommitLog {
     * names, then publish them in one commit. Readers see all rows or
     * none. Safe under arbitrary concurrent writers — no lock. */
   def append(df: DataFrame, tablePath: String,
-      publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
+      publisher: AtomicPublisher = RenameOrLinkPublisher,
+      opTag: Option[String] = None): Long = {
     val spark = df.sparkSession
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
@@ -269,7 +270,7 @@ object CommitLog {
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
     df.write.parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
-    commit(spark, tablePath, adds = names, publisher = publisher)
+    commit(spark, tablePath, adds = names, publisher = publisher, opTag = opTag)
   }
 
   /** Snapshot read of the live file set (empty frame with `schema` for
@@ -448,14 +449,21 @@ object CommitLog {
           "re-bootstrap from a snapshot read()")
     val fileToVersion: Seq[(String, Long)] = commits.toSeq.flatMap { case (v, p) =>
       val lines = readLines(fs, p).toSeq
-      // a DELETE is not row-preserving and an insert-only feed cannot
-      // represent it: silently skipping would hand consumers forgotten
-      // rows as still-live — refuse, consumers re-bootstrap past it
-      if (lines.contains("#op=delete"))
+      val removing = lines.exists(_.startsWith("-"))
+      val tag = lines.collectFirst {
+        case l if l.startsWith("#op=") => l.stripPrefix("#op=") }
+      // an UNTAGGED removing commit is a compaction — row-preserving by
+      // protocol, feeds nothing. Any TAGGED removing commit (delete,
+      // view rebuild, future ops) may have changed rows, and an
+      // insert-only feed that silently skipped one would hand consumers
+      // deleted rows as still-live: refuse; consumers re-bootstrap
+      // from a snapshot read past it.
+      if (removing && tag.isDefined)
         throw new IllegalStateException(
-          s"change feed for $tablePath crosses a row-deleting commit " +
-            s"(version $v): re-bootstrap from a snapshot read() past it")
-      if (lines.exists(_.startsWith("-"))) Seq.empty // rewrite: row-preserving
+          s"change feed for $tablePath crosses a row-deleting/rewriting " +
+            s"commit (version $v, op=${tag.get}): re-bootstrap from a " +
+            "snapshot read() past it")
+      if (removing) Seq.empty
       else lines.filter(_.startsWith("+")).map(l => l.drop(1) -> v)
     }
     if (fileToVersion.isEmpty) return empty

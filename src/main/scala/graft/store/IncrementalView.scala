@@ -1,0 +1,90 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Incrementally-maintained materialized view over a logged table: the
+  * view consumes its source's change feed ([[CommitLog.changesSince]])
+  * and applies a per-row transform to JUST the increment — refresh cost
+  * scales with what landed since the last refresh, never with a source
+  * rescan. At 100 TB this is how a scored/filtered/derived corpus stays
+  * current: the nightly drop is the work, not the archive.
+  *
+  * Exactly-once without a side channel: the consumer checkpoint RIDES
+  * the view's own data commit as a `consumed=<srcVersion>` operation
+  * tag — one atomic publish carries both the transformed rows and the
+  * "I have processed through version N" claim, so a crash between
+  * processing and checkpointing cannot double-apply an increment (the
+  * classic dual-write hazard a separate checkpoint file reintroduces).
+  * Replaying the view's history is the recovery procedure AND the
+  * lineage record: each commit says which source versions it covers.
+  *
+  * Scope: the transform must be STATELESS per increment (per-row maps
+  * and filters — scoring, redaction, projection; the curation scoring
+  * stage is exactly this shape). Cross-row aggregations need merge
+  * logic this seam does not provide — maintain those as streaming
+  * aggregations (StreamingJobs) or recompute from the view. A source
+  * DELETE stops the feed loudly (changesSince's contract); the view
+  * re-bootstraps: `rebuild()` from a snapshot read, which also re-bases
+  * the checkpoint.
+  */
+object IncrementalView {
+
+  private val TagPrefix = "consumed="
+
+  /** Highest source version this view has consumed — parsed from the
+    * view's own commit history (log-sized driver work); 0 for a view
+    * with no commits, i.e. "consume everything". */
+  def lastConsumed(spark: SparkSession, viewTable: String): Long = {
+    import spark.implicits._
+    CommitLog.history(spark, viewTable)
+      .select("operation").as[String].collect()
+      .collect { case op if op.startsWith(TagPrefix) =>
+        op.stripPrefix(TagPrefix).toLong }
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Refresh the view with everything the source committed since the
+    * last refresh. Returns the source version consumed through, or
+    * None when already caught up. An increment the transform filters
+    * to zero rows still commits (empty add set aside, the parquet
+    * writer always lands at least one file): the checkpoint must
+    * advance or the next refresh reprocesses the same increment
+    * forever. */
+  def refresh(spark: SparkSession, srcTable: String, srcSchema: StructType,
+      viewTable: String, transform: DataFrame => DataFrame,
+      publisher: AtomicPublisher = RenameOrLinkPublisher): Option[Long] = {
+    val since = lastConsumed(spark, viewTable)
+    val (srcVersion, _) = CommitLog.liveFiles(spark, srcTable)
+    if (srcVersion == since) return None
+    val increment = CommitLog
+      .changesSince(spark, srcTable, since, srcSchema, asOf = srcVersion)
+      .drop("_commit_version")
+    CommitLog.append(transform(increment), viewTable,
+      publisher, opTag = Some(s"$TagPrefix$srcVersion"))
+    Some(srcVersion)
+  }
+
+  /** Re-bootstrap from a full snapshot read — the recovery path after
+    * a source DELETE (or any feed gap): the view is REWRITTEN to
+    * transform(snapshot) in one atomic commit that also re-bases the
+    * checkpoint at the snapshot's version. */
+  def rebuild(spark: SparkSession, srcTable: String, srcSchema: StructType,
+      viewTable: String, transform: DataFrame => DataFrame,
+      publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
+    val (srcVersion, _) = CommitLog.liveFiles(spark, srcTable)
+    val snapshot = transform(CommitLog.read(spark, srcTable, srcSchema))
+    val dir = new org.apache.hadoop.fs.Path(viewTable)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = CommitLog.liveFiles(spark, viewTable)._2
+    // land the rebuilt rows, then publish adds + removes-of-everything
+    // as ONE commit: readers see the old view or the rebuilt view,
+    // never a mix, and the tag re-bases the consumer checkpoint
+    val writerId = CommitLog.freshWriterId("w")
+    val staging = new org.apache.hadoop.fs.Path(viewTable, s"_staging_$writerId")
+    snapshot.write.parquet(staging.toString)
+    val names = CommitLog.landStaged(fs, dir, staging, writerId)
+    CommitLog.commit(spark, viewTable, adds = names, removes = old,
+      publisher = publisher, opTag = Some(s"$TagPrefix$srcVersion"))
+  }
+}

@@ -192,6 +192,70 @@ abstract class LoggedStoreBehavior(publisher: AtomicPublisher) extends SparkSpec
     assert(CommitLog.changesSince(spark, t, 2L, schema).count() == 10)
   }
 
+  test("incremental view: refresh processes only the increment; result ≡ full recompute") {
+    val src = freshTable()
+    val view = freshTable()
+    val double: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.filter(col("id") % 2 === 0).withColumn("id", col("id") * 2)
+    def viewIds: Array[Long] =
+      CommitLog.read(spark, view, schema).as[Long].collect().sorted
+    // bootstrap
+    append(spark.range(0, 10).toDF("id"), src)
+    assert(IncrementalView.refresh(spark, src, schema, view, double, publisher)
+      .contains(1L))
+    assert(viewIds.sameElements(Array(0L, 4L, 8L, 12L, 16L)))
+    // caught up: no-op, no new view version
+    val vBefore = CommitLog.liveFiles(spark, view)._1
+    assert(IncrementalView.refresh(spark, src, schema, view, double, publisher).isEmpty)
+    assert(CommitLog.liveFiles(spark, view)._1 == vBefore)
+    // two more source commits, one refresh: increment-only, and the
+    // materialized-view invariant holds — view ≡ transform(full source)
+    append(spark.range(10, 20).toDF("id"), src)
+    append(spark.range(20, 30).toDF("id"), src)
+    assert(IncrementalView.refresh(spark, src, schema, view, double, publisher)
+      .contains(3L))
+    val expect = double(CommitLog.read(spark, src, schema))
+      .as[Long].collect().sorted
+    assert(viewIds.sameElements(expect), "view diverged from a full recompute")
+    assert(IncrementalView.lastConsumed(spark, view) == 3L)
+  }
+
+  test("incremental view: an all-filtered increment still advances the checkpoint") {
+    val src = freshTable()
+    val view = freshTable()
+    val keepNone: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      _.filter(lit(false))
+    append(spark.range(0, 5).toDF("id"), src)
+    assert(IncrementalView.refresh(spark, src, schema, view, keepNone, publisher)
+      .contains(1L))
+    assert(IncrementalView.lastConsumed(spark, view) == 1L,
+      "checkpoint must advance even when the transform keeps nothing")
+    assert(IncrementalView.refresh(spark, src, schema, view, keepNone, publisher).isEmpty)
+  }
+
+  test("incremental view: source delete stops the feed; rebuild recovers and re-bases") {
+    val src = freshTable()
+    val view = freshTable()
+    val ident: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      identity
+    append(spark.range(0, 20).toDF("id"), src)
+    IncrementalView.refresh(spark, src, schema, view, ident, publisher)
+    CommitLog.deleteWhere(spark, src, schema, col("id") < 5, publisher)
+    append(spark.range(20, 25).toDF("id"), src)
+    intercept[IllegalStateException] {
+      IncrementalView.refresh(spark, src, schema, view, ident, publisher)
+    }
+    // recovery: one atomic rebuild from the snapshot, checkpoint re-based
+    IncrementalView.rebuild(spark, src, schema, view, ident, publisher)
+    val ids = CommitLog.read(spark, view, schema).as[Long].collect().sorted
+    assert(ids.sameElements((5L until 25L).toArray[Long]),
+      s"rebuilt view wrong: ${ids.mkString(",")}")
+    // and incremental consumption resumes cleanly from the new base
+    append(spark.range(25, 30).toDF("id"), src)
+    assert(IncrementalView.refresh(spark, src, schema, view, ident, publisher).isDefined)
+    assert(CommitLog.read(spark, view, schema).count() == 25)
+  }
+
   test("eight lockless concurrent writers: every row survives, versions serialize") {
     val t = freshTable()
     val threads = (0 until 8).map { i =>
