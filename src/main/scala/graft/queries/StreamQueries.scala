@@ -167,6 +167,42 @@ object StreamQueries {
       StreamingJobs.streamingCmHeavyHitters(s, dir)
     },
 
+    // ── Exactly-once streaming sink into a LOGGED table: the drain is
+    // CRASHED after batch 1's commit lands (work durable, offset not —
+    // the replay-duplication worst case), restarted from the same
+    // checkpoint, and the finished table must hold every document
+    // exactly once — the per-source xor digest catches a duplicated or
+    // lost batch where a count alone might cancel out. ─────────────────
+    Q(
+      "stream_logged_sink",
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS content_digest
+         |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.store.CommitLog
+      val table = "/tmp/graft_state/logged_sink_docs"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      val ckpt = Files.createTempDirectory("graft_ckpt_lsink").toString
+      val boom: Long => Unit =
+        bid => if (bid == 1) throw new RuntimeException("injected post-commit failure")
+      try StreamingJobs.streamToLoggedTable(s, dir, table, ckpt, boom)
+        .awaitTermination()
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+      StreamingJobs.streamToLoggedTable(s, dir, table, ckpt).awaitTermination()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      CommitLog.read(s, table, schema)
+        .withColumn("h", graft.core.Hashing.rowDigest(col("doc_id"), col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
+    },
+
     // ── Stream-stream interval join: two live streams, matches emitted
     // as both sides arrive; drained result must equal the BATCH range
     // join (same oracle SQL object — they cannot drift). ───────────────

@@ -314,6 +314,45 @@ object CommitLog {
     commit(spark, tablePath, adds = names, removes = files, publisher = publisher)
   }
 
+  /** Highest batch id a streaming query has committed into this table,
+    * parsed from `txn=<queryId>:<batchId>` commit tags (log-sized
+    * driver work); -1 when the query never committed. */
+  def lastTxnBatch(spark: SparkSession, tablePath: String,
+      queryId: String): Long = {
+    import spark.implicits._
+    val prefix = s"txn=$queryId:"
+    history(spark, tablePath)
+      .select("operation").as[String].collect()
+      .collect { case op if op.startsWith(prefix) =>
+        op.stripPrefix(prefix).toLong }
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Exactly-once streaming sink append — the foreachBatch bridge from
+    * Structured Streaming into a logged table: micro-batch delivery is
+    * at-least-once (a batch that fails after side effects REPLAYS from
+    * the checkpoint), so the sink must be idempotent, and here the
+    * idempotence claim rides the commit itself as a
+    * `txn=<queryId>:<batchId>` tag (the published Delta sink's
+    * txnAppId/txnVersion mechanism). A replayed batch finds a tag at
+    * or past its id and skips — no dedup table, no second lookup
+    * structure, and the claim is ATOMIC with the data because it IS
+    * the commit. Returns the version won, or None for a skip.
+    *
+    * `queryId` must be a stable identity across restarts (the
+    * checkpoint's role on the source side) — NOT the run-scoped query
+    * instance id; batch ids from one checkpoint are monotone, which is
+    * what makes `<=` the replay test. */
+  def appendOnce(df: DataFrame, tablePath: String, queryId: String,
+      batchId: Long, publisher: AtomicPublisher = RenameOrLinkPublisher): Option[Long] = {
+    require(!queryId.exists(c => c.isWhitespace || c == ':'),
+      s"queryId must be whitespace/colon-free: $queryId")
+    val spark = df.sparkSession
+    if (batchId <= lastTxnBatch(spark, tablePath, queryId)) return None
+    Some(append(df, tablePath, publisher,
+      opTag = Some(s"txn=$queryId:$batchId")))
+  }
+
   /** Row-level delete — the right-to-be-forgotten / retention operation
     * (DELETE WHERE): every live file holding a matching row is
     * rewritten WITHOUT its matching rows and the swap commits as ONE

@@ -303,6 +303,33 @@ object StreamingJobs {
     runToMemory(agg, "stream_manifest_sink", OutputMode.Complete())
   }
 
+  /** Stream → LOGGED TABLE through the exactly-once sink
+    * (CommitLog.appendOnce): each micro-batch lands as one atomic
+    * tagged commit, and a batch that fails AFTER its commit (the worst
+    * case: work durable, source offset not) replays on restart and is
+    * skipped by its own `txn=` tag — at-least-once delivery +
+    * idempotent commit ≡ effective exactly-once, the same contract the
+    * execute pipeline gets from its done-anti-join, here provided by
+    * the storage layer itself. `failAfterBatch` injects that exact
+    * crash point; the caller restarts with the same checkpoint and the
+    * drained table must hold every source row exactly once. */
+  def streamToLoggedTable(spark: SparkSession, sfDir: String,
+      tablePath: String, checkpoint: String,
+      failAfterBatch: Long => Unit = _ => ()): StreamingQuery =
+    tableStream(spark, sfDir, "documents", maxFilesPerTrigger = 2)
+      .select(col("doc_id"), col("source"), col("text"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        // commit FIRST, then the injectable crash: the replay skip is
+        // only proven if the failure lands after the durable side effect
+        graft.store.CommitLog.appendOnce(batch, tablePath, "docs_sink", bid)
+        failAfterBatch(bid)
+        ()
+      }
+      .start()
+
   /** Streaming count-min sketch + heavy hitters: the sketch's counters
     * merge by plain addition, so maintaining it over a stream is a
     * vanilla streaming aggregation — each micro-batch folds its token

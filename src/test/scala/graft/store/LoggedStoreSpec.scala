@@ -192,6 +192,26 @@ abstract class LoggedStoreBehavior(publisher: AtomicPublisher) extends SparkSpec
     assert(CommitLog.changesSince(spark, t, 2L, schema).count() == 10)
   }
 
+  test("appendOnce: replayed and stale batch ids skip; distinct query ids are independent") {
+    val t = freshTable()
+    assert(CommitLog.appendOnce(spark.range(0, 10).toDF("id"), t, "q", 0L, publisher).isDefined)
+    assert(CommitLog.appendOnce(spark.range(10, 20).toDF("id"), t, "q", 1L, publisher).isDefined)
+    // replayed batch (failed after its commit): skipped, not doubled
+    assert(CommitLog.appendOnce(spark.range(10, 20).toDF("id"), t, "q", 1L, publisher).isEmpty)
+    // stale lower id from a zombie attempt: skipped too (monotone ledger)
+    assert(CommitLog.appendOnce(spark.range(0, 10).toDF("id"), t, "q", 0L, publisher).isEmpty)
+    assert(CommitLog.read(spark, t, schema).count() == 20)
+    // another query id keeps its own ledger on the same table
+    assert(CommitLog.appendOnce(spark.range(20, 25).toDF("id"), t, "q2", 0L, publisher).isDefined)
+    assert(CommitLog.read(spark, t, schema).count() == 25)
+    assert(CommitLog.lastTxnBatch(spark, t, "q") == 1L &&
+      CommitLog.lastTxnBatch(spark, t, "q2") == 0L &&
+      CommitLog.lastTxnBatch(spark, t, "nope") == -1L)
+    intercept[IllegalArgumentException] {
+      CommitLog.appendOnce(spark.range(0, 1).toDF("id"), t, "bad:id", 9L, publisher)
+    }
+  }
+
   test("incremental view: refresh processes only the increment; result ≡ full recompute") {
     val src = freshTable()
     val view = freshTable()
