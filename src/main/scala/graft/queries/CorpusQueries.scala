@@ -588,6 +588,48 @@ object CorpusQueries {
           expr("bit_xor(h)").as("content_digest"))
     },
 
+    // ── Declarative data-quality expectations: per-rule violation
+    // accounting over the corpus in ONE aggregation job (rule
+    // unsatisfied OR null ⇒ violation — an expectation you cannot
+    // evaluate is not met; the NULL case is planted deterministically).
+    // The enforcement twin (validatedAppend: clean rows → table,
+    // violators → quarantine with rule names) is spec-covered under
+    // both commit-log publishers. ─────────────────────────────────────
+    Q(
+      "corpus_expectations",
+      """WITH d AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang
+        |  FROM documents),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN NOT coalesce(length(text) >= 20, FALSE)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+        |    CAST(sum(CASE WHEN NOT coalesce(length(lang) = 2, FALSE)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |    CAST(sum(CASE WHEN NOT coalesce(doc_id >= 0, FALSE)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |    CAST(sum(CASE WHEN NOT coalesce(text NOT LIKE '%lorem%', FALSE)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v3
+        |  FROM d)
+        |SELECT r.rule, agg.n_rows, r.n_violations,
+        |  CAST(r.n_violations AS DOUBLE) / agg.n_rows AS violation_rate
+        |FROM agg, (
+        |  SELECT 'text_min_len' AS rule, v0 AS n_violations FROM agg
+        |  UNION ALL SELECT 'lang_iso2', v1 FROM agg
+        |  UNION ALL SELECT 'id_nonneg', v2 FROM agg
+        |  UNION ALL SELECT 'no_lorem', v3 FROM agg) r""".stripMargin) { (s, dir) =>
+      import graft.store.Expectations, Expectations.Rule
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"),
+        when(col("doc_id") % 11 === 0, lit(null)).otherwise(col("lang"))
+          .as("lang"))
+      Expectations.report(d, Seq(
+        Rule("text_min_len", length(col("text")) >= 20),
+        Rule("lang_iso2", length(col("lang")) === 2),
+        Rule("id_nonneg", col("doc_id") >= 0),
+        Rule("no_lorem", !col("text").contains("lorem"))))
+    },
+
     // ── Incrementally-maintained curation view: the quality-scoring
     // stage kept current by consuming the source table's CHANGE FEED —
     // two source appends, a refresh after each, and the view must

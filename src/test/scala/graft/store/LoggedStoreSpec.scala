@@ -212,6 +212,38 @@ abstract class LoggedStoreBehavior(publisher: AtomicPublisher) extends SparkSpec
     }
   }
 
+  test("expectations: clean rows commit, violators quarantine with their rule names") {
+    import Expectations.Rule
+    val t = freshTable()
+    val quarantine = freshTable()
+    val df = Seq((1L, Some(5L)), (2L, None), (-3L, Some(7L)), (-4L, None))
+      .toDF("id", "score")
+    val rules = Seq(
+      Rule("id_nonneg", col("id") >= 0),
+      Rule("score_pos", col("score") > 0)) // NULL score ⇒ violation
+    assert(Expectations.validatedAppend(df, rules, t, quarantine, publisher).isDefined)
+    // clean: only (1, 5)
+    assert(CommitLog.read(spark, t, df.schema)
+      .select("id").as[Long].collect().sameElements(Array(1L)))
+    // quarantined rows carry exactly the rules they broke
+    val qSchema = df.withColumn("violated",
+      Expectations.violations(rules)).schema
+    val q = CommitLog.read(spark, quarantine, qSchema)
+      .select(col("id"), col("violated"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(q(2L) == Seq("score_pos"), "null score must violate")
+    assert(q(-3L) == Seq("id_nonneg"))
+    assert(q(-4L) == Seq("id_nonneg", "score_pos"))
+    // an all-violating batch commits nothing to the table
+    val before = CommitLog.liveFiles(spark, t)._1
+    assert(Expectations.validatedAppend(
+      Seq((-9L, Option.empty[Long])).toDF("id", "score"),
+      rules, t, quarantine, publisher).isEmpty)
+    assert(CommitLog.liveFiles(spark, t)._1 == before)
+    // malformed rule names are rejected at construction
+    intercept[IllegalArgumentException] { Rule("bad name", lit(true)) }
+  }
+
   test("incremental view: refresh processes only the increment; result ≡ full recompute") {
     val src = freshTable()
     val view = freshTable()
