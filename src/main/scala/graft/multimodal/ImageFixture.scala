@@ -111,3 +111,87 @@ object AudioFixture {
     require(written > 0, s"no JDK writer for $tpe")
   }
 }
+
+/** Deterministic MP4 fixtures for the real container-decode path: `n`
+  * minimal but VALID ISO-BMFF streams (`ftyp` + `moov`[`mvhd` +
+  * `trak`×k]) of KNOWN header parameters,
+  *
+  *   timescale = 600·(1 + i%4)
+  *   duration  = 600·(1 + i%10) ticks
+  *   tracks    = 1 + i%2
+  *   brand     = isom / mp42 (alternating)
+  *
+  * — pure arithmetic in i for the DuckDB `range()` oracle, same
+  * contract as [[ImageFixture]]/[[AudioFixture]]. Container metadata
+  * is exactly what a header-only video probe reads at scale; sample
+  * data (mdat) never enters the check and none is written. Even files
+  * use mvhd VERSION 1 (64-bit times) so both parser paths are
+  * exercised end to end. */
+object VideoFixture {
+  import java.io.File
+  val root: String = "/tmp/graft_state/video_fixture"
+  val n = 24
+
+  def timescaleOf(i: Int): Long = 600L * (1 + i % 4)
+  def durationOf(i: Int): Long = 600L * (1 + i % 10)
+  def tracksOf(i: Int): Int = 1 + i % 2
+  def brandOf(i: Int): String = if (i % 2 == 0) "isom" else "mp42"
+
+  def ensure(): String = synchronized {
+    val dir = new File(root)
+    val want = (0 until n).map(fileName).toSet
+    val have = Option(dir.listFiles()).getOrElse(Array.empty).map(_.getName).toSet
+    if (have != want) {
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); () }
+      dir.mkdirs()
+      (0 until n).foreach(write)
+    }
+    root
+  }
+
+  private def fileName(i: Int): String = f"vid_$i%03d.mp4"
+
+  private def u32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def u64(v: Long): Array[Byte] = u32(v >>> 32) ++ u32(v & 0xffffffffL)
+  private def box(typ: String, parts: Array[Byte]*): Array[Byte] = {
+    val body = parts.flatten.toArray
+    u32(body.length + 8L) ++ typ.getBytes("US-ASCII") ++ body
+  }
+
+  private def write(i: Int): Unit = {
+    val ftyp = box("ftyp",
+      brandOf(i).getBytes("US-ASCII"), u32(0), "isom".getBytes("US-ASCII"))
+    val mvhd =
+      if (i % 2 == 0)
+        box("mvhd", Array[Byte](1, 0, 0, 0),      // version 1, flags
+          u64(0), u64(0),                          // creation, modification
+          u32(timescaleOf(i)), u64(durationOf(i)), // timescale, duration
+          u32(0x00010000L), Array[Byte](1, 0),     // rate 1.0, volume 1.0
+          new Array[Byte](10),                     // reserved
+          u32(0x00010000L), u32(0), u32(0), u32(0), u32(0x00010000L),
+          u32(0), u32(0), u32(0), u32(0x40000000L), // unity matrix
+          new Array[Byte](24), u32(tracksOf(i) + 1L)) // pre_defined, next id
+      else
+        box("mvhd", Array[Byte](0, 0, 0, 0),      // version 0
+          u32(0), u32(0),
+          u32(timescaleOf(i)), u32(durationOf(i)),
+          u32(0x00010000L), Array[Byte](1, 0),
+          new Array[Byte](10),
+          u32(0x00010000L), u32(0), u32(0), u32(0), u32(0x00010000L),
+          u32(0), u32(0), u32(0), u32(0x40000000L),
+          new Array[Byte](24), u32(tracksOf(i) + 1L))
+    val traks = (1 to tracksOf(i)).map { t =>
+      box("trak", box("tkhd", Array[Byte](0, 0, 0, 7), // v0, enabled flags
+        u32(0), u32(0), u32(t.toLong), u32(0), u32(durationOf(i)),
+        new Array[Byte](8), new Array[Byte](8),        // reserved, layer/group/vol/rsvd
+        u32(0x00010000L), u32(0), u32(0), u32(0), u32(0x00010000L),
+        u32(0), u32(0), u32(0), u32(0x40000000L),
+        u32(640L << 16), u32(360L << 16)))             // 16.16 fixed w/h
+    }
+    val bytes = ftyp ++ box("moov", (mvhd +: traks): _*)
+    val out = new java.io.FileOutputStream(new File(root, fileName(i)))
+    try out.write(bytes) finally out.close()
+  }
+}

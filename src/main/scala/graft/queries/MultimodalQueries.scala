@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.ingest.FixtureTree
-import graft.multimodal.{AudioFixture, ImageFixture, Multimodal}
+import graft.multimodal.{AudioFixture, ImageFixture, Multimodal, VideoFixture}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -81,6 +81,34 @@ object MultimodalQueries {
         .as[Multimodal.MediaIn]
       Multimodal.decodeAudio(media).toDF()
         .select("doc_id", "sample_rate", "channels", "n_frames", "format")
+    },
+
+    // ── REAL video container decode: ISO-BMFF fixtures of
+    // arithmetic-known mvhd/trak parameters (both mvhd versions),
+    // parsed box-by-box — container metadata without a codec, oracle
+    // recomputed from range() alone. duration_s = ticks/timescale is
+    // computed IN the engine to prove the unit relationship, not just
+    // the raw fields. ─────────────────────────────────────────────────
+    Q(
+      "multimodal_decode_video",
+      """SELECT CAST(i AS BIGINT) AS doc_id,
+        |  CAST(600 * (1 + i % 4) AS BIGINT) AS timescale,
+        |  CAST(600 * (1 + i % 10) AS BIGINT) AS duration_ticks,
+        |  CAST(1 + i % 2 AS INTEGER) AS n_tracks,
+        |  CASE WHEN i % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        |  round(CAST(600 * (1 + i % 10) AS DOUBLE)
+        |    / (600 * (1 + i % 4)), 6) AS duration_s
+        |FROM range(0, 24) t(i)""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val media = Multimodal.scanBinary(s, VideoFixture.ensure())
+        .select(regexp_extract(col("key"), "vid_(\\d+)", 1).cast("long").as("doc_id"),
+          col("content"))
+        .as[Multimodal.MediaIn]
+      Multimodal.decodeVideo(media).toDF()
+        .select(col("doc_id"), col("timescale"), col("duration_ticks"),
+          col("n_tracks"), col("brand"),
+          round(col("duration_ticks").cast("double") / col("timescale"), 6)
+            .as("duration_s"))
     },
 
     // ── Frame sampling: bounded explode keyed by content hash ──────────

@@ -65,6 +65,33 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(Multimodal.decodeImage(wav).isEmpty)
   }
 
+  test("video container probe reads true mvhd/trak parameters; hostile bytes degrade") {
+    VideoFixture.ensure()
+    (0 until VideoFixture.n).foreach { i =>
+      val f = new java.io.File(VideoFixture.root).listFiles()
+        .find(_.getName.contains(f"vid_$i%03d")).get
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val Some((ts, dur, tracks, brand)) = Multimodal.decodeVideoHeader(bytes)
+      assert((ts, dur, tracks, brand) ==
+        (VideoFixture.timescaleOf(i), VideoFixture.durationOf(i),
+          VideoFixture.tracksOf(i), VideoFixture.brandOf(i)),
+        s"fixture $i probed to ($ts,$dur,$tracks,$brand)")
+      // truncating mid-moov must degrade to None (declared size past
+      // the buffer = structural corruption), never throw
+      assert(Multimodal.decodeVideoHeader(bytes.take(bytes.length / 2)).isEmpty)
+      // a declared box size past the buffer is structural corruption
+      val corrupt = bytes.clone()
+      corrupt(0) = 0x7f.toByte // ftyp size becomes enormous
+      assert(Multimodal.decodeVideoHeader(corrupt).isEmpty)
+    }
+    // non-video bytes route to the deterministic fallback
+    val meta = Multimodal.decodeVideoBatch(
+      Seq(Multimodal.MediaIn(1L, "not a video".getBytes("UTF-8")))).head
+    assert(meta.brand == "none" && meta.timescale >= 600)
+    // the probe never claims image or audio bytes
+    assert(Multimodal.decodeVideoHeader(png(4, 4, argb = false)).isEmpty)
+  }
+
   test("the fixture tree decodes to exactly its construction parameters") {
     ImageFixture.ensure()
     (0 until ImageFixture.n).foreach { i =>
