@@ -181,6 +181,63 @@ object Dedup {
     * pairs are quadratic and its signal is "this is template text",
     * better handled by a frequency report than a pair list) and is
     * dropped. */
+  /** Asymmetric CONTAINMENT near-dup: pairs where the smaller
+    * document's shingle set is (mostly) a subset of the larger's —
+    * containment(A→B) = |S(A)∩S(B)| / |S(A)|. This is the duplication
+    * Jaccard structurally misses: an excerpt quoted inside a 100×
+    * longer article scores Jaccard ≈ 1%, containment ≈ 100% — and
+    * excerpt/quote/chunk duplication is a dominant pattern in web
+    * training corpora.
+    *
+    * Scale shape: an INVERTED SHINGLE INDEX, not pairwise — each doc
+    * explodes to (doc_id, md5(shingle)) scalars (text never crosses an
+    * exchange past the scan), shingles shared by fewer than 2 or more
+    * than `maxDf` documents are dropped (singletons pair with nothing;
+    * ultra-common shingles are boilerplate whose pairs are quadratic —
+    * the nearDupPairs bucket-guard argument, applied to document
+    * frequency), and co-occurrence counts come from a hash self-join
+    * within each surviving shingle: pair cardinality is bounded by
+    * maxDf² per shingle, never corpus². The df cap is part of the
+    * operator's SEMANTICS (the oracle applies the same cap): dropped
+    * boilerplate shingles still count in the denominator, so a doc
+    * made mostly of boilerplate cannot fake containment. Emits
+    * (contained_id, container_id, containment) with the smaller
+    * shingle set as the contained side (ties → lower id). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8, maxDf: Int = 64): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2: $maxDf")
+    val sh = df.select(col(idCol).as("doc_id"),
+        explode(wordShingles(col(textCol), n)).as("s"))
+      .select(col("doc_id"), md5(col("s")).as("fp"))
+    // distinct-shingle counts from the exploded frame (wordShingles is
+    // interpreted — never evaluate it twice per doc)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val dfCounts = sh.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("fp")
+    val idx = sh.join(dfCounts, "fp")
+    val matches = idx.as("a")
+      .join(idx.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("m"))
+    matches
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .select(
+        when(col("na") < col("nb") ||
+          (col("na") === col("nb") && col("id_a") < col("id_b")), col("id_a"))
+          .otherwise(col("id_b")).as("contained_id"),
+        when(col("na") < col("nb") ||
+          (col("na") === col("nb") && col("id_a") < col("id_b")), col("id_b"))
+          .otherwise(col("id_a")).as("container_id"),
+        (col("m").cast("double") / least(col("na"), col("nb"))).as("c"))
+      .filter(col("c") >= threshold) // threshold on the RAW ratio; the
+      // rounding below is presentation (cross-engine f64 agreement)
+      .select(col("contained_id"), col("container_id"),
+        round(col("c"), 6).as("containment"))
+  }
+
   def substringSpanPairs(df: DataFrame, idCol: String, textCol: String,
       window: Int = 100, stride: Int = 50, maxBucketSize: Int = 64): DataFrame = {
     require(window >= 1 && stride >= 1, s"window/stride must be positive: $window/$stride")

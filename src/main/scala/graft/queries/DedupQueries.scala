@@ -378,6 +378,59 @@ object DedupQueries {
       Dedup.substringSpanPairs(corpus, "doc_id", "text", window = 100, stride = 50)
     },
 
+    // ── Asymmetric CONTAINMENT dedup: excerpt docs planted as the
+    // first half of each original's words (doc_id < 25 → +400000) must
+    // come back contained in their originals — the duplication Jaccard
+    // structurally misses (an excerpt in a much longer doc has tiny
+    // Jaccard, containment ≈ 1). The df-cap (boilerplate shingles
+    // dropped from the index, still counted in the denominator) is
+    // mirrored in the oracle; both engines compute the identical
+    // deterministic pair set, natural pairs included. ─────────────────
+    Q(
+      "dedup_containment",
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |exc AS (
+        |  SELECT doc_id + 400000 AS doc_id,
+        |    array_to_string(w[1:greatest(3, len(w) // 2)], ' ') AS text
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS w
+        |        FROM documents WHERE doc_id < 25)),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM exc),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh3
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS w FROM corpus)
+        |  WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, len(sh3) AS n_sh FROM sh),
+        |ex AS (SELECT doc_id, md5(s.s) AS fp
+        |       FROM sh, LATERAL (SELECT unnest(sh3) AS s) s),
+        |dfc AS (SELECT fp FROM ex GROUP BY fp
+        |        HAVING count(*) BETWEEN 2 AND 64),
+        |idx AS (SELECT ex.doc_id, ex.fp FROM ex JOIN dfc USING (fp)),
+        |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        CAST(count(*) AS BIGINT) AS m
+        |      FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT
+        |  CASE WHEN sa.n_sh < sb.n_sh OR (sa.n_sh = sb.n_sh AND id_a < id_b)
+        |       THEN id_a ELSE id_b END AS contained_id,
+        |  CASE WHEN sa.n_sh < sb.n_sh OR (sa.n_sh = sb.n_sh AND id_a < id_b)
+        |       THEN id_b ELSE id_a END AS container_id,
+        |  round(CAST(m AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) AS containment
+        |FROM m
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(m AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.8""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val w = split(col("text"), " ")
+      val excerpts = d.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat_ws(" ", slice(w, lit(1),
+            greatest(lit(3), floor(size(w) / 2).cast("int")))).as("text"))
+      Dedup.containmentPairs(d.unionAll(excerpts), "doc_id", "text",
+        n = 3, threshold = 0.8, maxDf = 64)
+    },
+
     // ── Entity resolution (fuzzy RECORD dedup — text dedup's structured
     // sibling): customer names plus planted one-char-dropped typo
     // mutants, matched at edit distance ≤ 1. The uniform fixture names

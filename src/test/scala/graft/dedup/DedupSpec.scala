@@ -126,6 +126,34 @@ class DedupSpec extends SparkSpec {
       s"boilerplate leaked or the rare pair was lost: ${pairs.take(5)}")
   }
 
+  test("containmentPairs finds the excerpt Jaccard misses; direction and df-cap hold") {
+    import spark.implicits._
+    // a 200-word article and a 12-word excerpt of it: Jaccard ≈ 5%
+    // (far under any near-dup threshold), containment = 1.0
+    val words = (0 until 200).map(i => s"w$i")
+    val article = words.mkString(" ")
+    val excerpt = words.slice(40, 52).mkString(" ")
+    val unrelated = (0 until 50).map(i => s"z$i").mkString(" ")
+    val recs = Seq((1L, article), (2L, excerpt), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val jac = recs.as("a").join(recs.as("b"),
+        col("a.doc_id") === 1 && col("b.doc_id") === 2)
+      .select(Dedup.jaccard(
+        Dedup.wordShingles(col("a.text"), 3),
+        Dedup.wordShingles(col("b.text"), 3)))
+      .head().getDouble(0)
+    assert(jac < 0.1, s"excerpt should be invisible to Jaccard, got $jac")
+    val pairs = Dedup.containmentPairs(recs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((2L, 1L, 1.0)),
+      s"excerpt must be contained in the article: ${pairs.mkString(",")}")
+    // df-cap: a shingle in >maxDf docs indexes nothing, but still
+    // counts in the denominator — all-boilerplate docs can't pair
+    val boiler = (1L to 70L).map(i => (i, "same three words exactly"))
+      .toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(boiler, "doc_id", "text", n = 3).isEmpty)
+  }
+
   test("editBlockedPairs: deletion-neighborhood blocking finds exactly the dist ≤ 1 pairs") {
     import spark.implicits._
     val recs = Seq(
