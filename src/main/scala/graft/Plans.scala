@@ -16,7 +16,8 @@ object Plans {
     "emb_semantic_dedup", "corpus_training_build",
     "corpus_token_budget", "join_bucketed_colocated",
     "vocab_tfidf_top_terms", "corpus_lm_score",
-    "emb_source_drift", "corpus_manifest", "dedup_entity_fuzzy")
+    "emb_source_drift", "corpus_manifest", "dedup_entity_fuzzy",
+    "dedup_containment", "profile_table")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -160,6 +160,40 @@ class PlanAuditSpec extends SparkSpec {
       "a CM exchange carried an array column")
   }
 
+  test("containment dedup: no cartesian product; no exchange carries document text") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("dedup_containment")(spark, sf("sf0.001"))
+      val plan = df.queryExecution.executedPlan
+      assert(!plan.toString.contains("CartesianProduct"),
+        s"containment planned a cartesian:\n$plan")
+      // past the scan, only (doc_id, md5-fingerprint) scalars move: an
+      // exchange carrying `text` would ship the corpus per shuffle
+      val shuffles = plan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      assert(shuffles.nonEmpty)
+      assert(shuffles.forall(!_.output.exists(_.name == "text")),
+        "a containment exchange carried document text")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("table profile: one aggregation whose exchanges don't scale with column count") {
+    val df = SparkEntry.queries("profile_table")(spark, sf("sf0.001"))
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    // the multi-distinct plan is Expand → partial → exchange → final →
+    // single-partition exchange: TWO exchanges for any number of
+    // profiled columns. A per-column-pass shape would show a pair per
+    // column (8 here). (Distinct values themselves do cross the first
+    // exchange — the documented cost floor of an EXACT distinct; the
+    // approx_count_distinct swap removes it at scale.)
+    assert(shuffles.size <= 2,
+      s"profile exchanges scale with the column count: ${shuffles.size}")
+  }
+
   test("sequence packing shuffles once, by shard, with scalar columns only") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
