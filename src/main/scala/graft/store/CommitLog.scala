@@ -512,6 +512,42 @@ object CommitLog {
         element_at(typedLit(fileToVersion.toMap), col("_metadata.file_name")))
   }
 
+  /** Prune commit files a checkpoint has made redundant for reads:
+    * every commit at or below the newest checkpoint ≤ `keepSince` is
+    * deleted (replay starts from that checkpoint, so current reads
+    * never visit them). What pruning COSTS — stated, not hidden:
+    * `asOf` below the pruned checkpoint and `changesSince` ranges that
+    * start inside the pruned prefix both fail loudly afterwards (their
+    * error messages already name pruning as the cause), and `history`
+    * summarizes the pruned prefix as the checkpoint row. `keepSince`
+    * is the history-retention knob: commits above it always survive,
+    * so "keep a week of versions" is `pruneLog(t, latest - weekOfVersions)`.
+    * Log-sized driver work; data files are vacuum()'s job, not this. */
+  def pruneLog(spark: SparkSession, tablePath: String,
+      keepSince: Long = Long.MaxValue): Seq[Long] = {
+    val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
+    val fs = fsOf(spark, log)
+    if (!fs.exists(log)) return Seq.empty
+    val entries = fs.listStatus(log)
+    val ckpt = entries.flatMap { st =>
+      st.getPath.getName match {
+        case CheckpointRe(v) if v.toLong <= keepSince => Some(v.toLong)
+        case _ => None
+      }
+    }.sorted.lastOption
+    ckpt match {
+      case None => Seq.empty // nothing to replay from — prune nothing
+      case Some(base) =>
+        entries.flatMap { st =>
+          st.getPath.getName match {
+            case CommitRe(v) if v.toLong <= base =>
+              fs.delete(st.getPath, false); Some(v.toLong)
+            case _ => None
+          }
+        }.sorted.toSeq
+    }
+  }
+
   /** Reclaim data files no commit references — compaction leftovers
     * and crashed writers' orphans. `minAgeMs` protects in-flight
     * writers that landed files but have not committed yet (production

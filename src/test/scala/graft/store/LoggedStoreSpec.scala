@@ -175,6 +175,51 @@ abstract class LoggedStoreBehavior(publisher: AtomicPublisher) extends SparkSpec
     assert(CommitLog.changesSince(spark, t, v2, schema).count() == 10)
   }
 
+  test("pruneLog: reads stay exact from the checkpoint; pre-checkpoint history fails loudly") {
+    val t = freshTable()
+    (0 until 25).foreach(i => append(spark.range(i * 10L, i * 10L + 10).toDF("id"), t))
+    // checkpoints at v10 and v20; prune everything v20 and below
+    val pruned = CommitLog.pruneLog(spark, t)
+    assert(pruned == (1L to 20L), s"pruned $pruned")
+    // current reads replay checkpoint(20) + commits 21..25: still exact
+    assert(CommitLog.read(spark, t, schema).count() == 250)
+    assert(CommitLog.read(spark, t, schema, asOf = 22L).count() == 220)
+    // history below the pruned checkpoint is GONE, and says so
+    intercept[IllegalStateException] { CommitLog.read(spark, t, schema, asOf = 15L) }
+    val e = intercept[IllegalStateException] {
+      CommitLog.changesSince(spark, t, 5L, schema).count()
+    }
+    assert(e.getMessage.contains("pruned"), e.getMessage)
+    // feed ranges starting at/after the checkpoint still work
+    assert(CommitLog.changesSince(spark, t, 20L, schema).count() == 50)
+    // a table with no checkpoint prunes nothing
+    val t2 = freshTable()
+    append(spark.range(0, 5).toDF("id"), t2)
+    assert(CommitLog.pruneLog(spark, t2).isEmpty)
+  }
+
+  test("incremental views chain: a view can consume another view's change feed") {
+    val src = freshTable()
+    val v1 = freshTable() // doubles even ids
+    val v2 = freshTable() // keeps multiples of 4 from v1
+    val t1: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.filter(col("id") % 2 === 0).withColumn("id", col("id") * 2)
+    val t2: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.filter(col("id") % 4 === 0)
+    append(spark.range(0, 10).toDF("id"), src)
+    IncrementalView.refresh(spark, src, schema, v1, t1, publisher)
+    IncrementalView.refresh(spark, v1, schema, v2, t2, publisher)
+    append(spark.range(10, 20).toDF("id"), src)
+    IncrementalView.refresh(spark, src, schema, v1, t1, publisher)
+    IncrementalView.refresh(spark, v1, schema, v2, t2, publisher)
+    // end of chain ≡ composed full recompute (tagged APPEND commits
+    // feed downstream; only tagged REMOVING commits stop a feed)
+    val expect = t2(t1(CommitLog.read(spark, src, schema)))
+      .as[Long].collect().sorted
+    val got = CommitLog.read(spark, v2, schema).as[Long].collect().sorted
+    assert(got.sameElements(expect), s"chain diverged: ${got.mkString(",")}")
+  }
+
   test("change feed: a pruned commit range fails loudly, never skips versions") {
     val t = freshTable()
     append(spark.range(0, 10).toDF("id"), t)
