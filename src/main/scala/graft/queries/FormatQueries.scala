@@ -34,6 +34,12 @@ object FormatQueries {
     // connector jar isn't on the fixed classpath, so orc is the second
     // columnar format alongside parquet)
     Q("format_orc_roundtrip", aggSql)(roundTripAgg("orc", Map.empty)),
+    // XML: built into spark-sql since Spark 4 (the spark-xml merge) —
+    // the interchange format enterprise feeds still arrive in; entity
+    // escaping of arbitrary document text is exactly what the value
+    // check exercises
+    Q("format_xml_roundtrip", aggSql)(
+      roundTripAgg("xml", Map("rowTag" -> "doc"))),
 
     // ── Hive-partitioned layout: documents written one directory per
     // lang, read back with a lang filter — the scan must prune to the
