@@ -33,7 +33,11 @@ object Cli {
       |                                                     (clusterCol → range-clustered, file-skippable;
       |                                                      "a,b" → two-column z-order)
       |  query <name> <sfDir>                               run a declared query, print row count
-      |  list-queries                                       all declared query names""".stripMargin
+      |  list-queries                                       all declared query names
+      |  log-history <tablePath>                            commit-log DESCRIBE HISTORY (one row per commit)
+      |  log-delete <tablePath> <sqlPredicate>              row-level DELETE WHERE through the commit log
+      |  log-vacuum <tablePath> <minAgeHours>               reclaim unreferenced data files (retention-gated)
+      |  log-prune <tablePath> [keepSince]                  drop commit files behind the newest checkpoint""".stripMargin
 
   private val defaultStore = "/tmp/graft_store"
 
@@ -73,6 +77,15 @@ object Cli {
           try r.getRecordCount finally r.close()
         }.sum
     }
+  }
+
+  /** Schema of a logged table from its live files — CommitLog reads
+    * are schema-explicit, and for an operator-facing CLI the table's
+    * own current files ARE the schema of record. */
+  private def loggedSchema(spark: SparkSession, table: String) = {
+    val (_, files) = graft.store.CommitLog.liveFiles(spark, table)
+    require(files.nonEmpty, s"no live files in logged table $table")
+    spark.read.parquet(files.map(f => s"$table/$f"): _*).schema
   }
 
   def run(spark: SparkSession, args: Array[String]): String = args.toList match {
@@ -165,6 +178,29 @@ object Cli {
     case "list-queries" :: Nil =>
       SparkEntry.allQueries.map(q => "\"" + q.name + "\"")
         .mkString("""{"cmd":"list-queries","queries":[""", ",", "]}")
+
+    // ── logged-table operations (K9's commit-log layer, operable) ────
+    case "log-history" :: table :: Nil =>
+      val rows = graft.store.CommitLog.history(spark, table)
+        .collect() // log-sized by construction (one row per commit file)
+        .map(r => s"""{"version":${r.getLong(0)},"operation":"${r.getString(1)}",""" +
+          s""""n_added":${r.getLong(2)},"n_removed":${r.getLong(3)}}""")
+      s"""{"cmd":"log-history","table":"$table","commits":[${rows.mkString(",")}]}"""
+
+    case "log-delete" :: table :: predicate :: Nil =>
+      val v = graft.store.CommitLog.deleteWhere(spark, table,
+        loggedSchema(spark, table), org.apache.spark.sql.functions.expr(predicate))
+      s"""{"cmd":"log-delete","table":"$table","version":$v}"""
+
+    case "log-vacuum" :: table :: hours :: Nil =>
+      val swept = graft.store.CommitLog.vacuum(spark, table,
+        minAgeMs = hours.toLong * 3600 * 1000)
+      s"""{"cmd":"log-vacuum","table":"$table","swept":${swept.size}}"""
+
+    case "log-prune" :: table :: rest if rest.size <= 1 =>
+      val keep = rest.headOption.map(_.toLong).getOrElse(Long.MaxValue)
+      val pruned = graft.store.CommitLog.pruneLog(spark, table, keep)
+      s"""{"cmd":"log-prune","table":"$table","pruned":${pruned.size}}"""
 
     case other =>
       throw new IllegalArgumentException(s"bad args: ${other.mkString(" ")}\n$usage")

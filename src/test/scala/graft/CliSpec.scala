@@ -73,6 +73,27 @@ class CliSpec extends SparkSpec {
       == """{"cmd":"execute-stream","continuous":false,"task_done":10}""")
   }
 
+  test("logged-table operations are operable from the CLI") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_cli_logged").toString + "/t"
+    graft.store.CommitLog.append(spark.range(0, 100).toDF("id"), t)
+    graft.store.CommitLog.append(spark.range(100, 200).toDF("id"), t)
+    // history: one row per commit, shape included in the JSON line
+    val hist = Cli.run(spark, Array("log-history", t))
+    assert(hist.contains(""""version":1,"operation":"append","n_added":"""), hist)
+    // delete through the CLI; survivors verified through the log
+    val del = Cli.run(spark, Array("log-delete", t, "id >= 150"))
+    assert(del.contains(""""version":3"""), del)
+    assert(graft.store.CommitLog.read(spark, t,
+      spark.range(0).toDF("id").schema).count() == 150)
+    // vacuum with 0-hour retention reclaims the delete's unreferenced files
+    val vac = Cli.run(spark, Array("log-vacuum", t, "0"))
+    assert(vac.contains(""""swept":"""), vac)
+    // prune: no checkpoint yet (3 commits < interval) → prunes nothing
+    assert(Cli.run(spark, Array("log-prune", t))
+      == s"""{"cmd":"log-prune","table":"$t","pruned":0}""")
+  }
+
   test("query subcommand runs a declared query; unknown name is rejected") {
     val out = Cli.run(spark, Array("query", "q6_top_orders", sf("sf0.001")))
     assert(out == """{"cmd":"query","name":"q6_top_orders","rows":25}""")
