@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic HyperLogLog — the distinct-counting sibling of the
+  * deterministic count-min sketch (CorpusOps.countMinSketch): the
+  * published HLL estimator (Flajolet et al. 2007) with md5-derived
+  * register updates instead of an engine-private seeded hash, so the
+  * whole sketch — registers AND estimate — is reproducible by any
+  * engine and fully oracle-bound, unlike the engine-seeded
+  * `approx_count_distinct` row (`events_approx_distinct`, rsd
+  * spec-bounded but `no_oracle` by nature).
+  *
+  * Register math is INTEGER-ONLY (hex-nibble scans, no log2 floats):
+  * bucket = first `b/4` hex nibbles of md5(value); rho = 1 + leading
+  * zero bits of the next-8-nibble 32-bit window (all-zero window →
+  * 33). The estimate is then bit-exact across engines by
+  * construction: every 2^-rho is an exact f64 power of two and, with
+  * rho ≤ 33 and ≤ 2^b ≤ 256 registers, every partial sum spans under
+  * 53 mantissa bits — the harmonic sum is EXACT in any addition
+  * order, which is what lets one DuckDB expression hash-match a
+  * distributed Spark aggregation. (The same argument is why the
+  * registers merge losslessly: max per bucket, any grouping.)
+  *
+  * Memory: 2^b registers per group FOREVER — the sketch's point. At
+  * 100 TB a per-source distinct-URL census is 256 bytes of state per
+  * source, mergeable by max across partitions, files, or days.
+  */
+object Hll {
+
+  /** Integer value of one hex nibble of md5 output (the oracle SQL
+    * uses an instr() lookup table — different mechanism, same
+    * integers). */
+  private def nib(h: Column, pos: Int): Column =
+    conv(substring(h, pos, 1), 16, 10).cast("int")
+
+  /** Leading-zero bits contributed by nibble value d at the head of
+    * the window: 4 for 0, else 3/2/1/0 as the top set bit rises. */
+  private def lzOf(d: Column): Column =
+    when(d >= 8, 0).when(d >= 4, 1).when(d >= 2, 2).when(d === 1, 3)
+      .otherwise(4)
+
+  /** rho = 1 + leading zeros of the 32-bit window at nibbles
+    * [start, start+8): a when-chain over the first nonzero nibble —
+    * pure integer logic, no floats, engine-identical. */
+  private def rho(h: Column, start: Int): Column = {
+    val terms = (0 until 8).map { k =>
+      val d = nib(h, start + k)
+      (d, lit(4 * k) + lzOf(d))
+    }
+    terms.reverse.foldLeft(lit(33): Column) { case (acc, (d, lz)) =>
+      when(d > 0, lz + 1).otherwise(acc)
+    }
+  }
+
+  /** Per-(group, bucket) registers: max rho per bucket. `b` must be a
+    * multiple of 4 (whole hex nibbles), at most 8 (≤ 256 registers —
+    * the bit-exactness argument above is sized to this). */
+  def registers(df: DataFrame, groupCols: Seq[String], value: Column,
+      b: Int = 8): DataFrame = {
+    require(b % 4 == 0 && b > 0 && b <= 8, s"b must be 4 or 8: $b")
+    val h = md5(value.cast("string"))
+    val bucket = (0 until b / 4)
+      .map(i => nib(h, i + 1) * (1 << (4 * (b / 4 - 1 - i))))
+      .reduce(_ + _)
+    df.select((groupCols.map(col) :+ bucket.as("bucket") :+
+        rho(h, 1 + b / 4).as("rho")): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max("rho").as("r"))
+  }
+
+  /** The HLL estimate from a register table: alpha·m²/Σ2^-r with the
+    * published small-range (linear counting) correction; empty
+    * registers contribute 2^0 = 1. Exact-arithmetic note: see the
+    * object doc — this expression is bit-identical across engines. */
+  def estimate(regs: DataFrame, groupCols: Seq[String], b: Int = 8): DataFrame = {
+    val m = (1 << b).toDouble
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m))
+    regs.groupBy(groupCols.map(col): _*)
+      .agg(sum(pow(lit(2.0), -col("r"))).as("s"),
+        count(lit(1)).as("present"))
+      .select((groupCols.map(col) :+ {
+        val zeros = lit(m) - col("present")
+        val raw = alpha * lit(m) * lit(m) / (col("s") + zeros)
+        round(when(raw <= lit(2.5 * m) && zeros > lit(0.0),
+            lit(m) * log(lit(m) / zeros))
+          .otherwise(raw), 4).as("est_distinct")
+      }): _*)
+  }
+
+  /** registers → estimate in one call. */
+  def approxDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
+      b: Int = 8): DataFrame =
+    estimate(registers(df, groupCols, value, b), groupCols, b)
+}

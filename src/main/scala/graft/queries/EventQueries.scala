@@ -102,6 +102,20 @@ object EventQueries {
           count(lit(1)).as("n"))
     },
 
+    // ── Deterministic HLL: the same estimator with md5-derived
+    // registers — the count-min precedent applied to distinct
+    // counting, so THIS sketch row is fully oracle-bound (DuckDB
+    // recomputes registers and estimate value-for-value; integer-only
+    // nibble logic + an exact-in-f64 harmonic sum make the match
+    // bit-exact, not approximate — see operators/Hll.scala). The
+    // native engine-seeded row above stays as the built-in surface. ───
+    Q(
+      "events_approx_distinct_det",
+      EventQueries.hllOracleSql) { (s, dir) =>
+      graft.operators.Hll.approxDistinct(
+        events(s, dir), Seq("event_type"), col("user_id"))
+    },
+
     // ── Percentiles at scale: the KLL/GK-style sketch form of
     // events_percentiles. Exact `percentile` holds every value per
     // group; `percentile_approx` is a bounded-memory mergeable sketch —
@@ -263,4 +277,43 @@ object EventQueries {
         .select(col("event_type"), col("n_events"), col("n_outliers"),
           col("med"), col("mad"))
     })
+
+  /** DuckDB recomputation of the deterministic HLL (Hll.scala): the
+    * SAME hex-nibble register math and the SAME estimator expression,
+    * generated here so the two sides cannot drift structurally. */
+  private[queries] lazy val hllOracleSql: String = {
+    def hv(c: String) = s"(instr('0123456789abcdef', $c) - 1)"
+    def d(k: Int) = s"d$k"
+    def lz(e: String) =
+      s"(CASE WHEN $e >= 8 THEN 0 WHEN $e >= 4 THEN 1 WHEN $e >= 2 THEN 2 " +
+        s"WHEN $e = 1 THEN 3 ELSE 4 END)"
+    val nibbles = (1 to 10)
+      .map(k => s"${hv(s"substr(h, $k, 1)")} AS ${d(k)}").mkString(",\n    ")
+    val rhoChain = (3 to 10)
+      .map(k => s"WHEN ${d(k)} > 0 THEN ${4 * (k - 3) + 1} + ${lz(d(k))}")
+      .mkString(" ")
+    s"""WITH h AS (
+       |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+       |nb AS (
+       |  SELECT event_type,
+       |    $nibbles
+       |  FROM h),
+       |rr AS (
+       |  SELECT event_type, 16 * d1 + d2 AS bucket,
+       |    CASE $rhoChain ELSE 33 END AS rho
+       |  FROM nb),
+       |regs AS (
+       |  SELECT event_type, bucket, max(rho) AS r FROM rr GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT event_type, sum(pow(2.0, -r)) AS s,
+       |    256.0 - count(*) AS zeros
+       |  FROM regs GROUP BY 1)
+       |SELECT event_type,
+       |  round(CASE WHEN 0.7213 / (1 + 1.079 / 256.0) * 256.0 * 256.0 / (s + zeros)
+       |                  <= 640.0 AND zeros > 0
+       |             THEN 256.0 * ln(256.0 / zeros)
+       |             ELSE 0.7213 / (1 + 1.079 / 256.0) * 256.0 * 256.0 / (s + zeros)
+       |        END, 4) AS est_distinct
+       |FROM agg""".stripMargin
+  }
 }

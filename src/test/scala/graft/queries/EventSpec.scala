@@ -63,6 +63,35 @@ class EventSpec extends SparkSpec {
       assert(math.abs(a - e) / e < 0.1, s"${r.getString(0)}: approx $a vs exact $e")
     }
   }
+  test("deterministic HLL: accurate, and registers merge by max losslessly") {
+    import graft.operators.Hll
+    val dir = sf("sf0.001")
+    val ev = Tables.load(spark, dir, "events")
+    // accuracy: standard error for m=256 is ~1.04/√256 = 6.5%; allow 3σ
+    val est = Hll.approxDistinct(ev, Seq("event_type"), col("user_id"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("e"))
+    est.join(exact, "event_type").collect().foreach { r =>
+      val a = r.getAs[Double]("est_distinct")
+      val e = r.getAs[Long]("e").toDouble
+      assert(math.abs(a - e) / e < 0.2, s"${r.getString(0)}: HLL $a vs exact $e")
+    }
+    // mergeability: registers from two disjoint halves, max-merged,
+    // give the EXACT same estimate as one pass over everything — the
+    // property that lets the sketch combine across partitions/days
+    val whole = Hll.approxDistinct(ev, Seq("event_type"), col("user_id"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val h1 = Hll.registers(ev.filter(col("event_id") % 2 === 0),
+      Seq("event_type"), col("user_id"))
+    val h2 = Hll.registers(ev.filter(col("event_id") % 2 =!= 0),
+      Seq("event_type"), col("user_id"))
+    val merged = h1.unionAll(h2)
+      .groupBy("event_type", "bucket").agg(max(col("r")).as("r"))
+    val fromMerged = Hll.estimate(merged, Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fromMerged == whole,
+      s"merged registers diverged: $fromMerged vs $whole")
+  }
 }
 
 private object SparkEntryHelpers {
