@@ -203,6 +203,14 @@ object StreamQueries {
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
     },
 
+    // ── Streaming deterministic HLL: registers as running state (max
+    // merges monotonically — bounded at 2^b registers per group
+    // forever), drained estimate ≡ the batch estimate BIT-FOR-BIT
+    // (shared oracle SQL; the exact-harmonic-sum argument). ────────────
+    Q("stream_approx_distinct_det", EventQueries.hllOracleSql) { (s, dir) =>
+      StreamingJobs.streamingApproxDistinct(s, dir)
+    },
+
     // ── Stream-stream interval join: two live streams, matches emitted
     // as both sides arrive; drained result must equal the BATCH range
     // join (same oracle SQL object — they cannot drift). ───────────────

@@ -354,6 +354,23 @@ object StreamingJobs {
     graft.operators.CorpusOps.cmHeavyHittersFrom(sketch, candidates, k, depth, width)
   }
 
+  /** Streaming deterministic HLL: the register table maintained as a
+    * streaming aggregation — max merges monotonically, so per-group
+    * state is bounded by the 2^b registers FOREVER (no watermark, no
+    * unbounded keyspace — the count-min argument applied to distinct
+    * counting), and the drained registers give the BIT-IDENTICAL
+    * estimate the batch pass gives (shared oracle SQL; Hll.scala's
+    * exact-harmonic-sum argument makes this equality exact, not
+    * approximate). At scale this is a live distinct-users census per
+    * group in 256 bytes of state each. */
+  def streamingApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val regs = graft.operators.Hll.registers(
+      tableStream(spark, sfDir, "events", maxFilesPerTrigger = 2),
+      Seq("event_type"), col("user_id"))
+    val drained = runToMemory(regs, "stream_hll_sink", OutputMode.Complete())
+    graft.operators.Hll.estimate(drained, Seq("event_type"))
+  }
+
   /** Incremental MinHash-LSH near-dup detection: each micro-batch's
     * documents are banded by the per-row kernel, candidates are the
     * batch's band collisions against an AT-REST band index (plus
