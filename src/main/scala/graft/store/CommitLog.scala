@@ -460,7 +460,7 @@ object CommitLog {
     * silently skipping unseen versions would be data loss). */
   def changesSince(spark: SparkSession, tablePath: String, sinceVersion: Long,
       schema: StructType, asOf: Long = Long.MaxValue): DataFrame = {
-    import org.apache.spark.sql.functions.{col, element_at, typedLit}
+    import org.apache.spark.sql.functions.{broadcast, col}
     val withVersion = StructType(schema.fields :+
       org.apache.spark.sql.types.StructField("_commit_version",
         org.apache.spark.sql.types.LongType, nullable = false))
@@ -506,10 +506,17 @@ object CommitLog {
       else lines.filter(_.startsWith("+")).map(l => l.drop(1) -> v)
     }
     if (fileToVersion.isEmpty) return empty
+    // version tag via a BROADCAST join on the file name, not a map
+    // literal: a long feed can span thousands of commits / files, and
+    // a plan-embedded literal that size is a codegen/driver-plan
+    // hazard — the lookup table is data, so ship it as (tiny) data
+    import spark.implicits._
+    val lookup = broadcast(
+      fileToVersion.toDF("_cf_name", "_commit_version"))
     spark.read.schema(schema)
       .parquet(fileToVersion.map(f => s"$tablePath/${f._1}"): _*)
-      .withColumn("_commit_version",
-        element_at(typedLit(fileToVersion.toMap), col("_metadata.file_name")))
+      .join(lookup, col("_metadata.file_name") === col("_cf_name"))
+      .drop("_cf_name")
   }
 
   /** Prune commit files a checkpoint has made redundant for reads:
