@@ -70,13 +70,28 @@ object Hll {
       .agg(max("rho").as("r"))
   }
 
+  /** Bias-correction constant per register count, exactly as published
+    * (Flajolet et al. 2007, fig. 3): the closed form 0.7213/(1+1.079/m)
+    * holds only for m ≥ 128; smaller register counts have their own
+    * tabulated constants (alpha_16 = 0.673, alpha_32 = 0.697,
+    * alpha_64 = 0.709). With b restricted to {4, 8} only alpha_16 and
+    * the closed form are reachable, but the table keeps any future b
+    * honest — an oracle recomputing "the published estimator" at m = 16
+    * with the closed form would NOT match this engine. */
+  private[graft] def alphaOf(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _ => 0.7213 / (1.0 + 1.079 / m)
+  }
+
   /** The HLL estimate from a register table: alpha·m²/Σ2^-r with the
     * published small-range (linear counting) correction; empty
     * registers contribute 2^0 = 1. Exact-arithmetic note: see the
     * object doc — this expression is bit-identical across engines. */
   def estimate(regs: DataFrame, groupCols: Seq[String], b: Int = 8): DataFrame = {
     val m = (1 << b).toDouble
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m))
+    val alpha = lit(alphaOf(1 << b))
     regs.groupBy(groupCols.map(col): _*)
       .agg(sum(pow(lit(2.0), -col("r"))).as("s"),
         count(lit(1)).as("present"))

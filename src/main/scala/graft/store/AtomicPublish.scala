@@ -106,9 +106,21 @@ final class LocalConditionalPutStore extends ConditionalPutStore {
       val p = java.nio.file.Paths.get(key)
       if (java.nio.file.Files.exists(p)) false
       else {
+        // Write-then-ATOMIC_MOVE, not create-in-place: an object store's
+        // conditional PUT makes the object visible whole or not at all,
+        // and the AtomicPublisher contract promises readers never see a
+        // partial commit file. A CREATE_NEW + write here would let a
+        // reader outside the gate observe the half-written object — a
+        // fidelity gap a racing-reader stress run can hit.
         java.nio.file.Files.createDirectories(p.getParent)
-        java.nio.file.Files.write(p, content,
-          java.nio.file.StandardOpenOption.CREATE_NEW)
+        val tmp = java.nio.file.Files.createTempFile(p.getParent, "_put_", ".tmp")
+        try {
+          java.nio.file.Files.write(tmp, content)
+          java.nio.file.Files.move(tmp, p,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } finally {
+          java.nio.file.Files.deleteIfExists(tmp); ()
+        }
         true
       }
     }

@@ -91,9 +91,9 @@ object CommitLog {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     ckpt.foreach { case (_, p) =>
       readLines(fs, p).foreach { line =>
-        if (!line.startsWith("+"))
-          throw new IllegalStateException(s"corrupt checkpoint line in $p: $line")
-        live += line.drop(1); ()
+        if (line.startsWith("+")) { live += line.drop(1); () }
+        else if (line.startsWith("#")) () // carried ledger tags (#txn=/#consumed=)
+        else throw new IllegalStateException(s"corrupt checkpoint line in $p: $line")
       }
     }
     val commits = entries.flatMap { st =>
@@ -159,7 +159,27 @@ object CommitLog {
   def commit(spark: SparkSession, tablePath: String,
       adds: Seq[String], removes: Seq[String] = Seq.empty,
       publisher: AtomicPublisher = RenameOrLinkPublisher,
-      opTag: Option[String] = None): Long = {
+      opTag: Option[String] = None): Long =
+    commitOrAbort(spark, tablePath, adds, removes, publisher, opTag,
+      abortOnLostRace = () => false)
+      .getOrElse(throw new IllegalStateException("unreachable: non-aborting commit"))
+
+  /** commit() with a fencing hook: `abortOnLostRace` is re-evaluated
+    * after every LOST publish race, and a true answer abandons the
+    * commit (None; the caller's staged files become vacuum-eligible
+    * orphans). This closes the zombie-writer window an up-front
+    * idempotence check leaves open: two drivers running the same
+    * logical operation can BOTH pass a check taken before the race,
+    * but the loser of the publish race re-checks here and sees the
+    * winner's claim — the Delta pattern of re-validating txn versions
+    * inside the optimistic-commit conflict path, generalized to any
+    * caller-supplied predicate. Never invoked on the first attempt:
+    * the caller's own pre-check covers the no-contention path at zero
+    * extra log reads. */
+  private[store] def commitOrAbort(spark: SparkSession, tablePath: String,
+      adds: Seq[String], removes: Seq[String],
+      publisher: AtomicPublisher, opTag: Option[String],
+      abortOnLostRace: () => Boolean): Option[Long] = {
     require(adds.nonEmpty || removes.nonEmpty, "empty commit")
     require(opTag.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
       s"malformed opTag: $opTag")
@@ -173,6 +193,7 @@ object CommitLog {
       adds.map("+" + _) ++ removes.map("-" + _)).mkString("\n")
     var attempts = 0
     while (attempts < 10000) {
+      if (attempts > 0 && abortOnLostRace()) return None
       // A removing commit must publish at EXACTLY validated-version + 1:
       // validating against one listing and then racing latestVersion()
       // from a SECOND listing is a TOCTOU hole — a rewrite landing
@@ -202,22 +223,83 @@ object CommitLog {
         // would drive an at-least-once caller to double-commit. A
         // version-tie loser wrote identical content; a skipped
         // checkpoint only costs replay length, never correctness.
+        // The checkpoint CARRIES the idempotence-ledger tags
+        // (txn=/consumed=) folded through version `next` — Delta's
+        // txn-action-in-checkpoint pattern — so pruning the commits it
+        // subsumes cannot regress lastTxnBatch / lastConsumed and
+        // silently re-open the exactly-once window. Header content is
+        // deterministic (max per ledger, sorted), so a version-tie
+        // loser still writes identical bytes.
         if (next % CheckpointInterval == 0) {
           try {
             val snap = liveFiles(spark, tablePath, asOf = next)._2
+            val (txn, consumed) = ledgerTags(fs, log, upTo = next)
+            val headers =
+              txn.toSeq.sortBy(_._1).map { case (q, b) => s"#txn=$q:$b" } ++
+                (if (consumed > 0L) Seq(s"#consumed=$consumed") else Seq.empty)
             publisher.publish(fs, log,
               new org.apache.hadoop.fs.Path(log, f"$next%020d.checkpoint"),
-              snap.map("+" + _).mkString("\n"))
+              (headers ++ snap.map("+" + _)).mkString("\n"))
             ()
           } catch { case scala.util.control.NonFatal(_) => () }
         }
-        return next
+        return Some(next)
       }
       attempts += 1
     }
     throw new IllegalStateException(
       s"could not win a commit version for $tablePath after $attempts attempts")
   }
+
+  /** The idempotence ledgers folded through version `upTo`: per-query
+    * max committed batch (from `txn=<q>:<b>` tags) and the max
+    * consumed-source-version (from `consumed=<v>` tags) — read from
+    * the newest surviving checkpoint's carried headers plus every
+    * surviving commit file's `#op=` header at or below `upTo`.
+    * Commits a checkpoint subsumes may be pruned; their tags live on
+    * in the checkpoint, so the ledgers never move backwards — which is
+    * also why replay is BOUNDED like liveFiles': every checkpoint
+    * carried the tags through its own version (induction from the
+    * first), so only the commits AFTER the newest checkpoint need
+    * their headers read. Driver cost: one listing + one checkpoint
+    * read + one small read per post-checkpoint commit. */
+  private def ledgerTags(fs: org.apache.hadoop.fs.FileSystem,
+      log: org.apache.hadoop.fs.Path,
+      upTo: Long = Long.MaxValue): (Map[String, Long], Long) = {
+    if (!fs.exists(log)) return (Map.empty, 0L)
+    val entries = fs.listStatus(log)
+    val ckpt = entries.flatMap { st =>
+      st.getPath.getName match {
+        case CheckpointRe(v) if v.toLong <= upTo => Some(v.toLong -> st.getPath)
+        case _ => None
+      }
+    }.sortBy(_._1).lastOption
+    val base = ckpt.map(_._1).getOrElse(0L)
+    var txn = Map.empty[String, Long]
+    var consumed = 0L
+    def fold(tag: String): Unit = tag match {
+      case TxnTagRe(q, b) =>
+        txn = txn.updated(q, math.max(b.toLong, txn.getOrElse(q, -1L)))
+      case ConsumedTagRe(v) => consumed = math.max(consumed, v.toLong)
+      case _ => ()
+    }
+    ckpt.foreach { case (_, p) =>
+      readLines(fs, p).foreach { l => if (l.startsWith("#")) fold(l.drop(1)) }
+    }
+    entries.foreach { st =>
+      st.getPath.getName match {
+        case CommitRe(v) if v.toLong > base && v.toLong <= upTo =>
+          readLines(fs, st.getPath).foreach { l =>
+            if (l.startsWith("#op=")) fold(l.stripPrefix("#op="))
+          }
+        case _ => ()
+      }
+    }
+    (txn, consumed)
+  }
+
+  private val TxnTagRe = "txn=([^:\\s]+):(-?[0-9]+)".r
+  private val ConsumedTagRe = "consumed=([0-9]+)".r
 
   /** Land a staged parquet write's part files in the table directory
     * under writer-unique names (still uncommitted — invisible until
@@ -315,17 +397,25 @@ object CommitLog {
   }
 
   /** Highest batch id a streaming query has committed into this table,
-    * parsed from `txn=<queryId>:<batchId>` commit tags (log-sized
-    * driver work); -1 when the query never committed. */
+    * parsed from `txn=<queryId>:<batchId>` commit tags AND the tags
+    * checkpoints carry for pruned commits (log-sized driver work);
+    * -1 when the query never committed. Surviving a pruneLog() is the
+    * point: the ledger read must not depend on the tagged commit FILE
+    * still existing, or pruning would silently re-open the
+    * exactly-once window. */
   def lastTxnBatch(spark: SparkSession, tablePath: String,
       queryId: String): Long = {
-    import spark.implicits._
-    val prefix = s"txn=$queryId:"
-    history(spark, tablePath)
-      .select("operation").as[String].collect()
-      .collect { case op if op.startsWith(prefix) =>
-        op.stripPrefix(prefix).toLong }
-      .foldLeft(-1L)(math.max)
+    val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
+    ledgerTags(fsOf(spark, log), log)._1.getOrElse(queryId, -1L)
+  }
+
+  /** Highest source version a view table has consumed, parsed from
+    * `consumed=<v>` commit tags and checkpoint-carried headers — the
+    * IncrementalView checkpoint, prune-surviving for the same reason
+    * as [[lastTxnBatch]]. 0 when never consumed. */
+  def lastConsumed(spark: SparkSession, tablePath: String): Long = {
+    val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
+    ledgerTags(fsOf(spark, log), log)._2
   }
 
   /** Exactly-once streaming sink append — the foreachBatch bridge from
@@ -342,15 +432,30 @@ object CommitLog {
     * `queryId` must be a stable identity across restarts (the
     * checkpoint's role on the source side) — NOT the run-scoped query
     * instance id; batch ids from one checkpoint are monotone, which is
-    * what makes `<=` the replay test. */
+    * what makes `<=` the replay test.
+    *
+    * Zombie fencing: the replay check runs once up front (the cheap
+    * no-contention path) and is RE-RUN after every lost publish race —
+    * a zombie driver and its successor running the same (queryId,
+    * batchId) can both pass the up-front check, but whichever loses
+    * the version race re-reads the ledger, finds the winner's tag, and
+    * aborts with None instead of double-committing (its landed files
+    * are vacuum-eligible orphans). */
   def appendOnce(df: DataFrame, tablePath: String, queryId: String,
       batchId: Long, publisher: AtomicPublisher = RenameOrLinkPublisher): Option[Long] = {
     require(!queryId.exists(c => c.isWhitespace || c == ':'),
       s"queryId must be whitespace/colon-free: $queryId")
     val spark = df.sparkSession
     if (batchId <= lastTxnBatch(spark, tablePath, queryId)) return None
-    Some(append(df, tablePath, publisher,
-      opTag = Some(s"txn=$queryId:$batchId")))
+    val dir = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = fsOf(spark, dir)
+    val writerId = freshWriterId("w")
+    val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
+    df.write.parquet(staging.toString)
+    val names = landStaged(fs, dir, staging, writerId)
+    commitOrAbort(spark, tablePath, adds = names, removes = Seq.empty,
+      publisher = publisher, opTag = Some(s"txn=$queryId:$batchId"),
+      abortOnLostRace = () => batchId <= lastTxnBatch(spark, tablePath, queryId))
   }
 
   /** Row-level delete — the right-to-be-forgotten / retention operation
@@ -506,6 +611,23 @@ object CommitLog {
       else lines.filter(_.startsWith("+")).map(l => l.drop(1) -> v)
     }
     if (fileToVersion.isEmpty) return empty
+    // The commit FILES surviving proves the range is replayable; the
+    // fed DATA files are a separate lifetime — an in-range file later
+    // removed by a compaction is vacuum-eligible, and a consumer
+    // behind the retention window would otherwise get an opaque Spark
+    // FileNotFound at JOB time. Check now (one directory listing, not
+    // per-file probes) and raise the same re-bootstrap contract the
+    // pruned-commit path documents.
+    val present = fsOf(spark, new org.apache.hadoop.fs.Path(tablePath))
+      .listStatus(new org.apache.hadoop.fs.Path(tablePath))
+      .collect { case st if st.isFile => st.getPath.getName }.toSet
+    val vacuumed = fileToVersion.collect {
+      case (f, v) if !present(f) => s"$f (version $v)" }
+    if (vacuumed.nonEmpty)
+      throw new IllegalStateException(
+        s"change feed for $tablePath references vacuumed data file(s) " +
+          s"${vacuumed.take(3).mkString(", ")}… — the consumer fell behind " +
+          "the retention window; re-bootstrap from a snapshot read()")
     // version tag via a BROADCAST join on the file name, not a map
     // literal: a long feed can span thousands of commits / files, and
     // a plan-embedded literal that size is a codegen/driver-plan
@@ -526,7 +648,11 @@ object CommitLog {
     * `asOf` below the pruned checkpoint and `changesSince` ranges that
     * start inside the pruned prefix both fail loudly afterwards (their
     * error messages already name pruning as the cause), and `history`
-    * summarizes the pruned prefix as the checkpoint row. `keepSince`
+    * summarizes the pruned prefix as the checkpoint row. What pruning
+    * does NOT cost: the txn=/consumed= idempotence ledgers — the
+    * checkpoint carries them as header tags (see commit()), so
+    * lastTxnBatch / lastConsumed never regress and a post-prune
+    * streaming replay or view refresh still skips. `keepSince`
     * is the history-retention knob: commits above it always survive,
     * so "keep a week of versions" is `pruneLog(t, latest - weekOfVersions)`.
     * Log-sized driver work; data files are vacuum()'s job, not this. */

@@ -33,16 +33,12 @@ object IncrementalView {
   private val TagPrefix = "consumed="
 
   /** Highest source version this view has consumed — parsed from the
-    * view's own commit history (log-sized driver work); 0 for a view
-    * with no commits, i.e. "consume everything". */
-  def lastConsumed(spark: SparkSession, viewTable: String): Long = {
-    import spark.implicits._
-    CommitLog.history(spark, viewTable)
-      .select("operation").as[String].collect()
-      .collect { case op if op.startsWith(TagPrefix) =>
-        op.stripPrefix(TagPrefix).toLong }
-      .foldLeft(0L)(math.max)
-  }
+    * view's own commit tags AND checkpoint-carried headers
+    * (CommitLog.lastConsumed), so a pruneLog() on the view table never
+    * regresses the checkpoint; 0 for a view with no commits, i.e.
+    * "consume everything". */
+  def lastConsumed(spark: SparkSession, viewTable: String): Long =
+    CommitLog.lastConsumed(spark, viewTable)
 
   /** Refresh the view with everything the source committed since the
     * last refresh. Returns the source version consumed through, or

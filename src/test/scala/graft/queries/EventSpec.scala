@@ -92,6 +92,25 @@ class EventSpec extends SparkSpec {
     assert(fromMerged == whole,
       s"merged registers diverged: $fromMerged vs $whole")
   }
+  test("HLL small-m bias constants match the published table (b=4 is not the closed form)") {
+    import graft.operators.Hll
+    // Flajolet et al. 2007: alpha_16 = 0.673; the 0.7213/(1+1.079/m)
+    // closed form applies only from m = 128 up
+    assert(Hll.alphaOf(16) == 0.673 && Hll.alphaOf(32) == 0.697 &&
+      Hll.alphaOf(64) == 0.709)
+    assert(Hll.alphaOf(256) == 0.7213 / (1.0 + 1.079 / 256.0))
+    // b=4 end-to-end: m=16 → rsd ~26%; the deterministic md5 registers
+    // make this a fixed number, bounded loosely here
+    val ev = Tables.load(spark, sf("sf0.001"), "events")
+    val est4 = Hll.approxDistinct(ev, Seq("event_type"), col("user_id"), b = 4)
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("e"))
+    est4.join(exact, "event_type").collect().foreach { r =>
+      val a = r.getAs[Double]("est_distinct")
+      val e = r.getAs[Long]("e").toDouble
+      assert(math.abs(a - e) / e < 0.8, s"${r.getString(0)}: b=4 HLL $a vs exact $e")
+    }
+  }
 }
 
 private object SparkEntryHelpers {

@@ -257,6 +257,82 @@ abstract class LoggedStoreBehavior(publisher: AtomicPublisher) extends SparkSpec
     }
   }
 
+  test("pruneLog cannot regress the txn/consumed ledgers: checkpoints carry the tags") {
+    // txn ledger: ten tagged commits land versions 1..10, so the
+    // checkpoint at v10 subsumes ALL of them — a prune then deletes
+    // every tagged commit FILE, and before the tag-carry fix the
+    // ledger read would fall back to -1 and a replayed batch would
+    // silently double-append
+    val tt = freshTable()
+    (0L until 10L).foreach(i =>
+      CommitLog.commit(spark, tt, adds = Seq(s"f$i.parquet"),
+        publisher = publisher, opTag = Some(s"txn=q:$i")))
+    assert(CommitLog.lastTxnBatch(spark, tt, "q") == 9L)
+    assert(CommitLog.pruneLog(spark, tt) == (1L to 10L))
+    assert(CommitLog.lastTxnBatch(spark, tt, "q") == 9L,
+      "prune regressed the txn ledger — exactly-once is broken")
+    // a replayed batch still skips, a fresh one still lands
+    assert(CommitLog.appendOnce(spark.range(0, 5).toDF("id"), tt, "q", 9L, publisher).isEmpty)
+    assert(CommitLog.appendOnce(spark.range(0, 5).toDF("id"), tt, "q", 10L, publisher).isDefined)
+    // consumed ledger: same shape through the view-checkpoint tag
+    val tv = freshTable()
+    (1L to 10L).foreach(i =>
+      CommitLog.commit(spark, tv, adds = Seq(s"g$i.parquet"),
+        publisher = publisher, opTag = Some(s"consumed=$i")))
+    CommitLog.pruneLog(spark, tv)
+    assert(CommitLog.lastConsumed(spark, tv) == 10L,
+      "prune regressed the view checkpoint — a refresh would double-apply")
+    assert(IncrementalView.lastConsumed(spark, tv) == 10L)
+  }
+
+  test("appendOnce: a zombie's tag landing mid-race fences the successor") {
+    // Both a zombie driver and its successor pass the up-front replay
+    // check for (q, 5); the zombie wins the version race. The
+    // successor must re-read the ledger after LOSING the publish and
+    // abort — before the in-loop re-check it would retry at the next
+    // version and double-commit the batch.
+    val t = freshTable()
+    append(spark.range(0, 10).toDF("id"), t) // v1
+    var injected = false
+    val racy = new AtomicPublisher {
+      def publish(fs: org.apache.hadoop.fs.FileSystem,
+          logDir: org.apache.hadoop.fs.Path,
+          dst: org.apache.hadoop.fs.Path, content: String): Boolean = {
+        if (!injected) {
+          injected = true
+          assert(publisher.publish(fs, logDir, dst,
+            "#op=txn=q:5\n+zombie-batch5.parquet"), "zombie must win its version")
+        }
+        publisher.publish(fs, logDir, dst, content)
+      }
+    }
+    assert(CommitLog.appendOnce(
+      spark.range(10, 20).toDF("id"), t, "q", 5L, racy).isEmpty,
+      "the racing successor double-committed batch 5")
+    // exactly one commit carries the batch-5 tag; the successor's
+    // landed-but-uncommitted file is a vacuum-eligible orphan
+    val (version, live) = CommitLog.liveFiles(spark, t)
+    assert(version == 2L && live.contains("zombie-batch5.parquet"))
+    assert(CommitLog.lastTxnBatch(spark, t, "q") == 5L)
+    assert(CommitLog.vacuum(spark, t, minAgeMs = 0)
+      .exists(_.endsWith(".parquet")), "aborted append left no orphan to sweep?")
+  }
+
+  test("change feed names vacuumed data files instead of failing at job time") {
+    val t = freshTable()
+    append(spark.range(0, 10).toDF("id"), t)   // v1
+    append(spark.range(10, 20).toDF("id"), t)  // v2
+    CommitLog.compact(spark, t, targetBytes = 1L << 30, publisher = publisher) // v3
+    // pre-vacuum: the feed over (0, 2] still reads the superseded files
+    assert(CommitLog.changesSince(spark, t, 0L, schema, asOf = 2L).count() == 20)
+    CommitLog.vacuum(spark, t, minAgeMs = 0)
+    val e = intercept[IllegalStateException] {
+      CommitLog.changesSince(spark, t, 0L, schema, asOf = 2L)
+    }
+    assert(e.getMessage.contains("re-bootstrap") &&
+      e.getMessage.contains("vacuumed"), e.getMessage)
+  }
+
   test("expectations: clean rows commit, violators quarantine with their rule names") {
     import Expectations.Rule
     val t = freshTable()
