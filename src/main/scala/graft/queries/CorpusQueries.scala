@@ -692,6 +692,93 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
     },
 
+    // ── Keyed upsert (MERGE) through the commit log: the engine builds
+    // the logged table in two appends, merges a source that UPDATES a
+    // doc_id slice (text rewritten) and INSERTS new ids, and reads the
+    // result; the oracle replays the same upsert relationally (source
+    // wins on key match, target rows survive otherwise). The per-source
+    // xor digest proves the merged ROWS are value-exact — a resurrected
+    // pre-image, lost neighbor row from the copy-on-write rewrite, or
+    // double-inserted source row flips it. ────────────────────────────
+    Q(
+      "store_merge_upsert",
+      s"""WITH src AS (
+         |  SELECT doc_id, source, text || ' v2' AS text
+         |  FROM documents WHERE doc_id % 7 = 3
+         |  UNION ALL
+         |  SELECT doc_id + 900000, source, 'merged doc ' || text
+         |  FROM documents WHERE doc_id < 20),
+         |merged AS (
+         |  SELECT * FROM src
+         |  UNION ALL
+         |  SELECT doc_id, source, text FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM src))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS content_digest
+         |FROM merged GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.store.CommitLog
+      val a = docs(s, dir).select("doc_id", "source", "text")
+      val table = "/tmp/graft_state/merge_upsert_docs"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      CommitLog.append(a.filter(col("doc_id") % 2 === 0), table)
+      CommitLog.append(a.filter(col("doc_id") % 2 === 1), table)
+      val src = a.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), col("source"),
+          concat(col("text"), lit(" v2")).as("text"))
+        .unionAll(a.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 900000).as("doc_id"), col("source"),
+            concat(lit("merged doc "), col("text")).as("text")))
+      CommitLog.merge(s, table, a.schema, src, Seq("doc_id"))
+      CommitLog.read(s, table, a.schema)
+        .withColumn("h", graft.core.Hashing.rowDigest(col("doc_id"), col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
+    },
+
+    // ── Delete-aware change feed: the feed crosses a DELETE WHERE and
+    // hands consumers the retracted pre-images as `delete` rows (CDC
+    // change files committed atomically with the swap) instead of
+    // refusing the range — Delta CDF semantics. Version/type/source
+    // counts with xor digests prove every fed row value-exact on both
+    // sides of the delete. ────────────────────────────────────────────
+    Q(
+      "store_change_feed_delete",
+      s"""WITH feed AS (
+         |  SELECT 2 AS commit_version, 'insert' AS change_type, doc_id, source, text
+         |  FROM documents WHERE doc_id % 2 = 1
+         |  UNION ALL
+         |  SELECT 3, 'delete', doc_id, source, text
+         |  FROM documents WHERE doc_id % 5 = 2
+         |  UNION ALL
+         |  SELECT 4, 'insert', doc_id + 800000, source, 'late ' || text
+         |  FROM documents WHERE doc_id < 10)
+         |SELECT CAST(commit_version AS BIGINT) AS commit_version,
+         |  change_type, source,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS content_digest
+         |FROM feed GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      import graft.store.CommitLog
+      val a = docs(s, dir).select("doc_id", "source", "text")
+      val table = "/tmp/graft_state/change_feed_delete_docs"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      val v1 = CommitLog.append(a.filter(col("doc_id") % 2 === 0), table)
+      CommitLog.append(a.filter(col("doc_id") % 2 === 1), table)
+      CommitLog.deleteWhere(s, table, a.schema, col("doc_id") % 5 === 2)
+      CommitLog.append(a.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 800000).as("doc_id"), col("source"),
+          concat(lit("late "), col("text")).as("text")), table)
+      CommitLog.changesSince(s, table, sinceVersion = v1, a.schema)
+        .withColumn("h", graft.core.Hashing.rowDigest(col("doc_id"), col("text")))
+        .groupBy(col("_commit_version").as("commit_version"),
+          col("_change_type").as("change_type"), col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("content_digest"))
+    },
+
     // ── Column-level table profile: null rates, exact cardinality,
     // native-typed min/max, mean rendered width — the QA pass run on
     // every corpus drop, as ONE aggregation job (row-per-column shape

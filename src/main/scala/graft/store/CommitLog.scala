@@ -108,6 +108,7 @@ object CommitLog {
         if (line.startsWith("+")) { live += line.drop(1); () }
         else if (line.startsWith("-")) { live -= line.drop(1); () }
         else if (line.startsWith("#")) () // operation header (e.g. #op=delete)
+        else if (line.startsWith("~")) () // change (CDC) file — never part of the live set
         else throw new IllegalStateException(s"corrupt commit line in $p: $line")
       }
     }
@@ -159,9 +160,10 @@ object CommitLog {
   def commit(spark: SparkSession, tablePath: String,
       adds: Seq[String], removes: Seq[String] = Seq.empty,
       publisher: AtomicPublisher = RenameOrLinkPublisher,
-      opTag: Option[String] = None): Long =
+      opTag: Option[String] = None,
+      changeAdds: Seq[String] = Seq.empty): Long =
     commitOrAbort(spark, tablePath, adds, removes, publisher, opTag,
-      abortOnLostRace = () => false)
+      abortOnLostRace = () => false, changeAdds = changeAdds)
       .getOrElse(throw new IllegalStateException("unreachable: non-aborting commit"))
 
   /** commit() with a fencing hook: `abortOnLostRace` is re-evaluated
@@ -179,7 +181,8 @@ object CommitLog {
   private[store] def commitOrAbort(spark: SparkSession, tablePath: String,
       adds: Seq[String], removes: Seq[String],
       publisher: AtomicPublisher, opTag: Option[String],
-      abortOnLostRace: () => Boolean): Option[Long] = {
+      abortOnLostRace: () => Boolean,
+      changeAdds: Seq[String] = Seq.empty): Option[Long] = {
     require(adds.nonEmpty || removes.nonEmpty, "empty commit")
     require(opTag.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
       s"malformed opTag: $opTag")
@@ -187,9 +190,13 @@ object CommitLog {
     val fs = fsOf(spark, log)
     fs.mkdirs(log)
     // optional `#op=<tag>` header: a rewrite that is NOT row-preserving
-    // (deleteWhere) must say so, or change-feed consumers would skip it
-    // as a compaction; untagged commits keep the shape-derived meaning
+    // (deleteWhere/merge) must say so, or change-feed consumers would
+    // skip it as a compaction; untagged commits keep the shape-derived
+    // meaning. `~name` lines are CDC (change-data) files the operation
+    // materialized at write time — never in the live set, read only by
+    // changesSince, vacuum-protected while this commit file survives.
     val content = (opTag.map("#op=" + _).toSeq ++
+      changeAdds.map("~" + _) ++
       adds.map("+" + _) ++ removes.map("-" + _)).mkString("\n")
     var attempts = 0
     while (attempts < 10000) {
@@ -477,9 +484,11 @@ object CommitLog {
     * SQL DELETE semantics: rows where the predicate is TRUE go; rows
     * where it is false OR NULL stay. A concurrent compaction of an
     * affected file surfaces as the rewrite-conflict exception (rerun
-    * the delete); `changesSince` refuses to cross the tagged version —
-    * an insert-only feed silently skipping a delete would hand
-    * consumers forgotten rows as if still live. */
+    * the delete). The deleted rows are ALSO materialized as CDC change
+    * files (`_change_type = 'delete'`) committed atomically with the
+    * swap, so `changesSince` hands incremental consumers the deletions
+    * as data instead of refusing to cross the version — the Delta CDF
+    * delete feed. */
   def deleteWhere(spark: SparkSession, tablePath: String, schema: StructType,
       predicate: org.apache.spark.sql.Column,
       publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
@@ -494,14 +503,133 @@ object CommitLog {
       .select(col("_metadata.file_name")).distinct()
       .collect().map(_.getString(0)).toSeq
     if (affected.isEmpty) return version // nothing matched: no new version
+    val affectedDf = spark.read.schema(schema)
+      .parquet(affected.map(f => s"$tablePath/$f"): _*)
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
-    spark.read.schema(schema).parquet(affected.map(f => s"$tablePath/$f"): _*)
-      .filter(not(coalesce(predicate, lit(false))))
+    affectedDf.filter(not(coalesce(predicate, lit(false))))
       .write.parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
+    val cdcNames = landChangeFiles(spark, tablePath,
+      affectedDf.filter(predicate)
+        .withColumn(ChangeTypeCol, lit("delete")))
     commit(spark, tablePath, adds = names, removes = affected,
-      publisher = publisher, opTag = Some("delete"))
+      publisher = publisher, opTag = Some("delete"), changeAdds = cdcNames)
+  }
+
+  /** Column name the change feed uses to label each fed row's kind
+    * (`insert` | `delete`); an UPDATE surfaces as its delete pre-image
+    * plus its insert post-image in one commit — the minimal vocabulary
+    * a keyed consumer needs to stay exact. */
+  val ChangeTypeCol = "_change_type"
+
+  /** Land a CDC frame (`schema` + [[ChangeTypeCol]]) as change files in
+    * the table directory: writer-unique names (collision-free on any
+    * store), invisible to scans until the caller's commit lists them
+    * under `~`. */
+  private def landChangeFiles(spark: SparkSession, tablePath: String,
+      cdc: DataFrame): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = fsOf(spark, dir)
+    val writerId = freshWriterId("w")
+    val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
+    cdc.write.parquet(staging.toString)
+    landStaged(fs, dir, staging, writerId)
+  }
+
+  /** Keyed upsert (MERGE): for every source row whose key matches a
+    * live target row, the target row is REPLACED by the source row;
+    * source rows matching nothing are inserted — `WHEN MATCHED THEN
+    * UPDATE SET *, WHEN NOT MATCHED THEN INSERT *`, the most-used
+    * operation on a log-structured table (CDC apply, dimension
+    * updates, late corrections).
+    *
+    * Composed from the deleteWhere machinery: one pruning scan finds
+    * the files holding matched rows (a merge touching 0.1% of files
+    * rewrites 0.1% of the table — copy-on-write), those files are
+    * rewritten with matched rows swapped out, the WHOLE source is
+    * appended alongside, and adds + removes + CDC publish as ONE
+    * `#op=merge` commit: readers see pre-merge or post-merge, never a
+    * mix, and remove-validation makes a concurrent rewrite of an
+    * affected file fail loudly instead of resurrecting replaced rows.
+    * Untouched files keep their identity. The CDC files carry matched
+    * pre-images as `delete` rows and every source row as `insert` —
+    * exactly what a keyed incremental consumer replays as an upsert.
+    *
+    * A source with duplicate keys is REJECTED (which duplicate wins is
+    * undefined — same contract as Delta's multiple-source-rows-match
+    * error). `source` is evaluated more than once (pruning scan, data
+    * write, CDC write): pass a cheap or checkpointed frame.
+    *
+    * Scale shape: the match probe and rewrite shuffle only the
+    * affected files' rows against the source keys; at 100 TB a merge
+    * of a daily increment against a keyed corpus is increment-sized
+    * work plus the rewrite of matched files, never a table rescan. */
+  def merge(spark: SparkSession, tablePath: String, schema: StructType,
+      source: DataFrame, keyCols: Seq[String],
+      publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    keyCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"merge key $k not in table schema ${schema.fieldNames.mkString(",")}"))
+    val src = source.select(schema.fieldNames.map(col).toSeq: _*)
+    val dup = src.groupBy(keyCols.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"merge source has duplicate key(s), e.g. ${dup.head.toSeq.init.mkString(",")} — " +
+          "which duplicate wins is undefined; dedupe the source first")
+    if (src.isEmpty) return liveFiles(spark, tablePath)._1 // empty merge: no-op
+    keyedRewrite(spark, tablePath, schema, keyCols,
+      deleteKeys = src, appendDf = src, opTag = Some("merge"),
+      publisher = publisher)
+  }
+
+  /** The shared copy-on-write core of merge and keyed incremental-view
+    * maintenance: atomically (1) remove every live row whose key
+    * appears in `deleteKeys`, (2) append `appendDf`, (3) materialize
+    * CDC (removed pre-images as `delete`, appended rows as `insert`),
+    * all in one optionally-tagged commit. Files without a matching key
+    * are never rewritten (pruning scan); a no-match-no-append call is
+    * a no-op. */
+  private[store] def keyedRewrite(spark: SparkSession, tablePath: String,
+      schema: StructType, keyCols: Seq[String], deleteKeys: DataFrame,
+      appendDf: DataFrame, opTag: Option[String],
+      publisher: AtomicPublisher): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = fsOf(spark, dir)
+    val (version, files) = liveFiles(spark, tablePath)
+    val keyD = deleteKeys.select(keyCols.map(col): _*).distinct()
+    val cols = schema.fieldNames.map(col).toSeq
+    val app = appendDf.select(cols: _*)
+    val affected: Seq[String] =
+      if (files.isEmpty) Seq.empty
+      else spark.read.schema(schema).parquet(files.map(f => s"$tablePath/$f"): _*)
+        .select((col("_metadata.file_name").as("_kr_file") +: cols): _*)
+        .join(keyD, keyCols, "left_semi")
+        .select("_kr_file").distinct().collect().map(_.getString(0)).toSeq
+    if (affected.isEmpty) {
+      // nothing matched: the operation degenerates to a plain append
+      // (still tagged). An EMPTY append still commits — a tagged
+      // caller (view refresh riding a consumed= tag) must advance its
+      // checkpoint even when the increment nets to nothing, or it
+      // reprocesses the same increment forever.
+      return append(app, tablePath, publisher, opTag)
+    }
+    val aff = spark.read.schema(schema)
+      .parquet(affected.map(f => s"$tablePath/$f"): _*)
+    val writerId = freshWriterId("w")
+    val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
+    aff.join(keyD, keyCols, "left_anti").unionByName(app)
+      .write.parquet(staging.toString)
+    val names = landStaged(fs, dir, staging, writerId)
+    val cdcNames = landChangeFiles(spark, tablePath,
+      aff.join(keyD, keyCols, "left_semi")
+        .withColumn(ChangeTypeCol, lit("delete"))
+        .unionByName(app.withColumn(ChangeTypeCol, lit("insert"))))
+    commit(spark, tablePath, adds = names, removes = affected,
+      publisher = publisher, opTag = opTag, changeAdds = cdcNames)
   }
 
   /** The table's commit history as a DataFrame — the DESCRIBE HISTORY
@@ -540,20 +668,24 @@ object CommitLog {
     rows.toDF("version", "operation", "n_added", "n_removed")
   }
 
-  /** CDC-style change feed: the rows ADDED by each commit in
-    * (sinceVersion, asOf], tagged with their `_commit_version` — the
-    * incremental-consumption primitive (Delta CDF's insert feed): a
-    * downstream pipeline checkpoints the last version it processed and
-    * asks only for what landed since, so consumption cost scales with
-    * the INCREMENT, never with a table rescan — at 100 TB the
-    * difference between a usable feed and none.
+  /** CDC-style change feed: every row CHANGED by each commit in
+    * (sinceVersion, asOf], tagged with `_change_type` (`insert` |
+    * `delete`; an update is its delete pre-image + insert post-image)
+    * and `_commit_version` — the incremental-consumption primitive
+    * (Delta CDF): a downstream pipeline checkpoints the last version
+    * it processed and asks only for what landed since, so consumption
+    * cost scales with the INCREMENT, never with a table rescan — at
+    * 100 TB the difference between a usable feed and none. Append
+    * commits feed their data files as inserts; deleteWhere/merge
+    * commits feed the CDC change files they materialized atomically
+    * with the data swap.
     *
-    * Rewrite commits (adds+removes) contribute NOTHING: in this
-    * protocol a removing commit is an atomic rewrite of existing rows
-    * (compact is the only producer), row-preserving by construction —
-    * the Delta `dataChange = false` convention, derived from commit
-    * shape instead of a flag. A future row-DELETING operation must add
-    * an explicit marker before reusing the rewrite shape.
+    * COMPACTION commits (untagged adds+removes) contribute NOTHING:
+    * in this protocol an untagged removing commit is a row-preserving
+    * rewrite by construction — the Delta `dataChange = false`
+    * convention, derived from commit shape instead of a flag. A tagged
+    * removing commit WITHOUT change files (rebuild()) still stops the
+    * feed loudly.
     *
     * One scan, not one per commit: every fed file is read in a single
     * parquet load and the version tag is joined scan-side from a
@@ -567,6 +699,8 @@ object CommitLog {
       schema: StructType, asOf: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val withVersion = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(ChangeTypeCol,
+        org.apache.spark.sql.types.StringType, nullable = false) :+
       org.apache.spark.sql.types.StructField("_commit_version",
         org.apache.spark.sql.types.LongType, nullable = false))
     def empty = spark.createDataFrame(
@@ -591,25 +725,31 @@ object CommitLog {
         s"change feed for $tablePath cannot replay version(s) " +
           s"${missing.min}..${missing.max}: commits pruned past a checkpoint — " +
           "re-bootstrap from a snapshot read()")
-    val fileToVersion: Seq[(String, Long)] = commits.toSeq.flatMap { case (v, p) =>
+    // Classify each commit: plain appends feed their DATA files as
+    // `insert` rows; row-changing commits (delete/merge/keyed view
+    // refresh) feed the CDC change files they materialized at write
+    // time — never their rewrite outputs, which restate surviving rows.
+    // An UNTAGGED removing commit is a compaction — row-preserving by
+    // protocol, feeds nothing. A TAGGED removing commit WITHOUT change
+    // files changed rows unwitnessed (the rebuild() path): refuse —
+    // an insert-only feed silently skipping it would hand consumers
+    // deleted rows as still-live; consumers re-bootstrap past it.
+    val fed: Seq[(String, Long, Boolean)] = commits.toSeq.flatMap { case (v, p) =>
       val lines = readLines(fs, p).toSeq
       val removing = lines.exists(_.startsWith("-"))
+      val changeFiles = lines.filter(_.startsWith("~")).map(_.drop(1))
       val tag = lines.collectFirst {
         case l if l.startsWith("#op=") => l.stripPrefix("#op=") }
-      // an UNTAGGED removing commit is a compaction — row-preserving by
-      // protocol, feeds nothing. Any TAGGED removing commit (delete,
-      // view rebuild, future ops) may have changed rows, and an
-      // insert-only feed that silently skipped one would hand consumers
-      // deleted rows as still-live: refuse; consumers re-bootstrap
-      // from a snapshot read past it.
-      if (removing && tag.isDefined)
+      if (changeFiles.nonEmpty) changeFiles.map(f => (f, v, true))
+      else if (removing && tag.isDefined)
         throw new IllegalStateException(
           s"change feed for $tablePath crosses a row-deleting/rewriting " +
-            s"commit (version $v, op=${tag.get}): re-bootstrap from a " +
-            "snapshot read() past it")
-      if (removing) Seq.empty
-      else lines.filter(_.startsWith("+")).map(l => l.drop(1) -> v)
+            s"commit (version $v, op=${tag.get}) that carries no change " +
+            "files: re-bootstrap from a snapshot read() past it")
+      else if (removing) Seq.empty
+      else lines.filter(_.startsWith("+")).map(l => (l.drop(1), v, false))
     }
+    val fileToVersion: Seq[(String, Long)] = fed.map { case (f, v, _) => (f, v) }
     if (fileToVersion.isEmpty) return empty
     // The commit FILES surviving proves the range is replayable; the
     // fed DATA files are a separate lifetime — an in-range file later
@@ -631,14 +771,33 @@ object CommitLog {
     // version tag via a BROADCAST join on the file name, not a map
     // literal: a long feed can span thousands of commits / files, and
     // a plan-embedded literal that size is a codegen/driver-plan
-    // hazard — the lookup table is data, so ship it as (tiny) data
+    // hazard — the lookup table is data, so ship it as (tiny) data.
+    // Data files and CDC files are two scans (their schemas differ by
+    // the change-type column) unioned into one plan — still no
+    // per-commit jobs.
     import spark.implicits._
+    import org.apache.spark.sql.functions.lit
     val lookup = broadcast(
       fileToVersion.toDF("_cf_name", "_commit_version"))
-    spark.read.schema(schema)
-      .parquet(fileToVersion.map(f => s"$tablePath/${f._1}"): _*)
-      .join(lookup, col("_metadata.file_name") === col("_cf_name"))
-      .drop("_cf_name")
+    val outCols = (schema.fieldNames.toSeq :+ ChangeTypeCol :+ "_commit_version")
+      .map(col)
+    def tagged(df: DataFrame): DataFrame =
+      df.join(lookup, col("_metadata.file_name") === col("_cf_name"))
+        .select(outCols: _*)
+    val dataFiles = fed.collect { case (f, _, false) => f }
+    val cdcFiles = fed.collect { case (f, _, true) => f }
+    val cdcSchema = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(ChangeTypeCol,
+        org.apache.spark.sql.types.StringType, nullable = false))
+    val parts =
+      (if (dataFiles.isEmpty) Seq.empty else Seq(tagged(
+        spark.read.schema(schema)
+          .parquet(dataFiles.map(f => s"$tablePath/$f"): _*)
+          .withColumn(ChangeTypeCol, lit("insert"))))) ++
+        (if (cdcFiles.isEmpty) Seq.empty else Seq(tagged(
+          spark.read.schema(cdcSchema)
+            .parquet(cdcFiles.map(f => s"$tablePath/$f"): _*))))
+    parts.reduce(_.unionByName(_))
   }
 
   /** Prune commit files a checkpoint has made redundant for reads:
@@ -690,13 +849,26 @@ object CommitLog {
     * staging-start stamp embedded in its writer-id name prefix (when
     * present) predate the window, so a skewed storage clock alone
     * cannot eat an in-flight writer's files. Staging dirs older than
-    * the threshold are swept too. Never touches the log itself. */
+    * the threshold are swept too. Never touches the log itself.
+    * CDC change files are protected for exactly as long as their
+    * commit file survives — the feed stays consumable over the same
+    * window reads are replayable; pruneLog releases them. */
   def vacuum(spark: SparkSession, tablePath: String, minAgeMs: Long): Seq[String] = {
     require(minAgeMs >= 0, s"minAgeMs must be >= 0: $minAgeMs")
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
     if (!fs.exists(dir)) return Seq.empty
-    val live = liveFiles(spark, tablePath)._2.toSet
+    val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
+    val changeRefs: Set[String] =
+      if (!fs.exists(log)) Set.empty
+      else fs.listStatus(log).toSeq.flatMap { st =>
+        st.getPath.getName match {
+          case CommitRe(_) => readLines(fs, st.getPath)
+            .filter(_.startsWith("~")).map(_.drop(1)).toSeq
+          case _ => Seq.empty
+        }
+      }.toSet
+    val live = liveFiles(spark, tablePath)._2.toSet ++ changeRefs
     val cutoff = System.currentTimeMillis() - minAgeMs
     fs.listStatus(dir).flatMap { st =>
       val n = st.getPath.getName

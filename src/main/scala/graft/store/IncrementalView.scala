@@ -46,18 +46,69 @@ object IncrementalView {
     * to zero rows still commits (empty add set aside, the parquet
     * writer always lands at least one file): the checkpoint must
     * advance or the next refresh reprocesses the same increment
-    * forever. */
+    * forever.
+    *
+    * An increment that crosses a source DELETE or MERGE carries
+    * `delete` rows. With `keyCols` given, the refresh applies them
+    * INCREMENTALLY: the net-last change per key wins (a key deleted
+    * then re-inserted in the range survives; inserted then deleted,
+    * not), view rows for every touched key are swapped out via the
+    * keyed copy-on-write rewrite, and the transformed net inserts land
+    * in the SAME commit as the `consumed=` tag — exactly-once still
+    * rides one atomic publish. This requires `transform` to be
+    * per-row, deterministic, and to carry the key columns through
+    * UNCHANGED for every row it keeps (filters and derived non-key
+    * columns are fine) — a row the transform filters out is simply a
+    * key the view drops. Without `keyCols`, a delete-bearing increment
+    * stops loudly (the view cannot know which of its rows to retract)
+    * and `rebuild()` is the recovery. */
   def refresh(spark: SparkSession, srcTable: String, srcSchema: StructType,
       viewTable: String, transform: DataFrame => DataFrame,
-      publisher: AtomicPublisher = RenameOrLinkPublisher): Option[Long] = {
+      publisher: AtomicPublisher = RenameOrLinkPublisher,
+      keyCols: Option[Seq[String]] = None): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, row_number, when}
     val since = lastConsumed(spark, viewTable)
     val (srcVersion, _) = CommitLog.liveFiles(spark, srcTable)
     if (srcVersion == since) return None
-    val increment = CommitLog
+    val feed = CommitLog
       .changesSince(spark, srcTable, since, srcSchema, asOf = srcVersion)
-      .drop("_commit_version")
-    CommitLog.append(transform(increment), viewTable,
-      publisher, opTag = Some(s"$TagPrefix$srcVersion"))
+    val ct = col(CommitLog.ChangeTypeCol)
+    val meta = Seq(CommitLog.ChangeTypeCol, "_commit_version")
+    // delete detection from the LOG, not a data pass: any non-compaction
+    // removing commit in the range is row-changing (delete/merge/keyed
+    // refresh) — driver-side, log-sized, no Spark job
+    val hasDeletes = CommitLog.history(spark, srcTable)
+      .filter(col("version") > since && col("version") <= srcVersion &&
+        col("n_removed") > 0 && col("operation") =!= "rewrite" &&
+        col("operation") =!= "checkpoint")
+      .limit(1).count() > 0
+    if (!hasDeletes) {
+      CommitLog.append(
+        transform(feed.drop(meta: _*)), viewTable,
+        publisher, opTag = Some(s"$TagPrefix$srcVersion"))
+      return Some(srcVersion)
+    }
+    val keys = keyCols.getOrElse(throw new IllegalStateException(
+      s"increment ($since, $srcVersion] of $srcTable carries DELETE rows and " +
+        "this view has no keyCols — refresh(keyCols = ...) for incremental " +
+        "delete apply, or rebuild() from a snapshot"))
+    // Net effect per key across the range: the LAST change wins,
+    // insert outranking delete within one commit (a merge emits both
+    // for an updated key at the same version — the post-image is the
+    // survivor). Increment-sized window, never a source rescan.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_commit_version").desc, when(ct === "insert", 0).otherwise(1))
+    val last = feed.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    // touched keys come from the RAW feed (not the transform): an
+    // update whose post-image the transform filters OUT must still
+    // retract the pre-image the view holds
+    val touchedKeys = last.select(keys.map(col): _*)
+    val netInserts = transform(last.filter(ct === "insert").drop(meta: _*))
+    CommitLog.keyedRewrite(spark, viewTable, netInserts.schema, keys,
+      deleteKeys = touchedKeys, appendDf = netInserts,
+      opTag = Some(s"$TagPrefix$srcVersion"), publisher = publisher)
     Some(srcVersion)
   }
 

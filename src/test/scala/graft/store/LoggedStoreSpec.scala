@@ -162,17 +162,234 @@ abstract class LoggedStoreBehavior(publisher: AtomicPublisher) extends SparkSpec
       "a NULL predicate row must survive a DELETE")
   }
 
-  test("change feed refuses to cross a delete; resumes cleanly after it") {
+  test("change feed across a delete: pre-images fed as delete rows, inserts keep flowing") {
     val t = freshTable()
     val v1 = append(spark.range(0, 50).toDF("id"), t)
     val v2 = CommitLog.deleteWhere(spark, t, schema, col("id") < 10, publisher)
-    append(spark.range(50, 60).toDF("id"), t)
-    val e = intercept[IllegalStateException] {
-      CommitLog.changesSince(spark, t, v1, schema).count()
+    val v3 = append(spark.range(50, 60).toDF("id"), t)
+    val feed = CommitLog.changesSince(spark, t, v1, schema)
+    // the delete commit feeds its pre-images tagged 'delete'
+    assert(feed.filter(col("_commit_version") === v2 &&
+        col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.sameElements(0L until 10L),
+      "deleted pre-images missing from the feed")
+    // the later append feeds normally
+    assert(feed.filter(col("_commit_version") === v3 &&
+        col("_change_type") === "insert")
+      .select("id").as[Long].collect().sorted.sameElements(50L until 60L))
+    assert(feed.count() == 20)
+    // replaying the typed feed onto the since-snapshot reproduces the table
+    val snapshot = CommitLog.read(spark, t, schema, asOf = v1)
+    val replayed = snapshot
+      .join(feed.filter(col("_change_type") === "delete").select("id"),
+        Seq("id"), "left_anti")
+      .unionByName(feed.filter(col("_change_type") === "insert").select("id"))
+      .as[Long].collect().sorted
+    assert(replayed.sameElements(
+      CommitLog.read(spark, t, schema).as[Long].collect().sorted),
+      "feed replay diverged from the live table")
+    // a rebuild-style TAGGED rewrite WITHOUT change files still stops
+    // loudly — rows changed unwitnessed
+    val t2 = freshTable()
+    append(spark.range(0, 5).toDF("id"), t2)
+    val old = CommitLog.liveFiles(spark, t2)._2
+    CommitLog.commit(spark, t2, adds = Seq("rebuilt.parquet"), removes = old,
+      publisher = publisher, opTag = Some("consumed=1"))
+    val e2 = intercept[IllegalStateException] {
+      CommitLog.changesSince(spark, t2, 0L, schema)
     }
-    assert(e.getMessage.contains("row-deleting"), e.getMessage)
-    // consumers re-bootstrap past the delete and the feed works again
-    assert(CommitLog.changesSince(spark, t, v2, schema).count() == 10)
+    assert(e2.getMessage.contains("no change"), e2.getMessage)
+  }
+
+  test("merge: matched rows replaced, unmatched inserted, one atomic tagged commit") {
+    import spark.implicits._
+    val t = freshTable()
+    val s2 = Seq((0L, "old")).toDF("id", "v").schema
+    append((0L until 50L).map(i => (i, "old")).toDF("id", "v"), t)   // file(s) A
+    append((50L until 100L).map(i => (i, "old")).toDF("id", "v"), t) // file(s) B
+    val before = CommitLog.liveFiles(spark, t)._2.toSet
+    val source = ((60L until 70L).map(i => (i, "upd")) ++
+      (200L until 205L).map(i => (i, "new"))).toDF("id", "v")
+    val v3 = CommitLog.merge(spark, t, s2, source, Seq("id"), publisher)
+    val rows = CommitLog.read(spark, t, s2).as[(Long, String)].collect().toMap
+    assert(rows.size == 105)
+    assert((60L until 70L).forall(rows(_) == "upd"), "matched rows not replaced")
+    assert((200L until 205L).forall(rows(_) == "new"), "unmatched rows not inserted")
+    assert((0L until 60L).forall(rows(_) == "old") &&
+      (70L until 100L).forall(rows(_) == "old"), "untouched rows changed")
+    // only the file(s) holding matched keys were rewritten
+    val after = CommitLog.liveFiles(spark, t)._2.toSet
+    assert((before intersect after).nonEmpty, "merge rewrote unaffected files")
+    // time travel reads the pre-merge snapshot; history names the op
+    assert(CommitLog.read(spark, t, s2, asOf = v3 - 1)
+      .filter(col("v") =!= "old").count() == 0)
+    assert(CommitLog.history(spark, t)
+      .filter(col("version") === v3 && col("operation") === "merge").count() == 1)
+    // the merge feeds delete pre-images + insert post-images
+    val feed = CommitLog.changesSince(spark, t, v3 - 1, s2)
+    assert(feed.filter(col("_change_type") === "delete").count() == 10)
+    assert(feed.filter(col("_change_type") === "insert").count() == 15)
+    // duplicate source keys are rejected
+    intercept[IllegalArgumentException] {
+      CommitLog.merge(spark, t, s2,
+        Seq((1L, "a"), (1L, "b")).toDF("id", "v"), Seq("id"), publisher)
+    }
+    // merge into an empty table = plain insert
+    val t2 = freshTable()
+    CommitLog.merge(spark, t2, s2, source, Seq("id"), publisher)
+    assert(CommitLog.read(spark, t2, s2).count() == 15)
+  }
+
+  test("merge races: an interleaved append survives; a conflicting rewrite fails loudly") {
+    import spark.implicits._
+    val t = freshTable()
+    val s2 = Seq((0L, "old")).toDF("id", "v").schema
+    append((0L until 20L).map(i => (i, "old")).toDF("id", "v"), t)
+    // an appender wins the version the merge first tries for: the
+    // merge must retry at the next number and BOTH outcomes survive
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // land a real data file for the racing append to reference
+    val racerStaging = t + "/_staging_racer"
+    (500L until 505L).map(i => (i, "raced")).toDF("id", "v")
+      .coalesce(1).write.parquet(racerStaging)
+    val racerPart = fs.listStatus(new org.apache.hadoop.fs.Path(racerStaging))
+      .filter(_.getPath.getName.startsWith("part-")).head.getPath
+    fs.rename(racerPart, new org.apache.hadoop.fs.Path(t, "racer.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(racerStaging), true)
+    var injected = false
+    val racy = new AtomicPublisher {
+      def publish(pfs: org.apache.hadoop.fs.FileSystem,
+          logDir: org.apache.hadoop.fs.Path,
+          dst: org.apache.hadoop.fs.Path, content: String): Boolean = {
+        if (!injected && dst.getName.endsWith(".commit")) {
+          injected = true
+          assert(publisher.publish(pfs, logDir, dst, "+racer.parquet"))
+        }
+        publisher.publish(pfs, logDir, dst, content)
+      }
+    }
+    CommitLog.merge(spark, t, s2,
+      (0L until 5L).map(i => (i, "upd")).toDF("id", "v"), Seq("id"), racy)
+    val rows = CommitLog.read(spark, t, s2).as[(Long, String)].collect().toMap
+    assert(rows.size == 25, s"lost rows across the race: ${rows.size}")
+    assert((0L until 5L).forall(rows(_) == "upd") &&
+      (500L until 505L).forall(rows(_) == "raced"),
+      "merge retry lost the interleaved append or its own update")
+    // a conflicting REWRITE of the merge's input files: remove-
+    // validation must throw, never resurrect replaced rows
+    var injected2 = false
+    val live = CommitLog.liveFiles(spark, t)._2
+    val conflicting = new AtomicPublisher {
+      def publish(pfs: org.apache.hadoop.fs.FileSystem,
+          logDir: org.apache.hadoop.fs.Path,
+          dst: org.apache.hadoop.fs.Path, content: String): Boolean = {
+        if (!injected2 && dst.getName.endsWith(".commit")) {
+          injected2 = true
+          assert(publisher.publish(pfs, logDir, dst,
+            (Seq("+compacted-race.parquet") ++ live.map("-" + _)).mkString("\n")))
+        }
+        publisher.publish(pfs, logDir, dst, content)
+      }
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      CommitLog.merge(spark, t, s2,
+        (0L until 5L).map(i => (i, "upd2")).toDF("id", "v"), Seq("id"), conflicting)
+    }
+  }
+
+  test("merge crash before its commit publishes leaves the table unchanged") {
+    import spark.implicits._
+    val t = freshTable()
+    val s2 = Seq((0L, "old")).toDF("id", "v").schema
+    append((0L until 20L).map(i => (i, "old")).toDF("id", "v"), t)
+    val crashing = new AtomicPublisher {
+      def publish(pfs: org.apache.hadoop.fs.FileSystem,
+          logDir: org.apache.hadoop.fs.Path,
+          dst: org.apache.hadoop.fs.Path, content: String): Boolean =
+        throw new java.io.IOException("injected crash at publish time")
+    }
+    intercept[java.io.IOException] {
+      CommitLog.merge(spark, t, s2,
+        (0L until 5L).map(i => (i, "upd")).toDF("id", "v"), Seq("id"), crashing)
+    }
+    // data + CDC files landed but the commit never published: invisible
+    assert(CommitLog.read(spark, t, s2).filter(col("v") =!= "old").count() == 0)
+    assert(CommitLog.liveFiles(spark, t)._1 == 1L)
+    // and vacuum reclaims the orphans
+    assert(CommitLog.vacuum(spark, t, minAgeMs = 0).nonEmpty)
+    assert(CommitLog.read(spark, t, s2).count() == 20)
+  }
+
+  test("CDC files survive vacuum while their commit survives; pruning releases them") {
+    val t = freshTable()
+    append(spark.range(0, 30).toDF("id"), t)                            // v1
+    CommitLog.deleteWhere(spark, t, schema, col("id") < 10, publisher)  // v2 + CDC
+    // vacuum reclaims the delete's superseded input file but NOT the
+    // CDC change files — the feed must stay consumable as long as the
+    // commit range is replayable
+    CommitLog.vacuum(spark, t, minAgeMs = 0)
+    val feed = CommitLog.changesSince(spark, t, 1L, schema)
+    assert(feed.filter(col("_change_type") === "delete").count() == 10,
+      "vacuum ate the CDC files while their commit still survived")
+    // push past a checkpoint, prune the log: the delete commit is gone,
+    // so its CDC files become unreferenced and vacuum may reclaim them
+    (0 until 9).foreach(i => append(spark.range(100L + i, 101L + i).toDF("id"), t))
+    assert(CommitLog.pruneLog(spark, t).nonEmpty)
+    val swept = CommitLog.vacuum(spark, t, minAgeMs = 0)
+    assert(swept.nonEmpty, "pruning must release the CDC files to vacuum")
+    intercept[IllegalStateException] {
+      CommitLog.changesSince(spark, t, 1L, schema)
+    }
+  }
+
+  test("incremental view with keys: deletes, updates, and inserts apply incrementally") {
+    import spark.implicits._
+    val src = freshTable()
+    val view = freshTable()
+    val s2 = Seq((0L, "x")).toDF("id", "v").schema
+    // transform: keep even ids, derive a column; id (the key) passes through
+    val tf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.filter(col("id") % 2 === 0)
+        .withColumn("tag", concat(lit("t-"), col("v")))
+    def batchRecompute = tf(CommitLog.read(spark, src, s2))
+      .as[(Long, String, String)].collect().sorted
+    def viewRows = {
+      val vs = tf(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s2)).schema
+      CommitLog.read(spark, view, vs).as[(Long, String, String)].collect().sorted
+    }
+    val keys = Some(Seq("id"))
+    append((0L until 20L).map(i => (i, "a")).toDF("id", "v"), src)
+    assert(IncrementalView.refresh(spark, src, s2, view, tf, publisher, keys).isDefined)
+    assert(viewRows.sameElements(batchRecompute))
+    // source DELETE: the view must retract without a rebuild
+    CommitLog.deleteWhere(spark, src, s2, col("id") < 6, publisher)
+    append((20L until 24L).map(i => (i, "b")).toDF("id", "v"), src)
+    assert(IncrementalView.refresh(spark, src, s2, view, tf, publisher, keys).isDefined)
+    assert(viewRows.sameElements(batchRecompute),
+      "view diverged from batch recompute after a source delete")
+    // source MERGE (update + insert): the view applies the net change
+    CommitLog.merge(spark, src, s2,
+      ((8L until 12L).map(i => (i, "upd")) ++ Seq((900L, "ins"))).toDF("id", "v"),
+      Seq("id"), publisher)
+    assert(IncrementalView.refresh(spark, src, s2, view, tf, publisher, keys).isDefined)
+    assert(viewRows.sameElements(batchRecompute),
+      "view diverged from batch recompute after a source merge")
+    // caught up: no-op
+    assert(IncrementalView.refresh(spark, src, s2, view, tf, publisher, keys).isEmpty)
+    // WITHOUT keys a delete-bearing increment still stops loudly
+    // (bootstrap WITH keys — the source history already holds deletes,
+    // which the keyed net-last bootstrap handles)
+    val view2 = freshTable()
+    IncrementalView.refresh(spark, src, s2, view2, tf, publisher, keys)
+    CommitLog.deleteWhere(spark, src, s2, col("id") === 14L, publisher)
+    val e = intercept[IllegalStateException] {
+      IncrementalView.refresh(spark, src, s2, view2, tf, publisher)
+    }
+    assert(e.getMessage.contains("keyCols"), e.getMessage)
+    // ... and catches up incrementally once keys are supplied
+    assert(IncrementalView.refresh(spark, src, s2, view2, tf, publisher, keys).isDefined)
   }
 
   test("pruneLog: reads stay exact from the checkpoint; pre-checkpoint history fails loudly") {
