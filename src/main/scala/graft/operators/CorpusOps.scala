@@ -566,17 +566,24 @@ object CorpusOps {
     *  1. line-frequency pass: explode to (doc_id, line-md5) SCALARS —
     *     line text never crosses the exchange — and count distinct
     *     docs per hash;
-    *  2. apply pass: the boilerplate hash set (bounded by
-    *     `maxBoilerLines`, loudly — boilerplate is few DISTINCT
-    *     strings by nature, however many copies exist) rides into
-    *     codegen as a literal array, and each doc filters and
-    *     reassembles its own lines scan-side — zero shuffles, no
-    *     reassembly exchange carrying text.
+    *  2. apply pass: each doc filters and reassembles its own lines
+    *     scan-side — zero shuffles, no reassembly exchange carrying
+    *     text. Up to `broadcastAbove` distinct boiler lines the hash
+    *     set rides into codegen as a literal array (probe is a short
+    *     linear scan — cheapest at that size); above it, the set ships
+    *     as an executor-lifetime BROADCAST probed O(1) per line
+    *     ([[graft.functions.BroadcastSetProbe]]) — semantically a
+    *     broadcast left-semi join on the line hash, kept scan-side
+    *     because a physical join would explode the text and pay a
+    *     reassembly exchange carrying it. `maxBoilerLines` still
+    *     bounds the set loudly — boilerplate is few DISTINCT strings
+    *     by nature, however many copies exist.
     *
     * Emits (idCol, clean_text, n_removed). A document that was all
     * boilerplate comes back as the empty string, not a dropped row. */
   def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
-      sep: String, minDocs: Int, maxBoilerLines: Int = 100000): DataFrame = {
+      sep: String, minDocs: Int, maxBoilerLines: Int = 100000,
+      broadcastAbove: Int = 1000): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
     val sepLit = java.util.regex.Pattern.quote(sep)
     val lineHashes = df
@@ -591,9 +598,13 @@ object CorpusOps {
     val linesArr = split(col(textCol), sepLit)
     val kept =
       if (lineHashes.isEmpty) linesArr
-      else {
+      else if (lineHashes.length <= broadcastAbove) {
         val boiler = array(lineHashes.sorted.map(lit): _*)
         filter(linesArr, l => !array_contains(boiler, md5(l)))
+      } else {
+        val bc = graft.functions.BroadcastSetProbe
+          .broadcastSet(df.sparkSession, lineHashes)
+        filter(linesArr, l => !graft.functions.BroadcastSetProbe.probe(md5(l), bc))
       }
     df.select(col(idCol),
       array_join(kept, sep).as("clean_text"),

@@ -142,6 +142,27 @@ class PlanAuditSpec extends SparkSpec {
       s"boilerplate apply pass shuffles:\n${df.queryExecution.executedPlan}")
   }
 
+  test("boilerplate apply pass above the broadcast threshold: still zero shuffles") {
+    // force the large-set shape (broadcast probe instead of the literal
+    // array) on the same table: the plan contract is identical — the
+    // apply pass stays scan-side narrow, text never crosses an exchange
+    val base = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    // duplicate every doc under a fresh id so every line recurs in >= 2
+    // docs — the boiler set is guaranteed non-empty and the large-set
+    // shape is forced by broadcastAbove = 0
+    val docs = base.unionByName(base.withColumn("doc_id",
+      org.apache.spark.sql.functions.col("doc_id") + 1000000000L))
+    val df = graft.operators.CorpusOps.removeBoilerplateLines(
+      docs, "doc_id", "text", "\n", minDocs = 2, broadcastAbove = 0)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("graft_broadcast_set_probe"),
+      s"large-set path not probing the broadcast:\n$plan")
+    val shuffles = plan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    assert(shuffles.isEmpty, s"broadcast-probe apply pass shuffles:\n$plan")
+  }
+
   test("count-min heavy hitters: the sketch broadcasts; candidates never sort-merge") {
     val df = SparkEntry.queries("vocab_cm_heavy_hitters")(spark, sf("sf0.001"))
     val plan = df.queryExecution.executedPlan.toString

@@ -416,6 +416,27 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("removeBoilerplateLines: >1k boiler lines take the broadcast probe, same answer") {
+    // 1,200 distinct boiler lines, each in 2 docs; every doc keeps one
+    // unique prose line — large enough to cross broadcastAbove's default
+    val docsDf = (0 until 1200).flatMap { i =>
+      Seq((i * 2L, s"boiler line $i\nprose ${i * 2}"),
+        (i * 2 + 1L, s"prose ${i * 2 + 1}\nboiler line $i"))
+    }.toDF("doc_id", "text")
+    val out = CorpusOps.removeBoilerplateLines(docsDf, "doc_id", "text", "\n", minDocs = 2)
+      .as[(Long, String, Long)].collect()
+    assert(out.length == 2400)
+    assert(out.forall { case (id, clean, removed) =>
+      clean == s"prose $id" && removed == 1L
+    }, "every doc must lose exactly its boiler line and keep its prose")
+    // the two paths agree bit-for-bit on the same input
+    val viaLiteral = CorpusOps.removeBoilerplateLines(docsDf, "doc_id", "text", "\n",
+        minDocs = 2, broadcastAbove = Int.MaxValue)
+      .as[(Long, String, Long)].collect()
+    assert(out.sortBy(_._1).sameElements(viaLiteral.sortBy(_._1)),
+      "broadcast-probe path diverged from the literal-array path")
+  }
+
   test("epochOrder: a true permutation, bit-stable per (seed, epoch), fresh per epoch") {
     val docsDf = graft.Tables.load(spark, sf("sf0.001"), "documents")
     val n = docsDf.count()
