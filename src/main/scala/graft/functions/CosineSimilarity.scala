@@ -225,10 +225,46 @@ object GraftFunctions {
       NfcNormalize(args.head)
     })
 
+  // ── graft_hll_* : the deterministic-HLL scalar pieces (see
+  // operators/Hll.scala) exposed to raw SQL. These are COMPOSED column
+  // expressions, not hand-written kernels, so the SQL surface is
+  // bit-identical to the DataFrame path by construction: the builder
+  // re-uses the Hll column builders and unwraps them via ColumnBridge.
+  private def intLit(e: Expression, fn: String, what: String): Int = e match {
+    case Literal(v: Int, t) if t == org.apache.spark.sql.types.IntegerType => v
+    case other => throw new IllegalArgumentException(
+      s"$fn $what must be an int literal, got $other")
+  }
+
+  private def exprDescriptor(name: String, nArgs: Int)(
+      build: Seq[Expression] => Expression):
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(GraftFunctions.getClass.getName, name),
+    (args: Seq[Expression]) => {
+      require(args.length == nArgs, s"$name expects $nArgs args, got ${args.length}")
+      build(args)
+    })
+
+  val hllBucketDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    exprDescriptor("graft_hll_bucket", 2)(args =>
+      graft.operators.Hll.Exprs.bucket(args.head,
+        intLit(args(1), "graft_hll_bucket", "b")))
+
+  val hllRhoDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    exprDescriptor("graft_hll_rho", 2)(args =>
+      graft.operators.Hll.Exprs.rhoOf(args.head,
+        intLit(args(1), "graft_hll_rho", "b")))
+
+  val hllEstDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    exprDescriptor("graft_hll_est", 3)(args =>
+      graft.operators.Hll.Exprs.est(args.head, args(1),
+        intLit(args(2), "graft_hll_est", "b")))
+
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(cosineDescriptor, tokenHitsDescriptor, minhashBandsDescriptor,
       shingleJaccardDescriptor, lshBucketsDescriptor, shingleStatsDescriptor,
-      nfcDescriptor)
+      nfcDescriptor, hllBucketDescriptor, hllRhoDescriptor, hllEstDescriptor)
 
   /** Idempotent registration into an existing session. */
   def register(spark: SparkSession): Unit =

@@ -15,11 +15,12 @@ import org.apache.spark.sql.functions._
   * cols-sized, never data-sized. The exact multi-column distinct
   * counts ride Spark's Expand machinery (the standard grouping-sets
   * plan: the shuffle carries one scalar per profiled column per row —
-  * the cost floor any exact answer pays; a 100 TB deployment that can
-  * tolerate ~2% error swaps `count(distinct)` for
-  * `approx_count_distinct`, the same HLL sketch the engine's
-  * events_approx_distinct row already exercises, and the Expand
-  * disappears).
+  * the cost floor any exact answer pays). `exactDistincts = false` is
+  * the 100 TB switch: `approx_count_distinct` (Spark's HLL++ sketch,
+  * ~2% default error) is an ordinary partial-merge aggregate like the
+  * others, so the Expand disappears and the whole profile is one
+  * sketch-sized combine per column — profile cost stops scaling with
+  * per-column cardinality entirely.
   *
   * min/max are computed on the NATIVE type (so numeric columns order
   * numerically) and cast to string afterwards for the uniform row
@@ -28,14 +29,17 @@ import org.apache.spark.sql.functions._
   */
 object TableProfile {
 
-  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profileColumns(df: DataFrame, cols: Seq[String],
+      exactDistincts: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "no columns to profile")
     // index-keyed aliases: stack()'s expr string must not have to
     // re-quote arbitrary source column names
+    val distinctOf: Column => Column =
+      if (exactDistincts) countDistinct(_) else approx_count_distinct(_)
     val aggs: Seq[Column] = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
         count(col(c)).as(s"c${i}_nonnull"),
-        countDistinct(col(c)).as(s"c${i}_distinct"),
+        distinctOf(col(c)).as(s"c${i}_distinct"),
         min(col(c)).cast("string").as(s"c${i}_min"),
         max(col(c)).cast("string").as(s"c${i}_max"),
         avg(length(col(c).cast("string"))).as(s"c${i}_avglen"))

@@ -37,7 +37,26 @@ object SqlPassthrough {
       |GROUP BY p_brand, p_type
       |HAVING count(*) > 1""".stripMargin
 
+  /** Raw SQL reaching the REGISTERED graft kernels (injected by
+    * GraftExtensions / GraftFunctions.register, which Tables.registerAll
+    * performs) — the CLI `query` passthrough path: a user types this
+    * SQL, the engine's native HLL expressions execute it. Not ANSI —
+    * the oracle is the DuckDB replay of the published estimator
+    * (EventQueries.hllOracleSql), the same oracle that binds the
+    * DataFrame form (`events_approx_distinct_det`), so the SQL surface
+    * is pinned bit-identical to both. */
+  val HllDistinctSql: String =
+    """SELECT event_type,
+      |  graft_hll_est(sum(pow(2.0, -r)), count(*), 8) AS est_distinct
+      |FROM (SELECT event_type,
+      |        graft_hll_bucket(user_id, 8) AS bucket,
+      |        max(graft_hll_rho(user_id, 8)) AS r
+      |      FROM events GROUP BY 1, 2)
+      |GROUP BY event_type""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("sql_region_revenue", RegionRevenueSql)((s, dir) => run(s, dir, RegionRevenueSql)),
-    Q("sql_part_stats", TopPartsSql)((s, dir) => run(s, dir, TopPartsSql)))
+    Q("sql_part_stats", TopPartsSql)((s, dir) => run(s, dir, TopPartsSql)),
+    Q("sql_hll_distinct", EventQueries.hllOracleSql)(
+      (s, dir) => run(s, dir, HllDistinctSql)))
 }

@@ -38,4 +38,31 @@ class TableProfileSpec extends SparkSpec {
     assert("Range \\(0, 1000".r.findAllIn(plan).size == 1,
       s"profile scanned the input more than once:\n$plan")
   }
+
+  test("approx distincts: Expand disappears from the plan, estimates stay close") {
+    val df = spark.range(0, 5000).toDF("id")
+      .withColumn("m", col("id") % 100)
+    val exact = TableProfile.profileColumns(df, Seq("id", "m"))
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"),
+      "exact multi-column distincts are expected to ride Expand")
+    val approx = TableProfile.profileColumns(df, Seq("id", "m"), exactDistincts = false)
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"approx profile still pays the Expand:\n$plan")
+    // same single-scan contract as the exact path
+    assert("Range \\(0, 5000".r.findAllIn(plan).size == 1,
+      s"approx profile scanned the input more than once:\n$plan")
+    val est = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // HLL++ default rsd is 5%; bound at 3x that (estimates are
+    // deterministic for a fixed input, this guards regressions)
+    assert(math.abs(est("id") - 5000.0) / 5000.0 < 0.15, s"id est ${est("id")}")
+    assert(math.abs(est("m") - 100.0) / 100.0 < 0.15, s"m est ${est("m")}")
+    // the non-distinct statistics are UNCHANGED by the swap
+    val e = exact.collect().map(r => r.getString(0) -> r).toMap
+    val a = approx.collect().map(r => r.getString(0) -> r).toMap
+    Seq("id", "m").foreach { c =>
+      assert(e(c).getLong(1) == a(c).getLong(1) && e(c).getLong(2) == a(c).getLong(2)
+        && e(c).getString(4) == a(c).getString(4) && e(c).getString(5) == a(c).getString(5))
+    }
+  }
 }
