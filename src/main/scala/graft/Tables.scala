@@ -20,13 +20,26 @@ object Tables {
     // session regardless of how it was built. Idempotent and cheap.
     graft.functions.GraftFunctions.register(spark)
     if (name == "events") {
-      // The fixture writes TIMESTAMP(NANOS), which Spark 4's parquet
-      // reader rejects outright; read nanos as long and truncate to µs
-      // (exactly what DuckDB's µs-native reader does on its side).
+      import org.apache.spark.sql.functions.{col, timestamp_micros, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      // Fixture generations have written `ts` as TIMESTAMP(NANOS) (which
+      // Spark 4's parquet reader only admits as long via the legacy flag)
+      // and as native timestamp[us]/TIMESTAMP_NTZ. Branch on the schema
+      // actually read rather than assuming one: nanos-as-long gets
+      // truncated to µs (what DuckDB's µs-native reader does), a native
+      // timestamp passes through. Both branches land on TimestampType so
+      // downstream windows/oracle hashing see one type regardless of the
+      // fixture vintage (session tz is UTC, so the NTZ cast is
+      // value-preserving).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -11,6 +11,10 @@ object Verify {
     val spark = Sessions.local("graft-verify",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     new java.io.File(outDir).mkdirs()
+    // A query that throws must surface as a visible failure, not a
+    // silently-missing result dir (round 9 lost 25 events-dependent rows
+    // that way — the driver's compare only sees dirs that exist).
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) =>
         nameFilter.forall(_.findFirstIn(name).isDefined) }
@@ -18,6 +22,7 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -36,6 +41,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failures land in a driver-visible artifact AND a loud summary line;
+    // an empty map still writes `{}` so "no errors" is a positive record.
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty) {
+      System.err.println(
+        s"[verify] ${errors.size}/${SparkEntry.queries.size} queries FAILED: " +
+          errors.keys.mkString(", "))
+    }
     spark.stop()
   }
 }
