@@ -737,6 +737,62 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
     },
 
+    // ── The full MERGE clause grammar (conditional matched delete,
+    // partial-column update, insert, by-source delete) through the
+    // clause builder: the engine applies "delete matched rows whose
+    // source text flags them, update ONLY the text column otherwise,
+    // insert unmatched source rows, retire a target-only id slice"; the
+    // oracle replays the identical clause semantics relationally. The
+    // digest proves clause PRECEDENCE too — a delete row surviving as
+    // an update (or vice versa) flips it. ─────────────────────────────
+    Q(
+      "store_merge_clauses",
+      s"""WITH src AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 12 = 0 THEN 'drop' ELSE 'v2 ' || text END AS text
+         |  FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 700000, source, 'new ' || text
+         |  FROM documents WHERE doc_id < 15),
+         |merged AS (
+         |  SELECT t.doc_id, t.source,
+         |    CASE WHEN s.doc_id IS NOT NULL THEN s.text ELSE t.text END AS text
+         |  FROM documents t LEFT JOIN src s USING (doc_id)
+         |  WHERE NOT (s.doc_id IS NOT NULL AND s.text = 'drop')
+         |    AND NOT (s.doc_id IS NULL AND t.doc_id % 11 = 7)
+         |  UNION ALL
+         |  SELECT doc_id, source, text FROM src
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM documents))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS content_digest
+         |FROM merged GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.store.{CommitLog, MergeClauses}
+      val a = docs(s, dir).select("doc_id", "source", "text")
+      val table = "/tmp/graft_state/merge_clauses_docs"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      CommitLog.append(a.filter(col("doc_id") % 2 === 0), table)
+      CommitLog.append(a.filter(col("doc_id") % 2 === 1), table)
+      val src = a.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 12 === 0, lit("drop"))
+            .otherwise(concat(lit("v2 "), col("text"))).as("text"))
+        .unionAll(a.filter(col("doc_id") < 15)
+          .select((col("doc_id") + 700000).as("doc_id"), col("source"),
+            concat(lit("new "), col("text")).as("text")))
+      MergeClauses.into(s, table, a.schema, src, Seq("doc_id"))
+        .whenMatchedDelete(Some(col(s"${MergeClauses.SrcPrefix}text") === "drop"))
+        .whenMatchedUpdate(Seq("text"))
+        .whenNotMatchedInsert()
+        .whenNotMatchedBySourceDelete(Some(col("doc_id") % 11 === 7))
+        .execute()
+      CommitLog.read(s, table, a.schema)
+        .withColumn("h", graft.core.Hashing.rowDigest(col("doc_id"), col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
+    },
+
     // ── Delete-aware change feed: the feed crosses a DELETE WHERE and
     // hands consumers the retracted pre-images as `delete` rows (CDC
     // change files committed atomically with the swap) instead of

@@ -351,7 +351,30 @@ object CommitLog {
     * none. Safe under arbitrary concurrent writers — no lock. */
   def append(df: DataFrame, tablePath: String,
       publisher: AtomicPublisher = RenameOrLinkPublisher,
-      opTag: Option[String] = None): Long = {
+      opTag: Option[String] = None,
+      writeOptions: Map[String, String] = Map.empty): Long = {
+    val spark = df.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = fsOf(spark, dir)
+    val writerId = freshWriterId("w")
+    val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
+    // writeOptions: parquet writer knobs per append — the bloom-filter
+    // options (Bloom.writeWithBloomFilters' parquet.bloom.filter.*) are
+    // the intended use, making logged files probe-able by
+    // pruneByFooterStats' point-lookup path
+    df.write.options(writeOptions).parquet(staging.toString)
+    val names = landStaged(fs, dir, staging, writerId)
+    commit(spark, tablePath, adds = names, publisher = publisher, opTag = opTag)
+  }
+
+  /** [[append]] with the zombie-fencing hook of [[commitOrAbort]]:
+    * None when a lost publish race re-evaluates `abortOnLostRace` to
+    * true (the staged files become vacuum-eligible orphans). The
+    * consumed=-ledger writers (IncrementalView / CdcStream) ride this
+    * the way appendOnce rides the txn= ledger. */
+  private[store] def appendOrAbort(df: DataFrame, tablePath: String,
+      publisher: AtomicPublisher, opTag: Option[String],
+      abortOnLostRace: () => Boolean): Option[Long] = {
     val spark = df.sparkSession
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
@@ -359,7 +382,8 @@ object CommitLog {
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
     df.write.parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
-    commit(spark, tablePath, adds = names, publisher = publisher, opTag = opTag)
+    commitOrAbort(spark, tablePath, adds = names, removes = Seq.empty,
+      publisher = publisher, opTag = opTag, abortOnLostRace = abortOnLostRace)
   }
 
   /** Snapshot read of the live file set (empty frame with `schema` for
@@ -527,7 +551,7 @@ object CommitLog {
     * the table directory: writer-unique names (collision-free on any
     * store), invisible to scans until the caller's commit lists them
     * under `~`. */
-  private def landChangeFiles(spark: SparkSession, tablePath: String,
+  private[store] def landChangeFiles(spark: SparkSession, tablePath: String,
       cdc: DataFrame): Seq[String] = {
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
@@ -558,8 +582,12 @@ object CommitLog {
     *
     * A source with duplicate keys is REJECTED (which duplicate wins is
     * undefined — same contract as Delta's multiple-source-rows-match
-    * error). `source` is evaluated more than once (pruning scan, data
-    * write, CDC write): pass a cheap or checkpointed frame.
+    * error). The projected source is materialized ONCE up front (eager
+    * localCheckpoint, the quality-calibration pattern): the duplicate
+    * probe, pruning scan, data write and CDC write all read the
+    * checkpointed rows, so an expensive upstream query runs one time
+    * and a non-deterministic source cannot write data and CDC that
+    * disagree.
     *
     * Scale shape: the match probe and rewrite shuffle only the
     * affected files' rows against the source keys; at 100 TB a merge
@@ -572,7 +600,13 @@ object CommitLog {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     keyCols.foreach(k => require(schema.fieldNames.contains(k),
       s"merge key $k not in table schema ${schema.fieldNames.mkString(",")}"))
+    // One evaluation for the whole operation: merge reads the source
+    // four times (duplicate probe, match scan, data write, CDC write) —
+    // without this a caller handing an expensive or non-deterministic
+    // frame re-runs it per consumer, and the non-deterministic case
+    // could commit data and CDC that disagree.
     val src = source.select(schema.fieldNames.map(col).toSeq: _*)
+      .localCheckpoint(true)
     val dup = src.groupBy(keyCols.map(col): _*)
       .count().filter(col("count") > 1).limit(1).collect()
     if (dup.nonEmpty)
@@ -583,6 +617,132 @@ object CommitLog {
     keyedRewrite(spark, tablePath, schema, keyCols,
       deleteKeys = src, appendDf = src, opTag = Some("merge"),
       publisher = publisher)
+      .getOrElse(throw new IllegalStateException("unreachable: unfenced merge"))
+  }
+
+  /** Footer-stats file skipping for the keyed match probe: return the
+    * subset of `files` that COULD contain a key from `src` — every
+    * other file is provably match-free and never even enters the probe
+    * scan. Two tests, both safe-by-construction (a file is only
+    * skipped on positive evidence of impossibility):
+    *
+    *  1. RANGE OVERLAP — the source's per-key-column [min, max]
+    *     (one tiny aggregate over the checkpointed source) against
+    *     each file's parquet footer min/max. On a Z-ordered /
+    *     range-clustered table an increment-shaped merge prunes to the
+    *     files its key range actually lands in — the point of
+    *     maintaining the clustered layout (compact(clusterBy)).
+    *  2. BLOOM PROBE — for a single-column key with a small distinct
+    *     set (≤ [[BloomProbeMaxKeys]], collected driver-side), each
+    *     surviving file's per-row-group bloom filters (Bloom.
+    *     writeWithBloomFilters wrote them) are probed with every key;
+    *     a file whose every row group carries a filter and answers
+    *     "definitely not" for every key is skipped — the point-lookup
+    *     complement min/max cannot serve on an unclustered key.
+    *
+    * Missing stats, unsupported types, multi-column uncertainty, or
+    * any footer read failure ⇒ the file is KEPT (pruning is an
+    * optimization, never a correctness input; LoggedStoreSpec pins the
+    * merge result identical with pruning on). Driver cost: one footer
+    * read per candidate file — file-count-sized, the same order as the
+    * landStaged/commit bookkeeping. (The log-carried-stats evolution —
+    * Delta's stats-in-commit JSON — would amortize even that; footer
+    * reads keep the log format unchanged.)
+    *
+    * `alwaysAll` short-circuits to the full set — callers whose
+    * operation must visit unmatched rows too (a by-source delete
+    * clause) cannot prune by source keys. */
+  private[store] val BloomProbeMaxKeys = 10000
+  private[store] def pruneByFooterStats(spark: SparkSession, tablePath: String,
+      files: Seq[String], keyCols: Seq[String], src: DataFrame,
+      alwaysAll: Boolean = false): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    if (alwaysAll || files.isEmpty) return files
+    val conf = spark.sparkContext.hadoopConfiguration
+    // source key envelope: one row, 2×|keys| columns
+    val aggs = keyCols.flatMap(k =>
+      Seq(min(col(k)).as(s"_mn_$k"), max(col(k)).as(s"_mx_$k")))
+    val env = src.agg(aggs.head, aggs.tail: _*).collect().head
+    val srcMin = keyCols.map(k => env.getAs[Any](s"_mn_$k"))
+    val srcMax = keyCols.map(k => env.getAs[Any](s"_mx_$k"))
+    if (srcMin.exists(_ == null)) return files // empty/null-keyed source: no evidence
+    // small single-column key sets additionally enable bloom probing
+    val probeKeys: Option[Seq[Any]] =
+      if (keyCols.size != 1) None
+      else {
+        val ks = src.select(col(keyCols.head)).distinct()
+          .limit(BloomProbeMaxKeys + 1).collect().map(_.get(0)).toSeq
+        if (ks.size > BloomProbeMaxKeys) None else Some(ks)
+      }
+    // parquet footer values arrive as Binary/primitives; compare in the
+    // key's own ordering, bailing to "keep" on anything unexpected
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+      case (x: Int, y: Int) => Some(java.lang.Integer.compare(x, y))
+      case (x: Long, y: Int) => Some(java.lang.Long.compare(x, y.toLong))
+      case (x: Int, y: Long) => Some(java.lang.Long.compare(x.toLong, y))
+      case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+      case (x: Float, y: Float) => Some(java.lang.Float.compare(x, y))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case _ => None
+    }
+    def statValue(v: Any): Any = v match {
+      case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+      case other => other
+    }
+    files.filter { name =>
+      val p = new org.apache.hadoop.fs.Path(s"$tablePath/$name")
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          // keep unless EVERY row group proves it cannot match
+          blocks.isEmpty || blocks.exists { block =>
+            val byName = block.getColumns.asScala
+              .map(c => c.getPath.toDotString -> c).toMap
+            val rangePossible = keyCols.zipWithIndex.forall { case (k, i) =>
+              byName.get(k) match {
+                case Some(c) =>
+                  val st = c.getStatistics
+                  if (st == null || !st.hasNonNullValue) true
+                  else {
+                    val fMin = statValue(st.genericGetMin())
+                    val fMax = statValue(st.genericGetMax())
+                    (cmp(srcMax(i), fMin), cmp(srcMin(i), fMax)) match {
+                      // disjoint iff src.max < file.min or src.min > file.max
+                      case (Some(a), Some(b)) => a >= 0 && b <= 0
+                      case _ => true // incomparable: keep
+                    }
+                  }
+                case None => true // column not in footer: keep
+              }
+            }
+            if (!rangePossible) false
+            else probeKeys match {
+              case Some(keys) =>
+                val c = byName.get(keyCols.head)
+                val bloom = c.flatMap(cc =>
+                  Option(reader.getBloomFilterDataReader(block))
+                    .flatMap(r => Option(r.readBloomFilter(cc))))
+                bloom match {
+                  case Some(bf) =>
+                    keys.exists {
+                      case v: Long => bf.findHash(bf.hash(v))
+                      case v: Int => bf.findHash(bf.hash(v))
+                      case v: String => bf.findHash(bf.hash(
+                        org.apache.parquet.io.api.Binary.fromString(v)))
+                      case _ => true // unprobeable type: keep
+                    }
+                  case None => true // no filter on this row group: keep
+                }
+              case None => true
+            }
+          }
+        } finally reader.close()
+      } catch { case scala.util.control.NonFatal(_) => true } // unreadable footer: keep
+    }
   }
 
   /** The shared copy-on-write core of merge and keyed incremental-view
@@ -595,7 +755,8 @@ object CommitLog {
   private[store] def keyedRewrite(spark: SparkSession, tablePath: String,
       schema: StructType, keyCols: Seq[String], deleteKeys: DataFrame,
       appendDf: DataFrame, opTag: Option[String],
-      publisher: AtomicPublisher): Long = {
+      publisher: AtomicPublisher,
+      abortOnLostRace: () => Boolean = () => false): Option[Long] = {
     import org.apache.spark.sql.functions.{col, lit}
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
@@ -603,19 +764,27 @@ object CommitLog {
     val keyD = deleteKeys.select(keyCols.map(col): _*).distinct()
     val cols = schema.fieldNames.map(col).toSeq
     val app = appendDf.select(cols: _*)
-    val affected: Seq[String] =
+    // footer-stats skipping first: files whose min/max (and, for small
+    // single-column key sets, bloom filters) prove no key can match
+    // never enter the probe scan — on a clustered table an
+    // increment-shaped merge probes only the files its key range lands
+    // in (MergePruneSpec pins fewer-files-than-live-set)
+    val candidates =
       if (files.isEmpty) Seq.empty
-      else spark.read.schema(schema).parquet(files.map(f => s"$tablePath/$f"): _*)
+      else pruneByFooterStats(spark, tablePath, files, keyCols, keyD)
+    val affected: Seq[String] =
+      if (candidates.isEmpty) Seq.empty
+      else spark.read.schema(schema).parquet(candidates.map(f => s"$tablePath/$f"): _*)
         .select((col("_metadata.file_name").as("_kr_file") +: cols): _*)
         .join(keyD, keyCols, "left_semi")
         .select("_kr_file").distinct().collect().map(_.getString(0)).toSeq
     if (affected.isEmpty) {
       // nothing matched: the operation degenerates to a plain append
-      // (still tagged). An EMPTY append still commits — a tagged
-      // caller (view refresh riding a consumed= tag) must advance its
-      // checkpoint even when the increment nets to nothing, or it
-      // reprocesses the same increment forever.
-      return append(app, tablePath, publisher, opTag)
+      // (still tagged, still fenced). An EMPTY append still commits —
+      // a tagged caller (view refresh riding a consumed= tag) must
+      // advance its checkpoint even when the increment nets to
+      // nothing, or it reprocesses the same increment forever.
+      return appendOrAbort(app, tablePath, publisher, opTag, abortOnLostRace)
     }
     val aff = spark.read.schema(schema)
       .parquet(affected.map(f => s"$tablePath/$f"): _*)
@@ -628,8 +797,9 @@ object CommitLog {
       aff.join(keyD, keyCols, "left_semi")
         .withColumn(ChangeTypeCol, lit("delete"))
         .unionByName(app.withColumn(ChangeTypeCol, lit("insert"))))
-    commit(spark, tablePath, adds = names, removes = affected,
-      publisher = publisher, opTag = opTag, changeAdds = cdcNames)
+    commitOrAbort(spark, tablePath, adds = names, removes = affected,
+      publisher = publisher, opTag = opTag, abortOnLostRace = abortOnLostRace,
+      changeAdds = cdcNames)
   }
 
   /** The table's commit history as a DataFrame — the DESCRIBE HISTORY
