@@ -203,6 +203,72 @@ object StreamQueries {
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
     },
 
+    // ── Logged table as a STREAMING SOURCE (CDC round trip): the engine
+    // streams documents INTO a logged table over four versions (two
+    // appends, a DELETE WHERE, a MERGE), then a downstream consumer
+    // DRAINS the change feed in 1-version micro-batches into its own
+    // logged table — crashing after batch 2's commit and restarting
+    // from the sink's own consumed= ledger (the checkpoint rides the
+    // data commit; no side checkpoint). The drained sink must equal the
+    // transform applied to the FINAL source snapshot, deletes and
+    // net-per-key merge updates included — which is exactly what the
+    // oracle replays relationally. ─────────────────────────────────────
+    Q(
+      "stream_cdc_roundtrip",
+      s"""WITH after_del AS (
+         |  SELECT doc_id, source, text FROM documents WHERE doc_id % 5 <> 2),
+         |src AS (
+         |  SELECT doc_id, source, text || ' v2' AS text
+         |  FROM documents WHERE doc_id % 7 = 3
+         |  UNION ALL
+         |  SELECT doc_id + 900000, source, 'm ' || text
+         |  FROM documents WHERE doc_id < 10),
+         |final AS (
+         |  SELECT * FROM src
+         |  UNION ALL
+         |  SELECT * FROM after_del
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM src))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS content_digest
+         |FROM final WHERE doc_id % 3 <> 0 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.store.{CdcStream, CommitLog}
+      val a = graft.Tables.load(s, dir, "documents")
+        .select("doc_id", "source", "text")
+      val srcTable = "/tmp/graft_state/cdc_rt_src"
+      val sinkTable = "/tmp/graft_state/cdc_rt_sink"
+      val fs = new org.apache.hadoop.fs.Path(srcTable)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(srcTable, sinkTable).foreach(t =>
+        fs.delete(new org.apache.hadoop.fs.Path(t), true))
+      CommitLog.append(a.filter(col("doc_id") % 2 === 0), srcTable)
+      CommitLog.append(a.filter(col("doc_id") % 2 === 1), srcTable)
+      CommitLog.deleteWhere(s, srcTable, a.schema, col("doc_id") % 5 === 2)
+      CommitLog.merge(s, srcTable, a.schema,
+        a.filter(col("doc_id") % 7 === 3)
+          .select(col("doc_id"), col("source"),
+            concat(col("text"), lit(" v2")).as("text"))
+          .unionAll(a.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 900000).as("doc_id"), col("source"),
+              concat(lit("m "), col("text")).as("text"))),
+        Seq("doc_id"))
+      val transform = (df: org.apache.spark.sql.DataFrame) =>
+        df.filter(col("doc_id") % 3 =!= 0)
+      // crash after the second micro-batch's durable commit, restart
+      // from the ledger: the replay must neither duplicate nor lose
+      try CdcStream.drain(s, srcTable, a.schema, sinkTable, transform,
+        keyCols = Some(Seq("doc_id")), maxVersionsPerBatch = 1L,
+        afterBatch = (n, _) =>
+          if (n == 2) throw new RuntimeException("injected post-commit crash"))
+      catch { case e: RuntimeException
+        if e.getMessage.startsWith("injected") => () }
+      CdcStream.drain(s, srcTable, a.schema, sinkTable, transform,
+        keyCols = Some(Seq("doc_id")), maxVersionsPerBatch = 1L)
+      CommitLog.read(s, sinkTable, a.schema)
+        .withColumn("h", graft.core.Hashing.rowDigest(col("doc_id"), col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
+    },
+
     // ── Streaming deterministic HLL: registers as running state (max
     // merges monotonically — bounded at 2^b registers per group
     // forever), drained estimate ≡ the batch estimate BIT-FOR-BIT

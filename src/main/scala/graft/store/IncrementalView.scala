@@ -65,11 +65,27 @@ object IncrementalView {
   def refresh(spark: SparkSession, srcTable: String, srcSchema: StructType,
       viewTable: String, transform: DataFrame => DataFrame,
       publisher: AtomicPublisher = RenameOrLinkPublisher,
-      keyCols: Option[Seq[String]] = None): Option[Long] = {
+      keyCols: Option[Seq[String]] = None,
+      maxVersions: Option[Long] = None): Option[Long] = {
     import org.apache.spark.sql.functions.{col, row_number, when}
     val since = lastConsumed(spark, viewTable)
-    val (srcVersion, _) = CommitLog.liveFiles(spark, srcTable)
-    if (srcVersion == since) return None
+    val (latest, _) = CommitLog.liveFiles(spark, srcTable)
+    if (latest == since) return None
+    // `maxVersions` bounds one refresh to a version window — the
+    // micro-batch rate limit CdcStream's drain loop rides (a consumer
+    // far behind catches up in bounded increments instead of one
+    // arbitrarily large feed read)
+    val srcVersion = maxVersions match {
+      case Some(m) => require(m > 0, s"maxVersions must be positive: $m")
+        math.min(since + m, latest)
+      case None => latest
+    }
+    // Zombie fencing for every commit this refresh publishes: two
+    // drivers refreshing the same view can both pass the `since` check
+    // above; whichever loses the publish race re-reads the consumed
+    // ledger and aborts instead of double-applying the increment (the
+    // appendOnce pattern, on the consumed= ledger).
+    val fence = () => CommitLog.lastConsumed(spark, viewTable) >= srcVersion
     val feed = CommitLog
       .changesSince(spark, srcTable, since, srcSchema, asOf = srcVersion)
     val ct = col(CommitLog.ChangeTypeCol)
@@ -83,9 +99,12 @@ object IncrementalView {
         col("operation") =!= "checkpoint")
       .limit(1).count() > 0
     if (!hasDeletes) {
-      CommitLog.append(
+      CommitLog.appendOrAbort(
         transform(feed.drop(meta: _*)), viewTable,
-        publisher, opTag = Some(s"$TagPrefix$srcVersion"))
+        publisher, opTag = Some(s"$TagPrefix$srcVersion"),
+        abortOnLostRace = fence)
+      // an abort means a concurrent refresh already applied this
+      // increment — either way version srcVersion is consumed
       return Some(srcVersion)
     }
     val keys = keyCols.getOrElse(throw new IllegalStateException(
@@ -108,7 +127,8 @@ object IncrementalView {
     val netInserts = transform(last.filter(ct === "insert").drop(meta: _*))
     CommitLog.keyedRewrite(spark, viewTable, netInserts.schema, keys,
       deleteKeys = touchedKeys, appendDf = netInserts,
-      opTag = Some(s"$TagPrefix$srcVersion"), publisher = publisher)
+      opTag = Some(s"$TagPrefix$srcVersion"), publisher = publisher,
+      abortOnLostRace = fence)
     Some(srcVersion)
   }
 

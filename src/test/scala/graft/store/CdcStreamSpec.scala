@@ -1,0 +1,121 @@
+package graft.store
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** The logged-table streaming source (CdcStream.drain): bounded
+  * micro-batches over the change feed, exactly-once landing in a
+  * downstream logged table, crash-mid-drain replay, and source-DELETE
+  * crossing — under both publishers. */
+abstract class CdcStreamBehavior(publisher: AtomicPublisher) extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(tag: String): String =
+    Files.createTempDirectory(s"graft_cdc_$tag").toString + "/t"
+
+  private val schema = Seq((0L, "v")).toDF("id", "v").schema
+
+  /** keep non-multiples-of-3, derive a length column; carries `id`
+    * through unchanged (the keyed contract). */
+  private def transform(df: DataFrame): DataFrame =
+    df.filter(col("id") % 3 =!= 0)
+      .select(col("id"), col("v"), length(col("v")).as("w"))
+
+  private def sinkRows(t: String): Set[(Long, String, Int)] =
+    CommitLog.read(spark, t,
+      Seq((0L, "v", 0)).toDF("id", "v", "w").schema)
+      .as[(Long, String, Int)].collect().toSet
+
+  private def expected(src: String): Set[(Long, String, Int)] =
+    transform(CommitLog.read(spark, src, schema))
+      .as[(Long, String, Int)].collect().toSet
+
+  /** v1: 0..99 "a"; v2: 100..199 "b"; v3: DELETE id%10==4;
+    * v4: merge (update 20..39 -> "m", insert 500..509 "m"). */
+  private def buildSource(): String = {
+    val t = fresh("src")
+    CommitLog.append((0L until 100L).map(i => (i, "a")).toDF("id", "v"), t, publisher)
+    CommitLog.append((100L until 200L).map(i => (i, "b")).toDF("id", "v"), t, publisher)
+    CommitLog.deleteWhere(spark, t, schema, col("id") % 10 === 4, publisher)
+    CommitLog.merge(spark, t, schema,
+      ((20L until 40L).map(i => (i, "m")) ++ (500L until 510L).map(i => (i, "m")))
+        .toDF("id", "v"), Seq("id"), publisher)
+    t
+  }
+
+  test("drain ≡ batch recompute over the final snapshot, across deletes and merges") {
+    val src = buildSource()
+    val sink = fresh("sink")
+    val d = CdcStream.drain(spark, src, schema, sink, transform,
+      keyCols = Some(Seq("id")), maxVersionsPerBatch = 1L, publisher = publisher)
+    assert(d.consumedThrough == CommitLog.liveFiles(spark, src)._1)
+    assert(d.nBatches == 4, s"1-version batches over 4 commits, got ${d.nBatches}")
+    assert(sinkRows(sink) == expected(src),
+      "drained sink diverged from transform(final snapshot)")
+    // deletes really crossed: a pre-delete row the transform kept is gone
+    assert(!sinkRows(sink).exists(_._1 == 14L), "id=14 (deleted at v3) survived")
+    // updates really applied net: id=20 carries the merged value
+    assert(sinkRows(sink).contains((20L, "m", 1)))
+    // caught up: another drain is a no-op
+    val d2 = CdcStream.drain(spark, src, schema, sink, transform,
+      keyCols = Some(Seq("id")), publisher = publisher)
+    assert(d2.nBatches == 0 && d2.consumedThrough == d.consumedThrough)
+  }
+
+  test("bounded micro-batches: a far-behind consumer catches up in windows") {
+    val src = buildSource()
+    val sink = fresh("sink")
+    val d = CdcStream.drain(spark, src, schema, sink, transform,
+      keyCols = Some(Seq("id")), maxVersionsPerBatch = 3L, publisher = publisher)
+    assert(d.nBatches == 2, s"4 versions / 3-per-batch = 2 batches, got ${d.nBatches}")
+    assert(sinkRows(sink) == expected(src))
+    // incremental tail: new source commits drain as ONLY the increment
+    CommitLog.append((600L until 620L).map(i => (i, "late")).toDF("id", "v"), src, publisher)
+    val d3 = CdcStream.drain(spark, src, schema, sink, transform,
+      keyCols = Some(Seq("id")), publisher = publisher)
+    assert(d3.nBatches == 1)
+    assert(sinkRows(sink) == expected(src))
+  }
+
+  test("crash mid-drain: committed increments stay, replay resumes exactly-once") {
+    val src = buildSource()
+    val sink = fresh("sink")
+    // crash AFTER batch 2's commit (the checkpoint rides the commit,
+    // so the worst case is work-durable-then-crash)
+    val boom = intercept[RuntimeException] {
+      CdcStream.drain(spark, src, schema, sink, transform,
+        keyCols = Some(Seq("id")), maxVersionsPerBatch = 1L, publisher = publisher,
+        afterBatch = (n, _) => if (n == 2) throw new RuntimeException("crash"))
+    }
+    assert(boom.getMessage == "crash")
+    assert(CommitLog.lastConsumed(spark, sink) == 2L,
+      "the pre-crash increments must be durably consumed")
+    // restart: resumes from the sink's own ledger, no re-application
+    val d = CdcStream.drain(spark, src, schema, sink, transform,
+      keyCols = Some(Seq("id")), maxVersionsPerBatch = 1L, publisher = publisher)
+    assert(d.nBatches == 2, s"replay must consume only v3..v4, got ${d.nBatches}")
+    assert(sinkRows(sink) == expected(src),
+      "post-crash replay produced duplicates or lost rows")
+  }
+
+  test("a source DELETE with no keyCols stops loudly; rebuild recovers") {
+    val src = buildSource()
+    val sink = fresh("sink")
+    val e = intercept[IllegalStateException] {
+      CdcStream.drain(spark, src, schema, sink, transform,
+        keyCols = None, maxVersionsPerBatch = 10L, publisher = publisher)
+    }
+    assert(e.getMessage.contains("keyCols"), e.getMessage)
+    IncrementalView.rebuild(spark, src, schema, sink, transform, publisher)
+    assert(sinkRows(sink) == expected(src))
+    assert(CdcStream.drain(spark, src, schema, sink, transform,
+      keyCols = Some(Seq("id")), publisher = publisher).nBatches == 0)
+  }
+}
+
+class CdcStreamSpec extends CdcStreamBehavior(RenameOrLinkPublisher)
+class CdcStreamS3Spec extends CdcStreamBehavior(
+  new ConditionalPutPublisher(new LocalConditionalPutStore))
