@@ -136,15 +136,27 @@ object VideoFixture {
   def durationOf(i: Int): Long = 600L * (1 + i % 10)
   def tracksOf(i: Int): Int = 1 + i % 2
   def brandOf(i: Int): String = if (i % 2 == 0) "isom" else "mp42"
+  /** Per-track sample (frame) count; every track of file i carries the
+    * same two-entry stts and an explicit stsz size table sized 100+k,
+    * so frame count AND mean frame size are arithmetic-known. */
+  def framesOf(i: Int): Int = 8 + i % 5
+
+  /** Fixture layout generation — bumped when the written byte shape
+    * changes (file NAMES stay stable, so the freshness check needs a
+    * marker, not just the name set; the dot-prefix keeps it invisible
+    * to Spark's binary scan). */
+  private val marker = ".fixture_v2_sample_tables"
 
   def ensure(): String = synchronized {
     val dir = new File(root)
-    val want = (0 until n).map(fileName).toSet
+    val want = (0 until n).map(fileName).toSet + marker
     val have = Option(dir.listFiles()).getOrElse(Array.empty).map(_.getName).toSet
     if (have != want) {
       if (dir.exists()) { dir.listFiles().foreach(_.delete()); () }
       dir.mkdirs()
       (0 until n).foreach(write)
+      val m = new java.io.FileOutputStream(new File(root, marker))
+      try m.write(Array.empty[Byte]) finally m.close()
     }
     root
   }
@@ -182,13 +194,25 @@ object VideoFixture {
           u32(0x00010000L), u32(0), u32(0), u32(0), u32(0x00010000L),
           u32(0), u32(0), u32(0), u32(0x40000000L),
           new Array[Byte](24), u32(tracksOf(i) + 1L))
+    // each track carries a real sample table: a TWO-entry stts (n-1
+    // samples at delta 100, then 1 at delta 200 — multi-entry parsing
+    // is exercised, counts still sum to n) and an explicit stsz size
+    // table (sample_size=0 → per-sample sizes 100+k), nested at the
+    // spec path trak → mdia → minf → stbl
     val traks = (1 to tracksOf(i)).map { t =>
+      val nf = framesOf(i)
+      val stts = box("stts", u32(0), u32(2),
+        u32(nf - 1L), u32(100), u32(1), u32(200))
+      val stsz = box("stsz", u32(0), u32(0), u32(nf.toLong),
+        (0 until nf).toArray.flatMap(k => u32(100L + k)))
+      val stbl = box("stbl", stts, stsz)
       box("trak", box("tkhd", Array[Byte](0, 0, 0, 7), // v0, enabled flags
         u32(0), u32(0), u32(t.toLong), u32(0), u32(durationOf(i)),
         new Array[Byte](8), new Array[Byte](8),        // reserved, layer/group/vol/rsvd
         u32(0x00010000L), u32(0), u32(0), u32(0), u32(0x00010000L),
         u32(0), u32(0), u32(0), u32(0x40000000L),
-        u32(640L << 16), u32(360L << 16)))             // 16.16 fixed w/h
+        u32(640L << 16), u32(360L << 16)),             // 16.16 fixed w/h
+        box("mdia", box("minf", stbl)))
     }
     val bytes = ftyp ++ box("moov", (mvhd +: traks): _*)
     val out = new java.io.FileOutputStream(new File(root, fileName(i)))

@@ -180,29 +180,80 @@ object Multimodal {
     ds.mapPartitions(_.grouped(batchSize).flatMap(g => decodeAudioBatch(g.toSeq)))
   }
 
-  /** Typed metadata out of the video container probe. */
+  /** Typed metadata out of the video container probe. `n_frames` /
+    * `sample_bytes` are summed over every track's sample tables
+    * (stts/stsz); 0 for a container without them. */
   final case class VideoMeta(
       doc_id: Long, n_bytes: Long, content_hash: String,
-      timescale: Long, duration_ticks: Long, n_tracks: Int, brand: String)
+      timescale: Long, duration_ticks: Long, n_tracks: Int, brand: String,
+      n_frames: Long, sample_bytes: Long)
 
   /** Header-only MP4 (ISO-BMFF) container probe — REAL parsing, no
     * codec required: container metadata lives in big-endian
     * size-tagged boxes (`ftyp` brand; `moov` → `mvhd` timescale +
     * duration, one `trak` per stream), which is exactly what ffprobe
     * reads for duration/track topology without touching a sample. Both
-    * mvhd versions are handled (v0 32-bit times, v1 64-bit). Per-row
-    * cost is O(moov bytes) — the property that keeps a metadata pass
-    * over a 100 TB video corpus affordable; sample data (`mdat`) is
-    * never read. None = not ISO-BMFF (no `ftyp` at offset 4) or a
+    * mvhd versions are handled (v0 32-bit times, v1 64-bit). The walk
+    * additionally descends each `trak → mdia → minf → stbl` to the
+    * SAMPLE TABLES: `stsz` yields per-track frame counts and total
+    * sample bytes (uniform-size and explicit-table forms both read),
+    * summed across tracks — frame count and mean frame size from pure
+    * header metadata, still codec-free (`stts` rides the same stbl;
+    * the fixture exercises its multi-entry form). Per-row cost is
+    * O(moov bytes) — the property that keeps a metadata pass over a
+    * 100 TB video corpus affordable; sample data (`mdat`) is never
+    * read. None = not ISO-BMFF (no `ftyp` at offset 4) or a
     * structurally corrupt box tree — the caller's fallback path. The
     * 4-byte `ftyp` magic at a fixed offset leaves no lax-sniffer
     * misclaim class to gate (the image path's WBMP/BMP problem). */
-  def decodeVideoHeader(bytes: Array[Byte]): Option[(Long, Long, Int, String)] = {
+  def decodeVideoHeader(bytes: Array[Byte])
+      : Option[(Long, Long, Int, String, Long, Long)] = {
     def u32(off: Int): Long =
       ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
         ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
     def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
     def typ(off: Int): String = new String(bytes, off + 4, 4, "US-ASCII")
+    // first direct child named `name` inside (start, end) — the
+    // generic container walk; None on absence, a STRUCTURAL lie
+    // (undersized / overrunning child) raises to the corrupt-tree path
+    def child(start: Int, end: Int, name: String): Option[(Int, Int)] = {
+      var c = start
+      while (c + 8 <= end) {
+        val cs = u32(c)
+        if (cs < 8 || c + cs > end)
+          throw new IndexOutOfBoundsException(s"corrupt box at $c")
+        if (typ(c) == name) return Some((c + 8, c + cs.toInt))
+        c += cs.toInt
+      }
+      None
+    }
+    // one track's sample-table contribution: (sample count, total
+    // sample bytes) from stbl's stts/stsz at the spec nesting
+    // trak → mdia → minf → stbl — 0s when the path is absent (a
+    // bare-header container). stsz carries either a uniform
+    // sample_size or an explicit per-sample table; both forms read.
+    def sampleTables(trakStart: Int, trakEnd: Int): (Long, Long) = {
+      val stbl = for {
+        (ms, me) <- child(trakStart, trakEnd, "mdia")
+        (fs, fe) <- child(ms, me, "minf")
+        s <- child(fs, fe, "stbl")
+      } yield s
+      stbl match {
+        case None => (0L, 0L)
+        case Some((ss, se)) =>
+          child(ss, se, "stsz") match {
+            case None => (0L, 0L)
+            case Some((zs, _)) =>
+              val uniform = u32(zs + 4)
+              val count = u32(zs + 8)
+              val total =
+                if (uniform > 0) uniform * count
+                else (0L until count).foldLeft(0L)((acc, k) =>
+                  acc + u32(zs + 12 + 4 * k.toInt))
+              (count, total)
+          }
+      }
+    }
     if (bytes.length < 16 || typ(0) != "ftyp") return None
     val brand = new String(bytes, 8, 4, "US-ASCII")
     var off = 0
@@ -212,6 +263,7 @@ object Multimodal {
       if (typ(off) == "moov") {
         var c = off + 8
         var ts = -1L; var dur = -1L; var tracks = 0
+        var frames = 0L; var sampleBytes = 0L
         while (c + 8 <= off + size) {
           val cs = u32(c)
           if (cs < 8 || c + cs > off + size) return None
@@ -220,12 +272,15 @@ object Multimodal {
               ts = u32(c + 28); dur = u64(c + 32)
             case "mvhd" => // v0: 32-bit times
               ts = u32(c + 20); dur = u32(c + 24)
-            case "trak" => tracks += 1
+            case "trak" =>
+              tracks += 1
+              val (f, b) = sampleTables(c + 8, c + cs.toInt)
+              frames += f; sampleBytes += b
             case _ => ()
           }
           c += cs.toInt
         }
-        return if (ts > 0) Some((ts, dur, tracks, brand)) else None
+        return if (ts > 0) Some((ts, dur, tracks, brand, frames, sampleBytes)) else None
       }
       off += size.toInt
     }
@@ -238,8 +293,9 @@ object Multimodal {
   def decodeVideoBatch(batch: Seq[MediaIn]): Seq[VideoMeta] = batch.map { m =>
     val h = graft.core.Hashing.sha256HexBytes(m.content)
     try decodeVideoHeader(m.content) match {
-      case Some((ts, dur, tracks, brand)) =>
-        VideoMeta(m.doc_id, m.content.length.toLong, h, ts, dur, tracks, brand)
+      case Some((ts, dur, tracks, brand, frames, sampleBytes)) =>
+        VideoMeta(m.doc_id, m.content.length.toLong, h, ts, dur, tracks, brand,
+          frames, sampleBytes)
       case None => fallbackVideoMeta(m, h)
     } catch { // a hostile/truncated box tree must degrade, never throw
       case _: IndexOutOfBoundsException => fallbackVideoMeta(m, h)
@@ -254,7 +310,9 @@ object Multimodal {
       timescale = 600L * (1 + hexVal(h.charAt(0)) % 4),
       duration_ticks = 600L * (1 + hexVal(h.charAt(1)) % 10),
       n_tracks = 1 + hexVal(h.charAt(2)) % 2,
-      brand = "none")
+      brand = "none",
+      n_frames = 8L + hexVal(h.charAt(3)) % 5,
+      sample_bytes = 100L * (8 + hexVal(h.charAt(3)) % 5))
 
   /** Video probe over a binary Dataset, partition-batched like decode. */
   def decodeVideo(ds: Dataset[MediaIn], batchSize: Int = 64): Dataset[VideoMeta] = {

@@ -91,14 +91,18 @@ object MultimodalQueries {
     // the raw fields. ─────────────────────────────────────────────────
     Q(
       "multimodal_decode_video",
-      """SELECT CAST(i AS BIGINT) AS doc_id,
+      """WITH t AS (SELECT i, 8 + i % 5 AS fr, 1 + i % 2 AS tr FROM range(0, 24) t(i))
+        |SELECT CAST(i AS BIGINT) AS doc_id,
         |  CAST(600 * (1 + i % 4) AS BIGINT) AS timescale,
         |  CAST(600 * (1 + i % 10) AS BIGINT) AS duration_ticks,
-        |  CAST(1 + i % 2 AS INTEGER) AS n_tracks,
+        |  CAST(tr AS INTEGER) AS n_tracks,
         |  CASE WHEN i % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
         |  round(CAST(600 * (1 + i % 10) AS DOUBLE)
-        |    / (600 * (1 + i % 4)), 6) AS duration_s
-        |FROM range(0, 24) t(i)""".stripMargin) { (s, _) =>
+        |    / (600 * (1 + i % 4)), 6) AS duration_s,
+        |  CAST(tr * fr AS BIGINT) AS n_frames,
+        |  round(CAST(tr * (100 * fr + fr * (fr - 1) / 2) AS DOUBLE)
+        |    / (tr * fr), 6) AS mean_frame_bytes
+        |FROM t""".stripMargin) { (s, _) =>
       import s.implicits._
       val media = Multimodal.scanBinary(s, VideoFixture.ensure())
         .select(regexp_extract(col("key"), "vid_(\\d+)", 1).cast("long").as("doc_id"),
@@ -108,7 +112,10 @@ object MultimodalQueries {
         .select(col("doc_id"), col("timescale"), col("duration_ticks"),
           col("n_tracks"), col("brand"),
           round(col("duration_ticks").cast("double") / col("timescale"), 6)
-            .as("duration_s"))
+            .as("duration_s"),
+          col("n_frames"),
+          round(col("sample_bytes").cast("double") / col("n_frames"), 6)
+            .as("mean_frame_bytes"))
     },
 
     // ── Frame sampling: bounded explode keyed by content hash ──────────

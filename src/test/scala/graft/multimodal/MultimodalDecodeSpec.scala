@@ -71,11 +71,19 @@ class MultimodalDecodeSpec extends SparkSpec {
       val f = new java.io.File(VideoFixture.root).listFiles()
         .find(_.getName.contains(f"vid_$i%03d")).get
       val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-      val Some((ts, dur, tracks, brand)) = Multimodal.decodeVideoHeader(bytes)
+      val Some((ts, dur, tracks, brand, frames, sampleBytes)) =
+        Multimodal.decodeVideoHeader(bytes)
       assert((ts, dur, tracks, brand) ==
         (VideoFixture.timescaleOf(i), VideoFixture.durationOf(i),
           VideoFixture.tracksOf(i), VideoFixture.brandOf(i)),
         s"fixture $i probed to ($ts,$dur,$tracks,$brand)")
+      // sample tables: per-track frame count nf with sizes 100..100+nf-1,
+      // summed across tracks — stts/stsz arithmetic truths
+      val nf = VideoFixture.framesOf(i).toLong
+      val tr = VideoFixture.tracksOf(i).toLong
+      assert(frames == tr * nf, s"fixture $i frames: $frames")
+      assert(sampleBytes == tr * (100L * nf + nf * (nf - 1) / 2),
+        s"fixture $i sample bytes: $sampleBytes")
       // truncating mid-moov must degrade to None (declared size past
       // the buffer = structural corruption), never throw
       assert(Multimodal.decodeVideoHeader(bytes.take(bytes.length / 2)).isEmpty)
