@@ -37,7 +37,9 @@ object Cli {
       |  log-history <tablePath>                            commit-log DESCRIBE HISTORY (one row per commit)
       |  log-delete <tablePath> <sqlPredicate>              row-level DELETE WHERE through the commit log
       |  log-vacuum <tablePath> <minAgeHours>               reclaim unreferenced data files (retention-gated)
-      |  log-prune <tablePath> [keepSince]                  drop commit files behind the newest checkpoint""".stripMargin
+      |  log-prune <tablePath> [keepSince]                  drop commit files behind the newest checkpoint
+      |  log-merge <tablePath> <sourceParquet> <keyCols>    keyed MERGE upsert (comma-separated key columns)
+      |  log-changes <tablePath> <sinceVersion> [asOf]      change-feed summary: rows per version × change type""".stripMargin
 
   private val defaultStore = "/tmp/graft_store"
 
@@ -201,6 +203,30 @@ object Cli {
       val keep = rest.headOption.map(_.toLong).getOrElse(Long.MaxValue)
       val pruned = graft.store.CommitLog.pruneLog(spark, table, keep)
       s"""{"cmd":"log-prune","table":"$table","pruned":${pruned.size}}"""
+
+    case "log-merge" :: table :: sourcePath :: keyCols :: Nil =>
+      // keyed MERGE upsert from a parquet increment — the CDC-apply
+      // verb, operable without Scala (the clause builder stays API
+      // surface; full-row upsert is the CLI-shaped 90% case)
+      val keys = keyCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val v = graft.store.CommitLog.merge(spark, table,
+        loggedSchema(spark, table), spark.read.parquet(sourcePath), keys)
+      s"""{"cmd":"log-merge","table":"$table","version":$v}"""
+
+    case "log-changes" :: table :: since :: rest if rest.size <= 1 =>
+      // change-feed inspection: per (version, change type) row counts —
+      // a bounded summary (the feed itself is data-sized; an operator
+      // asking "what landed since v?" wants the shape, not a dump)
+      val asOf = rest.headOption.map(_.toLong).getOrElse(Long.MaxValue)
+      val feed = graft.store.CommitLog.changesSince(spark, table,
+        since.toLong, loggedSchema(spark, table), asOf)
+      val rows = feed.groupBy("_commit_version", "_change_type")
+        .count().orderBy("_commit_version", "_change_type")
+        .collect() // commit-range × {insert,delete}-sized, never data-sized
+        .map(r => s"""{"version":${r.getLong(0)},"change_type":"${r.getString(1)}",""" +
+          s""""n_rows":${r.getLong(2)}}""")
+      s"""{"cmd":"log-changes","table":"$table","since":${since.toLong},""" +
+        s""""changes":[${rows.mkString(",")}]}"""
 
     case other =>
       throw new IllegalArgumentException(s"bad args: ${other.mkString(" ")}\n$usage")

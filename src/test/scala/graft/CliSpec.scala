@@ -92,6 +92,19 @@ class CliSpec extends SparkSpec {
     // prune: no checkpoint yet (3 commits < interval) → prunes nothing
     assert(Cli.run(spark, Array("log-prune", t))
       == s"""{"cmd":"log-prune","table":"$t","pruned":0}""")
+    // merge from a parquet increment: 20 updates land as version 4
+    // (10 matched keys rewritten + 10 new inserted through ONE commit)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_cli_src").toString + "/inc"
+    spark.range(140, 160).toDF("id").write.parquet(srcDir)
+    val mrg = Cli.run(spark, Array("log-merge", t, srcDir, "id"))
+    assert(mrg == s"""{"cmd":"log-merge","table":"$t","version":4}""", mrg)
+    assert(graft.store.CommitLog.read(spark, t,
+      spark.range(0).toDF("id").schema).count() == 160)
+    // change feed summary since the delete: the merge's retractions and
+    // post-images, per (version × change type), never a data dump
+    val chg = Cli.run(spark, Array("log-changes", t, "3"))
+    assert(chg.contains(""""version":4,"change_type":"delete","n_rows":10"""), chg)
+    assert(chg.contains(""""version":4,"change_type":"insert","n_rows":20"""), chg)
   }
 
   test("query subcommand runs a declared query; unknown name is rejected") {
