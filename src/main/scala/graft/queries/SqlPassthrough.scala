@@ -54,9 +54,46 @@ object SqlPassthrough {
       |      FROM events GROUP BY 1, 2)
       |GROUP BY event_type""".stripMargin
 
+  /** The whole MinHash-LSH near-dup pipeline from RAW SQL: the
+    * registered `graft_minhash_bands` kernel fans each doc into
+    * (band, band_hash) rows via LATERAL VIEW posexplode, the windowed
+    * bucket-size cap guards skew exactly like Dedup.nearDupPairs, and
+    * `graft_shingle_jaccard` verifies candidates — a user can run the
+    * engine's dedup from a SQL prompt. The oracle is the SAME DuckDB
+    * replay that binds the DataFrame form (`dedup_minhash_lsh`), so
+    * the two surfaces are pinned pair-for-pair identical. */
+  val MinhashPairsSql: String =
+    s"""WITH corpus AS (
+       |  ${DedupQueries.nearDupCorpusSql}),
+       |bands AS (
+       |  SELECT doc_id, band, bh
+       |  FROM corpus
+       |  LATERAL VIEW posexplode(graft_minhash_bands(text, 2, 12, 4)) t AS band, bh),
+       |sized AS (
+       |  SELECT doc_id, band, bh, count(*) OVER (PARTITION BY band, bh) AS bsz
+       |  FROM bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sized a JOIN sized b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |  WHERE a.bsz <= 64 AND b.bsz <= 64),
+       |pairs AS (
+       |  SELECT id_a, id_b, graft_shingle_jaccard(ca.text, cb.text, 2) AS jaccard
+       |  FROM cand JOIN corpus ca ON ca.doc_id = cand.id_a
+       |            JOIN corpus cb ON cb.doc_id = cand.id_b)
+       |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.6""".stripMargin
+
+  private val minhashPairsOracle: String =
+    s"""WITH corpus AS (
+       |  ${DedupQueries.nearDupCorpusSql}),
+       |${OracleSnippets.minhashLshPairsCte}
+       |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.6""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("sql_region_revenue", RegionRevenueSql)((s, dir) => run(s, dir, RegionRevenueSql)),
     Q("sql_part_stats", TopPartsSql)((s, dir) => run(s, dir, TopPartsSql)),
     Q("sql_hll_distinct", EventQueries.hllOracleSql)(
-      (s, dir) => run(s, dir, HllDistinctSql)))
+      (s, dir) => run(s, dir, HllDistinctSql)),
+    Q("sql_minhash_pairs", minhashPairsOracle)(
+      (s, dir) => run(s, dir, MinhashPairsSql)))
 }
