@@ -389,7 +389,16 @@ object CommitLog {
   /** Snapshot read of the live file set (empty frame with `schema` for
     * a table with no commits); `asOf` reads the table as of an earlier
     * committed version — vacuumed versions are gone, matching every
-    * log-structured table format's retention contract. */
+    * log-structured table format's retention contract.
+    *
+    * SCHEMA EVOLUTION rides the requested `schema`: columns absent
+    * from older files read as null (add-column), and files written
+    * with NARROWER physical types read value-exact under a widened
+    * request — int→long, float→double (Spark 4's parquet readers
+    * perform the upcast per file; the Delta type-widening shape).
+    * Row-level operations (deleteWhere/merge) run through the same
+    * reads, so they operate uniformly over mixed file generations —
+    * LoggedStoreSpec pins both evolutions under both publishers. */
   def read(spark: SparkSession, tablePath: String, schema: StructType,
       asOf: Long = Long.MaxValue): DataFrame = {
     val (_, files) = liveFiles(spark, tablePath, asOf)

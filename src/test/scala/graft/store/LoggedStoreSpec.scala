@@ -93,6 +93,36 @@ abstract class LoggedStoreBehavior(publisher: AtomicPublisher) extends SparkSpec
     assert(CommitLog.read(spark, t, evolved, asOf = 1L).filter("tag IS NULL").count() == 10)
   }
 
+  test("type-widening schema evolution: int→long / float→double across file generations") {
+    import spark.implicits._
+    val t = freshTable()
+    // v1 lands NARROW physical types (int32 / float); later appends
+    // write the widened types — the Delta type-widening shape
+    append(Seq((1, 1.5f), (2, 2.5f)).toDF("id", "score"), t)           // int, float
+    append(Seq((3L, 3.5d), (4L, 9e40)).toDF("id", "score"), t)         // long, double
+    val widened = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType)))
+    val rows = CommitLog.read(spark, t, widened)
+      .as[(Long, Double)].collect().toMap
+    assert(rows == Map(1L -> 1.5d, 2L -> 2.5d, 3L -> 3.5d, 4L -> 9e40),
+      "pre-widening files must read value-exact under the widened schema")
+    // aggregation over the mixed generations is exact (a lossy read
+    // would show up here)
+    assert(CommitLog.read(spark, t, widened).agg(sum("id")).head.getLong(0) == 10L)
+    // time travel applies the widened schema to the narrow history
+    assert(CommitLog.read(spark, t, widened, asOf = 1L)
+      .as[(Long, Double)].collect().toSet == Set((1L, 1.5d), (2L, 2.5d)))
+    // row-level operations run through the widened schema over mixed
+    // files: a keyed merge matching a NARROW-file row rewrites it
+    CommitLog.merge(spark, t, widened,
+      Seq((2L, 20.0d), (5L, 50.0d)).toDF("id", "score"), Seq("id"), publisher)
+    val merged = CommitLog.read(spark, t, widened).as[(Long, Double)].collect().toMap
+    assert(merged == Map(1L -> 1.5d, 2L -> 20.0d, 3L -> 3.5d, 4L -> 9e40, 5L -> 50.0d))
+  }
+
   test("change feed: per-commit inserts tagged with version; rewrites feed nothing") {
     val t = freshTable()
     // bootstrap from zero: the feed from 0 IS the table
