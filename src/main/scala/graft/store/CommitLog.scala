@@ -414,7 +414,8 @@ object CommitLog {
     * no lock: a crash leaves only invisible orphans for vacuum(). */
   def compact(spark: SparkSession, tablePath: String, targetBytes: Long,
       clusterBy: Option[String] = None,
-      publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
+      publisher: AtomicPublisher = RenameOrLinkPublisher,
+      writeOptions: Map[String, String] = Map.empty): Long = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
@@ -427,9 +428,12 @@ object CommitLog {
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
     // same layout semantics as the unlogged compactor: plain, range-
     // clustered, or "a,b" z-order (ZOrder.layout) — compaction doubling
-    // as the logged table's clustered index
+    // as the logged table's clustered index. writeOptions carries the
+    // parquet bloom-filter knobs through the rewrite: a bloom-indexed
+    // table must not silently LOSE its point-lookup index to
+    // maintenance (the pruneByFooterStats probe path reads them)
     ZOrder.layout(spark.read.parquet(paths: _*), nOut, clusterBy)
-      .write.parquet(staging.toString)
+      .write.options(writeOptions).parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     // commit() validates `files` against the live set and throws on a
     // concurrent rewrite — never a silent table doubling

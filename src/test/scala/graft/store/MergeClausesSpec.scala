@@ -254,6 +254,24 @@ class MergePruneSpec extends SparkSpec {
     assert(rows == 1L, "pruning kept the wrong file")
   }
 
+  test("compaction carries bloom filters through the rewrite") {
+    val t = freshTable()
+    val bloomOpts = Map(
+      "parquet.bloom.filter.enabled#id" -> "true",
+      "parquet.bloom.filter.expected.ndv#id" -> "1000")
+    CommitLog.append((0L until 1000L).map(i => (i, "x")).toDF("id", "v")
+      .coalesce(1), t, writeOptions = bloomOpts)
+    CommitLog.append((1000L until 2000L).map(i => (i, "x")).toDF("id", "v")
+      .coalesce(1), t, writeOptions = bloomOpts)
+    CommitLog.compact(spark, t, targetBytes = Long.MaxValue,
+      clusterBy = Some("id"), writeOptions = bloomOpts)
+    val live = CommitLog.liveFiles(spark, t)._2
+    val withBloom = Bloom.bloomColumns(spark, t)
+      .collect { case (f, "id") if live.contains(f) => f }.toSet
+    assert(live.toSet == withBloom,
+      s"compaction dropped bloom filters: live=$live bloomed=$withBloom")
+  }
+
   test("uncertainty keeps files: no stats column, empty source, multi-column keys") {
     val t = freshTable()
     CommitLog.append((0L until 100L).map(i => (i, "x")).toDF("id", "v").coalesce(1), t)
