@@ -77,6 +77,19 @@ object CommitLog {
     * visible atomically with the publish rename. */
   def liveFiles(spark: SparkSession, tablePath: String,
       asOf: Long = Long.MaxValue): (Long, Seq[String]) = {
+    val (v, withStats) = liveFilesWithStats(spark, tablePath, asOf)
+    (v, withStats.map(_._1))
+  }
+
+  /** [[liveFiles]] plus each live file's LOG-CARRIED column statistics
+    * (the optional `|{json}` suffix its add line recorded at write
+    * time — Delta's stats-in-add-action pattern): file name → raw
+    * stats JSON, None for files committed without stats. Checkpoints
+    * carry the suffixes, so stats survive pruneLog like the ledgers
+    * do. Consumers: the merge/delete match probe skips files from the
+    * LOG instead of paying one footer read per live file. */
+  private[store] def liveFilesWithStats(spark: SparkSession, tablePath: String,
+      asOf: Long = Long.MaxValue): (Long, Seq[(String, Option[String])]) = {
     val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
     val fs = fsOf(spark, log)
     if (!fs.exists(log)) return (0L, Seq.empty)
@@ -88,10 +101,16 @@ object CommitLog {
       }
     }.sortBy(_._1).lastOption
     val base = ckpt.map(_._1).getOrElse(0L)
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, Option[String]]
+    def addLine(line: String): Unit = {
+      val body = line.drop(1)
+      val bar = body.indexOf('|')
+      if (bar < 0) { live(body) = None; () }
+      else { live(body.substring(0, bar)) = Some(body.substring(bar + 1)); () }
+    }
     ckpt.foreach { case (_, p) =>
       readLines(fs, p).foreach { line =>
-        if (line.startsWith("+")) { live += line.drop(1); () }
+        if (line.startsWith("+")) addLine(line)
         else if (line.startsWith("#")) () // carried ledger tags (#txn=/#consumed=)
         else throw new IllegalStateException(s"corrupt checkpoint line in $p: $line")
       }
@@ -105,7 +124,7 @@ object CommitLog {
     }.sortBy(_._1)
     commits.foreach { case (_, p) =>
       readLines(fs, p).foreach { line =>
-        if (line.startsWith("+")) { live += line.drop(1); () }
+        if (line.startsWith("+")) addLine(line)
         else if (line.startsWith("-")) { live -= line.drop(1); () }
         else if (line.startsWith("#")) () // operation header (e.g. #op=delete)
         else if (line.startsWith("~")) () // change (CDC) file — never part of the live set
@@ -161,9 +180,11 @@ object CommitLog {
       adds: Seq[String], removes: Seq[String] = Seq.empty,
       publisher: AtomicPublisher = RenameOrLinkPublisher,
       opTag: Option[String] = None,
-      changeAdds: Seq[String] = Seq.empty): Long =
+      changeAdds: Seq[String] = Seq.empty,
+      addStats: Map[String, String] = Map.empty): Long =
     commitOrAbort(spark, tablePath, adds, removes, publisher, opTag,
-      abortOnLostRace = () => false, changeAdds = changeAdds)
+      abortOnLostRace = () => false, changeAdds = changeAdds,
+      addStats = addStats)
       .getOrElse(throw new IllegalStateException("unreachable: non-aborting commit"))
 
   /** commit() with a fencing hook: `abortOnLostRace` is re-evaluated
@@ -182,10 +203,13 @@ object CommitLog {
       adds: Seq[String], removes: Seq[String],
       publisher: AtomicPublisher, opTag: Option[String],
       abortOnLostRace: () => Boolean,
-      changeAdds: Seq[String] = Seq.empty): Option[Long] = {
+      changeAdds: Seq[String] = Seq.empty,
+      addStats: Map[String, String] = Map.empty): Option[Long] = {
     require(adds.nonEmpty || removes.nonEmpty, "empty commit")
     require(opTag.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
       s"malformed opTag: $opTag")
+    require(addStats.values.forall(s => !s.exists(c => c == '\n' || c == '\r')),
+      "stats JSON must be newline-free (one add per line)")
     val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
     val fs = fsOf(spark, log)
     fs.mkdirs(log)
@@ -195,9 +219,14 @@ object CommitLog {
     // meaning. `~name` lines are CDC (change-data) files the operation
     // materialized at write time — never in the live set, read only by
     // changesSince, vacuum-protected while this commit file survives.
+    // An add line optionally carries the file's column statistics as a
+    // `|{json}` suffix (Delta's stats-in-add-action pattern) — replay
+    // strips it, checkpoints carry it, the match probe prunes from it.
+    // Removes are always bare names.
     val content = (opTag.map("#op=" + _).toSeq ++
       changeAdds.map("~" + _) ++
-      adds.map("+" + _) ++ removes.map("-" + _)).mkString("\n")
+      adds.map(a => "+" + a + addStats.get(a).map("|" + _).getOrElse("")) ++
+      removes.map("-" + _)).mkString("\n")
     var attempts = 0
     while (attempts < 10000) {
       if (attempts > 0 && abortOnLostRace()) return None
@@ -239,14 +268,18 @@ object CommitLog {
         // loser still writes identical bytes.
         if (next % CheckpointInterval == 0) {
           try {
-            val snap = liveFiles(spark, tablePath, asOf = next)._2
+            // the snapshot carries each file's stats suffix alongside
+            // the ledger tags, so neither survives only in prunable
+            // commit files
+            val snap = liveFilesWithStats(spark, tablePath, asOf = next)._2
             val (txn, consumed) = ledgerTags(fs, log, upTo = next)
             val headers =
               txn.toSeq.sortBy(_._1).map { case (q, b) => s"#txn=$q:$b" } ++
                 (if (consumed > 0L) Seq(s"#consumed=$consumed") else Seq.empty)
             publisher.publish(fs, log,
               new org.apache.hadoop.fs.Path(log, f"$next%020d.checkpoint"),
-              (headers ++ snap.map("+" + _)).mkString("\n"))
+              (headers ++ snap.map { case (n, st) =>
+                "+" + n + st.map("|" + _).getOrElse("") }).mkString("\n"))
             ()
           } catch { case scala.util.control.NonFatal(_) => () }
         }
@@ -308,6 +341,98 @@ object CommitLog {
   private val TxnTagRe = "txn=([^:\\s]+):(-?[0-9]+)".r
   private val ConsumedTagRe = "consumed=([0-9]+)".r
 
+  /** Column statistics of a just-landed parquet file as a one-line
+    * JSON object `{"col":[min,max],…}` — NUMERIC top-level columns
+    * only (strings would need Delta's truncate-and-successor encoding;
+    * numeric keys are what the match probe prunes on). Values are
+    * aggregated across row groups from the footer the writer just
+    * produced — one footer read per NEW file at WRITE time, so reads
+    * and probes never pay per-live-file footer I/O (the Delta
+    * stats-in-add-action pattern). None when nothing is statable or
+    * the footer is unreadable (stats are an optimization, never a
+    * correctness input). */
+  private[store] def footerStatsJson(
+      conf: org.apache.hadoop.conf.Configuration,
+      p: org.apache.hadoop.fs.Path): Option[String] = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        if (blocks.isEmpty) return None
+        // col → (min, max) folded across every row group; a column is
+        // dropped the moment ANY row group lacks usable stats
+        var acc = Map.empty[String, (Any, Any)]
+        var dead = Set.empty[String]
+        def fold(name: String, mn: Any, mx: Any): Unit = {
+          acc.get(name) match {
+            case None => acc += name -> ((mn, mx))
+            case Some((m0, m1)) =>
+              val lo = if (numCmp(mn, m0).exists(_ < 0)) mn else m0
+              val hi = if (numCmp(mx, m1).exists(_ > 0)) mx else m1
+              acc += name -> ((lo, hi))
+          }
+        }
+        blocks.foreach { b =>
+          b.getColumns.asScala.foreach { c =>
+            val name = c.getPath.toDotString
+            if (!name.contains('.') && !dead(name)) {
+              val st = c.getStatistics
+              val ok = st != null && st.hasNonNullValue
+              val v: Option[(Any, Any)] =
+                if (!ok) None
+                else (st.genericGetMin(), st.genericGetMax()) match {
+                  case (mn: java.lang.Number, mx: java.lang.Number)
+                      if statableNumber(mn) && statableNumber(mx) => Some((mn, mx))
+                  case _ => None // strings/binary/NaN: footer fallback territory
+                }
+              v match {
+                case Some((mn, mx)) => fold(name, mn, mx)
+                case None => dead += name; acc -= name
+              }
+            }
+          }
+        }
+        if (acc.isEmpty) None
+        else Some(acc.toSeq.sortBy(_._1).map { case (n, (mn, mx)) =>
+          "\"" + n + "\":[" + mn + "," + mx + "]"
+        }.mkString("{", ",", "}"))
+      } finally reader.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Numeric, finite, and JSON-emittable (quote-free column name is
+    * checked by the caller via toDotString's shape). */
+  private def statableNumber(n: java.lang.Number): Boolean = n match {
+    case d: java.lang.Double => !d.isNaN && !d.isInfinite
+    case f: java.lang.Float => !f.isNaN && !f.isInfinite
+    case _: java.lang.Long | _: java.lang.Integer => true
+    case _ => false
+  }
+
+  /** Exact numeric comparison across Int/Long/Float/Double boxes —
+    * BigDecimal of the decimal rendering, so 2^63-scale longs never
+    * lose precision to a double round trip. None = not numbers. */
+  private[store] def numCmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      try Some(BigDecimal(x.toString).compare(BigDecimal(y.toString)))
+      catch { case _: NumberFormatException => None } // NaN/Infinity boxes
+    case _ => None
+  }
+
+  /** Parse a `footerStatsJson` line back to col → (min, max); numbers
+    * come back as Long when integral, Double otherwise. Malformed
+    * input parses to empty (keep-on-uncertainty). */
+  private[store] def parseStatsJson(json: String): Map[String, (Any, Any)] =
+    StatsEntryRe.findAllMatchIn(json).map { m =>
+      def num(s: String): Any =
+        if (s.exists(c => c == '.' || c == 'e' || c == 'E')) s.toDouble else s.toLong
+      m.group(1) -> ((num(m.group(2)), num(m.group(3))))
+    }.toMap
+  private val StatsEntryRe =
+    """"([^"]+)":\[([^,\]]+),([^\]]+)\]""".r
+
   /** Land a staged parquet write's part files in the table directory
     * under writer-unique names (still uncommitted — invisible until
     * the caller's commit references them). The ONE landing protocol
@@ -325,6 +450,17 @@ object CommitLog {
     }.toSeq
     fs.delete(staging, true)
     names
+  }
+
+  /** Log-carried stats for freshly landed data files: one footer read
+    * per NEW file, at the only moment that read is amortized (the
+    * writer that just produced it). Every landing site feeds this to
+    * its commit so the probe side never re-reads footers. */
+  private[store] def statsFor(spark: SparkSession, tablePath: String,
+      names: Seq[String]): Map[String, String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    names.flatMap(n => footerStatsJson(conf,
+      new org.apache.hadoop.fs.Path(s"$tablePath/$n")).map(n -> _)).toMap
   }
 
   /** Writer ids embed the WALL-CLOCK ms at staging start (plus pid and
@@ -364,7 +500,8 @@ object CommitLog {
     // pruneByFooterStats' point-lookup path
     df.write.options(writeOptions).parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
-    commit(spark, tablePath, adds = names, publisher = publisher, opTag = opTag)
+    commit(spark, tablePath, adds = names, publisher = publisher, opTag = opTag,
+      addStats = statsFor(spark, tablePath, names))
   }
 
   /** [[append]] with the zombie-fencing hook of [[commitOrAbort]]:
@@ -383,7 +520,8 @@ object CommitLog {
     df.write.parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     commitOrAbort(spark, tablePath, adds = names, removes = Seq.empty,
-      publisher = publisher, opTag = opTag, abortOnLostRace = abortOnLostRace)
+      publisher = publisher, opTag = opTag, abortOnLostRace = abortOnLostRace,
+      addStats = statsFor(spark, tablePath, names))
   }
 
   /** Snapshot read of the live file set (empty frame with `schema` for
@@ -437,7 +575,8 @@ object CommitLog {
     val names = landStaged(fs, dir, staging, writerId)
     // commit() validates `files` against the live set and throws on a
     // concurrent rewrite — never a silent table doubling
-    commit(spark, tablePath, adds = names, removes = files, publisher = publisher)
+    commit(spark, tablePath, adds = names, removes = files, publisher = publisher,
+      addStats = statsFor(spark, tablePath, names))
   }
 
   /** Highest batch id a streaming query has committed into this table,
@@ -551,7 +690,8 @@ object CommitLog {
       affectedDf.filter(predicate)
         .withColumn(ChangeTypeCol, lit("delete")))
     commit(spark, tablePath, adds = names, removes = affected,
-      publisher = publisher, opTag = Some("delete"), changeAdds = cdcNames)
+      publisher = publisher, opTag = Some("delete"), changeAdds = cdcNames,
+      addStats = statsFor(spark, tablePath, names))
   }
 
   /** Column name the change feed uses to label each fed row's kind
@@ -656,19 +796,25 @@ object CommitLog {
     * Missing stats, unsupported types, multi-column uncertainty, or
     * any footer read failure ⇒ the file is KEPT (pruning is an
     * optimization, never a correctness input; LoggedStoreSpec pins the
-    * merge result identical with pruning on). Driver cost: one footer
-    * read per candidate file — file-count-sized, the same order as the
-    * landStaged/commit bookkeeping. (The log-carried-stats evolution —
-    * Delta's stats-in-commit JSON — would amortize even that; footer
-    * reads keep the log format unchanged.)
+    * merge result identical with pruning on).
     *
     * `alwaysAll` short-circuits to the full set — callers whose
     * operation must visit unmatched rows too (a by-source delete
-    * clause) cannot prune by source keys. */
+    * clause) cannot prune by source keys.
+    *
+    * `logStats` (file name → the `|{json}` stats its add line carried,
+    * from [[liveFilesWithStats]]) is the ZERO-I/O fast path: a file
+    * whose LOG stats cover every key column is ruled in or out from
+    * the log alone — the footer is opened only for bloom probing of
+    * range-surviving files, or for files committed without stats
+    * (pre-stats tables). At 100k live files that is the difference
+    * between a driver-side metadata pass and 100k footer opens per
+    * merge. */
   private[store] val BloomProbeMaxKeys = 10000
   private[store] def pruneByFooterStats(spark: SparkSession, tablePath: String,
       files: Seq[String], keyCols: Seq[String], src: DataFrame,
-      alwaysAll: Boolean = false): Seq[String] = {
+      alwaysAll: Boolean = false,
+      logStats: Map[String, String] = Map.empty): Seq[String] = {
     import org.apache.spark.sql.functions.{col, max, min}
     if (alwaysAll || files.isEmpty) return files
     val conf = spark.sparkContext.hadoopConfiguration
@@ -703,7 +849,25 @@ object CommitLog {
       case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
       case other => other
     }
-    files.filter { name =>
+    // footer-free decision from the log-carried stats: Some(false) =
+    // provably match-free (skip), Some(true) = possible AND no bloom
+    // probe wanted (keep), None = footer needed
+    def fromLog(name: String): Option[Boolean] =
+      logStats.get(name).map(parseStatsJson) match {
+        case Some(stats) if keyCols.forall(stats.contains) =>
+          val possible = keyCols.zipWithIndex.forall { case (k, i) =>
+            val (lo, hi) = stats(k)
+            (numCmp(srcMax(i), lo), numCmp(srcMin(i), hi)) match {
+              case (Some(a), Some(b)) => a >= 0 && b <= 0
+              case _ => true // incomparable: not evidence
+            }
+          }
+          if (!possible) Some(false)
+          else if (probeKeys.isEmpty) Some(true)
+          else None // range passes but a bloom probe could still skip
+        case _ => None
+      }
+    def footerCheck(name: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(s"$tablePath/$name")
       try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
@@ -756,6 +920,7 @@ object CommitLog {
         } finally reader.close()
       } catch { case scala.util.control.NonFatal(_) => true } // unreadable footer: keep
     }
+    files.filter(name => fromLog(name).getOrElse(footerCheck(name)))
   }
 
   /** The shared copy-on-write core of merge and keyed incremental-view
@@ -773,18 +938,21 @@ object CommitLog {
     import org.apache.spark.sql.functions.{col, lit}
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
-    val (version, files) = liveFiles(spark, tablePath)
+    val (version, filesWithStats) = liveFilesWithStats(spark, tablePath)
+    val files = filesWithStats.map(_._1)
     val keyD = deleteKeys.select(keyCols.map(col): _*).distinct()
     val cols = schema.fieldNames.map(col).toSeq
     val app = appendDf.select(cols: _*)
-    // footer-stats skipping first: files whose min/max (and, for small
-    // single-column key sets, bloom filters) prove no key can match
+    // stats-based skipping first: files whose LOG-carried min/max (or,
+    // fallback, footer min/max + bloom filters) prove no key can match
     // never enter the probe scan — on a clustered table an
     // increment-shaped merge probes only the files its key range lands
-    // in (MergePruneSpec pins fewer-files-than-live-set)
+    // in (MergePruneSpec pins fewer-files-than-live-set and the
+    // footer-free log path)
     val candidates =
       if (files.isEmpty) Seq.empty
-      else pruneByFooterStats(spark, tablePath, files, keyCols, keyD)
+      else pruneByFooterStats(spark, tablePath, files, keyCols, keyD,
+        logStats = filesWithStats.collect { case (n, Some(s)) => n -> s }.toMap)
     val affected: Seq[String] =
       if (candidates.isEmpty) Seq.empty
       else spark.read.schema(schema).parquet(candidates.map(f => s"$tablePath/$f"): _*)
@@ -812,7 +980,7 @@ object CommitLog {
         .unionByName(app.withColumn(ChangeTypeCol, lit("insert"))))
     commitOrAbort(spark, tablePath, adds = names, removes = affected,
       publisher = publisher, opTag = opTag, abortOnLostRace = abortOnLostRace,
-      changeAdds = cdcNames)
+      changeAdds = cdcNames, addStats = statsFor(spark, tablePath, names))
   }
 
   /** The table's commit history as a DataFrame — the DESCRIBE HISTORY
@@ -930,7 +1098,8 @@ object CommitLog {
             s"commit (version $v, op=${tag.get}) that carries no change " +
             "files: re-bootstrap from a snapshot read() past it")
       else if (removing) Seq.empty
-      else lines.filter(_.startsWith("+")).map(l => (l.drop(1), v, false))
+      else lines.filter(_.startsWith("+"))
+        .map(l => (l.drop(1).takeWhile(_ != '|'), v, false)) // bare name: strip stats
     }
     val fileToVersion: Seq[(String, Long)] = fed.map { case (f, v, _) => (f, v) }
     if (fileToVersion.isEmpty) return empty

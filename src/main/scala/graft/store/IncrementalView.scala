@@ -152,6 +152,7 @@ object IncrementalView {
     snapshot.write.parquet(staging.toString)
     val names = CommitLog.landStaged(fs, dir, staging, writerId)
     CommitLog.commit(spark, viewTable, adds = names, removes = old,
-      publisher = publisher, opTag = Some(s"$TagPrefix$srcVersion"))
+      publisher = publisher, opTag = Some(s"$TagPrefix$srcVersion"),
+      addStats = CommitLog.statsFor(spark, viewTable, names))
   }
 }

@@ -99,7 +99,8 @@ final class MergeClauses private (
       "merge with no clauses")
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (version, files) = CommitLog.liveFiles(spark, tablePath)
+    val (version, filesWithStats) = CommitLog.liveFilesWithStats(spark, tablePath)
+    val files = filesWithStats.map(_._1)
     val cols = schema.fieldNames.toSeq
     val nonKey = cols.filterNot(keyCols.contains)
     // single evaluation of the source for every pass below
@@ -123,7 +124,8 @@ final class MergeClauses private (
       else {
         val candidates = CommitLog.pruneByFooterStats(
           spark, tablePath, files, keyCols, src,
-          alwaysAll = bySourceDelete.nonEmpty)
+          alwaysAll = bySourceDelete.nonEmpty,
+          logStats = filesWithStats.collect { case (n, Some(s)) => n -> s }.toMap)
         if (candidates.isEmpty) Seq.empty
         else {
           val withFile = spark.read.schema(schema)
@@ -235,7 +237,8 @@ final class MergeClauses private (
     val cdcNames = CommitLog.landChangeFiles(spark, tablePath,
       preImages.unionByName(postImages).unionByName(insertImages))
     CommitLog.commit(spark, tablePath, adds = names, removes = affected,
-      publisher = publisher, opTag = Some("merge"), changeAdds = cdcNames)
+      publisher = publisher, opTag = Some("merge"), changeAdds = cdcNames,
+      addStats = CommitLog.statsFor(spark, tablePath, names))
   }
 }
 

@@ -254,6 +254,59 @@ class MergePruneSpec extends SparkSpec {
     assert(rows == 1L, "pruning kept the wrong file")
   }
 
+  test("add lines carry column stats; stats survive checkpoints and log pruning") {
+    val t = freshTable()
+    // cross a checkpoint boundary (interval 10) so stats must ride the
+    // snapshot, then prune the commits they were born in
+    (0 until 12).foreach { i =>
+      CommitLog.append(
+        (i * 100L until (i + 1) * 100L).map(j => (j, "x")).toDF("id", "v")
+          .coalesce(1), t)
+    }
+    CommitLog.pruneLog(spark, t)
+    val withStats = CommitLog.liveFilesWithStats(spark, t)._2
+    assert(withStats.nonEmpty && withStats.forall(_._2.isDefined),
+      s"live files lost their log-carried stats after prune: $withStats")
+    // the stats parse back to the id range each file actually holds
+    val first = withStats.map { case (n, s) =>
+      CommitLog.parseStatsJson(s.get)("id") }.minBy(_._1.toString.toLong)
+    assert(first == ((0L, 99L)), s"parsed stats: $first")
+  }
+
+  test("the probe decides from log stats alone — corrupt file bytes are never read") {
+    val t = freshTable()
+    Seq((0L, 1000L), (1000L, 2000L), (2000L, 3000L)).foreach { case (lo, hi) =>
+      CommitLog.append(
+        (lo until hi).map(i => (i, "old")).toDF("id", "v").coalesce(1), t)
+    }
+    val (_, withStats) = CommitLog.liveFilesWithStats(spark, t)
+    assert(withStats.forall(_._2.isDefined))
+    val live = withStats.map(_._1)
+    // DESTROY the two out-of-range files' bytes: a footer-based prune
+    // would now KEEP them (unreadable ⇒ keep-on-uncertainty); the
+    // log-stats path must still rule them out without a read
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = (1100L until 1150L).map(i => (i, "upd")).toDF("id", "v")
+    val inRange = CommitLog.pruneByFooterStats(spark, t, live, Seq("id"),
+      src.select("id"),
+      logStats = withStats.collect { case (n, Some(s)) => n -> s }.toMap)
+    assert(inRange.size == 1)
+    live.filterNot(inRange.contains).foreach { n =>
+      fs.create(new org.apache.hadoop.fs.Path(t, n), true).close() // truncate to 0
+    }
+    val again = CommitLog.pruneByFooterStats(spark, t, live, Seq("id"),
+      src.select("id"),
+      logStats = withStats.collect { case (n, Some(s)) => n -> s }.toMap)
+    assert(again == inRange,
+      "pruning consulted file bytes despite complete log stats")
+    // WITHOUT log stats the same call keeps the unreadable files —
+    // proving the fast path above really was footer-free
+    val fallback = CommitLog.pruneByFooterStats(spark, t, live, Seq("id"),
+      src.select("id"))
+    assert(fallback.size == 3, s"expected keep-on-unreadable, got $fallback")
+  }
+
   test("compaction carries bloom filters through the rewrite") {
     val t = freshTable()
     val bloomOpts = Map(
