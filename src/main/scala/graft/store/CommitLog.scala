@@ -940,7 +940,12 @@ object CommitLog {
     val fs = fsOf(spark, dir)
     val (version, filesWithStats) = liveFilesWithStats(spark, tablePath)
     val files = filesWithStats.map(_._1)
+    // the key set drives five jobs (stats envelope, bloom key collect,
+    // affected-file probe, the anti-join rewrite, the CDC semi-join) —
+    // materialize it once, increment-sized (the merge-source
+    // single-evaluation discipline, applied to the keys)
     val keyD = deleteKeys.select(keyCols.map(col): _*).distinct()
+      .localCheckpoint(true)
     val cols = schema.fieldNames.map(col).toSeq
     val app = appendDf.select(cols: _*)
     // stats-based skipping first: files whose LOG-carried min/max (or,

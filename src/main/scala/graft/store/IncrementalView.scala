@@ -118,8 +118,12 @@ object IncrementalView {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col("_commit_version").desc, when(ct === "insert", 0).otherwise(1))
+    // the net-change frame feeds the touched-key set, the transformed
+    // inserts AND the keyed rewrite's internal jobs — one evaluation
+    // (eager localCheckpoint), increment-sized by construction
     val last = feed.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
+      .localCheckpoint(true)
     // touched keys come from the RAW feed (not the transform): an
     // update whose post-image the transform filters OUT must still
     // retract the pre-image the view holds
