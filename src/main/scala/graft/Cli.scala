@@ -185,8 +185,12 @@ object Cli {
     case "log-history" :: table :: Nil =>
       val rows = graft.store.CommitLog.history(spark, table)
         .collect() // log-sized by construction (one row per commit file)
-        .map(r => s"""{"version":${r.getLong(0)},"operation":"${r.getString(1)}",""" +
-          s""""n_added":${r.getLong(2)},"n_removed":${r.getLong(3)}}""")
+        .map { r =>
+          val ts = if (r.isNullAt(4)) "null" else r.getLong(4).toString
+          s"""{"version":${r.getLong(0)},"operation":"${r.getString(1)}",""" +
+            s""""n_added":${r.getLong(2)},"n_removed":${r.getLong(3)},""" +
+            s""""commit_ts_ms":$ts}"""
+        }
       s"""{"cmd":"log-history","table":"$table","commits":[${rows.mkString(",")}]}"""
 
     case "log-delete" :: table :: predicate :: Nil =>

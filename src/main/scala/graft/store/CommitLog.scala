@@ -222,8 +222,10 @@ object CommitLog {
     // An add line optionally carries the file's column statistics as a
     // `|{json}` suffix (Delta's stats-in-add-action pattern) — replay
     // strips it, checkpoints carry it, the match probe prunes from it.
-    // Removes are always bare names.
-    val content = (opTag.map("#op=" + _).toSeq ++
+    // Removes are always bare names. The `#ts=` header (added per
+    // attempt, see below) is the IN-COMMIT timestamp.
+    def contentFor(tsMs: Long): String = (Seq(s"#ts=$tsMs") ++
+      opTag.map("#op=" + _).toSeq ++
       changeAdds.map("~" + _) ++
       adds.map(a => "+" + a + addStats.get(a).map("|" + _).getOrElse("")) ++
       removes.map("-" + _)).mkString("\n")
@@ -250,8 +252,19 @@ object CommitLog {
                 "re-read the live set and rerun the rewrite")
           v + 1
         } else latestVersion(fs, log) + 1
+      // IN-COMMIT timestamp, clamped monotone against the predecessor
+      // commit (Delta's inCommitTimestamp rule: max(parent + 1, now)) —
+      // storage mod times are one skewed object-store clock away from a
+      // non-monotone history, which would make timestamp travel
+      // ill-defined. The predecessor read is one small content read; a
+      // pruned/absent predecessor clamps against 0 (timestamp travel
+      // below a pruned checkpoint is already refused).
+      val prevTs = commitTsOf(fs,
+        new org.apache.hadoop.fs.Path(log, f"${next - 1}%020d.commit"))
+        .getOrElse(0L)
+      val ts = math.max(prevTs + 1, System.currentTimeMillis())
       val dst = new org.apache.hadoop.fs.Path(log, f"$next%020d.commit")
-      if (publisher.publish(fs, log, dst, content)) {
+      if (publisher.publish(fs, log, dst, contentFor(ts))) {
         // periodic checkpoint so readers replay a bounded commit
         // suffix; WHOLLY best-effort — the commit is already durable,
         // so no failure here (snapshot replay included) may surface to
@@ -340,6 +353,49 @@ object CommitLog {
 
   private val TxnTagRe = "txn=([^:\\s]+):(-?[0-9]+)".r
   private val ConsumedTagRe = "consumed=([0-9]+)".r
+
+  /** The in-commit timestamp a commit file carries (`#ts=<ms>`); None
+    * for a missing file or a pre-timestamp commit. */
+  private def commitTsOf(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!fs.exists(p)) None
+    else readLines(fs, p).collectFirst {
+      case l if l.startsWith("#ts=") => l.drop(4).toLong
+    }
+
+  /** TIME TRAVEL BY TIMESTAMP: the latest version whose in-commit
+    * timestamp is ≤ `tsMs` — `read(…, asOf = versionAtTimestamp(…))`
+    * is the wall-clock form of version travel. In-commit timestamps
+    * are written monotone (commit() clamps against the predecessor),
+    * so the answer is well-defined even under clock skew between
+    * writers. Fails loudly when `tsMs` predates the oldest SURVIVING
+    * timestamped commit (the range lives behind a pruned checkpoint —
+    * same refusal as version travel past pruning) or when the log has
+    * no timestamped commits at all (a pre-timestamp table). Driver
+    * cost: one listing + one small read per surviving commit. */
+  def versionAtTimestamp(spark: SparkSession, tablePath: String,
+      tsMs: Long): Long = {
+    val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
+    val fs = fsOf(spark, log)
+    if (!fs.exists(log))
+      throw new IllegalStateException(s"no commit log at $tablePath")
+    val stamped = fs.listStatus(log).flatMap { st =>
+      st.getPath.getName match {
+        case CommitRe(v) => commitTsOf(fs, st.getPath).map(v.toLong -> _)
+        case _ => None
+      }
+    }.sortBy(_._1)
+    if (stamped.isEmpty)
+      throw new IllegalStateException(
+        s"$tablePath has no timestamped commits — written before in-commit " +
+          "timestamps; travel by version instead")
+    if (tsMs < stamped.head._2)
+      throw new IllegalStateException(
+        s"timestamp $tsMs predates the oldest surviving commit of $tablePath " +
+          s"(version ${stamped.head._1} at ${stamped.head._2}) — earlier " +
+          "history was pruned past a checkpoint")
+    stamped.takeWhile(_._2 <= tsMs).last._1
+  }
 
   /** Column statistics of a just-landed parquet file as a one-line
     * JSON object `{"col":[min,max],…}` — NUMERIC top-level columns
@@ -1002,7 +1058,7 @@ object CommitLog {
     import spark.implicits._
     val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
     val fs = fsOf(spark, log)
-    val rows: Seq[(Long, String, Long, Long)] =
+    val rows: Seq[(Long, String, Long, Long, Option[Long])] =
       if (!fs.exists(log)) Seq.empty
       else fs.listStatus(log).toSeq.sortBy(_.getPath.getName).flatMap { st =>
         val n = st.getPath.getName
@@ -1015,13 +1071,17 @@ object CommitLog {
           val op = lines.collectFirst {
             case l if l.startsWith("#op=") => l.stripPrefix("#op=")
           }.getOrElse(if (removes > 0) "rewrite" else "append")
-          Some((version, op, adds.toLong, removes.toLong))
+          val ts = lines.collectFirst {
+            case l if l.startsWith("#ts=") => l.drop(4).toLong
+          }
+          Some((version, op, adds.toLong, removes.toLong, ts))
         } else if (n.endsWith(".checkpoint")) {
           Some((version, "checkpoint",
-            readLines(fs, st.getPath).count(_.startsWith("+")).toLong, 0L))
+            readLines(fs, st.getPath).count(_.startsWith("+")).toLong, 0L,
+            None: Option[Long]))
         } else None
       }
-    rows.toDF("version", "operation", "n_added", "n_removed")
+    rows.toDF("version", "operation", "n_added", "n_removed", "commit_ts_ms")
   }
 
   /** CDC-style change feed: every row CHANGED by each commit in

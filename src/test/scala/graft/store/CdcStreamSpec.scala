@@ -101,6 +101,40 @@ abstract class CdcStreamBehavior(publisher: AtomicPublisher) extends SparkSpec {
       "post-crash replay produced duplicates or lost rows")
   }
 
+  test("zombie refresh: losing the publish race to a competing driver aborts, never double-applies") {
+    val src = fresh("src")
+    CommitLog.append((0L until 100L).map(i => (i, "a")).toDF("id", "v"), src, publisher)
+    val sink = fresh("sink")
+    // a publisher that, at its first commit attempt, lets a COMPETING
+    // driver consume the same increment first — the LoggedStoreSpec
+    // race-injection pattern. Both refreshes passed the up-front
+    // `since` check; the loser must hit the consumed-ledger fence on
+    // its lost race and abort instead of committing a second copy.
+    val sneaky = new AtomicPublisher {
+      @volatile var injected = false
+      def publish(fs: org.apache.hadoop.fs.FileSystem,
+          log: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path,
+          content: String): Boolean = {
+        if (!injected && dst.getName.endsWith(".commit")) {
+          injected = true
+          IncrementalView.refresh(spark, src, schema, sink, transform,
+            publisher, keyCols = Some(Seq("id")))
+          ()
+        }
+        publisher.publish(fs, log, dst, content)
+      }
+    }
+    val r = IncrementalView.refresh(spark, src, schema, sink, transform,
+      sneaky, keyCols = Some(Seq("id")))
+    assert(r == Some(1L), s"refresh should report the increment consumed: $r")
+    assert(sinkRows(sink) == expected(src),
+      "the zombie's losing refresh double-applied the increment")
+    assert(CommitLog.lastConsumed(spark, sink) == 1L)
+    // the zombie's orphaned staged files reclaim cleanly
+    CommitLog.vacuum(spark, sink, minAgeMs = 0)
+    assert(sinkRows(sink) == expected(src))
+  }
+
   test("a source DELETE with no keyCols stops loudly; rebuild recovers") {
     val src = buildSource()
     val sink = fresh("sink")

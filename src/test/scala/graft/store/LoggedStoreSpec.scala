@@ -93,6 +93,39 @@ abstract class LoggedStoreBehavior(publisher: AtomicPublisher) extends SparkSpec
     assert(CommitLog.read(spark, t, evolved, asOf = 1L).filter("tag IS NULL").count() == 10)
   }
 
+  test("in-commit timestamps: monotone history, timestamp travel resolves versions") {
+    import spark.implicits._
+    val t = freshTable()
+    val v1 = append(spark.range(0, 10).toDF("id"), t)
+    val v2 = append(spark.range(10, 20).toDF("id"), t)
+    val v3 = append(spark.range(20, 30).toDF("id"), t)
+    val ts = CommitLog.history(spark, t)
+      .filter(col("operation") =!= "checkpoint")
+      .select("version", "commit_ts_ms")
+      .as[(Long, Long)].collect().toMap
+    // strictly increasing regardless of writer clock resolution (the
+    // predecessor clamp) — what makes timestamp travel well-defined
+    assert(ts(v1) < ts(v2) && ts(v2) < ts(v3), s"non-monotone: $ts")
+    assert(CommitLog.versionAtTimestamp(spark, t, ts(v2)) == v2)
+    assert(CommitLog.versionAtTimestamp(spark, t, ts(v2) - 1) == v1)
+    assert(CommitLog.versionAtTimestamp(spark, t, System.currentTimeMillis() + 60000) == v3)
+    // the wall-clock form of version travel reads the same snapshot
+    assert(CommitLog.read(spark, t, schema,
+      asOf = CommitLog.versionAtTimestamp(spark, t, ts(v2))).count() == 20)
+    // before recorded history: loud refusal, not a silent empty read
+    val e = intercept[IllegalStateException] {
+      CommitLog.versionAtTimestamp(spark, t, ts(v1) - 1)
+    }
+    assert(e.getMessage.contains("predates"), e.getMessage)
+    // pruning eats the early range: its timestamps refuse loudly too
+    (3 until 12).foreach(i => append(spark.range(i * 10L, i * 10L + 10).toDF("id"), t))
+    CommitLog.pruneLog(spark, t)
+    val e2 = intercept[IllegalStateException] {
+      CommitLog.versionAtTimestamp(spark, t, ts(v1))
+    }
+    assert(e2.getMessage.contains("pruned"), e2.getMessage)
+  }
+
   test("type-widening schema evolution: int→long / float→double across file generations") {
     import spark.implicits._
     val t = freshTable()
@@ -714,6 +747,7 @@ abstract class LoggedStoreBehavior(publisher: AtomicPublisher) extends SparkSpec
     append(spark.range(10, 20).repartition(3).toDF("id"), t)     // v2: 3 adds
     CommitLog.compact(spark, t, targetBytes = 1L << 30, publisher = publisher) // v3
     val h = CommitLog.history(spark, t)
+      .select("version", "operation", "n_added", "n_removed")
       .as[(Long, String, Long, Long)].collect().sortBy(_._1).toList
     assert(h == List(
       (1L, "append", 2L, 0L),
