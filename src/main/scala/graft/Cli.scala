@@ -39,7 +39,10 @@ object Cli {
       |  log-vacuum <tablePath> <minAgeHours>               reclaim unreferenced data files (retention-gated)
       |  log-prune <tablePath> [keepSince]                  drop commit files behind the newest checkpoint
       |  log-merge <tablePath> <sourceParquet> <keyCols>    keyed MERGE upsert (comma-separated key columns)
-      |  log-changes <tablePath> <sinceVersion> [asOf]      change-feed summary: rows per version × change type""".stripMargin
+      |  log-changes <tablePath> <sinceVersion> [asOf]      change-feed summary: rows per version × change type
+      |  log-drain <srcTable> <sinkTable> <keyCols> [maxPerBatch]
+      |                                                     exactly-once incremental replication: drain the
+      |                                                     source's change feed into the sink in micro-batches""".stripMargin
 
   private val defaultStore = "/tmp/graft_store"
 
@@ -231,6 +234,19 @@ object Cli {
           s""""n_rows":${r.getLong(2)}}""")
       s"""{"cmd":"log-changes","table":"$table","since":${since.toLong},""" +
         s""""changes":[${rows.mkString(",")}]}"""
+
+    case "log-drain" :: src :: sink :: keyCols :: rest if rest.size <= 1 =>
+      // exactly-once incremental replication (identity transform): the
+      // consumer checkpoint rides the sink's own commits, so rerunning
+      // this verb only ever applies what landed since — a cron-able
+      // table mirror with no side checkpoint to manage
+      val keys = keyCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val maxPerBatch = rest.headOption.map(_.toLong).getOrElse(10L)
+      val d = graft.store.CdcStream.drainWithBootstrap(spark, src,
+        loggedSchema(spark, src), sink, identity,
+        keyCols = Some(keys), maxVersionsPerBatch = maxPerBatch)
+      s"""{"cmd":"log-drain","src":"$src","sink":"$sink",""" +
+        s""""consumed_through":${d.consumedThrough},"batches":${d.nBatches}}"""
 
     case other =>
       throw new IllegalArgumentException(s"bad args: ${other.mkString(" ")}\n$usage")

@@ -87,4 +87,41 @@ object CdcStream {
     }
     Drained(consumed, batches)
   }
+
+  /** [[drain]] with FRESH-CONSUMER bootstrap: a sink that has consumed
+    * NOTHING yet pointed at a source whose early feed range is gone
+    * (vacuumed files / pruned commits — the retention contract) is not
+    * an error, it is day one — recover by `rebuild` (one atomic
+    * snapshot commit that also re-bases the checkpoint at the current
+    * source version) and drain any tail from there. A sink that HAS
+    * consumed and then fell behind retention keeps the loud failure:
+    * its rows may now be unreconstructible increments, and silently
+    * rebuilding would mask real data loss — the operator chooses
+    * rebuild explicitly. */
+  def drainWithBootstrap(spark: SparkSession, srcTable: String,
+      srcSchema: StructType, sinkTable: String,
+      transform: DataFrame => DataFrame,
+      keyCols: Option[Seq[String]] = None,
+      maxVersionsPerBatch: Long = 10L,
+      publisher: AtomicPublisher = RenameOrLinkPublisher): Drained = {
+    // freshness is judged BEFORE draining: a day-one consumer may
+    // consume a few early batches and then hit the trimmed range —
+    // still day one (rebuild replaces the sink atomically, nothing is
+    // lost), whereas a sink that arrived with history keeps the loud
+    // contract
+    val startedFresh = CommitLog.lastConsumed(spark, sinkTable) == 0L
+    try drain(spark, srcTable, srcSchema, sinkTable, transform, keyCols,
+      maxVersionsPerBatch, publisher)
+    catch {
+      case e: IllegalStateException
+          if e.getMessage != null && e.getMessage.contains("re-bootstrap") &&
+            startedFresh =>
+        IncrementalView.rebuild(spark, srcTable, srcSchema,
+          sinkTable, transform, publisher)
+        val tail = drain(spark, srcTable, srcSchema, sinkTable, transform,
+          keyCols, maxVersionsPerBatch, publisher)
+        Drained(CommitLog.lastConsumed(spark, sinkTable),
+          tail.nBatches + 1) // the bootstrap commit counts as a batch
+    }
+  }
 }

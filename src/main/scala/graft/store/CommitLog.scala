@@ -694,7 +694,8 @@ object CommitLog {
     val names = landStaged(fs, dir, staging, writerId)
     commitOrAbort(spark, tablePath, adds = names, removes = Seq.empty,
       publisher = publisher, opTag = Some(s"txn=$queryId:$batchId"),
-      abortOnLostRace = () => batchId <= lastTxnBatch(spark, tablePath, queryId))
+      abortOnLostRace = () => batchId <= lastTxnBatch(spark, tablePath, queryId),
+      addStats = statsFor(spark, tablePath, names))
   }
 
   /** Row-level delete — the right-to-be-forgotten / retention operation

@@ -105,6 +105,23 @@ class CliSpec extends SparkSpec {
     val chg = Cli.run(spark, Array("log-changes", t, "3"))
     assert(chg.contains(""""version":4,"change_type":"delete","n_rows":10"""), chg)
     assert(chg.contains(""""version":4,"change_type":"insert","n_rows":20"""), chg)
+    // exactly-once incremental replication: the source's early feed
+    // range was vacuumed above, so a FRESH mirror bootstraps from a
+    // snapshot (one atomic commit re-basing the checkpoint), and a
+    // rerun is a proven no-op (the checkpoint rides the sink)
+    val mirror = java.nio.file.Files.createTempDirectory("graft_cli_mirror").toString + "/m"
+    val d1 = Cli.run(spark, Array("log-drain", t, mirror, "id", "1"))
+    assert(d1.contains(""""consumed_through":4,"batches":1"""), d1)
+    assert(graft.store.CommitLog.read(spark, mirror,
+      spark.range(0).toDF("id").schema).count() == 160)
+    val d2 = Cli.run(spark, Array("log-drain", t, mirror, "id"))
+    assert(d2.contains(""""batches":0"""), d2)
+    // new source commits after the bootstrap drain incrementally
+    graft.store.CommitLog.append(spark.range(500, 520).toDF("id"), t)
+    val d3 = Cli.run(spark, Array("log-drain", t, mirror, "id"))
+    assert(d3.contains(""""consumed_through":5,"batches":1"""), d3)
+    assert(graft.store.CommitLog.read(spark, mirror,
+      spark.range(0).toDF("id").schema).count() == 180)
   }
 
   test("query subcommand runs a declared query; unknown name is rejected") {

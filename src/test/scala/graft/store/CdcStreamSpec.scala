@@ -135,6 +135,38 @@ abstract class CdcStreamBehavior(publisher: AtomicPublisher) extends SparkSpec {
     assert(sinkRows(sink) == expected(src))
   }
 
+  test("bootstrap: a FRESH sink on a retention-trimmed source snapshots; a lagging sink stays loud") {
+    val src = fresh("src")
+    CommitLog.append((0L until 100L).map(i => (i, "a")).toDF("id", "v"), src, publisher)
+    CommitLog.deleteWhere(spark, src, schema, col("id") < 10, publisher)
+    CommitLog.vacuum(spark, src, minAgeMs = 0) // v1's originals are gone
+    // fresh sink: day one, not data loss — snapshot bootstrap + tail
+    val sink = fresh("sink")
+    val d = CdcStream.drainWithBootstrap(spark, src, schema, sink, transform,
+      keyCols = Some(Seq("id")), publisher = publisher)
+    assert(d.consumedThrough == 2L && d.nBatches == 1L, d)
+    assert(sinkRows(sink) == expected(src))
+    // a sink that HAS consumed and then fell behind retention must keep
+    // failing loudly — silently rebuilding would mask real feed loss
+    val src2 = fresh("src2")
+    CommitLog.append((0L until 50L).map(i => (i, "a")).toDF("id", "v"), src2, publisher)
+    val sink2 = fresh("sink2")
+    CdcStream.drain(spark, src2, schema, sink2, transform,
+      keyCols = Some(Seq("id")), publisher = publisher)
+    (0 until 11).foreach(i => CommitLog.append(
+      (1000L * (i + 1) until 1000L * (i + 1) + 10).map(j => (j, "b")).toDF("id", "v"),
+      src2, publisher))
+    CommitLog.pruneLog(spark, src2) // commits ≤ checkpoint 10 are gone
+    val e = intercept[IllegalStateException] {
+      CdcStream.drainWithBootstrap(spark, src2, schema, sink2, transform,
+        keyCols = Some(Seq("id")), publisher = publisher)
+    }
+    assert(e.getMessage.contains("re-bootstrap"), e.getMessage)
+    // the operator recovers EXPLICITLY
+    IncrementalView.rebuild(spark, src2, schema, sink2, transform, publisher)
+    assert(sinkRows(sink2) == expected(src2))
+  }
+
   test("a source DELETE with no keyCols stops loudly; rebuild recovers") {
     val src = buildSource()
     val sink = fresh("sink")
