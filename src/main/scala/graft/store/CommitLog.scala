@@ -1018,7 +1018,10 @@ object CommitLog {
     val affected: Seq[String] =
       if (candidates.isEmpty) Seq.empty
       else spark.read.schema(schema).parquet(candidates.map(f => s"$tablePath/$f"): _*)
-        .select((col("_metadata.file_name").as("_kr_file") +: cols): _*)
+        // key columns only: the probe scan must never read payload
+        // bytes (Catalyst would prune anyway; saying it keeps the
+        // contract visible in the plan's ReadSchema)
+        .select((col("_metadata.file_name").as("_kr_file") +: keyCols.map(col)): _*)
         .join(keyD, keyCols, "left_semi")
         .select("_kr_file").distinct().collect().map(_.getString(0)).toSeq
     if (affected.isEmpty) {

@@ -128,9 +128,14 @@ final class MergeClauses private (
           logStats = filesWithStats.collect { case (n, Some(s)) => n -> s }.toMap)
         if (candidates.isEmpty) Seq.empty
         else {
+          // key columns suffice for the matched-file probe; only a
+          // by-source condition needs the full row (its predicate may
+          // reference any target column)
+          val probeCols =
+            if (bySourceDelete.nonEmpty) cols else keyCols
           val withFile = spark.read.schema(schema)
             .parquet(candidates.map(f => s"$tablePath/$f"): _*)
-            .select((col("_metadata.file_name").as("_mc_file") +: cols.map(col)): _*)
+            .select((col("_metadata.file_name").as("_mc_file") +: probeCols.map(col)): _*)
           val matchedFiles = withFile
             .join(srcKeys, keyCols, "left_semi").select("_mc_file")
           val claimed = bySourceDelete match {
