@@ -243,13 +243,27 @@ object Multimodal {
         case Some((ss, se)) =>
           child(ss, se, "stsz") match {
             case None => (0L, 0L)
-            case Some((zs, _)) =>
+            case Some((zs, ze)) =>
               val uniform = u32(zs + 4)
               val count = u32(zs + 8)
+              // a declared count whose explicit table overruns the stsz
+              // box would silently read NEIGHBORING boxes' bytes as
+              // sample sizes — a structural lie, so it raises to the
+              // corrupt-tree path exactly as child() does; likewise a
+              // uniform*count that cannot fit a Long
               val total =
-                if (uniform > 0) uniform * count
-                else (0L until count).foldLeft(0L)((acc, k) =>
-                  acc + u32(zs + 12 + 4 * k.toInt))
+                if (uniform > 0) {
+                  if (count != 0L && uniform > Long.MaxValue / count)
+                    throw new IndexOutOfBoundsException(
+                      s"stsz uniform*count overflows at $zs")
+                  uniform * count
+                } else {
+                  if (zs + 12 + 4L * count > ze)
+                    throw new IndexOutOfBoundsException(
+                      s"truncated stsz table at $zs: $count entries past box end $ze")
+                  (0L until count).foldLeft(0L)((acc, k) =>
+                    acc + u32(zs + 12 + 4 * k.toInt))
+                }
               (count, total)
           }
       }

@@ -113,9 +113,9 @@ object CdcStream {
     try drain(spark, srcTable, srcSchema, sinkTable, transform, keyCols,
       maxVersionsPerBatch, publisher)
     catch {
-      case e: IllegalStateException
-          if e.getMessage != null && e.getMessage.contains("re-bootstrap") &&
-            startedFresh =>
+      // the gap is a TYPE (changesSince's contract), not message text —
+      // a rewording there can no longer silently disable this path
+      case _: FeedGapException if startedFresh =>
         IncrementalView.rebuild(spark, srcTable, srcSchema,
           sinkTable, transform, publisher)
         val tail = drain(spark, srcTable, srcSchema, sinkTable, transform,

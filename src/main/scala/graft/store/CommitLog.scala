@@ -3,6 +3,18 @@ package graft.store
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
+/** The change feed's "this range is gone" failure, as a TYPE: raised by
+  * [[CommitLog.changesSince]] when the requested version range cannot
+  * be replayed — commits pruned past a checkpoint, fed data files
+  * vacuumed, or an unwitnessed rewrite (a tagged removing commit with
+  * no change files) inside the range. Consumers that can recover
+  * (a fresh mirror re-bootstrapping from a snapshot read — see
+  * [[CdcStream.drainWithBootstrap]]) catch THIS type; matching message
+  * text would silently decouple on a rewording. Extends
+  * IllegalStateException so callers with no recovery path keep the
+  * loud-failure contract unchanged. */
+final class FeedGapException(msg: String) extends IllegalStateException(msg)
+
 /** Minimal Delta-style transaction log — the ACID seam Store's
   * docstrings promise for object-store deployments (Store.scala:39-41:
   * the advisory lock FILE is correct on local/HDFS, but multi-writer
@@ -187,18 +199,23 @@ object CommitLog {
       addStats = addStats)
       .getOrElse(throw new IllegalStateException("unreachable: non-aborting commit"))
 
-  /** commit() with a fencing hook: `abortOnLostRace` is re-evaluated
-    * after every LOST publish race, and a true answer abandons the
-    * commit (None; the caller's staged files become vacuum-eligible
-    * orphans). This closes the zombie-writer window an up-front
-    * idempotence check leaves open: two drivers running the same
-    * logical operation can BOTH pass a check taken before the race,
-    * but the loser of the publish race re-checks here and sees the
+  /** commit() with a fencing hook: `abortOnLostRace` is evaluated on
+    * EVERY publish attempt — including the first — and a true answer
+    * abandons the commit (None; the caller's staged files become
+    * vacuum-eligible orphans). This closes the zombie-writer window an
+    * up-front idempotence check leaves open: two drivers running the
+    * same logical operation can BOTH pass a check taken before the
+    * race. A loser of the publish race re-checks here and sees the
     * winner's claim — the Delta pattern of re-validating txn versions
     * inside the optimistic-commit conflict path, generalized to any
-    * caller-supplied predicate. Never invoked on the first attempt:
-    * the caller's own pre-check covers the no-contention path at zero
-    * extra log reads. */
+    * caller-supplied predicate. The first attempt must fence too: a
+    * competitor that fully committed BEFORE this writer's first
+    * publish leaves no race to lose (the publish lands cleanly at
+    * latest + 1), so an attempts>0-only fence would double-apply.
+    * Ordering makes this airtight: `next` is derived BEFORE the fence
+    * runs, so a competitor landing after the fence check collides at
+    * `next` and forces a losing publish, which loops back through the
+    * fence. */
   private[store] def commitOrAbort(spark: SparkSession, tablePath: String,
       adds: Seq[String], removes: Seq[String],
       publisher: AtomicPublisher, opTag: Option[String],
@@ -231,7 +248,6 @@ object CommitLog {
       removes.map("-" + _)).mkString("\n")
     var attempts = 0
     while (attempts < 10000) {
-      if (attempts > 0 && abortOnLostRace()) return None
       // A removing commit must publish at EXACTLY validated-version + 1:
       // validating against one listing and then racing latestVersion()
       // from a SECOND listing is a TOCTOU hole — a rewrite landing
@@ -252,6 +268,11 @@ object CommitLog {
                 "re-read the live set and rerun the rewrite")
           v + 1
         } else latestVersion(fs, log) + 1
+      // fence AFTER deriving `next` (see the contract above): a
+      // competitor committing before this point is visible to the
+      // predicate's ledger read; one committing after collides at
+      // `next` and sends us back around the loop
+      if (abortOnLostRace()) return None
       // IN-COMMIT timestamp, clamped monotone against the predecessor
       // commit (Delta's inCommitTimestamp rule: max(parent + 1, now)) —
       // storage mod times are one skewed object-store clock away from a
@@ -465,6 +486,25 @@ object CommitLog {
     case f: java.lang.Float => !f.isNaN && !f.isInfinite
     case _: java.lang.Long | _: java.lang.Integer => true
     case _ => false
+  }
+
+  /** Compare two strings by their UTF-8 encodings as UNSIGNED bytes —
+    * the ordering parquet uses for BINARY(UTF8) column statistics.
+    * `String.compareTo` (UTF-16 code-unit order) disagrees with it for
+    * supplementary-plane code points (U+10000+ sort BELOW U+E000..FFFF
+    * in UTF-16 but ABOVE them in UTF-8), so stats pruning must never
+    * use it: a wrongly-skipped file is a silently lost merge row. */
+  private[store] def utf8UnsignedCmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
   }
 
   /** Exact numeric comparison across Int/Long/Float/Double boxes —
@@ -891,7 +931,13 @@ object CommitLog {
         if (ks.size > BloomProbeMaxKeys) None else Some(ks)
       }
     // parquet footer values arrive as Binary/primitives; compare in the
-    // key's own ordering, bailing to "keep" on anything unexpected
+    // key's own ordering, bailing to "keep" on anything unexpected.
+    // The Long/Int and Double/Float cross cases serve type-widened
+    // tables whose narrow-generation files carry narrow footer stats.
+    // Strings compare as UNSIGNED UTF-8 bytes — parquet's binary stats
+    // ordering — NOT String.compareTo (UTF-16 code units), which
+    // disagrees for supplementary-plane code points and would let a
+    // non-BMP key wrongly rule out a file that contains a match.
     def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
       case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
       case (x: Int, y: Int) => Some(java.lang.Integer.compare(x, y))
@@ -899,7 +945,9 @@ object CommitLog {
       case (x: Int, y: Long) => Some(java.lang.Long.compare(x.toLong, y))
       case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
       case (x: Float, y: Float) => Some(java.lang.Float.compare(x, y))
-      case (x: String, y: String) => Some(x.compareTo(y))
+      case (x: Double, y: Float) => Some(java.lang.Double.compare(x, y.toDouble))
+      case (x: Float, y: Double) => Some(java.lang.Double.compare(x.toDouble, y))
+      case (x: String, y: String) => Some(utf8UnsignedCmp(x, y))
       case _ => None
     }
     def statValue(v: Any): Any = v match {
@@ -962,13 +1010,32 @@ object CommitLog {
                     .flatMap(r => Option(r.readBloomFilter(cc))))
                 bloom match {
                   case Some(bf) =>
-                    keys.exists {
-                      case v: Long => bf.findHash(bf.hash(v))
-                      case v: Int => bf.findHash(bf.hash(v))
-                      case v: String => bf.findHash(bf.hash(
-                        org.apache.parquet.io.api.Binary.fromString(v)))
-                      case _ => true // unprobeable type: keep
-                    }
+                    // hash in the column's PHYSICAL type, not the key's
+                    // JVM runtime type: under type widening a Long key
+                    // probes a narrow-generation INT32 column, and
+                    // hash(long) vs the filter's hash(int) entries would
+                    // answer "definitely not" for every present key —
+                    // a wrongly-pruned file silently turns a merge
+                    // update into a duplicate insert. A widened key
+                    // OUTSIDE the narrow physical range provably cannot
+                    // live in the file; any other mismatch keeps it.
+                    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+                    val phys = c.get.getPrimitiveType.getPrimitiveTypeName
+                    keys.exists { k => (k, phys) match {
+                      case (v: Long, PrimitiveTypeName.INT64) =>
+                        bf.findHash(bf.hash(v))
+                      case (v: Long, PrimitiveTypeName.INT32) =>
+                        v >= Int.MinValue && v <= Int.MaxValue &&
+                          bf.findHash(bf.hash(v.toInt))
+                      case (v: Int, PrimitiveTypeName.INT32) =>
+                        bf.findHash(bf.hash(v))
+                      case (v: Int, PrimitiveTypeName.INT64) =>
+                        bf.findHash(bf.hash(v.toLong))
+                      case (v: String, PrimitiveTypeName.BINARY) =>
+                        bf.findHash(bf.hash(
+                          org.apache.parquet.io.api.Binary.fromString(v)))
+                      case _ => true // unprobeable type/physical pair: keep
+                    }}
                   case None => true // no filter on this row group: keep
                 }
               case None => true
@@ -1141,7 +1208,7 @@ object CommitLog {
     }.sortBy(_._1)
     val missing = ((sinceVersion + 1) to upper).toSet -- commits.map(_._1).toSet
     if (missing.nonEmpty)
-      throw new IllegalStateException(
+      throw new FeedGapException(
         s"change feed for $tablePath cannot replay version(s) " +
           s"${missing.min}..${missing.max}: commits pruned past a checkpoint — " +
           "re-bootstrap from a snapshot read()")
@@ -1162,7 +1229,7 @@ object CommitLog {
         case l if l.startsWith("#op=") => l.stripPrefix("#op=") }
       if (changeFiles.nonEmpty) changeFiles.map(f => (f, v, true))
       else if (removing && tag.isDefined)
-        throw new IllegalStateException(
+        throw new FeedGapException(
           s"change feed for $tablePath crosses a row-deleting/rewriting " +
             s"commit (version $v, op=${tag.get}) that carries no change " +
             "files: re-bootstrap from a snapshot read() past it")
@@ -1185,7 +1252,7 @@ object CommitLog {
     val vacuumed = fileToVersion.collect {
       case (f, v) if !present(f) => s"$f (version $v)" }
     if (vacuumed.nonEmpty)
-      throw new IllegalStateException(
+      throw new FeedGapException(
         s"change feed for $tablePath references vacuumed data file(s) " +
           s"${vacuumed.take(3).mkString(", ")}… — the consumer fell behind " +
           "the retention window; re-bootstrap from a snapshot read()")

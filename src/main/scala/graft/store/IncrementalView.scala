@@ -82,10 +82,15 @@ object IncrementalView {
     }
     // Zombie fencing for every commit this refresh publishes: two
     // drivers refreshing the same view can both pass the `since` check
-    // above; whichever loses the publish race re-reads the consumed
-    // ledger and aborts instead of double-applying the increment (the
-    // appendOnce pattern, on the consumed= ledger).
-    val fence = () => CommitLog.lastConsumed(spark, viewTable) >= srcVersion
+    // above; the fence re-reads the consumed ledger at publish time
+    // (EVERY attempt, including the first — commitOrAbort's contract)
+    // and aborts on ANY movement since this refresh read it. The
+    // condition must be `!= since`, not `>= srcVersion`: a concurrent
+    // drainer consuming through a LOWER version (a different
+    // maxVersions window, or a `latest` read at an earlier time) has
+    // already applied part of our (since, srcVersion] range — a
+    // >= fence would let us double-apply the overlap.
+    val fence = () => CommitLog.lastConsumed(spark, viewTable) != since
     val feed = CommitLog
       .changesSince(spark, srcTable, since, srcSchema, asOf = srcVersion)
     val ct = col(CommitLog.ChangeTypeCol)
@@ -99,13 +104,15 @@ object IncrementalView {
         col("operation") =!= "checkpoint")
       .limit(1).count() > 0
     if (!hasDeletes) {
-      CommitLog.appendOrAbort(
+      val committed = CommitLog.appendOrAbort(
         transform(feed.drop(meta: _*)), viewTable,
         publisher, opTag = Some(s"$TagPrefix$srcVersion"),
         abortOnLostRace = fence)
-      // an abort means a concurrent refresh already applied this
-      // increment — either way version srcVersion is consumed
-      return Some(srcVersion)
+      // an abort means a concurrent refresh moved the ledger while we
+      // worked — report what IS consumed (possibly less than our
+      // window; the caller's next refresh picks up from there)
+      return Some(if (committed.isDefined) srcVersion
+        else CommitLog.lastConsumed(spark, viewTable))
     }
     val keys = keyCols.getOrElse(throw new IllegalStateException(
       s"increment ($since, $srcVersion] of $srcTable carries DELETE rows and " +
@@ -129,11 +136,13 @@ object IncrementalView {
     // retract the pre-image the view holds
     val touchedKeys = last.select(keys.map(col): _*)
     val netInserts = transform(last.filter(ct === "insert").drop(meta: _*))
-    CommitLog.keyedRewrite(spark, viewTable, netInserts.schema, keys,
+    val committed = CommitLog.keyedRewrite(spark, viewTable,
+      netInserts.schema, keys,
       deleteKeys = touchedKeys, appendDf = netInserts,
       opTag = Some(s"$TagPrefix$srcVersion"), publisher = publisher,
       abortOnLostRace = fence)
-    Some(srcVersion)
+    Some(if (committed.isDefined) srcVersion
+      else CommitLog.lastConsumed(spark, viewTable))
   }
 
   /** Re-bootstrap from a full snapshot read — the recovery path after

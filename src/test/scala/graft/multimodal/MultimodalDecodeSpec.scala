@@ -91,6 +91,27 @@ class MultimodalDecodeSpec extends SparkSpec {
       val corrupt = bytes.clone()
       corrupt(0) = 0x7f.toByte // ftyp size becomes enormous
       assert(Multimodal.decodeVideoHeader(corrupt).isEmpty)
+      // a hostile stsz whose declared sample COUNT overruns its own box
+      // must raise to the corrupt-tree path, never read neighboring
+      // boxes' bytes as sample sizes (the fixtures use the explicit
+      // table form: count sits at tag+12)
+      val stszAt = bytes.indices.find(o => o + 4 <= bytes.length - 4 &&
+        bytes(o) == 's' && bytes(o + 1) == 't' && bytes(o + 2) == 's' &&
+        bytes(o + 3) == 'z').get
+      val lying = bytes.clone()
+      lying(stszAt + 12) = 0x00; lying(stszAt + 13) = 0x7f.toByte
+      lying(stszAt + 14) = 0xff.toByte; lying(stszAt + 15) = 0xff.toByte
+      intercept[IndexOutOfBoundsException](Multimodal.decodeVideoHeader(lying))
+      // ...and the batch path degrades that to the deterministic
+      // fallback instead of throwing
+      val m = Multimodal.decodeVideoBatch(Seq(Multimodal.MediaIn(7L, lying))).head
+      assert(m.brand == "none", s"corrupt stsz must route to the fallback: $m")
+      // uniform-form overflow: sample_size * count past Long.MaxValue
+      // is the same structural lie
+      val over = bytes.clone()
+      (0 until 4).foreach(k => over(stszAt + 8 + k) = 0xff.toByte)  // uniform
+      (0 until 4).foreach(k => over(stszAt + 12 + k) = 0xff.toByte) // count
+      intercept[IndexOutOfBoundsException](Multimodal.decodeVideoHeader(over))
     }
     // non-video bytes route to the deterministic fallback
     val meta = Multimodal.decodeVideoBatch(

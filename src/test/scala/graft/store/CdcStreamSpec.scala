@@ -135,6 +135,70 @@ abstract class CdcStreamBehavior(publisher: AtomicPublisher) extends SparkSpec {
     assert(sinkRows(sink) == expected(src))
   }
 
+  test("fence trips on the FIRST publish attempt: a competitor fully committed before any race") {
+    val src = fresh("src")
+    CommitLog.append((0L until 100L).map(i => (i, "a")).toDF("id", "v"), src, publisher)
+    val sink = fresh("sink")
+    // the competing driver runs to COMPLETION while this refresh is
+    // still building its increment — the loser's first publish then
+    // lands cleanly at latest+1 with NO race to lose, so an
+    // attempts>0-only fence never fires and the increment applies
+    // twice (ADVICE r10). Injection point: the transform, which runs
+    // before this refresh stages anything.
+    @volatile var injected = false
+    val sneakyTransform: DataFrame => DataFrame = { df =>
+      if (!injected) {
+        injected = true
+        IncrementalView.refresh(spark, src, schema, sink, transform,
+          publisher, keyCols = Some(Seq("id")))
+        ()
+      }
+      transform(df)
+    }
+    val r = IncrementalView.refresh(spark, src, schema, sink, sneakyTransform,
+      publisher, keyCols = Some(Seq("id")))
+    assert(r == Some(1L), s"refresh should report the increment consumed: $r")
+    assert(sinkRows(sink) == expected(src),
+      "a competitor committing BEFORE the first publish attempt was double-applied")
+    assert(CommitLog.lastConsumed(spark, sink) == 1L)
+  }
+
+  test("a competitor consuming a SMALLER window aborts the wider refresh — overlap never double-applies") {
+    val src = fresh("src")
+    CommitLog.append((0L until 100L).map(i => (i, "a")).toDF("id", "v"), src, publisher)
+    CommitLog.append((100L until 200L).map(i => (i, "b")).toDF("id", "v"), src, publisher)
+    val sink = fresh("sink")
+    // this refresh targets (0, 2]; the competitor drains only (0, 1]
+    // (a smaller maxVersions window). A `lastConsumed >= srcVersion`
+    // fence sees 1 < 2 and lets the wide refresh commit its FULL
+    // range — double-applying (0, 1]. The fence must abort on ANY
+    // ledger movement since the refresh read it.
+    val sneaky = new AtomicPublisher {
+      @volatile var injected = false
+      def publish(fs: org.apache.hadoop.fs.FileSystem,
+          log: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path,
+          content: String): Boolean = {
+        if (!injected && dst.getName.endsWith(".commit")) {
+          injected = true
+          IncrementalView.refresh(spark, src, schema, sink, transform,
+            publisher, keyCols = Some(Seq("id")), maxVersions = Some(1L))
+          ()
+        }
+        publisher.publish(fs, log, dst, content)
+      }
+    }
+    val r = IncrementalView.refresh(spark, src, schema, sink, transform,
+      sneaky, keyCols = Some(Seq("id")))
+    assert(r == Some(1L),
+      s"the aborted refresh must report the competitor's consumed version: $r")
+    // catch up the remaining window and verify each row applied once
+    val d = CdcStream.drain(spark, src, schema, sink, transform,
+      keyCols = Some(Seq("id")), publisher = publisher)
+    assert(d.consumedThrough == 2L)
+    assert(sinkRows(sink) == expected(src),
+      "the overlapping (0,1] range was applied twice")
+  }
+
   test("bootstrap: a FRESH sink on a retention-trimmed source snapshots; a lagging sink stays loud") {
     val src = fresh("src")
     CommitLog.append((0L until 100L).map(i => (i, "a")).toDF("id", "v"), src, publisher)
@@ -157,7 +221,7 @@ abstract class CdcStreamBehavior(publisher: AtomicPublisher) extends SparkSpec {
       (1000L * (i + 1) until 1000L * (i + 1) + 10).map(j => (j, "b")).toDF("id", "v"),
       src2, publisher))
     CommitLog.pruneLog(spark, src2) // commits ≤ checkpoint 10 are gone
-    val e = intercept[IllegalStateException] {
+    val e = intercept[FeedGapException] {
       CdcStream.drainWithBootstrap(spark, src2, schema, sink2, transform,
         keyCols = Some(Seq("id")), publisher = publisher)
     }

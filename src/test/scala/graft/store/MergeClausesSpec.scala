@@ -343,4 +343,70 @@ class MergePruneSpec extends SparkSpec {
     val src3 = Seq((5000L, 3L)).toDF("a", "b")
     assert(CommitLog.pruneByFooterStats(spark, t2, live2, Seq("a", "b"), src3).isEmpty)
   }
+
+  test("bloom probe hashes in the file's PHYSICAL type: widened Long keys vs INT32 files") {
+    val t = freshTable()
+    val bloomOpts = Map(
+      "parquet.bloom.filter.enabled#id" -> "true",
+      "parquet.bloom.filter.expected.ndv#id" -> "1000")
+    // narrow generation: id lands as INT32 with a bloom filter built
+    // from hash(int) entries
+    CommitLog.append((0 until 100).map(i => (i, "old")).toDF("id", "v")
+      .coalesce(1), t, writeOptions = bloomOpts)
+    assert(Bloom.bloomColumns(spark, t).map(_._2) == Seq("id"),
+      "fixture must carry a bloom filter on id")
+    val widened = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    // probe with LONG keys under the widened schema: hashing the Long
+    // directly against int-hashed filter entries answers "absent" for
+    // every present key and wrongly prunes the file — the merge would
+    // then INSERT a duplicate instead of updating
+    val live = CommitLog.liveFiles(spark, t)._2
+    val kept = CommitLog.pruneByFooterStats(spark, t, live, Seq("id"),
+      Seq((50L, "upd")).toDF("id", "v").select("id"))
+    assert(kept == live, "widened-key bloom probe pruned the matching INT32 file")
+    CommitLog.merge(spark, t, widened,
+      Seq((50L, "upd")).toDF("id", "v"), Seq("id"))
+    val after = CommitLog.read(spark, t, widened)
+      .groupBy("id").count().filter(col("count") > 1).count()
+    assert(after == 0, "merge inserted a duplicate key instead of updating")
+    assert(CommitLog.read(spark, t, widened).filter(col("id") === 50L)
+      .select("v").as[String].collect().toSeq == Seq("upd"))
+    // a widened key OUTSIDE the int range still prunes: an INT32 column
+    // provably cannot hold it (range stats already say so; the bloom
+    // path must agree, not throw)
+    assert(CommitLog.pruneByFooterStats(spark, t, live, Seq("id"),
+      Seq((Int.MaxValue.toLong + 10L, "x")).toDF("id", "v").select("id")).isEmpty)
+  }
+
+  test("string stats compare as UNSIGNED UTF-8 bytes — supplementary-plane keys never skip a match") {
+    val t = freshTable()
+    // U+1F600 (😀) is ABOVE U+F8FF in UTF-8 unsigned byte order
+    // (F0 9F 98 80 > EF A3 BF) but BELOW it in UTF-16 code-unit order
+    // (surrogate D83D < F8FF) — a compareTo-based range check concludes
+    // src.max < file.min and wrongly skips the file that holds the key
+    val smiley = new String(Character.toChars(0x1F600))
+    val privateUse = "\uF8FF"
+    CommitLog.append(Seq((privateUse, "old"), (smiley, "old"))
+      .toDF("id", "v").coalesce(1), t)
+    val live = CommitLog.liveFiles(spark, t)._2
+    val kept = CommitLog.pruneByFooterStats(spark, t, live, Seq("id"),
+      Seq(smiley).toDF("id"))
+    assert(kept == live,
+      "UTF-16 ordering skipped the file containing the supplementary-plane key")
+    val schema2 = Seq(("a", "b")).toDF("id", "v").schema
+    CommitLog.merge(spark, t, schema2,
+      Seq((smiley, "upd")).toDF("id", "v"), Seq("id"))
+    val rows = CommitLog.read(spark, t, schema2)
+      .as[(String, String)].collect().toMap
+    assert(rows == Map(privateUse -> "old", smiley -> "upd"),
+      s"merge over non-BMP keys lost or duplicated rows: $rows")
+    // and a genuinely-absent key still prunes the file (the unsigned
+    // comparison keeps real skipping power, it does not blanket-keep)
+    assert(CommitLog.pruneByFooterStats(spark, t, live, Seq("id"),
+      Seq("A").toDF("id")).isEmpty)
+  }
 }
