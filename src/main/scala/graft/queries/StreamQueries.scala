@@ -19,6 +19,55 @@ import java.nio.file.Files
   */
 object StreamQueries {
 
+  /** Shared oracle for the two CDC-consumption paths (driver-side
+    * drain and the `graftlog` readStream source): replay the four
+    * source versions relationally — appends, the DELETE, the merge's
+    * net-per-key effect — then the consumer transform and digest. */
+  private def cdcRoundtripOracleSql: String =
+    s"""WITH after_del AS (
+       |  SELECT doc_id, source, text FROM documents WHERE doc_id % 5 <> 2),
+       |src AS (
+       |  SELECT doc_id, source, text || ' v2' AS text
+       |  FROM documents WHERE doc_id % 7 = 3
+       |  UNION ALL
+       |  SELECT doc_id + 900000, source, 'm ' || text
+       |  FROM documents WHERE doc_id < 10),
+       |final AS (
+       |  SELECT * FROM src
+       |  UNION ALL
+       |  SELECT * FROM after_del
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM src))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS content_digest
+       |FROM final WHERE doc_id % 3 <> 0 GROUP BY 1""".stripMargin
+
+  /** Build the 4-version CDC source table the two consumption queries
+    * share: two appends (even/odd doc_id), DELETE doc_id%5==2, then a
+    * merge updating doc_id%7==3 and inserting shifted new keys.
+    * Returns the documents projection whose schema the feed carries. */
+  private def buildCdcSource(s: org.apache.spark.sql.SparkSession, dir: String,
+      srcTable: String, alsoClear: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import graft.store.CommitLog
+    val a = graft.Tables.load(s, dir, "documents")
+      .select("doc_id", "source", "text")
+    val fs = new org.apache.hadoop.fs.Path(srcTable)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    (srcTable +: alsoClear).foreach(t =>
+      fs.delete(new org.apache.hadoop.fs.Path(t), true))
+    CommitLog.append(a.filter(col("doc_id") % 2 === 0), srcTable)
+    CommitLog.append(a.filter(col("doc_id") % 2 === 1), srcTable)
+    CommitLog.deleteWhere(s, srcTable, a.schema, col("doc_id") % 5 === 2)
+    CommitLog.merge(s, srcTable, a.schema,
+      a.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), col("source"),
+          concat(col("text"), lit(" v2")).as("text"))
+        .unionAll(a.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 900000).as("doc_id"), col("source"),
+            concat(lit("m "), col("text")).as("text"))),
+      Seq("doc_id"))
+    a
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── Event-time tumbling window + watermark (extension flagship) ────
@@ -215,42 +264,11 @@ object StreamQueries {
     // oracle replays relationally. ─────────────────────────────────────
     Q(
       "stream_cdc_roundtrip",
-      s"""WITH after_del AS (
-         |  SELECT doc_id, source, text FROM documents WHERE doc_id % 5 <> 2),
-         |src AS (
-         |  SELECT doc_id, source, text || ' v2' AS text
-         |  FROM documents WHERE doc_id % 7 = 3
-         |  UNION ALL
-         |  SELECT doc_id + 900000, source, 'm ' || text
-         |  FROM documents WHERE doc_id < 10),
-         |final AS (
-         |  SELECT * FROM src
-         |  UNION ALL
-         |  SELECT * FROM after_del
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM src))
-         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         |  bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS content_digest
-         |FROM final WHERE doc_id % 3 <> 0 GROUP BY 1""".stripMargin) { (s, dir) =>
+      cdcRoundtripOracleSql) { (s, dir) =>
       import graft.store.{CdcStream, CommitLog}
-      val a = graft.Tables.load(s, dir, "documents")
-        .select("doc_id", "source", "text")
       val srcTable = "/tmp/graft_state/cdc_rt_src"
       val sinkTable = "/tmp/graft_state/cdc_rt_sink"
-      val fs = new org.apache.hadoop.fs.Path(srcTable)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      Seq(srcTable, sinkTable).foreach(t =>
-        fs.delete(new org.apache.hadoop.fs.Path(t), true))
-      CommitLog.append(a.filter(col("doc_id") % 2 === 0), srcTable)
-      CommitLog.append(a.filter(col("doc_id") % 2 === 1), srcTable)
-      CommitLog.deleteWhere(s, srcTable, a.schema, col("doc_id") % 5 === 2)
-      CommitLog.merge(s, srcTable, a.schema,
-        a.filter(col("doc_id") % 7 === 3)
-          .select(col("doc_id"), col("source"),
-            concat(col("text"), lit(" v2")).as("text"))
-          .unionAll(a.filter(col("doc_id") < 10)
-            .select((col("doc_id") + 900000).as("doc_id"), col("source"),
-              concat(lit("m "), col("text")).as("text"))),
-        Seq("doc_id"))
+      val a = buildCdcSource(s, dir, srcTable, alsoClear = Seq(sinkTable))
       val transform = (df: org.apache.spark.sql.DataFrame) =>
         df.filter(col("doc_id") % 3 =!= 0)
       // crash after the second micro-batch's durable commit, restart
@@ -263,6 +281,55 @@ object StreamQueries {
         if e.getMessage.startsWith("injected") => () }
       CdcStream.drain(s, srcTable, a.schema, sinkTable, transform,
         keyCols = Some(Seq("doc_id")), maxVersionsPerBatch = 1L)
+      CommitLog.read(s, sinkTable, a.schema)
+        .withColumn("h", graft.core.Hashing.rowDigest(col("doc_id"), col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
+    },
+
+    // ── The SAME round trip through the STANDARD streaming API: the
+    // change feed consumed via spark.readStream.format("graftlog")
+    // (offsets = commit versions in Spark's own checkpoint, one
+    // version per micro-batch), landed exactly-once through the txn=
+    // ledger (applyChangesOnce), with a crash injected AFTER batch 2's
+    // sink commit but BEFORE Spark's offset commit — the restart
+    // replays that batch from Spark's checkpoint and the ledger fences
+    // the duplicate. Shared oracle with stream_cdc_roundtrip: both
+    // consumers must converge to the identical relational replay. ──────
+    Q(
+      "stream_cdc_dsv2",
+      cdcRoundtripOracleSql) { (s, dir) =>
+      import graft.store.{CdcStream, CommitLog}
+      val srcTable = "/tmp/graft_state/cdc_dsv2_src"
+      val sinkTable = "/tmp/graft_state/cdc_dsv2_sink"
+      val a = buildCdcSource(s, dir, srcTable, alsoClear = Seq(sinkTable))
+      val transform = (df: org.apache.spark.sql.DataFrame) =>
+        df.filter(col("doc_id") % 3 =!= 0)
+      val ckpt = Files.createTempDirectory("graft_ckpt_dsv2").toString
+      def run(boomAt: Long): Unit = {
+        val q = s.readStream.format("graftlog")
+          .schema(a.schema)
+          .option("maxVersionsPerTrigger", 1L)
+          .load(srcTable)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             batchId: Long) =>
+              CdcStream.applyChangesOnce(s, sinkTable, a.schema,
+                Seq("doc_id"), batch.toDF(), "cdcdsv2", batchId, transform)
+              if (batchId == boomAt)
+                throw new RuntimeException("injected post-commit crash")
+              ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+      try run(boomAt = 2L)
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException
+        if e.getMessage.contains("injected") => () }
+      run(boomAt = -1L)
       CommitLog.read(s, sinkTable, a.schema)
         .withColumn("h", graft.core.Hashing.rowDigest(col("doc_id"), col("text")))
         .groupBy("source")

@@ -1,0 +1,160 @@
+package graft.sources
+
+import graft.store.CommitLog
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.graft.StreamingShim
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** The logged table as a STANDARD Spark streaming source:
+  * `spark.readStream.format("graftlog").load(tablePath)` — the
+  * composability layer `CdcStream`'s driver-side drain deliberately
+  * defers (CdcStream.scala scope note): any Spark sink now consumes
+  * the change feed — `foreachBatch`, console, memory, files — with
+  * Spark's own checkpoint tracking offsets.
+  *
+  * Semantics:
+  *  - OFFSETS are commit versions (`LongOffset(v)`); a batch
+  *    (start, end] is exactly `CommitLog.changesSince(start, asOf =
+  *    end)` — inserts from appends, insert+delete pairs from
+  *    merge/delete commits, compactions feed nothing. Rows carry
+  *    `_change_type` and `_commit_version` alongside the data columns
+  *    (the Delta CDF streaming shape).
+  *  - DELIVERY is at-least-once to arbitrary sinks (Spark commits its
+  *    offset log AFTER the sink's side effects); exactly-once is
+  *    preserved when the sink lands each batch through the logged
+  *    table's txn= ledger — `CommitLog.appendOnce` for append-only
+  *    consumption, [[graft.store.CdcStream.applyChangesOnce]] for
+  *    keyed feeds with deletes.
+  *  - RATE LIMITING + AvailableNow ride the admission-control seam
+  *    (the FileStreamSource pattern): the source implements
+  *    `SupportsAdmissionControl`, so Spark hands each
+  *    `latestOffset(start, limit)` call the PREVIOUS batch's end —
+  *    no source-side offset state to lose across restarts — and
+  *    `maxVersionsPerTrigger` bounds the window.
+  *    `SupportsTriggerAvailableNow` snapshots the drain goal at query
+  *    start, so `Trigger.AvailableNow` drains the whole backlog in
+  *    bounded batches and stops.
+  *  - `startingVersion` (default 0) skips history: 0 replays the
+  *    whole feed (the bootstrap-by-replay path — loud
+  *    FeedGapException if retention already trimmed it).
+  *
+  * At 100 TB the feed is log-shaped, never table-shaped: each batch
+  * reads only the files its version range committed, so a caught-up
+  * consumer does increment-sized work per trigger regardless of table
+  * size. */
+class GraftLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
+  import GraftLogStreamProvider._
+
+  override def shortName(): String = "graftlog"
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val spark = sqlContext.sparkSession
+    (shortName(), feedSchema(dataSchema(spark, pathOf(parameters), schema)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val path = pathOf(parameters)
+    val maxV = opts.get("maxversionspertrigger").map(_.toLong)
+      .getOrElse(Long.MaxValue)
+    require(maxV > 0, s"maxVersionsPerTrigger must be positive: $maxV")
+    val startV = opts.get("startingversion").map(_.toLong).getOrElse(0L)
+    require(startV >= 0, s"startingVersion must be >= 0: $startV")
+    new GraftLogSource(spark, path, dataSchema(spark, path, schema),
+      maxV, startV)
+  }
+}
+
+object GraftLogStreamProvider {
+  private[sources] def pathOf(parameters: Map[String, String]): String =
+    parameters.map { case (k, v) => k.toLowerCase -> v }.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graftlog source needs a table path: .load(\"/path/to/table\")"))
+
+  /** The DATA schema: caller-supplied, or inferred from the newest
+    * live file (one footer read; an empty table cannot self-describe). */
+  private[sources] def dataSchema(spark: SparkSession, tablePath: String,
+      user: Option[StructType]): StructType = user.getOrElse {
+    val (_, files) = CommitLog.liveFiles(spark, tablePath)
+    require(files.nonEmpty,
+      s"cannot infer the schema of empty logged table $tablePath — supply .schema(...)")
+    spark.read.parquet(s"$tablePath/${files.last}").schema
+  }
+
+  /** What the stream delivers: data columns + the CDC metadata pair. */
+  private[sources] def feedSchema(data: StructType): StructType =
+    StructType(data.fields :+
+      StructField(CommitLog.ChangeTypeCol, StringType, nullable = false) :+
+      StructField("_commit_version", LongType, nullable = false))
+}
+
+/** See [[GraftLogStreamProvider]]. Offset bookkeeping lives entirely
+  * in Spark's checkpoint: `latestOffset(start, _)` receives the prior
+  * batch's end, so a restarted query resumes its window with no
+  * source-side state. */
+class GraftLogSource(spark: SparkSession, tablePath: String,
+    dataSchema: StructType, maxVersionsPerTrigger: Long,
+    startingVersion: Long)
+    extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  override val schema: StructType = GraftLogStreamProvider.feedSchema(dataSchema)
+
+  // Trigger.AvailableNow snapshots its drain goal ONCE at query start;
+  // every subsequent window is capped by it, so the query provably
+  // terminates even while writers keep committing.
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(CommitLog.latestVersion(spark, tablePath))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  private def versionOf(o: OffsetV2): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong // SerializedOffset from the checkpoint
+  }
+
+  /** The next batch's end version: previous end (Spark-supplied) plus
+    * at most `maxVersionsPerTrigger`, capped at the table's latest
+    * commit (and the AvailableNow snapshot when one is armed). Null =
+    * nothing to read yet. */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val latestRaw = CommitLog.latestVersion(spark, tablePath)
+    val latest = availableNowCap.fold(latestRaw)(math.min(latestRaw, _))
+    val base = math.max(
+      Option(startOffset).map(versionOf).getOrElse(startingVersion),
+      startingVersion)
+    val window =
+      if (maxVersionsPerTrigger > Long.MaxValue - base) Long.MaxValue
+      else base + maxVersionsPerTrigger
+    val end = math.max(base, math.min(latest, window))
+    if (end <= startingVersion) null else LongOffset(end)
+  }
+
+  /** Unused once `SupportsAdmissionControl` is detected (Spark prefers
+    * `latestOffset`); kept correct for completeness. */
+  override def getOffset: Option[OffsetV1] = {
+    val latest = CommitLog.latestVersion(spark, tablePath)
+    if (latest <= startingVersion) None else Some(LongOffset(latest))
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val since = start.map(o => versionOf(o: OffsetV2)).getOrElse(startingVersion)
+    val until = versionOf(end: OffsetV2)
+    StreamingShim.asStreaming(
+      CommitLog.changesSince(spark, tablePath, since, dataSchema, asOf = until))
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftLogSource[$tablePath]"
+}

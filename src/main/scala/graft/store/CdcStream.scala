@@ -39,14 +39,15 @@ import org.apache.spark.sql.types.StructType
   * names vacuumed files and pruned ranges instead of silently
   * skipping).
   *
-  * Scope note: this is deliberately a DRIVER-SIDE micro-batch loop
-  * over the existing atomic primitives rather than a DataSource-v2
-  * `MicroBatchStream` — the offsets/commit/exactly-once semantics are
-  * identical, but the checkpoint rides the sink's commit log (which a
-  * DSv2 source cannot do: Spark's own checkpoint directory is a
-  * SECOND write domain, reintroducing the dual-write window appendOnce
-  * exists to close). A DSv2 wrapper would add API familiarity, not
-  * correctness.
+  * Scope note: this driver-side loop is the LOGGED-SINK-OPTIMIZED
+  * path — the checkpoint rides the sink's commit log, no second write
+  * domain at all. The standard-API counterpart is
+  * [[graft.sources.GraftLogStreamProvider]]
+  * (`spark.readStream.format("graftlog")`): Spark's checkpoint tracks
+  * offsets (at-least-once to ANY sink), and [[applyChangesOnce]] /
+  * `CommitLog.appendOnce` restore exactly-once when the sink is a
+  * logged table — the replayed batch fences on the sink's txn=
+  * ledger, the same argument this loop makes on consumed=.
   */
 object CdcStream {
 
@@ -86,6 +87,50 @@ object CdcStream {
       }
     }
     Drained(consumed, batches)
+  }
+
+  /** The `foreachBatch` bridge for the DSv1/DSv2 streaming source
+    * ([[graft.sources.GraftLogStreamProvider]]): apply ONE micro-batch
+    * of change-feed rows (data columns + `_change_type` +
+    * `_commit_version`) to a logged sink table EXACTLY-ONCE. Spark's
+    * checkpoint makes delivery at-least-once (a batch that fails after
+    * side effects replays), so the idempotence claim rides the sink's
+    * own commit as a `txn=<queryId>:<batchId>` tag — appendOnce's
+    * argument, extended to keyed rewrites: net-last-change-per-key
+    * within the batch (insert outranks delete at the same version —
+    * a merge's post-image wins), touched keys swap out via the keyed
+    * copy-on-write rewrite, and a replayed or zombie batch finds the
+    * ledger at or past its id and aborts. `transform` follows
+    * IncrementalView's per-row contract: applied to net INSERTS only
+    * (a filtered-out post-image still retracts its pre-image), key
+    * columns carried through unchanged. Returns the sink version won,
+    * or None for a replay skip. */
+  def applyChangesOnce(spark: SparkSession, sinkTable: String,
+      schema: StructType, keyCols: Seq[String], batch: DataFrame,
+      queryId: String, batchId: Long,
+      transform: DataFrame => DataFrame = identity,
+      publisher: AtomicPublisher = RenameOrLinkPublisher): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, row_number, when}
+    require(!queryId.exists(c => c.isWhitespace || c == ':'),
+      s"queryId must be whitespace/colon-free: $queryId")
+    require(keyCols.nonEmpty, "applyChangesOnce needs key columns")
+    if (batchId <= CommitLog.lastTxnBatch(spark, sinkTable, queryId)) return None
+    val ct = col(CommitLog.ChangeTypeCol)
+    val meta = Seq(CommitLog.ChangeTypeCol, "_commit_version")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_commit_version").desc, when(ct === "insert", 0).otherwise(1))
+    val last = batch.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .localCheckpoint(true)
+    val touchedKeys = last.select(keyCols.map(col): _*)
+    val netInserts = transform(last.filter(ct === "insert").drop(meta: _*))
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    CommitLog.keyedRewrite(spark, sinkTable, schema, keyCols,
+      deleteKeys = touchedKeys, appendDf = netInserts,
+      opTag = Some(s"txn=$queryId:$batchId"), publisher = publisher,
+      abortOnLostRace =
+        () => batchId <= CommitLog.lastTxnBatch(spark, sinkTable, queryId))
   }
 
   /** [[drain]] with FRESH-CONSUMER bootstrap: a sink that has consumed

@@ -93,6 +93,14 @@ object CommitLog {
     (v, withStats.map(_._1))
   }
 
+  /** Latest committed version of the table (0 = no commits yet) — one
+    * log-directory listing, no replay; what a streaming source polls
+    * per trigger to see whether anything new landed. */
+  def latestVersion(spark: SparkSession, tablePath: String): Long = {
+    val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
+    latestVersion(fsOf(spark, log), log)
+  }
+
   /** [[liveFiles]] plus each live file's LOG-CARRIED column statistics
     * (the optional `|{json}` suffix its add line recorded at write
     * time — Delta's stats-in-add-action pattern): file name → raw

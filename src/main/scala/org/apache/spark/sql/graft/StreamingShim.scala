@@ -1,0 +1,29 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSession}
+
+/** The one `private[sql]` bridge a V1 streaming Source built outside
+  * Spark's own tree needs: `MicroBatchExecution` asserts that the
+  * DataFrame a `Source.getBatch` returns carries `isStreaming = true`,
+  * and the only way to mint such a frame is
+  * `SparkSession.internalCreateDataFrame(rdd, schema, isStreaming)`,
+  * which is `private[sql]`. Every out-of-tree V1 connector (the
+  * pre-merge Delta source among them) ships exactly this shim: a tiny
+  * object in an `org.apache.spark.sql` subpackage whose ONLY job is to
+  * re-expose that constructor. Nothing else in this repo lives outside
+  * the `graft` namespace, and nothing here touches any other internal.
+  */
+object StreamingShim {
+
+  /** Re-wrap a batch DataFrame as a streaming one: same rows, same
+    * schema, `isStreaming = true` — what `getBatch` must hand back to
+    * the micro-batch executor. The RDD is the batch plan's execution,
+    * so evaluation stays lazy and whole-stage-codegen'd; this adds a
+    * plan node, not a materialization. */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[ClassicSession]
+    val rdd = df.asInstanceOf[ClassicDataset[Row]].queryExecution.toRdd
+    spark.internalCreateDataFrame(rdd, df.schema, isStreaming = true)
+  }
+}
