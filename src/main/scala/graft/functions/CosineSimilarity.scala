@@ -174,8 +174,10 @@ object LshBuckets {
   * `spark.sql.extensions=graft.functions.GraftExtensions`) and an
   * idempotent per-session registrar for sessions built without it. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
+    ext.injectTableFunction(LogTableFunction.descriptor)
+  }
 }
 
 object GraftFunctions {
@@ -266,11 +268,17 @@ object GraftFunctions {
       shingleJaccardDescriptor, lshBucketsDescriptor, shingleStatsDescriptor,
       nfcDescriptor, hllBucketDescriptor, hllRhoDescriptor, hllEstDescriptor)
 
-  /** Idempotent registration into an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotent registration into an existing session — scalar kernels
+    * plus the `graft_log` table-valued function (SQL time travel). */
+  def register(spark: SparkSession): Unit = {
     descriptors.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    LogTableFunction.descriptor match {
+      case (id, info, builder) =>
+        spark.sessionState.tableFunctionRegistry.registerFunction(id, info, builder)
+    }
+  }
 
   /** Column forms; require register(spark) first. */
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)

@@ -89,11 +89,63 @@ object SqlPassthrough {
        |${OracleSnippets.minhashLshPairsCte}
        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.6""".stripMargin
 
+  /** TIME TRAVEL FROM RAW SQL via the `graft_log` table-valued
+    * function: two snapshots of a logged documents mirror — version 2
+    * (both appends, pre-delete) and latest (post-DELETE) — queried in
+    * ONE SQL statement. The oracle replays both snapshots relationally
+    * from the `documents` fixture; the digest pins row identity, not
+    * just counts. Spark's md5/conv digest mirrors
+    * OracleSnippets.rowDigestSql exactly (Hashing.rowDigest's SQL
+    * spelling). */
+  private val sparkRowDigest =
+    "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '|', text)), 1, 15), 16, 10) AS BIGINT)"
+
+  private val LogAsofTable = "/tmp/graft_state/sql_log_docs"
+
+  val LogAsofSql: String =
+    s"""SELECT snap, source, n_docs, content_digest FROM (
+       |  SELECT 'pre_delete' AS snap, source,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(bit_xor($sparkRowDigest) AS BIGINT) AS content_digest
+       |  FROM graft_log('$LogAsofTable', 2) GROUP BY source
+       |  UNION ALL
+       |  SELECT 'latest' AS snap, source,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(bit_xor($sparkRowDigest) AS BIGINT) AS content_digest
+       |  FROM graft_log('$LogAsofTable') GROUP BY source)""".stripMargin
+
+  private val logAsofOracle: String =
+    s"""SELECT snap, source, n_docs, content_digest FROM (
+       |  SELECT 'pre_delete' AS snap, source,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS BIGINT)
+       |      AS content_digest
+       |  FROM documents GROUP BY snap, source
+       |  UNION ALL
+       |  SELECT 'latest' AS snap, source,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS BIGINT)
+       |      AS content_digest
+       |  FROM documents WHERE doc_id % 7 <> 0 GROUP BY snap, source)""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("sql_region_revenue", RegionRevenueSql)((s, dir) => run(s, dir, RegionRevenueSql)),
     Q("sql_part_stats", TopPartsSql)((s, dir) => run(s, dir, TopPartsSql)),
     Q("sql_hll_distinct", EventQueries.hllOracleSql)(
       (s, dir) => run(s, dir, HllDistinctSql)),
     Q("sql_minhash_pairs", minhashPairsOracle)(
-      (s, dir) => run(s, dir, MinhashPairsSql)))
+      (s, dir) => run(s, dir, MinhashPairsSql)),
+    Q("sql_log_asof", logAsofOracle) { (s, dir) =>
+      import graft.store.CommitLog
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "source", "text")
+      val fs = new org.apache.hadoop.fs.Path(LogAsofTable)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(LogAsofTable), true)
+      CommitLog.append(docs.filter(col("doc_id") % 2 === 0), LogAsofTable,
+        mergeSchema = true)
+      CommitLog.append(docs.filter(col("doc_id") % 2 === 1), LogAsofTable)
+      CommitLog.deleteWhere(s, LogAsofTable, docs.schema, col("doc_id") % 7 === 0)
+      run(s, dir, LogAsofSql)
+    })
 }

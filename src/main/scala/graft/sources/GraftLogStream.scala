@@ -80,15 +80,19 @@ object GraftLogStreamProvider {
       throw new IllegalArgumentException(
         "graftlog source needs a table path: .load(\"/path/to/table\")"))
 
-  /** The DATA schema: caller-supplied, or inferred from the newest
-    * live file (one footer read; an empty table cannot self-describe). */
+  /** The DATA schema: caller-supplied, else the log's schema ledger
+    * (a mergeSchema writer's record — authoritative over any one
+    * file's narrow generation), else inferred from the newest live
+    * file (one footer read; an empty unstamped table cannot
+    * self-describe). */
   private[sources] def dataSchema(spark: SparkSession, tablePath: String,
-      user: Option[StructType]): StructType = user.getOrElse {
-    val (_, files) = CommitLog.liveFiles(spark, tablePath)
-    require(files.nonEmpty,
-      s"cannot infer the schema of empty logged table $tablePath — supply .schema(...)")
-    spark.read.parquet(s"$tablePath/${files.last}").schema
-  }
+      user: Option[StructType]): StructType =
+    user.orElse(CommitLog.schemaAt(spark, tablePath)).getOrElse {
+      val (_, files) = CommitLog.liveFiles(spark, tablePath)
+      require(files.nonEmpty,
+        s"cannot infer the schema of empty logged table $tablePath — supply .schema(...)")
+      spark.read.parquet(s"$tablePath/${files.last}").schema
+    }
 
   /** What the stream delivers: data columns + the CDC metadata pair. */
   private[sources] def feedSchema(data: StructType): StructType =

@@ -201,10 +201,11 @@ object CommitLog {
       publisher: AtomicPublisher = RenameOrLinkPublisher,
       opTag: Option[String] = None,
       changeAdds: Seq[String] = Seq.empty,
-      addStats: Map[String, String] = Map.empty): Long =
+      addStats: Map[String, String] = Map.empty,
+      schemaJson: Option[String] = None): Long =
     commitOrAbort(spark, tablePath, adds, removes, publisher, opTag,
       abortOnLostRace = () => false, changeAdds = changeAdds,
-      addStats = addStats)
+      addStats = addStats, schemaJson = schemaJson)
       .getOrElse(throw new IllegalStateException("unreachable: non-aborting commit"))
 
   /** commit() with a fencing hook: `abortOnLostRace` is evaluated on
@@ -229,12 +230,15 @@ object CommitLog {
       publisher: AtomicPublisher, opTag: Option[String],
       abortOnLostRace: () => Boolean,
       changeAdds: Seq[String] = Seq.empty,
-      addStats: Map[String, String] = Map.empty): Option[Long] = {
+      addStats: Map[String, String] = Map.empty,
+      schemaJson: Option[String] = None): Option[Long] = {
     require(adds.nonEmpty || removes.nonEmpty, "empty commit")
     require(opTag.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
       s"malformed opTag: $opTag")
     require(addStats.values.forall(s => !s.exists(c => c == '\n' || c == '\r')),
       "stats JSON must be newline-free (one add per line)")
+    require(schemaJson.forall(s => !s.exists(c => c == '\n' || c == '\r')),
+      "schema JSON must be newline-free (one header line)")
     val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
     val fs = fsOf(spark, log)
     fs.mkdirs(log)
@@ -251,6 +255,7 @@ object CommitLog {
     // attempt, see below) is the IN-COMMIT timestamp.
     def contentFor(tsMs: Long): String = (Seq(s"#ts=$tsMs") ++
       opTag.map("#op=" + _).toSeq ++
+      schemaJson.map("#schema=" + _).toSeq ++
       changeAdds.map("~" + _) ++
       adds.map(a => "+" + a + addStats.get(a).map("|" + _).getOrElse("")) ++
       removes.map("-" + _)).mkString("\n")
@@ -314,10 +319,11 @@ object CommitLog {
             // the ledger tags, so neither survives only in prunable
             // commit files
             val snap = liveFilesWithStats(spark, tablePath, asOf = next)._2
-            val (txn, consumed) = ledgerTags(fs, log, upTo = next)
+            val (txn, consumed, schemaTag) = ledgerTags(fs, log, upTo = next)
             val headers =
               txn.toSeq.sortBy(_._1).map { case (q, b) => s"#txn=$q:$b" } ++
-                (if (consumed > 0L) Seq(s"#consumed=$consumed") else Seq.empty)
+                (if (consumed > 0L) Seq(s"#consumed=$consumed") else Seq.empty) ++
+                schemaTag.map("#schema=" + _).toSeq
             publisher.publish(fs, log,
               new org.apache.hadoop.fs.Path(log, f"$next%020d.checkpoint"),
               (headers ++ snap.map { case (n, st) =>
@@ -347,8 +353,8 @@ object CommitLog {
     * read + one small read per post-checkpoint commit. */
   private def ledgerTags(fs: org.apache.hadoop.fs.FileSystem,
       log: org.apache.hadoop.fs.Path,
-      upTo: Long = Long.MaxValue): (Map[String, Long], Long) = {
-    if (!fs.exists(log)) return (Map.empty, 0L)
+      upTo: Long = Long.MaxValue): (Map[String, Long], Long, Option[String]) = {
+    if (!fs.exists(log)) return (Map.empty, 0L, None)
     val entries = fs.listStatus(log)
     val ckpt = entries.flatMap { st =>
       st.getPath.getName match {
@@ -359,25 +365,38 @@ object CommitLog {
     val base = ckpt.map(_._1).getOrElse(0L)
     var txn = Map.empty[String, Long]
     var consumed = 0L
+    // the SCHEMA ledger: newest `#schema=` header at or below `upTo`
+    // wins (version-ordered, not fold-ordered — an evolution at v7
+    // outranks the bootstrap header a checkpoint at v10 carries only
+    // if the checkpoint predates it, so track the version explicitly)
+    var schemaV = -1L
+    var schema: Option[String] = None
+    def foldSchema(v: Long, json: String): Unit =
+      if (v > schemaV) { schemaV = v; schema = Some(json) }
     def fold(tag: String): Unit = tag match {
       case TxnTagRe(q, b) =>
         txn = txn.updated(q, math.max(b.toLong, txn.getOrElse(q, -1L)))
       case ConsumedTagRe(v) => consumed = math.max(consumed, v.toLong)
       case _ => ()
     }
-    ckpt.foreach { case (_, p) =>
-      readLines(fs, p).foreach { l => if (l.startsWith("#")) fold(l.drop(1)) }
+    ckpt.foreach { case (v, p) =>
+      readLines(fs, p).foreach { l =>
+        if (l.startsWith("#schema=")) foldSchema(v, l.stripPrefix("#schema="))
+        else if (l.startsWith("#")) fold(l.drop(1))
+      }
     }
     entries.foreach { st =>
       st.getPath.getName match {
         case CommitRe(v) if v.toLong > base && v.toLong <= upTo =>
           readLines(fs, st.getPath).foreach { l =>
             if (l.startsWith("#op=")) fold(l.stripPrefix("#op="))
+            else if (l.startsWith("#schema="))
+              foldSchema(v.toLong, l.stripPrefix("#schema="))
           }
         case _ => ()
       }
     }
-    (txn, consumed)
+    (txn, consumed, schema)
   }
 
   private val TxnTagRe = "txn=([^:\\s]+):(-?[0-9]+)".r
@@ -592,10 +611,24 @@ object CommitLog {
   def append(df: DataFrame, tablePath: String,
       publisher: AtomicPublisher = RenameOrLinkPublisher,
       opTag: Option[String] = None,
-      writeOptions: Map[String, String] = Map.empty): Long = {
+      writeOptions: Map[String, String] = Map.empty,
+      mergeSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
+    // WRITE-PATH schema evolution (Delta's mergeSchema): widen/extend
+    // the schema LEDGER in the same commit as the data — the evolved
+    // `#schema=` header and the new files publish atomically, so a
+    // reader consulting schemaAt never sees files the recorded schema
+    // cannot describe. Existing files are untouched: add-column reads
+    // null-fill, widened reads upcast per file (the read contract).
+    val evolved: Option[String] =
+      if (!mergeSchema) None
+      else {
+        val cur = schemaAt(spark, tablePath)
+        val next = cur.fold(df.schema)(evolveSchema(_, df.schema))
+        if (cur.exists(sameShape(_, next))) None else Some(next.json)
+      }
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
     // writeOptions: parquet writer knobs per append — the bloom-filter
@@ -605,7 +638,7 @@ object CommitLog {
     df.write.options(writeOptions).parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     commit(spark, tablePath, adds = names, publisher = publisher, opTag = opTag,
-      addStats = statsFor(spark, tablePath, names))
+      addStats = statsFor(spark, tablePath, names), schemaJson = evolved)
   }
 
   /** [[append]] with the zombie-fencing hook of [[commitOrAbort]]:
@@ -615,7 +648,8 @@ object CommitLog {
     * the way appendOnce rides the txn= ledger. */
   private[store] def appendOrAbort(df: DataFrame, tablePath: String,
       publisher: AtomicPublisher, opTag: Option[String],
-      abortOnLostRace: () => Boolean): Option[Long] = {
+      abortOnLostRace: () => Boolean,
+      schemaJson: Option[String] = None): Option[Long] = {
     val spark = df.sparkSession
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
@@ -625,7 +659,7 @@ object CommitLog {
     val names = landStaged(fs, dir, staging, writerId)
     commitOrAbort(spark, tablePath, adds = names, removes = Seq.empty,
       publisher = publisher, opTag = opTag, abortOnLostRace = abortOnLostRace,
-      addStats = statsFor(spark, tablePath, names))
+      addStats = statsFor(spark, tablePath, names), schemaJson = schemaJson)
   }
 
   /** Snapshot read of the live file set (empty frame with `schema` for
@@ -704,6 +738,59 @@ object CommitLog {
     val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
     ledgerTags(fsOf(spark, log), log)._2
   }
+
+  /** The logged table schema effective at `asOf` (latest by default):
+    * the newest `#schema=` commit header at or below that version,
+    * checkpoint-carried like the idempotence ledgers so it survives
+    * pruneLog. None for a table no evolving writer has stamped —
+    * schema-on-read (the caller-supplied StructType) remains the base
+    * contract; the schema LEDGER is what `mergeSchema` writers evolve
+    * and historical readers consult ("what shape was this table at
+    * version 7?"). */
+  def schemaAt(spark: SparkSession, tablePath: String,
+      asOf: Long = Long.MaxValue): Option[StructType] = {
+    val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
+    ledgerTags(fsOf(spark, log), log, upTo = asOf)._3
+      .map(org.apache.spark.sql.types.DataType.fromJson(_).asInstanceOf[StructType])
+  }
+
+  /** Widen/extend `current` with `incoming` — the `mergeSchema` rule:
+    * new source columns append (nullable: old files read them as
+    * null), int→long and float→double widen (old files read
+    * value-exact under the wider type — the read path's type-widening
+    * contract), a source column NARROWER than the table keeps the
+    * table's type, and any other type change is refused loudly
+    * (silent coercion is how a corpus loses data). Field order is the
+    * table's, then additions in source order. */
+  private[store] def evolveSchema(current: StructType,
+      incoming: StructType): StructType = {
+    import org.apache.spark.sql.types._
+    val byName = incoming.fields.map(f => f.name -> f).toMap
+    val updated = current.fields.map { f =>
+      byName.get(f.name) match {
+        case None => f
+        case Some(src) => (f.dataType, src.dataType) match {
+          case (a, b) if a == b => f
+          case (IntegerType, LongType) => f.copy(dataType = LongType)
+          case (FloatType, DoubleType) => f.copy(dataType = DoubleType)
+          case (LongType, IntegerType) | (DoubleType, FloatType) => f
+          case (a, b) => throw new IllegalArgumentException(
+            s"cannot evolve column ${f.name}: $a -> $b is not a supported " +
+              "widening (int->long, float->double, or add-column only)")
+        }
+      }
+    }
+    val have = current.fieldNames.toSet
+    val added = incoming.fields.filterNot(f => have(f.name))
+      .map(_.copy(nullable = true))
+    StructType(updated ++ added)
+  }
+
+  /** Same (name, type) surface, ignoring nullability/metadata — the
+    * "did the schema actually change" test the ledger writes key on. */
+  private def sameShape(a: StructType, b: StructType): Boolean =
+    a.fields.map(f => (f.name, f.dataType)).toSeq ==
+      b.fields.map(f => (f.name, f.dataType)).toSeq
 
   /** Exactly-once streaming sink append — the foreachBatch bridge from
     * Structured Streaming into a logged table: micro-batch delivery is
@@ -853,17 +940,33 @@ object CommitLog {
     * work plus the rewrite of matched files, never a table rescan. */
   def merge(spark: SparkSession, tablePath: String, schema: StructType,
       source: DataFrame, keyCols: Seq[String],
-      publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
+      publisher: AtomicPublisher = RenameOrLinkPublisher,
+      mergeSchema: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{col, lit}
     require(keyCols.nonEmpty, "merge needs at least one key column")
-    keyCols.foreach(k => require(schema.fieldNames.contains(k),
-      s"merge key $k not in table schema ${schema.fieldNames.mkString(",")}"))
+    // WRITE-PATH evolution on merge: the operating schema widens to
+    // cover the source's new/widened columns, old files' matched rows
+    // rewrite under it (absent columns null-fill, narrow columns
+    // upcast), and the evolved `#schema=` header rides the SAME commit
+    // as the rewrite. The source must still carry every table column —
+    // merge is a full-row upsert; partial-column sources use the
+    // clause surface (MergeClauses).
+    val opSchema =
+      if (!mergeSchema) schema
+      else evolveSchema(schemaAt(spark, tablePath).getOrElse(schema),
+        source.schema)
+    val schemaTag =
+      if (!mergeSchema) None
+      else if (schemaAt(spark, tablePath).exists(sameShape(_, opSchema))) None
+      else Some(opSchema.json)
+    keyCols.foreach(k => require(opSchema.fieldNames.contains(k),
+      s"merge key $k not in table schema ${opSchema.fieldNames.mkString(",")}"))
     // One evaluation for the whole operation: merge reads the source
     // four times (duplicate probe, match scan, data write, CDC write) —
     // without this a caller handing an expensive or non-deterministic
     // frame re-runs it per consumer, and the non-deterministic case
     // could commit data and CDC that disagree.
-    val src = source.select(schema.fieldNames.map(col).toSeq: _*)
+    val src = source.select(opSchema.fieldNames.map(col).toSeq: _*)
       .localCheckpoint(true)
     val dup = src.groupBy(keyCols.map(col): _*)
       .count().filter(col("count") > 1).limit(1).collect()
@@ -872,9 +975,9 @@ object CommitLog {
         s"merge source has duplicate key(s), e.g. ${dup.head.toSeq.init.mkString(",")} — " +
           "which duplicate wins is undefined; dedupe the source first")
     if (src.isEmpty) return liveFiles(spark, tablePath)._1 // empty merge: no-op
-    keyedRewrite(spark, tablePath, schema, keyCols,
+    keyedRewrite(spark, tablePath, opSchema, keyCols,
       deleteKeys = src, appendDf = src, opTag = Some("merge"),
-      publisher = publisher)
+      publisher = publisher, schemaJson = schemaTag)
       .getOrElse(throw new IllegalStateException("unreachable: unfenced merge"))
   }
 
@@ -890,13 +993,19 @@ object CommitLog {
     *     range-clustered table an increment-shaped merge prunes to the
     *     files its key range actually lands in — the point of
     *     maintaining the clustered layout (compact(clusterBy)).
-    *  2. BLOOM PROBE — for a single-column key with a small distinct
-    *     set (≤ [[BloomProbeMaxKeys]], collected driver-side), each
-    *     surviving file's per-row-group bloom filters (Bloom.
-    *     writeWithBloomFilters wrote them) are probed with every key;
-    *     a file whose every row group carries a filter and answers
-    *     "definitely not" for every key is skipped — the point-lookup
+    *  2. BLOOM PROBE — for each key COLUMN with a small distinct
+    *     value set (≤ [[BloomProbeMaxKeys]], collected driver-side),
+    *     each surviving file's per-row-group bloom filters (Bloom.
+    *     writeWithBloomFilters wrote them) are probed with every
+    *     value; a row group is ruled out when ANY probed column's
+    *     filter answers "definitely not" for EVERY value of that
+    *     column (a matching row needs all key columns to match, so one
+    *     impossible column kills the conjunction), and a file whose
+    *     every row group is ruled out is skipped — the point-lookup
     *     complement min/max cannot serve on an unclustered key.
+    *     Compound keys probe each column independently and intersect
+    *     the verdicts; a column with too many distinct values simply
+    *     abstains.
     *
     * Missing stats, unsupported types, multi-column uncertainty, or
     * any footer read failure ⇒ the file is KEPT (pruning is an
@@ -930,14 +1039,15 @@ object CommitLog {
     val srcMin = keyCols.map(k => env.getAs[Any](s"_mn_$k"))
     val srcMax = keyCols.map(k => env.getAs[Any](s"_mx_$k"))
     if (srcMin.exists(_ == null)) return files // empty/null-keyed source: no evidence
-    // small single-column key sets additionally enable bloom probing
-    val probeKeys: Option[Seq[Any]] =
-      if (keyCols.size != 1) None
-      else {
-        val ks = src.select(col(keyCols.head)).distinct()
-          .limit(BloomProbeMaxKeys + 1).collect().map(_.get(0)).toSeq
-        if (ks.size > BloomProbeMaxKeys) None else Some(ks)
-      }
+    // small per-column distinct sets additionally enable bloom
+    // probing — each key column independently (compound keys
+    // intersect verdicts); a column whose distinct set exceeds the
+    // bound abstains rather than disabling the others
+    val probeKeys: Map[String, Seq[Any]] = keyCols.flatMap { k =>
+      val ks = src.select(col(k)).distinct()
+        .limit(BloomProbeMaxKeys + 1).collect().map(_.get(0)).toSeq
+      if (ks.size > BloomProbeMaxKeys) None else Some(k -> ks)
+    }.toMap
     // parquet footer values arrive as Binary/primitives; compare in the
     // key's own ordering, bailing to "keep" on anything unexpected.
     // The Long/Int and Double/Float cross cases serve type-widened
@@ -1009,44 +1119,45 @@ object CommitLog {
                 case None => true // column not in footer: keep
               }
             }
+            // bloom conjunction: a matching row needs EVERY key column
+            // to match, so one column whose filter rules out every
+            // source value rules out the row group
             if (!rangePossible) false
-            else probeKeys match {
-              case Some(keys) =>
-                val c = byName.get(keyCols.head)
-                val bloom = c.flatMap(cc =>
-                  Option(reader.getBloomFilterDataReader(block))
-                    .flatMap(r => Option(r.readBloomFilter(cc))))
-                bloom match {
-                  case Some(bf) =>
-                    // hash in the column's PHYSICAL type, not the key's
-                    // JVM runtime type: under type widening a Long key
-                    // probes a narrow-generation INT32 column, and
-                    // hash(long) vs the filter's hash(int) entries would
-                    // answer "definitely not" for every present key —
-                    // a wrongly-pruned file silently turns a merge
-                    // update into a duplicate insert. A widened key
-                    // OUTSIDE the narrow physical range provably cannot
-                    // live in the file; any other mismatch keeps it.
-                    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-                    val phys = c.get.getPrimitiveType.getPrimitiveTypeName
-                    keys.exists { k => (k, phys) match {
-                      case (v: Long, PrimitiveTypeName.INT64) =>
-                        bf.findHash(bf.hash(v))
-                      case (v: Long, PrimitiveTypeName.INT32) =>
-                        v >= Int.MinValue && v <= Int.MaxValue &&
-                          bf.findHash(bf.hash(v.toInt))
-                      case (v: Int, PrimitiveTypeName.INT32) =>
-                        bf.findHash(bf.hash(v))
-                      case (v: Int, PrimitiveTypeName.INT64) =>
-                        bf.findHash(bf.hash(v.toLong))
-                      case (v: String, PrimitiveTypeName.BINARY) =>
-                        bf.findHash(bf.hash(
-                          org.apache.parquet.io.api.Binary.fromString(v)))
-                      case _ => true // unprobeable type/physical pair: keep
-                    }}
-                  case None => true // no filter on this row group: keep
-                }
-              case None => true
+            else probeKeys.forall { case (keyCol, keys) =>
+              val c = byName.get(keyCol)
+              val bloom = c.flatMap(cc =>
+                Option(reader.getBloomFilterDataReader(block))
+                  .flatMap(r => Option(r.readBloomFilter(cc))))
+              bloom match {
+                case Some(bf) =>
+                  // hash in the column's PHYSICAL type, not the key's
+                  // JVM runtime type: under type widening a Long key
+                  // probes a narrow-generation INT32 column, and
+                  // hash(long) vs the filter's hash(int) entries would
+                  // answer "definitely not" for every present key —
+                  // a wrongly-pruned file silently turns a merge
+                  // update into a duplicate insert. A widened key
+                  // OUTSIDE the narrow physical range provably cannot
+                  // live in the file; any other mismatch keeps it.
+                  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+                  val phys = c.get.getPrimitiveType.getPrimitiveTypeName
+                  keys.exists { k => (k, phys) match {
+                    case (v: Long, PrimitiveTypeName.INT64) =>
+                      bf.findHash(bf.hash(v))
+                    case (v: Long, PrimitiveTypeName.INT32) =>
+                      v >= Int.MinValue && v <= Int.MaxValue &&
+                        bf.findHash(bf.hash(v.toInt))
+                    case (v: Int, PrimitiveTypeName.INT32) =>
+                      bf.findHash(bf.hash(v))
+                    case (v: Int, PrimitiveTypeName.INT64) =>
+                      bf.findHash(bf.hash(v.toLong))
+                    case (v: String, PrimitiveTypeName.BINARY) =>
+                      bf.findHash(bf.hash(
+                        org.apache.parquet.io.api.Binary.fromString(v)))
+                    case _ => true // unprobeable type/physical pair: keep
+                  }}
+                case None => true // no filter on this row group: keep
+              }
             }
           }
         } finally reader.close()
@@ -1066,7 +1177,8 @@ object CommitLog {
       schema: StructType, keyCols: Seq[String], deleteKeys: DataFrame,
       appendDf: DataFrame, opTag: Option[String],
       publisher: AtomicPublisher,
-      abortOnLostRace: () => Boolean = () => false): Option[Long] = {
+      abortOnLostRace: () => Boolean = () => false,
+      schemaJson: Option[String] = None): Option[Long] = {
     import org.apache.spark.sql.functions.{col, lit}
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
@@ -1105,7 +1217,8 @@ object CommitLog {
       // a tagged caller (view refresh riding a consumed= tag) must
       // advance its checkpoint even when the increment nets to
       // nothing, or it reprocesses the same increment forever.
-      return appendOrAbort(app, tablePath, publisher, opTag, abortOnLostRace)
+      return appendOrAbort(app, tablePath, publisher, opTag, abortOnLostRace,
+        schemaJson = schemaJson)
     }
     val aff = spark.read.schema(schema)
       .parquet(affected.map(f => s"$tablePath/$f"): _*)
@@ -1120,7 +1233,8 @@ object CommitLog {
         .unionByName(app.withColumn(ChangeTypeCol, lit("insert"))))
     commitOrAbort(spark, tablePath, adds = names, removes = affected,
       publisher = publisher, opTag = opTag, abortOnLostRace = abortOnLostRace,
-      changeAdds = cdcNames, addStats = statsFor(spark, tablePath, names))
+      changeAdds = cdcNames, addStats = statsFor(spark, tablePath, names),
+      schemaJson = schemaJson)
   }
 
   /** The table's commit history as a DataFrame — the DESCRIBE HISTORY

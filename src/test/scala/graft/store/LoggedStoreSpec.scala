@@ -156,6 +156,63 @@ abstract class LoggedStoreBehavior(publisher: AtomicPublisher) extends SparkSpec
     assert(merged == Map(1L -> 1.5d, 2L -> 20.0d, 3L -> 3.5d, 4L -> 9e40, 5L -> 50.0d))
   }
 
+  test("write-path schema evolution: mergeSchema append/merge evolve the logged schema ledger") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    // bootstrap: the first evolving append stamps the table's schema
+    val v1 = CommitLog.append(Seq((1, 1.5f)).toDF("id", "score"), t, publisher,
+      mergeSchema = true)
+    val s1 = CommitLog.schemaAt(spark, t).get
+    assert(s1.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("id", IntegerType), ("score", FloatType)))
+    // widen + add-column in one evolving append
+    val v2 = CommitLog.append(Seq((2L, 2.5d, "x")).toDF("id", "score", "note"),
+      t, publisher, mergeSchema = true)
+    val s2 = CommitLog.schemaAt(spark, t).get
+    assert(s2.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("id", LongType), ("score", DoubleType), ("note", StringType)))
+    // old files read value-exact under the evolved schema; the added
+    // column null-fills for pre-evolution rows
+    val rows = CommitLog.read(spark, t, s2)
+      .as[(Long, Double, Option[String])].collect().toSet
+    assert(rows == Set((1L, 1.5d, None), (2L, 2.5d, Some("x"))))
+    // TIME TRAVEL shows the pre-evolution schema historically
+    assert(CommitLog.schemaAt(spark, t, asOf = v1).get
+      .fields.map(_.dataType).toSeq == Seq(IntegerType, FloatType))
+    assert(CommitLog.schemaAt(spark, t, asOf = v2).contains(s2))
+    // evolve-on-MERGE: a new column arrives with an upsert; the header
+    // rides the same commit as the rewrite
+    CommitLog.merge(spark, t, s2,
+      Seq((1L, 10.0d, "upd", true), (3L, 3.5d, "new", false))
+        .toDF("id", "score", "note", "flag"),
+      Seq("id"), publisher, mergeSchema = true)
+    val s3 = CommitLog.schemaAt(spark, t).get
+    assert(s3.fieldNames.toSeq == Seq("id", "score", "note", "flag"))
+    val merged = CommitLog.read(spark, t, s3)
+      .as[(Long, Double, Option[String], Option[Boolean])].collect().toSet
+    assert(merged == Set(
+      (1L, 10.0d, Some("upd"), Some(true)),
+      (2L, 2.5d, Some("x"), None),
+      (3L, 3.5d, Some("new"), Some(false))), s"merged: $merged")
+    // a non-evolving append leaves the ledger untouched
+    CommitLog.append(Seq((9, 9.5f)).toDF("id", "score"), t, publisher)
+    assert(CommitLog.schemaAt(spark, t).contains(s3))
+    // an incompatible type change refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.append(Seq(("oops", 1.0f)).toDF("id", "score"), t, publisher,
+        mergeSchema = true)
+    }
+    assert(e.getMessage.contains("cannot evolve"), e.getMessage)
+    // the ledger survives checkpointing + log pruning (it rides
+    // checkpoints like txn=/consumed=)
+    (0 until 12).foreach(i =>
+      CommitLog.append(Seq((100L + i, 1.0d, "p", true))
+        .toDF("id", "score", "note", "flag"), t, publisher))
+    CommitLog.pruneLog(spark, t)
+    assert(CommitLog.schemaAt(spark, t).contains(s3),
+      "schema ledger lost to pruneLog — checkpoints must carry it")
+  }
+
   test("change feed: per-commit inserts tagged with version; rewrites feed nothing") {
     val t = freshTable()
     // bootstrap from zero: the feed from 0 IS the table

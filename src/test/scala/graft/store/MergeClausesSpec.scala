@@ -344,6 +344,51 @@ class MergePruneSpec extends SparkSpec {
     assert(CommitLog.pruneByFooterStats(spark, t2, live2, Seq("a", "b"), src3).isEmpty)
   }
 
+  test("compound-key bloom: per-column probes intersect and beat range pruning alone") {
+    val t = freshTable()
+    val bloomOpts = Map(
+      "parquet.bloom.filter.enabled#a" -> "true",
+      "parquet.bloom.filter.expected.ndv#a" -> "1000",
+      "parquet.bloom.filter.enabled#b" -> "true",
+      "parquet.bloom.filter.expected.ndv#b" -> "1000")
+    // both files straddle the full [0, 2000) range on BOTH key columns
+    // (range pruning keeps both); they are disjoint only in b's VALUE
+    // set (evens vs odds) — only a bloom probe on b can tell them apart
+    CommitLog.append((0L until 2000L by 2).map(i => (i, i, "even")).toDF("a", "b", "v")
+      .coalesce(1), t, writeOptions = bloomOpts)
+    CommitLog.append((1L until 2000L by 2).map(i => (i, i, "odd")).toDF("a", "b", "v")
+      .coalesce(1), t, writeOptions = bloomOpts)
+    val live = CommitLog.liveFiles(spark, t)._2
+    assert(live.size == 2)
+    // range-only baseline: a no-bloom table with the same shape keeps
+    // both files for the same probe
+    val t2 = freshTable()
+    CommitLog.append((0L until 2000L by 2).map(i => (i, i, "even")).toDF("a", "b", "v")
+      .coalesce(1), t2)
+    CommitLog.append((1L until 2000L by 2).map(i => (i, i, "odd")).toDF("a", "b", "v")
+      .coalesce(1), t2)
+    val src = Seq((500L, 500L)).toDF("a", "b")
+    assert(CommitLog.pruneByFooterStats(spark, t2,
+      CommitLog.liveFiles(spark, t2)._2, Seq("a", "b"), src).size == 2,
+      "range pruning alone cannot separate value-disjoint straddling files")
+    // compound-key bloom probe: strictly fewer files than range alone
+    val candidates = CommitLog.pruneByFooterStats(spark, t, live, Seq("a", "b"), src)
+    assert(candidates.size == 1,
+      s"compound-key bloom should exclude the odd-only file, got ${candidates.size}")
+    assert(spark.read.parquet(s"$t/${candidates.head}")
+      .filter(col("a") === 500L && col("b") === 500L).count() == 1L,
+      "pruning kept the wrong file")
+    // a merge on the compound key stays correct with the probe active
+    val schema3 = Seq((0L, 0L, "x")).toDF("a", "b", "v").schema
+    CommitLog.merge(spark, t, schema3,
+      Seq((500L, 500L, "upd"), (2001L, 2001L, "new")).toDF("a", "b", "v"),
+      Seq("a", "b"))
+    val rows = CommitLog.read(spark, t, schema3)
+      .filter(col("a").isin(500L, 2001L))
+      .as[(Long, Long, String)].collect().toSet
+    assert(rows == Set((500L, 500L, "upd"), (2001L, 2001L, "new")))
+  }
+
   test("bloom probe hashes in the file's PHYSICAL type: widened Long keys vs INT32 files") {
     val t = freshTable()
     val bloomOpts = Map(
