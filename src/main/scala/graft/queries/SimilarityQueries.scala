@@ -152,6 +152,41 @@ object SimilarityQueries {
         k = 10, cents, nProbe = 3)
     },
 
+    // ── storage ↔ ANN composite: vectors land in a LOGGED embeddings
+    // table over two commits; the index-maintenance drain consumes the
+    // change feed one version per micro-batch — CRASHING after the
+    // first batch's durable commit and resuming from the sink's own
+    // consumed= ledger — into a LOGGED cell-assigned index; probing
+    // the drained index must equal a full rebuild (the same IVF
+    // oracle as the unlogged append path: under frozen centroids,
+    // assignment depends only on (vector, centroids), and exactly-once
+    // drain delivery means no vector lands twice or goes missing). ────
+    Q(
+      "ann_cdc_append",
+      IvfOracleSql) { (s, dir) =>
+      import graft.store.CommitLog
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val cents = Similarity.initialCentroids(e, 10)
+      val srcTable = "/tmp/graft_state/ann_cdc_src"
+      val idxTable = "/tmp/graft_state/ann_cdc_idx"
+      val fs = new org.apache.hadoop.fs.Path(srcTable)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(srcTable, idxTable).foreach(t =>
+        fs.delete(new org.apache.hadoop.fs.Path(t), true))
+      CommitLog.append(e.filter(col("vec_id") % 2 === 0), srcTable)
+      CommitLog.append(e.filter(col("vec_id") % 2 =!= 0), srcTable)
+      try IvfRefresh.drainIntoLoggedIndex(s, srcTable, e.schema, idxTable,
+        cents, maxVersionsPerBatch = 1L,
+        afterBatch = (n, _) =>
+          if (n == 1) throw new RuntimeException("injected post-commit crash"))
+      catch { case ex: RuntimeException
+        if ex.getMessage.startsWith("injected") => () }
+      IvfRefresh.drainIntoLoggedIndex(s, srcTable, e.schema, idxTable,
+        cents, maxVersionsPerBatch = 1L)
+      IvfRefresh.topKFromLoggedIndex(s, idxTable,
+        e.filter(col("vec_id") < 5), k = 10, cents, nProbe = 3)
+    },
+
     // ── Embedding near-dup: sign-block + cosine threshold ──────────────
     // Planted exact copies (vec_id<20 → +10000) must all come back;
     // both engines use the identical sign-bit blocking, so any natural

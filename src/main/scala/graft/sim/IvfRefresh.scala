@@ -164,4 +164,69 @@ object IvfRefresh {
       throw new IllegalStateException(s"no index generation published at $registryPath"))
     Similarity.ivfTopKFromIndex(spark, gen.indexPath, queries, k, gen.centroids, nProbe)
   }
+
+  // ── storage ↔ ANN: the change feed as the index maintenance loop ────
+
+  /** The LOGGED form of the at-rest IVF index: `(vec_id, e, cid)` in a
+    * commit-log table, cell-assigned under frozen centroids. Trades
+    * directory-partition pruning for the logged layer's machinery —
+    * exactly-once incremental maintenance, row-level retraction,
+    * time travel, and `compact(clusterBy = "cid")` re-clustering so
+    * probe filters prune files by range stats instead of directories. */
+  val loggedIndexSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("e", ArrayType(DoubleType)),
+    StructField("cid", LongType)))
+
+  /** Drain a LOGGED embeddings table's change feed into a logged IVF
+    * index mirror — the storage↔ANN composite: vectors land in the
+    * corpus table, the drain assigns each increment to its cell under
+    * the FROZEN centroids (the exact insert path appendToIvfIndex
+    * argues — assignment depends only on (vector, centroids)), and the
+    * index grows by increment-sized commits. Source DELETEs and merge
+    * updates flow through as keyed retractions — the logged index
+    * stays row-for-row consistent with the corpus, which a bare
+    * parquet-append index cannot do. Exactly-once rides the sink's
+    * `consumed=` ledger (CdcStream.drain): a crash mid-drain resumes
+    * without double-inserting a vector. Geometry refresh stays the
+    * separate drift-triggered retrain ([[refreshIndexIfDrifted]]). */
+  def drainIntoLoggedIndex(spark: SparkSession, srcTable: String,
+      srcSchema: StructType, indexTable: String, cents: Similarity.Centroids,
+      maxVersionsPerBatch: Long = 10L,
+      publisher: AtomicPublisher = RenameOrLinkPublisher,
+      afterBatch: (Long, Long) => Unit = (_, _) => ()): graft.store.CdcStream.Drained =
+    graft.store.CdcStream.drain(spark, srcTable, srcSchema, indexTable,
+      df => df.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("e"))
+        .withColumn("cid", Similarity.nearestCid(df, cents, col("e"))),
+      keyCols = Some(Seq("vec_id")),
+      maxVersionsPerBatch = maxVersionsPerBatch,
+      publisher = publisher, afterBatch = afterBatch)
+
+  /** IVF top-k against the LOGGED index: probed cells become an `isin`
+    * predicate over the `cid` column — parquet row-group stats (and,
+    * after a `compact(clusterBy = "cid")`, whole-file range pruning)
+    * stand in for the directory pruning of the unlogged form; results
+    * are identical to a full rebuild's (the shared IVF oracle). */
+  def topKFromLoggedIndex(spark: SparkSession, indexTable: String,
+      queries: DataFrame, k: Int, cents: Similarity.Centroids,
+      nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = queries
+      .select(col("vec_id").as("query_id"),
+        Similarity.asDouble(col("embedding")).as("qe"))
+      .withColumn("cid",
+        explode(Similarity.probeCids(queries, cents, col("qe"), nProbe)))
+    val probedCells = probes.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cells = CommitLog.read(spark, indexTable, loggedIndexSchema)
+      .filter(col("cid").isin(probedCells: _*))
+    val scored = cells.join(broadcast(probes), "cid")
+      .select(col("query_id"), col("vec_id"),
+        Similarity.nativeCosine(queries)(col("qe"), col("e")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "score")
+  }
 }

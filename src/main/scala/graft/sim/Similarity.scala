@@ -45,7 +45,7 @@ object Similarity {
   /** Codegen'd cosine (graft.functions.CosineSimilarity), registered
     * idempotently on the frame's session. Bit-identical to `cosine`
     * (both accumulate left-to-right in f64). */
-  private def nativeCosine(df: DataFrame)(a: Column, b: Column): Column = {
+  private[sim] def nativeCosine(df: DataFrame)(a: Column, b: Column): Column = {
     GraftFunctions.register(df.sparkSession)
     GraftFunctions.cosine(a, b)
   }
@@ -95,13 +95,13 @@ object Similarity {
   /** Nearest-centroid id as a PER-ROW expression — the cell assignment
     * never shuffles (round-2/3 audit: the window form exchanged
     * |corpus|×k rows each carrying two embedding arrays). */
-  private def nearestCid(df: DataFrame, cents: Centroids, vec: Column): Column =
+  private[sim] def nearestCid(df: DataFrame, cents: Centroids, vec: Column): Column =
     if (cents.sizeIs == 1) lit(cents.head._1)
     else -greatest(centScores(df, cents, vec): _*).getField("neg_cid")
 
   /** The `nProbe` nearest cell ids for one row, best first — sort_array
     * DESC on (score, -cid) structs gives score DESC, cid ASC. */
-  private def probeCids(df: DataFrame, cents: Centroids, vec: Column, nProbe: Int): Column =
+  private[sim] def probeCids(df: DataFrame, cents: Centroids, vec: Column, nProbe: Int): Column =
     transform(
       slice(sort_array(array(centScores(df, cents, vec): _*), asc = false), 1, nProbe),
       s => -s.getField("neg_cid"))

@@ -161,4 +161,54 @@ class IvfRefreshSpec extends SparkSpec {
     val d = (0 until 20).map(i => (i.toLong, "s0")).toDF("doc_id", "source")
     assert(IvfRefresh.minSourceCos(d, zero) == Double.NegativeInfinity)
   }
+
+  test("CDC drain maintains the logged index: crash-resume exactly-once, deletes retract") {
+    val cs = centers(11)
+    val corpus = blobCorpus(12, cs)
+    val cents = Similarity.initialCentroids(corpus, 10)
+    val srcTable = Files.createTempDirectory("graft_anncdc_src").toString + "/t"
+    val idxTable = Files.createTempDirectory("graft_anncdc_idx").toString + "/t"
+    // vectors land over three source commits
+    CommitLog.append(corpus.filter(col("vec_id") < 200), srcTable)
+    CommitLog.append(corpus.filter(col("vec_id") >= 200 && col("vec_id") < 400), srcTable)
+    CommitLog.append(corpus.filter(col("vec_id") >= 400), srcTable)
+    // crash AFTER the first micro-batch's durable index commit; the
+    // resume must pick up from the consumed= ledger — no vector twice
+    intercept[RuntimeException] {
+      IvfRefresh.drainIntoLoggedIndex(spark, srcTable, corpus.schema, idxTable,
+        cents, maxVersionsPerBatch = 1L,
+        afterBatch = (n, _) => if (n == 1) throw new RuntimeException("boom"))
+    }
+    val d = IvfRefresh.drainIntoLoggedIndex(spark, srcTable, corpus.schema,
+      idxTable, cents, maxVersionsPerBatch = 1L)
+    assert(d.consumedThrough == 3L)
+    val idxRows = CommitLog.read(spark, idxTable, IvfRefresh.loggedIndexSchema)
+    assert(idxRows.count() == 500,
+      "crash replay duplicated or lost vectors in the logged index")
+    // drained index answers ≡ direct search over the full corpus
+    val queries = corpus.filter(col("vec_id") < 5)
+    val fromIndex = IvfRefresh.topKFromLoggedIndex(spark, idxTable, queries,
+      k = 10, cents, nProbe = 3).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = Similarity.ivfTopKWith(queries, corpus, k = 10, cents,
+      nProbe = 3).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromIndex == direct, "drained logged index diverges from a rebuild")
+    // a source DELETE retracts the rows from the index via the feed —
+    // the row-level consistency a bare parquet-append index cannot keep
+    CommitLog.deleteWhere(spark, srcTable, corpus.schema,
+      col("vec_id") >= 100 && col("vec_id") < 200)
+    IvfRefresh.drainIntoLoggedIndex(spark, srcTable, corpus.schema, idxTable,
+      cents, maxVersionsPerBatch = 1L)
+    assert(CommitLog.read(spark, idxTable, IvfRefresh.loggedIndexSchema)
+      .count() == 400)
+    val after = Similarity.ivfTopKWith(queries,
+      corpus.filter(col("vec_id") < 100 || col("vec_id") >= 200),
+      k = 10, cents, nProbe = 3).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val afterIdx = IvfRefresh.topKFromLoggedIndex(spark, idxTable, queries,
+      k = 10, cents, nProbe = 3).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(afterIdx == after, "retracted vectors still answer from the index")
+  }
 }
