@@ -177,6 +177,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
     ext.injectTableFunction(LogTableFunction.descriptor)
+    ext.injectTableFunction(LogTableFunction.changesDescriptor)
   }
 }
 
@@ -274,10 +275,10 @@ object GraftFunctions {
     descriptors.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
-    LogTableFunction.descriptor match {
-      case (id, info, builder) =>
+    Seq(LogTableFunction.descriptor, LogTableFunction.changesDescriptor)
+      .foreach { case (id, info, builder) =>
         spark.sessionState.tableFunctionRegistry.registerFunction(id, info, builder)
-    }
+      }
   }
 
   /** Column forms; require register(spark) first. */

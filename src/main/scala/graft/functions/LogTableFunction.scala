@@ -38,6 +38,19 @@ object LogTableFunction {
     new ExpressionInfo(LogTableFunction.getClass.getName, "graft_log"),
     (args: Seq[Expression]) => build(args))
 
+  /** `graft_log_changes('/path', since[, asOf])` — the CDC change feed
+    * as a table-valued function: every row the table gained or lost in
+    * versions (since, asOf], tagged `_change_type` / `_commit_version`
+    * (the `CommitLog.changesSince` contract — compactions feed
+    * nothing, delete/merge commits feed their pre/post-images, pruned
+    * or vacuumed ranges raise the typed FeedGapException). The SQL
+    * complement of the `graftlog` streaming source: an analyst audits
+    * "what changed since version N" from a prompt, no Scala. */
+  val changesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_log_changes"),
+    new ExpressionInfo(LogTableFunction.getClass.getName, "graft_log_changes"),
+    (args: Seq[Expression]) => buildChanges(args))
+
   private def build(args: Seq[Expression]): LogicalPlan = {
     require(args.length == 1 || args.length == 2,
       s"graft_log expects (path[, version]), got ${args.length} args")
@@ -63,6 +76,34 @@ object LogTableFunction {
       spark.read.parquet(s"$path/${files.last}").schema
     }
     CommitLog.read(spark, path, schema, asOf)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.logical
+  }
+
+  private def buildChanges(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2 || args.length == 3,
+      s"graft_log_changes expects (path, since[, asOf]), got ${args.length} args")
+    val path = args.head match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_log_changes path must be a string literal, got $other")
+    }
+    def longArg(e: Expression, what: String): Long = e match {
+      case Literal(v: Int, IntegerType) => v.toLong
+      case Literal(v: Long, LongType) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_log_changes $what must be an integer literal, got $other")
+    }
+    val since = longArg(args(1), "since")
+    val asOf = if (args.length == 3) longArg(args(2), "asOf") else Long.MaxValue
+    val spark = SparkSession.active
+    val schema = CommitLog.schemaAt(spark, path, asOf).getOrElse {
+      val (_, files) = CommitLog.liveFiles(spark, path)
+      require(files.nonEmpty,
+        s"cannot infer the schema of $path — no schema ledger and no live files")
+      spark.read.parquet(s"$path/${files.last}").schema
+    }
+    CommitLog.changesSince(spark, path, since, schema, asOf)
       .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.logical
   }

@@ -147,5 +147,53 @@ object SqlPassthrough {
       CommitLog.append(docs.filter(col("doc_id") % 2 === 1), LogAsofTable)
       CommitLog.deleteWhere(s, LogAsofTable, docs.schema, col("doc_id") % 7 === 0)
       run(s, dir, LogAsofSql)
+    },
+
+    // ── The CDC change feed from RAW SQL (graft_log_changes TVF): the
+    // logged mirror gains two thirds of the docs at v1/v2, a
+    // COMPACTION rewrites at v3 (must feed nothing), the last third
+    // lands at v4, a DELETE at v5 feeds its pre-images. A SQL-only
+    // consumer audits "what changed since v1" — versions, change
+    // types, and value-exact digests all from one SELECT. ─────────────
+    Q("sql_log_changes", logChangesOracle) { (s, dir) =>
+      import graft.store.CommitLog
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "source", "text")
+      val fs = new org.apache.hadoop.fs.Path(LogChangesTable)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(LogChangesTable), true)
+      CommitLog.append(docs.filter(col("doc_id") % 3 === 0), LogChangesTable,
+        mergeSchema = true)
+      CommitLog.append(docs.filter(col("doc_id") % 3 === 1), LogChangesTable)
+      CommitLog.compact(s, LogChangesTable, targetBytes = Long.MaxValue)
+      CommitLog.append(docs.filter(col("doc_id") % 3 === 2), LogChangesTable)
+      CommitLog.deleteWhere(s, LogChangesTable, docs.schema, col("doc_id") % 10 === 7)
+      run(s, dir, LogChangesSql)
     })
+
+  private val LogChangesTable = "/tmp/graft_state/sql_log_changes_docs"
+
+  val LogChangesSql: String =
+    s"""SELECT CAST(_commit_version AS BIGINT) AS commit_version,
+       |  _change_type AS change_type, source,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(bit_xor($sparkRowDigest) AS BIGINT) AS content_digest
+       |FROM graft_log_changes('$LogChangesTable', 1)
+       |GROUP BY commit_version, change_type, source""".stripMargin
+
+  private def logChangesOracle: String =
+    s"""WITH feed AS (
+       |  SELECT 2 AS commit_version, 'insert' AS change_type, doc_id, source, text
+       |  FROM documents WHERE doc_id % 3 = 1
+       |  UNION ALL
+       |  SELECT 4, 'insert', doc_id, source, text
+       |  FROM documents WHERE doc_id % 3 = 2
+       |  UNION ALL
+       |  SELECT 5, 'delete', doc_id, source, text
+       |  FROM documents WHERE doc_id % 10 = 7)
+       |SELECT CAST(commit_version AS BIGINT) AS commit_version, change_type, source,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS BIGINT)
+       |    AS content_digest
+       |FROM feed GROUP BY commit_version, change_type, source""".stripMargin
 }

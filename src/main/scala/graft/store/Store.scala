@@ -256,16 +256,32 @@ object Staging {
   * over the snapshot — negligible next to the rewrite it feeds); the
   * interleave is plain integer arithmetic inside codegen. */
 object ZOrder {
-  def zValue(df: DataFrame, c1: String, c2: String, bits: Int = 8): org.apache.spark.sql.Column = {
+  def zValue(df: DataFrame, c1: String, c2: String, bits: Int = 8): org.apache.spark.sql.Column =
+    zValueN(df, Seq(c1, c2), bits)
+
+  /** N-column Morton value: bit `i` of column `j`'s bucket index lands
+    * at z-bit `i*n + j` (round-robin interleave — the direct
+    * generalization of the 2-column form; at n=2 the bit layout is
+    * identical to the original). `n*bits` must fit a signed Long, so
+    * the default 8-bit buckets cluster up to 7 columns; trade bucket
+    * resolution for dimensions past that (4 bits × 15 columns). Each
+    * output file then covers an n-dimensional hyper-rectangle and
+    * parquet min/max footers prune scans filtering ANY clustered
+    * column. */
+  def zValueN(df: DataFrame, cols: Seq[String], bits: Int = 8): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    val r = df.agg(
-      min(col(c1).cast("double")), max(col(c1).cast("double")),
-      min(col(c2).cast("double")), max(col(c2).cast("double"))).head()
+    val n = cols.length
+    require(n >= 2, s"z-order needs at least two columns, got $cols")
+    require(n * bits <= 63,
+      s"$n columns × $bits bits = ${n * bits} z-bits exceeds a signed Long (63) — lower `bits`")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
     // fail with a NAMED error, not a mid-compaction NPE: an all-null,
     // non-numeric (cast → null), or zero-row snapshot has no value
     // range to normalize
-    Seq(c1 -> 0, c2 -> 2).foreach { case (c, i) =>
-      require(!r.isNullAt(i) && !r.isNullAt(i + 1),
+    cols.zipWithIndex.foreach { case (c, j) =>
+      require(!r.isNullAt(2 * j) && !r.isNullAt(2 * j + 1),
         s"z-order column '$c' has no numeric values to cluster on " +
           "(non-numeric, all-null, or empty snapshot)")
     }
@@ -278,33 +294,34 @@ object ZOrder {
         least(lit((1L << bits) - 1),
           floor((col(c).cast("double") - mn) / (mx - mn) * (1L << bits)).cast("long")),
         lit(0L))
-    val a = bucket(c1, r.getDouble(0), r.getDouble(1))
-    val b = bucket(c2, r.getDouble(2), r.getDouble(3))
-    (0 until bits).map { i =>
-      shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
-        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    val buckets = cols.zipWithIndex.map { case (c, j) =>
+      bucket(c, r.getDouble(2 * j), r.getDouble(2 * j + 1))
+    }
+    (0 until bits).flatMap { i =>
+      buckets.zipWithIndex.map { case (b, j) =>
+        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (i * n + j))
+      }
     }.reduce(_ + _)
   }
 
   /** Lay a compaction rewrite out into `nOut` files: plain repartition
     * (None), single-column range clustering ("c" — disjoint per-file
-    * ranges, min/max footers prune on c), or two-column Z-order
-    * ("a,b" — each file covers a rectangle of the (a, b) space, prunes
-    * on either column). Shared by the unlogged compactor
+    * ranges, min/max footers prune on c), or multi-column Z-order
+    * ("a,b[,c,…]" — each file covers a hyper-rectangle of the value
+    * space, prunes on any listed column; up to 7 columns at the
+    * default 8-bit buckets). Shared by the unlogged compactor
     * (Store.compact) and the commit-log one (CommitLog.compact) so the
     * two layers cannot drift on layout semantics. */
   def layout(df: DataFrame, nOut: Int, clusterBy: Option[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
     clusterBy match {
       case Some(spec) if spec.contains(',') =>
-        val cols = spec.split(',').map(_.trim)
-        require(cols.length == 2,
-          s"z-order clustering takes exactly two columns, got: $spec")
+        val cols = spec.split(',').map(_.trim).toSeq
         // writer-unique scratch column name — withColumn would
         // silently OVERWRITE (and drop would then delete) a real
         // table column that happened to share the name
         val zc = s"__z_${System.nanoTime()}"
-        df.withColumn(zc, zValue(df, cols(0), cols(1)))
+        df.withColumn(zc, zValueN(df, cols))
           .repartitionByRange(nOut, col(zc))
           .sortWithinPartitions(zc)
           .drop(zc)

@@ -135,6 +135,49 @@ class CompactSpec extends SparkSpec {
       "z-order compaction changed the table contents")
   }
 
+  test("3-column z-order bounds per-file ranges on EVERY clustered column") {
+    val store = freshStore()
+    val path = s"${store.root}/metadata"
+    // a 16×16×16 cube in row-major id order: clustering on any prefix
+    // of the columns leaves files spanning the remaining dimensions
+    Store.append(
+      spark.range(0, 16 * 16 * 16).select(
+        (col("id") % 16).as("a"),
+        expr("(id div 16) % 16").as("b"),
+        expr("id div 256").as("c")).repartition(8),
+      path)
+    val total = dataFiles(path).map(_.getLen).sum
+    // 3 dimensions need ≥8 curve segments before the least-significant
+    // interleaved column's top bit gets a cut — aim for ~12 files
+    Store.compact(spark, store, "metadata", total / 12 + 1, clusterBy = Some("a,b,c"))
+    val files = dataFiles(path)
+    assert(files.length >= 8, s"need at least 8 files, got ${files.length}")
+    val ranges = files.map { st =>
+      spark.read.parquet(st.getPath.toString)
+        .agg(min("a"), max("a"), min("b"), max("b"), min("c"), max("c"))
+        .as[(Long, Long, Long, Long, Long, Long)].head()
+    }
+    // prunability in EVERY dimension: some file sits entirely outside
+    // a low-window predicate on each of a, b, and c (exact rectangles
+    // depend on the range partitioner's curve cuts)
+    assert(ranges.exists(_._1 > 3),
+      s"no file skippable for a <= 3: ${ranges.mkString(", ")}")
+    assert(ranges.exists(_._3 > 3),
+      s"no file skippable for b <= 3: ${ranges.mkString(", ")}")
+    assert(ranges.exists(_._5 > 3),
+      s"no file skippable for c <= 3: ${ranges.mkString(", ")}")
+    assert(spark.read.parquet(path).count() == 16 * 16 * 16,
+      "z-order compaction changed the table contents")
+    // dimension overflow refuses loudly instead of silently wrapping
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.zValueN(spark.range(2).select(
+        col("id").as("a"), col("id").as("b"), col("id").as("c"),
+        col("id").as("d"), col("id").as("e"), col("id").as("f"),
+        col("id").as("g"), col("id").as("h")), Seq("a", "b", "c", "d", "e", "f", "g", "h"))
+    }
+    assert(e.getMessage.contains("z-bits"), e.getMessage)
+  }
+
   test("an unlocked append landing between reconcile and park survives compaction") {
     // done/dlq/index writers do NOT take the table lock; round 5 could
     // silently delete a file they landed between the reconcile listing
