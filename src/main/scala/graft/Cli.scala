@@ -35,6 +35,7 @@ object Cli {
       |  query <name> <sfDir>                               run a declared query, print row count
       |  list-queries                                       all declared query names
       |  log-history <tablePath>                            commit-log DESCRIBE HISTORY (one row per commit)
+      |  log-schema <tablePath> [asOf]                      table schema (ledger-first; historical with asOf)
       |  log-delete <tablePath> <sqlPredicate>              row-level DELETE WHERE through the commit log
       |  log-vacuum <tablePath> <minAgeHours>               reclaim unreferenced data files (retention-gated)
       |  log-prune <tablePath> [keepSince]                  drop commit files behind the newest checkpoint
@@ -87,11 +88,15 @@ object Cli {
   /** Schema of a logged table from its live files — CommitLog reads
     * are schema-explicit, and for an operator-facing CLI the table's
     * own current files ARE the schema of record. */
-  private def loggedSchema(spark: SparkSession, table: String) = {
-    val (_, files) = graft.store.CommitLog.liveFiles(spark, table)
-    require(files.nonEmpty, s"no live files in logged table $table")
-    spark.read.parquet(files.map(f => s"$table/$f"): _*).schema
-  }
+  private def loggedSchema(spark: SparkSession, table: String) =
+    // the schema LEDGER is authoritative when an evolving writer has
+    // stamped it (a mergeSchema table's newest file can be NARROWER
+    // than the evolved schema); file inference is the fallback
+    graft.store.CommitLog.schemaAt(spark, table).getOrElse {
+      val (_, files) = graft.store.CommitLog.liveFiles(spark, table)
+      require(files.nonEmpty, s"no live files in logged table $table")
+      spark.read.parquet(files.map(f => s"$table/$f"): _*).schema
+    }
 
   def run(spark: SparkSession, args: Array[String]): String = args.toList match {
     case "ingest" :: root :: filter :: depth :: rest =>
@@ -195,6 +200,21 @@ object Cli {
             s""""commit_ts_ms":$ts}"""
         }
       s"""{"cmd":"log-history","table":"$table","commits":[${rows.mkString(",")}]}"""
+
+    case "log-schema" :: table :: rest if rest.size <= 1 =>
+      val asOf = rest.headOption.map(_.toLong).getOrElse(Long.MaxValue)
+      val ledger = graft.store.CommitLog.schemaAt(spark, table, asOf)
+      val schema = ledger.getOrElse {
+        // no ledger entry at this version: infer from the files live
+        // AT that snapshot, not today's
+        val (_, files) = graft.store.CommitLog.liveFiles(spark, table, asOf)
+        require(files.nonEmpty, s"no live files in logged table $table at $asOf")
+        spark.read.parquet(files.map(f => s"$table/$f"): _*).schema
+      }
+      val fields = schema.fields.map(f =>
+        s"""{"name":"${f.name}","type":"${f.dataType.simpleString}"}""")
+      s"""{"cmd":"log-schema","table":"$table","from_ledger":${ledger.isDefined},""" +
+        s""""fields":[${fields.mkString(",")}]}"""
 
     case "log-delete" :: table :: predicate :: Nil =>
       val v = graft.store.CommitLog.deleteWhere(spark, table,

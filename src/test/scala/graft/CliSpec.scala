@@ -133,4 +133,20 @@ class CliSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Cli.run(spark, Array("bogus")) }
     assert(Cli.run(spark, Array("list-queries")).contains("\"q1_pricing_summary\""))
   }
+
+  test("log-schema: file-inferred before any evolving writer, ledger-first after, historical with asOf") {
+    val t = java.nio.file.Files.createTempDirectory("graft_cli_schema").toString + "/t"
+    graft.store.CommitLog.append(spark.range(0, 10).toDF("id"), t)
+    val sch = Cli.run(spark, Array("log-schema", t))
+    assert(sch.contains(""""from_ledger":false""") &&
+      sch.contains("""{"name":"id","type":"bigint"}"""), sch)
+    graft.store.CommitLog.append(
+      spark.range(10, 11).selectExpr("id", "'x' AS note"), t, mergeSchema = true)
+    val sch2 = Cli.run(spark, Array("log-schema", t))
+    assert(sch2.contains(""""from_ledger":true""") &&
+      sch2.contains(""""name":"note""""), sch2)
+    // asOf reads the pre-evolution ledger state (none at v1 → inference)
+    val sch1 = Cli.run(spark, Array("log-schema", t, "1"))
+    assert(sch1.contains(""""from_ledger":false""") && !sch1.contains("note"), sch1)
+  }
 }
