@@ -33,6 +33,9 @@ object Cli {
       |                                                     (clusterCol → range-clustered, file-skippable;
       |                                                      "a,b" → two-column z-order)
       |  query <name> <sfDir>                               run a declared query, print row count
+      |  sql <statement> [sfDir]                            run one SQL statement (fixture tables registered
+      |                                                      when sfDir is given; MERGE INTO / DELETE FROM on
+      |                                                      graftlog.`path` targets run through the commit log)
       |  list-queries                                       all declared query names
       |  log-history <tablePath>                            commit-log DESCRIBE HISTORY (one row per commit)
       |  log-schema <tablePath> [asOf]                      table schema (ledger-first; historical with asOf)
@@ -184,6 +187,14 @@ object Cli {
         case None => throw new IllegalArgumentException(
           s"unknown query '$name' — see list-queries")
       }
+
+    case "sql" :: statement :: rest if rest.size <= 1 =>
+      rest.headOption.foreach(sfDir => Tables.registerAll(spark, sfDir))
+      val out = graft.store.GraftSql.execute(spark, statement)
+      // storage statements return their 1-row (table, version) receipt;
+      // queries print a row count — the CLI is an operator surface, not
+      // a result pager (declared queries own result inspection)
+      s"""{"cmd":"sql","rows":${out.count()}}"""
 
     case "list-queries" :: Nil =>
       SparkEntry.allQueries.map(q => "\"" + q.name + "\"")

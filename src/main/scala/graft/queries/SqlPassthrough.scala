@@ -149,6 +149,36 @@ object SqlPassthrough {
       run(s, dir, LogAsofSql)
     },
 
+    // ── MERGE INTO / the full clause grammar from RAW SQL
+    // (GraftSql.execute): the statement Spark's parser produces routes
+    // onto MergeClauses — matched delete, partial update, conditional
+    // insert, by-source delete, all in ONE statement — then the merged
+    // snapshot is read back through the graft_log TVF. The oracle
+    // replays the clause semantics relationally; the digest covers the
+    // updated text, pinning value-level update behavior. ──────────────
+    Q("sql_merge_into", mergeIntoOracle) { (s, dir) =>
+      import graft.store.{CommitLog, GraftSql}
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "source", "text")
+      val fs = new org.apache.hadoop.fs.Path(MergeIntoTable)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(MergeIntoTable), true)
+      CommitLog.append(docs.filter(col("doc_id") % 3 =!= 2), MergeIntoTable,
+        mergeSchema = true)
+      docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+        .createOrReplaceTempView("merge_updates")
+      GraftSql.execute(s,
+        s"""MERGE INTO graftlog.`$MergeIntoTable` AS t
+           |USING merge_updates AS s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND t.doc_id % 10 = 4 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET text = s.text
+           |WHEN NOT MATCHED AND s.doc_id % 10 <> 8 THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE AND t.doc_id % 10 = 9 THEN DELETE""".stripMargin)
+      run(s, dir, MergeIntoResultSql)
+    },
+
     // ── The CDC change feed from RAW SQL (graft_log_changes TVF): the
     // logged mirror gains two thirds of the docs at v1/v2, a
     // COMPACTION rewrites at v3 (must feed nothing), the last third
@@ -170,6 +200,35 @@ object SqlPassthrough {
       CommitLog.deleteWhere(s, LogChangesTable, docs.schema, col("doc_id") % 10 === 7)
       run(s, dir, LogChangesSql)
     })
+
+  private val MergeIntoTable = "/tmp/graft_state/sql_merge_docs"
+
+  val MergeIntoResultSql: String =
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(bit_xor($sparkRowDigest) AS BIGINT) AS content_digest
+       |FROM graft_log('$MergeIntoTable') GROUP BY source""".stripMargin
+
+  private def mergeIntoOracle: String =
+    s"""WITH target0 AS (
+       |  SELECT doc_id, source, text FROM documents WHERE doc_id % 3 <> 2),
+       |src AS (
+       |  SELECT doc_id, source, text || ' v2' AS text
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |kept AS (
+       |  SELECT t.doc_id, t.source,
+       |    CASE WHEN s.doc_id IS NOT NULL THEN s.text ELSE t.text END AS text
+       |  FROM target0 t LEFT JOIN src s ON t.doc_id = s.doc_id
+       |  WHERE NOT (s.doc_id IS NOT NULL AND t.doc_id % 10 = 4)
+       |    AND NOT (s.doc_id IS NULL AND t.doc_id % 10 = 9)),
+       |ins AS (
+       |  SELECT s.doc_id, s.source, s.text FROM src s
+       |  LEFT JOIN target0 t ON t.doc_id = s.doc_id
+       |  WHERE t.doc_id IS NULL AND s.doc_id % 10 <> 8),
+       |merged AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS BIGINT)
+       |    AS content_digest
+       |FROM merged GROUP BY source""".stripMargin
 
   private val LogChangesTable = "/tmp/graft_state/sql_log_changes_docs"
 

@@ -1,0 +1,319 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.graft.StreamingShim
+import org.apache.spark.sql.types.StructType
+
+/** SQL STATEMENTS for logged-table maintenance — the last piece of the
+  * "a SQL-only user can operate the storage layer" surface. Reads were
+  * already SQL-reachable (`graft_log` / `graft_log_changes` TVFs); this
+  * routes the WRITE statements:
+  *
+  * {{{
+  * GraftSql.execute(spark, """
+  *   MERGE INTO graftlog.`/tables/docs` AS t
+  *   USING updates AS s
+  *   ON t.doc_id = s.doc_id
+  *   WHEN MATCHED AND t.doc_id % 10 = 4 THEN DELETE
+  *   WHEN MATCHED THEN UPDATE SET text = s.text
+  *   WHEN NOT MATCHED THEN INSERT *
+  *   WHEN NOT MATCHED BY SOURCE AND t.stale THEN DELETE""")
+  * GraftSql.execute(spark, "DELETE FROM graftlog.`/tables/docs` WHERE doc_id % 7 = 0")
+  * }}}
+  *
+  * Design: Spark's OWN parser already produces `MergeIntoTable` /
+  * `DeleteFromTable` logical plans for these statements — they only
+  * fail later, at analysis, because no v2 catalog owns the table. So
+  * this router parses with `sessionState.sqlParser`, intercepts the
+  * two command shapes when the target is spelled
+  * ``graftlog.`/table/path` ``, translates the parsed clause tree onto
+  * [[MergeClauses]] / [[CommitLog.deleteWhere]] (the same copy-on-write
+  * machinery the Scala API uses — stats-pruned probes, CDC riding the
+  * commit, clause-order semantics), and hands EVERY other statement to
+  * `spark.sql` untouched. One parse, zero custom grammar, identical
+  * clause semantics between the SQL and builder surfaces — the Delta
+  * approach (their `DeltaAnalysis` rule does the same interception
+  * inside the analyzer; out-of-tree we do it at the statement seam).
+  *
+  * Supported subset (loud `IllegalArgumentException` otherwise):
+  *  - `ON` must be a conjunction of `t.key = s.key` same-name
+  *    equalities — [[MergeClauses]] merges are keyed (that is what
+  *    makes the probe prunable at 100 TB).
+  *  - `UPDATE SET col = s.col` assigns same-name source columns
+  *    (or `UPDATE SET *`); arbitrary update expressions are not
+  *    representable as a column-copy rewrite.
+  *  - `INSERT *` or a full same-name column list.
+  *  - target and source need aliases when clause conditions reference
+  *    columns both sides share (the `t.`/`s.` namespace).
+  *
+  * A merge/delete statement returns a 1-row frame
+  * `(table, committed_version)` — the caller can thread it into a
+  * `graft_log(path, version)` read for read-your-writes.
+  *
+  * Provenance: extension scope — the reference (a Go media-ETL
+  * pipeline, `internal/ingest/transport.go` CRUD over DynamoDB) has no
+  * SQL surface at all; statement semantics follow the published
+  * Delta MERGE/DELETE grammar.
+  */
+object GraftSql {
+
+  /** The pseudo-catalog name marking a logged-table path in SQL. */
+  val Catalog = "graftlog"
+
+  /** Run `sql`: storage statements against ``graftlog.`path` `` targets
+    * execute through the commit log; everything else is `spark.sql`. */
+  def execute(spark: SparkSession, sql: String): DataFrame =
+    spark.sessionState.sqlParser.parsePlan(sql) match {
+      case m: MergeIntoTable =>
+        pathOf(m.targetTable) match {
+          case Some((path, tAlias)) => runMerge(spark, m, path, tAlias)
+          case None => spark.sql(sql)
+        }
+      case d: DeleteFromTable =>
+        pathOf(d.table) match {
+          case Some((path, _)) => runDelete(spark, d, path)
+          case None => spark.sql(sql)
+        }
+      case _ => spark.sql(sql)
+    }
+
+  // ── target recognition ────────────────────────────────────────────
+
+  /** ``[alias ->] graftlog.`/path` `` → (path, alias). */
+  private def pathOf(plan: LogicalPlan): Option[(String, Option[String])] =
+    plan match {
+      case SubqueryAlias(ident, child) =>
+        pathOf(child).map { case (p, _) => (p, Some(ident.name)) }
+      case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase(Catalog) =>
+        Some((u.multipartIdentifier(1), None))
+      case _ => None
+    }
+
+  private def aliasOf(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(ident, _) => Some(ident.name)
+    case _ => None
+  }
+
+  /** Current schema of the logged table: the evolution ledger when a
+    * `mergeSchema` writer stamped one, else the newest live file. */
+  private def schemaOf(spark: SparkSession, path: String): StructType =
+    CommitLog.schemaAt(spark, path).getOrElse {
+      val (_, files) = CommitLog.liveFiles(spark, path)
+      require(files.nonEmpty,
+        s"logged table $path is empty and carries no schema ledger")
+      spark.read.parquet(s"$path/${files.last}").schema
+    }
+
+  private def result(spark: SparkSession, path: String, version: Long): DataFrame = {
+    import spark.implicits._
+    Seq((path, version)).toDF("table", "committed_version")
+  }
+
+  // ── DELETE ────────────────────────────────────────────────────────
+
+  private def runDelete(spark: SparkSession, d: DeleteFromTable,
+      path: String): DataFrame = {
+    val alias = aliasOf(d.table)
+    val predicate = targetColumn(d.condition, alias,
+      where = "DELETE WHERE condition")
+    val v = CommitLog.deleteWhere(spark, path, schemaOf(spark, path), predicate)
+    result(spark, path, v)
+  }
+
+  // ── MERGE ─────────────────────────────────────────────────────────
+
+  private def runMerge(spark: SparkSession, m: MergeIntoTable,
+      path: String, tAlias: Option[String]): DataFrame = {
+    val sAlias = aliasOf(m.sourceTable)
+    val schema = schemaOf(spark, path)
+    // The source analyzes through the session (views, subqueries —
+    // whatever spark.sql could read); a graftlog relation INSIDE it
+    // resolves to the logged snapshot first, so `USING graftlog.`…``
+    // works as a source too.
+    val source = StreamingShim.ofRows(spark, resolveLoggedRelations(spark, m.sourceTable))
+    val keys = keysOf(m.mergeCondition, tAlias, sAlias)
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"merge key `$k` is not a column of $path (${schema.fieldNames.mkString(", ")})"))
+
+    var merge = MergeClauses.into(spark, path, schema, source, keys)
+    m.matchedActions.foreach {
+      case UpdateAction(cond, assignments, _) =>
+        merge = merge.whenMatchedUpdate(
+          updateCols(assignments, keys, tAlias, sAlias, source),
+          cond.map(matchedColumn(_, tAlias, sAlias, keys)))
+      case UpdateStarAction(cond) =>
+        merge = merge.whenMatchedUpdate(
+          source.columns.toSeq.filterNot(keys.contains),
+          cond.map(matchedColumn(_, tAlias, sAlias, keys)))
+      case DeleteAction(cond) =>
+        merge = merge.whenMatchedDelete(cond.map(matchedColumn(_, tAlias, sAlias, keys)))
+      case other => fail(s"unsupported WHEN MATCHED action: $other")
+    }
+    m.notMatchedActions.foreach {
+      case InsertStarAction(cond) =>
+        merge = merge.whenNotMatchedInsert(
+          cond.map(sourceColumn(_, sAlias, where = "WHEN NOT MATCHED condition")))
+      case InsertAction(cond, assignments) =>
+        checkInsertAssignments(assignments, schema, tAlias, sAlias)
+        merge = merge.whenNotMatchedInsert(
+          cond.map(sourceColumn(_, sAlias, where = "WHEN NOT MATCHED condition")))
+      case other => fail(s"unsupported WHEN NOT MATCHED action: $other")
+    }
+    m.notMatchedBySourceActions.foreach {
+      case DeleteAction(cond) =>
+        merge = merge.whenNotMatchedBySourceDelete(
+          cond.map(targetColumn(_, tAlias, where = "WHEN NOT MATCHED BY SOURCE condition")))
+      case other => fail(
+        s"unsupported WHEN NOT MATCHED BY SOURCE action (only DELETE): $other")
+    }
+    result(spark, path, merge.execute())
+  }
+
+  /** Swap any nested ``graftlog.`path` `` relation for the logged
+    * snapshot's plan, so merge SOURCES can be logged tables. */
+  private def resolveLoggedRelations(spark: SparkSession,
+      plan: LogicalPlan): LogicalPlan =
+    plan.transform {
+      case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase(Catalog) =>
+        val p = u.multipartIdentifier(1)
+        StreamingShim.planOf(CommitLog.read(spark, p, schemaOf(spark, p)))
+    }
+
+  // ── ON clause → key columns ───────────────────────────────────────
+
+  private def keysOf(cond: Expression, tAlias: Option[String],
+      sAlias: Option[String]): Seq[String] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    conjuncts(cond).map {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+        val (an, bn) = (colName(a), colName(b))
+        if (an != bn) fail(
+          s"ON equality must pair the SAME column name on both sides " +
+          s"(got `${a.name}` = `${b.name}`) — logged merges are keyed")
+        val sides = Set(sideOf(a, tAlias, sAlias), sideOf(b, tAlias, sAlias))
+        if (sides == Set("t", "s") ||
+            (sides.contains("?") && sides.size <= 2)) an
+        else fail(s"ON equality `${a.name}` = `${b.name}` must join target to source")
+      case other => fail(
+        s"unsupported ON term `${other.sql}` — the condition must be a " +
+        "conjunction of target-key = source-key equalities")
+    }.distinct
+  }
+
+  private def colName(a: UnresolvedAttribute): String = a.nameParts.last
+
+  private def sideOf(a: UnresolvedAttribute, tAlias: Option[String],
+      sAlias: Option[String]): String =
+    if (a.nameParts.length < 2) "?"
+    else {
+      val q = a.nameParts.head
+      if (tAlias.exists(q.equalsIgnoreCase)) "t"
+      else if (sAlias.exists(q.equalsIgnoreCase)) "s"
+      else fail(s"`${a.name}`: unknown qualifier `$q` " +
+        s"(target is ${tAlias.getOrElse("<unaliased>")}, source is ${sAlias.getOrElse("<unaliased>")})")
+    }
+
+  // ── clause-condition translation ──────────────────────────────────
+  //
+  // The parsed condition is an UNRESOLVED Catalyst tree. MergeClauses
+  // conditions live in a documented namespace instead of a two-sided
+  // join: target columns by plain name, source columns as
+  // `_src_<col>`. Rewriting just the attribute leaves and re-rendering
+  // with Expression.sql keeps arbitrary scalar expressions (functions,
+  // arithmetic, literals) intact without re-implementing a grammar.
+
+  /** Matched-clause namespace: `t.c` → `c`, `s.c` → `_src_c`;
+    * unqualified names are target columns unless they are keys (keys
+    * are equal on both sides by construction). */
+  private def matchedColumn(e: Expression, tAlias: Option[String],
+      sAlias: Option[String], keys: Seq[String]): Column =
+    render(e.transformUp {
+      case a: UnresolvedAttribute => sideOf(a, tAlias, sAlias) match {
+        case "s" => UnresolvedAttribute(Seq(MergeClauses.SrcPrefix + colName(a)))
+        case _ => UnresolvedAttribute(Seq(colName(a)))
+      }
+    })
+
+  /** Source-only namespace (NOT MATCHED): plain source column names. */
+  private def sourceColumn(e: Expression, sAlias: Option[String],
+      where: String): Column =
+    render(e.transformUp {
+      case a: UnresolvedAttribute =>
+        if (a.nameParts.length >= 2 && !sAlias.exists(a.nameParts.head.equalsIgnoreCase))
+          fail(s"$where sees only SOURCE columns; `${a.name}` is not one")
+        else UnresolvedAttribute(Seq(colName(a)))
+    })
+
+  /** Target-only namespace (DELETE WHERE / NOT MATCHED BY SOURCE). */
+  private def targetColumn(e: Expression, tAlias: Option[String],
+      where: String): Column =
+    render(e.transformUp {
+      case a: UnresolvedAttribute =>
+        if (a.nameParts.length >= 2 && !tAlias.exists(a.nameParts.head.equalsIgnoreCase))
+          fail(s"$where sees only TARGET columns; `${a.name}` is not one")
+        else UnresolvedAttribute(Seq(colName(a)))
+    })
+
+  private def render(e: Expression): Column = expr(e.sql)
+
+  // ── assignment validation ─────────────────────────────────────────
+
+  /** `SET c = s.c, …` → the copied column list. Values must be the
+    * same-named source column — a logged UPDATE is a column copy from
+    * the source row (arbitrary expressions would need a compute-then-
+    * merge: derive the column in the USING subquery instead). */
+  private def updateCols(assignments: Seq[Assignment], keys: Seq[String],
+      tAlias: Option[String], sAlias: Option[String],
+      source: DataFrame): Seq[String] =
+    assignments.map { case Assignment(key, value) =>
+      val target = key match {
+        case a: UnresolvedAttribute if sideOf(a, tAlias, sAlias) != "s" => colName(a)
+        case other => fail(s"UPDATE SET target must be a target column, got `${other.sql}`")
+      }
+      value match {
+        case a: UnresolvedAttribute if sideOf(a, tAlias, sAlias) != "t" &&
+            colName(a).equalsIgnoreCase(target) => ()
+        case other => fail(
+          s"UPDATE SET `$target` = `${other.sql}`: only same-name source-column " +
+          s"copies (`$target = s.$target`) are supported — compute derived " +
+          "columns in the USING subquery")
+      }
+      require(source.columns.exists(_.equalsIgnoreCase(target)),
+        s"UPDATE SET `$target`: source has no such column")
+      target
+    }
+
+  /** INSERT column list must be the full-row same-name mapping —
+    * anything else is a shaped insert this log does not express. */
+  private def checkInsertAssignments(assignments: Seq[Assignment],
+      schema: StructType, tAlias: Option[String], sAlias: Option[String]): Unit = {
+    val targets = assignments.map { case Assignment(key, value) =>
+      val t = key match {
+        case a: UnresolvedAttribute => colName(a)
+        case other => fail(s"INSERT column must be a plain column, got `${other.sql}`")
+      }
+      value match {
+        case a: UnresolvedAttribute if colName(a).equalsIgnoreCase(t) => ()
+        case other => fail(
+          s"INSERT (`$t`) VALUES (`${other.sql}`): only same-name source " +
+          "columns are supported — use INSERT * or shape the USING subquery")
+      }
+      t
+    }
+    val missing = schema.fieldNames.filterNot(f => targets.exists(_.equalsIgnoreCase(f)))
+    if (missing.nonEmpty) fail(
+      s"INSERT must cover every table column; missing ${missing.mkString(", ")}")
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"graftlog SQL: $msg")
+}
