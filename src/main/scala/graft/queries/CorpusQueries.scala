@@ -549,6 +549,70 @@ object CorpusQueries {
         "doc_id", "text", "source")
     },
 
+    // ── The logged table through STANDARD Spark batch APIs: built with
+    // `df.write.format("graftlog")`, read back with
+    // `spark.read.format("graftlog")` plus a selective range predicate
+    // that Catalyst pushes into the GraftLogFileIndex (log-stats file
+    // skipping — the zero-I/O decision GraftLogBatchSpec proves against
+    // destroyed file bytes; here the oracle proves the surviving plan
+    // is value-exact). ────────────────────────────────────────────────
+    Q(
+      "store_batch_relation",
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS content_digest
+         |FROM documents WHERE doc_id BETWEEN 100 AND 299
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val a = docs(s, dir).select("doc_id", "source", "text")
+      val table = "/tmp/graft_state/batch_relation_docs"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      a.filter(col("doc_id") % 2 === 0)
+        .write.format("graftlog").mode("append").save(table)
+      a.filter(col("doc_id") % 2 === 1)
+        .write.format("graftlog").mode("append").save(table)
+      s.read.format("graftlog").load(table)
+        .where(col("doc_id").between(100, 299))
+        .withColumn("h", Hashing.rowDigest(col("doc_id"), col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
+    },
+
+    // ── SaveMode.Overwrite as an atomic logged replace + versionAsOf
+    // time travel through the same reader: latest must be the
+    // overwrite's slice, versionAsOf=1 the ORIGINAL first append —
+    // replaced data stays reachable, per-snapshot digests prove both
+    // value-exact. ────────────────────────────────────────────────────
+    Q(
+      "store_batch_overwrite_travel",
+      s"""WITH snaps AS (
+         |  SELECT 'latest' AS snap, doc_id, text
+         |  FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT 'v1', doc_id, text
+         |  FROM documents WHERE doc_id % 2 = 0)
+         |SELECT snap, CAST(count(*) AS BIGINT) AS n_docs,
+         |  bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS content_digest
+         |FROM snaps GROUP BY 1""".stripMargin) { (s, dir) =>
+      val a = docs(s, dir).select("doc_id", "source", "text")
+      val table = "/tmp/graft_state/batch_overwrite_docs"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      a.filter(col("doc_id") % 2 === 0)
+        .write.format("graftlog").mode("append").save(table)
+      a.filter(col("doc_id") % 5 === 0)
+        .write.format("graftlog").mode("overwrite").save(table)
+      val latest = s.read.format("graftlog").load(table)
+        .withColumn("snap", lit("latest"))
+      val v1 = s.read.format("graftlog").option("versionAsOf", 1).load(table)
+        .withColumn("snap", lit("v1"))
+      latest.unionByName(v1)
+        .withColumn("h", Hashing.rowDigest(col("doc_id"), col("text")))
+        .groupBy("snap")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
+    },
+
     // ── Change feed through the commit log: rows added per commit in
     // (since, latest], tagged with the commit version — the
     // incremental-consumption primitive (Delta CDF's insert feed). The

@@ -1,7 +1,8 @@
 package graft.sources
 
 import graft.store.CommitLog
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, RelationProvider, SchemaRelationProvider}
 import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -46,10 +47,29 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * reads only the files its version range committed, so a caught-up
   * consumer does increment-sized work per trigger regardless of table
   * size. */
-class GraftLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
+class GraftLogStreamProvider extends StreamSourceProvider with DataSourceRegister
+    with RelationProvider with SchemaRelationProvider
+    with CreatableRelationProvider {
   import GraftLogStreamProvider._
 
   override def shortName(): String = "graftlog"
+
+  // ── batch surface (see GraftLogBatch): snapshot reads with
+  // log-stats file skipping + time travel, logged writes ─────────────
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    GraftLogBatch.relation(sqlContext.sparkSession, parameters, None)
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String], schema: StructType): BaseRelation =
+    GraftLogBatch.relation(sqlContext.sparkSession, parameters, Some(schema))
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    GraftLogBatch.write(sqlContext.sparkSession, mode, parameters, data)
+    GraftLogBatch.relation(sqlContext.sparkSession, parameters, None)
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,

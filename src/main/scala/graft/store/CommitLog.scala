@@ -108,7 +108,7 @@ object CommitLog {
     * carry the suffixes, so stats survive pruneLog like the ledgers
     * do. Consumers: the merge/delete match probe skips files from the
     * LOG instead of paying one footer read per live file. */
-  private[store] def liveFilesWithStats(spark: SparkSession, tablePath: String,
+  private[graft] def liveFilesWithStats(spark: SparkSession, tablePath: String,
       asOf: Long = Long.MaxValue): (Long, Seq[(String, Option[String])]) = {
     val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
     val fs = fsOf(spark, log)
@@ -446,19 +446,23 @@ object CommitLog {
   }
 
   /** Column statistics of a just-landed parquet file as a one-line
-    * JSON object `{"col":[min,max],…}` — NUMERIC top-level columns
-    * only (strings would need Delta's truncate-and-successor encoding;
-    * numeric keys are what the match probe prunes on). Values are
-    * aggregated across row groups from the footer the writer just
-    * produced — one footer read per NEW file at WRITE time, so reads
-    * and probes never pay per-live-file footer I/O (the Delta
-    * stats-in-add-action pattern). None when nothing is statable or
-    * the footer is unreadable (stats are an optimization, never a
-    * correctness input). */
+    * JSON object `{"col":[min,max],…}` — numeric AND string top-level
+    * columns (strings use the truncate-and-successor bound encoding,
+    * so a long value costs bounded log bytes while the recorded pair
+    * stays a valid envelope). Values are aggregated across row groups
+    * from the footer the writer just produced — one footer read per
+    * NEW file at WRITE time, so reads and probes never pay
+    * per-live-file footer I/O (the Delta stats-in-add-action
+    * pattern). Columns whose physical stats do not mean what a reader
+    * would compare them as ABSTAIN rather than lie: decimals
+    * (unscaled ints), non-micros timestamps, unsigned ints. None when
+    * nothing is statable or the footer is unreadable (stats are an
+    * optimization, never a correctness input). */
   private[store] def footerStatsJson(
       conf: org.apache.hadoop.conf.Configuration,
       p: org.apache.hadoop.fs.Path): Option[String] = {
     import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -469,41 +473,139 @@ object CommitLog {
         // dropped the moment ANY row group lacks usable stats
         var acc = Map.empty[String, (Any, Any)]
         var dead = Set.empty[String]
-        def fold(name: String, mn: Any, mx: Any): Unit = {
+        def fold(name: String, mn: Any, mx: Any): Boolean = {
           acc.get(name) match {
-            case None => acc += name -> ((mn, mx))
+            case None => acc += name -> ((mn, mx)); true
             case Some((m0, m1)) =>
-              val lo = if (numCmp(mn, m0).exists(_ < 0)) mn else m0
-              val hi = if (numCmp(mx, m1).exists(_ > 0)) mx else m1
-              acc += name -> ((lo, hi))
+              (statCmp(mn, m0), statCmp(mx, m1)) match {
+                case (Some(a), Some(b)) =>
+                  acc += name -> ((if (a < 0) mn else m0, if (b > 0) mx else m1))
+                  true
+                case _ => false // mixed/incomparable across row groups
+              }
           }
         }
         blocks.foreach { b =>
           b.getColumns.asScala.foreach { c =>
             val name = c.getPath.toDotString
-            if (!name.contains('.') && !dead(name)) {
+            // names with '"' or '\' cannot round-trip the one-line JSON
+            if (!name.exists(ch => ch == '.' || ch == '"' || ch == '\\') &&
+                !dead(name)) {
               val st = c.getStatistics
               val ok = st != null && st.hasNonNullValue
+              val ann = c.getPrimitiveType.getLogicalTypeAnnotation
               val v: Option[(Any, Any)] =
                 if (!ok) None
-                else (st.genericGetMin(), st.genericGetMax()) match {
-                  case (mn: java.lang.Number, mx: java.lang.Number)
-                      if statableNumber(mn) && statableNumber(mx) => Some((mn, mx))
-                  case _ => None // strings/binary/NaN: footer fallback territory
+                else ann match {
+                  // decimals: footer min/max are UNSCALED physical
+                  // ints — emitting them would invite a scale-blind
+                  // compare (see numCmp's BigDecimal guard)
+                  case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                    None
+                  // readers interpret INT64 timestamp bounds as
+                  // MICROS (Spark's write unit); a millis/nanos file
+                  // must abstain, not lie by three orders of magnitude
+                  case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                      if t.getUnit != LogicalTypeAnnotation.TimeUnit.MICROS =>
+                    None
+                  case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+                      if !i.isSigned => None // sign-blind Int box
+                  case _ =>
+                    (st.genericGetMin(), st.genericGetMax()) match {
+                      case (mn: java.lang.Number, mx: java.lang.Number)
+                          if statableNumber(mn) && statableNumber(mx) =>
+                        Some((mn, mx))
+                      case (mn: org.apache.parquet.io.api.Binary,
+                            mx: org.apache.parquet.io.api.Binary)
+                          if ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                        statsUpperBound(mx.toStringUsingUTF8).map(hi =>
+                          (statsLowerBound(mn.toStringUsingUTF8), hi))
+                      case _ => None // raw binary/NaN: footer fallback
+                    }
                 }
               v match {
-                case Some((mn, mx)) => fold(name, mn, mx)
-                case None => dead += name; acc -= name
+                case Some((mn, mx)) if fold(name, mn, mx) => ()
+                case _ => dead += name; acc -= name
               }
             }
           }
         }
         if (acc.isEmpty) None
         else Some(acc.toSeq.sortBy(_._1).map { case (n, (mn, mx)) =>
-          "\"" + n + "\":[" + mn + "," + mx + "]"
+          def emit(v: Any): String = v match {
+            case s: String => jsonQuote(s)
+            case other => other.toString
+          }
+          "\"" + n + "\":[" + emit(mn) + "," + emit(mx) + "]"
         }.mkString("{", ",", "}"))
       } finally reader.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** String-stats bound encoding (Delta's truncate-and-successor): a
+    * value at most [[StatsStringCap]] UTF-16 units records exactly;
+    * a longer MIN truncates at a code-point boundary (a prefix is ≤
+    * the full string in unsigned UTF-8 order, so still a lower
+    * bound), and a longer MAX truncates then increments its last code
+    * point to the next valid one (skipping the surrogate gap,
+    * carrying past U+10FFFF), producing a string strictly above
+    * EVERY value sharing the prefix. None = no finite successor
+    * exists (all-maximal prefix) — the column abstains. */
+  private[store] val StatsStringCap = 64
+  private[store] def statsLowerBound(s: String): String =
+    if (s.length <= StatsStringCap) s
+    else {
+      val n = if (Character.isHighSurrogate(s.charAt(StatsStringCap - 1)))
+        StatsStringCap - 1 else StatsStringCap
+      s.substring(0, n)
+    }
+  private[store] def statsUpperBound(s: String): Option[String] =
+    if (s.length <= StatsStringCap) Some(s)
+    else {
+      val cps = statsLowerBound(s).codePoints().toArray
+      var n = cps.length
+      while (n > 0 && cps(n - 1) >= 0x10FFFF) n -= 1
+      if (n == 0) None
+      else {
+        val c = cps(n - 1)
+        cps(n - 1) = if (c == 0xD7FF) 0xE000 else c + 1
+        Some(new String(cps, 0, n))
+      }
+    }
+
+  /** Minimal JSON string escaping for the one-line stats object: the
+    * quote, the backslash, and control characters (which covers the
+    * commit layer's no-newline invariant). */
+  private def jsonQuote(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"').toString
+  }
+
+  private def jsonUnquote(q: String): String = {
+    val s = q.substring(1, q.length - 1)
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case 'n' => b.append('\n'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case other => b.append(other); i += 2 // covers \" and \\
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
   }
 
   /** Numeric, finite, and JSON-emittable (quote-free column name is
@@ -521,7 +623,7 @@ object CommitLog {
     * supplementary-plane code points (U+10000+ sort BELOW U+E000..FFFF
     * in UTF-16 but ABOVE them in UTF-8), so stats pruning must never
     * use it: a wrongly-skipped file is a silently lost merge row. */
-  private[store] def utf8UnsignedCmp(a: String, b: String): Int = {
+  private[graft] def utf8UnsignedCmp(a: String, b: String): Int = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val n = math.min(x.length, y.length)
@@ -538,23 +640,46 @@ object CommitLog {
     * BigDecimal of the decimal rendering, so 2^63-scale longs never
     * lose precision to a double round trip. None = not numbers. */
   private[store] def numCmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    // a DecimalType envelope value is a java.math.BigDecimal — and a
+    // java.lang.Number — while decimal FOOTER stats are UNSCALED
+    // physical ints; a numeric compare across that pair is scale-blind
+    // (1.00 vs unscaled 100) and would prune files that DO match,
+    // turning a merge update into a silent duplicate insert. Decimals
+    // are incomparable evidence here by construction.
+    case (_: java.math.BigDecimal, _) | (_, _: java.math.BigDecimal) => None
     case (x: java.lang.Number, y: java.lang.Number) =>
       try Some(BigDecimal(x.toString).compare(BigDecimal(y.toString)))
       catch { case _: NumberFormatException => None } // NaN/Infinity boxes
     case _ => None
   }
 
+  /** Ordering across log-carried stats values and source envelope
+    * values: numbers exactly ([[numCmp]]), strings in parquet's
+    * unsigned UTF-8 order. None = incomparable — never evidence. */
+  private[graft] def statCmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: String, y: String) => Some(utf8UnsignedCmp(x, y))
+    case _ => numCmp(a, b)
+  }
+
   /** Parse a `footerStatsJson` line back to col → (min, max); numbers
-    * come back as Long when integral, Double otherwise. Malformed
-    * input parses to empty (keep-on-uncertainty). */
-  private[store] def parseStatsJson(json: String): Map[String, (Any, Any)] =
-    StatsEntryRe.findAllMatchIn(json).map { m =>
-      def num(s: String): Any =
-        if (s.exists(c => c == '.' || c == 'e' || c == 'E')) s.toDouble else s.toLong
-      m.group(1) -> ((num(m.group(2)), num(m.group(3))))
+    * come back as Long when integral, Double otherwise; quoted values
+    * unescape to String. Malformed entries parse away to nothing
+    * (keep-on-uncertainty). The key pattern rejects backslashes, so a
+    * quote ESCAPED inside a string value (always emitted as `\"`) can
+    * never frame a fake entry under a clean column name — the escape
+    * backslash would be captured into the would-be key. */
+  private[graft] def parseStatsJson(json: String): Map[String, (Any, Any)] =
+    StatsEntryRe.findAllMatchIn(json).flatMap { m =>
+      def v(s: String): Any =
+        if (s.startsWith("\"")) jsonUnquote(s)
+        else if (s.exists(c => c == '.' || c == 'e' || c == 'E')) s.toDouble
+        else s.toLong
+      scala.util.Try(m.group(1) -> ((v(m.group(2)), v(m.group(3))))).toOption
     }.toMap
+  private val StatsValuePat = """"(?:[^"\\]|\\.)*"|[^,\]"]+"""
   private val StatsEntryRe =
-    """"([^"]+)":\[([^,\]]+),([^\]]+)\]""".r
+    (""""([^"\\]+)":\[(""" + StatsValuePat + """),(""" +
+      StatsValuePat + """)\]""").r
 
   /** Land a staged parquet write's part files in the table directory
     * under writer-unique names (still uncommitted — invisible until
@@ -639,6 +764,40 @@ object CommitLog {
     val names = landStaged(fs, dir, staging, writerId)
     commit(spark, tablePath, adds = names, publisher = publisher, opTag = opTag,
       addStats = statsFor(spark, tablePath, names), schemaJson = evolved)
+  }
+
+  /** Logged full-table replace (SaveMode.Overwrite): land the frame's
+    * files and publish them WITH the removal of every currently-live
+    * file in ONE commit — readers switch atomically from the old table
+    * to the new, and time travel still reaches the replaced versions.
+    * The commit is op-tagged, so a change-feed consumer crossing it
+    * stops LOUDLY (FeedGapException → re-bootstrap from a snapshot)
+    * instead of replaying an insert-only fiction of a replaced table.
+    * A concurrent append serializes before (its rows are replaced) or
+    * after (its rows survive) this commit; a concurrent rewrite
+    * conflicts and one side fails loudly (the remove-validation
+    * contract). When a schema ledger exists and the new frame's shape
+    * differs, the ledger is restamped in the same commit — after a
+    * replace the table simply IS the new frame's shape. */
+  def overwrite(df: DataFrame, tablePath: String,
+      publisher: AtomicPublisher = RenameOrLinkPublisher,
+      writeOptions: Map[String, String] = Map.empty): Long = {
+    val spark = df.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = fsOf(spark, dir)
+    val (version, live) = liveFiles(spark, tablePath)
+    val restamp: Option[String] = schemaAt(spark, tablePath) match {
+      case Some(cur) if !sameShape(cur, df.schema) => Some(df.schema.json)
+      case _ => None
+    }
+    val writerId = freshWriterId("w")
+    val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
+    df.write.options(writeOptions).parquet(staging.toString)
+    val names = landStaged(fs, dir, staging, writerId)
+    if (names.isEmpty && live.isEmpty) return version // nothing to publish
+    commit(spark, tablePath, adds = names, removes = live,
+      publisher = publisher, opTag = Some("overwrite"),
+      addStats = statsFor(spark, tablePath, names), schemaJson = restamp)
   }
 
   /** [[append]] with the zombie-fencing hook of [[commitOrAbort]]:
@@ -1080,7 +1239,11 @@ object CommitLog {
         case Some(stats) if keyCols.forall(stats.contains) =>
           val possible = keyCols.zipWithIndex.forall { case (k, i) =>
             val (lo, hi) = stats(k)
-            (numCmp(srcMax(i), lo), numCmp(srcMin(i), hi)) match {
+            // statCmp: numeric keys exactly, string keys in unsigned
+            // UTF-8 order against the log's truncate-and-successor
+            // bounds (lo is a valid lower bound, hi a valid upper
+            // bound, so the disjointness test stays conservative)
+            (statCmp(srcMax(i), lo), statCmp(srcMin(i), hi)) match {
               case (Some(a), Some(b)) => a >= 0 && b <= 0
               case _ => true // incomparable: not evidence
             }

@@ -41,4 +41,13 @@ object StreamingShim {
     * statement's plan tree. */
   def planOf(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[ClassicDataset[Row]].queryExecution.analyzed
+
+  /** Catalyst predicate → public `sources.Filter`, Spark's own
+    * translation (`protected[sql]` on DataSourceStrategy for no deeper
+    * reason than the constructors above). The GraftLogFileIndex prunes
+    * files against exactly what a FileSourceScan would push down. */
+  def translateFilter(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
 }
