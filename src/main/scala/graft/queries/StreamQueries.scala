@@ -252,6 +252,53 @@ object StreamQueries {
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
     },
 
+    // ── The SAME exactly-once guarantee through the registered SINK
+    // (`writeStream.format("graftlog")`): documents stream into the
+    // logged table, the newest Spark checkpoint commit is DELETED
+    // (the crash window: sink commit durable, offset commit lost), and
+    // the restarted query replays the batch — the txn ledger must
+    // fence it to a no-op. Shares stream_logged_sink's oracle: the
+    // finished table holds every document exactly once. ───────────────
+    Q(
+      "stream_sink_format",
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS content_digest
+         |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.store.CommitLog
+      import org.apache.spark.sql.streaming.Trigger
+      val table = "/tmp/graft_state/sink_format_docs"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      val ckpt = Files.createTempDirectory("graft_ckpt_sinkfmt").toString
+      def run(): Unit =
+        StreamingJobs.tableStream(s, dir, "documents", maxFilesPerTrigger = 2)
+          .select(col("doc_id"), col("source"), col("text"))
+          .writeStream.format("graftlog")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start(table)
+          .awaitTermination()
+      run()
+      val commits = fs.listStatus(
+          new org.apache.hadoop.fs.Path(ckpt, "commits"))
+        .map(_.getPath).filterNot(_.getName.startsWith("."))
+        .sortBy(_.getName)
+      fs.delete(commits.last, false)
+      run() // replays the last batch; the ledger fences the duplicate
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      CommitLog.read(s, table, schema)
+        .withColumn("h", graft.core.Hashing.rowDigest(col("doc_id"), col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
+    },
+
     // ── Logged table as a STREAMING SOURCE (CDC round trip): the engine
     // streams documents INTO a logged table over four versions (two
     // appends, a DELETE WHERE, a MERGE), then a downstream consumer

@@ -4,10 +4,11 @@ import graft.store.CommitLog
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, RelationProvider, SchemaRelationProvider}
 import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graft.StreamingShim
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** The logged table as a STANDARD Spark streaming source:
@@ -49,10 +50,36 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * size. */
 class GraftLogStreamProvider extends StreamSourceProvider with DataSourceRegister
     with RelationProvider with SchemaRelationProvider
-    with CreatableRelationProvider {
+    with CreatableRelationProvider with StreamSinkProvider {
   import GraftLogStreamProvider._
 
   override def shortName(): String = "graftlog"
+
+  // ── streaming SINK: `df.writeStream.format("graftlog")` ────────────
+  // Append mode lands every micro-batch through the txn= ledger
+  // (CommitLog.appendOnce keyed on Spark's own streaming query id +
+  // batch id), so a batch whose offset commit was lost to a crash
+  // replays as a NO-OP — exactly-once into the logged table with
+  // Spark's checkpoint as the only extra state. Complete mode maps
+  // each emitted result to an atomic full replace
+  // (CommitLog.overwrite) — replay-idempotent by construction, the
+  // natural landing for streaming aggregations. Update mode needs a
+  // keyed upsert; that is foreachBatch + CdcStream.applyChangesOnce
+  // territory, refused here with directions rather than half-done.
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graftlog sink does not support partitionBy — cluster with " +
+        "compaction (Z-order) instead; stats pruning replaces partition dirs")
+    val path = pathOf(parameters)
+    if (outputMode == OutputMode.Append()) new GraftLogSink(path, complete = false)
+    else if (outputMode == OutputMode.Complete()) new GraftLogSink(path, complete = true)
+    else throw new IllegalArgumentException(
+      s"graftlog sink supports Append (exactly-once ledger append) and " +
+        s"Complete (atomic overwrite per trigger); got $outputMode — for " +
+        "Update-mode keyed upserts use foreachBatch + CdcStream.applyChangesOnce")
+  }
 
   // ── batch surface (see GraftLogBatch): snapshot reads with
   // log-stats file skipping + time travel, logged writes ─────────────
@@ -181,4 +208,30 @@ class GraftLogSource(spark: SparkSession, tablePath: String,
   override def stop(): Unit = ()
 
   override def toString: String = s"GraftLogSource[$tablePath]"
+}
+
+/** See [[GraftLogStreamProvider.createSink]]. The addBatch frame is
+  * re-wrapped as a batch plan (StreamingShim.asBatch — the V1-sink
+  * bridge) so the commit-log writer can land it; the query id rides
+  * the `sql.streaming.queryId` local property StreamExecution sets on
+  * the addBatch thread, stable across restarts from one checkpoint. */
+class GraftLogSink(tablePath: String, complete: Boolean) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = StreamingShim.asBatch(data)
+    if (complete) {
+      CommitLog.overwrite(batch, tablePath)
+      ()
+    } else {
+      val queryId = data.sparkSession.sparkContext
+        .getLocalProperty("sql.streaming.queryId")
+      require(queryId != null,
+        "graftlog sink: no sql.streaming.queryId on the addBatch thread — " +
+          "not running inside a streaming query?")
+      CommitLog.appendOnce(batch, tablePath, queryId, batchId)
+      ()
+    }
+  }
+
+  override def toString: String = s"GraftLogSink[$tablePath]"
 }

@@ -986,6 +986,10 @@ object CommitLog {
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
     df.write.parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
+    // an EMPTY batch publishes nothing and records nothing: the ledger
+    // not advancing is safe because replaying an empty batch is a
+    // no-op, and "empty commit" is a protocol violation
+    if (names.isEmpty) return None
     commitOrAbort(spark, tablePath, adds = names, removes = Seq.empty,
       publisher = publisher, opTag = Some(s"txn=$queryId:$batchId"),
       abortOnLostRace = () => batchId <= lastTxnBatch(spark, tablePath, queryId),

@@ -42,6 +42,19 @@ object StreamingShim {
   def planOf(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[ClassicDataset[Row]].queryExecution.analyzed
 
+  /** The inverse bridge for a V1 streaming SINK: the DataFrame
+    * `Sink.addBatch` receives carries the incremental streaming plan,
+    * and re-planning it through a batch writer (`df.write...`) trips
+    * the "streaming sources must be executed with writeStream" check.
+    * Re-wrap its already-planned RDD as a plain batch frame — same
+    * rows, lazy, codegen intact — exactly what the pre-merge Delta
+    * sink did. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[ClassicSession]
+    val rdd = df.asInstanceOf[ClassicDataset[Row]].queryExecution.toRdd
+    spark.internalCreateDataFrame(rdd, df.schema, isStreaming = false)
+  }
+
   /** Catalyst predicate → public `sources.Filter`, Spark's own
     * translation (`protected[sql]` on DataSourceStrategy for no deeper
     * reason than the constructors above). The GraftLogFileIndex prunes
