@@ -179,6 +179,32 @@ object SqlPassthrough {
       run(s, dir, MergeIntoResultSql)
     },
 
+    // ── INSERT INTO / INSERT OVERWRITE from RAW SQL (GraftSql): the
+    // DML triad's last verb. Positional INSERT appends a third of the
+    // docs through the commit log; a COLUMN-LIST insert omits `text`
+    // (null-filled — n_null_text pins it); the digest runs over
+    // coalesced text so the null-filled rows are value-checked too. ───
+    Q("sql_insert_into", insertIntoOracle) { (s, dir) =>
+      import graft.store.{CommitLog, GraftSql}
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "source", "text")
+      val fs = new org.apache.hadoop.fs.Path(InsertIntoTable)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(InsertIntoTable), true)
+      CommitLog.append(docs.filter(col("doc_id") % 3 === 0), InsertIntoTable,
+        mergeSchema = true)
+      docs.createOrReplaceTempView("insert_src")
+      GraftSql.execute(s,
+        s"""INSERT INTO graftlog.`$InsertIntoTable`
+           |SELECT doc_id, source, text FROM insert_src
+           |WHERE doc_id % 3 = 1""".stripMargin)
+      GraftSql.execute(s,
+        s"""INSERT INTO graftlog.`$InsertIntoTable` (doc_id, source)
+           |SELECT doc_id, source FROM insert_src
+           |WHERE doc_id % 3 = 2""".stripMargin)
+      run(s, dir, InsertIntoResultSql)
+    },
+
     // ── The CDC change feed from RAW SQL (graft_log_changes TVF): the
     // logged mirror gains two thirds of the docs at v1/v2, a
     // COMPACTION rewrites at v3 (must feed nothing), the last third
@@ -229,6 +255,29 @@ object SqlPassthrough {
        |  CAST(bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS BIGINT)
        |    AS content_digest
        |FROM merged GROUP BY source""".stripMargin
+
+  private val InsertIntoTable = "/tmp/graft_state/sql_insert_docs"
+
+  private val sparkRowDigestNullSafe =
+    "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '|', " +
+      "coalesce(text, '~'))), 1, 15), 16, 10) AS BIGINT)"
+
+  val InsertIntoResultSql: String =
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(CASE WHEN text IS NULL THEN 1 END) AS BIGINT) AS n_null_text,
+       |  CAST(bit_xor($sparkRowDigestNullSafe) AS BIGINT) AS content_digest
+       |FROM graft_log('$InsertIntoTable') GROUP BY source""".stripMargin
+
+  private def insertIntoOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, text FROM documents WHERE doc_id % 3 <> 2
+       |  UNION ALL
+       |  SELECT doc_id, source, NULL AS text FROM documents WHERE doc_id % 3 = 2)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(CASE WHEN text IS NULL THEN 1 END) AS BIGINT) AS n_null_text,
+       |  CAST(bit_xor(${OracleSnippets.rowDigestSql("doc_id", "coalesce(text, '~')")})
+       |    AS BIGINT) AS content_digest
+       |FROM t GROUP BY source""".stripMargin
 
   private val LogChangesTable = "/tmp/graft_state/sql_log_changes_docs"
 

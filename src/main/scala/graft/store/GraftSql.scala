@@ -3,7 +3,7 @@ package graft.store
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction}
 import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.graft.StreamingShim
 import org.apache.spark.sql.types.StructType
@@ -78,6 +78,11 @@ object GraftSql {
           case Some((path, _)) => runDelete(spark, d, path)
           case None => spark.sql(sql)
         }
+      case i: InsertIntoStatement =>
+        pathOf(i.table) match {
+          case Some((path, _)) => runInsert(spark, i, path)
+          case None => spark.sql(sql)
+        }
       case _ => spark.sql(sql)
     }
 
@@ -122,6 +127,69 @@ object GraftSql {
     val predicate = targetColumn(d.condition, alias,
       where = "DELETE WHERE condition")
     val v = CommitLog.deleteWhere(spark, path, schemaOf(spark, path), predicate)
+    result(spark, path, v)
+  }
+
+  // ── INSERT ────────────────────────────────────────────────────────
+
+  /** `INSERT INTO` appends through the commit log; `INSERT OVERWRITE`
+    * is the atomic full replace. Column matching follows SQL INSERT:
+    * an explicit column list (or `BY NAME`) matches by name — columns
+    * left out null-fill; otherwise positional, requiring the table's
+    * arity, cast to the table's types. The query side resolves through
+    * the session with `graftlog` relations spliced, so
+    * `INSERT INTO graftlog.`/a` SELECT * FROM graftlog.`/b`` works. */
+  private def runInsert(spark: SparkSession, i: InsertIntoStatement,
+      path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(i.partitionSpec.isEmpty && !i.ifPartitionNotExists,
+      "logged tables have no partition dirs — cluster with compaction " +
+        "(Z-order); stats pruning replaces partition pruning")
+    val q = StreamingShim.ofRows(spark, resolveLoggedRelations(spark, i.query))
+    // INSERT into a table with no commits yet BOOTSTRAPS it: the query's
+    // shape becomes the table's, stamped into the schema ledger (the
+    // CTAS-flavored path — there is no separate CREATE TABLE verb)
+    if (CommitLog.latestVersion(spark, path) == 0) {
+      require(i.userSpecifiedCols.isEmpty,
+        s"INSERT column list into EMPTY logged table $path — the table has " +
+          "no schema to null-fill against; insert the full row shape first")
+      val v = if (i.overwrite) CommitLog.overwrite(q, path)
+        else CommitLog.append(q, path, mergeSchema = true)
+      return result(spark, path, v)
+    }
+    val schema = schemaOf(spark, path)
+    val byName = i.byName || i.userSpecifiedCols.nonEmpty
+    val aligned =
+      if (byName) {
+        val given: Seq[String] =
+          if (i.userSpecifiedCols.nonEmpty) i.userSpecifiedCols
+          else q.schema.fieldNames.toSeq
+        val unknown = given.filterNot(schema.fieldNames.contains)
+        require(unknown.isEmpty,
+          s"INSERT column(s) ${unknown.mkString(", ")} not in $path " +
+            s"(${schema.fieldNames.mkString(", ")})")
+        require(given.distinct.size == given.size,
+          s"duplicate INSERT column in ${given.mkString(", ")}")
+        require(q.schema.size == given.size,
+          s"INSERT column list has ${given.size} column(s) but the query " +
+            s"produces ${q.schema.size}")
+        val renamed = q.toDF(given: _*)
+        val missing = schema.filterNot(f => given.contains(f.name))
+        missing.foreach(f => require(f.nullable,
+          s"INSERT omits non-nullable column ${f.name} of $path"))
+        renamed.select(schema.fields.map(f =>
+          (if (given.contains(f.name)) col(f.name)
+           else lit(null)).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      } else {
+        require(q.schema.size == schema.size,
+          s"INSERT query produces ${q.schema.size} column(s); $path has " +
+            s"${schema.size} — name them with INSERT INTO ... (cols)")
+        q.toDF(schema.fieldNames.toIndexedSeq: _*)
+          .select(schema.fields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      }
+    val v = if (i.overwrite) CommitLog.overwrite(aligned, path)
+      else CommitLog.append(aligned, path)
     result(spark, path, v)
   }
 

@@ -234,6 +234,33 @@ class GraftLogBatchSpec extends SparkSpec {
       .columns.toSeq == Seq("id"))
   }
 
+  test("clustered compaction turns point queries into single-file reads") {
+    val t = freshTable()
+    // one shuffled append: every file's id range overlaps everything,
+    // so nothing could prune
+    spark.range(0, 4000)
+      .select((col("id") * 2654435761L % 4000).as("id")).repartition(4)
+      .write.format("graftlog").mode("append").save(t)
+    // range-cluster through the LOGGED compactor: the rewrite commits
+    // files with disjoint id ranges AND their stats in one version
+    val fs = fsOf(t)
+    val total = CommitLog.liveFiles(spark, t)._2.map(n =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(t, n)).getLen).sum
+    CommitLog.compact(spark, t, targetBytes = total / 4, clusterBy = Some("id"))
+    val (_, withStats) = CommitLog.liveFilesWithStats(spark, t)
+    assert(withStats.size >= 3 && withStats.forall(_._2.isDefined))
+    val keep = withStats.collect {
+      case (n, Some(js)) =>
+        val (lo, hi) = CommitLog.parseStatsJson(js)("id")
+        (n, lo.asInstanceOf[Long], hi.asInstanceOf[Long])
+    }.collect { case (n, lo, hi) if lo <= 5L && 5L <= hi => n }.toSet
+    assert(keep.size == 1, s"clustering left overlapping id ranges: $withStats")
+    assert(destroyAllBut(t, keep) == withStats.size - 1)
+    val sch = spark.range(0).toDF("id").schema
+    assert(spark.read.format("graftlog").schema(sch).load(t)
+      .where(col("id") === 5L).count() == 1)
+  }
+
   test("sizeInBytes reflects the live snapshot (broadcast sizing)") {
     val t = freshTable()
     spark.range(0, 1000).toDF("id")

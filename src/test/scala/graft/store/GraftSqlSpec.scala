@@ -114,6 +114,39 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("every table column"))
   }
 
+  test("INSERT INTO: positional, column-list null-fill, OVERWRITE, VALUES") {
+    val t = freshTable()
+    seed(t)
+    // positional insert through the log — arity-checked, cast to the
+    // table's types
+    val out = GraftSql.execute(spark,
+      s"INSERT INTO graftlog.`$t` VALUES (500, 'c9', 'new'), (501, 'c9', 'new')")
+    assert(out.as[(String, Long)].collect().toSeq == Seq((t, 2L)))
+    assert(CommitLog.read(spark, t, schema).count() == 102)
+    // column list: omitted nullable column null-fills
+    GraftSql.execute(spark,
+      s"INSERT INTO graftlog.`$t` (id, cat) VALUES (600, 'c8')")
+    val row600 = CommitLog.read(spark, t, schema)
+      .where(col("id") === 600).as[(Long, String, String)].collect()
+    assert(row600.toSeq == Seq((600L, "c8", null)))
+    // a SELECT source reading ANOTHER logged table
+    val t2 = freshTable()
+    GraftSql.execute(spark,
+      s"""INSERT OVERWRITE graftlog.`$t2`
+         |SELECT id, cat, v FROM graftlog.`$t` WHERE id >= 500""".stripMargin)
+    assert(CommitLog.read(spark, t2, schema).count() == 3)
+    // OVERWRITE replaces atomically
+    GraftSql.execute(spark, s"INSERT OVERWRITE graftlog.`$t2` VALUES (1, 'a', 'b')")
+    assert(CommitLog.read(spark, t2, schema).count() == 1)
+    // arity mismatch and unknown columns refuse loudly
+    val e1 = intercept[IllegalArgumentException](GraftSql.execute(spark,
+      s"INSERT INTO graftlog.`$t` VALUES (1, 'x')"))
+    assert(e1.getMessage.contains("column"))
+    val e2 = intercept[IllegalArgumentException](GraftSql.execute(spark,
+      s"INSERT INTO graftlog.`$t` (id, nope) VALUES (1, 'x')"))
+    assert(e2.getMessage.contains("nope"))
+  }
+
   test("unsupported grammar refuses loudly instead of mistranslating") {
     val t = freshTable()
     seed(t)
