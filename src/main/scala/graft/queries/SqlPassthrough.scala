@@ -205,6 +205,28 @@ object SqlPassthrough {
       run(s, dir, InsertIntoResultSql)
     },
 
+    // ── UPDATE … SET … WHERE from RAW SQL: the predicate-addressed
+    // copy-on-write rewrite (files without a matching row keep their
+    // identity; the oracle replays the SET expression relationally —
+    // the digest pins value-level update semantics, including that
+    // non-matching and null-predicate rows stay untouched). ───────────
+    Q("sql_update_where", updateWhereOracle) { (s, dir) =>
+      import graft.store.{CommitLog, GraftSql}
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "source", "text")
+      val fs = new org.apache.hadoop.fs.Path(UpdateWhereTable)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(UpdateWhereTable), true)
+      CommitLog.append(docs.filter(col("doc_id") % 2 === 0), UpdateWhereTable,
+        mergeSchema = true)
+      CommitLog.append(docs.filter(col("doc_id") % 2 === 1), UpdateWhereTable)
+      GraftSql.execute(s,
+        s"""UPDATE graftlog.`$UpdateWhereTable`
+           |SET text = concat('edited: ', text)
+           |WHERE doc_id % 6 = 1""".stripMargin)
+      run(s, dir, UpdateWhereResultSql)
+    },
+
     // ── The CDC change feed from RAW SQL (graft_log_changes TVF): the
     // logged mirror gains two thirds of the docs at v1/v2, a
     // COMPACTION rewrites at v3 (must feed nothing), the last third
@@ -277,6 +299,23 @@ object SqlPassthrough {
        |  CAST(count(CASE WHEN text IS NULL THEN 1 END) AS BIGINT) AS n_null_text,
        |  CAST(bit_xor(${OracleSnippets.rowDigestSql("doc_id", "coalesce(text, '~')")})
        |    AS BIGINT) AS content_digest
+       |FROM t GROUP BY source""".stripMargin
+
+  private val UpdateWhereTable = "/tmp/graft_state/sql_update_docs"
+
+  val UpdateWhereResultSql: String =
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(bit_xor($sparkRowDigest) AS BIGINT) AS content_digest
+       |FROM graft_log('$UpdateWhereTable') GROUP BY source""".stripMargin
+
+  private def updateWhereOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 6 = 1 THEN 'edited: ' || text ELSE text END AS text
+       |  FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS BIGINT)
+       |    AS content_digest
        |FROM t GROUP BY source""".stripMargin
 
   private val LogChangesTable = "/tmp/graft_state/sql_log_changes_docs"

@@ -1049,6 +1049,67 @@ object CommitLog {
       addStats = statsFor(spark, tablePath, names))
   }
 
+  /** Row-level UPDATE … SET … WHERE — the predicate-addressed sibling
+    * of [[deleteWhere]] (an UPDATE is not a keyed merge: the rows it
+    * touches are named by a condition, not by source keys). Same
+    * copy-on-write shape: one pruning scan finds ONLY the files
+    * holding matching rows, those files rewrite with `assignments`
+    * applied to matching rows (everything else restates byte-value
+    * identical), and the swap publishes as ONE `#op=update` commit
+    * carrying CDC delete pre-images + insert post-images — readers
+    * see pre- or post-update, never a mix, and a keyed change-feed
+    * consumer replays the update exactly. Untouched files keep their
+    * identity. SQL semantics: rows where the predicate is TRUE
+    * update; false or NULL stay. Assignment expressions see the row's
+    * PRE-update columns (standard SQL UPDATE: `SET a = b, b = a`
+    * swaps) and cast to the column's declared type. Assignments
+    * should be deterministic — they evaluate once for the data write
+    * and once for the CDC post-images. */
+  def updateWhere(spark: SparkSession, tablePath: String, schema: StructType,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(assignments.nonEmpty, "UPDATE needs at least one SET assignment")
+    val unknown = assignments.keys.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty,
+      s"UPDATE SET references unknown column(s) ${unknown.mkString(", ")} " +
+        s"of $tablePath (${schema.fieldNames.mkString(", ")})")
+    val dir = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = fsOf(spark, dir)
+    val (version, files) = liveFiles(spark, tablePath)
+    if (files.isEmpty) return version
+    val paths = files.map(f => s"$tablePath/$f")
+    val affected = spark.read.schema(schema).parquet(paths: _*)
+      .filter(predicate)
+      .select(col("_metadata.file_name")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (affected.isEmpty) return version // nothing matched: no new version
+    val affectedDf = spark.read.schema(schema)
+      .parquet(affected.map(f => s"$tablePath/$f"): _*)
+    val hit = coalesce(predicate, lit(false))
+    // post-image projection over the PRE-update row (all assignments
+    // read the original columns — the SQL simultaneous-SET rule)
+    val post = schema.fields.map(f =>
+      assignments.get(f.name)
+        .map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))).toIndexedSeq
+    val rewritten = schema.fields.map(f =>
+      when(hit, assignments.get(f.name).map(_.cast(f.dataType))
+        .getOrElse(col(f.name))).otherwise(col(f.name)).as(f.name)).toIndexedSeq
+    val writerId = freshWriterId("w")
+    val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
+    affectedDf.select(rewritten: _*).write.parquet(staging.toString)
+    val names = landStaged(fs, dir, staging, writerId)
+    val cdcNames = landChangeFiles(spark, tablePath,
+      affectedDf.filter(predicate)
+        .withColumn(ChangeTypeCol, lit("delete"))
+        .unionByName(affectedDf.filter(predicate).select(post: _*)
+          .withColumn(ChangeTypeCol, lit("insert"))))
+    commit(spark, tablePath, adds = names, removes = affected,
+      publisher = publisher, opTag = Some("update"), changeAdds = cdcNames,
+      addStats = statsFor(spark, tablePath, names))
+  }
+
   /** Column name the change feed uses to label each fed row's kind
     * (`insert` | `delete`); an UPDATE surfaces as its delete pre-image
     * plus its insert post-image in one commit — the minimal vocabulary

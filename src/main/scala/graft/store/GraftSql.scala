@@ -3,7 +3,7 @@ package graft.store
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.graft.StreamingShim
 import org.apache.spark.sql.types.StructType
@@ -65,8 +65,36 @@ object GraftSql {
   val Catalog = "graftlog"
 
   /** Run `sql`: storage statements against ``graftlog.`path` `` targets
-    * execute through the commit log; everything else is `spark.sql`. */
-  def execute(spark: SparkSession, sql: String): DataFrame =
+    * execute through the commit log; everything else is `spark.sql`.
+    * Two MAINTENANCE verbs Spark's grammar lacks are recognized up
+    * front (the Delta OPTIMIZE/VACUUM shapes):
+    * ``OPTIMIZE graftlog.`p` [TARGET <bytes>] [ZORDER BY (a, b, …)]``
+    * and ``VACUUM graftlog.`p` [RETAIN <n> HOURS]``. */
+  def execute(spark: SparkSession, sql: String): DataFrame = sql match {
+    case OptimizeRe(path, target, zcols) =>
+      val bytes = Option(target).map(_.toLong).getOrElse(DefaultOptimizeBytes)
+      val cluster = Option(zcols).map(_.split(',').map(_.trim)
+        .filter(_.nonEmpty).mkString(","))
+      result(spark, path,
+        CommitLog.compact(spark, path, bytes, clusterBy = cluster))
+    case VacuumRe(path, hours) =>
+      val ageMs = Option(hours).map(_.toLong * 3600000L)
+        .getOrElse(DefaultVacuumRetainMs)
+      val swept = CommitLog.vacuum(spark, path, minAgeMs = ageMs)
+      import spark.implicits._
+      Seq((path, swept.size.toLong)).toDF("table", "n_reclaimed")
+    case _ => executeParsed(spark, sql)
+  }
+
+  private val OptimizeRe =
+    ("""(?is)\s*OPTIMIZE\s+graftlog\s*\.\s*`([^`]+)`""" +
+      """(?:\s+TARGET\s+(\d+))?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*""").r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+graftlog\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*""".r
+  private val DefaultOptimizeBytes = 128L * 1024 * 1024
+  private val DefaultVacuumRetainMs = 7L * 24 * 3600000L // Delta's default
+
+  private def executeParsed(spark: SparkSession, sql: String): DataFrame =
     spark.sessionState.sqlParser.parsePlan(sql) match {
       case m: MergeIntoTable =>
         pathOf(m.targetTable) match {
@@ -83,8 +111,45 @@ object GraftSql {
           case Some((path, _)) => runInsert(spark, i, path)
           case None => spark.sql(sql)
         }
+      case u: UpdateTable =>
+        pathOf(u.table) match {
+          case Some((path, _)) => runUpdate(spark, u, path)
+          case None => spark.sql(sql)
+        }
       case _ => spark.sql(sql)
     }
+
+  // ── UPDATE ────────────────────────────────────────────────────────
+
+  /** `UPDATE graftlog.`p` SET col = expr, … [WHERE cond]` → the
+    * predicate-addressed copy-on-write rewrite. Unlike MERGE's SET
+    * (a column copy from the source row), a plain UPDATE's values are
+    * arbitrary expressions over the TARGET row — `SET v = concat(v,
+    * '!')` — rendered through the same alias-stripping as the DELETE
+    * predicate. No WHERE updates every row. */
+  private def runUpdate(spark: SparkSession, u: UpdateTable,
+      path: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val alias = aliasOf(u.table)
+    val predicate = u.condition
+      .map(targetColumn(_, alias, where = "UPDATE WHERE condition"))
+      .getOrElse(lit(true))
+    val sets: Map[String, Column] = u.assignments.map {
+      case Assignment(key: UnresolvedAttribute, value) =>
+        val target = key match {
+          case a if a.nameParts.length == 1 ||
+              alias.exists(a.nameParts.head.equalsIgnoreCase) => colName(a)
+          case other =>
+            fail(s"UPDATE SET target must be a target column, got `${other.name}`")
+        }
+        target -> targetColumn(value, alias, where = s"UPDATE SET `$target`")
+      case Assignment(other, _) =>
+        fail(s"UPDATE SET target must be a column, got `${other.sql}`")
+    }.toMap
+    val v = CommitLog.updateWhere(spark, path, schemaOf(spark, path),
+      predicate, sets)
+    result(spark, path, v)
+  }
 
   // ── target recognition ────────────────────────────────────────────
 

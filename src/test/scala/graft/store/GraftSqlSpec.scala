@@ -147,6 +147,52 @@ class GraftSqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("nope"))
   }
 
+  test("UPDATE SET with target-row expressions; simultaneous-SET rule; CDC images") {
+    val t = freshTable()
+    seed(t)
+    val out = GraftSql.execute(spark,
+      s"""UPDATE graftlog.`$t` AS t
+         |SET v = concat(t.v, '!'), cat = upper(cat)
+         |WHERE t.id % 10 = 3""".stripMargin)
+    assert(out.as[(String, Long)].collect().toSeq == Seq((t, 2L)))
+    val rows = CommitLog.read(spark, t, schema)
+      .as[(Long, String, String)].collect()
+      .map { case (i, c, v) => i -> ((c, v)) }.toMap
+    assert(rows.size == 100)
+    (0L until 100L).foreach { i =>
+      if (i % 10 == 3) assert(rows(i) == ((s"C${i % 5}", "old!")))
+      else assert(rows(i) == ((s"c${i % 5}", "old")))
+    }
+    // the change feed carries delete pre-images + insert post-images
+    val feed = CommitLog.changesSince(spark, t, 1L, schema)
+      .groupBy(CommitLog.ChangeTypeCol).count()
+      .as[(String, Long)].collect().toMap
+    assert(feed == Map("delete" -> 10L, "insert" -> 10L))
+    // WHERE-less UPDATE touches every row
+    GraftSql.execute(spark, s"UPDATE graftlog.`$t` SET v = 'all'")
+    assert(CommitLog.read(spark, t, schema)
+      .where(col("v") === "all").count() == 100)
+  }
+
+  test("OPTIMIZE and VACUUM verbs: clustered compaction + reclamation from SQL") {
+    val t = freshTable()
+    seed(t)
+    CommitLog.append(
+      (100L until 200L).map(i => (i, s"c${i % 5}", "old")).toDF("id", "cat", "v"), t)
+    val before = CommitLog.liveFiles(spark, t)._2.toSet
+    val out = GraftSql.execute(spark,
+      s"OPTIMIZE graftlog.`$t` TARGET ${512L * 1024} ZORDER BY (id)")
+    assert(out.columns.toSeq == Seq("table", "committed_version"))
+    val after = CommitLog.liveFiles(spark, t)._2.toSet
+    assert(after.intersect(before).isEmpty, "compaction rewrote the live set")
+    assert(CommitLog.read(spark, t, schema).count() == 200)
+    // the replaced inputs survive until VACUUM's retention window says go
+    val swept = GraftSql.execute(spark, s"VACUUM graftlog.`$t` RETAIN 0 HOURS")
+    assert(swept.columns.toSeq == Seq("table", "n_reclaimed"))
+    assert(swept.as[(String, Long)].collect().head._2 >= before.size)
+    assert(CommitLog.read(spark, t, schema).count() == 200)
+  }
+
   test("unsupported grammar refuses loudly instead of mistranslating") {
     val t = freshTable()
     seed(t)

@@ -270,6 +270,44 @@ abstract class LoggedStoreBehavior(publisher: AtomicPublisher) extends SparkSpec
       col("id") > 10000, publisher = publisher) == v3)
   }
 
+  test("updateWhere: copy-on-write of affected files only; pre-update columns feed SET") {
+    val t = freshTable()
+    val df1 = spark.range(0, 100).select(col("id"), (col("id") * 2).as("b"))
+    val df2 = spark.range(100, 200).select(col("id"), (col("id") * 2).as("b"))
+    CommitLog.append(df1, t, publisher)
+    CommitLog.append(df2, t, publisher)
+    val before = CommitLog.liveFiles(spark, t)._2.toSet
+    // simultaneous-SET: a = b, b = a must SWAP (both read pre-update)
+    val v = CommitLog.updateWhere(spark, t, df1.schema, col("id") >= 150,
+      Map("id" -> col("b"), "b" -> col("id")), publisher = publisher)
+    assert(v == 3L)
+    val rows = CommitLog.read(spark, t, df1.schema)
+      .as[(Long, Long)].collect().toSet
+    assert(rows == ((0L until 150L).map(i => (i, i * 2)) ++
+      (150L until 200L).map(i => (i * 2, i))).toSet)
+    // the un-matching file keeps its identity
+    val after = CommitLog.liveFiles(spark, t)._2.toSet
+    assert((before intersect after).nonEmpty,
+      "update rewrote files with no matching rows")
+    // null-predicate rows stay un-updated (SQL UPDATE semantics)
+    val t2 = freshTable()
+    val df3 = Seq((1L, Some(5L)), (2L, None), (3L, Some(50L))).toDF("id", "score")
+    CommitLog.append(df3, t2, publisher)
+    CommitLog.updateWhere(spark, t2, df3.schema, col("score") > 10,
+      Map("id" -> (col("id") + 100)), publisher = publisher)
+    assert(CommitLog.read(spark, t2, df3.schema)
+      .select("id").as[Long].collect().sorted.sameElements(Array(1L, 2L, 103L)))
+    // a no-match update is a no-op; history names the operation
+    assert(CommitLog.updateWhere(spark, t, df1.schema, col("id") > 100000,
+      Map("b" -> lit(0L)), publisher = publisher) == v)
+    assert(CommitLog.history(spark, t)
+      .filter(col("version") === v && col("operation") === "update").count() == 1)
+    // time travel still reads the pre-update snapshot
+    assert(CommitLog.read(spark, t, df1.schema, asOf = 2L)
+      .as[(Long, Long)].collect().toSet ==
+      (0L until 200L).map(i => (i, i * 2)).toSet)
+  }
+
   test("deleteWhere keeps rows where the predicate is null (SQL DELETE semantics)") {
     val t = freshTable()
     val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(50L)))
