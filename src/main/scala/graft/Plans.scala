@@ -30,6 +30,42 @@ object Plans {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).trim)
       println("```")
     }
+    graftLogPrunedRead(spark)
     spark.stop()
+  }
+
+  /** The logged-table batch relation's plan + the file-skipping
+    * evidence: a three-file table with disjoint id ranges, a point
+    * predicate, and the GraftLogFileIndex verdict (files kept vs
+    * live) printed next to the formatted plan. */
+  private def graftLogPrunedRead(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.functions.col
+    val t = java.nio.file.Files.createTempDirectory("plans_graftlog").toString + "/t"
+    Seq(0L -> 100L, 1000L -> 1100L, 5000L -> 5100L).foreach { case (a, b) =>
+      spark.range(a, b).toDF("id").coalesce(1)
+        .write.format("graftlog").mode("append").save(t)
+    }
+    val rel = spark.read.format("graftlog").load(t).where(col("id") < 50)
+    println("\n## graftlog_pruned_read\n")
+    println("```")
+    println(rel.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).trim)
+    println("```")
+    def split(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        split(l) ++ split(r)
+      case x => Seq(x)
+    }
+    val conj = rel.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.flatMap(split)
+    val idx = new graft.sources.GraftLogFileIndex(spark, t)
+    val kept = idx.listFiles(Nil, conj).map(_.files.size).sum
+    println(s"\nGraftLogFileIndex verdict for `id < 50`: $kept of " +
+      s"${idx.inputFiles.length} live files scanned -- the other " +
+      s"${idx.inputFiles.length - kept} are ruled out from LOG-carried " +
+      "min/max stats with zero file I/O (GraftLogBatchSpec proves this " +
+      "by destroying the ruled-out files' bytes).")
   }
 }
