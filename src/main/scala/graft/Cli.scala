@@ -39,7 +39,7 @@ object Cli {
       |  list-queries                                       all declared query names
       |  log-history <tablePath>                            commit-log DESCRIBE HISTORY (one row per commit)
       |  log-schema <tablePath> [asOf]                      table schema (ledger-first; historical with asOf)
-      |  log-delete <tablePath> <sqlPredicate>              row-level DELETE WHERE through the commit log
+      |  log-delete <tablePath> <sqlPredicate> [--mor]      row-level DELETE WHERE through the commit log (--mor = deletion vectors)
       |  log-vacuum <tablePath> <minAgeHours>               reclaim unreferenced data files (retention-gated)
       |  log-prune <tablePath> [keepSince]                  drop commit files behind the newest checkpoint
       |  log-merge <tablePath> <sourceParquet> <keyCols>    keyed MERGE upsert (comma-separated key columns)
@@ -227,10 +227,15 @@ object Cli {
       s"""{"cmd":"log-schema","table":"$table","from_ledger":${ledger.isDefined},""" +
         s""""fields":[${fields.mkString(",")}]}"""
 
-    case "log-delete" :: table :: predicate :: Nil =>
+    case "log-delete" :: table :: predicate :: rest if rest.isEmpty ||
+        rest == List("--mor") =>
+      // --mor: merge-on-read (deletion vectors) — one small position
+      // vector instead of rewriting every touched file; absorb with
+      // log-compact (OPTIMIZE)
       val v = graft.store.CommitLog.deleteWhere(spark, table,
-        loggedSchema(spark, table), org.apache.spark.sql.functions.expr(predicate))
-      s"""{"cmd":"log-delete","table":"$table","version":$v}"""
+        loggedSchema(spark, table), org.apache.spark.sql.functions.expr(predicate),
+        deletionVectors = rest.nonEmpty)
+      s"""{"cmd":"log-delete","table":"$table","version":$v,"mor":${rest.nonEmpty}}"""
 
     case "log-vacuum" :: table :: hours :: Nil =>
       val swept = graft.store.CommitLog.vacuum(spark, table,

@@ -756,6 +756,47 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
     },
 
+    // ── MERGE-ON-READ delete (DELETION VECTORS): same contract as
+    // store_delete_where, but the delete writes one small position
+    // vector and rewrites NO data file — the query additionally proves
+    // the live file set is unchanged by the delete (a rewrite would
+    // fail the assert) and that a subsequent OPTIMIZE absorbs the
+    // vector without changing the answer. The oracle recomputes the
+    // complement relationally; the xor digest proves the surviving
+    // rows are value-exact through both the vectored read and the
+    // absorbing compaction. ───────────────────────────────────────────
+    Q(
+      "store_delete_dv",
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS content_digest
+         |FROM documents WHERE NOT (doc_id % 5 = 3)
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.store.CommitLog
+      val a = docs(s, dir).select("doc_id", "source", "text")
+      val table = "/tmp/graft_state/delete_dv_docs"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      CommitLog.append(a.filter(col("doc_id") % 2 === 0), table)
+      CommitLog.append(a.filter(col("doc_id") % 2 === 1), table)
+      val before = CommitLog.liveFiles(s, table)._2.toSet
+      CommitLog.deleteWhere(s, table, a.schema, col("doc_id") % 5 === 3,
+        deletionVectors = true)
+      require(CommitLog.liveFiles(s, table)._2.toSet == before,
+        "DV delete must not rewrite any data file")
+      // absorb the vector (OPTIMIZE); the read after must agree with
+      // the vectored read before — both feed the same aggregation
+      val vectored = CommitLog.read(s, table, a.schema)
+      CommitLog.compact(s, table, targetBytes = 64L * 1024 * 1024)
+      val absorbed = CommitLog.read(s, table, a.schema)
+      require(vectored.count() == absorbed.count(),
+        "OPTIMIZE changed the visible row count")
+      absorbed
+        .withColumn("h", graft.core.Hashing.rowDigest(col("doc_id"), col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
+    },
+
     // ── Keyed upsert (MERGE) through the commit log: the engine builds
     // the logged table in two appends, merges a source that UPDATES a
     // doc_id slice (text rewritten) and INSERTS new ids, and reads the

@@ -52,10 +52,19 @@ private[sources] object GraftLogBatch {
 
   def relation(spark: SparkSession,
       parameters: Map[String, String],
-      user: Option[StructType]): HadoopFsRelation = {
+      user: Option[StructType]): BaseRelation = {
     val path = GraftLogStreamProvider.pathOf(parameters)
     val asOf = asOfVersion(spark, path, parameters)
     val schema = user.getOrElse(schemaFor(spark, path, asOf))
+    // A snapshot carrying DELETION VECTORS cannot be served as a bare
+    // file relation — the vectored positions would resurrect. Until
+    // OPTIMIZE absorbs the vectors, such a snapshot reads through the
+    // DV-aware bridge relation (log-stats file skipping kept, pushed
+    // filters re-translated into the inner Catalyst plan); a vector-
+    // free snapshot keeps the zero-overhead HadoopFsRelation path.
+    val (_, entries) = CommitLog.liveFilesFull(spark, path, asOf)
+    if (entries.exists(_.dv.isDefined))
+      return new GraftLogDvRelation(spark, path, nullify(schema), entries)
     HadoopFsRelation(
       location = new GraftLogFileIndex(spark, path, asOf),
       partitionSchema = StructType(Nil),
@@ -204,6 +213,80 @@ final class GraftLogFileIndex(spark: SparkSession, tablePath: String,
   }
 
   override def toString: String = s"GraftLogFileIndex[$tablePath, asOf=$asOf]"
+}
+
+/** Snapshot reads of a DELETION-VECTOR-carrying logged table through
+  * the DSv1 scan seam: the vectored positions must be subtracted, and
+  * a `HadoopFsRelation` has no row-filtering hook, so this relation
+  * builds the DV-aware Catalyst plan ([[CommitLog.visibleRows]]) per
+  * scan instead. Efficiency is preserved on both axes that matter:
+  * (1) FILE SKIPPING — pushed filters prune the live set from
+  * log-carried stats exactly like [[GraftLogFileIndex]]; (2) PUSHDOWN —
+  * pushed filters and the required-column projection are re-applied
+  * INSIDE the inner plan, so Catalyst drives them into the vectorized
+  * parquet scans (the anti-join only guards DV'd files; vector-free
+  * files scan clean). The `df.rdd` bridge adds one external-row
+  * conversion — the documented cost of reading an unabsorbed vectored
+  * snapshot; OPTIMIZE restores the native path. Spark re-evaluates
+  * every filter above this relation (`unhandledFilters` default), so
+  * the inner re-translation is purely an optimization. */
+private[sources] final class GraftLogDvRelation(spark: SparkSession,
+    tablePath: String, dataSchema: StructType,
+    entries: Seq[CommitLog.LiveEntry])
+    extends BaseRelation with PrunedFilteredScan {
+
+  override def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  override def schema: StructType = dataSchema
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    // log-stats file skipping, same contract as GraftLogFileIndex:
+    // a DV only removes rows, so the add-time stats remain a sound
+    // superset envelope
+    val kept = entries.filter { e =>
+      e.stats.map(CommitLog.parseStatsJson) match {
+        case Some(m) => filters.forall(f => StatsPruning.possible(m, f))
+        case None => true
+      }
+    }
+    val base = CommitLog.visibleRows(spark, tablePath, dataSchema, kept)
+    val filtered = filters.flatMap(toColumn).foldLeft(base)(_.filter(_))
+    val projected =
+      if (requiredColumns.isEmpty)
+        // COUNT(*)-shaped scan: no columns needed, only row multiplicity
+        filtered.select()
+      else filtered.select(requiredColumns.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*)
+    projected.rdd
+  }
+
+  /** Best-effort `sources.Filter` → Column so pushdown reaches the
+    * inner parquet scans; None (un-translatable) is safe — Spark
+    * re-applies everything above. */
+  private def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) if vs != null => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, p) => Some(col(a).startsWith(p))
+      case StringEndsWith(a, p) => Some(col(a).endsWith(p))
+      case StringContains(a, p) => Some(col(a).contains(p))
+      case And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+      case Or(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+      case Not(c) => toColumn(c).map(not)
+      case _ => None
+    }
+  }
+
+  override def toString: String = s"GraftLogDvRelation[$tablePath]"
 }
 
 /** Evaluates a pushed-down `sources.Filter` against one file's

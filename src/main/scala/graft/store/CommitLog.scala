@@ -110,6 +110,26 @@ object CommitLog {
     * LOG instead of paying one footer read per live file. */
   private[graft] def liveFilesWithStats(spark: SparkSession, tablePath: String,
       asOf: Long = Long.MaxValue): (Long, Seq[(String, Option[String])]) = {
+    val (v, full) = liveFilesFull(spark, tablePath, asOf)
+    (v, full.map(e => (e.name, e.stats)))
+  }
+
+  /** One live-set entry of the full replay: the data file, its
+    * log-carried stats JSON, and the DELETION VECTOR file currently
+    * attached to it (None = every physical row is live). */
+  private[graft] final case class LiveEntry(name: String,
+      stats: Option[String], dv: Option[String])
+
+  /** [[liveFilesWithStats]] plus each file's deletion-vector
+    * attachment — the complete snapshot state. DV attachments ride
+    * `*file|dvfile` lines (merge-on-read row deletes): the data file
+    * stays live and untouched, and readers subtract the positions the
+    * DV parquet lists for it. A re-added file (`+`) starts DV-free; a
+    * removed file drops its attachment with it; a later `*` line for
+    * the same file REPLACES the attachment (DVs are cumulative — each
+    * new vector carries every deleted position of its file). */
+  private[graft] def liveFilesFull(spark: SparkSession, tablePath: String,
+      asOf: Long = Long.MaxValue): (Long, Seq[LiveEntry]) = {
     val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
     val fs = fsOf(spark, log)
     if (!fs.exists(log)) return (0L, Seq.empty)
@@ -121,16 +141,29 @@ object CommitLog {
       }
     }.sortBy(_._1).lastOption
     val base = ckpt.map(_._1).getOrElse(0L)
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, Option[String]]
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, (Option[String], Option[String])]
     def addLine(line: String): Unit = {
       val body = line.drop(1)
       val bar = body.indexOf('|')
-      if (bar < 0) { live(body) = None; () }
-      else { live(body.substring(0, bar)) = Some(body.substring(bar + 1)); () }
+      if (bar < 0) { live(body) = (None, None); () }
+      else { live(body.substring(0, bar)) = (Some(body.substring(bar + 1)), None); () }
+    }
+    def dvLine(line: String, p: org.apache.hadoop.fs.Path): Unit = {
+      val body = line.drop(1)
+      val bar = body.indexOf('|')
+      if (bar < 0) throw new IllegalStateException(
+        s"corrupt DV line in $p (no |dvfile): $line")
+      val data = body.substring(0, bar)
+      live.get(data) match {
+        case Some((st, _)) => live(data) = (st, Some(body.substring(bar + 1))); ()
+        case None => throw new IllegalStateException(
+          s"corrupt commit in $p: DV attached to non-live file $data")
+      }
     }
     ckpt.foreach { case (_, p) =>
       readLines(fs, p).foreach { line =>
         if (line.startsWith("+")) addLine(line)
+        else if (line.startsWith("*")) dvLine(line, p)
         else if (line.startsWith("#")) () // carried ledger tags (#txn=/#consumed=)
         else throw new IllegalStateException(s"corrupt checkpoint line in $p: $line")
       }
@@ -146,6 +179,7 @@ object CommitLog {
       readLines(fs, p).foreach { line =>
         if (line.startsWith("+")) addLine(line)
         else if (line.startsWith("-")) { live -= line.drop(1); () }
+        else if (line.startsWith("*")) dvLine(line, p)
         else if (line.startsWith("#")) () // operation header (e.g. #op=delete)
         else if (line.startsWith("~")) () // change (CDC) file — never part of the live set
         else throw new IllegalStateException(s"corrupt commit line in $p: $line")
@@ -161,7 +195,7 @@ object CommitLog {
       throw new IllegalStateException(
         s"version $asOf of $tablePath unavailable (latest reachable: $reached — " +
           "nonexistent, or its commits were pruned past a checkpoint)")
-    (reached, live.toSeq)
+    (reached, live.toSeq.map { case (n, (st, dv)) => LiveEntry(n, st, dv) })
   }
 
   /** Latest version from the log LISTING alone — one directory list,
@@ -231,8 +265,12 @@ object CommitLog {
       abortOnLostRace: () => Boolean,
       changeAdds: Seq[String] = Seq.empty,
       addStats: Map[String, String] = Map.empty,
-      schemaJson: Option[String] = None): Option[Long] = {
-    require(adds.nonEmpty || removes.nonEmpty, "empty commit")
+      schemaJson: Option[String] = None,
+      dvAttach: Map[String, String] = Map.empty,
+      dvExpect: Map[String, Option[String]] = Map.empty): Option[Long] = {
+    require(adds.nonEmpty || removes.nonEmpty || dvAttach.nonEmpty, "empty commit")
+    require(dvAttach.keySet.forall(dvExpect.contains),
+      "every DV attachment needs its expected prior attachment (conflict check input)")
     require(opTag.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
       s"malformed opTag: $opTag")
     require(addStats.values.forall(s => !s.exists(c => c == '\n' || c == '\r')),
@@ -258,7 +296,8 @@ object CommitLog {
       schemaJson.map("#schema=" + _).toSeq ++
       changeAdds.map("~" + _) ++
       adds.map(a => "+" + a + addStats.get(a).map("|" + _).getOrElse("")) ++
-      removes.map("-" + _)).mkString("\n")
+      removes.map("-" + _) ++
+      dvAttach.toSeq.sortBy(_._1).map { case (f, dv) => s"*$f|$dv" }).mkString("\n")
     var attempts = 0
     while (attempts < 10000) {
       // A removing commit must publish at EXACTLY validated-version + 1:
@@ -269,16 +308,36 @@ object CommitLog {
       // re-validation and doubling the table. Deriving `next` from the
       // same replay that validated means any interleaved commit forces
       // a LOSING publish, which loops back through validation.
+      // DV-attaching commits validate under the same discipline: the
+      // attached file must still be live AND still carry the attachment
+      // the planner read (dvExpect) — a concurrent compaction that
+      // absorbed the file, or a concurrent delete that replaced its DV,
+      // planned against state this commit would clobber (the second
+      // attacher's vector was built from the FIRST attacher's pre-state,
+      // so publishing it would resurrect the first delete's rows).
       val next =
-        if (removes.nonEmpty) {
-          val (v, liveSeq) = liveFiles(spark, tablePath)
-          val live = liveSeq.toSet
+        if (removes.nonEmpty || dvAttach.nonEmpty) {
+          val (v, liveSeq) = liveFilesFull(spark, tablePath)
+          val live = liveSeq.map(_.name).toSet
           val gone = removes.filterNot(live)
           if (gone.nonEmpty)
             throw new java.util.ConcurrentModificationException(
               s"rewrite conflict on $tablePath: inputs already removed by a " +
                 s"concurrent commit (${gone.take(3).mkString(", ")}…) — " +
                 "re-read the live set and rerun the rewrite")
+          val dvByName = liveSeq.map(e => e.name -> e.dv).toMap
+          val dvConflicts = dvAttach.keys.filter { f =>
+            dvByName.get(f) match {
+              case None => true // attachment target no longer live
+              case Some(cur) => cur != dvExpect(f) // attachment moved under us
+            }
+          }
+          if (dvConflicts.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"deletion-vector conflict on $tablePath: file(s) " +
+                s"${dvConflicts.take(3).mkString(", ")}… were rewritten or " +
+                "re-vectored by a concurrent commit — re-read the live set " +
+                "and rerun the delete")
           v + 1
         } else latestVersion(fs, log) + 1
       // fence AFTER deriving `next` (see the contract above): a
@@ -315,10 +374,10 @@ object CommitLog {
         // loser still writes identical bytes.
         if (next % CheckpointInterval == 0) {
           try {
-            // the snapshot carries each file's stats suffix alongside
-            // the ledger tags, so neither survives only in prunable
-            // commit files
-            val snap = liveFilesWithStats(spark, tablePath, asOf = next)._2
+            // the snapshot carries each file's stats suffix AND its DV
+            // attachment alongside the ledger tags, so none survives
+            // only in prunable commit files
+            val snap = liveFilesFull(spark, tablePath, asOf = next)._2
             val (txn, consumed, schemaTag) = ledgerTags(fs, log, upTo = next)
             val headers =
               txn.toSeq.sortBy(_._1).map { case (q, b) => s"#txn=$q:$b" } ++
@@ -326,8 +385,10 @@ object CommitLog {
                 schemaTag.map("#schema=" + _).toSeq
             publisher.publish(fs, log,
               new org.apache.hadoop.fs.Path(log, f"$next%020d.checkpoint"),
-              (headers ++ snap.map { case (n, st) =>
-                "+" + n + st.map("|" + _).getOrElse("") }).mkString("\n"))
+              (headers ++ snap.map { e =>
+                "+" + e.name + e.stats.map("|" + _).getOrElse("") } ++
+                snap.collect { case e if e.dv.isDefined =>
+                  s"*${e.name}|${e.dv.get}" }).mkString("\n"))
             ()
           } catch { case scala.util.control.NonFatal(_) => () }
         }
@@ -836,10 +897,82 @@ object CommitLog {
     * LoggedStoreSpec pins both evolutions under both publishers. */
   def read(spark: SparkSession, tablePath: String, schema: StructType,
       asOf: Long = Long.MaxValue): DataFrame = {
-    val (_, files) = liveFiles(spark, tablePath, asOf)
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files.map(f => s"$tablePath/$f"): _*)
+    val (_, entries) = liveFilesFull(spark, tablePath, asOf)
+    visibleRows(spark, tablePath, schema, entries)
+  }
+
+  /** Column names of a deletion-vector parquet: the data file each
+    * position belongs to and the 0-based physical row position
+    * (`_metadata.row_index`) deleted from it. */
+  private[store] val DvFileCol = "file_name"
+  private[store] val DvPosCol = "row_index"
+
+  /** The deleted positions of the given DV-attached entries, honoring
+    * PER-FILE attachment: a DV parquet may be shared by every file of
+    * one delete commit and later superseded for SOME of them, so each
+    * file contributes only the rows of the vector the log currently
+    * attaches to IT (join on both the data-file name and the vector's
+    * own identity). None when no entry carries a vector. */
+  private[graft] def dvRows(spark: SparkSession, tablePath: String,
+      entries: Seq[LiveEntry]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    val attached = entries.collect { case LiveEntry(n, _, Some(dv)) => (n, dv) }
+    if (attached.isEmpty) return None
+    val dvFiles = attached.map(_._2).distinct
+    val raw = spark.read.parquet(dvFiles.map(f => s"$tablePath/$f"): _*)
+      .select(col(DvFileCol), col(DvPosCol),
+        col("_metadata.file_name").as("_dv_src"))
+    // attachment pairs as (tiny) broadcast data, not a plan literal
+    val pairs = broadcast(attached.toDF("_at_file", "_at_dv"))
+    Some(raw.join(pairs,
+      raw(DvFileCol) === pairs("_at_file") && raw("_dv_src") === pairs("_at_dv"))
+      .select(col(DvFileCol), col(DvPosCol)))
+  }
+
+  /** Snapshot rows VISIBLE at the given live entries — the one read
+    * primitive every consumer (read, probe scans, rewrites, compact)
+    * goes through, so merge-on-read deletes can never resurrect:
+    * DV-free files scan straight through Spark's vectorized parquet
+    * path untouched (zero overhead for a table with no vectors), and
+    * DV-carrying files subtract their vector's positions with one
+    * BROADCAST anti-join on (file, position) — vectors are
+    * increment-sized by design (OPTIMIZE absorbs them before they
+    * grow), so the join never shuffles the data side. `meta` appends
+    * `_metadata`-derived columns (alias → field name) for callers that
+    * need file identity or position on the VISIBLE rows (the
+    * merge/delete probes). */
+  private[graft] def visibleRows(spark: SparkSession, tablePath: String,
+      schema: StructType, entries: Seq[LiveEntry],
+      meta: Seq[(String, String)] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val outSchema = StructType(schema.fields ++ meta.map { case (a, f) =>
+      org.apache.spark.sql.types.StructField(a,
+        if (f == "row_index") org.apache.spark.sql.types.LongType
+        else org.apache.spark.sql.types.StringType, nullable = false) })
+    if (entries.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val outCols = schema.fieldNames.map(col).toSeq ++
+      meta.map { case (a, f) => col(s"_metadata.$f").as(a) }
+    def scan(files: Seq[String]) = spark.read.schema(schema)
+      .parquet(files.map(f => s"$tablePath/$f"): _*)
+    val (dvd, plain) = entries.partition(_.dv.isDefined)
+    val parts =
+      (if (plain.isEmpty) Seq.empty
+       else Seq(scan(plain.map(_.name)).select(outCols: _*))) ++
+      (if (dvd.isEmpty) Seq.empty
+       else {
+         val dv = dvRows(spark, tablePath, dvd).get
+         Seq(scan(dvd.map(_.name))
+           .select(outCols :+ col("_metadata.file_name").as("_vr_file")
+             :+ col("_metadata.row_index").as("_vr_pos"): _*)
+           .join(broadcast(dv),
+             col("_vr_file") === col(DvFileCol) && col("_vr_pos") === col(DvPosCol),
+             "left_anti")
+           .drop("_vr_file", "_vr_pos"))
+       })
+    parts.reduce(_.unionByName(_))
   }
 
   /** Logged compaction: rewrite the current live set into
@@ -854,20 +987,27 @@ object CommitLog {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
-    val (version, files) = liveFiles(spark, tablePath)
+    val (version, entries) = liveFilesFull(spark, tablePath)
+    val files = entries.map(_.name)
     if (files.isEmpty) return version
     val paths = files.map(f => s"$tablePath/$f")
     val totalBytes = paths.map(p => fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val writerId = freshWriterId("c")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
+    // DV ABSORPTION: the rewrite reads VISIBLE rows, so attached
+    // deletion vectors are folded into clean files here and their
+    // attachments die with the removed inputs (the vector parquets
+    // become vacuum-eligible) — OPTIMIZE is how a vectored table
+    // returns to the zero-overhead read path.
+    val schema = spark.read.parquet(paths: _*).schema
     // same layout semantics as the unlogged compactor: plain, range-
     // clustered, or "a,b" z-order (ZOrder.layout) — compaction doubling
     // as the logged table's clustered index. writeOptions carries the
     // parquet bloom-filter knobs through the rewrite: a bloom-indexed
     // table must not silently LOSE its point-lookup index to
     // maintenance (the pruneByFooterStats probe path reads them)
-    ZOrder.layout(spark.read.parquet(paths: _*), nOut, clusterBy)
+    ZOrder.layout(visibleRows(spark, tablePath, schema, entries), nOut, clusterBy)
       .write.options(writeOptions).parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     // commit() validates `files` against the live set and throws on a
@@ -1022,20 +1162,28 @@ object CommitLog {
     * delete feed. */
   def deleteWhere(spark: SparkSession, tablePath: String, schema: StructType,
       predicate: org.apache.spark.sql.Column,
-      publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
+      publisher: AtomicPublisher = RenameOrLinkPublisher,
+      deletionVectors: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
-    val (version, files) = liveFiles(spark, tablePath)
-    if (files.isEmpty) return version
-    val paths = files.map(f => s"$tablePath/$f")
-    val affected = spark.read.schema(schema).parquet(paths: _*)
+    val (version, entries) = liveFilesFull(spark, tablePath)
+    if (entries.isEmpty) return version
+    if (deletionVectors)
+      return deleteWhereMor(spark, tablePath, schema, predicate, publisher,
+        version, entries)
+    val byName = entries.map(e => e.name -> e).toMap
+    // the probe and the rewrite both read VISIBLE rows (DV-aware): a
+    // position an earlier merge-on-read delete vectored out must
+    // neither count as a match nor resurrect in the rewrite
+    val affected = visibleRows(spark, tablePath, schema, entries,
+      meta = Seq("_dw_file" -> "file_name"))
       .filter(predicate)
-      .select(col("_metadata.file_name")).distinct()
+      .select(col("_dw_file")).distinct()
       .collect().map(_.getString(0)).toSeq
     if (affected.isEmpty) return version // nothing matched: no new version
-    val affectedDf = spark.read.schema(schema)
-      .parquet(affected.map(f => s"$tablePath/$f"): _*)
+    val affectedDf = visibleRows(spark, tablePath, schema,
+      affected.map(byName))
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
     affectedDf.filter(not(coalesce(predicate, lit(false))))
@@ -1047,6 +1195,74 @@ object CommitLog {
     commit(spark, tablePath, adds = names, removes = affected,
       publisher = publisher, opTag = Some("delete"), changeAdds = cdcNames,
       addStats = statsFor(spark, tablePath, names))
+  }
+
+  /** MERGE-ON-READ delete (deletion vectors — the Delta/Iceberg DV
+    * model): instead of rewriting every file that holds a matching row,
+    * write one small parquet of (file, position) pairs and ATTACH it to
+    * each affected file in the commit (`*file|dvfile` lines). The data
+    * files are untouched — a delete hitting one row in each of 10k
+    * files costs one increment-sized vector write instead of 10k file
+    * rewrites, which at 100 TB is the difference between a usable
+    * retention job and a full-table rewrite. Readers subtract attached
+    * positions ([[visibleRows]]); compact() absorbs vectors back into
+    * clean files; OPTIMIZE is the maintenance verb.
+    *
+    * Vectors are CUMULATIVE: a second delete on an already-vectored
+    * file writes a new vector carrying the old positions plus the new
+    * ones and the attachment REPLACES (the old vector parquet becomes
+    * vacuum-eligible once unreferenced). Concurrency: the commit
+    * re-validates per attempt that each affected file is still live
+    * with exactly the attachment this planner read — a concurrent
+    * compaction or competing delete fails one side loudly instead of
+    * silently resurrecting rows. CDC delete pre-images ride the same
+    * commit, so the change feed is identical to the copy-on-write
+    * path's. Best for SPARSE deletes; a delete matching most of a
+    * file's rows is better served copy-on-write (the vector would
+    * approach the file's own row count). */
+  private def deleteWhereMor(spark: SparkSession, tablePath: String,
+      schema: StructType, predicate: org.apache.spark.sql.Column,
+      publisher: AtomicPublisher, version: Long,
+      entries: Seq[LiveEntry]): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = fsOf(spark, dir)
+    val byName = entries.map(e => e.name -> e).toMap
+    // one evaluation feeds the vector write, the CDC write, and the
+    // affected-file collect — a non-deterministic predicate must not
+    // vector positions and feed pre-images that disagree
+    val matched = visibleRows(spark, tablePath, schema, entries,
+      meta = Seq("_dv_f" -> "file_name", "_dv_p" -> "row_index"))
+      .filter(predicate)
+      .localCheckpoint(true)
+    val affected = matched.select(col("_dv_f")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (affected.isEmpty) return version // nothing matched: no new version
+    val affectedEntries = affected.map(byName)
+    val fresh = matched.select(col("_dv_f").as(DvFileCol), col("_dv_p").as(DvPosCol))
+    val cumulative = dvRows(spark, tablePath, affectedEntries.filter(_.dv.isDefined))
+      .map(_.unionByName(fresh)).getOrElse(fresh)
+    val writerId = freshWriterId("w")
+    val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
+    // one vector parquet per commit, shared by every affected file
+    // (per-file attachment filtering keeps sharing exact) — vectors are
+    // increment-sized (sparse deletes; ~16 B/position), so a single
+    // file is the right shape, and massive deletes belong on the
+    // copy-on-write path anyway
+    cumulative.repartition(1).write.parquet(staging.toString)
+    val dvName = landStaged(fs, dir, staging, writerId) match {
+      case Seq(one) => one
+      case many => throw new IllegalStateException(
+        s"deletion vector staged ${many.size} files, expected 1")
+    }
+    val cdcNames = landChangeFiles(spark, tablePath,
+      matched.drop("_dv_f", "_dv_p").withColumn(ChangeTypeCol, lit("delete")))
+    commitOrAbort(spark, tablePath, adds = Seq.empty, removes = Seq.empty,
+      publisher = publisher, opTag = Some("delete"),
+      abortOnLostRace = () => false, changeAdds = cdcNames,
+      dvAttach = affected.map(_ -> dvName).toMap,
+      dvExpect = affectedEntries.map(e => e.name -> e.dv).toMap)
+      .getOrElse(throw new IllegalStateException("unreachable: unfenced DV delete"))
   }
 
   /** Row-level UPDATE … SET … WHERE — the predicate-addressed sibling
@@ -1077,16 +1293,18 @@ object CommitLog {
         s"of $tablePath (${schema.fieldNames.mkString(", ")})")
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
-    val (version, files) = liveFiles(spark, tablePath)
-    if (files.isEmpty) return version
-    val paths = files.map(f => s"$tablePath/$f")
-    val affected = spark.read.schema(schema).parquet(paths: _*)
+    val (version, entries) = liveFilesFull(spark, tablePath)
+    if (entries.isEmpty) return version
+    val byName = entries.map(e => e.name -> e).toMap
+    // probe and rewrite read VISIBLE rows (DV-aware) — see deleteWhere
+    val affected = visibleRows(spark, tablePath, schema, entries,
+      meta = Seq("_uw_file" -> "file_name"))
       .filter(predicate)
-      .select(col("_metadata.file_name")).distinct()
+      .select(col("_uw_file")).distinct()
       .collect().map(_.getString(0)).toSeq
     if (affected.isEmpty) return version // nothing matched: no new version
-    val affectedDf = spark.read.schema(schema)
-      .parquet(affected.map(f => s"$tablePath/$f"): _*)
+    val affectedDf = visibleRows(spark, tablePath, schema,
+      affected.map(byName))
     val hit = coalesce(predicate, lit(false))
     // post-image projection over the PRE-update row (all assignments
     // read the original columns — the SQL simultaneous-SET rule)
@@ -1410,7 +1628,9 @@ object CommitLog {
     import org.apache.spark.sql.functions.{col, lit}
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
-    val (version, filesWithStats) = liveFilesWithStats(spark, tablePath)
+    val (version, liveEntries) = liveFilesFull(spark, tablePath)
+    val filesWithStats = liveEntries.map(e => (e.name, e.stats))
+    val entryByName = liveEntries.map(e => e.name -> e).toMap
     val files = filesWithStats.map(_._1)
     // the key set drives five jobs (stats envelope, bloom key collect,
     // affected-file probe, the anti-join rewrite, the CDC semi-join) —
@@ -1432,13 +1652,19 @@ object CommitLog {
         logStats = filesWithStats.collect { case (n, Some(s)) => n -> s }.toMap)
     val affected: Seq[String] =
       if (candidates.isEmpty) Seq.empty
-      else spark.read.schema(schema).parquet(candidates.map(f => s"$tablePath/$f"): _*)
+      else {
         // key columns only: the probe scan must never read payload
         // bytes (Catalyst would prune anyway; saying it keeps the
-        // contract visible in the plan's ReadSchema)
-        .select((col("_metadata.file_name").as("_kr_file") +: keyCols.map(col)): _*)
-        .join(keyD, keyCols, "left_semi")
-        .select("_kr_file").distinct().collect().map(_.getString(0)).toSeq
+        // contract visible in the plan's ReadSchema). DV-aware: a
+        // position an earlier merge-on-read delete vectored out must
+        // not mark its file affected.
+        val keyOnly = StructType(schema.fields.filter(f =>
+          keyCols.contains(f.name)))
+        visibleRows(spark, tablePath, keyOnly, candidates.map(entryByName),
+          meta = Seq("_kr_file" -> "file_name"))
+          .join(keyD, keyCols, "left_semi")
+          .select("_kr_file").distinct().collect().map(_.getString(0)).toSeq
+      }
     if (affected.isEmpty) {
       // nothing matched: the operation degenerates to a plain append
       // (still tagged, still fenced). An EMPTY append still commits —
@@ -1448,8 +1674,7 @@ object CommitLog {
       return appendOrAbort(app, tablePath, publisher, opTag, abortOnLostRace,
         schemaJson = schemaJson)
     }
-    val aff = spark.read.schema(schema)
-      .parquet(affected.map(f => s"$tablePath/$f"): _*)
+    val aff = visibleRows(spark, tablePath, schema, affected.map(entryByName))
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
     aff.join(keyD, keyCols, "left_anti").unionByName(app)
@@ -1574,15 +1799,18 @@ object CommitLog {
     val fed: Seq[(String, Long, Boolean)] = commits.toSeq.flatMap { case (v, p) =>
       val lines = readLines(fs, p).toSeq
       val removing = lines.exists(_.startsWith("-"))
+      // a DV-attaching commit (`*` lines) DELETES rows without removing
+      // files — row-changing by definition, never a compaction
+      val vectoring = lines.exists(_.startsWith("*"))
       val changeFiles = lines.filter(_.startsWith("~")).map(_.drop(1))
       val tag = lines.collectFirst {
         case l if l.startsWith("#op=") => l.stripPrefix("#op=") }
       if (changeFiles.nonEmpty) changeFiles.map(f => (f, v, true))
-      else if (removing && tag.isDefined)
+      else if (vectoring || (removing && tag.isDefined))
         throw new FeedGapException(
           s"change feed for $tablePath crosses a row-deleting/rewriting " +
-            s"commit (version $v, op=${tag.get}) that carries no change " +
-            "files: re-bootstrap from a snapshot read() past it")
+            s"commit (version $v, op=${tag.getOrElse("dv-attach")}) that " +
+            "carries no change files: re-bootstrap from a snapshot read() past it")
       else if (removing) Seq.empty
       else lines.filter(_.startsWith("+"))
         .map(l => (l.drop(1).takeWhile(_ != '|'), v, false)) // bare name: strip stats
@@ -1706,7 +1934,12 @@ object CommitLog {
           case _ => Seq.empty
         }
       }.toSet
-    val live = liveFiles(spark, tablePath)._2.toSet ++ changeRefs
+    // keep-set: live data files, their ATTACHED deletion vectors, and
+    // commit-referenced CDC files — a superseded vector (its file
+    // re-vectored or compacted) drops out of the attachments and ages
+    // out like any other unreferenced file
+    val entries = liveFilesFull(spark, tablePath)._2
+    val live = entries.map(_.name).toSet ++ entries.flatMap(_.dv) ++ changeRefs
     val cutoff = System.currentTimeMillis() - minAgeMs
     fs.listStatus(dir).flatMap { st =>
       val n = st.getPath.getName

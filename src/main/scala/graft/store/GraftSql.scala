@@ -191,7 +191,14 @@ object GraftSql {
     val alias = aliasOf(d.table)
     val predicate = targetColumn(d.condition, alias,
       where = "DELETE WHERE condition")
-    val v = CommitLog.deleteWhere(spark, path, schemaOf(spark, path), predicate)
+    // `spark.graft.deletionVectors=true` switches SQL DELETE to the
+    // merge-on-read path (Delta's enableDeletionVectors, session-
+    // scoped): sparse deletes write one small position vector instead
+    // of rewriting every touched file; OPTIMIZE absorbs the vectors.
+    val mor = spark.conf.getOption("spark.graft.deletionVectors")
+      .exists(_.toBoolean)
+    val v = CommitLog.deleteWhere(spark, path, schemaOf(spark, path), predicate,
+      deletionVectors = mor)
     result(spark, path, v)
   }
 
