@@ -1240,29 +1240,41 @@ object CommitLog {
     if (affected.isEmpty) return version // nothing matched: no new version
     val affectedEntries = affected.map(byName)
     val fresh = matched.select(col("_dv_f").as(DvFileCol), col("_dv_p").as(DvPosCol))
+    val (dvAttach, dvExpect) = landVector(spark, tablePath, affectedEntries, fresh)
+    val cdcNames = landChangeFiles(spark, tablePath,
+      matched.drop("_dv_f", "_dv_p").withColumn(ChangeTypeCol, lit("delete")))
+    commitOrAbort(spark, tablePath, adds = Seq.empty, removes = Seq.empty,
+      publisher = publisher, opTag = Some("delete"),
+      abortOnLostRace = () => false, changeAdds = cdcNames,
+      dvAttach = dvAttach, dvExpect = dvExpect)
+      .getOrElse(throw new IllegalStateException("unreachable: unfenced DV delete"))
+  }
+
+  /** Land ONE cumulative vector parquet covering `fresh` positions for
+    * `affectedEntries` — prior vectors of those files are unioned in
+    * (cumulative-replacement invariant) — and return the commit's
+    * (dvAttach, dvExpect) pair. One parquet per commit, shared by
+    * every affected file (per-file attachment filtering keeps sharing
+    * exact): vectors are increment-sized by design (~16 B/position;
+    * massive hits belong on the copy-on-write path), so a single file
+    * is the right shape. */
+  private[store] def landVector(spark: SparkSession, tablePath: String,
+      affectedEntries: Seq[LiveEntry], fresh: DataFrame)
+      : (Map[String, String], Map[String, Option[String]]) = {
+    val dir = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = fsOf(spark, dir)
     val cumulative = dvRows(spark, tablePath, affectedEntries.filter(_.dv.isDefined))
       .map(_.unionByName(fresh)).getOrElse(fresh)
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
-    // one vector parquet per commit, shared by every affected file
-    // (per-file attachment filtering keeps sharing exact) — vectors are
-    // increment-sized (sparse deletes; ~16 B/position), so a single
-    // file is the right shape, and massive deletes belong on the
-    // copy-on-write path anyway
     cumulative.repartition(1).write.parquet(staging.toString)
     val dvName = landStaged(fs, dir, staging, writerId) match {
       case Seq(one) => one
       case many => throw new IllegalStateException(
         s"deletion vector staged ${many.size} files, expected 1")
     }
-    val cdcNames = landChangeFiles(spark, tablePath,
-      matched.drop("_dv_f", "_dv_p").withColumn(ChangeTypeCol, lit("delete")))
-    commitOrAbort(spark, tablePath, adds = Seq.empty, removes = Seq.empty,
-      publisher = publisher, opTag = Some("delete"),
-      abortOnLostRace = () => false, changeAdds = cdcNames,
-      dvAttach = affected.map(_ -> dvName).toMap,
-      dvExpect = affectedEntries.map(e => e.name -> e.dv).toMap)
-      .getOrElse(throw new IllegalStateException("unreachable: unfenced DV delete"))
+    (affectedEntries.map(_.name -> dvName).toMap,
+      affectedEntries.map(e => e.name -> e.dv).toMap)
   }
 
   /** Row-level UPDATE … SET … WHERE — the predicate-addressed sibling
@@ -1284,7 +1296,8 @@ object CommitLog {
   def updateWhere(spark: SparkSession, tablePath: String, schema: StructType,
       predicate: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column],
-      publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
+      publisher: AtomicPublisher = RenameOrLinkPublisher,
+      deletionVectors: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(assignments.nonEmpty, "UPDATE needs at least one SET assignment")
     val unknown = assignments.keys.filterNot(schema.fieldNames.contains)
@@ -1296,6 +1309,41 @@ object CommitLog {
     val (version, entries) = liveFilesFull(spark, tablePath)
     if (entries.isEmpty) return version
     val byName = entries.map(e => e.name -> e).toMap
+    // post-image projection over the PRE-update row (all assignments
+    // read the original columns — the SQL simultaneous-SET rule)
+    val post = schema.fields.map(f =>
+      assignments.get(f.name)
+        .map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))).toIndexedSeq
+    if (deletionVectors) {
+      // MERGE-ON-READ update: vector out the matched positions and
+      // APPEND their post-images — zero file rewrites (a sparse update
+      // of a wide table costs one vector + increment-sized new files).
+      // One evaluation feeds positions, post-images, and CDC.
+      val matched = visibleRows(spark, tablePath, schema, entries,
+        meta = Seq("_uw_f" -> "file_name", "_uw_p" -> "row_index"))
+        .filter(predicate)
+        .localCheckpoint(true)
+      val affected = matched.select(col("_uw_f")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (affected.isEmpty) return version // nothing matched: no new version
+      val fresh = matched.select(col("_uw_f").as(DvFileCol), col("_uw_p").as(DvPosCol))
+      val (dvAttach, dvExpect) = landVector(spark, tablePath,
+        affected.map(byName), fresh)
+      val postDf = matched.select(post: _*)
+      val writerId = freshWriterId("w")
+      val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
+      postDf.write.parquet(staging.toString)
+      val names = landStaged(fs, dir, staging, writerId)
+      val cdcNames = landChangeFiles(spark, tablePath,
+        matched.drop("_uw_f", "_uw_p").withColumn(ChangeTypeCol, lit("delete"))
+          .unionByName(postDf.withColumn(ChangeTypeCol, lit("insert"))))
+      return commitOrAbort(spark, tablePath, adds = names, removes = Seq.empty,
+        publisher = publisher, opTag = Some("update"),
+        abortOnLostRace = () => false, changeAdds = cdcNames,
+        addStats = statsFor(spark, tablePath, names),
+        dvAttach = dvAttach, dvExpect = dvExpect)
+        .getOrElse(throw new IllegalStateException("unreachable: unfenced DV update"))
+    }
     // probe and rewrite read VISIBLE rows (DV-aware) — see deleteWhere
     val affected = visibleRows(spark, tablePath, schema, entries,
       meta = Seq("_uw_file" -> "file_name"))
@@ -1306,11 +1354,6 @@ object CommitLog {
     val affectedDf = visibleRows(spark, tablePath, schema,
       affected.map(byName))
     val hit = coalesce(predicate, lit(false))
-    // post-image projection over the PRE-update row (all assignments
-    // read the original columns — the SQL simultaneous-SET rule)
-    val post = schema.fields.map(f =>
-      assignments.get(f.name)
-        .map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))).toIndexedSeq
     val rewritten = schema.fields.map(f =>
       when(hit, assignments.get(f.name).map(_.cast(f.dataType))
         .getOrElse(col(f.name))).otherwise(col(f.name)).as(f.name)).toIndexedSeq
@@ -1383,7 +1426,8 @@ object CommitLog {
   def merge(spark: SparkSession, tablePath: String, schema: StructType,
       source: DataFrame, keyCols: Seq[String],
       publisher: AtomicPublisher = RenameOrLinkPublisher,
-      mergeSchema: Boolean = false): Long = {
+      mergeSchema: Boolean = false,
+      deletionVectors: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{col, lit}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     // WRITE-PATH evolution on merge: the operating schema widens to
@@ -1419,7 +1463,8 @@ object CommitLog {
     if (src.isEmpty) return liveFiles(spark, tablePath)._1 // empty merge: no-op
     keyedRewrite(spark, tablePath, opSchema, keyCols,
       deleteKeys = src, appendDf = src, opTag = Some("merge"),
-      publisher = publisher, schemaJson = schemaTag)
+      publisher = publisher, schemaJson = schemaTag,
+      deletionVectors = deletionVectors)
       .getOrElse(throw new IllegalStateException("unreachable: unfenced merge"))
   }
 
@@ -1624,7 +1669,8 @@ object CommitLog {
       appendDf: DataFrame, opTag: Option[String],
       publisher: AtomicPublisher,
       abortOnLostRace: () => Boolean = () => false,
-      schemaJson: Option[String] = None): Option[Long] = {
+      schemaJson: Option[String] = None,
+      deletionVectors: Boolean = false): Option[Long] = {
     import org.apache.spark.sql.functions.{col, lit}
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
@@ -1650,6 +1696,39 @@ object CommitLog {
       if (files.isEmpty) Seq.empty
       else pruneByFooterStats(spark, tablePath, files, keyCols, keyD,
         logStats = filesWithStats.collect { case (n, Some(s)) => n -> s }.toMap)
+    if (deletionVectors && candidates.nonEmpty) {
+      // MERGE-ON-READ upsert: vector out the matched target positions
+      // and append the source alongside — no affected-file rewrite at
+      // all (an increment-shaped merge against a wide 100 TB table
+      // writes one vector + the increment, instead of rewriting every
+      // matched file). The matched frame is evaluated ONCE (positions,
+      // CDC pre-images, affected-file collect all read the checkpoint).
+      val matched = visibleRows(spark, tablePath, schema,
+        candidates.map(entryByName),
+        meta = Seq("_kr_f" -> "file_name", "_kr_p" -> "row_index"))
+        .join(keyD, keyCols, "left_semi")
+        .localCheckpoint(true)
+      val affectedMor = matched.select(col("_kr_f")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (affectedMor.isEmpty)
+        return appendOrAbort(app, tablePath, publisher, opTag, abortOnLostRace,
+          schemaJson = schemaJson)
+      val fresh = matched.select(col("_kr_f").as(DvFileCol),
+        col("_kr_p").as(DvPosCol))
+      val (dvAttach, dvExpect) = landVector(spark, tablePath,
+        affectedMor.map(entryByName), fresh)
+      val writerId = freshWriterId("w")
+      val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
+      app.write.parquet(staging.toString)
+      val names = landStaged(fs, dir, staging, writerId)
+      val cdcNames = landChangeFiles(spark, tablePath,
+        matched.drop("_kr_f", "_kr_p").withColumn(ChangeTypeCol, lit("delete"))
+          .unionByName(app.withColumn(ChangeTypeCol, lit("insert"))))
+      return commitOrAbort(spark, tablePath, adds = names, removes = Seq.empty,
+        publisher = publisher, opTag = opTag, abortOnLostRace = abortOnLostRace,
+        changeAdds = cdcNames, addStats = statsFor(spark, tablePath, names),
+        schemaJson = schemaJson, dvAttach = dvAttach, dvExpect = dvExpect)
+    }
     val affected: Seq[String] =
       if (candidates.isEmpty) Seq.empty
       else {

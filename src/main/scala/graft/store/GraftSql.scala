@@ -146,10 +146,17 @@ object GraftSql {
       case Assignment(other, _) =>
         fail(s"UPDATE SET target must be a column, got `${other.sql}`")
     }.toMap
+    // session-scoped merge-on-read switch, same as DELETE (see runDelete)
     val v = CommitLog.updateWhere(spark, path, schemaOf(spark, path),
-      predicate, sets)
+      predicate, sets, deletionVectors = morEnabled(spark))
     result(spark, path, v)
   }
+
+  /** `spark.graft.deletionVectors=true`: session-scoped switch routing
+    * SQL DELETE/UPDATE/MERGE through the merge-on-read (deletion
+    * vector) path — Delta's enableDeletionVectors shape. */
+  private def morEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.deletionVectors").exists(_.toBoolean)
 
   // ── target recognition ────────────────────────────────────────────
 
@@ -191,14 +198,11 @@ object GraftSql {
     val alias = aliasOf(d.table)
     val predicate = targetColumn(d.condition, alias,
       where = "DELETE WHERE condition")
-    // `spark.graft.deletionVectors=true` switches SQL DELETE to the
-    // merge-on-read path (Delta's enableDeletionVectors, session-
-    // scoped): sparse deletes write one small position vector instead
-    // of rewriting every touched file; OPTIMIZE absorbs the vectors.
-    val mor = spark.conf.getOption("spark.graft.deletionVectors")
-      .exists(_.toBoolean)
+    // merge-on-read when the session switch is on: sparse deletes
+    // write one small position vector instead of rewriting every
+    // touched file; OPTIMIZE absorbs the vectors
     val v = CommitLog.deleteWhere(spark, path, schemaOf(spark, path), predicate,
-      deletionVectors = mor)
+      deletionVectors = morEnabled(spark))
     result(spark, path, v)
   }
 
@@ -281,6 +285,8 @@ object GraftSql {
       s"merge key `$k` is not a column of $path (${schema.fieldNames.mkString(", ")})"))
 
     var merge = MergeClauses.into(spark, path, schema, source, keys)
+    // session-scoped merge-on-read switch (see runDelete)
+    if (morEnabled(spark)) merge = merge.withDeletionVectors()
     m.matchedActions.foreach {
       case UpdateAction(cond, assignments, _) =>
         merge = merge.whenMatchedUpdate(

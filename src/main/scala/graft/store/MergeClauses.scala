@@ -54,7 +54,8 @@ final class MergeClauses private (
     matched: Seq[MergeClauses.MatchedClause],
     insertClause: Option[Option[Column]],
     bySourceDelete: Option[Option[Column]],
-    publisher: AtomicPublisher) {
+    publisher: AtomicPublisher,
+    deletionVectors: Boolean) {
 
   import MergeClauses.{MatchedDelete, MatchedUpdate, SrcPrefix}
 
@@ -62,9 +63,10 @@ final class MergeClauses private (
       matched: Seq[MergeClauses.MatchedClause] = matched,
       insertClause: Option[Option[Column]] = insertClause,
       bySourceDelete: Option[Option[Column]] = bySourceDelete,
-      publisher: AtomicPublisher = publisher): MergeClauses =
+      publisher: AtomicPublisher = publisher,
+      deletionVectors: Boolean = deletionVectors): MergeClauses =
     new MergeClauses(spark, tablePath, schema, source, keyCols,
-      matched, insertClause, bySourceDelete, publisher)
+      matched, insertClause, bySourceDelete, publisher, deletionVectors)
 
   /** Update ONLY `cols` from the source when the (optional) condition
     * holds; other columns keep their target values. */
@@ -91,6 +93,12 @@ final class MergeClauses private (
 
   def withPublisher(p: AtomicPublisher): MergeClauses = copy(publisher = p)
 
+  /** MERGE-ON-READ: claimed rows (deleted/updated matched rows,
+    * by-source drops) are vectored out instead of rewriting their
+    * files; update post-images and inserts append — zero file
+    * rewrites (see [[CommitLog.deleteWhere]]'s deletionVectors). */
+  def withDeletionVectors(): MergeClauses = copy(deletionVectors = true)
+
   /** Run the merge; returns the committed version (the current version
     * for a proven no-op). */
   def execute(): Long = {
@@ -99,7 +107,9 @@ final class MergeClauses private (
       "merge with no clauses")
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (version, filesWithStats) = CommitLog.liveFilesWithStats(spark, tablePath)
+    val (version, liveEntries) = CommitLog.liveFilesFull(spark, tablePath)
+    val filesWithStats = liveEntries.map(e => (e.name, e.stats))
+    val entryByName = liveEntries.map(e => e.name -> e).toMap
     val files = filesWithStats.map(_._1)
     val cols = schema.fieldNames.toSeq
     val nonKey = cols.filterNot(keyCols.contains)
@@ -130,12 +140,14 @@ final class MergeClauses private (
         else {
           // key columns suffice for the matched-file probe; only a
           // by-source condition needs the full row (its predicate may
-          // reference any target column)
+          // reference any target column). DV-aware: rows an earlier
+          // merge-on-read delete vectored out are not probe matches.
           val probeCols =
             if (bySourceDelete.nonEmpty) cols else keyCols
-          val withFile = spark.read.schema(schema)
-            .parquet(candidates.map(f => s"$tablePath/$f"): _*)
-            .select((col("_metadata.file_name").as("_mc_file") +: probeCols.map(col)): _*)
+          val probeSchema = StructType(schema.fields.filter(f =>
+            probeCols.contains(f.name)))
+          val withFile = CommitLog.visibleRows(spark, tablePath, probeSchema,
+            candidates.map(entryByName), meta = Seq("_mc_file" -> "file_name"))
           val matchedFiles = withFile
             .join(srcKeys, keyCols, "left_semi").select("_mc_file")
           val claimed = bySourceDelete match {
@@ -151,10 +163,15 @@ final class MergeClauses private (
       }
 
     // ── no file needs rewriting: pure insert path ───────────────────
+    // (DV-aware reads; merge-on-read mode additionally carries each
+    // visible row's file/position so claimed rows can be vectored)
     val affReads: Option[DataFrame] =
       if (affected.isEmpty) None
-      else Some(spark.read.schema(schema)
-        .parquet(affected.map(f => s"$tablePath/$f"): _*))
+      else Some(CommitLog.visibleRows(spark, tablePath, schema,
+        affected.map(entryByName),
+        meta = if (deletionVectors)
+          Seq("_mc_f" -> "file_name", "_mc_p" -> "row_index")
+        else Seq.empty))
     // matched target keys all live in affected files (the probe visited
     // every file that can hold one), so the insert anti-join needs only
     // the affected reads — increment-sized, never a table rescan
@@ -214,16 +231,6 @@ final class MergeClauses private (
         case (_, rest) => rest
       }.as(f)
 
-    val writerId = CommitLog.freshWriterId("w")
-    val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
-    val rewritten = joined.filter(keep).select(cols.map(newValue): _*)
-    val withInserts = inserts match {
-      case Some(ins) => rewritten.unionByName(ins)
-      case None => rewritten
-    }
-    withInserts.write.parquet(staging.toString)
-    val names = CommitLog.landStaged(fs, dir, staging, writerId)
-
     // ── CDC: pre-images of everything dropped or updated as `delete`,
     // post-images of updates and inserts as `insert` — same join, same
     // checkpointed source, so data and CDC cannot diverge ────────────
@@ -239,8 +246,54 @@ final class MergeClauses private (
       case Some(ins) => ins.withColumn(CommitLog.ChangeTypeCol, lit("insert"))
       case None => preImages.limit(0)
     }
-    val cdcNames = CommitLog.landChangeFiles(spark, tablePath,
-      preImages.unionByName(postImages).unionByName(insertImages))
+    val cdc = preImages.unionByName(postImages).unionByName(insertImages)
+
+    val writerId = CommitLog.freshWriterId("w")
+    val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
+
+    if (deletionVectors) {
+      // ── MERGE-ON-READ: vector out every claimed row (dropped or
+      // updated — its pre-image leaves the file), append update
+      // post-images alongside the inserts; NO file rewrite ───────────
+      val claimed = joined.filter(dropped || wasUpdated)
+      val claimedFiles = claimed.select(col("_mc_f")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (claimedFiles.isEmpty) {
+        // clauses claimed nothing after all: degenerate to pure insert
+        inserts match {
+          case Some(ins) if !ins.isEmpty =>
+            return CommitLog.append(ins, tablePath, publisher, opTag = Some("merge"))
+          case _ => return version
+        }
+      }
+      val fresh = claimed.select(col("_mc_f").as(CommitLog.DvFileCol),
+        col("_mc_p").as(CommitLog.DvPosCol))
+      val (dvAttach, dvExpect) = CommitLog.landVector(spark, tablePath,
+        claimedFiles.map(entryByName), fresh)
+      val postOnly = joined.filter(wasUpdated).select(cols.map(newValue): _*)
+      val addsDf = inserts match {
+        case Some(ins) => postOnly.unionByName(ins)
+        case None => postOnly
+      }
+      addsDf.write.parquet(staging.toString)
+      val names = CommitLog.landStaged(fs, dir, staging, writerId)
+      val cdcNames = CommitLog.landChangeFiles(spark, tablePath, cdc)
+      return CommitLog.commitOrAbort(spark, tablePath, adds = names,
+        removes = Seq.empty, publisher = publisher, opTag = Some("merge"),
+        abortOnLostRace = () => false, changeAdds = cdcNames,
+        addStats = CommitLog.statsFor(spark, tablePath, names),
+        dvAttach = dvAttach, dvExpect = dvExpect)
+        .getOrElse(throw new IllegalStateException("unreachable: unfenced DV merge"))
+    }
+
+    val rewritten = joined.filter(keep).select(cols.map(newValue): _*)
+    val withInserts = inserts match {
+      case Some(ins) => rewritten.unionByName(ins)
+      case None => rewritten
+    }
+    withInserts.write.parquet(staging.toString)
+    val names = CommitLog.landStaged(fs, dir, staging, writerId)
+    val cdcNames = CommitLog.landChangeFiles(spark, tablePath, cdc)
     CommitLog.commit(spark, tablePath, adds = names, removes = affected,
       publisher = publisher, opTag = Some("merge"), changeAdds = cdcNames,
       addStats = CommitLog.statsFor(spark, tablePath, names))
@@ -265,6 +318,6 @@ object MergeClauses {
     keyCols.foreach(k => require(schema.fieldNames.contains(k),
       s"merge key $k not in table schema ${schema.fieldNames.mkString(",")}"))
     new MergeClauses(spark, tablePath, schema, source, keyCols,
-      Seq.empty, None, None, RenameOrLinkPublisher)
+      Seq.empty, None, None, RenameOrLinkPublisher, deletionVectors = false)
   }
 }

@@ -169,6 +169,84 @@ abstract class DeletionVectorBehavior(publisher: AtomicPublisher) extends SparkS
     assert(gone.getMessage.contains("deletion-vector conflict"))
   }
 
+  test("merge-on-read UPDATE: post-images append, no file rewrites, CDC pairs") {
+    val t = freshTable()
+    CommitLog.append(spark.range(0, 100).toDF("id"), t, publisher)
+    val before = dataFiles(t)
+    val v = CommitLog.updateWhere(spark, t, schema, col("id") < 5,
+      Map("id" -> (col("id") + 500)), publisher, deletionVectors = true)
+    // every pre-update file is STILL live (vectored, not rewritten);
+    // the post-images landed as new files
+    assert(before.subsetOf(dataFiles(t)), "MOR update removed a file")
+    assert(dataFiles(t).size > before.size, "MOR update appended nothing")
+    assert(ids(t) == ((5L until 100L) ++ (500L until 505L)).toSet)
+    // CDC: delete pre-image + insert post-image per updated row
+    val feed = CommitLog.changesSince(spark, t, sinceVersion = v - 1, schema)
+      .select("id", CommitLog.ChangeTypeCol).as[(Long, String)].collect().toSet
+    assert(feed == ((0L until 5L).map((_, "delete")) ++
+      (500L until 505L).map((_, "insert"))).toSet)
+    // a second MOR update touching rows in the SAME vectored files
+    // accumulates correctly
+    CommitLog.updateWhere(spark, t, schema, col("id") === 7,
+      Map("id" -> lit(700L)), publisher, deletionVectors = true)
+    assert(ids(t) == (((5L until 100L).toSet - 7L) ++ (500L until 505L) + 700L))
+  }
+
+  test("merge-on-read MERGE: upsert without rewriting matched files") {
+    val cow = freshTable()
+    val mor = freshTable()
+    val src = Seq(3L, 7L, 999L).toDF("id")
+    Seq(cow, mor).foreach { t =>
+      CommitLog.append(spark.range(0, 50).toDF("id"), t, publisher)
+      CommitLog.append(spark.range(50, 100).toDF("id"), t, publisher)
+    }
+    val morBefore = dataFiles(mor)
+    CommitLog.merge(spark, cow, schema, src, Seq("id"), publisher)
+    CommitLog.merge(spark, mor, schema, src, Seq("id"), publisher,
+      deletionVectors = true)
+    // identical result, but the MOR table kept every pre-merge file
+    assert(ids(mor) == ids(cow))
+    assert(morBefore.subsetOf(dataFiles(mor)), "MOR merge rewrote a file")
+    // CDC shape identical: matched pre-images as deletes, full source as inserts
+    def feed(t: String) = CommitLog.changesSince(spark, t, sinceVersion = 2, schema)
+      .select("id", CommitLog.ChangeTypeCol).as[(Long, String)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(feed(mor) == feed(cow))
+  }
+
+  test("merge-on-read clause MERGE matches the copy-on-write clause result") {
+    val cow = freshTable()
+    val mor = freshTable()
+    val data = spark.range(0, 100).toDF("id")
+      .withColumn("v", (col("id") * 2).cast("long"))
+    val schema2 = data.schema
+    val src = Seq((3L, -1L), (7L, -1L), (200L, 9L)).toDF("id", "v")
+    Seq(cow, mor).foreach(t => CommitLog.append(data, t, publisher))
+    def run(t: String, dv: Boolean): Long = {
+      var m = MergeClauses.into(spark, t, schema2, src, Seq("id"))
+        .withPublisher(publisher)
+        .whenMatchedDelete(Some(col("_src_v") < 0 && col("id") === 3))
+        .whenMatchedUpdate(Seq("v"))
+        .whenNotMatchedInsert()
+        .whenNotMatchedBySourceDelete(Some(col("id") >= 98))
+      if (dv) m = m.withDeletionVectors()
+      m.execute()
+    }
+    val cowBefore = dataFiles(mor)
+    run(cow, dv = false)
+    run(mor, dv = true)
+    def rows(t: String): Set[(Long, Long)] =
+      CommitLog.read(spark, t, schema2).as[(Long, Long)].collect().toSet
+    assert(rows(mor) == rows(cow))
+    assert(cowBefore.subsetOf(dataFiles(mor)), "MOR clause merge rewrote a file")
+    // change feeds agree row-for-row
+    def feed(t: String) = CommitLog.changesSince(spark, t, sinceVersion = 1, schema2)
+      .select("id", "v", CommitLog.ChangeTypeCol)
+      .as[(Long, Long, String)].collect().groupBy(identity)
+      .view.mapValues(_.length).toMap
+    assert(feed(mor) == feed(cow))
+  }
+
   test("DV deletes feed the change feed exactly like copy-on-write deletes") {
     val t = freshTable()
     CommitLog.append(spark.range(0, 50).toDF("id"), t, publisher)

@@ -193,6 +193,34 @@ class GraftSqlSpec extends SparkSpec {
     assert(CommitLog.read(spark, t, schema).count() == 200)
   }
 
+  test("spark.graft.deletionVectors routes SQL DML merge-on-read") {
+    val t = freshTable()
+    seed(t)
+    val before = CommitLog.liveFiles(spark, t)._2.toSet
+    spark.conf.set("spark.graft.deletionVectors", "true")
+    try {
+      GraftSql.execute(spark, s"DELETE FROM graftlog.`$t` WHERE id % 10 = 0")
+      GraftSql.execute(spark,
+        s"UPDATE graftlog.`$t` SET v = 'bumped' WHERE id = 1")
+      Seq((2L, "src", "merged")).toDF("id", "cat", "v")
+        .createOrReplaceTempView("graft_sql_dv_src")
+      GraftSql.execute(spark,
+        s"""MERGE INTO graftlog.`$t` AS t USING graft_sql_dv_src AS s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+      // none of the three statements rewrote a pre-existing file
+      assert(before.subsetOf(CommitLog.liveFiles(spark, t)._2.toSet),
+        "a MOR SQL statement rewrote a data file")
+      val rows = CommitLog.read(spark, t, schema)
+        .select("id", "v").as[(Long, String)].collect().toMap
+      assert(!rows.keySet.exists(_ % 10 == 0))
+      assert(rows(1L) == "bumped" && rows(2L) == "merged" && rows(3L) == "old")
+    } finally spark.conf.unset("spark.graft.deletionVectors")
+    // with the switch off, DML is copy-on-write again (file set changes)
+    GraftSql.execute(spark, s"DELETE FROM graftlog.`$t` WHERE id = 5")
+    assert(!before.subsetOf(CommitLog.liveFiles(spark, t)._2.toSet))
+  }
+
   test("unsupported grammar refuses loudly instead of mistranslating") {
     val t = freshTable()
     seed(t)
