@@ -40,6 +40,7 @@ object Cli {
       |  log-history <tablePath>                            commit-log DESCRIBE HISTORY (one row per commit)
       |  log-schema <tablePath> [asOf]                      table schema (ledger-first; historical with asOf)
       |  log-delete <tablePath> <sqlPredicate> [--mor]      row-level DELETE WHERE through the commit log (--mor = deletion vectors)
+      |  log-optimize <tablePath> [targetMB] [where]        selective OPTIMIZE: bin-pack small files + absorb deletion vectors
       |  log-vacuum <tablePath> <minAgeHours>               reclaim unreferenced data files (retention-gated)
       |  log-prune <tablePath> [keepSince]                  drop commit files behind the newest checkpoint
       |  log-merge <tablePath> <sourceParquet> <keyCols>    keyed MERGE upsert (comma-separated key columns)
@@ -236,6 +237,15 @@ object Cli {
         loggedSchema(spark, table), org.apache.spark.sql.functions.expr(predicate),
         deletionVectors = rest.nonEmpty)
       s"""{"cmd":"log-delete","table":"$table","version":$v,"mor":${rest.nonEmpty}}"""
+
+    case "log-optimize" :: table :: rest if rest.size <= 2 =>
+      // selective maintenance: bin-pack small files + absorb deletion
+      // vectors; optional SQL predicate scopes by log-carried stats
+      val targetMB = rest.headOption.map(_.toLong).getOrElse(128L)
+      val where = rest.lift(1).map(org.apache.spark.sql.functions.expr)
+      val v = graft.store.CommitLog.optimize(spark, table,
+        targetMB * 1024 * 1024, where = where)
+      s"""{"cmd":"log-optimize","table":"$table","version":$v}"""
 
     case "log-vacuum" :: table :: hours :: Nil =>
       val swept = graft.store.CommitLog.vacuum(spark, table,

@@ -295,7 +295,7 @@ private[sources] final class GraftLogDvRelation(spark: SparkSession,
   * true. String bounds may be truncate-and-successor encoded
   * (CommitLog.statsLowerBound/statsUpperBound), which only widens the
   * envelope — every test here stays sound against widened bounds. */
-private[sources] object StatsPruning {
+private[graft] object StatsPruning {
 
   def possible(stats: Map[String, (Any, Any)], f: Filter): Boolean = f match {
     case EqualTo(a, v) => overlaps(stats, a, v)

@@ -1016,6 +1016,90 @@ object CommitLog {
       addStats = statsFor(spark, tablePath, names))
   }
 
+  /** Selective OPTIMIZE — the maintenance verb a 100 TB table can
+    * actually afford. [[compact]] rewrites the ENTIRE live set (right
+    * for a small table or a deliberate full re-cluster); at scale the
+    * optimizer must touch only the files that need it:
+    *
+    *  - WITHOUT `clusterBy` (bin-packing, Delta's plain OPTIMIZE):
+    *    candidates are files SMALLER than `targetBytes` plus every
+    *    file carrying a deletion vector (absorbed by the rewrite);
+    *    right-sized vector-free files are left byte-identical. One
+    *    candidate small file and nothing to absorb is a proven no-op.
+    *  - WITH `clusterBy`: every in-scope file rewrites (clustering is
+    *    a global property of the rewritten set) — scope with `where`
+    *    to re-cluster a slice instead of the table.
+    *  - `where` scopes BOTH modes by each file's LOG-carried stats
+    *    envelope: files provably disjoint from the predicate are left
+    *    alone, files without stats stay in scope (keep-on-uncertainty
+    *    — more work, never a wrong result). The predicate resolves
+    *    against the table's schema and translates through Spark's own
+    *    filter translation, exactly like the batch relation's pruning.
+    *
+    * Untouched files keep their identity (incremental consumers and
+    * caches over them stay valid); the rewrite commits as ONE
+    * untagged adds+removes version — row-preserving by protocol, so
+    * the change feed skips it. */
+  def optimize(spark: SparkSession, tablePath: String, targetBytes: Long,
+      clusterBy: Option[String] = None,
+      where: Option[org.apache.spark.sql.Column] = None,
+      publisher: AtomicPublisher = RenameOrLinkPublisher,
+      writeOptions: Map[String, String] = Map.empty): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val dir = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = fsOf(spark, dir)
+    val (version, entries) = liveFilesFull(spark, tablePath)
+    if (entries.isEmpty) return version
+    val schema = spark.read
+      .parquet(entries.map(e => s"$tablePath/${e.name}"): _*).schema
+    // predicate → pushed-filter list, resolved the way a real scan
+    // would resolve it (analyzed Filter node over the table's plan)
+    val filters: Seq[org.apache.spark.sql.sources.Filter] = where match {
+      case None => Seq.empty
+      case Some(cond) =>
+        // the OPTIMIZED plan, not the analyzed one: constant folding
+        // must run first or a literal wrapped in an implicit cast
+        // (`id < 100` on a bigint column) translates to nothing and
+        // the scope silently widens to the whole table
+        val optimized = visibleRows(spark, tablePath, schema, entries)
+          .filter(cond).queryExecution.optimizedPlan
+        optimized.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }.flatMap(org.apache.spark.sql.graft.StreamingShim.translateFilter(_).toSeq)
+    }
+    def inScope(e: LiveEntry): Boolean =
+      e.stats.map(parseStatsJson) match {
+        case Some(m) if filters.nonEmpty =>
+          filters.forall(f => graft.sources.StatsPruning.possible(m, f))
+        case _ => true
+      }
+    // one directory listing for every size, not a HEAD per file
+    val sizeByName = fs.listStatus(dir)
+      .collect { case st if st.isFile => st.getPath.getName -> st.getLen }.toMap
+    val scoped = entries.filter(inScope)
+    val candidates =
+      if (clusterBy.isDefined) scoped
+      else scoped.filter(e => e.dv.isDefined ||
+        sizeByName.get(e.name).forall(_ < targetBytes))
+    val anyVector = candidates.exists(_.dv.isDefined)
+    if (candidates.isEmpty || (candidates.size < 2 && !anyVector &&
+        clusterBy.isEmpty)) return version // proven no-op
+    val totalBytes = candidates.map(e => sizeByName.getOrElse(e.name, 0L)).sum
+    // bounded fan-out: a maintenance pass must never EXPAND the file
+    // count it was asked to shrink — cap outputs at the candidate count
+    // (and at 10k as a mis-sized-target backstop)
+    val nOut = math.max(1L, math.min(math.min(
+      (totalBytes + targetBytes - 1) / targetBytes,
+      candidates.size.toLong), 10000L)).toInt
+    val writerId = freshWriterId("c")
+    val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
+    ZOrder.layout(visibleRows(spark, tablePath, schema, candidates), nOut, clusterBy)
+      .write.options(writeOptions).parquet(staging.toString)
+    val names = landStaged(fs, dir, staging, writerId)
+    commit(spark, tablePath, adds = names, removes = candidates.map(_.name),
+      publisher = publisher, addStats = statsFor(spark, tablePath, names))
+  }
+
   /** Highest batch id a streaming query has committed into this table,
     * parsed from `txn=<queryId>:<batchId>` commit tags AND the tags
     * checkpoints carry for pruned commits (log-sized driver work);

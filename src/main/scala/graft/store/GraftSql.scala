@@ -71,12 +71,22 @@ object GraftSql {
     * ``OPTIMIZE graftlog.`p` [TARGET <bytes>] [ZORDER BY (a, b, …)]``
     * and ``VACUUM graftlog.`p` [RETAIN <n> HOURS]``. */
   def execute(spark: SparkSession, sql: String): DataFrame = sql match {
-    case OptimizeRe(path, target, zcols) =>
+    case OptimizeRe(path, full, target, whereStr, zcols) =>
       val bytes = Option(target).map(_.toLong).getOrElse(DefaultOptimizeBytes)
       val cluster = Option(zcols).map(_.split(',').map(_.trim)
         .filter(_.nonEmpty).mkString(","))
-      result(spark, path,
-        CommitLog.compact(spark, path, bytes, clusterBy = cluster))
+      // default is the SELECTIVE optimizer (bin-pack small files +
+      // absorb deletion vectors; ZORDER/WHERE scope re-clustering);
+      // FULL forces the whole-live-set rewrite regardless of file sizes
+      val v =
+        if (full != null) {
+          require(whereStr == null,
+            "OPTIMIZE FULL rewrites the whole table — WHERE scoping " +
+              "applies to the selective form only")
+          CommitLog.compact(spark, path, bytes, clusterBy = cluster)
+        } else CommitLog.optimize(spark, path, bytes, clusterBy = cluster,
+          where = Option(whereStr).map(org.apache.spark.sql.functions.expr))
+      result(spark, path, v)
     case VacuumRe(path, hours) =>
       val ageMs = Option(hours).map(_.toLong * 3600000L)
         .getOrElse(DefaultVacuumRetainMs)
@@ -88,7 +98,8 @@ object GraftSql {
 
   private val OptimizeRe =
     ("""(?is)\s*OPTIMIZE\s+graftlog\s*\.\s*`([^`]+)`""" +
-      """(?:\s+TARGET\s+(\d+))?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*""").r
+      """(\s+FULL)?(?:\s+TARGET\s+(\d+))?(?:\s+WHERE\s+(.+?))?""" +
+      """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*""").r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+graftlog\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*""".r
   private val DefaultOptimizeBytes = 128L * 1024 * 1024
