@@ -267,7 +267,8 @@ object GraftFunctions {
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(cosineDescriptor, tokenHitsDescriptor, minhashBandsDescriptor,
       shingleJaccardDescriptor, lshBucketsDescriptor, shingleStatsDescriptor,
-      nfcDescriptor, hllBucketDescriptor, hllRhoDescriptor, hllEstDescriptor)
+      nfcDescriptor, hllBucketDescriptor, hllRhoDescriptor, hllEstDescriptor,
+      PqExpressions.encodeDescriptor, PqExpressions.adcDescriptor)
 
   /** Idempotent registration into an existing session — scalar kernels
     * plus the `graft_log` table-valued function (SQL time travel). */
@@ -309,4 +310,15 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(n))
 
   def nfc(text: Column): Column = call_function("graft_nfc", text)
+
+  def pqEncode(vec: Column, codebook: Seq[Seq[Double]], m: Int): Column =
+    call_function("graft_pq_encode", vec,
+      org.apache.spark.sql.functions.typedLit(codebook),
+      org.apache.spark.sql.functions.lit(m))
+
+  def pqAdc(queryVec: Column, codes: Column, codebook: Seq[Seq[Double]],
+      m: Int): Column =
+    call_function("graft_pq_adc", queryVec, codes,
+      org.apache.spark.sql.functions.typedLit(codebook),
+      org.apache.spark.sql.functions.lit(m))
 }

@@ -19,6 +19,46 @@ object SimilarityQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** Product-quantization oracle: DuckDB re-derives the codebook
+    * (first 16 by id — Similarity.pqCodebook's seed), re-encodes every
+    * vector per subspace (argmin squared-L2 over the slice, lowest
+    * code on ties), reconstructs each vector from its codes, and ranks
+    * by the full-vector squared-L2 — element order identical to the
+    * engine's subspace-major ADC loop, so the f64 scores hash-equal.
+    * dim=64, m=4 → 16-wide subspaces; the `(s*16+1)`-style bounds are
+    * DuckDB's 1-based inclusive list slicing. */
+  private val PqOracleSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cb AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v AS cv
+      |  FROM e ORDER BY vec_id LIMIT 16),
+      |subs AS (SELECT unnest(range(4)) AS s),
+      |enc AS (
+      |  SELECT vec_id, s, code FROM (
+      |    SELECT e.vec_id, subs.s, cb.code,
+      |      row_number() OVER (PARTITION BY e.vec_id, subs.s ORDER BY
+      |        list_sum(list_transform(range(s*16 + 1, (s+1)*16 + 1),
+      |          i -> (e.v[i] - cb.cv[i]) * (e.v[i] - cb.cv[i]))) ASC,
+      |        cb.code) AS rn
+      |    FROM e, subs, cb) WHERE rn = 1),
+      |recon AS (
+      |  SELECT enc.vec_id,
+      |    flatten(list(cb.cv[enc.s*16 + 1 : (enc.s+1)*16] ORDER BY enc.s)) AS rv
+      |  FROM enc JOIN cb USING (code) GROUP BY enc.vec_id),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.qid AS query_id, r.vec_id,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (q.qv[i] - r.rv[i]) * (q.qv[i] - r.rv[i]))) AS score
+      |  FROM q, recon r),
+      |ranked AS (
+      |  SELECT query_id, vec_id, score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score ASC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
+      |FROM ranked WHERE rank <= 10""".stripMargin
+
   /** Shared by the in-memory and at-rest IVF queries — both must equal
     * this DuckDB recomputation exactly (centroids = first 10 by id,
     * structurally coupled to Similarity.initialCentroids via the
@@ -103,6 +143,19 @@ object SimilarityQueries {
       val e = emb(s, dir)
       Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, k = 10,
         numCentroids = 10, nProbe = 3)
+    },
+
+    // ── Product-quantization ADC top-k: the memory-compression half of
+    // a vector index — m=4 subspaces, 16-entry codebook (64-dim → 64×
+    // smaller per candidate), codegen'd encode/ADC kernels; the oracle
+    // re-derives codebook, codes, and reconstruction-distance ranking
+    // relationally, hash-exact down to the f64 scores. ────────────────
+    Q(
+      "ann_pq_topk",
+      PqOracleSql) { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.pqTopK(e.filter(col("vec_id") < 5), e, k = 10,
+        m = 4, numCodes = 16)
     },
 
     // ── IVF against the written (cid-partitioned) index: identical

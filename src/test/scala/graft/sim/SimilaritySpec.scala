@@ -51,6 +51,39 @@ class SimilaritySpec extends SparkSpec {
     assert(self.forall(row => math.abs(row.getAs[Double]("score") - 1.0) < 1e-12))
   }
 
+  test("PQ top-k: codebook self-reconstruction, L2 recall floor, m-code shape") {
+    import org.apache.spark.sql.expressions.Window
+    val r = Similarity.pqTopK(queries, e, k = 10, m = 4, numCodes = 16).cache()
+    assert(r.count() == 100)
+    // queries 0..9 are codebook entries (first 16 by id), so each
+    // reconstructs EXACTLY: rank 1 = self at ADC distance 0.0 — a
+    // wrong slice bound or code pick breaks the exact zero
+    val self = r.filter(col("rank") === 1).collect()
+    assert(self.forall(row => row.getAs[Long]("query_id") == row.getAs[Long]("vec_id")))
+    assert(self.forall(row => row.getAs[Double]("score") == 0.0))
+    // recall vs the EXACT L2 baseline (PQ approximates L2, not cosine):
+    // approximate-by-design, but broken ≠ lossy
+    val qd = queries.select(col("vec_id").as("query_id"),
+      Similarity.asDouble(col("embedding")).as("qe"))
+    val cd = e.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("ce"))
+    val d2 = aggregate(zip_with(col("qe"), col("ce"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy("query_id").orderBy(col("score").asc, col("vec_id"))
+    val exact = broadcast(qd).crossJoin(cd)
+      .select(col("query_id"), col("vec_id"), d2.as("score"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      .select("query_id", "vec_id")
+    val hit = exact.intersect(r.select("query_id", "vec_id")).count()
+    val recall = hit.toDouble / exact.count()
+    assert(recall >= 0.2, s"PQ recall@10 = $recall — encoding is broken, not just lossy")
+    // compression shape: m ints per vector, every code < numCodes
+    val codes = e.select(graft.functions.GraftFunctions.pqEncode(
+      Similarity.asDouble(col("embedding")),
+      Similarity.pqCodebook(e, 16), 4).as("codes"))
+    val head = codes.limit(5).collect().map(_.getSeq[Int](0))
+    assert(head.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 16)))
+  }
+
   test("LSH top-k recall@10 vs brute force is usable (approximate scale path)") {
     val exact = Similarity.bruteForceTopK(queries, e, k = 10)
       .select("query_id", "vec_id")
