@@ -59,6 +59,58 @@ object SimilarityQueries {
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
       |FROM ranked WHERE rank <= 10""".stripMargin
 
+  /** IVF-PQ oracle: the IVF assignment/probe CTEs (cosine cells,
+    * first-10 centroid seed) composed with the PQ encode/reconstruct
+    * CTEs — candidates from the probed cells, ranked by the
+    * reconstruction's squared-L2, hash-exact like both parents. */
+  private val IvfPqOracleSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cb AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v AS cv
+      |  FROM e ORDER BY vec_id LIMIT 16),
+      |subs AS (SELECT unnest(range(4)) AS s),
+      |enc AS (
+      |  SELECT vec_id, s, code FROM (
+      |    SELECT e.vec_id, subs.s, cb.code,
+      |      row_number() OVER (PARTITION BY e.vec_id, subs.s ORDER BY
+      |        list_sum(list_transform(range(s*16 + 1, (s+1)*16 + 1),
+      |          i -> (e.v[i] - cb.cv[i]) * (e.v[i] - cb.cv[i]))) ASC,
+      |        cb.code) AS rn
+      |    FROM e, subs, cb) WHERE rn = 1),
+      |recon AS (
+      |  SELECT enc.vec_id,
+      |    flatten(list(cb.cv[enc.s*16 + 1 : (enc.s+1)*16] ORDER BY enc.s)) AS rv
+      |  FROM enc JOIN cb USING (code) GROUP BY enc.vec_id),
+      |cent AS (SELECT vec_id AS cid, v AS centv FROM e ORDER BY vec_id LIMIT 10),
+      |assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, cent.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.v, cent.centv) DESC, cent.cid) AS rn
+      |    FROM e, cent) WHERE rn = 1),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |probes AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT q.qid, cent.cid,
+      |      row_number() OVER (PARTITION BY q.qid
+      |        ORDER BY list_cosine_similarity(q.qv, cent.centv) DESC, cent.cid) AS rn
+      |    FROM q, cent) WHERE rn <= 3),
+      |scored AS (
+      |  SELECT p.qid AS query_id, a.vec_id,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (q.qv[i] - r.rv[i]) * (q.qv[i] - r.rv[i]))) AS score
+      |  FROM probes p
+      |  JOIN assign a ON a.cid = p.cid
+      |  JOIN q ON q.qid = p.qid
+      |  JOIN recon r ON r.vec_id = a.vec_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score ASC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
+      |FROM ranked WHERE rank <= 10""".stripMargin
+
   /** Shared by the in-memory and at-rest IVF queries — both must equal
     * this DuckDB recomputation exactly (centroids = first 10 by id,
     * structurally coupled to Similarity.initialCentroids via the
@@ -156,6 +208,18 @@ object SimilarityQueries {
       val e = emb(s, dir)
       Similarity.pqTopK(e.filter(col("vec_id") < 5), e, k = 10,
         m = 4, numCodes = 16)
+    },
+
+    // ── IVF-PQ: cell pruning × code compression composed (the FAISS
+    // IVF-PQ architecture) — candidates bounded by the probed cells,
+    // per-candidate cost bounded by the m-int codes; oracle replays
+    // both halves relationally, hash-exact. ───────────────────────────
+    Q(
+      "ann_ivf_pq_topk",
+      IvfPqOracleSql) { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.ivfPqTopK(e.filter(col("vec_id") < 5), e, k = 10,
+        numCentroids = 10, nProbe = 3, m = 4, numCodes = 16)
     },
 
     // ── IVF against the written (cid-partitioned) index: identical

@@ -106,6 +106,42 @@ object Similarity {
       .orderBy(col("vec_id")).limit(numCodes)
       .collect().map(_.getSeq[Double](1)).toSeq
 
+  /** IVF-PQ — the two halves composed (the FAISS IVF-PQ architecture):
+    * IVF cell pruning bounds WHICH candidates a query touches
+    * (×cells/nProbe compute drop), PQ code compression bounds what
+    * each candidate COSTS (m ints instead of d floats). The index
+    * frame is (vec_id, cid, codes) — at rest, cid-partitioned like
+    * writeIvfIndex, it is the memory-resident posting-list layout real
+    * vector stores ship. Plan shape: corpus scan → per-row cid + codes
+    * (no exchange carries an embedding) → broadcast-hash join against
+    * the (|Q|×nProbe)-row probe set → scalar ADC projection → one
+    * (query_id, vec_id, score) shuffle for the top-k window. Cells are
+    * probed by cosine (the IVF convention here), candidates ranked by
+    * ADC squared-L2. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      numCentroids: Int, nProbe: Int, m: Int, numCodes: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val cents = initialCentroids(corpus, numCentroids)
+    val cb = pqCodebook(corpus, numCodes)
+    require(cb.nonEmpty && cb.head.size % m == 0,
+      s"embedding dim ${cb.headOption.fold(0)(_.size)} must divide into $m subspaces")
+    val cbLit = typedLit(cb)
+    val index = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("cid", nearestCid(corpus, cents, col("e")))
+      .select(col("vec_id"), col("cid"),
+        call_function("graft_pq_encode", col("e"), cbLit, lit(m)).as("codes"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+      .withColumn("cid", explode(probeCids(queries, cents, col("qe"), nProbe)))
+    val scored = index.join(broadcast(probes), "cid")
+      .select(col("query_id"), col("vec_id"),
+        call_function("graft_pq_adc", col("qe"), col("codes"), cbLit,
+          lit(m)).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "score")
+  }
+
   /** The IVF index metadata: (cid, centroid vector) pairs, held
     * driver-side. Bounded by k — NEVER corpus-proportional — exactly the
     * state a real IVF index keeps in RAM; the k-row collect below is the

