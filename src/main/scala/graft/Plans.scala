@@ -17,7 +17,7 @@ object Plans {
     "corpus_token_budget", "join_bucketed_colocated",
     "vocab_tfidf_top_terms", "corpus_lm_score",
     "emb_source_drift", "corpus_manifest", "dedup_entity_fuzzy",
-    "dedup_containment", "profile_table")
+    "dedup_containment", "profile_table", "ann_pq_topk", "ann_ivf_pq_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -31,7 +31,70 @@ object Plans {
       println("```")
     }
     graftLogPrunedRead(spark)
+    graftLogDvRead(spark)
+    optimizeEvidence(spark)
     spark.stop()
+  }
+
+  /** Deletion-vector read path: a table with one vectored and one
+    * clean file — the plan must show the clean file on the native
+    * vectorized scan and ONLY the vectored file behind the broadcast
+    * anti-join; after OPTIMIZE the whole table is back on the native
+    * path. */
+  private def graftLogDvRead(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.functions.col
+    val t = java.nio.file.Files.createTempDirectory("plans_dv").toString + "/t"
+    spark.range(0, 100).toDF("id").coalesce(1)
+      .write.format("graftlog").mode("append").save(t)
+    spark.range(1000, 1100).toDF("id").coalesce(1)
+      .write.format("graftlog").mode("append").save(t)
+    val schema = spark.range(0).toDF("id").schema
+    graft.store.CommitLog.deleteWhere(spark, t, schema, col("id") < 10,
+      deletionVectors = true)
+    val vectored = graft.store.CommitLog.read(spark, t, schema)
+    println("\n## graftlog_dv_read (one vectored file + one clean file)\n")
+    println("```")
+    println(vectored.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).trim)
+    println("```")
+    println("\nThe clean file unions in on the native vectorized scan; only " +
+      "the vectored file's rows pass through the BroadcastHashJoin " +
+      "LeftAnti against the (file, row_index) vector -- " +
+      s"${vectored.count()} rows visible of 200 physical.")
+    graft.store.CommitLog.optimize(spark, t, targetBytes = 128L * 1024 * 1024)
+    val absorbed = spark.read.format("graftlog").load(t)
+    println("\nAfter OPTIMIZE (vector absorbed), the relation is native " +
+      "again -- no join in the plan:\n")
+    println("```")
+    println(absorbed.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).trim)
+    println("```")
+  }
+
+  /** Selective-OPTIMIZE evidence: small files pack, the right-sized
+    * file keeps its identity (no rewrite), out-of-scope WHERE files
+    * stay untouched. */
+  private def optimizeEvidence(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val t = java.nio.file.Files.createTempDirectory("plans_opt").toString + "/t"
+    spark.range(0, 200000).toDF("id").coalesce(1)
+      .write.format("graftlog").mode("append").save(t)
+    (1 to 3).foreach(i =>
+      spark.range(1000000L + i, 1000001L + i).toDF("id").coalesce(1)
+        .write.format("graftlog").mode("append").save(t))
+    val before = graft.store.CommitLog.liveFiles(spark, t)._2
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bigBytes = before.map(f => fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(t, f)).getLen).max
+    graft.store.CommitLog.optimize(spark, t, targetBytes = bigBytes - 1)
+    val after = graft.store.CommitLog.liveFiles(spark, t)._2
+    val kept = before.toSet.intersect(after.toSet)
+    println("\n## optimize_selective (bin-packing evidence)\n")
+    println(s"live files before: ${before.size} (1 right-sized + 3 tiny); " +
+      s"after OPTIMIZE: ${after.size}; files kept byte-identical: " +
+      s"${kept.size} (the right-sized one) -- only the tiny files were " +
+      "packed, so incremental consumers and caches over the big file " +
+      "stay valid. compact() remains the deliberate full-rewrite verb.")
   }
 
   /** The logged-table batch relation's plan + the file-skipping
