@@ -33,7 +33,44 @@ object Plans {
     graftLogPrunedRead(spark)
     graftLogDvRead(spark)
     optimizeEvidence(spark)
+    dvDeleteCost(spark, sfDir)
     spark.stop()
+  }
+
+  /** Measured DV-vs-COW sparse-delete cost on this harness — the
+    * trade stated with numbers, not adjectives. The predicate hits
+    * ~0.1% of rows spread across EVERY file (the copy-on-write worst
+    * case and the deletion-vector best case); the post-delete read is
+    * the DV WORST case here because every file carries a vector —
+    * OPTIMIZE absorbs them and restores the native read. At 100 TB
+    * the delete gap is the whole file-rewrite cost. */
+  private def dvDeleteCost(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    def build(tag: String): String = {
+      val t = java.nio.file.Files.createTempDirectory(s"plans_dvc_$tag").toString + "/t"
+      graft.store.CommitLog.append(li.repartition(16), t)
+      t
+    }
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val (cow, mor) = (build("cow"), build("mor"))
+    val pred = col("l_orderkey") % 1000 === 7
+    val tCow = time(graft.store.CommitLog.deleteWhere(spark, cow, li.schema, pred))
+    val tMor = time(graft.store.CommitLog.deleteWhere(spark, mor, li.schema, pred,
+      deletionVectors = true))
+    val tReadCow = time(graft.store.CommitLog.read(spark, cow, li.schema).count())
+    val tReadMor = time(graft.store.CommitLog.read(spark, mor, li.schema).count())
+    val tOpt = time(graft.store.CommitLog.optimize(spark, mor, 128L * 1024 * 1024))
+    val tReadOpt = time(spark.read.format("graftlog").load(mor).count())
+    println("\n## dv_delete_cost (measured, ~0.1% of rows across all 16 files)\n")
+    println(f"copy-on-write delete: $tCow%.2f s (rewrites every touched file) | " +
+      f"deletion-vector delete: $tMor%.2f s (one position vector, zero rewrites)")
+    println(f"\npost-delete read: COW $tReadCow%.2f s (native) | " +
+      f"DV $tReadMor%.2f s (every file vectored -- the worst case) | " +
+      f"after OPTIMIZE absorb ($tOpt%.2f s): $tReadOpt%.2f s (native again)")
   }
 
   /** Deletion-vector read path: a table with one vectored and one

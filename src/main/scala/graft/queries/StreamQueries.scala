@@ -299,6 +299,54 @@ object StreamQueries {
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
     },
 
+    // ── Update-mode streaming sink (keyed exactly-once upsert): a
+    // per-source running aggregation lands INCREMENTALLY into a logged
+    // table — each micro-batch upserts only its changed keys through
+    // the txn-fenced keyed rewrite (CommitLog.upsertOnce), with the
+    // final trigger replayed after a simulated lost offset commit. The
+    // result must equal the batch aggregation, one row per key — a
+    // double-applied replay or a missed retraction flips the digest. ──
+    Q(
+      "stream_sink_update",
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+         |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.store.CommitLog
+      import org.apache.spark.sql.streaming.Trigger
+      val table = "/tmp/graft_state/sink_update_docs"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      val ckpt = Files.createTempDirectory("graft_ckpt_sinkupd").toString
+      def run(): Unit =
+        StreamingJobs.tableStream(s, dir, "documents", maxFilesPerTrigger = 2)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).cast("long").as("total_chars"))
+          .writeStream.format("graftlog")
+          .outputMode("update")
+          .option("keys", "source")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start(table)
+          .awaitTermination()
+      run()
+      val commits = fs.listStatus(
+          new org.apache.hadoop.fs.Path(ckpt, "commits"))
+        .map(_.getPath).filterNot(_.getName.startsWith("."))
+        .sortBy(_.getName)
+      fs.delete(commits.last, false)
+      run() // replays the last batch; the keyed upsert fences it
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_docs",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("total_chars",
+          org.apache.spark.sql.types.LongType)))
+      CommitLog.read(s, table, schema)
+    },
+
     // ── Logged table as a STREAMING SOURCE (CDC round trip): the engine
     // streams documents INTO a logged table over four versions (two
     // appends, a DELETE WHERE, a MERGE), then a downstream consumer

@@ -63,9 +63,11 @@ class GraftLogStreamProvider extends StreamSourceProvider with DataSourceRegiste
   // Spark's checkpoint as the only extra state. Complete mode maps
   // each emitted result to an atomic full replace
   // (CommitLog.overwrite) — replay-idempotent by construction, the
-  // natural landing for streaming aggregations. Update mode needs a
-  // keyed upsert; that is foreachBatch + CdcStream.applyChangesOnce
-  // territory, refused here with directions rather than half-done.
+  // natural landing for streaming aggregations. Update mode is the
+  // KEYED upsert (`option("keys", "a,b")` — CommitLog.upsertOnce):
+  // each batch's changed rows swap out their keys copy-on-write with
+  // the txn claim riding the same commit, so a streaming aggregation
+  // can land incrementally instead of replacing the world per trigger.
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: OutputMode): Sink = {
@@ -73,12 +75,22 @@ class GraftLogStreamProvider extends StreamSourceProvider with DataSourceRegiste
       "graftlog sink does not support partitionBy — cluster with " +
         "compaction (Z-order) instead; stats pruning replaces partition dirs")
     val path = pathOf(parameters)
-    if (outputMode == OutputMode.Append()) new GraftLogSink(path, complete = false)
-    else if (outputMode == OutputMode.Complete()) new GraftLogSink(path, complete = true)
+    val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
+    def keys = opts.getOrElse("keys",
+      throw new IllegalArgumentException(
+        "graftlog Update-mode sink needs its upsert keys: " +
+          ".option(\"keys\", \"a,b\")"))
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    if (outputMode == OutputMode.Append())
+      new GraftLogSink(path, GraftLogSink.Append, Seq.empty)
+    else if (outputMode == OutputMode.Complete())
+      new GraftLogSink(path, GraftLogSink.Complete, Seq.empty)
+    else if (outputMode == OutputMode.Update())
+      new GraftLogSink(path, GraftLogSink.Update, keys)
     else throw new IllegalArgumentException(
-      s"graftlog sink supports Append (exactly-once ledger append) and " +
-        s"Complete (atomic overwrite per trigger); got $outputMode — for " +
-        "Update-mode keyed upserts use foreachBatch + CdcStream.applyChangesOnce")
+      s"graftlog sink supports Append (exactly-once ledger append), " +
+        s"Complete (atomic overwrite per trigger), and Update (keyed " +
+        s"upsert via option(\"keys\", …)); got $outputMode")
   }
 
   // ── batch surface (see GraftLogBatch): snapshot reads with
@@ -215,23 +227,34 @@ class GraftLogSource(spark: SparkSession, tablePath: String,
   * bridge) so the commit-log writer can land it; the query id rides
   * the `sql.streaming.queryId` local property StreamExecution sets on
   * the addBatch thread, stable across restarts from one checkpoint. */
-class GraftLogSink(tablePath: String, complete: Boolean) extends Sink {
+class GraftLogSink(tablePath: String, mode: GraftLogSink.Mode,
+    keys: Seq[String]) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val batch = StreamingShim.asBatch(data)
-    if (complete) {
-      CommitLog.overwrite(batch, tablePath)
-      ()
-    } else {
-      val queryId = data.sparkSession.sparkContext
+    def queryId = {
+      val qid = data.sparkSession.sparkContext
         .getLocalProperty("sql.streaming.queryId")
-      require(queryId != null,
+      require(qid != null,
         "graftlog sink: no sql.streaming.queryId on the addBatch thread — " +
           "not running inside a streaming query?")
-      CommitLog.appendOnce(batch, tablePath, queryId, batchId)
-      ()
+      qid
+    }
+    mode match {
+      case GraftLogSink.Complete => CommitLog.overwrite(batch, tablePath); ()
+      case GraftLogSink.Append =>
+        CommitLog.appendOnce(batch, tablePath, queryId, batchId); ()
+      case GraftLogSink.Update =>
+        CommitLog.upsertOnce(batch, tablePath, keys, queryId, batchId); ()
     }
   }
 
-  override def toString: String = s"GraftLogSink[$tablePath]"
+  override def toString: String = s"GraftLogSink[$tablePath, $mode]"
+}
+
+object GraftLogSink {
+  sealed trait Mode
+  case object Append extends Mode
+  case object Complete extends Mode
+  case object Update extends Mode
 }

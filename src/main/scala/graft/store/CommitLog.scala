@@ -1220,6 +1220,41 @@ object CommitLog {
       addStats = statsFor(spark, tablePath, names))
   }
 
+  /** Exactly-once KEYED streaming upsert — [[appendOnce]]'s argument
+    * extended to Update-mode sinks: each micro-batch carries the
+    * CHANGED rows (a streaming aggregation's updated keys), the
+    * touched keys swap out via the keyed copy-on-write rewrite and the
+    * batch appends alongside, with the `txn=<queryId>:<batchId>` claim
+    * riding the same commit — a replayed or zombie batch finds the
+    * ledger at or past its id and aborts (the same per-attempt fence
+    * as appendOnce). Duplicate keys WITHIN one batch are rejected loud
+    * (which duplicate wins is undefined — the merge contract); a
+    * streaming state store emits one row per key, so this only fires
+    * on misuse. Returns the version won, None for a replay skip or an
+    * empty batch. */
+  def upsertOnce(df: DataFrame, tablePath: String, keyCols: Seq[String],
+      queryId: String, batchId: Long,
+      publisher: AtomicPublisher = RenameOrLinkPublisher): Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    require(!queryId.exists(c => c.isWhitespace || c == ':'),
+      s"queryId must be whitespace/colon-free: $queryId")
+    require(keyCols.nonEmpty, "upsertOnce needs key columns")
+    val spark = df.sparkSession
+    if (batchId <= lastTxnBatch(spark, tablePath, queryId)) return None
+    val src = df.localCheckpoint(true)
+    if (src.isEmpty) return None // empty batch: replaying it is a no-op
+    val dup = src.groupBy(keyCols.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"upsert batch has duplicate key(s), e.g. ${dup.head.toSeq.init.mkString(",")} — " +
+          "an Update-mode state store emits one row per key; dedupe the batch")
+    keyedRewrite(spark, tablePath, src.schema, keyCols,
+      deleteKeys = src, appendDf = src,
+      opTag = Some(s"txn=$queryId:$batchId"), publisher = publisher,
+      abortOnLostRace = () => batchId <= lastTxnBatch(spark, tablePath, queryId))
+  }
+
   /** Row-level delete — the right-to-be-forgotten / retention operation
     * (DELETE WHERE): every live file holding a matching row is
     * rewritten WITHOUT its matching rows and the swap commits as ONE

@@ -103,7 +103,54 @@ class GraftLogSinkSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet == expected)
   }
 
-  test("update mode is refused with directions; partitionBy is refused") {
+  test("update sink: keyed upsert, exactly-once across checkpoint replay") {
+    val src = buildSource()
+    val sink = fresh("upd")
+    val ckpt = Files.createTempDirectory("graft_sink_ckpt_u").toString
+    val aggSchema = spark.range(0)
+      .select(lit("s").as("v"), lit(0L).as("n")).schema
+    def run(): Unit = {
+      val q = spark.readStream.format("graftlog").schema(schema)
+        .option("maxVersionsPerTrigger", 1L).load(src)
+        .groupBy("v").agg(count(lit(1)).as("n"))
+        .writeStream.format("graftlog")
+        .outputMode("update")
+        .option("keys", "v")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start(sink)
+      q.awaitTermination()
+    }
+    run()
+    def expected = CommitLog.read(spark, src, schema)
+      .groupBy("v").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toSet
+    assert(CommitLog.read(spark, sink, aggSchema)
+      .as[(String, Long)].collect().toSet == expected,
+      "update sink diverged from the batch aggregation")
+    // exactly one row per key despite 4 incremental upserts
+    assert(CommitLog.read(spark, sink, aggSchema).groupBy("v").count()
+      .filter(col("count") > 1).count() == 0)
+    // replay the final trigger (lost offset commit): the keyed upsert
+    // must fence on the ledger, not double-apply
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commits = fs.listStatus(new org.apache.hadoop.fs.Path(ckpt, "commits"))
+      .map(_.getPath).filterNot(_.getName.startsWith(".")).sortBy(_.getName)
+    fs.delete(commits.last, false)
+    run()
+    assert(CommitLog.read(spark, sink, aggSchema)
+      .as[(String, Long)].collect().toSet == expected,
+      "replayed update batch was double-applied")
+    // new source data flows through as incremental key updates
+    CommitLog.append(spark.range(100, 106)
+      .select(col("id"), lit("v0").as("v")), src)
+    run()
+    assert(CommitLog.read(spark, sink, aggSchema)
+      .as[(String, Long)].collect().toSet == expected)
+  }
+
+  test("update mode without keys is refused; partitionBy is refused") {
     val src = buildSource()
     val e = intercept[Exception] {
       spark.readStream.format("graftlog").schema(schema).load(src)
@@ -111,11 +158,11 @@ class GraftLogSinkSpec extends SparkSpec {
         .writeStream.format("graftlog")
         .outputMode("update")
         .option("checkpointLocation",
-          Files.createTempDirectory("graft_sink_ckpt_u").toString)
-        .start(fresh("upd"))
+          Files.createTempDirectory("graft_sink_ckpt_u2").toString)
+        .start(fresh("upd2"))
     }
-    assert(e.getMessage.contains("applyChangesOnce") ||
-      Option(e.getCause).exists(_.getMessage.contains("applyChangesOnce")))
+    assert(e.getMessage.contains("keys") ||
+      Option(e.getCause).exists(_.getMessage.contains("keys")))
     val e2 = intercept[Exception] {
       spark.readStream.format("graftlog").schema(schema).load(src)
         .select("id", "v")
