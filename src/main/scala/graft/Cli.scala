@@ -41,6 +41,7 @@ object Cli {
       |  log-schema <tablePath> [asOf]                      table schema (ledger-first; historical with asOf)
       |  log-delete <tablePath> <sqlPredicate> [--mor]      row-level DELETE WHERE through the commit log (--mor = deletion vectors)
       |  log-optimize <tablePath> [targetMB] [where]        selective OPTIMIZE: bin-pack small files + absorb deletion vectors
+      |  log-constraints <tablePath>                        list active CHECK constraints (SQL: ALTER TABLE … ADD CONSTRAINT)
       |  log-vacuum <tablePath> <minAgeHours>               reclaim unreferenced data files (retention-gated)
       |  log-prune <tablePath> [keepSince]                  drop commit files behind the newest checkpoint
       |  log-merge <tablePath> <sourceParquet> <keyCols>    keyed MERGE upsert (comma-separated key columns)
@@ -237,6 +238,12 @@ object Cli {
         loggedSchema(spark, table), org.apache.spark.sql.functions.expr(predicate),
         deletionVectors = rest.nonEmpty)
       s"""{"cmd":"log-delete","table":"$table","version":$v,"mor":${rest.nonEmpty}}"""
+
+    case "log-constraints" :: table :: Nil =>
+      val cs = graft.store.CommitLog.constraintsAt(spark, table)
+        .toSeq.sortBy(_._1)
+        .map { case (n, c) => s"""{"name":"$n","check":"${c.replace("\"", "\\\"")}"}""" }
+      s"""{"cmd":"log-constraints","table":"$table","constraints":[${cs.mkString(",")}]}"""
 
     case "log-optimize" :: table :: rest if rest.size <= 2 =>
       // selective maintenance: bin-pack small files + absorb deletion

@@ -756,6 +756,41 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
     },
 
+    // ── Log-carried CHECK constraints: the engine bootstraps the
+    // logged table with even doc_ids, adds an enforcing constraint,
+    // PROVES a violating append fails without committing (the odd
+    // slice bounces), then appends more valid rows; the oracle is the
+    // even-id complement — a leaked odd row or a lost valid row flips
+    // count or digest. ────────────────────────────────────────────────
+    Q(
+      "store_constraints",
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS content_digest
+         |FROM documents WHERE doc_id % 2 = 0
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.store.CommitLog
+      val a = docs(s, dir).select("doc_id", "source", "text")
+      val table = "/tmp/graft_state/constraints_docs"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      CommitLog.append(a.filter(col("doc_id") % 2 === 0 && col("doc_id") < 100), table)
+      CommitLog.addConstraint(s, table, "even_ids", "doc_id % 2 = 0")
+      val vBefore = CommitLog.liveFiles(s, table)._1
+      val bounced =
+        try { CommitLog.append(a.filter(col("doc_id") % 2 === 1), table); false }
+        catch { case e: Exception
+          if e.getMessage != null || e.getCause != null => true }
+      require(bounced, "violating append was accepted")
+      require(CommitLog.liveFiles(s, table)._1 == vBefore,
+        "violating append still committed a version")
+      CommitLog.append(a.filter(col("doc_id") % 2 === 0 && col("doc_id") >= 100), table)
+      CommitLog.read(s, table, a.schema)
+        .withColumn("h", graft.core.Hashing.rowDigest(col("doc_id"), col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
+    },
+
     // ── MERGE-ON-READ delete (DELETION VECTORS): same contract as
     // store_delete_where, but the delete writes one small position
     // vector and rewrites NO data file — the query additionally proves

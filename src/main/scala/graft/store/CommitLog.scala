@@ -267,10 +267,14 @@ object CommitLog {
       addStats: Map[String, String] = Map.empty,
       schemaJson: Option[String] = None,
       dvAttach: Map[String, String] = Map.empty,
-      dvExpect: Map[String, Option[String]] = Map.empty): Option[Long] = {
-    require(adds.nonEmpty || removes.nonEmpty || dvAttach.nonEmpty, "empty commit")
+      dvExpect: Map[String, Option[String]] = Map.empty,
+      constraintTags: Seq[String] = Seq.empty): Option[Long] = {
+    require(adds.nonEmpty || removes.nonEmpty || dvAttach.nonEmpty ||
+      constraintTags.nonEmpty, "empty commit")
     require(dvAttach.keySet.forall(dvExpect.contains),
       "every DV attachment needs its expected prior attachment (conflict check input)")
+    require(constraintTags.forall(t => !t.exists(c => c == '\n' || c == '\r')),
+      "constraint tags must be newline-free")
     require(opTag.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
       s"malformed opTag: $opTag")
     require(addStats.values.forall(s => !s.exists(c => c == '\n' || c == '\r')),
@@ -294,6 +298,7 @@ object CommitLog {
     def contentFor(tsMs: Long): String = (Seq(s"#ts=$tsMs") ++
       opTag.map("#op=" + _).toSeq ++
       schemaJson.map("#schema=" + _).toSeq ++
+      constraintTags.map("#constraint=" + _) ++
       changeAdds.map("~" + _) ++
       adds.map(a => "+" + a + addStats.get(a).map("|" + _).getOrElse("")) ++
       removes.map("-" + _) ++
@@ -379,10 +384,13 @@ object CommitLog {
             // only in prunable commit files
             val snap = liveFilesFull(spark, tablePath, asOf = next)._2
             val (txn, consumed, schemaTag) = ledgerTags(fs, log, upTo = next)
+            val constraints = constraintsAt(spark, tablePath, asOf = next)
             val headers =
               txn.toSeq.sortBy(_._1).map { case (q, b) => s"#txn=$q:$b" } ++
                 (if (consumed > 0L) Seq(s"#consumed=$consumed") else Seq.empty) ++
-                schemaTag.map("#schema=" + _).toSeq
+                schemaTag.map("#schema=" + _).toSeq ++
+                constraints.toSeq.sortBy(_._1).map { case (n, c) =>
+                  s"#constraint=+$n:$c" }
             publisher.publish(fs, log,
               new org.apache.hadoop.fs.Path(log, f"$next%020d.checkpoint"),
               (headers ++ snap.map { e =>
@@ -462,6 +470,123 @@ object CommitLog {
 
   private val TxnTagRe = "txn=([^:\\s]+):(-?[0-9]+)".r
   private val ConsumedTagRe = "consumed=([0-9]+)".r
+
+  /** CHECK-constraint ledger at `asOf`: `#constraint=+name:sql` adds,
+    * `#constraint=-name` drops, folded in version order; the newest
+    * checkpoint carries the then-current map (like the schema ledger),
+    * so pruneLog cannot lose an active constraint. Name → SQL check
+    * expression. */
+  def constraintsAt(spark: SparkSession, tablePath: String,
+      asOf: Long = Long.MaxValue): Map[String, String] = {
+    val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
+    val fs = fsOf(spark, log)
+    if (!fs.exists(log)) return Map.empty
+    val entries = fs.listStatus(log)
+    val ckpt = entries.flatMap { st =>
+      st.getPath.getName match {
+        case CheckpointRe(v) if v.toLong <= asOf => Some(v.toLong -> st.getPath)
+        case _ => None
+      }
+    }.sortBy(_._1).lastOption
+    val base = ckpt.map(_._1).getOrElse(0L)
+    var cs = Map.empty[String, String]
+    def fold(line: String): Unit = {
+      val b = line.stripPrefix("#constraint=")
+      if (b.startsWith("+")) {
+        val i = b.indexOf(':')
+        if (i > 1) { cs += b.substring(1, i) -> b.substring(i + 1); () }
+      } else if (b.startsWith("-")) { cs -= b.substring(1); () }
+    }
+    ckpt.foreach { case (_, p) =>
+      readLines(fs, p).foreach(l => if (l.startsWith("#constraint=")) fold(l))
+    }
+    entries.flatMap { st =>
+      st.getPath.getName match {
+        case CommitRe(v) if v.toLong > base && v.toLong <= asOf =>
+          Some(v.toLong -> st.getPath)
+        case _ => None
+      }
+    }.sortBy(_._1).foreach { case (_, p) =>
+      readLines(fs, p).foreach(l => if (l.startsWith("#constraint=")) fold(l))
+    }
+    cs
+  }
+
+  /** ADD a CHECK constraint — the ENFORCING sibling of the
+    * Expectations quarantine report: from this commit on, every write
+    * that introduces new row values (append, overwrite, merge/upsert
+    * sources, UPDATE post-images, streaming sinks) evaluates the check
+    * INSIDE its write plan and fails loudly on the first violating row
+    * (no extra pass — a raise_error projection rides the staged
+    * write). SQL CHECK semantics: NULL passes, only FALSE violates.
+    * Existing rows are validated up front (one bounded scan) — a
+    * constraint the current table already violates is refused, so a
+    * green ledger always means the whole table satisfies every active
+    * constraint. The ledger rides the log (`#constraint=` headers,
+    * checkpoint-carried), and `constraintsAt(…, asOf)` answers what
+    * was enforced at any version. */
+  def addConstraint(spark: SparkSession, tablePath: String, name: String,
+      check: String, publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name must be [A-Za-z0-9_]+: $name")
+    require(!check.exists(c => c == '\n' || c == '\r'),
+      "check expression must be newline-free")
+    require(!constraintsAt(spark, tablePath).contains(name),
+      s"constraint $name already exists on $tablePath — drop it first")
+    // parse errors surface here, not at first write
+    spark.sessionState.sqlParser.parseExpression(check)
+    val schema = schemaAt(spark, tablePath).orElse {
+      val (_, files) = liveFiles(spark, tablePath)
+      if (files.isEmpty) None
+      else Some(spark.read.parquet(s"$tablePath/${files.last}").schema)
+    }
+    schema.foreach { sch =>
+      val bad = read(spark, tablePath, sch)
+        .filter(not(coalesce(expr(check).cast("boolean"), lit(true))))
+        .limit(1).collect()
+      if (bad.nonEmpty)
+        throw new IllegalArgumentException(
+          s"cannot add CHECK constraint $name to $tablePath: existing row " +
+            s"violates ($check), e.g. ${bad.head}")
+    }
+    commitOrAbort(spark, tablePath, adds = Seq.empty, removes = Seq.empty,
+      publisher = publisher, opTag = Some("constraint"),
+      abortOnLostRace = () => false,
+      constraintTags = Seq(s"+$name:$check"))
+      .getOrElse(throw new IllegalStateException("unreachable: unfenced constraint add"))
+  }
+
+  /** DROP a CHECK constraint (loud when absent — a silently-ignored
+    * drop would leave the operator believing enforcement stopped). */
+  def dropConstraint(spark: SparkSession, tablePath: String, name: String,
+      publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
+    require(constraintsAt(spark, tablePath).contains(name),
+      s"no CHECK constraint $name on $tablePath")
+    commitOrAbort(spark, tablePath, adds = Seq.empty, removes = Seq.empty,
+      publisher = publisher, opTag = Some("constraint"),
+      abortOnLostRace = () => false, constraintTags = Seq(s"-$name"))
+      .getOrElse(throw new IllegalStateException("unreachable: unfenced constraint drop"))
+  }
+
+  /** Wrap a to-be-written frame with the table's active CHECK
+    * constraints: each check rides the write plan as a raise_error
+    * projection (evaluated per row inline — no second pass over the
+    * data), so the first violating row fails the whole write loudly,
+    * before its commit publishes. */
+  private[store] def enforced(df: DataFrame, tablePath: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cs = constraintsAt(df.sparkSession, tablePath)
+    cs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, check)) =>
+      val ok = coalesce(expr(check).cast("boolean"), lit(true)) // NULL passes
+      val chk = s"__graft_chk_$name"
+      d.withColumn(chk, when(!ok, raise_error(
+          concat(lit(s"CHECK constraint `$name` violated: ($check); row="),
+            to_json(struct(df.columns.map(col).toIndexedSeq: _*)))))
+        .otherwise(lit(null).cast("string")))
+        .filter(col(chk).isNull).drop(chk)
+    }
+  }
 
   /** The in-commit timestamp a commit file carries (`#ts=<ms>`); None
     * for a missing file or a pre-timestamp commit. */
@@ -821,7 +946,7 @@ object CommitLog {
     // options (Bloom.writeWithBloomFilters' parquet.bloom.filter.*) are
     // the intended use, making logged files probe-able by
     // pruneByFooterStats' point-lookup path
-    df.write.options(writeOptions).parquet(staging.toString)
+    enforced(df, tablePath).write.options(writeOptions).parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     commit(spark, tablePath, adds = names, publisher = publisher, opTag = opTag,
       addStats = statsFor(spark, tablePath, names), schemaJson = evolved)
@@ -853,7 +978,7 @@ object CommitLog {
     }
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
-    df.write.options(writeOptions).parquet(staging.toString)
+    enforced(df, tablePath).write.options(writeOptions).parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     if (names.isEmpty && live.isEmpty) return version // nothing to publish
     commit(spark, tablePath, adds = names, removes = live,
@@ -875,7 +1000,7 @@ object CommitLog {
     val fs = fsOf(spark, dir)
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
-    df.write.parquet(staging.toString)
+    enforced(df, tablePath).write.parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     commitOrAbort(spark, tablePath, adds = names, removes = Seq.empty,
       publisher = publisher, opTag = opTag, abortOnLostRace = abortOnLostRace,
@@ -1208,7 +1333,7 @@ object CommitLog {
     val fs = fsOf(spark, dir)
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
-    df.write.parquet(staging.toString)
+    enforced(df, tablePath).write.parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     // an EMPTY batch publishes nothing and records nothing: the ledger
     // not advancing is safe because replaying an empty batch is a
@@ -1451,7 +1576,7 @@ object CommitLog {
       val postDf = matched.select(post: _*)
       val writerId = freshWriterId("w")
       val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
-      postDf.write.parquet(staging.toString)
+      enforced(postDf, tablePath).write.parquet(staging.toString)
       val names = landStaged(fs, dir, staging, writerId)
       val cdcNames = landChangeFiles(spark, tablePath,
         matched.drop("_uw_f", "_uw_p").withColumn(ChangeTypeCol, lit("delete"))
@@ -1478,7 +1603,8 @@ object CommitLog {
         .getOrElse(col(f.name))).otherwise(col(f.name)).as(f.name)).toIndexedSeq
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
-    affectedDf.select(rewritten: _*).write.parquet(staging.toString)
+    enforced(affectedDf.select(rewritten: _*), tablePath)
+      .write.parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     val cdcNames = landChangeFiles(spark, tablePath,
       affectedDf.filter(predicate)
@@ -1804,7 +1930,9 @@ object CommitLog {
     val keyD = deleteKeys.select(keyCols.map(col): _*).distinct()
       .localCheckpoint(true)
     val cols = schema.fieldNames.map(col).toSeq
-    val app = appendDf.select(cols: _*)
+    // appended rows are NEW values: active CHECK constraints ride their
+    // write plan (survivor restatements are valid by induction)
+    val app = enforced(appendDf.select(cols: _*), tablePath)
     // stats-based skipping first: files whose LOG-carried min/max (or,
     // fallback, footer min/max + bloom filters) prove no key can match
     // never enter the probe scan — on a clustered table an

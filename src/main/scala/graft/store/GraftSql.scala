@@ -87,6 +87,10 @@ object GraftSql {
         } else CommitLog.optimize(spark, path, bytes, clusterBy = cluster,
           where = Option(whereStr).map(org.apache.spark.sql.functions.expr))
       result(spark, path, v)
+    case AddConstraintRe(path, name, check) =>
+      result(spark, path, CommitLog.addConstraint(spark, path, name, check.trim))
+    case DropConstraintRe(path, name) =>
+      result(spark, path, CommitLog.dropConstraint(spark, path, name))
     case VacuumRe(path, hours) =>
       val ageMs = Option(hours).map(_.toLong * 3600000L)
         .getOrElse(DefaultVacuumRetainMs)
@@ -102,6 +106,13 @@ object GraftSql {
       """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*""").r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+graftlog\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*""".r
+  // CHECK constraints (the Delta ALTER TABLE … ADD CONSTRAINT shape)
+  private val AddConstraintRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+graftlog\s*\.\s*`([^`]+)`\s+ADD\s+CONSTRAINT\s+""" +
+      """(\w+)\s+CHECK\s*\((.+)\)\s*""").r
+  private val DropConstraintRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+graftlog\s*\.\s*`([^`]+)`\s+DROP\s+CONSTRAINT\s+""" +
+      """(\w+)\s*""").r
   private val DefaultOptimizeBytes = 128L * 1024 * 1024
   private val DefaultVacuumRetainMs = 7L * 24 * 3600000L // Delta's default
 

@@ -275,7 +275,7 @@ final class MergeClauses private (
         case Some(ins) => postOnly.unionByName(ins)
         case None => postOnly
       }
-      addsDf.write.parquet(staging.toString)
+      CommitLog.enforced(addsDf, tablePath).write.parquet(staging.toString)
       val names = CommitLog.landStaged(fs, dir, staging, writerId)
       val cdcNames = CommitLog.landChangeFiles(spark, tablePath, cdc)
       return CommitLog.commitOrAbort(spark, tablePath, adds = names,
@@ -291,7 +291,7 @@ final class MergeClauses private (
       case Some(ins) => rewritten.unionByName(ins)
       case None => rewritten
     }
-    withInserts.write.parquet(staging.toString)
+    CommitLog.enforced(withInserts, tablePath).write.parquet(staging.toString)
     val names = CommitLog.landStaged(fs, dir, staging, writerId)
     val cdcNames = CommitLog.landChangeFiles(spark, tablePath, cdc)
     CommitLog.commit(spark, tablePath, adds = names, removes = affected,
