@@ -42,6 +42,7 @@ object Cli {
       |  log-delete <tablePath> <sqlPredicate> [--mor]      row-level DELETE WHERE through the commit log (--mor = deletion vectors)
       |  log-optimize <tablePath> [targetMB] [where]        selective OPTIMIZE: bin-pack small files + absorb deletion vectors
       |  log-constraints <tablePath>                        list active CHECK constraints (SQL: ALTER TABLE … ADD CONSTRAINT)
+      |  log-detail <tablePath>                             DESCRIBE DETAIL: version, file census, vector state, constraints
       |  log-vacuum <tablePath> <minAgeHours>               reclaim unreferenced data files (retention-gated)
       |  log-prune <tablePath> [keepSince]                  drop commit files behind the newest checkpoint
       |  log-merge <tablePath> <sourceParquet> <keyCols>    keyed MERGE upsert (comma-separated key columns)
@@ -238,6 +239,19 @@ object Cli {
         loggedSchema(spark, table), org.apache.spark.sql.functions.expr(predicate),
         deletionVectors = rest.nonEmpty)
       s"""{"cmd":"log-delete","table":"$table","version":$v,"mor":${rest.nonEmpty}}"""
+
+    case "log-detail" :: table :: Nil =>
+      val row = graft.store.CommitLog.detail(spark, table).collect().head
+      val fields = row.schema.fieldNames.zipWithIndex.map { case (n, i) =>
+        val v = row.get(i) match {
+          case s: String => s""""$s""""
+          case Some(x) => x.toString
+          case None | null => "null"
+          case x => x.toString
+        }
+        s""""$n":$v"""
+      }
+      s"""{"cmd":"log-detail",${fields.mkString(",")}}"""
 
     case "log-constraints" :: table :: Nil =>
       val cs = graft.store.CommitLog.constraintsAt(spark, table)

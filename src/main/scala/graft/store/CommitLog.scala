@@ -2056,6 +2056,50 @@ object CommitLog {
     rows.toDF("version", "operation", "n_added", "n_removed", "commit_ts_ms")
   }
 
+  /** DESCRIBE DETAIL — the one-row operational summary an operator
+    * checks before touching a table: current version, live file
+    * census (count + bytes from ONE directory listing), deletion-
+    * vector state (attached-file count + total vectored positions
+    * from dv-parquet FOOTER record counts — metadata-only, no Spark
+    * job), active constraint count, schema source, and the last
+    * in-commit timestamp. Driver cost: one log replay + one dir
+    * listing + one footer per distinct attached vector (vectors per
+    * table are commit-count-bounded and OPTIMIZE absorbs them). */
+  def detail(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    val (version, entries) = liveFilesFull(spark, tablePath)
+    val dir = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = fsOf(spark, dir)
+    val sizeByName: Map[String, Long] =
+      if (!fs.exists(dir)) Map.empty
+      else fs.listStatus(dir)
+        .collect { case st if st.isFile => st.getPath.getName -> st.getLen }.toMap
+    val sizeBytes = entries.map(e => sizeByName.getOrElse(e.name, 0L)).sum
+    val dvFiles = entries.flatMap(_.dv).distinct
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dvPositions = dvFiles.map { f =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$tablePath/$f"), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      } catch { case scala.util.control.NonFatal(_) => 0L }
+    }.sum
+    val lastTs = {
+      val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
+      commitTsOf(fs, new org.apache.hadoop.fs.Path(log, f"$version%020d.commit"))
+    }
+    val schemaSource =
+      if (schemaAt(spark, tablePath).isDefined) "ledger"
+      else if (entries.nonEmpty) "inferred" else "none"
+    Seq((tablePath, version, entries.size.toLong, sizeBytes,
+      entries.count(_.dv.isDefined).toLong, dvPositions,
+      constraintsAt(spark, tablePath).size.toLong, schemaSource, lastTs))
+      .toDF("table", "version", "num_files", "size_bytes",
+        "num_vectored_files", "num_vectored_positions",
+        "num_constraints", "schema_source", "last_commit_ts_ms")
+  }
+
   /** CDC-style change feed: every row CHANGED by each commit in
     * (sinceVersion, asOf], tagged with `_change_type` (`insert` |
     * `delete`; an update is its delete pre-image + insert post-image)

@@ -87,6 +87,8 @@ object GraftSql {
         } else CommitLog.optimize(spark, path, bytes, clusterBy = cluster,
           where = Option(whereStr).map(org.apache.spark.sql.functions.expr))
       result(spark, path, v)
+    case DescribeDetailRe(path) =>
+      CommitLog.detail(spark, path)
     case AddConstraintRe(path, name, check) =>
       result(spark, path, CommitLog.addConstraint(spark, path, name, check.trim))
     case DropConstraintRe(path, name) =>
@@ -106,6 +108,8 @@ object GraftSql {
       """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*""").r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+graftlog\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*""".r
+  private val DescribeDetailRe =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+graftlog\s*\.\s*`([^`]+)`\s*""".r
   // CHECK constraints (the Delta ALTER TABLE … ADD CONSTRAINT shape)
   private val AddConstraintRe =
     ("""(?is)\s*ALTER\s+TABLE\s+graftlog\s*\.\s*`([^`]+)`\s+ADD\s+CONSTRAINT\s+""" +

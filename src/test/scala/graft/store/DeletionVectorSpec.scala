@@ -247,6 +247,33 @@ abstract class DeletionVectorBehavior(publisher: AtomicPublisher) extends SparkS
     assert(feed(mor) == feed(cow))
   }
 
+  test("DESCRIBE DETAIL reports vector state, census, constraints") {
+    val t = freshTable()
+    CommitLog.append(spark.range(0, 100).toDF("id").coalesce(1), t, publisher)
+    CommitLog.append(spark.range(100, 200).toDF("id").coalesce(1), t, publisher)
+    CommitLog.addConstraint(spark, t, "id_nonneg", "id >= 0", publisher)
+    CommitLog.deleteWhere(spark, t, schema, col("id") < 7, publisher,
+      deletionVectors = true)
+    val d = CommitLog.detail(spark, t).collect().head
+    assert(d.getAs[Long]("version") == 4L)
+    assert(d.getAs[Long]("num_files") == 2L)
+    assert(d.getAs[Long]("num_vectored_files") == 1L)
+    assert(d.getAs[Long]("num_vectored_positions") == 7L)
+    assert(d.getAs[Long]("num_constraints") == 1L)
+    assert(d.getAs[String]("schema_source") == "inferred")
+    assert(d.getAs[Long]("size_bytes") > 0L)
+    // SQL route answers the same row
+    val viaSql = GraftSql.execute(spark, s"DESCRIBE DETAIL graftlog.`$t`")
+      .collect().head
+    assert(viaSql.getAs[Long]("num_vectored_positions") == 7L)
+    // after OPTIMIZE the vector state zeroes out
+    CommitLog.optimize(spark, t, targetBytes = 128L * 1024 * 1024,
+      publisher = publisher)
+    val d2 = CommitLog.detail(spark, t).collect().head
+    assert(d2.getAs[Long]("num_vectored_files") == 0L &&
+      d2.getAs[Long]("num_vectored_positions") == 0L)
+  }
+
   test("DV deletes feed the change feed exactly like copy-on-write deletes") {
     val t = freshTable()
     CommitLog.append(spark.range(0, 50).toDF("id"), t, publisher)
