@@ -54,7 +54,7 @@ object LogTableFunction {
   private def build(args: Seq[Expression]): LogicalPlan = {
     require(args.length == 1 || args.length == 2,
       s"graft_log expects (path[, version]), got ${args.length} args")
-    val path = args.head match {
+    val rawPath = args.head match {
       case Literal(s: UTF8String, StringType) => s.toString
       case other => throw new IllegalArgumentException(
         s"graft_log path must be a string literal, got $other")
@@ -67,6 +67,7 @@ object LogTableFunction {
         s"graft_log version must be an integer literal, got $other")
     }
     val spark = SparkSession.active
+    val path = graft.store.GraftSql.resolvePath(spark, rawPath)
     val schema = CommitLog.schemaAt(spark, path, asOf).getOrElse {
       val (_, files) = CommitLog.liveFiles(spark, path, asOf)
       require(files.nonEmpty,
@@ -83,7 +84,7 @@ object LogTableFunction {
   private def buildChanges(args: Seq[Expression]): LogicalPlan = {
     require(args.length == 2 || args.length == 3,
       s"graft_log_changes expects (path, since[, asOf]), got ${args.length} args")
-    val path = args.head match {
+    val rawPath = args.head match {
       case Literal(s: UTF8String, StringType) => s.toString
       case other => throw new IllegalArgumentException(
         s"graft_log_changes path must be a string literal, got $other")
@@ -97,6 +98,7 @@ object LogTableFunction {
     val since = longArg(args(1), "since")
     val asOf = if (args.length == 3) longArg(args(2), "asOf") else Long.MaxValue
     val spark = SparkSession.active
+    val path = graft.store.GraftSql.resolvePath(spark, rawPath)
     val schema = CommitLog.schemaAt(spark, path, asOf).getOrElse {
       val (_, files) = CommitLog.liveFiles(spark, path)
       require(files.nonEmpty,

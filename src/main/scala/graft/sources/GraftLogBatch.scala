@@ -53,7 +53,8 @@ private[sources] object GraftLogBatch {
   def relation(spark: SparkSession,
       parameters: Map[String, String],
       user: Option[StructType]): BaseRelation = {
-    val path = GraftLogStreamProvider.pathOf(parameters)
+    val path = graft.store.GraftSql.resolvePath(spark,
+      GraftLogStreamProvider.pathOf(parameters))
     val asOf = asOfVersion(spark, path, parameters)
     val schema = user.getOrElse(schemaFor(spark, path, asOf))
     // A snapshot carrying DELETION VECTORS cannot be served as a bare
@@ -80,7 +81,8 @@ private[sources] object GraftLogBatch {
 
   def write(spark: SparkSession, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): Unit = {
-    val path = GraftLogStreamProvider.pathOf(parameters)
+    val path = graft.store.GraftSql.resolvePath(spark,
+      GraftLogStreamProvider.pathOf(parameters))
     val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
     require(!opts.contains("versionasof") && !opts.contains("timestampasof"),
       "time travel options are read-only — cannot write AS OF a version")

@@ -74,7 +74,8 @@ class GraftLogStreamProvider extends StreamSourceProvider with DataSourceRegiste
     require(partitionColumns.isEmpty,
       "graftlog sink does not support partitionBy — cluster with " +
         "compaction (Z-order) instead; stats pruning replaces partition dirs")
-    val path = pathOf(parameters)
+    val path = graft.store.GraftSql.resolvePath(
+      sqlContext.sparkSession, pathOf(parameters))
     val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
     def keys = opts.getOrElse("keys",
       throw new IllegalArgumentException(
@@ -114,7 +115,8 @@ class GraftLogStreamProvider extends StreamSourceProvider with DataSourceRegiste
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val spark = sqlContext.sparkSession
-    (shortName(), feedSchema(dataSchema(spark, pathOf(parameters), schema)))
+    (shortName(), feedSchema(dataSchema(spark,
+      graft.store.GraftSql.resolvePath(spark, pathOf(parameters)), schema)))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -122,7 +124,7 @@ class GraftLogStreamProvider extends StreamSourceProvider with DataSourceRegiste
       parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
     val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
-    val path = pathOf(parameters)
+    val path = graft.store.GraftSql.resolvePath(spark, pathOf(parameters))
     val maxV = opts.get("maxversionspertrigger").map(_.toLong)
       .getOrElse(Long.MaxValue)
     require(maxV > 0, s"maxVersionsPerTrigger must be positive: $maxV")

@@ -270,7 +270,7 @@ object CommitLog {
       dvExpect: Map[String, Option[String]] = Map.empty,
       constraintTags: Seq[String] = Seq.empty): Option[Long] = {
     require(adds.nonEmpty || removes.nonEmpty || dvAttach.nonEmpty ||
-      constraintTags.nonEmpty, "empty commit")
+      constraintTags.nonEmpty || schemaJson.nonEmpty, "empty commit")
     require(dvAttach.keySet.forall(dvExpect.contains),
       "every DV attachment needs its expected prior attachment (conflict check input)")
     require(constraintTags.forall(t => !t.exists(c => c == '\n' || c == '\r')),
@@ -1055,6 +1055,14 @@ object CommitLog {
       .select(col(DvFileCol), col(DvPosCol)))
   }
 
+  /** Attached vectors larger than this (total bytes, from the same
+    * directory listing reads already take) anti-join WITHOUT a
+    * broadcast hint — a table whose deletes outran OPTIMIZE must not
+    * blow the driver on a forced broadcast; the shuffle anti-join is
+    * the correct degraded mode and AQE still picks broadcast when the
+    * runtime size allows. */
+  private[store] val DvBroadcastMaxBytes: Long = 64L * 1024 * 1024
+
   /** Snapshot rows VISIBLE at the given live entries — the one read
     * primitive every consumer (read, probe scans, rewrites, compact)
     * goes through, so merge-on-read deletes can never resurrect:
@@ -1063,13 +1071,15 @@ object CommitLog {
     * DV-carrying files subtract their vector's positions with one
     * BROADCAST anti-join on (file, position) — vectors are
     * increment-sized by design (OPTIMIZE absorbs them before they
-    * grow), so the join never shuffles the data side. `meta` appends
-    * `_metadata`-derived columns (alias → field name) for callers that
-    * need file identity or position on the VISIBLE rows (the
-    * merge/delete probes). */
+    * grow), so the join never shuffles the data side. Vectors past
+    * [[DvBroadcastMaxBytes]] drop the broadcast hint (see there).
+    * `meta` appends `_metadata`-derived columns (alias → field name)
+    * for callers that need file identity or position on the VISIBLE
+    * rows (the merge/delete probes). */
   private[graft] def visibleRows(spark: SparkSession, tablePath: String,
       schema: StructType, entries: Seq[LiveEntry],
-      meta: Seq[(String, String)] = Seq.empty): DataFrame = {
+      meta: Seq[(String, String)] = Seq.empty,
+      dvBroadcastMaxBytes: Long = DvBroadcastMaxBytes): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val outSchema = StructType(schema.fields ++ meta.map { case (a, f) =>
       org.apache.spark.sql.types.StructField(a,
@@ -1089,10 +1099,17 @@ object CommitLog {
       (if (dvd.isEmpty) Seq.empty
        else {
          val dv = dvRows(spark, tablePath, dvd).get
+         val dir = new org.apache.hadoop.fs.Path(tablePath)
+         val fs = fsOf(spark, dir)
+         val dvBytes = dvd.flatMap(_.dv).distinct.map { f =>
+           try fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, f)).getLen
+           catch { case scala.util.control.NonFatal(_) => Long.MaxValue / 1024 }
+         }.sum
+         val dvSide = if (dvBytes <= dvBroadcastMaxBytes) broadcast(dv) else dv
          Seq(scan(dvd.map(_.name))
            .select(outCols :+ col("_metadata.file_name").as("_vr_file")
              :+ col("_metadata.row_index").as("_vr_pos"): _*)
-           .join(broadcast(dv),
+           .join(dvSide,
              col("_vr_file") === col(DvFileCol) && col("_vr_pos") === col(DvPosCol),
              "left_anti")
            .drop("_vr_file", "_vr_pos"))

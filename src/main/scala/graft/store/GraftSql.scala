@@ -71,7 +71,8 @@ object GraftSql {
     * ``OPTIMIZE graftlog.`p` [TARGET <bytes>] [ZORDER BY (a, b, …)]``
     * and ``VACUUM graftlog.`p` [RETAIN <n> HOURS]``. */
   def execute(spark: SparkSession, sql: String): DataFrame = sql match {
-    case OptimizeRe(path, full, target, whereStr, zcols) =>
+    case OptimizeRe(rawPath, full, target, whereStr, zcols) =>
+      val path = resolvePath(spark, rawPath)
       val bytes = Option(target).map(_.toLong).getOrElse(DefaultOptimizeBytes)
       val cluster = Option(zcols).map(_.split(',').map(_.trim)
         .filter(_.nonEmpty).mkString(","))
@@ -87,13 +88,44 @@ object GraftSql {
         } else CommitLog.optimize(spark, path, bytes, clusterBy = cluster,
           where = Option(whereStr).map(org.apache.spark.sql.functions.expr))
       result(spark, path, v)
-    case DescribeDetailRe(path) =>
-      CommitLog.detail(spark, path)
-    case AddConstraintRe(path, name, check) =>
+    case DescribeDetailRe(rawPath) =>
+      CommitLog.detail(spark, resolvePath(spark, rawPath))
+    case CreateTableRe(rawPath, colsDdl) =>
+      val path = resolvePath(spark, rawPath)
+      require(CommitLog.latestVersion(spark, path) == 0,
+        s"logged table $path already exists")
+      // an empty table IS its schema ledger: one schema-only commit
+      // bootstraps it, and the first INSERT/append fills it
+      val schema = StructType.fromDDL(colsDdl)
+      val v = CommitLog.commit(spark, path, adds = Seq.empty,
+        opTag = Some("create"), schemaJson = Some(schema.json))
+      result(spark, path, v)
+    case CtasRe(rawPath, select) =>
+      val path = resolvePath(spark, rawPath)
+      require(CommitLog.latestVersion(spark, path) == 0,
+        s"logged table $path already exists")
+      // CTAS ≡ INSERT INTO an empty table: the bootstrap path stamps
+      // the query's shape into the schema ledger in the same commit
+      execute(spark, s"INSERT INTO graftlog.`$path` $select")
+    case DropTableRe(rawPath) =>
+      val path = resolvePath(spark, rawPath)
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // refuse to recursively delete anything that is not a logged
+      // table — a mistyped path must not vaporize an arbitrary tree
+      require(fs.exists(new org.apache.hadoop.fs.Path(path, "_graft_log")),
+        s"$path is not a logged table (no _graft_log) — refusing DROP")
+      fs.delete(dir, true)
+      import spark.implicits._
+      Seq((path, true)).toDF("table", "dropped")
+    case AddConstraintRe(rawPath, name, check) =>
+      val path = resolvePath(spark, rawPath)
       result(spark, path, CommitLog.addConstraint(spark, path, name, check.trim))
-    case DropConstraintRe(path, name) =>
+    case DropConstraintRe(rawPath, name) =>
+      val path = resolvePath(spark, rawPath)
       result(spark, path, CommitLog.dropConstraint(spark, path, name))
-    case VacuumRe(path, hours) =>
+    case VacuumRe(rawPath, hours) =>
+      val path = resolvePath(spark, rawPath)
       val ageMs = Option(hours).map(_.toLong * 3600000L)
         .getOrElse(DefaultVacuumRetainMs)
       val swept = CommitLog.vacuum(spark, path, minAgeMs = ageMs)
@@ -110,6 +142,14 @@ object GraftSql {
     """(?is)\s*VACUUM\s+graftlog\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*""".r
   private val DescribeDetailRe =
     """(?is)\s*DESCRIBE\s+DETAIL\s+graftlog\s*\.\s*`([^`]+)`\s*""".r
+  // CREATE/DROP: the named-table lifecycle (bare names resolve through
+  // spark.graft.warehouse; paths work too)
+  private val CreateTableRe =
+    """(?is)\s*CREATE\s+TABLE\s+graftlog\s*\.\s*`([^`]+)`\s*\((.+)\)\s*""".r
+  private val CtasRe =
+    """(?is)\s*CREATE\s+TABLE\s+graftlog\s*\.\s*`([^`]+)`\s+AS\s+(.+?)\s*""".r
+  private val DropTableRe =
+    """(?is)\s*DROP\s+TABLE\s+graftlog\s*\.\s*`([^`]+)`\s*""".r
   // CHECK constraints (the Delta ALTER TABLE … ADD CONSTRAINT shape)
   private val AddConstraintRe =
     ("""(?is)\s*ALTER\s+TABLE\s+graftlog\s*\.\s*`([^`]+)`\s+ADD\s+CONSTRAINT\s+""" +
@@ -124,22 +164,23 @@ object GraftSql {
     spark.sessionState.sqlParser.parsePlan(sql) match {
       case m: MergeIntoTable =>
         pathOf(m.targetTable) match {
-          case Some((path, tAlias)) => runMerge(spark, m, path, tAlias)
+          case Some((path, tAlias)) =>
+            runMerge(spark, m, resolvePath(spark, path), tAlias)
           case None => spark.sql(sql)
         }
       case d: DeleteFromTable =>
         pathOf(d.table) match {
-          case Some((path, _)) => runDelete(spark, d, path)
+          case Some((path, _)) => runDelete(spark, d, resolvePath(spark, path))
           case None => spark.sql(sql)
         }
       case i: InsertIntoStatement =>
         pathOf(i.table) match {
-          case Some((path, _)) => runInsert(spark, i, path)
+          case Some((path, _)) => runInsert(spark, i, resolvePath(spark, path))
           case None => spark.sql(sql)
         }
       case u: UpdateTable =>
         pathOf(u.table) match {
-          case Some((path, _)) => runUpdate(spark, u, path)
+          case Some((path, _)) => runUpdate(spark, u, resolvePath(spark, path))
           case None => spark.sql(sql)
         }
       case _ => spark.sql(sql)
@@ -185,6 +226,20 @@ object GraftSql {
     spark.conf.getOption("spark.graft.deletionVectors").exists(_.toBoolean)
 
   // ── target recognition ────────────────────────────────────────────
+
+  /** Resolve a graftlog table identifier: a PATH (contains '/')
+    * passes through; a bare NAME resolves against the session's
+    * `spark.graft.warehouse` root — the SQL-only user's named-table
+    * surface (`CREATE TABLE graftlog.`corpus` …`, then every verb by
+    * name). */
+  private[graft] def resolvePath(spark: SparkSession, ident: String): String =
+    if (ident.contains('/')) ident
+    else spark.conf.getOption("spark.graft.warehouse") match {
+      case Some(wh) => s"${wh.stripSuffix("/")}/$ident"
+      case None => throw new IllegalArgumentException(
+        s"graftlog table `$ident` is a bare name — set spark.graft.warehouse " +
+          "to resolve names against a root, or address the table by path")
+    }
 
   /** ``[alias ->] graftlog.`/path` `` → (path, alias). */
   private def pathOf(plan: LogicalPlan): Option[(String, Option[String])] =
@@ -353,7 +408,7 @@ object GraftSql {
     plan.transform {
       case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
           u.multipartIdentifier.head.equalsIgnoreCase(Catalog) =>
-        val p = u.multipartIdentifier(1)
+        val p = resolvePath(spark, u.multipartIdentifier(1))
         StreamingShim.planOf(CommitLog.read(spark, p, schemaOf(spark, p)))
     }
 

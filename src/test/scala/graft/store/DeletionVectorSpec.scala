@@ -247,6 +247,21 @@ abstract class DeletionVectorBehavior(publisher: AtomicPublisher) extends SparkS
     assert(feed(mor) == feed(cow))
   }
 
+  test("oversized vectors drop the broadcast hint but stay correct") {
+    val t = freshTable()
+    CommitLog.append(spark.range(0, 100).toDF("id"), t, publisher)
+    CommitLog.deleteWhere(spark, t, schema, col("id") % 3 === 0, publisher,
+      deletionVectors = true)
+    val (_, entries) = CommitLog.liveFilesFull(spark, t)
+    // a 1-byte cap forces the degraded (no-hint) join; result identical
+    val noHint = CommitLog.visibleRows(spark, t, schema, entries,
+      dvBroadcastMaxBytes = 1L)
+    assert(noHint.as[Long].collect().toSet ==
+      (0L until 100L).filterNot(_ % 3 == 0).toSet)
+    // the default path result agrees
+    assert(ids(t) == (0L until 100L).filterNot(_ % 3 == 0).toSet)
+  }
+
   test("DESCRIBE DETAIL reports vector state, census, constraints") {
     val t = freshTable()
     CommitLog.append(spark.range(0, 100).toDF("id").coalesce(1), t, publisher)

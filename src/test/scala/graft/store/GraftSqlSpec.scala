@@ -221,6 +221,52 @@ class GraftSqlSpec extends SparkSpec {
     assert(!before.subsetOf(CommitLog.liveFiles(spark, t)._2.toSet))
   }
 
+  test("named tables: warehouse lifecycle CREATE/CTAS/DML/DROP by name") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    spark.conf.set("spark.graft.warehouse", wh)
+    try {
+      // CREATE TABLE (cols): schema-only bootstrap commit
+      GraftSql.execute(spark,
+        "CREATE TABLE graftlog.`corpus` (id BIGINT, v STRING)")
+      assert(CommitLog.schemaAt(spark, s"$wh/corpus").isDefined)
+      // positional INSERT works against the declared arity, by name
+      GraftSql.execute(spark,
+        "INSERT INTO graftlog.`corpus` VALUES (1, 'a'), (2, 'b')")
+      // every verb addresses the table by bare name
+      GraftSql.execute(spark, "UPDATE graftlog.`corpus` SET v = 'z' WHERE id = 2")
+      GraftSql.execute(spark, "DELETE FROM graftlog.`corpus` WHERE id = 1")
+      GraftSql.execute(spark, "OPTIMIZE graftlog.`corpus`")
+      val d = GraftSql.execute(spark, "DESCRIBE DETAIL graftlog.`corpus`")
+        .collect().head
+      assert(d.getAs[String]("table") == s"$wh/corpus")
+      // the TVF and the format readers resolve the same name
+      graft.functions.GraftFunctions.register(spark)
+      assert(spark.sql("SELECT * FROM graft_log('corpus')")
+        .as[(Long, String)].collect().toSet == Set((2L, "z")))
+      assert(spark.read.format("graftlog").load("corpus")
+        .as[(Long, String)].collect().toSet == Set((2L, "z")))
+      // CTAS from the named table
+      GraftSql.execute(spark,
+        "CREATE TABLE graftlog.`corpus2` AS SELECT * FROM graft_log('corpus')")
+      assert(spark.read.format("graftlog").load("corpus2").count() == 1)
+      intercept[IllegalArgumentException] {
+        GraftSql.execute(spark, "CREATE TABLE graftlog.`corpus` (id BIGINT)")
+      }
+      // DROP refuses non-logged dirs, drops real tables
+      val notATable = Files.createTempDirectory("graft_wh_not").toString
+      intercept[IllegalArgumentException] {
+        GraftSql.execute(spark, s"DROP TABLE graftlog.`$notATable`")
+      }
+      GraftSql.execute(spark, "DROP TABLE graftlog.`corpus2`")
+      assert(CommitLog.latestVersion(spark, s"$wh/corpus2") == 0)
+    } finally spark.conf.unset("spark.graft.warehouse")
+    // without the conf, bare names refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, "DELETE FROM graftlog.`corpus` WHERE id = 1")
+    }
+    assert(e.getMessage.contains("warehouse"))
+  }
+
   test("unsupported grammar refuses loudly instead of mistranslating") {
     val t = freshTable()
     seed(t)
