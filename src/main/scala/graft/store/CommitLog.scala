@@ -268,9 +268,13 @@ object CommitLog {
       schemaJson: Option[String] = None,
       dvAttach: Map[String, String] = Map.empty,
       dvExpect: Map[String, Option[String]] = Map.empty,
-      constraintTags: Seq[String] = Seq.empty): Option[Long] = {
+      constraintTags: Seq[String] = Seq.empty,
+      propertyTags: Seq[String] = Seq.empty): Option[Long] = {
     require(adds.nonEmpty || removes.nonEmpty || dvAttach.nonEmpty ||
-      constraintTags.nonEmpty || schemaJson.nonEmpty, "empty commit")
+      constraintTags.nonEmpty || propertyTags.nonEmpty ||
+      schemaJson.nonEmpty, "empty commit")
+    require(propertyTags.forall(t => !t.exists(c => c == '\n' || c == '\r')),
+      "property tags must be newline-free")
     require(dvAttach.keySet.forall(dvExpect.contains),
       "every DV attachment needs its expected prior attachment (conflict check input)")
     require(constraintTags.forall(t => !t.exists(c => c == '\n' || c == '\r')),
@@ -299,6 +303,7 @@ object CommitLog {
       opTag.map("#op=" + _).toSeq ++
       schemaJson.map("#schema=" + _).toSeq ++
       constraintTags.map("#constraint=" + _) ++
+      propertyTags.map("#property=" + _) ++
       changeAdds.map("~" + _) ++
       adds.map(a => "+" + a + addStats.get(a).map("|" + _).getOrElse("")) ++
       removes.map("-" + _) ++
@@ -385,12 +390,15 @@ object CommitLog {
             val snap = liveFilesFull(spark, tablePath, asOf = next)._2
             val (txn, consumed, schemaTag) = ledgerTags(fs, log, upTo = next)
             val constraints = constraintsAt(spark, tablePath, asOf = next)
+            val props = propertiesAt(spark, tablePath, asOf = next)
             val headers =
               txn.toSeq.sortBy(_._1).map { case (q, b) => s"#txn=$q:$b" } ++
                 (if (consumed > 0L) Seq(s"#consumed=$consumed") else Seq.empty) ++
                 schemaTag.map("#schema=" + _).toSeq ++
                 constraints.toSeq.sortBy(_._1).map { case (n, c) =>
-                  s"#constraint=+$n:$c" }
+                  s"#constraint=+$n:$c" } ++
+                props.toSeq.sortBy(_._1).map { case (k, v) =>
+                  s"#property=+$k:$v" }
             publisher.publish(fs, log,
               new org.apache.hadoop.fs.Path(log, f"$next%020d.checkpoint"),
               (headers ++ snap.map { e =>
@@ -511,6 +519,110 @@ object CommitLog {
     }
     cs
   }
+
+  /** TABLE-PROPERTIES ledger at `asOf` (Delta's TBLPROPERTIES):
+    * `#property=+key:value` sets, `#property=-key` unsets, folded in
+    * version order, checkpoint-carried like constraints. The
+    * `bloom.columns` / `bloom.ndv[.col]` properties are consumed by
+    * EVERY data-file write ([[tableWriteOptions]]), which is what
+    * keeps a declared point-lookup index alive through maintenance a
+    * caller didn't hand-feed writer options — SQL OPTIMIZE, CLI
+    * verbs, and every copy-on-write rewrite included. */
+  def propertiesAt(spark: SparkSession, tablePath: String,
+      asOf: Long = Long.MaxValue): Map[String, String] = {
+    val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
+    val fs = fsOf(spark, log)
+    if (!fs.exists(log)) return Map.empty
+    val entries = fs.listStatus(log)
+    val ckpt = entries.flatMap { st =>
+      st.getPath.getName match {
+        case CheckpointRe(v) if v.toLong <= asOf => Some(v.toLong -> st.getPath)
+        case _ => None
+      }
+    }.sortBy(_._1).lastOption
+    val base = ckpt.map(_._1).getOrElse(0L)
+    var ps = Map.empty[String, String]
+    def fold(line: String): Unit = {
+      val b = line.stripPrefix("#property=")
+      if (b.startsWith("+")) {
+        val i = b.indexOf(':')
+        if (i > 1) { ps += b.substring(1, i) -> b.substring(i + 1); () }
+      } else if (b.startsWith("-")) { ps -= b.substring(1); () }
+    }
+    ckpt.foreach { case (_, p) =>
+      readLines(fs, p).foreach(l => if (l.startsWith("#property=")) fold(l))
+    }
+    entries.flatMap { st =>
+      st.getPath.getName match {
+        case CommitRe(v) if v.toLong > base && v.toLong <= asOf =>
+          Some(v.toLong -> st.getPath)
+        case _ => None
+      }
+    }.sortBy(_._1).foreach { case (_, p) =>
+      readLines(fs, p).foreach(l => if (l.startsWith("#property=")) fold(l))
+    }
+    ps
+  }
+
+  /** SET table properties (one commit, multiple keys). Keys and values
+    * must be newline/colon-free keys; values newline-free. */
+  def setProperties(spark: SparkSession, tablePath: String,
+      props: Map[String, String],
+      publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
+    require(props.nonEmpty, "no properties to set")
+    props.foreach { case (k, v) =>
+      require(k.nonEmpty && !k.exists(c => c.isWhitespace || c == ':'),
+        s"property key must be whitespace/colon-free: $k")
+      require(!v.exists(c => c == '\n' || c == '\r'),
+        s"property value must be newline-free: $k")
+    }
+    commitOrAbort(spark, tablePath, adds = Seq.empty, removes = Seq.empty,
+      publisher = publisher, opTag = Some("properties"),
+      abortOnLostRace = () => false,
+      constraintTags = Seq.empty,
+      propertyTags = props.toSeq.sortBy(_._1).map { case (k, v) => s"+$k:$v" })
+      .getOrElse(throw new IllegalStateException("unreachable: unfenced property set"))
+  }
+
+  /** UNSET table properties (loud when a key is absent). */
+  def unsetProperties(spark: SparkSession, tablePath: String,
+      keys: Seq[String],
+      publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
+    require(keys.nonEmpty, "no properties to unset")
+    val cur = propertiesAt(spark, tablePath)
+    val missing = keys.filterNot(cur.contains)
+    require(missing.isEmpty,
+      s"no such propert${if (missing.size == 1) "y" else "ies"} on $tablePath: " +
+        missing.mkString(", "))
+    commitOrAbort(spark, tablePath, adds = Seq.empty, removes = Seq.empty,
+      publisher = publisher, opTag = Some("properties"),
+      abortOnLostRace = () => false,
+      propertyTags = keys.sorted.map("-" + _))
+      .getOrElse(throw new IllegalStateException("unreachable: unfenced property unset"))
+  }
+
+  /** Effective parquet writer options for a data-file write into this
+    * table: the property-declared bloom-filter options (so a declared
+    * point-lookup index survives EVERY rewrite — the probe path reads
+    * these filters) overlaid by the caller's explicit options. */
+  private[store] def tableWriteOptions(spark: SparkSession, tablePath: String,
+      explicit: Map[String, String] = Map.empty): Map[String, String] =
+    bloomOptions(propertiesAt(spark, tablePath)) ++ explicit
+
+  /** `bloom.columns = "a,b"` (+ optional `bloom.ndv` / `bloom.ndv.col`
+    * expected-cardinality overrides, default 100k) → the parquet
+    * writer knobs Bloom.writeWithBloomFilters would pass by hand. */
+  private[store] def bloomOptions(props: Map[String, String]): Map[String, String] =
+    props.get("bloom.columns") match {
+      case Some(cols) =>
+        val ndv = props.getOrElse("bloom.ndv", "100000")
+        cols.split(',').map(_.trim).filter(_.nonEmpty).flatMap { c =>
+          Seq(s"parquet.bloom.filter.enabled#$c" -> "true",
+            s"parquet.bloom.filter.expected.ndv#$c" ->
+              props.getOrElse(s"bloom.ndv.$c", ndv))
+        }.toMap
+      case None => Map.empty
+    }
 
   /** ADD a CHECK constraint — the ENFORCING sibling of the
     * Expectations quarantine report: from this commit on, every write
@@ -946,7 +1058,9 @@ object CommitLog {
     // options (Bloom.writeWithBloomFilters' parquet.bloom.filter.*) are
     // the intended use, making logged files probe-able by
     // pruneByFooterStats' point-lookup path
-    enforced(df, tablePath).write.options(writeOptions).parquet(staging.toString)
+    enforced(df, tablePath).write
+      .options(tableWriteOptions(spark, tablePath, writeOptions))
+      .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     commit(spark, tablePath, adds = names, publisher = publisher, opTag = opTag,
       addStats = statsFor(spark, tablePath, names), schemaJson = evolved)
@@ -978,7 +1092,9 @@ object CommitLog {
     }
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
-    enforced(df, tablePath).write.options(writeOptions).parquet(staging.toString)
+    enforced(df, tablePath).write
+      .options(tableWriteOptions(spark, tablePath, writeOptions))
+      .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     if (names.isEmpty && live.isEmpty) return version // nothing to publish
     commit(spark, tablePath, adds = names, removes = live,
@@ -1000,7 +1116,8 @@ object CommitLog {
     val fs = fsOf(spark, dir)
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
-    enforced(df, tablePath).write.parquet(staging.toString)
+    enforced(df, tablePath).write
+      .options(tableWriteOptions(spark, tablePath)).parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     commitOrAbort(spark, tablePath, adds = names, removes = Seq.empty,
       publisher = publisher, opTag = opTag, abortOnLostRace = abortOnLostRace,
@@ -1150,7 +1267,8 @@ object CommitLog {
     // table must not silently LOSE its point-lookup index to
     // maintenance (the pruneByFooterStats probe path reads them)
     ZOrder.layout(visibleRows(spark, tablePath, schema, entries), nOut, clusterBy)
-      .write.options(writeOptions).parquet(staging.toString)
+      .write.options(tableWriteOptions(spark, tablePath, writeOptions))
+      .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     // commit() validates `files` against the live set and throws on a
     // concurrent rewrite — never a silent table doubling
@@ -1236,7 +1354,8 @@ object CommitLog {
     val writerId = freshWriterId("c")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
     ZOrder.layout(visibleRows(spark, tablePath, schema, candidates), nOut, clusterBy)
-      .write.options(writeOptions).parquet(staging.toString)
+      .write.options(tableWriteOptions(spark, tablePath, writeOptions))
+      .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     commit(spark, tablePath, adds = names, removes = candidates.map(_.name),
       publisher = publisher, addStats = statsFor(spark, tablePath, names))
@@ -1350,7 +1469,8 @@ object CommitLog {
     val fs = fsOf(spark, dir)
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
-    enforced(df, tablePath).write.parquet(staging.toString)
+    enforced(df, tablePath).write
+      .options(tableWriteOptions(spark, tablePath)).parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     // an EMPTY batch publishes nothing and records nothing: the ledger
     // not advancing is safe because replaying an empty batch is a
@@ -1448,7 +1568,8 @@ object CommitLog {
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
     affectedDf.filter(not(coalesce(predicate, lit(false))))
-      .write.parquet(staging.toString)
+      .write.options(tableWriteOptions(spark, tablePath))
+      .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     val cdcNames = landChangeFiles(spark, tablePath,
       affectedDf.filter(predicate)
@@ -1593,7 +1714,8 @@ object CommitLog {
       val postDf = matched.select(post: _*)
       val writerId = freshWriterId("w")
       val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
-      enforced(postDf, tablePath).write.parquet(staging.toString)
+      enforced(postDf, tablePath).write
+        .options(tableWriteOptions(spark, tablePath)).parquet(staging.toString)
       val names = landStaged(fs, dir, staging, writerId)
       val cdcNames = landChangeFiles(spark, tablePath,
         matched.drop("_uw_f", "_uw_p").withColumn(ChangeTypeCol, lit("delete"))
@@ -1621,7 +1743,8 @@ object CommitLog {
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
     enforced(affectedDf.select(rewritten: _*), tablePath)
-      .write.parquet(staging.toString)
+      .write.options(tableWriteOptions(spark, tablePath))
+      .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     val cdcNames = landChangeFiles(spark, tablePath,
       affectedDf.filter(predicate)
@@ -1983,7 +2106,8 @@ object CommitLog {
         affectedMor.map(entryByName), fresh)
       val writerId = freshWriterId("w")
       val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
-      app.write.parquet(staging.toString)
+      app.write.options(tableWriteOptions(spark, tablePath))
+        .parquet(staging.toString)
       val names = landStaged(fs, dir, staging, writerId)
       val cdcNames = landChangeFiles(spark, tablePath,
         matched.drop("_kr_f", "_kr_p").withColumn(ChangeTypeCol, lit("delete"))
@@ -2021,7 +2145,8 @@ object CommitLog {
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
     aff.join(keyD, keyCols, "left_anti").unionByName(app)
-      .write.parquet(staging.toString)
+      .write.options(tableWriteOptions(spark, tablePath))
+      .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     val cdcNames = landChangeFiles(spark, tablePath,
       aff.join(keyD, keyCols, "left_semi")

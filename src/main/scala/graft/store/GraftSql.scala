@@ -118,6 +118,17 @@ object GraftSql {
       fs.delete(dir, true)
       import spark.implicits._
       Seq((path, true)).toDF("table", "dropped")
+    case SetPropsRe(rawPath, pairs) =>
+      val path = resolvePath(spark, rawPath)
+      val props = PropPairRe.findAllMatchIn(pairs)
+        .map(m => m.group(1) -> m.group(2)).toMap
+      require(props.nonEmpty, s"no 'key'='value' pairs in: $pairs")
+      result(spark, path, CommitLog.setProperties(spark, path, props))
+    case UnsetPropsRe(rawPath, keys) =>
+      val path = resolvePath(spark, rawPath)
+      val ks = PropKeyRe.findAllMatchIn(keys).map(_.group(1)).toSeq
+      require(ks.nonEmpty, s"no 'key' entries in: $keys")
+      result(spark, path, CommitLog.unsetProperties(spark, path, ks))
     case AddConstraintRe(rawPath, name, check) =>
       val path = resolvePath(spark, rawPath)
       result(spark, path, CommitLog.addConstraint(spark, path, name, check.trim))
@@ -150,6 +161,16 @@ object GraftSql {
     """(?is)\s*CREATE\s+TABLE\s+graftlog\s*\.\s*`([^`]+)`\s+AS\s+(.+?)\s*""".r
   private val DropTableRe =
     """(?is)\s*DROP\s+TABLE\s+graftlog\s*\.\s*`([^`]+)`\s*""".r
+  // TBLPROPERTIES (bloom.columns/bloom.ndv drive write-time bloom
+  // filters through every maintenance path)
+  private val SetPropsRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+graftlog\s*\.\s*`([^`]+)`\s+SET\s+""" +
+      """TBLPROPERTIES\s*\((.+)\)\s*""").r
+  private val UnsetPropsRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+graftlog\s*\.\s*`([^`]+)`\s+UNSET\s+""" +
+      """TBLPROPERTIES\s*\((.+)\)\s*""").r
+  private val PropPairRe = """'([^']+)'\s*=\s*'([^']*)'""".r
+  private val PropKeyRe = """'([^']+)'""".r
   // CHECK constraints (the Delta ALTER TABLE … ADD CONSTRAINT shape)
   private val AddConstraintRe =
     ("""(?is)\s*ALTER\s+TABLE\s+graftlog\s*\.\s*`([^`]+)`\s+ADD\s+CONSTRAINT\s+""" +

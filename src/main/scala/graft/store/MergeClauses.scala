@@ -275,7 +275,9 @@ final class MergeClauses private (
         case Some(ins) => postOnly.unionByName(ins)
         case None => postOnly
       }
-      CommitLog.enforced(addsDf, tablePath).write.parquet(staging.toString)
+      CommitLog.enforced(addsDf, tablePath).write
+        .options(CommitLog.tableWriteOptions(spark, tablePath))
+        .parquet(staging.toString)
       val names = CommitLog.landStaged(fs, dir, staging, writerId)
       val cdcNames = CommitLog.landChangeFiles(spark, tablePath, cdc)
       return CommitLog.commitOrAbort(spark, tablePath, adds = names,
@@ -291,7 +293,9 @@ final class MergeClauses private (
       case Some(ins) => rewritten.unionByName(ins)
       case None => rewritten
     }
-    CommitLog.enforced(withInserts, tablePath).write.parquet(staging.toString)
+    CommitLog.enforced(withInserts, tablePath).write
+      .options(CommitLog.tableWriteOptions(spark, tablePath))
+      .parquet(staging.toString)
     val names = CommitLog.landStaged(fs, dir, staging, writerId)
     val cdcNames = CommitLog.landChangeFiles(spark, tablePath, cdc)
     CommitLog.commit(spark, tablePath, adds = names, removes = affected,
