@@ -43,6 +43,7 @@ object Cli {
       |  log-optimize <tablePath> [targetMB] [where]        selective OPTIMIZE: bin-pack small files + absorb deletion vectors
       |  log-constraints <tablePath>                        list active CHECK constraints (SQL: ALTER TABLE … ADD CONSTRAINT)
       |  log-detail <tablePath>                             DESCRIBE DETAIL: version, file census, vector state, constraints
+      |  log-restore <tablePath> <toVersion>                rollback: one commit re-using historical files, zero data movement
       |  log-vacuum <tablePath> <minAgeHours>               reclaim unreferenced data files (retention-gated)
       |  log-prune <tablePath> [keepSince]                  drop commit files behind the newest checkpoint
       |  log-merge <tablePath> <sourceParquet> <keyCols>    keyed MERGE upsert (comma-separated key columns)
@@ -239,6 +240,10 @@ object Cli {
         loggedSchema(spark, table), org.apache.spark.sql.functions.expr(predicate),
         deletionVectors = rest.nonEmpty)
       s"""{"cmd":"log-delete","table":"$table","version":$v,"mor":${rest.nonEmpty}}"""
+
+    case "log-restore" :: table :: version :: Nil =>
+      val v = graft.store.CommitLog.restore(spark, table, version.toLong)
+      s"""{"cmd":"log-restore","table":"$table","version":$v}"""
 
     case "log-detail" :: table :: Nil =>
       val row = graft.store.CommitLog.detail(spark, table).collect().head

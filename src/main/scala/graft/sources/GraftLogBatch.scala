@@ -43,7 +43,7 @@ import org.apache.spark.sql.types.StructType
   * unrecognized options pass through to the parquet writer (the
   * `parquet.bloom.filter.*` knobs keep point-lookup indexes alive
   * through this path too). */
-private[sources] object GraftLogBatch {
+private[graft] object GraftLogBatch {
 
   /** Option keys the relation itself consumes; everything else is
     * forwarded to the parquet writer on the write path. */
@@ -122,7 +122,7 @@ private[sources] object GraftLogBatch {
       .getOrElse(Long.MaxValue)
   }
 
-  private[sources] def parseTsMs(s: String): Long =
+  private[graft] def parseTsMs(s: String): Long =
     if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
     else scala.util.Try(java.time.Instant.parse(s).toEpochMilli).getOrElse(
       java.sql.Timestamp.valueOf(s).getTime)

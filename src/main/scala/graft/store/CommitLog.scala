@@ -154,8 +154,12 @@ object CommitLog {
       if (bar < 0) throw new IllegalStateException(
         s"corrupt DV line in $p (no |dvfile): $line")
       val data = body.substring(0, bar)
+      val dv = body.substring(bar + 1)
       live.get(data) match {
-        case Some((st, _)) => live(data) = (st, Some(body.substring(bar + 1))); ()
+        // `*file|-` DETACHES (restore() resetting a kept file to a
+        // vector-free historical state)
+        case Some((st, _)) =>
+          live(data) = (st, if (dv == "-") None else Some(dv)); ()
         case None => throw new IllegalStateException(
           s"corrupt commit in $p: DV attached to non-live file $data")
       }
@@ -336,7 +340,10 @@ object CommitLog {
                 s"concurrent commit (${gone.take(3).mkString(", ")}…) — " +
                 "re-read the live set and rerun the rewrite")
           val dvByName = liveSeq.map(e => e.name -> e.dv).toMap
-          val dvConflicts = dvAttach.keys.filter { f =>
+          // attachments to files ADDED by this same commit (restore
+          // re-adding a historical file with its vector) have no
+          // current state to conflict with
+          val dvConflicts = dvAttach.keys.filterNot(adds.contains).filter { f =>
             dvByName.get(f) match {
               case None => true // attachment target no longer live
               case Some(cur) => cur != dvExpect(f) // attachment moved under us
@@ -2376,6 +2383,77 @@ object CommitLog {
           spark.read.schema(cdcSchema)
             .parquet(cdcFiles.map(f => s"$tablePath/$f"): _*))))
     parts.reduce(_.unionByName(_))
+  }
+
+  /** RESTORE the table to an earlier version — the rollback verb
+    * (Delta's RESTORE TABLE … TO VERSION AS OF): ONE commit whose
+    * adds are the target version's live files (re-used byte-identical
+    * — data files are immutable, so a restore moves ZERO data) and
+    * whose removes are the current live set; deletion-vector
+    * attachments, per-file stats, and the schema ledger are restored
+    * to that version's state in the same commit. Time travel still
+    * reaches the pre-restore versions (nothing is deleted), and the
+    * restore itself appears in history as `#op=restore`. Files of the
+    * target version must still exist (vacuum respects them again the
+    * moment this commit lands; a vacuumed target fails loudly at the
+    * validation read). A restore is a row-changing rewrite WITHOUT
+    * change files, so a CDC consumer crossing it stops loudly and
+    * re-bootstraps — the overwrite contract. Concurrent writers
+    * serialize through the usual remove-validation. */
+  def restore(spark: SparkSession, tablePath: String, toVersion: Long,
+      publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
+    val (cur, curEntries) = liveFilesFull(spark, tablePath)
+    require(toVersion <= cur,
+      s"cannot restore $tablePath to version $toVersion — latest is $cur")
+    if (toVersion == cur) return cur // proven no-op
+    val (_, target) = liveFilesFull(spark, tablePath, asOf = toVersion)
+    // every restored file (and attached vector) must still exist —
+    // restoring to a vacuumed snapshot would publish dangling names
+    val dir = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = fsOf(spark, dir)
+    val present: Set[String] =
+      if (!fs.exists(dir)) Set.empty
+      else fs.listStatus(dir)
+        .collect { case st if st.isFile => st.getPath.getName }.toSet
+    val needed = target.map(_.name) ++ target.flatMap(_.dv)
+    val gone = needed.filterNot(present)
+    if (gone.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot restore $tablePath to version $toVersion: file(s) " +
+          s"${gone.take(3).mkString(", ")}… were vacuumed — the snapshot is " +
+          "behind the retention window")
+    val schemaTag = (schemaAt(spark, tablePath, asOf = toVersion),
+        schemaAt(spark, tablePath)) match {
+      case (Some(old), Some(now)) if old.json != now.json => Some(old.json)
+      case _ => None
+    }
+    val curNames = curEntries.map(_.name).toSet
+    val targetNames = target.map(_.name).toSet
+    val adds = target.map(_.name).filterNot(curNames)
+    val removes = curEntries.map(_.name).filterNot(targetNames)
+    val curDv = curEntries.map(e => e.name -> e.dv).toMap
+    // restore each surviving file's attachment STATE: re-added files
+    // attach their historical vector in the same commit; kept files
+    // whose vector differs re-attach (or DETACH via the `-` marker
+    // when the target state is vector-free)
+    val addSet = adds.toSet
+    val dvAttach: Map[String, String] = target.collect {
+      case e if addSet(e.name) && e.dv.isDefined => e.name -> e.dv.get
+      case e if !addSet(e.name) && curDv.getOrElse(e.name, None) != e.dv =>
+        e.name -> e.dv.getOrElse("-")
+    }.toMap
+    val dvExpect = dvAttach.keys.map { f =>
+      f -> (if (addSet(f)) None else curDv.getOrElse(f, None))
+    }.toMap
+    val statsByName = target.map(e => e.name -> e.stats).toMap
+    if (adds.isEmpty && removes.isEmpty && dvAttach.isEmpty &&
+      schemaTag.isEmpty) return cur // identical live state: no-op
+    commitOrAbort(spark, tablePath, adds = adds, removes = removes,
+      publisher = publisher, opTag = Some("restore"),
+      abortOnLostRace = () => false,
+      addStats = adds.flatMap(n => statsByName.get(n).flatten.map(n -> _)).toMap,
+      schemaJson = schemaTag, dvAttach = dvAttach, dvExpect = dvExpect)
+      .getOrElse(throw new IllegalStateException("unreachable: unfenced restore"))
   }
 
   /** Prune commit files a checkpoint has made redundant for reads:

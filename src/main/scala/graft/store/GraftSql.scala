@@ -90,6 +90,14 @@ object GraftSql {
       result(spark, path, v)
     case DescribeDetailRe(rawPath) =>
       CommitLog.detail(spark, resolvePath(spark, rawPath))
+    case DescribeHistoryRe(rawPath) =>
+      CommitLog.history(spark, resolvePath(spark, rawPath))
+    case RestoreRe(rawPath, version, ts) =>
+      val path = resolvePath(spark, rawPath)
+      val v = Option(version).map(_.toLong).getOrElse(
+        CommitLog.versionAtTimestamp(spark, path,
+          graft.sources.GraftLogBatch.parseTsMs(ts.trim.stripPrefix("'").stripSuffix("'"))))
+      result(spark, path, CommitLog.restore(spark, path, v))
     case CreateTableRe(rawPath, colsDdl) =>
       val path = resolvePath(spark, rawPath)
       require(CommitLog.latestVersion(spark, path) == 0,
@@ -153,6 +161,12 @@ object GraftSql {
     """(?is)\s*VACUUM\s+graftlog\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*""".r
   private val DescribeDetailRe =
     """(?is)\s*DESCRIBE\s+DETAIL\s+graftlog\s*\.\s*`([^`]+)`\s*""".r
+  private val DescribeHistoryRe =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+graftlog\s*\.\s*`([^`]+)`\s*""".r
+  // RESTORE … TO VERSION AS OF n | TO TIMESTAMP AS OF '…' (Delta verb)
+  private val RestoreRe =
+    ("""(?is)\s*RESTORE\s+TABLE\s+graftlog\s*\.\s*`([^`]+)`\s+TO\s+""" +
+      """(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+(.+?))\s*""").r
   // CREATE/DROP: the named-table lifecycle (bare names resolve through
   // spark.graft.warehouse; paths work too)
   private val CreateTableRe =

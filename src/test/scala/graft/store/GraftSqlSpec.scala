@@ -239,6 +239,11 @@ class GraftSqlSpec extends SparkSpec {
       val d = GraftSql.execute(spark, "DESCRIBE DETAIL graftlog.`corpus`")
         .collect().head
       assert(d.getAs[String]("table") == s"$wh/corpus")
+      // DESCRIBE HISTORY by name: create + insert + update + delete +
+      // optimize commits visible with their op tags
+      val ops = GraftSql.execute(spark, "DESCRIBE HISTORY graftlog.`corpus`")
+        .select("operation").as[String].collect().toSet
+      assert(Set("create", "update", "delete").subsetOf(ops), s"got $ops")
       // the TVF and the format readers resolve the same name
       graft.functions.GraftFunctions.register(spark)
       assert(spark.sql("SELECT * FROM graft_log('corpus')")

@@ -1,0 +1,82 @@
+package graft.store
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** RESTORE TABLE … TO VERSION AS OF — the rollback verb: one commit,
+  * zero data movement (historical files re-used byte-identical),
+  * deletion-vector and schema state restored with them, pre-restore
+  * history still reachable, vacuumed targets refused loudly. */
+class RestoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_restore").toString + "/t"
+
+  private val schema = spark.range(0).toDF("id").schema
+
+  private def ids(t: String, asOf: Long = Long.MaxValue): Set[Long] =
+    CommitLog.read(spark, t, schema, asOf).as[Long].collect().toSet
+
+  test("restore rewinds live state with zero data movement") {
+    val t = freshTable()
+    CommitLog.append(spark.range(0, 100).toDF("id"), t)            // v1
+    CommitLog.append(spark.range(100, 200).toDF("id"), t)          // v2
+    val v2Files = CommitLog.liveFiles(spark, t)._2.toSet
+    CommitLog.deleteWhere(spark, t, schema, col("id") < 50)        // v3 (COW)
+    CommitLog.append(spark.range(500, 510).toDF("id"), t)          // v4
+    val v = CommitLog.restore(spark, t, toVersion = 2)
+    assert(v == 5L)
+    assert(ids(t) == (0L until 200L).toSet, "restore content wrong")
+    // the restored live set IS v2's file set — nothing was rewritten
+    assert(CommitLog.liveFiles(spark, t)._2.toSet == v2Files)
+    // pre-restore history is still reachable
+    assert(ids(t, asOf = 4) == ((50L until 200L) ++ (500L until 510L)).toSet)
+    // history shows the restore
+    assert(CommitLog.history(spark, t).filter(col("operation") === "restore")
+      .count() == 1)
+    // restoring to the current version is a proven no-op
+    assert(CommitLog.restore(spark, t, toVersion = 5) == 5L)
+  }
+
+  test("restore rewinds deletion-vector state in both directions") {
+    val t = freshTable()
+    CommitLog.append(spark.range(0, 100).toDF("id").coalesce(1), t) // v1
+    CommitLog.deleteWhere(spark, t, schema, col("id") < 10,
+      deletionVectors = true)                                       // v2: vectored
+    CommitLog.deleteWhere(spark, t, schema, col("id") < 20,
+      deletionVectors = true)                                       // v3: re-vectored
+    // rewind to the SMALLER vector: kept file re-attaches v2's vector
+    CommitLog.restore(spark, t, toVersion = 2)
+    assert(ids(t) == (10L until 100L).toSet)
+    // rewind to the vector-FREE state: the detach marker clears it
+    CommitLog.restore(spark, t, toVersion = 1)
+    assert(ids(t) == (0L until 100L).toSet)
+    assert(CommitLog.liveFilesFull(spark, t)._2.forall(_.dv.isEmpty))
+    // forward again to the vectored state (files re-added + attach)
+    CommitLog.restore(spark, t, toVersion = 3)
+    assert(ids(t) == (20L until 100L).toSet)
+  }
+
+  test("restore to a vacuumed snapshot is refused loudly; SQL verb works") {
+    val t = freshTable()
+    CommitLog.append(spark.range(0, 50).toDF("id"), t)              // v1
+    CommitLog.compact(spark, t, targetBytes = Long.MaxValue)        // v2
+    CommitLog.vacuum(spark, t, minAgeMs = 0) // v1's files reclaimed
+    val e = intercept[IllegalStateException] {
+      CommitLog.restore(spark, t, toVersion = 1)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    intercept[IllegalArgumentException] {
+      CommitLog.restore(spark, t, toVersion = 99)
+    }
+    // SQL: one more version, then rewind it by statement
+    CommitLog.append(spark.range(100, 110).toDF("id"), t)           // v3
+    val out = GraftSql.execute(spark,
+      s"RESTORE TABLE graftlog.`$t` TO VERSION AS OF 2")
+    assert(out.columns.toSeq == Seq("table", "committed_version"))
+    assert(ids(t) == (0L until 50L).toSet)
+  }
+}
