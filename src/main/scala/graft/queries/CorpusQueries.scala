@@ -756,6 +756,39 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
     },
 
+    // ── RESTORE (rollback): the engine builds the corpus, deletes a
+    // slice, appends noise, then RESTORES to the pre-delete version —
+    // one commit, zero data movement (the query proves the restored
+    // live set IS the historical file set). The oracle is simply the
+    // whole documents table: a lost row, a resurrected delete, or a
+    // leaked post-restore append flips count or digest. ───────────────
+    Q(
+      "store_restore",
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS content_digest
+         |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.store.CommitLog
+      val a = docs(s, dir).select("doc_id", "source", "text")
+      val table = "/tmp/graft_state/restore_docs"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      CommitLog.append(a.filter(col("doc_id") % 2 === 0), table)
+      CommitLog.append(a.filter(col("doc_id") % 2 === 1), table)   // v2: whole corpus
+      val v2Files = CommitLog.liveFiles(s, table)._2.toSet
+      CommitLog.deleteWhere(s, table, a.schema, col("doc_id") % 3 === 0)
+      CommitLog.append(a.limit(5)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("source"),
+          lit("noise").as("text")), table)
+      CommitLog.restore(s, table, toVersion = 2)
+      require(CommitLog.liveFiles(s, table)._2.toSet == v2Files,
+        "restore must re-use the historical file set, not rewrite it")
+      CommitLog.read(s, table, a.schema)
+        .withColumn("h", graft.core.Hashing.rowDigest(col("doc_id"), col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
+    },
+
     // ── Log-carried CHECK constraints: the engine bootstraps the
     // logged table with even doc_ids, adds an enforcing constraint,
     // PROVES a violating append fails without committing (the odd

@@ -2509,7 +2509,8 @@ object CommitLog {
     * CDC change files are protected for exactly as long as their
     * commit file survives — the feed stays consumable over the same
     * window reads are replayable; pruneLog releases them. */
-  def vacuum(spark: SparkSession, tablePath: String, minAgeMs: Long): Seq[String] = {
+  def vacuum(spark: SparkSession, tablePath: String, minAgeMs: Long,
+      dryRun: Boolean = false): Seq[String] = {
     require(minAgeMs >= 0, s"minAgeMs must be >= 0: $minAgeMs")
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
@@ -2536,9 +2537,11 @@ object CommitLog {
       val stale = st.getModificationTime <= cutoff &&
         writerStampMs(n.stripPrefix("_staging_")).forall(_ <= cutoff)
       if (st.isFile && !n.startsWith("_") && !n.startsWith(".") && !live(n) && stale) {
-        fs.delete(st.getPath, false); Some(n)
+        if (!dryRun) fs.delete(st.getPath, false)
+        Some(n)
       } else if (st.isDirectory && n.startsWith("_staging_") && stale) {
-        fs.delete(st.getPath, true); Some(n)
+        if (!dryRun) fs.delete(st.getPath, true)
+        Some(n)
       } else None
     }.toSeq
   }

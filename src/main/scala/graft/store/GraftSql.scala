@@ -143,13 +143,17 @@ object GraftSql {
     case DropConstraintRe(rawPath, name) =>
       val path = resolvePath(spark, rawPath)
       result(spark, path, CommitLog.dropConstraint(spark, path, name))
-    case VacuumRe(rawPath, hours) =>
+    case VacuumRe(rawPath, hours, dry) =>
       val path = resolvePath(spark, rawPath)
       val ageMs = Option(hours).map(_.toLong * 3600000L)
         .getOrElse(DefaultVacuumRetainMs)
-      val swept = CommitLog.vacuum(spark, path, minAgeMs = ageMs)
+      // DRY RUN: report what WOULD be reclaimed, touch nothing —
+      // the operator's pre-flight for a destructive retention pass
+      val swept = CommitLog.vacuum(spark, path, minAgeMs = ageMs,
+        dryRun = dry != null)
       import spark.implicits._
-      Seq((path, swept.size.toLong)).toDF("table", "n_reclaimed")
+      Seq((path, swept.size.toLong, dry != null))
+        .toDF("table", "n_reclaimed", "dry_run")
     case _ => executeParsed(spark, sql)
   }
 
@@ -158,7 +162,8 @@ object GraftSql {
       """(\s+FULL)?(?:\s+TARGET\s+(\d+))?(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*""").r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+graftlog\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*""".r
+    ("""(?is)\s*VACUUM\s+graftlog\s*\.\s*`([^`]+)`""" +
+      """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?(\s+DRY\s+RUN)?\s*""").r
   private val DescribeDetailRe =
     """(?is)\s*DESCRIBE\s+DETAIL\s+graftlog\s*\.\s*`([^`]+)`\s*""".r
   private val DescribeHistoryRe =

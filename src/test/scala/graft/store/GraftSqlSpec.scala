@@ -186,10 +186,18 @@ class GraftSqlSpec extends SparkSpec {
     val after = CommitLog.liveFiles(spark, t)._2.toSet
     assert(after.intersect(before).isEmpty, "compaction rewrote the live set")
     assert(CommitLog.read(spark, t, schema).count() == 200)
+    // DRY RUN reports without touching anything
+    val dry = GraftSql.execute(spark, s"VACUUM graftlog.`$t` RETAIN 0 HOURS DRY RUN")
+    assert(dry.columns.toSeq == Seq("table", "n_reclaimed", "dry_run"))
+    val (dryCount, wasDry) = dry.as[(String, Long, Boolean)].collect().head match {
+      case (_, n, d) => (n, d)
+    }
+    assert(wasDry && dryCount >= before.size)
+    assert(CommitLog.read(spark, t, schema, asOf = 2).count() == 200,
+      "DRY RUN deleted something")
     // the replaced inputs survive until VACUUM's retention window says go
     val swept = GraftSql.execute(spark, s"VACUUM graftlog.`$t` RETAIN 0 HOURS")
-    assert(swept.columns.toSeq == Seq("table", "n_reclaimed"))
-    assert(swept.as[(String, Long)].collect().head._2 >= before.size)
+    assert(swept.as[(String, Long, Boolean)].collect().head._2 == dryCount)
     assert(CommitLog.read(spark, t, schema).count() == 200)
   }
 
