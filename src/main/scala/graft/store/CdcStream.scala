@@ -109,7 +109,8 @@ object CdcStream {
       schema: StructType, keyCols: Seq[String], batch: DataFrame,
       queryId: String, batchId: Long,
       transform: DataFrame => DataFrame = identity,
-      publisher: AtomicPublisher = RenameOrLinkPublisher): Option[Long] = {
+      publisher: AtomicPublisher = RenameOrLinkPublisher,
+      deletionVectors: Boolean = false): Option[Long] = {
     import org.apache.spark.sql.functions.{col, row_number, when}
     require(!queryId.exists(c => c.isWhitespace || c == ':'),
       s"queryId must be whitespace/colon-free: $queryId")
@@ -126,11 +127,15 @@ object CdcStream {
     val touchedKeys = last.select(keyCols.map(col): _*)
     val netInserts = transform(last.filter(ct === "insert").drop(meta: _*))
       .select(schema.fieldNames.map(col).toSeq: _*)
+    // deletionVectors: the sink applies the increment MERGE-ON-READ —
+    // touched keys vector out instead of rewriting their files (the
+    // 100 TB keyed-replication shape; absorb with OPTIMIZE)
     CommitLog.keyedRewrite(spark, sinkTable, schema, keyCols,
       deleteKeys = touchedKeys, appendDf = netInserts,
       opTag = Some(s"txn=$queryId:$batchId"), publisher = publisher,
       abortOnLostRace =
-        () => batchId <= CommitLog.lastTxnBatch(spark, sinkTable, queryId))
+        () => batchId <= CommitLog.lastTxnBatch(spark, sinkTable, queryId),
+      deletionVectors = deletionVectors)
   }
 
   /** [[drain]] with FRESH-CONSUMER bootstrap: a sink that has consumed

@@ -101,6 +101,35 @@ abstract class CdcStreamBehavior(publisher: AtomicPublisher) extends SparkSpec {
       "post-crash replay produced duplicates or lost rows")
   }
 
+  test("applyChangesOnce with deletion vectors ≡ copy-on-write application") {
+    val src = buildSource()
+    val sinkSchema = Seq((0L, "v", 0)).toDF("id", "v", "w").schema
+    def applyAll(dv: Boolean): (String, Set[String]) = {
+      val sink = fresh(if (dv) "acomor" else "acocow")
+      var since = 0L
+      var b = 0L
+      var afterFirst = Set.empty[String]
+      val latest = CommitLog.latestVersion(spark, src)
+      while (since < latest) {
+        val until = math.min(since + 2, latest)
+        CdcStream.applyChangesOnce(spark, sink, sinkSchema, Seq("id"),
+          CommitLog.changesSince(spark, src, since, schema, asOf = until),
+          "q1", b, transform, publisher, deletionVectors = dv)
+        if (b == 0) afterFirst = CommitLog.liveFiles(spark, sink)._2.toSet
+        since = until; b += 1
+      }
+      (sink, afterFirst)
+    }
+    val (cow, _) = applyAll(dv = false)
+    val (mor, morFirst) = applyAll(dv = true)
+    assert(sinkRows(mor) == expected(src), "MOR application diverged from batch")
+    assert(sinkRows(mor) == sinkRows(cow))
+    // the MOR sink never rewrote its first batch's files — later
+    // increments vectored into them instead
+    assert(morFirst.subsetOf(CommitLog.liveFiles(spark, mor)._2.toSet),
+      "MOR application rewrote a pre-state sink file")
+  }
+
   test("zombie refresh: losing the publish race to a competing driver aborts, never double-applies") {
     val src = fresh("src")
     CommitLog.append((0L until 100L).map(i => (i, "a")).toDF("id", "v"), src, publisher)
