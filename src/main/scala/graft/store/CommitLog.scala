@@ -1512,6 +1512,14 @@ object CommitLog {
     if (batchId <= lastTxnBatch(spark, tablePath, queryId)) return None
     val src = df.localCheckpoint(true)
     if (src.isEmpty) return None // empty batch: replaying it is a no-op
+    // the batch's shape drives the keyed rewrite, so a batch NARROWER
+    // than the sink's declared schema would silently drop the missing
+    // columns from every rewritten file — refuse loudly instead
+    schemaAt(spark, tablePath).foreach { ledger =>
+      require(ledger.fieldNames.sorted.sameElements(src.schema.fieldNames.sorted),
+        s"upsert batch columns (${src.schema.fieldNames.mkString(", ")}) do not " +
+          s"match the sink's declared schema (${ledger.fieldNames.mkString(", ")})")
+    }
     val dup = src.groupBy(keyCols.map(col): _*)
       .count().filter(col("count") > 1).limit(1).collect()
     if (dup.nonEmpty)
