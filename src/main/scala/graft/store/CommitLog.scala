@@ -2407,7 +2407,15 @@ object CommitLog {
     * validation read). A restore is a row-changing rewrite WITHOUT
     * change files, so a CDC consumer crossing it stops loudly and
     * re-bootstraps — the overwrite contract. Concurrent writers
-    * serialize through the usual remove-validation. */
+    * serialize through the usual remove-validation.
+    *
+    * GOVERNANCE STATE IS NOT REWOUND: active CHECK constraints and
+    * table properties stay CURRENT across a restore (deliberate — a
+    * data rollback must not silently disable a retention constraint
+    * or a declared index; the restored rows were validated when a
+    * restore-blocking constraint was added, and a restore that
+    * revives rows violating a LATER constraint is the operator's
+    * explicit, introspectable situation, not a silent one). */
   def restore(spark: SparkSession, tablePath: String, toVersion: Long,
       publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
     val (cur, curEntries) = liveFilesFull(spark, tablePath)

@@ -41,6 +41,26 @@ class RestoreSpec extends SparkSpec {
     assert(CommitLog.restore(spark, t, toVersion = 5) == 5L)
   }
 
+  test("governance state (constraints, properties) survives a restore") {
+    val t = freshTable()
+    CommitLog.append(spark.range(0, 10).toDF("id"), t)             // v1
+    CommitLog.append(spark.range(10, 20).toDF("id"), t)            // v2
+    CommitLog.addConstraint(spark, t, "id_nonneg", "id >= 0")      // v3
+    CommitLog.setProperties(spark, t, Map("bloom.columns" -> "id")) // v4
+    // rewind DATA to v1 — the constraint and property added later
+    // must still be active (a rollback is not a governance bypass)
+    CommitLog.restore(spark, t, toVersion = 1)
+    assert(ids(t) == (0L until 10L).toSet)
+    assert(CommitLog.constraintsAt(spark, t) == Map("id_nonneg" -> "id >= 0"))
+    assert(CommitLog.propertiesAt(spark, t) == Map("bloom.columns" -> "id"))
+    val e = intercept[Exception] {
+      CommitLog.append(Seq(-1L).toDF("id"), t)
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("CHECK constraint")))
+  }
+
   test("restore rewinds deletion-vector state in both directions") {
     val t = freshTable()
     CommitLog.append(spark.range(0, 100).toDF("id").coalesce(1), t) // v1
