@@ -266,9 +266,21 @@ object Cli {
 
     case "log-optimize" :: table :: rest if rest.size <= 2 =>
       // selective maintenance: bin-pack small files + absorb deletion
-      // vectors; optional SQL predicate scopes by log-carried stats
-      val targetMB = rest.headOption.map(_.toLong).getOrElse(128L)
-      val where = rest.lift(1).map(org.apache.spark.sql.functions.expr)
+      // vectors; optional [targetMB] and/or [where] — a first arg that
+      // doesn't parse as a number IS the predicate (so
+      // `log-optimize t "id < 5"` works without a target)
+      val (targetMB, where) = rest match {
+        case Nil => (128L, None)
+        case first :: more => first.toLongOption match {
+          case Some(mb) =>
+            (mb, more.headOption.map(org.apache.spark.sql.functions.expr))
+          case None =>
+            require(more.isEmpty,
+              s"log-optimize: unexpected trailing arg(s) ${more.mkString(" ")} " +
+                "after a predicate")
+            (128L, Some(org.apache.spark.sql.functions.expr(first)))
+        }
+      }
       val v = graft.store.CommitLog.optimize(spark, table,
         targetMB * 1024 * 1024, where = where)
       s"""{"cmd":"log-optimize","table":"$table","version":$v}"""

@@ -28,11 +28,45 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * serves every subspace. */
 object PqKernels {
 
+  /** `dim / m` in both kernels is INTEGER division, so a dimension not
+    * divisible by `m` would silently drop the trailing `dim % m`
+    * elements of every vector — wrong codes and scores with no signal.
+    * Similarity.pqTopK validates divisibility at the API layer, but
+    * the SQL-registered `graft_pq_encode`/`graft_pq_adc` reach these
+    * kernels directly, so the kernels fail loudly themselves. */
+  private def requireDivisible(dim: Int, m: Int, fn: String): Unit = {
+    if (m <= 0 || dim % m != 0)
+      throw new IllegalArgumentException(
+        s"$fn: vector dimension $dim is not divisible into $m subspaces — " +
+          "the trailing elements would be silently ignored; pick m with " +
+          "dim % m == 0")
+  }
+
+  /** Codebook entries are FULL vectors sliced per subspace; an entry
+    * shorter than the vector would read past its end (UnsafeArrayData
+    * does not bounds-check), an entry longer would silently ignore its
+    * tail. One O(k) pass up front, amortized against the O(k·dim)
+    * kernel loop. */
+  private def requireCodebook(cb: ArrayData, dim: Int, fn: String): Unit = {
+    val k = cb.numElements()
+    var c = 0
+    while (c < k) {
+      val len = cb.getArray(c).numElements()
+      if (len != dim)
+        throw new IllegalArgumentException(
+          s"$fn: codebook entry $c has length $len but vectors have " +
+            s"dimension $dim — entries must be full-length vectors")
+      c += 1
+    }
+  }
+
   /** Per-subspace nearest codebook entry: codes[s] = argmin over c of
     * Σ_{i∈subspace s} (vec[i] − cb[c][i])², strict `<` keeping the
     * LOWEST code on a tie (the window tie-break the oracle uses). */
   def encode(vec: ArrayData, cb: ArrayData, m: Int): ArrayData = {
     val dim = vec.numElements()
+    requireDivisible(dim, m, "graft_pq_encode")
+    requireCodebook(cb, dim, "graft_pq_encode")
     val sd = dim / m
     val k = cb.numElements()
     val out = new Array[Int](m)
@@ -65,6 +99,8 @@ object PqKernels {
     * cb[codes[s]][i])², one pass, no reconstruction materialized. */
   def adc(q: ArrayData, codes: ArrayData, cb: ArrayData, m: Int): Double = {
     val dim = q.numElements()
+    requireDivisible(dim, m, "graft_pq_adc")
+    requireCodebook(cb, dim, "graft_pq_adc")
     val sd = dim / m
     var total = 0.0
     var s = 0

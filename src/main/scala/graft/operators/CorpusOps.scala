@@ -307,19 +307,34 @@ object CorpusOps {
     * unicode noise) is long-tailed, and dropping words seen fewer than
     * `minFreq` times BEFORE the collect caps what the driver holds —
     * rare words contribute ~nothing to pair counts, so the floor
-    * trades negligible merge-quality for a hard memory bound.
+    * trades negligible merge-quality for a hard memory bound. But
+    * `minFreq` is a caller-supplied knob defaulting to 1, so it is
+    * not a GUARANTEE: `maxVocab` is — the collect takes only the
+    * `maxVocab` most frequent surviving words (count-descending,
+    * word-ascending for determinism), an UNCONDITIONAL driver bound
+    * the way `removeBoilerplateLines`' `maxBoilerLines` is. At web
+    * scale the distinct-word set (typos, URLs, hashes) is O(10⁸) and
+    * an unbounded collect IS the trainer's bottleneck; truncating the
+    * long tail is the standard tokenizer-trainer approximation (the
+    * dropped words are by construction the rarest, contributing least
+    * to pair counts).
     *
     * Returns (left, right, pairCount) in merge order.
     */
   def learnBpeMerges(docs: DataFrame, textCol: String, k: Int,
-      minFreq: Long = 1L): Seq[(String, String, Long)] = {
+      minFreq: Long = 1L, maxVocab: Int = 1000000): Seq[(String, String, Long)] = {
     require(k > 0, s"k must be positive: $k")
     require(minFreq >= 1, s"minFreq must be >= 1: $minFreq")
+    require(maxVocab >= 1, s"maxVocab must be >= 1: $maxVocab")
     val wordFreq = docs
       .select(explode(graft.text.TextOps.tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").count()
       .filter(col("count") >= minFreq)
+      // TakeOrdered top-V, never a full sort: the driver holds at most
+      // maxVocab (word, count) pairs no matter what the corpus says
+      .orderBy(col("count").desc, col("w").asc)
+      .limit(maxVocab)
       .collect().map(r => r.getString(0) -> r.getLong(1))
     var words: Array[(Array[String], Long)] =
       wordFreq.map { case (w, c) => (toSymbols(w), c) }

@@ -111,6 +111,66 @@ object SimilarityQueries {
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
       |FROM ranked WHERE rank <= 10""".stripMargin
 
+  /** IVF-PQ + refine oracle: the IvfPqOracleSql pipeline through the
+    * ADC ranking, then the refine stage re-derived relationally — the
+    * top 30 (= refineFactor 3 × k 10) ADC candidates per query
+    * re-scored by exact cosine against the TRUE vectors, ranked
+    * cosine-DESC with the brute-force tie-break. Hash-exact: both
+    * engines compute the final scores as f64 cosine over the same
+    * shortlist. */
+  private val IvfPqRefineOracleSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cb AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v AS cv
+      |  FROM e ORDER BY vec_id LIMIT 16),
+      |subs AS (SELECT unnest(range(4)) AS s),
+      |enc AS (
+      |  SELECT vec_id, s, code FROM (
+      |    SELECT e.vec_id, subs.s, cb.code,
+      |      row_number() OVER (PARTITION BY e.vec_id, subs.s ORDER BY
+      |        list_sum(list_transform(range(s*16 + 1, (s+1)*16 + 1),
+      |          i -> (e.v[i] - cb.cv[i]) * (e.v[i] - cb.cv[i]))) ASC,
+      |        cb.code) AS rn
+      |    FROM e, subs, cb) WHERE rn = 1),
+      |recon AS (
+      |  SELECT enc.vec_id,
+      |    flatten(list(cb.cv[enc.s*16 + 1 : (enc.s+1)*16] ORDER BY enc.s)) AS rv
+      |  FROM enc JOIN cb USING (code) GROUP BY enc.vec_id),
+      |cent AS (SELECT vec_id AS cid, v AS centv FROM e ORDER BY vec_id LIMIT 10),
+      |assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, cent.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.v, cent.centv) DESC, cent.cid) AS rn
+      |    FROM e, cent) WHERE rn = 1),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |probes AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT q.qid, cent.cid,
+      |      row_number() OVER (PARTITION BY q.qid
+      |        ORDER BY list_cosine_similarity(q.qv, cent.centv) DESC, cent.cid) AS rn
+      |    FROM q, cent) WHERE rn <= 3),
+      |adc AS (
+      |  SELECT p.qid AS query_id, a.vec_id,
+      |    row_number() OVER (PARTITION BY p.qid ORDER BY
+      |      list_sum(list_transform(range(1, 65),
+      |        i -> (q.qv[i] - r.rv[i]) * (q.qv[i] - r.rv[i]))) ASC,
+      |      a.vec_id) AS adc_rank
+      |  FROM probes p
+      |  JOIN assign a ON a.cid = p.cid
+      |  JOIN q ON q.qid = p.qid
+      |  JOIN recon r ON r.vec_id = a.vec_id),
+      |refined AS (
+      |  SELECT s.query_id, s.vec_id,
+      |    list_cosine_similarity(q.qv, e.v) AS score,
+      |    row_number() OVER (PARTITION BY s.query_id
+      |      ORDER BY list_cosine_similarity(q.qv, e.v) DESC, s.vec_id) AS rank
+      |  FROM (SELECT query_id, vec_id FROM adc WHERE adc_rank <= 30) s
+      |  JOIN q ON q.qid = s.query_id
+      |  JOIN e ON e.vec_id = s.vec_id)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
+      |FROM refined WHERE rank <= 10""".stripMargin
+
   /** Shared by the in-memory and at-rest IVF queries — both must equal
     * this DuckDB recomputation exactly (centroids = first 10 by id,
     * structurally coupled to Similarity.initialCentroids via the
@@ -220,6 +280,20 @@ object SimilarityQueries {
       val e = emb(s, dir)
       Similarity.ivfPqTopK(e.filter(col("vec_id") < 5), e, k = 10,
         numCentroids = 10, nProbe = 3, m = 4, numCodes = 16)
+    },
+
+    // ── IVF-PQ + refine (FAISS IndexRefine): the ADC shortlist (3×k
+    // candidates) re-ranked by exact cosine over the true vectors —
+    // compression bounds the scan, the refine stage buys back ranking
+    // accuracy on query-batch-sized work; oracle replays the
+    // shortlist and the exact re-rank, hash-exact. ────────────────────
+    Q(
+      "ann_ivf_pq_refine",
+      IvfPqRefineOracleSql) { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.ivfPqRefineTopK(e.filter(col("vec_id") < 5), e, k = 10,
+        numCentroids = 10, nProbe = 3, m = 4, numCodes = 16,
+        refineFactor = 3)
     },
 
     // ── IVF against the written (cid-partitioned) index: identical

@@ -142,6 +142,46 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "score")
   }
 
+  /** IVF-PQ with a REFINE stage (FAISS's `refine` flag / IndexRefine):
+    * the ADC pass is lossy — scores come from each candidate's
+    * reconstruction, so the true nearest neighbor can sit at ADC rank
+    * k+2 and fall off a plain IVF-PQ top-k. The refine stage keeps the
+    * compression's candidate-bounding value but buys back ranking
+    * accuracy: take the top `refineFactor`·k ADC candidates per query
+    * (the shortlist), fetch the TRUE embeddings for only those
+    * |Q|·c·k rows, and re-rank them by exact cosine.
+    *
+    * Scale shape: the expensive full-vector read touches c·k
+    * candidates per query, never the corpus — the shortlist is
+    * query-batch-sized, so it BROADCASTS into a hash join against the
+    * corpus scan (which streams; no corpus shuffle, no second
+    * embedding exchange), and the final top-k window shuffles only
+    * (query_id, vec_id, score) scalars. Recall is ≥ plain IVF-PQ at
+    * the same probe budget by construction: the refine stage re-ranks
+    * a superset of the plain top-k using exact scores (spec-pinned).
+    * Output ranks by cosine DESC (the exact metric), lowest vec_id on
+    * ties — the brute-force convention, since the final scores ARE
+    * exact. */
+  def ivfPqRefineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      numCentroids: Int, nProbe: Int, m: Int, numCodes: Int,
+      refineFactor: Int): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor must be >= 1: $refineFactor")
+    val shortlist = ivfPqTopK(queries, corpus, k * refineFactor,
+      numCentroids, nProbe, m, numCodes).select("query_id", "vec_id")
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qe"))
+    val rescored = corpus
+      .select(col("vec_id"), asDouble(col("embedding")).as("ce"))
+      .join(broadcast(shortlist), "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        nativeCosine(corpus)(col("qe"), col("ce")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    rescored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "score")
+  }
+
   /** The IVF index metadata: (cid, centroid vector) pairs, held
     * driver-side. Bounded by k — NEVER corpus-proportional — exactly the
     * state a real IVF index keeps in RAM; the k-row collect below is the

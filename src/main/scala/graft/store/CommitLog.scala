@@ -240,10 +240,13 @@ object CommitLog {
       opTag: Option[String] = None,
       changeAdds: Seq[String] = Seq.empty,
       addStats: Map[String, String] = Map.empty,
-      schemaJson: Option[String] = None): Long =
+      schemaJson: Option[String] = None,
+      removeDvExpect: Map[String, Option[String]] = Map.empty,
+      constraintsExpect: Option[Map[String, String]] = None): Long =
     commitOrAbort(spark, tablePath, adds, removes, publisher, opTag,
       abortOnLostRace = () => false, changeAdds = changeAdds,
-      addStats = addStats, schemaJson = schemaJson)
+      addStats = addStats, schemaJson = schemaJson,
+      removeDvExpect = removeDvExpect, constraintsExpect = constraintsExpect)
       .getOrElse(throw new IllegalStateException("unreachable: non-aborting commit"))
 
   /** commit() with a fencing hook: `abortOnLostRace` is evaluated on
@@ -273,7 +276,9 @@ object CommitLog {
       dvAttach: Map[String, String] = Map.empty,
       dvExpect: Map[String, Option[String]] = Map.empty,
       constraintTags: Seq[String] = Seq.empty,
-      propertyTags: Seq[String] = Seq.empty): Option[Long] = {
+      propertyTags: Seq[String] = Seq.empty,
+      removeDvExpect: Map[String, Option[String]] = Map.empty,
+      constraintsExpect: Option[Map[String, String]] = None): Option[Long] = {
     require(adds.nonEmpty || removes.nonEmpty || dvAttach.nonEmpty ||
       constraintTags.nonEmpty || propertyTags.nonEmpty ||
       schemaJson.nonEmpty, "empty commit")
@@ -281,6 +286,8 @@ object CommitLog {
       "property tags must be newline-free")
     require(dvAttach.keySet.forall(dvExpect.contains),
       "every DV attachment needs its expected prior attachment (conflict check input)")
+    require(removeDvExpect.keySet.subsetOf(removes.toSet),
+      "removeDvExpect keys must be removed files (remove-side DV fence input)")
     require(constraintTags.forall(t => !t.exists(c => c == '\n' || c == '\r')),
       "constraint tags must be newline-free")
     require(opTag.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
@@ -355,8 +362,50 @@ object CommitLog {
                 s"${dvConflicts.take(3).mkString(", ")}… were rewritten or " +
                 "re-vectored by a concurrent commit — re-read the live set " +
                 "and rerun the delete")
+          // the REMOVE side of the DV fence: a rewrite (optimize /
+          // copy-on-write delete/update/merge) was planned from the
+          // VISIBLE rows of its inputs, so a deletion vector attached
+          // (or replaced) on a removed file AFTER planning means the
+          // rewrite's restated rows would resurrect a concurrent
+          // delete — "still live" alone is not enough evidence. Every
+          // remove-carrying planner passes the per-file attachment it
+          // planned against; any drift fails loudly here (the ordering
+          // the dvExpect fence above covers only the attaching side).
+          val rmDrift = removeDvExpect.collect {
+            case (f, planned) if live(f) && dvByName.get(f).flatten !=
+              planned => f
+          }
+          if (rmDrift.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"rewrite conflict on $tablePath: removed file(s) " +
+                s"${rmDrift.take(3).mkString(", ")}… were re-vectored by a " +
+                "concurrent delete after this rewrite was planned — " +
+                "re-read the live set and rerun the rewrite")
           v + 1
         } else latestVersion(fs, log) + 1
+      // CONSTRAINT fence: a writer whose rows were validated under the
+      // constraint set read at plan time must not land them after a
+      // DDL commit grew that set — the landed rows would be
+      // unvalidated against the new constraint and the "green ledger
+      // means the whole table satisfies every active constraint"
+      // invariant would break silently. Ordered AFTER deriving `next`
+      // (like the zombie fence): a constraint commit landing after
+      // this read occupies `next` or later, so this writer either
+      // loses the publish and loops back through the check, or
+      // commits BELOW the constraint version — whose addConstraint
+      // re-validates against it (the add-side fence). Dropped
+      // constraints never invalidate validated rows, so only
+      // additions and changed checks conflict.
+      constraintsExpect.foreach { expected =>
+        val grew = constraintsAt(spark, tablePath).filter { case (n, c) =>
+          !expected.get(n).contains(c)
+        }
+        if (grew.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"constraint(s) ${grew.keys.mkString(", ")} were added to " +
+              s"$tablePath after this write's rows were validated — rerun " +
+              "the write so the new constraint rides its plan")
+      }
       // fence AFTER deriving `next` (see the contract above): a
       // competitor committing before this point is visible to the
       // predicate's ledger read; one committing after collides at
@@ -641,7 +690,12 @@ object CommitLog {
     * Existing rows are validated up front (one bounded scan) — a
     * constraint the current table already violates is refused, so a
     * green ledger always means the whole table satisfies every active
-    * constraint. The ledger rides the log (`#constraint=` headers,
+    * constraint — and the validation is FENCED against in-flight
+    * writers: the constraint commit aborts and revalidates when any
+    * commit landed since the scan, and data commits re-check the
+    * active constraint set after deriving their version (see
+    * commitOrAbort's constraint fence), so no ordering lands
+    * unvalidated rows silently. The ledger rides the log (`#constraint=` headers,
     * checkpoint-carried), and `constraintsAt(…, asOf)` answers what
     * was enforced at any version. */
   def addConstraint(spark: SparkSession, tablePath: String, name: String,
@@ -655,25 +709,45 @@ object CommitLog {
       s"constraint $name already exists on $tablePath — drop it first")
     // parse errors surface here, not at first write
     spark.sessionState.sqlParser.parseExpression(check)
-    val schema = schemaAt(spark, tablePath).orElse {
-      val (_, files) = liveFiles(spark, tablePath)
-      if (files.isEmpty) None
-      else Some(spark.read.parquet(s"$tablePath/${files.last}").schema)
+    // Validate-then-publish is a race against in-flight writers: rows
+    // committed AFTER the validation scan but BEFORE this constraint
+    // commit were neither scanned here nor enforced by their writer
+    // (whose constraintsAt read predates this commit). The two fences
+    // close both orderings: a writer landing ABOVE the constraint
+    // version re-checks constraintsAt after deriving its own version
+    // (the commitOrAbort constraint fence); a writer landing BELOW it
+    // moves the table version, which aborts THIS publish (the
+    // `abortOnLostRace` below fires on any commit since the scan) and
+    // loops back through a fresh validation scan. Bounded retries: a
+    // write-heavy table fails loudly rather than spinning.
+    var attempts = 0
+    while (attempts < 20) {
+      val (scanVersion, entries) = liveFilesFull(spark, tablePath)
+      val schema = schemaAt(spark, tablePath).orElse {
+        if (entries.isEmpty) None
+        else Some(spark.read.parquet(s"$tablePath/${entries.last.name}").schema)
+      }
+      schema.foreach { sch =>
+        val bad = visibleRows(spark, tablePath, sch, entries)
+          .filter(not(coalesce(expr(check).cast("boolean"), lit(true))))
+          .limit(1).collect()
+        if (bad.nonEmpty)
+          throw new IllegalArgumentException(
+            s"cannot add CHECK constraint $name to $tablePath: existing row " +
+              s"violates ($check), e.g. ${bad.head}")
+      }
+      commitOrAbort(spark, tablePath, adds = Seq.empty, removes = Seq.empty,
+        publisher = publisher, opTag = Some("constraint"),
+        abortOnLostRace = () => latestVersion(spark, tablePath) != scanVersion,
+        constraintTags = Seq(s"+$name:$check")) match {
+        case Some(v) => return v
+        case None => attempts += 1 // something landed since the scan: revalidate
+      }
     }
-    schema.foreach { sch =>
-      val bad = read(spark, tablePath, sch)
-        .filter(not(coalesce(expr(check).cast("boolean"), lit(true))))
-        .limit(1).collect()
-      if (bad.nonEmpty)
-        throw new IllegalArgumentException(
-          s"cannot add CHECK constraint $name to $tablePath: existing row " +
-            s"violates ($check), e.g. ${bad.head}")
-    }
-    commitOrAbort(spark, tablePath, adds = Seq.empty, removes = Seq.empty,
-      publisher = publisher, opTag = Some("constraint"),
-      abortOnLostRace = () => false,
-      constraintTags = Seq(s"+$name:$check"))
-      .getOrElse(throw new IllegalStateException("unreachable: unfenced constraint add"))
+    throw new IllegalStateException(
+      s"could not add CHECK constraint $name to $tablePath after $attempts " +
+        "validation attempts — concurrent writes kept landing; quiesce writers " +
+        "and retry")
   }
 
   /** DROP a CHECK constraint (loud when absent — a silently-ignored
@@ -693,9 +767,16 @@ object CommitLog {
     * projection (evaluated per row inline — no second pass over the
     * data), so the first violating row fails the whole write loudly,
     * before its commit publishes. */
-  private[store] def enforced(df: DataFrame, tablePath: String): DataFrame = {
+  private[store] def enforced(df: DataFrame, tablePath: String): DataFrame =
+    enforcedWith(df, constraintsAt(df.sparkSession, tablePath))
+
+  /** [[enforced]] against a CAPTURED constraint set — write paths read
+    * the set once, enforce with it, and pass the same map to their
+    * commit as `constraintsExpect`, so the enforcement a plan carries
+    * and the fence its commit validates can never disagree. */
+  private[store] def enforcedWith(df: DataFrame,
+      cs: Map[String, String]): DataFrame = {
     import org.apache.spark.sql.functions._
-    val cs = constraintsAt(df.sparkSession, tablePath)
     cs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, check)) =>
       val ok = coalesce(expr(check).cast("boolean"), lit(true)) // NULL passes
       val chk = s"__graft_chk_$name"
@@ -1065,12 +1146,14 @@ object CommitLog {
     // options (Bloom.writeWithBloomFilters' parquet.bloom.filter.*) are
     // the intended use, making logged files probe-able by
     // pruneByFooterStats' point-lookup path
-    enforced(df, tablePath).write
+    val cs = constraintsAt(spark, tablePath)
+    enforcedWith(df, cs).write
       .options(tableWriteOptions(spark, tablePath, writeOptions))
       .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     commit(spark, tablePath, adds = names, publisher = publisher, opTag = opTag,
-      addStats = statsFor(spark, tablePath, names), schemaJson = evolved)
+      addStats = statsFor(spark, tablePath, names), schemaJson = evolved,
+      constraintsExpect = Some(cs))
   }
 
   /** Logged full-table replace (SaveMode.Overwrite): land the frame's
@@ -1099,14 +1182,20 @@ object CommitLog {
     }
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
-    enforced(df, tablePath).write
+    val cs = constraintsAt(spark, tablePath)
+    enforcedWith(df, cs).write
       .options(tableWriteOptions(spark, tablePath, writeOptions))
       .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     if (names.isEmpty && live.isEmpty) return version // nothing to publish
+    // no removeDvExpect: an overwrite's adds derive from the NEW frame,
+    // not the removed files' rows, so a concurrently attached vector on
+    // a removed file cannot resurrect anything — the result equals the
+    // delete-then-overwrite serial order either way
     commit(spark, tablePath, adds = names, removes = live,
       publisher = publisher, opTag = Some("overwrite"),
-      addStats = statsFor(spark, tablePath, names), schemaJson = restamp)
+      addStats = statsFor(spark, tablePath, names), schemaJson = restamp,
+      constraintsExpect = Some(cs))
   }
 
   /** [[append]] with the zombie-fencing hook of [[commitOrAbort]]:
@@ -1123,12 +1212,14 @@ object CommitLog {
     val fs = fsOf(spark, dir)
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
-    enforced(df, tablePath).write
+    val cs = constraintsAt(spark, tablePath)
+    enforcedWith(df, cs).write
       .options(tableWriteOptions(spark, tablePath)).parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     commitOrAbort(spark, tablePath, adds = names, removes = Seq.empty,
       publisher = publisher, opTag = opTag, abortOnLostRace = abortOnLostRace,
-      addStats = statsFor(spark, tablePath, names), schemaJson = schemaJson)
+      addStats = statsFor(spark, tablePath, names), schemaJson = schemaJson,
+      constraintsExpect = Some(cs))
   }
 
   /** Snapshot read of the live file set (empty frame with `schema` for
@@ -1277,10 +1368,13 @@ object CommitLog {
       .write.options(tableWriteOptions(spark, tablePath, writeOptions))
       .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
-    // commit() validates `files` against the live set and throws on a
-    // concurrent rewrite — never a silent table doubling
+    // commit() validates `files` against the live set (and each removed
+    // file's DV attachment against what this rewrite planned from) and
+    // throws on a concurrent rewrite or delete — never a silent table
+    // doubling, never a resurrected concurrent delete
     commit(spark, tablePath, adds = names, removes = files, publisher = publisher,
-      addStats = statsFor(spark, tablePath, names))
+      addStats = statsFor(spark, tablePath, names),
+      removeDvExpect = entries.map(e => e.name -> e.dv).toMap)
   }
 
   /** Selective OPTIMIZE — the maintenance verb a 100 TB table can
@@ -1365,7 +1459,8 @@ object CommitLog {
       .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     commit(spark, tablePath, adds = names, removes = candidates.map(_.name),
-      publisher = publisher, addStats = statsFor(spark, tablePath, names))
+      publisher = publisher, addStats = statsFor(spark, tablePath, names),
+      removeDvExpect = candidates.map(e => e.name -> e.dv).toMap)
   }
 
   /** Highest batch id a streaming query has committed into this table,
@@ -1476,7 +1571,8 @@ object CommitLog {
     val fs = fsOf(spark, dir)
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
-    enforced(df, tablePath).write
+    val cs = constraintsAt(spark, tablePath)
+    enforcedWith(df, cs).write
       .options(tableWriteOptions(spark, tablePath)).parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     // an EMPTY batch publishes nothing and records nothing: the ledger
@@ -1486,7 +1582,8 @@ object CommitLog {
     commitOrAbort(spark, tablePath, adds = names, removes = Seq.empty,
       publisher = publisher, opTag = Some(s"txn=$queryId:$batchId"),
       abortOnLostRace = () => batchId <= lastTxnBatch(spark, tablePath, queryId),
-      addStats = statsFor(spark, tablePath, names))
+      addStats = statsFor(spark, tablePath, names),
+      constraintsExpect = Some(cs))
   }
 
   /** Exactly-once KEYED streaming upsert — [[appendOnce]]'s argument
@@ -1591,7 +1688,8 @@ object CommitLog {
         .withColumn(ChangeTypeCol, lit("delete")))
     commit(spark, tablePath, adds = names, removes = affected,
       publisher = publisher, opTag = Some("delete"), changeAdds = cdcNames,
-      addStats = statsFor(spark, tablePath, names))
+      addStats = statsFor(spark, tablePath, names),
+      removeDvExpect = affected.map(n => n -> byName(n).dv).toMap)
   }
 
   /** MERGE-ON-READ delete (deletion vectors — the Delta/Iceberg DV
@@ -1729,7 +1827,8 @@ object CommitLog {
       val postDf = matched.select(post: _*)
       val writerId = freshWriterId("w")
       val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
-      enforced(postDf, tablePath).write
+      val cs = constraintsAt(spark, tablePath)
+      enforcedWith(postDf, cs).write
         .options(tableWriteOptions(spark, tablePath)).parquet(staging.toString)
       val names = landStaged(fs, dir, staging, writerId)
       val cdcNames = landChangeFiles(spark, tablePath,
@@ -1739,7 +1838,7 @@ object CommitLog {
         publisher = publisher, opTag = Some("update"),
         abortOnLostRace = () => false, changeAdds = cdcNames,
         addStats = statsFor(spark, tablePath, names),
-        dvAttach = dvAttach, dvExpect = dvExpect)
+        dvAttach = dvAttach, dvExpect = dvExpect, constraintsExpect = Some(cs))
         .getOrElse(throw new IllegalStateException("unreachable: unfenced DV update"))
     }
     // probe and rewrite read VISIBLE rows (DV-aware) — see deleteWhere
@@ -1757,7 +1856,8 @@ object CommitLog {
         .getOrElse(col(f.name))).otherwise(col(f.name)).as(f.name)).toIndexedSeq
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
-    enforced(affectedDf.select(rewritten: _*), tablePath)
+    val cs = constraintsAt(spark, tablePath)
+    enforcedWith(affectedDf.select(rewritten: _*), cs)
       .write.options(tableWriteOptions(spark, tablePath))
       .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
@@ -1768,7 +1868,9 @@ object CommitLog {
           .withColumn(ChangeTypeCol, lit("insert"))))
     commit(spark, tablePath, adds = names, removes = affected,
       publisher = publisher, opTag = Some("update"), changeAdds = cdcNames,
-      addStats = statsFor(spark, tablePath, names))
+      addStats = statsFor(spark, tablePath, names),
+      removeDvExpect = affected.map(n => n -> byName(n).dv).toMap,
+      constraintsExpect = Some(cs))
   }
 
   /** Column name the change feed uses to label each fed row's kind
@@ -2086,8 +2188,10 @@ object CommitLog {
       .localCheckpoint(true)
     val cols = schema.fieldNames.map(col).toSeq
     // appended rows are NEW values: active CHECK constraints ride their
-    // write plan (survivor restatements are valid by induction)
-    val app = enforced(appendDf.select(cols: _*), tablePath)
+    // write plan (survivor restatements are valid by induction); the
+    // captured set doubles as the commit-time constraint fence
+    val cs = constraintsAt(spark, tablePath)
+    val app = enforcedWith(appendDf.select(cols: _*), cs)
     // stats-based skipping first: files whose LOG-carried min/max (or,
     // fallback, footer min/max + bloom filters) prove no key can match
     // never enter the probe scan — on a clustered table an
@@ -2130,7 +2234,8 @@ object CommitLog {
       return commitOrAbort(spark, tablePath, adds = names, removes = Seq.empty,
         publisher = publisher, opTag = opTag, abortOnLostRace = abortOnLostRace,
         changeAdds = cdcNames, addStats = statsFor(spark, tablePath, names),
-        schemaJson = schemaJson, dvAttach = dvAttach, dvExpect = dvExpect)
+        schemaJson = schemaJson, dvAttach = dvAttach, dvExpect = dvExpect,
+        constraintsExpect = Some(cs))
     }
     val affected: Seq[String] =
       if (candidates.isEmpty) Seq.empty
@@ -2170,7 +2275,9 @@ object CommitLog {
     commitOrAbort(spark, tablePath, adds = names, removes = affected,
       publisher = publisher, opTag = opTag, abortOnLostRace = abortOnLostRace,
       changeAdds = cdcNames, addStats = statsFor(spark, tablePath, names),
-      schemaJson = schemaJson)
+      schemaJson = schemaJson,
+      removeDvExpect = affected.map(n => n -> entryByName(n).dv).toMap,
+      constraintsExpect = Some(cs))
   }
 
   /** The table's commit history as a DataFrame — the DESCRIBE HISTORY
@@ -2216,12 +2323,15 @@ object CommitLog {
   /** DESCRIBE DETAIL — the one-row operational summary an operator
     * checks before touching a table: current version, live file
     * census (count + bytes from ONE directory listing), deletion-
-    * vector state (attached-file count + total vectored positions
-    * from dv-parquet FOOTER record counts — metadata-only, no Spark
-    * job), active constraint count, schema source, and the last
-    * in-commit timestamp. Driver cost: one log replay + one dir
-    * listing + one footer per distinct attached vector (vectors per
-    * table are commit-count-bounded and OPTIMIZE absorbs them). */
+    * vector state (attached-file count + total vectored-out positions,
+    * EXACT: counted through the per-file attachment join — a vector
+    * shared by several files and later superseded for a subset must
+    * not carry the superseded files' positions into the metric), the
+    * active constraint count, schema source, and the last in-commit
+    * timestamp. Driver cost: one log replay + one dir listing, plus
+    * one increment-sized Spark job over the attached vectors when any
+    * exist (vectors are commit-count-bounded and OPTIMIZE absorbs
+    * them); a vector-free table runs zero jobs. */
   def detail(spark: SparkSession, tablePath: String): DataFrame = {
     import spark.implicits._
     val (version, entries) = liveFilesFull(spark, tablePath)
@@ -2232,16 +2342,8 @@ object CommitLog {
       else fs.listStatus(dir)
         .collect { case st if st.isFile => st.getPath.getName -> st.getLen }.toMap
     val sizeBytes = entries.map(e => sizeByName.getOrElse(e.name, 0L)).sum
-    val dvFiles = entries.flatMap(_.dv).distinct
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dvPositions = dvFiles.map { f =>
-      try {
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(s"$tablePath/$f"), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      } catch { case scala.util.control.NonFatal(_) => 0L }
-    }.sum
+    val dvPositions = dvRows(spark, tablePath, entries.filter(_.dv.isDefined))
+      .map(_.count()).getOrElse(0L)
     val lastTs = {
       val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
       commitTsOf(fs, new org.apache.hadoop.fs.Path(log, f"$version%020d.commit"))

@@ -122,6 +122,17 @@ class CliSpec extends SparkSpec {
     assert(d3.contains(""""consumed_through":5,"batches":1"""), d3)
     assert(graft.store.CommitLog.read(spark, mirror,
       spark.range(0).toDF("id").schema).count() == 180)
+    // log-optimize accepts [targetMB], [where], or BOTH — a first arg
+    // that is not a number is the predicate (default 128 MB target)
+    val opt1 = Cli.run(spark, Array("log-optimize", t, "id < 1000"))
+    assert(opt1.contains(""""version":"""), opt1)
+    val opt2 = Cli.run(spark, Array("log-optimize", t, "64", "id < 1000"))
+    assert(opt2.contains(""""version":"""), opt2)
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, Array("log-optimize", t, "id < 1000", "trailing"))
+    }
+    assert(graft.store.CommitLog.read(spark, t,
+      spark.range(0).toDF("id").schema).count() == 180)
   }
 
   test("query subcommand runs a declared query; unknown name is rejected") {

@@ -257,6 +257,26 @@ class CorpusOpsSpec extends SparkSpec {
       s"fixture no longer exercises the floor: $unfloored")
   }
 
+  test("learnBpeMerges maxVocab cap: the driver holds at most V words, most-frequent first") {
+    val docsDf = Seq(
+      (1L, Array.fill(10)("hug").mkString(" ")),
+      (2L, Array.fill(5)("pug").mkString(" ")),
+      (3L, "zzzzz") // frequency 1 — the least frequent word
+    ).toDF("doc_id", "text")
+    // V=2 keeps hug and pug; the rare word is truncated even at
+    // minFreq=1 (the cap is unconditional, unlike the floor)
+    val capped = CorpusOps.learnBpeMerges(docsDf, "text", k = 5, maxVocab = 2)
+    assert(!capped.exists { case (a, b, _) => a.contains("z") || b.contains("z") },
+      s"word past the vocab cap leaked into the trainer: $capped")
+    // the kept words train identically to the uncapped run on them
+    val kept = CorpusOps.learnBpeMerges(
+      docsDf.filter(col("doc_id") =!= 3L), "text", k = 5)
+    assert(capped == kept, s"cap changed surviving words' merges: $capped vs $kept")
+    intercept[IllegalArgumentException] {
+      CorpusOps.learnBpeMerges(docsDf, "text", k = 5, maxVocab = 0)
+    }
+  }
+
   test("bpePieceFrequencies: hand-computed vocabulary totals, rank and tie order") {
     val docsDf = Seq(
       (1L, Array.fill(10)("hug").mkString(" ")),

@@ -84,6 +84,73 @@ class SimilaritySpec extends SparkSpec {
     assert(head.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 16)))
   }
 
+  test("IVF-PQ refine: exact re-rank beats-or-ties plain IVF-PQ recall at equal budget") {
+    // exact-COSINE baseline — the metric the refine stage optimizes;
+    // against it the ≥-recall claim is BY CONSTRUCTION (any baseline
+    // member displaced from the refined top-k is displaced only by
+    // higher-cosine shortlist members, which are baseline members
+    // themselves), so the assertion is a hard invariant, not a
+    // statistical hope
+    val exact = Similarity.bruteForceTopK(queries, e, k = 10)
+      .select("query_id", "vec_id").cache()
+    def recallOf(r: org.apache.spark.sql.DataFrame): Double =
+      exact.intersect(r.select("query_id", "vec_id")).count().toDouble /
+        exact.count()
+    val plain = Similarity.ivfPqTopK(queries, e, k = 10,
+      numCentroids = 10, nProbe = 3, m = 4, numCodes = 16)
+    val refined = Similarity.ivfPqRefineTopK(queries, e, k = 10,
+      numCentroids = 10, nProbe = 3, m = 4, numCodes = 16, refineFactor = 3)
+    assert(refined.count() == 100)
+    // codebook-member queries (0..9): self survives the ADC shortlist
+    // (reconstructs exactly → distance 0) and the exact re-rank puts
+    // it at rank 1 with cosine ~1.0
+    val self = refined.filter(col("query_id") === col("vec_id")).collect()
+    assert(self.length == 10)
+    assert(self.forall(row => row.getAs[Long]("rank") == 1L &&
+      math.abs(row.getAs[Double]("score") - 1.0) < 1e-12))
+    // the point of the stage: recall never drops vs plain IVF-PQ at
+    // the same probe budget (the refined top-k is chosen by exact
+    // scores from a superset of the plain top-k's candidates)
+    val (rPlain, rRef) = (recallOf(plain), recallOf(refined))
+    assert(rRef >= rPlain,
+      s"refine LOWERED recall: plain=$rPlain refined=$rRef")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqRefineTopK(queries, e, 10, 10, 3, 4, 16, refineFactor = 0)
+    }
+  }
+
+  test("PQ kernels refuse indivisible dimensions and ragged codebooks loudly") {
+    // the SQL-registered kernels are reachable without pqTopK's API
+    // validation — integer division would silently drop the trailing
+    // dim % m elements of every vector (wrong codes, no signal)
+    val bad = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_pq_encode(array(1.0d, 2.0d, 3.0d), " +
+          "array(array(1.0d, 2.0d, 3.0d)), 2)").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(bad).exists(_.contains("not divisible")), s"got $bad")
+    val badAdc = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_pq_adc(array(1.0d, 2.0d, 3.0d), array(0, 0), " +
+          "array(array(1.0d, 2.0d, 3.0d)), 2)").collect()
+    }
+    assert(msgs(badAdc).exists(_.contains("not divisible")), s"got $badAdc")
+    // a codebook entry shorter than the vector would read past its end
+    val ragged = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_pq_encode(array(1.0d, 2.0d, 3.0d, 4.0d), " +
+          "array(array(1.0d, 2.0d)), 2)").collect()
+    }
+    assert(msgs(ragged).exists(_.contains("codebook entry")), s"got $ragged")
+    // the happy path still encodes
+    val ok = spark.sql(
+      "SELECT graft_pq_encode(array(1.0d, 2.0d, 3.0d, 4.0d), " +
+        "array(array(1.0d, 2.0d, 3.0d, 4.0d)), 2)").collect()
+    assert(ok.head.getSeq[Int](0) == Seq(0, 0))
+  }
+
   test("IVF-PQ: self lands rank 1 at ADC 0 (own cell always probed)") {
     val r = Similarity.ivfPqTopK(queries, e, k = 10,
       numCentroids = 10, nProbe = 3, m = 4, numCodes = 16).cache()

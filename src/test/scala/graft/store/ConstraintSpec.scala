@@ -114,6 +114,76 @@ class ConstraintSpec extends SparkSpec {
     }
   }
 
+  test("a write validated before a concurrent ADD CONSTRAINT fails at commit") {
+    val t = freshTable()
+    CommitLog.append(rows(0 until 5), t)
+    // an in-flight writer reads the (empty) active set, enforces with
+    // it, and lands its staged files — but has not committed yet
+    val readCs = CommitLog.constraintsAt(spark, t)
+    assert(readCs.isEmpty)
+    val dir = new org.apache.hadoop.fs.Path(t)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val writerId = CommitLog.freshWriterId("w")
+    val staging = new org.apache.hadoop.fs.Path(t, s"_staging_$writerId")
+    Seq((-9L, "unvalidated")).toDF("id", "v").write.parquet(staging.toString)
+    val names = CommitLog.landStaged(fs, dir, staging, writerId)
+    // DDL lands while the write is in flight
+    CommitLog.addConstraint(spark, t, "id_nonneg", "id >= 0")
+    // the writer's commit re-checks the active set after deriving its
+    // version and refuses — without this the row would land
+    // unvalidated under a green ledger
+    val e = intercept[java.util.ConcurrentModificationException] {
+      CommitLog.commitOrAbort(spark, t, adds = names, removes = Seq.empty,
+        publisher = RenameOrLinkPublisher, opTag = None,
+        abortOnLostRace = () => false, constraintsExpect = Some(readCs))
+    }
+    assert(e.getMessage.contains("constraint"))
+    assert(CommitLog.read(spark, t, schema).filter(col("id") < 0).count() == 0,
+      "unvalidated row landed past an active constraint")
+    // a DROPPED constraint never invalidates already-validated rows:
+    // the same expectation including a since-dropped entry still lands
+    CommitLog.dropConstraint(spark, t, "id_nonneg")
+    val writer2 = CommitLog.freshWriterId("w")
+    val staging2 = new org.apache.hadoop.fs.Path(t, s"_staging_$writer2")
+    Seq((7L, "fine")).toDF("id", "v").write.parquet(staging2.toString)
+    val names2 = CommitLog.landStaged(fs, dir, staging2, writer2)
+    assert(CommitLog.commitOrAbort(spark, t, adds = names2, removes = Seq.empty,
+      publisher = RenameOrLinkPublisher, opTag = None,
+      abortOnLostRace = () => false,
+      constraintsExpect = Some(Map("id_nonneg" -> "id >= 0"))).isDefined)
+  }
+
+  test("ADD CONSTRAINT revalidates when a write lands between scan and publish") {
+    val t = freshTable()
+    CommitLog.append(rows(0 until 5), t)
+    // a publisher that sneaks a VIOLATING append in just before the
+    // constraint commit publishes — the racing-writer interleaving the
+    // up-front validation scan cannot see
+    var sneaked = false
+    val racy = new AtomicPublisher {
+      def publish(fs: org.apache.hadoop.fs.FileSystem,
+          logDir: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path,
+          content: String): Boolean = {
+        if (!sneaked) {
+          sneaked = true
+          // legal at this instant: the constraint is not committed yet
+          CommitLog.append(Seq((-3L, "sneaky")).toDF("id", "v"), t)
+        }
+        RenameOrLinkPublisher.publish(fs, logDir, dst, content)
+      }
+    }
+    // the sneaked append wins the version the constraint commit was
+    // aiming at; the add-side fence aborts, revalidates, and finds the
+    // violating row — refusing the constraint instead of publishing a
+    // ledger the table already violates
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.addConstraint(spark, t, "id_nonneg", "id >= 0", racy)
+    }
+    assert(e.getMessage.contains("existing row"))
+    assert(CommitLog.constraintsAt(spark, t).isEmpty,
+      "constraint published over an unvalidated concurrent row")
+  }
+
   test("SQL surface: ALTER TABLE ADD/DROP CONSTRAINT; INSERT enforces") {
     val t = freshTable()
     CommitLog.append(rows(0 until 5), t)

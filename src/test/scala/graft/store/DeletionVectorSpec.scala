@@ -169,6 +169,41 @@ abstract class DeletionVectorBehavior(publisher: AtomicPublisher) extends SparkS
     assert(gone.getMessage.contains("deletion-vector conflict"))
   }
 
+  test("a rewrite planned before a concurrent DV delete fails instead of resurrecting") {
+    val t = freshTable()
+    CommitLog.append(spark.range(0, 100).toDF("id").coalesce(1), t, publisher)
+    // a compaction-shaped rewrite plans against the CURRENT live state
+    // (one vector-free file) and stages its restatement of those rows
+    val (_, planned) = CommitLog.liveFilesFull(spark, t)
+    assert(planned.size == 1 && planned.head.dv.isEmpty)
+    val dir = new org.apache.hadoop.fs.Path(t)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val writerId = CommitLog.freshWriterId("c")
+    val staging = new org.apache.hadoop.fs.Path(t, s"_staging_$writerId")
+    spark.range(0, 100).toDF("id").coalesce(1).write.parquet(staging.toString)
+    val names = CommitLog.landStaged(fs, dir, staging, writerId)
+    // a MOR delete lands BETWEEN the rewrite's planning read and its
+    // commit: the planned file is still live, but now carries a vector
+    CommitLog.deleteWhere(spark, t, schema, col("id") === 7, publisher,
+      deletionVectors = true)
+    // "still live" used to be enough evidence — the stale rewrite would
+    // commit, and its restated rows would resurrect id=7. The
+    // remove-side DV fence refuses it.
+    val e = intercept[java.util.ConcurrentModificationException] {
+      CommitLog.commitOrAbort(spark, t, adds = names,
+        removes = planned.map(_.name), publisher = publisher, opTag = None,
+        abortOnLostRace = () => false,
+        removeDvExpect = planned.map(p => p.name -> p.dv).toMap)
+    }
+    assert(e.getMessage.contains("re-vectored"))
+    // the concurrent delete's effect survives, and a FRESH rewrite
+    // (optimize absorbing the vector) preserves it
+    assert(ids(t) == (0L until 100L).toSet - 7L)
+    CommitLog.optimize(spark, t, targetBytes = Long.MaxValue, publisher = publisher)
+    assert(ids(t) == (0L until 100L).toSet - 7L)
+    assert(CommitLog.liveFilesFull(spark, t)._2.forall(_.dv.isEmpty))
+  }
+
   test("merge-on-read UPDATE: post-images append, no file rewrites, CDC pairs") {
     val t = freshTable()
     CommitLog.append(spark.range(0, 100).toDF("id"), t, publisher)
