@@ -17,6 +17,11 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+      // logged tables as first-class SQL tables: the `graft` catalog
+      // plus the extensions (functions, TVFs, and the read-upgrade
+      // rule that keeps catalog SELECTs on the native scan path)
+      .config("spark.sql.catalog.graft", "graft.store.GraftCatalog")
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -178,6 +178,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     GraftFunctions.descriptors.foreach(ext.injectFunction)
     ext.injectTableFunction(LogTableFunction.descriptor)
     ext.injectTableFunction(LogTableFunction.changesDescriptor)
+    // catalog reads (`SELECT … FROM graft.t`) upgrade to the native v1
+    // relation — file pruning + vectorized scan; see GraftV2ReadRule
+    ext.injectResolutionRule(graft.store.GraftV2ReadRule.apply)
   }
 }
 

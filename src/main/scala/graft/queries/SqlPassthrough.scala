@@ -247,7 +247,43 @@ object SqlPassthrough {
       CommitLog.append(docs.filter(col("doc_id") % 3 === 2), LogChangesTable)
       CommitLog.deleteWhere(s, LogChangesTable, docs.schema, col("doc_id") % 10 === 7)
       run(s, dir, LogChangesSql)
+    },
+
+    // ── The DSv2 TableCatalog end-to-end: CREATE / INSERT / DELETE /
+    // SELECT over `graft.<name>` identifiers through PLAIN spark.sql —
+    // zero graft-specific entry points (no TVF, no GraftSql.execute,
+    // no format string); the read analyzes onto the native
+    // GraftLogFileIndex scan via the injected resolution rule. The
+    // oracle replays the surviving rows relationally. ─────────────────
+    Q("sql_catalog_select", catalogSelectOracle) { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "source", "text")
+      val fs = new org.apache.hadoop.fs.Path(CatalogWarehouse)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(CatalogWarehouse), true)
+      s.conf.set("spark.graft.warehouse", CatalogWarehouse)
+      docs.createOrReplaceTempView("cat_src")
+      s.sql("CREATE TABLE graft.cat_docs (doc_id BIGINT, source STRING, text STRING)")
+      s.sql("""INSERT INTO graft.cat_docs
+              |SELECT doc_id, source, text FROM cat_src WHERE doc_id % 3 = 0""".stripMargin)
+      s.sql("""INSERT INTO graft.cat_docs
+              |SELECT doc_id, source, text FROM cat_src WHERE doc_id % 3 <> 0""".stripMargin)
+      s.sql("DELETE FROM graft.cat_docs WHERE doc_id < 50")
+      run(s, dir, CatalogSelectSql)
     })
+
+  private val CatalogWarehouse = "/tmp/graft_state/catalog_wh"
+
+  val CatalogSelectSql: String =
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(bit_xor($sparkRowDigest) AS BIGINT) AS content_digest
+       |FROM graft.cat_docs GROUP BY source""".stripMargin
+
+  private def catalogSelectOracle: String =
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS BIGINT)
+       |    AS content_digest
+       |FROM documents WHERE doc_id >= 50 GROUP BY source""".stripMargin
 
   private val MergeIntoTable = "/tmp/graft_state/sql_merge_docs"
 

@@ -138,13 +138,13 @@ private[graft] object GraftLogBatch {
       case other => other
     }
   }
-  private def nullify(s: StructType): StructType =
+  private[graft] def nullify(s: StructType): StructType =
     nullify(s: org.apache.spark.sql.types.DataType).asInstanceOf[StructType]
 
   /** Schema at the snapshot: the versioned schema ledger when a
     * mergeSchema writer stamped one, else inferred from the newest
     * file live AT that version (one footer read). */
-  private def schemaFor(spark: SparkSession, path: String,
+  private[graft] def schemaFor(spark: SparkSession, path: String,
       asOf: Long): StructType =
     CommitLog.schemaAt(spark, path, asOf).getOrElse {
       val (_, files) = CommitLog.liveFiles(spark, path, asOf)
@@ -253,7 +253,7 @@ private[sources] final class GraftLogDvRelation(spark: SparkSession,
       }
     }
     val base = CommitLog.visibleRows(spark, tablePath, dataSchema, kept)
-    val filtered = filters.flatMap(toColumn).foldLeft(base)(_.filter(_))
+    val filtered = filters.flatMap(FilterColumns.toColumn).foldLeft(base)(_.filter(_))
     val projected =
       if (requiredColumns.isEmpty)
         // COUNT(*)-shaped scan: no columns needed, only row multiplicity
@@ -263,10 +263,16 @@ private[sources] final class GraftLogDvRelation(spark: SparkSession,
     projected.rdd
   }
 
-  /** Best-effort `sources.Filter` → Column so pushdown reaches the
-    * inner parquet scans; None (un-translatable) is safe — Spark
-    * re-applies everything above. */
-  private def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+  override def toString: String = s"GraftLogDvRelation[$tablePath]"
+}
+
+/** Best-effort `sources.Filter` → Column translation, shared by the
+  * DV relation's inner pushdown and the V2 catalog's delete/scan
+  * bridges; None (un-translatable) is safe wherever it is used —
+  * Spark re-applies everything above a scan, and the delete path
+  * refuses up front via canDeleteWhere. */
+private[graft] object FilterColumns {
+  def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions.{col, lit, not}
     f match {
       case EqualTo(a, v) => Some(col(a) === lit(v))
@@ -281,14 +287,14 @@ private[sources] final class GraftLogDvRelation(spark: SparkSession,
       case StringStartsWith(a, p) => Some(col(a).startsWith(p))
       case StringEndsWith(a, p) => Some(col(a).endsWith(p))
       case StringContains(a, p) => Some(col(a).contains(p))
-      case And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
-      case Or(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+      case And(l, r) =>
+        for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+      case Or(l, r) =>
+        for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
       case Not(c) => toColumn(c).map(not)
       case _ => None
     }
   }
-
-  override def toString: String = s"GraftLogDvRelation[$tablePath]"
 }
 
 /** Evaluates a pushed-down `sources.Filter` against one file's

@@ -1,0 +1,351 @@
+package graft.store
+
+import java.util
+
+import graft.sources.{FilterColumns, GraftLogBatch}
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{AlwaysTrue, BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** DSv2 `TableCatalog` exposing logged tables as FIRST-CLASS Spark SQL
+  * tables — the composability layer over [[CommitLog]]: register it
+  * once
+  *
+  * {{{ spark.sql.catalog.graft = graft.store.GraftCatalog }}}
+  *
+  * and every Spark entry point sees logged tables with zero
+  * graft-specific syntax: `SELECT * FROM graft.t`, `INSERT INTO
+  * graft.t`, `INSERT OVERWRITE`, `DELETE FROM graft.t WHERE …`,
+  * `CREATE TABLE graft.t (…)`, CTAS, `DROP TABLE`, `DESCRIBE TABLE`,
+  * `SHOW TABLES IN graft`, and native time travel (`SELECT … FROM
+  * graft.t VERSION AS OF 3` / `TIMESTAMP AS OF …`) all route through
+  * Spark's own analyzer to the commit log — this is the Delta
+  * `DeltaCatalog` shape, and it retires the regex seam in
+  * [[GraftSql]] for everything Spark's grammar can say. (The
+  * extension verbs Spark has no grammar for — OPTIMIZE, VACUUM,
+  * RESTORE, constraints — remain on [[GraftSql.execute]].)
+  *
+  * Identifier resolution: `graft.name` (and `graft.ns.name`) resolve
+  * against the `spark.graft.warehouse` root as `wh/ns/name` — the
+  * same named-table convention as GraftSql; ``graft.`/abs/path` ``
+  * (a name containing '/') addresses a table by path directly.
+  *
+  * Read path: sessions carrying [[graft.functions.GraftExtensions]]
+  * analyze a catalog read into the NATIVE v1 relation
+  * ([[GraftLogBatch.relation]] — log-stats file pruning, vectorized
+  * parquet scan, broadcast sizing) via [[GraftV2ReadRule]]; sessions
+  * without the extensions fall back to [[GraftV1ScanBuilder]]'s
+  * `V1Scan` bridge (same pruning and pushdown through the same inner
+  * relation, plus one row-conversion seam — the JDBC-connector
+  * pattern). Writes always run the commit-log protocol via the
+  * `V1Write` fallback (`V1_BATCH_WRITE`), so constraints, bloom
+  * properties, and schema evolution ride every catalog write
+  * unchanged.
+  *
+  * Provenance: extension scope — the reference has no catalog/SQL
+  * surface; the architecture follows the published Delta/Iceberg
+  * TableCatalog integrations.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** Identifier → table path: path-addressed names pass through;
+    * bare names (with optional namespace parts as subdirectories)
+    * resolve under `spark.graft.warehouse`. */
+  private[store] def pathOf(ident: Identifier): String =
+    if (ident.namespace.isEmpty && ident.name.contains('/')) ident.name
+    else {
+      val wh = spark.conf.getOption("spark.graft.warehouse").getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot resolve $catalogName.${ident.toString}: set " +
+            "spark.graft.warehouse to a root directory, or address the " +
+            s"table by path ($catalogName.`/abs/path`)"))
+      (wh.stripSuffix("/") +: ident.namespace.toSeq :+ ident.name).mkString("/")
+    }
+
+  override def tableExists(ident: Identifier): Boolean =
+    CommitLog.latestVersion(spark, pathOf(ident)) > 0
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = pathOf(ident)
+    if (CommitLog.latestVersion(spark, path) == 0)
+      throw new NoSuchTableException(ident)
+    GraftTable(path, asOf = Long.MaxValue, ident.toString)
+  }
+
+  /** `VERSION AS OF <v>` — a version-pinned, read-only table. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = pathOf(ident)
+    if (CommitLog.latestVersion(spark, path) == 0)
+      throw new NoSuchTableException(ident)
+    GraftTable(path, asOf = version.toLong, ident.toString)
+  }
+
+  /** `TIMESTAMP AS OF <ts>` (Spark hands MICROseconds) — resolved
+    * through the clamped in-commit timestamps. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val path = pathOf(ident)
+    if (CommitLog.latestVersion(spark, path) == 0)
+      throw new NoSuchTableException(ident)
+    GraftTable(path,
+      asOf = CommitLog.versionAtTimestamp(spark, path, timestampMicros / 1000L),
+      ident.toString)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val path = pathOf(ident)
+    require(partitions.isEmpty,
+      "logged tables have no partition dirs — cluster with OPTIMIZE " +
+        "ZORDER; stats pruning replaces partition pruning")
+    if (CommitLog.latestVersion(spark, path) > 0)
+      throw new TableAlreadyExistsException(Seq(catalogName, ident.toString))
+    // Spark stamps reserved bookkeeping keys (provider/owner/…) into
+    // every CREATE — only user-declared properties enter the ledger
+    val user = properties.asScala.filterNot { case (k, _) => ReservedProps(k) }
+    CommitLog.commit(spark, path, adds = Seq.empty, opTag = Some("create"),
+      schemaJson = Some(schema.json))
+    if (user.nonEmpty) CommitLog.setProperties(spark, path, user.toMap)
+    GraftTable(path, asOf = Long.MaxValue, ident.toString)
+  }
+
+  private val ReservedProps: Set[String] = Set(
+    TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
+    TableCatalog.PROP_LOCATION, TableCatalog.PROP_COMMENT,
+    TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION,
+    TableCatalog.PROP_TABLE_TYPE, TableCatalog.PROP_COLLATION)
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = pathOf(ident)
+    val sets = changes.collect { case s: TableChange.SetProperty =>
+      s.property -> s.value }
+    val unsets = changes.collect { case r: TableChange.RemoveProperty =>
+      r.property }
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val unsupported = changes.filterNot(c =>
+      c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty] ||
+        c.isInstanceOf[TableChange.AddColumn])
+    require(unsupported.isEmpty,
+      s"unsupported ALTER TABLE change(s) for a logged table: " +
+        unsupported.mkString(", "))
+    if (sets.nonEmpty) CommitLog.setProperties(spark, path, sets.toMap)
+    if (unsets.nonEmpty) CommitLog.unsetProperties(spark, path, unsets)
+    if (adds.nonEmpty) {
+      // ADD COLUMNS = the mergeSchema add-column evolution as a
+      // metadata-only commit: old files null-fill the new columns
+      adds.foreach(a => require(a.fieldNames.length == 1,
+        s"nested ADD COLUMN is not supported: ${a.fieldNames.mkString(".")}"))
+      val cur = GraftLogBatch.schemaFor(spark, path, Long.MaxValue)
+      val incoming = StructType(cur.fields ++ adds.map(a =>
+        org.apache.spark.sql.types.StructField(a.fieldNames.head,
+          a.dataType, nullable = true)))
+      val evolved = CommitLog.evolveSchema(cur, incoming)
+      CommitLog.commit(spark, path, adds = Seq.empty, opTag = Some("evolve"),
+        schemaJson = Some(evolved.json))
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = pathOf(ident)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_graft_log")))
+      return false // not a logged table — never recursively delete it
+    fs.delete(dir, true)
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    val (src, dst) = (pathOf(from), pathOf(to))
+    if (CommitLog.latestVersion(spark, src) == 0)
+      throw new NoSuchTableException(from)
+    if (CommitLog.latestVersion(spark, dst) > 0)
+      throw new TableAlreadyExistsException(Seq(catalogName, to.toString))
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dstPath = new org.apache.hadoop.fs.Path(dst)
+    fs.mkdirs(dstPath.getParent)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(src), dstPath))
+      throw new IllegalStateException(s"could not rename $src to $dst")
+  }
+
+  /** Tables = direct children of `wh/<namespace…>` carrying a
+    * `_graft_log` dir — one listing, no content reads. */
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val wh = spark.conf.getOption("spark.graft.warehouse").getOrElse(
+      throw new IllegalArgumentException(
+        "set spark.graft.warehouse to list named graft tables"))
+    val root = new org.apache.hadoop.fs.Path(
+      (wh.stripSuffix("/") +: namespace.toSeq).mkString("/"))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Array.empty
+    fs.listStatus(root).collect {
+      case st if st.isDirectory &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_graft_log")) =>
+        Identifier.of(namespace, st.getPath.getName)
+    }
+  }
+}
+
+/** One logged table as a DSv2 `Table`: readable (V1Scan fallback;
+  * [[GraftV2ReadRule]] upgrades to the native relation), writable
+  * (V1Write → the commit-log append/overwrite protocol), and
+  * row-level-deletable (`DELETE FROM` with translatable predicates →
+  * [[CommitLog.deleteWhere]], honoring the session's deletion-vector
+  * switch). `asOf != Long.MaxValue` pins a time-travel snapshot,
+  * which is read-only. */
+private[graft] case class GraftTable(path: String, asOf: Long,
+    identString: String) extends Table
+    with SupportsRead with SupportsWrite with SupportsDelete {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = identString
+
+  override lazy val schema: StructType =
+    GraftLogBatch.nullify(GraftLogBatch.schemaFor(spark, path, asOf))
+
+  override def partitioning(): Array[Transform] = Array.empty
+
+  override def properties(): util.Map[String, String] =
+    CommitLog.propertiesAt(spark, path).asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftV1ScanBuilder(spark, path, asOf, schema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOf == Long.MaxValue,
+      s"cannot write to a time-travel snapshot of $path (AS OF $asOf)")
+    new GraftWriteBuilder(path)
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    asOf == Long.MaxValue &&
+      filters.forall(f => FilterColumns.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val predicate = filters.flatMap(FilterColumns.toColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    CommitLog.deleteWhere(spark, path,
+      GraftLogBatch.schemaFor(spark, path, Long.MaxValue), predicate,
+      deletionVectors = spark.conf
+        .getOption("spark.graft.deletionVectors").exists(_.toBoolean))
+    ()
+  }
+
+  override def toString: String = s"GraftTable($identString)"
+}
+
+/** The rule-less read fallback: a `V1Scan` whose relation evaluates
+  * the SAME inner machinery the native path uses — log-stats file
+  * pruning and pushed filters through [[GraftLogBatch.relation]] —
+  * behind one RDD[Row] seam (the JDBC-connector shape). Column
+  * pruning and filters are applied INSIDE the wrapped plan, so the
+  * vectorized parquet scans still read only what the query needs. */
+private[store] final class GraftV1ScanBuilder(spark: SparkSession,
+    path: String, asOf: Long, tableSchema: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = tableSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => FilterColumns.toColumn(f).isDefined)
+    filters // Spark re-evaluates everything above the scan — safe
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T =
+      new GraftV1TableScan(context, path, asOf, required, pushed)
+        .asInstanceOf[T]
+
+    override def description(): String =
+      s"GraftV1Scan[$path, asOf=$asOf, pushed=${pushed.mkString(",")}]"
+  }
+}
+
+private[store] final class GraftV1TableScan(context: SQLContext,
+    path: String, asOf: Long, required: StructType, pushed: Array[Filter])
+    extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = context
+
+  override def schema: StructType = required
+
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val spark = context.sparkSession
+    val params = Map("path" -> path) ++
+      (if (asOf == Long.MaxValue) Map.empty
+       else Map("versionAsOf" -> asOf.toString))
+    val full = GraftLogBatch.schemaFor(spark, path, asOf)
+    val base = context.baseRelationToDataFrame(
+      GraftLogBatch.relation(spark, params, Some(full)))
+    val filtered = pushed.flatMap(FilterColumns.toColumn).foldLeft(base)(_.filter(_))
+    val projected =
+      if (required.isEmpty) filtered.select() // COUNT(*)-shaped
+      else filtered.select(required.fieldNames
+        .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    projected.rdd
+  }
+}
+
+/** Catalog writes through the commit-log protocol: `INSERT INTO` →
+  * [[CommitLog.append]], `INSERT OVERWRITE`/truncate → the atomic
+  * [[CommitLog.overwrite]]. Partial-predicate overwrites are refused
+  * loudly (the log replaces whole snapshots, not filtered slices). */
+private[store] final class GraftWriteBuilder(path: String)
+    extends WriteBuilder with SupportsOverwrite {
+
+  private var replace = false
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    require(filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue]),
+      "logged tables support only full-table INSERT OVERWRITE — " +
+        s"got predicate overwrite ${filters.mkString(", ")}")
+    replace = true
+    this
+  }
+
+  override def truncate(): WriteBuilder = { replace = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwriteIgnored: Boolean): Unit = {
+          if (replace) CommitLog.overwrite(data, path)
+          else CommitLog.append(data, path)
+          ()
+        }
+      }
+  }
+}

@@ -64,15 +64,35 @@ object GraftSql {
   /** The pseudo-catalog name marking a logged-table path in SQL. */
   val Catalog = "graftlog"
 
+  /** The REGISTERED DSv2 catalog name ([[GraftCatalog]]) — `graft.t`
+    * identifiers are first-class through Spark's analyzer for
+    * SELECT/INSERT/DELETE/CREATE/DROP/DESCRIBE; this router accepts
+    * the same spelling for the verbs a plain v2 table cannot express
+    * (UPDATE, MERGE, and the extension verbs below), so one identifier
+    * form works across the whole SQL surface. */
+  val CatalogV2 = "graft"
+
+  private def isGraftCatalog(name: String): Boolean =
+    name.equalsIgnoreCase(Catalog) || name.equalsIgnoreCase(CatalogV2)
+
   /** Run `sql`: storage statements against ``graftlog.`path` `` targets
     * execute through the commit log; everything else is `spark.sql`.
     * Two MAINTENANCE verbs Spark's grammar lacks are recognized up
     * front (the Delta OPTIMIZE/VACUUM shapes):
     * ``OPTIMIZE graftlog.`p` [TARGET <bytes>] [ZORDER BY (a, b, …)]``
-    * and ``VACUUM graftlog.`p` [RETAIN <n> HOURS]``. */
-  def execute(spark: SparkSession, sql: String): DataFrame = sql match {
-    case OptimizeRe(rawPath, full, target, whereStr, zcols) =>
-      val path = resolvePath(spark, rawPath)
+    * and ``VACUUM graftlog.`p` [RETAIN <n> HOURS]``.
+    *
+    * The extension-verb patterns match against the statement with
+    * LEADING COMMENTS and a trailing `;` stripped (so a commented
+    * `-- nightly\nOPTIMIZE …` routes to the optimizer, not to Spark's
+    * parser error); the verb patterns themselves are anchored
+    * full-statement matches, so a verb keyword INSIDE a string
+    * literal of a real SQL statement can never hijack routing — the
+    * statement starts with its own verb and falls through to the
+    * parser. Parser-bound statements keep their ORIGINAL text. */
+  def execute(spark: SparkSession, sql: String): DataFrame = stripDecorations(sql) match {
+    case OptimizeRe(qp, bp, full, target, whereStr, zcols) =>
+      val path = resolvePath(spark, ident(qp, bp))
       val bytes = Option(target).map(_.toLong).getOrElse(DefaultOptimizeBytes)
       val cluster = Option(zcols).map(_.split(',').map(_.trim)
         .filter(_.nonEmpty).mkString(","))
@@ -88,18 +108,18 @@ object GraftSql {
         } else CommitLog.optimize(spark, path, bytes, clusterBy = cluster,
           where = Option(whereStr).map(org.apache.spark.sql.functions.expr))
       result(spark, path, v)
-    case DescribeDetailRe(rawPath) =>
-      CommitLog.detail(spark, resolvePath(spark, rawPath))
-    case DescribeHistoryRe(rawPath) =>
-      CommitLog.history(spark, resolvePath(spark, rawPath))
-    case RestoreRe(rawPath, version, ts) =>
-      val path = resolvePath(spark, rawPath)
+    case DescribeDetailRe(qp, bp) =>
+      CommitLog.detail(spark, resolvePath(spark, ident(qp, bp)))
+    case DescribeHistoryRe(qp, bp) =>
+      CommitLog.history(spark, resolvePath(spark, ident(qp, bp)))
+    case RestoreRe(qp, bp, version, ts) =>
+      val path = resolvePath(spark, ident(qp, bp))
       val v = Option(version).map(_.toLong).getOrElse(
         CommitLog.versionAtTimestamp(spark, path,
           graft.sources.GraftLogBatch.parseTsMs(ts.trim.stripPrefix("'").stripSuffix("'"))))
       result(spark, path, CommitLog.restore(spark, path, v))
-    case CreateTableRe(rawPath, colsDdl) =>
-      val path = resolvePath(spark, rawPath)
+    case CreateTableRe(qp, bp, colsDdl) =>
+      val path = resolvePath(spark, ident(qp, bp))
       require(CommitLog.latestVersion(spark, path) == 0,
         s"logged table $path already exists")
       // an empty table IS its schema ledger: one schema-only commit
@@ -108,15 +128,15 @@ object GraftSql {
       val v = CommitLog.commit(spark, path, adds = Seq.empty,
         opTag = Some("create"), schemaJson = Some(schema.json))
       result(spark, path, v)
-    case CtasRe(rawPath, select) =>
-      val path = resolvePath(spark, rawPath)
+    case CtasRe(qp, bp, select) =>
+      val path = resolvePath(spark, ident(qp, bp))
       require(CommitLog.latestVersion(spark, path) == 0,
         s"logged table $path already exists")
       // CTAS ≡ INSERT INTO an empty table: the bootstrap path stamps
       // the query's shape into the schema ledger in the same commit
       execute(spark, s"INSERT INTO graftlog.`$path` $select")
-    case DropTableRe(rawPath) =>
-      val path = resolvePath(spark, rawPath)
+    case DropTableRe(qp, bp) =>
+      val path = resolvePath(spark, ident(qp, bp))
       val dir = new org.apache.hadoop.fs.Path(path)
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // refuse to recursively delete anything that is not a logged
@@ -126,25 +146,25 @@ object GraftSql {
       fs.delete(dir, true)
       import spark.implicits._
       Seq((path, true)).toDF("table", "dropped")
-    case SetPropsRe(rawPath, pairs) =>
-      val path = resolvePath(spark, rawPath)
+    case SetPropsRe(qp, bp, pairs) =>
+      val path = resolvePath(spark, ident(qp, bp))
       val props = PropPairRe.findAllMatchIn(pairs)
         .map(m => m.group(1) -> m.group(2)).toMap
       require(props.nonEmpty, s"no 'key'='value' pairs in: $pairs")
       result(spark, path, CommitLog.setProperties(spark, path, props))
-    case UnsetPropsRe(rawPath, keys) =>
-      val path = resolvePath(spark, rawPath)
+    case UnsetPropsRe(qp, bp, keys) =>
+      val path = resolvePath(spark, ident(qp, bp))
       val ks = PropKeyRe.findAllMatchIn(keys).map(_.group(1)).toSeq
       require(ks.nonEmpty, s"no 'key' entries in: $keys")
       result(spark, path, CommitLog.unsetProperties(spark, path, ks))
-    case AddConstraintRe(rawPath, name, check) =>
-      val path = resolvePath(spark, rawPath)
+    case AddConstraintRe(qp, bp, name, check) =>
+      val path = resolvePath(spark, ident(qp, bp))
       result(spark, path, CommitLog.addConstraint(spark, path, name, check.trim))
-    case DropConstraintRe(rawPath, name) =>
-      val path = resolvePath(spark, rawPath)
+    case DropConstraintRe(qp, bp, name) =>
+      val path = resolvePath(spark, ident(qp, bp))
       result(spark, path, CommitLog.dropConstraint(spark, path, name))
-    case VacuumRe(rawPath, hours, dry) =>
-      val path = resolvePath(spark, rawPath)
+    case VacuumRe(qp, bp, hours, dry) =>
+      val path = resolvePath(spark, ident(qp, bp))
       val ageMs = Option(hours).map(_.toLong * 3600000L)
         .getOrElse(DefaultVacuumRetainMs)
       // DRY RUN: report what WOULD be reclaimed, touch nothing —
@@ -157,45 +177,77 @@ object GraftSql {
     case _ => executeParsed(spark, sql)
   }
 
+  /** Leading `--` line comments / `/* */` block comments and one
+    * trailing `;` stripped — ONLY at the statement's edges, never
+    * inside it (a `--` inside a string literal mid-statement is
+    * content, not a comment, and the edge-only rule cannot touch
+    * it). */
+  private[store] def stripDecorations(sql: String): String = {
+    var s = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      val t = s.dropWhile(_.isWhitespace)
+      if (t.startsWith("--")) { s = t.dropWhile(_ != '\n'); changed = true }
+      else if (t.startsWith("/*") && t.contains("*/")) {
+        s = t.substring(t.indexOf("*/") + 2); changed = true
+      } else s = t
+    }
+    val out = s.reverse.dropWhile(_.isWhitespace).reverse
+    if (out.endsWith(";"))
+      out.dropRight(1).reverse.dropWhile(_.isWhitespace).reverse
+    else out
+  }
+
+  // Table identifier after either catalog name: a backquoted path
+  // (``graft.`/abs/path` ``) or a bare warehouse-resolved name
+  // (`graft.docs`) — two capture groups per identifier, folded back
+  // together by `ident` at the match sites.
+  private val TableId = """(?:graftlog|graft)\s*\.\s*(?:`([^`]+)`|(\w+))"""
+  private def ident(quoted: String, bare: String): String =
+    Option(quoted).getOrElse(bare)
+
   private val OptimizeRe =
-    ("""(?is)\s*OPTIMIZE\s+graftlog\s*\.\s*`([^`]+)`""" +
+    (s"""(?is)\\s*OPTIMIZE\\s+$TableId""" +
       """(\s+FULL)?(?:\s+TARGET\s+(\d+))?(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*""").r
   private val VacuumRe =
-    ("""(?is)\s*VACUUM\s+graftlog\s*\.\s*`([^`]+)`""" +
+    (s"""(?is)\\s*VACUUM\\s+$TableId""" +
       """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?(\s+DRY\s+RUN)?\s*""").r
   private val DescribeDetailRe =
-    """(?is)\s*DESCRIBE\s+DETAIL\s+graftlog\s*\.\s*`([^`]+)`\s*""".r
+    s"""(?is)\\s*DESCRIBE\\s+DETAIL\\s+$TableId\\s*""".r
   private val DescribeHistoryRe =
-    """(?is)\s*DESCRIBE\s+HISTORY\s+graftlog\s*\.\s*`([^`]+)`\s*""".r
+    s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+$TableId\\s*""".r
   // RESTORE … TO VERSION AS OF n | TO TIMESTAMP AS OF '…' (Delta verb)
   private val RestoreRe =
-    ("""(?is)\s*RESTORE\s+TABLE\s+graftlog\s*\.\s*`([^`]+)`\s+TO\s+""" +
+    (s"""(?is)\\s*RESTORE\\s+TABLE\\s+$TableId\\s+TO\\s+""" +
       """(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+(.+?))\s*""").r
   // CREATE/DROP: the named-table lifecycle (bare names resolve through
-  // spark.graft.warehouse; paths work too)
+  // spark.graft.warehouse; paths work too). With the `graft` catalog
+  // registered these verbs ALSO work through plain spark.sql — this
+  // route keeps them available for `graftlog.` path spellings.
   private val CreateTableRe =
-    """(?is)\s*CREATE\s+TABLE\s+graftlog\s*\.\s*`([^`]+)`\s*\((.+)\)\s*""".r
+    s"""(?is)\\s*CREATE\\s+TABLE\\s+$TableId\\s*\\((.+)\\)\\s*""".r
   private val CtasRe =
-    """(?is)\s*CREATE\s+TABLE\s+graftlog\s*\.\s*`([^`]+)`\s+AS\s+(.+?)\s*""".r
+    s"""(?is)\\s*CREATE\\s+TABLE\\s+$TableId\\s+AS\\s+(.+?)\\s*""".r
   private val DropTableRe =
-    """(?is)\s*DROP\s+TABLE\s+graftlog\s*\.\s*`([^`]+)`\s*""".r
+    s"""(?is)\\s*DROP\\s+TABLE\\s+$TableId\\s*""".r
   // TBLPROPERTIES (bloom.columns/bloom.ndv drive write-time bloom
   // filters through every maintenance path)
   private val SetPropsRe =
-    ("""(?is)\s*ALTER\s+TABLE\s+graftlog\s*\.\s*`([^`]+)`\s+SET\s+""" +
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$TableId\\s+SET\\s+""" +
       """TBLPROPERTIES\s*\((.+)\)\s*""").r
   private val UnsetPropsRe =
-    ("""(?is)\s*ALTER\s+TABLE\s+graftlog\s*\.\s*`([^`]+)`\s+UNSET\s+""" +
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$TableId\\s+UNSET\\s+""" +
       """TBLPROPERTIES\s*\((.+)\)\s*""").r
   private val PropPairRe = """'([^']+)'\s*=\s*'([^']*)'""".r
   private val PropKeyRe = """'([^']+)'""".r
   // CHECK constraints (the Delta ALTER TABLE … ADD CONSTRAINT shape)
   private val AddConstraintRe =
-    ("""(?is)\s*ALTER\s+TABLE\s+graftlog\s*\.\s*`([^`]+)`\s+ADD\s+CONSTRAINT\s+""" +
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$TableId\\s+ADD\\s+CONSTRAINT\\s+""" +
       """(\w+)\s+CHECK\s*\((.+)\)\s*""").r
   private val DropConstraintRe =
-    ("""(?is)\s*ALTER\s+TABLE\s+graftlog\s*\.\s*`([^`]+)`\s+DROP\s+CONSTRAINT\s+""" +
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$TableId\\s+DROP\\s+CONSTRAINT\\s+""" +
       """(\w+)\s*""").r
   private val DefaultOptimizeBytes = 128L * 1024 * 1024
   private val DefaultVacuumRetainMs = 7L * 24 * 3600000L // Delta's default
@@ -287,7 +339,7 @@ object GraftSql {
       case SubqueryAlias(ident, child) =>
         pathOf(child).map { case (p, _) => (p, Some(ident.name)) }
       case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
-          u.multipartIdentifier.head.equalsIgnoreCase(Catalog) =>
+          isGraftCatalog(u.multipartIdentifier.head) =>
         Some((u.multipartIdentifier(1), None))
       case _ => None
     }
@@ -447,7 +499,7 @@ object GraftSql {
       plan: LogicalPlan): LogicalPlan =
     plan.transform {
       case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
-          u.multipartIdentifier.head.equalsIgnoreCase(Catalog) =>
+          isGraftCatalog(u.multipartIdentifier.head) =>
         val p = resolvePath(spark, u.multipartIdentifier(1))
         StreamingShim.planOf(CommitLog.read(spark, p, schemaOf(spark, p)))
     }

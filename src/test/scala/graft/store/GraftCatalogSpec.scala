@@ -1,0 +1,152 @@
+package graft.store
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** The `graft` DSv2 TableCatalog: plain `spark.sql` over catalog
+  * identifiers — SELECT / INSERT / INSERT OVERWRITE / DELETE / CREATE
+  * / CTAS / DROP / DESCRIBE / time travel — with ZERO graft-specific
+  * entry points, reads on the NATIVE scan path (the GraftV2ReadRule
+  * upgrade), and the V1Scan fallback correct for rule-less sessions. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshWarehouse(): String = {
+    val wh = Files.createTempDirectory("graft_catalog_wh").toString
+    spark.conf.set("spark.graft.warehouse", wh)
+    wh
+  }
+
+  test("CREATE / INSERT / SELECT / DESCRIBE / DROP through plain spark.sql") {
+    freshWarehouse()
+    spark.sql("CREATE TABLE graft.t1 (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.t1 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.t1 VALUES (3, 'c')")
+    val rows = spark.sql("SELECT id, v FROM graft.t1 ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // aggregates, joins — anything Spark SQL can say
+    assert(spark.sql("SELECT count(*) FROM graft.t1 WHERE id > 1")
+      .as[Long].head() == 2L)
+    val desc = spark.sql("DESCRIBE TABLE graft.t1")
+      .select("col_name").as[String].collect().toSet
+    assert(Set("id", "v").subsetOf(desc), s"got $desc")
+    spark.sql("DROP TABLE graft.t1")
+    intercept[Exception](spark.sql("SELECT * FROM graft.t1").collect())
+  }
+
+  test("catalog reads run the NATIVE scan path (no row-conversion seam)") {
+    freshWarehouse()
+    spark.sql("CREATE TABLE graft.native (id BIGINT)")
+    spark.sql("INSERT INTO graft.native SELECT id FROM range(100)")
+    val df = spark.sql("SELECT id FROM graft.native WHERE id > 90")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftLogFileIndex"),
+      s"catalog read did not use the log file index:\n$plan")
+    assert(!plan.contains("RowDataSourceScan"),
+      s"catalog read fell back to the V1Scan row bridge:\n$plan")
+    assert(df.as[Long].collect().toSet == (91L to 99L).toSet)
+  }
+
+  test("INSERT OVERWRITE is the atomic replace; time travel reaches both states") {
+    freshWarehouse()
+    spark.sql("CREATE TABLE graft.tt (id BIGINT)")
+    spark.sql("INSERT INTO graft.tt VALUES (1), (2)")
+    spark.sql("INSERT OVERWRITE graft.tt VALUES (10)")
+    assert(spark.sql("SELECT * FROM graft.tt").as[Long].collect().toSet == Set(10L))
+    // native SQL time travel through the catalog's versioned loadTable
+    assert(spark.sql("SELECT * FROM graft.tt VERSION AS OF 2")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    // a time-travel snapshot is read-only
+    intercept[Exception](
+      spark.sql("INSERT INTO graft.tt VERSION AS OF 2 VALUES (5)"))
+  }
+
+  test("DELETE FROM through the catalog honors the deletion-vector switch") {
+    freshWarehouse()
+    spark.sql("CREATE TABLE graft.del (id BIGINT)")
+    spark.sql("INSERT INTO graft.del SELECT id FROM range(20)")
+    spark.sql("DELETE FROM graft.del WHERE id >= 15")
+    assert(spark.sql("SELECT * FROM graft.del").as[Long].collect().toSet
+      == (0L until 15L).toSet)
+    // merge-on-read: the same statement vectors instead of rewriting
+    val wh = spark.conf.get("spark.graft.warehouse")
+    val before = CommitLog.liveFiles(spark, s"$wh/del")._2.toSet
+    spark.conf.set("spark.graft.deletionVectors", "true")
+    try {
+      spark.sql("DELETE FROM graft.del WHERE id = 3")
+      assert(CommitLog.liveFiles(spark, s"$wh/del")._2.toSet == before,
+        "MOR catalog delete rewrote files")
+      assert(spark.sql("SELECT * FROM graft.del").as[Long].collect().toSet
+        == (0L until 15L).toSet - 3L)
+    } finally spark.conf.unset("spark.graft.deletionVectors")
+  }
+
+  test("CTAS, path-addressed identifiers, and SHOW TABLES") {
+    val wh = freshWarehouse()
+    spark.sql("CREATE TABLE graft.src (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.src VALUES (1, 'x'), (2, 'y')")
+    spark.sql("CREATE TABLE graft.copy AS SELECT * FROM graft.src WHERE id = 2")
+    assert(spark.sql("SELECT v FROM graft.copy").as[String].collect().toSeq
+      == Seq("y"))
+    // a name containing '/' addresses the table directory directly
+    val byPath = spark.sql(s"SELECT count(*) FROM graft.`$wh/src`")
+      .as[Long].head()
+    assert(byPath == 2L)
+    val listed = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog].listTables(Array.empty).map(_.name).toSet
+    assert(listed == Set("src", "copy"), s"got $listed")
+  }
+
+  test("catalog writes enforce constraints and keep table properties") {
+    freshWarehouse()
+    val wh = spark.conf.get("spark.graft.warehouse")
+    spark.sql("CREATE TABLE graft.gov (id BIGINT)")
+    spark.sql("INSERT INTO graft.gov VALUES (1)")
+    CommitLog.addConstraint(spark, s"$wh/gov", "id_pos", "id > 0")
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO graft.gov VALUES (-5)"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("CHECK constraint")), s"got $e")
+    assert(spark.sql("SELECT count(*) FROM graft.gov").as[Long].head() == 1L)
+    // ALTER TABLE SET/UNSET TBLPROPERTIES through the catalog
+    spark.sql("ALTER TABLE graft.gov SET TBLPROPERTIES ('bloom.columns' = 'id')")
+    assert(CommitLog.propertiesAt(spark, s"$wh/gov") == Map("bloom.columns" -> "id"))
+    spark.sql("ALTER TABLE graft.gov UNSET TBLPROPERTIES ('bloom.columns')")
+    assert(CommitLog.propertiesAt(spark, s"$wh/gov").isEmpty)
+    // ALTER TABLE ADD COLUMNS = metadata-only evolution
+    spark.sql("ALTER TABLE graft.gov ADD COLUMNS (note STRING)")
+    val out = spark.sql("SELECT id, note FROM graft.gov").collect()
+    assert(out.length == 1 && out.head.isNullAt(1), "old rows must null-fill")
+  }
+
+  test("DV-carrying snapshots read correctly through the catalog") {
+    freshWarehouse()
+    val wh = spark.conf.get("spark.graft.warehouse")
+    spark.sql("CREATE TABLE graft.dvt (id BIGINT)")
+    spark.sql("INSERT INTO graft.dvt SELECT id FROM range(50)")
+    CommitLog.deleteWhere(spark, s"$wh/dvt", spark.range(0).toDF("id").schema,
+      col("id") % 7 === 0, deletionVectors = true)
+    assert(spark.sql("SELECT * FROM graft.dvt").as[Long].collect().toSet
+      == (0L until 50L).filterNot(_ % 7 == 0).toSet)
+  }
+
+  test("the V1Scan fallback reads the same rows for rule-less sessions") {
+    freshWarehouse()
+    val wh = spark.conf.get("spark.graft.warehouse")
+    spark.sql("CREATE TABLE graft.fb (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.fb VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val schema = GraftTable(s"$wh/fb", Long.MaxValue, "graft.fb").schema
+    val sb = new GraftV1ScanBuilder(spark, s"$wh/fb", Long.MaxValue, schema)
+    sb.pushFilters(Array(org.apache.spark.sql.sources.GreaterThan("id", 1L)))
+    sb.pruneColumns(org.apache.spark.sql.types.StructType(schema.filter(_.name == "v")))
+    val scan = sb.build().asInstanceOf[org.apache.spark.sql.connector.read.V1Scan]
+    val rel = scan.toV1TableScan[org.apache.spark.sql.sources.BaseRelation
+      with org.apache.spark.sql.sources.TableScan](spark.sqlContext)
+    val got = rel.buildScan().collect().map(_.getString(0)).toSet
+    assert(got == Set("b", "c"), s"got $got")
+  }
+}

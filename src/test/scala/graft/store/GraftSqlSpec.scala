@@ -280,6 +280,57 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("warehouse"))
   }
 
+  test("DML and extension verbs accept `graft.` catalog identifiers") {
+    val t = freshTable()
+    seed(t)
+    // UPDATE and MERGE — the verbs a plain v2 table cannot express —
+    // route through this router under the registered catalog's name
+    GraftSql.execute(spark,
+      s"UPDATE graft.`$t` SET v = 'edited' WHERE id < 3")
+    assert(CommitLog.read(spark, t, schema).filter(col("v") === "edited")
+      .count() == 3)
+    Seq((500L, "src", "merged")).toDF("id", "cat", "v")
+      .createOrReplaceTempView("graft_cat_src")
+    GraftSql.execute(spark,
+      s"""MERGE INTO graft.`$t` AS t USING graft_cat_src AS s
+         |ON t.id = s.id WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(CommitLog.read(spark, t, schema).filter(col("id") === 500).count() == 1)
+    // extension verbs too (no Spark grammar for these)
+    val opt = GraftSql.execute(spark, s"OPTIMIZE graft.`$t`")
+    assert(opt.columns.toSeq == Seq("table", "committed_version"))
+    assert(GraftSql.execute(spark, s"DESCRIBE HISTORY graft.`$t`").count() > 0)
+    // bare-name spelling resolves through the warehouse for both forms
+    val wh = Files.createTempDirectory("graft_sql_wh").toString
+    spark.conf.set("spark.graft.warehouse", wh)
+    try {
+      GraftSql.execute(spark, "CREATE TABLE graft.cat_bare (id BIGINT)")
+      GraftSql.execute(spark, "INSERT INTO graft.cat_bare VALUES (1), (2)")
+      val d = GraftSql.execute(spark, "DESCRIBE DETAIL graft.cat_bare")
+      assert(d.select("num_files").as[Long].head() > 0)
+    } finally spark.conf.unset("spark.graft.warehouse")
+  }
+
+  test("comments, semicolons, and verb keywords inside literals route correctly") {
+    val t = freshTable()
+    seed(t)
+    // leading comments + trailing semicolon on an extension verb: must
+    // reach the optimizer, not Spark's parser error
+    val out = GraftSql.execute(spark,
+      s"-- nightly maintenance\n/* scoped */ OPTIMIZE graftlog.`$t` ;")
+    assert(out.columns.toSeq == Seq("table", "committed_version"))
+    // a verb keyword INSIDE a string literal of a real statement must
+    // not hijack routing: this is an INSERT, and lands as one
+    GraftSql.execute(spark,
+      s"INSERT INTO graftlog.`$t` VALUES (999, 'OPTIMIZE graftlog.x', 'VACUUM t')")
+    val got = CommitLog.read(spark, t, schema).filter(col("id") === 999)
+      .as[(Long, String, String)].collect().toSeq
+    assert(got == Seq((999L, "OPTIMIZE graftlog.x", "VACUUM t")))
+    // a comment INSIDE a statement is the parser's business, untouched
+    GraftSql.execute(spark,
+      s"DELETE FROM graftlog.`$t` -- keyword VACUUM in a comment\nWHERE id = 999")
+    assert(CommitLog.read(spark, t, schema).filter(col("id") === 999).count() == 0)
+  }
+
   test("unsupported grammar refuses loudly instead of mistranslating") {
     val t = freshTable()
     seed(t)
