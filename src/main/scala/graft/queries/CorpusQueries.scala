@@ -865,6 +865,68 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
     },
 
+    // ── COLUMN MAPPING (rename/drop evolution): the engine renames
+    // `source` → `origin` (metadata-only — the query PROVES zero files
+    // moved), merges an update slice BY THE NEW NAME (old-generation
+    // files serve the renamed column through their stable physical
+    // name), time-travels to the pre-rename snapshot under the OLD
+    // name, then adds and drops a throwaway column (the drop burns its
+    // physical name). The oracle replays the merge relationally and
+    // emits the new column name — a mapping bug (wrong column served,
+    // resurrection, lost rows) flips count or digest. ─────────────────
+    Q(
+      "store_rename_column",
+      s"""WITH src AS (
+         |  SELECT doc_id, source, text || ' v2' AS text
+         |  FROM documents WHERE doc_id % 7 = 3),
+         |merged AS (
+         |  SELECT * FROM src
+         |  UNION ALL
+         |  SELECT doc_id, source, text FROM documents WHERE doc_id % 7 <> 3)
+         |SELECT source AS origin, CAST(count(*) AS BIGINT) AS n_docs,
+         |  bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS content_digest
+         |FROM merged GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.store.CommitLog
+      val a = docs(s, dir).select("doc_id", "source", "text")
+      val table = "/tmp/graft_state/rename_column_docs"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      CommitLog.append(a.filter(col("doc_id") % 2 === 0), table,
+        mergeSchema = true)
+      CommitLog.append(a.filter(col("doc_id") % 2 === 1), table)
+      val before = CommitLog.liveFiles(s, table)._2.toSet
+      val vRename = CommitLog.renameColumn(s, table, "source", "origin")
+      require(CommitLog.liveFiles(s, table)._2.toSet == before,
+        "rename must be metadata-only — it rewrote data files")
+      val sch = CommitLog.schemaAt(s, table).get
+      require(sch.fieldNames.toSeq == Seq("doc_id", "origin", "text"))
+      // time travel BEFORE the rename still reads the historical name
+      val hist = CommitLog.schemaAt(s, table, asOf = vRename - 1).get
+      require(hist.fieldNames.contains("source"),
+        "pre-rename snapshot lost the historical column name")
+      require(CommitLog.read(s, table, hist, asOf = vRename - 1)
+        .filter(col("source").isNotNull).limit(1).count() == 1)
+      // merge BY THE NEW NAME — updates must land in pre-rename files
+      CommitLog.merge(s, table, sch,
+        a.filter(col("doc_id") % 7 === 3)
+          .select(col("doc_id"), col("source").as("origin"),
+            concat(col("text"), lit(" v2")).as("text")),
+        Seq("doc_id"))
+      // add-column then DROP it: metadata-only both ways, physical
+      // name burned so the name can never resurrect stale bytes
+      CommitLog.append(a.limit(0)
+        .withColumn("note", lit(null).cast("string"))
+        .select(col("doc_id"), col("source").as("origin"), col("text"),
+          col("note")), table, mergeSchema = true)
+      CommitLog.dropColumn(s, table, "note")
+      require(CommitLog.burnedAt(s, table).contains("note"))
+      CommitLog.read(s, table, CommitLog.schemaAt(s, table).get)
+        .withColumn("h", graft.core.Hashing.rowDigest(col("doc_id"), col("text")))
+        .groupBy("origin")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
+    },
+
     // ── Keyed upsert (MERGE) through the commit log: the engine builds
     // the logged table in two appends, merges a source that UPDATES a
     // doc_id slice (text rewritten) and INSERTS new ids, and reads the

@@ -63,9 +63,13 @@ private[graft] object GraftLogBatch {
     // DV-aware bridge relation (log-stats file skipping kept, pushed
     // filters re-translated into the inner Catalyst plan); a vector-
     // free snapshot keeps the zero-overhead HadoopFsRelation path.
+    // A COLUMN-MAPPED snapshot (renamed/dropped columns — files carry
+    // physical names) routes through the same bridge: a bare file
+    // relation has no projection hook to alias physical → logical.
     val (_, entries) = CommitLog.liveFilesFull(spark, path, asOf)
-    if (entries.exists(_.dv.isDefined))
-      return new GraftLogDvRelation(spark, path, nullify(schema), entries)
+    if (entries.exists(_.dv.isDefined) ||
+        CommitLog.mappingAt(spark, path, asOf).nonEmpty)
+      return new GraftLogDvRelation(spark, path, nullify(schema), entries, asOf)
     HadoopFsRelation(
       location = new GraftLogFileIndex(spark, path, asOf),
       partitionSchema = StructType(Nil),
@@ -180,11 +184,14 @@ final class GraftLogFileIndex(spark: SparkSession, tablePath: String,
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       val byName = fs.listStatus(root)
         .collect { case st if st.isFile => st.getPath.getName -> st }.toMap
+      // stats are keyed by PHYSICAL name; pushed filters are logical
+      val mapping = CommitLog.mappingAt(spark, tablePath, asOf)
       withStats.map { case (name, statsJson) =>
         val st = byName.getOrElse(name, throw new IllegalStateException(
           s"live data file $name of $tablePath is missing — the snapshot " +
             "predates the retention window (vacuumed) or the table is corrupt"))
-        (st, statsJson.map(CommitLog.parseStatsJson))
+        (st, statsJson.map(j =>
+          CommitLog.statsToLogical(CommitLog.parseStatsJson(j), mapping)))
       }
     }
   }
@@ -234,7 +241,7 @@ final class GraftLogFileIndex(spark: SparkSession, tablePath: String,
   * the inner re-translation is purely an optimization. */
 private[sources] final class GraftLogDvRelation(spark: SparkSession,
     tablePath: String, dataSchema: StructType,
-    entries: Seq[CommitLog.LiveEntry])
+    entries: Seq[CommitLog.LiveEntry], asOf: Long = Long.MaxValue)
     extends BaseRelation with PrunedFilteredScan {
 
   override def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -245,14 +252,18 @@ private[sources] final class GraftLogDvRelation(spark: SparkSession,
       filters: Array[Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
     // log-stats file skipping, same contract as GraftLogFileIndex:
     // a DV only removes rows, so the add-time stats remain a sound
-    // superset envelope
+    // superset envelope; stats keys remap physical → logical on a
+    // column-mapped snapshot
+    val mapping = CommitLog.mappingAt(spark, tablePath, asOf)
     val kept = entries.filter { e =>
-      e.stats.map(CommitLog.parseStatsJson) match {
+      e.stats.map(j => CommitLog.statsToLogical(
+        CommitLog.parseStatsJson(j), mapping)) match {
         case Some(m) => filters.forall(f => StatsPruning.possible(m, f))
         case None => true
       }
     }
-    val base = CommitLog.visibleRows(spark, tablePath, dataSchema, kept)
+    val base = CommitLog.visibleRows(spark, tablePath, dataSchema, kept,
+      mappingAsOf = asOf)
     val filtered = filters.flatMap(FilterColumns.toColumn).foldLeft(base)(_.filter(_))
     val projected =
       if (requiredColumns.isEmpty)

@@ -663,18 +663,25 @@ object CommitLog {
     * these filters) overlaid by the caller's explicit options. */
   private[store] def tableWriteOptions(spark: SparkSession, tablePath: String,
       explicit: Map[String, String] = Map.empty): Map[String, String] =
-    bloomOptions(propertiesAt(spark, tablePath)) ++ explicit
+    bloomOptions(propertiesAt(spark, tablePath),
+      mappingAt(spark, tablePath)) ++ explicit
 
   /** `bloom.columns = "a,b"` (+ optional `bloom.ndv` / `bloom.ndv.col`
     * expected-cardinality overrides, default 100k) → the parquet
-    * writer knobs Bloom.writeWithBloomFilters would pass by hand. */
-  private[store] def bloomOptions(props: Map[String, String]): Map[String, String] =
+    * writer knobs Bloom.writeWithBloomFilters would pass by hand.
+    * Property names are LOGICAL; the parquet knobs target the file's
+    * PHYSICAL column (renameColumn refuses while a bloom property
+    * references the column, so the mapping here covers only columns
+    * added with fresh physicals). */
+  private[store] def bloomOptions(props: Map[String, String],
+      mapping: Map[String, String] = Map.empty): Map[String, String] =
     props.get("bloom.columns") match {
       case Some(cols) =>
         val ndv = props.getOrElse("bloom.ndv", "100000")
         cols.split(',').map(_.trim).filter(_.nonEmpty).flatMap { c =>
-          Seq(s"parquet.bloom.filter.enabled#$c" -> "true",
-            s"parquet.bloom.filter.expected.ndv#$c" ->
+          val phys = mapping.getOrElse(c, c)
+          Seq(s"parquet.bloom.filter.enabled#$phys" -> "true",
+            s"parquet.bloom.filter.expected.ndv#$phys" ->
               props.getOrElse(s"bloom.ndv.$c", ndv))
         }.toMap
       case None => Map.empty
@@ -1133,13 +1140,18 @@ object CommitLog {
     // reader consulting schemaAt never sees files the recorded schema
     // cannot describe. Existing files are untouched: add-column reads
     // null-fill, widened reads upcast per file (the read contract).
-    val evolved: Option[String] =
+    val cur = schemaAt(spark, tablePath)
+    val next: Option[StructType] =
       if (!mergeSchema) None
       else {
-        val cur = schemaAt(spark, tablePath)
-        val next = cur.fold(df.schema)(evolveSchema(_, df.schema))
-        if (cur.exists(sameShape(_, next))) None else Some(next.json)
+        val n = cur.fold(df.schema)(
+          evolveSchema(_, df.schema, burnedAt(spark, tablePath)))
+        if (cur.exists(sameShape(_, n))) None else Some(n)
       }
+    val evolved = next.map(_.json)
+    // write under the mapping the COMMIT will declare (the evolved
+    // schema's, when this append evolves it)
+    val mapping = next.orElse(cur).map(columnMapping).getOrElse(Map.empty)
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
     // writeOptions: parquet writer knobs per append — the bloom-filter
@@ -1147,7 +1159,7 @@ object CommitLog {
     // the intended use, making logged files probe-able by
     // pruneByFooterStats' point-lookup path
     val cs = constraintsAt(spark, tablePath)
-    enforcedWith(df, cs).write
+    toPhysical(enforcedWith(df, cs), mapping).write
       .options(tableWriteOptions(spark, tablePath, writeOptions))
       .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
@@ -1176,14 +1188,21 @@ object CommitLog {
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
     val (version, live) = liveFiles(spark, tablePath)
-    val restamp: Option[String] = schemaAt(spark, tablePath) match {
-      case Some(cur) if !sameShape(cur, df.schema) => Some(df.schema.json)
+    val cur = schemaAt(spark, tablePath)
+    // a restamp inherits surviving columns' PHYSICAL identities and
+    // burns-aware fresh ones for new names — an overwrite must not
+    // silently discard the mapping a renamed table carries
+    val restamped: Option[StructType] = cur match {
+      case Some(c) if !sameShape(c, df.schema) =>
+        Some(inheritMapping(c, df.schema, burnedAt(spark, tablePath)))
       case _ => None
     }
+    val restamp = restamped.map(_.json)
+    val mapping = restamped.orElse(cur).map(columnMapping).getOrElse(Map.empty)
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
     val cs = constraintsAt(spark, tablePath)
-    enforcedWith(df, cs).write
+    toPhysical(enforcedWith(df, cs), mapping).write
       .options(tableWriteOptions(spark, tablePath, writeOptions))
       .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
@@ -1213,7 +1232,11 @@ object CommitLog {
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
     val cs = constraintsAt(spark, tablePath)
-    enforcedWith(df, cs).write
+    val mapping = schemaJson
+      .map(j => columnMapping(org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType]))
+      .getOrElse(mappingAt(spark, tablePath))
+    toPhysical(enforcedWith(df, cs), mapping).write
       .options(tableWriteOptions(spark, tablePath)).parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     commitOrAbort(spark, tablePath, adds = names, removes = Seq.empty,
@@ -1238,7 +1261,7 @@ object CommitLog {
   def read(spark: SparkSession, tablePath: String, schema: StructType,
       asOf: Long = Long.MaxValue): DataFrame = {
     val (_, entries) = liveFilesFull(spark, tablePath, asOf)
-    visibleRows(spark, tablePath, schema, entries)
+    visibleRows(spark, tablePath, schema, entries, mappingAsOf = asOf)
   }
 
   /** Column names of a deletion-vector parquet: the data file each
@@ -1294,7 +1317,8 @@ object CommitLog {
   private[graft] def visibleRows(spark: SparkSession, tablePath: String,
       schema: StructType, entries: Seq[LiveEntry],
       meta: Seq[(String, String)] = Seq.empty,
-      dvBroadcastMaxBytes: Long = DvBroadcastMaxBytes): DataFrame = {
+      dvBroadcastMaxBytes: Long = DvBroadcastMaxBytes,
+      mappingAsOf: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val outSchema = StructType(schema.fields ++ meta.map { case (a, f) =>
       org.apache.spark.sql.types.StructField(a,
@@ -1303,9 +1327,19 @@ object CommitLog {
     if (entries.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
-    val outCols = schema.fieldNames.map(col).toSeq ++
+    // COLUMN MAPPING: scan under physical names, alias back to logical
+    // in the same projection (a plain Project — the vectorized scan
+    // and codegen are untouched); unmapped tables keep the exact
+    // pre-mapping plan
+    val mapping = mappingAt(spark, tablePath, mappingAsOf)
+    def phys(n: String): String = mapping.getOrElse(n, n)
+    val readSchema =
+      if (mapping.isEmpty) schema
+      else StructType(schema.fields.map(f => f.copy(name = phys(f.name))))
+    val outCols = (if (mapping.isEmpty) schema.fieldNames.map(col).toSeq
+      else schema.fieldNames.map(n => col(phys(n)).as(n)).toSeq) ++
       meta.map { case (a, f) => col(s"_metadata.$f").as(a) }
-    def scan(files: Seq[String]) = spark.read.schema(schema)
+    def scan(files: Seq[String]) = spark.read.schema(readSchema)
       .parquet(files.map(f => s"$tablePath/$f"): _*)
     val (dvd, plain) = entries.partition(_.dv.isDefined)
     val parts =
@@ -1332,15 +1366,58 @@ object CommitLog {
     parts.reduce(_.unionByName(_))
   }
 
+  /** How many times a MAINTENANCE rewrite (compact/optimize) re-plans
+    * after losing a conflict to a concurrent commit before giving up
+    * loudly. Maintenance is re-plannable by nature — its output is
+    * derived entirely from the current live set, so a loser simply
+    * re-reads and rewrites whatever still needs it (the Delta
+    * non-conflicting-commit retry); user DML (delete/update/merge)
+    * never auto-retries — its predicate re-evaluating against changed
+    * data is the USER's call, not the engine's. */
+  private[store] val MaintenanceRetries = 5
+
+  /** Run `body` (one full plan-stage-commit maintenance attempt),
+    * re-planning on rewrite/DV conflicts up to [[MaintenanceRetries]]
+    * times. Each failed attempt's staged files are invisible orphans
+    * (vacuum reclaims them); the retry replays the WHOLE body, so the
+    * fresh plan sees the competitor's output — on a busy table
+    * maintenance converges instead of starving. */
+  private def retryMaintenance(what: String, tablePath: String)(body: => Long): Long = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= MaintenanceRetries)
+            throw new java.util.ConcurrentModificationException(
+              s"$what on $tablePath lost $attempt consecutive conflicts to " +
+                s"concurrent commits — table too contended for maintenance; " +
+                s"last conflict: ${e.getMessage}")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Logged compaction: rewrite the current live set into
     * ceil(bytes/target) files and publish adds+removes as ONE commit —
     * readers switch atomically, and a concurrent append's files are
     * untouched (they are not in this rewrite's remove set). No parking,
-    * no lock: a crash leaves only invisible orphans for vacuum(). */
+    * no lock: a crash leaves only invisible orphans for vacuum().
+    * Losing a conflict to a concurrent rewrite/delete RE-PLANS from
+    * the fresh live set (bounded — see [[retryMaintenance]]). */
   def compact(spark: SparkSession, tablePath: String, targetBytes: Long,
       clusterBy: Option[String] = None,
       publisher: AtomicPublisher = RenameOrLinkPublisher,
-      writeOptions: Map[String, String] = Map.empty): Long = {
+      writeOptions: Map[String, String] = Map.empty): Long =
+    retryMaintenance("compact", tablePath)(
+      compactOnce(spark, tablePath, targetBytes, clusterBy, publisher,
+        writeOptions))
+
+  private def compactOnce(spark: SparkSession, tablePath: String, targetBytes: Long,
+      clusterBy: Option[String],
+      publisher: AtomicPublisher,
+      writeOptions: Map[String, String]): Long = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
@@ -1357,14 +1434,21 @@ object CommitLog {
     // attachments die with the removed inputs (the vector parquets
     // become vacuum-eligible) — OPTIMIZE is how a vectored table
     // returns to the zero-overhead read path.
-    val schema = spark.read.parquet(paths: _*).schema
+    // LEDGER schema first: on a column-mapped table the file-inferred
+    // shape carries PHYSICAL names, which must not re-enter the
+    // logical read path (a clash with a re-added logical name would
+    // read the wrong column)
+    val schema = schemaAt(spark, tablePath)
+      .getOrElse(spark.read.parquet(paths: _*).schema)
     // same layout semantics as the unlogged compactor: plain, range-
     // clustered, or "a,b" z-order (ZOrder.layout) — compaction doubling
     // as the logged table's clustered index. writeOptions carries the
     // parquet bloom-filter knobs through the rewrite: a bloom-indexed
     // table must not silently LOSE its point-lookup index to
     // maintenance (the pruneByFooterStats probe path reads them)
-    ZOrder.layout(visibleRows(spark, tablePath, schema, entries), nOut, clusterBy)
+    toPhysical(
+      ZOrder.layout(visibleRows(spark, tablePath, schema, entries), nOut, clusterBy),
+      mappingAt(spark, tablePath))
       .write.options(tableWriteOptions(spark, tablePath, writeOptions))
       .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
@@ -1400,19 +1484,31 @@ object CommitLog {
     * Untouched files keep their identity (incremental consumers and
     * caches over them stay valid); the rewrite commits as ONE
     * untagged adds+removes version — row-preserving by protocol, so
-    * the change feed skips it. */
+    * the change feed skips it. Losing a conflict to a concurrent
+    * rewrite/delete RE-PLANS from the fresh live set (bounded — see
+    * [[retryMaintenance]]). */
   def optimize(spark: SparkSession, tablePath: String, targetBytes: Long,
       clusterBy: Option[String] = None,
       where: Option[org.apache.spark.sql.Column] = None,
       publisher: AtomicPublisher = RenameOrLinkPublisher,
-      writeOptions: Map[String, String] = Map.empty): Long = {
+      writeOptions: Map[String, String] = Map.empty): Long =
+    retryMaintenance("optimize", tablePath)(
+      optimizeOnce(spark, tablePath, targetBytes, clusterBy, where, publisher,
+        writeOptions))
+
+  private def optimizeOnce(spark: SparkSession, tablePath: String, targetBytes: Long,
+      clusterBy: Option[String],
+      where: Option[org.apache.spark.sql.Column],
+      publisher: AtomicPublisher,
+      writeOptions: Map[String, String]): Long = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
     val (version, entries) = liveFilesFull(spark, tablePath)
     if (entries.isEmpty) return version
-    val schema = spark.read
-      .parquet(entries.map(e => s"$tablePath/${e.name}"): _*).schema
+    // ledger-first for the same column-mapping reason as compact()
+    val schema = schemaAt(spark, tablePath).getOrElse(spark.read
+      .parquet(entries.map(e => s"$tablePath/${e.name}"): _*).schema)
     // predicate → pushed-filter list, resolved the way a real scan
     // would resolve it (analyzed Filter node over the table's plan)
     val filters: Seq[org.apache.spark.sql.sources.Filter] = where match {
@@ -1428,8 +1524,9 @@ object CommitLog {
           case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
         }.flatMap(org.apache.spark.sql.graft.StreamingShim.translateFilter(_).toSeq)
     }
+    val mapping = mappingAt(spark, tablePath)
     def inScope(e: LiveEntry): Boolean =
-      e.stats.map(parseStatsJson) match {
+      e.stats.map(s => statsToLogical(parseStatsJson(s), mapping)) match {
         case Some(m) if filters.nonEmpty =>
           filters.forall(f => graft.sources.StatsPruning.possible(m, f))
         case _ => true
@@ -1454,7 +1551,9 @@ object CommitLog {
       candidates.size.toLong), 10000L)).toInt
     val writerId = freshWriterId("c")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
-    ZOrder.layout(visibleRows(spark, tablePath, schema, candidates), nOut, clusterBy)
+    toPhysical(
+      ZOrder.layout(visibleRows(spark, tablePath, schema, candidates), nOut, clusterBy),
+      mappingAt(spark, tablePath))
       .write.options(tableWriteOptions(spark, tablePath, writeOptions))
       .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
@@ -1500,6 +1599,175 @@ object CommitLog {
       .map(org.apache.spark.sql.types.DataType.fromJson(_).asInstanceOf[StructType])
   }
 
+  // ── COLUMN MAPPING (rename/drop evolution) ─────────────────────────
+  //
+  // Delta's name-mode column mapping, carried in the schema ledger:
+  // each field MAY record the PHYSICAL column name its data lives
+  // under in parquet files (`graft.physical` field metadata). Physical
+  // names never change once assigned, so RENAME is a metadata-only
+  // commit (new logical name, same physical) and DROP hides the column
+  // without touching a file. Readers translate logical → physical at
+  // the scan and alias back; writers translate before landing files.
+  // A table that never renamed/dropped has an EMPTY mapping and every
+  // path below short-circuits to the exact pre-mapping plan.
+  //
+  // Dropped physical names are BURNED (the `graft.burned` table
+  // property, ledger-carried): a column re-added under a burned name
+  // gets a FRESH physical name, so data hidden by the drop can never
+  // resurrect into the new column — the one correctness hazard of
+  // name-reuse, closed at assignment time.
+
+  /** StructField metadata key carrying the column's physical name. */
+  private[graft] val PhysicalKey = "graft.physical"
+
+  /** Table property accumulating physical names no future column may
+    * reuse (dropped columns' storage names). */
+  private[graft] val BurnedProp = "graft.burned"
+
+  private[graft] def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  private def withPhysical(m: org.apache.spark.sql.types.Metadata,
+      phys: String): org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(m).putString(PhysicalKey, phys).build()
+
+  /** logical → physical, only the pairs that DIFFER (empty for an
+    * unmapped table — the fast-path test everywhere). */
+  private[graft] def columnMapping(schema: StructType): Map[String, String] =
+    schema.fields.collect {
+      case f if physicalName(f) != f.name => f.name -> physicalName(f)
+    }.toMap
+
+  /** The table's active mapping at `asOf` — from the schema ledger;
+    * tables without a ledger are unmapped by construction. */
+  private[graft] def mappingAt(spark: SparkSession, tablePath: String,
+      asOf: Long = Long.MaxValue): Map[String, String] =
+    schemaAt(spark, tablePath, asOf).map(columnMapping).getOrElse(Map.empty)
+
+  private[graft] def burnedAt(spark: SparkSession, tablePath: String): Set[String] =
+    propertiesAt(spark, tablePath).get(BurnedProp)
+      .map(_.split(',').filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
+  /** Fresh physical name for a column whose logical name is taken or
+    * burned — unique by construction, never colliding with a user
+    * column (the uuid segment). */
+  private def freshPhysical(name: String): String =
+    s"${name}_${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+
+  /** Rename `df`'s mapped columns to their physical names — the write
+    * side of the mapping, applied to every staged data/CDC file. */
+  private def toPhysical(df: DataFrame, mapping: Map[String, String]): DataFrame =
+    if (mapping.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      df.select(df.columns.map(n =>
+        col(n).as(mapping.getOrElse(n, n))).toIndexedSeq: _*)
+    }
+
+  /** Re-key a log-stats map from PHYSICAL to logical names so pushed
+    * filters (logical) compare against the right bounds. A stats key
+    * that IS some current logical name but belongs to a different
+    * physical column (a burned generation) is dropped — exposing it
+    * would prune with the wrong column's bounds. */
+  private[graft] def statsToLogical(parsed: Map[String, (Any, Any)],
+      mapping: Map[String, String]): Map[String, (Any, Any)] =
+    if (mapping.isEmpty) parsed
+    else {
+      val inverse = mapping.map(_.swap)
+      parsed.flatMap { case (k, v) =>
+        inverse.get(k) match {
+          case Some(logical) => Some(logical -> v)
+          case None => if (mapping.contains(k)) None else Some(k -> v)
+        }
+      }
+    }
+
+  /** Refuse rename/drop of a column some ACTIVE governance object
+    * still references — a constraint whose expression names it, or a
+    * declared bloom index over it; silently breaking either would
+    * leave enforcement/pruning reading a column that no longer
+    * exists. */
+  private def guardColumnReferences(spark: SparkSession, tablePath: String,
+      colName: String, verb: String): Unit = {
+    constraintsAt(spark, tablePath).foreach { case (n, check) =>
+      val refs = spark.sessionState.sqlParser.parseExpression(check).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.last
+      }
+      require(!refs.exists(_.equalsIgnoreCase(colName)),
+        s"cannot $verb column $colName of $tablePath: CHECK constraint $n " +
+          s"references it ($check) — drop the constraint first")
+    }
+    propertiesAt(spark, tablePath).get("bloom.columns").foreach { cols =>
+      require(!cols.split(',').map(_.trim).exists(_.equalsIgnoreCase(colName)),
+        s"cannot $verb column $colName of $tablePath: the bloom.columns " +
+          "property indexes it — unset/update the property first")
+    }
+  }
+
+  /** The ledger schema, bootstrapped from the newest live file when no
+    * evolving writer has stamped one yet (rename/drop need a ledger to
+    * carry the mapping). */
+  private def ledgerOrInferred(spark: SparkSession, tablePath: String): StructType =
+    schemaAt(spark, tablePath).getOrElse {
+      val (_, files) = liveFiles(spark, tablePath)
+      require(files.nonEmpty,
+        s"logged table $tablePath is empty and carries no schema ledger")
+      spark.read.parquet(s"$tablePath/${files.last}").schema
+    }
+
+  /** RENAME COLUMN — metadata-only (one schema commit, zero file
+    * rewrites): the field keeps its PHYSICAL name, so every existing
+    * file serves the renamed column unchanged and time travel reads
+    * historical names at historical versions. Refused while a
+    * constraint or bloom property references the column. */
+  def renameColumn(spark: SparkSession, tablePath: String, from: String,
+      to: String, publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
+    val cur = ledgerOrInferred(spark, tablePath)
+    require(cur.fieldNames.contains(from),
+      s"no column $from in $tablePath (${cur.fieldNames.mkString(", ")})")
+    require(!cur.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"column $to already exists in $tablePath")
+    require(to.nonEmpty && !to.startsWith("_"),
+      s"invalid column name: $to")
+    guardColumnReferences(spark, tablePath, from, "rename")
+    val next = StructType(cur.fields.map { f =>
+      if (f.name == from)
+        f.copy(name = to, metadata = withPhysical(f.metadata, physicalName(f)))
+      else f
+    })
+    commitOrAbort(spark, tablePath, adds = Seq.empty, removes = Seq.empty,
+      publisher = publisher, opTag = Some("rename_column"),
+      abortOnLostRace = () => false, schemaJson = Some(next.json))
+      .getOrElse(throw new IllegalStateException("unreachable: unfenced rename"))
+  }
+
+  /** DROP COLUMN — metadata-only: the field leaves the ledger schema
+    * (one commit, zero file rewrites; the bytes linger in files until
+    * rewrites retire them — run a full OPTIMIZE to purge physically),
+    * and its physical name is BURNED so a later same-named column gets
+    * fresh storage instead of resurrecting the hidden data. Time
+    * travel before the drop still reads the column. */
+  def dropColumn(spark: SparkSession, tablePath: String, name: String,
+      publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
+    val cur = ledgerOrInferred(spark, tablePath)
+    val field = cur.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column $name in $tablePath (${cur.fieldNames.mkString(", ")})"))
+    require(cur.fields.length > 1,
+      s"cannot drop the only column of $tablePath")
+    guardColumnReferences(spark, tablePath, name, "drop")
+    val burned = burnedAt(spark, tablePath) + physicalName(field)
+    val next = StructType(cur.fields.filterNot(_.name == name))
+    commitOrAbort(spark, tablePath, adds = Seq.empty, removes = Seq.empty,
+      publisher = publisher, opTag = Some("drop_column"),
+      abortOnLostRace = () => false, schemaJson = Some(next.json),
+      propertyTags = Seq(s"+$BurnedProp:${burned.toSeq.sorted.mkString(",")}"))
+      .getOrElse(throw new IllegalStateException("unreachable: unfenced drop"))
+  }
+
   /** Widen/extend `current` with `incoming` — the `mergeSchema` rule:
     * new source columns append (nullable: old files read them as
     * null), int→long and float→double widen (old files read
@@ -1507,9 +1775,13 @@ object CommitLog {
     * contract), a source column NARROWER than the table keeps the
     * table's type, and any other type change is refused loudly
     * (silent coercion is how a corpus loses data). Field order is the
-    * table's, then additions in source order. */
+    * table's, then additions in source order. An added column whose
+    * name collides with a live PHYSICAL name or a BURNED one gets a
+    * fresh physical identity (see the column-mapping block) — old
+    * files' bytes under the colliding name must never serve the new
+    * column. */
   private[store] def evolveSchema(current: StructType,
-      incoming: StructType): StructType = {
+      incoming: StructType, burned: Set[String] = Set.empty): StructType = {
     import org.apache.spark.sql.types._
     val byName = incoming.fields.map(f => f.name -> f).toMap
     val updated = current.fields.map { f =>
@@ -1527,8 +1799,12 @@ object CommitLog {
       }
     }
     val have = current.fieldNames.toSet
+    val taken = current.fields.map(physicalName).toSet ++ burned
     val added = incoming.fields.filterNot(f => have(f.name))
       .map(_.copy(nullable = true))
+      .map(f => if (taken(f.name))
+        f.copy(metadata = withPhysical(f.metadata, freshPhysical(f.name)))
+      else f)
     StructType(updated ++ added)
   }
 
@@ -1537,6 +1813,28 @@ object CommitLog {
   private def sameShape(a: StructType, b: StructType): Boolean =
     a.fields.map(f => (f.name, f.dataType)).toSeq ==
       b.fields.map(f => (f.name, f.dataType)).toSeq
+
+  /** An overwrite's restamped schema: same-named surviving columns
+    * inherit their physical identity from the current ledger; NEW
+    * names colliding with a burned or inherited physical name get
+    * fresh storage (every replaced file is removed in the same
+    * commit, so other reuse is harmless). */
+  private def inheritMapping(cur: StructType, incoming: StructType,
+      burned: Set[String]): StructType = {
+    val byName = cur.fields.map(f => f.name -> f).toMap
+    val inherited = incoming.fields
+      .flatMap(f => byName.get(f.name).map(physicalName)).toSet
+    StructType(incoming.fields.map { f =>
+      byName.get(f.name) match {
+        case Some(c) if physicalName(c) != f.name =>
+          f.copy(metadata = withPhysical(f.metadata, physicalName(c)))
+        case Some(_) => f
+        case None if burned(f.name) || inherited(f.name) =>
+          f.copy(metadata = withPhysical(f.metadata, freshPhysical(f.name)))
+        case None => f
+      }
+    })
+  }
 
   /** Exactly-once streaming sink append — the foreachBatch bridge from
     * Structured Streaming into a logged table: micro-batch delivery is
@@ -1572,7 +1870,7 @@ object CommitLog {
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
     val cs = constraintsAt(spark, tablePath)
-    enforcedWith(df, cs).write
+    toPhysical(enforcedWith(df, cs), mappingAt(spark, tablePath)).write
       .options(tableWriteOptions(spark, tablePath)).parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     // an EMPTY batch publishes nothing and records nothing: the ledger
@@ -1679,7 +1977,8 @@ object CommitLog {
       affected.map(byName))
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
-    affectedDf.filter(not(coalesce(predicate, lit(false))))
+    toPhysical(affectedDf.filter(not(coalesce(predicate, lit(false)))),
+      mappingAt(spark, tablePath))
       .write.options(tableWriteOptions(spark, tablePath))
       .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
@@ -1828,7 +2127,7 @@ object CommitLog {
       val writerId = freshWriterId("w")
       val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
       val cs = constraintsAt(spark, tablePath)
-      enforcedWith(postDf, cs).write
+      toPhysical(enforcedWith(postDf, cs), mappingAt(spark, tablePath)).write
         .options(tableWriteOptions(spark, tablePath)).parquet(staging.toString)
       val names = landStaged(fs, dir, staging, writerId)
       val cdcNames = landChangeFiles(spark, tablePath,
@@ -1857,7 +2156,8 @@ object CommitLog {
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
     val cs = constraintsAt(spark, tablePath)
-    enforcedWith(affectedDf.select(rewritten: _*), cs)
+    toPhysical(enforcedWith(affectedDf.select(rewritten: _*), cs),
+      mappingAt(spark, tablePath))
       .write.options(tableWriteOptions(spark, tablePath))
       .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
@@ -1889,7 +2189,10 @@ object CommitLog {
     val fs = fsOf(spark, dir)
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
-    cdc.write.parquet(staging.toString)
+    // change files carry PHYSICAL column names like data files (the
+    // change-type tag is never a mapped column), so the feed reads one
+    // naming scheme across every file generation
+    toPhysical(cdc, mappingAt(spark, tablePath)).write.parquet(staging.toString)
     landStaged(fs, dir, staging, writerId)
   }
 
@@ -1942,7 +2245,7 @@ object CommitLog {
     val opSchema =
       if (!mergeSchema) schema
       else evolveSchema(schemaAt(spark, tablePath).getOrElse(schema),
-        source.schema)
+        source.schema, burnedAt(spark, tablePath))
     val schemaTag =
       if (!mergeSchema) None
       else if (schemaAt(spark, tablePath).exists(sameShape(_, opSchema))) None
@@ -2021,6 +2324,10 @@ object CommitLog {
     import org.apache.spark.sql.functions.{col, max, min}
     if (alwaysAll || files.isEmpty) return files
     val conf = spark.sparkContext.hadoopConfiguration
+    // column mapping: log stats and footers are keyed by PHYSICAL
+    // names; the probe's key columns are logical
+    val mapping = mappingAt(spark, tablePath)
+    def physK(k: String): String = mapping.getOrElse(k, k)
     // source key envelope: one row, 2×|keys| columns
     val aggs = keyCols.flatMap(k =>
       Seq(min(col(k)).as(s"_mn_$k"), max(col(k)).as(s"_mx_$k")))
@@ -2066,9 +2373,9 @@ object CommitLog {
     // probe wanted (keep), None = footer needed
     def fromLog(name: String): Option[Boolean] =
       logStats.get(name).map(parseStatsJson) match {
-        case Some(stats) if keyCols.forall(stats.contains) =>
+        case Some(stats) if keyCols.forall(k => stats.contains(physK(k))) =>
           val possible = keyCols.zipWithIndex.forall { case (k, i) =>
-            val (lo, hi) = stats(k)
+            val (lo, hi) = stats(physK(k))
             // statCmp: numeric keys exactly, string keys in unsigned
             // UTF-8 order against the log's truncate-and-successor
             // bounds (lo is a valid lower bound, hi a valid upper
@@ -2096,7 +2403,7 @@ object CommitLog {
             val byName = block.getColumns.asScala
               .map(c => c.getPath.toDotString -> c).toMap
             val rangePossible = keyCols.zipWithIndex.forall { case (k, i) =>
-              byName.get(k) match {
+              byName.get(physK(k)) match {
                 case Some(c) =>
                   val st = c.getStatistics
                   if (st == null || !st.hasNonNullValue) true
@@ -2117,7 +2424,7 @@ object CommitLog {
             // source value rules out the row group
             if (!rangePossible) false
             else probeKeys.forall { case (keyCol, keys) =>
-              val c = byName.get(keyCol)
+              val c = byName.get(physK(keyCol))
               val bloom = c.flatMap(cc =>
                 Option(reader.getBloomFilterDataReader(block))
                   .flatMap(r => Option(r.readBloomFilter(cc))))
@@ -2192,6 +2499,12 @@ object CommitLog {
     // captured set doubles as the commit-time constraint fence
     val cs = constraintsAt(spark, tablePath)
     val app = enforcedWith(appendDf.select(cols: _*), cs)
+    // write under the mapping the commit will declare (an evolving
+    // merge's schemaJson may assign fresh physicals to new columns)
+    val writeMapping = schemaJson
+      .map(j => columnMapping(org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType]))
+      .getOrElse(mappingAt(spark, tablePath))
     // stats-based skipping first: files whose LOG-carried min/max (or,
     // fallback, footer min/max + bloom filters) prove no key can match
     // never enter the probe scan — on a clustered table an
@@ -2225,7 +2538,8 @@ object CommitLog {
         affectedMor.map(entryByName), fresh)
       val writerId = freshWriterId("w")
       val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
-      app.write.options(tableWriteOptions(spark, tablePath))
+      toPhysical(app, writeMapping).write
+        .options(tableWriteOptions(spark, tablePath))
         .parquet(staging.toString)
       val names = landStaged(fs, dir, staging, writerId)
       val cdcNames = landChangeFiles(spark, tablePath,
@@ -2264,7 +2578,7 @@ object CommitLog {
     val aff = visibleRows(spark, tablePath, schema, affected.map(entryByName))
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
-    aff.join(keyD, keyCols, "left_anti").unionByName(app)
+    toPhysical(aff.join(keyD, keyCols, "left_anti").unionByName(app), writeMapping)
       .write.options(tableWriteOptions(spark, tablePath))
       .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
@@ -2474,19 +2788,29 @@ object CommitLog {
     import org.apache.spark.sql.functions.lit
     val lookup = broadcast(
       fileToVersion.toDF("_cf_name", "_commit_version"))
-    val outCols = (schema.fieldNames.toSeq :+ ChangeTypeCol :+ "_commit_version")
-      .map(col)
+    // COLUMN MAPPING: fed files (data and CDC alike) carry physical
+    // column names; scan physical, alias back to the caller's logical
+    // names — one naming scheme across every file generation, since
+    // physical names never change once assigned
+    val mapping = mappingAt(spark, tablePath, upper)
+    def phys(n: String): String = mapping.getOrElse(n, n)
+    val readSchema =
+      if (mapping.isEmpty) schema
+      else StructType(schema.fields.map(f => f.copy(name = phys(f.name))))
+    val outCols = (schema.fieldNames.toSeq.map(n =>
+        if (mapping.isEmpty) col(n) else col(phys(n)).as(n)) :+
+      col(ChangeTypeCol) :+ col("_commit_version"))
     def tagged(df: DataFrame): DataFrame =
       df.join(lookup, col("_metadata.file_name") === col("_cf_name"))
         .select(outCols: _*)
     val dataFiles = fed.collect { case (f, _, false) => f }
     val cdcFiles = fed.collect { case (f, _, true) => f }
-    val cdcSchema = StructType(schema.fields :+
+    val cdcSchema = StructType(readSchema.fields :+
       org.apache.spark.sql.types.StructField(ChangeTypeCol,
         org.apache.spark.sql.types.StringType, nullable = false))
     val parts =
       (if (dataFiles.isEmpty) Seq.empty else Seq(tagged(
-        spark.read.schema(schema)
+        spark.read.schema(readSchema)
           .parquet(dataFiles.map(f => s"$tablePath/$f"): _*)
           .withColumn(ChangeTypeCol, lit("insert"))))) ++
         (if (cdcFiles.isEmpty) Seq.empty else Seq(tagged(

@@ -138,15 +138,29 @@ class GraftCatalog extends TableCatalog {
     val unsets = changes.collect { case r: TableChange.RemoveProperty =>
       r.property }
     val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.SetProperty] ||
         c.isInstanceOf[TableChange.RemoveProperty] ||
-        c.isInstanceOf[TableChange.AddColumn])
+        c.isInstanceOf[TableChange.AddColumn] ||
+        c.isInstanceOf[TableChange.RenameColumn] ||
+        c.isInstanceOf[TableChange.DeleteColumn])
     require(unsupported.isEmpty,
       s"unsupported ALTER TABLE change(s) for a logged table: " +
         unsupported.mkString(", "))
     if (sets.nonEmpty) CommitLog.setProperties(spark, path, sets.toMap)
     if (unsets.nonEmpty) CommitLog.unsetProperties(spark, path, unsets)
+    renames.foreach { r =>
+      require(r.fieldNames.length == 1,
+        s"nested RENAME COLUMN is not supported: ${r.fieldNames.mkString(".")}")
+      CommitLog.renameColumn(spark, path, r.fieldNames.head, r.newName)
+    }
+    drops.foreach { d =>
+      require(d.fieldNames.length == 1,
+        s"nested DROP COLUMN is not supported: ${d.fieldNames.mkString(".")}")
+      CommitLog.dropColumn(spark, path, d.fieldNames.head)
+    }
     if (adds.nonEmpty) {
       // ADD COLUMNS = the mergeSchema add-column evolution as a
       // metadata-only commit: old files null-fill the new columns

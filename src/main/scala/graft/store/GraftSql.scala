@@ -157,6 +157,12 @@ object GraftSql {
       val ks = PropKeyRe.findAllMatchIn(keys).map(_.group(1)).toSeq
       require(ks.nonEmpty, s"no 'key' entries in: $keys")
       result(spark, path, CommitLog.unsetProperties(spark, path, ks))
+    case RenameColumnRe(qp, bp, from, to) =>
+      val path = resolvePath(spark, ident(qp, bp))
+      result(spark, path, CommitLog.renameColumn(spark, path, from, to))
+    case DropColumnRe(qp, bp, name) =>
+      val path = resolvePath(spark, ident(qp, bp))
+      result(spark, path, CommitLog.dropColumn(spark, path, name))
     case AddConstraintRe(qp, bp, name, check) =>
       val path = resolvePath(spark, ident(qp, bp))
       result(spark, path, CommitLog.addConstraint(spark, path, name, check.trim))
@@ -242,6 +248,13 @@ object GraftSql {
       """TBLPROPERTIES\s*\((.+)\)\s*""").r
   private val PropPairRe = """'([^']+)'\s*=\s*'([^']*)'""".r
   private val PropKeyRe = """'([^']+)'""".r
+  // column-mapping evolution: rename is metadata-only (stable physical
+  // names), drop hides without rewrites (physical name burned)
+  private val RenameColumnRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$TableId\\s+RENAME\\s+COLUMN\\s+""" +
+      """(\w+)\s+TO\s+(\w+)\s*""").r
+  private val DropColumnRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$TableId\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*""".r
   // CHECK constraints (the Delta ALTER TABLE … ADD CONSTRAINT shape)
   private val AddConstraintRe =
     (s"""(?is)\\s*ALTER\\s+TABLE\\s+$TableId\\s+ADD\\s+CONSTRAINT\\s+""" +

@@ -62,4 +62,44 @@ class CheckpointScaleSpec extends SparkSpec {
     assert(CommitLog.lastTxnBatch(spark, t, "ingest") == 41L)
     assert(CommitLog.lastConsumed(spark, t) == 99998L)
   }
+
+  test("a 1M-file checkpoint (with stats) replays within the maintenance budget") {
+    // the VERDICT r11 item-5 measurement: where text checkpoints would
+    // cross into parquet-checkpoint territory. 10⁶ lines × ~85 B ≈
+    // 85 MB of text; the pin is LINEARITY — 10× the 100k case's lines
+    // must cost ~10× its time, never 100× (accidental quadratic). The
+    // recorded decision lives in PLANS.md; re-run this spec to revisit
+    // when live-file counts grow another order of magnitude.
+    val t = Files.createTempDirectory("graft_ckscale1m").toString + "/t"
+    val log = new org.apache.hadoop.fs.Path(t, "_graft_log")
+    val fs = log.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(log)
+    val n = 1000000
+    val out = fs.create(new org.apache.hadoop.fs.Path(log, f"$n%020d.checkpoint"), true)
+    val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(out, "UTF-8"), 1 << 20)
+    w.write("#txn=ingest:41\n#consumed=999998")
+    var i = 0
+    while (i < n) {
+      w.write(s"\n+w1_0_0-part-$i.parquet|" +
+        s"""{"id":[${i * 1000L},${i * 1000L + 999}],"score":[0.0,1.0]}""")
+      i += 1
+    }
+    w.close()
+    (1 to 5).foreach { k =>
+      val c = fs.create(new org.apache.hadoop.fs.Path(log, f"${n + k}%020d.commit"), true)
+      c.write(s"#ts=${n + k}\n+w1_0_0-tail-$k.parquet".getBytes("UTF-8"))
+      c.close()
+    }
+    CommitLog.liveFiles(spark, t) // warm
+    val t0 = System.nanoTime()
+    val (v, withStats) = CommitLog.liveFilesWithStats(spark, t)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(v == n + 5)
+    assert(withStats.size == n + 5)
+    assert(withStats.count(_._2.isDefined) == n)
+    info(f"replayed ${withStats.size} live files in $ms%.1f ms")
+    assert(ms < 30000, f"checkpoint replay took $ms%.1f ms for $n files")
+    fs.delete(new org.apache.hadoop.fs.Path(t), true)
+  }
 }

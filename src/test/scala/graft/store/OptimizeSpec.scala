@@ -87,6 +87,61 @@ class OptimizeSpec extends SparkSpec {
     assert(highFile.nonEmpty)
   }
 
+  test("an optimizer losing a race to a concurrent rewrite re-plans and terminates") {
+    val t = freshTable()
+    (0 until 4).foreach(i =>
+      CommitLog.append(spark.range(i * 25, (i + 1) * 25).toDF("id").coalesce(1), t))
+    // a MOR delete so the competitor's interleave is a ROW-CHANGING
+    // conflict, not just a version bump
+    var raced = false
+    val racy = new AtomicPublisher {
+      def publish(fs: org.apache.hadoop.fs.FileSystem,
+          logDir: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path,
+          content: String): Boolean = {
+        if (!raced) {
+          raced = true
+          // the competitor lands a FULL compaction between this
+          // optimizer's plan and its publish: every planned remove is
+          // now gone — the old behavior threw ConcurrentModification
+          CommitLog.compact(spark, t, targetBytes = Long.MaxValue)
+        }
+        RenameOrLinkPublisher.publish(fs, logDir, dst, content)
+      }
+    }
+    val v = CommitLog.optimize(spark, t, targetBytes = Long.MaxValue,
+      publisher = racy)
+    assert(raced, "fixture no longer exercises the race")
+    // both maintenance passes terminated; the table equals one of the
+    // two serial orders (here: compact then optimize-as-no-op-or-repack)
+    assert(CommitLog.read(spark, t, schema).as[Long].collect().toSet ==
+      (0L until 100L).toSet)
+    // versions are contiguous — no gap, no orphan version
+    val latest = CommitLog.liveFiles(spark, t)._1
+    assert(v <= latest)
+    (1L to latest).foreach(ver =>
+      CommitLog.liveFiles(spark, t, asOf = ver)) // throws on a gap
+    // too-contended tables still fail loudly: a contender that ALWAYS
+    // re-vectors a planned input between plan and publish (a MOR
+    // delete per attempt) exhausts the bounded retries
+    (0 until 3).foreach(i =>
+      CommitLog.append(spark.range(200 + i * 10, 210 + i * 10).toDF("id").coalesce(1), t))
+    val always = new AtomicPublisher {
+      private var k = 0
+      def publish(fs: org.apache.hadoop.fs.FileSystem,
+          logDir: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path,
+          content: String): Boolean = {
+        k += 1
+        CommitLog.deleteWhere(spark, t, schema, col("id") === lit(200L + k),
+          deletionVectors = true)
+        RenameOrLinkPublisher.publish(fs, logDir, dst, content)
+      }
+    }
+    val e = intercept[java.util.ConcurrentModificationException] {
+      CommitLog.optimize(spark, t, targetBytes = Long.MaxValue, publisher = always)
+    }
+    assert(e.getMessage.contains("consecutive conflicts"))
+  }
+
   test("SQL: selective by default, FULL forces the rewrite, FULL+WHERE refused") {
     val t = freshTable()
     CommitLog.append(spark.range(0, 100000).toDF("id").coalesce(1), t)
