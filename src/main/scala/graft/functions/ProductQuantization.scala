@@ -100,12 +100,26 @@ object PqKernels {
   def adc(q: ArrayData, codes: ArrayData, cb: ArrayData, m: Int): Double = {
     val dim = q.numElements()
     requireDivisible(dim, m, "graft_pq_adc")
-    requireCodebook(cb, dim, "graft_pq_adc")
     val sd = dim / m
+    val k = cb.numElements()
     var total = 0.0
     var s = 0
     while (s < m) {
-      val cv = cb.getArray(codes.getInt(s))
+      // validate only the m ACCESSED entries (not the whole k-entry
+      // codebook — this is the per-candidate scoring hot path, O(dim)
+      // of real work; an O(k) sweep per row would dominate it): the
+      // code must index the codebook and the entry must be full-length
+      // (UnsafeArrayData does not bounds-check reads)
+      val ci = codes.getInt(s)
+      if (ci < 0 || ci >= k)
+        throw new IllegalArgumentException(
+          s"graft_pq_adc: code $ci at subspace $s is outside the " +
+            s"$k-entry codebook")
+      val cv = cb.getArray(ci)
+      if (cv.numElements() != dim)
+        throw new IllegalArgumentException(
+          s"graft_pq_adc: codebook entry $ci has length ${cv.numElements()} " +
+            s"but vectors have dimension $dim — entries must be full-length")
       var i = s * sd
       val end = i + sd
       while (i < end) {

@@ -145,17 +145,11 @@ private[graft] object GraftLogBatch {
   private[graft] def nullify(s: StructType): StructType =
     nullify(s: org.apache.spark.sql.types.DataType).asInstanceOf[StructType]
 
-  /** Schema at the snapshot: the versioned schema ledger when a
-    * mergeSchema writer stamped one, else inferred from the newest
-    * file live AT that version (one footer read). */
+  /** Schema at the snapshot — delegates to the ONE bootstrap rule
+    * ([[CommitLog.tableSchema]]: ledger first, newest-live-file
+    * inference otherwise). */
   private[graft] def schemaFor(spark: SparkSession, path: String,
-      asOf: Long): StructType =
-    CommitLog.schemaAt(spark, path, asOf).getOrElse {
-      val (_, files) = CommitLog.liveFiles(spark, path, asOf)
-      require(files.nonEmpty,
-        s"cannot infer the schema of empty logged table $path — supply .schema(...)")
-      spark.read.parquet(s"$path/${files.last}").schema
-    }
+      asOf: Long): StructType = CommitLog.tableSchema(spark, path, asOf)
 }
 
 /** Driver-side file skipping from commit-log metadata: the live file
@@ -286,6 +280,8 @@ private[graft] object FilterColumns {
   def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions.{col, lit, not}
     f match {
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
       case EqualTo(a, v) => Some(col(a) === lit(v))
       case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
       case GreaterThan(a, v) => Some(col(a) > lit(v))

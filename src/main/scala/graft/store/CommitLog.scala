@@ -242,11 +242,13 @@ object CommitLog {
       addStats: Map[String, String] = Map.empty,
       schemaJson: Option[String] = None,
       removeDvExpect: Map[String, Option[String]] = Map.empty,
-      constraintsExpect: Option[Map[String, String]] = None): Long =
+      constraintsExpect: Option[Map[String, String]] = None,
+      schemaExpect: Option[Option[String]] = None): Long =
     commitOrAbort(spark, tablePath, adds, removes, publisher, opTag,
       abortOnLostRace = () => false, changeAdds = changeAdds,
       addStats = addStats, schemaJson = schemaJson,
-      removeDvExpect = removeDvExpect, constraintsExpect = constraintsExpect)
+      removeDvExpect = removeDvExpect, constraintsExpect = constraintsExpect,
+      schemaExpect = schemaExpect)
       .getOrElse(throw new IllegalStateException("unreachable: non-aborting commit"))
 
   /** commit() with a fencing hook: `abortOnLostRace` is evaluated on
@@ -278,7 +280,8 @@ object CommitLog {
       constraintTags: Seq[String] = Seq.empty,
       propertyTags: Seq[String] = Seq.empty,
       removeDvExpect: Map[String, Option[String]] = Map.empty,
-      constraintsExpect: Option[Map[String, String]] = None): Option[Long] = {
+      constraintsExpect: Option[Map[String, String]] = None,
+      schemaExpect: Option[Option[String]] = None): Option[Long] = {
     require(adds.nonEmpty || removes.nonEmpty || dvAttach.nonEmpty ||
       constraintTags.nonEmpty || propertyTags.nonEmpty ||
       schemaJson.nonEmpty, "empty commit")
@@ -405,6 +408,22 @@ object CommitLog {
             s"constraint(s) ${grew.keys.mkString(", ")} were added to " +
               s"$tablePath after this write's rows were validated — rerun " +
               "the write so the new constraint rides its plan")
+      }
+      // SCHEMA fence: every commit that STAMPS the schema ledger
+      // derived its new schema from a ledger state it observed at plan
+      // time — publishing it after the ledger moved (a concurrent
+      // rename/drop/evolution) would silently REVERT that movement (a
+      // version-race loser republishes its stale evolution at the next
+      // number; a drop reverted this way re-exposes a burned column).
+      // Same post-derivation ordering as the other fences: a ledger
+      // move after this read collides at `next` and loops back here.
+      schemaExpect.foreach { expected =>
+        val cur = schemaAt(spark, tablePath).map(_.json)
+        if (cur != expected)
+          throw new java.util.ConcurrentModificationException(
+            s"the schema ledger of $tablePath moved after this commit's " +
+              "schema was derived (a concurrent rename/drop/evolution) — " +
+              "re-read the schema and rerun the operation")
       }
       // fence AFTER deriving `next` (see the contract above): a
       // competitor committing before this point is visible to the
@@ -1165,7 +1184,8 @@ object CommitLog {
     val names = landStaged(fs, dir, staging, writerId)
     commit(spark, tablePath, adds = names, publisher = publisher, opTag = opTag,
       addStats = statsFor(spark, tablePath, names), schemaJson = evolved,
-      constraintsExpect = Some(cs))
+      constraintsExpect = Some(cs),
+      schemaExpect = if (evolved.isDefined) Some(cur.map(_.json)) else None)
   }
 
   /** Logged full-table replace (SaveMode.Overwrite): land the frame's
@@ -1214,7 +1234,8 @@ object CommitLog {
     commit(spark, tablePath, adds = names, removes = live,
       publisher = publisher, opTag = Some("overwrite"),
       addStats = statsFor(spark, tablePath, names), schemaJson = restamp,
-      constraintsExpect = Some(cs))
+      constraintsExpect = Some(cs),
+      schemaExpect = if (restamp.isDefined) Some(cur.map(_.json)) else None)
   }
 
   /** [[append]] with the zombie-fencing hook of [[commitOrAbort]]:
@@ -1225,7 +1246,8 @@ object CommitLog {
   private[store] def appendOrAbort(df: DataFrame, tablePath: String,
       publisher: AtomicPublisher, opTag: Option[String],
       abortOnLostRace: () => Boolean,
-      schemaJson: Option[String] = None): Option[Long] = {
+      schemaJson: Option[String] = None,
+      schemaExpect: Option[Option[String]] = None): Option[Long] = {
     val spark = df.sparkSession
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
@@ -1242,7 +1264,7 @@ object CommitLog {
     commitOrAbort(spark, tablePath, adds = names, removes = Seq.empty,
       publisher = publisher, opTag = opTag, abortOnLostRace = abortOnLostRace,
       addStats = statsFor(spark, tablePath, names), schemaJson = schemaJson,
-      constraintsExpect = Some(cs))
+      constraintsExpect = Some(cs), schemaExpect = schemaExpect)
   }
 
   /** Snapshot read of the live file set (empty frame with `schema` for
@@ -1553,7 +1575,7 @@ object CommitLog {
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
     toPhysical(
       ZOrder.layout(visibleRows(spark, tablePath, schema, candidates), nOut, clusterBy),
-      mappingAt(spark, tablePath))
+      mapping)
       .write.options(tableWriteOptions(spark, tablePath, writeOptions))
       .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
@@ -1658,7 +1680,7 @@ object CommitLog {
 
   /** Rename `df`'s mapped columns to their physical names — the write
     * side of the mapping, applied to every staged data/CDC file. */
-  private def toPhysical(df: DataFrame, mapping: Map[String, String]): DataFrame =
+  private[store] def toPhysical(df: DataFrame, mapping: Map[String, String]): DataFrame =
     if (mapping.isEmpty) df
     else {
       import org.apache.spark.sql.functions.col
@@ -1707,14 +1729,17 @@ object CommitLog {
     }
   }
 
-  /** The ledger schema, bootstrapped from the newest live file when no
-    * evolving writer has stamped one yet (rename/drop need a ledger to
-    * carry the mapping). */
-  private def ledgerOrInferred(spark: SparkSession, tablePath: String): StructType =
-    schemaAt(spark, tablePath).getOrElse {
-      val (_, files) = liveFiles(spark, tablePath)
+  /** The ONE schema-bootstrap rule, shared by every surface
+    * (GraftLogBatch.schemaFor and GraftSql.schemaOf delegate here):
+    * the evolution ledger when a writer stamped one, else inferred
+    * from the newest file live at `asOf` (one footer read). */
+  def tableSchema(spark: SparkSession, tablePath: String,
+      asOf: Long = Long.MaxValue): StructType =
+    schemaAt(spark, tablePath, asOf).getOrElse {
+      val (_, files) = liveFiles(spark, tablePath, asOf)
       require(files.nonEmpty,
-        s"logged table $tablePath is empty and carries no schema ledger")
+        s"cannot infer the schema of empty logged table $tablePath — " +
+          "no ledger and no live files; supply a schema")
       spark.read.parquet(s"$tablePath/${files.last}").schema
     }
 
@@ -1725,7 +1750,8 @@ object CommitLog {
     * constraint or bloom property references the column. */
   def renameColumn(spark: SparkSession, tablePath: String, from: String,
       to: String, publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
-    val cur = ledgerOrInferred(spark, tablePath)
+    val ledger = schemaAt(spark, tablePath)
+    val cur = ledger.getOrElse(tableSchema(spark, tablePath))
     require(cur.fieldNames.contains(from),
       s"no column $from in $tablePath (${cur.fieldNames.mkString(", ")})")
     require(!cur.fieldNames.exists(_.equalsIgnoreCase(to)),
@@ -1740,7 +1766,8 @@ object CommitLog {
     })
     commitOrAbort(spark, tablePath, adds = Seq.empty, removes = Seq.empty,
       publisher = publisher, opTag = Some("rename_column"),
-      abortOnLostRace = () => false, schemaJson = Some(next.json))
+      abortOnLostRace = () => false, schemaJson = Some(next.json),
+      schemaExpect = Some(ledger.map(_.json)))
       .getOrElse(throw new IllegalStateException("unreachable: unfenced rename"))
   }
 
@@ -1752,7 +1779,8 @@ object CommitLog {
     * travel before the drop still reads the column. */
   def dropColumn(spark: SparkSession, tablePath: String, name: String,
       publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
-    val cur = ledgerOrInferred(spark, tablePath)
+    val ledger = schemaAt(spark, tablePath)
+    val cur = ledger.getOrElse(tableSchema(spark, tablePath))
     val field = cur.fields.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(
         s"no column $name in $tablePath (${cur.fieldNames.mkString(", ")})"))
@@ -1764,8 +1792,33 @@ object CommitLog {
     commitOrAbort(spark, tablePath, adds = Seq.empty, removes = Seq.empty,
       publisher = publisher, opTag = Some("drop_column"),
       abortOnLostRace = () => false, schemaJson = Some(next.json),
-      propertyTags = Seq(s"+$BurnedProp:${burned.toSeq.sorted.mkString(",")}"))
+      propertyTags = Seq(s"+$BurnedProp:${burned.toSeq.sorted.mkString(",")}"),
+      schemaExpect = Some(ledger.map(_.json)))
       .getOrElse(throw new IllegalStateException("unreachable: unfenced drop"))
+  }
+
+  /** ADD COLUMNS — metadata-only evolution (one schema commit): new
+    * fields append nullable (old files null-fill); a name colliding
+    * with a live physical or BURNED name gets fresh storage. Fenced
+    * like rename/drop against concurrent ledger movement. */
+  def addColumns(spark: SparkSession, tablePath: String,
+      fields: Seq[org.apache.spark.sql.types.StructField],
+      publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
+    require(fields.nonEmpty, "no columns to add")
+    val ledger = schemaAt(spark, tablePath)
+    val cur = ledger.getOrElse(tableSchema(spark, tablePath))
+    val dup = fields.map(_.name)
+      .filter(n => cur.fieldNames.exists(_.equalsIgnoreCase(n)))
+    require(dup.isEmpty,
+      s"column(s) ${dup.mkString(", ")} already exist in $tablePath")
+    val next = evolveSchema(cur,
+      StructType(cur.fields ++ fields.map(_.copy(nullable = true))),
+      burnedAt(spark, tablePath))
+    commitOrAbort(spark, tablePath, adds = Seq.empty, removes = Seq.empty,
+      publisher = publisher, opTag = Some("evolve"),
+      abortOnLostRace = () => false, schemaJson = Some(next.json),
+      schemaExpect = Some(ledger.map(_.json)))
+      .getOrElse(throw new IllegalStateException("unreachable: unfenced add-columns"))
   }
 
   /** Widen/extend `current` with `incoming` — the `mergeSchema` rule:
@@ -2242,13 +2295,14 @@ object CommitLog {
     // as the rewrite. The source must still carry every table column —
     // merge is a full-row upsert; partial-column sources use the
     // clause surface (MergeClauses).
+    val ledger = schemaAt(spark, tablePath)
     val opSchema =
       if (!mergeSchema) schema
-      else evolveSchema(schemaAt(spark, tablePath).getOrElse(schema),
+      else evolveSchema(ledger.getOrElse(schema),
         source.schema, burnedAt(spark, tablePath))
     val schemaTag =
       if (!mergeSchema) None
-      else if (schemaAt(spark, tablePath).exists(sameShape(_, opSchema))) None
+      else if (ledger.exists(sameShape(_, opSchema))) None
       else Some(opSchema.json)
     keyCols.foreach(k => require(opSchema.fieldNames.contains(k),
       s"merge key $k not in table schema ${opSchema.fieldNames.mkString(",")}"))
@@ -2269,7 +2323,8 @@ object CommitLog {
     keyedRewrite(spark, tablePath, opSchema, keyCols,
       deleteKeys = src, appendDf = src, opTag = Some("merge"),
       publisher = publisher, schemaJson = schemaTag,
-      deletionVectors = deletionVectors)
+      deletionVectors = deletionVectors,
+      schemaExpect = if (schemaTag.isDefined) Some(ledger.map(_.json)) else None)
       .getOrElse(throw new IllegalStateException("unreachable: unfenced merge"))
   }
 
@@ -2479,7 +2534,8 @@ object CommitLog {
       publisher: AtomicPublisher,
       abortOnLostRace: () => Boolean = () => false,
       schemaJson: Option[String] = None,
-      deletionVectors: Boolean = false): Option[Long] = {
+      deletionVectors: Boolean = false,
+      schemaExpect: Option[Option[String]] = None): Option[Long] = {
     import org.apache.spark.sql.functions.{col, lit}
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
@@ -2531,7 +2587,7 @@ object CommitLog {
         .collect().map(_.getString(0)).toSeq
       if (affectedMor.isEmpty)
         return appendOrAbort(app, tablePath, publisher, opTag, abortOnLostRace,
-          schemaJson = schemaJson)
+          schemaJson = schemaJson, schemaExpect = schemaExpect)
       val fresh = matched.select(col("_kr_f").as(DvFileCol),
         col("_kr_p").as(DvPosCol))
       val (dvAttach, dvExpect) = landVector(spark, tablePath,
@@ -2549,7 +2605,7 @@ object CommitLog {
         publisher = publisher, opTag = opTag, abortOnLostRace = abortOnLostRace,
         changeAdds = cdcNames, addStats = statsFor(spark, tablePath, names),
         schemaJson = schemaJson, dvAttach = dvAttach, dvExpect = dvExpect,
-        constraintsExpect = Some(cs))
+        constraintsExpect = Some(cs), schemaExpect = schemaExpect)
     }
     val affected: Seq[String] =
       if (candidates.isEmpty) Seq.empty
@@ -2573,7 +2629,7 @@ object CommitLog {
       // advance its checkpoint even when the increment nets to
       // nothing, or it reprocesses the same increment forever.
       return appendOrAbort(app, tablePath, publisher, opTag, abortOnLostRace,
-        schemaJson = schemaJson)
+        schemaJson = schemaJson, schemaExpect = schemaExpect)
     }
     val aff = visibleRows(spark, tablePath, schema, affected.map(entryByName))
     val writerId = freshWriterId("w")
@@ -2591,7 +2647,7 @@ object CommitLog {
       changeAdds = cdcNames, addStats = statsFor(spark, tablePath, names),
       schemaJson = schemaJson,
       removeDvExpect = affected.map(n => n -> entryByName(n).dv).toMap,
-      constraintsExpect = Some(cs))
+      constraintsExpect = Some(cs), schemaExpect = schemaExpect)
   }
 
   /** The table's commit history as a DataFrame — the DESCRIBE HISTORY

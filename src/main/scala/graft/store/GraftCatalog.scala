@@ -119,8 +119,11 @@ class GraftCatalog extends TableCatalog {
     // Spark stamps reserved bookkeeping keys (provider/owner/…) into
     // every CREATE — only user-declared properties enter the ledger
     val user = properties.asScala.filterNot { case (k, _) => ReservedProps(k) }
+    // schemaExpect(None): two concurrent CREATEs both pass the
+    // exists-check; the loser's re-publish would restamp the winner's
+    // ledger — the schema fence aborts it loudly instead
     CommitLog.commit(spark, path, adds = Seq.empty, opTag = Some("create"),
-      schemaJson = Some(schema.json))
+      schemaJson = Some(schema.json), schemaExpect = Some(None))
     if (user.nonEmpty) CommitLog.setProperties(spark, path, user.toMap)
     GraftTable(path, asOf = Long.MaxValue, ident.toString)
   }
@@ -163,16 +166,15 @@ class GraftCatalog extends TableCatalog {
     }
     if (adds.nonEmpty) {
       // ADD COLUMNS = the mergeSchema add-column evolution as a
-      // metadata-only commit: old files null-fill the new columns
+      // metadata-only commit: old files null-fill the new columns;
+      // CommitLog.addColumns honors the BURNED ledger (a re-added
+      // dropped name gets fresh storage) and the schema fence
       adds.foreach(a => require(a.fieldNames.length == 1,
         s"nested ADD COLUMN is not supported: ${a.fieldNames.mkString(".")}"))
-      val cur = GraftLogBatch.schemaFor(spark, path, Long.MaxValue)
-      val incoming = StructType(cur.fields ++ adds.map(a =>
+      CommitLog.addColumns(spark, path, adds.map(a =>
         org.apache.spark.sql.types.StructField(a.fieldNames.head,
           a.dataType, nullable = true)))
-      val evolved = CommitLog.evolveSchema(cur, incoming)
-      CommitLog.commit(spark, path, adds = Seq.empty, opTag = Some("evolve"),
-        schemaJson = Some(evolved.json))
+      ()
     }
     loadTable(ident)
   }
@@ -195,6 +197,12 @@ class GraftCatalog extends TableCatalog {
     val fs = new org.apache.hadoop.fs.Path(src)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dstPath = new org.apache.hadoop.fs.Path(dst)
+    // Hadoop rename into an EXISTING directory moves the source INSIDE
+    // it (dst/<srcName>) and reports success — the table would vanish
+    // from the catalog view; any existing destination refuses
+    if (fs.exists(dstPath))
+      throw new IllegalStateException(
+        s"cannot rename $src to $dst: destination already exists")
     fs.mkdirs(dstPath.getParent)
     if (!fs.rename(new org.apache.hadoop.fs.Path(src), dstPath))
       throw new IllegalStateException(s"could not rename $src to $dst")

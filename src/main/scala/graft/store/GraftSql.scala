@@ -123,10 +123,13 @@ object GraftSql {
       require(CommitLog.latestVersion(spark, path) == 0,
         s"logged table $path already exists")
       // an empty table IS its schema ledger: one schema-only commit
-      // bootstraps it, and the first INSERT/append fills it
+      // bootstraps it, and the first INSERT/append fills it; the
+      // schema fence makes a concurrent-CREATE loser fail loudly
+      // instead of restamping the winner's ledger
       val schema = StructType.fromDDL(colsDdl)
       val v = CommitLog.commit(spark, path, adds = Seq.empty,
-        opTag = Some("create"), schemaJson = Some(schema.json))
+        opTag = Some("create"), schemaJson = Some(schema.json),
+        schemaExpect = Some(None))
       result(spark, path, v)
     case CtasRe(qp, bp, select) =>
       val path = resolvePath(spark, ident(qp, bp))
@@ -362,15 +365,11 @@ object GraftSql {
     case _ => None
   }
 
-  /** Current schema of the logged table: the evolution ledger when a
-    * `mergeSchema` writer stamped one, else the newest live file. */
+  /** Current schema of the logged table — the ONE bootstrap rule
+    * ([[CommitLog.tableSchema]]: ledger first, newest-file inference
+    * otherwise). */
   private def schemaOf(spark: SparkSession, path: String): StructType =
-    CommitLog.schemaAt(spark, path).getOrElse {
-      val (_, files) = CommitLog.liveFiles(spark, path)
-      require(files.nonEmpty,
-        s"logged table $path is empty and carries no schema ledger")
-      spark.read.parquet(s"$path/${files.last}").schema
-    }
+    CommitLog.tableSchema(spark, path)
 
   private def result(spark: SparkSession, path: String, version: Long): DataFrame = {
     import spark.implicits._

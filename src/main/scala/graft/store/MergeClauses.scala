@@ -275,7 +275,12 @@ final class MergeClauses private (
         case Some(ins) => postOnly.unionByName(ins)
         case None => postOnly
       }
-      CommitLog.enforced(addsDf, tablePath).write
+      // same write discipline as every CommitLog path: constraints
+      // captured once (and fenced at commit), columns landed under
+      // their PHYSICAL names on a mapped table
+      val cs = CommitLog.constraintsAt(spark, tablePath)
+      CommitLog.toPhysical(CommitLog.enforcedWith(addsDf, cs),
+        CommitLog.mappingAt(spark, tablePath)).write
         .options(CommitLog.tableWriteOptions(spark, tablePath))
         .parquet(staging.toString)
       val names = CommitLog.landStaged(fs, dir, staging, writerId)
@@ -284,7 +289,8 @@ final class MergeClauses private (
         removes = Seq.empty, publisher = publisher, opTag = Some("merge"),
         abortOnLostRace = () => false, changeAdds = cdcNames,
         addStats = CommitLog.statsFor(spark, tablePath, names),
-        dvAttach = dvAttach, dvExpect = dvExpect)
+        dvAttach = dvAttach, dvExpect = dvExpect,
+        constraintsExpect = Some(cs))
         .getOrElse(throw new IllegalStateException("unreachable: unfenced DV merge"))
     }
 
@@ -293,14 +299,20 @@ final class MergeClauses private (
       case Some(ins) => rewritten.unionByName(ins)
       case None => rewritten
     }
-    CommitLog.enforced(withInserts, tablePath).write
+    val cs = CommitLog.constraintsAt(spark, tablePath)
+    CommitLog.toPhysical(CommitLog.enforcedWith(withInserts, cs),
+      CommitLog.mappingAt(spark, tablePath)).write
       .options(CommitLog.tableWriteOptions(spark, tablePath))
       .parquet(staging.toString)
     val names = CommitLog.landStaged(fs, dir, staging, writerId)
     val cdcNames = CommitLog.landChangeFiles(spark, tablePath, cdc)
+    // removeDvExpect: a concurrent MOR delete re-vectoring an affected
+    // file after this plan must fail the commit, not be resurrected
     CommitLog.commit(spark, tablePath, adds = names, removes = affected,
       publisher = publisher, opTag = Some("merge"), changeAdds = cdcNames,
-      addStats = CommitLog.statsFor(spark, tablePath, names))
+      addStats = CommitLog.statsFor(spark, tablePath, names),
+      removeDvExpect = affected.map(n => n -> entryByName(n).dv).toMap,
+      constraintsExpect = Some(cs))
   }
 }
 

@@ -143,6 +143,64 @@ abstract class ColumnMappingBehavior(publisher: AtomicPublisher) extends SparkSp
     assert(ids() == (0L until 50L).toSet)
   }
 
+  test("clause merges write physical names on mapped tables (no silent null-out)") {
+    val t = freshTable()
+    seed(t)
+    CommitLog.renameColumn(spark, t, "src", "origin", publisher)
+    val sch = schemaOf(t)
+    // a clause merge updating BY THE NEW NAME and inserting a new row:
+    // written files must carry the PHYSICAL column name, or every
+    // restated row reads back null for the renamed column
+    MergeClauses.into(spark, t, sch,
+      Seq((3L, "upd", "t3"), (900L, "ins", "t900")).toDF("id", "origin", "text"),
+      Seq("id"))
+      .whenMatchedUpdate(Seq("origin", "text"))
+      .whenNotMatchedInsert()
+      .withPublisher(publisher)
+      .execute()
+    val rows = CommitLog.read(spark, t, sch)
+      .select("id", "origin").as[(Long, String)].collect().toMap
+    assert(rows(3L) == "upd", s"updated row lost its renamed column: ${rows(3L)}")
+    assert(rows(900L) == "ins")
+    assert(rows(4L) == "s1", s"restated row lost its renamed column: ${rows(4L)}")
+    assert(!rows.values.exists(_ == null), "mapped clause merge nulled a column")
+    // MOR clause merge too
+    MergeClauses.into(spark, t, sch,
+      Seq((5L, "upd2", "t5")).toDF("id", "origin", "text"), Seq("id"))
+      .withDeletionVectors()
+      .whenMatchedUpdate(Seq("origin"))
+      .withPublisher(publisher)
+      .execute()
+    val rows2 = CommitLog.read(spark, t, sch)
+      .select("id", "origin").as[(Long, String)].collect().toMap
+    assert(rows2(5L) == "upd2" && rows2(6L) == "s0")
+  }
+
+  test("schema fence: a stale evolution cannot revert a concurrent rename/drop") {
+    val t = freshTable()
+    seed(t)
+    // a writer derives its evolved schema from the CURRENT ledger…
+    val staleLedger = CommitLog.schemaAt(spark, t)
+    val staleEvolved = org.apache.spark.sql.types.StructType(
+      staleLedger.get.fields :+ org.apache.spark.sql.types.StructField(
+        "extra", org.apache.spark.sql.types.StringType, nullable = true))
+    // …then a rename lands first
+    CommitLog.renameColumn(spark, t, "src", "origin", publisher)
+    // the stale writer's schema-stamping commit must refuse — blindly
+    // publishing would revert the rename (and a drop reverted this way
+    // would re-expose a burned column)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      CommitLog.commitOrAbort(spark, t, adds = Seq.empty, removes = Seq.empty,
+        publisher = publisher, opTag = Some("evolve"),
+        abortOnLostRace = () => false,
+        schemaJson = Some(staleEvolved.json),
+        schemaExpect = Some(staleLedger.map(_.json)))
+    }
+    assert(e.getMessage.contains("schema ledger"))
+    assert(schemaOf(t).fieldNames.contains("origin"),
+      "the rename was reverted by a stale schema commit")
+  }
+
   test("format(graftlog) and SQL surfaces read/write mapped tables") {
     val t = freshTable()
     seed(t)

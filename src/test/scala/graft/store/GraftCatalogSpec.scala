@@ -134,6 +134,38 @@ class GraftCatalogSpec extends SparkSpec {
       == (0L until 50L).filterNot(_ % 7 == 0).toSet)
   }
 
+  test("rename/drop columns, unconditional DELETE, and table rename via catalog") {
+    freshWarehouse()
+    val wh = spark.conf.get("spark.graft.warehouse")
+    spark.sql("CREATE TABLE graft.rn (id BIGINT, src STRING)")
+    spark.sql("INSERT INTO graft.rn VALUES (1, 'a'), (2, 'b')")
+    // RENAME/DROP COLUMN through plain ALTER TABLE (catalog alterTable)
+    spark.sql("ALTER TABLE graft.rn RENAME COLUMN src TO origin")
+    assert(spark.sql("SELECT origin FROM graft.rn WHERE id = 1")
+      .as[String].head() == "a")
+    spark.sql("ALTER TABLE graft.rn DROP COLUMN origin")
+    assert(spark.sql("SELECT * FROM graft.rn").columns.toSeq == Seq("id"))
+    // re-adding the dropped name through the CATALOG must honor the
+    // burn ledger: old bytes never resurrect
+    spark.sql("ALTER TABLE graft.rn ADD COLUMNS (origin STRING)")
+    val re = spark.sql("SELECT id, origin FROM graft.rn").collect()
+    assert(re.forall(_.isNullAt(1)),
+      "dropped column's data resurrected through catalog ADD COLUMNS")
+    // unconditional DELETE (AlwaysTrue translation)
+    spark.sql("DELETE FROM graft.rn")
+    assert(spark.sql("SELECT count(*) FROM graft.rn").as[Long].head() == 0L)
+    // table rename: moves the directory; renaming ONTO an existing
+    // destination refuses instead of silently nesting the table
+    spark.sql("INSERT INTO graft.rn VALUES (9, 'z')")
+    spark.sql("ALTER TABLE graft.rn RENAME TO rn2")
+    assert(spark.sql("SELECT count(*) FROM graft.rn2").as[Long].head() == 1L)
+    assert(CommitLog.latestVersion(spark, s"$wh/rn") == 0)
+    spark.sql("CREATE TABLE graft.rn3 (id BIGINT)")
+    intercept[Exception](spark.sql("ALTER TABLE graft.rn2 RENAME TO rn3"))
+    assert(spark.sql("SELECT count(*) FROM graft.rn2").as[Long].head() == 1L,
+      "failed rename moved the table anyway")
+  }
+
   test("the V1Scan fallback reads the same rows for rule-less sessions") {
     freshWarehouse()
     val wh = spark.conf.get("spark.graft.warehouse")
