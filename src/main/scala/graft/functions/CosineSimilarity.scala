@@ -181,6 +181,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // catalog reads (`SELECT … FROM graft.t`) upgrade to the native v1
     // relation — file pruning + vectorized scan; see GraftV2ReadRule
     ext.injectResolutionRule(graft.store.GraftV2ReadRule.apply)
+    // catalog DML (`UPDATE/MERGE/DELETE graft.t …`) executes through
+    // the commit-log machinery; see GraftDmlRule
+    ext.injectResolutionRule(graft.store.GraftDmlRule.apply)
   }
 }
 

@@ -269,6 +269,10 @@ object SqlPassthrough {
       s.sql("""INSERT INTO graft.cat_docs
               |SELECT doc_id, source, text FROM cat_src WHERE doc_id % 3 <> 0""".stripMargin)
       s.sql("DELETE FROM graft.cat_docs WHERE doc_id < 50")
+      // UPDATE through plain spark.sql exercises the DML rule (the
+      // verb a v2 table cannot express without row-level machinery)
+      s.sql("""UPDATE graft.cat_docs SET text = concat(text, ' upd')
+              |WHERE doc_id % 11 = 0""".stripMargin)
       run(s, dir, CatalogSelectSql)
     })
 
@@ -283,7 +287,11 @@ object SqlPassthrough {
     s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS BIGINT)
        |    AS content_digest
-       |FROM documents WHERE doc_id >= 50 GROUP BY source""".stripMargin
+       |FROM (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 11 = 0 THEN text || ' upd' ELSE text END AS text
+       |  FROM documents WHERE doc_id >= 50)
+       |GROUP BY source""".stripMargin
 
   private val MergeIntoTable = "/tmp/graft_state/sql_merge_docs"
 

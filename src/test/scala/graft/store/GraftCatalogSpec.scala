@@ -166,6 +166,47 @@ class GraftCatalogSpec extends SparkSpec {
       "failed rename moved the table anyway")
   }
 
+  test("UPDATE, MERGE, and arbitrary-predicate DELETE via plain spark.sql") {
+    freshWarehouse()
+    spark.sql("CREATE TABLE graft.dml (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.dml VALUES (1, 'a'), (2, 'b'), (3, 'c'), (6, 'f')")
+    // UPDATE with an arbitrary target-row expression — the verb a
+    // plain v2 table cannot express without row-level-operation
+    // machinery; the DML rule routes it through updateWhere
+    val u = spark.sql("UPDATE graft.dml SET v = concat(v, '!') WHERE id % 2 = 1")
+    assert(u.columns.toSeq == Seq("table", "committed_version"))
+    def rows(): Map[Long, String] = spark.sql("SELECT id, v FROM graft.dml")
+      .as[(Long, String)].collect().toMap
+    assert(rows() == Map(1L -> "a!", 2L -> "b", 3L -> "c!", 6L -> "f"))
+    // DELETE with an ARITHMETIC predicate — beyond what SupportsDelete
+    // filter translation can express; the rule handles it anyway
+    spark.sql("DELETE FROM graft.dml WHERE id % 3 = 0")
+    assert(rows() == Map(1L -> "a!", 2L -> "b"))
+    // MERGE: matched update, conditional insert, by-source delete —
+    // the full clause grammar through Spark's own parser + analyzer
+    Seq((2L, "B"), (10L, "j"), (11L, "k")).toDF("id", "v")
+      .createOrReplaceTempView("dml_src")
+    spark.sql("""MERGE INTO graft.dml AS t USING dml_src AS s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET v = s.v
+                |WHEN NOT MATCHED AND s.id < 11 THEN INSERT *
+                |WHEN NOT MATCHED BY SOURCE AND t.id = 1 THEN DELETE""".stripMargin)
+    assert(rows() == Map(2L -> "B", 10L -> "j"))
+    // the deletion-vector session switch rides catalog DML too
+    val wh = spark.conf.get("spark.graft.warehouse")
+    val before = CommitLog.liveFiles(spark, s"$wh/dml")._2.toSet
+    spark.conf.set("spark.graft.deletionVectors", "true")
+    try {
+      spark.sql("UPDATE graft.dml SET v = 'MOR' WHERE id = 2")
+      assert(before.subsetOf(CommitLog.liveFiles(spark, s"$wh/dml")._2.toSet),
+        "MOR catalog UPDATE rewrote files")
+      assert(rows() == Map(2L -> "MOR", 10L -> "j"))
+    } finally spark.conf.unset("spark.graft.deletionVectors")
+    // unsupported grammar refuses loudly at spark.sql time
+    intercept[Exception](spark.sql(
+      "MERGE INTO graft.dml AS t USING dml_src AS s ON t.id < s.id " +
+        "WHEN MATCHED THEN DELETE"))
+  }
+
   test("the V1Scan fallback reads the same rows for rule-less sessions") {
     freshWarehouse()
     val wh = spark.conf.get("spark.graft.warehouse")
