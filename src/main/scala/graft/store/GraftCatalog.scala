@@ -235,9 +235,28 @@ class GraftCatalog extends TableCatalog {
   * which is read-only. */
 private[graft] case class GraftTable(path: String, asOf: Long,
     identString: String) extends Table
-    with SupportsRead with SupportsWrite with SupportsDelete {
+    with SupportsRead with SupportsWrite with SupportsDelete
+    with org.apache.spark.sql.graft.V1FallbackTable {
 
   private def spark: SparkSession = SparkSession.active
+
+  /** STREAMING reads (`spark.readStream.table("graft.t")`): the table
+    * has a V1 streaming Source (GraftLogSource — the change-feed
+    * micro-batch source), and this fallback hands Spark the v1
+    * descriptor to build it from (provider `graftlog` + the table
+    * path), the pre-DSv2-streaming Delta shape. */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.catalog._
+    CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        path, Some("graft")),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new org.apache.hadoop.fs.Path(path).toUri),
+        properties = Map("path" -> path)),
+      schema = schema,
+      provider = Some("graftlog"))
+  }
 
   override def name(): String = identString
 

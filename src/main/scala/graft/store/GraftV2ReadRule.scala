@@ -48,9 +48,12 @@ final case class GraftV2ReadRule(spark: SparkSession) extends Rule[LogicalPlan] 
           (if (t.asOf == Long.MaxValue) Map.empty
            else Map("versionAsOf" -> t.asOf.toString))
         val rel = GraftLogBatch.relation(spark, params, Some(t.schema))
+        // carry the v1 catalog descriptor: Catalog.refreshTable (run
+        // by streaming writes into the table, among others) walks
+        // cached plans and dereferences LogicalRelation.catalogTable
         LogicalRelation(rel,
           r.output.map(_.asInstanceOf[AttributeReference]),
-          None, isStreaming = false, None)
+          Some(t.v1Table), isStreaming = false, None)
     }
   }
 }

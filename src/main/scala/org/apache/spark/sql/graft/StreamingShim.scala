@@ -64,3 +64,13 @@ object StreamingShim {
     org.apache.spark.sql.execution.datasources.DataSourceStrategy
       .translateFilter(e, supportNestedPredicatePushdown = true)
 }
+
+/** Re-exposes the `private[sql]` V1-fallback table trait: a catalog
+  * table mixing this in tells Spark's streaming resolution to build
+  * the V1 streaming Source described by `v1Table` (provider +
+  * options) when the table itself has no DSv2 streaming scan — the
+  * shape the pre-merge Delta connector used for
+  * `spark.readStream.table(...)`. Same justification as the rest of
+  * this shim: one access modifier, no other internals touched. */
+trait V1FallbackTable
+  extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback
