@@ -44,14 +44,47 @@ object ImageFixture {
 
   private def fileName(i: Int): String = f"img_$i%03d.${formatOf(i)}"
 
-  private def write(i: Int): Unit = {
+  /** NEAR-DUPLICATE variants for the perceptual-hash dedup path: the
+    * same arithmetic pixel fill as image `i` with EXACTLY pixel (0,0)
+    * overridden to a fixed color — one cell of the dHash grid moves,
+    * so the variant lands within 1 bit of its original (the oracle
+    * recomputes both hashes from the formulas). Lossless formats only
+    * (`i % 3 != 2` — JPEG would perturb every pixel), first 24 ids. */
+  val variantRoot: String = "/tmp/graft_state/image_fixture_variants"
+  val VariantPixel: Int = 0xFF123456
+
+  def ensureVariants(): String = synchronized {
+    val dir = new File(variantRoot)
+    val ids = (0 until 24).filter(_ % 3 != 2)
+    val want = ids.map(i => f"var_$i%03d.${formatOf(i)}").toSet
+    val have = Option(dir.listFiles()).getOrElse(Array.empty).map(_.getName).toSet
+    if (have != want) {
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); () }
+      dir.mkdirs()
+      ids.foreach { i =>
+        val img = filled(i)
+        img.setRGB(0, 0, VariantPixel)
+        val ok = javax.imageio.ImageIO.write(img, formatOf(i),
+          new File(variantRoot, f"var_$i%03d.${formatOf(i)}"))
+        require(ok, s"no JDK writer for ${formatOf(i)}")
+      }
+    }
+    variantRoot
+  }
+
+  private def filled(i: Int): BufferedImage = {
     val (w, h) = (widthOf(i), heightOf(i))
     val imgType =
       if (i % 3 == 0) BufferedImage.TYPE_INT_ARGB else BufferedImage.TYPE_3BYTE_BGR
     val img = new BufferedImage(w, h, imgType)
     for (x <- 0 until w; y <- 0 until h)
       img.setRGB(x, y, 0xFF000000 | ((i * 37 + x * 11 + y * 29) * 2654435761L).toInt & 0xFFFFFF)
-    val ok = javax.imageio.ImageIO.write(img, formatOf(i), new File(root, fileName(i)))
+    img
+  }
+
+  private def write(i: Int): Unit = {
+    val ok = javax.imageio.ImageIO.write(filled(i), formatOf(i),
+      new File(root, fileName(i)))
     require(ok, s"no JDK writer for ${formatOf(i)}")
   }
 }

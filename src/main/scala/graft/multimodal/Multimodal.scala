@@ -389,6 +389,117 @@ object Multimodal {
       outW.as("resized_width"), outH.as("resized_height"))
   }
 
+  /** One image's 64-bit difference hash. */
+  final case class ImageHash(doc_id: Long, dhash: Long)
+
+  /** dHash — the classic perceptual near-duplicate fingerprint: the
+    * image box-downsamples to a 9×8 luminance grid and each bit
+    * records whether a cell is brighter than its right neighbor, so
+    * re-encodes, format conversions, and small pixel edits perturb
+    * only the bits whose cells they touch while unrelated images land
+    * ~32 bits apart. INTEGER-EXACT by construction (the oracle
+    * recomputes it relationally): luminance is the BT.601 integer
+    * sum 299r+587g+114b (never divided), cells partition pixels by
+    * `cx = x*9/w`, `cy = y*8/h` (integer division), and the
+    * brightness comparison cross-multiplies sums by counts instead of
+    * averaging — no float enters the pipeline. An empty cell (w < 9)
+    * contributes sum 0 with count clamped to 1. None = bytes no
+    * reader decodes. */
+  def dHash(bytes: Array[Byte]): Option[Long] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .map(dHashOf)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private[multimodal] def dHashOf(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sum = Array.ofDim[Long](8, 9)
+    val cnt = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val cx = x * 9 / w
+        val rgb = img.getRGB(x, y)
+        sum(cy)(cx) += 299L * ((rgb >> 16) & 0xFF) +
+          587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+        cnt(cy)(cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        val nL = math.max(cnt(cy)(cx), 1L)
+        val nR = math.max(cnt(cy)(cx + 1), 1L)
+        // avg(cx) > avg(cx+1), cross-multiplied: exact in Long for any
+        // sane image (cell gray sum ≤ 255e3·cellPx; overflow needs a
+        // cell past ~6e12 pixel-grays — petapixel territory)
+        if (sum(cy)(cx) * nR > sum(cy)(cx + 1) * nL)
+          hash |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    hash
+  }
+
+  /** dHash per row, batched per partition like [[decode]]; rows whose
+    * bytes no reader decodes drop out (they have no perceptual
+    * content to compare). */
+  def dHashes(ds: Dataset[MediaIn], batchSize: Int = 64): Dataset[ImageHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap(m =>
+      dHash(m.content).map(ImageHash(m.doc_id, _)))))
+  }
+
+  /** Perceptual near-duplicate pairs over (doc_id, dhash) — the image
+    * half of the dedup family: the 64-bit hash splits into `bands`
+    * equal slices and candidate pairs join on (band index, band
+    * value) equality — a HASH join, never all-pairs, the same
+    * banding shape as MinHash-LSH text dedup. Pigeonhole soundness:
+    * two hashes within `maxDistance < bands` bits MUST agree on some
+    * band, so blocking loses nothing at the declared threshold (the
+    * require pins it). Verification is one codegen'd
+    * `bit_count(xor)` per candidate. At 100 TB: decode cost is
+    * one pass per image at ingest (store the hash column); pairing
+    * shuffles only (id, 64-bit hash) scalars through band-keyed
+    * exchanges. */
+  def imageNearDupPairs(hashes: DataFrame, maxDistance: Int = 3,
+      bands: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64: $bands")
+    require(maxDistance >= 0 && maxDistance < bands,
+      s"maxDistance $maxDistance needs $bands bands > it — pigeonhole " +
+        "blocking only guarantees a shared band below the band count")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val banded = hashes.select(col("doc_id"), col("dhash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          // arithmetic shift + mask ≡ logical shift + mask on the low
+          // bits — the form both engines reproduce bit-identically
+          shiftright(col("dhash"), b * width).bitwiseAND(lit(mask)).as("bv"))
+      ): _*)).as("bb"))
+      .select(col("doc_id"), col("dhash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val left = banded.select(col("doc_id").as("id_a"), col("dhash").as("h_a"),
+      col("band"), col("bv"))
+    val right = banded.select(col("doc_id").as("id_b"), col("dhash").as("h_b"),
+      col("band"), col("bv"))
+    left.join(right, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .withColumn("distance",
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int"))
+      .filter(col("distance") <= maxDistance)
+      .select("id_a", "id_b", "distance")
+  }
+
   /** Binary scan of an object tree (S5/S6's Spark shape): the
     * binaryFile datasource — content + length + path, executor-side
     * reads, no driver materialization. */

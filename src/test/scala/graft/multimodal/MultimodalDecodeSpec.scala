@@ -121,6 +121,49 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(Multimodal.decodeVideoHeader(png(4, 4, argb = false)).isEmpty)
   }
 
+  test("dHash: bit-identical copies at 0, one-pixel variants within 1 bit, blocking sound") {
+    import spark.implicits._
+    ImageFixture.ensure()
+    ImageFixture.ensureVariants()
+    def bytesOf(dir: String, prefix: String, i: Int): Array[Byte] =
+      java.nio.file.Files.readAllBytes(new java.io.File(dir).listFiles()
+        .find(_.getName.contains(f"$prefix$i%03d")).get.toPath)
+    val ids = (0 until 24).filter(_ % 3 != 2)
+    ids.foreach { i =>
+      val orig = Multimodal.dHash(bytesOf(ImageFixture.root, "img_", i)).get
+      // a byte-identical copy hashes identically (trivially) and a
+      // ONE-PIXEL variant moves at most the single grid bit its cell
+      // feeds — re-encode noise would show up right here
+      val variant = Multimodal.dHash(
+        bytesOf(ImageFixture.variantRoot, "var_", i)).get
+      val d = java.lang.Long.bitCount(orig ^ variant)
+      assert(d <= 1, s"variant of $i drifted $d bits")
+    }
+    // unrelated fixture images do not collide within the threshold
+    val hashes = ids.map(i =>
+      Multimodal.dHash(bytesOf(ImageFixture.root, "img_", i)).get)
+    val crossPairs = for {
+      a <- hashes.indices; b <- hashes.indices if a < b
+    } yield java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+    assert(crossPairs.forall(_ > 3),
+      s"unrelated fixtures collided: min distance ${crossPairs.min}")
+    // the pairing operator: distance-0 copies and ≤1 variants all come
+    // back; pigeonhole guard refuses an unsound threshold/bands combo
+    val frame = (ids.map(i => (i.toLong,
+        Multimodal.dHash(bytesOf(ImageFixture.root, "img_", i)).get)) ++
+      ids.map(i => (1000L + i,
+        Multimodal.dHash(bytesOf(ImageFixture.root, "img_", i)).get)))
+      .toDF("doc_id", "dhash")
+    val pairs = Multimodal.imageNearDupPairs(frame, maxDistance = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ids.forall(i => pairs.contains((i.toLong, 1000L + i, 0))),
+      "a bit-identical copy pair is missing")
+    intercept[IllegalArgumentException](
+      Multimodal.imageNearDupPairs(frame, maxDistance = 4, bands = 4))
+    // undecodable bytes drop out instead of hashing garbage
+    assert(Multimodal.dHash("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
   test("the fixture tree decodes to exactly its construction parameters") {
     ImageFixture.ensure()
     (0 until ImageFixture.n).foreach { i =>
