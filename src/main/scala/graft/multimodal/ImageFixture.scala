@@ -129,18 +129,41 @@ object AudioFixture {
     f"clip_$i%03d.$ext"
   }
 
-  private def write(i: Int): Unit = {
+  private def write(i: Int): Unit = writeClip(i, root, fileName(i), mute0 = false)
+
+  /** NEAR-DUPLICATE variants for the audio-fingerprint dedup path: the
+    * same arithmetic PCM fill with EXACTLY the first sample of frame 0
+    * muted (both bytes zero) — one energy window moves, so the variant
+    * lands within 1 bit of its original (the oracle recomputes both
+    * fingerprints from the byte formula). */
+  val variantRoot: String = "/tmp/graft_state/audio_fixture_variants"
+
+  def ensureVariants(): String = synchronized {
+    val dir = new File(variantRoot)
+    val want = (0 until n).map(i => "var_" + fileName(i).stripPrefix("clip_")).toSet
+    val have = Option(dir.listFiles()).getOrElse(Array.empty).map(_.getName).toSet
+    if (have != want) {
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); () }
+      dir.mkdirs()
+      (0 until n).foreach(i => writeClip(i, variantRoot,
+        "var_" + fileName(i).stripPrefix("clip_"), mute0 = true))
+    }
+    variantRoot
+  }
+
+  private def writeClip(i: Int, dir: String, name: String, mute0: Boolean): Unit = {
     import javax.sound.sampled._
     val (rate, ch, frames) = (sampleRateOf(i), channelsOf(i), framesOf(i))
     val fmt = new AudioFormat(rate.toFloat, 16, ch, true, i % 3 != 0) // WAV LE, AIFF/AU BE
     val pcm = Array.tabulate[Byte](frames * ch * 2)(j => ((i * 131 + j * 7) & 0x7F).toByte)
+    if (mute0) { pcm(0) = 0; pcm(1) = 0 }
     val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
     val tpe = (i % 3) match {
       case 0 => AudioFileFormat.Type.WAVE
       case 1 => AudioFileFormat.Type.AIFF
       case _ => AudioFileFormat.Type.AU
     }
-    val written = AudioSystem.write(ais, tpe, new File(root, fileName(i)))
+    val written = AudioSystem.write(ais, tpe, new File(dir, name))
     require(written > 0, s"no JDK writer for $tpe")
   }
 }

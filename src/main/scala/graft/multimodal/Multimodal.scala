@@ -457,6 +457,73 @@ object Multimodal {
       dHash(m.content).map(ImageHash(m.doc_id, _)))))
   }
 
+  /** 64-bit PCM energy fingerprint — the AUDIO sibling of [[dHash]],
+    * same integer-exact discipline so the oracle replays it: decode to
+    * signed 16-bit PCM (the JDK's sampled-audio readers — WAV/AIFF/AU,
+    * endianness per container), per-frame energy = Σ_channels
+    * |sample| (integer), frames partition into 65 windows by
+    * `w = f*65/F` (integer division), and bit w records whether
+    * window w is louder than window w+1 via cross-multiplied
+    * sums×counts — no float, no FFT (a chromaprint-class spectral
+    * print slots into this same seam; the energy profile is the
+    * codec-free deterministic baseline). Empty windows (F < 65) clamp
+    * their count to 1. None = bytes no audio reader claims. */
+  def audioFingerprint(bytes: Array[Byte]): Option[Long] =
+    try {
+      import javax.sound.sampled._
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val ch = fmt.getChannels
+          val big = fmt.isBigEndian
+          val pcm = ais.readAllBytes()
+          val frames = pcm.length / (2 * ch)
+          if (frames <= 0) None
+          else {
+            val sum = new Array[Long](65)
+            val cnt = new Array[Long](65)
+            var f = 0
+            while (f < frames) {
+              val w = (f.toLong * 65 / frames).toInt
+              var c = 0
+              var e = 0L
+              while (c < ch) {
+                val k = (f * ch + c) * 2
+                val v =
+                  if (big) (pcm(k) << 8) | (pcm(k + 1) & 0xFF)
+                  else (pcm(k + 1) << 8) | (pcm(k) & 0xFF)
+                e += math.abs(v)
+                c += 1
+              }
+              sum(w) += e
+              cnt(w) += 1
+              f += 1
+            }
+            var hash = 0L
+            var w = 0
+            while (w < 64) {
+              val nL = math.max(cnt(w), 1L)
+              val nR = math.max(cnt(w + 1), 1L)
+              if (sum(w) * nR > sum(w + 1) * nL) hash |= 1L << w
+              w += 1
+            }
+            Some(hash)
+          }
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** [[audioFingerprint]] per row, batched like [[dHashes]]. */
+  def audioFingerprints(ds: Dataset[MediaIn], batchSize: Int = 64): Dataset[ImageHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap(m =>
+      audioFingerprint(m.content).map(ImageHash(m.doc_id, _)))))
+  }
+
   /** Perceptual near-duplicate pairs over (doc_id, dhash) — the image
     * half of the dedup family: the 64-bit hash splits into `bands`
     * equal slices and candidate pairs join on (band index, band

@@ -164,6 +164,34 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(Multimodal.dHash("not an image".getBytes("UTF-8")).isEmpty)
   }
 
+  test("audio fingerprint: copies at 0, one-sample variants within 1 bit, all containers") {
+    AudioFixture.ensure()
+    AudioFixture.ensureVariants()
+    def bytesOf(dir: String, prefix: String, i: Int): Array[Byte] =
+      java.nio.file.Files.readAllBytes(new java.io.File(dir).listFiles()
+        .find(_.getName.startsWith(f"$prefix$i%03d")).get.toPath)
+    (0 until AudioFixture.n).foreach { i =>
+      // WAV (LE), AIFF and AU (BE) must all decode to a print — the
+      // endianness branch is exercised by construction (i % 3)
+      val orig = Multimodal.audioFingerprint(
+        bytesOf(AudioFixture.root, "clip_", i))
+      assert(orig.isDefined, s"clip $i (${AudioFixture.formatOf(i)}) printed nothing")
+      val variant = Multimodal.audioFingerprint(
+        bytesOf(AudioFixture.variantRoot, "var_", i)).get
+      val d = java.lang.Long.bitCount(orig.get ^ variant)
+      assert(d <= 1, s"one-sample variant of clip $i drifted $d bits")
+    }
+    // unrelated clips stay far apart at the pairing threshold
+    val prints = (0 until AudioFixture.n).map(i =>
+      Multimodal.audioFingerprint(bytesOf(AudioFixture.root, "clip_", i)).get)
+    val cross = for {
+      a <- prints.indices; b <- prints.indices if a < b
+    } yield java.lang.Long.bitCount(prints(a) ^ prints(b))
+    assert(cross.forall(_ > 3), s"unrelated clips collided: min ${cross.min}")
+    // undecodable bytes drop out
+    assert(Multimodal.audioFingerprint("not audio".getBytes("UTF-8")).isEmpty)
+  }
+
   test("the fixture tree decodes to exactly its construction parameters") {
     ImageFixture.ensure()
     (0 until ImageFixture.n).foreach { i =>
