@@ -389,8 +389,8 @@ object Multimodal {
       outW.as("resized_width"), outH.as("resized_height"))
   }
 
-  /** One image's 64-bit difference hash. */
-  final case class ImageHash(doc_id: Long, dhash: Long)
+  /** One media item's 64-bit perceptual hash/fingerprint. */
+  final case class MediaHash(doc_id: Long, hash: Long)
 
   /** dHash — the classic perceptual near-duplicate fingerprint: the
     * image box-downsamples to a 9×8 luminance grid and each bit
@@ -448,13 +448,11 @@ object Multimodal {
     hash
   }
 
-  /** dHash per row, batched per partition like [[decode]]; rows whose
-    * bytes no reader decodes drop out (they have no perceptual
-    * content to compare). */
-  def dHashes(ds: Dataset[MediaIn], batchSize: Int = 64): Dataset[ImageHash] = {
+  /** dHash per row; rows whose bytes no reader decodes drop out
+    * (they have no perceptual content to compare). */
+  def dHashes(ds: Dataset[MediaIn]): Dataset[MediaHash] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap(m =>
-      dHash(m.content).map(ImageHash(m.doc_id, _)))))
+    ds.flatMap(m => dHash(m.content).map(MediaHash(m.doc_id, _)))
   }
 
   /** 64-bit PCM energy fingerprint — the AUDIO sibling of [[dHash]],
@@ -517,15 +515,15 @@ object Multimodal {
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** [[audioFingerprint]] per row, batched like [[dHashes]]. */
-  def audioFingerprints(ds: Dataset[MediaIn], batchSize: Int = 64): Dataset[ImageHash] = {
+  /** [[audioFingerprint]] per row, like [[dHashes]]. */
+  def audioFingerprints(ds: Dataset[MediaIn]): Dataset[MediaHash] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap(m =>
-      audioFingerprint(m.content).map(ImageHash(m.doc_id, _)))))
+    ds.flatMap(m => audioFingerprint(m.content).map(MediaHash(m.doc_id, _)))
   }
 
-  /** Perceptual near-duplicate pairs over (doc_id, dhash) — the image
-    * half of the dedup family: the 64-bit hash splits into `bands`
+  /** Perceptual near-duplicate pairs over (doc_id, hash) — shared by
+    * the image (dHash) and audio (energy fingerprint) dedup paths:
+    * the 64-bit hash splits into `bands`
     * equal slices and candidate pairs join on (band index, band
     * value) equality — a HASH join, never all-pairs, the same
     * banding shape as MinHash-LSH text dedup. Pigeonhole soundness:
@@ -536,7 +534,7 @@ object Multimodal {
     * one pass per image at ingest (store the hash column); pairing
     * shuffles only (id, 64-bit hash) scalars through band-keyed
     * exchanges. */
-  def imageNearDupPairs(hashes: DataFrame, maxDistance: Int = 3,
+  def bandedNearDupPairs(hashes: DataFrame, maxDistance: Int = 3,
       bands: Int = 4): DataFrame = {
     import org.apache.spark.sql.functions._
     require(bands > 0 && 64 % bands == 0, s"bands must divide 64: $bands")
@@ -544,19 +542,21 @@ object Multimodal {
       s"maxDistance $maxDistance needs $bands bands > it — pigeonhole " +
         "blocking only guarantees a shared band below the band count")
     val width = 64 / bands
-    val mask = (1L << width) - 1
-    val banded = hashes.select(col("doc_id"), col("dhash"),
+    // bands = 1 → width 64: 1L << 64 wraps to 1 (shift counts are mod
+    // 64), so the all-bits mask must be spelled explicitly
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val banded = hashes.select(col("doc_id"), col("hash"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           // arithmetic shift + mask ≡ logical shift + mask on the low
           // bits — the form both engines reproduce bit-identically
-          shiftright(col("dhash"), b * width).bitwiseAND(lit(mask)).as("bv"))
+          shiftright(col("hash"), b * width).bitwiseAND(lit(mask)).as("bv"))
       ): _*)).as("bb"))
-      .select(col("doc_id"), col("dhash"),
+      .select(col("doc_id"), col("hash"),
         col("bb.band").as("band"), col("bb.bv").as("bv"))
-    val left = banded.select(col("doc_id").as("id_a"), col("dhash").as("h_a"),
+    val left = banded.select(col("doc_id").as("id_a"), col("hash").as("h_a"),
       col("band"), col("bv"))
-    val right = banded.select(col("doc_id").as("id_b"), col("dhash").as("h_b"),
+    val right = banded.select(col("doc_id").as("id_b"), col("hash").as("h_b"),
       col("band"), col("bv"))
     left.join(right, Seq("band", "bv"))
       .filter(col("id_a") < col("id_b"))

@@ -242,7 +242,7 @@ object MultimodalQueries {
       val hashes = Multimodal.dHashes(
         originals.unionByName(copies).unionByName(variants)
           .as[Multimodal.MediaIn]).toDF()
-      Multimodal.imageNearDupPairs(hashes, maxDistance = 3)
+      Multimodal.bandedNearDupPairs(hashes, maxDistance = 3)
     },
 
     // ── Audio-fingerprint near-dup: the AUDIO sibling of the phash row
@@ -319,7 +319,7 @@ object MultimodalQueries {
       val prints = Multimodal.audioFingerprints(
         originals.unionByName(copies).unionByName(variants)
           .as[Multimodal.MediaIn]).toDF()
-      Multimodal.imageNearDupPairs(prints, maxDistance = 3)
+      Multimodal.bandedNearDupPairs(prints, maxDistance = 3)
     },
 
     // ── Binary scan: binaryFile source over the fixture object tree ────

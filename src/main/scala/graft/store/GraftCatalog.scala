@@ -86,7 +86,7 @@ class GraftCatalog extends TableCatalog {
     val path = pathOf(ident)
     if (CommitLog.latestVersion(spark, path) == 0)
       throw new NoSuchTableException(ident)
-    GraftTable(path, asOf = Long.MaxValue, ident.toString)
+    GraftTable(path, asOf = Long.MaxValue, ident.toString, catalogName)
   }
 
   /** `VERSION AS OF <v>` — a version-pinned, read-only table. */
@@ -94,7 +94,7 @@ class GraftCatalog extends TableCatalog {
     val path = pathOf(ident)
     if (CommitLog.latestVersion(spark, path) == 0)
       throw new NoSuchTableException(ident)
-    GraftTable(path, asOf = version.toLong, ident.toString)
+    GraftTable(path, asOf = version.toLong, ident.toString, catalogName)
   }
 
   /** `TIMESTAMP AS OF <ts>` (Spark hands MICROseconds) — resolved
@@ -105,7 +105,7 @@ class GraftCatalog extends TableCatalog {
       throw new NoSuchTableException(ident)
     GraftTable(path,
       asOf = CommitLog.versionAtTimestamp(spark, path, timestampMicros / 1000L),
-      ident.toString)
+      ident.toString, catalogName)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -125,7 +125,7 @@ class GraftCatalog extends TableCatalog {
     CommitLog.commit(spark, path, adds = Seq.empty, opTag = Some("create"),
       schemaJson = Some(schema.json), schemaExpect = Some(None))
     if (user.nonEmpty) CommitLog.setProperties(spark, path, user.toMap)
-    GraftTable(path, asOf = Long.MaxValue, ident.toString)
+    GraftTable(path, asOf = Long.MaxValue, ident.toString, catalogName)
   }
 
   private val ReservedProps: Set[String] = Set(
@@ -234,7 +234,7 @@ class GraftCatalog extends TableCatalog {
   * switch). `asOf != Long.MaxValue` pins a time-travel snapshot,
   * which is read-only. */
 private[graft] case class GraftTable(path: String, asOf: Long,
-    identString: String) extends Table
+    identString: String, catalog: String = "graft") extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
     with org.apache.spark.sql.graft.V1FallbackTable {
 
@@ -248,8 +248,11 @@ private[graft] case class GraftTable(path: String, asOf: Long,
   override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
     import org.apache.spark.sql.catalyst.catalog._
     CatalogTable(
+      // the REGISTERED catalog name and the table's real identifier —
+      // identifier-keyed consumers (cache refresh, UI, checkpoint
+      // logs) must see the name the user addressed, not the path
       identifier = org.apache.spark.sql.catalyst.TableIdentifier(
-        path, Some("graft")),
+        identString, Some(catalog)),
       tableType = CatalogTableType.EXTERNAL,
       storage = CatalogStorageFormat.empty.copy(
         locationUri = Some(new org.apache.hadoop.fs.Path(path).toUri),

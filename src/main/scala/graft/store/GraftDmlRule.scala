@@ -47,7 +47,8 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case d @ DeleteFromTable(GraftRel(t, rel), condition) if d.resolved =>
       writable(t)
-      val predicate = toColumn(condition, rel.outputSet, AttributeSet.empty)
+      val predicate = toColumn(condition, rel.outputSet, AttributeSet.empty,
+        Seq.empty)
       GraftDmlCommand(t.path, session =>
         CommitLog.deleteWhere(session, t.path,
           CommitLog.tableSchema(session, t.path), predicate,
@@ -58,22 +59,20 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val target = rel.outputSet
       val sets: Map[String, Column] = assignments.map {
         case Assignment(key: AttributeReference, value) if target.contains(key) =>
-          key.name -> toColumn(value, target, AttributeSet.empty)
+          key.name -> toColumn(value, target, AttributeSet.empty, Seq.empty)
         case other => fail(s"UPDATE SET target must be a target column, got `${other.sql}`")
       }.toMap
       val predicate = condition
-        .map(toColumn(_, target, AttributeSet.empty)).getOrElse(lit(true))
+        .map(toColumn(_, target, AttributeSet.empty, Seq.empty))
+        .getOrElse(lit(true))
       GraftDmlCommand(t.path, session =>
         CommitLog.updateWhere(session, t.path,
           CommitLog.tableSchema(session, t.path), predicate, sets,
           deletionVectors = morEnabled(session)))
 
-    case m: MergeIntoTable if m.resolved && m.targetTable.exists {
-        case GraftRel(_, _) => true; case _ => false } =>
-      val (t, rel) = m.targetTable match {
-        case GraftRel(tt, r) => (tt, r)
-        case _ => fail("unreachable: guarded above")
-      }
+    case m: MergeIntoTable if m.resolved &&
+        GraftRel.unapply(m.targetTable).isDefined =>
+      val (t, rel) = GraftRel.unapply(m.targetTable).get
       writable(t)
       require(!m.withSchemaEvolution,
         "MERGE WITH SCHEMA EVOLUTION over a graft table is not supported " +
@@ -86,14 +85,15 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       sealed trait M
       case class MUpd(cols: Seq[String], cond: Option[Column]) extends M
       case class MDel(cond: Option[Column]) extends M
+      // star actions never appear here: a star's `resolved` is
+      // hardwired false, so `m.resolved` guarantees the analyzer
+      // already expanded UPDATE */INSERT * into explicit assignments
       val matched: Seq[M] = m.matchedActions.map {
         case UpdateAction(cond, assignments, _) =>
           MUpd(updateCols(assignments, keys, target, source),
-            cond.map(toColumn(_, target, source)))
-        case UpdateStarAction(cond) =>
-          MUpd(m.sourceTable.output.map(_.name).filterNot(keys.contains),
-            cond.map(toColumn(_, target, source)))
-        case DeleteAction(cond) => MDel(cond.map(toColumn(_, target, source)))
+            cond.map(toColumn(_, target, source, keys)))
+        case DeleteAction(cond) =>
+          MDel(cond.map(toColumn(_, target, source, keys)))
         case other => fail(s"unsupported WHEN MATCHED action: $other")
       }
       // a NOT MATCHED condition evaluates over SOURCE rows with PLAIN
@@ -101,18 +101,16 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // set translates as the plain-name side here
       val insertCond: Option[Option[Column]] = m.notMatchedActions match {
         case Seq() => None
-        case Seq(InsertStarAction(cond)) =>
-          Some(cond.map(toColumn(_, source, AttributeSet.empty)))
         case Seq(InsertAction(cond, assignments)) =>
           checkInsertAssignments(assignments, target, source)
-          Some(cond.map(toColumn(_, source, AttributeSet.empty)))
+          Some(cond.map(toColumn(_, source, AttributeSet.empty, Seq.empty)))
         case other => fail(s"unsupported WHEN NOT MATCHED actions: $other")
       }
       val bySourceDelete: Option[Option[Column]] =
         m.notMatchedBySourceActions match {
           case Seq() => None
           case Seq(DeleteAction(cond)) =>
-            Some(cond.map(toColumn(_, target, AttributeSet.empty)))
+            Some(cond.map(toColumn(_, target, AttributeSet.empty, Seq.empty)))
           case other => fail(
             s"unsupported WHEN NOT MATCHED BY SOURCE action (only DELETE): $other")
         }
@@ -144,19 +142,33 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Resolved expression → Column in the MergeClauses namespace:
     * target attributes by plain name, source attributes as
-    * `_src_<name>`; leaves are swapped then the tree re-renders
-    * through its SQL form (the GraftSql technique — arbitrary scalar
-    * expressions survive without re-implementing a grammar). */
+    * `_src_<name>` — EXCEPT source KEY columns, which render plain
+    * (the clause join carries keys once under their plain names; they
+    * are equal on both sides by the ON condition); leaves are swapped
+    * then the tree re-renders through its SQL form (the GraftSql
+    * technique — arbitrary scalar expressions survive without
+    * re-implementing a grammar). */
   private def toColumn(e: Expression, target: AttributeSet,
-      source: AttributeSet): Column =
+      source: AttributeSet, keys: Seq[String]): Column =
     expr(e.transformUp {
-      case a: AttributeReference if source.contains(a) =>
+      case a: AttributeReference if source.contains(a) &&
+          !keys.exists(_.equalsIgnoreCase(a.name)) =>
         UnresolvedAttribute(Seq(MergeClauses.SrcPrefix + a.name))
-      case a: AttributeReference if target.contains(a) =>
+      case a: AttributeReference if source.contains(a) ||
+          target.contains(a) =>
         UnresolvedAttribute(Seq(a.name))
       case a: AttributeReference =>
         fail(s"`${a.name}` is bound to neither the target nor the source")
     }.sql)
+
+  /** Strip analyzer-inserted casts: an INT-keyed source merged into a
+    * BIGINT-keyed table arrives as `t.id = CAST(s.id AS BIGINT)` —
+    * still the documented same-name key form. */
+  @annotation.tailrec
+  private def uncast(e: Expression): Expression = e match {
+    case c: org.apache.spark.sql.catalyst.expressions.Cast => uncast(c.child)
+    case other => other
+  }
 
   /** ON condition → keyed-merge key columns: a conjunction of
     * same-name target=source equalities (resolved-attribute form). */
@@ -167,34 +179,43 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
     }
-    conjuncts(cond).map {
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-          if a.name.equalsIgnoreCase(b.name) &&
-            ((target.contains(a) && source.contains(b)) ||
-              (source.contains(a) && target.contains(b))) =>
-        if (target.contains(a)) a.name else b.name
-      case other => fail(
-        s"unsupported ON term `${other.sql}` — the condition must be a " +
-          "conjunction of target-key = source-key same-name equalities")
+    conjuncts(cond).map { term =>
+      // see through analyzer-inserted casts on either equality side
+      (term match {
+        case EqualTo(l, r) => Some((uncast(l), uncast(r)))
+        case _ => None
+      }) match {
+        case Some((a: AttributeReference, b: AttributeReference))
+            if a.name.equalsIgnoreCase(b.name) &&
+              ((target.contains(a) && source.contains(b)) ||
+                (source.contains(a) && target.contains(b))) =>
+          if (target.contains(a)) a.name else b.name
+        case _ => fail(
+          s"unsupported ON term `${term.sql}` — the condition must be a " +
+            "conjunction of target-key = source-key same-name equalities")
+      }
     }.distinct
   }
 
   /** `SET c = s.c, …` → updated-column list; self-assignments
-    * (`c = c`, produced by Spark's assignment alignment) are no-ops
-    * and drop out. */
+    * (`c = c`, produced by Spark's assignment alignment) and key
+    * copies (equal by ON) are no-ops and drop out — possibly leaving
+    * an EMPTY list, which is still a valid claiming clause
+    * (whenMatchedUpdate accepts it). Analyzer casts on the value side
+    * are stripped first. */
   private def updateCols(assignments: Seq[Assignment], keys: Seq[String],
       target: AttributeSet, source: AttributeSet): Seq[String] =
     assignments.flatMap { case Assignment(key, value) =>
-      val name = key match {
+      val name = uncast(key) match {
         case a: AttributeReference if target.contains(a) => a.name
         case other => fail(s"UPDATE SET target must be a target column, got `${other.sql}`")
       }
-      value match {
+      uncast(value) match {
         case a: AttributeReference if target.contains(a) &&
             a.name.equalsIgnoreCase(name) => None // aligned self-copy: no-op
         case a: AttributeReference if source.contains(a) &&
             a.name.equalsIgnoreCase(name) =>
-          if (keys.contains(name)) None // key = key: equal by ON, no-op
+          if (keys.exists(_.equalsIgnoreCase(name))) None // key = key: equal by ON
           else Some(name)
         case other => fail(
           s"UPDATE SET `$name` = `${other.sql}`: only same-name source-column " +
@@ -203,15 +224,16 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
 
-  /** INSERT column list must be the full same-name mapping. */
+  /** INSERT column list must be the full same-name mapping (analyzer
+    * casts stripped). */
   private def checkInsertAssignments(assignments: Seq[Assignment],
       target: AttributeSet, source: AttributeSet): Unit =
     assignments.foreach { case Assignment(key, value) =>
-      val name = key match {
+      val name = uncast(key) match {
         case a: AttributeReference => a.name
         case other => fail(s"INSERT column must be a plain column, got `${other.sql}`")
       }
-      value match {
+      uncast(value) match {
         case a: AttributeReference if a.name.equalsIgnoreCase(name) => ()
         case other => fail(
           s"INSERT (`$name`) VALUES (`${other.sql}`): only same-name source " +

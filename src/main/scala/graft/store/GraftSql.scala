@@ -562,14 +562,17 @@ object GraftSql {
   // with Expression.sql keeps arbitrary scalar expressions (functions,
   // arithmetic, literals) intact without re-implementing a grammar.
 
-  /** Matched-clause namespace: `t.c` → `c`, `s.c` → `_src_c`;
-    * unqualified names are target columns unless they are keys (keys
-    * are equal on both sides by construction). */
+  /** Matched-clause namespace: `t.c` → `c`, `s.c` → `_src_c` — EXCEPT
+    * source KEY columns, which render plain: the clause join carries
+    * keys once under their plain names (they are equal on both sides
+    * by the ON condition), so `s.id` must resolve to that shared
+    * column, not a nonexistent `_src_id`. */
   private def matchedColumn(e: Expression, tAlias: Option[String],
       sAlias: Option[String], keys: Seq[String]): Column =
     render(e.transformUp {
       case a: UnresolvedAttribute => sideOf(a, tAlias, sAlias) match {
-        case "s" => UnresolvedAttribute(Seq(MergeClauses.SrcPrefix + colName(a)))
+        case "s" if !keys.exists(_.equalsIgnoreCase(colName(a))) =>
+          UnresolvedAttribute(Seq(MergeClauses.SrcPrefix + colName(a)))
         case _ => UnresolvedAttribute(Seq(colName(a)))
       }
     })

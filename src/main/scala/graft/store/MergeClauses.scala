@@ -69,9 +69,11 @@ final class MergeClauses private (
       matched, insertClause, bySourceDelete, publisher, deletionVectors)
 
   /** Update ONLY `cols` from the source when the (optional) condition
-    * holds; other columns keep their target values. */
+    * holds; other columns keep their target values. An EMPTY column
+    * list is a CLAIMING no-op — the clause still consumes matched
+    * rows under first-match-wins precedence (the shape `UPDATE SET
+    * key = s.key` reduces to after self-assignments drop out). */
   def whenMatchedUpdate(cols: Seq[String], cond: Option[Column] = None): MergeClauses = {
-    require(cols.nonEmpty, "whenMatchedUpdate needs at least one column")
     cols.foreach(c => require(schema.fieldNames.contains(c), s"no such column: $c"))
     cols.foreach(c => require(!keyCols.contains(c),
       s"key column $c cannot be updated — a key rewrite is a delete + insert"))

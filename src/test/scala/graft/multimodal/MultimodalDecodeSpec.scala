@@ -153,13 +153,13 @@ class MultimodalDecodeSpec extends SparkSpec {
         Multimodal.dHash(bytesOf(ImageFixture.root, "img_", i)).get)) ++
       ids.map(i => (1000L + i,
         Multimodal.dHash(bytesOf(ImageFixture.root, "img_", i)).get)))
-      .toDF("doc_id", "dhash")
-    val pairs = Multimodal.imageNearDupPairs(frame, maxDistance = 3)
+      .toDF("doc_id", "hash")
+    val pairs = Multimodal.bandedNearDupPairs(frame, maxDistance = 3)
       .as[(Long, Long, Int)].collect().toSet
     assert(ids.forall(i => pairs.contains((i.toLong, 1000L + i, 0))),
       "a bit-identical copy pair is missing")
     intercept[IllegalArgumentException](
-      Multimodal.imageNearDupPairs(frame, maxDistance = 4, bands = 4))
+      Multimodal.bandedNearDupPairs(frame, maxDistance = 4, bands = 4))
     // undecodable bytes drop out instead of hashing garbage
     assert(Multimodal.dHash("not an image".getBytes("UTF-8")).isEmpty)
   }

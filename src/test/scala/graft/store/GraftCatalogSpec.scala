@@ -207,6 +207,32 @@ class GraftCatalogSpec extends SparkSpec {
         "WHEN MATCHED THEN DELETE"))
   }
 
+  test("MERGE corner shapes: source-key conditions, implicit casts, key-only SET") {
+    freshWarehouse()
+    spark.sql("CREATE TABLE graft.mc (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.mc VALUES (1, 'a'), (2, 'b'), (7, 'g')")
+    // a matched condition referencing the SOURCE key column — must
+    // resolve through the shared plain-named key, not `_src_id`
+    Seq((1, "A"), (7, "G")).toDF("id", "v").createOrReplaceTempView("mc_src")
+    spark.sql("""MERGE INTO graft.mc AS t USING mc_src AS s ON t.id = s.id
+                |WHEN MATCHED AND s.id > 5 THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    def rows(): Map[Long, String] = spark.sql("SELECT id, v FROM graft.mc")
+      .as[(Long, String)].collect().toMap
+    assert(rows() == Map(1L -> "A", 2L -> "b"))
+    // the source above was INT-keyed against a BIGINT table — the
+    // analyzer's implicit casts must not break key/assignment
+    // recognition (already exercised); a key-only SET (reducing to an
+    // empty update list) still CLAIMS matched rows under
+    // first-match-wins, shielding them from later clauses
+    Seq((2, "ZZZ")).toDF("id", "v").createOrReplaceTempView("mc_src2")
+    spark.sql("""MERGE INTO graft.mc AS t USING mc_src2 AS s ON t.id = s.id
+                |WHEN MATCHED AND s.id = 2 THEN UPDATE SET id = s.id
+                |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(rows() == Map(1L -> "A", 2L -> "b"),
+      "the claiming no-op update let a later clause fire")
+  }
+
   test("spark.readStream.table streams a catalog table's change feed") {
     freshWarehouse()
     spark.sql("CREATE TABLE graft.st (id BIGINT)")

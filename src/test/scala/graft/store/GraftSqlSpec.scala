@@ -310,6 +310,25 @@ class GraftSqlSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.warehouse")
   }
 
+  test("matched-clause conditions may reference SOURCE key columns") {
+    val t = freshTable()
+    seed(t)
+    Seq((10L, "s", "del"), (20L, "s", "upd")).toDF("id", "cat", "v")
+      .createOrReplaceTempView("graft_srckey_src")
+    // `s.id` in a matched condition resolves through the shared
+    // plain-named key (the clause join carries keys once) — this used
+    // to die with UNRESOLVED_COLUMN `_src_id`
+    GraftSql.execute(spark,
+      s"""MERGE INTO graftlog.`$t` AS t USING graft_srckey_src AS s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.id < 15 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    val rows = CommitLog.read(spark, t, schema)
+      .as[(Long, String, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(!rows.contains(10L), "s.id-conditioned delete did not fire")
+    assert(rows(20L) == "upd")
+  }
+
   test("comments, semicolons, and verb keywords inside literals route correctly") {
     val t = freshTable()
     seed(t)
