@@ -40,6 +40,8 @@ object Cli {
       |  log-history <tablePath>                            commit-log DESCRIBE HISTORY (one row per commit)
       |  log-schema <tablePath> [asOf]                      table schema (ledger-first; historical with asOf)
       |  log-delete <tablePath> <sqlPredicate> [--mor]      row-level DELETE WHERE through the commit log (--mor = deletion vectors)
+      |  log-rename-column <tablePath> <from> <to>          metadata-only rename (stable physical names, zero rewrites)
+      |  log-drop-column <tablePath> <name>                 metadata-only drop (physical name burned — no resurrection)
       |  log-optimize <tablePath> [targetMB] [where]        selective OPTIMIZE: bin-pack small files + absorb deletion vectors
       |  log-constraints <tablePath>                        list active CHECK constraints (SQL: ALTER TABLE … ADD CONSTRAINT)
       |  log-detail <tablePath>                             DESCRIBE DETAIL: version, file census, vector state, constraints
@@ -240,6 +242,14 @@ object Cli {
         loggedSchema(spark, table), org.apache.spark.sql.functions.expr(predicate),
         deletionVectors = rest.nonEmpty)
       s"""{"cmd":"log-delete","table":"$table","version":$v,"mor":${rest.nonEmpty}}"""
+
+    case "log-rename-column" :: table :: from :: to :: Nil =>
+      val v = graft.store.CommitLog.renameColumn(spark, table, from, to)
+      s"""{"cmd":"log-rename-column","table":"$table","version":$v}"""
+
+    case "log-drop-column" :: table :: name :: Nil =>
+      val v = graft.store.CommitLog.dropColumn(spark, table, name)
+      s"""{"cmd":"log-drop-column","table":"$table","version":$v}"""
 
     case "log-restore" :: table :: version :: Nil =>
       val v = graft.store.CommitLog.restore(spark, table, version.toLong)

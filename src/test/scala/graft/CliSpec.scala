@@ -131,6 +131,13 @@ class CliSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Cli.run(spark, Array("log-optimize", t, "id < 1000", "trailing"))
     }
+    // column-mapping verbs: rename reads by the new name; drop burns
+    val rn = Cli.run(spark, Array("log-rename-column", t, "id", "doc_id"))
+    assert(rn.contains(""""version":"""), rn)
+    assert(graft.store.CommitLog.schemaAt(spark, t).get.fieldNames.toSeq ==
+      Seq("doc_id"))
+    assert(graft.store.CommitLog.read(spark, t,
+      graft.store.CommitLog.tableSchema(spark, t)).count() == 180)
     assert(graft.store.CommitLog.read(spark, t,
       spark.range(0).toDF("id").schema).count() == 180)
   }
