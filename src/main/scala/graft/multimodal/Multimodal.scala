@@ -541,19 +541,7 @@ object Multimodal {
     require(maxDistance >= 0 && maxDistance < bands,
       s"maxDistance $maxDistance needs $bands bands > it — pigeonhole " +
         "blocking only guarantees a shared band below the band count")
-    val width = 64 / bands
-    // bands = 1 → width 64: 1L << 64 wraps to 1 (shift counts are mod
-    // 64), so the all-bits mask must be spelled explicitly
-    val mask = if (width == 64) -1L else (1L << width) - 1
-    val banded = hashes.select(col("doc_id"), col("hash"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          // arithmetic shift + mask ≡ logical shift + mask on the low
-          // bits — the form both engines reproduce bit-identically
-          shiftright(col("hash"), b * width).bitwiseAND(lit(mask)).as("bv"))
-      ): _*)).as("bb"))
-      .select(col("doc_id"), col("hash"),
-        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val banded = bandedIndex(hashes, bands)
     val left = banded.select(col("doc_id").as("id_a"), col("hash").as("h_a"),
       col("band"), col("bv"))
     val right = banded.select(col("doc_id").as("id_b"), col("hash").as("h_b"),
@@ -565,6 +553,58 @@ object Multimodal {
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int"))
       .filter(col("distance") <= maxDistance)
       .select("id_a", "id_b", "distance")
+  }
+
+  /** The hash frame exploded into its LSH band entries — the AT-REST
+    * index layout for INCREMENTAL near-dup: (band, bv, doc_id, hash)
+    * appended to a logged table once per arrival batch, so the next
+    * batch probes the corpus-so-far with a band-keyed hash join
+    * instead of rescanning it. */
+  def bandedIndex(hashes: DataFrame, bands: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64: $bands")
+    val width = 64 / bands
+    // bands = 1 → width 64: 1L << 64 wraps to 1 (shift counts are mod
+    // 64), so the all-bits mask must be spelled explicitly
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    hashes.select(col("doc_id"), col("hash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          // arithmetic shift + mask ≡ logical shift + mask on the low
+          // bits — the form both engines reproduce bit-identically
+          shiftright(col("hash"), b * width).bitwiseAND(lit(mask)).as("bv"))
+      ): _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bv").as("bv"),
+        col("doc_id"), col("hash"))
+  }
+
+  /** Probe an at-rest [[bandedIndex]] with an ARRIVING hash batch —
+    * incremental near-dup detection: each arriving hash joins only
+    * the index buckets its bands select, so per-batch work scales
+    * with the INCREMENT × matched buckets, never the corpus (probe
+    * BEFORE appending the batch's own bands, so a batch never
+    * self-pairs through the index). Same pigeonhole soundness
+    * contract as [[bandedNearDupPairs]]. Output: (index_id,
+    * incoming_id, distance). */
+  def probeBandedIndex(index: DataFrame, incoming: DataFrame,
+      maxDistance: Int = 3, bands: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(maxDistance >= 0 && maxDistance < bands,
+      s"maxDistance $maxDistance needs $bands bands > it — pigeonhole " +
+        "blocking only guarantees a shared band below the band count")
+    val probe = bandedIndex(incoming, bands)
+      .select(col("band"), col("bv"),
+        col("doc_id").as("incoming_id"), col("hash").as("h_in"))
+    index
+      .select(col("band"), col("bv"),
+        col("doc_id").as("index_id"), col("hash").as("h_ix"))
+      .join(probe, Seq("band", "bv"))
+      .filter(col("index_id") =!= col("incoming_id"))
+      .select("index_id", "incoming_id", "h_ix", "h_in").distinct()
+      .withColumn("distance",
+        bit_count(col("h_ix").bitwiseXOR(col("h_in"))).cast("int"))
+      .filter(col("distance") <= maxDistance)
+      .select("index_id", "incoming_id", "distance")
   }
 
   /** Binary scan of an object tree (S5/S6's Spark shape): the

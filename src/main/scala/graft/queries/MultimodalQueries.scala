@@ -245,6 +245,112 @@ object MultimodalQueries {
       Multimodal.bandedNearDupPairs(hashes, maxDistance = 3)
     },
 
+    // ── INCREMENTAL phash near-dup: the arrival-batch shape — the
+    // originals' band entries live AT REST in a LOGGED index table;
+    // the arriving batch (copies + variants) probes only the buckets
+    // its bands select, then appends its own bands (the index grows;
+    // the query proves the growth landed). Per-batch cost scales with
+    // the increment, never the corpus. Oracle = the full phash
+    // pipeline restricted to (original, arrival) pairs. ───────────────
+    Q(
+      "multimodal_phash_incremental",
+      """WITH ids AS (
+        |  SELECT i AS img, CAST(i AS BIGINT) AS id
+        |  FROM range(0, 48) t(i) WHERE i % 3 <> 2
+        |  UNION ALL
+        |  SELECT i, 1000 + i FROM range(0, 24) t(i) WHERE i % 3 <> 2
+        |  UNION ALL
+        |  SELECT i, 2000 + i FROM range(0, 24) t(i) WHERE i % 3 <> 2),
+        |dims AS (
+        |  SELECT DISTINCT img, 8 + img % 16 AS w, 8 + (img * 7) % 16 AS h
+        |  FROM ids),
+        |pix AS (
+        |  SELECT i.id, i.img, d.w, d.h, xs.x, ys.y,
+        |    CASE WHEN i.id >= 2000 AND xs.x = 0 AND ys.y = 0 THEN 45710
+        |         ELSE 299 * ((v.v >> 16) & 255) + 587 * ((v.v >> 8) & 255)
+        |              + 114 * (v.v & 255) END AS gray
+        |  FROM ids i
+        |  JOIN dims d USING (img)
+        |  CROSS JOIN range(0, 24) xs(x)
+        |  CROSS JOIN range(0, 24) ys(y)
+        |  CROSS JOIN LATERAL (SELECT
+        |    ((i.img * 37 + xs.x * 11 + ys.y * 29) * 2654435761) & 16777215 AS v) v
+        |  WHERE xs.x < d.w AND ys.y < d.h),
+        |cells AS (
+        |  SELECT id, (y * 8) // h AS cy, (x * 9) // w AS cx,
+        |    SUM(gray) AS s, COUNT(*) AS n
+        |  FROM pix GROUP BY id, (y * 8) // h, (x * 9) // w),
+        |grid AS (
+        |  SELECT b.id, cys.cy, cxs.cx,
+        |    COALESCE(c.s, 0) AS s, GREATEST(COALESCE(c.n, 0), 1) AS n
+        |  FROM (SELECT DISTINCT id FROM ids) b
+        |  CROSS JOIN range(0, 8) cys(cy)
+        |  CROSS JOIN range(0, 9) cxs(cx)
+        |  LEFT JOIN cells c ON c.id = b.id AND c.cy = cys.cy AND c.cx = cxs.cx),
+        |bits AS (
+        |  SELECT l.id, l.cy, l.cx,
+        |    CASE WHEN l.s * r.n > r.s * l.n THEN 1 ELSE 0 END AS bit
+        |  FROM grid l
+        |  JOIN grid r ON r.id = l.id AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8),
+        |hashes AS (
+        |  SELECT id, CAST(SUM(CASE
+        |      WHEN cy * 8 + cx = 63
+        |        THEN CASE WHEN bit = 1 THEN -9223372036854775808 ELSE 0 END
+        |      ELSE bit * (1::BIGINT << (cy * 8 + cx)) END) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY id),
+        |banded AS (
+        |  SELECT id, dhash, bs.band, (dhash >> (bs.band * 16)) & 65535 AS bv
+        |  FROM hashes CROSS JOIN range(0, 4) bs(band)),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS index_id, b.id AS incoming_id,
+        |    a.dhash AS h_a, b.dhash AS h_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bv = b.bv
+        |   AND a.id < 1000 AND b.id >= 1000)
+        |SELECT index_id, incoming_id,
+        |  CAST(bit_count(xor(h_a, h_b)) AS INTEGER) AS distance
+        |FROM pairs WHERE bit_count(xor(h_a, h_b)) <= 3""".stripMargin) { (s, _) =>
+      import graft.store.CommitLog
+      import s.implicits._
+      def scan(root: String, pat: String, offset: Long) =
+        Multimodal.scanBinary(s, root)
+          .select((regexp_extract(col("key"), pat, 1).cast("long") + offset)
+            .as("doc_id"), col("content"))
+      val originals = scan(ImageFixture.ensure(), "img_(\\d+)", 0L)
+        .filter(col("doc_id") % 3 =!= 2)
+      // bootstrap: the corpus-so-far's band index lives in a LOGGED
+      // table (rebuilt per run — the fixture state is tiny)
+      val idxTable = "/tmp/graft_state/phash_band_index"
+      val fs = new org.apache.hadoop.fs.Path(idxTable)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idxTable), true)
+      CommitLog.append(Multimodal.bandedIndex(
+        Multimodal.dHashes(originals.as[Multimodal.MediaIn]).toDF()),
+        idxTable, mergeSchema = true)
+      // the ARRIVAL batch probes the at-rest index…
+      val copies = originals.filter(col("doc_id") < 24)
+        .select((col("doc_id") + 1000).as("doc_id"), col("content"))
+      val variants = scan(ImageFixture.ensureVariants(), "var_(\\d+)", 2000L)
+      val incoming = Multimodal.dHashes(
+        copies.unionByName(variants).as[Multimodal.MediaIn]).toDF()
+        .localCheckpoint(true)
+      val atRest = CommitLog.read(s, idxTable,
+        CommitLog.tableSchema(s, idxTable))
+      val pairs = Multimodal.probeBandedIndex(atRest, incoming, maxDistance = 3)
+        .localCheckpoint(true)
+      // …then appends its own bands; the index must have grown by
+      // exactly the increment's band entries (4 per hash)
+      val before = CommitLog.read(s, idxTable,
+        CommitLog.tableSchema(s, idxTable)).count()
+      CommitLog.append(Multimodal.bandedIndex(incoming), idxTable)
+      val after = CommitLog.read(s, idxTable,
+        CommitLog.tableSchema(s, idxTable)).count()
+      require(after == before + incoming.count() * 4,
+        s"index growth mismatch: $before -> $after")
+      pairs
+    },
+
     // ── Audio-fingerprint near-dup: the AUDIO sibling of the phash row
     // — 64-bit PCM energy-profile prints over real decoded samples
     // (WAV/AIFF/AU, endianness per container), the same banded-LSH

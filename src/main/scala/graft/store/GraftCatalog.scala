@@ -117,14 +117,25 @@ class GraftCatalog extends TableCatalog {
     if (CommitLog.latestVersion(spark, path) > 0)
       throw new TableAlreadyExistsException(Seq(catalogName, ident.toString))
     // Spark stamps reserved bookkeeping keys (provider/owner/…) into
-    // every CREATE — only user-declared properties enter the ledger
+    // every CREATE — only user-declared properties enter the ledger,
+    // and they ride the SAME commit as the schema (a crash between
+    // two commits must not leave a table without its declared
+    // properties). schemaExpect(None): two concurrent CREATEs both
+    // pass the exists-check; the loser's re-publish would restamp the
+    // winner's ledger — the schema fence aborts it loudly instead.
     val user = properties.asScala.filterNot { case (k, _) => ReservedProps(k) }
-    // schemaExpect(None): two concurrent CREATEs both pass the
-    // exists-check; the loser's re-publish would restamp the winner's
-    // ledger — the schema fence aborts it loudly instead
-    CommitLog.commit(spark, path, adds = Seq.empty, opTag = Some("create"),
-      schemaJson = Some(schema.json), schemaExpect = Some(None))
-    if (user.nonEmpty) CommitLog.setProperties(spark, path, user.toMap)
+    user.foreach { case (k, v) =>
+      require(k.nonEmpty && !k.exists(c => c.isWhitespace || c == ':'),
+        s"property key must be whitespace/colon-free: $k")
+      require(!v.exists(c => c == '\n' || c == '\r'),
+        s"property value must be newline-free: $k")
+    }
+    CommitLog.commitOrAbort(spark, path, adds = Seq.empty, removes = Seq.empty,
+      publisher = RenameOrLinkPublisher, opTag = Some("create"),
+      abortOnLostRace = () => false, schemaJson = Some(schema.json),
+      schemaExpect = Some(None),
+      propertyTags = user.toSeq.sortBy(_._1).map { case (k, v) => s"+$k:$v" })
+      .getOrElse(throw new IllegalStateException("unreachable: unfenced create"))
     GraftTable(path, asOf = Long.MaxValue, ident.toString, catalogName)
   }
 

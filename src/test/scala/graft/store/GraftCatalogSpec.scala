@@ -121,6 +121,14 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("ALTER TABLE graft.gov ADD COLUMNS (note STRING)")
     val out = spark.sql("SELECT id, note FROM graft.gov").collect()
     assert(out.length == 1 && out.head.isNullAt(1), "old rows must null-fill")
+    // CREATE … TBLPROPERTIES: the properties ride the create commit
+    // itself (ONE commit — a crash cannot leave the table undeclared)
+    spark.sql("CREATE TABLE graft.props (id BIGINT) " +
+      "TBLPROPERTIES ('bloom.columns' = 'id')")
+    assert(CommitLog.propertiesAt(spark, s"$wh/props")
+      == Map("bloom.columns" -> "id"))
+    assert(CommitLog.latestVersion(spark, s"$wh/props") == 1L,
+      "CREATE with properties took more than one commit")
   }
 
   test("DV-carrying snapshots read correctly through the catalog") {
