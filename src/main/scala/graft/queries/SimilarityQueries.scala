@@ -378,6 +378,33 @@ object SimilarityQueries {
         e.filter(col("vec_id") < 5), k = 10, cents, nProbe = 3)
     },
 
+    // ── Cluster-stratified diversity sample: fixed budget per
+    // embedding cluster (IVF assignment, first-10 centroid seed),
+    // most-central rows first — the semantic-balance selection step
+    // between dedup and mixing; oracle replays assignment, centrality
+    // and the per-cluster window relationally. ────────────────────────
+    Q(
+      "corpus_diversity_sample",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 10),
+        |assign AS (
+        |  SELECT vec_id, cid, score FROM (
+        |    SELECT e.vec_id, cent.cid,
+        |      list_cosine_similarity(e.v, cent.cv) AS score,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.cid) AS rn
+        |    FROM e, cent) WHERE rn = 1),
+        |ranked AS (
+        |  SELECT cid, vec_id, score,
+        |    row_number() OVER (PARTITION BY cid
+        |      ORDER BY score DESC, vec_id) AS rank
+        |  FROM assign)
+        |SELECT cid, CAST(rank AS BIGINT) AS rank, vec_id, score
+        |FROM ranked WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      Similarity.clusterStratifiedSample(emb(s, dir), numCentroids = 10,
+        perCluster = 5)
+    },
+
     // ── Embedding near-dup: sign-block + cosine threshold ──────────────
     // Planted exact copies (vec_id<20 → +10000) must all come back;
     // both engines use the identical sign-bit blocking, so any natural

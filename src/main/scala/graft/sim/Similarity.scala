@@ -182,6 +182,43 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "score")
   }
 
+  /** CLUSTER-STRATIFIED DIVERSITY SAMPLE — the selection step a
+    * training-data pipeline runs between dedup and mixing: source- or
+    * quality-stratified sampling keeps PROVENANCE balance, but a
+    * corpus can still be semantically lopsided inside each source;
+    * this samples a fixed budget PER EMBEDDING CLUSTER, so every
+    * semantic region keeps representation. Assignment is the IVF
+    * zero-shuffle per-row centroid argmin (same first-k centroid seed
+    * and tie-breaks as the ANN family, so the oracle replays it);
+    * within a cluster, rows rank by centrality (cosine to the
+    * centroid, DESC — most-typical first; lowest vec_id on ties) and
+    * the top `perCluster` survive. Plan shape: corpus scan → per-row
+    * cid + score (no exchange carries an embedding) → one
+    * (cid, vec_id, score) scalar shuffle for the per-cluster window.
+    * At 100 TB: the window partitions by cid (k partitions) — for
+    * huge per-cluster populations swap the window for a TakeOrdered
+    * per cid; at the k ≪ corpus sizes this targets, partial
+    * aggregation keeps the shuffle scalar-thin. */
+  def clusterStratifiedSample(corpus: DataFrame, numCentroids: Int,
+      perCluster: Int): DataFrame = {
+    require(perCluster > 0, s"perCluster must be positive: $perCluster")
+    val cents = initialCentroids(corpus, numCentroids)
+    val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("cid", nearestCid(corpus, cents, col("e")))
+    // centrality = cosine to the OWN cluster's centroid, computed
+    // per-row from the literal centroid set (no join, no exchange)
+    val score = cents.map { case (cid, cv) =>
+      (cid, nativeCosine(corpus)(col("e"), litVec(cv)))
+    }.foldRight(lit(Double.NegativeInfinity): Column) { case ((cid, s), rest) =>
+      when(col("cid") === cid, s).otherwise(rest)
+    }
+    val w = Window.partitionBy("cid").orderBy(col("score").desc, col("vec_id"))
+    e.withColumn("score", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= perCluster)
+      .select(col("cid"), col("rank"), col("vec_id"), col("score"))
+  }
+
   /** The IVF index metadata: (cid, centroid vector) pairs, held
     * driver-side. Bounded by k — NEVER corpus-proportional — exactly the
     * state a real IVF index keeps in RAM; the k-row collect below is the

@@ -119,6 +119,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cluster-stratified sample: per-cluster budget, centrality order, full coverage") {
+    import spark.implicits._
+    val sampled = Similarity.clusterStratifiedSample(e, numCentroids = 10,
+      perCluster = 5).cache()
+    val byCluster = sampled.groupBy("cid").count()
+      .as[(Long, Long)].collect().toMap
+    // budget respected per cluster; every non-empty cluster represented
+    assert(byCluster.values.forall(_ <= 5), s"over budget: $byCluster")
+    assert(byCluster.keySet == (0L until 10L).toSet,
+      s"a cluster lost representation: ${byCluster.keySet}")
+    // ranks contiguous from 1 and ordered by centrality (score desc)
+    val ranks = sampled.select("cid", "rank", "score")
+      .as[(Long, Long, Double)].collect().groupBy(_._1)
+    ranks.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.map(_._3).toSeq.reverse.sorted.reverse ==
+        sorted.map(_._3).toSeq, "rank order disagrees with centrality")
+    }
+    // a centroid-seed vector is its own cluster's most central member
+    val selfRank = sampled.filter(col("vec_id") === col("cid"))
+      .select("rank").as[Long].collect()
+    assert(selfRank.forall(_ == 1L),
+      "a centroid vector is not rank 1 in its own cluster")
+    intercept[IllegalArgumentException](
+      Similarity.clusterStratifiedSample(e, 10, perCluster = 0))
+  }
+
   test("PQ kernels refuse indivisible dimensions and ragged codebooks loudly") {
     // the SQL-registered kernels are reachable without pqTopK's API
     // validation — integer division would silently drop the trailing
