@@ -21,6 +21,60 @@ object MultimodalQueries {
 
   private val hexValSql = (c: String) => s"(instr('0123456789abcdef', $c) - 1)"
 
+  /** The shared dHash-pipeline CTEs (DuckDB): fixture ids → arithmetic
+    * pixels → luminance cells → gradient bits → 64-bit hashes → band
+    * values. The three phash oracles compose their own pair/cluster
+    * finals over `banded`. */
+  private val PhashPipelineCtes: String =
+    """ids AS (
+      |  SELECT i AS img, CAST(i AS BIGINT) AS id
+      |  FROM range(0, 48) t(i) WHERE i % 3 <> 2
+      |  UNION ALL
+      |  SELECT i, 1000 + i FROM range(0, 24) t(i) WHERE i % 3 <> 2
+      |  UNION ALL
+      |  SELECT i, 2000 + i FROM range(0, 24) t(i) WHERE i % 3 <> 2),
+      |dims AS (
+      |  SELECT DISTINCT img, 8 + img % 16 AS w, 8 + (img * 7) % 16 AS h
+      |  FROM ids),
+      |pix AS (
+      |  SELECT i.id, i.img, d.w, d.h, xs.x, ys.y,
+      |    CASE WHEN i.id >= 2000 AND xs.x = 0 AND ys.y = 0 THEN 45710
+      |         ELSE 299 * ((v.v >> 16) & 255) + 587 * ((v.v >> 8) & 255)
+      |              + 114 * (v.v & 255) END AS gray
+      |  FROM ids i
+      |  JOIN dims d USING (img)
+      |  CROSS JOIN range(0, 24) xs(x)
+      |  CROSS JOIN range(0, 24) ys(y)
+      |  CROSS JOIN LATERAL (SELECT
+      |    ((i.img * 37 + xs.x * 11 + ys.y * 29) * 2654435761) & 16777215 AS v) v
+      |  WHERE xs.x < d.w AND ys.y < d.h),
+      |cells AS (
+      |  SELECT id, (y * 8) // h AS cy, (x * 9) // w AS cx,
+      |    SUM(gray) AS s, COUNT(*) AS n
+      |  FROM pix GROUP BY id, (y * 8) // h, (x * 9) // w),
+      |grid AS (
+      |  SELECT b.id, cys.cy, cxs.cx,
+      |    COALESCE(c.s, 0) AS s, GREATEST(COALESCE(c.n, 0), 1) AS n
+      |  FROM (SELECT DISTINCT id FROM ids) b
+      |  CROSS JOIN range(0, 8) cys(cy)
+      |  CROSS JOIN range(0, 9) cxs(cx)
+      |  LEFT JOIN cells c ON c.id = b.id AND c.cy = cys.cy AND c.cx = cxs.cx),
+      |bits AS (
+      |  SELECT l.id, l.cy, l.cx,
+      |    CASE WHEN l.s * r.n > r.s * l.n THEN 1 ELSE 0 END AS bit
+      |  FROM grid l
+      |  JOIN grid r ON r.id = l.id AND r.cy = l.cy AND r.cx = l.cx + 1
+      |  WHERE l.cx < 8),
+      |hashes AS (
+      |  SELECT id, CAST(SUM(CASE
+      |      WHEN cy * 8 + cx = 63
+      |        THEN CASE WHEN bit = 1 THEN -9223372036854775808 ELSE 0 END
+      |      ELSE bit * (1::BIGINT << (cy * 8 + cx)) END) AS BIGINT) AS dhash
+      |  FROM bits GROUP BY id),
+      |banded AS (
+      |  SELECT id, dhash, bs.band, (dhash >> (bs.band * 16)) & 65535 AS bv
+      |  FROM hashes CROSS JOIN range(0, 4) bs(band))""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ── Decode: binary → typed metadata struct via batched mapPartitions
@@ -175,60 +229,13 @@ object MultimodalQueries {
     // pixels from the formula (stated, not hidden). ───────────────────
     Q(
       "multimodal_phash_near_dup",
-      """WITH ids AS (
-        |  SELECT i AS img, CAST(i AS BIGINT) AS id
-        |  FROM range(0, 48) t(i) WHERE i % 3 <> 2
-        |  UNION ALL
-        |  SELECT i, 1000 + i FROM range(0, 24) t(i) WHERE i % 3 <> 2
-        |  UNION ALL
-        |  SELECT i, 2000 + i FROM range(0, 24) t(i) WHERE i % 3 <> 2),
-        |dims AS (
-        |  SELECT DISTINCT img, 8 + img % 16 AS w, 8 + (img * 7) % 16 AS h
-        |  FROM ids),
-        |pix AS (
-        |  SELECT i.id, i.img, d.w, d.h, xs.x, ys.y,
-        |    CASE WHEN i.id >= 2000 AND xs.x = 0 AND ys.y = 0 THEN 45710
-        |         ELSE 299 * ((v.v >> 16) & 255) + 587 * ((v.v >> 8) & 255)
-        |              + 114 * (v.v & 255) END AS gray
-        |  FROM ids i
-        |  JOIN dims d USING (img)
-        |  CROSS JOIN range(0, 24) xs(x)
-        |  CROSS JOIN range(0, 24) ys(y)
-        |  CROSS JOIN LATERAL (SELECT
-        |    ((i.img * 37 + xs.x * 11 + ys.y * 29) * 2654435761) & 16777215 AS v) v
-        |  WHERE xs.x < d.w AND ys.y < d.h),
-        |cells AS (
-        |  SELECT id, (y * 8) // h AS cy, (x * 9) // w AS cx,
-        |    SUM(gray) AS s, COUNT(*) AS n
-        |  FROM pix GROUP BY id, (y * 8) // h, (x * 9) // w),
-        |grid AS (
-        |  SELECT b.id, cys.cy, cxs.cx,
-        |    COALESCE(c.s, 0) AS s, GREATEST(COALESCE(c.n, 0), 1) AS n
-        |  FROM (SELECT DISTINCT id FROM ids) b
-        |  CROSS JOIN range(0, 8) cys(cy)
-        |  CROSS JOIN range(0, 9) cxs(cx)
-        |  LEFT JOIN cells c ON c.id = b.id AND c.cy = cys.cy AND c.cx = cxs.cx),
-        |bits AS (
-        |  SELECT l.id, l.cy, l.cx,
-        |    CASE WHEN l.s * r.n > r.s * l.n THEN 1 ELSE 0 END AS bit
-        |  FROM grid l
-        |  JOIN grid r ON r.id = l.id AND r.cy = l.cy AND r.cx = l.cx + 1
-        |  WHERE l.cx < 8),
-        |hashes AS (
-        |  SELECT id, CAST(SUM(CASE
-        |      WHEN cy * 8 + cx = 63
-        |        THEN CASE WHEN bit = 1 THEN -9223372036854775808 ELSE 0 END
-        |      ELSE bit * (1::BIGINT << (cy * 8 + cx)) END) AS BIGINT) AS dhash
-        |  FROM bits GROUP BY id),
-        |banded AS (
-        |  SELECT id, dhash, bs.band, (dhash >> (bs.band * 16)) & 65535 AS bv
-        |  FROM hashes CROSS JOIN range(0, 4) bs(band)),
-        |pairs AS (
-        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.dhash AS h_a, b.dhash AS h_b
-        |  FROM banded a JOIN banded b
-        |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)
-        |SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INTEGER) AS distance
-        |FROM pairs WHERE bit_count(xor(h_a, h_b)) <= 3""".stripMargin) { (s, _) =>
+      s"""WITH $PhashPipelineCtes,
+         |pairs AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.dhash AS h_a, b.dhash AS h_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INTEGER) AS distance
+         |FROM pairs WHERE bit_count(xor(h_a, h_b)) <= 3""".stripMargin) { (s, _) =>
       import s.implicits._
       def scan(root: String, pat: String, offset: Long) =
         Multimodal.scanBinary(s, root)
@@ -254,63 +261,16 @@ object MultimodalQueries {
     // pipeline restricted to (original, arrival) pairs. ───────────────
     Q(
       "multimodal_phash_incremental",
-      """WITH ids AS (
-        |  SELECT i AS img, CAST(i AS BIGINT) AS id
-        |  FROM range(0, 48) t(i) WHERE i % 3 <> 2
-        |  UNION ALL
-        |  SELECT i, 1000 + i FROM range(0, 24) t(i) WHERE i % 3 <> 2
-        |  UNION ALL
-        |  SELECT i, 2000 + i FROM range(0, 24) t(i) WHERE i % 3 <> 2),
-        |dims AS (
-        |  SELECT DISTINCT img, 8 + img % 16 AS w, 8 + (img * 7) % 16 AS h
-        |  FROM ids),
-        |pix AS (
-        |  SELECT i.id, i.img, d.w, d.h, xs.x, ys.y,
-        |    CASE WHEN i.id >= 2000 AND xs.x = 0 AND ys.y = 0 THEN 45710
-        |         ELSE 299 * ((v.v >> 16) & 255) + 587 * ((v.v >> 8) & 255)
-        |              + 114 * (v.v & 255) END AS gray
-        |  FROM ids i
-        |  JOIN dims d USING (img)
-        |  CROSS JOIN range(0, 24) xs(x)
-        |  CROSS JOIN range(0, 24) ys(y)
-        |  CROSS JOIN LATERAL (SELECT
-        |    ((i.img * 37 + xs.x * 11 + ys.y * 29) * 2654435761) & 16777215 AS v) v
-        |  WHERE xs.x < d.w AND ys.y < d.h),
-        |cells AS (
-        |  SELECT id, (y * 8) // h AS cy, (x * 9) // w AS cx,
-        |    SUM(gray) AS s, COUNT(*) AS n
-        |  FROM pix GROUP BY id, (y * 8) // h, (x * 9) // w),
-        |grid AS (
-        |  SELECT b.id, cys.cy, cxs.cx,
-        |    COALESCE(c.s, 0) AS s, GREATEST(COALESCE(c.n, 0), 1) AS n
-        |  FROM (SELECT DISTINCT id FROM ids) b
-        |  CROSS JOIN range(0, 8) cys(cy)
-        |  CROSS JOIN range(0, 9) cxs(cx)
-        |  LEFT JOIN cells c ON c.id = b.id AND c.cy = cys.cy AND c.cx = cxs.cx),
-        |bits AS (
-        |  SELECT l.id, l.cy, l.cx,
-        |    CASE WHEN l.s * r.n > r.s * l.n THEN 1 ELSE 0 END AS bit
-        |  FROM grid l
-        |  JOIN grid r ON r.id = l.id AND r.cy = l.cy AND r.cx = l.cx + 1
-        |  WHERE l.cx < 8),
-        |hashes AS (
-        |  SELECT id, CAST(SUM(CASE
-        |      WHEN cy * 8 + cx = 63
-        |        THEN CASE WHEN bit = 1 THEN -9223372036854775808 ELSE 0 END
-        |      ELSE bit * (1::BIGINT << (cy * 8 + cx)) END) AS BIGINT) AS dhash
-        |  FROM bits GROUP BY id),
-        |banded AS (
-        |  SELECT id, dhash, bs.band, (dhash >> (bs.band * 16)) & 65535 AS bv
-        |  FROM hashes CROSS JOIN range(0, 4) bs(band)),
-        |pairs AS (
-        |  SELECT DISTINCT a.id AS index_id, b.id AS incoming_id,
-        |    a.dhash AS h_a, b.dhash AS h_b
-        |  FROM banded a JOIN banded b
-        |    ON a.band = b.band AND a.bv = b.bv
-        |   AND a.id < 1000 AND b.id >= 1000)
-        |SELECT index_id, incoming_id,
-        |  CAST(bit_count(xor(h_a, h_b)) AS INTEGER) AS distance
-        |FROM pairs WHERE bit_count(xor(h_a, h_b)) <= 3""".stripMargin) { (s, _) =>
+      s"""WITH $PhashPipelineCtes,
+         |pairs AS (
+         |  SELECT DISTINCT a.id AS index_id, b.id AS incoming_id,
+         |    a.dhash AS h_a, b.dhash AS h_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bv = b.bv
+         |   AND a.id < 1000 AND b.id >= 1000)
+         |SELECT index_id, incoming_id,
+         |  CAST(bit_count(xor(h_a, h_b)) AS INTEGER) AS distance
+         |FROM pairs WHERE bit_count(xor(h_a, h_b)) <= 3""".stripMargin) { (s, _) =>
       import graft.store.CommitLog
       import s.implicits._
       def scan(root: String, pat: String, offset: Long) =
@@ -349,6 +309,42 @@ object MultimodalQueries {
       require(after == before + incoming.count() * 4,
         s"index growth mismatch: $before -> $after")
       pairs
+    },
+
+    // ── Phash near-dup CLUSTERS: the composite a production image
+    // dedup pipeline actually ends with — banded pairs → connected
+    // components (the same min-label operator as text dedup), so
+    // transitive chains dedupe as ONE cluster with a deterministic
+    // canonical label. Expected structure: 16 {original, copy,
+    // variant} triangles labeled by the original's id. Oracle: the
+    // shared pipeline + a recursive min-reachable CTE. ────────────────
+    Q(
+      "multimodal_phash_components",
+      s"""WITH RECURSIVE $PhashPipelineCtes,
+         |good AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
+         |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+         |${OracleSnippets.componentsCte}
+         |SELECT id AS doc_id, CAST(component AS BIGINT) AS component
+         |FROM comp""".stripMargin) { (s, _) =>
+      import s.implicits._
+      def scan(root: String, pat: String, offset: Long) =
+        Multimodal.scanBinary(s, root)
+          .select((regexp_extract(col("key"), pat, 1).cast("long") + offset)
+            .as("doc_id"), col("content"))
+      val originals = scan(ImageFixture.ensure(), "img_(\\d+)", 0L)
+        .filter(col("doc_id") % 3 =!= 2)
+      val copies = originals.filter(col("doc_id") < 24)
+        .select((col("doc_id") + 1000).as("doc_id"), col("content"))
+      val variants = scan(ImageFixture.ensureVariants(), "var_(\\d+)", 2000L)
+      val hashes = Multimodal.dHashes(
+        originals.unionByName(copies).unionByName(variants)
+          .as[Multimodal.MediaIn]).toDF()
+      graft.dedup.Dedup.connectedComponents(
+        Multimodal.bandedNearDupPairs(hashes, maxDistance = 3), "id_a", "id_b")
+        .select(col("doc_id"), col("component").cast("long").as("component"))
     },
 
     // ── Audio-fingerprint near-dup: the AUDIO sibling of the phash row
