@@ -575,7 +575,10 @@ object Multimodal {
           shiftright(col("hash"), b * width).bitwiseAND(lit(mask)).as("bv"))
       ): _*)).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bv").as("bv"),
-        col("doc_id"), col("hash"))
+        col("doc_id"), col("hash"),
+        // the band count rides every row so a probe with a DIFFERENT
+        // band count fails loudly instead of silently joining nothing
+        lit(bands).as("bands"))
   }
 
   /** Probe an at-rest [[bandedIndex]] with an ARRIVING hash batch —
@@ -592,6 +595,15 @@ object Multimodal {
     require(maxDistance >= 0 && maxDistance < bands,
       s"maxDistance $maxDistance needs $bands bands > it — pigeonhole " +
         "blocking only guarantees a shared band below the band count")
+    // an index built with a DIFFERENT band count would (band, bv)-join
+    // almost nothing — silent recall loss; the index layout carries
+    // its band count, so the mismatch is one cheap row-peek away
+    if (index.columns.contains("bands"))
+      index.select(col("bands")).limit(1).collect().foreach { r =>
+        require(r.getInt(0) == bands,
+          s"at-rest index was built with ${r.getInt(0)} bands; probing " +
+            s"with $bands would silently miss near-duplicates")
+      }
     val probe = bandedIndex(incoming, bands)
       .select(col("band"), col("bv"),
         col("doc_id").as("incoming_id"), col("hash").as("h_in"))

@@ -295,14 +295,17 @@ object MultimodalQueries {
       val incoming = Multimodal.dHashes(
         copies.unionByName(variants).as[Multimodal.MediaIn]).toDF()
         .localCheckpoint(true)
+      // the snapshot is pinned at CONSTRUCTION (CommitLog.read
+      // resolves the live file list eagerly), so the probe result is
+      // unaffected by the append below AND its JOIN plan stays visible
+      // to PlanAuditSpec's global assertions (a checkpoint here would
+      // hide it behind a LogicalRDD leaf)
       val atRest = CommitLog.read(s, idxTable,
         CommitLog.tableSchema(s, idxTable))
       val pairs = Multimodal.probeBandedIndex(atRest, incoming, maxDistance = 3)
-        .localCheckpoint(true)
       // …then appends its own bands; the index must have grown by
       // exactly the increment's band entries (4 per hash)
-      val before = CommitLog.read(s, idxTable,
-        CommitLog.tableSchema(s, idxTable)).count()
+      val before = atRest.count()
       CommitLog.append(Multimodal.bandedIndex(incoming), idxTable)
       val after = CommitLog.read(s, idxTable,
         CommitLog.tableSchema(s, idxTable)).count()

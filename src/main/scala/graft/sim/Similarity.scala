@@ -203,17 +203,20 @@ object Similarity {
       perCluster: Int): DataFrame = {
     require(perCluster > 0, s"perCluster must be positive: $perCluster")
     val cents = initialCentroids(corpus, numCentroids)
-    val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .withColumn("cid", nearestCid(corpus, cents, col("e")))
-    // centrality = cosine to the OWN cluster's centroid, computed
-    // per-row from the literal centroid set (no join, no exchange)
-    val score = cents.map { case (cid, cv) =>
-      (cid, nativeCosine(corpus)(col("e"), litVec(cv)))
-    }.foldRight(lit(Double.NegativeInfinity): Column) { case ((cid, s), rest) =>
-      when(col("cid") === cid, s).otherwise(rest)
-    }
+    // ONE evaluation of the k per-centroid cosines yields BOTH the
+    // assignment and the centrality: the argmax struct's score field
+    // IS the cosine to the own centroid (recomputing it in a per-cid
+    // when-chain would double the per-row vector work)
+    val best =
+      if (cents.sizeIs == 1)
+        struct(nativeCosine(corpus)(col("e"), litVec(cents.head._2)).as("score"),
+          lit(-cents.head._1).as("neg_cid"))
+      else greatest(centScores(corpus, cents, col("e")): _*)
     val w = Window.partitionBy("cid").orderBy(col("score").desc, col("vec_id"))
-    e.withColumn("score", score)
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("best", best)
+      .select(col("vec_id"), (-col("best.neg_cid")).as("cid"),
+        col("best.score").as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= perCluster)
       .select(col("cid"), col("rank"), col("vec_id"), col("score"))

@@ -641,16 +641,21 @@ object CommitLog {
 
   /** SET table properties (one commit, multiple keys). Keys and values
     * must be newline/colon-free keys; values newline-free. */
+  /** The ONE rendering of the property-encoding rule — every surface
+    * that lands `#property=` tags (SET TBLPROPERTIES, catalog CREATE
+    * … TBLPROPERTIES) validates through here. */
+  private[store] def validateProperty(k: String, v: String): Unit = {
+    require(k.nonEmpty && !k.exists(c => c.isWhitespace || c == ':'),
+      s"property key must be whitespace/colon-free: $k")
+    require(!v.exists(c => c == '\n' || c == '\r'),
+      s"property value must be newline-free: $k")
+  }
+
   def setProperties(spark: SparkSession, tablePath: String,
       props: Map[String, String],
       publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
     require(props.nonEmpty, "no properties to set")
-    props.foreach { case (k, v) =>
-      require(k.nonEmpty && !k.exists(c => c.isWhitespace || c == ':'),
-        s"property key must be whitespace/colon-free: $k")
-      require(!v.exists(c => c == '\n' || c == '\r'),
-        s"property value must be newline-free: $k")
-    }
+    props.foreach { case (k, v) => validateProperty(k, v) }
     commitOrAbort(spark, tablePath, adds = Seq.empty, removes = Seq.empty,
       publisher = publisher, opTag = Some("properties"),
       abortOnLostRace = () => false,

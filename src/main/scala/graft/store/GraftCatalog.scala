@@ -124,12 +124,7 @@ class GraftCatalog extends TableCatalog {
     // pass the exists-check; the loser's re-publish would restamp the
     // winner's ledger — the schema fence aborts it loudly instead.
     val user = properties.asScala.filterNot { case (k, _) => ReservedProps(k) }
-    user.foreach { case (k, v) =>
-      require(k.nonEmpty && !k.exists(c => c.isWhitespace || c == ':'),
-        s"property key must be whitespace/colon-free: $k")
-      require(!v.exists(c => c == '\n' || c == '\r'),
-        s"property value must be newline-free: $k")
-    }
+    user.foreach { case (k, v) => CommitLog.validateProperty(k, v) }
     CommitLog.commitOrAbort(spark, path, adds = Seq.empty, removes = Seq.empty,
       publisher = RenameOrLinkPublisher, opTag = Some("create"),
       abortOnLostRace = () => false, schemaJson = Some(schema.json),

@@ -138,6 +138,15 @@ class CliSpec extends SparkSpec {
       Seq("doc_id"))
     assert(graft.store.CommitLog.read(spark, t,
       graft.store.CommitLog.tableSchema(spark, t)).count() == 180)
+    val t2 = java.nio.file.Files.createTempDirectory("graft_cli_drop").toString + "/t"
+    graft.store.CommitLog.append(
+      spark.range(0, 5).selectExpr("id", "concat('v', id) AS v"), t2,
+      mergeSchema = true)
+    val dc = Cli.run(spark, Array("log-drop-column", t2, "v"))
+    assert(dc.contains(""""cmd":"log-drop-column""""), dc)
+    assert(graft.store.CommitLog.schemaAt(spark, t2).get.fieldNames.toSeq ==
+      Seq("id"))
+    assert(graft.store.CommitLog.burnedAt(spark, t2) == Set("v"))
     assert(graft.store.CommitLog.read(spark, t,
       spark.range(0).toDF("id").schema).count() == 180)
   }

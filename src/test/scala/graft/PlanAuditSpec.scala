@@ -67,7 +67,8 @@ class PlanAuditSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      for (name <- Seq("ann_ivf_topk", "ann_lsh_topk", "ann_bruteforce_topk")) {
+      for (name <- Seq("ann_ivf_topk", "ann_lsh_topk", "ann_bruteforce_topk",
+          "corpus_diversity_sample")) {
         val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
         val shuffles = df.queryExecution.executedPlan.collect {
           case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s

@@ -121,8 +121,13 @@ class SimilaritySpec extends SparkSpec {
 
   test("cluster-stratified sample: per-cluster budget, centrality order, full coverage") {
     import spark.implicits._
+    // unpersisted in the finally: this is the SAME logical plan the
+    // declared corpus_diversity_sample builds, and a lingering cache
+    // entry would swap the audit suite's executedPlan for an
+    // InMemoryTableScan (hiding the window exchange it inspects)
     val sampled = Similarity.clusterStratifiedSample(e, numCentroids = 10,
       perCluster = 5).cache()
+    try {
     val byCluster = sampled.groupBy("cid").count()
       .as[(Long, Long)].collect().toMap
     // budget respected per cluster; every non-empty cluster represented
@@ -145,6 +150,7 @@ class SimilaritySpec extends SparkSpec {
       "a centroid vector is not rank 1 in its own cluster")
     intercept[IllegalArgumentException](
       Similarity.clusterStratifiedSample(e, 10, perCluster = 0))
+    } finally { sampled.unpersist(blocking = false); () }
   }
 
   test("PQ kernels refuse indivisible dimensions and ragged codebooks loudly") {

@@ -100,8 +100,12 @@ class MappingDifferentialSpec extends SparkSpec {
         case 6 => // maintenance: selective optimize (absorbs any vectors)
           CommitLog.optimize(spark, control, targetBytes = 1L << 20)
           CommitLog.optimize(spark, mapped, targetBytes = 1L << 20)
-        case 7 => // rename a payload column on the MAPPED table only
-          val orig = if (rnd.nextBoolean()) "a" else "b"
+        case 7 => // rename ANY column — the KEY included — on the
+          // MAPPED table only (a merge/delete on a renamed key
+          // exercises the key-translation surface specifically)
+          val orig = rnd.nextInt(3) match {
+            case 0 => "id"; case 1 => "a"; case 2 => "b"
+          }
           renameSeq += 1
           val to = s"${orig}_r$renameSeq"
           CommitLog.renameColumn(spark, mapped, names(orig), to)
