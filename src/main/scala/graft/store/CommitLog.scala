@@ -639,6 +639,20 @@ object CommitLog {
     ps
   }
 
+  /** Effective merge-on-read default for SQL/catalog DML over this
+    * table — the `delta.enableDeletionVectors` shape as a TABLE
+    * property: a session conf that is SET wins (either value — an
+    * explicit `false` opts a session out of a table's MOR default),
+    * else the table's `graft.deletionVectors` property, else
+    * copy-on-write. Scala API callers pass the switch explicitly and
+    * bypass this resolution. */
+  def morDefault(spark: SparkSession, tablePath: String): Boolean =
+    spark.conf.getOption("spark.graft.deletionVectors") match {
+      case Some(v) => v.toBoolean
+      case None => propertiesAt(spark, tablePath)
+        .get("graft.deletionVectors").exists(_.toBoolean)
+    }
+
   /** SET table properties (one commit, multiple keys). Keys and values
     * must be newline/colon-free keys; values newline-free. */
   /** The ONE rendering of the property-encoding rule — every surface
@@ -1753,10 +1767,13 @@ object CommitLog {
     * file serves the renamed column unchanged and time travel reads
     * historical names at historical versions. Refused while a
     * constraint or bloom property references the column. */
-  def renameColumn(spark: SparkSession, tablePath: String, from: String,
-      to: String, publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
-    val ledger = schemaAt(spark, tablePath)
-    val cur = ledger.getOrElse(tableSchema(spark, tablePath))
+  /** Rename preconditions only — no commit. Lets a multi-change ALTER
+    * validate every change up front (against the pre-alter snapshot)
+    * before applying any, so a refused later change cannot leave the
+    * table partially altered. */
+  private[store] def validateRenameColumn(spark: SparkSession,
+      tablePath: String, from: String, to: String): Unit = {
+    val cur = schemaAt(spark, tablePath).getOrElse(tableSchema(spark, tablePath))
     require(cur.fieldNames.contains(from),
       s"no column $from in $tablePath (${cur.fieldNames.mkString(", ")})")
     require(!cur.fieldNames.exists(_.equalsIgnoreCase(to)),
@@ -1764,6 +1781,13 @@ object CommitLog {
     require(to.nonEmpty && !to.startsWith("_"),
       s"invalid column name: $to")
     guardColumnReferences(spark, tablePath, from, "rename")
+  }
+
+  def renameColumn(spark: SparkSession, tablePath: String, from: String,
+      to: String, publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
+    val ledger = schemaAt(spark, tablePath)
+    val cur = ledger.getOrElse(tableSchema(spark, tablePath))
+    validateRenameColumn(spark, tablePath, from, to)
     val next = StructType(cur.fields.map { f =>
       if (f.name == from)
         f.copy(name = to, metadata = withPhysical(f.metadata, physicalName(f)))
@@ -1782,16 +1806,25 @@ object CommitLog {
     * and its physical name is BURNED so a later same-named column gets
     * fresh storage instead of resurrecting the hidden data. Time
     * travel before the drop still reads the column. */
+  /** Drop preconditions only — see [[validateRenameColumn]]. */
+  private[store] def validateDropColumn(spark: SparkSession,
+      tablePath: String, name: String): Unit = {
+    val cur = schemaAt(spark, tablePath).getOrElse(tableSchema(spark, tablePath))
+    require(cur.fields.exists(_.name == name),
+      s"no column $name in $tablePath (${cur.fieldNames.mkString(", ")})")
+    require(cur.fields.length > 1,
+      s"cannot drop the only column of $tablePath")
+    guardColumnReferences(spark, tablePath, name, "drop")
+  }
+
   def dropColumn(spark: SparkSession, tablePath: String, name: String,
       publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
     val ledger = schemaAt(spark, tablePath)
     val cur = ledger.getOrElse(tableSchema(spark, tablePath))
+    validateDropColumn(spark, tablePath, name)
     val field = cur.fields.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(
         s"no column $name in $tablePath (${cur.fieldNames.mkString(", ")})"))
-    require(cur.fields.length > 1,
-      s"cannot drop the only column of $tablePath")
-    guardColumnReferences(spark, tablePath, name, "drop")
     val burned = burnedAt(spark, tablePath) + physicalName(field)
     val next = StructType(cur.fields.filterNot(_.name == name))
     commitOrAbort(spark, tablePath, adds = Seq.empty, removes = Seq.empty,
@@ -1806,16 +1839,24 @@ object CommitLog {
     * fields append nullable (old files null-fill); a name colliding
     * with a live physical or BURNED name gets fresh storage. Fenced
     * like rename/drop against concurrent ledger movement. */
-  def addColumns(spark: SparkSession, tablePath: String,
-      fields: Seq[org.apache.spark.sql.types.StructField],
-      publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
+  /** Add-columns preconditions only — see [[validateRenameColumn]]. */
+  private[store] def validateAddColumns(spark: SparkSession,
+      tablePath: String,
+      fields: Seq[org.apache.spark.sql.types.StructField]): Unit = {
     require(fields.nonEmpty, "no columns to add")
-    val ledger = schemaAt(spark, tablePath)
-    val cur = ledger.getOrElse(tableSchema(spark, tablePath))
+    val cur = schemaAt(spark, tablePath).getOrElse(tableSchema(spark, tablePath))
     val dup = fields.map(_.name)
       .filter(n => cur.fieldNames.exists(_.equalsIgnoreCase(n)))
     require(dup.isEmpty,
       s"column(s) ${dup.mkString(", ")} already exist in $tablePath")
+  }
+
+  def addColumns(spark: SparkSession, tablePath: String,
+      fields: Seq[org.apache.spark.sql.types.StructField],
+      publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
+    val ledger = schemaAt(spark, tablePath)
+    val cur = ledger.getOrElse(tableSchema(spark, tablePath))
+    validateAddColumns(spark, tablePath, fields)
     val next = evolveSchema(cur,
       StructType(cur.fields ++ fields.map(_.copy(nullable = true))),
       burnedAt(spark, tablePath))

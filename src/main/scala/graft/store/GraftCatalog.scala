@@ -69,14 +69,31 @@ class GraftCatalog extends TableCatalog {
     * bare names (with optional namespace parts as subdirectories)
     * resolve under `spark.graft.warehouse`. */
   private[store] def pathOf(ident: Identifier): String =
-    if (ident.namespace.isEmpty && ident.name.contains('/')) ident.name
-    else {
+    if (ident.namespace.isEmpty && ident.name.contains('/')) {
+      // path-addressed: explicit and absolute only — a RELATIVE path
+      // (`../x`) would resolve against an undefined working directory
+      // and could land dropTable outside any directory the user named
+      require(ident.name.startsWith("/"),
+        s"path-addressed $catalogName table `${ident.name}` must be " +
+          "an absolute path")
+      ident.name
+    } else {
       val wh = spark.conf.getOption("spark.graft.warehouse").getOrElse(
         throw new IllegalArgumentException(
           s"cannot resolve $catalogName.${ident.toString}: set " +
             "spark.graft.warehouse to a root directory, or address the " +
             s"table by path ($catalogName.`/abs/path`)"))
-      (wh.stripSuffix("/") +: ident.namespace.toSeq :+ ident.name).mkString("/")
+      // warehouse-resolved segments must stay UNDER the warehouse: a
+      // `..` (or slash-bearing) segment would resolve outside it, and
+      // dropTable would then recursively delete an out-of-warehouse
+      // directory that happens to contain a _graft_log
+      val segs = ident.namespace.toSeq :+ ident.name
+      segs.foreach(s => require(
+        s.nonEmpty && s != "." && s != ".." && !s.contains('/'),
+        s"invalid $catalogName identifier segment `$s` in " +
+          s"${ident.toString}: warehouse-resolved names cannot contain " +
+          "'/' or be '.'/'..'"))
+      (wh.stripSuffix("/") +: segs).mkString("/")
     }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -158,25 +175,47 @@ class GraftCatalog extends TableCatalog {
     require(unsupported.isEmpty,
       s"unsupported ALTER TABLE change(s) for a logged table: " +
         unsupported.mkString(", "))
+    // validate EVERY change up front (against the pre-alter snapshot)
+    // before committing any: each change lands as its own commit, so
+    // without this pass a refused later change (rename blocked by a
+    // constraint/bloom reference, duplicate add, absent unset key)
+    // would leave a multi-change ALTER partially applied with no
+    // rollback
+    sets.foreach { case (k, v) => CommitLog.validateProperty(k, v) }
+    if (unsets.nonEmpty) {
+      val cur = CommitLog.propertiesAt(spark, path)
+      val missing = unsets.filterNot(cur.contains)
+      require(missing.isEmpty,
+        s"no such propert${if (missing.size == 1) "y" else "ies"} on " +
+          s"$path: ${missing.mkString(", ")}")
+    }
+    (renames ++ drops ++ adds).foreach { c =>
+      val names = c match {
+        case r: TableChange.RenameColumn => r.fieldNames
+        case d: TableChange.DeleteColumn => d.fieldNames
+        case a: TableChange.AddColumn => a.fieldNames
+      }
+      require(names.length == 1,
+        s"nested column changes are not supported: ${names.mkString(".")}")
+    }
+    renames.foreach(r =>
+      CommitLog.validateRenameColumn(spark, path, r.fieldNames.head, r.newName))
+    drops.foreach(d =>
+      CommitLog.validateDropColumn(spark, path, d.fieldNames.head))
+    if (adds.nonEmpty)
+      CommitLog.validateAddColumns(spark, path, adds.map(a =>
+        org.apache.spark.sql.types.StructField(a.fieldNames.head,
+          a.dataType, nullable = true)))
     if (sets.nonEmpty) CommitLog.setProperties(spark, path, sets.toMap)
     if (unsets.nonEmpty) CommitLog.unsetProperties(spark, path, unsets)
-    renames.foreach { r =>
-      require(r.fieldNames.length == 1,
-        s"nested RENAME COLUMN is not supported: ${r.fieldNames.mkString(".")}")
-      CommitLog.renameColumn(spark, path, r.fieldNames.head, r.newName)
-    }
-    drops.foreach { d =>
-      require(d.fieldNames.length == 1,
-        s"nested DROP COLUMN is not supported: ${d.fieldNames.mkString(".")}")
-      CommitLog.dropColumn(spark, path, d.fieldNames.head)
-    }
+    renames.foreach(r =>
+      CommitLog.renameColumn(spark, path, r.fieldNames.head, r.newName))
+    drops.foreach(d => CommitLog.dropColumn(spark, path, d.fieldNames.head))
     if (adds.nonEmpty) {
       // ADD COLUMNS = the mergeSchema add-column evolution as a
       // metadata-only commit: old files null-fill the new columns;
       // CommitLog.addColumns honors the BURNED ledger (a re-added
       // dropped name gets fresh storage) and the schema fence
-      adds.foreach(a => require(a.fieldNames.length == 1,
-        s"nested ADD COLUMN is not supported: ${a.fieldNames.mkString(".")}"))
       CommitLog.addColumns(spark, path, adds.map(a =>
         org.apache.spark.sql.types.StructField(a.fieldNames.head,
           a.dataType, nullable = true)))
@@ -210,8 +249,25 @@ class GraftCatalog extends TableCatalog {
       throw new IllegalStateException(
         s"cannot rename $src to $dst: destination already exists")
     fs.mkdirs(dstPath.getParent)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(src), dstPath))
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    if (!fs.rename(srcPath, dstPath))
       throw new IllegalStateException(s"could not rename $src to $dst")
+    // the exists-check → rename window is a TOCTOU race: a destination
+    // directory created concurrently makes Hadoop rename move the
+    // source INSIDE it (dst/<srcName>) and report success — verify the
+    // log landed at the expected location, and move back if nested
+    val log = new org.apache.hadoop.fs.Path(dstPath, "_graft_log")
+    val nested = new org.apache.hadoop.fs.Path(dstPath, srcPath.getName)
+    if (!fs.exists(log)) {
+      val movedBack =
+        fs.exists(new org.apache.hadoop.fs.Path(nested, "_graft_log")) &&
+          fs.rename(nested, srcPath)
+      throw new IllegalStateException(
+        s"rename $src -> $dst raced a concurrent create: the table " +
+          s"landed nested at $nested" +
+          (if (movedBack) s" and was moved back to $src"
+           else s" and COULD NOT be restored — recover it manually"))
+    }
   }
 
   /** Tables = direct children of `wh/<namespace…>` carrying a
@@ -300,8 +356,7 @@ private[graft] case class GraftTable(path: String, asOf: Long,
       .reduceOption(_ && _).getOrElse(lit(true))
     CommitLog.deleteWhere(spark, path,
       GraftLogBatch.schemaFor(spark, path, Long.MaxValue), predicate,
-      deletionVectors = spark.conf
-        .getOption("spark.graft.deletionVectors").exists(_.toBoolean))
+      deletionVectors = CommitLog.morDefault(spark, path))
     ()
   }
 

@@ -52,7 +52,7 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       GraftDmlCommand(t.path, session =>
         CommitLog.deleteWhere(session, t.path,
           CommitLog.tableSchema(session, t.path), predicate,
-          deletionVectors = morEnabled(session)))
+          deletionVectors = CommitLog.morDefault(session, t.path)))
 
     case u @ UpdateTable(GraftRel(t, rel), assignments, condition) if u.resolved =>
       writable(t)
@@ -68,7 +68,7 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       GraftDmlCommand(t.path, session =>
         CommitLog.updateWhere(session, t.path,
           CommitLog.tableSchema(session, t.path), predicate, sets,
-          deletionVectors = morEnabled(session)))
+          deletionVectors = CommitLog.morDefault(session, t.path)))
 
     case m: MergeIntoTable if m.resolved &&
         GraftRel.unapply(m.targetTable).isDefined =>
@@ -122,7 +122,8 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             s"(${schema.fieldNames.mkString(", ")})"))
         var merge = MergeClauses.into(session, t.path, schema,
           StreamingShim.ofRows(session, sourcePlan), keys)
-        if (morEnabled(session)) merge = merge.withDeletionVectors()
+        if (CommitLog.morDefault(session, t.path))
+          merge = merge.withDeletionVectors()
         matched.foreach {
           case MUpd(cols, cond) => merge = merge.whenMatchedUpdate(cols, cond)
           case MDel(cond) => merge = merge.whenMatchedDelete(cond)
@@ -136,9 +137,6 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def writable(t: GraftTable): Unit =
     require(t.asOf == Long.MaxValue,
       s"cannot run DML against a time-travel snapshot of ${t.path}")
-
-  private def morEnabled(session: SparkSession): Boolean =
-    session.conf.getOption("spark.graft.deletionVectors").exists(_.toBoolean)
 
   /** Resolved expression → Column in the MergeClauses namespace:
     * target attributes by plain name, source attributes as

@@ -321,17 +321,12 @@ object GraftSql {
       case Assignment(other, _) =>
         fail(s"UPDATE SET target must be a column, got `${other.sql}`")
     }.toMap
-    // session-scoped merge-on-read switch, same as DELETE (see runDelete)
+    // merge-on-read default: session conf, else table property (see runDelete)
     val v = CommitLog.updateWhere(spark, path, schemaOf(spark, path),
-      predicate, sets, deletionVectors = morEnabled(spark))
+      predicate, sets, deletionVectors = CommitLog.morDefault(spark, path))
     result(spark, path, v)
   }
 
-  /** `spark.graft.deletionVectors=true`: session-scoped switch routing
-    * SQL DELETE/UPDATE/MERGE through the merge-on-read (deletion
-    * vector) path — Delta's enableDeletionVectors shape. */
-  private def morEnabled(spark: SparkSession): Boolean =
-    spark.conf.getOption("spark.graft.deletionVectors").exists(_.toBoolean)
 
   // ── target recognition ────────────────────────────────────────────
 
@@ -383,11 +378,12 @@ object GraftSql {
     val alias = aliasOf(d.table)
     val predicate = targetColumn(d.condition, alias,
       where = "DELETE WHERE condition")
-    // merge-on-read when the session switch is on: sparse deletes
+    // merge-on-read when the session switch or the table's
+    // graft.deletionVectors property says so: sparse deletes
     // write one small position vector instead of rewriting every
     // touched file; OPTIMIZE absorbs the vectors
     val v = CommitLog.deleteWhere(spark, path, schemaOf(spark, path), predicate,
-      deletionVectors = morEnabled(spark))
+      deletionVectors = CommitLog.morDefault(spark, path))
     result(spark, path, v)
   }
 
@@ -470,8 +466,8 @@ object GraftSql {
       s"merge key `$k` is not a column of $path (${schema.fieldNames.mkString(", ")})"))
 
     var merge = MergeClauses.into(spark, path, schema, source, keys)
-    // session-scoped merge-on-read switch (see runDelete)
-    if (morEnabled(spark)) merge = merge.withDeletionVectors()
+    // merge-on-read default: session conf, else table property (see runDelete)
+    if (CommitLog.morDefault(spark, path)) merge = merge.withDeletionVectors()
     m.matchedActions.foreach {
       case UpdateAction(cond, assignments, _) =>
         merge = merge.whenMatchedUpdate(

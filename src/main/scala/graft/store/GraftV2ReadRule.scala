@@ -3,7 +3,7 @@ package graft.store
 import graft.sources.GraftLogBatch
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.AttributeReference
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, MergeIntoTable, UpdateTable, V2WriteCommand}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, MergeIntoTable, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -36,6 +36,11 @@ final case class GraftV2ReadRule(spark: SparkSession) extends Rule[LogicalPlan] 
       p.collect { case r: DataSourceV2Relation => r }.foreach(keep.add(_))
     plan.foreach {
       case w: V2WriteCommand => mark(w.table)
+      // pre-resolution INSERT shape: if rule ordering ever runs this
+      // rule before ResolveInsertInto rewrites the statement into a
+      // V2WriteCommand, converting its target would reroute the INSERT
+      // to the v1 write path and bypass the commit log — mark it too
+      case i: InsertIntoStatement => mark(i.table)
       case d: DeleteFromTable => mark(d.table)
       case u: UpdateTable => mark(u.table)
       case m: MergeIntoTable => mark(m.targetTable)

@@ -335,6 +335,36 @@ abstract class DeletionVectorBehavior(publisher: AtomicPublisher) extends SparkS
     assert(deletes == (0L until 5L).map((_, v)).toSet)
   }
 
+  test("the graft.deletionVectors TABLE PROPERTY defaults DML to merge-on-read") {
+    val t = freshTable()
+    CommitLog.append(spark.range(0, 100).toDF("id"), t, publisher)
+    CommitLog.setProperties(spark, t,
+      Map("graft.deletionVectors" -> "true"), publisher)
+    val hadConf = spark.conf.getOption("spark.graft.deletionVectors")
+    spark.conf.unset("spark.graft.deletionVectors")
+    try {
+      // conf UNSET → the table property drives the default: SQL DML
+      // vectors instead of rewriting
+      assert(CommitLog.morDefault(spark, t))
+      val before = dataFiles(t)
+      GraftSql.execute(spark, s"DELETE FROM graftlog.`$t` WHERE id < 10")
+      assert(dataFiles(t) == before,
+        "property-defaulted DELETE rewrote files instead of vectoring")
+      assert(ids(t) == (10L until 100L).toSet)
+      // an explicitly-SET session conf wins over the property — an
+      // explicit false opts the session back into copy-on-write
+      spark.conf.set("spark.graft.deletionVectors", "false")
+      assert(!CommitLog.morDefault(spark, t))
+      GraftSql.execute(spark, s"DELETE FROM graftlog.`$t` WHERE id >= 90")
+      assert(dataFiles(t) != before,
+        "conf=false should force the copy-on-write rewrite")
+      assert(ids(t) == (10L until 90L).toSet)
+    } finally {
+      spark.conf.unset("spark.graft.deletionVectors")
+      hadConf.foreach(spark.conf.set("spark.graft.deletionVectors", _))
+    }
+  }
+
   test("the graftlog batch relation subtracts vectors (and only then)") {
     val t = freshTable()
     spark.range(0, 100).toDF("id").write.format("graftlog").save(t)

@@ -84,6 +84,62 @@ class GraftCatalogSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.deletionVectors")
   }
 
+  test("a multi-change ALTER TABLE validates every change before applying any") {
+    val wh = freshWarehouse()
+    spark.sql("CREATE TABLE graft.atomic (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.atomic VALUES (1, 'a')")
+    // declare a bloom index over v so renaming v is refused
+    spark.sql("ALTER TABLE graft.atomic SET TBLPROPERTIES ('bloom.columns' = 'v')")
+    val versionBefore = CommitLog.latestVersion(spark, s"$wh/atomic")
+    // property set + blocked rename in ONE statement-equivalent: the
+    // catalog applies changes as separate commits, so without up-front
+    // validation the property would land and the rename abort midway
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+    intercept[IllegalArgumentException] {
+      cat.alterTable(Identifier.of(Array.empty, "atomic"),
+        TableChange.setProperty("k1", "v1"),
+        TableChange.renameColumn(Array("v"), "v2"))
+    }
+    // NOTHING applied — no partial commit
+    assert(CommitLog.latestVersion(spark, s"$wh/atomic") == versionBefore)
+    assert(!CommitLog.propertiesAt(spark, s"$wh/atomic").contains("k1"))
+    // the same changes with a legal rename apply fully
+    cat.alterTable(Identifier.of(Array.empty, "atomic"),
+      TableChange.setProperty("k1", "v1"),
+      TableChange.renameColumn(Array("id"), "id2"))
+    assert(CommitLog.propertiesAt(spark, s"$wh/atomic")("k1") == "v1")
+    assert(spark.sql("SELECT id2 FROM graft.atomic").count() == 1)
+  }
+
+  test("warehouse-resolved identifiers reject path-escaping segments") {
+    val base = Files.createTempDirectory("graft_escape").toString
+    val victim = s"$base/victim"
+    CommitLog.append(spark.range(3).toDF("id"), victim)
+    // warehouse NESTED INSIDE the victim table's directory: a bare
+    // `..` identifier would resolve to the victim itself, and DROP
+    // would recursively delete an out-of-warehouse directory
+    spark.conf.set("spark.graft.warehouse", s"$victim/wh")
+    def guarded(thunk: => Unit): Unit = {
+      val ex = intercept[Exception](thunk)
+      val msgs = Iterator.iterate[Throwable](ex)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("invalid") || msgs.contains("absolute"),
+        s"expected the segment guard, got: $msgs")
+    }
+    guarded(spark.sql("DROP TABLE graft.`..`"))
+    guarded(spark.sql("SELECT * FROM graft.`..`").collect())
+    // relative path-addressing is refused too (undefined resolution root)
+    guarded(spark.sql("SELECT * FROM graft.`../victim`").collect())
+    // the out-of-warehouse table is untouched
+    assert(CommitLog.read(spark, victim,
+      CommitLog.tableSchema(spark, victim)).count() == 3)
+    // explicit ABSOLUTE path addressing still works
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$victim`")
+      .as[Long].head() == 3L)
+  }
+
   test("CTAS, path-addressed identifiers, and SHOW TABLES") {
     val wh = freshWarehouse()
     spark.sql("CREATE TABLE graft.src (id BIGINT, v STRING)")
