@@ -72,6 +72,39 @@ object ImageFixture {
     variantRoot
   }
 
+  /** HEAVY variants for the banded-recall evaluation: the same
+    * arithmetic fill with ONE pixel per scan row forced to white —
+    * x = (i + y) % w at every y — so every dHash cell ROW (= every
+    * 8-bit band) takes edits and the variant lands a MID-RANGE Hamming
+    * distance from its original (several bits, spread across bands).
+    * That is the regime where banding past the pigeonhole bound is
+    * lossy, which is exactly what [[Multimodal.bandedRecallReport]]
+    * exists to measure; the 1-pixel [[ensureVariants]] set only
+    * exercises the lossless end. Lossless formats, first 24 ids, same
+    * contract as ensureVariants (the oracle replays the override
+    * formula relationally). */
+  val heavyVariantRoot: String = "/tmp/graft_state/image_fixture_heavy"
+
+  def ensureHeavyVariants(): String = synchronized {
+    val dir = new File(heavyVariantRoot)
+    val ids = (0 until 24).filter(_ % 3 != 2)
+    val want = ids.map(i => f"hvar_$i%03d.${formatOf(i)}").toSet
+    val have = Option(dir.listFiles()).getOrElse(Array.empty).map(_.getName).toSet
+    if (have != want) {
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); () }
+      dir.mkdirs()
+      ids.foreach { i =>
+        val img = filled(i)
+        for (y <- 0 until img.getHeight)
+          img.setRGB((i + y) % img.getWidth, y, 0xFFFFFFFF)
+        val ok = javax.imageio.ImageIO.write(img, formatOf(i),
+          new File(heavyVariantRoot, f"hvar_$i%03d.${formatOf(i)}"))
+        require(ok, s"no JDK writer for ${formatOf(i)}")
+      }
+    }
+    heavyVariantRoot
+  }
+
   private def filled(i: Int): BufferedImage = {
     val (w, h) = (widthOf(i), heightOf(i))
     val imgType =
@@ -226,6 +259,77 @@ object VideoFixture {
   private def box(typ: String, parts: Array[Byte]*): Array[Byte] = {
     val body = parts.flatten.toArray
     u32(body.length + 8L) ++ typ.getBytes("US-ASCII") ++ body
+  }
+
+  /** Fixture set for the CONTAINER-LEVEL video fingerprint
+    * ([[Multimodal.videoFingerprint]]): same minimal ISO-BMFF shape but
+    * with VARIED per-sample stsz sizes —
+    *
+    *   tracks   = 1 + i%2
+    *   frames   = 40 + i%16 per track  (≥ 33 so adjacent 65-grid
+    *              windows co-occupy and the print is value-sensitive,
+    *              not just occupancy-sensitive)
+    *   size(t,k) = 100 + (i*31 + t*53 + k*17) % 97
+    *
+    * — pure arithmetic in (i, t, k) for the DuckDB oracle. The main
+    * [[ensure]] set keeps its monotone sizes (its decode oracle pins
+    * mean_frame_bytes); monotone sizes print degenerately (every
+    * window quieter than the next), hence this separate set. */
+  val fpRoot: String = "/tmp/graft_state/video_fixture_fp"
+  val fpVariantRoot: String = "/tmp/graft_state/video_fixture_fp_variants"
+
+  def fpFramesOf(i: Int): Int = 40 + i % 16
+  def fpSizeOf(i: Int, t: Int, k: Int): Long =
+    100L + (i * 31 + t * 53 + k * 17) % 97
+
+  def ensureFingerprintSet(): String = synchronized {
+    ensureFpDir(fpRoot, "fvid", variant = false); fpRoot
+  }
+
+  /** NEAR-DUP variants: identical sample tables with EXACTLY track 1's
+    * sample 0 grown by 911 bytes — one window of the print moves, so
+    * the variant lands within a few bits of its original. */
+  def ensureFingerprintVariants(): String = synchronized {
+    ensureFpDir(fpVariantRoot, "fvar", variant = true); fpVariantRoot
+  }
+
+  private def ensureFpDir(root: String, prefix: String, variant: Boolean): Unit = {
+    val dir = new File(root)
+    val want = (0 until n).map(i => f"${prefix}_$i%03d.mp4").toSet
+    val have = Option(dir.listFiles()).getOrElse(Array.empty).map(_.getName).toSet
+    if (have != want) {
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); () }
+      dir.mkdirs()
+      (0 until n).foreach { i =>
+        val bytes = fpBytes(i, variant)
+        val out = new java.io.FileOutputStream(
+          new File(root, f"${prefix}_$i%03d.mp4"))
+        try out.write(bytes) finally out.close()
+      }
+    }
+  }
+
+  private def fpBytes(i: Int, variant: Boolean): Array[Byte] = {
+    val ftyp = box("ftyp",
+      brandOf(i).getBytes("US-ASCII"), u32(0), "isom".getBytes("US-ASCII"))
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0),
+      u32(0), u32(0),
+      u32(timescaleOf(i)), u32(durationOf(i)),
+      u32(0x00010000L), Array[Byte](1, 0),
+      new Array[Byte](10),
+      u32(0x00010000L), u32(0), u32(0), u32(0), u32(0x00010000L),
+      u32(0), u32(0), u32(0), u32(0x40000000L),
+      new Array[Byte](24), u32(tracksOf(i) + 1L))
+    val traks = (1 to tracksOf(i)).map { t =>
+      val nf = fpFramesOf(i)
+      val stsz = box("stsz", u32(0), u32(0), u32(nf.toLong),
+        (0 until nf).toArray.flatMap { k =>
+          val base = fpSizeOf(i, t, k)
+          u32(if (variant && t == 1 && k == 0) base + 911 else base)
+        })
+      box("trak", box("mdia", box("minf", box("stbl", stsz))))
+    }
+    ftyp ++ box("moov", (mvhd +: traks): _*)
   }
 
   private def write(i: Int): Unit = {

@@ -478,38 +478,65 @@ object Multimodal {
         else {
           val ch = fmt.getChannels
           val big = fmt.isBigEndian
-          val pcm = ais.readAllBytes()
-          val frames = pcm.length / (2 * ch)
-          if (frames <= 0) None
+          // the window grid comes from the HEADER's frame count, so the
+          // PCM payload can STREAM through a bounded buffer instead of
+          // materializing per row (an hour of 96 kHz stereo is ~1.4 GB;
+          // the window state is 2×65 longs) — the same O(header-driven)
+          // cost discipline as the image and video paths. A payload
+          // shorter than its header claims leaves trailing windows
+          // empty (count-clamped), matching the corrupt-input contract
+          // of the decoders: degrade deterministically, never throw.
+          val frames = ais.getFrameLength
+          if (frames <= 0) None // header-less stream: no window grid
           else {
             val sum = new Array[Long](65)
             val cnt = new Array[Long](65)
-            var f = 0
-            while (f < frames) {
-              val w = (f.toLong * 65 / frames).toInt
-              var c = 0
-              var e = 0L
-              while (c < ch) {
-                val k = (f * ch + c) * 2
-                val v =
-                  if (big) (pcm(k) << 8) | (pcm(k + 1) & 0xFF)
-                  else (pcm(k + 1) << 8) | (pcm(k) & 0xFF)
-                e += math.abs(v)
-                c += 1
+            val frameBytes = 2 * ch
+            val buf = new Array[Byte](frameBytes * 4096)
+            var filled = 0
+            var f = 0L
+            var eof = false
+            while (!eof && f < frames) {
+              val n = ais.read(buf, filled, buf.length - filled)
+              if (n < 0) eof = true
+              else {
+                filled += n
+                val whole = filled / frameBytes
+                var k = 0
+                while (k < whole && f < frames) {
+                  val w = (f * 65 / frames).toInt
+                  var c = 0
+                  var e = 0L
+                  while (c < ch) {
+                    val off = k * frameBytes + c * 2
+                    val v =
+                      if (big) (buf(off) << 8) | (buf(off + 1) & 0xFF)
+                      else (buf(off + 1) << 8) | (buf(off) & 0xFF)
+                    e += math.abs(v)
+                    c += 1
+                  }
+                  sum(w) += e
+                  cnt(w) += 1
+                  f += 1
+                  k += 1
+                }
+                val consumed = k * frameBytes
+                System.arraycopy(buf, consumed, buf, 0, filled - consumed)
+                filled -= consumed
               }
-              sum(w) += e
-              cnt(w) += 1
-              f += 1
             }
-            var hash = 0L
-            var w = 0
-            while (w < 64) {
-              val nL = math.max(cnt(w), 1L)
-              val nR = math.max(cnt(w + 1), 1L)
-              if (sum(w) * nR > sum(w + 1) * nL) hash |= 1L << w
-              w += 1
+            if (f <= 0) None // headline frames but zero decodable payload
+            else {
+              var hash = 0L
+              var w = 0
+              while (w < 64) {
+                val nL = math.max(cnt(w), 1L)
+                val nR = math.max(cnt(w + 1), 1L)
+                if (sum(w) * nR > sum(w + 1) * nL) hash |= 1L << w
+                w += 1
+              }
+              Some(hash)
             }
-            Some(hash)
           }
         }
       } finally ais.close()
@@ -519,6 +546,113 @@ object Multimodal {
   def audioFingerprints(ds: Dataset[MediaIn]): Dataset[MediaHash] = {
     import ds.sparkSession.implicits._
     ds.flatMap(m => audioFingerprint(m.content).map(MediaHash(m.doc_id, _)))
+  }
+
+  /** 64-bit VIDEO container fingerprint — CODEC-FREE near-dup for
+    * ISO-BMFF: the per-sample size sequence from every track's `stsz`
+    * (in track order — the same sample tables [[decodeVideoHeader]]
+    * already walks) is the container's structural rhythm: a remux or
+    * metadata edit preserves it exactly, a re-encode or cut perturbs
+    * only the samples it touches. The print applies the identical
+    * integer-exact window math as [[audioFingerprint]] with sample
+    * SIZE standing in for frame energy: sizes partition into 65
+    * windows by `w = g*65/N` over the global sample index, bit w =
+    * cross-multiplied sums×counts comparison of window w vs w+1.
+    * Per-row cost is O(sample-table bytes) — still header-only; `mdat`
+    * is never read. None = not ISO-BMFF, a structurally corrupt box
+    * tree, or no sample tables to print (uniform-size `stsz` reads
+    * without materializing; a hostile uniform count past 2^24 degrades
+    * to None like any other structural lie). */
+  def videoFingerprint(bytes: Array[Byte]): Option[Long] = {
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    def typ(off: Int): String = new String(bytes, off + 4, 4, "US-ASCII")
+    def child(start: Int, end: Int, name: String): Option[(Int, Int)] = {
+      var c = start
+      while (c + 8 <= end) {
+        val cs = u32(c)
+        if (cs < 8 || c + cs > end)
+          throw new IndexOutOfBoundsException(s"corrupt box at $c")
+        if (typ(c) == name) return Some((c + 8, c + cs.toInt))
+        c += cs.toInt
+      }
+      None
+    }
+    try {
+      if (bytes.length < 16 || typ(0) != "ftyp") return None
+      var off = 0
+      var moov: Option[(Int, Int)] = None
+      while (off + 8 <= bytes.length && moov.isEmpty) {
+        val size = u32(off)
+        if (size < 8 || off + size > bytes.length) return None
+        if (typ(off) == "moov") moov = Some((off + 8, off + size.toInt))
+        off += size.toInt
+      }
+      moov.flatMap { case (ms, me) =>
+        // pass 1: locate each track's stsz (uniform, count, table off)
+        // in track order — N must be known before windows assign
+        val descs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+        var c = ms
+        while (c + 8 <= me) {
+          val cs = u32(c)
+          if (cs < 8 || c + cs > me)
+            throw new IndexOutOfBoundsException(s"corrupt box at $c")
+          if (typ(c) == "trak")
+            for {
+              (ds, de) <- child(c + 8, c + cs.toInt, "mdia")
+              (fs, fe) <- child(ds, de, "minf")
+              (ss, se) <- child(fs, fe, "stbl")
+              (zs, ze) <- child(ss, se, "stsz")
+            } {
+              val uniform = u32(zs + 4)
+              val count = u32(zs + 8)
+              if (uniform > 0 && count > (1L << 24))
+                throw new IndexOutOfBoundsException(
+                  s"implausible uniform stsz count $count at $zs")
+              if (uniform == 0 && zs + 12 + 4L * count > ze)
+                throw new IndexOutOfBoundsException(
+                  s"truncated stsz table at $zs: $count entries past box end $ze")
+              descs += ((uniform, count, zs + 12))
+            }
+          c += cs.toInt
+        }
+        val total = descs.iterator.map(_._2).sum
+        if (total <= 0) None
+        else {
+          // pass 2: stream the size sequence through the 65-window grid
+          val sum = new Array[Long](65)
+          val cnt = new Array[Long](65)
+          var g = 0L
+          descs.foreach { case (uniform, count, tOff) =>
+            var k = 0L
+            while (k < count) {
+              val v = if (uniform > 0) uniform else u32(tOff + 4 * k.toInt)
+              val w = (g * 65 / total).toInt
+              sum(w) += v
+              cnt(w) += 1
+              g += 1
+              k += 1
+            }
+          }
+          var hash = 0L
+          var w = 0
+          while (w < 64) {
+            val nL = math.max(cnt(w), 1L)
+            val nR = math.max(cnt(w + 1), 1L)
+            if (sum(w) * nR > sum(w + 1) * nL) hash |= 1L << w
+            w += 1
+          }
+          Some(hash)
+        }
+      }
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** [[videoFingerprint]] per row, like [[dHashes]]. */
+  def videoFingerprints(ds: Dataset[MediaIn]): Dataset[MediaHash] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap(m => videoFingerprint(m.content).map(MediaHash(m.doc_id, _)))
   }
 
   /** Perceptual near-duplicate pairs over (doc_id, hash) — shared by
@@ -537,10 +671,23 @@ object Multimodal {
   def bandedNearDupPairs(hashes: DataFrame, maxDistance: Int = 3,
       bands: Int = 4): DataFrame = {
     import org.apache.spark.sql.functions._
-    require(bands > 0 && 64 % bands == 0, s"bands must divide 64: $bands")
     require(maxDistance >= 0 && maxDistance < bands,
       s"maxDistance $maxDistance needs $bands bands > it — pigeonhole " +
         "blocking only guarantees a shared band below the band count")
+    bandedCandidates(hashes, bands)
+      .filter(col("distance") <= maxDistance)
+      .select("id_a", "id_b", "distance")
+  }
+
+  /** The CANDIDATE half of [[bandedNearDupPairs]]: every distinct pair
+    * sharing at least one band, with its verified Hamming distance —
+    * NO threshold and NO pigeonhole guard, because this is also the
+    * lossy-regime primitive: past `bands - 1` bits a pair may disagree
+    * on every band and never surface, which is exactly the trade-off
+    * [[bandedRecallReport]] measures before anyone runs that config in
+    * production. */
+  def bandedCandidates(hashes: DataFrame, bands: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions._
     val banded = bandedIndex(hashes, bands)
     val left = banded.select(col("doc_id").as("id_a"), col("hash").as("h_a"),
       col("band"), col("bv"))
@@ -551,8 +698,62 @@ object Multimodal {
       .select("id_a", "id_b", "h_a", "h_b").distinct()
       .withColumn("distance",
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int"))
-      .filter(col("distance") <= maxDistance)
-      .select("id_a", "id_b", "distance")
+  }
+
+  /** Recall/precision report for the banded near-dup path — the eval a
+    * production image/audio dedup runs BEFORE trusting a band config
+    * past the pigeonhole bound (the `ann_recall_report` analog for this
+    * family). For each threshold t: `n_true` = ALL pairs within t bits
+    * (exact all-pairs baseline), `n_found` = banded candidates within
+    * t, `recall = n_found / n_true`; `n_candidates` = every banded
+    * candidate pair regardless of distance and
+    * `precision = n_found / n_candidates` (the fraction of candidate
+    * verifications that pay off at t). Thresholds below `bands` are
+    * guaranteed recall 1.0 by pigeonhole; above it the report carries
+    * the measured loss. The exact baseline is O(n²) BY DESIGN — this
+    * is an EVAL operator: at 100 TB it runs over a drawn sample of the
+    * corpus (the same contract as ann_recall_report's brute-force
+    * half), never the corpus itself; the banded production path stays
+    * all-pairs-free. */
+  def bandedRecallReport(hashes: DataFrame, bands: Int = 8,
+      thresholds: Seq[Int] = Seq(3, 7, 10, 16)): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(thresholds.nonEmpty, "no thresholds to evaluate")
+    val spark = hashes.sparkSession
+    val th = spark.createDataFrame(
+      spark.sparkContext.parallelize(thresholds.map(Tuple1(_)), 1))
+      .toDF("threshold")
+    val a = hashes.select(col("doc_id").as("id_a"), col("hash").as("h_a"))
+    val b = hashes.select(col("doc_id").as("id_b"), col("hash").as("h_b"))
+    // all-pairs as a broadcast nested-loop (the eval sample is bounded
+    // by contract), never a shuffle cartesian
+    val exact = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int")
+        .as("distance"))
+    val cand = bandedCandidates(hashes, bands).select("distance")
+    val trueCounts = exact.join(broadcast(th),
+        col("distance") <= col("threshold"))
+      .groupBy("threshold").agg(count(lit(1)).as("n_true"))
+    val foundCounts = cand.join(broadcast(th),
+        col("distance") <= col("threshold"))
+      .groupBy("threshold").agg(count(lit(1)).as("n_found"))
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    th.join(trueCounts, Seq("threshold"), "left")
+      .join(foundCounts, Seq("threshold"), "left")
+      .crossJoin(broadcast(nCand))
+      .select(col("threshold").cast("int").as("threshold"),
+        lit(bands).as("bands"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        when(coalesce(col("n_true"), lit(0L)) > 0,
+          round(coalesce(col("n_found"), lit(0L)) / col("n_true"), 6))
+          .as("recall"),
+        col("n_candidates"),
+        // "precision" is an ANSI reserved word — keep the column
+        // oracle-SQL-friendly
+        when(col("n_candidates") > 0,
+          round(coalesce(col("n_found"), lit(0L)) / col("n_candidates"), 6))
+          .as("verify_precision"))
   }
 
   /** The hash frame exploded into its LSH band entries — the AT-REST
@@ -596,18 +797,24 @@ object Multimodal {
       s"maxDistance $maxDistance needs $bands bands > it — pigeonhole " +
         "blocking only guarantees a shared band below the band count")
     // an index built with a DIFFERENT band count would (band, bv)-join
-    // almost nothing — silent recall loss; the index layout carries
-    // its band count, so the mismatch is one cheap row-peek away
-    if (index.columns.contains("bands"))
-      index.select(col("bands")).limit(1).collect().foreach { r =>
-        require(r.getInt(0) == bands,
-          s"at-rest index was built with ${r.getInt(0)} bands; probing " +
-            s"with $bands would silently miss near-duplicates")
-      }
+    // almost nothing — silent recall loss. The guard rides IN the plan
+    // (a filter whose assert_true raises on the first mismatched row)
+    // so it costs zero extra Spark jobs per probe — a streaming loop
+    // probes every micro-batch, and a driver-side row-peek here was one
+    // wasted job each (round-12 advisory). Logged indexes carry the
+    // band count in their properties ledger too — [[probeBandedIndexAt]]
+    // validates that metadata-only, before any plan is built.
+    val guarded =
+      if (index.columns.contains("bands"))
+        index.filter(assert_true(col("bands") === lit(bands),
+          concat(lit("at-rest index was built with "), col("bands"),
+            lit(s" bands; probing with $bands would silently miss " +
+              "near-duplicates"))).isNull)
+      else index
     val probe = bandedIndex(incoming, bands)
       .select(col("band"), col("bv"),
         col("doc_id").as("incoming_id"), col("hash").as("h_in"))
-    index
+    guarded
       .select(col("band"), col("bv"),
         col("doc_id").as("index_id"), col("hash").as("h_ix"))
       .join(probe, Seq("band", "bv"))
@@ -617,6 +824,84 @@ object Multimodal {
         bit_count(col("h_ix").bitwiseXOR(col("h_in"))).cast("int"))
       .filter(col("distance") <= maxDistance)
       .select("index_id", "incoming_id", "distance")
+  }
+
+  /** Properties-ledger key recording a logged banded index's band
+    * count — written at append time so probes validate the layout
+    * metadata-only (one driver-side log read, zero Spark jobs). */
+  val BandsProperty = "graft.bands"
+
+  /** Refuse a band count that contradicts the index's recorded layout
+    * — BEFORE any data lands (an index mixing band counts is silent
+    * recall loss). No-op for a table not yet stamped. */
+  private def requireBandsMatch(spark: SparkSession, tablePath: String,
+      bands: Int): Unit =
+    graft.store.CommitLog.propertiesAt(spark, tablePath).get(BandsProperty)
+      .foreach { v =>
+        require(v.toInt == bands,
+          s"banded index $tablePath was built with $v bands; " +
+            s"appending/probing with $bands would silently miss near-duplicates")
+      }
+
+  /** Record the band count after the append that (possibly) created
+    * the table — one metadata commit, once per table lifetime. */
+  private def stampBandsIfAbsent(spark: SparkSession, tablePath: String,
+      bands: Int): Unit = {
+    import graft.store.CommitLog
+    if (!CommitLog.propertiesAt(spark, tablePath).contains(BandsProperty)) {
+      CommitLog.setProperties(spark, tablePath,
+        Map(BandsProperty -> bands.toString))
+      ()
+    }
+  }
+
+  /** Append a hash batch's band entries to an AT-REST logged index
+    * (creating it on first use), stamping the band count into the
+    * table's properties ledger so later probes and appends validate
+    * the layout without touching data. A mismatched band count is
+    * refused before any data lands. */
+  def appendBandedIndex(spark: SparkSession, tablePath: String,
+      hashes: DataFrame, bands: Int = 4): Long = {
+    import graft.store.CommitLog
+    requireBandsMatch(spark, tablePath, bands)
+    val v = CommitLog.append(bandedIndex(hashes, bands), tablePath,
+      mergeSchema = true)
+    stampBandsIfAbsent(spark, tablePath, bands)
+    v
+  }
+
+  /** [[appendBandedIndex]] with exactly-once streaming semantics: the
+    * band append rides [[graft.store.CommitLog.appendOnce]]'s
+    * `txn=<queryId>:<batchId>` claim, so a replayed micro-batch is
+    * fenced to a no-op instead of double-inserting band entries.
+    * Returns the version won, None for a replay skip. */
+  def appendBandedIndexOnce(spark: SparkSession, tablePath: String,
+      hashes: DataFrame, queryId: String, batchId: Long,
+      bands: Int = 4): Option[Long] = {
+    import graft.store.CommitLog
+    requireBandsMatch(spark, tablePath, bands)
+    val v = CommitLog.appendOnce(bandedIndex(hashes, bands), tablePath,
+      queryId, batchId)
+    if (v.isDefined) stampBandsIfAbsent(spark, tablePath, bands)
+    v
+  }
+
+  /** Probe a LOGGED at-rest banded index by table path: the band-count
+    * layout check reads the table's properties ledger — driver-side
+    * metadata, ZERO Spark jobs — then hands the snapshot to
+    * [[probeBandedIndex]]. This is the probe a streaming loop calls
+    * every micro-batch. */
+  def probeBandedIndexAt(spark: SparkSession, tablePath: String,
+      incoming: DataFrame, maxDistance: Int = 3, bands: Int = 4): DataFrame = {
+    import graft.store.CommitLog
+    CommitLog.propertiesAt(spark, tablePath).get(BandsProperty).foreach { v =>
+      require(v.toInt == bands,
+        s"banded index $tablePath was built with $v bands; probing " +
+          s"with $bands would silently miss near-duplicates")
+    }
+    probeBandedIndex(
+      CommitLog.read(spark, tablePath, CommitLog.tableSchema(spark, tablePath)),
+      incoming, maxDistance, bands)
   }
 
   /** Binary scan of an object tree (S5/S6's Spark shape): the

@@ -285,9 +285,10 @@ object MultimodalQueries {
       val fs = new org.apache.hadoop.fs.Path(idxTable)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(idxTable), true)
-      CommitLog.append(Multimodal.bandedIndex(
-        Multimodal.dHashes(originals.as[Multimodal.MediaIn]).toDF()),
-        idxTable, mergeSchema = true)
+      // appendBandedIndex stamps graft.bands into the properties
+      // ledger, so the probe below validates the layout metadata-only
+      Multimodal.appendBandedIndex(s, idxTable,
+        Multimodal.dHashes(originals.as[Multimodal.MediaIn]).toDF())
       // the ARRIVAL batch probes the at-rest index…
       val copies = originals.filter(col("doc_id") < 24)
         .select((col("doc_id") + 1000).as("doc_id"), col("content"))
@@ -300,13 +301,13 @@ object MultimodalQueries {
       // unaffected by the append below AND its JOIN plan stays visible
       // to PlanAuditSpec's global assertions (a checkpoint here would
       // hide it behind a LogicalRDD leaf)
-      val atRest = CommitLog.read(s, idxTable,
-        CommitLog.tableSchema(s, idxTable))
-      val pairs = Multimodal.probeBandedIndex(atRest, incoming, maxDistance = 3)
+      val pairs = Multimodal.probeBandedIndexAt(s, idxTable, incoming,
+        maxDistance = 3)
       // …then appends its own bands; the index must have grown by
       // exactly the increment's band entries (4 per hash)
-      val before = atRest.count()
-      CommitLog.append(Multimodal.bandedIndex(incoming), idxTable)
+      val before = CommitLog.read(s, idxTable,
+        CommitLog.tableSchema(s, idxTable)).count()
+      Multimodal.appendBandedIndex(s, idxTable, incoming)
       val after = CommitLog.read(s, idxTable,
         CommitLog.tableSchema(s, idxTable)).count()
       require(after == before + incoming.count() * 4,
@@ -348,6 +349,115 @@ object MultimodalQueries {
       graft.dedup.Dedup.connectedComponents(
         Multimodal.bandedNearDupPairs(hashes, maxDistance = 3), "id_a", "id_b")
         .select(col("doc_id"), col("component").cast("long").as("component"))
+    },
+
+    // ── Banded-recall REPORT: the eval a production image dedup runs
+    // before trusting a band config past the pigeonhole bound. 8 bands
+    // of width 8 guarantee recall only to Hamming ≤ 7; real image
+    // dedup wants ≤ 10 — so the report measures, per threshold, the
+    // banded path's recall against the exact all-pairs baseline plus
+    // the verification precision (found / candidates). Corpus =
+    // lossless originals + 1-pixel variants (the lossless end) + NEW
+    // heavy variants (one white pixel per scan row — several bits,
+    // spread across all 8 bands: the lossy regime). The ORACLE replays
+    // BOTH paths relationally from the pixel formulas — exact
+    // distances, 8-band candidates, and the ratio arithmetic — so even
+    // the eval is hash-checked. MultimodalDedupSpec pins recall = 1.0
+    // at the pigeonhole bound and the measured 0.9375 at t=16. ────────
+    Q(
+      "multimodal_phash_recall",
+      """WITH ids AS (
+        |  SELECT i AS img, CAST(i AS BIGINT) AS id
+        |  FROM range(0, 48) t(i) WHERE i % 3 <> 2
+        |  UNION ALL
+        |  SELECT i, 2000 + i FROM range(0, 24) t(i) WHERE i % 3 <> 2
+        |  UNION ALL
+        |  SELECT i, 3000 + i FROM range(0, 24) t(i) WHERE i % 3 <> 2),
+        |dims AS (
+        |  SELECT DISTINCT img, 8 + img % 16 AS w, 8 + (img * 7) % 16 AS h
+        |  FROM ids),
+        |pix AS (
+        |  SELECT i.id, i.img, d.w, d.h, xs.x, ys.y,
+        |    CASE WHEN i.id >= 3000 AND xs.x = (i.img + ys.y) % d.w THEN 255000
+        |         WHEN i.id >= 2000 AND i.id < 3000 AND xs.x = 0 AND ys.y = 0
+        |           THEN 45710
+        |         ELSE 299 * ((v.v >> 16) & 255) + 587 * ((v.v >> 8) & 255)
+        |              + 114 * (v.v & 255) END AS gray
+        |  FROM ids i
+        |  JOIN dims d USING (img)
+        |  CROSS JOIN range(0, 24) xs(x)
+        |  CROSS JOIN range(0, 24) ys(y)
+        |  CROSS JOIN LATERAL (SELECT
+        |    ((i.img * 37 + xs.x * 11 + ys.y * 29) * 2654435761) & 16777215 AS v) v
+        |  WHERE xs.x < d.w AND ys.y < d.h),
+        |cells AS (
+        |  SELECT id, (y * 8) // h AS cy, (x * 9) // w AS cx,
+        |    SUM(gray) AS s, COUNT(*) AS n
+        |  FROM pix GROUP BY id, (y * 8) // h, (x * 9) // w),
+        |grid AS (
+        |  SELECT b.id, cys.cy, cxs.cx,
+        |    COALESCE(c.s, 0) AS s, GREATEST(COALESCE(c.n, 0), 1) AS n
+        |  FROM (SELECT DISTINCT id FROM ids) b
+        |  CROSS JOIN range(0, 8) cys(cy)
+        |  CROSS JOIN range(0, 9) cxs(cx)
+        |  LEFT JOIN cells c ON c.id = b.id AND c.cy = cys.cy AND c.cx = cxs.cx),
+        |bits AS (
+        |  SELECT l.id, l.cy, l.cx,
+        |    CASE WHEN l.s * r.n > r.s * l.n THEN 1 ELSE 0 END AS bit
+        |  FROM grid l
+        |  JOIN grid r ON r.id = l.id AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8),
+        |hashes AS (
+        |  SELECT id, CAST(SUM(CASE
+        |      WHEN cy * 8 + cx = 63
+        |        THEN CASE WHEN bit = 1 THEN -9223372036854775808 ELSE 0 END
+        |      ELSE bit * (1::BIGINT << (cy * 8 + cx)) END) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY id),
+        |exact AS (
+        |  SELECT bit_count(xor(a.dhash, b.dhash)) AS distance
+        |  FROM hashes a JOIN hashes b ON a.id < b.id),
+        |banded AS (
+        |  SELECT id, dhash, bs.band, (dhash >> (bs.band * 8)) & 255 AS bv
+        |  FROM hashes CROSS JOIN range(0, 8) bs(band)),
+        |cdist AS (
+        |  SELECT bit_count(xor(h_a, h_b)) AS distance FROM (
+        |    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |      a.dhash AS h_a, b.dhash AS h_b
+        |    FROM banded a JOIN banded b
+        |      ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)),
+        |th AS (SELECT unnest([3, 7, 10, 16]) AS threshold),
+        |tc AS (
+        |  SELECT th.threshold, COUNT(e.distance) AS n_true
+        |  FROM th LEFT JOIN exact e ON e.distance <= th.threshold GROUP BY 1),
+        |fc AS (
+        |  SELECT th.threshold, COUNT(c.distance) AS n_found
+        |  FROM th LEFT JOIN cdist c ON c.distance <= th.threshold GROUP BY 1),
+        |nc AS (SELECT COUNT(*) AS n_candidates FROM cdist)
+        |SELECT CAST(tc.threshold AS INTEGER) AS threshold,
+        |  CAST(8 AS INTEGER) AS bands,
+        |  CAST(tc.n_true AS BIGINT) AS n_true,
+        |  CAST(fc.n_found AS BIGINT) AS n_found,
+        |  CASE WHEN tc.n_true > 0 THEN round(fc.n_found / tc.n_true, 6) END
+        |    AS recall,
+        |  CAST(nc.n_candidates AS BIGINT) AS n_candidates,
+        |  CASE WHEN nc.n_candidates > 0
+        |       THEN round(fc.n_found / nc.n_candidates, 6) END
+        |    AS verify_precision
+        |FROM tc JOIN fc USING (threshold) CROSS JOIN nc""".stripMargin) { (s, _) =>
+      import s.implicits._
+      def scan(root: String, pat: String, offset: Long) =
+        Multimodal.scanBinary(s, root)
+          .select((regexp_extract(col("key"), pat, 1).cast("long") + offset)
+            .as("doc_id"), col("content"))
+      val originals = scan(ImageFixture.ensure(), "img_(\\d+)", 0L)
+        .filter(col("doc_id") % 3 =!= 2)
+      val light = scan(ImageFixture.ensureVariants(), "var_(\\d+)", 2000L)
+      val heavy = scan(ImageFixture.ensureHeavyVariants(), "hvar_(\\d+)", 3000L)
+      val hashes = Multimodal.dHashes(
+        originals.unionByName(light).unionByName(heavy)
+          .as[Multimodal.MediaIn]).toDF()
+      Multimodal.bandedRecallReport(hashes, bands = 8,
+        thresholds = Seq(3, 7, 10, 16))
     },
 
     // ── Audio-fingerprint near-dup: the AUDIO sibling of the phash row
@@ -422,6 +532,76 @@ object MultimodalQueries {
         .select((col("doc_id") + 1000).as("doc_id"), col("content"))
       val variants = scan(AudioFixture.ensureVariants(), "var_(\\d+)", 2000L)
       val prints = Multimodal.audioFingerprints(
+        originals.unionByName(copies).unionByName(variants)
+          .as[Multimodal.MediaIn]).toDF()
+      Multimodal.bandedNearDupPairs(prints, maxDistance = 3)
+    },
+
+    // ── VIDEO container fingerprint near-dup: codec-free — the print
+    // is the per-sample stsz size sequence (the sample tables the
+    // ISO-BMFF parser already walks) through the same integer-exact
+    // 65-window math as the audio print, paired by the same banded
+    // operator. Corpus = 24 varied-size fixtures + 24 bit-identical
+    // copies + 24 one-sample-grown variants; the ORACLE replays
+    // size-formula → windows → bits → hash → bands → Hamming
+    // relationally from the fixture arithmetic. ───────────────────────
+    Q(
+      "multimodal_video_fingerprint",
+      """WITH ids AS (
+        |  SELECT i AS vid, CAST(i AS BIGINT) AS id, 0 AS mut
+        |  FROM range(0, 24) t(i)
+        |  UNION ALL SELECT i, 1000 + i, 0 FROM range(0, 24) t(i)
+        |  UNION ALL SELECT i, 2000 + i, 1 FROM range(0, 24) t(i)),
+        |dims AS (
+        |  SELECT DISTINCT vid, 1 + vid % 2 AS tr, 40 + vid % 16 AS nf
+        |  FROM ids),
+        |sizes AS (
+        |  SELECT i.id, d.tr * d.nf AS total, gs.g,
+        |    100 + (i.vid * 31 + (gs.g // d.nf + 1) * 53 + (gs.g % d.nf) * 17) % 97
+        |      + CASE WHEN i.mut = 1 AND gs.g = 0 THEN 911 ELSE 0 END AS sz
+        |  FROM ids i
+        |  JOIN dims d USING (vid)
+        |  CROSS JOIN range(0, 112) gs(g)
+        |  WHERE gs.g < d.tr * d.nf),
+        |win AS (
+        |  SELECT id, (g * 65) // total AS w, SUM(sz) AS s, COUNT(*) AS n
+        |  FROM sizes GROUP BY id, (g * 65) // total),
+        |grid AS (
+        |  SELECT b.id, ws.w, COALESCE(win.s, 0) AS s,
+        |    GREATEST(COALESCE(win.n, 0), 1) AS n
+        |  FROM (SELECT DISTINCT id FROM ids) b
+        |  CROSS JOIN range(0, 65) ws(w)
+        |  LEFT JOIN win ON win.id = b.id AND win.w = ws.w),
+        |bits AS (
+        |  SELECT l.id, l.w,
+        |    CASE WHEN l.s * r.n > r.s * l.n THEN 1 ELSE 0 END AS bit
+        |  FROM grid l JOIN grid r ON r.id = l.id AND r.w = l.w + 1
+        |  WHERE l.w < 64),
+        |hashes AS (
+        |  SELECT id, CAST(SUM(CASE
+        |      WHEN w = 63 THEN CASE WHEN bit = 1 THEN -9223372036854775808 ELSE 0 END
+        |      ELSE bit * (1::BIGINT << w) END) AS BIGINT) AS h
+        |  FROM bits GROUP BY id),
+        |banded AS (
+        |  SELECT id, h, bs.band, (h >> (bs.band * 16)) & 65535 AS bv
+        |  FROM hashes CROSS JOIN range(0, 4) bs(band)),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.h AS h_a, b.h AS h_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INTEGER) AS distance
+        |FROM pairs WHERE bit_count(xor(h_a, h_b)) <= 3""".stripMargin) { (s, _) =>
+      import s.implicits._
+      def scan(root: String, pat: String, offset: Long) =
+        Multimodal.scanBinary(s, root)
+          .select((regexp_extract(col("key"), pat, 1).cast("long") + offset)
+            .as("doc_id"), col("content"))
+      val originals = scan(VideoFixture.ensureFingerprintSet(), "fvid_(\\d+)", 0L)
+      val copies = originals
+        .select((col("doc_id") + 1000).as("doc_id"), col("content"))
+      val variants = scan(VideoFixture.ensureFingerprintVariants(),
+        "fvar_(\\d+)", 2000L)
+      val prints = Multimodal.videoFingerprints(
         originals.unionByName(copies).unionByName(variants)
           .as[Multimodal.MediaIn]).toDF()
       Multimodal.bandedNearDupPairs(prints, maxDistance = 3)
