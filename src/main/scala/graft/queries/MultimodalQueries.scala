@@ -23,9 +23,10 @@ object MultimodalQueries {
 
   /** The shared dHash-pipeline CTEs (DuckDB): fixture ids → arithmetic
     * pixels → luminance cells → gradient bits → 64-bit hashes → band
-    * values. The three phash oracles compose their own pair/cluster
-    * finals over `banded`. */
-  private val PhashPipelineCtes: String =
+    * values. The three phash oracles here — and StreamQueries'
+    * stream_phash_incremental — compose their own pair/cluster finals
+    * over `banded`. */
+  private[queries] val PhashPipelineCtes: String =
     """ids AS (
       |  SELECT i AS img, CAST(i AS BIGINT) AS id
       |  FROM range(0, 48) t(i) WHERE i % 3 <> 2

@@ -205,6 +205,42 @@ object StreamQueries {
       (s, dir) => StreamingJobs.incrementalLshPairs(s, dir, threshold = 0.6)
     },
 
+    // ── Streaming incremental MULTIMODAL dedup: arrival image batches
+    // decode → dHash inside foreachBatch, probe the LOGGED at-rest
+    // band index, land pairs AND their own bands through the
+    // exactly-once txn sink — and the drain is CRASHED after batch 1's
+    // commits land (work durable, offset not: the replay-duplication
+    // worst case), restarted from the same checkpoint. The finished
+    // pairs table must equal the batch banding over the same corpus
+    // (original×original pairs never probed — the shared oracle pins
+    // b.id >= 1000), proving both arrival-order independence and the
+    // txn fence. ───────────────────────────────────────────────────────
+    Q(
+      "stream_phash_incremental",
+      s"""WITH ${MultimodalQueries.PhashPipelineCtes},
+         |pairs AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |    a.dhash AS h_a, b.dhash AS h_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
+         |  WHERE b.id >= 1000)
+         |SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INTEGER) AS distance
+         |FROM pairs WHERE bit_count(xor(h_a, h_b)) <= 3""".stripMargin) { (s, _) =>
+      val root = "/tmp/graft_state/phash_stream"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ckpt = Files.createTempDirectory("graft_ckpt_phash").toString
+      val boom = (bid: Long, stage: String) =>
+        if (bid == 1 && stage == "bands")
+          throw new RuntimeException("injected post-commit failure")
+      try StreamingJobs.incrementalPhashRun(s, root, ckpt, boom)
+        .awaitTermination()
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+      StreamingJobs.incrementalPhashRun(s, root, ckpt).awaitTermination()
+      StreamingJobs.incrementalPhashResult(s, root)
+    },
+
     // ── Streaming count-min sketch: the depth×width counter table
     // maintained as a streaming aggregation (state bounded by the
     // sketch size forever — no watermark, no unbounded keyspace), then

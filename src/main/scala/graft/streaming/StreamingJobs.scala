@@ -468,6 +468,118 @@ object StreamingJobs {
     Store.readOrEmpty(spark, pairsPath, pairsSchema)
   }
 
+  /** Streaming incremental IMAGE near-dup — [[incrementalLshPairs]]'s
+    * multimodal sibling, run the way an ingest pipeline actually runs
+    * the banded operators: the corpus-so-far's dHash band entries live
+    * AT REST in a LOGGED index table; arrival micro-batches (binary
+    * image payloads) decode → hash inside `foreachBatch`, probe the
+    * at-rest index for cross-batch pairs (work = increment × matched
+    * buckets, never a corpus rescan), pair within the batch, land the
+    * verified pairs through [[graft.store.CommitLog.appendOnce]]'s
+    * exactly-once txn claim, and only THEN append their own bands
+    * (also exactly-once) — so a crash-replayed batch can duplicate
+    * neither pairs nor band entries, whichever side of the crash the
+    * commits landed on.
+    *
+    * Arrival-order independence (the property the shared oracle
+    * checks): every qualifying pair is discovered exactly once — when
+    * its later member arrives (new×index) or within the shared batch
+    * (new×new) — so the drained pairs table equals the batch run over
+    * the same corpus under ANY file order; original×original pairs are
+    * never probed (the bootstrap set only ever sits on the index side).
+    *
+    * `crashAfter(batchId, stage)` is the failure injector — called
+    * with stage "pairs" after the pairs commit and "bands" after the
+    * band-index commit, the two durable-side-effect edges a replay
+    * must fence. Re-invoking with the same `stateRoot`/`checkpoint`
+    * resumes from the Spark checkpoint; the bootstrap and staging are
+    * idempotent (existence-guarded). */
+  def incrementalPhashRun(spark: SparkSession, stateRoot: String,
+      checkpoint: String,
+      crashAfter: (Long, String) => Unit = (_, _) => ()): StreamingQuery = {
+    import graft.multimodal.{ImageFixture, Multimodal}
+    import graft.store.CommitLog
+    val idxTable = s"$stateRoot/band_index"
+    val pairsTable = s"$stateRoot/pairs"
+    val arrivals = s"$stateRoot/arrivals"
+    def scan(dir: String, pat: String, offset: Long) =
+      Multimodal.scanBinary(spark, dir)
+        .select((regexp_extract(col("key"), pat, 1).cast("long") + offset)
+          .as("doc_id"), col("content"))
+    val originals = scan(ImageFixture.ensure(), "img_(\\d+)", 0L)
+      .filter(col("doc_id") % 3 =!= 2)
+    // bootstrap the at-rest index once per stateRoot (a restart after
+    // a crash must NOT re-append the originals)
+    if (!new java.io.File(s"$idxTable/_graft_log").exists()) {
+      import spark.implicits._
+      Multimodal.appendBandedIndex(spark, idxTable,
+        Multimodal.dHashes(originals.as[Multimodal.MediaIn]).toDF())
+      ()
+    }
+    // stage the arrival payloads as a multi-file parquet so
+    // AvailableNow drains them across several micro-batches
+    if (!new java.io.File(arrivals).exists()) {
+      val copies = originals.filter(col("doc_id") < 24)
+        .select((col("doc_id") + 1000).as("doc_id"), col("content"))
+      val variants = scan(ImageFixture.ensureVariants(), "var_(\\d+)", 2000L)
+      copies.unionByName(variants).repartition(4)
+        .write.parquet(arrivals)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(arrivals)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        // decode+hash once; the batch has three consumers (probe,
+        // within-batch self-join ×2, band append)
+        val hashesB = Multimodal.dHashes(
+          batch.select(col("doc_id"), col("content"))
+            .as[Multimodal.MediaIn]).toDF().persist()
+        hashesB.count()
+        try {
+          // pairs FIRST — they read the PRE-batch index state, so a
+          // replay (which re-probes the same state if the band append
+          // never landed) recomputes the identical set
+          val cross = Multimodal
+            .probeBandedIndexAt(s, idxTable, hashesB, maxDistance = 3)
+            .select(least(col("index_id"), col("incoming_id")).as("id_a"),
+              greatest(col("index_id"), col("incoming_id")).as("id_b"),
+              col("distance"))
+          val within = Multimodal.bandedNearDupPairs(hashesB, maxDistance = 3)
+          CommitLog.appendOnce(cross.unionByName(within).distinct(),
+            pairsTable, "phash_pairs", bid)
+          crashAfter(bid, "pairs")
+          // ...THEN the batch joins the index (reversing this would
+          // double-discover within-batch pairs through the probe)
+          Multimodal.appendBandedIndexOnce(s, idxTable, hashesB,
+            "phash_bands", bid)
+          crashAfter(bid, "bands")
+        } finally { hashesB.unpersist(); () }
+        ()
+      }
+      .start()
+  }
+
+  /** The drained pairs of an [[incrementalPhashRun]] state root. */
+  def incrementalPhashResult(spark: SparkSession, stateRoot: String): DataFrame =
+    graft.store.CommitLog.read(spark, s"$stateRoot/pairs",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id_a",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("id_b",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("distance",
+          org.apache.spark.sql.types.IntegerType))))
+
   /** Stream-stream interval join — the streaming twin of
     * events_range_join: signups and follow-up events arrive as TWO
     * independent streams, and the inner join emits each (signup, event)

@@ -180,4 +180,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
+
+  test("incremental phash: a crash BETWEEN the pairs and band commits replays exactly-once") {
+    import graft.store.CommitLog
+    // the declared query crashes AFTER both commits; this case takes
+    // the nastier window — pairs committed, band append NOT — so the
+    // replay must skip the pairs (txn fence) yet still land the bands,
+    // and the re-probed pre-batch index state must reproduce the same
+    // pair set it is skipping
+    val root = Files.createTempDirectory("graft_phash_crash").toString + "/st"
+    val ckpt = Files.createTempDirectory("graft_ckpt_phash_spec").toString
+    val boom = (bid: Long, stage: String) =>
+      if (bid == 1 && stage == "pairs")
+        throw new RuntimeException("injected mid-batch failure")
+    try StreamingJobs.incrementalPhashRun(spark, root, ckpt, boom)
+      .awaitTermination()
+    catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+    StreamingJobs.incrementalPhashRun(spark, root, ckpt).awaitTermination()
+    // reference: an uncrashed run over a fresh state root
+    val cleanRoot = Files.createTempDirectory("graft_phash_clean").toString + "/st"
+    StreamingJobs.incrementalPhashRun(spark, cleanRoot,
+      Files.createTempDirectory("graft_ckpt_phash_clean").toString)
+      .awaitTermination()
+    val crashed = StreamingJobs.incrementalPhashResult(spark, root)
+    val clean = StreamingJobs.incrementalPhashResult(spark, cleanRoot)
+    assert(crashed.exceptAll(clean).count() == 0 &&
+      clean.exceptAll(crashed).count() == 0,
+      "crash-replayed pairs drifted from the clean run")
+    // no duplicated pairs rows at all (exactly-once, not at-least-once)
+    assert(crashed.count() == crashed.distinct().count())
+    // the band index holds each hash's bands exactly once:
+    // 32 originals + 16 copies + 16 variants, 4 bands each
+    val idx = CommitLog.read(spark, s"$root/band_index",
+      CommitLog.tableSchema(spark, s"$root/band_index"))
+    assert(idx.count() == (32L + 16 + 16) * 4, s"band index duplicated rows")
+    assert(idx.select("doc_id", "band").distinct().count() == idx.count())
+  }
 }
