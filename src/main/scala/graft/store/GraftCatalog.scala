@@ -368,7 +368,29 @@ private[graft] case class GraftTable(path: String, asOf: Long,
   * pruning and pushed filters through [[GraftLogBatch.relation]] —
   * behind one RDD[Row] seam (the JDBC-connector shape). Column
   * pruning and filters are applied INSIDE the wrapped plan, so the
-  * vectorized parquet scans still read only what the query needs. */
+  * vectorized parquet scans still read only what the query needs.
+  *
+  * PUSHDOWN LIMITS of this fallback (vs the [[GraftV2ReadRule]]
+  * native path — why extension-carrying sessions get the upgrade):
+  *
+  *  - Only predicates [[graft.sources.FilterColumns.toColumn]] can
+  *    translate push down (comparison/IN/null-test/StringStartsWith
+  *    etc. on TOP-LEVEL columns); everything else — nested fields,
+  *    expressions, UDF-wrapped predicates — evaluates above the scan.
+  *    Spark re-applies ALL filters above the seam regardless, so this
+  *    costs I/O, never correctness.
+  *  - Column pruning is top-level only (`pruneColumns` receives a
+  *    flat StructType); a query touching one field of a struct still
+  *    reads the whole struct through the seam.
+  *  - The RDD[Row] bridge breaks whole-stage codegen and columnar
+  *    transfer at the scan boundary: rows materialize once per scan
+  *    (the documented V1 row-conversion seam, visible in plans as
+  *    `RowDataSourceScan`), and runtime filters / DPP from joins
+  *    cannot reach the file index.
+  *
+  * GraftCatalogSpec's "V1Scan fallback" case pins result equality
+  * with the native path; the limits above are the PERFORMANCE
+  * contract a rule-less session accepts. */
 private[store] final class GraftV1ScanBuilder(spark: SparkSession,
     path: String, asOf: Long, tableSchema: StructType) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {

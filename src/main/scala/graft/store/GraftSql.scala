@@ -336,12 +336,25 @@ object GraftSql {
     * surface (`CREATE TABLE graftlog.`corpus` …`, then every verb by
     * name). */
   private[graft] def resolvePath(spark: SparkSession, ident: String): String =
-    if (ident.contains('/')) ident
-    else spark.conf.getOption("spark.graft.warehouse") match {
-      case Some(wh) => s"${wh.stripSuffix("/")}/$ident"
-      case None => throw new IllegalArgumentException(
-        s"graftlog table `$ident` is a bare name — set spark.graft.warehouse " +
-          "to resolve names against a root, or address the table by path")
+    if (ident.contains('/')) {
+      // path-addressed: explicit and absolute only — a RELATIVE path
+      // would resolve against an undefined working directory, and
+      // DROP TABLE deletes recursively (same guard as GraftCatalog)
+      require(ident.startsWith("/"),
+        s"path-addressed graftlog table `$ident` must be an absolute path")
+      ident
+    } else {
+      // warehouse-resolved names must stay UNDER the warehouse: `..`
+      // would resolve outside it and DROP could then delete an
+      // out-of-warehouse directory that contains a _graft_log
+      require(ident.nonEmpty && ident != "." && ident != "..",
+        s"invalid graftlog table name `$ident`")
+      spark.conf.getOption("spark.graft.warehouse") match {
+        case Some(wh) => s"${wh.stripSuffix("/")}/$ident"
+        case None => throw new IllegalArgumentException(
+          s"graftlog table `$ident` is a bare name — set spark.graft.warehouse " +
+            "to resolve names against a root, or address the table by path")
+      }
     }
 
   /** ``[alias ->] graftlog.`/path` `` → (path, alias). */

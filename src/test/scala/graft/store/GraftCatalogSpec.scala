@@ -140,6 +140,33 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Long].head() == 3L)
   }
 
+  test("SHOW TBLPROPERTIES and DESCRIBE HISTORY through catalog identifiers") {
+    val wh = freshWarehouse()
+    spark.sql("CREATE TABLE graft.props (id BIGINT) " +
+      "TBLPROPERTIES ('team' = 'pipeline', 'graft.deletionVectors' = 'true')")
+    spark.sql("INSERT INTO graft.props VALUES (1), (2)")
+    // SHOW TBLPROPERTIES goes through Spark's NATIVE v2 command and the
+    // table's properties() — the ledger-backed map, by `graft.` name
+    val shown = spark.sql("SHOW TBLPROPERTIES graft.props")
+      .as[(String, String)].collect().toMap
+    assert(shown.get("team").contains("pipeline") &&
+      shown.get("graft.deletionVectors").contains("true"), s"got $shown")
+    // a single property lookup works too
+    assert(spark.sql("SHOW TBLPROPERTIES graft.props ('team')")
+      .as[(String, String)].head() == (("team", "pipeline")))
+    // DESCRIBE HISTORY is an extension verb (Spark's parser lacks it)
+    // — the GraftSql router accepts the SAME `graft.` spelling, so one
+    // identifier form works across the whole SQL surface
+    val hist = GraftSql.execute(spark, "DESCRIBE HISTORY graft.props")
+    assert(hist.count() >= 2, "expected the CREATE and INSERT commits")
+    assert(hist.columns.contains("version"))
+    // ...and DESCRIBE DETAIL likewise
+    val detail = GraftSql.execute(spark, "DESCRIBE DETAIL graft.props")
+    assert(detail.count() == 1)
+    // name resolution matches the catalog's: same table, same files
+    assert(CommitLog.latestVersion(spark, s"$wh/props") >= 1)
+  }
+
   test("CTAS, path-addressed identifiers, and SHOW TABLES") {
     val wh = freshWarehouse()
     spark.sql("CREATE TABLE graft.src (id BIGINT, v STRING)")
