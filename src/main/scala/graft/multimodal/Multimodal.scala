@@ -679,6 +679,24 @@ object Multimodal {
       .select("id_a", "id_b", "distance")
   }
 
+  /** [[bandedNearDupPairs]] with the pigeonhole guard DELIBERATELY
+    * waived — the production shape for thresholds the band count
+    * cannot guarantee (e.g. Hamming ≤ 10 on 64-bit dHash with 8 bands,
+    * where 16 guaranteed bands of width 4 would bucket-collide half
+    * the corpus): same band-keyed hash join, same verification, but
+    * pairs disagreeing on every band are MISSED. Run
+    * [[bandedRecallReport]] first — it measures exactly this config's
+    * recall/precision — and record the measured trade-off next to the
+    * job; the explicit name is the opt-in. */
+  def bandedNearDupPairsLossy(hashes: DataFrame, maxDistance: Int,
+      bands: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(maxDistance >= 0, s"negative maxDistance: $maxDistance")
+    bandedCandidates(hashes, bands)
+      .filter(col("distance") <= maxDistance)
+      .select("id_a", "id_b", "distance")
+  }
+
   /** The CANDIDATE half of [[bandedNearDupPairs]]: every distinct pair
     * sharing at least one band, with its verified Hamming distance —
     * NO threshold and NO pigeonhole guard, because this is also the

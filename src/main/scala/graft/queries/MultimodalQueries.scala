@@ -76,6 +76,64 @@ object MultimodalQueries {
       |  SELECT id, dhash, bs.band, (dhash >> (bs.band * 16)) & 65535 AS bv
       |  FROM hashes CROSS JOIN range(0, 4) bs(band))""".stripMargin
 
+  /** The recall-evaluation corpus pipeline (DuckDB): originals +
+    * 1-pixel variants (2000s) + heavy one-white-pixel-per-row variants
+    * (3000s) → 64-bit hashes → WIDTH-8 band values (the lossy-regime
+    * config). Shared by multimodal_phash_recall and
+    * multimodal_phash_lossy_near_dup so the report and the operator it
+    * justifies replay the identical pipeline. */
+  private val PhashRecallCtes: String =
+    """ids AS (
+      |  SELECT i AS img, CAST(i AS BIGINT) AS id
+      |  FROM range(0, 48) t(i) WHERE i % 3 <> 2
+      |  UNION ALL
+      |  SELECT i, 2000 + i FROM range(0, 24) t(i) WHERE i % 3 <> 2
+      |  UNION ALL
+      |  SELECT i, 3000 + i FROM range(0, 24) t(i) WHERE i % 3 <> 2),
+      |dims AS (
+      |  SELECT DISTINCT img, 8 + img % 16 AS w, 8 + (img * 7) % 16 AS h
+      |  FROM ids),
+      |pix AS (
+      |  SELECT i.id, i.img, d.w, d.h, xs.x, ys.y,
+      |    CASE WHEN i.id >= 3000 AND xs.x = (i.img + ys.y) % d.w THEN 255000
+      |         WHEN i.id >= 2000 AND i.id < 3000 AND xs.x = 0 AND ys.y = 0
+      |           THEN 45710
+      |         ELSE 299 * ((v.v >> 16) & 255) + 587 * ((v.v >> 8) & 255)
+      |              + 114 * (v.v & 255) END AS gray
+      |  FROM ids i
+      |  JOIN dims d USING (img)
+      |  CROSS JOIN range(0, 24) xs(x)
+      |  CROSS JOIN range(0, 24) ys(y)
+      |  CROSS JOIN LATERAL (SELECT
+      |    ((i.img * 37 + xs.x * 11 + ys.y * 29) * 2654435761) & 16777215 AS v) v
+      |  WHERE xs.x < d.w AND ys.y < d.h),
+      |cells AS (
+      |  SELECT id, (y * 8) // h AS cy, (x * 9) // w AS cx,
+      |    SUM(gray) AS s, COUNT(*) AS n
+      |  FROM pix GROUP BY id, (y * 8) // h, (x * 9) // w),
+      |grid AS (
+      |  SELECT b.id, cys.cy, cxs.cx,
+      |    COALESCE(c.s, 0) AS s, GREATEST(COALESCE(c.n, 0), 1) AS n
+      |  FROM (SELECT DISTINCT id FROM ids) b
+      |  CROSS JOIN range(0, 8) cys(cy)
+      |  CROSS JOIN range(0, 9) cxs(cx)
+      |  LEFT JOIN cells c ON c.id = b.id AND c.cy = cys.cy AND c.cx = cxs.cx),
+      |bits AS (
+      |  SELECT l.id, l.cy, l.cx,
+      |    CASE WHEN l.s * r.n > r.s * l.n THEN 1 ELSE 0 END AS bit
+      |  FROM grid l
+      |  JOIN grid r ON r.id = l.id AND r.cy = l.cy AND r.cx = l.cx + 1
+      |  WHERE l.cx < 8),
+      |hashes AS (
+      |  SELECT id, CAST(SUM(CASE
+      |      WHEN cy * 8 + cx = 63
+      |        THEN CASE WHEN bit = 1 THEN -9223372036854775808 ELSE 0 END
+      |      ELSE bit * (1::BIGINT << (cy * 8 + cx)) END) AS BIGINT) AS dhash
+      |  FROM bits GROUP BY id),
+      |banded8 AS (
+      |  SELECT id, dhash, bs.band, (dhash >> (bs.band * 8)) & 255 AS bv
+      |  FROM hashes CROSS JOIN range(0, 8) bs(band))""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ── Decode: binary → typed metadata struct via batched mapPartitions
@@ -367,84 +425,35 @@ object MultimodalQueries {
     // at the pigeonhole bound and the measured 0.9375 at t=16. ────────
     Q(
       "multimodal_phash_recall",
-      """WITH ids AS (
-        |  SELECT i AS img, CAST(i AS BIGINT) AS id
-        |  FROM range(0, 48) t(i) WHERE i % 3 <> 2
-        |  UNION ALL
-        |  SELECT i, 2000 + i FROM range(0, 24) t(i) WHERE i % 3 <> 2
-        |  UNION ALL
-        |  SELECT i, 3000 + i FROM range(0, 24) t(i) WHERE i % 3 <> 2),
-        |dims AS (
-        |  SELECT DISTINCT img, 8 + img % 16 AS w, 8 + (img * 7) % 16 AS h
-        |  FROM ids),
-        |pix AS (
-        |  SELECT i.id, i.img, d.w, d.h, xs.x, ys.y,
-        |    CASE WHEN i.id >= 3000 AND xs.x = (i.img + ys.y) % d.w THEN 255000
-        |         WHEN i.id >= 2000 AND i.id < 3000 AND xs.x = 0 AND ys.y = 0
-        |           THEN 45710
-        |         ELSE 299 * ((v.v >> 16) & 255) + 587 * ((v.v >> 8) & 255)
-        |              + 114 * (v.v & 255) END AS gray
-        |  FROM ids i
-        |  JOIN dims d USING (img)
-        |  CROSS JOIN range(0, 24) xs(x)
-        |  CROSS JOIN range(0, 24) ys(y)
-        |  CROSS JOIN LATERAL (SELECT
-        |    ((i.img * 37 + xs.x * 11 + ys.y * 29) * 2654435761) & 16777215 AS v) v
-        |  WHERE xs.x < d.w AND ys.y < d.h),
-        |cells AS (
-        |  SELECT id, (y * 8) // h AS cy, (x * 9) // w AS cx,
-        |    SUM(gray) AS s, COUNT(*) AS n
-        |  FROM pix GROUP BY id, (y * 8) // h, (x * 9) // w),
-        |grid AS (
-        |  SELECT b.id, cys.cy, cxs.cx,
-        |    COALESCE(c.s, 0) AS s, GREATEST(COALESCE(c.n, 0), 1) AS n
-        |  FROM (SELECT DISTINCT id FROM ids) b
-        |  CROSS JOIN range(0, 8) cys(cy)
-        |  CROSS JOIN range(0, 9) cxs(cx)
-        |  LEFT JOIN cells c ON c.id = b.id AND c.cy = cys.cy AND c.cx = cxs.cx),
-        |bits AS (
-        |  SELECT l.id, l.cy, l.cx,
-        |    CASE WHEN l.s * r.n > r.s * l.n THEN 1 ELSE 0 END AS bit
-        |  FROM grid l
-        |  JOIN grid r ON r.id = l.id AND r.cy = l.cy AND r.cx = l.cx + 1
-        |  WHERE l.cx < 8),
-        |hashes AS (
-        |  SELECT id, CAST(SUM(CASE
-        |      WHEN cy * 8 + cx = 63
-        |        THEN CASE WHEN bit = 1 THEN -9223372036854775808 ELSE 0 END
-        |      ELSE bit * (1::BIGINT << (cy * 8 + cx)) END) AS BIGINT) AS dhash
-        |  FROM bits GROUP BY id),
-        |exact AS (
-        |  SELECT bit_count(xor(a.dhash, b.dhash)) AS distance
-        |  FROM hashes a JOIN hashes b ON a.id < b.id),
-        |banded AS (
-        |  SELECT id, dhash, bs.band, (dhash >> (bs.band * 8)) & 255 AS bv
-        |  FROM hashes CROSS JOIN range(0, 8) bs(band)),
-        |cdist AS (
-        |  SELECT bit_count(xor(h_a, h_b)) AS distance FROM (
-        |    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-        |      a.dhash AS h_a, b.dhash AS h_b
-        |    FROM banded a JOIN banded b
-        |      ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)),
-        |th AS (SELECT unnest([3, 7, 10, 16]) AS threshold),
-        |tc AS (
-        |  SELECT th.threshold, COUNT(e.distance) AS n_true
-        |  FROM th LEFT JOIN exact e ON e.distance <= th.threshold GROUP BY 1),
-        |fc AS (
-        |  SELECT th.threshold, COUNT(c.distance) AS n_found
-        |  FROM th LEFT JOIN cdist c ON c.distance <= th.threshold GROUP BY 1),
-        |nc AS (SELECT COUNT(*) AS n_candidates FROM cdist)
-        |SELECT CAST(tc.threshold AS INTEGER) AS threshold,
-        |  CAST(8 AS INTEGER) AS bands,
-        |  CAST(tc.n_true AS BIGINT) AS n_true,
-        |  CAST(fc.n_found AS BIGINT) AS n_found,
-        |  CASE WHEN tc.n_true > 0 THEN round(fc.n_found / tc.n_true, 6) END
-        |    AS recall,
-        |  CAST(nc.n_candidates AS BIGINT) AS n_candidates,
-        |  CASE WHEN nc.n_candidates > 0
-        |       THEN round(fc.n_found / nc.n_candidates, 6) END
-        |    AS verify_precision
-        |FROM tc JOIN fc USING (threshold) CROSS JOIN nc""".stripMargin) { (s, _) =>
+      s"""WITH $PhashRecallCtes,
+         |exact AS (
+         |  SELECT bit_count(xor(a.dhash, b.dhash)) AS distance
+         |  FROM hashes a JOIN hashes b ON a.id < b.id),
+         |cdist AS (
+         |  SELECT bit_count(xor(h_a, h_b)) AS distance FROM (
+         |    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |      a.dhash AS h_a, b.dhash AS h_b
+         |    FROM banded8 a JOIN banded8 b
+         |      ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)),
+         |th AS (SELECT unnest([3, 7, 10, 16]) AS threshold),
+         |tc AS (
+         |  SELECT th.threshold, COUNT(e.distance) AS n_true
+         |  FROM th LEFT JOIN exact e ON e.distance <= th.threshold GROUP BY 1),
+         |fc AS (
+         |  SELECT th.threshold, COUNT(c.distance) AS n_found
+         |  FROM th LEFT JOIN cdist c ON c.distance <= th.threshold GROUP BY 1),
+         |nc AS (SELECT COUNT(*) AS n_candidates FROM cdist)
+         |SELECT CAST(tc.threshold AS INTEGER) AS threshold,
+         |  CAST(8 AS INTEGER) AS bands,
+         |  CAST(tc.n_true AS BIGINT) AS n_true,
+         |  CAST(fc.n_found AS BIGINT) AS n_found,
+         |  CASE WHEN tc.n_true > 0 THEN round(fc.n_found / tc.n_true, 6) END
+         |    AS recall,
+         |  CAST(nc.n_candidates AS BIGINT) AS n_candidates,
+         |  CASE WHEN nc.n_candidates > 0
+         |       THEN round(fc.n_found / nc.n_candidates, 6) END
+         |    AS verify_precision
+         |FROM tc JOIN fc USING (threshold) CROSS JOIN nc""".stripMargin) { (s, _) =>
       import s.implicits._
       def scan(root: String, pat: String, offset: Long) =
         Multimodal.scanBinary(s, root)
@@ -459,6 +468,40 @@ object MultimodalQueries {
           .as[Multimodal.MediaIn]).toDF()
       Multimodal.bandedRecallReport(hashes, bands = 8,
         thresholds = Seq(3, 7, 10, 16))
+    },
+
+    // ── LOSSY banded near-dup at the config the recall report
+    // justifies: Hamming ≤ 10 with 8 width-8 bands — past the
+    // pigeonhole bound, so pairs disagreeing on every band are missed
+    // BY DESIGN (the report above measures this exact config at
+    // recall 1.0 on this corpus, 0.9375 at t=16). Same corpus, same
+    // pipeline CTEs as the report, so the operator and the eval that
+    // justifies it can never drift apart. ─────────────────────────────
+    Q(
+      "multimodal_phash_lossy_near_dup",
+      s"""WITH $PhashRecallCtes,
+         |pairs AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |    a.dhash AS h_a, b.dhash AS h_b
+         |  FROM banded8 a JOIN banded8 b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INTEGER) AS distance
+         |FROM pairs WHERE bit_count(xor(h_a, h_b)) <= 10""".stripMargin) { (s, _) =>
+      import s.implicits._
+      def scan(root: String, pat: String, offset: Long) =
+        Multimodal.scanBinary(s, root)
+          .select((regexp_extract(col("key"), pat, 1).cast("long") + offset)
+            .as("doc_id"), col("content"))
+      val originals = scan(ImageFixture.ensure(), "img_(\\d+)", 0L)
+        .filter(col("doc_id") % 3 =!= 2)
+      val light = scan(ImageFixture.ensureVariants(), "var_(\\d+)", 2000L)
+      val heavy = scan(ImageFixture.ensureHeavyVariants(), "hvar_(\\d+)", 3000L)
+      val hashes = Multimodal.dHashes(
+        originals.unionByName(light).unionByName(heavy)
+          .as[Multimodal.MediaIn]).toDF()
+      // the pigeonhole-guarded operator refuses this config; the
+      // explicitly-lossy one runs it
+      Multimodal.bandedNearDupPairsLossy(hashes, maxDistance = 10, bands = 8)
     },
 
     // ── Audio-fingerprint near-dup: the AUDIO sibling of the phash row

@@ -73,6 +73,25 @@ class MultimodalDedupSpec extends SparkSpec {
     }
   }
 
+  test("lossy pairs: explicit opt-in past the pigeonhole bound, recall as reported") {
+    val hashes = recallCorpus()
+    // the guarded operator REFUSES the config the report measures...
+    intercept[IllegalArgumentException](
+      Multimodal.bandedNearDupPairs(hashes, maxDistance = 10, bands = 8))
+    // ...the explicitly-lossy one runs it, and finds exactly the
+    // report's n_found@10 (42 pairs here — measured recall 1.0 on this
+    // corpus: every ≤10-bit pair happens to share a band)
+    val lossy = Multimodal.bandedNearDupPairsLossy(hashes, maxDistance = 10, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lossy.size == 42, s"lossy pair count moved: ${lossy.size}")
+    // within the pigeonhole bound, lossy ≡ guaranteed (same bands)
+    val safeT = Multimodal.bandedNearDupPairs(hashes, maxDistance = 7, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lossyT = Multimodal.bandedNearDupPairsLossy(hashes, maxDistance = 7, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(safeT == lossyT)
+  }
+
   test("logged-index probe validates the band count metadata-only: ZERO Spark jobs") {
     import spark.implicits._
     val idx = java.nio.file.Files
