@@ -184,12 +184,41 @@ object AudioFixture {
     variantRoot
   }
 
-  private def writeClip(i: Int, dir: String, name: String, mute0: Boolean): Unit = {
+  /** HEAVY variants for the banded-recall evaluation — the audio
+    * sibling of [[ImageFixture.ensureHeavyVariants]]: channel 0 of
+    * every 8th frame muted, so edits land in EVERY energy window and
+    * the variant sits a mid-range Hamming distance from its original
+    * (several bits, spread across all width-8 bands — the lossy
+    * regime [[Multimodal.bandedRecallReport]] measures). The oracle
+    * replays the mute formula relationally. */
+  val heavyVariantRoot: String = "/tmp/graft_state/audio_fixture_heavy"
+
+  def ensureHeavyVariants(): String = synchronized {
+    val dir = new File(heavyVariantRoot)
+    val want = (0 until n).map(i => "hvar_" + fileName(i).stripPrefix("clip_")).toSet
+    val have = Option(dir.listFiles()).getOrElse(Array.empty).map(_.getName).toSet
+    if (have != want) {
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); () }
+      dir.mkdirs()
+      (0 until n).foreach(i => writeClip(i, heavyVariantRoot,
+        "hvar_" + fileName(i).stripPrefix("clip_"), mute0 = false,
+        muteEvery8 = true))
+    }
+    heavyVariantRoot
+  }
+
+  private def writeClip(i: Int, dir: String, name: String, mute0: Boolean,
+      muteEvery8: Boolean = false): Unit = {
     import javax.sound.sampled._
     val (rate, ch, frames) = (sampleRateOf(i), channelsOf(i), framesOf(i))
     val fmt = new AudioFormat(rate.toFloat, 16, ch, true, i % 3 != 0) // WAV LE, AIFF/AU BE
     val pcm = Array.tabulate[Byte](frames * ch * 2)(j => ((i * 131 + j * 7) & 0x7F).toByte)
     if (mute0) { pcm(0) = 0; pcm(1) = 0 }
+    if (muteEvery8)
+      (0 until frames by 8).foreach { f =>
+        pcm((f * ch) * 2) = 0
+        pcm((f * ch) * 2 + 1) = 0
+      }
     val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
     val tpe = (i % 3) match {
       case 0 => AudioFileFormat.Type.WAVE

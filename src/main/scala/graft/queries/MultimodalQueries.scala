@@ -581,6 +581,107 @@ object MultimodalQueries {
       Multimodal.bandedNearDupPairs(prints, maxDistance = 3)
     },
 
+    // ── Banded-recall report for the AUDIO print family — the same
+    // eval as multimodal_phash_recall over PCM energy prints: corpus =
+    // originals + one-sample-muted variants (the lossless end) + NEW
+    // heavy variants (channel 0 of every 8th frame muted — edits in
+    // every energy window, mid-range distances 5-35). Audio shows the
+    // lossy regime harder than images: measured recall 0.922 at t=10
+    // and 0.657 at t=16 with 8 bands — exactly the number that tells a
+    // deployment this config needs more bands for audio than for
+    // dHash. Oracle replays decode→energy→window→hash→8-band→report
+    // arithmetic relationally. ────────────────────────────────────────
+    Q(
+      "multimodal_audio_recall",
+      """WITH ids AS (
+        |  SELECT i AS clip, CAST(i AS BIGINT) AS id, 0 AS kind
+        |  FROM range(0, 30) t(i)
+        |  UNION ALL SELECT i, 2000 + i, 1 FROM range(0, 30) t(i)
+        |  UNION ALL SELECT i, 3000 + i, 2 FROM range(0, 30) t(i)),
+        |dims AS (
+        |  SELECT DISTINCT clip, 1 + clip % 2 AS ch,
+        |    200 + 40 * (clip % 8) AS frames
+        |  FROM ids),
+        |e AS (
+        |  SELECT i.id, d.frames, fs.f,
+        |    SUM(CASE WHEN i.kind = 1 AND fs.f = 0 AND cs.c = 0 THEN 0
+        |      WHEN i.kind = 2 AND fs.f % 8 = 0 AND cs.c = 0 THEN 0
+        |      WHEN i.clip % 3 = 0
+        |        THEN ((i.clip*131 + (2*(fs.f*d.ch+cs.c)+1)*7) & 127) * 256
+        |             + ((i.clip*131 + (2*(fs.f*d.ch+cs.c))*7) & 127)
+        |      ELSE ((i.clip*131 + (2*(fs.f*d.ch+cs.c))*7) & 127) * 256
+        |           + ((i.clip*131 + (2*(fs.f*d.ch+cs.c)+1)*7) & 127)
+        |      END) AS e
+        |  FROM ids i
+        |  JOIN dims d USING (clip)
+        |  CROSS JOIN range(0, 480) fs(f)
+        |  CROSS JOIN range(0, 2) cs(c)
+        |  WHERE fs.f < d.frames AND cs.c < d.ch
+        |  GROUP BY i.id, d.frames, fs.f),
+        |win AS (
+        |  SELECT id, (f * 65) // frames AS w, SUM(e) AS s, COUNT(*) AS n
+        |  FROM e GROUP BY id, (f * 65) // frames),
+        |grid AS (
+        |  SELECT b.id, ws.w, COALESCE(win.s, 0) AS s,
+        |    GREATEST(COALESCE(win.n, 0), 1) AS n
+        |  FROM (SELECT DISTINCT id FROM ids) b
+        |  CROSS JOIN range(0, 65) ws(w)
+        |  LEFT JOIN win ON win.id = b.id AND win.w = ws.w),
+        |bits AS (
+        |  SELECT l.id, l.w,
+        |    CASE WHEN l.s * r.n > r.s * l.n THEN 1 ELSE 0 END AS bit
+        |  FROM grid l JOIN grid r ON r.id = l.id AND r.w = l.w + 1
+        |  WHERE l.w < 64),
+        |hashes AS (
+        |  SELECT id, CAST(SUM(CASE
+        |      WHEN w = 63 THEN CASE WHEN bit = 1 THEN -9223372036854775808 ELSE 0 END
+        |      ELSE bit * (1::BIGINT << w) END) AS BIGINT) AS h
+        |  FROM bits GROUP BY id),
+        |exact AS (
+        |  SELECT bit_count(xor(a.h, b.h)) AS distance
+        |  FROM hashes a JOIN hashes b ON a.id < b.id),
+        |banded8 AS (
+        |  SELECT id, h, bs.band, (h >> (bs.band * 8)) & 255 AS bv
+        |  FROM hashes CROSS JOIN range(0, 8) bs(band)),
+        |cdist AS (
+        |  SELECT bit_count(xor(h_a, h_b)) AS distance FROM (
+        |    SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.h AS h_a, b.h AS h_b
+        |    FROM banded8 a JOIN banded8 b
+        |      ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)),
+        |th AS (SELECT unnest([3, 7, 10, 16]) AS threshold),
+        |tc AS (
+        |  SELECT th.threshold, COUNT(e.distance) AS n_true
+        |  FROM th LEFT JOIN exact e ON e.distance <= th.threshold GROUP BY 1),
+        |fc AS (
+        |  SELECT th.threshold, COUNT(c.distance) AS n_found
+        |  FROM th LEFT JOIN cdist c ON c.distance <= th.threshold GROUP BY 1),
+        |nc AS (SELECT COUNT(*) AS n_candidates FROM cdist)
+        |SELECT CAST(tc.threshold AS INTEGER) AS threshold,
+        |  CAST(8 AS INTEGER) AS bands,
+        |  CAST(tc.n_true AS BIGINT) AS n_true,
+        |  CAST(fc.n_found AS BIGINT) AS n_found,
+        |  CASE WHEN tc.n_true > 0 THEN round(fc.n_found / tc.n_true, 6) END
+        |    AS recall,
+        |  CAST(nc.n_candidates AS BIGINT) AS n_candidates,
+        |  CASE WHEN nc.n_candidates > 0
+        |       THEN round(fc.n_found / nc.n_candidates, 6) END
+        |    AS verify_precision
+        |FROM tc JOIN fc USING (threshold) CROSS JOIN nc""".stripMargin) { (s, _) =>
+      import s.implicits._
+      def scan(root: String, pat: String, offset: Long) =
+        Multimodal.scanBinary(s, root)
+          .select((regexp_extract(col("key"), pat, 1).cast("long") + offset)
+            .as("doc_id"), col("content"))
+      val originals = scan(AudioFixture.ensure(), "clip_(\\d+)", 0L)
+      val light = scan(AudioFixture.ensureVariants(), "var_(\\d+)", 2000L)
+      val heavy = scan(AudioFixture.ensureHeavyVariants(), "hvar_(\\d+)", 3000L)
+      val prints = Multimodal.audioFingerprints(
+        originals.unionByName(light).unionByName(heavy)
+          .as[Multimodal.MediaIn]).toDF()
+      Multimodal.bandedRecallReport(prints, bands = 8,
+        thresholds = Seq(3, 7, 10, 16))
+    },
+
     // ── VIDEO container fingerprint near-dup: codec-free — the print
     // is the per-sample stsz size sequence (the sample tables the
     // ISO-BMFF parser already walks) through the same integer-exact

@@ -73,6 +73,31 @@ class MultimodalDedupSpec extends SparkSpec {
     }
   }
 
+  test("audio recall report: the lossy regime bites harder than images") {
+    import spark.implicits._
+    AudioFixture.ensure(); AudioFixture.ensureVariants()
+    AudioFixture.ensureHeavyVariants()
+    def prints(dir: String, prefix: String, offset: Long) =
+      (0 until AudioFixture.n).map(i => (offset + i,
+        Multimodal.audioFingerprint(bytesOf(dir, prefix, i)).get))
+    val corpus = (prints(AudioFixture.root, "clip_", 0L) ++
+      prints(AudioFixture.variantRoot, "var_", 2000L) ++
+      prints(AudioFixture.heavyVariantRoot, "hvar_", 3000L))
+      .toDF("doc_id", "hash")
+    val report = Multimodal
+      .bandedRecallReport(corpus, bands = 8, thresholds = Seq(3, 7, 10, 16))
+      .collect().map(r => r.getAs[Int]("threshold") ->
+        ((r.getAs[Long]("n_true"), r.getAs[Long]("n_found"),
+          r.getAs[Double]("recall")))).toMap
+    // pigeonhole floor holds for any print family
+    assert(report(3)._3 == 1.0 && report(7)._3 == 1.0)
+    // the measured lossy-regime values — notably WORSE than the image
+    // family's at the same config (0.9375 at t=16): the eval exists
+    // precisely because the trade-off is per-family, not universal
+    assert(report(10) == ((77L, 71L, 0.922078)), s"t=10 moved: ${report(10)}")
+    assert(report(16) == ((137L, 90L, 0.656934)), s"t=16 moved: ${report(16)}")
+  }
+
   test("lossy pairs: explicit opt-in past the pigeonhole bound, recall as reported") {
     val hashes = recallCorpus()
     // the guarded operator REFUSES the config the report measures...

@@ -229,6 +229,27 @@ class GraftSqlSpec extends SparkSpec {
     assert(!before.subsetOf(CommitLog.liveFiles(spark, t)._2.toSet))
   }
 
+  test("resolvePath rejects path-escaping names before DROP can delete anything") {
+    val base = Files.createTempDirectory("graft_sql_escape").toString
+    val victim = s"$base/victim"
+    CommitLog.append(spark.range(3).toDF("id"), victim)
+    // warehouse nested INSIDE the victim: a bare `..` would resolve to
+    // the victim itself and DROP TABLE deletes recursively
+    spark.conf.set("spark.graft.warehouse", s"$victim/wh")
+    try {
+      intercept[IllegalArgumentException](
+        GraftSql.execute(spark, "DROP TABLE graftlog.`..`"))
+      // relative path-addressing is refused too (undefined root)
+      intercept[IllegalArgumentException](
+        GraftSql.execute(spark, "DESCRIBE HISTORY graftlog.`../victim`"))
+      assert(CommitLog.read(spark, victim,
+        CommitLog.tableSchema(spark, victim)).count() == 3)
+      // explicit absolute paths still work
+      assert(GraftSql.execute(spark,
+        s"DESCRIBE HISTORY graftlog.`$victim`").count() >= 1)
+    } finally spark.conf.unset("spark.graft.warehouse")
+  }
+
   test("named tables: warehouse lifecycle CREATE/CTAS/DML/DROP by name") {
     val wh = Files.createTempDirectory("graft_wh").toString
     spark.conf.set("spark.graft.warehouse", wh)
