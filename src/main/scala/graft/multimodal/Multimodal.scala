@@ -392,6 +392,19 @@ object Multimodal {
   /** One media item's 64-bit perceptual hash/fingerprint. */
   final case class MediaHash(doc_id: Long, hash: Long)
 
+  /** `a*b > c*d` for NONNEGATIVE longs, EXACT under overflow — the
+    * cross-multiplied window/cell comparisons all route through here
+    * (unsigned 128-bit via Math.multiplyHigh): a >2 h max-volume
+    * stereo clip or a container with u32-sized samples pushes the
+    * products past Long.MaxValue, where a wrapped comparison would
+    * silently invert fingerprint bits. */
+  private def productGreater(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val h1 = Math.multiplyHigh(a, b)
+    val h2 = Math.multiplyHigh(c, d)
+    h1 > h2 ||
+      (h1 == h2 && java.lang.Long.compareUnsigned(a * b, c * d) > 0)
+  }
+
   /** dHash — the classic perceptual near-duplicate fingerprint: the
     * image box-downsamples to a 9×8 luminance grid and each bit
     * records whether a cell is brighter than its right neighbor, so
@@ -436,10 +449,8 @@ object Multimodal {
       while (cx < 8) {
         val nL = math.max(cnt(cy)(cx), 1L)
         val nR = math.max(cnt(cy)(cx + 1), 1L)
-        // avg(cx) > avg(cx+1), cross-multiplied: exact in Long for any
-        // sane image (cell gray sum ≤ 255e3·cellPx; overflow needs a
-        // cell past ~6e12 pixel-grays — petapixel territory)
-        if (sum(cy)(cx) * nR > sum(cy)(cx + 1) * nL)
+        // avg(cx) > avg(cx+1), cross-multiplied exactly
+        if (productGreater(sum(cy)(cx), nR, sum(cy)(cx + 1), nL))
           hash |= 1L << (cy * 8 + cx)
         cx += 1
       }
@@ -486,37 +497,38 @@ object Multimodal {
           // shorter than its header claims leaves trailing windows
           // empty (count-clamped), matching the corrupt-input contract
           // of the decoders: degrade deterministically, never throw.
-          val frames = ais.getFrameLength
-          if (frames <= 0) None // header-less stream: no window grid
-          else {
-            val sum = new Array[Long](65)
-            val cnt = new Array[Long](65)
-            val frameBytes = 2 * ch
+          val frameBytes = 2 * ch
+          val sum = new Array[Long](65)
+          val cnt = new Array[Long](65)
+          def addFrame(buf: Array[Byte], off: Int, w: Int): Unit = {
+            var c = 0
+            var e = 0L
+            while (c < ch) {
+              val k = off + c * 2
+              val v =
+                if (big) (buf(k) << 8) | (buf(k + 1) & 0xFF)
+                else (buf(k + 1) << 8) | (buf(k) & 0xFF)
+              e += math.abs(v)
+              c += 1
+            }
+            sum(w) += e
+            cnt(w) += 1
+          }
+          val declared = ais.getFrameLength
+          var f = 0L
+          if (declared > 0) {
             val buf = new Array[Byte](frameBytes * 4096)
             var filled = 0
-            var f = 0L
             var eof = false
-            while (!eof && f < frames) {
+            while (!eof && f < declared) {
               val n = ais.read(buf, filled, buf.length - filled)
               if (n < 0) eof = true
               else {
                 filled += n
                 val whole = filled / frameBytes
                 var k = 0
-                while (k < whole && f < frames) {
-                  val w = (f * 65 / frames).toInt
-                  var c = 0
-                  var e = 0L
-                  while (c < ch) {
-                    val off = k * frameBytes + c * 2
-                    val v =
-                      if (big) (buf(off) << 8) | (buf(off + 1) & 0xFF)
-                      else (buf(off + 1) << 8) | (buf(off) & 0xFF)
-                    e += math.abs(v)
-                    c += 1
-                  }
-                  sum(w) += e
-                  cnt(w) += 1
+                while (k < whole && f < declared) {
+                  addFrame(buf, k * frameBytes, (f * 65 / declared).toInt)
                   f += 1
                   k += 1
                 }
@@ -525,18 +537,31 @@ object Multimodal {
                 filled -= consumed
               }
             }
-            if (f <= 0) None // headline frames but zero decodable payload
-            else {
-              var hash = 0L
-              var w = 0
-              while (w < 64) {
-                val nL = math.max(cnt(w), 1L)
-                val nR = math.max(cnt(w + 1), 1L)
-                if (sum(w) * nR > sum(w + 1) * nL) hash |= 1L << w
-                w += 1
-              }
-              Some(hash)
+          } else {
+            // the container reports NO frame count (e.g. an AU stream
+            // written with unknown length 0xFFFFFFFF): the window grid
+            // needs F up front, so this rare shape materializes and
+            // derives F from the payload — the pre-streaming behavior,
+            // kept so unknown-length clips don't silently vanish from
+            // dedup coverage
+            val pcm = ais.readAllBytes()
+            val frames = pcm.length / frameBytes
+            while (f < frames) {
+              addFrame(pcm, (f * frameBytes).toInt, (f * 65 / frames).toInt)
+              f += 1
             }
+          }
+          if (f <= 0) None // declared frames but zero decodable payload
+          else {
+            var hash = 0L
+            var w = 0
+            while (w < 64) {
+              val nL = math.max(cnt(w), 1L)
+              val nR = math.max(cnt(w + 1), 1L)
+              if (productGreater(sum(w), nR, sum(w + 1), nL)) hash |= 1L << w
+              w += 1
+            }
+            Some(hash)
           }
         }
       } finally ais.close()
@@ -618,6 +643,13 @@ object Multimodal {
           c += cs.toInt
         }
         val total = descs.iterator.map(_._2).sum
+        // the per-box cap bounds ONE uniform stsz; a crafted moov with
+        // thousands of such traks could still sum to an unbounded
+        // pass-2 loop — cap the AGGREGATE too (a 10 h 60 fps movie is
+        // ~2×10^6 samples, well under 2^24)
+        if (total > (1L << 24))
+          throw new IndexOutOfBoundsException(
+            s"implausible aggregate sample count $total")
         if (total <= 0) None
         else {
           // pass 2: stream the size sequence through the 65-window grid
@@ -640,7 +672,7 @@ object Multimodal {
           while (w < 64) {
             val nL = math.max(cnt(w), 1L)
             val nR = math.max(cnt(w + 1), 1L)
-            if (sum(w) * nR > sum(w + 1) * nL) hash |= 1L << w
+            if (productGreater(sum(w), nR, sum(w + 1), nL)) hash |= 1L << w
             w += 1
           }
           Some(hash)
@@ -912,11 +944,7 @@ object Multimodal {
   def probeBandedIndexAt(spark: SparkSession, tablePath: String,
       incoming: DataFrame, maxDistance: Int = 3, bands: Int = 4): DataFrame = {
     import graft.store.CommitLog
-    CommitLog.propertiesAt(spark, tablePath).get(BandsProperty).foreach { v =>
-      require(v.toInt == bands,
-        s"banded index $tablePath was built with $v bands; probing " +
-          s"with $bands would silently miss near-duplicates")
-    }
+    requireBandsMatch(spark, tablePath, bands)
     probeBandedIndex(
       CommitLog.read(spark, tablePath, CommitLog.tableSchema(spark, tablePath)),
       incoming, maxDistance, bands)

@@ -1767,13 +1767,16 @@ object CommitLog {
     * file serves the renamed column unchanged and time travel reads
     * historical names at historical versions. Refused while a
     * constraint or bloom property references the column. */
-  /** Rename preconditions only — no commit. Lets a multi-change ALTER
-    * validate every change up front (against the pre-alter snapshot)
-    * before applying any, so a refused later change cannot leave the
-    * table partially altered. */
+  /** Rename preconditions only — no commit. `cur` is the schema the
+    * change applies AGAINST: callers pass their already-loaded
+    * snapshot (one log read, not two), and a multi-change ALTER passes
+    * its SIMULATED schema so each change validates against the state
+    * its predecessors in the same statement will have produced —
+    * without the simulation, two renames to the same target (or a
+    * rename of a just-dropped column) each pass against the pre-alter
+    * snapshot and the statement partially applies. */
   private[store] def validateRenameColumn(spark: SparkSession,
-      tablePath: String, from: String, to: String): Unit = {
-    val cur = schemaAt(spark, tablePath).getOrElse(tableSchema(spark, tablePath))
+      tablePath: String, cur: StructType, from: String, to: String): Unit = {
     require(cur.fieldNames.contains(from),
       s"no column $from in $tablePath (${cur.fieldNames.mkString(", ")})")
     require(!cur.fieldNames.exists(_.equalsIgnoreCase(to)),
@@ -1787,7 +1790,7 @@ object CommitLog {
       to: String, publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
     val ledger = schemaAt(spark, tablePath)
     val cur = ledger.getOrElse(tableSchema(spark, tablePath))
-    validateRenameColumn(spark, tablePath, from, to)
+    validateRenameColumn(spark, tablePath, cur, from, to)
     val next = StructType(cur.fields.map { f =>
       if (f.name == from)
         f.copy(name = to, metadata = withPhysical(f.metadata, physicalName(f)))
@@ -1808,8 +1811,7 @@ object CommitLog {
     * travel before the drop still reads the column. */
   /** Drop preconditions only — see [[validateRenameColumn]]. */
   private[store] def validateDropColumn(spark: SparkSession,
-      tablePath: String, name: String): Unit = {
-    val cur = schemaAt(spark, tablePath).getOrElse(tableSchema(spark, tablePath))
+      tablePath: String, cur: StructType, name: String): Unit = {
     require(cur.fields.exists(_.name == name),
       s"no column $name in $tablePath (${cur.fieldNames.mkString(", ")})")
     require(cur.fields.length > 1,
@@ -1821,7 +1823,7 @@ object CommitLog {
       publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
     val ledger = schemaAt(spark, tablePath)
     val cur = ledger.getOrElse(tableSchema(spark, tablePath))
-    validateDropColumn(spark, tablePath, name)
+    validateDropColumn(spark, tablePath, cur, name)
     val field = cur.fields.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(
         s"no column $name in $tablePath (${cur.fieldNames.mkString(", ")})"))
@@ -1839,16 +1841,20 @@ object CommitLog {
     * fields append nullable (old files null-fill); a name colliding
     * with a live physical or BURNED name gets fresh storage. Fenced
     * like rename/drop against concurrent ledger movement. */
-  /** Add-columns preconditions only — see [[validateRenameColumn]]. */
+  /** Add-columns preconditions only — see [[validateRenameColumn]].
+    * Duplicates WITHIN `fields` are refused too (two adds of the same
+    * name in one statement). */
   private[store] def validateAddColumns(spark: SparkSession,
-      tablePath: String,
+      tablePath: String, cur: StructType,
       fields: Seq[org.apache.spark.sql.types.StructField]): Unit = {
     require(fields.nonEmpty, "no columns to add")
-    val cur = schemaAt(spark, tablePath).getOrElse(tableSchema(spark, tablePath))
     val dup = fields.map(_.name)
       .filter(n => cur.fieldNames.exists(_.equalsIgnoreCase(n)))
     require(dup.isEmpty,
       s"column(s) ${dup.mkString(", ")} already exist in $tablePath")
+    val selfDup = fields.groupBy(_.name.toLowerCase).filter(_._2.size > 1).keys
+    require(selfDup.isEmpty,
+      s"column(s) ${selfDup.mkString(", ")} added more than once")
   }
 
   def addColumns(spark: SparkSession, tablePath: String,
@@ -1856,7 +1862,7 @@ object CommitLog {
       publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
     val ledger = schemaAt(spark, tablePath)
     val cur = ledger.getOrElse(tableSchema(spark, tablePath))
-    validateAddColumns(spark, tablePath, fields)
+    validateAddColumns(spark, tablePath, cur, fields)
     val next = evolveSchema(cur,
       StructType(cur.fields ++ fields.map(_.copy(nullable = true))),
       burnedAt(spark, tablePath))

@@ -72,10 +72,12 @@ class GraftCatalog extends TableCatalog {
     if (ident.namespace.isEmpty && ident.name.contains('/')) {
       // path-addressed: explicit and absolute only — a RELATIVE path
       // (`../x`) would resolve against an undefined working directory
-      // and could land dropTable outside any directory the user named
-      require(ident.name.startsWith("/"),
+      // and could land dropTable outside any directory the user named.
+      // Scheme-qualified Hadoop URIs (hdfs://, s3a://, file:/) are
+      // absolute by construction and pass.
+      require(GraftSql.isAbsolutePath(ident.name),
         s"path-addressed $catalogName table `${ident.name}` must be " +
-          "an absolute path")
+          "an absolute path or a scheme-qualified URI")
       ident.name
     } else {
       val wh = spark.conf.getOption("spark.graft.warehouse").getOrElse(
@@ -175,12 +177,16 @@ class GraftCatalog extends TableCatalog {
     require(unsupported.isEmpty,
       s"unsupported ALTER TABLE change(s) for a logged table: " +
         unsupported.mkString(", "))
-    // validate EVERY change up front (against the pre-alter snapshot)
-    // before committing any: each change lands as its own commit, so
-    // without this pass a refused later change (rename blocked by a
-    // constraint/bloom reference, duplicate add, absent unset key)
-    // would leave a multi-change ALTER partially applied with no
-    // rollback
+    // validate EVERY change up front before committing any: each
+    // change lands as its own commit, so without this pass a refused
+    // later change (rename blocked by a constraint/bloom reference,
+    // duplicate add, absent unset key) would leave a multi-change
+    // ALTER partially applied with no rollback. Column changes are
+    // validated against a SIMULATED schema evolved in application
+    // order — two renames to the same target, a rename of a
+    // just-dropped column, dropping down to zero columns, etc. would
+    // each pass against the pre-alter snapshot alone and still
+    // partially apply.
     sets.foreach { case (k, v) => CommitLog.validateProperty(k, v) }
     if (unsets.nonEmpty) {
       val cur = CommitLog.propertiesAt(spark, path)
@@ -198,29 +204,39 @@ class GraftCatalog extends TableCatalog {
       require(names.length == 1,
         s"nested column changes are not supported: ${names.mkString(".")}")
     }
-    renames.foreach(r =>
-      CommitLog.validateRenameColumn(spark, path, r.fieldNames.head, r.newName))
-    drops.foreach(d =>
-      CommitLog.validateDropColumn(spark, path, d.fieldNames.head))
-    if (adds.nonEmpty)
-      CommitLog.validateAddColumns(spark, path, adds.map(a =>
-        org.apache.spark.sql.types.StructField(a.fieldNames.head,
-          a.dataType, nullable = true)))
-    if (sets.nonEmpty) CommitLog.setProperties(spark, path, sets.toMap)
-    if (unsets.nonEmpty) CommitLog.unsetProperties(spark, path, unsets)
+    val addFields = adds.map(a => org.apache.spark.sql.types.StructField(
+      a.fieldNames.head, a.dataType, nullable = true))
+    var sim = CommitLog.schemaAt(spark, path)
+      .getOrElse(CommitLog.tableSchema(spark, path))
+    renames.foreach { r =>
+      CommitLog.validateRenameColumn(spark, path, sim, r.fieldNames.head, r.newName)
+      sim = org.apache.spark.sql.types.StructType(sim.fields.map(f =>
+        if (f.name == r.fieldNames.head) f.copy(name = r.newName) else f))
+    }
+    drops.foreach { d =>
+      CommitLog.validateDropColumn(spark, path, sim, d.fieldNames.head)
+      sim = org.apache.spark.sql.types.StructType(
+        sim.fields.filterNot(_.name == d.fieldNames.head))
+    }
+    if (addFields.nonEmpty)
+      CommitLog.validateAddColumns(spark, path, sim, addFields)
+    // apply COLUMN changes before PROPERTY changes, in validation
+    // order — so a statement whose sets would make a later rename/drop
+    // refusable (e.g. a bloom declaration over the renamed column)
+    // cannot strand the table mid-statement
     renames.foreach(r =>
       CommitLog.renameColumn(spark, path, r.fieldNames.head, r.newName))
     drops.foreach(d => CommitLog.dropColumn(spark, path, d.fieldNames.head))
-    if (adds.nonEmpty) {
+    if (addFields.nonEmpty) {
       // ADD COLUMNS = the mergeSchema add-column evolution as a
       // metadata-only commit: old files null-fill the new columns;
       // CommitLog.addColumns honors the BURNED ledger (a re-added
       // dropped name gets fresh storage) and the schema fence
-      CommitLog.addColumns(spark, path, adds.map(a =>
-        org.apache.spark.sql.types.StructField(a.fieldNames.head,
-          a.dataType, nullable = true)))
+      CommitLog.addColumns(spark, path, addFields)
       ()
     }
+    if (sets.nonEmpty) CommitLog.setProperties(spark, path, sets.toMap)
+    if (unsets.nonEmpty) CommitLog.unsetProperties(spark, path, unsets)
     loadTable(ident)
   }
 
@@ -250,18 +266,24 @@ class GraftCatalog extends TableCatalog {
         s"cannot rename $src to $dst: destination already exists")
     fs.mkdirs(dstPath.getParent)
     val srcPath = new org.apache.hadoop.fs.Path(src)
+    val nested = new org.apache.hadoop.fs.Path(dstPath, srcPath.getName)
+    val nestedLog = new org.apache.hadoop.fs.Path(nested, "_graft_log")
+    // a source table that legitimately CONTAINS a self-named child
+    // logged table must not trip the nesting detector after the move
+    val preNested = fs.exists(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(srcPath, srcPath.getName), "_graft_log"))
     if (!fs.rename(srcPath, dstPath))
       throw new IllegalStateException(s"could not rename $src to $dst")
     // the exists-check → rename window is a TOCTOU race: a destination
     // directory created concurrently makes Hadoop rename move the
-    // source INSIDE it (dst/<srcName>) and report success — verify the
-    // log landed at the expected location, and move back if nested
+    // source INSIDE it (dst/<srcName>) and report success. Checking
+    // dst/_graft_log alone is NOT enough — the concurrent creation may
+    // itself be a logged table (CREATE TABLE racing the rename), whose
+    // log would mask the nesting — so the nested shape is detected
+    // directly and the table moved back.
     val log = new org.apache.hadoop.fs.Path(dstPath, "_graft_log")
-    val nested = new org.apache.hadoop.fs.Path(dstPath, srcPath.getName)
-    if (!fs.exists(log)) {
-      val movedBack =
-        fs.exists(new org.apache.hadoop.fs.Path(nested, "_graft_log")) &&
-          fs.rename(nested, srcPath)
+    if ((!preNested && fs.exists(nestedLog)) || !fs.exists(log)) {
+      val movedBack = fs.exists(nestedLog) && fs.rename(nested, srcPath)
       throw new IllegalStateException(
         s"rename $src -> $dst raced a concurrent create: the table " +
           s"landed nested at $nested" +

@@ -335,13 +335,21 @@ object GraftSql {
     * `spark.graft.warehouse` root — the SQL-only user's named-table
     * surface (`CREATE TABLE graftlog.`corpus` …`, then every verb by
     * name). */
+  /** Absolute local path or scheme-qualified Hadoop URI (hdfs://,
+    * s3a://, file:/ …) — the shapes path-addressed identifiers accept;
+    * anything relative would resolve against an undefined working
+    * directory with DROP TABLE deleting recursively. */
+  private[graft] def isAbsolutePath(p: String): Boolean =
+    p.startsWith("/") || p.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*")
+
   private[graft] def resolvePath(spark: SparkSession, ident: String): String =
     if (ident.contains('/')) {
       // path-addressed: explicit and absolute only — a RELATIVE path
       // would resolve against an undefined working directory, and
       // DROP TABLE deletes recursively (same guard as GraftCatalog)
-      require(ident.startsWith("/"),
-        s"path-addressed graftlog table `$ident` must be an absolute path")
+      require(isAbsolutePath(ident),
+        s"path-addressed graftlog table `$ident` must be an absolute " +
+          "path or a scheme-qualified URI")
       ident
     } else {
       // warehouse-resolved names must stay UNDER the warehouse: `..`

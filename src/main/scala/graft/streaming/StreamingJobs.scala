@@ -508,17 +508,25 @@ object StreamingJobs {
           .as("doc_id"), col("content"))
     val originals = scan(ImageFixture.ensure(), "img_(\\d+)", 0L)
       .filter(col("doc_id") % 3 =!= 2)
+    val fs = new org.apache.hadoop.fs.Path(stateRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // bootstrap the at-rest index once per stateRoot (a restart after
-    // a crash must NOT re-append the originals)
-    if (!new java.io.File(s"$idxTable/_graft_log").exists()) {
+    // a crash must NOT re-append the originals; the index commit is
+    // itself atomic, so existence of the log IS completion)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(idxTable, "_graft_log"))) {
       import spark.implicits._
       Multimodal.appendBandedIndex(spark, idxTable,
         Multimodal.dHashes(originals.as[Multimodal.MediaIn]).toDF())
       ()
     }
     // stage the arrival payloads as a multi-file parquet so
-    // AvailableNow drains them across several micro-batches
-    if (!new java.io.File(arrivals).exists()) {
+    // AvailableNow drains them across several micro-batches. Staging
+    // is NOT atomic, so completion is the committer's _SUCCESS marker
+    // — a crash mid-write leaves the dir without it, and the restart
+    // clears and re-stages instead of silently draining a partial set
+    val arrivalsPath = new org.apache.hadoop.fs.Path(arrivals)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(arrivalsPath, "_SUCCESS"))) {
+      fs.delete(arrivalsPath, true)
       val copies = originals.filter(col("doc_id") < 24)
         .select((col("doc_id") + 1000).as("doc_id"), col("content"))
       val variants = scan(ImageFixture.ensureVariants(), "var_(\\d+)", 2000L)

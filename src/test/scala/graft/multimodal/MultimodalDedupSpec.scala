@@ -227,6 +227,56 @@ class MultimodalDedupSpec extends SparkSpec {
     }
   }
 
+  test("audio fingerprint: unknown-length containers fall back instead of vanishing") {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(8000f, 16, 1, true, true)
+    val pcm = Array.tabulate[Byte](2000)(j => ((j * 7) & 0x7F).toByte)
+    def au(lengthKnown: Boolean): Array[Byte] = {
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt,
+        if (lengthKnown) 1000L else AudioSystem.NOT_SPECIFIED.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.AU, bos)
+      bos.toByteArray
+    }
+    val known = Multimodal.audioFingerprint(au(lengthKnown = true))
+    val unknown = Multimodal.audioFingerprint(au(lengthKnown = false))
+    // a streaming encoder writes AU dataSize 0xFFFFFFFF (length
+    // unknown); the header grid can't size its windows, so the
+    // fallback materializes and derives F from the payload — the same
+    // print the streamed path produces for the same samples
+    assert(unknown.isDefined, "unknown-length clip vanished from dedup coverage")
+    assert(unknown == known, s"fallback drifted: $unknown vs $known")
+  }
+
+  test("video fingerprint: hostile aggregates and extreme sizes stay safe") {
+    // minimal ISO-BMFF builders (the fixture's, inlined)
+    def u32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, parts: Array[Byte]*): Array[Byte] = {
+      val body = parts.flatten.toArray
+      u32(body.length + 8L) ++ typ.getBytes("US-ASCII") ++ body
+    }
+    def mp4(traks: Array[Byte]*): Array[Byte] =
+      box("ftyp", "isom".getBytes("US-ASCII"), u32(0),
+        "isom".getBytes("US-ASCII")) ++ box("moov", traks: _*)
+    def uniformTrak(size: Long, count: Long): Array[Byte] =
+      box("trak", box("mdia", box("minf", box("stbl",
+        box("stsz", u32(0), u32(size), u32(count))))))
+    // MANY traks each under the per-box cap but summing past it: the
+    // aggregate guard must degrade to None, never a 10^11-step loop
+    val hostile = mp4(
+      uniformTrak(100, 1L << 23), uniformTrak(100, 1L << 23),
+      uniformTrak(100, 1L << 23))
+    assert(Multimodal.videoFingerprint(hostile).isEmpty)
+    // u32-extreme uniform sizes at the aggregate cap: window sums ×
+    // counts overflow a Long product, where a wrapped comparison would
+    // invert bits — the exact comparison keeps the uniform profile's
+    // true print (all windows equal → no bit set)
+    val extreme = mp4(uniformTrak(0xFFFFFFF0L, 1L << 24))
+    assert(Multimodal.videoFingerprint(extreme).contains(0L),
+      s"overflow corrupted the uniform print: ${Multimodal.videoFingerprint(extreme)}")
+  }
+
   test("video container fingerprint: copies at 0, one-sample variants near, structure real") {
     VideoFixture.ensureFingerprintSet()
     VideoFixture.ensureFingerprintVariants()

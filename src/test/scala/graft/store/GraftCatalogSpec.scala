@@ -105,6 +105,26 @@ class GraftCatalogSpec extends SparkSpec {
     // NOTHING applied — no partial commit
     assert(CommitLog.latestVersion(spark, s"$wh/atomic") == versionBefore)
     assert(!CommitLog.propertiesAt(spark, s"$wh/atomic").contains("k1"))
+    // conflicting changes WITHIN one statement are caught by the
+    // simulated-schema pass — each would validate fine against the
+    // pre-alter snapshot alone, then partially apply
+    intercept[IllegalArgumentException] { // two renames to one target
+      cat.alterTable(Identifier.of(Array.empty, "atomic"),
+        TableChange.renameColumn(Array("id"), "x"),
+        TableChange.renameColumn(Array("v"), "x"))
+    }
+    intercept[IllegalArgumentException] { // rename of a just-dropped column
+      cat.alterTable(Identifier.of(Array.empty, "atomic"),
+        TableChange.deleteColumn(Array("id"), false),
+        TableChange.renameColumn(Array("id"), "id9"))
+    }
+    intercept[IllegalArgumentException] { // dropping down to zero columns
+      cat.alterTable(Identifier.of(Array.empty, "atomic"),
+        TableChange.deleteColumn(Array("id"), false),
+        TableChange.deleteColumn(Array("v"), false))
+    }
+    assert(CommitLog.latestVersion(spark, s"$wh/atomic") == versionBefore,
+      "a conflicting multi-change ALTER partially applied")
     // the same changes with a legal rename apply fully
     cat.alterTable(Identifier.of(Array.empty, "atomic"),
       TableChange.setProperty("k1", "v1"),
@@ -128,16 +148,23 @@ class GraftCatalogSpec extends SparkSpec {
       assert(msgs.contains("invalid") || msgs.contains("absolute"),
         s"expected the segment guard, got: $msgs")
     }
-    guarded(spark.sql("DROP TABLE graft.`..`"))
-    guarded(spark.sql("SELECT * FROM graft.`..`").collect())
-    // relative path-addressing is refused too (undefined resolution root)
-    guarded(spark.sql("SELECT * FROM graft.`../victim`").collect())
-    // the out-of-warehouse table is untouched
-    assert(CommitLog.read(spark, victim,
-      CommitLog.tableSchema(spark, victim)).count() == 3)
-    // explicit ABSOLUTE path addressing still works
-    assert(spark.sql(s"SELECT count(*) FROM graft.`$victim`")
-      .as[Long].head() == 3L)
+    try {
+      guarded(spark.sql("DROP TABLE graft.`..`"))
+      guarded(spark.sql("SELECT * FROM graft.`..`").collect())
+      // relative path-addressing is refused too (undefined resolution root)
+      guarded(spark.sql("SELECT * FROM graft.`../victim`").collect())
+      // the out-of-warehouse table is untouched
+      assert(CommitLog.read(spark, victim,
+        CommitLog.tableSchema(spark, victim)).count() == 3)
+      // explicit ABSOLUTE path addressing still works...
+      assert(spark.sql(s"SELECT count(*) FROM graft.`$victim`")
+        .as[Long].head() == 3L)
+      // ...and so do scheme-qualified Hadoop URIs (absolute by
+      // construction — rejecting them would break every non-local-FS
+      // path-addressed deployment)
+      assert(spark.sql(s"SELECT count(*) FROM graft.`file:$victim`")
+        .as[Long].head() == 3L)
+    } finally spark.conf.unset("spark.graft.warehouse")
   }
 
   test("SHOW TBLPROPERTIES and DESCRIBE HISTORY through catalog identifiers") {

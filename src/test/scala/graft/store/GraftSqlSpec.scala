@@ -244,9 +244,11 @@ class GraftSqlSpec extends SparkSpec {
         GraftSql.execute(spark, "DESCRIBE HISTORY graftlog.`../victim`"))
       assert(CommitLog.read(spark, victim,
         CommitLog.tableSchema(spark, victim)).count() == 3)
-      // explicit absolute paths still work
+      // explicit absolute paths still work, scheme-qualified too
       assert(GraftSql.execute(spark,
         s"DESCRIBE HISTORY graftlog.`$victim`").count() >= 1)
+      assert(GraftSql.execute(spark,
+        s"DESCRIBE HISTORY graftlog.`file:$victim`").count() >= 1)
     } finally spark.conf.unset("spark.graft.warehouse")
   }
 
