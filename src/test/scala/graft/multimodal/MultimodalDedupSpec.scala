@@ -227,6 +227,67 @@ class MultimodalDedupSpec extends SparkSpec {
     }
   }
 
+  test("property: banded candidates ≡ share-a-band over arbitrary 64-bit hashes") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // adversarial hash sets the fixtures never produce: clustered
+    // values, all-zeros, sign-boundary values, duplicates — batched
+    // into a handful of Spark round trips (one per (bands, seed))
+    val hashGen: Gen[Long] = Gen.frequency(
+      5 -> Gen.long,
+      2 -> Gen.chooseNum(-4L, 4L), // near-identical low-bit hashes
+      1 -> Gen.oneOf(0L, -1L, Long.MinValue, Long.MaxValue))
+    for (bands <- Seq(1, 2, 4, 8, 16); seed <- 0 until 2) {
+      val width = 64 / bands
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      val hs = (0 until 40).flatMap(i =>
+        hashGen(Gen.Parameters.default, Seed(seed * 1000L + i))).distinct
+      val frame = hs.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+        .toDF("doc_id", "hash")
+      val got = Multimodal.bandedCandidates(frame, bands).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("distance")).toMap
+      val want = (for {
+        a <- hs.indices; b <- hs.indices if a < b
+        if (0 until bands).exists(k =>
+          ((hs(a) >> (k * width)) & mask) == ((hs(b) >> (k * width)) & mask))
+      } yield (a.toLong, b.toLong) ->
+        java.lang.Long.bitCount(hs(a) ^ hs(b))).toMap
+      assert(got == want, s"bands=$bands seed=$seed diverged: " +
+        s"extra=${(got.keySet -- want.keySet).take(3)} " +
+        s"missing=${(want.keySet -- got.keySet).take(3)}")
+      // pigeonhole, as a property: every pair within bands-1 bits IS a
+      // candidate (the guarantee bandedNearDupPairs' require rests on)
+      val within = for { a <- hs.indices; b <- hs.indices if a < b
+        if java.lang.Long.bitCount(hs(a) ^ hs(b)) < bands } yield (a.toLong, b.toLong)
+      assert(within.forall(want.contains))
+    }
+  }
+
+  test("the at-rest band index survives OPTIMIZE: compacted files, same probe answers") {
+    import spark.implicits._
+    import graft.store.CommitLog
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_banded_opt").toString + "/idx"
+    val mk = (lo: Int, hi: Int) => (lo until hi)
+      .map(i => (i.toLong, i.toLong * 0x9E3779B97F4A7C15L)).toDF("doc_id", "hash")
+    // several small appends = several small files (the streaming shape)
+    (0 until 4).foreach(k => Multimodal.appendBandedIndex(spark, idx, mk(k * 8, k * 8 + 8)))
+    val probeOf = () => Multimodal
+      .probeBandedIndexAt(spark, idx, Seq((99L, 5L * 0x9E3779B97F4A7C15L)).toDF("doc_id", "hash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val before = probeOf()
+    assert(before == Set((5L, 99L, 0)))
+    val filesBefore = CommitLog.liveFiles(spark, idx)._2.size
+    CommitLog.compact(spark, idx, targetBytes = 512 * 1024 * 1024)
+    assert(CommitLog.liveFiles(spark, idx)._2.size < filesBefore,
+      "OPTIMIZE did not compact the band index")
+    // the properties ledger (band count) and the probe survive
+    assert(probeOf() == before)
+    intercept[IllegalArgumentException](
+      Multimodal.probeBandedIndexAt(spark, idx, mk(0, 1), bands = 8))
+  }
+
   test("audio fingerprint: unknown-length containers fall back instead of vanishing") {
     import javax.sound.sampled._
     val fmt = new AudioFormat(8000f, 16, 1, true, true)
