@@ -206,8 +206,15 @@ class GraftCatalog extends TableCatalog {
     }
     val addFields = adds.map(a => org.apache.spark.sql.types.StructField(
       a.fieldNames.head, a.dataType, nullable = true))
-    var sim = CommitLog.schemaAt(spark, path)
-      .getOrElse(CommitLog.tableSchema(spark, path))
+    val hasColumnChanges =
+      renames.nonEmpty || drops.nonEmpty || addFields.nonEmpty
+    val bloomSet = sets.collectFirst { case ("bloom.columns", v) => v }
+    // the schema loads only when a change needs it — a property-only
+    // ALTER on a ledger-less table must not pay (or fail) a footer read
+    var sim: org.apache.spark.sql.types.StructType = null
+    if (hasColumnChanges || bloomSet.isDefined)
+      sim = CommitLog.schemaAt(spark, path)
+        .getOrElse(CommitLog.tableSchema(spark, path))
     renames.foreach { r =>
       CommitLog.validateRenameColumn(spark, path, sim, r.fieldNames.head, r.newName)
       sim = org.apache.spark.sql.types.StructType(sim.fields.map(f =>
@@ -218,8 +225,22 @@ class GraftCatalog extends TableCatalog {
       sim = org.apache.spark.sql.types.StructType(
         sim.fields.filterNot(_.name == d.fieldNames.head))
     }
-    if (addFields.nonEmpty)
+    if (addFields.nonEmpty) {
       CommitLog.validateAddColumns(spark, path, sim, addFields)
+      sim = org.apache.spark.sql.types.StructType(sim.fields ++ addFields)
+    }
+    // a bloom declaration arriving in the SAME statement must index
+    // columns of the POST-column-change schema — without this, SET
+    // bloom.columns + rename/drop of that column would land a dangling
+    // index property (the guardColumnReferences invariant, applied to
+    // the statement's own future)
+    bloomSet.foreach { cols =>
+      val missing = cols.split(',').map(_.trim).filter(_.nonEmpty)
+        .filterNot(c => sim.fieldNames.exists(_.equalsIgnoreCase(c)))
+      require(missing.isEmpty,
+        s"bloom.columns names ${missing.mkString(", ")} — not columns of " +
+          s"$path after this statement's changes")
+    }
     // apply COLUMN changes before PROPERTY changes, in validation
     // order — so a statement whose sets would make a later rename/drop
     // refusable (e.g. a bloom declaration over the renamed column)
@@ -267,23 +288,30 @@ class GraftCatalog extends TableCatalog {
     fs.mkdirs(dstPath.getParent)
     val srcPath = new org.apache.hadoop.fs.Path(src)
     val nested = new org.apache.hadoop.fs.Path(dstPath, srcPath.getName)
-    val nestedLog = new org.apache.hadoop.fs.Path(nested, "_graft_log")
-    // a source table that legitimately CONTAINS a self-named child
-    // logged table must not trip the nesting detector after the move
-    val preNested = fs.exists(new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(srcPath, srcPath.getName), "_graft_log"))
-    if (!fs.rename(srcPath, dstPath))
-      throw new IllegalStateException(s"could not rename $src to $dst")
     // the exists-check → rename window is a TOCTOU race: a destination
     // directory created concurrently makes Hadoop rename move the
-    // source INSIDE it (dst/<srcName>) and report success. Checking
-    // dst/_graft_log alone is NOT enough — the concurrent creation may
-    // itself be a logged table (CREATE TABLE racing the rename), whose
-    // log would mask the nesting — so the nested shape is detected
-    // directly and the table moved back.
-    val log = new org.apache.hadoop.fs.Path(dstPath, "_graft_log")
-    if ((!preNested && fs.exists(nestedLog)) || !fs.exists(log)) {
-      val movedBack = fs.exists(nestedLog) && fs.rename(nested, srcPath)
+    // source INSIDE it (dst/<srcName>) and report success. Neither
+    // "dst has a log" nor "dst/<srcName> has a log" is decisive on its
+    // own (the concurrent creation may itself be a logged table, and a
+    // source may legitimately contain a self-named child table) — so
+    // the check compares the LOG'S IDENTITY: the rename is only
+    // correct if dst's log is byte-for-name the log that sat at src.
+    def logIdentity(p: org.apache.hadoop.fs.Path): Option[Seq[String]] = {
+      val log = new org.apache.hadoop.fs.Path(p, "_graft_log")
+      if (!fs.exists(log)) None
+      else Some(fs.listStatus(log)
+        .map(st => s"${st.getPath.getName}:${st.getLen}").sorted.toSeq)
+    }
+    val srcIdentity = logIdentity(srcPath).getOrElse(
+      throw new NoSuchTableException(from))
+    if (!fs.rename(srcPath, dstPath))
+      throw new IllegalStateException(s"could not rename $src to $dst")
+    // nested shape: dst/<srcName> carries OUR log (identity match) —
+    // a self-named child table under dst matches its own identity,
+    // never the parent's, so a clean rename cannot false-positive here
+    val movedInside = logIdentity(nested).contains(srcIdentity)
+    if (movedInside || logIdentity(dstPath).isEmpty) {
+      val movedBack = movedInside && fs.rename(nested, srcPath)
       throw new IllegalStateException(
         s"rename $src -> $dst raced a concurrent create: the table " +
           s"landed nested at $nested" +

@@ -521,17 +521,23 @@ object StreamingJobs {
     }
     // stage the arrival payloads as a multi-file parquet so
     // AvailableNow drains them across several micro-batches. Staging
-    // is NOT atomic, so completion is the committer's _SUCCESS marker
-    // — a crash mid-write leaves the dir without it, and the restart
-    // clears and re-stages instead of silently draining a partial set
+    // is NOT atomic, so completion is OUR OWN marker written after the
+    // staging job returns — a crash mid-write leaves the dir without
+    // it and the restart clears and re-stages instead of silently
+    // draining a partial set. (The committer's _SUCCESS would serve,
+    // but clusters routinely disable marksuccessfuljobs; re-staging a
+    // COMPLETED set must never happen — fresh part-file names would
+    // re-drain under new batch ids past the txn fence.)
     val arrivalsPath = new org.apache.hadoop.fs.Path(arrivals)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(arrivalsPath, "_SUCCESS"))) {
+    val stagedMarker = new org.apache.hadoop.fs.Path(arrivalsPath, "_graft_staged")
+    if (!fs.exists(stagedMarker)) {
       fs.delete(arrivalsPath, true)
       val copies = originals.filter(col("doc_id") < 24)
         .select((col("doc_id") + 1000).as("doc_id"), col("content"))
       val variants = scan(ImageFixture.ensureVariants(), "var_(\\d+)", 2000L)
       copies.unionByName(variants).repartition(4)
         .write.parquet(arrivals)
+      fs.create(stagedMarker, true).close()
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",

@@ -241,8 +241,10 @@ class MultimodalDedupSpec extends SparkSpec {
     for (bands <- Seq(1, 2, 4, 8, 16); seed <- 0 until 2) {
       val width = 64 / bands
       val mask = if (width == 64) -1L else (1L << width) - 1
+      // duplicates stay IN: identical hashes under different doc_ids
+      // are the core dedup case (distance-0 pairs) and must pair
       val hs = (0 until 40).flatMap(i =>
-        hashGen(Gen.Parameters.default, Seed(seed * 1000L + i))).distinct
+        hashGen(Gen.Parameters.default, Seed(seed * 1000L + i)))
       val frame = hs.zipWithIndex.map { case (h, i) => (i.toLong, h) }
         .toDF("doc_id", "hash")
       val got = Multimodal.bandedCandidates(frame, bands).collect()

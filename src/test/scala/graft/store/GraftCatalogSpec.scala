@@ -123,6 +123,18 @@ class GraftCatalogSpec extends SparkSpec {
         TableChange.deleteColumn(Array("id"), false),
         TableChange.deleteColumn(Array("v"), false))
     }
+    // a bloom declaration must index columns of the POST-statement
+    // schema — SET bloom + rename/drop of that column in one statement
+    // would otherwise land a dangling index property
+    intercept[IllegalArgumentException] {
+      cat.alterTable(Identifier.of(Array.empty, "atomic"),
+        TableChange.setProperty("bloom.columns", "id"),
+        TableChange.renameColumn(Array("id"), "id8"))
+    }
+    intercept[IllegalArgumentException] {
+      cat.alterTable(Identifier.of(Array.empty, "atomic"),
+        TableChange.setProperty("bloom.columns", "ghost"))
+    }
     assert(CommitLog.latestVersion(spark, s"$wh/atomic") == versionBefore,
       "a conflicting multi-change ALTER partially applied")
     // the same changes with a legal rename apply fully
