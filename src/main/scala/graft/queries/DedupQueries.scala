@@ -34,6 +34,41 @@ object DedupQueries {
       |  SELECT doc_id + 100000 AS doc_id, text || ' xtra' AS text
       |  FROM documents WHERE doc_id < 50""".stripMargin
 
+  /** The recall-evaluation corpus: 150 documents + TRUNCATION mutants
+    * of the first 30 at p = 40/60/80% of their words — planting true
+    * pairs across the mid-Jaccard range where banding is lossy. FLOOR
+    * is explicit on both sides (DuckDB CAST(double AS INT) rounds,
+    * Spark truncates — the one seam that would desync the texts). */
+  private def truncSql(p: String, off: Long): String =
+    s"""SELECT doc_id + $off AS doc_id,
+       |    array_to_string((str_split(text, ' '))[1:GREATEST(2,
+       |      CAST(FLOOR(len(str_split(text, ' ')) * $p) AS INT))], ' ') AS text
+       |  FROM documents WHERE doc_id < 30""".stripMargin
+
+  private val lshRecallCorpusSql: String =
+    s"""SELECT doc_id, text FROM documents WHERE doc_id < 150
+       |  UNION ALL
+       |  ${truncSql("0.4", 100000L)}
+       |  UNION ALL
+       |  ${truncSql("0.6", 200000L)}
+       |  UNION ALL
+       |  ${truncSql("0.8", 300000L)}""".stripMargin
+
+  /** Spark twin of [[lshRecallCorpusSql]] — edit both together. */
+  private def lshRecallCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    def trunc(p: Double, off: Long) = d.filter(col("doc_id") < 30)
+      .select((col("doc_id") + off).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), lit(1),
+          greatest(lit(2),
+            floor(size(split(col("text"), " ")) * p).cast("int"))))
+          .as("text"))
+    d.filter(col("doc_id") < 150)
+      .unionAll(trunc(0.4, 100000L))
+      .unionAll(trunc(0.6, 200000L))
+      .unionAll(trunc(0.8, 300000L))
+  }
+
   /** Spark twin of OracleSnippets.chainedMutantCorpusSql — the ONE
     * corpus construction the cluster-family queries (components,
     * keep-best, leakage-safe split, the training-build composite)
@@ -92,6 +127,47 @@ object DedupQueries {
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.6""".stripMargin) { (s, dir) =>
       Dedup.nearDupPairs(nearDupCorpus(s, dir), "doc_id", "text", threshold = 0.6)
     }.copy(bench = true),
+
+    // ── LSH recall report: the eval a text-dedup deployment runs
+    // before trusting a (hashes, bands, cap) config — the text twin of
+    // multimodal_phash_recall. Corpus = 150 documents + TRUNCATION
+    // mutants of the first 30 at 40/60/80% of their words, which plant
+    // true pairs across the whole 0.4-0.9 Jaccard range (orig↔trunc_p
+    // ≈ p; trunc_p↔trunc_q ≈ p/q) — exactly where MinHash banding's
+    // S-curve (r=3, b=4: P(cand|j=0.5) ≈ 0.41) loses pairs. The oracle
+    // replays the truncation, the exact all-pairs Jaccard, the banded
+    // candidate set (bucket cap included), and the report arithmetic.
+    Q(
+      "dedup_lsh_recall",
+      s"""WITH corpus AS (
+         |  $lshRecallCorpusSql),
+         |${OracleSnippets.minhashLshPairsCte},
+         |exact AS (
+         |  SELECT CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+         |  FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id),
+         |th AS (SELECT unnest(CAST([0.5, 0.6, 0.7, 0.8] AS DOUBLE[])) AS threshold),
+         |tc AS (
+         |  SELECT th.threshold, COUNT(e.jaccard) AS n_true
+         |  FROM th LEFT JOIN exact e ON e.jaccard >= th.threshold GROUP BY 1),
+         |fc AS (
+         |  SELECT th.threshold, COUNT(p.jaccard) AS n_found
+         |  FROM th LEFT JOIN pairs p ON p.jaccard >= th.threshold GROUP BY 1),
+         |nc AS (SELECT COUNT(*) AS n_candidates FROM pairs)
+         |SELECT CAST(tc.threshold AS DOUBLE) AS threshold,
+         |  CAST(4 AS INTEGER) AS bands,
+         |  CAST(tc.n_true AS BIGINT) AS n_true,
+         |  CAST(fc.n_found AS BIGINT) AS n_found,
+         |  CASE WHEN tc.n_true > 0 THEN round(fc.n_found / tc.n_true, 6) END
+         |    AS recall,
+         |  CAST(nc.n_candidates AS BIGINT) AS n_candidates,
+         |  CASE WHEN nc.n_candidates > 0
+         |       THEN round(fc.n_found / nc.n_candidates, 6) END
+         |    AS verify_precision
+         |FROM tc JOIN fc USING (threshold) CROSS JOIN nc""".stripMargin) { (s, dir) =>
+      Dedup.lshRecallReport(lshRecallCorpus(s, dir), "doc_id", "text",
+        thresholds = Seq(0.5, 0.6, 0.7, 0.8))
+    },
 
     // ── Connected components over the LSH pairs: the cluster step a
     // production dedup runs after pair generation (transitive chains

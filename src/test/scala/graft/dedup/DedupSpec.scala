@@ -208,4 +208,36 @@ class DedupSpec extends SparkSpec {
     val r = df.select(Dedup.jaccard(col("s1"), col("s2")).as("j")).collect().map(_.getDouble(0))
     assert(r(0) == 1.0 && r(1) == 0.0)
   }
+
+  test("LSH recall report: the banding S-curve is measured, monotone, and lossy below design") {
+    import spark.implicits._
+    // a synthetic corpus with a CONTROLLED Jaccard gradient: base docs
+    // plus truncations at 40/60/80% of their words (orig↔trunc_p ≈ p)
+    val words = (0 until 40).map(i => s"w$i")
+    val base = (0 until 30).map { d =>
+      (d.toLong, words.map(w => s"$w-$d").mkString(" "))
+    }
+    def trunc(p: Double, off: Long) = base.map { case (id, t) =>
+      val ws = t.split(" ")
+      (off + id, ws.take(math.max(2, (ws.length * p).toInt)).mkString(" "))
+    }
+    val corpus = (base ++ trunc(0.4, 1000) ++ trunc(0.6, 2000) ++
+      trunc(0.8, 3000) ++ trunc(1.0, 4000) /* identical copies: j=1 */)
+      .toDF("doc_id", "text")
+    val report = Dedup
+      .lshRecallReport(corpus, "doc_id", "text", Seq(0.5, 0.7, 0.9))
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getAs[Long]("n_true"), r.getAs[Double]("recall")))).toMap
+    // the gradient planted true pairs at every threshold
+    assert(report.values.forall(_._1 > 0), s"degenerate corpus: $report")
+    // recall is monotone in the threshold (the S-curve), and the
+    // config IS lossy below its design point — the fact the report
+    // exists to surface
+    assert(report(0.5)._2 <= report(0.7)._2 && report(0.7)._2 <= report(0.9)._2,
+      s"S-curve not monotone: $report")
+    assert(report(0.5)._2 < 1.0,
+      s"expected measurable loss at j>=0.5 with 4 bands: $report")
+    assert(report(0.9)._2 == 1.0,
+      s"high-jaccard pairs must all surface: $report")
+  }
 }
