@@ -192,32 +192,13 @@ object Dedup {
     // by contract), never a shuffle cartesian
     val exact = a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(graft.functions.GraftFunctions.shingleJaccard(
-        col("text_a"), col("text_b"), 2).as("jaccard"))
+        col("text_a"), col("text_b"), 2).as("score"))
     // threshold 0.0 = every verified candidate, so one banding pass
     // serves every threshold
     val cand = nearDupPairs(df, idCol, textCol, threshold = 0.0,
-      numHashes, bands, maxBucketSize).select("jaccard")
-    val trueCounts = exact.join(broadcast(th),
-        col("jaccard") >= col("threshold"))
-      .groupBy("threshold").agg(count(lit(1)).as("n_true"))
-    val foundCounts = cand.join(broadcast(th),
-        col("jaccard") >= col("threshold"))
-      .groupBy("threshold").agg(count(lit(1)).as("n_found"))
-    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
-    th.join(trueCounts, Seq("threshold"), "left")
-      .join(foundCounts, Seq("threshold"), "left")
-      .crossJoin(broadcast(nCand))
-      .select(col("threshold"),
-        lit(bands).as("bands"),
-        coalesce(col("n_true"), lit(0L)).as("n_true"),
-        coalesce(col("n_found"), lit(0L)).as("n_found"),
-        when(coalesce(col("n_true"), lit(0L)) > 0,
-          round(coalesce(col("n_found"), lit(0L)) / col("n_true"), 6))
-          .as("recall"),
-        col("n_candidates"),
-        when(col("n_candidates") > 0,
-          round(coalesce(col("n_found"), lit(0L)) / col("n_candidates"), 6))
-          .as("verify_precision"))
+      numHashes, bands, maxBucketSize).select(col("jaccard").as("score"))
+    graft.operators.RecallEval.aggregate(th, exact, cand,
+      hit = _ >= _, config = Seq("bands" -> lit(bands)))
   }
 
   /** Cross-document repeated SUBSTRING detection — the character-level

@@ -779,31 +779,11 @@ object Multimodal {
     // by contract), never a shuffle cartesian
     val exact = a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int")
-        .as("distance"))
-    val cand = bandedCandidates(hashes, bands).select("distance")
-    val trueCounts = exact.join(broadcast(th),
-        col("distance") <= col("threshold"))
-      .groupBy("threshold").agg(count(lit(1)).as("n_true"))
-    val foundCounts = cand.join(broadcast(th),
-        col("distance") <= col("threshold"))
-      .groupBy("threshold").agg(count(lit(1)).as("n_found"))
-    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
-    th.join(trueCounts, Seq("threshold"), "left")
-      .join(foundCounts, Seq("threshold"), "left")
-      .crossJoin(broadcast(nCand))
-      .select(col("threshold").cast("int").as("threshold"),
-        lit(bands).as("bands"),
-        coalesce(col("n_true"), lit(0L)).as("n_true"),
-        coalesce(col("n_found"), lit(0L)).as("n_found"),
-        when(coalesce(col("n_true"), lit(0L)) > 0,
-          round(coalesce(col("n_found"), lit(0L)) / col("n_true"), 6))
-          .as("recall"),
-        col("n_candidates"),
-        // "precision" is an ANSI reserved word — keep the column
-        // oracle-SQL-friendly
-        when(col("n_candidates") > 0,
-          round(coalesce(col("n_found"), lit(0L)) / col("n_candidates"), 6))
-          .as("verify_precision"))
+        .as("score"))
+    val cand = bandedCandidates(hashes, bands)
+      .select(col("distance").as("score"))
+    graft.operators.RecallEval.aggregate(th, exact, cand,
+      hit = _ <= _, config = Seq("bands" -> lit(bands)))
   }
 
   /** The hash frame exploded into its LSH band entries — the AT-REST

@@ -429,6 +429,81 @@ object SimilarityQueries {
       Similarity.nearDupPairs(corpus, threshold = 0.999, blockDims = 16)
     },
 
+    // ── Sign-block recall report: the eval behind the row above —
+    // sign-blocking is exact for identical vectors but a single sign
+    // flip among the first 16 coordinates hides a pair, so for
+    // PERTURBED near-duplicates the config is sharply lossy. Corpus =
+    // 300 vectors + exact copies + two deterministic perturbation
+    // classes: sign-flips at coordinates ≡ 0 (mod 16) — one lands in
+    // the block, so these pairs are MISSED — and sign-flips of the
+    // last 8 coordinates — block intact, found. Measured recall ~0.5
+    // at cosine ≥ 0.6-0.7 and 0.67 even at ≥ 0.95: the number that
+    // says "near-identical only" about this config. Oracle replays
+    // the perturbations, exact cosine, blocked candidates, and report
+    // arithmetic. ─────────────────────────────────────────────────────
+    Q(
+      "emb_near_dup_recall",
+      """WITH base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE vec_id < 300),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL SELECT vec_id + 10000, v FROM base WHERE vec_id < 20
+        |  UNION ALL SELECT vec_id + 20000,
+        |    list_transform(range(1, len(v)+1),
+        |      i -> CASE WHEN (i-1) % 16 = 0 THEN -v[i] ELSE v[i] END)
+        |    FROM base WHERE vec_id < 40
+        |  UNION ALL SELECT vec_id + 30000,
+        |    list_transform(range(1, len(v)+1),
+        |      i -> CASE WHEN i > 56 THEN -v[i] ELSE v[i] END)
+        |    FROM base WHERE vec_id < 40),
+        |b AS (SELECT vec_id, v,
+        |        array_to_string(list_transform(v[1:16],
+        |          x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS block
+        |      FROM corpus),
+        |exact AS (
+        |  SELECT list_cosine_similarity(a.v, b.v) AS cos
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id),
+        |cand AS (
+        |  SELECT list_cosine_similarity(a.v, b.v) AS cos
+        |  FROM b a JOIN b b ON a.block = b.block AND a.vec_id < b.vec_id),
+        |th AS (SELECT unnest(CAST([0.6, 0.7, 0.85, 0.95] AS DOUBLE[])) AS threshold),
+        |tc AS (
+        |  SELECT th.threshold, COUNT(e.cos) AS n_true
+        |  FROM th LEFT JOIN exact e ON e.cos >= th.threshold GROUP BY 1),
+        |fc AS (
+        |  SELECT th.threshold, COUNT(c.cos) AS n_found
+        |  FROM th LEFT JOIN cand c ON c.cos >= th.threshold GROUP BY 1),
+        |nc AS (SELECT COUNT(*) AS n_candidates FROM cand)
+        |SELECT CAST(tc.threshold AS DOUBLE) AS threshold,
+        |  CAST(16 AS INTEGER) AS block_dims,
+        |  CAST(tc.n_true AS BIGINT) AS n_true,
+        |  CAST(fc.n_found AS BIGINT) AS n_found,
+        |  CASE WHEN tc.n_true > 0 THEN round(fc.n_found / tc.n_true, 6) END
+        |    AS recall,
+        |  CAST(nc.n_candidates AS BIGINT) AS n_candidates,
+        |  CASE WHEN nc.n_candidates > 0
+        |       THEN round(fc.n_found / nc.n_candidates, 6) END
+        |    AS verify_precision
+        |FROM tc JOIN fc USING (threshold) CROSS JOIN nc""".stripMargin) { (s, dir) =>
+      val v = col("embedding").cast("array<double>")
+      val base = emb(s, dir).filter(col("vec_id") < 300)
+        .select(col("vec_id"), v.as("embedding"))
+      val copies = base.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      val blockBreakers = base.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 20000).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i % 16 === 0, -x).otherwise(x)).as("embedding"))
+      val blockKeepers = base.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 30000).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i >= 56, -x).otherwise(x)).as("embedding"))
+      Similarity.nearDupRecallReport(
+        base.unionAll(copies).unionAll(blockBreakers).unionAll(blockKeepers),
+        thresholds = Seq(0.6, 0.7, 0.85, 0.95), blockDims = 16)
+    },
+
     // ── Semantic dedup (SemDeDup-shaped): cluster cells via the same
     // deterministic first-10 centroids as IVF, pairwise cosine ONLY
     // within a cell, drop the higher id of any pair ≥ 0.999. Planted

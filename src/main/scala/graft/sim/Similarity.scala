@@ -543,6 +543,40 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Recall/precision report for the sign-block embedding near-dup
+    * path — the eval a semantic-dedup deployment runs BEFORE trusting
+    * a block config (the [[graft.multimodal.Multimodal.bandedRecallReport]]
+    * analog for the embedding family). Sign-blocking is EXACT for
+    * identical vectors and sharply lossy for perturbed ones (a single
+    * sign flip among the first `blockDims` coordinates hides the
+    * pair), so the measured per-threshold recall of the blocked
+    * candidate set against the exact all-pairs cosine baseline is the
+    * number that decides between this config, more/fewer block dims,
+    * or the multi-probe ANN path. The exact baseline is O(n²) BY
+    * DESIGN — an EVAL operator, run over a drawn sample at corpus
+    * scale (the ann_recall_report contract). */
+  def nearDupRecallReport(corpus: DataFrame,
+      thresholds: Seq[Double] = Seq(0.6, 0.7, 0.85, 0.95),
+      blockDims: Int = 16): DataFrame = {
+    require(thresholds.nonEmpty, "no thresholds to evaluate")
+    val spark = corpus.sparkSession
+    val th = spark.createDataFrame(
+      spark.sparkContext.parallelize(thresholds.map(Tuple1(_)), 1))
+      .toDF("threshold")
+    val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val a = e.select(col("vec_id").as("id_a"), col("e").as("ea"))
+    val b = e.select(col("vec_id").as("id_b"), col("e").as("eb"))
+    // all-pairs as a broadcast nested-loop (the eval sample is bounded
+    // by contract), never a shuffle cartesian
+    val exact = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(nativeCosine(corpus)(col("ea"), col("eb")).as("score"))
+    // threshold -1 = every blocked candidate, one blocking pass
+    val cand = nearDupPairs(corpus, threshold = -1.0, blockDims)
+      .select(col("cos").as("score"))
+    graft.operators.RecallEval.aggregate(th, exact, cand,
+      hit = _ >= _, config = Seq("block_dims" -> lit(blockDims)))
+  }
+
   /** Per-source embedding drift report: each source's mean vector
     * (centroid) and the distribution of its members' cosine to it —
     * the domain-shift diagnostic a corpus card tracks (a source whose

@@ -368,4 +368,35 @@ class SimilaritySpec extends SparkSpec {
     assert(optimized.collectLeaves().exists(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
       "expected the checkpointed assignment as an ExistingRDD leaf")
   }
+
+  test("sign-block recall report: identical vectors always found, block-breaking flips measured lost") {
+    import spark.implicits._
+    // a controlled corpus: orthogonal-ish base vectors, exact copies
+    // (must ALWAYS be candidates — sign blocks are exact for
+    // identity), and a perturbation flipping coordinate 0's sign
+    // (lands in the block → pair hidden, however high its cosine)
+    val dim = 32
+    val base = (0 until 24).map { i =>
+      (i.toLong, Array.tabulate(dim)(j =>
+        (if (j == i % dim) 4.0 else 0.25 + 0.01 * ((i * 7 + j) % 5)).toFloat).toSeq)
+    }
+    def flip0(off: Long) = base.map { case (id, v) =>
+      (off + id, v.updated(0, -v(0)))
+    }
+    val corpus = (base ++ base.map { case (id, v) => (1000L + id, v) } ++
+      flip0(2000)).toDF("vec_id", "embedding")
+    val report = Similarity
+      .nearDupRecallReport(corpus, thresholds = Seq(0.9, 0.999), blockDims = 16)
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getAs[Long]("n_true"), r.getAs[Long]("n_found"),
+          r.getAs[Double]("recall")))).toMap
+    // at 0.999: the 24 identical-copy pairs are ALL found...
+    assert(report(0.999)._1 >= 24 && report(0.999)._3 == 1.0,
+      s"identity pairs lost: $report")
+    // ...at 0.9: the flipped-coordinate pairs (cosine ≈ 0.96 — the
+    // flipped coord carries a small energy fraction) are REAL true
+    // pairs the block cannot see — measured loss, not theory
+    assert(report(0.9)._1 > report(0.999)._1, s"no mid-cosine pairs planted: $report")
+    assert(report(0.9)._3 < 1.0, s"expected block-breaking loss at 0.9: $report")
+  }
 }
