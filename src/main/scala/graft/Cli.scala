@@ -46,6 +46,7 @@ object Cli {
       |  log-constraints <tablePath>                        list active CHECK constraints (SQL: ALTER TABLE … ADD CONSTRAINT)
       |  log-detail <tablePath>                             DESCRIBE DETAIL: version, file census, vector state, constraints
       |  log-restore <tablePath> <toVersion>                rollback: one commit re-using historical files, zero data movement
+      |  log-clone <sourcePath> <destPath> [asOfVersion]    SHALLOW CLONE: zero-copy snapshot referencing the source's files
       |  log-vacuum <tablePath> <minAgeHours>               reclaim unreferenced data files (retention-gated)
       |  log-prune <tablePath> [keepSince]                  drop commit files behind the newest checkpoint
       |  log-merge <tablePath> <sourceParquet> <keyCols>    keyed MERGE upsert (comma-separated key columns)
@@ -254,6 +255,11 @@ object Cli {
     case "log-restore" :: table :: version :: Nil =>
       val v = graft.store.CommitLog.restore(spark, table, version.toLong)
       s"""{"cmd":"log-restore","table":"$table","version":$v}"""
+
+    case "log-clone" :: source :: dest :: rest if rest.size <= 1 =>
+      val asOf = rest.headOption.map(_.toLong).getOrElse(Long.MaxValue)
+      val v = graft.store.CommitLog.shallowClone(spark, source, dest, asOf)
+      s"""{"cmd":"log-clone","source":"$source","dest":"$dest","version":$v}"""
 
     case "log-detail" :: table :: Nil =>
       val row = graft.store.CommitLog.detail(spark, table).collect().head

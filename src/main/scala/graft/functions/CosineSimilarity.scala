@@ -184,6 +184,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // catalog DML (`UPDATE/MERGE/DELETE graft.t …`) executes through
     // the commit-log machinery; see GraftDmlRule
     ext.injectResolutionRule(graft.store.GraftDmlRule.apply)
+    // unfiltered COUNT/MIN/MAX over a logged snapshot answers from
+    // log-carried stats with zero file I/O; see GraftStatsAggRule
+    ext.injectOptimizerRule(graft.store.GraftStatsAggRule.apply)
   }
 }
 

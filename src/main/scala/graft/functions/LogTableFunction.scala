@@ -74,7 +74,7 @@ object LogTableFunction {
         s"cannot infer the schema of $path — no schema ledger and no live " +
           "files at the requested version; stamp the table with " +
           "append(mergeSchema = true) or read through the Scala API")
-      spark.read.parquet(s"$path/${files.last}").schema
+      spark.read.parquet(CommitLog.resolveDataPath(path, files.last)).schema
     }
     CommitLog.read(spark, path, schema, asOf)
       .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
@@ -103,7 +103,7 @@ object LogTableFunction {
       val (_, files) = CommitLog.liveFiles(spark, path)
       require(files.nonEmpty,
         s"cannot infer the schema of $path — no schema ledger and no live files")
-      spark.read.parquet(s"$path/${files.last}").schema
+      spark.read.parquet(CommitLog.resolveDataPath(path, files.last)).schema
     }
     CommitLog.changesSince(spark, path, since, schema, asOf)
       .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]

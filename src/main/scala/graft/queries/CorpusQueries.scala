@@ -927,6 +927,88 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
     },
 
+    // ── SHALLOW CLONE (zero-copy snapshot): the engine clones a
+    // two-generation logged table through the SQL verb (`CREATE TABLE
+    // … SHALLOW CLONE …`), PROVES not one data byte was copied (no
+    // data files under the clone root), deletes a slice ON THE CLONE,
+    // and proves the SOURCE still serves every original row — the
+    // zero-copy dev/test-snapshot contract at 100 TB. The oracle
+    // replays the clone's post-delete state relationally; the xor
+    // digest catches a wrong-file reference, a resurrected deleted
+    // row, or a clone mutation leaking into the source. ───────────────
+    Q(
+      "store_shallow_clone",
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS content_digest
+         |FROM documents WHERE NOT (doc_id % 3 = 1)
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.store.CommitLog
+      val a = docs(s, dir).select("doc_id", "source", "text")
+      val src = "/tmp/graft_state/clone_src_docs"
+      val dst = "/tmp/graft_state/clone_dst_docs"
+      val fs = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(src), true)
+      fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+      CommitLog.append(a.filter(col("doc_id") % 2 === 0), src, mergeSchema = true)
+      CommitLog.append(a.filter(col("doc_id") % 2 === 1), src)
+      graft.store.GraftSql.execute(s,
+        s"CREATE TABLE graftlog.`$dst` SHALLOW CLONE graftlog.`$src`")
+      // zero-copy: nothing but the log directory under the clone root
+      val copied = fs.listStatus(new org.apache.hadoop.fs.Path(dst))
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      require(copied.isEmpty, s"clone copied data files: ${copied.toSeq}")
+      val nSrc = CommitLog.read(s, src, CommitLog.tableSchema(s, src)).count()
+      // mutate the CLONE; the SOURCE must not move
+      CommitLog.deleteWhere(s, dst, CommitLog.tableSchema(s, dst),
+        col("doc_id") % 3 === 1)
+      require(CommitLog.read(s, src, CommitLog.tableSchema(s, src))
+        .count() == nSrc, "clone mutation leaked into the source")
+      CommitLog.read(s, dst, CommitLog.tableSchema(s, dst))
+        .withColumn("h", graft.core.Hashing.rowDigest(col("doc_id"), col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
+    },
+
+    // ── METADATA-ONLY aggregates (GraftStatsAggRule): an unfiltered
+    // COUNT(*)/MIN/MAX over a logged snapshot answers from the commit
+    // log's per-file stats — the query PROVES the optimized plan holds
+    // no scan at all (zero data files opened; at 100 TB, "how many
+    // rows" becomes a driver-side ledger fold). Long AND double
+    // extremes are exercised; the oracle recomputes the same
+    // aggregates relationally, so a stats-fold bug (missed file,
+    // wrong bound, bad cross-generation compare) flips a value. ───────
+    Q(
+      "store_stats_agg",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(doc_id) AS BIGINT) AS lo_id,
+        |  CAST(max(doc_id) AS BIGINT) AS hi_id,
+        |  min(CAST(doc_id AS DOUBLE) * 2.5 + 1.0) AS lo_w,
+        |  max(CAST(doc_id AS DOUBLE) * 2.5 + 1.0) AS hi_w
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import graft.store.CommitLog
+      val a = docs(s, dir)
+        .select(col("doc_id"), (col("doc_id") * 2.5 + 1.0).as("w"))
+      val table = "/tmp/graft_state/stats_agg_docs"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      // two commits → two stats generations folded together
+      CommitLog.append(a.filter(col("doc_id") % 2 === 0), table)
+      CommitLog.append(a.filter(col("doc_id") % 2 === 1), table)
+      // through the FORMAT reader (GraftLogFileIndex carries the log
+      // stats the rewrite folds); CommitLog.read's visibleRows path is
+      // a plain parquet scan the rule correctly leaves alone
+      val agg = s.read.format("graftlog").load(table)
+        .agg(count(lit(1)).as("n_rows"),
+          min("doc_id").as("lo_id"), max("doc_id").as("hi_id"),
+          min("w").as("lo_w"), max("w").as("hi_w"))
+      require(agg.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }.isEmpty, "stats aggregate still scans — the metadata rewrite did not fire")
+      agg
+    },
+
     // ── Keyed upsert (MERGE) through the commit log: the engine builds
     // the logged table in two appends, merges a source that UPDATES a
     // doc_id slice (text rewritten) and INSERTS new ids, and reads the

@@ -171,24 +171,41 @@ final class GraftLogFileIndex(spark: SparkSession, tablePath: String,
     val (_, withStats) = CommitLog.liveFilesWithStats(spark, tablePath, asOf)
     if (withStats.isEmpty) Seq.empty
     else {
-      // ONE directory listing for the whole snapshot, not a
-      // getFileStatus per live file — at 100k files that is the
-      // difference between one object-store LIST page walk and 100k
-      // HEAD round trips on the driver.
+      // ONE directory listing PER DISTINCT PARENT (the table root,
+      // plus one per shallow-clone source holding absolute refs), not
+      // a getFileStatus per live file — at 100k files that is the
+      // difference between a few object-store LIST page walks and
+      // 100k HEAD round trips on the driver.
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-      val byName = fs.listStatus(root)
-        .collect { case st if st.isFile => st.getPath.getName -> st }.toMap
+      val resolved = withStats.map { case (name, j) =>
+        (CommitLog.resolveDataPath(tablePath, name), name, j) }
+      val statusOf: Map[String, FileStatus] = resolved
+        .map { case (abs, _, _) => abs.substring(0, abs.lastIndexOf('/')) }
+        .distinct.flatMap { parent =>
+          try fs.listStatus(new Path(parent)).collect {
+            case st if st.isFile => s"$parent/${st.getPath.getName}" -> st
+          } catch { case scala.util.control.NonFatal(_) =>
+            Array.empty[(String, FileStatus)] }
+        }.toMap
       // stats are keyed by PHYSICAL name; pushed filters are logical
       val mapping = CommitLog.mappingAt(spark, tablePath, asOf)
-      withStats.map { case (name, statsJson) =>
-        val st = byName.getOrElse(name, throw new IllegalStateException(
+      resolved.map { case (abs, name, statsJson) =>
+        val st = statusOf.getOrElse(abs, throw new IllegalStateException(
           s"live data file $name of $tablePath is missing — the snapshot " +
-            "predates the retention window (vacuumed) or the table is corrupt"))
+            "predates the retention window (vacuumed), the table is corrupt, " +
+            "or a clone source was vacuumed from under this clone"))
         (st, statsJson.map(j =>
           CommitLog.statsToLogical(CommitLog.parseStatsJson(j), mapping)))
       }
     }
   }
+
+  /** Per-live-file LOGICAL column stats at this index's snapshot
+    * (None = the file was committed without a stats suffix) — the
+    * metadata [[graft.store.GraftStatsAggRule]] folds to answer
+    * unfiltered COUNT/MIN/MAX without opening a single data file. */
+  private[graft] def fileStats: Seq[Option[Map[String, (Any, Any)]]] =
+    snapshot.map(_._2)
 
   override def rootPaths: Seq[Path] = Seq(root)
 

@@ -152,7 +152,7 @@ object GraftLogStreamProvider {
       val (_, files) = CommitLog.liveFiles(spark, tablePath)
       require(files.nonEmpty,
         s"cannot infer the schema of empty logged table $tablePath — supply .schema(...)")
-      spark.read.parquet(s"$tablePath/${files.last}").schema
+      spark.read.parquet(CommitLog.resolveDataPath(tablePath, files.last)).schema
     }
 
   /** What the stream delivers: data columns + the CDC metadata pair. */

@@ -70,6 +70,49 @@ object CommitLog {
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** A log-carried file reference is normally a BARE NAME resolved
+    * under the table root; a SHALLOW CLONE ([[shallowClone]]) records
+    * ABSOLUTE references to the source table's files instead (Delta's
+    * absolute-path add actions). Every data/DV read resolves through
+    * here so both spellings serve identically. */
+  private[graft] def resolveDataPath(tablePath: String, name: String): String =
+    if (name.startsWith("/") || name.contains("://")) name
+    else s"$tablePath/$name"
+
+  /** Last path segment — file BASENAMES are globally unique by
+    * construction (writer-stamped uuid names), so cross-table joins on
+    * parquet `_metadata.file_name` stay sound for absolute (cloned)
+    * references. */
+  private[graft] def baseNameOf(name: String): String =
+    name.substring(name.lastIndexOf('/') + 1)
+
+  /** Live entries keyed by BOTH their ledger name and its basename —
+    * `_metadata.file_name` probes hand back basenames while a cloned
+    * snapshot's ledger records absolute references, so file-metadata
+    * lookups and ledger-name replays must land on the same entry
+    * (collision-free: basenames are globally unique and an absolute
+    * name can never equal another entry's basename). */
+  private def entriesByName(entries: Seq[LiveEntry]): Map[String, LiveEntry] =
+    entries.flatMap(e => Seq(e.name -> e, baseNameOf(e.name) -> e)).toMap
+
+  /** Sizes of the given file references (bare or absolute) — one
+    * directory listing per DISTINCT parent (the table root plus one
+    * per clone source), never a HEAD round trip per file. References
+    * whose parent listing lacks them are absent from the map. */
+  private[store] def sizesFor(fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: String, names: Seq[String]): Map[String, Long] = {
+    val byParent = names.map(n => resolveDataPath(tablePath, n) -> n)
+      .groupBy { case (abs, _) => abs.substring(0, abs.lastIndexOf('/')) }
+    byParent.flatMap { case (parent, members) =>
+      val listed =
+        try fs.listStatus(new org.apache.hadoop.fs.Path(parent))
+          .collect { case st if st.isFile => st.getPath.getName -> st.getLen }.toMap
+        catch { case scala.util.control.NonFatal(_) => Map.empty[String, Long] }
+      members.flatMap { case (abs, name) =>
+        listed.get(baseNameOf(abs)).map(name -> _) }
+    }
+  }
+
   private def readLines(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Iterator[String] = {
     val in = fs.open(p)
@@ -770,7 +813,8 @@ object CommitLog {
       val (scanVersion, entries) = liveFilesFull(spark, tablePath)
       val schema = schemaAt(spark, tablePath).orElse {
         if (entries.isEmpty) None
-        else Some(spark.read.parquet(s"$tablePath/${entries.last.name}").schema)
+        else Some(spark.read.parquet(
+          resolveDataPath(tablePath, entries.last.name)).schema)
       }
       schema.foreach { sch =>
         val bad = visibleRows(spark, tablePath, sch, entries)
@@ -876,6 +920,13 @@ object CommitLog {
     stamped.takeWhile(_._2 <= tsMs).last._1
   }
 
+  /** Reserved stats key carrying the file's total ROW COUNT (summed
+    * across row groups at write time). The dot makes collision with a
+    * real column impossible: `footerStatsJson` refuses to emit any
+    * column whose name contains '.', so the key space is disjoint by
+    * construction. */
+  private[graft] val RowCountKey = "rows.count"
+
   /** Column statistics of a just-landed parquet file as a one-line
     * JSON object `{"col":[min,max],…}` — numeric AND string top-level
     * columns (strings use the truncate-and-successor bound encoding,
@@ -899,7 +950,10 @@ object CommitLog {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         val blocks = reader.getFooter.getBlocks.asScala.toSeq
-        if (blocks.isEmpty) return None
+        // a zero-row file (a rewrite that kept nothing) still records
+        // its row count — consumers skip it instead of abstaining
+        if (blocks.isEmpty)
+          return Some("{\"" + RowCountKey + "\":[0,0]}")
         // col → (min, max) folded across every row group; a column is
         // dropped the moment ANY row group lacks usable stats
         var acc = Map.empty[String, (Any, Any)]
@@ -961,8 +1015,14 @@ object CommitLog {
             }
           }
         }
-        if (acc.isEmpty) None
-        else Some(acc.toSeq.sortBy(_._1).map { case (n, (mn, mx)) =>
+        // ROW COUNT under the reserved dotted key (a real column with
+        // a '.' in its name can never be emitted — see the name guard
+        // above), recorded even when every column abstains: it is what
+        // lets COUNT(*) answer from the log alone (GraftStatsAggRule)
+        val rows = blocks.map(_.getRowCount).sum
+        val entries = (RowCountKey -> ((rows: Any, rows: Any))) +:
+          acc.toSeq.sortBy(_._1)
+        Some(entries.map { case (n, (mn, mx)) =>
           def emit(v: Any): String = v match {
             case s: String => jsonQuote(s)
             case other => other.toString
@@ -1139,7 +1199,7 @@ object CommitLog {
       names: Seq[String]): Map[String, String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     names.flatMap(n => footerStatsJson(conf,
-      new org.apache.hadoop.fs.Path(s"$tablePath/$n")).map(n -> _)).toMap
+      new org.apache.hadoop.fs.Path(resolveDataPath(tablePath, n))).map(n -> _)).toMap
   }
 
   /** Writer ids embed the WALL-CLOCK ms at staging start (plus pid and
@@ -1324,11 +1384,18 @@ object CommitLog {
     val attached = entries.collect { case LiveEntry(n, _, Some(dv)) => (n, dv) }
     if (attached.isEmpty) return None
     val dvFiles = attached.map(_._2).distinct
-    val raw = spark.read.parquet(dvFiles.map(f => s"$tablePath/$f"): _*)
+    val raw = spark.read.parquet(
+        dvFiles.map(f => resolveDataPath(tablePath, f)): _*)
       .select(col(DvFileCol), col(DvPosCol),
         col("_metadata.file_name").as("_dv_src"))
-    // attachment pairs as (tiny) broadcast data, not a plan literal
-    val pairs = broadcast(attached.toDF("_at_file", "_at_dv"))
+    // attachment pairs as (tiny) broadcast data, not a plan literal;
+    // BASENAMES on both legs — `_metadata.file_name` and the DV
+    // content's recorded data-file names are bare, while a cloned
+    // snapshot's attachment strings are absolute (basenames are
+    // globally unique — writer-stamped uuids)
+    val pairs = broadcast(attached
+      .map { case (f, dv) => (baseNameOf(f), baseNameOf(dv)) }
+      .toDF("_at_file", "_at_dv"))
     Some(raw.join(pairs,
       raw(DvFileCol) === pairs("_at_file") && raw("_dv_src") === pairs("_at_dv"))
       .select(col(DvFileCol), col(DvPosCol)))
@@ -1381,7 +1448,7 @@ object CommitLog {
       else schema.fieldNames.map(n => col(phys(n)).as(n)).toSeq) ++
       meta.map { case (a, f) => col(s"_metadata.$f").as(a) }
     def scan(files: Seq[String]) = spark.read.schema(readSchema)
-      .parquet(files.map(f => s"$tablePath/$f"): _*)
+      .parquet(files.map(f => resolveDataPath(tablePath, f)): _*)
     val (dvd, plain) = entries.partition(_.dv.isDefined)
     val parts =
       (if (plain.isEmpty) Seq.empty
@@ -1392,7 +1459,8 @@ object CommitLog {
          val dir = new org.apache.hadoop.fs.Path(tablePath)
          val fs = fsOf(spark, dir)
          val dvBytes = dvd.flatMap(_.dv).distinct.map { f =>
-           try fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, f)).getLen
+           try fs.getFileStatus(new org.apache.hadoop.fs.Path(
+             resolveDataPath(tablePath, f))).getLen
            catch { case scala.util.control.NonFatal(_) => Long.MaxValue / 1024 }
          }.sum
          val dvSide = if (dvBytes <= dvBroadcastMaxBytes) broadcast(dv) else dv
@@ -1465,7 +1533,7 @@ object CommitLog {
     val (version, entries) = liveFilesFull(spark, tablePath)
     val files = entries.map(_.name)
     if (files.isEmpty) return version
-    val paths = files.map(f => s"$tablePath/$f")
+    val paths = files.map(f => resolveDataPath(tablePath, f))
     val totalBytes = paths.map(p => fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val writerId = freshWriterId("c")
@@ -1549,7 +1617,7 @@ object CommitLog {
     if (entries.isEmpty) return version
     // ledger-first for the same column-mapping reason as compact()
     val schema = schemaAt(spark, tablePath).getOrElse(spark.read
-      .parquet(entries.map(e => s"$tablePath/${e.name}"): _*).schema)
+      .parquet(entries.map(e => resolveDataPath(tablePath, e.name)): _*).schema)
     // predicate → pushed-filter list, resolved the way a real scan
     // would resolve it (analyzed Filter node over the table's plan)
     val filters: Seq[org.apache.spark.sql.sources.Filter] = where match {
@@ -1572,9 +1640,9 @@ object CommitLog {
           filters.forall(f => graft.sources.StatsPruning.possible(m, f))
         case _ => true
       }
-    // one directory listing for every size, not a HEAD per file
-    val sizeByName = fs.listStatus(dir)
-      .collect { case st if st.isFile => st.getPath.getName -> st.getLen }.toMap
+    // one directory listing PER DISTINCT PARENT (table root + clone
+    // sources) for every size, not a HEAD per file
+    val sizeByName = sizesFor(fs, tablePath, entries.map(_.name))
     val scoped = entries.filter(inScope)
     val candidates =
       if (clusterBy.isDefined) scoped
@@ -1718,7 +1786,8 @@ object CommitLog {
     else {
       val inverse = mapping.map(_.swap)
       parsed.flatMap { case (k, v) =>
-        inverse.get(k) match {
+        if (k == RowCountKey) Some(k -> v) // reserved, never a column
+        else inverse.get(k) match {
           case Some(logical) => Some(logical -> v)
           case None => if (mapping.contains(k)) None else Some(k -> v)
         }
@@ -1759,7 +1828,7 @@ object CommitLog {
       require(files.nonEmpty,
         s"cannot infer the schema of empty logged table $tablePath — " +
           "no ledger and no live files; supply a schema")
-      spark.read.parquet(s"$tablePath/${files.last}").schema
+      spark.read.parquet(resolveDataPath(tablePath, files.last)).schema
     }
 
   /** RENAME COLUMN — metadata-only (one schema commit, zero file
@@ -2068,7 +2137,7 @@ object CommitLog {
     if (deletionVectors)
       return deleteWhereMor(spark, tablePath, schema, predicate, publisher,
         version, entries)
-    val byName = entries.map(e => e.name -> e).toMap
+    val byName = entriesByName(entries)
     // the probe and the rewrite both read VISIBLE rows (DV-aware): a
     // position an earlier merge-on-read delete vectored out must
     // neither count as a match nor resurrect in the rewrite
@@ -2078,8 +2147,8 @@ object CommitLog {
       .select(col("_dw_file")).distinct()
       .collect().map(_.getString(0)).toSeq
     if (affected.isEmpty) return version // nothing matched: no new version
-    val affectedDf = visibleRows(spark, tablePath, schema,
-      affected.map(byName))
+    val affectedEntries = affected.map(byName)
+    val affectedDf = visibleRows(spark, tablePath, schema, affectedEntries)
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
     toPhysical(affectedDf.filter(not(coalesce(predicate, lit(false)))),
@@ -2090,10 +2159,10 @@ object CommitLog {
     val cdcNames = landChangeFiles(spark, tablePath,
       affectedDf.filter(predicate)
         .withColumn(ChangeTypeCol, lit("delete")))
-    commit(spark, tablePath, adds = names, removes = affected,
+    commit(spark, tablePath, adds = names, removes = affectedEntries.map(_.name),
       publisher = publisher, opTag = Some("delete"), changeAdds = cdcNames,
       addStats = statsFor(spark, tablePath, names),
-      removeDvExpect = affected.map(n => n -> byName(n).dv).toMap)
+      removeDvExpect = affectedEntries.map(e => e.name -> e.dv).toMap)
   }
 
   /** MERGE-ON-READ delete (deletion vectors — the Delta/Iceberg DV
@@ -2126,7 +2195,7 @@ object CommitLog {
     import org.apache.spark.sql.functions.{col, lit}
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
-    val byName = entries.map(e => e.name -> e).toMap
+    val byName = entriesByName(entries)
     // one evaluation feeds the vector write, the CDC write, and the
     // affected-file collect — a non-deterministic predicate must not
     // vector positions and feed pre-images that disagree
@@ -2207,7 +2276,7 @@ object CommitLog {
     val fs = fsOf(spark, dir)
     val (version, entries) = liveFilesFull(spark, tablePath)
     if (entries.isEmpty) return version
-    val byName = entries.map(e => e.name -> e).toMap
+    val byName = entriesByName(entries)
     // post-image projection over the PRE-update row (all assignments
     // read the original columns — the SQL simultaneous-SET rule)
     val post = schema.fields.map(f =>
@@ -2252,8 +2321,8 @@ object CommitLog {
       .select(col("_uw_file")).distinct()
       .collect().map(_.getString(0)).toSeq
     if (affected.isEmpty) return version // nothing matched: no new version
-    val affectedDf = visibleRows(spark, tablePath, schema,
-      affected.map(byName))
+    val affectedEntries = affected.map(byName)
+    val affectedDf = visibleRows(spark, tablePath, schema, affectedEntries)
     val hit = coalesce(predicate, lit(false))
     val rewritten = schema.fields.map(f =>
       when(hit, assignments.get(f.name).map(_.cast(f.dataType))
@@ -2271,10 +2340,10 @@ object CommitLog {
         .withColumn(ChangeTypeCol, lit("delete"))
         .unionByName(affectedDf.filter(predicate).select(post: _*)
           .withColumn(ChangeTypeCol, lit("insert"))))
-    commit(spark, tablePath, adds = names, removes = affected,
+    commit(spark, tablePath, adds = names, removes = affectedEntries.map(_.name),
       publisher = publisher, opTag = Some("update"), changeAdds = cdcNames,
       addStats = statsFor(spark, tablePath, names),
-      removeDvExpect = affected.map(n => n -> byName(n).dv).toMap,
+      removeDvExpect = affectedEntries.map(e => e.name -> e.dv).toMap,
       constraintsExpect = Some(cs))
   }
 
@@ -2498,7 +2567,7 @@ object CommitLog {
         case _ => None
       }
     def footerCheck(name: String): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(s"$tablePath/$name")
+      val p = new org.apache.hadoop.fs.Path(resolveDataPath(tablePath, name))
       try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -2593,7 +2662,7 @@ object CommitLog {
     val fs = fsOf(spark, dir)
     val (version, liveEntries) = liveFilesFull(spark, tablePath)
     val filesWithStats = liveEntries.map(e => (e.name, e.stats))
-    val entryByName = liveEntries.map(e => e.name -> e).toMap
+    val entryByName = entriesByName(liveEntries)
     val files = filesWithStats.map(_._1)
     // the key set drives five jobs (stats envelope, bloom key collect,
     // affected-file probe, the anti-join rewrite, the CDC semi-join) —
@@ -2683,7 +2752,8 @@ object CommitLog {
       return appendOrAbort(app, tablePath, publisher, opTag, abortOnLostRace,
         schemaJson = schemaJson, schemaExpect = schemaExpect)
     }
-    val aff = visibleRows(spark, tablePath, schema, affected.map(entryByName))
+    val affectedEntries = affected.map(entryByName)
+    val aff = visibleRows(spark, tablePath, schema, affectedEntries)
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
     toPhysical(aff.join(keyD, keyCols, "left_anti").unionByName(app), writeMapping)
@@ -2694,11 +2764,12 @@ object CommitLog {
       aff.join(keyD, keyCols, "left_semi")
         .withColumn(ChangeTypeCol, lit("delete"))
         .unionByName(app.withColumn(ChangeTypeCol, lit("insert"))))
-    commitOrAbort(spark, tablePath, adds = names, removes = affected,
+    commitOrAbort(spark, tablePath, adds = names,
+      removes = affectedEntries.map(_.name),
       publisher = publisher, opTag = opTag, abortOnLostRace = abortOnLostRace,
       changeAdds = cdcNames, addStats = statsFor(spark, tablePath, names),
       schemaJson = schemaJson,
-      removeDvExpect = affected.map(n => n -> entryByName(n).dv).toMap,
+      removeDvExpect = affectedEntries.map(e => e.name -> e.dv).toMap,
       constraintsExpect = Some(cs), schemaExpect = schemaExpect)
   }
 
@@ -2761,8 +2832,7 @@ object CommitLog {
     val fs = fsOf(spark, dir)
     val sizeByName: Map[String, Long] =
       if (!fs.exists(dir)) Map.empty
-      else fs.listStatus(dir)
-        .collect { case st if st.isFile => st.getPath.getName -> st.getLen }.toMap
+      else sizesFor(fs, tablePath, entries.map(_.name))
     val sizeBytes = entries.map(e => sizeByName.getOrElse(e.name, 0L)).sum
     val dvPositions = dvRows(spark, tablePath, entries.filter(_.dv.isDefined))
       .map(_.count()).getOrElse(0L)
@@ -2875,9 +2945,8 @@ object CommitLog {
     // FileNotFound at JOB time. Check now (one directory listing, not
     // per-file probes) and raise the same re-bootstrap contract the
     // pruned-commit path documents.
-    val present = fsOf(spark, new org.apache.hadoop.fs.Path(tablePath))
-      .listStatus(new org.apache.hadoop.fs.Path(tablePath))
-      .collect { case st if st.isFile => st.getPath.getName }.toSet
+    val present = sizesFor(fsOf(spark, new org.apache.hadoop.fs.Path(tablePath)),
+      tablePath, fileToVersion.map(_._1).distinct).keySet
     val vacuumed = fileToVersion.collect {
       case (f, v) if !present(f) => s"$f (version $v)" }
     if (vacuumed.nonEmpty)
@@ -2894,8 +2963,12 @@ object CommitLog {
     // per-commit jobs.
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
-    val lookup = broadcast(
-      fileToVersion.toDF("_cf_name", "_commit_version"))
+    // BASENAME keys: `_metadata.file_name` is bare, while a cloned
+    // bootstrap commit feeds absolute references (basenames are
+    // globally unique — writer-stamped uuids)
+    val lookup = broadcast(fileToVersion
+      .map { case (f, v) => (baseNameOf(f), v) }
+      .toDF("_cf_name", "_commit_version"))
     // COLUMN MAPPING: fed files (data and CDC alike) carry physical
     // column names; scan physical, alias back to the caller's logical
     // names — one naming scheme across every file generation, since
@@ -2919,11 +2992,11 @@ object CommitLog {
     val parts =
       (if (dataFiles.isEmpty) Seq.empty else Seq(tagged(
         spark.read.schema(readSchema)
-          .parquet(dataFiles.map(f => s"$tablePath/$f"): _*)
+          .parquet(dataFiles.map(f => resolveDataPath(tablePath, f)): _*)
           .withColumn(ChangeTypeCol, lit("insert"))))) ++
         (if (cdcFiles.isEmpty) Seq.empty else Seq(tagged(
           spark.read.schema(cdcSchema)
-            .parquet(cdcFiles.map(f => s"$tablePath/$f"): _*))))
+            .parquet(cdcFiles.map(f => resolveDataPath(tablePath, f)): _*))))
     parts.reduce(_.unionByName(_))
   }
 
@@ -3044,6 +3117,72 @@ object CommitLog {
           }
         }.sorted.toSeq
     }
+  }
+
+  /** SHALLOW CLONE — a zero-copy logged table whose first commit
+    * REFERENCES the source's live data files by absolute path instead
+    * of copying a byte (Delta's `CREATE TABLE … SHALLOW CLONE` /
+    * absolute-path add actions): at 100 TB a full dev/test/what-if
+    * snapshot of a production table costs one metadata commit. The
+    * clone captures the source's complete logical state at one pinned
+    * version — schema ledger (column mapping included), CHECK
+    * constraints, table properties (bloom declarations, MOR default,
+    * burned names), per-file stats, and deletion-vector attachments —
+    * then evolves INDEPENDENTLY: its appends/deletes/merges land under
+    * its own root, its OPTIMIZE localizes foreign references as a side
+    * effect of rewriting them, and its VACUUM only ever reclaims files
+    * under its own root (foreign files are never listed there).
+    *
+    * Contracts (the Delta ones): the source must not be VACUUMed past
+    * the clone's reference set — a clone is a retention-window
+    * consumer like any time traveler, and a vacuumed-from-under-it
+    * clone fails loudly at read ("clone source was vacuumed").
+    * Mutating the CLONE never touches the SOURCE (removes of foreign
+    * references drop the reference, never the file — vacuum scopes to
+    * the clone root). `graft.cloneSource` records provenance.
+    *
+    * Returns the clone's first version (1). */
+  def shallowClone(spark: SparkSession, sourcePath: String, clonePath: String,
+      asOf: Long = Long.MaxValue,
+      publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
+    val src = sourcePath.stripSuffix("/")
+    require(src.startsWith("/") || src.contains("://"),
+      s"shallow clone needs an absolute source path (its references must " +
+        s"resolve from the clone): $sourcePath")
+    require(new org.apache.hadoop.fs.Path(src) !=
+      new org.apache.hadoop.fs.Path(clonePath.stripSuffix("/")),
+      s"cannot clone $src onto itself")
+    require(latestVersion(spark, clonePath) == 0,
+      s"clone destination $clonePath already has commits")
+    // pin ONE source version, then read every ledger AT that version —
+    // a concurrent source commit cannot mix states into the clone
+    val (srcV, entries) = liveFilesFull(spark, src, asOf)
+    require(srcV > 0, s"cannot clone $src — no commits at version $asOf")
+    val schemaJson = schemaAt(spark, src, srcV).map(_.json)
+    val constraints = constraintsAt(spark, src, srcV)
+    val props = propertiesAt(spark, src, srcV) +
+      ("graft.cloneSource" -> s"$src@$srcV")
+    val adds = entries.map(e => resolveDataPath(src, e.name))
+    val addStats = entries.flatMap(e =>
+      e.stats.map(resolveDataPath(src, e.name) -> _)).toMap
+    val dvAttach = entries.flatMap(e => e.dv.map(d =>
+      resolveDataPath(src, e.name) -> resolveDataPath(src, d))).toMap
+    commitOrAbort(spark, clonePath,
+      adds = adds, removes = Seq.empty,
+      publisher = publisher, opTag = Some("clone"),
+      // a concurrent writer racing table creation at the same path
+      // must not make this land as "version 2 of someone else's table"
+      abortOnLostRace = () => latestVersion(spark, clonePath) != 0,
+      addStats = addStats,
+      schemaJson = schemaJson,
+      dvAttach = dvAttach,
+      dvExpect = dvAttach.map { case (k, _) => k -> None },
+      constraintTags = constraints.toSeq.sortBy(_._1)
+        .map { case (n, c) => s"+$n:$c" },
+      propertyTags = props.toSeq.sortBy(_._1).map { case (k, v) => s"+$k:$v" })
+      .getOrElse(throw new IllegalStateException(
+        s"clone destination $clonePath was created concurrently — " +
+          "pick an empty path"))
   }
 
   /** Reclaim data files no commit references — compaction leftovers

@@ -118,6 +118,13 @@ object GraftSql {
         CommitLog.versionAtTimestamp(spark, path,
           graft.sources.GraftLogBatch.parseTsMs(ts.trim.stripPrefix("'").stripSuffix("'"))))
       result(spark, path, CommitLog.restore(spark, path, v))
+    case CloneRe(dq, db, sq, sb, ver) =>
+      // Delta's `CREATE TABLE t SHALLOW CLONE s [VERSION AS OF n]`:
+      // one metadata commit referencing the source's files — zero copy
+      val dst = resolvePath(spark, ident(dq, db))
+      val src = resolvePath(spark, ident(sq, sb))
+      val asOf = Option(ver).map(_.toLong).getOrElse(Long.MaxValue)
+      result(spark, dst, CommitLog.shallowClone(spark, src, dst, asOf))
     case CreateTableRe(qp, bp, colsDdl) =>
       val path = resolvePath(spark, ident(qp, bp))
       require(CommitLog.latestVersion(spark, path) == 0,
@@ -239,6 +246,10 @@ object GraftSql {
     s"""(?is)\\s*CREATE\\s+TABLE\\s+$TableId\\s*\\((.+)\\)\\s*""".r
   private val CtasRe =
     s"""(?is)\\s*CREATE\\s+TABLE\\s+$TableId\\s+AS\\s+(.+?)\\s*""".r
+  // zero-copy snapshot (Delta's SHALLOW CLONE verb)
+  private val CloneRe =
+    (s"""(?is)\\s*CREATE\\s+TABLE\\s+$TableId\\s+SHALLOW\\s+CLONE\\s+""" +
+      s"""$TableId(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*""").r
   private val DropTableRe =
     s"""(?is)\\s*DROP\\s+TABLE\\s+$TableId\\s*""".r
   // TBLPROPERTIES (bloom.columns/bloom.ndv drive write-time bloom

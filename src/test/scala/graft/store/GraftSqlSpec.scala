@@ -229,6 +229,21 @@ class GraftSqlSpec extends SparkSpec {
     assert(!before.subsetOf(CommitLog.liveFiles(spark, t)._2.toSet))
   }
 
+  test("CREATE TABLE … SHALLOW CLONE routes, including VERSION AS OF") {
+    val t = freshTable(); val c1 = freshTable(); val c2 = freshTable()
+    seed(t) // version 1
+    CommitLog.append(Seq((500L, "c9", "extra")).toDF("id", "cat", "v"), t) // v2
+    val out = GraftSql.execute(spark,
+      s"CREATE TABLE graftlog.`$c1` SHALLOW CLONE graftlog.`$t`")
+    assert(out.as[(String, Long)].collect().toSeq == Seq((c1, 1L)))
+    assert(CommitLog.read(spark, c1, schema).count() == 101L)
+    // pinned AT version 1: the second append is not part of the clone
+    GraftSql.execute(spark,
+      s"CREATE TABLE graftlog.`$c2` SHALLOW CLONE graftlog.`$t` VERSION AS OF 1")
+    assert(CommitLog.read(spark, c2, schema).count() == 100L)
+    assert(CommitLog.propertiesAt(spark, c2)("graft.cloneSource") == s"$t@1")
+  }
+
   test("resolvePath rejects path-escaping names before DROP can delete anything") {
     val base = Files.createTempDirectory("graft_sql_escape").toString
     val victim = s"$base/victim"

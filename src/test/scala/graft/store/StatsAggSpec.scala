@@ -1,0 +1,126 @@
+package graft.store
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+
+/** Metadata-only COUNT/MIN/MAX over logged tables
+  * ([[GraftStatsAggRule]]): the values must equal the scan's, the
+  * optimized plan must be scan-free when the rewrite fires, and every
+  * abstention case must keep a correct (scanning) plan. */
+class StatsAggSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val p = s"/tmp/graft_test/stats_agg_$name"
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    p
+  }
+
+  private def scans(df: DataFrame): Seq[LogicalRelation] =
+    df.queryExecution.optimizedPlan.collect { case lr: LogicalRelation => lr }
+
+  private def isMetadataOnly(df: DataFrame): Boolean =
+    scans(df).isEmpty &&
+      df.queryExecution.optimizedPlan.exists(_.isInstanceOf[LocalRelation])
+
+  test("unfiltered count/min/max fold to a LocalRelation, values scan-exact") {
+    import spark.implicits._
+    val t = freshDir("basic")
+    // two commits → two file generations, both carrying stats
+    (1L to 500L).map(i => (i, i * 2.5, i.toInt % 97)).toDF("id", "x", "k")
+      .write.format("graftlog").mode("append").save(t)
+    (501L to 800L).map(i => (i, -i * 1.5, i.toInt % 89)).toDF("id", "x", "k")
+      .write.format("graftlog").mode("append").save(t)
+
+    val agg = spark.read.format("graftlog").load(t)
+      .agg(count(lit(1)).as("n"), min("id").as("min_id"), max("id").as("max_id"),
+        min("x").as("min_x"), max("x").as("max_x"), max("k").as("max_k"))
+    assert(isMetadataOnly(agg), s"expected metadata-only plan:\n${agg.queryExecution.optimizedPlan}")
+    val r = agg.collect()(0)
+    assert(r.getLong(0) == 800L)
+    assert(r.getLong(1) == 1L && r.getLong(2) == 800L)
+    assert(r.getDouble(3) == -1200.0 && r.getDouble(4) == 1250.0)
+    assert(r.getInt(5) == 96)
+  }
+
+  test("a filter, a column count, or a string extreme keeps the scanning plan") {
+    import spark.implicits._
+    val t = freshDir("abstain")
+    Seq((1L, "alpha"), (2L, "omega"), (3L, "mid")).toDF("id", "s")
+      .write.format("graftlog").mode("append").save(t)
+    val base = spark.read.format("graftlog").load(t)
+
+    val filtered = base.where(col("id") > 1).agg(count(lit(1)).as("n"))
+    assert(!isMetadataOnly(filtered), "a filtered COUNT must scan")
+    assert(filtered.collect()(0).getLong(0) == 2L)
+
+    val colCount = base.agg(count(col("s")).as("n")) // needs null counts
+    assert(!isMetadataOnly(colCount))
+    assert(colCount.collect()(0).getLong(0) == 3L)
+
+    val strMin = base.agg(min("s").as("m")) // bounds are envelopes
+    assert(!isMetadataOnly(strMin))
+    assert(strMin.collect()(0).getString(0) == "alpha")
+  }
+
+  test("deletion vectors route around the rewrite and stay count-exact") {
+    import spark.implicits._
+    val t = freshDir("dv")
+    (1L to 100L).toDF("id").write.format("graftlog").mode("append").save(t)
+    CommitLog.deleteWhere(spark, t, CommitLog.tableSchema(spark, t),
+      col("id") % 10 === 0, deletionVectors = true)
+    val agg = spark.read.format("graftlog").load(t).agg(count(lit(1)).as("n"))
+    // the DV snapshot reads through GraftLogDvRelation — never matched
+    assert(!isMetadataOnly(agg))
+    assert(agg.collect()(0).getLong(0) == 90L)
+  }
+
+  test("empty table answers count 0 and null extremes from metadata") {
+    import spark.implicits._
+    val t = freshDir("empty")
+    // a schema ledger with zero data files: create-then-delete-all
+    (1L to 5L).toDF("id").write.format("graftlog").mode("append").save(t)
+    CommitLog.deleteWhere(spark, t, CommitLog.tableSchema(spark, t), lit(true))
+    val agg = spark.read.format("graftlog").load(t)
+      .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))
+    assert(isMetadataOnly(agg), s"plan:\n${agg.queryExecution.optimizedPlan}")
+    val r = agg.collect()(0)
+    assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("catalog SQL count(*) answers from the log; the off-switch restores the scan") {
+    val t = "stats_agg_sql"
+    spark.conf.set("spark.graft.warehouse", freshDir("warehouse"))
+    spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+    spark.sql(s"CREATE TABLE graft.$t (id BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO graft.$t SELECT id, id * 1.5 FROM range(1000)")
+    val agg = spark.sql(
+      s"SELECT count(*) AS n, min(id) AS lo, max(id) AS hi FROM graft.$t")
+    assert(isMetadataOnly(agg), s"plan:\n${agg.queryExecution.optimizedPlan}")
+    val r = agg.collect()(0)
+    assert(r.getLong(0) == 1000L && r.getLong(1) == 0L && r.getLong(2) == 999L)
+    try {
+      spark.conf.set("spark.graft.statsAggregation", "false")
+      val off = spark.sql(s"SELECT count(*) AS n FROM graft.$t")
+      assert(!isMetadataOnly(off), "off-switch must restore the scan")
+      assert(off.collect()(0).getLong(0) == 1000L)
+    } finally spark.conf.unset("spark.graft.statsAggregation")
+    spark.sql(s"DROP TABLE graft.$t")
+  }
+
+  test("a ±0.0 double bound abstains (parquet zero-sign normalization)") {
+    import spark.implicits._
+    val t = freshDir("zero")
+    Seq(0.0, 1.5, 7.25).toDF("x").write.format("graftlog").mode("append").save(t)
+    val agg = spark.read.format("graftlog").load(t)
+      .agg(min("x").as("lo"), max("x").as("hi"))
+    // min bound is a zero whose sign the footer may have normalized —
+    // the rewrite must not serve it; the scan answer stays correct
+    assert(!isMetadataOnly(agg))
+    val r = agg.collect()(0)
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 7.25)
+  }
+}
