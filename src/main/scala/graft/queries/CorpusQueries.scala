@@ -1009,6 +1009,77 @@ object CorpusQueries {
       agg
     },
 
+    // ── METADATA-ONLY COUNT over a MERGE-ON-READ snapshot: after a
+    // deletion-vector delete, COUNT(*) answers as Σ log-carried file
+    // row counts − Σ log-carried vector position counts (the
+    // `*file|dvfile|n` commit suffix) — no data file AND no vector
+    // file opened. At 100 TB a sparse-delete-heavy table answers "how
+    // many rows" from the ledger alone. The engine PROVES the plan is
+    // scan-free; the oracle recomputes the post-delete count
+    // relationally, so a wrong or stale vector count flips the row. ───
+    Q(
+      "store_stats_agg_mor",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows
+        |FROM documents WHERE NOT (doc_id % 7 = 3)""".stripMargin) { (s, dir) =>
+      import graft.store.CommitLog
+      val a = docs(s, dir).select("doc_id", "text")
+      val table = "/tmp/graft_state/stats_agg_mor_docs"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      CommitLog.append(a.filter(col("doc_id") % 2 === 0), table, mergeSchema = true)
+      CommitLog.append(a.filter(col("doc_id") % 2 === 1), table)
+      CommitLog.deleteWhere(s, table, CommitLog.tableSchema(s, table),
+        col("doc_id") % 7 === 3, deletionVectors = true)
+      val agg = s.read.format("graftlog").load(table)
+        .agg(count(lit(1)).as("n_rows"))
+      require(agg.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }.isEmpty,
+        "MOR count still scans — the vector-count metadata rewrite did not fire")
+      agg
+    },
+
+    // ── AUTO-COMPACTION (small-file self-healing): the engine stamps
+    // the graft.autoCompact table property, lands the documents table
+    // as 8 streaming-shaped single-file appends, and PROVES the file
+    // census collapsed behind the writes (live files strictly below
+    // the append count) while every row survived — the self-
+    // maintaining micro-batch sink at 100 TB, where the alternative is
+    // scan fan-out growing with every 30-second batch. The trigger is
+    // metadata-only (log-carried per-file sizes — no listing per
+    // append). The oracle recomputes the content digest relationally;
+    // a row lost or duplicated by the follow-on rewrite flips it. ─────
+    Q(
+      "store_auto_compact",
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS content_digest
+         |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.store.CommitLog
+      val a = docs(s, dir).select("doc_id", "source", "text")
+      val table = "/tmp/graft_state/auto_compact_docs"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      CommitLog.append(a.filter(col("doc_id") % 8 === 0).repartition(1),
+        table, mergeSchema = true)
+      graft.store.GraftSql.execute(s,
+        s"ALTER TABLE graftlog.`$table` SET TBLPROPERTIES (" +
+          "'graft.autoCompact'='true'," +
+          "'graft.autoCompact.smallFileBytes'='1048576'," +
+          "'graft.autoCompact.minFiles'='6'," +
+          "'graft.autoCompact.targetBytes'='1073741824')")
+      (1 to 7).foreach(r => CommitLog.append(
+        a.filter(col("doc_id") % 8 === r).repartition(1), table))
+      val live = CommitLog.liveFiles(s, table)._2
+      require(live.size < 8,
+        s"auto-compaction never fired: ${live.size} live files after 8 appends")
+      CommitLog.read(s, table, CommitLog.tableSchema(s, table))
+        .withColumn("h", graft.core.Hashing.rowDigest(col("doc_id"), col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
+    },
+
     // ── Keyed upsert (MERGE) through the commit log: the engine builds
     // the logged table in two appends, merges a source that UPDATES a
     // doc_id slice (text rewritten) and INSERTS new ids, and reads the

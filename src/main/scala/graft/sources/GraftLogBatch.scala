@@ -250,7 +250,7 @@ final class GraftLogFileIndex(spark: SparkSession, tablePath: String,
   * snapshot; OPTIMIZE restores the native path. Spark re-evaluates
   * every filter above this relation (`unhandledFilters` default), so
   * the inner re-translation is purely an optimization. */
-private[sources] final class GraftLogDvRelation(spark: SparkSession,
+private[graft] final class GraftLogDvRelation(spark: SparkSession,
     tablePath: String, dataSchema: StructType,
     entries: Seq[CommitLog.LiveEntry], asOf: Long = Long.MaxValue)
     extends BaseRelation with PrunedFilteredScan {
@@ -258,6 +258,23 @@ private[sources] final class GraftLogDvRelation(spark: SparkSession,
   override def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   override def schema: StructType = dataSchema
+
+  /** Per-live-file LOGICAL column stats at this snapshot (remapped on
+    * a column-mapped table) — the metadata aggregate
+    * ([[graft.store.GraftStatsAggRule]]) folds these the same way it
+    * folds [[GraftLogFileIndex.fileStats]]. */
+  private[graft] def fileStats: Seq[Option[Map[String, (Any, Any)]]] = {
+    val mapping = CommitLog.mappingAt(spark, tablePath, asOf)
+    entries.map(_.stats.map(j =>
+      CommitLog.statsToLogical(CommitLog.parseStatsJson(j), mapping)))
+  }
+
+  /** Per-live-file deletion-vector state: None = no vector (every
+    * physical row visible); Some(Some(n)) = a vector deleting n of
+    * the file's rows; Some(None) = a vector whose position count the
+    * attaching commit did not record (consumers must abstain). */
+  private[graft] def dvState: Seq[Option[Option[Long]]] =
+    entries.map(e => e.dv.map(_ => e.dvRows))
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {

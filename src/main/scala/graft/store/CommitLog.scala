@@ -158,10 +158,15 @@ object CommitLog {
   }
 
   /** One live-set entry of the full replay: the data file, its
-    * log-carried stats JSON, and the DELETION VECTOR file currently
-    * attached to it (None = every physical row is live). */
+    * log-carried stats JSON, the DELETION VECTOR file currently
+    * attached to it (None = every physical row is live), and — when
+    * the attaching commit recorded it — the vector's POSITION COUNT
+    * (how many of the file's rows it deletes; cumulative, like the
+    * vector itself). The count is what lets COUNT(*) stay a ledger
+    * fold on a merge-on-read table (GraftStatsAggRule). */
   private[graft] final case class LiveEntry(name: String,
-      stats: Option[String], dv: Option[String])
+      stats: Option[String], dv: Option[String],
+      dvRows: Option[Long] = None)
 
   /** [[liveFilesWithStats]] plus each file's deletion-vector
     * attachment — the complete snapshot state. DV attachments ride
@@ -184,12 +189,16 @@ object CommitLog {
       }
     }.sortBy(_._1).lastOption
     val base = ckpt.map(_._1).getOrElse(0L)
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, (Option[String], Option[String])]
+    val live = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Option[String], Option[String], Option[Long])]
     def addLine(line: String): Unit = {
       val body = line.drop(1)
       val bar = body.indexOf('|')
-      if (bar < 0) { live(body) = (None, None); () }
-      else { live(body.substring(0, bar)) = (Some(body.substring(bar + 1)), None); () }
+      if (bar < 0) { live(body) = (None, None, None); () }
+      else {
+        live(body.substring(0, bar)) =
+          (Some(body.substring(bar + 1)), None, None); ()
+      }
     }
     def dvLine(line: String, p: org.apache.hadoop.fs.Path): Unit = {
       val body = line.drop(1)
@@ -197,12 +206,23 @@ object CommitLog {
       if (bar < 0) throw new IllegalStateException(
         s"corrupt DV line in $p (no |dvfile): $line")
       val data = body.substring(0, bar)
-      val dv = body.substring(bar + 1)
+      // optional POSITION COUNT third segment (`*file|dvfile|n`) —
+      // file names never contain '|', so the split is unambiguous;
+      // attachments committed before counts were recorded stay
+      // countless (consumers abstain, never guess)
+      val rest = body.substring(bar + 1)
+      val bar2 = rest.indexOf('|')
+      val (dv, nRows) =
+        if (bar2 < 0) (rest, None)
+        else (rest.substring(0, bar2),
+          Some(java.lang.Long.parseLong(rest.substring(bar2 + 1))))
       live.get(data) match {
         // `*file|-` DETACHES (restore() resetting a kept file to a
         // vector-free historical state)
-        case Some((st, _)) =>
-          live(data) = (st, if (dv == "-") None else Some(dv)); ()
+        case Some((st, _, _)) =>
+          live(data) =
+            (st, if (dv == "-") None else Some(dv),
+              if (dv == "-") None else nRows); ()
         case None => throw new IllegalStateException(
           s"corrupt commit in $p: DV attached to non-live file $data")
       }
@@ -242,7 +262,8 @@ object CommitLog {
       throw new IllegalStateException(
         s"version $asOf of $tablePath unavailable (latest reachable: $reached — " +
           "nonexistent, or its commits were pruned past a checkpoint)")
-    (reached, live.toSeq.map { case (n, (st, dv)) => LiveEntry(n, st, dv) })
+    (reached, live.toSeq.map { case (n, (st, dv, nRows)) =>
+      LiveEntry(n, st, dv, nRows) })
   }
 
   /** Latest version from the log LISTING alone — one directory list,
@@ -320,6 +341,7 @@ object CommitLog {
       schemaJson: Option[String] = None,
       dvAttach: Map[String, String] = Map.empty,
       dvExpect: Map[String, Option[String]] = Map.empty,
+      dvRowCounts: Map[String, Long] = Map.empty,
       constraintTags: Seq[String] = Seq.empty,
       propertyTags: Seq[String] = Seq.empty,
       removeDvExpect: Map[String, Option[String]] = Map.empty,
@@ -332,6 +354,8 @@ object CommitLog {
       "property tags must be newline-free")
     require(dvAttach.keySet.forall(dvExpect.contains),
       "every DV attachment needs its expected prior attachment (conflict check input)")
+    require(dvRowCounts.keySet.subsetOf(dvAttach.keySet),
+      "DV row counts must describe this commit's own attachments")
     require(removeDvExpect.keySet.subsetOf(removes.toSet),
       "removeDvExpect keys must be removed files (remove-side DV fence input)")
     require(constraintTags.forall(t => !t.exists(c => c == '\n' || c == '\r')),
@@ -364,7 +388,9 @@ object CommitLog {
       changeAdds.map("~" + _) ++
       adds.map(a => "+" + a + addStats.get(a).map("|" + _).getOrElse("")) ++
       removes.map("-" + _) ++
-      dvAttach.toSeq.sortBy(_._1).map { case (f, dv) => s"*$f|$dv" }).mkString("\n")
+      dvAttach.toSeq.sortBy(_._1).map { case (f, dv) =>
+        s"*$f|$dv" + dvRowCounts.get(f).map("|" + _).getOrElse("")
+      }).mkString("\n")
     var attempts = 0
     while (attempts < 10000) {
       // A removing commit must publish at EXACTLY validated-version + 1:
@@ -522,7 +548,8 @@ object CommitLog {
               (headers ++ snap.map { e =>
                 "+" + e.name + e.stats.map("|" + _).getOrElse("") } ++
                 snap.collect { case e if e.dv.isDefined =>
-                  s"*${e.name}|${e.dv.get}" }).mkString("\n"))
+                  s"*${e.name}|${e.dv.get}" +
+                    e.dvRows.map("|" + _).getOrElse("") }).mkString("\n"))
             ()
           } catch { case scala.util.control.NonFatal(_) => () }
         }
@@ -927,6 +954,13 @@ object CommitLog {
     * construction. */
   private[graft] val RowCountKey = "rows.count"
 
+  /** Reserved stats key carrying the file's on-disk BYTE SIZE — what
+    * lets the auto-compaction census ([[maybeAutoCompact]]) fold from
+    * the ledger alone, no directory listing per append. Same disjoint
+    * key space as [[RowCountKey]] (column names with '.' are never
+    * emitted). */
+  private[graft] val BytesSizeKey = "bytes.size"
+
   /** Column statistics of a just-landed parquet file as a one-line
     * JSON object `{"col":[min,max],…}` — numeric AND string top-level
     * columns (strings use the truncate-and-successor bound encoding,
@@ -951,9 +985,11 @@ object CommitLog {
       try {
         val blocks = reader.getFooter.getBlocks.asScala.toSeq
         // a zero-row file (a rewrite that kept nothing) still records
-        // its row count — consumers skip it instead of abstaining
+        // its row count and size — consumers skip it instead of
+        // abstaining
         if (blocks.isEmpty)
-          return Some("{\"" + RowCountKey + "\":[0,0]}")
+          return Some("{\"" + RowCountKey + "\":[0,0],\"" + BytesSizeKey +
+            "\":[" + in.getLength + "," + in.getLength + "]}")
         // col → (min, max) folded across every row group; a column is
         // dropped the moment ANY row group lacks usable stats
         var acc = Map.empty[String, (Any, Any)]
@@ -1015,12 +1051,16 @@ object CommitLog {
             }
           }
         }
-        // ROW COUNT under the reserved dotted key (a real column with
-        // a '.' in its name can never be emitted — see the name guard
-        // above), recorded even when every column abstains: it is what
-        // lets COUNT(*) answer from the log alone (GraftStatsAggRule)
+        // ROW COUNT and BYTE SIZE under the reserved dotted keys (a
+        // real column with a '.' in its name can never be emitted —
+        // see the name guard above), recorded even when every column
+        // abstains: the count lets COUNT(*) answer from the log alone
+        // (GraftStatsAggRule); the size lets the auto-compaction
+        // census run without a directory listing (maybeAutoCompact)
         val rows = blocks.map(_.getRowCount).sum
-        val entries = (RowCountKey -> ((rows: Any, rows: Any))) +:
+        val entries = Seq(
+          RowCountKey -> ((rows: Any, rows: Any)),
+          BytesSizeKey -> ((in.getLength: Any, in.getLength: Any))) ++
           acc.toSeq.sortBy(_._1)
         Some(entries.map { case (n, (mn, mx)) =>
           def emit(v: Any): String = v match {
@@ -1261,10 +1301,13 @@ object CommitLog {
       .options(tableWriteOptions(spark, tablePath, writeOptions))
       .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
-    commit(spark, tablePath, adds = names, publisher = publisher, opTag = opTag,
+    val v = commit(spark, tablePath, adds = names, publisher = publisher,
+      opTag = opTag,
       addStats = statsFor(spark, tablePath, names), schemaJson = evolved,
       constraintsExpect = Some(cs),
       schemaExpect = if (evolved.isDefined) Some(cur.map(_.json)) else None)
+    maybeAutoCompact(spark, tablePath)
+    v
   }
 
   /** Logged full-table replace (SaveMode.Overwrite): land the frame's
@@ -1381,7 +1424,7 @@ object CommitLog {
       entries: Seq[LiveEntry]): Option[DataFrame] = {
     import org.apache.spark.sql.functions.{broadcast, col}
     import spark.implicits._
-    val attached = entries.collect { case LiveEntry(n, _, Some(dv)) => (n, dv) }
+    val attached = entries.collect { case LiveEntry(n, _, Some(dv), _) => (n, dv) }
     if (attached.isEmpty) return None
     val dvFiles = attached.map(_._2).distinct
     val raw = spark.read.parquet(
@@ -1671,6 +1714,62 @@ object CommitLog {
       removeDvExpect = candidates.map(e => e.name -> e.dv).toMap)
   }
 
+  // ── AUTO-COMPACTION (small-file self-healing) ──────────────────────
+
+  /** Write-triggered compaction behind the `graft.autoCompact` table
+    * property (Delta's `delta.autoOptimize.autoCompact` shape): after a
+    * successful append-shaped commit ([[append]], [[appendOnce]],
+    * [[upsertOnce]] — the writers a 30-second micro-batch sink drives),
+    * when at least `graft.autoCompact.minFiles` (default 8) live files
+    * are small, the writer runs a bounded OPTIMIZE toward
+    * `graft.autoCompact.targetBytes` (default 128 MiB) as a follow-on
+    * commit. A streaming sink that lands one small file per batch keeps
+    * its own file census bounded without a scheduled maintenance job —
+    * at 100 TB the alternative is scan fan-out growing with every batch.
+    *
+    * The TRIGGER is metadata-only: the census folds the ledger's
+    * log-carried [[BytesSizeKey]] per-file sizes — no directory listing
+    * per append. Files committed before sizes were recorded never count
+    * toward the trigger (an explicit OPTIMIZE migrates them). "Small"
+    * is `min(graft.autoCompact.smallFileBytes (default 64 MiB),
+    * targetBytes / 2)` — the target/2 clamp guarantees convergence: a
+    * triggered compaction's balanced outputs each exceed the small
+    * threshold (or collapse to a single file), so the very next append
+    * cannot re-trigger on the same bytes and a misconfigured
+    * smallFileBytes > targetBytes cannot churn-rewrite forever.
+    *
+    * Failure is NON-FATAL by design: the data commit already published,
+    * so a lost maintenance race (or anything else) logs a warning and
+    * leaves compaction to the next trigger — a maintenance follow-on
+    * must never turn a succeeded write into a caller-visible failure.
+    * Rewrite-shaped DML (delete/update/merge) does not trigger here;
+    * those paths already rewrite toward full files, and scheduled
+    * OPTIMIZE covers their long tail. */
+  private def maybeAutoCompact(spark: SparkSession, tablePath: String): Unit = {
+    val props = propertiesAt(spark, tablePath)
+    if (!props.get("graft.autoCompact").contains("true")) return
+    val target = props.get("graft.autoCompact.targetBytes")
+      .map(_.toLong).getOrElse(128L << 20)
+    val small = math.min(props.get("graft.autoCompact.smallFileBytes")
+      .map(_.toLong).getOrElse(64L << 20), target / 2)
+    val minFiles = props.get("graft.autoCompact.minFiles")
+      .map(_.toInt).getOrElse(8)
+    val (_, withStats) = liveFilesWithStats(spark, tablePath)
+    val nSmall = withStats.count(_._2.exists(j =>
+      parseStatsJson(j).get(BytesSizeKey).exists {
+        case (b: Long, _) => b < small
+        case _ => false
+      }))
+    if (nSmall < minFiles) return
+    try optimize(spark, tablePath, targetBytes = target)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger("graft.store.CommitLog").warn(
+          s"auto-compaction of $tablePath failed (the data commit already " +
+            s"published; compaction retries at the next trigger): ${e.getMessage}")
+    }
+  }
+
   /** Highest batch id a streaming query has committed into this table,
     * parsed from `txn=<queryId>:<batchId>` commit tags AND the tags
     * checkpoints carry for pruned commits (log-sized driver work);
@@ -1786,7 +1885,8 @@ object CommitLog {
     else {
       val inverse = mapping.map(_.swap)
       parsed.flatMap { case (k, v) =>
-        if (k == RowCountKey) Some(k -> v) // reserved, never a column
+        if (k == RowCountKey || k == BytesSizeKey)
+          Some(k -> v) // reserved keys, never columns
         else inverse.get(k) match {
           case Some(logical) => Some(logical -> v)
           case None => if (mapping.contains(k)) None else Some(k -> v)
@@ -2051,11 +2151,13 @@ object CommitLog {
     // not advancing is safe because replaying an empty batch is a
     // no-op, and "empty commit" is a protocol violation
     if (names.isEmpty) return None
-    commitOrAbort(spark, tablePath, adds = names, removes = Seq.empty,
+    val won = commitOrAbort(spark, tablePath, adds = names, removes = Seq.empty,
       publisher = publisher, opTag = Some(s"txn=$queryId:$batchId"),
       abortOnLostRace = () => batchId <= lastTxnBatch(spark, tablePath, queryId),
       addStats = statsFor(spark, tablePath, names),
       constraintsExpect = Some(cs))
+    if (won.isDefined) maybeAutoCompact(spark, tablePath)
+    won
   }
 
   /** Exactly-once KEYED streaming upsert — [[appendOnce]]'s argument
@@ -2095,10 +2197,12 @@ object CommitLog {
       throw new IllegalArgumentException(
         s"upsert batch has duplicate key(s), e.g. ${dup.head.toSeq.init.mkString(",")} — " +
           "an Update-mode state store emits one row per key; dedupe the batch")
-    keyedRewrite(spark, tablePath, src.schema, keyCols,
+    val won = keyedRewrite(spark, tablePath, src.schema, keyCols,
       deleteKeys = src, appendDf = src,
       opTag = Some(s"txn=$queryId:$batchId"), publisher = publisher,
       abortOnLostRace = () => batchId <= lastTxnBatch(spark, tablePath, queryId))
+    if (won.isDefined) maybeAutoCompact(spark, tablePath)
+    won
   }
 
   /** Row-level delete — the right-to-be-forgotten / retention operation
@@ -2208,13 +2312,14 @@ object CommitLog {
     if (affected.isEmpty) return version // nothing matched: no new version
     val affectedEntries = affected.map(byName)
     val fresh = matched.select(col("_dv_f").as(DvFileCol), col("_dv_p").as(DvPosCol))
-    val (dvAttach, dvExpect) = landVector(spark, tablePath, affectedEntries, fresh)
+    val (dvAttach, dvExpect, dvCounts) =
+      landVector(spark, tablePath, affectedEntries, fresh)
     val cdcNames = landChangeFiles(spark, tablePath,
       matched.drop("_dv_f", "_dv_p").withColumn(ChangeTypeCol, lit("delete")))
     commitOrAbort(spark, tablePath, adds = Seq.empty, removes = Seq.empty,
       publisher = publisher, opTag = Some("delete"),
       abortOnLostRace = () => false, changeAdds = cdcNames,
-      dvAttach = dvAttach, dvExpect = dvExpect)
+      dvAttach = dvAttach, dvExpect = dvExpect, dvRowCounts = dvCounts)
       .getOrElse(throw new IllegalStateException("unreachable: unfenced DV delete"))
   }
 
@@ -2228,7 +2333,8 @@ object CommitLog {
     * is the right shape. */
   private[store] def landVector(spark: SparkSession, tablePath: String,
       affectedEntries: Seq[LiveEntry], fresh: DataFrame)
-      : (Map[String, String], Map[String, Option[String]]) = {
+      : (Map[String, String], Map[String, Option[String]], Map[String, Long]) = {
+    import org.apache.spark.sql.functions.col
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
     val cumulative = dvRows(spark, tablePath, affectedEntries.filter(_.dv.isDefined))
@@ -2241,8 +2347,18 @@ object CommitLog {
       case many => throw new IllegalStateException(
         s"deletion vector staged ${many.size} files, expected 1")
     }
+    // per-file POSITION COUNTS for the commit line, read back from the
+    // just-landed (small, positions-only) vector — one tiny job, and
+    // the counts describe the exact bytes readers will subtract. DV
+    // content records BASENAMES; attachment keys may be absolute
+    // (cloned references)
+    val counts = spark.read.parquet(resolveDataPath(tablePath, dvName))
+      .groupBy(col(DvFileCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     (affectedEntries.map(_.name -> dvName).toMap,
-      affectedEntries.map(e => e.name -> e.dv).toMap)
+      affectedEntries.map(e => e.name -> e.dv).toMap,
+      affectedEntries.map(e =>
+        e.name -> counts.getOrElse(baseNameOf(e.name), 0L)).toMap)
   }
 
   /** Row-level UPDATE … SET … WHERE — the predicate-addressed sibling
@@ -2295,7 +2411,7 @@ object CommitLog {
         .collect().map(_.getString(0)).toSeq
       if (affected.isEmpty) return version // nothing matched: no new version
       val fresh = matched.select(col("_uw_f").as(DvFileCol), col("_uw_p").as(DvPosCol))
-      val (dvAttach, dvExpect) = landVector(spark, tablePath,
+      val (dvAttach, dvExpect, dvCounts) = landVector(spark, tablePath,
         affected.map(byName), fresh)
       val postDf = matched.select(post: _*)
       val writerId = freshWriterId("w")
@@ -2311,7 +2427,8 @@ object CommitLog {
         publisher = publisher, opTag = Some("update"),
         abortOnLostRace = () => false, changeAdds = cdcNames,
         addStats = statsFor(spark, tablePath, names),
-        dvAttach = dvAttach, dvExpect = dvExpect, constraintsExpect = Some(cs))
+        dvAttach = dvAttach, dvExpect = dvExpect, dvRowCounts = dvCounts,
+        constraintsExpect = Some(cs))
         .getOrElse(throw new IllegalStateException("unreachable: unfenced DV update"))
     }
     // probe and rewrite read VISIBLE rows (DV-aware) — see deleteWhere
@@ -2711,7 +2828,7 @@ object CommitLog {
           schemaJson = schemaJson, schemaExpect = schemaExpect)
       val fresh = matched.select(col("_kr_f").as(DvFileCol),
         col("_kr_p").as(DvPosCol))
-      val (dvAttach, dvExpect) = landVector(spark, tablePath,
+      val (dvAttach, dvExpect, dvCounts) = landVector(spark, tablePath,
         affectedMor.map(entryByName), fresh)
       val writerId = freshWriterId("w")
       val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
@@ -2726,6 +2843,7 @@ object CommitLog {
         publisher = publisher, opTag = opTag, abortOnLostRace = abortOnLostRace,
         changeAdds = cdcNames, addStats = statsFor(spark, tablePath, names),
         schemaJson = schemaJson, dvAttach = dvAttach, dvExpect = dvExpect,
+        dvRowCounts = dvCounts,
         constraintsExpect = Some(cs), schemaExpect = schemaExpect)
     }
     val affected: Seq[String] =
@@ -3068,6 +3186,12 @@ object CommitLog {
     val dvExpect = dvAttach.keys.map { f =>
       f -> (if (addSet(f)) None else curDv.getOrElse(f, None))
     }.toMap
+    // re-attached vectors keep their historical position counts
+    val dvRowsByName = target.flatMap(e => e.dvRows.map(e.name -> _)).toMap
+    val dvCounts = dvAttach.collect {
+      case (f, dv) if dv != "-" && dvRowsByName.contains(f) =>
+        f -> dvRowsByName(f)
+    }
     val statsByName = target.map(e => e.name -> e.stats).toMap
     if (adds.isEmpty && removes.isEmpty && dvAttach.isEmpty &&
       schemaTag.isEmpty) return cur // identical live state: no-op
@@ -3075,7 +3199,8 @@ object CommitLog {
       publisher = publisher, opTag = Some("restore"),
       abortOnLostRace = () => false,
       addStats = adds.flatMap(n => statsByName.get(n).flatten.map(n -> _)).toMap,
-      schemaJson = schemaTag, dvAttach = dvAttach, dvExpect = dvExpect)
+      schemaJson = schemaTag, dvAttach = dvAttach, dvExpect = dvExpect,
+      dvRowCounts = dvCounts)
       .getOrElse(throw new IllegalStateException("unreachable: unfenced restore"))
   }
 
@@ -3167,6 +3292,9 @@ object CommitLog {
       e.stats.map(resolveDataPath(src, e.name) -> _)).toMap
     val dvAttach = entries.flatMap(e => e.dv.map(d =>
       resolveDataPath(src, e.name) -> resolveDataPath(src, d))).toMap
+    val dvCounts = entries.flatMap(e => for {
+      _ <- e.dv; n <- e.dvRows
+    } yield resolveDataPath(src, e.name) -> n).toMap
     commitOrAbort(spark, clonePath,
       adds = adds, removes = Seq.empty,
       publisher = publisher, opTag = Some("clone"),
@@ -3177,6 +3305,7 @@ object CommitLog {
       schemaJson = schemaJson,
       dvAttach = dvAttach,
       dvExpect = dvAttach.map { case (k, _) => k -> None },
+      dvRowCounts = dvCounts,
       constraintTags = constraints.toSeq.sortBy(_._1)
         .map { case (n, c) => s"+$n:$c" },
       propertyTags = props.toSeq.sortBy(_._1).map { case (k, v) => s"+$k:$v" })

@@ -21,11 +21,14 @@ import org.apache.spark.sql.types._
   *
   * Soundness is carried by the PLAN SHAPE plus per-value abstention:
   *
-  *  - Only the DV-free, unmapped snapshot path reaches here —
-  *    [[graft.sources.GraftLogBatch]] routes deletion-vector-carrying
-  *    and column-mapped snapshots through `GraftLogDvRelation`, which
-  *    this rule never matches, so a vectored row can never be counted
-  *    and a renamed column never mis-keyed.
+  *  - Both snapshot read paths are served: the native
+  *    `GraftLogFileIndex` relation (DV-free, unmapped) folds stats
+  *    directly; the `GraftLogDvRelation` path (deletion vectors
+  *    and/or column mapping) folds LOGICAL-remapped stats, answers
+  *    COUNT as Σ row counts − Σ log-carried vector position counts
+  *    (abstaining unless EVERY attached vector recorded its count —
+  *    `*file|dvfile|n`), and abstains on MIN/MAX whenever any vector
+  *    is attached (a vectored row may hold the extreme).
   *  - Any [[Filter]] between the aggregate and the scan breaks the
   *    match (only pass-through column-pruning Projects are stripped),
   *    so a filtered aggregate always scans.
@@ -58,10 +61,18 @@ case class GraftStatsAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewrite(agg: Aggregate): Option[LogicalPlan] =
     for {
       lr <- relationOf(agg.child)
-      idx = lr.relation.asInstanceOf[HadoopFsRelation]
-        .location.asInstanceOf[GraftLogFileIndex]
-      stats = idx.fileStats
-      values <- traverse(agg.aggregateExpressions.map(answer(_, lr, stats)))
+      // per-file stats + DV state, by read path: the native file-index
+      // relation is DV-free by construction; the DV/mapped relation
+      // carries both
+      (stats, dvs) = lr.relation match {
+        case fs: HadoopFsRelation =>
+          (fs.location.asInstanceOf[GraftLogFileIndex].fileStats,
+            Seq.empty[Option[Option[Long]]])
+        case dv: graft.sources.GraftLogDvRelation =>
+          (dv.fileStats, dv.dvState)
+      }
+      values <- traverse(
+        agg.aggregateExpressions.map(answer(_, lr, stats, dvs)))
     } yield LocalRelation(agg.output, Seq(InternalRow.fromSeq(values)))
 
   /** Seq[Option] → Option[Seq]: one unanswerable aggregate expression
@@ -78,6 +89,7 @@ case class GraftStatsAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation if fs.location.isInstanceOf[GraftLogFileIndex] =>
         Some(lr)
+      case _: graft.sources.GraftLogDvRelation => Some(lr)
       case _ => None
     }
     case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
@@ -89,12 +101,17 @@ case class GraftStatsAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * INTERNAL value, or None (unanswerable). Some(null) is a real
     * answer (MIN/MAX of an empty table). */
   private def answer(e: NamedExpression, lr: LogicalRelation,
-      stats: Seq[Option[Map[String, (Any, Any)]]]): Option[Any] = e match {
+      stats: Seq[Option[Map[String, (Any, Any)]]],
+      dvs: Seq[Option[Option[Long]]]): Option[Any] = e match {
     case Alias(AggregateExpression(fn, Complete, false, None, _), _) => fn match {
-      case Count(Seq(Literal(v, _))) if v != null => totalRows(stats)
-      case Min(a: AttributeReference) if fromRelation(lr, a) =>
+      case Count(Seq(Literal(v, _))) if v != null => totalRows(stats, dvs)
+      // a vectored row may hold the extreme — MIN/MAX only answer on
+      // a vector-free snapshot
+      case Min(a: AttributeReference)
+        if fromRelation(lr, a) && dvs.forall(_.isEmpty) =>
         extreme(stats, a, isMin = true)
-      case Max(a: AttributeReference) if fromRelation(lr, a) =>
+      case Max(a: AttributeReference)
+        if fromRelation(lr, a) && dvs.forall(_.isEmpty) =>
         extreme(stats, a, isMin = false)
       case _ => None
     }
@@ -109,11 +126,19 @@ case class GraftStatsAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def fromRelation(lr: LogicalRelation, a: AttributeReference): Boolean =
     lr.output.exists(_.exprId == a.exprId)
 
-  private def totalRows(stats: Seq[Option[Map[String, (Any, Any)]]]): Option[Any] = {
+  private def totalRows(stats: Seq[Option[Map[String, (Any, Any)]]],
+      dvs: Seq[Option[Option[Long]]]): Option[Any] = {
     if (stats.isEmpty) return Some(0L) // empty table: COUNT(*) = 0
     val counts = stats.map(_.flatMap(_.get(CommitLog.RowCountKey))
       .collect { case (n: Long, _) => n })
-    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+    if (counts.exists(_.isEmpty)) return None
+    // merge-on-read: subtract each vector's log-carried position
+    // count; ONE attachment without a recorded count abstains (the
+    // positions would have to be read from the vector parquet — a
+    // scan, which is exactly what this rewrite promises not to do)
+    val vectored = dvs.flatten
+    if (vectored.exists(_.isEmpty)) return None
+    Some(counts.flatten.sum - vectored.flatten.sum)
   }
 
   private def extreme(stats: Seq[Option[Map[String, (Any, Any)]]],

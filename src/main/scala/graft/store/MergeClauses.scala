@@ -270,7 +270,7 @@ final class MergeClauses private (
       }
       val fresh = claimed.select(col("_mc_f").as(CommitLog.DvFileCol),
         col("_mc_p").as(CommitLog.DvPosCol))
-      val (dvAttach, dvExpect) = CommitLog.landVector(spark, tablePath,
+      val (dvAttach, dvExpect, dvCounts) = CommitLog.landVector(spark, tablePath,
         claimedFiles.map(entryByName), fresh)
       val postOnly = joined.filter(wasUpdated).select(cols.map(newValue): _*)
       val addsDf = inserts match {
@@ -291,7 +291,7 @@ final class MergeClauses private (
         removes = Seq.empty, publisher = publisher, opTag = Some("merge"),
         abortOnLostRace = () => false, changeAdds = cdcNames,
         addStats = CommitLog.statsFor(spark, tablePath, names),
-        dvAttach = dvAttach, dvExpect = dvExpect,
+        dvAttach = dvAttach, dvExpect = dvExpect, dvRowCounts = dvCounts,
         constraintsExpect = Some(cs))
         .getOrElse(throw new IllegalStateException("unreachable: unfenced DV merge"))
     }

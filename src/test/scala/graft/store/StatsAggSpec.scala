@@ -66,16 +66,60 @@ class StatsAggSpec extends SparkSpec {
     assert(strMin.collect()(0).getString(0) == "alpha")
   }
 
-  test("deletion vectors route around the rewrite and stay count-exact") {
+  test("merge-on-read COUNT answers from log-carried vector counts; extremes scan") {
     import spark.implicits._
     val t = freshDir("dv")
     (1L to 100L).toDF("id").write.format("graftlog").mode("append").save(t)
     CommitLog.deleteWhere(spark, t, CommitLog.tableSchema(spark, t),
       col("id") % 10 === 0, deletionVectors = true)
+    // COUNT = Σ rows.count − Σ `*file|dvfile|n` position counts — no
+    // data OR vector file opened
     val agg = spark.read.format("graftlog").load(t).agg(count(lit(1)).as("n"))
-    // the DV snapshot reads through GraftLogDvRelation — never matched
-    assert(!isMetadataOnly(agg))
+    assert(isMetadataOnly(agg), s"plan:\n${agg.queryExecution.optimizedPlan}")
     assert(agg.collect()(0).getLong(0) == 90L)
+    // a second MOR delete REPLACES the vector (cumulative): the count
+    // must track the replacement, not double-subtract
+    CommitLog.deleteWhere(spark, t, CommitLog.tableSchema(spark, t),
+      col("id") <= 5, deletionVectors = true)
+    val agg2 = spark.read.format("graftlog").load(t).agg(count(lit(1)).as("n"))
+    assert(isMetadataOnly(agg2))
+    assert(agg2.collect()(0).getLong(0) == 85L)
+    // a vectored row may hold the extreme — MIN/MAX must scan
+    val ext = spark.read.format("graftlog").load(t)
+      .agg(min("id").as("lo"), max("id").as("hi"))
+    assert(!isMetadataOnly(ext))
+    val r = ext.collect()(0)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 99L)
+  }
+
+  test("MOR counts survive clone and restore; a column-mapped table still folds") {
+    import spark.implicits._
+    val t = freshDir("dv_carry"); val c = freshDir("dv_carry_clone")
+    (1L to 100L).toDF("id").write.format("graftlog").mode("append").save(t)
+    CommitLog.deleteWhere(spark, t, CommitLog.tableSchema(spark, t),
+      col("id") % 4 === 0, deletionVectors = true) // v2: 75 visible
+    // clone carries the attachment AND its count
+    CommitLog.shallowClone(spark, t, c)
+    val cloneAgg = spark.read.format("graftlog").load(c).agg(count(lit(1)).as("n"))
+    assert(isMetadataOnly(cloneAgg), s"plan:\n${cloneAgg.queryExecution.optimizedPlan}")
+    assert(cloneAgg.collect()(0).getLong(0) == 75L)
+    // restore to the vector-free version and back: counts re-attach
+    CommitLog.restore(spark, t, 1L)
+    CommitLog.restore(spark, t, 2L)
+    val restored = spark.read.format("graftlog").load(t).agg(count(lit(1)).as("n"))
+    assert(isMetadataOnly(restored))
+    assert(restored.collect()(0).getLong(0) == 75L)
+    // column-mapped (renamed), vector-free table: the DV-relation path
+    // still answers COUNT and remapped MIN/MAX metadata-only
+    val m = freshDir("mapped")
+    (1L to 50L).map(i => (i, s"v$i")).toDF("id", "s")
+      .write.format("graftlog").mode("append").save(m)
+    CommitLog.renameColumn(spark, m, "id", "key")
+    val mapped = spark.read.format("graftlog").load(m)
+      .agg(count(lit(1)).as("n"), min("key").as("lo"), max("key").as("hi"))
+    assert(isMetadataOnly(mapped), s"plan:\n${mapped.queryExecution.optimizedPlan}")
+    val mr = mapped.collect()(0)
+    assert(mr.getLong(0) == 50L && mr.getLong(1) == 1L && mr.getLong(2) == 50L)
   }
 
   test("empty table answers count 0 and null extremes from metadata") {
