@@ -187,6 +187,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // unfiltered COUNT/MIN/MAX over a logged snapshot answers from
     // log-carried stats with zero file I/O; see GraftStatsAggRule
     ext.injectOptimizerRule(graft.store.GraftStatsAggRule.apply)
+    // maintenance verbs Spark's grammar lacks (OPTIMIZE/VACUUM/
+    // RESTORE/DESCRIBE HISTORY/SHALLOW CLONE/…) become plain
+    // spark.sql statements; the session parser always gets first try
+    ext.injectParser { case (_, delegate) =>
+      new graft.store.GraftSqlParser(delegate) }
   }
 }
 

@@ -1080,6 +1080,41 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
     },
 
+    // ── MAINTENANCE VERBS through PLAIN spark.sql (the injected
+    // parser): OPTIMIZE compacts two generations into one file,
+    // DESCRIBE HISTORY proves the commit trail, RESTORE rolls back to
+    // version 1 — all through the default SQL entry point, no router
+    // call. The engine requires each verb's side effect (file census,
+    // history rows); the oracle replays the RESTORED state (the first
+    // append's slice) relationally, so a verb that silently failed or
+    // restored the wrong version flips the digest. ────────────────────
+    Q(
+      "sql_parser_verbs",
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS content_digest
+         |FROM documents WHERE doc_id % 2 = 0
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.store.CommitLog
+      val a = docs(s, dir).select("doc_id", "source", "text")
+      val table = "/tmp/graft_state/sql_parser_docs"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      CommitLog.append(a.filter(col("doc_id") % 2 === 0), table, mergeSchema = true)
+      CommitLog.append(a.filter(col("doc_id") % 2 === 1), table)
+      s.sql(s"OPTIMIZE graftlog.`$table`")
+      require(CommitLog.liveFiles(s, table)._2.size == 1,
+        "spark.sql OPTIMIZE did not compact")
+      val hist = s.sql(s"DESCRIBE HISTORY graftlog.`$table`")
+        .select("version").collect().map(_.getLong(0)).toSet
+      require(hist == Set(1L, 2L, 3L), s"history through spark.sql: $hist")
+      s.sql(s"RESTORE graftlog.`$table` TO VERSION AS OF 1")
+      CommitLog.read(s, table, CommitLog.tableSchema(s, table))
+        .withColumn("h", graft.core.Hashing.rowDigest(col("doc_id"), col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
+    },
+
     // ── Keyed upsert (MERGE) through the commit log: the engine builds
     // the logged table in two appends, merges a source that UPDATES a
     // doc_id slice (text rewritten) and INSERTS new ids, and reads the

@@ -2948,12 +2948,29 @@ object CommitLog {
     val (version, entries) = liveFilesFull(spark, tablePath)
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
-    val sizeByName: Map[String, Long] =
-      if (!fs.exists(dir)) Map.empty
-      else sizesFor(fs, tablePath, entries.map(_.name))
-    val sizeBytes = entries.map(e => sizeByName.getOrElse(e.name, 0L)).sum
-    val dvPositions = dvRows(spark, tablePath, entries.filter(_.dv.isDefined))
-      .map(_.count()).getOrElse(0L)
+    // LEDGER-FIRST sizing: when every live file carries its
+    // log-recorded byte size the census is a driver-side fold (zero
+    // listings — DESCRIBE DETAIL on a 100k-file table costs a log
+    // read); any size-less file (pre-recording generations) falls back
+    // to the per-parent listing
+    def ledgerSize(e: LiveEntry): Option[Long] =
+      e.stats.flatMap(j => parseStatsJson(j).get(BytesSizeKey))
+        .collect { case (b: Long, _) => b }
+    val fromLedger = entries.map(ledgerSize)
+    val sizeBytes =
+      if (fromLedger.forall(_.isDefined)) fromLedger.flatten.sum
+      else {
+        val sizeByName: Map[String, Long] =
+          if (!fs.exists(dir)) Map.empty
+          else sizesFor(fs, tablePath, entries.map(_.name))
+        entries.map(e => sizeByName.getOrElse(e.name, 0L)).sum
+      }
+    // vectored positions likewise: log-carried counts when every
+    // attachment recorded one, else the vector-parquet count job
+    val vectored = entries.filter(_.dv.isDefined)
+    val dvPositions =
+      if (vectored.forall(_.dvRows.isDefined)) vectored.flatMap(_.dvRows).sum
+      else dvRows(spark, tablePath, vectored).map(_.count()).getOrElse(0L)
     val lastTs = {
       val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
       commitTsOf(fs, new org.apache.hadoop.fs.Path(log, f"$version%020d.commit"))

@@ -244,6 +244,18 @@ class GraftSqlSpec extends SparkSpec {
     assert(CommitLog.propertiesAt(spark, c2)("graft.cloneSource") == s"$t@1")
   }
 
+  test("SHALLOW CLONE accepts warehouse-resolved names, either catalog spelling") {
+    val wh = Files.createTempDirectory("graft_sql_clone_wh").toString
+    spark.conf.set("spark.graft.warehouse", wh)
+    try {
+      seed(s"$wh/src_t")
+      GraftSql.execute(spark, "CREATE TABLE graft.dst_t SHALLOW CLONE graftlog.src_t")
+      assert(CommitLog.read(spark, s"$wh/dst_t", schema).count() == 100L)
+      assert(CommitLog.propertiesAt(spark, s"$wh/dst_t")("graft.cloneSource") ==
+        s"$wh/src_t@1")
+    } finally spark.conf.unset("spark.graft.warehouse")
+  }
+
   test("resolvePath rejects path-escaping names before DROP can delete anything") {
     val base = Files.createTempDirectory("graft_sql_escape").toString
     val victim = s"$base/victim"
