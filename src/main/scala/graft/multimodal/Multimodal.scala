@@ -873,31 +873,34 @@ object Multimodal {
             s"appending/probing with $bands would silently miss near-duplicates")
       }
 
-  /** Record the band count after the append that (possibly) created
-    * the table — one metadata commit, once per table lifetime. */
-  private def stampBandsIfAbsent(spark: SparkSession, tablePath: String,
-      bands: Int): Unit = {
-    import graft.store.CommitLog
-    if (!CommitLog.propertiesAt(spark, tablePath).contains(BandsProperty)) {
-      CommitLog.setProperties(spark, tablePath,
-        Map(BandsProperty -> bands.toString))
-      ()
-    }
-  }
+  /** CLAIM the band-count layout BEFORE any data lands — one fenced
+    * metadata commit per table lifetime
+    * ([[graft.store.CommitLog.setPropertiesIfAbsent]]). Two writers
+    * bootstrapping the same index with DIFFERENT band counts serialize
+    * here: exactly one claim commits; the loser re-reads and
+    * [[requireBandsMatch]] refuses its mismatched layout before a
+    * single row lands — the stamp-after-append ordering this replaces
+    * let both appends land and then recorded one count over a mixed
+    * index (silent recall loss). A crash between the claim and the
+    * first append leaves an empty STAMPED table: every later append
+    * must match, nothing can ever mix. */
+  private def claimOrCheckBands(spark: SparkSession, tablePath: String,
+      bands: Int): Unit =
+    if (!graft.store.CommitLog.setPropertiesIfAbsent(spark, tablePath,
+        Map(BandsProperty -> bands.toString)))
+      requireBandsMatch(spark, tablePath, bands)
 
   /** Append a hash batch's band entries to an AT-REST logged index
-    * (creating it on first use), stamping the band count into the
-    * table's properties ledger so later probes and appends validate
-    * the layout without touching data. A mismatched band count is
-    * refused before any data lands. */
+    * (creating it on first use), claiming the band count in the
+    * table's properties ledger BEFORE the data commit so later probes
+    * and appends validate the layout without touching data. A
+    * mismatched band count is refused before any data lands. */
   def appendBandedIndex(spark: SparkSession, tablePath: String,
       hashes: DataFrame, bands: Int = 4): Long = {
     import graft.store.CommitLog
-    requireBandsMatch(spark, tablePath, bands)
-    val v = CommitLog.append(bandedIndex(hashes, bands), tablePath,
+    claimOrCheckBands(spark, tablePath, bands)
+    CommitLog.append(bandedIndex(hashes, bands), tablePath,
       mergeSchema = true)
-    stampBandsIfAbsent(spark, tablePath, bands)
-    v
   }
 
   /** [[appendBandedIndex]] with exactly-once streaming semantics: the
@@ -909,11 +912,9 @@ object Multimodal {
       hashes: DataFrame, queryId: String, batchId: Long,
       bands: Int = 4): Option[Long] = {
     import graft.store.CommitLog
-    requireBandsMatch(spark, tablePath, bands)
-    val v = CommitLog.appendOnce(bandedIndex(hashes, bands), tablePath,
+    claimOrCheckBands(spark, tablePath, bands)
+    CommitLog.appendOnce(bandedIndex(hashes, bands), tablePath,
       queryId, batchId)
-    if (v.isDefined) stampBandsIfAbsent(spark, tablePath, bands)
-    v
   }
 
   /** Probe a LOGGED at-rest banded index by table path: the band-count

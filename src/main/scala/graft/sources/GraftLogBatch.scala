@@ -175,18 +175,15 @@ final class GraftLogFileIndex(spark: SparkSession, tablePath: String,
       // plus one per shallow-clone source holding absolute refs), not
       // a getFileStatus per live file — at 100k files that is the
       // difference between a few object-store LIST page walks and
-      // 100k HEAD round trips on the driver.
+      // 100k HEAD round trips on the driver. Shared protocol
+      // (CommitLog.statusFor): only a MISSING parent is tolerated;
+      // transient listing failures propagate instead of mis-reporting
+      // every file as vacuumed.
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       val resolved = withStats.map { case (name, j) =>
         (CommitLog.resolveDataPath(tablePath, name), name, j) }
-      val statusOf: Map[String, FileStatus] = resolved
-        .map { case (abs, _, _) => abs.substring(0, abs.lastIndexOf('/')) }
-        .distinct.flatMap { parent =>
-          try fs.listStatus(new Path(parent)).collect {
-            case st if st.isFile => s"$parent/${st.getPath.getName}" -> st
-          } catch { case scala.util.control.NonFatal(_) =>
-            Array.empty[(String, FileStatus)] }
-        }.toMap
+      val statusOf: Map[String, FileStatus] =
+        CommitLog.statusFor(fs, tablePath, withStats.map(_._1))
       // stats are keyed by PHYSICAL name; pushed filters are logical
       val mapping = CommitLog.mappingAt(spark, tablePath, asOf)
       resolved.map { case (abs, name, statsJson) =>

@@ -95,22 +95,38 @@ object CommitLog {
   private def entriesByName(entries: Seq[LiveEntry]): Map[String, LiveEntry] =
     entries.flatMap(e => Seq(e.name -> e, baseNameOf(e.name) -> e)).toMap
 
-  /** Sizes of the given file references (bare or absolute) — one
-    * directory listing per DISTINCT parent (the table root plus one
-    * per clone source), never a HEAD round trip per file. References
-    * whose parent listing lacks them are absent from the map. */
+  /** FileStatus of the given file references (bare or absolute), keyed
+    * by ABSOLUTE path — ONE directory listing per DISTINCT parent (the
+    * table root plus one per clone source), never a HEAD round trip
+    * per file. A MISSING parent directory contributes nothing: its
+    * members are legitimately absent (a vacuumed clone source, an
+    * uncreated table) and every caller has its own absent-file
+    * contract. Any OTHER listing failure PROPAGATES — swallowing a
+    * throttle or permission error here would mis-diagnose transient IO
+    * as "vacuumed" (changesSince) or treat every file as undersized
+    * and escalate a bounded compaction into a full rewrite
+    * (optimize). */
+  private[graft] def statusFor(fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: String, names: Seq[String])
+      : Map[String, org.apache.hadoop.fs.FileStatus] =
+    names.map(n => resolveDataPath(tablePath, n))
+      .map(abs => abs.substring(0, abs.lastIndexOf('/')))
+      .distinct.flatMap { parent =>
+        try fs.listStatus(new org.apache.hadoop.fs.Path(parent)).toSeq.collect {
+          case st if st.isFile => s"$parent/${st.getPath.getName}" -> st
+        } catch {
+          case _: java.io.FileNotFoundException =>
+            Seq.empty[(String, org.apache.hadoop.fs.FileStatus)]
+        }
+      }.toMap
+
+  /** Sizes of the given file references (bare or absolute), keyed by
+    * the caller's reference — [[statusFor]]'s listing discipline. */
   private[store] def sizesFor(fs: org.apache.hadoop.fs.FileSystem,
       tablePath: String, names: Seq[String]): Map[String, Long] = {
-    val byParent = names.map(n => resolveDataPath(tablePath, n) -> n)
-      .groupBy { case (abs, _) => abs.substring(0, abs.lastIndexOf('/')) }
-    byParent.flatMap { case (parent, members) =>
-      val listed =
-        try fs.listStatus(new org.apache.hadoop.fs.Path(parent))
-          .collect { case st if st.isFile => st.getPath.getName -> st.getLen }.toMap
-        catch { case scala.util.control.NonFatal(_) => Map.empty[String, Long] }
-      members.flatMap { case (abs, name) =>
-        listed.get(baseNameOf(abs)).map(name -> _) }
-    }
+    val st = statusFor(fs, tablePath, names)
+    names.flatMap(n =>
+      st.get(resolveDataPath(tablePath, n)).map(n -> _.getLen)).toMap
   }
 
   private def readLines(fs: org.apache.hadoop.fs.FileSystem,
@@ -748,6 +764,31 @@ object CommitLog {
       .getOrElse(throw new IllegalStateException("unreachable: unfenced property set"))
   }
 
+  /** SET properties only if NONE of the keys is already present,
+    * FENCED against a concurrent claimer — the claim-once primitive
+    * layout stamps need (a banded index's band count, any
+    * write-once table invariant). Plain [[setProperties]] is
+    * last-writer-wins: two bootstrapping writers would both land their
+    * stamp and both believe their layout was recorded, silently mixing
+    * layouts in one table. Here the loser's commit aborts on the
+    * winner's claim (re-evaluated on every publish attempt, the
+    * zombie-fencing contract) and the caller re-reads and validates.
+    * Returns true when THIS call's commit landed, false when another
+    * writer already holds any of the keys. */
+  def setPropertiesIfAbsent(spark: SparkSession, tablePath: String,
+      props: Map[String, String],
+      publisher: AtomicPublisher = RenameOrLinkPublisher): Boolean = {
+    require(props.nonEmpty, "no properties to set")
+    props.foreach { case (k, v) => validateProperty(k, v) }
+    def taken() = propertiesAt(spark, tablePath).keySet.exists(props.contains)
+    if (taken()) return false
+    commitOrAbort(spark, tablePath, adds = Seq.empty, removes = Seq.empty,
+      publisher = publisher, opTag = Some("properties"),
+      abortOnLostRace = () => taken(),
+      propertyTags = props.toSeq.sortBy(_._1).map { case (k, v) => s"+$k:$v" })
+      .isDefined
+  }
+
   /** UNSET table properties (loud when a key is absent). */
   def unsetProperties(spark: SparkSession, tablePath: String,
       keys: Seq[String],
@@ -773,6 +814,14 @@ object CommitLog {
       explicit: Map[String, String] = Map.empty): Map[String, String] =
     bloomOptions(propertiesAt(spark, tablePath),
       mappingAt(spark, tablePath)) ++ explicit
+
+  /** [[tableWriteOptions]] over ALREADY-READ properties/mapping — the
+    * append paths fold the ledgers once and share the result with
+    * [[maybeAutoCompact]] instead of re-reading per call. */
+  private[store] def tableWriteOptionsWith(props: Map[String, String],
+      mapping: Map[String, String],
+      explicit: Map[String, String] = Map.empty): Map[String, String] =
+    bloomOptions(props, mapping) ++ explicit
 
   /** `bloom.columns = "a,b"` (+ optional `bloom.ndv` / `bloom.ndv.col`
     * expected-cardinality overrides, default 100k) → the parquet
@@ -1297,8 +1346,9 @@ object CommitLog {
     // the intended use, making logged files probe-able by
     // pruneByFooterStats' point-lookup path
     val cs = constraintsAt(spark, tablePath)
+    val props = propertiesAt(spark, tablePath) // one fold, two consumers
     toPhysical(enforcedWith(df, cs), mapping).write
-      .options(tableWriteOptions(spark, tablePath, writeOptions))
+      .options(tableWriteOptionsWith(props, mapping, writeOptions))
       .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     val v = commit(spark, tablePath, adds = names, publisher = publisher,
@@ -1306,7 +1356,7 @@ object CommitLog {
       addStats = statsFor(spark, tablePath, names), schemaJson = evolved,
       constraintsExpect = Some(cs),
       schemaExpect = if (evolved.isDefined) Some(cur.map(_.json)) else None)
-    maybeAutoCompact(spark, tablePath)
+    maybeAutoCompact(spark, tablePath, props)
     v
   }
 
@@ -1745,30 +1795,38 @@ object CommitLog {
     * Rewrite-shaped DML (delete/update/merge) does not trigger here;
     * those paths already rewrite toward full files, and scheduled
     * OPTIMIZE covers their long tail. */
-  private def maybeAutoCompact(spark: SparkSession, tablePath: String): Unit = {
-    val props = propertiesAt(spark, tablePath)
+  private def maybeAutoCompact(spark: SparkSession, tablePath: String,
+      props: Map[String, String]): Unit = {
     if (!props.get("graft.autoCompact").contains("true")) return
-    val target = props.get("graft.autoCompact.targetBytes")
-      .map(_.toLong).getOrElse(128L << 20)
-    val small = math.min(props.get("graft.autoCompact.smallFileBytes")
-      .map(_.toLong).getOrElse(64L << 20), target / 2)
-    val minFiles = props.get("graft.autoCompact.minFiles")
-      .map(_.toInt).getOrElse(8)
-    val (_, withStats) = liveFilesWithStats(spark, tablePath)
-    val nSmall = withStats.count(_._2.exists(j =>
-      parseStatsJson(j).get(BytesSizeKey).exists {
-        case (b: Long, _) => b < small
-        case _ => false
-      }))
-    if (nSmall < minFiles) return
-    try optimize(spark, tablePath, targetBytes = target)
-    catch {
+    // EVERYTHING after the enable check is non-fatal — including the
+    // knob parsing: a malformed numeric property ('128MB') must log,
+    // not turn the caller's already-published write into a failure
+    try {
+      val target = props.get("graft.autoCompact.targetBytes")
+        .map(_.toLong).getOrElse(128L << 20)
+      val small = math.min(props.get("graft.autoCompact.smallFileBytes")
+        .map(_.toLong).getOrElse(64L << 20), target / 2)
+      val minFiles = props.get("graft.autoCompact.minFiles")
+        .map(_.toInt).getOrElse(8)
+      val (_, withStats) = liveFilesWithStats(spark, tablePath)
+      val nSmall = withStats.count(_._2.exists(j =>
+        parseStatsJson(j).get(BytesSizeKey).exists {
+          case (b: Long, _) => b < small
+          case _ => false
+        }))
+      if (nSmall >= minFiles) { optimize(spark, tablePath, targetBytes = target); () }
+    } catch {
       case scala.util.control.NonFatal(e) =>
         org.slf4j.LoggerFactory.getLogger("graft.store.CommitLog").warn(
           s"auto-compaction of $tablePath failed (the data commit already " +
             s"published; compaction retries at the next trigger): ${e.getMessage}")
     }
   }
+
+  /** [[maybeAutoCompact]] folding the properties ledger itself — for
+    * call sites that have not already read it. */
+  private def maybeAutoCompact(spark: SparkSession, tablePath: String): Unit =
+    maybeAutoCompact(spark, tablePath, propertiesAt(spark, tablePath))
 
   /** Highest batch id a streaming query has committed into this table,
     * parsed from `txn=<queryId>:<batchId>` commit tags AND the tags
@@ -2144,8 +2202,11 @@ object CommitLog {
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
     val cs = constraintsAt(spark, tablePath)
-    toPhysical(enforcedWith(df, cs), mappingAt(spark, tablePath)).write
-      .options(tableWriteOptions(spark, tablePath)).parquet(staging.toString)
+    val props = propertiesAt(spark, tablePath) // one fold, two consumers
+    val mapping = mappingAt(spark, tablePath)
+    toPhysical(enforcedWith(df, cs), mapping).write
+      .options(tableWriteOptionsWith(props, mapping))
+      .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     // an EMPTY batch publishes nothing and records nothing: the ledger
     // not advancing is safe because replaying an empty batch is a
@@ -2156,7 +2217,7 @@ object CommitLog {
       abortOnLostRace = () => batchId <= lastTxnBatch(spark, tablePath, queryId),
       addStats = statsFor(spark, tablePath, names),
       constraintsExpect = Some(cs))
-    if (won.isDefined) maybeAutoCompact(spark, tablePath)
+    if (won.isDefined) maybeAutoCompact(spark, tablePath, props)
     won
   }
 

@@ -561,15 +561,17 @@ object StreamingJobs {
         hashesB.count()
         try {
           // pairs FIRST — they read the PRE-batch index state, so a
-          // replay (which re-probes the same state if the band append
-          // never landed) recomputes the identical set
-          val cross = Multimodal
-            .probeBandedIndexAt(s, idxTable, hashesB, maxDistance = 3)
-            .select(least(col("index_id"), col("incoming_id")).as("id_a"),
-              greatest(col("index_id"), col("incoming_id")).as("id_b"),
-              col("distance"))
-          val within = Multimodal.bandedNearDupPairs(hashesB, maxDistance = 3)
-          CommitLog.appendOnce(cross.unionByName(within).distinct(),
+          // replay (which re-probes if the band append never landed)
+          // recomputes the identical set. The replay window the fence
+          // CANNOT cover: a batch with NO pairs lands zero files, so
+          // appendOnce never advances the phash_pairs fence — if the
+          // band append then committed before a crash, the replayed
+          // batch probes an index ALREADY holding its own bands. The
+          // self-match exclusion (index_id != incoming_id) makes that
+          // replay converge: own-bands matches reduce to the
+          // within-batch set (distinct-absorbed) instead of
+          // manufacturing (x, x, 0) rows.
+          CommitLog.appendOnce(phashBatchPairs(idxTable, hashesB),
             pairsTable, "phash_pairs", bid)
           crashAfter(bid, "pairs")
           // ...THEN the batch joins the index (reversing this would
@@ -581,6 +583,34 @@ object StreamingJobs {
         ()
       }
       .start()
+  }
+
+  /** One micro-batch's pair set for [[incrementalPhashRun]]: arrivals
+    * probed against the at-rest index UNION within-batch pairs,
+    * deduped. SELF-matches from the index (same doc id on both legs)
+    * are EXCLUDED — the replay-convergence requirement: after a crash
+    * in the window where the BAND append committed but the pairs
+    * commit landed nothing (an empty batch cannot advance a txn
+    * fence), the replayed batch probes an index already holding its
+    * own bands, and without the exclusion it would manufacture
+    * (x, x, 0) self-pairs. With it, own-band matches reduce to the
+    * within-batch set (identical (id_a, id_b, distance) tuples —
+    * bandedCandidates orders id_a < id_b — absorbed by the distinct),
+    * so a replay commits exactly the original set or, again, nothing.
+    * Package-visible so the replay algebra is spec-testable without a
+    * streaming harness. */
+  private[streaming] def phashBatchPairs(idxTable: String,
+      hashesB: DataFrame): DataFrame = {
+    import graft.multimodal.Multimodal
+    val s = hashesB.sparkSession
+    val cross = Multimodal
+      .probeBandedIndexAt(s, idxTable, hashesB, maxDistance = 3)
+      .filter(col("index_id") =!= col("incoming_id"))
+      .select(least(col("index_id"), col("incoming_id")).as("id_a"),
+        greatest(col("index_id"), col("incoming_id")).as("id_b"),
+        col("distance"))
+    val within = Multimodal.bandedNearDupPairs(hashesB, maxDistance = 3)
+    cross.unionByName(within).distinct()
   }
 
   /** The drained pairs of an [[incrementalPhashRun]] state root. */

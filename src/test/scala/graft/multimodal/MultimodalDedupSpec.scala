@@ -117,6 +117,31 @@ class MultimodalDedupSpec extends SparkSpec {
     assert(safeT == lossyT)
   }
 
+  test("the band-count claim precedes the first append: a bootstrap race cannot mix layouts") {
+    import spark.implicits._
+    import graft.store.CommitLog
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_banded_claim").toString + "/idx"
+    val hashes = (0 until 8).map(i => (i.toLong, i.toLong * 0x9E3779B97F4A7C15L))
+      .toDF("doc_id", "hash")
+    // writer A claimed bands=4 but crashed BEFORE its first append
+    // (the window the old stamp-after-append ordering left open)
+    assert(CommitLog.setPropertiesIfAbsent(spark, idx,
+      Map(Multimodal.BandsProperty -> "4")))
+    // writer B bootstrapping with bands=8 must refuse BEFORE any data
+    // lands — the old ordering would have appended B's 8-band rows and
+    // then recorded one count over a mixed index
+    intercept[IllegalArgumentException](
+      Multimodal.appendBandedIndex(spark, idx, hashes, bands = 8))
+    assert(CommitLog.liveFiles(spark, idx)._2.isEmpty,
+      "mismatched bootstrap landed data")
+    // the matching writer proceeds; the claim is once-per-lifetime
+    Multimodal.appendBandedIndex(spark, idx, hashes, bands = 4)
+    assert(!CommitLog.setPropertiesIfAbsent(spark, idx,
+      Map(Multimodal.BandsProperty -> "8")))
+    assert(CommitLog.propertiesAt(spark, idx)(Multimodal.BandsProperty) == "4")
+  }
+
   test("logged-index probe validates the band count metadata-only: ZERO Spark jobs") {
     import spark.implicits._
     val idx = java.nio.file.Files

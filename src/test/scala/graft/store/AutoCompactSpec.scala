@@ -98,6 +98,20 @@ class AutoCompactSpec extends SparkSpec {
     assert(CommitLog.latestVersion(spark, t) == v)
   }
 
+  test("a malformed knob logs instead of failing the already-committed append") {
+    val t = freshDir("badknob")
+    CommitLog.append(slice(1, 10), t, mergeSchema = true)
+    // '128MB' is not a number — validateProperty only checks shape, so
+    // the value lands; the append must still succeed (its data commit
+    // published before the auto-compact hook ran)
+    CommitLog.setProperties(spark, t, Map(
+      "graft.autoCompact" -> "true",
+      "graft.autoCompact.targetBytes" -> "128MB"))
+    val v = CommitLog.append(slice(11, 20), t)
+    assert(v == 3L)
+    assert(rows(t) == (1L to 20L).toSet)
+  }
+
   test("smallFileBytes is clamped to targetBytes/2 (misconfig cannot churn)") {
     val t = freshDir("clamp")
     CommitLog.append(slice(1, 10), t, mergeSchema = true)

@@ -181,6 +181,37 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("phash replay algebra: probing an index holding the batch's own bands adds nothing") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    // the replay window no txn fence can cover: a batch with NO pairs
+    // lands zero files (the fence never advances), the band append
+    // commits, the process crashes — the replayed batch probes an
+    // index that already holds its own bands
+    val idx = Files.createTempDirectory("graft_phash_replay").toString + "/idx"
+    def h(i: Long) = i * 0x9E3779B97F4A7C15L
+    val originals = (0L until 16L).map(i => (i, h(i))).toDF("doc_id", "hash")
+    // batch: two copies of originals (cross pairs), a within-batch
+    // duplicate pair, and one unique doc
+    val batch = Seq(
+      (1000L, h(0)), (1001L, h(1)),            // cross: match originals 0, 1
+      (2000L, h(777)), (2001L, h(777)),        // within-batch duplicate
+      (3000L, h(555))                          // unique: no pair at all
+    ).toDF("doc_id", "hash")
+    Multimodal.appendBandedIndex(spark, idx, originals)
+    val fresh = StreamingJobs.phashBatchPairs(idx, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fresh((0L, 1000L, 0)) && fresh((1L, 1001L, 0)) &&
+      fresh((2000L, 2001L, 0)), s"expected pairs missing: $fresh")
+    // ...the band append that committed before the crash
+    Multimodal.appendBandedIndex(spark, idx, batch)
+    val replayed = StreamingJobs.phashBatchPairs(idx, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(replayed == fresh,
+      s"replay drifted: extra=${replayed -- fresh}, lost=${fresh -- replayed}")
+    assert(!replayed.exists(p => p._1 == p._2), "replay manufactured self-pairs")
+  }
+
   test("incremental phash: a crash BETWEEN the pairs and band commits replays exactly-once") {
     import graft.store.CommitLog
     // the declared query crashes AFTER both commits; this case takes
