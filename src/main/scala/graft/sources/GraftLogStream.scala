@@ -128,10 +128,13 @@ class GraftLogStreamProvider extends StreamSourceProvider with DataSourceRegiste
     val maxV = opts.get("maxversionspertrigger").map(_.toLong)
       .getOrElse(Long.MaxValue)
     require(maxV > 0, s"maxVersionsPerTrigger must be positive: $maxV")
+    val maxB = opts.get("maxbytespertrigger").map(_.toLong)
+      .getOrElse(Long.MaxValue)
+    require(maxB > 0, s"maxBytesPerTrigger must be positive: $maxB")
     val startV = opts.get("startingversion").map(_.toLong).getOrElse(0L)
     require(startV >= 0, s"startingVersion must be >= 0: $startV")
     new GraftLogSource(spark, path, dataSchema(spark, path, schema),
-      maxV, startV)
+      maxV, startV, maxB)
   }
 }
 
@@ -168,7 +171,7 @@ object GraftLogStreamProvider {
   * source-side state. */
 class GraftLogSource(spark: SparkSession, tablePath: String,
     dataSchema: StructType, maxVersionsPerTrigger: Long,
-    startingVersion: Long)
+    startingVersion: Long, maxBytesPerTrigger: Long = Long.MaxValue)
     extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   override val schema: StructType = GraftLogStreamProvider.feedSchema(dataSchema)
@@ -190,8 +193,18 @@ class GraftLogSource(spark: SparkSession, tablePath: String,
 
   /** The next batch's end version: previous end (Spark-supplied) plus
     * at most `maxVersionsPerTrigger`, capped at the table's latest
-    * commit (and the AvailableNow snapshot when one is armed). Null =
-    * nothing to read yet. */
+    * commit (and the AvailableNow snapshot when one is armed), then
+    * shrunk to the byte budget when `maxBytesPerTrigger` is set. Null =
+    * nothing to read yet.
+    *
+    * Byte admission is a SOFT max (the Delta contract): versions admit
+    * in order while the cumulative LOG-CARRIED add bytes fit the
+    * budget, from one commit-file read per candidate version — zero
+    * data I/O on the admission path. At least one version always
+    * admits (progress guarantee — a single commit larger than the
+    * budget must not wedge the stream), and a version whose add sizes
+    * predate size recording is OPAQUE: it admits alone rather than
+    * being undercounted into an unbounded batch. */
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val latestRaw = CommitLog.latestVersion(spark, tablePath)
     val latest = availableNowCap.fold(latestRaw)(math.min(latestRaw, _))
@@ -201,7 +214,23 @@ class GraftLogSource(spark: SparkSession, tablePath: String,
     val window =
       if (maxVersionsPerTrigger > Long.MaxValue - base) Long.MaxValue
       else base + maxVersionsPerTrigger
-    val end = math.max(base, math.min(latest, window))
+    val capped = math.max(base, math.min(latest, window))
+    val end =
+      if (maxBytesPerTrigger == Long.MaxValue || capped <= base) capped
+      else {
+        var e = base
+        var budget = maxBytesPerTrigger
+        var open = true
+        CommitLog.addedBytesByVersion(spark, tablePath, base, capped)
+          .foreach { case (v, sz) =>
+            val cost = sz.getOrElse(Long.MaxValue) // opaque: admit alone
+            if (open && (e == base || cost <= budget)) {
+              e = v
+              budget = if (cost >= budget) 0L else budget - cost
+            } else open = false
+          }
+        e
+      }
     if (end <= startingVersion) null else LongOffset(end)
   }
 

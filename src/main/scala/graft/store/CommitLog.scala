@@ -1291,6 +1291,40 @@ object CommitLog {
       new org.apache.hadoop.fs.Path(resolveDataPath(tablePath, n))).map(n -> _)).toMap
   }
 
+  /** Bytes of the data files ADDED by each commit version in
+    * (sinceVersion, untilVersion], from the log alone (the stats
+    * suffix's [[BytesSizeKey]]) — what byte-based streaming admission
+    * ([[graft.sources.GraftLogSource]] `maxBytesPerTrigger`) budgets
+    * against: one commit-file read per version, zero data I/O. None =
+    * the version carries at least one add without a recorded size
+    * (pre-recording generations) — the caller must treat it as opaque
+    * rather than undercount it. Commits with no adds (property/
+    * constraint/pure-delete) report Some(0): they cost the feed
+    * nothing. */
+  private[graft] def addedBytesByVersion(spark: SparkSession,
+      tablePath: String, sinceVersion: Long,
+      untilVersion: Long): Seq[(Long, Option[Long])] = {
+    val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
+    val fs = fsOf(spark, log)
+    if (!fs.exists(log)) return Seq.empty
+    fs.listStatus(log).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case CommitRe(v)
+          if v.toLong > sinceVersion && v.toLong <= untilVersion =>
+          val sizes = readLines(fs, st.getPath)
+            .filter(_.startsWith("+")).map { l =>
+              val bar = l.indexOf('|')
+              if (bar < 0) None
+              else parseStatsJson(l.substring(bar + 1)).get(BytesSizeKey)
+                .collect { case (b: Long, _) => b }
+            }.toSeq
+          Some(v.toLong ->
+            (if (sizes.exists(_.isEmpty)) None else Some(sizes.flatten.sum)))
+        case _ => None
+      }
+    }.sortBy(_._1)
+  }
+
   /** Writer ids embed the WALL-CLOCK ms at staging start (plus pid and
     * nanos for uniqueness): vacuum parses the stamp back out of landed
     * file names and honors it alongside the filesystem mod time, so a

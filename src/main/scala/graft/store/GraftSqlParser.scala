@@ -56,8 +56,21 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def routed(sqlText: String, original: ParseException): LogicalPlan =
     GraftSql.routedSchema(sqlText) match {
       case Some(schema) => GraftSqlCommand(sqlText, schema)
-      case None => throw original
+      case None =>
+        // EXPLAIN <extension verb>: also grammar-rejected (the inner
+        // verb is unparseable), so unwrap the prefix and explain the
+        // routed command without running it
+        val m = ExplainPrefix.findFirstMatchIn(sqlText)
+        m.flatMap(mm => GraftSql.routedSchema(mm.group(2)).map { schema =>
+          org.apache.spark.sql.execution.command.ExplainCommand(
+            GraftSqlCommand(mm.group(2), schema),
+            org.apache.spark.sql.execution.ExplainMode.fromString(
+              Option(mm.group(1)).map(_.trim.toLowerCase).getOrElse("simple")))
+        }).getOrElse(throw original)
     }
+
+  private val ExplainPrefix =
+    """(?is)\s*EXPLAIN\s+(EXTENDED|CODEGEN|COST|FORMATTED)?\s*(.+)""".r
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

@@ -88,6 +88,38 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(CommitLog.lastTxnBatch(spark, sink, "glogspec1") == 3L)
   }
 
+  test("maxBytesPerTrigger: byte-budgeted admission from log-carried sizes, soft max") {
+    val src = fresh("src")
+    // four appends of known, log-carried sizes
+    (0 until 4).foreach(k => CommitLog.append(
+      (k * 100L until k * 100L + 100L).map(i => (i, "x")).toDF("id", "v"), src))
+    val perV = CommitLog.addedBytesByVersion(spark, src, 0L, 4L)
+    assert(perV.map(_._1) == Seq(1L, 2L, 3L, 4L) && perV.forall(_._2.isDefined),
+      s"expected recorded sizes for all four versions: $perV")
+    val sizes = perV.map(_._2.get)
+    def drain(budget: Long, tag: String): Long = {
+      val sink = fresh("sink"); val ckpt = Files.createTempDirectory("graft_ckb").toString
+      spark.readStream.format("graftlog").schema(schema)
+        .option("maxBytesPerTrigger", budget)
+        .load(src)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          CommitLog.appendOnce(batch.toDF().select(col("id"), col("v")),
+            sink, tag, batchId)
+          ()
+        }
+        .start().awaitTermination()
+      assert(CommitLog.read(spark, sink, schema).count() == 400L,
+        "byte budgeting must never lose rows")
+      CommitLog.lastTxnBatch(spark, sink, tag) + 1 // batches drained
+    }
+    // budget = two appends (+1 slack) → two versions per batch → 2 batches
+    assert(drain(sizes.take(2).sum + 1, "bytes2") == 2L)
+    // budget below ONE append → the soft max still admits one per batch
+    assert(drain(sizes.head / 2, "bytes1") == 4L)
+  }
+
   test("crash after the sink commit, restart from Spark's checkpoint: replayed batch fences, nothing doubles") {
     val src = buildSource()
     val sink = fresh("sink")

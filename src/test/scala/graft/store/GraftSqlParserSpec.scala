@@ -71,17 +71,20 @@ class GraftSqlParserSpec extends SparkSpec {
     }
   }
 
-  test("parse is side-effect-free: the plan exists before anything executes") {
+  test("parse is side-effect-free: EXPLAIN shows the command without executing it") {
     val t = freshTable()
     seed(t); seed(t)
     val before = CommitLog.latestVersion(spark, t)
     val filesBefore = CommitLog.liveFiles(spark, t)._2.size
     val plan = spark.sessionState.sqlParser.parsePlan(s"OPTIMIZE graftlog.`$t`")
     assert(plan.isInstanceOf[GraftSqlCommand], plan.getClass.getName)
+    val explained = spark.sql(s"EXPLAIN OPTIMIZE graftlog.`$t`")
+      .collect()(0).getString(0)
+    assert(explained.contains("GraftSqlCommand"), explained)
     assert(CommitLog.latestVersion(spark, t) == before,
-      "parsing must not run the maintenance pass")
+      "parse/EXPLAIN must not run the maintenance pass")
     assert(CommitLog.liveFiles(spark, t)._2.size == filesBefore,
-      "parsing must not compact anything")
+      "parse/EXPLAIN must not compact anything")
   }
 
   test("invalid SQL keeps its original parse error; normal SQL is untouched") {
