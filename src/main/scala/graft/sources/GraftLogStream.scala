@@ -218,18 +218,27 @@ class GraftLogSource(spark: SparkSession, tablePath: String,
     val end =
       if (maxBytesPerTrigger == Long.MaxValue || capped <= base) capped
       else {
-        var e = base
-        var budget = maxBytesPerTrigger
-        var open = true
-        CommitLog.addedBytesByVersion(spark, tablePath, base, capped)
-          .foreach { case (v, sz) =>
+        val perVersion =
+          CommitLog.addedBytesByVersion(spark, tablePath, base, capped)
+        // commit files missing from the window (pruned past a
+        // checkpoint): admit the whole window UNBUDGETED so getBatch
+        // raises the loud FeedGapException re-bootstrap contract —
+        // budgeting over the surviving files would silently return
+        // no-progress forever
+        if (perVersion.size != capped - base) capped
+        else {
+          var e = base
+          var budget = maxBytesPerTrigger
+          var open = true
+          perVersion.foreach { case (v, sz) =>
             val cost = sz.getOrElse(Long.MaxValue) // opaque: admit alone
             if (open && (e == base || cost <= budget)) {
               e = v
               budget = if (cost >= budget) 0L else budget - cost
             } else open = false
           }
-        e
+          e
+        }
       }
     if (end <= startingVersion) null else LongOffset(end)
   }

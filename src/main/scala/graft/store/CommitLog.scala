@@ -1291,16 +1291,24 @@ object CommitLog {
       new org.apache.hadoop.fs.Path(resolveDataPath(tablePath, n))).map(n -> _)).toMap
   }
 
-  /** Bytes of the data files ADDED by each commit version in
-    * (sinceVersion, untilVersion], from the log alone (the stats
-    * suffix's [[BytesSizeKey]]) — what byte-based streaming admission
-    * ([[graft.sources.GraftLogSource]] `maxBytesPerTrigger`) budgets
-    * against: one commit-file read per version, zero data I/O. None =
-    * the version carries at least one add without a recorded size
-    * (pre-recording generations) — the caller must treat it as opaque
-    * rather than undercount it. Commits with no adds (property/
-    * constraint/pure-delete) report Some(0): they cost the feed
-    * nothing. */
+  /** Bytes each commit version in (sinceVersion, untilVersion] costs
+    * the CHANGE FEED, from the log alone — what byte-based streaming
+    * admission ([[graft.sources.GraftLogSource]] `maxBytesPerTrigger`)
+    * budgets against: one commit-file read per version, zero data I/O.
+    * The accounting mirrors what [[changesSince]] actually DELIVERS
+    * per commit shape:
+    *
+    *  - pure appends (and clone bootstraps) feed their ADD files →
+    *    the sum of log-carried [[BytesSizeKey]] sizes; None when any
+    *    add predates size recording (opaque, never undercounted);
+    *  - row-changing commits with CDC files (`~` lines) feed THOSE,
+    *    whose sizes the log does not carry → None (opaque — charging
+    *    the never-fed rewrite adds instead would admit a huge CDC
+    *    batch "free" and blow the budget the option exists to hold);
+    *  - untagged rewrites (compaction/optimize) feed NOTHING →
+    *    Some(0), never burning budget on an empty batch;
+    *  - metadata-only commits (properties/constraints/create) →
+    *    Some(0). */
   private[graft] def addedBytesByVersion(spark: SparkSession,
       tablePath: String, sinceVersion: Long,
       untilVersion: Long): Seq[(Long, Option[Long])] = {
@@ -1311,15 +1319,21 @@ object CommitLog {
       st.getPath.getName match {
         case CommitRe(v)
           if v.toLong > sinceVersion && v.toLong <= untilVersion =>
-          val sizes = readLines(fs, st.getPath)
-            .filter(_.startsWith("+")).map { l =>
-              val bar = l.indexOf('|')
-              if (bar < 0) None
-              else parseStatsJson(l.substring(bar + 1)).get(BytesSizeKey)
-                .collect { case (b: Long, _) => b }
-            }.toSeq
-          Some(v.toLong ->
-            (if (sizes.exists(_.isEmpty)) None else Some(sizes.flatten.sum)))
+          val lines = readLines(fs, st.getPath).toSeq
+          val cost: Option[Long] =
+            if (lines.exists(_.startsWith("~"))) None // CDC-fed: sizes unknown
+            else if (lines.exists(_.startsWith("-")) &&
+              !lines.exists(_.startsWith("#op="))) Some(0L) // rewrite: feeds nothing
+            else {
+              val sizes = lines.filter(_.startsWith("+")).map { l =>
+                val bar = l.indexOf('|')
+                if (bar < 0) None
+                else parseStatsJson(l.substring(bar + 1)).get(BytesSizeKey)
+                  .collect { case (b: Long, _) => b }
+              }
+              if (sizes.exists(_.isEmpty)) None else Some(sizes.flatten.sum)
+            }
+          Some(v.toLong -> cost)
         case _ => None
       }
     }.sortBy(_._1)

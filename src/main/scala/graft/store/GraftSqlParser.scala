@@ -59,18 +59,23 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case None =>
         // EXPLAIN <extension verb>: also grammar-rejected (the inner
         // verb is unparseable), so unwrap the prefix and explain the
-        // routed command without running it
-        val m = ExplainPrefix.findFirstMatchIn(sqlText)
-        m.flatMap(mm => GraftSql.routedSchema(mm.group(2)).map { schema =>
-          org.apache.spark.sql.execution.command.ExplainCommand(
-            GraftSqlCommand(mm.group(2), schema),
-            org.apache.spark.sql.execution.ExplainMode.fromString(
-              Option(mm.group(1)).map(_.trim.toLowerCase).getOrElse("simple")))
-        }).getOrElse(throw original)
+        // routed command without running it. FULL-statement match (the
+        // regex pattern anchors both ends) — a typo'd statement merely
+        // CONTAINING an explainable verb must keep its original error.
+        sqlText match {
+          case ExplainPrefix(mode, rest) =>
+            GraftSql.routedSchema(rest).map { schema =>
+              org.apache.spark.sql.execution.command.ExplainCommand(
+                GraftSqlCommand(rest, schema),
+                org.apache.spark.sql.execution.ExplainMode.fromString(
+                  Option(mode).map(_.trim.toLowerCase).getOrElse("simple")))
+            }.getOrElse(throw original)
+          case _ => throw original
+        }
     }
 
   private val ExplainPrefix =
-    """(?is)\s*EXPLAIN\s+(EXTENDED|CODEGEN|COST|FORMATTED)?\s*(.+)""".r
+    """(?is)\s*EXPLAIN\s+(EXTENDED|CODEGEN|COST|FORMATTED)?\s*(.+?)\s*""".r
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

@@ -510,13 +510,21 @@ object StreamingJobs {
       .filter(col("doc_id") % 3 =!= 2)
     val fs = new org.apache.hadoop.fs.Path(stateRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // bootstrap the at-rest index once per stateRoot (a restart after
-    // a crash must NOT re-append the originals; the index commit is
-    // itself atomic, so existence of the log IS completion)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(idxTable, "_graft_log"))) {
+    // bootstrap the at-rest index once per stateRoot, FENCED by its
+    // own txn claim: "log exists = bootstrap complete" stopped being
+    // true when the band-count claim moved BEFORE the first append (a
+    // crash in that window leaves an empty stamped table — a restart
+    // gating on log existence would run forever against an index
+    // missing every original). The completion marker is the
+    // exactly-once ledger itself: a restart re-invokes
+    // unconditionally, appendOnce's batch-0 fence skips iff the
+    // originals' commit actually landed, and a fenced skip costs one
+    // driver-side ledger read (the decode plan is lazy — no job runs).
+    locally {
       import spark.implicits._
-      Multimodal.appendBandedIndex(spark, idxTable,
-        Multimodal.dHashes(originals.as[Multimodal.MediaIn]).toDF())
+      Multimodal.appendBandedIndexOnce(spark, idxTable,
+        Multimodal.dHashes(originals.as[Multimodal.MediaIn]).toDF(),
+        "phash_bootstrap", 0L)
       ()
     }
     // stage the arrival payloads as a multi-file parquet so
@@ -562,15 +570,11 @@ object StreamingJobs {
         try {
           // pairs FIRST — they read the PRE-batch index state, so a
           // replay (which re-probes if the band append never landed)
-          // recomputes the identical set. The replay window the fence
-          // CANNOT cover: a batch with NO pairs lands zero files, so
-          // appendOnce never advances the phash_pairs fence — if the
-          // band append then committed before a crash, the replayed
-          // batch probes an index ALREADY holding its own bands. The
-          // self-match exclusion (index_id != incoming_id) makes that
-          // replay converge: own-bands matches reduce to the
-          // within-batch set (distinct-absorbed) instead of
-          // manufacturing (x, x, 0) rows.
+          // recomputes the identical set. Even the window no fence
+          // covers — a NO-pairs batch lands zero files so the
+          // phash_pairs fence never advances, and a crash after the
+          // band commit replays against an index holding the batch's
+          // OWN bands — converges: see phashBatchPairs' contract.
           CommitLog.appendOnce(phashBatchPairs(idxTable, hashesB),
             pairsTable, "phash_pairs", bid)
           crashAfter(bid, "pairs")
@@ -587,25 +591,24 @@ object StreamingJobs {
 
   /** One micro-batch's pair set for [[incrementalPhashRun]]: arrivals
     * probed against the at-rest index UNION within-batch pairs,
-    * deduped. SELF-matches from the index (same doc id on both legs)
-    * are EXCLUDED — the replay-convergence requirement: after a crash
-    * in the window where the BAND append committed but the pairs
-    * commit landed nothing (an empty batch cannot advance a txn
-    * fence), the replayed batch probes an index already holding its
-    * own bands, and without the exclusion it would manufacture
-    * (x, x, 0) self-pairs. With it, own-band matches reduce to the
-    * within-batch set (identical (id_a, id_b, distance) tuples —
-    * bandedCandidates orders id_a < id_b — absorbed by the distinct),
-    * so a replay commits exactly the original set or, again, nothing.
-    * Package-visible so the replay algebra is spec-testable without a
-    * streaming harness. */
+    * deduped. REPLAY CONVERGENCE rests on two properties: the probe
+    * operator excludes same-id matches (probeBandedIndex's
+    * `index_id =!= incoming_id` filter — so a replayed batch probing
+    * an index that already holds its OWN bands, the window where the
+    * band append committed but an empty pairs commit never advanced
+    * its fence, cannot manufacture (x, x, 0) rows), and own-band
+    * matches reduce to the within-batch set (identical
+    * (id_a, id_b, distance) tuples — bandedCandidates orders
+    * id_a < id_b — absorbed by the distinct). A replay therefore
+    * commits exactly the original set or, again, nothing.
+    * Package-visible so the replay algebra is spec-pinned without a
+    * streaming harness (StreamingSpec "phash replay algebra"). */
   private[streaming] def phashBatchPairs(idxTable: String,
       hashesB: DataFrame): DataFrame = {
     import graft.multimodal.Multimodal
     val s = hashesB.sparkSession
     val cross = Multimodal
       .probeBandedIndexAt(s, idxTable, hashesB, maxDistance = 3)
-      .filter(col("index_id") =!= col("incoming_id"))
       .select(least(col("index_id"), col("incoming_id")).as("id_a"),
         greatest(col("index_id"), col("incoming_id")).as("id_b"),
         col("distance"))

@@ -120,6 +120,38 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(drain(sizes.head / 2, "bytes1") == 4L)
   }
 
+  test("byte admission: a CDC-fed version is opaque and admits alone; values stay exact") {
+    val src = fresh("src")
+    CommitLog.append((0L until 100L).map(i => (i, "a")).toDF("id", "v"), src)
+    CommitLog.append((100L until 200L).map(i => (i, "b")).toDF("id", "v"), src)
+    // v3 feeds its CDC change files, whose sizes the log does not
+    // carry — the budget must treat it as opaque, not charge the
+    // never-fed rewrite adds
+    CommitLog.deleteWhere(spark, src, schema, col("id") % 10 === 4)
+    val perV = CommitLog.addedBytesByVersion(spark, src, 0L, 3L)
+    assert(perV.map(_._1) == Seq(1L, 2L, 3L))
+    assert(perV.take(2).forall(_._2.isDefined) && perV(2)._2.isEmpty,
+      s"CDC version must be opaque: $perV")
+    val sink = fresh("sink"); val ckpt = Files.createTempDirectory("graft_ckc").toString
+    spark.readStream.format("graftlog").schema(schema)
+      .option("maxBytesPerTrigger", Long.MaxValue / 2) // huge, but set
+      .load(src)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        CdcStream.applyChangesOnce(spark, sink, sinkSchema, Seq("id"),
+          batch.toDF(), "bytescdc", batchId, transform)
+        ()
+      }
+      .start().awaitTermination()
+    assert(sinkRows(sink) == expected(src),
+      "opaque-version admission lost or doubled rows")
+    // the opaque v3 admitted ALONE: appends rode one batch (budget
+    // huge), the CDC version needed its own
+    assert(CommitLog.lastTxnBatch(spark, sink, "bytescdc") == 1L,
+      "expected 2 batches: [v1,v2] then [v3] alone")
+  }
+
   test("crash after the sink commit, restart from Spark's checkpoint: replayed batch fences, nothing doubles") {
     val src = buildSource()
     val sink = fresh("sink")

@@ -97,6 +97,11 @@ class GraftSqlParserSpec extends SparkSpec {
     intercept[ParseException] {
       spark.sql("OPTIMIZE hive.sometable")
     }
+    // a typo'd statement merely CONTAINING an explainable verb keeps
+    // its original error — the EXPLAIN unwrap is a full-statement match
+    intercept[ParseException] {
+      spark.sql("SELECT x FROM EXPLAIN OPTIMIZE graftlog.`/tmp/never`")
+    }
     assert(spark.sql("SELECT 1 AS x").collect()(0).getInt(0) == 1)
   }
 }

@@ -122,6 +122,25 @@ class StatsAggSpec extends SparkSpec {
     assert(mr.getLong(0) == 50L && mr.getLong(1) == 1L && mr.getLong(2) == 50L)
   }
 
+  test("vector counts survive checkpoint + pruneLog (checkpoint-carried, not commit-bound)") {
+    import spark.implicits._
+    val t = freshDir("ckpt")
+    // nine appends then a MOR delete → version 10 writes a checkpoint
+    (1 to 9).foreach(k => (k * 100L until k * 100L + 100L).toDF("id")
+      .write.format("graftlog").mode("append").save(t))
+    CommitLog.deleteWhere(spark, t, CommitLog.tableSchema(spark, t),
+      col("id") % 9 === 0, deletionVectors = true)
+    assert(CommitLog.latestVersion(spark, t) == 10L)
+    val expect = (1 to 9).flatMap(k => k * 100L until k * 100L + 100L)
+      .count(_ % 9 != 0).toLong
+    // prune the commit files the checkpoint subsumes: replay now reads
+    // ONLY the checkpoint, so the `*file|dv|n` counts must ride it
+    CommitLog.pruneLog(spark, t)
+    val agg = spark.read.format("graftlog").load(t).agg(count(lit(1)).as("n"))
+    assert(isMetadataOnly(agg), s"plan:\n${agg.queryExecution.optimizedPlan}")
+    assert(agg.collect()(0).getLong(0) == expect)
+  }
+
   test("empty table answers count 0 and null extremes from metadata") {
     import spark.implicits._
     val t = freshDir("empty")
