@@ -47,6 +47,7 @@ object Cli {
       |  log-detail <tablePath>                             DESCRIBE DETAIL: version, file census, vector state, constraints
       |  log-restore <tablePath> <toVersion>                rollback: one commit re-using historical files, zero data movement
       |  log-clone <sourcePath> <destPath> [asOfVersion]    SHALLOW CLONE: zero-copy snapshot referencing the source's files
+      |  log-convert <parquetDir>                           adopt a plain-parquet directory as a logged table (CONVERT TO GRAFT)
       |  log-vacuum <tablePath> <minAgeHours>               reclaim unreferenced data files (retention-gated)
       |  log-prune <tablePath> [keepSince]                  drop commit files behind the newest checkpoint
       |  log-merge <tablePath> <sourceParquet> <keyCols>    keyed MERGE upsert (comma-separated key columns)
@@ -255,6 +256,10 @@ object Cli {
     case "log-restore" :: table :: version :: Nil =>
       val v = graft.store.CommitLog.restore(spark, table, version.toLong)
       s"""{"cmd":"log-restore","table":"$table","version":$v}"""
+
+    case "log-convert" :: dir :: Nil =>
+      val v = graft.store.CommitLog.convertParquet(spark, dir)
+      s"""{"cmd":"log-convert","table":"$dir","version":$v}"""
 
     case "log-clone" :: source :: dest :: rest if rest.size <= 1 =>
       val asOf = rest.headOption.map(_.toLong).getOrElse(Long.MaxValue)

@@ -1080,6 +1080,50 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
     },
 
+    // ── CONVERT TO GRAFT (in-place adoption): the engine writes the
+    // documents table as PLAIN parquet (two generations), adopts it
+    // with one metadata commit — PROVES zero files moved — and then
+    // runs the full protocol against the adopted table: a metadata-
+    // only COUNT straight after adoption and a copy-on-write DELETE.
+    // At 100 TB this is the adoption story: the alternative is
+    // rewriting the dataset to gain the log. The oracle recomputes
+    // the post-delete state relationally; a file lost or doubled by
+    // the adoption flips the digest. ─────────────────────────────────
+    Q(
+      "store_convert",
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS content_digest
+         |FROM documents WHERE NOT (doc_id % 5 = 2)
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.store.CommitLog
+      val a = docs(s, dir).select("doc_id", "source", "text")
+      val table = "/tmp/graft_state/convert_docs"
+      val hp = new org.apache.hadoop.fs.Path(table)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(hp, true)
+      a.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(table)
+      a.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(table)
+      def files = fs.listStatus(hp).collect {
+        case st if st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".") => st.getPath.getName
+      }.toSet
+      val before = files
+      require(CommitLog.convertParquet(s, table) == 1L, "convert must be version 1")
+      require(files == before, "adoption moved or rewrote files")
+      // metadata-only COUNT works from the first post-convert query
+      val n = s.read.format("graftlog").load(table).agg(count(lit(1)).as("n"))
+      require(n.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }.isEmpty, "adopted stats did not feed the metadata aggregate")
+      // and so does row-level DML
+      CommitLog.deleteWhere(s, table, CommitLog.tableSchema(s, table),
+        col("doc_id") % 5 === 2)
+      CommitLog.read(s, table, CommitLog.tableSchema(s, table))
+        .withColumn("h", graft.core.Hashing.rowDigest(col("doc_id"), col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
+    },
+
     // ── MAINTENANCE VERBS through PLAIN spark.sql (the injected
     // parser): OPTIMIZE compacts two generations into one file,
     // DESCRIBE HISTORY proves the commit trail, RESTORE rolls back to

@@ -118,6 +118,11 @@ object GraftSql {
         CommitLog.versionAtTimestamp(spark, path,
           graft.sources.GraftLogBatch.parseTsMs(ts.trim.stripPrefix("'").stripSuffix("'"))))
       result(spark, path, CommitLog.restore(spark, path, v))
+    case ConvertRe(qp, bp) =>
+      // Delta's `CONVERT TO DELTA`: adopt a plain-parquet directory as
+      // a logged table in place — one metadata commit, zero rewrites
+      val path = resolvePath(spark, ident(qp, bp))
+      result(spark, path, CommitLog.convertParquet(spark, path))
     case CloneRe(dq, db, sq, sb, ver) =>
       // Delta's `CREATE TABLE t SHALLOW CLONE s [VERSION AS OF n]`:
       // one metadata commit referencing the source's files — zero copy
@@ -202,7 +207,8 @@ object GraftSql {
     * schema row is caught by GraftSqlParserSpec's round-trip). */
   private[store] def routedSchema(sql: String): Option[StructType] =
     stripDecorations(sql) match {
-      case OptimizeRe(_*) | RestoreRe(_*) | CloneRe(_*) | CreateTableRe(_*) |
+      case OptimizeRe(_*) | RestoreRe(_*) | CloneRe(_*) | ConvertRe(_*) |
+           CreateTableRe(_*) |
            CtasRe(_*) | SetPropsRe(_*) | UnsetPropsRe(_*) |
            RenameColumnRe(_*) | DropColumnRe(_*) | AddConstraintRe(_*) |
            DropConstraintRe(_*) => Some(VersionResultSchema)
@@ -301,6 +307,9 @@ object GraftSql {
     s"""(?is)\\s*CREATE\\s+TABLE\\s+$TableId\\s*\\((.+)\\)\\s*""".r
   private val CtasRe =
     s"""(?is)\\s*CREATE\\s+TABLE\\s+$TableId\\s+AS\\s+(.+?)\\s*""".r
+  // adopt-in-place (Delta's CONVERT TO DELTA verb)
+  private val ConvertRe =
+    s"""(?is)\\s*CONVERT\\s+TO\\s+GRAFT\\s+$TableId\\s*""".r
   // zero-copy snapshot (Delta's SHALLOW CLONE verb)
   private val CloneRe =
     (s"""(?is)\\s*CREATE\\s+TABLE\\s+$TableId\\s+SHALLOW\\s+CLONE\\s+""" +
