@@ -1287,8 +1287,24 @@ object CommitLog {
   private[store] def statsFor(spark: SparkSession, tablePath: String,
       names: Seq[String]): Map[String, String] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    names.flatMap(n => footerStatsJson(conf,
-      new org.apache.hadoop.fs.Path(resolveDataPath(tablePath, n))).map(n -> _)).toMap
+    def one(n: String): Option[(String, String)] = footerStatsJson(conf,
+      new org.apache.hadoop.fs.Path(resolveDataPath(tablePath, n))).map(n -> _)
+    // footer reads are independent metadata round trips; on an
+    // object store each costs tens of ms, so a large landing (a big
+    // rewrite, a CONVERT adopting 100k files) reads them 16-way —
+    // hours serial becomes minutes. Small landings (the per-append
+    // common case) stay on the calling thread: no pool churn.
+    if (names.size <= 8) names.flatMap(one).toMap
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      try {
+        names.map(n => pool.submit(
+          new java.util.concurrent.Callable[Option[(String, String)]] {
+            override def call(): Option[(String, String)] = one(n)
+          }))
+          .flatMap(_.get()).toMap
+      } finally { pool.shutdown(); () }
+    }
   }
 
   /** Bytes each commit version in (sinceVersion, untilVersion] costs

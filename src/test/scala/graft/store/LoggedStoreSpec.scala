@@ -53,6 +53,29 @@ abstract class LoggedStoreBehavior(publisher: AtomicPublisher) extends SparkSpec
     assert(CommitLog.read(spark, t, schema).count() == 100)
   }
 
+  test("clone, convert, and the claim-once property hold under this publisher") {
+    // SHALLOW CLONE: zero-copy snapshot through THIS publisher
+    val src = freshTable(); val dst = freshTable()
+    append(spark.range(0, 120).toDF("id"), src)
+    CommitLog.shallowClone(spark, src, dst, publisher = publisher)
+    assert(CommitLog.read(spark, dst, schema).count() == 120)
+    CommitLog.deleteWhere(spark, dst, schema, col("id") < 20, publisher)
+    assert(CommitLog.read(spark, src, schema).count() == 120,
+      "clone mutation leaked into the source")
+    assert(CommitLog.read(spark, dst, schema).count() == 100)
+    // CONVERT: in-place adoption commits through THIS publisher
+    val plain = freshTable()
+    spark.range(0, 50).toDF("id").write.parquet(plain)
+    assert(CommitLog.convertParquet(spark, plain, publisher) == 1L)
+    assert(CommitLog.read(spark, plain, schema).count() == 50)
+    // claim-once: exactly one of two same-key claims lands
+    val t = freshTable()
+    append(spark.range(0, 5).toDF("id"), t)
+    assert(CommitLog.setPropertiesIfAbsent(spark, t, Map("k.once" -> "a"), publisher))
+    assert(!CommitLog.setPropertiesIfAbsent(spark, t, Map("k.once" -> "b"), publisher))
+    assert(CommitLog.propertiesAt(spark, t)("k.once") == "a")
+  }
+
   test("vacuum honors the writer-id staging stamp, not just storage mod times") {
     val t = freshTable()
     append(spark.range(0, 10).toDF("id"), t)
