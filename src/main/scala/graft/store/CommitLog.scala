@@ -3386,6 +3386,79 @@ object CommitLog {
     }
   }
 
+  /** CONVERT an existing plain-parquet directory into a logged table
+    * IN PLACE — Delta's `CONVERT TO DELTA`: one metadata commit
+    * adopting EVERY non-hidden top-level data file as a version-1 add,
+    * zero bytes rewritten. At 100 TB this is how the log is adopted at
+    * all — a rewrite-to-adopt would cost a full copy of the dataset.
+    * The commit stamps the schema ledger with the mergeSchema-unioned
+    * shape (heterogeneous file generations adopt correctly and
+    * null-fill on read, the same contract as evolving appends) and
+    * records per-file stats + row counts + sizes, so stats pruning,
+    * DESCRIBE DETAIL, auto-compaction, and the metadata COUNT(*) all
+    * work from the first post-convert query.
+    *
+    * ADOPTION IS ALL-OR-NOTHING over the directory's visible files:
+    * extension-less parquet (non-Spark writers) adopts like any other
+    * file, and a file whose footer cannot be read — junk, corruption —
+    * REFUSES the whole convert loudly. Skipping it instead would
+    * silently undercount the table AND expose the skipped (live!) data
+    * to vacuum, which deletes unreferenced files — the one unforgivable
+    * failure mode of an adoption verb. Metadata cost: one distributed
+    * footer pass for the union schema plus one driver-side 16-way
+    * footer pass for stats/validation ([[statsFor]]); no data pages.
+    *
+    * FLAT layouts only: a hive-partitioned tree (`key=value/`
+    * subdirectories) encodes column values in PATHS, which a flat
+    * adoption would silently drop — refused loudly. Creation-racing
+    * writers serialize on the version-1 fence (loser fails, the Delta
+    * convert contract). */
+  def convertParquet(spark: SparkSession, tablePath: String,
+      publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
+    val dir = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = fsOf(spark, dir)
+    require(fs.exists(dir), s"cannot convert $tablePath — no such directory")
+    require(latestVersion(spark, tablePath) == 0,
+      s"$tablePath is already a logged table")
+    val entries = fs.listStatus(dir).toSeq
+    val partDirs = entries.filter(st => st.isDirectory &&
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    require(partDirs.isEmpty,
+      s"cannot convert $tablePath: subdirectories " +
+        s"(${partDirs.take(3).map(_.getPath.getName).mkString(", ")}" +
+        s"${if (partDirs.size > 3) ", …" else ""}) look " +
+        "like a partitioned layout, whose path-encoded column values a flat " +
+        "adoption would silently drop — read and re-write through a logged append")
+    val names = entries.collect {
+      case st if st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".") => st.getPath.getName
+    }
+    require(names.nonEmpty, s"cannot convert $tablePath: no data files")
+    // one 16-way footer pass serves BOTH validation (every adopted
+    // file must BE parquet — footerStatsJson returns None only for an
+    // unreadable footer, since readable files always carry at least
+    // rows.count/bytes.size) and the commit's stats
+    val stats = statsFor(spark, tablePath, names)
+    val unreadable = names.filterNot(stats.contains)
+    require(unreadable.isEmpty,
+      s"cannot convert $tablePath: non-parquet or unreadable file(s) " +
+        s"(${unreadable.take(3).mkString(", ")}" +
+        s"${if (unreadable.size > 3) ", …" else ""}) — adopting around them " +
+        "would silently undercount the table and expose them to vacuum; " +
+        "move them aside and rerun")
+    // union schema across generations — one ledger stamp describing
+    // every adopted file (narrow generations null-fill at read)
+    val schema = spark.read.option("mergeSchema", "true").parquet(tablePath).schema
+    commitOrAbort(spark, tablePath, adds = names, removes = Seq.empty,
+      publisher = publisher, opTag = Some("convert"),
+      abortOnLostRace = () => latestVersion(spark, tablePath) != 0,
+      addStats = stats,
+      schemaJson = Some(schema.json),
+      schemaExpect = Some(None))
+      .getOrElse(throw new IllegalStateException(
+        s"$tablePath was converted (or created) concurrently"))
+  }
+
   /** SHALLOW CLONE — a zero-copy logged table whose first commit
     * REFERENCES the source's live data files by absolute path instead
     * of copying a byte (Delta's `CREATE TABLE … SHALLOW CLONE` /
@@ -3409,59 +3482,6 @@ object CommitLog {
     * the clone root). `graft.cloneSource` records provenance.
     *
     * Returns the clone's first version (1). */
-  /** CONVERT an existing plain-parquet directory into a logged table
-    * IN PLACE — Delta's `CONVERT TO DELTA`: one metadata commit
-    * adopting every parquet file as a version-1 add, zero bytes
-    * rewritten. At 100 TB this is how the log is adopted at all — a
-    * rewrite-to-adopt would cost a full copy of the dataset. The
-    * commit stamps the schema ledger with the mergeSchema-unioned
-    * shape (heterogeneous file generations adopt correctly and
-    * null-fill on read, the same contract as evolving appends) and
-    * records per-file stats + row counts + sizes, so stats pruning,
-    * DESCRIBE DETAIL, auto-compaction, and the metadata COUNT(*) all
-    * work from the first post-convert query. Stats collection reads
-    * one footer per file on the driver — the one-time adoption cost,
-    * O(files), no data pages touched.
-    *
-    * FLAT layouts only: a hive-partitioned tree (`key=value/`
-    * subdirectories) encodes column values in PATHS, which a flat
-    * adoption would silently drop — refused loudly. Creation-racing
-    * writers serialize on the version-1 fence (loser fails, the Delta
-    * convert contract). */
-  def convertParquet(spark: SparkSession, tablePath: String,
-      publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
-    val dir = new org.apache.hadoop.fs.Path(tablePath)
-    val fs = fsOf(spark, dir)
-    require(fs.exists(dir), s"cannot convert $tablePath — no such directory")
-    require(latestVersion(spark, tablePath) == 0,
-      s"$tablePath is already a logged table")
-    val entries = fs.listStatus(dir).toSeq
-    val partDirs = entries.filter(st => st.isDirectory &&
-      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
-    require(partDirs.isEmpty,
-      s"cannot convert $tablePath: subdirectories " +
-        s"(${partDirs.take(3).map(_.getPath.getName).mkString(", ")}…) look " +
-        "like a partitioned layout, whose path-encoded column values a flat " +
-        "adoption would silently drop — read and re-write through a logged append")
-    val names = entries.collect {
-      case st if st.isFile && st.getPath.getName.endsWith(".parquet") &&
-        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".") =>
-        st.getPath.getName
-    }
-    require(names.nonEmpty, s"cannot convert $tablePath: no parquet files")
-    // union schema across generations — one ledger stamp describing
-    // every adopted file (narrow generations null-fill at read)
-    val schema = spark.read.option("mergeSchema", "true").parquet(tablePath).schema
-    commitOrAbort(spark, tablePath, adds = names, removes = Seq.empty,
-      publisher = publisher, opTag = Some("convert"),
-      abortOnLostRace = () => latestVersion(spark, tablePath) != 0,
-      addStats = statsFor(spark, tablePath, names),
-      schemaJson = Some(schema.json),
-      schemaExpect = Some(None))
-      .getOrElse(throw new IllegalStateException(
-        s"$tablePath was converted (or created) concurrently"))
-  }
-
   def shallowClone(spark: SparkSession, sourcePath: String, clonePath: String,
       asOf: Long = Long.MaxValue,
       publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {

@@ -72,6 +72,32 @@ class ConvertSpec extends SparkSpec {
     assert(got.filter(col("s").isNull).count() == 50L)
   }
 
+  test("extension-less parquet adopts; an unreadable file refuses the WHOLE convert") {
+    val t = freshDir()
+    (1L to 60L).map(i => (i, s"n$i")).toDF("id", "s")
+      .write.mode("append").parquet(t)
+    val hp = new org.apache.hadoop.fs.Path(t)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a non-Spark writer's file: valid parquet, NO .parquet extension —
+    // skipping it would undercount the table and let vacuum delete it
+    val part = fs.listStatus(hp)
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
+      new org.apache.hadoop.fs.Path(hp, "extensionless-data"),
+      false, spark.sparkContext.hadoopConfiguration)
+    val extRows = spark.read.parquet(part.toString).count()
+    CommitLog.convertParquet(spark, t)
+    assert(spark.read.format("graftlog").load(t).count() == 60L + extRows,
+      "extension-less parquet must adopt, not silently drop")
+    // ...and a genuinely unreadable file refuses adoption loudly
+    val bad = freshDir()
+    (1L to 10L).toDF("id").write.mode("append").parquet(bad)
+    val out = fs.create(new org.apache.hadoop.fs.Path(bad, "junk.txt"), true)
+    out.write("not parquet".getBytes); out.close()
+    val e = intercept[IllegalArgumentException](CommitLog.convertParquet(spark, bad))
+    assert(e.getMessage.contains("junk.txt"), e.getMessage)
+  }
+
   test("refusals: partitioned layout, already-logged, empty, missing") {
     val part = freshDir()
     (1L to 20L).map(i => (i, i % 3)).toDF("id", "k")
