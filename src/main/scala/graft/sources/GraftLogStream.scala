@@ -199,7 +199,9 @@ class GraftLogSource(spark: SparkSession, tablePath: String,
     *
     * Byte admission is a SOFT max (the Delta contract): versions admit
     * in order while the cumulative LOG-CARRIED add bytes fit the
-    * budget, from one commit-file read per candidate version — zero
+    * budget, from one commit-file read per ADMITTED version plus the
+    * first over-budget one (the walk stops there; a large backlog
+    * behind a small budget drains in O(n) total log reads) — zero
     * data I/O on the admission path. At least one version always
     * admits (progress guarantee — a single commit larger than the
     * budget must not wedge the stream), and a version whose add sizes
@@ -217,29 +219,16 @@ class GraftLogSource(spark: SparkSession, tablePath: String,
     val capped = math.max(base, math.min(latest, window))
     val end =
       if (maxBytesPerTrigger == Long.MaxValue || capped <= base) capped
-      else {
-        val perVersion =
-          CommitLog.addedBytesByVersion(spark, tablePath, base, capped)
-        // commit files missing from the window (pruned past a
-        // checkpoint): admit the whole window UNBUDGETED so getBatch
-        // raises the loud FeedGapException re-bootstrap contract —
-        // budgeting over the surviving files would silently return
-        // no-progress forever
-        if (perVersion.size != capped - base) capped
-        else {
-          var e = base
-          var budget = maxBytesPerTrigger
-          var open = true
-          perVersion.foreach { case (v, sz) =>
-            val cost = sz.getOrElse(Long.MaxValue) // opaque: admit alone
-            if (open && (e == base || cost <= budget)) {
-              e = v
-              budget = if (cost >= budget) 0L else budget - cost
-            } else open = false
-          }
-          e
-        }
-      }
+      else
+        // budget-bounded walk, stops reading at the first over-budget
+        // version (O(admitted) commit reads per trigger, not
+        // O(backlog)); a commit file missing from the walked prefix
+        // (pruned past a checkpoint) admits the whole window
+        // UNBUDGETED so getBatch raises the loud FeedGapException
+        // re-bootstrap contract — budgeting over the surviving files
+        // would silently return no-progress forever
+        CommitLog.admitByBytes(spark, tablePath, base, capped,
+          maxBytesPerTrigger).getOrElse(capped)
     if (end <= startingVersion) null else LongOffset(end)
   }
 

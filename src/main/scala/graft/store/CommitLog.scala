@@ -79,19 +79,43 @@ object CommitLog {
     if (name.startsWith("/") || name.contains("://")) name
     else s"$tablePath/$name"
 
-  /** Last path segment — file BASENAMES are globally unique by
-    * construction (writer-stamped uuid names), so cross-table joins on
-    * parquet `_metadata.file_name` stay sound for absolute (cloned)
-    * references. */
+  /** Last path segment — file basenames within one live set must be
+    * pairwise distinct for cross-table joins on parquet
+    * `_metadata.file_name` to stay sound for absolute (cloned)
+    * references. Writer-stamped uuid names make that true for files
+    * this engine lands, but convertParquet adopts arbitrary
+    * user-named files, so the clone/restore paths that PUBLISH
+    * absolute references enforce it ([[requireDistinctBasenames]])
+    * rather than assuming it. */
   private[graft] def baseNameOf(name: String): String =
     name.substring(name.lastIndexOf('/') + 1)
+
+  /** Refuse (loudly, driver-side, O(live set)) to publish a live set
+    * whose basenames collide — a silent wrong-join in every
+    * `_metadata.file_name` lookup otherwise (DV attachment, change
+    * feed, stats). Reachable only via reference-publishing paths
+    * (shallowClone of a converted-then-cloned chain; restore of such
+    * a snapshot); plain appends can't collide (uuid-stamped names in
+    * one directory). */
+  private[graft] def requireDistinctBasenames(entries: Seq[LiveEntry],
+      context: String): Unit = {
+    val dup = entries.map(e => baseNameOf(e.name))
+      .groupBy(identity).collectFirst { case (n, g) if g.size > 1 => n }
+    require(dup.isEmpty,
+      s"$context: live-set basename collision on '${dup.get}' — " +
+        "file-metadata joins (deletion vectors, change feed, stats) key " +
+        "on basenames and would silently mis-join; rewrite one source " +
+        "(OPTIMIZE re-lands files under fresh writer-stamped names) " +
+        "before cloning/restoring")
+  }
 
   /** Live entries keyed by BOTH their ledger name and its basename —
     * `_metadata.file_name` probes hand back basenames while a cloned
     * snapshot's ledger records absolute references, so file-metadata
     * lookups and ledger-name replays must land on the same entry
-    * (collision-free: basenames are globally unique and an absolute
-    * name can never equal another entry's basename). */
+    * (collision-free: reference-publishing commits enforce pairwise
+    * distinct basenames via [[requireDistinctBasenames]], and an
+    * absolute name can never equal another entry's basename). */
   private def entriesByName(entries: Seq[LiveEntry]): Map[String, LiveEntry] =
     entries.flatMap(e => Seq(e.name -> e, baseNameOf(e.name) -> e)).toMap
 
@@ -1335,24 +1359,64 @@ object CommitLog {
       st.getPath.getName match {
         case CommitRe(v)
           if v.toLong > sinceVersion && v.toLong <= untilVersion =>
-          val lines = readLines(fs, st.getPath).toSeq
-          val cost: Option[Long] =
-            if (lines.exists(_.startsWith("~"))) None // CDC-fed: sizes unknown
-            else if (lines.exists(_.startsWith("-")) &&
-              !lines.exists(_.startsWith("#op="))) Some(0L) // rewrite: feeds nothing
-            else {
-              val sizes = lines.filter(_.startsWith("+")).map { l =>
-                val bar = l.indexOf('|')
-                if (bar < 0) None
-                else parseStatsJson(l.substring(bar + 1)).get(BytesSizeKey)
-                  .collect { case (b: Long, _) => b }
-              }
-              if (sizes.exists(_.isEmpty)) None else Some(sizes.flatten.sum)
-            }
-          Some(v.toLong -> cost)
+          Some(v.toLong -> feedCostOf(fs, st.getPath))
         case _ => None
       }
     }.sortBy(_._1)
+  }
+
+  /** What one commit file costs the change feed, per commit shape —
+    * see [[addedBytesByVersion]] for the accounting. None = opaque. */
+  private def feedCostOf(fs: org.apache.hadoop.fs.FileSystem,
+      commitFile: org.apache.hadoop.fs.Path): Option[Long] = {
+    val lines = readLines(fs, commitFile).toSeq
+    if (lines.exists(_.startsWith("~"))) None // CDC-fed: sizes unknown
+    else if (lines.exists(_.startsWith("-")) &&
+      !lines.exists(_.startsWith("#op="))) Some(0L) // rewrite: feeds nothing
+    else {
+      val sizes = lines.filter(_.startsWith("+")).map { l =>
+        val bar = l.indexOf('|')
+        if (bar < 0) None
+        else parseStatsJson(l.substring(bar + 1)).get(BytesSizeKey)
+          .collect { case (b: Long, _) => b }
+      }
+      if (sizes.exists(_.isEmpty)) None else Some(sizes.flatten.sum)
+    }
+  }
+
+  /** Byte-budgeted streaming admission over (base, capped]: the end
+    * version whose cumulative [[feedCostOf]] fits `budget`, walking
+    * commit files BY DIRECT PATH from base+1 and stopping at the first
+    * over-budget version — per-trigger log I/O is O(admitted + 1)
+    * commit reads, never O(backlog), so draining an n-version backlog
+    * under a small budget costs O(n) total reads instead of O(n²).
+    * Admission never needs versions past the first one that doesn't
+    * fit. Semantics match the soft-max contract: the first candidate
+    * always admits (progress guarantee), an opaque version admits
+    * alone. Returns None when a commit file in the walked prefix is
+    * missing (pruned past a checkpoint) — the caller admits the whole
+    * window UNBUDGETED so getBatch raises the loud FeedGapException
+    * re-bootstrap contract; a gap hiding BEYOND the stop point is
+    * simply hit (and raised) on a later trigger when the window
+    * reaches it. */
+  private[graft] def admitByBytes(spark: SparkSession, tablePath: String,
+      base: Long, capped: Long, budget: Long): Option[Long] = {
+    val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
+    val fs = fsOf(spark, log)
+    var e = base
+    var left = budget
+    var v = base + 1
+    while (v <= capped) {
+      val p = new org.apache.hadoop.fs.Path(log, f"$v%020d.commit")
+      if (!fs.exists(p)) return None // gap in the walked prefix
+      val cost = feedCostOf(fs, p).getOrElse(Long.MaxValue) // opaque: admits alone
+      if (e == base || cost <= left) {
+        e = v
+        left = if (cost >= left) 0L else left - cost
+        v += 1
+      } else return Some(e) // first over-budget version: stop reading
+    }
+    Some(e)
   }
 
   /** Writer ids embed the WALL-CLOCK ms at staging start (plus pid and
@@ -3290,6 +3354,7 @@ object CommitLog {
       s"cannot restore $tablePath to version $toVersion — latest is $cur")
     if (toVersion == cur) return cur // proven no-op
     val (_, target) = liveFilesFull(spark, tablePath, asOf = toVersion)
+    requireDistinctBasenames(target, s"restore of $tablePath to $toVersion")
     // every restored file (and attached vector) must still exist —
     // restoring to a vacuumed snapshot would publish dangling names
     val dir = new org.apache.hadoop.fs.Path(tablePath)
@@ -3498,6 +3563,7 @@ object CommitLog {
     // a concurrent source commit cannot mix states into the clone
     val (srcV, entries) = liveFilesFull(spark, src, asOf)
     require(srcV > 0, s"cannot clone $src — no commits at version $asOf")
+    requireDistinctBasenames(entries, s"shallow clone of $src@$srcV")
     val schemaJson = schemaAt(spark, src, srcV).map(_.json)
     val constraints = constraintsAt(spark, src, srcV)
     val props = propertiesAt(spark, src, srcV) +

@@ -144,6 +144,12 @@ case class GraftStatsAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def extreme(stats: Seq[Option[Map[String, (Any, Any)]]],
       attr: AttributeReference, isMin: Boolean): Option[Any] = {
     if (!supported(attr.dataType)) return None
+    // stats keys share one namespace with the reserved dotted entries
+    // (rows.count / bytes.size), and the emitter never records bounds
+    // for a dotted-named column — a column literally named `rows.count`
+    // (legal via backticks) would otherwise fold the per-file row count
+    // as its MIN/MAX. Dotted names always take the scan path.
+    if (attr.name.contains(".")) return None
     // zero-row files (a rewrite that kept nothing) contribute no rows
     // and carry no column bounds — skip them, don't abstain on them
     val occupied = stats.filterNot(

@@ -120,6 +120,31 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(drain(sizes.head / 2, "bytes1") == 4L)
   }
 
+  test("admitByBytes stops reading at the first over-budget version (O(admitted) log I/O)") {
+    val src = fresh("src")
+    (0 until 4).foreach(k => CommitLog.append(
+      (k * 100L until k * 100L + 100L).map(i => (i, "x")).toDF("id", "v"), src))
+    val sizes = CommitLog.addedBytesByVersion(spark, src, 0L, 4L).map(_._2.get)
+    assert(CommitLog.admitByBytes(spark, src, 0L, 4L, sizes.head / 2) == Some(1L),
+      "soft max: the first candidate admits alone even under budget")
+    assert(CommitLog.admitByBytes(spark, src, 0L, 4L, sizes.take(2).sum + 1) == Some(2L))
+    assert(CommitLog.admitByBytes(spark, src, 0L, 4L, Long.MaxValue / 2) == Some(4L))
+    // delete v3's commit file: a walk that stops at v2 (over budget)
+    // must never have opened it — same answers as before the delete —
+    // while a walk whose budget reaches v3 hits the gap and returns
+    // None (admit-unbudgeted → the loud FeedGapException contract)
+    val v3 = new org.apache.hadoop.fs.Path(src, f"_graft_log/${3L}%020d.commit")
+    v3.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(v3, false)
+    assert(CommitLog.admitByBytes(spark, src, 0L, 4L, sizes.head / 2) == Some(1L),
+      "early stop proven: the pruned v3 was never read")
+    assert(CommitLog.admitByBytes(spark, src, 0L, 4L, sizes.take(2).sum + 1).isEmpty,
+      "a budget whose walk reaches the pruned v3 sees the gap (admit unbudgeted)")
+    assert(CommitLog.admitByBytes(spark, src, 0L, 4L, Long.MaxValue / 2).isEmpty,
+      "a gap inside the walked prefix admits the window unbudgeted")
+    assert(CommitLog.admitByBytes(spark, src, 2L, 4L, Long.MaxValue / 2).isEmpty,
+      "a gap at the prefix start is seen immediately")
+  }
+
   test("byte admission: a CDC-fed version is opaque and admits alone; values stay exact") {
     val src = fresh("src")
     CommitLog.append((0L until 100L).map(i => (i, "a")).toDF("id", "v"), src)

@@ -164,6 +164,26 @@ class CloneSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuumed"), e.getMessage)
   }
 
+  test("reference-publishing commits refuse basename collisions in the live set") {
+    // `_metadata.file_name` probes key on BASENAMES; a live set holding
+    // /a/dup.parquet and /b/dup.parquet would silently mis-join DV
+    // attachments / change-feed / stats lookups. Engine-landed files
+    // can't collide (writer-stamped uuids in one directory), but
+    // convertParquet adopts arbitrary user names, so clone/restore —
+    // the paths that PUBLISH absolute references — enforce distinctness
+    // instead of assuming it.
+    def e(n: String) = CommitLog.LiveEntry(n, None, None)
+    CommitLog.requireDistinctBasenames(
+      Seq(e("/a/part-1.parquet"), e("/b/part-2.parquet"), e("bare.parquet")),
+      "ok") // distinct: passes
+    val ex = intercept[IllegalArgumentException] {
+      CommitLog.requireDistinctBasenames(
+        Seq(e("/a/dup.parquet"), e("/b/dup.parquet")), "clone of /a")
+    }
+    assert(ex.getMessage.contains("dup.parquet") &&
+      ex.getMessage.contains("basename collision"))
+  }
+
   test("clone refuses a non-absolute source, a self-clone, and an occupied destination") {
     import spark.implicits._
     val src = freshDir("guard_src"); val dst = freshDir("guard_dst")

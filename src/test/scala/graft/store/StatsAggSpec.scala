@@ -174,6 +174,29 @@ class StatsAggSpec extends SparkSpec {
     spark.sql(s"DROP TABLE graft.$t")
   }
 
+  test("a dotted column name abstains — never folds the reserved stats keys") {
+    import spark.implicits._
+    val t = freshDir("dotted")
+    // a numeric column literally named `rows.count` (legal via
+    // backticks) shares the stats-key namespace with the reserved
+    // per-file row-count entry; the emitter never records bounds for
+    // dotted names, so the only entry under that key IS the row count
+    // — MIN/MAX must take the scan path, not fold 3 (the file's rows)
+    Seq(500L, 900L, 1300L).toDF("rows.count")
+      .write.format("graftlog").mode("append").save(t)
+    val base = spark.read.format("graftlog").load(t)
+    val ext = base.agg(min(col("`rows.count`")).as("lo"),
+      max(col("`rows.count`")).as("hi"))
+    assert(!isMetadataOnly(ext),
+      s"dotted-name MIN/MAX must scan:\n${ext.queryExecution.optimizedPlan}")
+    val r = ext.collect()(0)
+    assert(r.getLong(0) == 500L && r.getLong(1) == 1300L)
+    // COUNT(*) keys on the reserved entry itself — still metadata-only
+    val cnt = base.agg(count(lit(1)).as("n"))
+    assert(isMetadataOnly(cnt))
+    assert(cnt.collect()(0).getLong(0) == 3L)
+  }
+
   test("a ±0.0 double bound abstains (parquet zero-sign normalization)") {
     import spark.implicits._
     val t = freshDir("zero")
