@@ -232,6 +232,68 @@ object CorpusOps {
       .filter(col("term_rank") <= k)
   }
 
+  /** BM25 top-k document retrieval — the standard lexical ranking
+    * function (Robertson/Sparck-Jones; the Lucene default scoring),
+    * and the retrieval half of dataset curation jobs like "pull the
+    * strongest matches for these probe queries out of the corpus"
+    * (contamination triage, topic audits, eval-set sourcing).
+    *
+    * score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the
+    * non-negative Lucene variant. Query terms are DEDUPLICATED (set
+    * semantics, the common implementation choice); per-pair scores are
+    * rounded to 6 dp BEFORE ranking so the top-k cut is reproducible
+    * across engines, rounding-ties broken by doc id.
+    *
+    * Scale shape — an inverted-index probe, never a corpus×queries
+    * product: tf is a partial+final aggregate keyed (doc, term); the
+    * BROADCAST query-term set hash-joins against it, so only the
+    * postings of queried terms survive to scoring; df broadcasts
+    * (vocab-sized), corpus stats are one broadcast row, dl joins
+    * doc-keyed, and the only remaining exchange is the per-query
+    * top-k window. Everything after the scan carries scalars.
+    *
+    * `queries` must expose (query_id, query_text); tokenization is the
+    * engine-wide whitespace contract ([[graft.text.TextOps.tokens]]). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params: k1=$k1 b=$b")
+    val tok = docs
+      .select(col(idCol), explode(graft.text.TextOps.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // N counts ALL documents (an empty doc is still a document); avgdl
+    // = total tokens / N, so empty docs weigh the average down exactly
+    // as the textbook definition says
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      .crossJoin(tok.agg(count(lit(1)).cast("double").as("total_tok")))
+      .select(col("n_docs"), (col("total_tok") / col("n_docs")).as("avgdl"))
+    val qterms = queries
+      .select(col("query_id"),
+        explode(graft.text.TextOps.tokens(col("query_text"))).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val scored = tf
+      .join(broadcast(qterms), "term") // postings of queried terms only
+      .join(broadcast(df), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col(idCol),
+        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))).as("s"))
+    val agg = scored.groupBy("query_id", idCol)
+      .agg(round(sum("s"), 6).as("bm25"))
+    val w = Window.partitionBy("query_id").orderBy(col("bm25").desc, col(idCol))
+    agg.withColumn("doc_rank", row_number().over(w).cast("long"))
+      .filter(col("doc_rank") <= k)
+      .select(col("query_id"), col("doc_rank"), col(idCol), col("bm25"))
+  }
+
   /** Corpus-trained bigram language-model score per document: the mean
     * log-probability avg ln P(w_i | w_{i-1}) under an add-one-smoothed
     * bigram model whose counts come from the corpus itself — the

@@ -39,6 +39,13 @@ object CorpusQueries {
   /** Tokens kept per source by corpus_token_budget. */
   private val TokenBudget = 800L
 
+  /** Literal probe queries for text_bm25_topk (terms drawn from the
+    * fixture vocabulary) and its top-k cut. k1=1.2, b=0.75 — the
+    * textbook defaults, inlined as 2.2/1.2/0.25/0.75 in the oracle. */
+  private val Bm25Queries = Seq(
+    "vector scan filter", "customer order join", "stream window agg")
+  private val Bm25K = 10
+
   /** Shards for the length-bucketed batcher's per-bucket windows —
     * 4 keeps every (bucket, shard) group populated at test SFs;
     * production sizes this with the cluster (see packLengthBucketed). */
@@ -388,6 +395,42 @@ object CorpusQueries {
         |FROM ranked WHERE rn <= 3""".stripMargin) { (s, dir) =>
       CorpusOps.tfIdfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
         .select(col("doc_id"), col("term"), col("tfidf"), col("term_rank"))
+    },
+
+    // ── BM25 top-k retrieval: inverted-index probe of three literal
+    // probe queries against the corpus; per-(query, doc) scores rounded
+    // to 6 dp before the rank (same cross-engine cut discipline as
+    // tf-idf / lm_score), rounding-ties broken by doc id. ─────────────
+    Q(
+      "text_bm25_topk",
+      s"""WITH q(query_id, query_text) AS (VALUES
+        |  (1, '${Bm25Queries(0)}'), (2, '${Bm25Queries(1)}'), (3, '${Bm25Queries(2)}')),
+        |tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+        |tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tokf GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_docs,
+        |                 (SELECT CAST(count(*) AS DOUBLE) FROM tokf) AS total_tok),
+        |qt AS (SELECT DISTINCT query_id, unnest(str_split(query_text, ' ')) AS term FROM q),
+        |scored AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |           (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (total_tok / n_docs))) AS s
+        |  FROM tf JOIN qt USING (term) JOIN df USING (term)
+        |       JOIN dl USING (doc_id) CROSS JOIN stats),
+        |agg AS (SELECT query_id, doc_id, round(sum(s), 6) AS bm25
+        |        FROM scored GROUP BY query_id, doc_id),
+        |ranked AS (SELECT query_id, doc_id, bm25,
+        |                  row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rn
+        |           FROM agg)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS BIGINT) AS doc_rank,
+        |       doc_id, bm25
+        |FROM ranked WHERE rn <= $Bm25K""".stripMargin) { (s, dir) =>
+      val probes = s.createDataFrame(
+        Bm25Queries.zipWithIndex.map { case (t, i) => (i + 1L, t) })
+        .toDF("query_id", "query_text")
+      CorpusOps.bm25TopK(docs(s, dir), "doc_id", "text", probes, k = Bm25K)
     },
 
     // ── Corpus-trained bigram LM quality score (perplexity proxy): the

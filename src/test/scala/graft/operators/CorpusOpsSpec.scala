@@ -145,6 +145,31 @@ class CorpusOpsSpec extends SparkSpec {
       (3L, "c", 1.216395, 1L), (3L, "d", 1.098612, 2L)))
   }
 
+  test("bm25TopK: hand-computed scores, dedup'd query terms, rank and k cut") {
+    val docsDf = Seq(
+      (1L, "a a b"),   // dl=3
+      (2L, "a c"),     // dl=2
+      (3L, "c c c d")  // dl=4
+    ).toDF("doc_id", "text")
+    // query 1 repeats 'a' — set semantics must score it once;
+    // query 2 has no match in doc 2 — that doc must be absent
+    val probes = Seq((1L, "a c a"), (2L, "b d")).toDF("query_id", "query_text")
+    val out = CorpusOps.bm25TopK(docsDf, "doc_id", "text", probes, k = 2)
+      .select("query_id", "doc_rank", "doc_id", "bm25")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // N=3 avgdl=3; df: a=2 b=1 c=2 d=1; idf(2)=ln(1.6) idf(1)=ln(8/3);
+    // norm(dl) = 1.2*(0.25+0.75*dl/3); values 6 dp (verified offline):
+    // q1: doc2 = 2*ln(1.6)*2.2/1.9 = 1.088429 > doc3 0.689339 > doc1
+    // 0.646255 (cut by k=2); q2: doc1 0.980829 > doc3 0.86313
+    assert(out == Set(
+      (1L, 1L, 2L, 1.088429), (1L, 2L, 3L, 0.689339),
+      (2L, 1L, 1L, 0.980829), (2L, 2L, 3L, 0.86313)))
+    // k=1 keeps only the leaders
+    val top1 = CorpusOps.bm25TopK(docsDf, "doc_id", "text", probes, k = 1)
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toSet
+    assert(top1 == Set((1L, 2L), (2L, 1L)))
+  }
+
   test("learnBpeMerges: the classic hug/pug/hugs trace, merge-by-merge") {
     // word frequencies: hug×10 pug×5 hugs×5 (docs carry the repeats)
     val docsDf = Seq(
