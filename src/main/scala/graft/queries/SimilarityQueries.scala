@@ -538,6 +538,55 @@ object SimilarityQueries {
         Similarity.initialCentroids(corpus, 10), threshold = 0.999)
     },
 
+    // ── Hard-negative mining (the DPR/SimCSE contrastive recipe): per
+    // anchor, top-k most-similar corpus vectors EXCLUDING self and the
+    // near-dup band (score ≥ 0.95 — a near-dup labeled "negative" is a
+    // false negative). Planted exact copies of every anchor (vec_id<5
+    // → +10000, cos = 1.0) must be excluded by the dup filter, not
+    // ranked first; oracle replays assignment, probing, scoring, and
+    // both exclusions, hash-exact down to the f64 scores. ─────────────
+    Q(
+      "ann_hard_negatives",
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 5),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM corpus ORDER BY vec_id LIMIT 10),
+        |assign AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT c.vec_id, c.v, cent.cid,
+        |      row_number() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_cosine_similarity(c.v, cent.cv) DESC, cent.cid) AS rn
+        |    FROM corpus c, cent) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM corpus WHERE vec_id < 5),
+        |probes AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.qid, cent.cid,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC, cent.cid) AS rn
+        |    FROM q, cent) WHERE rn <= 3),
+        |scored AS (
+        |  SELECT p.qid AS anchor_id, a.vec_id AS negative_id,
+        |    list_cosine_similarity(q.qv, a.v) AS score
+        |  FROM probes p
+        |  JOIN assign a ON a.cid = p.cid
+        |  JOIN q ON q.qid = p.qid
+        |  WHERE a.vec_id <> p.qid AND list_cosine_similarity(q.qv, a.v) < 0.95),
+        |ranked AS (
+        |  SELECT anchor_id, negative_id, score,
+        |    row_number() OVER (PARTITION BY anchor_id
+        |      ORDER BY score DESC, negative_id) AS rn
+        |  FROM scored)
+        |SELECT anchor_id, CAST(rn AS BIGINT) AS neg_rank, negative_id, score
+        |FROM ranked WHERE rn <= 10""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val corpus = e.unionAll(e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Similarity.hardNegatives(corpus.filter(col("vec_id") < 5), corpus,
+        k = 10, Similarity.initialCentroids(corpus, 10), nProbe = 3,
+        dupThreshold = 0.95)
+    },
+
     // ── Sign-LSH ANN: approximate scale path, fully oracle-bound ──────
     // The hyperplanes are DETERMINISTIC literals (parity of the first
     // hex digit of sha256("table:plane:dim")), so DuckDB recomputes the

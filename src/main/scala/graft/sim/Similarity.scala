@@ -370,20 +370,58 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "score")
   }
 
-  /** IVF search against an explicit (pre-built/pre-trained) centroid set. */
-  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
+  /** Shared IVF candidate scoring: corpus assigned per-row, queries
+    * probe nProbe cells, candidates scored by exact cosine — the
+    * (query_id, vec_id, score) stream both [[ivfTopKWith]] and
+    * [[hardNegatives]] rank. */
+  private def ivfScored(queries: DataFrame, corpus: DataFrame,
       cents: Centroids, nProbe: Int): DataFrame = {
     val cells = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("cid", nearestCid(corpus, cents, col("e")))
     val probes = queries
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
       .withColumn("cid", explode(probeCids(queries, cents, col("qe"), nProbe)))
-    val scored = cells.join(broadcast(probes), "cid")
+    cells.join(broadcast(probes), "cid")
       .select(col("query_id"), col("vec_id"),
         nativeCosine(corpus)(col("qe"), col("e")).as("score"))
+  }
+
+  /** IVF search against an explicit (pre-built/pre-trained) centroid set. */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
+      cents: Centroids, nProbe: Int): DataFrame = {
+    val scored = ivfScored(queries, corpus, cents, nProbe)
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "score")
+  }
+
+  /** Hard-negative mining for contrastive/embedding training (the
+    * DPR/SimCSE recipe): per anchor, the top-`k` MOST similar corpus
+    * vectors that are neither the anchor itself nor a near-duplicate
+    * (`score ≥ dupThreshold` — a near-dup labeled "negative" is a
+    * false negative that actively damages the contrastive loss, so
+    * the dup band is excluded BEFORE the top-k cut, not after).
+    *
+    * Exactly the [[ivfTopKWith]] probe shape — assignment is the
+    * zero-shuffle per-row argmin, candidates come from the anchor's
+    * nProbe nearest cells, only (anchor, candidate, score) scalars
+    * cross the final ranking exchange — so mining negatives for a
+    * full training set costs one IVF batch query, never an all-pairs
+    * pass. At rest, probing the cid-partitioned index
+    * ([[writeIvfIndex]]) makes candidate selection partition pruning. */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, k: Int,
+      cents: Centroids, nProbe: Int, dupThreshold: Double): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(dupThreshold > -1.0 && dupThreshold <= 1.0,
+      s"dupThreshold must be a cosine bound in (-1, 1]: $dupThreshold")
+    val scored = ivfScored(anchors, corpus, cents, nProbe)
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("score") < dupThreshold)
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= k)
+      .select(col("query_id").as("anchor_id"), col("neg_rank"),
+        col("vec_id").as("negative_id"), col("score"))
   }
 
   /** Deterministic ±1 hyperplane: component j of plane p in table t is

@@ -369,6 +369,40 @@ class SimilaritySpec extends SparkSpec {
       "expected the checkpointed assignment as an ExistingRDD leaf")
   }
 
+  test("hardNegatives excludes self and the near-dup band, ranks the rest by cosine") {
+    // corpus = fixture + exact copies of the anchors: the copy scores
+    // cosine 1.0 against its anchor — the single most-similar
+    // candidate — and must be EXCLUDED by the dup filter (a near-dup
+    // labeled negative is a false negative), not ranked first
+    val corpus = e.select("vec_id", "embedding")
+      .unionAll(e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val cents = Similarity.initialCentroids(corpus, 10)
+    val negs = Similarity.hardNegatives(corpus.filter(col("vec_id") < 5),
+      corpus, k = 10, cents, nProbe = 3, dupThreshold = 0.95).cache()
+    val rows = negs.select("anchor_id", "negative_id", "score")
+      .as[(Long, Long, Double)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble)).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (a, n, _) => n != a && n != a + 10000 },
+      "self and the planted exact copy must never appear as negatives")
+    assert(rows.forall(_._3 < 0.95), "every negative sits below the dup band")
+    // ranking agrees with ivfTopKWith restricted to the same exclusions
+    val ref = Similarity.ivfTopKWith(corpus.filter(col("vec_id") < 5),
+      corpus, k = 20, cents, nProbe = 3)
+      .filter(col("vec_id") =!= col("query_id") && col("score") < 0.95)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    val refTop = ref.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id")).as[(Long, Long)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong)).collect().toSet
+    assert(rows.map { case (a, n, _) => (a, n) }.toSet == refTop)
+  }
+
   test("sign-block recall report: identical vectors always found, block-breaking flips measured lost") {
     import spark.implicits._
     // a controlled corpus: orthogonal-ish base vectors, exact copies
