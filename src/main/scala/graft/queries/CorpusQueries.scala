@@ -1123,6 +1123,48 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
     },
 
+    // ── Writer-side clustering via the graft.clusterBy table property
+    // (liquid-clustering shape): one scrambled append lands as FOUR
+    // disjoint doc_id ranges — proven from the log stats alone — so
+    // id-range pruning works on fresh data with no OPTIMIZE in
+    // between. The oracle recomputes the table content relationally;
+    // a row lost or doubled by the re-layout flips the digest. ────────
+    Q(
+      "store_clustered_append",
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS content_digest
+         |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.store.CommitLog
+      val a = docs(s, dir).select("doc_id", "source", "text")
+      val table = "/tmp/graft_state/clustered_docs"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      graft.store.GraftSql.execute(s,
+        s"ALTER TABLE graftlog.`$table` SET TBLPROPERTIES (" +
+          "'graft.clusterBy'='doc_id','graft.clusterBy.files'='4')")
+      // scrambled input partitioning: the property, not the caller's
+      // layout, must produce the clustering
+      CommitLog.append(a.repartition(8, pmod(col("doc_id") * 2654435761L,
+        lit(97))), table, mergeSchema = true)
+      val (_, withStats) = CommitLog.liveFilesWithStats(s, table)
+      require(withStats.size == 4,
+        s"clusterBy.files=4 expected 4 files, got ${withStats.size}")
+      val ranges = withStats.map { case (n, js) =>
+        val b = CommitLog.parseStatsJson(
+          js.getOrElse(sys.error(s"no stats on $n")))("doc_id")
+        (b._1.asInstanceOf[Long], b._2.asInstanceOf[Long])
+      }.sortBy(_._1)
+      require(ranges.sliding(2).forall {
+        case Seq((_, aMax), (bMin, _)) => aMax < bMin
+        case _ => true
+      }, s"clustered append produced overlapping file ranges: $ranges")
+      CommitLog.read(s, table, CommitLog.tableSchema(s, table))
+        .withColumn("h", graft.core.Hashing.rowDigest(col("doc_id"), col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
+    },
+
     // ── CONVERT TO GRAFT (in-place adoption): the engine writes the
     // documents table as PLAIN parquet (two generations), adopts it
     // with one metadata commit — PROVES zero files moved — and then

@@ -1474,8 +1474,8 @@ object CommitLog {
     // the intended use, making logged files probe-able by
     // pruneByFooterStats' point-lookup path
     val cs = constraintsAt(spark, tablePath)
-    val props = propertiesAt(spark, tablePath) // one fold, two consumers
-    toPhysical(enforcedWith(df, cs), mapping).write
+    val props = propertiesAt(spark, tablePath) // one fold, three consumers
+    toPhysical(enforcedWith(clusteredForWrite(df, props), cs), mapping).write
       .options(tableWriteOptionsWith(props, mapping, writeOptions))
       .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
@@ -1522,8 +1522,9 @@ object CommitLog {
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
     val cs = constraintsAt(spark, tablePath)
-    toPhysical(enforcedWith(df, cs), mapping).write
-      .options(tableWriteOptions(spark, tablePath, writeOptions))
+    val props = propertiesAt(spark, tablePath)
+    toPhysical(enforcedWith(clusteredForWrite(df, props), cs), mapping).write
+      .options(tableWriteOptionsWith(props, mapping, writeOptions))
       .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     if (names.isEmpty && live.isEmpty) return version // nothing to publish
@@ -1955,6 +1956,51 @@ object CommitLog {
     * call sites that have not already read it. */
   private def maybeAutoCompact(spark: SparkSession, tablePath: String): Unit =
     maybeAutoCompact(spark, tablePath, propertiesAt(spark, tablePath))
+
+  /** Writer-side clustering behind the `graft.clusterBy` table
+    * property (the Delta liquid-clustering / `CLUSTER BY` shape,
+    * applied at WRITE time): a table that carries `graft.clusterBy =
+    * "c"` (range) or `"a,b[,…]"` (Z-order, [[ZOrder.layout]]) lays
+    * every append/overwrite batch out along the declared key(s) before
+    * landing it, so min/max footer + log-stats pruning works on
+    * freshly-written data without waiting for a scheduled OPTIMIZE —
+    * on a 100 TB ingest that is the difference between "pruning after
+    * tonight's maintenance window" and "pruning now". Scheduled
+    * `OPTIMIZE … ZORDER BY` remains the cross-batch re-cluster (this
+    * orders WITHIN one write batch; batches still overlap each other).
+    *
+    * The incoming batch is materialized once (eager localCheckpoint —
+    * batch-scale, spill-safe, ContextCleaner-collected with the frame;
+    * the semanticDedup precedent): both the range/Z layout passes and
+    * the write would otherwise each recompute the caller's plan.
+    * Output file count defaults to the batch's own partition count
+    * (the files the write would have produced anyway, re-cut by range)
+    * — `graft.clusterBy.files` overrides.
+    *
+    * Unlike the auto-compact follow-on this is NOT failure-isolated: a
+    * bad spec (missing column) fails the append loudly — silently
+    * landing unclustered data would break the property's pruning
+    * promise invisibly. An empty batch skips the layout (no range to
+    * cluster on). */
+  private def clusteredForWrite(df: DataFrame,
+      props: Map[String, String]): DataFrame =
+    props.get("graft.clusterBy") match {
+      case None => df
+      case Some(spec) =>
+        val cols = spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty, s"graft.clusterBy is empty: '$spec'")
+        val missing = cols.filterNot(df.columns.contains)
+        require(missing.isEmpty,
+          s"graft.clusterBy names column(s) ${missing.mkString(", ")} " +
+            s"absent from the written frame (${df.columns.mkString(", ")})")
+        val ck = df.localCheckpoint(true)
+        if (ck.isEmpty) ck
+        else {
+          val nOut = props.get("graft.clusterBy.files").map(_.trim.toInt)
+            .getOrElse(math.max(1, ck.rdd.getNumPartitions))
+          ZOrder.layout(ck, nOut, Some(cols.mkString(",")))
+        }
+    }
 
   /** Highest batch id a streaming query has committed into this table,
     * parsed from `txn=<queryId>:<batchId>` commit tags AND the tags

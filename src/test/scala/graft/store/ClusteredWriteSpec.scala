@@ -1,0 +1,109 @@
+package graft.store
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Writer-side clustering behind the `graft.clusterBy` table property
+  * ([[CommitLog.clusteredForWrite]]): appended batches land range- or
+  * Z-order-clustered, so log-stats pruning bites on fresh data without
+  * a scheduled OPTIMIZE; a bad spec fails the write loudly; an empty
+  * batch and a property-free table are untouched. */
+class ClusteredWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(name: String): String = {
+    val p = s"/tmp/graft_test/cluster_write_$name"
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    p
+  }
+
+  /** Per-live-file (min, max) log-stats bounds of a long column. */
+  private def bounds(t: String, c: String): Seq[(Long, Long)] = {
+    val (_, withStats) = CommitLog.liveFilesWithStats(spark, t)
+    withStats.map { case (n, js) =>
+      val b = CommitLog.parseStatsJson(js.getOrElse(fail(s"no stats on $n")))(c)
+      (b._1.asInstanceOf[Long], b._2.asInstanceOf[Long])
+    }
+  }
+
+  test("range clusterBy: appended batch lands as disjoint per-file ranges") {
+    val t = freshDir("range")
+    // property first (empty table), then one wide shuffled batch
+    CommitLog.setProperties(spark, t,
+      Map("graft.clusterBy" -> "id", "graft.clusterBy.files" -> "4"))
+    val batch = spark.range(0, 400).select(col("id"))
+      .withColumn("r", pmod(col("id") * 2654435761L, lit(97)))
+      .repartition(8, col("r")).drop("r") // scrambled input partitioning
+    batch.write.format("graftlog").mode("append").save(t)
+    val b = bounds(t, "id")
+    assert(b.size == 4, s"expected graft.clusterBy.files=4 files, got $b")
+    // clustered: ranges are pairwise disjoint (so any id predicate
+    // prunes to one file from the log alone) and cover all rows
+    val sorted = b.sortBy(_._1)
+    assert(sorted.sliding(2).forall {
+      case Seq((_, aMax), (bMin, _)) => aMax < bMin
+      case _ => true
+    }, s"file ranges overlap: $sorted")
+    assert(spark.read.format("graftlog").load(t).count() == 400)
+    assert(spark.read.format("graftlog").load(t)
+      .where(col("id") === 137L).count() == 1)
+  }
+
+  test("multi-column clusterBy Z-orders: both columns' per-file ranges narrow") {
+    val t = freshDir("zorder")
+    CommitLog.setProperties(spark, t,
+      Map("graft.clusterBy" -> "x,y", "graft.clusterBy.files" -> "4"))
+    val grid = (0L until 32L).flatMap(x => (0L until 32L).map(y => (x, y)))
+    grid.toDF("x", "y").repartition(8).write
+      .format("graftlog").mode("append").save(t)
+    val bx = bounds(t, "x"); val by = bounds(t, "y")
+    assert(bx.size == 4)
+    // Z-order promise: files cover hyper-rectangles, so BOTH columns
+    // prune — some file must exclude each edge of each dimension
+    // (plain single-column range clustering would leave the other
+    // column's per-file range at full width in every file)
+    assert(bx.exists(_._2 < 31) && bx.exists(_._1 > 0), s"x never narrows: $bx")
+    assert(by.exists(_._2 < 31) && by.exists(_._1 > 0), s"y never narrows: $by")
+    assert(spark.read.format("graftlog").load(t).count() == 32 * 32)
+  }
+
+  test("a bad spec fails the append loudly; empty batches and plain tables are untouched") {
+    val t = freshDir("bad")
+    CommitLog.setProperties(spark, t, Map("graft.clusterBy" -> "zzz"))
+    val before = CommitLog.latestVersion(spark, t)
+    val ex = intercept[IllegalArgumentException] {
+      Seq((1L, "a")).toDF("id", "s").write
+        .format("graftlog").mode("append").save(t)
+    }
+    assert(ex.getMessage.contains("zzz"))
+    assert(CommitLog.latestVersion(spark, t) == before,
+      "a refused clustered append must not commit")
+    // empty batch: no range to cluster on — append succeeds (no-op)
+    CommitLog.setProperties(spark, t, Map("graft.clusterBy" -> "id"))
+    Seq.empty[(Long, String)].toDF("id", "s").write
+      .format("graftlog").mode("append").save(t)
+    // property-free table: writes land exactly as the caller shaped them
+    val plain = freshDir("plain")
+    spark.range(0, 100).toDF("id").repartition(3)
+      .write.format("graftlog").mode("append").save(plain)
+    assert(CommitLog.liveFiles(spark, plain)._2.size == 3)
+  }
+
+  test("overwrite honors clusterBy: the replacement lands clustered") {
+    val t = freshDir("ow")
+    CommitLog.setProperties(spark, t,
+      Map("graft.clusterBy" -> "id", "graft.clusterBy.files" -> "3"))
+    spark.range(0, 30).toDF("id").write
+      .format("graftlog").mode("append").save(t)
+    spark.range(0, 300).toDF("id").repartition(8)
+      .write.format("graftlog").mode("overwrite").save(t)
+    val b = bounds(t, "id").sortBy(_._1)
+    assert(b.size == 3, s"expected 3 files, got $b")
+    assert(b.sliding(2).forall {
+      case Seq((_, aMax), (bMin, _)) => aMax < bMin
+      case _ => true
+    }, s"overwrite files overlap: $b")
+    assert(spark.read.format("graftlog").load(t).count() == 300)
+  }
+}
