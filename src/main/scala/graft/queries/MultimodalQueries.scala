@@ -76,6 +76,60 @@ object MultimodalQueries {
       |  SELECT id, dhash, bs.band, (dhash >> (bs.band * 16)) & 65535 AS bv
       |  FROM hashes CROSS JOIN range(0, 4) bs(band))""".stripMargin
 
+  /** The AUDIO print pipeline (DuckDB): 30 originals + 30 bit-identical
+    * copies (1000s) + 30 one-sample-muted variants (2000s) → PCM energy
+    * → 65 windows → 64 brightness bits → 64-bit print → width-16 band
+    * values. Shared by multimodal_audio_fingerprint and
+    * stream_audio_incremental so the batch operator and the streaming
+    * drain replay the identical pipeline. */
+  private[queries] val AudioPipelineCtes: String =
+    """ids AS (
+      |  SELECT i AS clip, CAST(i AS BIGINT) AS id, 0 AS muted
+      |  FROM range(0, 30) t(i)
+      |  UNION ALL SELECT i, 1000 + i, 0 FROM range(0, 30) t(i)
+      |  UNION ALL SELECT i, 2000 + i, 1 FROM range(0, 30) t(i)),
+      |dims AS (
+      |  SELECT DISTINCT clip, 1 + clip % 2 AS ch,
+      |    200 + 40 * (clip % 8) AS frames
+      |  FROM ids),
+      |e AS (
+      |  SELECT i.id, d.frames, fs.f,
+      |    SUM(CASE WHEN i.muted = 1 AND fs.f = 0 AND cs.c = 0 THEN 0
+      |      WHEN i.clip % 3 = 0
+      |        THEN ((i.clip*131 + (2*(fs.f*d.ch+cs.c)+1)*7) & 127) * 256
+      |             + ((i.clip*131 + (2*(fs.f*d.ch+cs.c))*7) & 127)
+      |      ELSE ((i.clip*131 + (2*(fs.f*d.ch+cs.c))*7) & 127) * 256
+      |           + ((i.clip*131 + (2*(fs.f*d.ch+cs.c)+1)*7) & 127)
+      |      END) AS e
+      |  FROM ids i
+      |  JOIN dims d USING (clip)
+      |  CROSS JOIN range(0, 480) fs(f)
+      |  CROSS JOIN range(0, 2) cs(c)
+      |  WHERE fs.f < d.frames AND cs.c < d.ch
+      |  GROUP BY i.id, d.frames, fs.f),
+      |win AS (
+      |  SELECT id, (f * 65) // frames AS w, SUM(e) AS s, COUNT(*) AS n
+      |  FROM e GROUP BY id, (f * 65) // frames),
+      |grid AS (
+      |  SELECT b.id, ws.w, COALESCE(win.s, 0) AS s,
+      |    GREATEST(COALESCE(win.n, 0), 1) AS n
+      |  FROM (SELECT DISTINCT id FROM ids) b
+      |  CROSS JOIN range(0, 65) ws(w)
+      |  LEFT JOIN win ON win.id = b.id AND win.w = ws.w),
+      |bits AS (
+      |  SELECT l.id, l.w,
+      |    CASE WHEN l.s * r.n > r.s * l.n THEN 1 ELSE 0 END AS bit
+      |  FROM grid l JOIN grid r ON r.id = l.id AND r.w = l.w + 1
+      |  WHERE l.w < 64),
+      |hashes AS (
+      |  SELECT id, CAST(SUM(CASE
+      |      WHEN w = 63 THEN CASE WHEN bit = 1 THEN -9223372036854775808 ELSE 0 END
+      |      ELSE bit * (1::BIGINT << w) END) AS BIGINT) AS h
+      |  FROM bits GROUP BY id),
+      |banded AS (
+      |  SELECT id, h, bs.band, (h >> (bs.band * 16)) & 65535 AS bv
+      |  FROM hashes CROSS JOIN range(0, 4) bs(band))""".stripMargin
+
   /** The recall-evaluation corpus pipeline (DuckDB): originals +
     * 1-pixel variants (2000s) + heavy one-white-pixel-per-row variants
     * (3000s) → 64-bit hashes → WIDTH-8 band values (the lossy-regime
@@ -514,52 +568,7 @@ object MultimodalQueries {
     // variants. ───────────────────────────────────────────────────────
     Q(
       "multimodal_audio_fingerprint",
-      """WITH ids AS (
-        |  SELECT i AS clip, CAST(i AS BIGINT) AS id, 0 AS muted
-        |  FROM range(0, 30) t(i)
-        |  UNION ALL SELECT i, 1000 + i, 0 FROM range(0, 30) t(i)
-        |  UNION ALL SELECT i, 2000 + i, 1 FROM range(0, 30) t(i)),
-        |dims AS (
-        |  SELECT DISTINCT clip, 1 + clip % 2 AS ch,
-        |    200 + 40 * (clip % 8) AS frames
-        |  FROM ids),
-        |e AS (
-        |  SELECT i.id, d.frames, fs.f,
-        |    SUM(CASE WHEN i.muted = 1 AND fs.f = 0 AND cs.c = 0 THEN 0
-        |      WHEN i.clip % 3 = 0
-        |        THEN ((i.clip*131 + (2*(fs.f*d.ch+cs.c)+1)*7) & 127) * 256
-        |             + ((i.clip*131 + (2*(fs.f*d.ch+cs.c))*7) & 127)
-        |      ELSE ((i.clip*131 + (2*(fs.f*d.ch+cs.c))*7) & 127) * 256
-        |           + ((i.clip*131 + (2*(fs.f*d.ch+cs.c)+1)*7) & 127)
-        |      END) AS e
-        |  FROM ids i
-        |  JOIN dims d USING (clip)
-        |  CROSS JOIN range(0, 480) fs(f)
-        |  CROSS JOIN range(0, 2) cs(c)
-        |  WHERE fs.f < d.frames AND cs.c < d.ch
-        |  GROUP BY i.id, d.frames, fs.f),
-        |win AS (
-        |  SELECT id, (f * 65) // frames AS w, SUM(e) AS s, COUNT(*) AS n
-        |  FROM e GROUP BY id, (f * 65) // frames),
-        |grid AS (
-        |  SELECT b.id, ws.w, COALESCE(win.s, 0) AS s,
-        |    GREATEST(COALESCE(win.n, 0), 1) AS n
-        |  FROM (SELECT DISTINCT id FROM ids) b
-        |  CROSS JOIN range(0, 65) ws(w)
-        |  LEFT JOIN win ON win.id = b.id AND win.w = ws.w),
-        |bits AS (
-        |  SELECT l.id, l.w,
-        |    CASE WHEN l.s * r.n > r.s * l.n THEN 1 ELSE 0 END AS bit
-        |  FROM grid l JOIN grid r ON r.id = l.id AND r.w = l.w + 1
-        |  WHERE l.w < 64),
-        |hashes AS (
-        |  SELECT id, CAST(SUM(CASE
-        |      WHEN w = 63 THEN CASE WHEN bit = 1 THEN -9223372036854775808 ELSE 0 END
-        |      ELSE bit * (1::BIGINT << w) END) AS BIGINT) AS h
-        |  FROM bits GROUP BY id),
-        |banded AS (
-        |  SELECT id, h, bs.band, (h >> (bs.band * 16)) & 65535 AS bv
-        |  FROM hashes CROSS JOIN range(0, 4) bs(band)),
+      s"""WITH $AudioPipelineCtes,
         |pairs AS (
         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.h AS h_a, b.h AS h_b
         |  FROM banded a JOIN banded b

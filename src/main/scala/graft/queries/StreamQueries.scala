@@ -241,6 +241,40 @@ object StreamQueries {
       StreamingJobs.incrementalPhashResult(s, root)
     },
 
+    // ── The AUDIO sibling of stream_phash_incremental: the same
+    // modality-generic probe-then-append loop over the at-rest band
+    // index, PCM energy prints as the hash, crash injected after
+    // batch 1's pair commit (the other durable edge from the phash
+    // row, so both fence sides stay covered between the two rows),
+    // restarted from the same checkpoint. Drained pairs must equal the
+    // batch banding restricted to arrival pairs (shared
+    // AudioPipelineCtes oracle). ──────────────────────────────────────
+    Q(
+      "stream_audio_incremental",
+      s"""WITH ${MultimodalQueries.AudioPipelineCtes},
+         |pairs AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |    a.h AS h_a, b.h AS h_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
+         |  WHERE b.id >= 1000)
+         |SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INTEGER) AS distance
+         |FROM pairs WHERE bit_count(xor(h_a, h_b)) <= 3""".stripMargin) { (s, _) =>
+      val root = "/tmp/graft_state/audio_stream"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ckpt = Files.createTempDirectory("graft_ckpt_audio").toString
+      val boom = (bid: Long, stage: String) =>
+        if (bid == 1 && stage == "pairs")
+          throw new RuntimeException("injected post-commit failure")
+      try StreamingJobs.incrementalAudioRun(s, root, ckpt, boom)
+        .awaitTermination()
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+      StreamingJobs.incrementalAudioRun(s, root, ckpt).awaitTermination()
+      StreamingJobs.incrementalPhashResult(s, root)
+    },
+
     // ── Streaming count-min sketch: the depth×width counter table
     // maintained as a streaming aggregation (state bounded by the
     // sketch size forever — no watermark, no unbounded keyspace), then

@@ -498,16 +498,69 @@ object StreamingJobs {
       checkpoint: String,
       crashAfter: (Long, String) => Unit = (_, _) => ()): StreamingQuery = {
     import graft.multimodal.{ImageFixture, Multimodal}
+    val originals = mediaScan(spark, ImageFixture.ensure(), "img_(\\d+)", 0L)
+      .filter(col("doc_id") % 3 =!= 2)
+    incrementalBandedRun(spark, stateRoot, checkpoint,
+      originals = originals,
+      stageArrivals = () => originals.filter(col("doc_id") < 24)
+        .select((col("doc_id") + 1000).as("doc_id"), col("content"))
+        .unionByName(mediaScan(spark, ImageFixture.ensureVariants(),
+          "var_(\\d+)", 2000L)),
+      hasher = ds => {
+        import spark.implicits._
+        Multimodal.dHashes(ds.as[Multimodal.MediaIn]).toDF()
+      },
+      tagPrefix = "phash", maxDistance = 3, crashAfter = crashAfter)
+  }
+
+  /** [[incrementalPhashRun]] for the AUDIO print family: the same
+    * at-rest banded index, probe-then-append exactly-once loop, and
+    * crash fences, with PCM energy fingerprints
+    * ([[graft.multimodal.Multimodal.audioFingerprints]]) as the hash.
+    * Originals bootstrap the index; arrivals are exact copies (+1000)
+    * and the one-sample-muted variants (+2000), mirroring the batch
+    * `multimodal_audio_fingerprint` corpus so the shared oracle can
+    * replay the arrival-restricted pair set. */
+  def incrementalAudioRun(spark: SparkSession, stateRoot: String,
+      checkpoint: String,
+      crashAfter: (Long, String) => Unit = (_, _) => ()): StreamingQuery = {
+    import graft.multimodal.{AudioFixture, Multimodal}
+    val originals = mediaScan(spark, AudioFixture.ensure(), "clip_(\\d+)", 0L)
+    incrementalBandedRun(spark, stateRoot, checkpoint,
+      originals = originals,
+      stageArrivals = () => originals
+        .select((col("doc_id") + 1000).as("doc_id"), col("content"))
+        .unionByName(mediaScan(spark, AudioFixture.ensureVariants(),
+          "var_(\\d+)", 2000L)),
+      hasher = ds => {
+        import spark.implicits._
+        Multimodal.audioFingerprints(ds.as[Multimodal.MediaIn]).toDF()
+      },
+      tagPrefix = "audio", maxDistance = 3, crashAfter = crashAfter)
+  }
+
+  /** (doc_id, content) frame from a binary media fixture directory. */
+  private def mediaScan(spark: SparkSession, dir: String, pat: String,
+      offset: Long): DataFrame =
+    graft.multimodal.Multimodal.scanBinary(spark, dir)
+      .select((regexp_extract(col("key"), pat, 1).cast("long") + offset)
+        .as("doc_id"), col("content"))
+
+  /** The modality-generic incremental banded dedup loop both
+    * [[incrementalPhashRun]] and [[incrementalAudioRun]] drive —
+    * `hasher` is the only modality-specific step (payload → 64-bit
+    * print), everything about the exactly-once protocol is shared. */
+  private def incrementalBandedRun(spark: SparkSession, stateRoot: String,
+      checkpoint: String, originals: DataFrame,
+      stageArrivals: () => DataFrame,
+      hasher: DataFrame => DataFrame, tagPrefix: String,
+      maxDistance: Int,
+      crashAfter: (Long, String) => Unit): StreamingQuery = {
+    import graft.multimodal.Multimodal
     import graft.store.CommitLog
     val idxTable = s"$stateRoot/band_index"
     val pairsTable = s"$stateRoot/pairs"
     val arrivals = s"$stateRoot/arrivals"
-    def scan(dir: String, pat: String, offset: Long) =
-      Multimodal.scanBinary(spark, dir)
-        .select((regexp_extract(col("key"), pat, 1).cast("long") + offset)
-          .as("doc_id"), col("content"))
-    val originals = scan(ImageFixture.ensure(), "img_(\\d+)", 0L)
-      .filter(col("doc_id") % 3 =!= 2)
     val fs = new org.apache.hadoop.fs.Path(stateRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // bootstrap the at-rest index once per stateRoot, FENCED by its
@@ -520,13 +573,8 @@ object StreamingJobs {
     // unconditionally, appendOnce's batch-0 fence skips iff the
     // originals' commit actually landed, and a fenced skip costs one
     // driver-side ledger read (the decode plan is lazy — no job runs).
-    locally {
-      import spark.implicits._
-      Multimodal.appendBandedIndexOnce(spark, idxTable,
-        Multimodal.dHashes(originals.as[Multimodal.MediaIn]).toDF(),
-        "phash_bootstrap", 0L)
-      ()
-    }
+    Multimodal.appendBandedIndexOnce(spark, idxTable,
+      hasher(originals), s"${tagPrefix}_bootstrap", 0L)
     // stage the arrival payloads as a multi-file parquet so
     // AvailableNow drains them across several micro-batches. Staging
     // is NOT atomic, so completion is OUR OWN marker written after the
@@ -540,11 +588,7 @@ object StreamingJobs {
     val stagedMarker = new org.apache.hadoop.fs.Path(arrivalsPath, "_graft_staged")
     if (!fs.exists(stagedMarker)) {
       fs.delete(arrivalsPath, true)
-      val copies = originals.filter(col("doc_id") < 24)
-        .select((col("doc_id") + 1000).as("doc_id"), col("content"))
-      val variants = scan(ImageFixture.ensureVariants(), "var_(\\d+)", 2000L)
-      copies.unionByName(variants).repartition(4)
-        .write.parquet(arrivals)
+      stageArrivals().repartition(4).write.parquet(arrivals)
       fs.create(stagedMarker, true).close()
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -560,28 +604,26 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         val s = batch.sparkSession
-        import s.implicits._
         // decode+hash once; the batch has three consumers (probe,
         // within-batch self-join ×2, band append)
-        val hashesB = Multimodal.dHashes(
-          batch.select(col("doc_id"), col("content"))
-            .as[Multimodal.MediaIn]).toDF().persist()
+        val hashesB = hasher(
+          batch.select(col("doc_id"), col("content"))).persist()
         hashesB.count()
         try {
           // pairs FIRST — they read the PRE-batch index state, so a
           // replay (which re-probes if the band append never landed)
           // recomputes the identical set. Even the window no fence
           // covers — a NO-pairs batch lands zero files so the
-          // phash_pairs fence never advances, and a crash after the
+          // pairs fence never advances, and a crash after the
           // band commit replays against an index holding the batch's
-          // OWN bands — converges: see phashBatchPairs' contract.
-          CommitLog.appendOnce(phashBatchPairs(idxTable, hashesB),
-            pairsTable, "phash_pairs", bid)
+          // OWN bands — converges: see bandedBatchPairs' contract.
+          CommitLog.appendOnce(bandedBatchPairs(idxTable, hashesB, maxDistance),
+            pairsTable, s"${tagPrefix}_pairs", bid)
           crashAfter(bid, "pairs")
           // ...THEN the batch joins the index (reversing this would
           // double-discover within-batch pairs through the probe)
           Multimodal.appendBandedIndexOnce(s, idxTable, hashesB,
-            "phash_bands", bid)
+            s"${tagPrefix}_bands", bid)
           crashAfter(bid, "bands")
         } finally { hashesB.unpersist(); () }
         ()
@@ -604,19 +646,24 @@ object StreamingJobs {
     * Package-visible so the replay algebra is spec-pinned without a
     * streaming harness (StreamingSpec "phash replay algebra"). */
   private[streaming] def phashBatchPairs(idxTable: String,
-      hashesB: DataFrame): DataFrame = {
+      hashesB: DataFrame): DataFrame =
+    bandedBatchPairs(idxTable, hashesB, maxDistance = 3)
+
+  private def bandedBatchPairs(idxTable: String,
+      hashesB: DataFrame, maxDistance: Int): DataFrame = {
     import graft.multimodal.Multimodal
     val s = hashesB.sparkSession
     val cross = Multimodal
-      .probeBandedIndexAt(s, idxTable, hashesB, maxDistance = 3)
+      .probeBandedIndexAt(s, idxTable, hashesB, maxDistance = maxDistance)
       .select(least(col("index_id"), col("incoming_id")).as("id_a"),
         greatest(col("index_id"), col("incoming_id")).as("id_b"),
         col("distance"))
-    val within = Multimodal.bandedNearDupPairs(hashesB, maxDistance = 3)
+    val within = Multimodal.bandedNearDupPairs(hashesB, maxDistance = maxDistance)
     cross.unionByName(within).distinct()
   }
 
-  /** The drained pairs of an [[incrementalPhashRun]] state root. */
+  /** The drained pairs of an [[incrementalBandedRun]] state root
+    * (either modality — the pairs table shape is shared). */
   def incrementalPhashResult(spark: SparkSession, stateRoot: String): DataFrame =
     graft.store.CommitLog.read(spark, s"$stateRoot/pairs",
       org.apache.spark.sql.types.StructType(Seq(
