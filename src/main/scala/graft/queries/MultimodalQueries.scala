@@ -130,6 +130,51 @@ object MultimodalQueries {
       |  SELECT id, h, bs.band, (h >> (bs.band * 16)) & 65535 AS bv
       |  FROM hashes CROSS JOIN range(0, 4) bs(band))""".stripMargin
 
+  /** The VIDEO container-fingerprint pipeline (DuckDB): 24 varied-size
+    * fixtures + 24 bit-identical copies (1000s) + 24 one-sample-grown
+    * variants (2000s) → stsz size sequence → 65 windows → 64 bits →
+    * 64-bit print → width-16 band values. Shared by
+    * multimodal_video_fingerprint and stream_video_incremental. */
+  private[queries] val VideoPipelineCtes: String =
+    """ids AS (
+      |  SELECT i AS vid, CAST(i AS BIGINT) AS id, 0 AS mut
+      |  FROM range(0, 24) t(i)
+      |  UNION ALL SELECT i, 1000 + i, 0 FROM range(0, 24) t(i)
+      |  UNION ALL SELECT i, 2000 + i, 1 FROM range(0, 24) t(i)),
+      |dims AS (
+      |  SELECT DISTINCT vid, 1 + vid % 2 AS tr, 40 + vid % 16 AS nf
+      |  FROM ids),
+      |sizes AS (
+      |  SELECT i.id, d.tr * d.nf AS total, gs.g,
+      |    100 + (i.vid * 31 + (gs.g // d.nf + 1) * 53 + (gs.g % d.nf) * 17) % 97
+      |      + CASE WHEN i.mut = 1 AND gs.g = 0 THEN 911 ELSE 0 END AS sz
+      |  FROM ids i
+      |  JOIN dims d USING (vid)
+      |  CROSS JOIN range(0, 112) gs(g)
+      |  WHERE gs.g < d.tr * d.nf),
+      |win AS (
+      |  SELECT id, (g * 65) // total AS w, SUM(sz) AS s, COUNT(*) AS n
+      |  FROM sizes GROUP BY id, (g * 65) // total),
+      |grid AS (
+      |  SELECT b.id, ws.w, COALESCE(win.s, 0) AS s,
+      |    GREATEST(COALESCE(win.n, 0), 1) AS n
+      |  FROM (SELECT DISTINCT id FROM ids) b
+      |  CROSS JOIN range(0, 65) ws(w)
+      |  LEFT JOIN win ON win.id = b.id AND win.w = ws.w),
+      |bits AS (
+      |  SELECT l.id, l.w,
+      |    CASE WHEN l.s * r.n > r.s * l.n THEN 1 ELSE 0 END AS bit
+      |  FROM grid l JOIN grid r ON r.id = l.id AND r.w = l.w + 1
+      |  WHERE l.w < 64),
+      |hashes AS (
+      |  SELECT id, CAST(SUM(CASE
+      |      WHEN w = 63 THEN CASE WHEN bit = 1 THEN -9223372036854775808 ELSE 0 END
+      |      ELSE bit * (1::BIGINT << w) END) AS BIGINT) AS h
+      |  FROM bits GROUP BY id),
+      |banded AS (
+      |  SELECT id, h, bs.band, (h >> (bs.band * 16)) & 65535 AS bv
+      |  FROM hashes CROSS JOIN range(0, 4) bs(band))""".stripMargin
+
   /** The recall-evaluation corpus pipeline (DuckDB): originals +
     * 1-pixel variants (2000s) + heavy one-white-pixel-per-row variants
     * (3000s) → 64-bit hashes → WIDTH-8 band values (the lossy-regime
@@ -701,44 +746,7 @@ object MultimodalQueries {
     // relationally from the fixture arithmetic. ───────────────────────
     Q(
       "multimodal_video_fingerprint",
-      """WITH ids AS (
-        |  SELECT i AS vid, CAST(i AS BIGINT) AS id, 0 AS mut
-        |  FROM range(0, 24) t(i)
-        |  UNION ALL SELECT i, 1000 + i, 0 FROM range(0, 24) t(i)
-        |  UNION ALL SELECT i, 2000 + i, 1 FROM range(0, 24) t(i)),
-        |dims AS (
-        |  SELECT DISTINCT vid, 1 + vid % 2 AS tr, 40 + vid % 16 AS nf
-        |  FROM ids),
-        |sizes AS (
-        |  SELECT i.id, d.tr * d.nf AS total, gs.g,
-        |    100 + (i.vid * 31 + (gs.g // d.nf + 1) * 53 + (gs.g % d.nf) * 17) % 97
-        |      + CASE WHEN i.mut = 1 AND gs.g = 0 THEN 911 ELSE 0 END AS sz
-        |  FROM ids i
-        |  JOIN dims d USING (vid)
-        |  CROSS JOIN range(0, 112) gs(g)
-        |  WHERE gs.g < d.tr * d.nf),
-        |win AS (
-        |  SELECT id, (g * 65) // total AS w, SUM(sz) AS s, COUNT(*) AS n
-        |  FROM sizes GROUP BY id, (g * 65) // total),
-        |grid AS (
-        |  SELECT b.id, ws.w, COALESCE(win.s, 0) AS s,
-        |    GREATEST(COALESCE(win.n, 0), 1) AS n
-        |  FROM (SELECT DISTINCT id FROM ids) b
-        |  CROSS JOIN range(0, 65) ws(w)
-        |  LEFT JOIN win ON win.id = b.id AND win.w = ws.w),
-        |bits AS (
-        |  SELECT l.id, l.w,
-        |    CASE WHEN l.s * r.n > r.s * l.n THEN 1 ELSE 0 END AS bit
-        |  FROM grid l JOIN grid r ON r.id = l.id AND r.w = l.w + 1
-        |  WHERE l.w < 64),
-        |hashes AS (
-        |  SELECT id, CAST(SUM(CASE
-        |      WHEN w = 63 THEN CASE WHEN bit = 1 THEN -9223372036854775808 ELSE 0 END
-        |      ELSE bit * (1::BIGINT << w) END) AS BIGINT) AS h
-        |  FROM bits GROUP BY id),
-        |banded AS (
-        |  SELECT id, h, bs.band, (h >> (bs.band * 16)) & 65535 AS bv
-        |  FROM hashes CROSS JOIN range(0, 4) bs(band)),
+      s"""WITH $VideoPipelineCtes,
         |pairs AS (
         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.h AS h_a, b.h AS h_b
         |  FROM banded a JOIN banded b

@@ -275,6 +275,38 @@ object StreamQueries {
       StreamingJobs.incrementalPhashResult(s, root)
     },
 
+    // ── And the VIDEO sibling: container fingerprints through the
+    // same generic loop, crash injected after the band commit of
+    // batch 0 (the earliest durable edge — a replay of the FIRST
+    // arrival batch, where the index holds only originals plus the
+    // batch's own bands). Drained pairs ≡ batch banding restricted to
+    // arrivals, via the shared VideoPipelineCtes. ─────────────────────
+    Q(
+      "stream_video_incremental",
+      s"""WITH ${MultimodalQueries.VideoPipelineCtes},
+         |pairs AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |    a.h AS h_a, b.h AS h_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
+         |  WHERE b.id >= 1000)
+         |SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INTEGER) AS distance
+         |FROM pairs WHERE bit_count(xor(h_a, h_b)) <= 3""".stripMargin) { (s, _) =>
+      val root = "/tmp/graft_state/video_stream"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ckpt = Files.createTempDirectory("graft_ckpt_video").toString
+      val boom = (bid: Long, stage: String) =>
+        if (bid == 0 && stage == "bands")
+          throw new RuntimeException("injected post-commit failure")
+      try StreamingJobs.incrementalVideoRun(s, root, ckpt, boom)
+        .awaitTermination()
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+      StreamingJobs.incrementalVideoRun(s, root, ckpt).awaitTermination()
+      StreamingJobs.incrementalPhashResult(s, root)
+    },
+
     // ── Streaming count-min sketch: the depth×width counter table
     // maintained as a streaming aggregation (state bounded by the
     // sketch size forever — no watermark, no unbounded keyspace), then

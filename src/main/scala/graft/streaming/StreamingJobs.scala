@@ -539,6 +539,31 @@ object StreamingJobs {
       tagPrefix = "audio", maxDistance = 3, crashAfter = crashAfter)
   }
 
+  /** [[incrementalPhashRun]] for the VIDEO container-fingerprint
+    * family: stsz sample-size prints
+    * ([[graft.multimodal.Multimodal.videoFingerprints]]) through the
+    * same at-rest index loop. Originals bootstrap; arrivals are exact
+    * copies (+1000) and one-sample-grown variants (+2000), mirroring
+    * the batch `multimodal_video_fingerprint` corpus. */
+  def incrementalVideoRun(spark: SparkSession, stateRoot: String,
+      checkpoint: String,
+      crashAfter: (Long, String) => Unit = (_, _) => ()): StreamingQuery = {
+    import graft.multimodal.{Multimodal, VideoFixture}
+    val originals = mediaScan(spark, VideoFixture.ensureFingerprintSet(),
+      "fvid_(\\d+)", 0L)
+    incrementalBandedRun(spark, stateRoot, checkpoint,
+      originals = originals,
+      stageArrivals = () => originals
+        .select((col("doc_id") + 1000).as("doc_id"), col("content"))
+        .unionByName(mediaScan(spark, VideoFixture.ensureFingerprintVariants(),
+          "fvar_(\\d+)", 2000L)),
+      hasher = ds => {
+        import spark.implicits._
+        Multimodal.videoFingerprints(ds.as[Multimodal.MediaIn]).toDF()
+      },
+      tagPrefix = "video", maxDistance = 3, crashAfter = crashAfter)
+  }
+
   /** (doc_id, content) frame from a binary media fixture directory. */
   private def mediaScan(spark: SparkSession, dir: String, pat: String,
       offset: Long): DataFrame =
