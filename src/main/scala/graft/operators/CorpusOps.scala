@@ -294,6 +294,74 @@ object CorpusOps {
       .select(col("query_id"), col("doc_rank"), col(idCol), col("bm25"))
   }
 
+  /** The trained-quality-classifier feature vector: bias + the four
+    * deterministic quality signals the fixed model
+    * ([[graft.text.TextOps.qualityModelScore]]) weighs — length
+    * saturation, punctuation ratio, capped stopword ratio, bigram
+    * repetition. All kernel-computed Columns; no UDFs. */
+  private def qualityFeatures(text: Column): Seq[Column] = Seq(
+    lit(1.0),
+    least(lit(1.0), length(text).cast("double") / 500.0),
+    graft.text.TextOps.punctRatio(text),
+    least(lit(1.0), graft.text.TextOps.stopwordRatio(text) * 4.0),
+    graft.text.TextOps.duplicateNgramFraction(text))
+
+  /** In-engine TRAINED quality classifier — the CCNet/GPT-3 recipe's
+    * missing half: [[graft.text.TextOps.qualityModelScore]] scores with
+    * FIXED weights; this FITS the weights to a label column by batch
+    * gradient descent on the logistic loss, entirely inside the
+    * engine. Each iteration is ONE aggregation over the training
+    * frame (avg of (σ(w·x) − y)·x per feature — partial+final
+    * combine, scalars only); the weight vector lives on the driver (5
+    * doubles) and is ROUNDED to 6 dp after every update, which is
+    * what makes the whole trajectory — and therefore the scores —
+    * reproducible across engines and partitionings (a float sum's
+    * ULP-level order sensitivity cannot survive the rounding).
+    *
+    * `iters` is loud-bounded (≤ 50): the driver loop runs one Spark
+    * job per iteration by design — batch GD on bounded features
+    * converges in a handful of steps, and a caller wanting an epoch
+    * count belongs in a real trainer, not a curation engine. At
+    * corpus scale the training frame is a labeled SAMPLE by contract
+    * (the recall-report precedent); SCORING with the result is one
+    * codegen'd projection over any corpus size. */
+  def trainQualityWeights(docs: DataFrame, textCol: String, label: Column,
+      iters: Int, lr: Double): Seq[Double] = {
+    require(iters >= 1 && iters <= 50,
+      s"iters must be in [1, 50] (one Spark job per iteration): $iters")
+    require(lr > 0, s"learning rate must be positive: $lr")
+    val feats = qualityFeatures(col(textCol))
+    var w = Seq.fill(feats.size)(0.0)
+    for (_ <- 0 until iters) {
+      val z = feats.zip(w).map { case (f, wi) => f * lit(wi) }.reduce(_ + _)
+      val err = lit(1.0) / (lit(1.0) + exp(-z)) - label.cast("double")
+      val aggs = feats.zipWithIndex.map { case (f, i) => avg(err * f).as(s"g$i") }
+      val g = docs.agg(aggs.head, aggs.tail: _*).head()
+      w = w.indices.map(i => round6(w(i) - lr * g.getDouble(i)))
+    }
+    w
+  }
+
+  /** Half-up to 6 dp — the same tie behavior as Spark's and DuckDB's
+    * `round(x, 6)` (away from zero), so driver-side weight updates and
+    * the oracle's SQL updates stay bit-comparable. */
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Score a corpus with [[trainQualityWeights]]' result: σ(w·x)
+    * rounded to 6 dp, keep = score ≥ 0.5. One codegen'd projection —
+    * no shuffle, no state. */
+  def scoreTrainedQuality(docs: DataFrame, idCol: String, textCol: String,
+      weights: Seq[Double]): DataFrame = {
+    val feats = qualityFeatures(col(textCol))
+    require(weights.size == feats.size,
+      s"expected ${feats.size} weights (bias + 4 features): $weights")
+    val z = feats.zip(weights).map { case (f, wi) => f * lit(wi) }.reduce(_ + _)
+    docs.select(col(idCol),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"))
+      .withColumn("keep", when(col("score") >= 0.5, 1L).otherwise(0L))
+  }
+
   /** Corpus-trained bigram language-model score per document: the mean
     * log-probability avg ln P(w_i | w_{i-1}) under an add-one-smoothed
     * bigram model whose counts come from the corpus itself — the

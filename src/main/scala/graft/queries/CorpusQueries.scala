@@ -46,6 +46,48 @@ object CorpusQueries {
     "vector scan filter", "customer order join", "stream window agg")
   private val Bm25K = 10
 
+  /** corpus_trained_quality hyperparameters (shared Spark/oracle). */
+  private val TqIters = 3
+  private val TqLr = 2.0
+
+  /** The trained-quality oracle: feature CTE + fixed-model labels,
+    * then the GD trajectory UNROLLED one CTE pair (gradient, rounded
+    * weight update) per iteration — generated from the same
+    * (TqIters, TqLr) the Spark side trains with, so the two cannot
+    * drift. */
+  private def trainedQualityOracleSql: String = {
+    val wx = "b + w1*x1 + w2*x2 + w3*x3 + w4*x4"
+    val iterCtes = (1 to TqIters).map { k =>
+      s"""g$k AS (
+         |  SELECT avg(e) AS g0, avg(e*x1) AS g1, avg(e*x2) AS g2,
+         |         avg(e*x3) AS g3, avg(e*x4) AS g4
+         |  FROM (SELECT 1.0/(1.0 + exp(-($wx))) - y AS e, x1, x2, x3, x4
+         |        FROM fy CROSS JOIN w${k - 1})),
+         |w$k AS (
+         |  SELECT round(b - $TqLr*g0, 6) AS b, round(w1 - $TqLr*g1, 6) AS w1,
+         |         round(w2 - $TqLr*g2, 6) AS w2, round(w3 - $TqLr*g3, 6) AS w3,
+         |         round(w4 - $TqLr*g4, 6) AS w4
+         |  FROM w${k - 1} CROSS JOIN g$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    least(1.0, CAST(length(text) AS DOUBLE) / 500.0) AS x1,
+       |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text) AS x2,
+       |    least(1.0, CAST(${OracleSnippets.hitsSql(TextOps.Stopwords)} AS DOUBLE)
+       |                 / len(str_split(text, ' ')) * 4.0) AS x3,
+       |    ${OracleSnippets.dupFractionSql} AS x4
+       |  FROM documents),
+       |fy AS (
+       |  SELECT *, CASE WHEN 1.0/(1.0 + exp(-(-1.0 + 2.0*x1 - 3.0*x2 + 2.0*x3 - 5.0*x4))) >= 0.5
+       |                 THEN 1.0 ELSE 0.0 END AS y
+       |  FROM f),
+       |w0(b, w1, w2, w3, w4) AS (VALUES (0.0, 0.0, 0.0, 0.0, 0.0)),
+       |$iterCtes
+       |SELECT doc_id, round(1.0/(1.0 + exp(-($wx))), 6) AS score,
+       |  CAST(CASE WHEN round(1.0/(1.0 + exp(-($wx))), 6) >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM fy CROSS JOIN w$TqIters""".stripMargin
+  }
+
   /** Shards for the length-bucketed batcher's per-bucket windows —
     * 4 keeps every (bucket, shard) group populated at test SFs;
     * production sizes this with the cluster (see packLengthBucketed). */
@@ -395,6 +437,23 @@ object CorpusQueries {
         |FROM ranked WHERE rn <= 3""".stripMargin) { (s, dir) =>
       CorpusOps.tfIdfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
         .select(col("doc_id"), col("term"), col("tfidf"), col("term_rank"))
+    },
+
+    // ── TRAINED quality classifier: logistic regression fitted
+    // in-engine by batch gradient descent (3 iterations, lr=2.0) to
+    // labels from the FIXED quality model, then scoring the corpus
+    // with the learned weights. The oracle replays the ENTIRE
+    // training trajectory — per-iteration gradient aggregation and
+    // the 6-dp weight rounding that pins the trajectory cross-engine
+    // — as an unrolled CTE chain, then the same scoring projection.
+    // A single gradient term drifting between engines flips every
+    // downstream weight and the hash. ─────────────────────────────────
+    Q("corpus_trained_quality", trainedQualityOracleSql) { (s, dir) =>
+      val d = docs(s, dir)
+      val w = CorpusOps.trainQualityWeights(d, "text",
+        TextOps.qualityModelScore(col("text")) >= 0.5,
+        iters = TqIters, lr = TqLr)
+      CorpusOps.scoreTrainedQuality(d, "doc_id", "text", w)
     },
 
     // ── BM25 top-k retrieval: inverted-index probe of three literal

@@ -145,6 +145,34 @@ class CorpusOpsSpec extends SparkSpec {
       (3L, "c", 1.216395, 1L), (3L, "d", 1.098612, 2L)))
   }
 
+  test("trainQualityWeights: learns a separable signal, deterministic, loud-bounded") {
+    // labels separable by length alone: long docs (x1 → 1.0) positive,
+    // short negative — repeated so the gradient is well-conditioned
+    val docsDf = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, Array.fill(120)("the good data").mkString(" "), 1.0)
+      else (i, "x y", 0.0)
+    }.toDF("doc_id", "text", "y")
+    val w = CorpusOps.trainQualityWeights(docsDf, "text", col("y") === 1.0,
+      iters = 20, lr = 2.0)
+    // the length feature must have learned a positive weight
+    assert(w(1) > 0, s"length weight should be positive after training: $w")
+    // trained scoring separates the classes completely
+    val scored = CorpusOps.scoreTrainedQuality(docsDf, "doc_id", "text", w)
+      .join(docsDf.select("doc_id", "y"), "doc_id")
+    val acc = scored.filter((col("score") >= 0.5) === (col("y") === 1.0)).count()
+    assert(acc == 40, s"expected full separation, got $acc/40\nweights: $w")
+    // the trajectory is deterministic: a second training run is identical
+    val w2 = CorpusOps.trainQualityWeights(docsDf, "text", col("y") === 1.0,
+      iters = 20, lr = 2.0)
+    assert(w == w2)
+    // every weight sits on the 6-dp grid (the cross-engine pin)
+    assert(w.forall(v => BigDecimal(v).scale <= 6), s"off-grid weight: $w")
+    intercept[IllegalArgumentException] {
+      CorpusOps.trainQualityWeights(docsDf, "text", col("y") === 1.0,
+        iters = 51, lr = 2.0)
+    }
+  }
+
   test("bm25TopK: hand-computed scores, dedup'd query terms, rank and k cut") {
     val docsDf = Seq(
       (1L, "a a b"),   // dl=3
