@@ -1224,6 +1224,40 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
     },
 
+    // ── Generated columns (graft.generated.<col> property): the
+    // append OMITS the column, the engine computes and records it;
+    // row-level DML then predicates on the stored derived values. The
+    // oracle recomputes the generation expression and the post-delete
+    // state relationally — a mis-generated or stale value flips the
+    // per-bucket digest. ──────────────────────────────────────────────
+    Q(
+      "store_generated_column",
+      s"""SELECT CAST(doc_id % 7 AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS content_digest
+         |FROM documents WHERE NOT (doc_id % 7 = 3)
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.store.CommitLog
+      val a = docs(s, dir).select("doc_id", "source", "text")
+      val table = "/tmp/graft_state/generated_docs"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      graft.store.GraftSql.execute(s,
+        s"ALTER TABLE graftlog.`$table` SET TBLPROPERTIES (" +
+          "'graft.generated.bucket'='CAST(doc_id % 7 AS BIGINT)')")
+      CommitLog.append(a, table, mergeSchema = true) // no bucket column
+      require(CommitLog.schemaAt(s, table)
+        .exists(_.fieldNames.contains("bucket")),
+        "creating append must record the generated column in the ledger")
+      CommitLog.deleteWhere(s, table, CommitLog.tableSchema(s, table),
+        col("bucket") === 3L)
+      CommitLog.read(s, table, CommitLog.tableSchema(s, table))
+        .withColumn("h", graft.core.Hashing.rowDigest(col("doc_id"), col("text")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
+    },
+
     // ── CONVERT TO GRAFT (in-place adoption): the engine writes the
     // documents table as PLAIN parquet (two generations), adopts it
     // with one metadata commit — PROVES zero files moved — and then

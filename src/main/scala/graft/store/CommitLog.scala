@@ -1455,12 +1455,17 @@ object CommitLog {
     // reader consulting schemaAt never sees files the recorded schema
     // cannot describe. Existing files are untouched: add-column reads
     // null-fill, widened reads upcast per file (the read contract).
+    val props = propertiesAt(spark, tablePath) // one fold, four consumers
+    // generated columns land BEFORE schema evolution sees the frame:
+    // a table-creating (or evolving) append that omits a generated
+    // column must still record it in the schema ledger
+    val dfG = withGenerated(df, props)
     val cur = schemaAt(spark, tablePath)
     val next: Option[StructType] =
       if (!mergeSchema) None
       else {
-        val n = cur.fold(df.schema)(
-          evolveSchema(_, df.schema, burnedAt(spark, tablePath)))
+        val n = cur.fold(dfG.schema)(
+          evolveSchema(_, dfG.schema, burnedAt(spark, tablePath)))
         if (cur.exists(sameShape(_, n))) None else Some(n)
       }
     val evolved = next.map(_.json)
@@ -1474,8 +1479,7 @@ object CommitLog {
     // the intended use, making logged files probe-able by
     // pruneByFooterStats' point-lookup path
     val cs = constraintsAt(spark, tablePath)
-    val props = propertiesAt(spark, tablePath) // one fold, three consumers
-    toPhysical(enforcedWith(clusteredForWrite(df, props), cs), mapping).write
+    toPhysical(enforcedWith(clusteredForWrite(dfG, props), cs), mapping).write
       .options(tableWriteOptionsWith(props, mapping, writeOptions))
       .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
@@ -1508,13 +1512,15 @@ object CommitLog {
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
     val (version, live) = liveFiles(spark, tablePath)
+    val props = propertiesAt(spark, tablePath)
+    val dfG = withGenerated(df, props) // before the restamp sees the shape
     val cur = schemaAt(spark, tablePath)
     // a restamp inherits surviving columns' PHYSICAL identities and
     // burns-aware fresh ones for new names — an overwrite must not
     // silently discard the mapping a renamed table carries
     val restamped: Option[StructType] = cur match {
-      case Some(c) if !sameShape(c, df.schema) =>
-        Some(inheritMapping(c, df.schema, burnedAt(spark, tablePath)))
+      case Some(c) if !sameShape(c, dfG.schema) =>
+        Some(inheritMapping(c, dfG.schema, burnedAt(spark, tablePath)))
       case _ => None
     }
     val restamp = restamped.map(_.json)
@@ -1522,8 +1528,7 @@ object CommitLog {
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
     val cs = constraintsAt(spark, tablePath)
-    val props = propertiesAt(spark, tablePath)
-    toPhysical(enforcedWith(clusteredForWrite(df, props), cs), mapping).write
+    toPhysical(enforcedWith(clusteredForWrite(dfG, props), cs), mapping).write
       .options(tableWriteOptionsWith(props, mapping, writeOptions))
       .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
@@ -1559,8 +1564,10 @@ object CommitLog {
       .map(j => columnMapping(org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[StructType]))
       .getOrElse(mappingAt(spark, tablePath))
-    toPhysical(enforcedWith(df, cs), mapping).write
-      .options(tableWriteOptions(spark, tablePath)).parquet(staging.toString)
+    val props = propertiesAt(spark, tablePath)
+    toPhysical(enforcedWith(
+      clusteredForWrite(withGenerated(df, props), props), cs), mapping).write
+      .options(tableWriteOptionsWith(props, mapping)).parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
     commitOrAbort(spark, tablePath, adds = names, removes = Seq.empty,
       publisher = publisher, opTag = opTag, abortOnLostRace = abortOnLostRace,
@@ -1956,6 +1963,63 @@ object CommitLog {
     * call sites that have not already read it. */
   private def maybeAutoCompact(spark: SparkSession, tablePath: String): Unit =
     maybeAutoCompact(spark, tablePath, propertiesAt(spark, tablePath))
+
+  /** Generated columns behind `graft.generated.<col> = '<sql expr>'`
+    * table properties (the Delta generated-columns shape): a write
+    * whose frame LACKS the column gets it computed from the
+    * expression (the ingest convenience — callers never hand-maintain
+    * a derived key), and a write that CARRIES it has every row's
+    * explicit value checked against the expression with null-safe
+    * equality, failing loudly on the first divergent row — a derived
+    * column that silently drifts from its definition poisons every
+    * downstream consumer that assumes the invariant. Enforcement
+    * rides the write plan as a raise_error projection (the CHECK
+    * constraint mechanism), so it costs no second pass.
+    *
+    * Applied on EVERY row-writing path (append/overwrite, streaming
+    * appendOnce, appendOrAbort, DML post-images, merge writes).
+    * Consequence for UPDATE/MERGE: an assignment that changes an
+    * input of the expression without restating the generated column
+    * consistently FAILS rather than silently keeping the stale value
+    * — stricter than Delta's silent regeneration, and the failure
+    * message names the column so the caller can restate it.
+    * Expressions must be deterministic (a rand()/uuid() generation
+    * would break replay idempotency); parse errors surface loudly at
+    * write time. Generation keys compose with `graft.clusterBy`
+    * (generate-then-cluster: the derived key exists before layout).
+    *
+    * Enforcement is FORWARD-looking: setting the property on a table
+    * that already holds non-conforming rows does not rewrite history —
+    * like a CHECK constraint, the invariant binds rows as they are
+    * (re)written, so set it at table creation (the intended shape) or
+    * backfill first. */
+  private[store] def withGenerated(df: DataFrame,
+      props: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val gens = props.collect {
+      case (k, v) if k.startsWith("graft.generated.") =>
+        k.stripPrefix("graft.generated.") -> v
+    }.toSeq.sortBy(_._1)
+    gens.foldLeft(df) { case (d, (c, e)) =>
+      require(c.nonEmpty, s"empty generated-column name: graft.generated. = $e")
+      val ex = expr(e)
+      if (!d.columns.contains(c)) d.withColumn(c, ex)
+      else {
+        val chk = s"__graft_gen_$c"
+        d.withColumn(chk, when(!(col(c) <=> ex), raise_error(
+            concat(lit(s"generated column `$c` violated: explicit value " +
+              s"differs from ($e); row="),
+              to_json(struct(d.columns.map(col).toIndexedSeq: _*)))))
+          .otherwise(lit(null).cast("string")))
+          .filter(col(chk).isNull).drop(chk)
+      }
+    }
+  }
+
+  /** [[withGenerated]] folding the properties ledger itself — for the
+    * row-writing paths that have not already read it. */
+  private[store] def generated(df: DataFrame, tablePath: String): DataFrame =
+    withGenerated(df, propertiesAt(df.sparkSession, tablePath))
 
   /** Writer-side clustering behind the `graft.clusterBy` table
     * property (the Delta liquid-clustering / `CLUSTER BY` shape,
@@ -2376,9 +2440,10 @@ object CommitLog {
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
     val cs = constraintsAt(spark, tablePath)
-    val props = propertiesAt(spark, tablePath) // one fold, two consumers
+    val props = propertiesAt(spark, tablePath) // one fold, three consumers
     val mapping = mappingAt(spark, tablePath)
-    toPhysical(enforcedWith(df, cs), mapping).write
+    toPhysical(enforcedWith(
+      clusteredForWrite(withGenerated(df, props), props), cs), mapping).write
       .options(tableWriteOptionsWith(props, mapping))
       .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)
@@ -2652,7 +2717,8 @@ object CommitLog {
       val writerId = freshWriterId("w")
       val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
       val cs = constraintsAt(spark, tablePath)
-      toPhysical(enforcedWith(postDf, cs), mappingAt(spark, tablePath)).write
+      toPhysical(enforcedWith(generated(postDf, tablePath), cs),
+        mappingAt(spark, tablePath)).write
         .options(tableWriteOptions(spark, tablePath)).parquet(staging.toString)
       val names = landStaged(fs, dir, staging, writerId)
       val cdcNames = landChangeFiles(spark, tablePath,
@@ -2682,7 +2748,7 @@ object CommitLog {
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
     val cs = constraintsAt(spark, tablePath)
-    toPhysical(enforcedWith(affectedDf.select(rewritten: _*), cs),
+    toPhysical(enforcedWith(generated(affectedDf.select(rewritten: _*), tablePath), cs),
       mappingAt(spark, tablePath))
       .write.options(tableWriteOptions(spark, tablePath))
       .parquet(staging.toString)
@@ -3027,7 +3093,7 @@ object CommitLog {
     // write plan (survivor restatements are valid by induction); the
     // captured set doubles as the commit-time constraint fence
     val cs = constraintsAt(spark, tablePath)
-    val app = enforcedWith(appendDf.select(cols: _*), cs)
+    val app = enforcedWith(generated(appendDf.select(cols: _*), tablePath), cs)
     // write under the mapping the commit will declare (an evolving
     // merge's schemaJson may assign fresh physicals to new columns)
     val writeMapping = schemaJson

@@ -281,7 +281,8 @@ final class MergeClauses private (
       // captured once (and fenced at commit), columns landed under
       // their PHYSICAL names on a mapped table
       val cs = CommitLog.constraintsAt(spark, tablePath)
-      CommitLog.toPhysical(CommitLog.enforcedWith(addsDf, cs),
+      CommitLog.toPhysical(
+        CommitLog.enforcedWith(CommitLog.generated(addsDf, tablePath), cs),
         CommitLog.mappingAt(spark, tablePath)).write
         .options(CommitLog.tableWriteOptions(spark, tablePath))
         .parquet(staging.toString)
@@ -302,7 +303,8 @@ final class MergeClauses private (
       case None => rewritten
     }
     val cs = CommitLog.constraintsAt(spark, tablePath)
-    CommitLog.toPhysical(CommitLog.enforcedWith(withInserts, cs),
+    CommitLog.toPhysical(
+      CommitLog.enforcedWith(CommitLog.generated(withInserts, tablePath), cs),
       CommitLog.mappingAt(spark, tablePath)).write
       .options(CommitLog.tableWriteOptions(spark, tablePath))
       .parquet(staging.toString)
