@@ -858,6 +858,82 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
     },
 
+    // ── FILE-DROP delete fast path: the slice to be deleted lands as
+    // its OWN append (the cluster-aligned layout of a ts-clustered
+    // table meeting a retention horizon), so every one of its files
+    // fully matches the delete predicate — the engine PROVES the
+    // delete dropped them as pure metadata (zero files added; the
+    // survivor files keep their identity) before returning the
+    // survivors. The oracle recomputes the complement; the xor digest
+    // proves row-exactness through the metadata-only drop. ────────────
+    Q(
+      "store_delete_filedrop",
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  bit_xor(${OracleSnippets.rowDigestSql("doc_id", "text")}) AS content_digest
+         |FROM documents WHERE NOT (doc_id % 5 = 2)
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.store.CommitLog
+      val a = docs(s, dir).select("doc_id", "source", "text")
+      val table = "/tmp/graft_state/delete_filedrop_docs"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      CommitLog.append(a.filter(col("doc_id") % 5 === 2), table) // the aligned slice
+      CommitLog.append(a.filter(col("doc_id") % 5 =!= 2), table) // the survivors
+      val keepers = CommitLog.liveFiles(s, table)._2.toSet --
+        CommitLog.liveFiles(s, table, asOf = 1)._2.toSet
+      CommitLog.deleteWhere(s, table, a.schema, col("doc_id") % 5 === 2)
+      require(CommitLog.liveFiles(s, table)._2.toSet == keepers,
+        "a fully-matching file must DROP (metadata-only), never rewrite")
+      CommitLog.read(s, table, a.schema)
+        .withColumn("h", graft.core.Hashing.rowDigest(col("doc_id"), col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
+    },
+
+    // ── REPLACE WHERE (predicate-scoped atomic overwrite — the
+    // backfill verb): the engine re-lands the doc_id % 5 = 2 slice
+    // with corrected text in ONE commit through the DSv2 catalog
+    // surface (writeTo(...).overwrite(cond) → CommitLog.replaceWhere),
+    // proving the untouched slice's files keep their identity and the
+    // replaced slice's aligned files dropped without a rewrite. The
+    // oracle computes the post-backfill corpus relationally (CASE on
+    // the replaced slice); the digest catches a lost, duplicated, or
+    // un-replaced row. ────────────────────────────────────────────────
+    Q(
+      "store_replace_where",
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  bit_xor(${OracleSnippets.rowDigestSql("doc_id",
+               "CASE WHEN doc_id % 5 = 2 THEN text || ' [backfilled]' ELSE text END")}) AS content_digest
+         |FROM documents
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.store.CommitLog
+      val a = docs(s, dir).select("doc_id", "source", "text")
+      val table = "/tmp/graft_state/replace_where_docs"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      CommitLog.append(a.filter(col("doc_id") % 5 === 2), table) // to be replaced
+      CommitLog.append(a.filter(col("doc_id") % 5 =!= 2), table) // untouched
+      val keepers = CommitLog.liveFiles(s, table)._2.toSet --
+        CommitLog.liveFiles(s, table, asOf = 1)._2.toSet
+      val v0 = CommitLog.liveFiles(s, table)._1
+      val corrected = a.filter(col("doc_id") % 5 === 2)
+        .withColumn("text", concat(col("text"), lit(" [backfilled]")))
+      CommitLog.replaceWhere(corrected, table, col("doc_id") % 5 === 2)
+      val (v1, after) = CommitLog.liveFiles(s, table)
+      require(v1 == v0 + 1, "replaceWhere must publish exactly ONE version")
+      require(keepers.subsetOf(after.toSet),
+        "replaceWhere rewrote untouched files")
+      require(after.toSet.intersect(
+        CommitLog.liveFiles(s, table, asOf = 1)._2.toSet).isEmpty,
+        "replaceWhere kept a fully-replaced file live")
+      CommitLog.read(s, table, a.schema)
+        .withColumn("h", graft.core.Hashing.rowDigest(col("doc_id"), col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
+    },
+
     // ── RESTORE (rollback): the engine builds the corpus, deletes a
     // slice, appends noise, then RESTORES to the pre-delete version —
     // one commit, zero data movement (the query proves the restored

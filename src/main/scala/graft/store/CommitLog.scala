@@ -1544,6 +1544,130 @@ object CommitLog {
       schemaExpect = if (restamp.isDefined) Some(cur.map(_.json)) else None)
   }
 
+  /** Predicate-scoped atomic overwrite — Delta's `replaceWhere`, the
+    * backfill/re-land verb a periodically refreshed corpus needs: in
+    * ONE commit the live rows matching `predicate` are deleted and
+    * `df`'s rows land in their place. Re-landing one day of a
+    * ts-clustered 100 TB table costs the new files plus a
+    * metadata-sized remove (fully-matching old files DROP via
+    * [[deleteWhere]]'s file-drop classification; only the boundary
+    * stragglers rewrite) — never a full-table rewrite — and readers
+    * see pre- or post-replace, never a mix.
+    *
+    * Contract (the Delta replaceWhere semantics):
+    *  - every incoming row must satisfy `predicate`: enforced IN-PLAN
+    *    during the single data write (raise_error projection — the
+    *    CHECK-constraint pattern), so the first violating row fails
+    *    the write loudly before anything publishes
+    *  - old rows delete where the predicate is TRUE; false-or-NULL
+    *    rows stay byte-identical in untouched files
+    *  - CDC: delete pre-images AND insert post-images ride the commit
+    *    (post-images are read back from the landed files — the exact
+    *    bytes, never a second evaluation of a possibly
+    *    nondeterministic input), so `changesSince` replays a replace
+    *    exactly where a full [[overwrite]] is a feed gap by design
+    *  - shape: when a schema ledger exists, `df` must match it — a
+    *    replace swaps ROWS, never the table's shape ([[overwrite]]
+    *    restamps)
+    * Constraints, generated columns, and declared clustering apply to
+    * the incoming rows exactly as on append. Serialization caveat
+    * (the [[deleteWhere]] posture): a concurrent APPEND of
+    * predicate-matching rows serializes after this replace and its
+    * rows survive; a concurrent rewrite of an affected file conflicts
+    * and one side fails loudly (remove-validation). Reachable from
+    * SQL/API via `df.writeTo("graft.t").overwrite(cond)` and
+    * `INSERT INTO graft.t REPLACE WHERE cond SELECT …`
+    * ([[GraftWriteBuilder]]). */
+  def replaceWhere(df: DataFrame, tablePath: String,
+      predicate: org.apache.spark.sql.Column,
+      publisher: AtomicPublisher = RenameOrLinkPublisher,
+      writeOptions: Map[String, String] = Map.empty): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, concat, lit, not,
+      raise_error, struct, to_json, when}
+    val spark = df.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = fsOf(spark, dir)
+    val (version, entries) = liveFilesFull(spark, tablePath)
+    val props = propertiesAt(spark, tablePath)
+    val dfG = withGenerated(df, props)
+    val cur = schemaAt(spark, tablePath)
+    cur.foreach { c =>
+      require(sameShape(c, dfG.schema),
+        s"replaceWhere input shape (${dfG.schema.simpleString}) does not " +
+          s"match the table's declared schema (${c.simpleString}) — a " +
+          "replace swaps rows, not the table's shape (overwrite() restamps)")
+    }
+    val schema = cur.getOrElse(dfG.schema)
+    val mapping = mappingAt(spark, tablePath)
+    val cs = constraintsAt(spark, tablePath)
+    // incoming rows must live inside the replaced region — in-plan,
+    // loud, before anything publishes (NULL predicate = outside)
+    val inside = coalesce(predicate, lit(false))
+    val guard = "__graft_rw_guard"
+    val guarded = dfG.withColumn(guard,
+        when(!inside, raise_error(concat(
+          lit("replaceWhere: input row outside the replace predicate; row="),
+          to_json(struct(dfG.columns.map(col).toIndexedSeq: _*)))))
+          .otherwise(lit(null).cast("string")))
+      .filter(col(guard).isNull).drop(guard)
+    val writerId = freshWriterId("w")
+    val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
+    toPhysical(enforcedWith(clusteredForWrite(guarded, props), cs), mapping)
+      .write.options(tableWriteOptionsWith(props, mapping, writeOptions))
+      .parquet(staging.toString)
+    val newNames = landStaged(fs, dir, staging, writerId)
+    // old side: deleteWhere's probe + file-drop classification
+    val byName = entriesByName(entries)
+    val matchedCounts: Map[String, Long] =
+      if (entries.isEmpty) Map.empty
+      else visibleRows(spark, tablePath, schema, entries,
+        meta = Seq("_rw_file" -> "file_name"))
+        .filter(predicate)
+        .groupBy(col("_rw_file")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val affectedEntries = matchedCounts.keys.toSeq.sorted.map(byName)
+    def visibleCount(e: LiveEntry): Option[Long] = for {
+      j <- e.stats
+      rc <- parseStatsJson(j).get(RowCountKey).collect { case (n: Long, _) => n }
+      deleted <- if (e.dv.isEmpty) Some(0L) else e.dvRows
+    } yield rc - deleted
+    val partial = affectedEntries.filterNot(e =>
+      visibleCount(e).contains(matchedCounts(baseNameOf(e.name))))
+    val rewriteNames =
+      if (partial.isEmpty) Seq.empty[String]
+      else {
+        val w2 = freshWriterId("w")
+        val st2 = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$w2")
+        toPhysical(visibleRows(spark, tablePath, schema, partial)
+          .filter(not(coalesce(predicate, lit(false)))), mapping)
+          .write.options(tableWriteOptions(spark, tablePath))
+          .parquet(st2.toString)
+        landStaged(fs, dir, st2, w2)
+      }
+    if (newNames.isEmpty && affectedEntries.isEmpty) return version // no-op
+    val preImages =
+      if (affectedEntries.isEmpty) None
+      else Some(visibleRows(spark, tablePath, schema, affectedEntries)
+        .filter(predicate).withColumn(ChangeTypeCol, lit("delete")))
+    val postImages =
+      if (newNames.isEmpty) None
+      else Some(visibleRows(spark, tablePath, schema,
+        newNames.map(n => LiveEntry(n, None, None)))
+        .withColumn(ChangeTypeCol, lit("insert")))
+    val cdc = (preImages.toSeq ++ postImages.toSeq)
+      .reduceOption(_.unionByName(_))
+    val cdcNames = cdc.map(landChangeFiles(spark, tablePath, _))
+      .getOrElse(Seq.empty)
+    val adds = newNames ++ rewriteNames
+    commit(spark, tablePath, adds = adds,
+      removes = affectedEntries.map(_.name),
+      publisher = publisher, opTag = Some("replaceWhere"),
+      changeAdds = cdcNames,
+      addStats = statsFor(spark, tablePath, adds),
+      removeDvExpect = affectedEntries.map(e => e.name -> e.dv).toMap,
+      constraintsExpect = Some(cs))
+  }
+
   /** [[append]] with the zombie-fencing hook of [[commitOrAbort]]:
     * None when a lost publish race re-evaluates `abortOnLostRace` to
     * true (the staged files become vacuum-eligible orphans). The
@@ -2528,7 +2652,19 @@ object CommitLog {
     * files (`_change_type = 'delete'`) committed atomically with the
     * swap, so `changesSince` hands incremental consumers the deletions
     * as data instead of refusing to cross the version — the Delta CDF
-    * delete feed. */
+    * delete feed.
+    *
+    * FILE-DROP fast path: a file whose every VISIBLE row matches the
+    * predicate is removed as pure METADATA — no rewrite, no staged
+    * output. The proof is metadata-only: the probe's per-file match
+    * count equals the file's log-carried [[RowCountKey]] row count
+    * minus its attached deletion-vector position count. A retention
+    * delete on a cluster-aligned boundary (the 100 TB shape: `ts <
+    * horizon` on a ts-clustered table) thus rewrites only the one
+    * straggler file the boundary cuts through; every older file drops
+    * for the cost of a log line. Files without log stats (or with a
+    * countless pre-count DV attachment) conservatively take the
+    * rewrite path — the fast path never guesses. */
   def deleteWhere(spark: SparkSession, tablePath: String, schema: StructType,
       predicate: org.apache.spark.sql.Column,
       publisher: AtomicPublisher = RenameOrLinkPublisher,
@@ -2544,26 +2680,55 @@ object CommitLog {
     val byName = entriesByName(entries)
     // the probe and the rewrite both read VISIBLE rows (DV-aware): a
     // position an earlier merge-on-read delete vectored out must
-    // neither count as a match nor resurrect in the rewrite
-    val affected = visibleRows(spark, tablePath, schema, entries,
-      meta = Seq("_dw_file" -> "file_name"))
-      .filter(predicate)
-      .select(col("_dw_file")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    if (affected.isEmpty) return version // nothing matched: no new version
-    val affectedEntries = affected.map(byName)
+    // neither count as a match nor resurrect in the rewrite. The probe
+    // aggregates per-file MATCH COUNTS (the filter still precedes the
+    // aggregation, so predicate pushdown + min/max skipping prune the
+    // scan exactly as a distinct-files probe would) — the counts are
+    // what the file-drop classification below compares against the
+    // log-carried row counts, for free in the same job.
+    val matchedCounts: Map[String, Long] =
+      visibleRows(spark, tablePath, schema, entries,
+        meta = Seq("_dw_file" -> "file_name"))
+        .filter(predicate)
+        .groupBy(col("_dw_file")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (matchedCounts.isEmpty) return version // nothing matched: no new version
+    val affectedEntries = matchedCounts.keys.toSeq.sorted.map(byName)
+    // visible rows of a file, from metadata alone: log-carried row
+    // count minus the DV positions vectored out (0 when no vector; a
+    // vector attached before position counts were recorded → None →
+    // rewrite path). Stats record the count as [n,n]; absent stats
+    // (adopted pre-stats files) → None.
+    def visibleCount(e: LiveEntry): Option[Long] = for {
+      j <- e.stats
+      rc <- parseStatsJson(j).get(RowCountKey).collect { case (n: Long, _) => n }
+      deleted <- if (e.dv.isEmpty) Some(0L) else e.dvRows
+    } yield rc - deleted
+    // fully-matched files DROP (remove-only); the rest rewrite
+    val partial = affectedEntries.filterNot(e =>
+      visibleCount(e).contains(matchedCounts(baseNameOf(e.name))))
     val affectedDf = visibleRows(spark, tablePath, schema, affectedEntries)
-    val writerId = freshWriterId("w")
-    val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
-    toPhysical(affectedDf.filter(not(coalesce(predicate, lit(false)))),
-      mappingAt(spark, tablePath))
-      .write.options(tableWriteOptions(spark, tablePath))
-      .parquet(staging.toString)
-    val names = landStaged(fs, dir, staging, writerId)
+    val names =
+      if (partial.isEmpty) Seq.empty[String] // every affected file drops whole
+      else {
+        val partialDf = visibleRows(spark, tablePath, schema, partial)
+        val writerId = freshWriterId("w")
+        val staging =
+          new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
+        toPhysical(partialDf.filter(not(coalesce(predicate, lit(false)))),
+          mappingAt(spark, tablePath))
+          .write.options(tableWriteOptions(spark, tablePath))
+          .parquet(staging.toString)
+        landStaged(fs, dir, staging, writerId)
+      }
+    // CDC pre-images cover matched rows of BOTH dropped and rewritten
+    // files — a dropped file's rows are read once here (its only read)
+    // so the change feed stays exact
     val cdcNames = landChangeFiles(spark, tablePath,
       affectedDf.filter(predicate)
         .withColumn(ChangeTypeCol, lit("delete")))
-    commit(spark, tablePath, adds = names, removes = affectedEntries.map(_.name),
+    commit(spark, tablePath, adds = names,
+      removes = affectedEntries.map(_.name),
       publisher = publisher, opTag = Some("delete"), changeAdds = cdcNames,
       addStats = statsFor(spark, tablePath, names),
       removeDvExpect = affectedEntries.map(e => e.name -> e.dv).toMap)

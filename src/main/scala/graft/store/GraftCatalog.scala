@@ -498,18 +498,33 @@ private[store] final class GraftV1TableScan(context: SQLContext,
 
 /** Catalog writes through the commit-log protocol: `INSERT INTO` →
   * [[CommitLog.append]], `INSERT OVERWRITE`/truncate → the atomic
-  * [[CommitLog.overwrite]]. Partial-predicate overwrites are refused
-  * loudly (the log replaces whole snapshots, not filtered slices). */
+  * [[CommitLog.overwrite]], and a PREDICATE overwrite
+  * (`df.writeTo("graft.t").overwrite(cond)` / `INSERT INTO graft.t
+  * REPLACE WHERE cond SELECT …`) → the atomic
+  * [[CommitLog.replaceWhere]] — fully-matching old files drop as
+  * metadata, boundary files rewrite, new rows must satisfy the
+  * predicate (in-plan, loud). A predicate Spark pushes that the
+  * filter bridge cannot translate is refused loudly rather than
+  * silently widened to a full overwrite. */
 private[store] final class GraftWriteBuilder(path: String)
     extends WriteBuilder with SupportsOverwrite {
 
   private var replace = false
+  private var replaceCond: Option[org.apache.spark.sql.Column] = None
 
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
-    require(filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue]),
-      "logged tables support only full-table INSERT OVERWRITE — " +
-        s"got predicate overwrite ${filters.mkString(", ")}")
-    replace = true
+    if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue]))
+      replace = true
+    else {
+      val cols = filters.toSeq.map(f => f -> FilterColumns.toColumn(f))
+      val missing = cols.collect { case (f, None) => f }
+      require(missing.isEmpty,
+        "replaceWhere predicate not translatable for a logged table: " +
+          s"${missing.mkString(", ")} — rewrite it with comparison/IN/" +
+          "null/string-prefix terms, or use the CommitLog.replaceWhere " +
+          "API with an arbitrary Column")
+      replaceCond = Some(cols.flatMap(_._2).reduce(_ && _))
+    }
     this
   }
 
@@ -519,8 +534,11 @@ private[store] final class GraftWriteBuilder(path: String)
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwriteIgnored: Boolean): Unit = {
-          if (replace) CommitLog.overwrite(data, path)
-          else CommitLog.append(data, path)
+          replaceCond match {
+            case Some(cond) => CommitLog.replaceWhere(data, path, cond)
+            case None if replace => CommitLog.overwrite(data, path)
+            case None => CommitLog.append(data, path)
+          }
           ()
         }
       }

@@ -1,0 +1,220 @@
+package graft.store
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** The predicate-addressed rewrite pair:
+  *
+  *  - deleteWhere's FILE-DROP fast path — a file whose every visible
+  *    row matches the predicate must be removed as pure metadata (no
+  *    rewrite, no new file), proven from log-carried row counts and
+  *    DV position counts alone; boundary stragglers still rewrite.
+  *  - replaceWhere — the atomic predicate-scoped overwrite (Delta's
+  *    replaceWhere): delete-matching + insert-new in ONE commit,
+  *    incoming rows fenced in-plan to the replaced region, CDC
+  *    delete pre-images + insert post-images, reachable through the
+  *    DSv2 catalog (`writeTo(...).overwrite(cond)` and `INSERT INTO …
+  *    REPLACE WHERE …`).
+  *
+  * Publisher-parameterized like the rest of the ACID suite. */
+abstract class ReplaceWhereBehavior(publisher: AtomicPublisher) extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_rw").toString + "/t"
+
+  private val schema = spark.range(0).toDF("id").schema
+
+  private def ids(t: String): Set[Long] =
+    CommitLog.read(spark, t, schema, Long.MaxValue).as[Long].collect().toSet
+
+  private def dataFiles(t: String): Set[String] =
+    CommitLog.liveFiles(spark, t)._2.toSet
+
+  /** One single-file append per disjoint id range — the
+    * cluster-aligned layout a retention delete meets at scale. */
+  private def alignedTable(t: String, ranges: (Long, Long)*): Seq[Set[String]] = {
+    ranges.map { case (lo, hi) =>
+      val before = dataFiles(t)
+      CommitLog.append(spark.range(lo, hi).toDF("id").repartition(1), t, publisher)
+      dataFiles(t) -- before
+    }
+  }
+
+  test("retention delete drops fully-matching files as metadata — no rewrite") {
+    val t = freshTable()
+    val Seq(f1, f2, f3) = alignedTable(t, (0L, 100L), (100L, 200L), (200L, 300L))
+    assert((f1.size, f2.size, f3.size) == ((1, 1, 1)))
+    val v = CommitLog.deleteWhere(spark, t, schema, col("id") < 200, publisher)
+    assert(v == 4L)
+    // both fully-matching files dropped; the survivor keeps its
+    // identity; NOTHING was rewritten (no new file name exists)
+    assert(dataFiles(t) == f3, "expected a pure-metadata drop of f1+f2")
+    assert(ids(t) == (200L until 300L).toSet)
+    // CDC still carries every deleted row (the dropped files' only read)
+    val feed = CommitLog.changesSince(spark, t, sinceVersion = v - 1, schema)
+    assert(feed.filter(col("_change_type") === "delete").count() == 200L)
+  }
+
+  test("boundary straggler rewrites; aligned files still drop") {
+    val t = freshTable()
+    val Seq(f1, f2, f3) = alignedTable(t, (0L, 100L), (100L, 200L), (200L, 300L))
+    CommitLog.deleteWhere(spark, t, schema, col("id") < 150, publisher)
+    val after = dataFiles(t)
+    // f1 dropped, f2 replaced by exactly one fresh rewrite, f3 untouched
+    assert(after.intersect(f1).isEmpty)
+    assert(after.intersect(f2).isEmpty)
+    assert(f3.subsetOf(after))
+    assert((after -- f3).size == 1, s"expected one straggler rewrite, got $after")
+    assert(ids(t) == (150L until 300L).toSet)
+  }
+
+  test("full-table delete is a pure-metadata truncate") {
+    val t = freshTable()
+    alignedTable(t, (0L, 100L), (100L, 200L))
+    CommitLog.deleteWhere(spark, t, schema, lit(true), publisher)
+    assert(dataFiles(t).isEmpty, "lit(true) delete must not land any file")
+    assert(ids(t).isEmpty)
+  }
+
+  test("a DV-attached file drops when its remaining visible rows all match") {
+    val t = freshTable()
+    CommitLog.append(spark.range(0, 100).toDF("id").repartition(1), t, publisher)
+    CommitLog.deleteWhere(spark, t, schema, col("id") < 10, publisher,
+      deletionVectors = true)
+    // visible = 100 − 10 vectored; the predicate matches exactly those 90
+    CommitLog.deleteWhere(spark, t, schema, col("id") >= 10, publisher)
+    assert(dataFiles(t).isEmpty,
+      "rows.count − DV count == matched must drop the file, not rewrite it")
+    assert(ids(t).isEmpty)
+  }
+
+  test("replaceWhere re-lands a slice atomically: drop + insert in one commit") {
+    val t = freshTable()
+    val Seq(f1, f2, f3) = alignedTable(t, (0L, 100L), (100L, 200L), (200L, 300L))
+    val v0 = CommitLog.liveFiles(spark, t)._1
+    val fresh = spark.range(100L, 200L).toDF("id")
+      .withColumn("id", col("id")) // corrected re-land of the same key range
+    val v = CommitLog.replaceWhere(fresh, t,
+      col("id") >= 100 && col("id") < 200, publisher)
+    assert(v == v0 + 1, "replaceWhere must publish exactly one version")
+    assert(ids(t) == (0L until 300L).toSet)
+    val after = dataFiles(t)
+    // untouched neighbors keep their identity; the replaced file is gone
+    assert(f1.subsetOf(after) && f3.subsetOf(after))
+    assert(after.intersect(f2).isEmpty)
+    // CDC replays the replace exactly: 100 deletes + 100 inserts
+    val feed = CommitLog.changesSince(spark, t, sinceVersion = v - 1, schema)
+    assert(feed.filter(col("_change_type") === "delete").count() == 100L)
+    assert(feed.filter(col("_change_type") === "insert").count() == 100L)
+    assert(feed.filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().toSet == (100L until 200L).toSet)
+  }
+
+  test("replaceWhere with no matching old rows is an atomic guarded insert") {
+    val t = freshTable()
+    alignedTable(t, (0L, 100L))
+    val before = dataFiles(t)
+    CommitLog.replaceWhere(spark.range(500L, 510L).toDF("id"), t,
+      col("id") >= 500, publisher)
+    assert(before.subsetOf(dataFiles(t)))
+    assert(ids(t) == ((0L until 100L) ++ (500L until 510L)).toSet)
+  }
+
+  test("replaceWhere refuses input rows outside the predicate — loudly, pre-publish") {
+    val t = freshTable()
+    alignedTable(t, (0L, 100L))
+    val v0 = CommitLog.liveFiles(spark, t)._1
+    val e = intercept[Exception] {
+      CommitLog.replaceWhere(spark.range(0L, 60L).toDF("id"), t,
+        col("id") < 50, publisher) // rows 50..59 violate
+    }
+    assert(e.getMessage != null)
+    assert(CommitLog.liveFiles(spark, t)._1 == v0,
+      "a violating replace must not publish a version")
+    assert(ids(t) == (0L until 100L).toSet)
+  }
+
+  test("replaceWhere with a NULL-valued predicate treats NULL as outside") {
+    val t = freshTable()
+    CommitLog.append(Seq((1L, "a"), (2L, null), (3L, "b")).toDF("id", "v"),
+      t, publisher)
+    val sch = Seq((1L, "a")).toDF("id", "v").schema
+    // delete side: v = 'a' is NULL for row 2 → row 2 stays
+    CommitLog.replaceWhere(Seq((10L, "a")).toDF("id", "v"), t,
+      col("v") === "a", publisher)
+    val left = CommitLog.read(spark, t, sch, Long.MaxValue)
+      .select("id").as[Long].collect().toSet
+    assert(left == Set(2L, 3L, 10L))
+    // insert side: a NULL predicate value on an incoming row refuses
+    intercept[Exception] {
+      CommitLog.replaceWhere(Seq((11L, null: String)).toDF("id", "v"), t,
+        col("v") === "a", publisher)
+    }
+  }
+
+  test("replaceWhere refuses a shape change when a ledger exists") {
+    val t = freshTable()
+    CommitLog.append(spark.range(0, 10).toDF("id"), t, publisher,
+      mergeSchema = true) // stamps the schema ledger
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.replaceWhere(spark.range(0, 5).toDF("id")
+        .withColumn("extra", lit(1)), t, col("id") < 5, publisher)
+    }
+    assert(e.getMessage.contains("shape"))
+  }
+}
+
+/** HDFS/local semantics: exclusive rename / hard link. */
+class ReplaceWhereSpec extends ReplaceWhereBehavior(RenameOrLinkPublisher)
+
+/** S3-class semantics: conditional PUT over the local emulation. */
+class ReplaceWhereS3Spec extends ReplaceWhereBehavior(
+  new ConditionalPutPublisher(new LocalConditionalPutStore))
+
+/** Catalog-surface spellings of replaceWhere — one publisher is enough
+  * (the catalog always publishes through the default). */
+class ReplaceWhereCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.graft.warehouse",
+      Files.createTempDirectory("graft_rw_wh").toString)
+  }
+
+  test("writeTo(...).overwrite(cond) routes to replaceWhere") {
+    spark.sql("DROP TABLE IF EXISTS graft.rw1")
+    spark.sql("CREATE TABLE graft.rw1 (id BIGINT, part STRING)")
+    spark.sql("INSERT INTO graft.rw1 SELECT id, 'a' FROM range(10)")
+    spark.sql("INSERT INTO graft.rw1 SELECT id + 100, 'b' FROM range(10)")
+    Seq.range(200L, 205L).map(id => (id, "b")).toDF("id", "part")
+      .writeTo("graft.rw1").overwrite(col("part") === "b")
+    val rows = spark.sql("SELECT id, part FROM graft.rw1").as[(Long, String)]
+      .collect().toSet
+    assert(rows == ((0L until 10L).map(_ -> "a") ++
+      (200L until 205L).map(_ -> "b")).toSet)
+    // the 'a' slice was untouched, not rewritten: still served and the
+    // replace itself committed exactly one version with CDC rows
+    spark.sql("DROP TABLE graft.rw1")
+  }
+
+  test("INSERT INTO … REPLACE WHERE … in plain SQL") {
+    spark.sql("DROP TABLE IF EXISTS graft.rw2")
+    spark.sql("CREATE TABLE graft.rw2 (id BIGINT, day STRING)")
+    spark.sql("INSERT INTO graft.rw2 VALUES (1, 'd1'), (2, 'd1'), (3, 'd2')")
+    spark.sql(
+      "INSERT INTO graft.rw2 REPLACE WHERE day = 'd1' VALUES (10, 'd1'), (11, 'd1')")
+    val rows = spark.sql("SELECT id, day FROM graft.rw2").as[(Long, String)]
+      .collect().toSet
+    assert(rows == Set((10L, "d1"), (11L, "d1"), (3L, "d2")))
+    // violating inserts refuse through the SQL path too
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft.rw2 REPLACE WHERE day = 'd1' VALUES (9, 'd9')")
+    }
+    assert(spark.sql("SELECT count(*) FROM graft.rw2").as[Long].head() == 3L)
+    spark.sql("DROP TABLE graft.rw2")
+  }
+}
