@@ -934,6 +934,40 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
     },
 
+    // ── LOG-CARRIED NULL COUNTS: the engine lands a logged table with
+    // a nullable derived column, answers COUNT(*) + COUNT(col) as a
+    // metadata fold (the query PROVES the plan is scan-free — zero
+    // data files opened for either count), and recomputes COUNT(col)
+    // through the scanning IS NOT NULL path, which prunes null-free
+    // work from the same stats. The oracle recomputes all three
+    // relationally; a wrong null count flips n_marked against
+    // n_marked_scan. ──────────────────────────────────────────────────
+    Q(
+      "store_nullcount_agg",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(CASE WHEN doc_id % 3 = 0 THEN text END) AS BIGINT) AS n_marked,
+        |  CAST(count(CASE WHEN doc_id % 3 = 0 THEN text END) AS BIGINT) AS n_marked_scan
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import graft.store.CommitLog
+      val a = docs(s, dir).select(col("doc_id"), col("source"),
+        when(col("doc_id") % 3 === 0, col("text")).as("mark"))
+      val table = "/tmp/graft_state/nullcount_docs"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      CommitLog.append(a.filter(col("doc_id") % 2 === 0), table)
+      CommitLog.append(a.filter(col("doc_id") % 2 === 1), table)
+      val folded = s.read.format("graftlog").load(table)
+        .agg(count(lit(1)).as("n_rows"), count(col("mark")).as("n_marked"))
+      require(folded.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }.isEmpty, "COUNT(*) + COUNT(col) must fold to metadata, not scan")
+      val scanned = s.read.format("graftlog").load(table)
+        .filter(col("mark").isNotNull)
+        .agg(count(lit(1)).as("n_marked_scan"))
+      folded.crossJoin(scanned)
+    },
+
     // ── RESTORE (rollback): the engine builds the corpus, deletes a
     // slice, appends noise, then RESTORES to the pre-delete version —
     // one commit, zero data movement (the query proves the restored

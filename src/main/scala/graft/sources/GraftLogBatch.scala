@@ -345,7 +345,8 @@ private[graft] object StatsPruning {
 
   def possible(stats: Map[String, (Any, Any)], f: Filter): Boolean = f match {
     case EqualTo(a, v) => overlaps(stats, a, v)
-    case EqualNullSafe(a, v) => v == null || overlaps(stats, a, v)
+    case EqualNullSafe(a, null) => nullPossible(stats, a) // `a <=> NULL` ≡ IS NULL
+    case EqualNullSafe(a, v) => overlaps(stats, a, v)
     case In(a, vs) =>
       vs == null || vs.exists(v => v == null || overlaps(stats, a, v))
     case LessThan(a, v) => minBelow(stats, a, v, orEq = false)
@@ -353,12 +354,36 @@ private[graft] object StatsPruning {
     case GreaterThan(a, v) => maxAbove(stats, a, v, orEq = false)
     case GreaterThanOrEqual(a, v) => maxAbove(stats, a, v, orEq = true)
     case StringStartsWith(a, p) => prefixPossible(stats, a, p)
+    // null-count pruning: a recorded `<col>.nulls` of 0 refutes
+    // IS NULL; nulls == rows.count (all-null file) refutes IS NOT
+    // NULL. Sound under deletion vectors — a DV only removes rows, so
+    // "no row in the file matches" still covers every visible row.
+    case IsNull(a) => nullPossible(stats, a)
+    case IsNotNull(a) =>
+      (for { n <- nullsOf(stats, a)
+             rc <- reservedLong(stats, CommitLog.RowCountKey) }
+        yield rc > n).getOrElse(true)
     case And(l, r) => possible(stats, l) && possible(stats, r)
     case Or(l, r) => possible(stats, l) || possible(stats, r)
-    // IsNull/IsNotNull: the log carries no null counts. Not(...):
-    // refuting a negation needs exact bounds, not an envelope.
+    // Not(...): refuting a negation needs exact bounds, not an
+    // envelope.
     case _ => true
   }
+
+  /** Can a row of this file be NULL in `a`? false only when the file
+    * recorded zero nulls. */
+  private def nullPossible(stats: Map[String, (Any, Any)], col: String): Boolean =
+    nullsOf(stats, col).forall(_ > 0L)
+
+  /** The column's log-carried null count — None (abstain) for dotted
+    * attribute names: the emitter never records stats for them, so a
+    * dotted lookup could only ever hit the engine's reserved keys. */
+  private def nullsOf(stats: Map[String, (Any, Any)], col: String): Option[Long] =
+    if (col.contains('.')) None
+    else reservedLong(stats, col + CommitLog.NullCountSuffix)
+
+  private def reservedLong(stats: Map[String, (Any, Any)], key: String): Option[Long] =
+    stats.get(key).collect { case (n: Long, _) => n }
 
   /** Normalize a pushed filter value into the stats domain (Long /
     * Double / String — dates as epoch days, timestamps as micros,
@@ -383,7 +408,11 @@ private[graft] object StatsPruning {
 
   private def bounds(stats: Map[String, (Any, Any)], col: String,
       v: Any): Option[((Any, Any), Any)] =
-    for { b <- stats.get(col); c <- coerce(v) } yield (b, c)
+    // dotted attribute names abstain: the emitter never records bounds
+    // for them, so a lookup could only hit the engine's reserved keys
+    // (rows.count / bytes.size / <col>.nulls) and prune wrongly
+    if (col.contains('.')) None
+    else for { b <- stats.get(col); c <- coerce(v) } yield (b, c)
 
   /** Can a row equal `v`? lo ≤ v ≤ hi (conservative on widened
     * bounds; incomparable → true). */
@@ -416,7 +445,7 @@ private[graft] object StatsPruning {
     * UTF-8 order, both sound against truncated bounds. */
   private def prefixPossible(stats: Map[String, (Any, Any)], col: String,
       p: String): Boolean =
-    stats.get(col) match {
+    (if (col.contains('.')) None else stats.get(col)) match {
       case Some((lo: String, hi: String)) if p != null =>
         val pb = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val lb = lo.getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -1020,12 +1020,47 @@ object CommitLog {
     stamped.takeWhile(_._2 <= tsMs).last._1
   }
 
+  /** Visible rows of a live file from METADATA alone: the log-carried
+    * [[RowCountKey]] row count minus the attached deletion vector's
+    * recorded position count (0 when no vector). None when the file
+    * has no log stats (adopted pre-stats files) or carries a
+    * countless pre-count DV attachment — callers must then take their
+    * conservative (rewrite/scan) path; the fast path never guesses. */
+  private[store] def metadataVisibleCount(e: LiveEntry): Option[Long] = for {
+    j <- e.stats
+    rc <- parseStatsJson(j).get(RowCountKey).collect { case (n: Long, _) => n }
+    deleted <- if (e.dv.isEmpty) Some(0L) else e.dvRows
+  } yield rc - deleted
+
+  /** FILE-DROP classification shared by every predicate/key-addressed
+    * rewrite (deleteWhere, replaceWhere, keyedRewrite): of the
+    * affected entries, keep only those NOT proven fully matched —
+    * i.e. whose probe match count (keyed by `_metadata.file_name`
+    * basename) does not equal [[metadataVisibleCount]]. A file absent
+    * here is droppable as a pure log line: every visible row it
+    * holds matched, so removing it and (re)stating nothing loses no
+    * row. */
+  private[store] def partialMatches(affected: Seq[LiveEntry],
+      matchedCounts: Map[String, Long]): Seq[LiveEntry] =
+    affected.filterNot(e =>
+      metadataVisibleCount(e).contains(matchedCounts(baseNameOf(e.name))))
+
   /** Reserved stats key carrying the file's total ROW COUNT (summed
     * across row groups at write time). The dot makes collision with a
     * real column impossible: `footerStatsJson` refuses to emit any
     * column whose name contains '.', so the key space is disjoint by
     * construction. */
   private[graft] val RowCountKey = "rows.count"
+
+  /** Reserved stats key SUFFIX carrying a column's per-file NULL
+    * COUNT (`<col>.nulls`, summed across row groups at write time).
+    * Collision-free like [[RowCountKey]]: the emitter never records
+    * any dotted-named column, so dotted keys belong to the engine —
+    * and every consumer abstains on a dotted ATTRIBUTE name, so a
+    * real column literally named `x.nulls` simply always scans.
+    * Consumers: IS NULL / IS NOT NULL file pruning (StatsPruning) and
+    * the metadata-only COUNT(col) (GraftStatsAggRule). */
+  private[graft] val NullCountSuffix = ".nulls"
 
   /** Reserved stats key carrying the file's on-disk BYTE SIZE — what
     * lets the auto-compaction census ([[maybeAutoCompact]]) fold from
@@ -1067,6 +1102,12 @@ object CommitLog {
         // dropped the moment ANY row group lacks usable stats
         var acc = Map.empty[String, (Any, Any)]
         var dead = Set.empty[String]
+        // col → NULL COUNT summed across row groups, emitted under the
+        // reserved `<col>.nulls` key — independent of bounds (a decimal
+        // whose bounds abstain still records nulls); any row group
+        // without a set count kills the column's entry
+        var nullAcc = Map.empty[String, Long]
+        var nullDead = Set.empty[String]
         def fold(name: String, mn: Any, mx: Any): Boolean = {
           acc.get(name) match {
             case None => acc += name -> ((mn, mx)); true
@@ -1082,7 +1123,17 @@ object CommitLog {
         blocks.foreach { b =>
           b.getColumns.asScala.foreach { c =>
             val name = c.getPath.toDotString
-            // names with '"' or '\' cannot round-trip the one-line JSON
+            // names with '"' or '\' cannot round-trip the one-line
+            // JSON; a '.' means NESTED (or reserved-key-shaped) — only
+            // clean top-level columns ever emit, which is what makes
+            // the dotted key space reserved
+            if (!name.exists(ch => ch == '.' || ch == '"' || ch == '\\') &&
+                !nullDead(name)) {
+              val stN = c.getStatistics
+              if (stN != null && stN.isNumNullsSet)
+                nullAcc += name -> (nullAcc.getOrElse(name, 0L) + stN.getNumNulls)
+              else { nullDead += name; nullAcc -= name }
+            }
             if (!name.exists(ch => ch == '.' || ch == '"' || ch == '\\') &&
                 !dead(name)) {
               val st = c.getStatistics
@@ -1134,7 +1185,9 @@ object CommitLog {
         val entries = Seq(
           RowCountKey -> ((rows: Any, rows: Any)),
           BytesSizeKey -> ((in.getLength: Any, in.getLength: Any))) ++
-          acc.toSeq.sortBy(_._1)
+          acc.toSeq.sortBy(_._1) ++
+          nullAcc.toSeq.sortBy(_._1).map { case (n, k) =>
+            s"$n$NullCountSuffix" -> ((k: Any, k: Any)) }
         Some(entries.map { case (n, (mn, mx)) =>
           def emit(v: Any): String = v match {
             case s: String => jsonQuote(s)
@@ -1581,13 +1634,52 @@ object CommitLog {
   def replaceWhere(df: DataFrame, tablePath: String,
       predicate: org.apache.spark.sql.Column,
       publisher: AtomicPublisher = RenameOrLinkPublisher,
-      writeOptions: Map[String, String] = Map.empty): Long = {
+      writeOptions: Map[String, String] = Map.empty): Long =
+    replaceWhereCore(df, tablePath, predicate, publisher, writeOptions,
+      opTag = "replaceWhere", abortOnLostRace = () => false)
+      .getOrElse(liveFilesFull(df.sparkSession, tablePath)._1)
+
+  /** EXACTLY-ONCE streaming replaceWhere — [[appendOnce]]'s txn-ledger
+    * fence applied to the backfill verb: a `foreachBatch` loop that
+    * re-lands predicate-scoped slices (e.g. the days present in each
+    * micro-batch) commits each batch's replace with a
+    * `txn=<queryId>:<batchId>` claim, so a crash-replayed or zombie
+    * batch finds the ledger at or past its id and aborts instead of
+    * double-deleting or double-inserting. Returns the version won,
+    * None for a replay skip or a batch that nets to nothing (no new
+    * rows AND no matching old rows — replaying such a batch is a
+    * no-op, so not advancing the ledger is safe). A batch with an
+    * empty frame but MATCHING old rows is a meaningful truncate of
+    * the slice: it commits and claims its id. */
+  def replaceWhereOnce(df: DataFrame, tablePath: String,
+      predicate: org.apache.spark.sql.Column,
+      queryId: String, batchId: Long,
+      publisher: AtomicPublisher = RenameOrLinkPublisher): Option[Long] = {
+    require(!queryId.exists(c => c.isWhitespace || c == ':'),
+      s"queryId must be whitespace/colon-free: $queryId")
+    val spark = df.sparkSession
+    if (batchId <= lastTxnBatch(spark, tablePath, queryId)) return None
+    replaceWhereCore(df, tablePath, predicate, publisher,
+      writeOptions = Map.empty, opTag = s"txn=$queryId:$batchId",
+      abortOnLostRace = () => batchId <= lastTxnBatch(spark, tablePath, queryId))
+  }
+
+  /** [[replaceWhere]]'s engine, fence-parameterized: None when the
+    * operation nets to nothing (no incoming rows, no matching old
+    * rows) or when a lost publish race re-evaluates `abortOnLostRace`
+    * to true (the staged files become vacuum-eligible orphans). */
+  private def replaceWhereCore(df: DataFrame, tablePath: String,
+      predicate: org.apache.spark.sql.Column,
+      publisher: AtomicPublisher,
+      writeOptions: Map[String, String],
+      opTag: String,
+      abortOnLostRace: () => Boolean): Option[Long] = {
     import org.apache.spark.sql.functions.{coalesce, col, concat, lit, not,
       raise_error, struct, to_json, when}
     val spark = df.sparkSession
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
-    val (version, entries) = liveFilesFull(spark, tablePath)
+    val (_, entries) = liveFilesFull(spark, tablePath)
     val props = propertiesAt(spark, tablePath)
     val dfG = withGenerated(df, props)
     val cur = schemaAt(spark, tablePath)
@@ -1626,13 +1718,7 @@ object CommitLog {
         .groupBy(col("_rw_file")).count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val affectedEntries = matchedCounts.keys.toSeq.sorted.map(byName)
-    def visibleCount(e: LiveEntry): Option[Long] = for {
-      j <- e.stats
-      rc <- parseStatsJson(j).get(RowCountKey).collect { case (n: Long, _) => n }
-      deleted <- if (e.dv.isEmpty) Some(0L) else e.dvRows
-    } yield rc - deleted
-    val partial = affectedEntries.filterNot(e =>
-      visibleCount(e).contains(matchedCounts(baseNameOf(e.name))))
+    val partial = partialMatches(affectedEntries, matchedCounts)
     val rewriteNames =
       if (partial.isEmpty) Seq.empty[String]
       else {
@@ -1644,7 +1730,7 @@ object CommitLog {
           .parquet(st2.toString)
         landStaged(fs, dir, st2, w2)
       }
-    if (newNames.isEmpty && affectedEntries.isEmpty) return version // no-op
+    if (newNames.isEmpty && affectedEntries.isEmpty) return None // nets to nothing
     val preImages =
       if (affectedEntries.isEmpty) None
       else Some(visibleRows(spark, tablePath, schema, affectedEntries)
@@ -1659,11 +1745,20 @@ object CommitLog {
     val cdcNames = cdc.map(landChangeFiles(spark, tablePath, _))
       .getOrElse(Seq.empty)
     val adds = newNames ++ rewriteNames
-    commit(spark, tablePath, adds = adds,
+    // deleteWhere's self-describing stamp: a replace that empties an
+    // un-ledgered table must leave its schema behind
+    val stamp =
+      if (adds.isEmpty && affectedEntries.size == entries.size && cur.isEmpty)
+        Some(schema.json)
+      else None
+    commitOrAbort(spark, tablePath, adds = adds,
       removes = affectedEntries.map(_.name),
-      publisher = publisher, opTag = Some("replaceWhere"),
+      publisher = publisher, opTag = Some(opTag),
+      abortOnLostRace = abortOnLostRace,
       changeAdds = cdcNames,
       addStats = statsFor(spark, tablePath, adds),
+      schemaJson = stamp,
+      schemaExpect = if (stamp.isDefined) Some(None) else None,
       removeDvExpect = affectedEntries.map(e => e.name -> e.dv).toMap,
       constraintsExpect = Some(cs))
   }
@@ -2307,6 +2402,16 @@ object CommitLog {
       parsed.flatMap { case (k, v) =>
         if (k == RowCountKey || k == BytesSizeKey)
           Some(k -> v) // reserved keys, never columns
+        else if (k.endsWith(NullCountSuffix)) {
+          // per-column null counts remap on their BASE column name —
+          // the suffix travels with whatever name readers resolve
+          val base = k.dropRight(NullCountSuffix.length)
+          inverse.get(base) match {
+            case Some(logical) => Some(s"$logical$NullCountSuffix" -> v)
+            case None =>
+              if (mapping.contains(base)) None else Some(k -> v)
+          }
+        }
         else inverse.get(k) match {
           case Some(logical) => Some(logical -> v)
           case None => if (mapping.contains(k)) None else Some(k -> v)
@@ -2694,19 +2799,8 @@ object CommitLog {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     if (matchedCounts.isEmpty) return version // nothing matched: no new version
     val affectedEntries = matchedCounts.keys.toSeq.sorted.map(byName)
-    // visible rows of a file, from metadata alone: log-carried row
-    // count minus the DV positions vectored out (0 when no vector; a
-    // vector attached before position counts were recorded → None →
-    // rewrite path). Stats record the count as [n,n]; absent stats
-    // (adopted pre-stats files) → None.
-    def visibleCount(e: LiveEntry): Option[Long] = for {
-      j <- e.stats
-      rc <- parseStatsJson(j).get(RowCountKey).collect { case (n: Long, _) => n }
-      deleted <- if (e.dv.isEmpty) Some(0L) else e.dvRows
-    } yield rc - deleted
     // fully-matched files DROP (remove-only); the rest rewrite
-    val partial = affectedEntries.filterNot(e =>
-      visibleCount(e).contains(matchedCounts(baseNameOf(e.name))))
+    val partial = partialMatches(affectedEntries, matchedCounts)
     val affectedDf = visibleRows(spark, tablePath, schema, affectedEntries)
     val names =
       if (partial.isEmpty) Seq.empty[String] // every affected file drops whole
@@ -2727,10 +2821,21 @@ object CommitLog {
     val cdcNames = landChangeFiles(spark, tablePath,
       affectedDf.filter(predicate)
         .withColumn(ChangeTypeCol, lit("delete")))
+    // an EMPTYING delete on an un-ledgered table stamps the schema
+    // ledger in the same commit: once the last data file drops there
+    // is no footer left to infer a schema from, and a logged table
+    // must stay self-describing (the emptied table still answers
+    // count 0 / DESCRIBE / streaming reads)
+    val stamp =
+      if (names.isEmpty && affectedEntries.size == entries.size &&
+          schemaAt(spark, tablePath).isEmpty) Some(schema.json)
+      else None
     commit(spark, tablePath, adds = names,
       removes = affectedEntries.map(_.name),
       publisher = publisher, opTag = Some("delete"), changeAdds = cdcNames,
       addStats = statsFor(spark, tablePath, names),
+      schemaJson = stamp,
+      schemaExpect = if (stamp.isDefined) Some(None) else None,
       removeDvExpect = affectedEntries.map(e => e.name -> e.dv).toMap)
   }
 
@@ -3312,22 +3417,25 @@ object CommitLog {
         dvRowCounts = dvCounts,
         constraintsExpect = Some(cs), schemaExpect = schemaExpect)
     }
-    val affected: Seq[String] =
-      if (candidates.isEmpty) Seq.empty
+    val matchedCounts: Map[String, Long] =
+      if (candidates.isEmpty) Map.empty
       else {
         // key columns only: the probe scan must never read payload
         // bytes (Catalyst would prune anyway; saying it keeps the
         // contract visible in the plan's ReadSchema). DV-aware: a
         // position an earlier merge-on-read delete vectored out must
-        // not mark its file affected.
+        // not mark its file affected. Per-file MATCH COUNTS (same
+        // shuffle shape as a distinct-files probe) feed the file-drop
+        // classification below for free.
         val keyOnly = StructType(schema.fields.filter(f =>
           keyCols.contains(f.name)))
         visibleRows(spark, tablePath, keyOnly, candidates.map(entryByName),
           meta = Seq("_kr_file" -> "file_name"))
           .join(keyD, keyCols, "left_semi")
-          .select("_kr_file").distinct().collect().map(_.getString(0)).toSeq
+          .groupBy(col("_kr_file")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       }
-    if (affected.isEmpty) {
+    if (matchedCounts.isEmpty) {
       // nothing matched: the operation degenerates to a plain append
       // (still tagged, still fenced). An EMPTY append still commits —
       // a tagged caller (view refresh riding a consumed= tag) must
@@ -3336,11 +3444,20 @@ object CommitLog {
       return appendOrAbort(app, tablePath, publisher, opTag, abortOnLostRace,
         schemaJson = schemaJson, schemaExpect = schemaExpect)
     }
-    val affectedEntries = affected.map(entryByName)
+    val affectedEntries = matchedCounts.keys.toSeq.sorted.map(entryByName)
+    // a file whose every visible row's key is in the delete set DROPS
+    // as a pure log line (a merge re-landing a whole aligned slice
+    // removes the old slice's files without restating a byte); only
+    // the partially-covered files restate their surviving rows
+    val partial = partialMatches(affectedEntries, matchedCounts)
     val aff = visibleRows(spark, tablePath, schema, affectedEntries)
+    val restate =
+      if (partial.isEmpty) app
+      else visibleRows(spark, tablePath, schema, partial)
+        .join(keyD, keyCols, "left_anti").unionByName(app)
     val writerId = freshWriterId("w")
     val staging = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
-    toPhysical(aff.join(keyD, keyCols, "left_anti").unionByName(app), writeMapping)
+    toPhysical(restate, writeMapping)
       .write.options(tableWriteOptions(spark, tablePath))
       .parquet(staging.toString)
     val names = landStaged(fs, dir, staging, writerId)

@@ -45,8 +45,11 @@ import org.apache.spark.sql.types._
   *    writers normalize zero signs in footers (min −0.0 / max +0.0
   *    regardless of which zero the data holds), so the recorded bound
   *    may be a zero the column never contains.
-  *  - COUNT is answered only for `COUNT(*)`/`COUNT(lit)` — non-null
-  *    counts of a COLUMN need null counts the log does not carry.
+  *  - `COUNT(*)`/`COUNT(lit)` fold row counts; `COUNT(col)` folds
+  *    rows.count − the log-carried `<col>.nulls` null counts (files
+  *    written before null counts landed abstain), vector-free
+  *    snapshots only (a vectored-out row's nullness is unknowable
+  *    from metadata).
   *
   * `spark.graft.statsAggregation=false` disables the rewrite (the
   * scan path is always correct; this is purely an optimization). */
@@ -105,6 +108,12 @@ case class GraftStatsAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
       dvs: Seq[Option[Option[Long]]]): Option[Any] = e match {
     case Alias(AggregateExpression(fn, Complete, false, None, _), _) => fn match {
       case Count(Seq(Literal(v, _))) if v != null => totalRows(stats, dvs)
+      // COUNT(col) = Σ (rows.count − <col>.nulls) — answerable only on
+      // a vector-free snapshot (a vectored-out row's nullness is
+      // unknowable from metadata)
+      case Count(Seq(a: AttributeReference))
+        if fromRelation(lr, a) && dvs.forall(_.isEmpty) =>
+        nonNullCount(stats, a)
       // a vectored row may hold the extreme — MIN/MAX only answer on
       // a vector-free snapshot
       case Min(a: AttributeReference)
@@ -139,6 +148,25 @@ case class GraftStatsAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val vectored = dvs.flatten
     if (vectored.exists(_.isEmpty)) return None
     Some(counts.flatten.sum - vectored.flatten.sum)
+  }
+
+  /** COUNT(col): per file, rows.count − the log-carried `<col>.nulls`
+    * null count. A zero-row file contributes 0 without needing a nulls
+    * entry; any other file missing EITHER key abstains the rewrite.
+    * Dotted attribute names abstain — the emitter never records stats
+    * for them, so the lookup could only hit reserved keys. */
+  private def nonNullCount(stats: Seq[Option[Map[String, (Any, Any)]]],
+      attr: AttributeReference): Option[Any] = {
+    if (attr.name.contains(".")) return None
+    if (stats.isEmpty) return Some(0L) // empty table: COUNT(col) = 0
+    val per = stats.map(_.flatMap { m =>
+      m.get(CommitLog.RowCountKey).collect { case (n: Long, _) => n }.flatMap {
+        case 0L => Some(0L)
+        case n => m.get(attr.name + CommitLog.NullCountSuffix)
+          .collect { case (k: Long, _) => n - k }
+      }
+    })
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
   }
 
   private def extreme(stats: Seq[Option[Map[String, (Any, Any)]]],

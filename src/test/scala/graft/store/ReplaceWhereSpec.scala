@@ -155,6 +155,67 @@ abstract class ReplaceWhereBehavior(publisher: AtomicPublisher) extends SparkSpe
     }
   }
 
+  test("file-drop classification: stats + DV counts decide, absence abstains") {
+    def entry(rc: Option[Long], dv: Option[String], dvRows: Option[Long]) =
+      CommitLog.LiveEntry("f1",
+        rc.map(n => s"""{"rows.count":[$n,$n],"bytes.size":[100,100]}"""),
+        dv, dvRows)
+    def drops(e: CommitLog.LiveEntry, matched: Long): Boolean =
+      CommitLog.partialMatches(Seq(e), Map("f1" -> matched)).isEmpty
+    assert(drops(entry(Some(10L), None, None), 10L), "full match must drop")
+    assert(!drops(entry(Some(10L), None, None), 9L), "partial match must rewrite")
+    assert(!drops(entry(None, None, None), 10L), "missing stats must abstain")
+    assert(drops(entry(Some(10L), Some("dv"), Some(4L)), 6L),
+      "rc − dvRows == matched must drop")
+    assert(!drops(entry(Some(10L), Some("dv"), Some(4L)), 10L),
+      "matched beyond visible must rewrite (never drop on a stale count)")
+    assert(!drops(entry(Some(10L), Some("dv"), None), 10L),
+      "a countless DV attachment must abstain")
+  }
+
+  test("a keyed merge covering a whole aligned file drops it; neighbors untouched") {
+    val t = freshTable()
+    val mk = (lo: Long, hi: Long, v: String) =>
+      spark.range(lo, hi).toDF("id").withColumn("v", lit(v)).repartition(1)
+    CommitLog.append(mk(0L, 100L, "old"), t, publisher)
+    val fA = dataFiles(t)
+    CommitLog.append(mk(100L, 200L, "keep"), t, publisher)
+    val fB = dataFiles(t) -- fA
+    val sch = mk(0L, 1L, "x").schema
+    CommitLog.merge(spark, t, sch, mk(0L, 100L, "new"), Seq("id"), publisher)
+    val after = dataFiles(t)
+    assert(after.intersect(fA).isEmpty, "the fully-covered file must go")
+    assert(fB.subsetOf(after), "the untouched neighbor must keep its identity")
+    val rows = CommitLog.read(spark, t, sch).as[(Long, String)].collect().toMap
+    assert(rows.size == 200)
+    assert((0L until 100L).forall(rows(_) == "new"))
+    assert((100L until 200L).forall(rows(_) == "keep"))
+  }
+
+  test("replaceWhereOnce: exactly-once across crash replay") {
+    val t = freshTable()
+    alignedTable(t, (0L, 100L), (100L, 200L))
+    val won = CommitLog.replaceWhereOnce(spark.range(100L, 150L).toDF("id"), t,
+      col("id") >= 100 && col("id") < 200, "rwq", batchId = 1L, publisher)
+    assert(won.isDefined)
+    assert(ids(t) == ((0L until 100L) ++ (100L until 150L)).toSet)
+    val v1 = CommitLog.liveFiles(spark, t)._1
+    // crash replay of the same batch: no commit, no double-delete/insert
+    assert(CommitLog.replaceWhereOnce(spark.range(100L, 150L).toDF("id"), t,
+      col("id") >= 100 && col("id") < 200, "rwq", batchId = 1L, publisher).isEmpty)
+    assert(CommitLog.liveFiles(spark, t)._1 == v1)
+    assert(ids(t) == ((0L until 100L) ++ (100L until 150L)).toSet)
+    // the next batch applies; an empty batch over a matching slice
+    // truncates it (meaningful) and claims its id
+    assert(CommitLog.replaceWhereOnce(
+      spark.range(0L, 0L).toDF("id"), t, col("id") < 100, "rwq",
+      batchId = 2L, publisher).isDefined)
+    assert(ids(t) == (100L until 150L).toSet)
+    assert(CommitLog.replaceWhereOnce(
+      spark.range(0L, 0L).toDF("id"), t, col("id") < 100, "rwq",
+      batchId = 2L, publisher).isEmpty)
+  }
+
   test("replaceWhere refuses a shape change when a ledger exists") {
     val t = freshTable()
     CommitLog.append(spark.range(0, 10).toDF("id"), t, publisher,

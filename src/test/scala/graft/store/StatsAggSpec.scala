@@ -46,10 +46,10 @@ class StatsAggSpec extends SparkSpec {
     assert(r.getInt(5) == 96)
   }
 
-  test("a filter, a column count, or a string extreme keeps the scanning plan") {
+  test("a filter or a string extreme keeps the scanning plan; COUNT(col) folds") {
     import spark.implicits._
     val t = freshDir("abstain")
-    Seq((1L, "alpha"), (2L, "omega"), (3L, "mid")).toDF("id", "s")
+    Seq((1L, "alpha"), (2L, null: String), (3L, "mid")).toDF("id", "s")
       .write.format("graftlog").mode("append").save(t)
     val base = spark.read.format("graftlog").load(t)
 
@@ -57,9 +57,11 @@ class StatsAggSpec extends SparkSpec {
     assert(!isMetadataOnly(filtered), "a filtered COUNT must scan")
     assert(filtered.collect()(0).getLong(0) == 2L)
 
-    val colCount = base.agg(count(col("s")).as("n")) // needs null counts
-    assert(!isMetadataOnly(colCount))
-    assert(colCount.collect()(0).getLong(0) == 3L)
+    // COUNT(col) folds from rows.count − the log-carried `s.nulls`
+    val colCount = base.agg(count(col("s")).as("n"))
+    assert(isMetadataOnly(colCount),
+      s"plan:\n${colCount.queryExecution.optimizedPlan}")
+    assert(colCount.collect()(0).getLong(0) == 2L)
 
     val strMin = base.agg(min("s").as("m")) // bounds are envelopes
     assert(!isMetadataOnly(strMin))
