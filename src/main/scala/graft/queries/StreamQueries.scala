@@ -205,6 +205,59 @@ object StreamQueries {
       (s, dir) => StreamingJobs.incrementalLshPairs(s, dir, threshold = 0.6)
     },
 
+    // ── Streaming EXACTLY-ONCE backfill (replaceWhereOnce): the base
+    // corpus lands day-aligned, a corrections stream arrives one
+    // complete day slice per micro-batch, and foreachBatch re-lands
+    // each batch's days through the txn-fenced predicate overwrite.
+    // The drain is CRASHED after batch 0's commit lands but before its
+    // checkpoint advances (the replay-duplication worst case),
+    // restarted from the same checkpoint — the replayed batch must
+    // find the ledger at its id and skip. The oracle recomputes the
+    // post-backfill corpus relationally; a double-applied or lost
+    // slice flips count or digest. ────────────────────────────────────
+    Q(
+      "stream_replace_backfill",
+      s"""SELECT CAST(doc_id % 4 AS BIGINT) AS day,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  bit_xor(${OracleSnippets.rowDigestSql("doc_id",
+               "CASE WHEN doc_id % 4 IN (1,3) THEN text || ' [v2]' ELSE text END")}) AS content_digest
+         |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.store.CommitLog
+      val root = "/tmp/graft_state/replace_backfill"
+      val table = s"$root/table"
+      val stage = s"$root/corrections"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val a = graft.Tables.load(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 4).as("day"), col("text"))
+      (0L to 3L).foreach(d => CommitLog.append(a.filter(col("day") === d), table))
+      // corrections staged ONE COMPLETE DAY PER FILE — the contract a
+      // predicate-scoped backfill batch must honor (a batch replaces
+      // whole slices, so it must carry whole slices)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(stage))
+      Seq(1L, 3L).foreach { d =>
+        val tmp = new org.apache.hadoop.fs.Path(s"$root/_c$d")
+        a.filter(col("day") === d)
+          .withColumn("text", concat(col("text"), lit(" [v2]")))
+          .repartition(1).write.parquet(tmp.toString)
+        val part = fs.listStatus(tmp).map(_.getPath)
+          .find(_.getName.endsWith(".parquet")).get
+        fs.rename(part, new org.apache.hadoop.fs.Path(stage, s"day_$d.parquet"))
+        fs.delete(tmp, true)
+      }
+      val ckpt = Files.createTempDirectory("graft_ckpt_backfill").toString
+      val boom = (bid: Long) =>
+        if (bid == 0) throw new RuntimeException("injected post-commit crash")
+      try StreamingJobs.replaceBackfillRun(s, root, ckpt, boom).awaitTermination()
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+      StreamingJobs.replaceBackfillRun(s, root, ckpt).awaitTermination()
+      CommitLog.read(s, table, a.schema)
+        .withColumn("h", graft.core.Hashing.rowDigest(col("doc_id"), col("text")))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
+    },
+
     // ── Streaming incremental MULTIMODAL dedup: arrival image batches
     // decode → dHash inside foreachBatch, probe the LOGGED at-rest
     // band index, land pairs AND their own bands through the

@@ -689,6 +689,40 @@ object StreamingJobs {
 
   /** The drained pairs of an [[incrementalBandedRun]] state root
     * (either modality — the pairs table shape is shared). */
+  /** Streaming EXACTLY-ONCE backfill loop — the
+    * [[graft.store.CommitLog.replaceWhereOnce]] consumer: micro-batches
+    * of corrections staged ONE COMPLETE DAY SLICE PER FILE under
+    * `<stateRoot>/corrections` re-land their days into the logged
+    * table at `<stateRoot>/table` through the txn-fenced predicate
+    * overwrite. `boom(bid)` fires AFTER the batch's commit lands and
+    * BEFORE the checkpoint advances — the replay-duplication worst
+    * case the fence exists for: the restarted query replays the same
+    * batch id, finds the ledger at it, and skips instead of
+    * double-deleting/inserting the slice. */
+  def replaceBackfillRun(spark: SparkSession, stateRoot: String,
+      checkpoint: String, boom: Long => Unit = _ => ()): StreamingQuery = {
+    val table = s"$stateRoot/table"
+    val stage = s"$stateRoot/corrections"
+    val schema = spark.read.parquet(stage).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        // one slice-complete batch → one atomic replace of its days
+        val days = batch.select("day").distinct()
+          .collect().map(_.getLong(0)).sorted
+        if (days.nonEmpty)
+          graft.store.CommitLog.replaceWhereOnce(batch, table,
+            col("day").isin(days.toIndexedSeq: _*), "backfill", bid)
+        boom(bid)
+        ()
+      }
+      .start()
+  }
+
   def incrementalPhashResult(spark: SparkSession, stateRoot: String): DataFrame =
     graft.store.CommitLog.read(spark, s"$stateRoot/pairs",
       org.apache.spark.sql.types.StructType(Seq(

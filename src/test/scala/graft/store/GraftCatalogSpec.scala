@@ -64,6 +64,23 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("INSERT INTO graft.tt VERSION AS OF 2 VALUES (5)"))
   }
 
+  test("TRUNCATE TABLE is a metadata-only truncate with time travel intact") {
+    freshWarehouse()
+    spark.sql("CREATE TABLE graft.trunc (id BIGINT)")
+    spark.sql("INSERT INTO graft.trunc SELECT id FROM range(100)")
+    val path = spark.conf.get("spark.graft.warehouse") + "/trunc"
+    val before = CommitLog.liveFiles(spark, path)
+    spark.sql("TRUNCATE TABLE graft.trunc")
+    val (v, live) = CommitLog.liveFiles(spark, path)
+    assert(live.isEmpty && v == before._1 + 1)
+    assert(spark.sql("SELECT count(*) FROM graft.trunc").as[Long].head() == 0L)
+    // metadata-only: the old files are removed, nothing was rewritten,
+    // and the pre-truncate snapshot still serves until vacuum
+    assert(spark.sql(s"SELECT count(*) FROM graft.trunc VERSION AS OF ${before._1}")
+      .as[Long].head() == 100L)
+    spark.sql("DROP TABLE graft.trunc")
+  }
+
   test("DELETE FROM through the catalog honors the deletion-vector switch") {
     freshWarehouse()
     spark.sql("CREATE TABLE graft.del (id BIGINT)")
