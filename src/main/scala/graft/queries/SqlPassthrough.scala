@@ -129,6 +129,7 @@ object SqlPassthrough {
        |  FROM documents WHERE doc_id % 7 <> 0 GROUP BY snap, source)""".stripMargin
 
   val queries: Seq[Q] = Seq(
+    metaTablesQ,
     Q("sql_region_revenue", RegionRevenueSql)((s, dir) => run(s, dir, RegionRevenueSql)),
     Q("sql_part_stats", TopPartsSql)((s, dir) => run(s, dir, TopPartsSql)),
     Q("sql_hll_distinct", EventQueries.hllOracleSql)(
@@ -275,6 +276,42 @@ object SqlPassthrough {
               |WHERE doc_id % 11 = 0""".stripMargin)
       run(s, dir, CatalogSelectSql)
     })
+
+  // ── METADATA TABLES in plain SQL (graft.t.history / .files /
+  // .detail — the Iceberg spelling): the engine builds a logged table
+  // with a deterministic commit sequence, then answers everything from
+  // the metadata tables ADDRESSED BY PATH (the `graft.`/abs/path``
+  // fallback resolution): commit counts by operation from .history,
+  // live rows as SUM(rows) over .files (zero data files opened), and
+  // the same count through the scanning path — a wrong log fold flips
+  // rows_meta against rows_scan. Oracle: the relational complement. ───
+  private def metaTablesQ: Q =
+    Q(
+      "sql_metadata_tables",
+      """SELECT CAST(2 AS BIGINT) AS n_appends, CAST(1 AS BIGINT) AS n_deletes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE NOT (doc_id % 5 = 1)) AS rows_meta,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE NOT (doc_id % 5 = 1)) AS rows_scan
+        |""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "source", "text")
+      val table = "/tmp/graft_state/meta_tables_docs"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      graft.store.CommitLog.append(docs.filter(col("doc_id") % 2 === 0), table)
+      graft.store.CommitLog.append(docs.filter(col("doc_id") % 2 === 1), table)
+      graft.store.CommitLog.deleteWhere(s, table, docs.schema,
+        col("doc_id") % 5 === 1)
+      s.sql(
+        s"""SELECT
+           |  (SELECT count(*) FROM graft.`$table`.history
+           |   WHERE operation = 'append') AS n_appends,
+           |  (SELECT count(*) FROM graft.`$table`.history
+           |   WHERE operation = 'delete') AS n_deletes,
+           |  (SELECT CAST(sum(rows) AS BIGINT) FROM graft.`$table`.files) AS rows_meta,
+           |  (SELECT count(*) FROM graft.`$table`) AS rows_scan
+           |""".stripMargin)
+    }
 
   private val CatalogWarehouse = "/tmp/graft_state/catalog_wh"
 

@@ -102,10 +102,33 @@ class GraftCatalog extends TableCatalog {
     CommitLog.latestVersion(spark, pathOf(ident)) > 0
 
   override def loadTable(ident: Identifier): Table = {
-    val path = pathOf(ident)
-    if (CommitLog.latestVersion(spark, path) == 0)
-      throw new NoSuchTableException(ident)
-    GraftTable(path, asOf = Long.MaxValue, ident.toString, catalogName)
+    val path =
+      try pathOf(ident)
+      catch {
+        // an identifier pathOf refuses (path-escaping segment, no
+        // warehouse) can still be a METADATA spelling on a
+        // path-addressed base (graft.`/abs/path`.history); anything
+        // else keeps the loud refusal
+        case e: IllegalArgumentException =>
+          return metaTableOf(ident).getOrElse(throw e)
+      }
+    if (CommitLog.latestVersion(spark, path) > 0)
+      GraftTable(path, asOf = Long.MaxValue, ident.toString, catalogName)
+    else metaTableOf(ident).getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  /** METADATA-TABLE spelling (the Iceberg shape): `graft.t.history` /
+    * `.files` / `.detail` — one extra identifier segment on a real
+    * logged table. Resolved only when the full identifier is NOT
+    * itself a table (a genuine logged table named `t/history` shadows
+    * the metadata view), so adding this costs no name. */
+  private def metaTableOf(ident: Identifier): Option[Table] = {
+    val kind = ident.name.toLowerCase(java.util.Locale.ROOT)
+    if (ident.namespace.isEmpty || !GraftMetaTable.Kinds(kind)) return None
+    val base = Identifier.of(ident.namespace.init, ident.namespace.last)
+    scala.util.Try(pathOf(base)).toOption
+      .filter(p => CommitLog.latestVersion(spark, p) > 0)
+      .map(p => GraftMetaTable(p, kind, ident.toString))
   }
 
   /** `VERSION AS OF <v>` — a version-pinned, read-only table. */
@@ -542,5 +565,88 @@ private[store] final class GraftWriteBuilder(path: String)
           ()
         }
       }
+  }
+}
+
+/** Read-only METADATA TABLES addressed as an extra identifier segment
+  * — the Iceberg spelling, composable in plain SQL where the DESCRIBE
+  * verbs are not:
+  *
+  *  - `graft.t.history`: one row per surviving commit (version,
+  *    operation, add/remove counts, in-commit timestamp) — join it,
+  *    filter it, chart write cadence.
+  *  - `graft.t.files`: the LIVE SET with log-carried byte sizes, row
+  *    counts, and deletion-vector state — the SHOW PARTITIONS analog
+  *    of a flat-layout table (per-file envelopes live in the same
+  *    stats the scanner prunes with); `SUM(bytes)` is table size with
+  *    zero file-system calls.
+  *  - `graft.t.detail`: the one-row operational summary.
+  *
+  * Driver-built metadata frames (log-sized, never data-sized) served
+  * through the V1Scan seam; no pushdown — there is nothing to push
+  * into. Read-only by construction: no SupportsWrite, and DROP/ALTER
+  * resolve the segment as a (nonexistent) real table. */
+private[store] final case class GraftMetaTable(path: String, kind: String,
+    identString: String) extends Table with SupportsRead {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = identString
+
+  override lazy val schema: StructType =
+    GraftMetaTable.frame(spark, path, kind).schema
+
+  override def partitioning(): Array[Transform] = Array.empty
+
+  override def properties(): util.Map[String, String] =
+    java.util.Collections.emptyMap()
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = GraftMetaTable.this.schema
+
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = GraftMetaTable.this.schema
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+              GraftMetaTable.frame(SparkSession.active, path, kind).rdd
+          }.asInstanceOf[T]
+
+        override def description(): String = s"GraftMetaScan[$path, $kind]"
+      }
+    }
+}
+
+private[store] object GraftMetaTable {
+  val Kinds: Set[String] = Set("history", "files", "detail")
+
+  def frame(spark: SparkSession, path: String, kind: String): DataFrame =
+    kind match {
+      case "history" => CommitLog.history(spark, path)
+      case "detail" => CommitLog.detail(spark, path)
+      case "files" => filesFrame(spark, path)
+    }
+
+  /** The live set as data: file reference, log-carried size and row
+    * count (null for pre-stats generations), and the attached
+    * deletion-vector reference + its recorded deleted-position count.
+    * Everything comes from the log replay — zero file-system calls,
+    * zero data files opened. */
+  private def filesFrame(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val (_, entries) = CommitLog.liveFilesFull(spark, path)
+    entries.map { e =>
+      val st = e.stats.map(CommitLog.parseStatsJson)
+      def key(k: String): Option[Long] =
+        st.flatMap(_.get(k)).collect { case (n: Long, _) => n }
+      (e.name, key(CommitLog.BytesSizeKey), key(CommitLog.RowCountKey),
+        e.dv, e.dvRows)
+    }.toDF("file", "bytes", "rows", "dv_file", "dv_rows")
   }
 }

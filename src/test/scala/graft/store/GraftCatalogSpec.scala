@@ -64,6 +64,41 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("INSERT INTO graft.tt VERSION AS OF 2 VALUES (5)"))
   }
 
+  test("metadata tables: graft.t.history / .files / .detail compose in SQL") {
+    freshWarehouse()
+    spark.sql("CREATE TABLE graft.meta (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.meta VALUES (1, 'a'), (2, NULL)")
+    spark.sql("INSERT INTO graft.meta VALUES (3, 'c')")
+    spark.sql("DELETE FROM graft.meta WHERE id = 3")
+    // history composes in plain SQL (filter + aggregate over commits)
+    val ops = spark.sql(
+      "SELECT operation, count(*) AS n FROM graft.meta.history " +
+        "WHERE operation <> 'checkpoint' GROUP BY 1")
+      .as[(String, Long)].collect().toMap
+    assert(ops.get("append").contains(2L) && ops.get("delete").contains(1L))
+    // files: the live set with log-carried sizes/rows — zero FS calls;
+    // SUM(rows) equals the table's count
+    val files = spark.sql(
+      "SELECT CAST(sum(rows) AS BIGINT), CAST(sum(bytes) AS BIGINT), count(*) " +
+        "FROM graft.meta.files").as[(Long, Long, Long)].head()
+    assert(files._1 == 2L && files._2 > 0L && files._3 >= 1L)
+    // detail: the one-row summary, joinable
+    assert(spark.sql("SELECT count(*) FROM graft.meta.detail")
+      .as[Long].head() == 1L)
+    // a real table always shadows the metadata spelling
+    spark.sql("CREATE TABLE graft.meta.history (id BIGINT)")
+    spark.sql("INSERT INTO graft.meta.history VALUES (7)")
+    assert(spark.sql("SELECT id FROM graft.meta.history")
+      .as[Long].collect().toSeq == Seq(7L))
+    spark.sql("DROP TABLE graft.meta.history")
+    assert(spark.sql("SELECT count(*) FROM graft.meta.history WHERE operation = 'delete'")
+      .as[Long].head() == 1L)
+    // metadata tables are read-only
+    intercept[Exception](
+      spark.sql("INSERT INTO graft.meta.files VALUES ('x', 1, 1, NULL, NULL)"))
+    spark.sql("DROP TABLE graft.meta")
+  }
+
   test("TRUNCATE TABLE is a metadata-only truncate with time travel intact") {
     freshWarehouse()
     spark.sql("CREATE TABLE graft.trunc (id BIGINT)")
