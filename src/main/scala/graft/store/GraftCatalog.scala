@@ -153,9 +153,25 @@ class GraftCatalog extends TableCatalog {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val path = pathOf(ident)
-    require(partitions.isEmpty,
-      "logged tables have no partition dirs — cluster with OPTIMIZE " +
+    // `CREATE TABLE … CLUSTER BY (a, b)` — the liquid-clustering
+    // spelling: the transform becomes the graft.clusterBy property
+    // (writer-side range/Z-order layout + stats pruning), exactly what
+    // the Delta clustered-table shape means on a flat layout. Anything
+    // else (PARTITIONED BY, bucketing) keeps the loud refusal.
+    val (clusterT, otherT) = partitions.partition(t =>
+      org.apache.spark.sql.connector.expressions.ClusterByTransform
+        .unapply(t).isDefined)
+    require(otherT.isEmpty,
+      "logged tables have no partition dirs — declare CLUSTER BY (…) " +
+        "for writer-side clustering, or re-cluster with OPTIMIZE " +
         "ZORDER; stats pruning replaces partition pruning")
+    val clusterProp = clusterT.headOption.map(t =>
+      "graft.clusterBy" -> GraftCatalog.clusterSpec(
+        org.apache.spark.sql.connector.expressions.ClusterByTransform
+          .unapply(t).get))
+    require(clusterProp.isEmpty || !properties.containsKey("graft.clusterBy"),
+      "declare clustering once: CLUSTER BY (…) or the graft.clusterBy " +
+        "property, not both")
     if (CommitLog.latestVersion(spark, path) > 0)
       throw new TableAlreadyExistsException(Seq(catalogName, ident.toString))
     // Spark stamps reserved bookkeeping keys (provider/owner/…) into
@@ -165,7 +181,8 @@ class GraftCatalog extends TableCatalog {
     // properties). schemaExpect(None): two concurrent CREATEs both
     // pass the exists-check; the loser's re-publish would restamp the
     // winner's ledger — the schema fence aborts it loudly instead.
-    val user = properties.asScala.filterNot { case (k, _) => ReservedProps(k) }
+    val user = properties.asScala.filterNot { case (k, _) => ReservedProps(k) } ++
+      clusterProp
     user.foreach { case (k, v) => CommitLog.validateProperty(k, v) }
     CommitLog.commitOrAbort(spark, path, adds = Seq.empty, removes = Seq.empty,
       publisher = RenameOrLinkPublisher, opTag = Some("create"),
@@ -184,10 +201,22 @@ class GraftCatalog extends TableCatalog {
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = pathOf(ident)
+    // `ALTER TABLE t CLUSTER BY (a, b)` sets the clustering property;
+    // `CLUSTER BY NONE` drops it (a no-op on an unclustered table, the
+    // Delta semantics — not a loud missing-property unset)
+    val clusterBys = changes.collect { case c: TableChange.ClusterBy => c }
+    val clusterSets = clusterBys.filter(_.clusteringColumns.nonEmpty)
+      .map(c => "graft.clusterBy" -> GraftCatalog.clusterSpec(
+        c.clusteringColumns.toIndexedSeq))
+    val clusterUnsets =
+      if (clusterBys.exists(_.clusteringColumns.isEmpty) &&
+          CommitLog.propertiesAt(spark, path).contains("graft.clusterBy"))
+        Seq("graft.clusterBy")
+      else Seq.empty
     val sets = changes.collect { case s: TableChange.SetProperty =>
-      s.property -> s.value }
+      s.property -> s.value } ++ clusterSets
     val unsets = changes.collect { case r: TableChange.RemoveProperty =>
-      r.property }
+      r.property } ++ clusterUnsets
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     val renames = changes.collect { case r: TableChange.RenameColumn => r }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
@@ -196,7 +225,8 @@ class GraftCatalog extends TableCatalog {
         c.isInstanceOf[TableChange.RemoveProperty] ||
         c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.RenameColumn] ||
-        c.isInstanceOf[TableChange.DeleteColumn])
+        c.isInstanceOf[TableChange.DeleteColumn] ||
+        c.isInstanceOf[TableChange.ClusterBy])
     require(unsupported.isEmpty,
       s"unsupported ALTER TABLE change(s) for a logged table: " +
         unsupported.mkString(", "))
@@ -368,6 +398,24 @@ class GraftCatalog extends TableCatalog {
   * [[CommitLog.deleteWhere]], honoring the session's deletion-vector
   * switch). `asOf != Long.MaxValue` pins a time-travel snapshot,
   * which is read-only. */
+private[store] object GraftCatalog {
+  /** `CLUSTER BY` column references → the graft.clusterBy spec string
+    * ("c" = range clustering, "a,b" = Z-order — ZOrder.layout's
+    * contract). Top-level columns only: the writer layout and the
+    * stats pruning it feeds both key on top-level names. */
+  def clusterSpec(
+      refs: Seq[org.apache.spark.sql.connector.expressions.NamedReference])
+      : String = {
+    require(refs.nonEmpty, "CLUSTER BY needs at least one column")
+    refs.map { r =>
+      require(r.fieldNames.length == 1,
+        s"CLUSTER BY supports top-level columns only, got " +
+          r.fieldNames.mkString("."))
+      r.fieldNames.head
+    }.mkString(",")
+  }
+}
+
 private[graft] case class GraftTable(path: String, asOf: Long,
     identString: String, catalog: String = "graft") extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
@@ -401,7 +449,19 @@ private[graft] case class GraftTable(path: String, asOf: Long,
   override lazy val schema: StructType =
     GraftLogBatch.nullify(GraftLogBatch.schemaFor(spark, path, asOf))
 
-  override def partitioning(): Array[Transform] = Array.empty
+  /** Declared clustering reports back as the CLUSTER BY transform, so
+    * DESCRIBE and catalog introspection show what the writer layout
+    * actually does. Logged tables never have partition transforms. */
+  override def partitioning(): Array[Transform] =
+    CommitLog.propertiesAt(spark, path).get("graft.clusterBy") match {
+      case Some(spec) =>
+        val cols = spec.split(',').map(_.trim).filter(_.nonEmpty)
+        if (cols.isEmpty) Array.empty
+        else Array(org.apache.spark.sql.connector.expressions.ClusterByTransform(
+          cols.toIndexedSeq.map(c =>
+            org.apache.spark.sql.connector.expressions.Expressions.column(c))))
+      case None => Array.empty
+    }
 
   override def properties(): util.Map[String, String] =
     CommitLog.propertiesAt(spark, path).asJava

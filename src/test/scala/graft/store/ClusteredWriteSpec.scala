@@ -107,3 +107,64 @@ class ClusteredWriteSpec extends SparkSpec {
     assert(spark.read.format("graftlog").load(t).count() == 300)
   }
 }
+
+/** `CLUSTER BY` through the catalog — the liquid-clustering SQL
+  * spelling of graft.clusterBy: CREATE TABLE … CLUSTER BY declares it,
+  * ALTER TABLE … CLUSTER BY re-points it, CLUSTER BY NONE drops it
+  * (no-op on an unclustered table), DESCRIBE reports it, and a
+  * PARTITIONED BY spelling keeps the loud flat-layout refusal. */
+class CatalogClusterBySpec extends SparkSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.graft.warehouse",
+      java.nio.file.Files.createTempDirectory("graft_cb_wh").toString)
+  }
+
+  test("CREATE TABLE … CLUSTER BY lands writes clustered; ALTER re-points it") {
+    spark.sql("DROP TABLE IF EXISTS graft.cb")
+    spark.sql("CREATE TABLE graft.cb (id BIGINT, v BIGINT) CLUSTER BY (id) " +
+      "TBLPROPERTIES ('graft.clusterBy.files' = '4')")
+    val path = spark.conf.get("spark.graft.warehouse") + "/cb"
+    assert(CommitLog.propertiesAt(spark, path).get("graft.clusterBy")
+      .contains("id"))
+    // a scrambled insert lands as disjoint per-file id ranges
+    spark.range(0, 400)
+      .select(col("id"), pmod(col("id") * 2654435761L, lit(97)).as("v"))
+      .repartition(8, col("v"))
+      .writeTo("graft.cb").append()
+    val (_, withStats) = CommitLog.liveFilesWithStats(spark, path)
+    val b = withStats.map { case (n, js) =>
+      val s = CommitLog.parseStatsJson(js.get)("id")
+      (s._1.asInstanceOf[Long], s._2.asInstanceOf[Long])
+    }.sortBy(_._1)
+    assert(b.size == 4, s"expected 4 clustered files, got $b")
+    b.sliding(2).foreach { case Seq((_, hi), (lo, _)) =>
+      assert(hi < lo, s"overlapping file ranges: $b")
+    case _ => ()
+    }
+    // DESCRIBE surfaces the clustering (partitioning() reports it)
+    val desc = spark.sql("DESCRIBE TABLE graft.cb").collect().map(_.toString).mkString
+    assert(desc.contains("id"), desc)
+    // ALTER re-points; CLUSTER BY NONE drops; both visible in properties
+    spark.sql("ALTER TABLE graft.cb CLUSTER BY (v, id)")
+    assert(CommitLog.propertiesAt(spark, path)("graft.clusterBy") == "v,id")
+    spark.sql("ALTER TABLE graft.cb CLUSTER BY NONE")
+    assert(!CommitLog.propertiesAt(spark, path).contains("graft.clusterBy"))
+    // NONE on an already-unclustered table is a no-op, not a loud unset
+    spark.sql("ALTER TABLE graft.cb CLUSTER BY NONE")
+    spark.sql("DROP TABLE graft.cb")
+  }
+
+  test("PARTITIONED BY keeps the loud refusal; double clustering declaration refused") {
+    spark.sql("DROP TABLE IF EXISTS graft.cbbad")
+    val e = intercept[Exception](
+      spark.sql("CREATE TABLE graft.cbbad (id BIGINT, d STRING) PARTITIONED BY (d)"))
+    assert(e.getMessage.contains("CLUSTER BY") || e.getMessage.contains("partition"))
+    val e2 = intercept[Exception](
+      spark.sql("CREATE TABLE graft.cbbad (id BIGINT) CLUSTER BY (id) " +
+        "TBLPROPERTIES ('graft.clusterBy' = 'id')"))
+    assert(e2.getMessage.contains("once"))
+  }
+}
