@@ -1045,6 +1045,49 @@ object CommitLog {
     affected.filterNot(e =>
       metadataVisibleCount(e).contains(matchedCounts(baseNameOf(e.name))))
 
+  /** The OLD SIDE of a predicate-addressed rewrite, shared by
+    * [[deleteWhere]] and [[replaceWhere]]: ONE pruned probe (the
+    * filter precedes the aggregation, so pushdown + min/max skipping
+    * prune the scan exactly as a distinct-files probe would)
+    * aggregates per-file MATCH COUNTS, [[partialMatches]] splits
+    * fully-matched files (droppable as log lines) from boundary
+    * stragglers, and ONLY the stragglers rewrite without their
+    * matching rows. DV-aware end to end (visibleRows). Returns the
+    * affected entries (the caller removes all of them) and the staged
+    * straggler rewrites (the caller adds them). */
+  private def removeMatching(spark: SparkSession, tablePath: String,
+      schema: StructType, predicate: org.apache.spark.sql.Column,
+      entries: Seq[LiveEntry]): (Seq[LiveEntry], Seq[String]) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    if (entries.isEmpty) return (Seq.empty, Seq.empty)
+    val dir = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = fsOf(spark, dir)
+    val byName = entriesByName(entries)
+    val matchedCounts: Map[String, Long] =
+      visibleRows(spark, tablePath, schema, entries,
+        meta = Seq("_rm_file" -> "file_name"))
+        .filter(predicate)
+        .groupBy(col("_rm_file")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (matchedCounts.isEmpty) return (Seq.empty, Seq.empty)
+    val affectedEntries = matchedCounts.keys.toSeq.sorted.map(byName)
+    val partial = partialMatches(affectedEntries, matchedCounts)
+    val names =
+      if (partial.isEmpty) Seq.empty[String] // every affected file drops whole
+      else {
+        val writerId = freshWriterId("w")
+        val staging =
+          new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
+        toPhysical(visibleRows(spark, tablePath, schema, partial)
+          .filter(not(coalesce(predicate, lit(false)))),
+          mappingAt(spark, tablePath))
+          .write.options(tableWriteOptions(spark, tablePath))
+          .parquet(staging.toString)
+        landStaged(fs, dir, staging, writerId)
+      }
+    (affectedEntries, names)
+  }
+
   /** Reserved stats key carrying the file's total ROW COUNT (summed
     * across row groups at write time). The dot makes collision with a
     * real column impossible: `footerStatsJson` refuses to emit any
@@ -1637,7 +1680,9 @@ object CommitLog {
       writeOptions: Map[String, String] = Map.empty): Long =
     replaceWhereCore(df, tablePath, predicate, publisher, writeOptions,
       opTag = "replaceWhere", abortOnLostRace = () => false)
-      .getOrElse(liveFilesFull(df.sparkSession, tablePath)._1)
+      // nets-to-nothing: report the current version without a second
+      // log replay (one directory listing, not a fold)
+      .getOrElse(latestVersion(df.sparkSession, tablePath))
 
   /** EXACTLY-ONCE streaming replaceWhere — [[appendOnce]]'s txn-ledger
     * fence applied to the backfill verb: a `foreachBatch` loop that
@@ -1708,28 +1753,10 @@ object CommitLog {
       .write.options(tableWriteOptionsWith(props, mapping, writeOptions))
       .parquet(staging.toString)
     val newNames = landStaged(fs, dir, staging, writerId)
-    // old side: deleteWhere's probe + file-drop classification
-    val byName = entriesByName(entries)
-    val matchedCounts: Map[String, Long] =
-      if (entries.isEmpty) Map.empty
-      else visibleRows(spark, tablePath, schema, entries,
-        meta = Seq("_rw_file" -> "file_name"))
-        .filter(predicate)
-        .groupBy(col("_rw_file")).count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val affectedEntries = matchedCounts.keys.toSeq.sorted.map(byName)
-    val partial = partialMatches(affectedEntries, matchedCounts)
-    val rewriteNames =
-      if (partial.isEmpty) Seq.empty[String]
-      else {
-        val w2 = freshWriterId("w")
-        val st2 = new org.apache.hadoop.fs.Path(tablePath, s"_staging_$w2")
-        toPhysical(visibleRows(spark, tablePath, schema, partial)
-          .filter(not(coalesce(predicate, lit(false)))), mapping)
-          .write.options(tableWriteOptions(spark, tablePath))
-          .parquet(st2.toString)
-        landStaged(fs, dir, st2, w2)
-      }
+    // old side: deleteWhere's shared probe + file-drop classification
+    // + straggler rewrite
+    val (affectedEntries, rewriteNames) =
+      removeMatching(spark, tablePath, schema, predicate, entries)
     if (newNames.isEmpty && affectedEntries.isEmpty) return None // nets to nothing
     val preImages =
       if (affectedEntries.isEmpty) None
@@ -2435,10 +2462,17 @@ object CommitLog {
         s"cannot $verb column $colName of $tablePath: CHECK constraint $n " +
           s"references it ($check) — drop the constraint first")
     }
-    propertiesAt(spark, tablePath).get("bloom.columns").foreach { cols =>
+    val props = propertiesAt(spark, tablePath)
+    props.get("bloom.columns").foreach { cols =>
       require(!cols.split(',').map(_.trim).exists(_.equalsIgnoreCase(colName)),
         s"cannot $verb column $colName of $tablePath: the bloom.columns " +
           "property indexes it — unset/update the property first")
+    }
+    props.get("graft.clusterBy").foreach { cols =>
+      require(!cols.split(',').map(_.trim).exists(_.equalsIgnoreCase(colName)),
+        s"cannot $verb column $colName of $tablePath: the graft.clusterBy " +
+          "property clusters on it (every write would fail) — re-point or " +
+          "drop the clustering first (ALTER TABLE … CLUSTER BY …/NONE)")
     }
   }
 
@@ -2782,39 +2816,13 @@ object CommitLog {
     if (deletionVectors)
       return deleteWhereMor(spark, tablePath, schema, predicate, publisher,
         version, entries)
-    val byName = entriesByName(entries)
     // the probe and the rewrite both read VISIBLE rows (DV-aware): a
     // position an earlier merge-on-read delete vectored out must
-    // neither count as a match nor resurrect in the rewrite. The probe
-    // aggregates per-file MATCH COUNTS (the filter still precedes the
-    // aggregation, so predicate pushdown + min/max skipping prune the
-    // scan exactly as a distinct-files probe would) — the counts are
-    // what the file-drop classification below compares against the
-    // log-carried row counts, for free in the same job.
-    val matchedCounts: Map[String, Long] =
-      visibleRows(spark, tablePath, schema, entries,
-        meta = Seq("_dw_file" -> "file_name"))
-        .filter(predicate)
-        .groupBy(col("_dw_file")).count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (matchedCounts.isEmpty) return version // nothing matched: no new version
-    val affectedEntries = matchedCounts.keys.toSeq.sorted.map(byName)
-    // fully-matched files DROP (remove-only); the rest rewrite
-    val partial = partialMatches(affectedEntries, matchedCounts)
+    // neither count as a match nor resurrect in the rewrite
+    val (affectedEntries, names) =
+      removeMatching(spark, tablePath, schema, predicate, entries)
+    if (affectedEntries.isEmpty) return version // nothing matched: no new version
     val affectedDf = visibleRows(spark, tablePath, schema, affectedEntries)
-    val names =
-      if (partial.isEmpty) Seq.empty[String] // every affected file drops whole
-      else {
-        val partialDf = visibleRows(spark, tablePath, schema, partial)
-        val writerId = freshWriterId("w")
-        val staging =
-          new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
-        toPhysical(partialDf.filter(not(coalesce(predicate, lit(false)))),
-          mappingAt(spark, tablePath))
-          .write.options(tableWriteOptions(spark, tablePath))
-          .parquet(staging.toString)
-        landStaged(fs, dir, staging, writerId)
-      }
     // CDC pre-images cover matched rows of BOTH dropped and rewritten
     // files — a dropped file's rows are read once here (its only read)
     // so the change feed stays exact

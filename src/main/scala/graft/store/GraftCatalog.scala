@@ -172,6 +172,18 @@ class GraftCatalog extends TableCatalog {
     require(clusterProp.isEmpty || !properties.containsKey("graft.clusterBy"),
       "declare clustering once: CLUSTER BY (…) or the graft.clusterBy " +
         "property, not both")
+    // validate clustering columns against the declared schema NOW —
+    // a typo'd spec would otherwise land and brick every later write
+    // (clusteredForWrite refuses the first INSERT). Covers both
+    // spellings (the transform and a TBLPROPERTIES declaration).
+    (clusterProp.map(_._2) ++
+      Option(properties.get("graft.clusterBy"))).foreach { spec =>
+      val missing = spec.split(',').map(_.trim).filter(_.nonEmpty)
+        .filterNot(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      require(missing.isEmpty,
+        s"CLUSTER BY / graft.clusterBy names ${missing.mkString(", ")} — " +
+          "not columns of the declared schema")
+    }
     if (CommitLog.latestVersion(spark, path) > 0)
       throw new TableAlreadyExistsException(Seq(catalogName, ident.toString))
     // Spark stamps reserved bookkeeping keys (provider/owner/…) into
@@ -262,10 +274,11 @@ class GraftCatalog extends TableCatalog {
     val hasColumnChanges =
       renames.nonEmpty || drops.nonEmpty || addFields.nonEmpty
     val bloomSet = sets.collectFirst { case ("bloom.columns", v) => v }
+    val clusterSet = sets.collectFirst { case ("graft.clusterBy", v) => v }
     // the schema loads only when a change needs it — a property-only
     // ALTER on a ledger-less table must not pay (or fail) a footer read
     var sim: org.apache.spark.sql.types.StructType = null
-    if (hasColumnChanges || bloomSet.isDefined)
+    if (hasColumnChanges || bloomSet.isDefined || clusterSet.isDefined)
       sim = CommitLog.schemaAt(spark, path)
         .getOrElse(CommitLog.tableSchema(spark, path))
     renames.foreach { r =>
@@ -293,6 +306,15 @@ class GraftCatalog extends TableCatalog {
       require(missing.isEmpty,
         s"bloom.columns names ${missing.mkString(", ")} — not columns of " +
           s"$path after this statement's changes")
+    }
+    // same invariant for clustering: a dangling graft.clusterBy would
+    // brick EVERY subsequent write (clusteredForWrite refuses loudly)
+    clusterSet.foreach { cols =>
+      val missing = cols.split(',').map(_.trim).filter(_.nonEmpty)
+        .filterNot(c => sim.fieldNames.exists(_.equalsIgnoreCase(c)))
+      require(missing.isEmpty,
+        s"CLUSTER BY / graft.clusterBy names ${missing.mkString(", ")} — " +
+          s"not columns of $path after this statement's changes")
     }
     // apply COLUMN changes before PROPERTY changes, in validation
     // order — so a statement whose sets would make a later rename/drop
@@ -391,13 +413,6 @@ class GraftCatalog extends TableCatalog {
   }
 }
 
-/** One logged table as a DSv2 `Table`: readable (V1Scan fallback;
-  * [[GraftV2ReadRule]] upgrades to the native relation), writable
-  * (V1Write → the commit-log append/overwrite protocol), and
-  * row-level-deletable (`DELETE FROM` with translatable predicates →
-  * [[CommitLog.deleteWhere]], honoring the session's deletion-vector
-  * switch). `asOf != Long.MaxValue` pins a time-travel snapshot,
-  * which is read-only. */
 private[store] object GraftCatalog {
   /** `CLUSTER BY` column references → the graft.clusterBy spec string
     * ("c" = range clustering, "a,b" = Z-order — ZOrder.layout's
@@ -416,6 +431,13 @@ private[store] object GraftCatalog {
   }
 }
 
+/** One logged table as a DSv2 `Table`: readable (V1Scan fallback;
+  * [[GraftV2ReadRule]] upgrades to the native relation), writable
+  * (V1Write → the commit-log append/overwrite protocol), and
+  * row-level-deletable (`DELETE FROM` with translatable predicates →
+  * [[CommitLog.deleteWhere]], honoring the session's deletion-vector
+  * switch). `asOf != Long.MaxValue` pins a time-travel snapshot,
+  * which is read-only. */
 private[graft] case class GraftTable(path: String, asOf: Long,
     identString: String, catalog: String = "graft") extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
@@ -451,8 +473,11 @@ private[graft] case class GraftTable(path: String, asOf: Long,
 
   /** Declared clustering reports back as the CLUSTER BY transform, so
     * DESCRIBE and catalog introspection show what the writer layout
-    * actually does. Logged tables never have partition transforms. */
-  override def partitioning(): Array[Transform] =
+    * actually does. Logged tables never have partition transforms.
+    * Lazy like `schema`: Spark calls partitioning() repeatedly during
+    * analysis/canonicalization, and each call must not replay the
+    * log's property ledger. */
+  override lazy val partitioning: Array[Transform] =
     CommitLog.propertiesAt(spark, path).get("graft.clusterBy") match {
       case Some(spec) =>
         val cols = spec.split(',').map(_.trim).filter(_.nonEmpty)
@@ -649,12 +674,17 @@ private[store] final class GraftWriteBuilder(path: String)
 private[store] final case class GraftMetaTable(path: String, kind: String,
     identString: String) extends Table with SupportsRead {
 
-  private def spark: SparkSession = SparkSession.active
+  /** ONE frame per table resolution (loadTable hands out a fresh
+    * instance per statement): schema resolution and the scan share a
+    * single log replay and see one consistent snapshot — `.detail` in
+    * particular pays its listing/DV accounting once, not once for the
+    * analyzer and again at execution. */
+  private lazy val frame0: DataFrame =
+    GraftMetaTable.frame(SparkSession.active, path, kind)
 
   override def name(): String = identString
 
-  override lazy val schema: StructType =
-    GraftMetaTable.frame(spark, path, kind).schema
+  override lazy val schema: StructType = frame0.schema
 
   override def partitioning(): Array[Transform] = Array.empty
 
@@ -675,7 +705,7 @@ private[store] final case class GraftMetaTable(path: String, kind: String,
             override def sqlContext: SQLContext = context
             override def schema: StructType = GraftMetaTable.this.schema
             override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-              GraftMetaTable.frame(SparkSession.active, path, kind).rdd
+              frame0.rdd
           }.asInstanceOf[T]
 
         override def description(): String = s"GraftMetaScan[$path, $kind]"

@@ -703,6 +703,20 @@ object StreamingJobs {
       checkpoint: String, boom: Long => Unit = _ => ()): StreamingQuery = {
     val table = s"$stateRoot/table"
     val stage = s"$stateRoot/corrections"
+    // ENFORCE the whole-slice contract, don't just document it: a day
+    // split across two staged files would arrive as two micro-batches,
+    // and the first batch's replace would silently delete the half
+    // that hasn't arrived yet. One cheap pre-flight over the (small)
+    // corrections stage turns that data loss into a loud refusal.
+    val split = spark.read.parquet(stage)
+      .select(col("day"), input_file_name().as("_f")) // nondeterministic expr: project first
+      .groupBy(col("day"))
+      .agg(countDistinct(col("_f")).as("nf"))
+      .filter(col("nf") > 1).limit(1).collect()
+    require(split.isEmpty,
+      s"day ${split.headOption.map(_.get(0)).getOrElse("?")} spans multiple " +
+        "staged correction files — a replace batch deletes its whole slice, " +
+        "so each day must arrive in exactly one file")
     val schema = spark.read.parquet(stage).schema
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)

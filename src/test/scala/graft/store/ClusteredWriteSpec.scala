@@ -157,6 +157,37 @@ class CatalogClusterBySpec extends SparkSpec {
     spark.sql("DROP TABLE graft.cb")
   }
 
+  test("DDL validates clustering columns; rename/drop of a clustered column refused") {
+    spark.sql("DROP TABLE IF EXISTS graft.cbg")
+    // a typo'd CLUSTER BY refuses at CREATE, not at the first INSERT
+    // (Spark's own analyzer catches the transform spelling; the
+    // catalog's check covers the TBLPROPERTIES spelling below)
+    val e0 = intercept[Exception](
+      spark.sql("CREATE TABLE graft.cbg (id BIGINT) CLUSTER BY (idd)"))
+    assert(e0.getMessage.contains("idd"), e0.getMessage)
+    val e0b = intercept[Exception](
+      spark.sql("CREATE TABLE graft.cbg (id BIGINT) " +
+        "TBLPROPERTIES ('graft.clusterBy' = 'idd')"))
+    assert(e0b.getMessage.contains("not columns"), e0b.getMessage)
+    spark.sql("CREATE TABLE graft.cbg (id BIGINT, v BIGINT) CLUSTER BY (id)")
+    // renaming/dropping the clustered column would brick every write —
+    // refused up front, like a bloom-indexed column
+    val e1 = intercept[Exception](
+      spark.sql("ALTER TABLE graft.cbg RENAME COLUMN id TO k"))
+    assert(e1.getMessage.contains("clusterBy"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE graft.cbg DROP COLUMN id"))
+    assert(e2.getMessage.contains("clusterBy"), e2.getMessage)
+    // re-pointing to a nonexistent column refuses too
+    val e3 = intercept[Exception](
+      spark.sql("ALTER TABLE graft.cbg CLUSTER BY (nope)"))
+    assert(e3.getMessage.contains("not columns"), e3.getMessage)
+    // after CLUSTER BY NONE the rename proceeds
+    spark.sql("ALTER TABLE graft.cbg CLUSTER BY NONE")
+    spark.sql("ALTER TABLE graft.cbg RENAME COLUMN id TO k")
+    spark.sql("DROP TABLE graft.cbg")
+  }
+
   test("PARTITIONED BY keeps the loud refusal; double clustering declaration refused") {
     spark.sql("DROP TABLE IF EXISTS graft.cbbad")
     val e = intercept[Exception](

@@ -247,4 +247,21 @@ class StreamingSpec extends SparkSpec {
     assert(idx.count() == (32L + 16 + 16) * 4, s"band index duplicated rows")
     assert(idx.select("doc_id", "band").distinct().count() == idx.count())
   }
+
+  test("replace backfill refuses a day split across staged files (whole-slice contract)") {
+    val root = Files.createTempDirectory("graft_backfill_split").toString
+    val stage = s"$root/corrections"
+    import spark.implicits._
+    // day 5 deliberately split across TWO staged files — the silent
+    // data-loss shape the pre-flight must refuse
+    Seq((1L, 5L, "a")).toDF("doc_id", "day", "text")
+      .repartition(1).write.mode("append").parquet(stage)
+    Seq((2L, 5L, "b")).toDF("doc_id", "day", "text")
+      .repartition(1).write.mode("append").parquet(stage)
+    val e = intercept[IllegalArgumentException] {
+      StreamingJobs.replaceBackfillRun(spark, root,
+        Files.createTempDirectory("graft_ckpt_split").toString)
+    }
+    assert(e.getMessage.contains("exactly one file"), e.getMessage)
+  }
 }
