@@ -51,6 +51,7 @@ object Cli {
       |  log-vacuum <tablePath> <minAgeHours>               reclaim unreferenced data files (retention-gated)
       |  log-prune <tablePath> [keepSince]                  drop commit files behind the newest checkpoint
       |  log-merge <tablePath> <sourceParquet> <keyCols>    keyed MERGE upsert (comma-separated key columns)
+      |  log-replace-where <tablePath> <sqlPredicate> <sourceParquet>  atomic predicate-scoped overwrite (backfill)
       |  log-changes <tablePath> <sinceVersion> [asOf]      change-feed summary: rows per version × change type
       |  log-drain <srcTable> <sinkTable> <keyCols> [maxPerBatch]
       |                                                     exactly-once incremental replication: drain the
@@ -324,6 +325,15 @@ object Cli {
       val v = graft.store.CommitLog.merge(spark, table,
         loggedSchema(spark, table), spark.read.parquet(sourcePath), keys)
       s"""{"cmd":"log-merge","table":"$table","version":$v}"""
+
+    case "log-replace-where" :: table :: predicate :: sourcePath :: Nil =>
+      // predicate-scoped atomic overwrite from a parquet slice — the
+      // backfill verb (re-land one day of a clustered table), operable
+      // without Scala; incoming rows are fenced to the predicate
+      val v = graft.store.CommitLog.replaceWhere(
+        spark.read.parquet(sourcePath), table,
+        org.apache.spark.sql.functions.expr(predicate))
+      s"""{"cmd":"log-replace-where","table":"$table","version":$v}"""
 
     case "log-changes" :: table :: since :: rest if rest.size <= 1 =>
       // change-feed inspection: per (version, change type) row counts —

@@ -100,6 +100,14 @@ class CliSpec extends SparkSpec {
     assert(mrg == s"""{"cmd":"log-merge","table":"$t","version":4}""", mrg)
     assert(graft.store.CommitLog.read(spark, t,
       spark.range(0).toDF("id").schema).count() == 160)
+    // predicate-scoped backfill from a parquet slice: re-land ids
+    // 150-159 atomically (delete-matching + insert in one commit)
+    val rwDir = java.nio.file.Files.createTempDirectory("graft_cli_rw").toString + "/slice"
+    spark.range(150, 160).toDF("id").write.parquet(rwDir)
+    val rw = Cli.run(spark, Array("log-replace-where", t, "id >= 150", rwDir))
+    assert(rw == s"""{"cmd":"log-replace-where","table":"$t","version":5}""", rw)
+    assert(graft.store.CommitLog.read(spark, t,
+      spark.range(0).toDF("id").schema).count() == 160)
     // change feed summary since the delete: the merge's retractions and
     // post-images, per (version × change type), never a data dump
     val chg = Cli.run(spark, Array("log-changes", t, "3"))
@@ -111,7 +119,7 @@ class CliSpec extends SparkSpec {
     // rerun is a proven no-op (the checkpoint rides the sink)
     val mirror = java.nio.file.Files.createTempDirectory("graft_cli_mirror").toString + "/m"
     val d1 = Cli.run(spark, Array("log-drain", t, mirror, "id", "1"))
-    assert(d1.contains(""""consumed_through":4,"batches":1"""), d1)
+    assert(d1.contains(""""consumed_through":5,"batches":1"""), d1)
     assert(graft.store.CommitLog.read(spark, mirror,
       spark.range(0).toDF("id").schema).count() == 160)
     val d2 = Cli.run(spark, Array("log-drain", t, mirror, "id"))
@@ -119,7 +127,7 @@ class CliSpec extends SparkSpec {
     // new source commits after the bootstrap drain incrementally
     graft.store.CommitLog.append(spark.range(500, 520).toDF("id"), t)
     val d3 = Cli.run(spark, Array("log-drain", t, mirror, "id"))
-    assert(d3.contains(""""consumed_through":5,"batches":1"""), d3)
+    assert(d3.contains(""""consumed_through":6,"batches":1"""), d3)
     assert(graft.store.CommitLog.read(spark, mirror,
       spark.range(0).toDF("id").schema).count() == 180)
     // log-optimize accepts [targetMB], [where], or BOTH — a first arg

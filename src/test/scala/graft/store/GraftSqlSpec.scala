@@ -147,6 +147,34 @@ class GraftSqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("nope"))
   }
 
+  test("INSERT INTO … REPLACE WHERE on a path-spelled table; violations refuse") {
+    val t = freshTable()
+    seed(t)
+    // re-land the c2 slice atomically; positional columns, cast
+    val out = GraftSql.execute(spark,
+      s"""INSERT INTO graftlog.`$t` REPLACE WHERE cat = 'c2'
+         |SELECT id, 'c2', 'relanded' FROM graftlog.`$t` WHERE cat = 'c2'""".stripMargin)
+    assert(out.columns.contains("committed_version"))
+    val rows = CommitLog.read(spark, t, schema)
+      .select("cat", "v").as[(String, String)].collect()
+    assert(rows.count(r => r._1 == "c2" && r._2 == "relanded") == 20)
+    assert(rows.count(_._2 == "old") == 80)
+    // an incoming row OUTSIDE the predicate refuses loudly, pre-publish
+    val v0 = CommitLog.liveFiles(spark, t)._1
+    intercept[Exception] {
+      GraftSql.execute(spark,
+        s"INSERT INTO graftlog.`$t` REPLACE WHERE cat = 'c2' " +
+          "VALUES (9999, 'c3', 'outside')")
+    }
+    assert(CommitLog.liveFiles(spark, t)._1 == v0)
+    // arity mismatch names the fix
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark,
+        s"INSERT INTO graftlog.`$t` REPLACE WHERE cat = 'c2' SELECT 1")
+    }
+    assert(e.getMessage.contains("BY NAME"))
+  }
+
   test("UPDATE SET with target-row expressions; simultaneous-SET rule; CDC images") {
     val t = freshTable()
     seed(t)
