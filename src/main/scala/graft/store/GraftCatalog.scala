@@ -724,8 +724,11 @@ private[store] object GraftMetaTable {
     }
 
   /** The live set as data: file reference, log-carried size and row
-    * count (null for pre-stats generations), and the attached
-    * deletion-vector reference + its recorded deleted-position count.
+    * count (null for pre-stats generations), the attached
+    * deletion-vector reference + its recorded deleted-position count,
+    * and the raw per-column stats envelope (the `{"col":[min,max],…}`
+    * JSON the scanner prunes with — `get_json_object(stats, '$.ts')`
+    * answers "which files would OPTIMIZE WHERE touch" in SQL).
     * Everything comes from the log replay — zero file-system calls,
     * zero data files opened. */
   private def filesFrame(spark: SparkSession, path: String): DataFrame = {
@@ -736,7 +739,7 @@ private[store] object GraftMetaTable {
       def key(k: String): Option[Long] =
         st.flatMap(_.get(k)).collect { case (n: Long, _) => n }
       (e.name, key(CommitLog.BytesSizeKey), key(CommitLog.RowCountKey),
-        e.dv, e.dvRows)
-    }.toDF("file", "bytes", "rows", "dv_file", "dv_rows")
+        e.dv, e.dvRows, e.stats)
+    }.toDF("file", "bytes", "rows", "dv_file", "dv_rows", "stats")
   }
 }

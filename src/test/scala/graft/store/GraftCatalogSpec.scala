@@ -82,6 +82,13 @@ class GraftCatalogSpec extends SparkSpec {
       "SELECT CAST(sum(rows) AS BIGINT), CAST(sum(bytes) AS BIGINT), count(*) " +
         "FROM graft.meta.files").as[(Long, Long, Long)].head()
     assert(files._1 == 2L && files._2 > 0L && files._3 >= 1L)
+    // the raw stats envelope is queryable: per-file id bounds via
+    // get_json_object — "which files would a predicate touch" in SQL
+    val loEnvelope = spark.sql(
+      "SELECT count(*) FROM graft.meta.files " +
+        "WHERE CAST(get_json_object(stats, '$.id[0]') AS BIGINT) <= 1")
+      .as[Long].head()
+    assert(loEnvelope >= 1L)
     // detail: the one-row summary, joinable
     assert(spark.sql("SELECT count(*) FROM graft.meta.detail")
       .as[Long].head() == 1L)
