@@ -1057,7 +1057,8 @@ object CommitLog {
     * straggler rewrites (the caller adds them). */
   private def removeMatching(spark: SparkSession, tablePath: String,
       schema: StructType, predicate: org.apache.spark.sql.Column,
-      entries: Seq[LiveEntry]): (Seq[LiveEntry], Seq[String]) = {
+      entries: Seq[LiveEntry],
+      mapping: Map[String, String]): (Seq[LiveEntry], Seq[String]) = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     if (entries.isEmpty) return (Seq.empty, Seq.empty)
     val dir = new org.apache.hadoop.fs.Path(tablePath)
@@ -1079,8 +1080,7 @@ object CommitLog {
         val staging =
           new org.apache.hadoop.fs.Path(tablePath, s"_staging_$writerId")
         toPhysical(visibleRows(spark, tablePath, schema, partial)
-          .filter(not(coalesce(predicate, lit(false)))),
-          mappingAt(spark, tablePath))
+          .filter(not(coalesce(predicate, lit(false)))), mapping)
           .write.options(tableWriteOptions(spark, tablePath))
           .parquet(staging.toString)
         landStaged(fs, dir, staging, writerId)
@@ -1286,6 +1286,21 @@ object CommitLog {
     }
     b.append('"').toString
   }
+
+  /** Serialize a parsed stats map back to the one-line JSON object —
+    * the inverse of [[parseStatsJson]] up to numeric spelling (a
+    * parsed Double re-renders via toString). Consumer: the `.files`
+    * metadata table, which must expose envelopes under LOGICAL names
+    * (statsToLogical) and so cannot hand out the raw physical-keyed
+    * suffix. */
+  private[store] def statsJsonOf(stats: Map[String, (Any, Any)]): String =
+    stats.toSeq.sortBy(_._1).map { case (k, (lo, hi)) =>
+      def emit(v: Any): String = v match {
+        case s: String => jsonQuote(s)
+        case other => other.toString
+      }
+      jsonQuote(k) + ":[" + emit(lo) + "," + emit(hi) + "]"
+    }.mkString("{", ",", "}")
 
   private def jsonUnquote(q: String): String = {
     val s = q.substring(1, q.length - 1)
@@ -1754,9 +1769,10 @@ object CommitLog {
       .parquet(staging.toString)
     val newNames = landStaged(fs, dir, staging, writerId)
     // old side: deleteWhere's shared probe + file-drop classification
-    // + straggler rewrite
+    // + straggler rewrite (reusing this write's mapping — no second
+    // ledger replay)
     val (affectedEntries, rewriteNames) =
-      removeMatching(spark, tablePath, schema, predicate, entries)
+      removeMatching(spark, tablePath, schema, predicate, entries, mapping)
     if (newNames.isEmpty && affectedEntries.isEmpty) return None // nets to nothing
     val preImages =
       if (affectedEntries.isEmpty) None
@@ -2819,8 +2835,8 @@ object CommitLog {
     // the probe and the rewrite both read VISIBLE rows (DV-aware): a
     // position an earlier merge-on-read delete vectored out must
     // neither count as a match nor resurrect in the rewrite
-    val (affectedEntries, names) =
-      removeMatching(spark, tablePath, schema, predicate, entries)
+    val (affectedEntries, names) = removeMatching(spark, tablePath, schema,
+      predicate, entries, mappingAt(spark, tablePath))
     if (affectedEntries.isEmpty) return version // nothing matched: no new version
     val affectedDf = visibleRows(spark, tablePath, schema, affectedEntries)
     // CDC pre-images cover matched rows of BOTH dropped and rewritten

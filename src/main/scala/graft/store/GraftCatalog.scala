@@ -177,13 +177,9 @@ class GraftCatalog extends TableCatalog {
     // (clusteredForWrite refuses the first INSERT). Covers both
     // spellings (the transform and a TBLPROPERTIES declaration).
     (clusterProp.map(_._2) ++
-      Option(properties.get("graft.clusterBy"))).foreach { spec =>
-      val missing = spec.split(',').map(_.trim).filter(_.nonEmpty)
-        .filterNot(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
-      require(missing.isEmpty,
-        s"CLUSTER BY / graft.clusterBy names ${missing.mkString(", ")} — " +
-          "not columns of the declared schema")
-    }
+      Option(properties.get("graft.clusterBy"))).foreach(spec =>
+      GraftCatalog.validateClusterSpec(spec, schema.fieldNames,
+        "the declared schema"))
     if (CommitLog.latestVersion(spark, path) > 0)
       throw new TableAlreadyExistsException(Seq(catalogName, ident.toString))
     // Spark stamps reserved bookkeeping keys (provider/owner/…) into
@@ -309,13 +305,8 @@ class GraftCatalog extends TableCatalog {
     }
     // same invariant for clustering: a dangling graft.clusterBy would
     // brick EVERY subsequent write (clusteredForWrite refuses loudly)
-    clusterSet.foreach { cols =>
-      val missing = cols.split(',').map(_.trim).filter(_.nonEmpty)
-        .filterNot(c => sim.fieldNames.exists(_.equalsIgnoreCase(c)))
-      require(missing.isEmpty,
-        s"CLUSTER BY / graft.clusterBy names ${missing.mkString(", ")} — " +
-          s"not columns of $path after this statement's changes")
-    }
+    clusterSet.foreach(spec => GraftCatalog.validateClusterSpec(spec,
+      sim.fieldNames, s"$path after this statement's changes"))
     // apply COLUMN changes before PROPERTY changes, in validation
     // order — so a statement whose sets would make a later rename/drop
     // refusable (e.g. a bloom declaration over the renamed column)
@@ -428,6 +419,23 @@ private[store] object GraftCatalog {
           r.fieldNames.mkString("."))
       r.fieldNames.head
     }.mkString(",")
+  }
+
+  /** DDL-time validation of a clustering spec, with EXACTLY the
+    * acceptance rule the write path applies
+    * (CommitLog.clusteredForWrite: case-SENSITIVE name match, at
+    * least one non-empty column) — a spec this passes can never brick
+    * a write, and a spec the write path would refuse fails HERE, at
+    * declaration time. */
+  def validateClusterSpec(spec: String, fields: Seq[String],
+      where: String): Unit = {
+    val cols = spec.split(',').map(_.trim).filter(_.nonEmpty)
+    require(cols.nonEmpty, s"graft.clusterBy is empty: '$spec'")
+    val missing = cols.filterNot(fields.contains)
+    require(missing.isEmpty,
+      s"CLUSTER BY / graft.clusterBy names ${missing.mkString(", ")} — " +
+        s"not columns of $where (name match is case-sensitive, like the " +
+        "write path)")
   }
 }
 
@@ -734,12 +742,18 @@ private[store] object GraftMetaTable {
   private def filesFrame(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val (_, entries) = CommitLog.liveFilesFull(spark, path)
+    // stats are stored under PHYSICAL column names; expose LOGICAL
+    // names (the remap every other stats consumer goes through) — raw
+    // physical keys would under-report renamed columns and serve a
+    // burned generation's bounds as a re-added column's
+    val mapping = CommitLog.mappingAt(spark, path)
     entries.map { e =>
-      val st = e.stats.map(CommitLog.parseStatsJson)
+      val st = e.stats.map(j =>
+        CommitLog.statsToLogical(CommitLog.parseStatsJson(j), mapping))
       def key(k: String): Option[Long] =
         st.flatMap(_.get(k)).collect { case (n: Long, _) => n }
       (e.name, key(CommitLog.BytesSizeKey), key(CommitLog.RowCountKey),
-        e.dv, e.dvRows, e.stats)
+        e.dv, e.dvRows, st.map(CommitLog.statsJsonOf))
     }.toDF("file", "bytes", "rows", "dv_file", "dv_rows", "stats")
   }
 }

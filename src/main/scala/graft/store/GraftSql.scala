@@ -558,42 +558,33 @@ object GraftSql {
   /** `INSERT INTO graftlog.`p` REPLACE WHERE cond SELECT …` — the
     * predicate-scoped atomic overwrite ([[CommitLog.replaceWhere]]) on
     * a path-spelled table; the catalog spelling routes through
-    * [[GraftWriteBuilder]]. Column matching follows the INSERT
-    * contract: positional (table arity, cast to table types) or BY
-    * NAME (absent columns null-fill if nullable). The WHERE condition
-    * names TARGET columns only. Requires an existing table — a
-    * replace swaps rows inside a declared shape; bootstrap with
-    * INSERT INTO first. */
+    * [[GraftWriteBuilder]]. Column matching is POSITIONAL (Spark's
+    * REPLACE WHERE grammar admits no BY NAME or column list): table
+    * arity, cast to the table's types. The WHERE condition names
+    * TARGET columns only. Requires an existing table — a replace
+    * swaps rows inside a declared shape; bootstrap with INSERT INTO
+    * first. */
   private def runReplaceWhere(spark: SparkSession,
       o: org.apache.spark.sql.catalyst.plans.logical.OverwriteByExpression,
       path: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.col
     require(CommitLog.latestVersion(spark, path) > 0,
       s"REPLACE WHERE requires an existing logged table at $path — " +
         "bootstrap with INSERT INTO first")
+    // the by-name flavor of OverwriteByExpression exists only on the
+    // writeTo()/catalog path, which never reaches this seam
+    require(!o.isByName,
+      "by-name REPLACE WHERE is not reachable through raw SQL — use " +
+        "df.writeTo(\"graft.t\").overwrite(cond) for by-name semantics")
     val schema = schemaOf(spark, path)
     val q = StreamingShim.ofRows(spark, resolveLoggedRelations(spark, o.query))
-    val aligned =
-      if (o.isByName) {
-        val unknown = q.schema.fieldNames.filterNot(schema.fieldNames.contains)
-        require(unknown.isEmpty,
-          s"REPLACE WHERE column(s) ${unknown.mkString(", ")} not in $path " +
-            s"(${schema.fieldNames.mkString(", ")})")
-        val missing = schema.filterNot(f =>
-          q.schema.fieldNames.contains(f.name))
-        missing.foreach(f => require(f.nullable,
-          s"REPLACE WHERE omits non-nullable column ${f.name} of $path"))
-        q.select(schema.fields.map(f =>
-          (if (q.schema.fieldNames.contains(f.name)) col(f.name)
-           else lit(null)).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-      } else {
-        require(q.schema.size == schema.size,
-          s"REPLACE WHERE query produces ${q.schema.size} column(s); $path " +
-            s"has ${schema.size} — use BY NAME to null-fill")
-        q.toDF(schema.fieldNames.toIndexedSeq: _*)
-          .select(schema.fields.map(f =>
-            col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-      }
+    require(q.schema.size == schema.size,
+      s"REPLACE WHERE query produces ${q.schema.size} column(s); $path " +
+        s"has ${schema.size} — matching is positional, so the SELECT must " +
+        "produce the table's full arity in order")
+    val aligned = q.toDF(schema.fieldNames.toIndexedSeq: _*)
+      .select(schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     val predicate = targetColumn(o.deleteExpr, None,
       where = "REPLACE WHERE condition")
     result(spark, path, CommitLog.replaceWhere(aligned, path, predicate))

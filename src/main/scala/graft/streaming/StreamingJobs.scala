@@ -703,22 +703,34 @@ object StreamingJobs {
       checkpoint: String, boom: Long => Unit = _ => ()): StreamingQuery = {
     val table = s"$stateRoot/table"
     val stage = s"$stateRoot/corrections"
-    // ENFORCE the whole-slice contract, don't just document it: a day
-    // split across two staged files would arrive as two micro-batches,
-    // and the first batch's replace would silently delete the half
-    // that hasn't arrived yet. One cheap pre-flight over the (small)
-    // corrections stage turns that data loss into a loud refusal.
-    val split = spark.read.parquet(stage)
-      .select(col("day"), input_file_name().as("_f")) // nondeterministic expr: project first
-      .groupBy(col("day"))
-      .agg(countDistinct(col("_f")).as("nf"))
-      .filter(col("nf") > 1).limit(1).collect()
-    require(split.isEmpty,
-      s"day ${split.headOption.map(_.get(0)).getOrElse("?")} spans multiple " +
-        "staged correction files — a replace batch deletes its whole slice, " +
-        "so each day must arrive in exactly one file")
-    val schema = spark.read.parquet(stage).schema
-    spark.readStream.schema(schema)
+    val staged = spark.read.parquet(stage) // one resolution: pre-flight + schema
+    // ENFORCE the whole-slice contract on the FIRST run, don't just
+    // document it: a day split across two staged files would arrive as
+    // two micro-batches, and the first batch's replace would silently
+    // delete the half that hasn't arrived yet. On a RESTART the check
+    // must not fire — a later second file for an already-consumed day
+    // is the legitimate supersede (its batch re-replaces the whole
+    // slice), indistinguishable in the directory from a split; the
+    // committed offsets are what disambiguate, so only a fresh
+    // checkpoint (no offsets yet) treats multiplicity as a split.
+    val offsets = new org.apache.hadoop.fs.Path(checkpoint, "offsets")
+    val fresh = {
+      val fs = offsets.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      !fs.exists(offsets) || fs.listStatus(offsets).isEmpty
+    }
+    if (fresh) {
+      val split = staged
+        .select(col("day"), input_file_name().as("_f")) // nondeterministic expr: project first
+        .groupBy(col("day"))
+        .agg(countDistinct(col("_f")).as("nf"))
+        .filter(col("nf") > 1).limit(1).collect()
+      require(split.isEmpty,
+        s"day ${split.headOption.map(_.get(0)).getOrElse("?")} spans multiple " +
+          "staged correction files — a replace batch deletes its whole slice, " +
+          "so each day must arrive in exactly one file (supersedes of " +
+          "already-consumed days are fine on restarts)")
+    }
+    spark.readStream.schema(staged.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(stage)
       .writeStream

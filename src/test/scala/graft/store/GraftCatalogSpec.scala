@@ -92,6 +92,13 @@ class GraftCatalogSpec extends SparkSpec {
     // detail: the one-row summary, joinable
     assert(spark.sql("SELECT count(*) FROM graft.meta.detail")
       .as[Long].head() == 1L)
+    // stats envelopes expose LOGICAL names: pre-rename files' stats
+    // answer under the renamed column (the statsToLogical remap)
+    spark.sql("ALTER TABLE graft.meta RENAME COLUMN v TO w")
+    assert(spark.sql("SELECT count(*) FROM graft.meta.files " +
+        "WHERE get_json_object(stats, '$.w') IS NOT NULL")
+      .as[Long].head() >= 1L,
+      "stats envelopes must remap physical keys to logical names")
     // a real table always shadows the metadata spelling
     spark.sql("CREATE TABLE graft.meta.history (id BIGINT)")
     spark.sql("INSERT INTO graft.meta.history VALUES (7)")

@@ -167,12 +167,12 @@ class GraftSqlSpec extends SparkSpec {
           "VALUES (9999, 'c3', 'outside')")
     }
     assert(CommitLog.liveFiles(spark, t)._1 == v0)
-    // arity mismatch names the fix
+    // arity mismatch names the (positional) fix
     val e = intercept[IllegalArgumentException] {
       GraftSql.execute(spark,
         s"INSERT INTO graftlog.`$t` REPLACE WHERE cat = 'c2' SELECT 1")
     }
-    assert(e.getMessage.contains("BY NAME"))
+    assert(e.getMessage.contains("positional"))
   }
 
   test("UPDATE SET with target-row expressions; simultaneous-SET rule; CDC images") {
