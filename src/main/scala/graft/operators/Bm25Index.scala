@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.store.{AtomicPublisher, CdcStream, CommitLog, RenameOrLinkPublisher}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** BM25 as an AT-REST index — the production shape of
+  * [[CorpusOps.bm25TopK]], which recomputes tf/df/dl from raw text on
+  * every call (at 100 TB every probe batch would pay a full corpus
+  * tokenization). Here the lexical statistics live in LOGGED tables
+  * maintained incrementally off the corpus table's change feed (the
+  * [[graft.sim.IvfRefresh.drainIntoLoggedIndex]] precedent), and a
+  * probe touches ONLY the postings of its query terms:
+  *
+  *  - `postings` (doc, term, tf, dl): one row per distinct (doc, term),
+  *    with the document length DENORMALIZED onto each row — a long
+  *    column that run-length compresses to nothing in doc-ordered
+  *    parquet and saves the probe a doc-keyed join against a second
+  *    corpus-sized table.
+  *  - `doclens` (doc, dl): one row per document — including EMPTY
+  *    documents, which carry no postings but still count in N and
+  *    weigh avgdl down (the textbook denominator). Doc-count-sized,
+  *    orders of magnitude smaller than the text.
+  *
+  * There is deliberately NO stored (term, df) table: df(t) is exactly
+  * the number of postings rows for `t`, and every probe must read
+  * those rows anyway for their tf — so df falls out of the probe scan
+  * as a per-term window count over data already in hand. A stored df
+  * would be a second merge-maintained aggregate (per-term counters
+  * cannot ride the keyed-by-doc retraction path) bringing zero read
+  * savings.
+  *
+  * Both tables are keyed by the doc id, so source DELETEs and merge
+  * updates retract a document's postings row-for-row through the
+  * standard keyed drain — a bare parquet-append index cannot do that.
+  * Exactly-once rides the sink's `consumed=` ledger: a crash mid-drain
+  * resumes without double-counting a document (Bm25IndexSpec injects
+  * one).
+  */
+object Bm25Index {
+
+  def postingsSchema(idCol: String): StructType = StructType(Seq(
+    StructField(idCol, LongType),
+    StructField("term", StringType),
+    StructField("tf", LongType),
+    StructField("dl", LongType)))
+
+  def docLensSchema(idCol: String): StructType = StructType(Seq(
+    StructField(idCol, LongType),
+    StructField("dl", LongType)))
+
+  /** Non-empty token count of one document — the `dl` every BM25
+    * variant shares ([[CorpusOps.bm25TopK]]'s sum-of-tf equals this by
+    * construction). */
+  private def dlExpr(text: Column): Column =
+    size(filter(graft.text.TextOps.tokens(text), _ =!= lit(""))).cast("long")
+
+  /** Increment transform for the postings table: tokenize the arriving
+    * documents, aggregate tf per (doc, term) WITHIN the increment, and
+    * denormalize dl onto each row. Increment-sized throughout; the id
+    * column rides through unchanged on every row (IncrementalView's
+    * keyed contract), so a retracted document drops all its postings. */
+  private[graft] def postingsTransform(idCol: String, textCol: String)(
+      d: DataFrame): DataFrame = {
+    val tok = d.select(col(idCol),
+        explode(graft.text.TextOps.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    tf.join(d.select(col(idCol), dlExpr(col(textCol)).as("dl")), idCol)
+      .select(col(idCol), col("term"), col("tf"), col("dl"))
+  }
+
+  private[graft] def docLensTransform(idCol: String, textCol: String)(
+      d: DataFrame): DataFrame =
+    d.select(col(idCol), dlExpr(col(textCol)).as("dl"))
+
+  /** Drain the corpus table's change feed into both index tables.
+    * Two keyed consumers over one feed — each sink carries its own
+    * `consumed=` ledger, so they advance independently and a crash in
+    * either resumes exactly-once. `afterBatch` fires per postings
+    * batch (the crash-injection seam, as in drainIntoLoggedIndex). */
+  def drainIntoIndex(spark: SparkSession, srcTable: String,
+      srcSchema: StructType, postingsTable: String, docLensTable: String,
+      idCol: String, textCol: String,
+      maxVersionsPerBatch: Long = 10L,
+      publisher: AtomicPublisher = RenameOrLinkPublisher,
+      afterBatch: (Long, Long) => Unit = (_, _) => ()): CdcStream.Drained = {
+    val p = CdcStream.drain(spark, srcTable, srcSchema, postingsTable,
+      postingsTransform(idCol, textCol), keyCols = Some(Seq(idCol)),
+      maxVersionsPerBatch = maxVersionsPerBatch,
+      publisher = publisher, afterBatch = afterBatch)
+    CdcStream.drain(spark, srcTable, srcSchema, docLensTable,
+      docLensTransform(idCol, textCol), keyCols = Some(Seq(idCol)),
+      maxVersionsPerBatch = maxVersionsPerBatch, publisher = publisher)
+    p
+  }
+
+  /** BM25 top-k against the at-rest index — identical scoring, ranking
+    * and tie-breaks to [[CorpusOps.bm25TopK]] (the shared oracle SQL
+    * pins result equivalence), but the corpus-sized work is GONE:
+    *
+    *  - the postings scan is SEMI-JOINED to the broadcast query-term
+    *    set, so only queried terms' rows leave the scan (after a
+    *    `compact(clusterBy = "term")` the log's range stats prune
+    *    whole files before a byte is read);
+    *  - df is a per-term window count over those same rows — no second
+    *    scan, no vocab-sized anything;
+    *  - N and avgdl are two scalar aggregates over the doc-count-sized
+    *    doclens table, one broadcast row.
+    *
+    * Everything after the pruned scan carries scalars; the only
+    * remaining exchanges are the per-term window and the per-query
+    * top-k window. */
+  def bm25TopKFromIndex(spark: SparkSession, postingsTable: String,
+      docLensTable: String, idCol: String, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params: k1=$k1 b=$b")
+    val qterms = queries
+      .select(col("query_id"),
+        explode(graft.text.TextOps.tokens(col("query_text"))).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val post = CommitLog.read(spark, postingsTable, postingsSchema(idCol))
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
+    // df(t) = |postings rows of t| — counted over the rows the probe
+    // already reads, per-term window, no stored aggregate
+    val withDf = post.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("term")))
+    val lens = CommitLog.read(spark, docLensTable, docLensSchema(idCol))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+        coalesce(sum("dl"), lit(0L)).cast("double").as("total_tok"))
+      .select(col("n_docs"), (col("total_tok") / col("n_docs")).as("avgdl"))
+    val scored = withDf
+      .join(broadcast(qterms), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col(idCol),
+        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))).as("s"))
+    val agg = scored.groupBy("query_id", idCol)
+      .agg(round(sum("s"), 6).as("bm25"))
+    val w = Window.partitionBy("query_id").orderBy(col("bm25").desc, col(idCol))
+    agg.withColumn("doc_rank", row_number().over(w).cast("long"))
+      .filter(col("doc_rank") <= k)
+      .select(col("query_id"), col("doc_rank"), col(idCol), col("bm25"))
+  }
+}

@@ -248,10 +248,13 @@ object CorpusOps {
     * Scale shape — an inverted-index probe, never a corpus×queries
     * product: tf is a partial+final aggregate keyed (doc, term); the
     * BROADCAST query-term set hash-joins against it, so only the
-    * postings of queried terms survive to scoring; df broadcasts
-    * (vocab-sized), corpus stats are one broadcast row, dl joins
-    * doc-keyed, and the only remaining exchange is the per-query
-    * top-k window. Everything after the scan carries scalars.
+    * postings of queried terms survive to scoring; df is SEMI-JOINED
+    * to the query-term set before broadcasting, so its broadcast is
+    * query-sized, never vocab-sized (a web corpus's distinct-token
+    * count — typo/URL noise — can exceed the broadcast ceiling);
+    * corpus stats are one broadcast row, dl joins doc-keyed, and the
+    * only remaining exchange is the per-query top-k window.
+    * Everything after the scan carries scalars.
     *
     * `queries` must expose (query_id, query_text); tokenization is the
     * engine-wide whitespace contract ([[graft.text.TextOps.tokens]]). */
@@ -276,9 +279,15 @@ object CorpusOps {
       .select(col("query_id"),
         explode(graft.text.TextOps.tokens(col("query_text"))).as("term"))
       .filter(col("term") =!= "").distinct()
+    // df restricted to QUERIED terms before the broadcast — the full
+    // df is vocab-sized (unboundedly noisy on web text); the semi-join
+    // keys on the already-tiny query-term set, so what broadcasts is
+    // |distinct query terms| rows
+    val dfQueried = df.join(broadcast(qterms.select("term").distinct()),
+      Seq("term"), "left_semi")
     val scored = tf
       .join(broadcast(qterms), "term") // postings of queried terms only
-      .join(broadcast(df), "term")
+      .join(broadcast(dfQueried), "term")
       .join(dl, idCol)
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col(idCol),

@@ -46,6 +46,36 @@ object CorpusQueries {
     "vector scan filter", "customer order join", "stream window agg")
   private val Bm25K = 10
 
+  /** DuckDB replay of the full BM25 pipeline from raw text — SHARED by
+    * text_bm25_topk (from-scratch recompute) and text_bm25_indexed
+    * (at-rest postings probe): the indexed path must reproduce the
+    * recompute bit-for-bit or its hash diverges here. */
+  private def bm25OracleSql: String =
+    s"""WITH q(query_id, query_text) AS (VALUES
+       |  (1, '${Bm25Queries(0)}'), (2, '${Bm25Queries(1)}'), (3, '${Bm25Queries(2)}')),
+       |tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+       |tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tokf GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+       |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_docs,
+       |                 (SELECT CAST(count(*) AS DOUBLE) FROM tokf) AS total_tok),
+       |qt AS (SELECT DISTINCT query_id, unnest(str_split(query_text, ' ')) AS term FROM q),
+       |scored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+       |           (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (total_tok / n_docs))) AS s
+       |  FROM tf JOIN qt USING (term) JOIN df USING (term)
+       |       JOIN dl USING (doc_id) CROSS JOIN stats),
+       |agg AS (SELECT query_id, doc_id, round(sum(s), 6) AS bm25
+       |        FROM scored GROUP BY query_id, doc_id),
+       |ranked AS (SELECT query_id, doc_id, bm25,
+       |                  row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rn
+       |           FROM agg)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS BIGINT) AS doc_rank,
+       |       doc_id, bm25
+       |FROM ranked WHERE rn <= $Bm25K""".stripMargin
+
   /** corpus_trained_quality hyperparameters (shared Spark/oracle). */
   private val TqIters = 3
   private val TqLr = 2.0
@@ -462,34 +492,45 @@ object CorpusQueries {
     // tf-idf / lm_score), rounding-ties broken by doc id. ─────────────
     Q(
       "text_bm25_topk",
-      s"""WITH q(query_id, query_text) AS (VALUES
-        |  (1, '${Bm25Queries(0)}'), (2, '${Bm25Queries(1)}'), (3, '${Bm25Queries(2)}')),
-        |tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
-        |tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tokf GROUP BY doc_id, term),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
-        |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_docs,
-        |                 (SELECT CAST(count(*) AS DOUBLE) FROM tokf) AS total_tok),
-        |qt AS (SELECT DISTINCT query_id, unnest(str_split(query_text, ' ')) AS term FROM q),
-        |scored AS (
-        |  SELECT qt.query_id, tf.doc_id,
-        |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-        |           (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (total_tok / n_docs))) AS s
-        |  FROM tf JOIN qt USING (term) JOIN df USING (term)
-        |       JOIN dl USING (doc_id) CROSS JOIN stats),
-        |agg AS (SELECT query_id, doc_id, round(sum(s), 6) AS bm25
-        |        FROM scored GROUP BY query_id, doc_id),
-        |ranked AS (SELECT query_id, doc_id, bm25,
-        |                  row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rn
-        |           FROM agg)
-        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS BIGINT) AS doc_rank,
-        |       doc_id, bm25
-        |FROM ranked WHERE rn <= $Bm25K""".stripMargin) { (s, dir) =>
+      bm25OracleSql) { (s, dir) =>
       val probes = s.createDataFrame(
         Bm25Queries.zipWithIndex.map { case (t, i) => (i + 1L, t) })
         .toDF("query_id", "query_text")
       CorpusOps.bm25TopK(docs(s, dir), "doc_id", "text", probes, k = Bm25K)
+    },
+
+    // ── BM25 against the AT-REST postings index: the corpus lands in a
+    // logged table in two commits, the index tables are maintained off
+    // its change feed (crash injected after the first postings batch —
+    // the resume must not double-count a document), and the probe
+    // touches only queried-term postings + the doc-count-sized doclens
+    // table. Same literal probes, same k, and the SAME oracle SQL as
+    // text_bm25_topk: indexed probe ≡ from-scratch recompute. ─────────
+    Q(
+      "text_bm25_indexed",
+      bm25OracleSql) { (s, dir) =>
+      import graft.operators.Bm25Index
+      val d = docs(s, dir).select("doc_id", "text")
+      val base = "/tmp/graft_state/bm25_index"
+      val (srcT, postT, lensT) =
+        (s"$base/src", s"$base/postings", s"$base/doclens")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      graft.store.CommitLog.append(d.filter(col("doc_id") % 2 === 0), srcT)
+      graft.store.CommitLog.append(d.filter(col("doc_id") % 2 =!= 0), srcT)
+      try Bm25Index.drainIntoIndex(s, srcT, d.schema, postT, lensT,
+        "doc_id", "text", maxVersionsPerBatch = 1L,
+        afterBatch = (n, _) =>
+          if (n == 1) throw new RuntimeException("injected post-commit crash"))
+      catch { case ex: RuntimeException
+        if ex.getMessage.startsWith("injected") => () }
+      Bm25Index.drainIntoIndex(s, srcT, d.schema, postT, lensT,
+        "doc_id", "text", maxVersionsPerBatch = 1L)
+      val probes = s.createDataFrame(
+        Bm25Queries.zipWithIndex.map { case (t, i) => (i + 1L, t) })
+        .toDF("query_id", "query_text")
+      Bm25Index.bm25TopKFromIndex(s, postT, lensT, "doc_id", probes, k = Bm25K)
     },
 
     // ── Corpus-trained bigram LM quality score (perplexity proxy): the

@@ -547,44 +547,54 @@ object SimilarityQueries {
     // both exclusions, hash-exact down to the f64 scores. ─────────────
     Q(
       "ann_hard_negatives",
-      """WITH corpus AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 5),
-        |cent AS (SELECT vec_id AS cid, v AS cv FROM corpus ORDER BY vec_id LIMIT 10),
-        |assign AS (
-        |  SELECT vec_id, v, cid FROM (
-        |    SELECT c.vec_id, c.v, cent.cid,
-        |      row_number() OVER (PARTITION BY c.vec_id
-        |        ORDER BY list_cosine_similarity(c.v, cent.cv) DESC, cent.cid) AS rn
-        |    FROM corpus c, cent) WHERE rn = 1),
-        |q AS (SELECT vec_id AS qid, v AS qv FROM corpus WHERE vec_id < 5),
-        |probes AS (
-        |  SELECT qid, cid FROM (
-        |    SELECT q.qid, cent.cid,
-        |      row_number() OVER (PARTITION BY q.qid
-        |        ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC, cent.cid) AS rn
-        |    FROM q, cent) WHERE rn <= 3),
-        |scored AS (
-        |  SELECT p.qid AS anchor_id, a.vec_id AS negative_id,
-        |    list_cosine_similarity(q.qv, a.v) AS score
-        |  FROM probes p
-        |  JOIN assign a ON a.cid = p.cid
-        |  JOIN q ON q.qid = p.qid
-        |  WHERE a.vec_id <> p.qid AND list_cosine_similarity(q.qv, a.v) < 0.95),
-        |ranked AS (
-        |  SELECT anchor_id, negative_id, score,
-        |    row_number() OVER (PARTITION BY anchor_id
-        |      ORDER BY score DESC, negative_id) AS rn
-        |  FROM scored)
-        |SELECT anchor_id, CAST(rn AS BIGINT) AS neg_rank, negative_id, score
-        |FROM ranked WHERE rn <= 10""".stripMargin) { (s, dir) =>
+      hardNegOracleSql(anchorPred = "vec_id < 5", positivePred = None)) { (s, dir) =>
       val e = emb(s, dir).select("vec_id", "embedding")
       val corpus = e.unionAll(e.filter(col("vec_id") < 5)
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
       Similarity.hardNegatives(corpus.filter(col("vec_id") < 5), corpus,
         k = 10, Similarity.initialCentroids(corpus, 10), nProbe = 3,
         dupThreshold = 0.95)
+    },
+
+    // ── Hard-negative mining at full-training-set anchor scale: EVERY
+    // corpus vector is an anchor (|anchors| = N — the regime where
+    // broadcasting the anchor set with its embeddings would OOM), so
+    // the probe rides hardNegativesLarge's cid-keyed shuffle joins.
+    // Same oracle pipeline as ann_hard_negatives with q = the whole
+    // corpus; PlanAuditSpec pins the plan shape (no broadcast join,
+    // embeddings cross exactly the two keyed exchanges). ──────────────
+    Q(
+      "ann_hard_negatives_large",
+      hardNegOracleSql(anchorPred = "TRUE", positivePred = None)) { (s, dir) =>
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val corpus = e.unionAll(e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Similarity.hardNegativesLarge(corpus, corpus,
+        k = 10, Similarity.initialCentroids(corpus, 10), nProbe = 3,
+        dupThreshold = 0.95)
+    },
+
+    // ── Hard negatives with a known-positives exclusion frame (the
+    // full DPR recipe): gold (anchor, positive) pairs must never be
+    // emitted as negatives even when their cosine sits below the dup
+    // band. The gold frame here is rule-generated (anchor a claims
+    // every candidate with vec_id ≡ a mod 7) so DuckDB replays the
+    // anti-join exactly; a planted-gold displacement case is pinned in
+    // SimilaritySpec. ──────────────────────────────────────────────────
+    Q(
+      "ann_hard_negatives_gold",
+      hardNegOracleSql(anchorPred = "vec_id < 5",
+        positivePred = Some("a.vec_id % 7 = p.qid % 7"))) { (s, dir) =>
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val corpus = e.unionAll(e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      val anchors = corpus.filter(col("vec_id") < 5)
+      val gold = corpus.select(col("vec_id").as("positive_id"))
+        .crossJoin(broadcast(anchors.select(col("vec_id").as("anchor_id"))))
+        .filter(col("positive_id") % 7 === col("anchor_id") % 7)
+      Similarity.hardNegatives(anchors, corpus,
+        k = 10, Similarity.initialCentroids(corpus, 10), nProbe = 3,
+        dupThreshold = 0.95, positives = Some(gold))
     },
 
     // ── Sign-LSH ANN: approximate scale path, fully oracle-bound ──────
@@ -725,6 +735,49 @@ object SimilarityQueries {
         |FROM q""".stripMargin) { (s, dir) =>
       Similarity.int8QuantizeError(emb(s, dir), "vec_id", "embedding")
     })
+
+  /** DuckDB replay of the hard-negative pipeline — assignment,
+    * probing, scoring, self + dup-band exclusion, optional gold-pair
+    * anti-filter (`positivePred` over candidate `a` and anchor `p`),
+    * rank cut — parameterized by the anchor predicate so the serving
+    * (`vec_id < 5`), corpus-scale (`TRUE`), and gold variants share
+    * every other line. */
+  private def hardNegOracleSql(anchorPred: String,
+      positivePred: Option[String]): String = {
+    val goldFilter = positivePred.map(p => s" AND NOT ($p)").getOrElse("")
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 5),
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM corpus ORDER BY vec_id LIMIT 10),
+       |assign AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT c.vec_id, c.v, cent.cid,
+       |      row_number() OVER (PARTITION BY c.vec_id
+       |        ORDER BY list_cosine_similarity(c.v, cent.cv) DESC, cent.cid) AS rn
+       |    FROM corpus c, cent) WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM corpus WHERE $anchorPred),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, cent.cid,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC, cent.cid) AS rn
+       |    FROM q, cent) WHERE rn <= 3),
+       |scored AS (
+       |  SELECT p.qid AS anchor_id, a.vec_id AS negative_id,
+       |    list_cosine_similarity(q.qv, a.v) AS score
+       |  FROM probes p
+       |  JOIN assign a ON a.cid = p.cid
+       |  JOIN q ON q.qid = p.qid
+       |  WHERE a.vec_id <> p.qid AND list_cosine_similarity(q.qv, a.v) < 0.95$goldFilter),
+       |ranked AS (
+       |  SELECT anchor_id, negative_id, score,
+       |    row_number() OVER (PARTITION BY anchor_id
+       |      ORDER BY score DESC, negative_id) AS rn
+       |  FROM scored)
+       |SELECT anchor_id, CAST(rn AS BIGINT) AS neg_rank, negative_id, score
+       |FROM ranked WHERE rn <= 10""".stripMargin
+  }
 
   /** Shared WITH prefix: the f64 corpus and the predicate-selected
     * query set. Every ANN oracle builds on these two names. */

@@ -386,6 +386,25 @@ object Similarity {
         nativeCosine(corpus)(col("qe"), col("e")).as("score"))
   }
 
+  /** [[ivfScored]]'s corpus-scale sibling for |Q| ≈ N probe sets
+    * (hard-negative mining over a full training set): both sides keep
+    * their embedding attached and meet in a SHUFFLE HASH join on the
+    * scalar `cid` key — embeddings cross exactly these two keyed
+    * exchanges, each linear in its own side, and every colliding pair
+    * scores AT the join so only (query_id, vec_id, score) scalars flow
+    * downstream. The [[lshTopKLarge]] pattern on the IVF probe shape. */
+  private def ivfScoredLarge(queries: DataFrame, corpus: DataFrame,
+      cents: Centroids, nProbe: Int): DataFrame = {
+    val cells = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("cid", nearestCid(corpus, cents, col("e")))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+      .withColumn("cid", explode(probeCids(queries, cents, col("qe"), nProbe)))
+    cells.join(probes.hint("shuffle_hash"), Seq("cid"))
+      .select(col("query_id"), col("vec_id"),
+        nativeCosine(corpus)(col("qe"), col("e")).as("score"))
+  }
+
   /** IVF search against an explicit (pre-built/pre-trained) centroid set. */
   def ivfTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
       cents: Centroids, nProbe: Int): DataFrame = {
@@ -395,34 +414,84 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "score")
   }
 
+  /** [[ivfTopKWith]] for corpus-scale query batches (|Q| ≈ N): same
+    * results, but the probe side is never broadcast — see
+    * [[ivfScoredLarge]] for the plan shape. Use when the query set is
+    * too large for an executor-resident broadcast (a full training
+    * set); for serving-sized batches [[ivfTopKWith]]'s broadcast probe
+    * is the cheaper plan. */
+  def ivfTopKLarge(queries: DataFrame, corpus: DataFrame, k: Int,
+      cents: Centroids, nProbe: Int): DataFrame = {
+    val scored = ivfScoredLarge(queries, corpus, cents, nProbe)
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "score")
+  }
+
+  /** Shared hard-negative ranking: self- and dup-band exclusion, the
+    * optional known-positives anti-join, then the per-anchor top-k cut
+    * over scalars only. */
+  private def rankNegatives(scored: DataFrame, k: Int, dupThreshold: Double,
+      positives: Option[DataFrame]): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(dupThreshold > -1.0 && dupThreshold <= 1.0,
+      s"dupThreshold must be a cosine bound in (-1, 1]: $dupThreshold")
+    val base = scored.filter(col("vec_id") =!= col("query_id") &&
+      col("score") < dupThreshold)
+    // Gold positives are excluded BEFORE the rank cut (a positive
+    // surviving into slot k would not free its slot for a real
+    // negative if filtered after). The exclusion frame is (anchor_id,
+    // positive_id) scalar pairs — an anti-join on two scalar keys.
+    val excl = positives.fold(base) { p =>
+      base.join(p.select(col("anchor_id").as("query_id"),
+          col("positive_id").as("vec_id")),
+        Seq("query_id", "vec_id"), "left_anti")
+    }
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    excl.withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= k)
+      .select(col("query_id").as("anchor_id"), col("neg_rank"),
+        col("vec_id").as("negative_id"), col("score"))
+  }
+
   /** Hard-negative mining for contrastive/embedding training (the
     * DPR/SimCSE recipe): per anchor, the top-`k` MOST similar corpus
     * vectors that are neither the anchor itself nor a near-duplicate
     * (`score ≥ dupThreshold` — a near-dup labeled "negative" is a
     * false negative that actively damages the contrastive loss, so
     * the dup band is excluded BEFORE the top-k cut, not after).
+    * `positives` optionally supplies known gold (anchor_id,
+    * positive_id) pairs — the DPR recipe's second exclusion: a gold
+    * positive must never be emitted as a negative even when its cosine
+    * sits below the dup band.
     *
     * Exactly the [[ivfTopKWith]] probe shape — assignment is the
     * zero-shuffle per-row argmin, candidates come from the anchor's
     * nProbe nearest cells, only (anchor, candidate, score) scalars
-    * cross the final ranking exchange — so mining negatives for a
-    * full training set costs one IVF batch query, never an all-pairs
-    * pass. At rest, probing the cid-partitioned index
+    * cross the final ranking exchange. The anchor set rides a
+    * BROADCAST (with its embeddings), so this variant is for
+    * broadcast-feasible anchor batches — eval sets, per-shard slices.
+    * For a full-training-set anchor sweep (|anchors| ≈ corpus) use
+    * [[hardNegativesLarge]], which swaps the broadcast for keyed
+    * shuffle joins. At rest, probing the cid-partitioned index
     * ([[writeIvfIndex]]) makes candidate selection partition pruning. */
   def hardNegatives(anchors: DataFrame, corpus: DataFrame, k: Int,
-      cents: Centroids, nProbe: Int, dupThreshold: Double): DataFrame = {
-    require(k > 0, s"k must be positive: $k")
-    require(dupThreshold > -1.0 && dupThreshold <= 1.0,
-      s"dupThreshold must be a cosine bound in (-1, 1]: $dupThreshold")
-    val scored = ivfScored(anchors, corpus, cents, nProbe)
-      .filter(col("vec_id") =!= col("query_id") &&
-        col("score") < dupThreshold)
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
-    scored.withColumn("neg_rank", row_number().over(w).cast("long"))
-      .filter(col("neg_rank") <= k)
-      .select(col("query_id").as("anchor_id"), col("neg_rank"),
-        col("vec_id").as("negative_id"), col("score"))
-  }
+      cents: Centroids, nProbe: Int, dupThreshold: Double,
+      positives: Option[DataFrame] = None): DataFrame =
+    rankNegatives(ivfScored(anchors, corpus, cents, nProbe), k,
+      dupThreshold, positives)
+
+  /** [[hardNegatives]] at full-training-set anchor scale (|anchors| ≈
+    * corpus): identical semantics and results (SimilaritySpec pins the
+    * equivalence), but candidates come from [[ivfScoredLarge]]'s keyed
+    * shuffle joins — no broadcast carries the anchor set, embeddings
+    * cross exactly the two `cid`-keyed exchanges, and the exclusions +
+    * top-k cut exchange scalars only. */
+  def hardNegativesLarge(anchors: DataFrame, corpus: DataFrame, k: Int,
+      cents: Centroids, nProbe: Int, dupThreshold: Double,
+      positives: Option[DataFrame] = None): DataFrame =
+    rankNegatives(ivfScoredLarge(anchors, corpus, cents, nProbe), k,
+      dupThreshold, positives)
 
   /** Deterministic ±1 hyperplane: component j of plane p in table t is
     * the parity of the first hex digit of sha256("t:p:j"). Built

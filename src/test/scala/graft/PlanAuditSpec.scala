@@ -115,6 +115,57 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("corpus-scale hard negatives: no broadcasts; embeddings cross exactly the two cid exchanges") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("ann_hard_negatives_large")(spark, sf("sf0.001"))
+      val plan = df.queryExecution.executedPlan
+      val planStr = plan.toString
+      // |anchors| ≈ N: the anchor set must never broadcast (with or
+      // without its embeddings) — every join is a shuffle join on the
+      // scalar cid key
+      assert(!planStr.contains("BroadcastHashJoin") &&
+             !planStr.contains("BroadcastNestedLoopJoin"),
+        s"corpus-scale mining broadcasts a corpus-scale side:\n$planStr")
+      assert(planStr.contains("ShuffledHashJoin"),
+        s"expected a shuffle hash join on cid:\n$planStr")
+      val arrayExchanges = plan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if s.output.exists(_.dataType.catalogString.contains("array<")) => s
+      }
+      assert(arrayExchanges.size == 2,
+        s"expected exactly the two cid-keyed exchanges to carry embeddings, got " +
+          s"${arrayExchanges.size}:\n${arrayExchanges.mkString("\n")}")
+      arrayExchanges.foreach { s =>
+        val part = s.outputPartitioning.toString
+        assert(part.contains("cid"),
+          s"array exchange not keyed by cid: $part")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("BM25 df broadcast is restricted to queried terms, never vocab-sized") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("text_bm25_topk")(spark, sf("sf0.001"))
+      val plan = df.queryExecution.executedPlan
+      val dfBroadcasts = plan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+            if b.output.exists(_.name == "df") => b
+      }
+      assert(dfBroadcasts.nonEmpty, "expected the df side to broadcast")
+      // the broadcast subtree must contain the left-semi restriction to
+      // the query-term set — broadcasting the raw per-term aggregate
+      // would ship the whole vocabulary
+      dfBroadcasts.foreach { b =>
+        assert(b.toString.contains("LeftSemi"),
+          s"df broadcast not semi-joined to query terms (vocab-sized):\n$b")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("whole-stage codegen covers the relational flagships") {
     for (name <- Seq("q1_pricing_summary", "q3_revenue_by_nation", "q24_running_qty_bucketed")) {
       // codegen'd spans print as "*(n) Operator" in the simple plan string

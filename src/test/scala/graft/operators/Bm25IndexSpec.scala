@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.store.CommitLog
+import org.apache.spark.sql.functions._
+
+/** The at-rest BM25 index: incremental maintenance off the change
+  * feed (crash-resume exactly-once), probe ≡ from-scratch recompute,
+  * and row-level retraction on source DELETE — the three claims the
+  * logged-index design makes over a bare recompute. */
+class Bm25IndexSpec extends SparkSpec {
+
+  private def freshDirs(name: String): (String, String, String) = {
+    val base = s"/tmp/graft_test/bm25_$name"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    (s"$base/src", s"$base/postings", s"$base/doclens")
+  }
+
+  private lazy val docs = spark.read
+    .parquet(sf("sf0.001") + "/documents.parquet")
+    .select("doc_id", "text")
+
+  private def probes = spark.createDataFrame(Seq(
+    (1L, "vector scan filter"), (2L, "customer order join")))
+    .toDF("query_id", "query_text")
+
+  private def topk(postT: String, lensT: String) =
+    Bm25Index.bm25TopKFromIndex(spark, postT, lensT, "doc_id", probes, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+
+  private def recompute(d: org.apache.spark.sql.DataFrame) =
+    CorpusOps.bm25TopK(d, "doc_id", "text", probes, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+
+  test("crash after the first postings batch resumes exactly-once; probe equals recompute") {
+    val (srcT, postT, lensT) = freshDirs("crash")
+    CommitLog.append(docs.filter(col("doc_id") % 2 === 0), srcT)
+    CommitLog.append(docs.filter(col("doc_id") % 2 =!= 0), srcT)
+    val crashed = intercept[RuntimeException] {
+      Bm25Index.drainIntoIndex(spark, srcT, docs.schema, postT, lensT,
+        "doc_id", "text", maxVersionsPerBatch = 1L,
+        afterBatch = (n, _) =>
+          if (n == 1) throw new RuntimeException("injected post-commit crash"))
+    }
+    assert(crashed.getMessage.startsWith("injected"))
+    Bm25Index.drainIntoIndex(spark, srcT, docs.schema, postT, lensT,
+      "doc_id", "text", maxVersionsPerBatch = 1L)
+    // no document double-counted: postings rows are unique per (doc, term)
+    val post = CommitLog.read(spark, postT, Bm25Index.postingsSchema("doc_id"))
+    assert(post.groupBy("doc_id", "term").count().filter(col("count") > 1)
+      .isEmpty, "a replayed batch double-inserted postings")
+    // every document (even token-free ones) has exactly one doclens row
+    val lens = CommitLog.read(spark, lensT, Bm25Index.docLensSchema("doc_id"))
+    assert(lens.count() == docs.count())
+    assert(topk(postT, lensT) == recompute(docs),
+      "indexed probe diverges from the from-scratch recompute")
+  }
+
+  test("source DELETE retracts a document's postings and doclens row") {
+    val (srcT, postT, lensT) = freshDirs("delete")
+    CommitLog.append(docs, srcT)
+    Bm25Index.drainIntoIndex(spark, srcT, docs.schema, postT, lensT,
+      "doc_id", "text")
+    CommitLog.deleteWhere(spark, srcT, docs.schema, col("doc_id") % 5 === 0)
+    Bm25Index.drainIntoIndex(spark, srcT, docs.schema, postT, lensT,
+      "doc_id", "text")
+    val remaining = docs.filter(col("doc_id") % 5 =!= 0)
+    val lens = CommitLog.read(spark, lensT, Bm25Index.docLensSchema("doc_id"))
+    assert(lens.count() == remaining.count(),
+      "deleted documents still hold doclens rows")
+    val post = CommitLog.read(spark, postT, Bm25Index.postingsSchema("doc_id"))
+    assert(post.filter(col("doc_id") % 5 === 0).isEmpty,
+      "deleted documents still hold postings")
+    // N, avgdl, df, tf all reflect the post-delete corpus: scores match
+    // a recompute over the remaining documents exactly
+    assert(topk(postT, lensT) == recompute(remaining),
+      "post-delete probe diverges from a recompute over the remaining corpus")
+  }
+}

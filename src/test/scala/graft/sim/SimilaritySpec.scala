@@ -403,6 +403,60 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map { case (a, n, _) => (a, n) }.toSet == refTop)
   }
 
+  test("hardNegativesLarge matches hardNegatives row-for-row (shuffle-join sibling)") {
+    val corpus = e.select("vec_id", "embedding")
+      .unionAll(e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val cents = Similarity.initialCentroids(corpus, 10)
+    val anchors = corpus.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val small = rows(Similarity.hardNegatives(anchors, corpus, k = 10,
+      cents, nProbe = 3, dupThreshold = 0.95))
+    val large = rows(Similarity.hardNegativesLarge(anchors, corpus, k = 10,
+      cents, nProbe = 3, dupThreshold = 0.95))
+    assert(small == large,
+      s"broadcast and shuffle-join variants diverge: ${small.diff(large)} / ${large.diff(small)}")
+  }
+
+  test("known-positives exclusion removes gold pairs and re-closes the ranking") {
+    val corpus = e.select("vec_id", "embedding")
+      .unionAll(e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val cents = Similarity.initialCentroids(corpus, 10)
+    val anchors = corpus.filter(col("vec_id") < 5)
+    // the FULL candidate ranking (k beyond any candidate count), so the
+    // expected gold-excluded result is derivable by plain filtering
+    val full = Similarity.hardNegatives(anchors, corpus, k = 100000,
+      cents, nProbe = 3, dupThreshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // gold = each anchor's would-be TOP negative: the strongest possible
+    // displacement — if the anti-join ran after the rank cut, the gold
+    // pair would burn slot 1 instead of freeing it
+    val gold = full.groupBy(_._1).map { case (_, g) => g.head }.toSeq
+    val goldDf = spark.createDataFrame(gold.map(p => (p._1, p._2)))
+      .toDF("anchor_id", "positive_id")
+    val got = Similarity.hardNegatives(anchors, corpus, k = 10,
+      cents, nProbe = 3, dupThreshold = 0.95, positives = Some(goldDf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val goldSet = gold.map(p => (p._1, p._2)).toSet
+    assert(got.forall { case (a, _, n, _) => !goldSet.contains((a, n)) },
+      "a gold positive surfaced as a negative")
+    // expected = full ranking minus gold, ranks re-closed, top 10
+    val expected = full.filterNot(p => goldSet.contains((p._1, p._2)))
+      .groupBy(_._1).toSeq.flatMap { case (a, g) =>
+        g.sortBy(p => (-p._3, p._2)).take(10).zipWithIndex
+          .map { case (p, i) => (a, i + 1L, p._2, p._3) }
+      }.toSet
+    assert(got.toSet == expected, "gold-excluded ranking is not the filtered re-rank")
+    // the large variant applies the identical exclusion
+    val gotLarge = Similarity.hardNegativesLarge(anchors, corpus, k = 10,
+      cents, nProbe = 3, dupThreshold = 0.95, positives = Some(goldDf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(gotLarge.toSet == expected)
+  }
+
   test("sign-block recall report: identical vectors always found, block-breaking flips measured lost") {
     import spark.implicits._
     // a controlled corpus: orthogonal-ish base vectors, exact copies
