@@ -109,6 +109,22 @@ object CommitLog {
         "before cloning/restoring")
   }
 
+  /** The commit-time fence ([[requireDistinctBasenames]]) covers
+    * clone/restore commits published AFTER it landed; a LEGACY ledger
+    * that already carries colliding basenames (a converted-then-cloned
+    * chain) would replay unchecked into the basename-keyed probes
+    * (removeMatching / keyedRewrite), where two colliding files' match
+    * counts merge under one key and only the entriesByName winner gets
+    * removed/rewritten — matching rows of the loser silently stay
+    * live. So the probe consumers re-check: absolute references are
+    * the ONLY way a collision can exist (bare names share one
+    * directory — the filesystem dedups), so the O(live set) driver
+    * check runs only when one is present. */
+  private def requireBasenameSoundness(entries: Seq[LiveEntry],
+      context: String): Unit =
+    if (entries.exists(e => e.name.startsWith("/") || e.name.contains("://")))
+      requireDistinctBasenames(entries, s"$context (legacy cloned ledger)")
+
   /** Live entries keyed by BOTH their ledger name and its basename —
     * `_metadata.file_name` probes hand back basenames while a cloned
     * snapshot's ledger records absolute references, so file-metadata
@@ -773,6 +789,10 @@ object CommitLog {
       s"property key must be whitespace/colon-free: $k")
     require(!v.exists(c => c == '\n' || c == '\r'),
       s"property value must be newline-free: $k")
+    // value-shape checks for properties that drive WRITE behavior: a
+    // malformed value accepted here would brick every subsequent write
+    // instead of failing the SET that introduced it
+    if (k == "graft.clusterBy.files") clusterByFiles(v)
   }
 
   def setProperties(spark: SparkSession, tablePath: String,
@@ -1061,6 +1081,7 @@ object CommitLog {
       mapping: Map[String, String]): (Seq[LiveEntry], Seq[String]) = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     if (entries.isEmpty) return (Seq.empty, Seq.empty)
+    requireBasenameSoundness(entries, s"predicate rewrite on $tablePath")
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
     val byName = entriesByName(entries)
@@ -1104,6 +1125,10 @@ object CommitLog {
     * Consumers: IS NULL / IS NOT NULL file pruning (StatsPruning) and
     * the metadata-only COUNT(col) (GraftStatsAggRule). */
   private[graft] val NullCountSuffix = ".nulls"
+
+  /** Table-property prefix declaring a generated column:
+    * `graft.generated.<col> = '<sql expr>'` ([[withGenerated]]). */
+  private[graft] val GeneratedPropPrefix = "graft.generated."
 
   /** Reserved stats key carrying the file's on-disk BYTE SIZE — what
     * lets the auto-compaction census ([[maybeAutoCompact]]) fold from
@@ -1728,6 +1753,28 @@ object CommitLog {
     * operation nets to nothing (no incoming rows, no matching old
     * rows) or when a lost publish race re-evaluates `abortOnLostRace`
     * to true (the staged files become vacuum-eligible orphans). */
+  /** Refuse a nondeterministic predicate for the row-level verbs that
+    * evaluate it MORE THAN ONCE (match-count probe, then straggler
+    * rewrite / CDC images): rand()-style sampling would silently
+    * delete a different row set than was probed. Checked on the
+    * ANALYZED condition (an empty frame with the table's shape), so
+    * SQL-path predicates arriving as unresolved function calls are
+    * caught too, not just pre-built Column trees. */
+  private def requireDeterministicPredicate(spark: SparkSession,
+      schema: StructType, predicate: org.apache.spark.sql.Column,
+      verb: String): Unit = {
+    val cond = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .filter(predicate).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+    require(cond.forall(_.deterministic),
+      s"$verb predicate must be deterministic — it is evaluated once to " +
+        s"probe matching files and again to rewrite/image rows, and a " +
+        s"nondeterministic predicate (e.g. rand()) selects a different row " +
+        s"set each time: $predicate")
+  }
+
   private def replaceWhereCore(df: DataFrame, tablePath: String,
       predicate: org.apache.spark.sql.Column,
       publisher: AtomicPublisher,
@@ -1742,6 +1789,9 @@ object CommitLog {
     val (_, entries) = liveFilesFull(spark, tablePath)
     val props = propertiesAt(spark, tablePath)
     val dfG = withGenerated(df, props)
+    // after withGenerated: the predicate may name a generated column
+    // the caller's frame does not carry
+    requireDeterministicPredicate(spark, dfG.schema, predicate, "replaceWhere")
     val cur = schemaAt(spark, tablePath)
     cur.foreach { c =>
       require(sameShape(c, dfG.schema),
@@ -2259,13 +2309,19 @@ object CommitLog {
       props: Map[String, String]): DataFrame = {
     import org.apache.spark.sql.functions._
     val gens = props.collect {
-      case (k, v) if k.startsWith("graft.generated.") =>
-        k.stripPrefix("graft.generated.") -> v
+      case (k, v) if k.startsWith(GeneratedPropPrefix) =>
+        k.stripPrefix(GeneratedPropPrefix) -> v
     }.toSeq.sortBy(_._1)
+    // membership resolves with the SESSION resolver, not ==: withColumn
+    // replaces case-insensitively under default analysis, so a frame
+    // carrying the generated column as a case variant (BUCKET for
+    // graft.generated.bucket) must take the VALIDATION branch — the
+    // contains() path would silently overwrite its explicit values
+    val resolver = df.sparkSession.sessionState.conf.resolver
     gens.foldLeft(df) { case (d, (c, e)) =>
-      require(c.nonEmpty, s"empty generated-column name: graft.generated. = $e")
+      require(c.nonEmpty, s"empty generated-column name: $GeneratedPropPrefix = $e")
       val ex = expr(e)
-      if (!d.columns.contains(c)) d.withColumn(c, ex)
+      if (!d.columns.exists(resolver(_, c))) d.withColumn(c, ex)
       else {
         val chk = s"__graft_gen_$c"
         d.withColumn(chk, when(!(col(c) <=> ex), raise_error(
@@ -2322,11 +2378,24 @@ object CommitLog {
         val ck = df.localCheckpoint(true)
         if (ck.isEmpty) ck
         else {
-          val nOut = props.get("graft.clusterBy.files").map(_.trim.toInt)
+          val nOut = props.get("graft.clusterBy.files").map(clusterByFiles)
             .getOrElse(math.max(1, ck.rdd.getNumPartitions))
           ZOrder.layout(ck, nOut, Some(cols.mkString(",")))
         }
     }
+
+  /** Parse + validate `graft.clusterBy.files` — shared by the write
+    * site and declaration-time property validation, so a bad value is
+    * refused when SET, not discovered as a NumberFormatException that
+    * bricks every subsequent write. */
+  private[store] def clusterByFiles(v: String): Int = {
+    val n = try v.trim.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft.clusterBy.files must be a positive integer: '$v'")
+    }
+    require(n >= 1, s"graft.clusterBy.files must be >= 1: '$v'")
+    n
+  }
 
   /** Highest batch id a streaming query has committed into this table,
     * parsed from `txn=<queryId>:<batchId>` commit tags AND the tags
@@ -2489,6 +2558,26 @@ object CommitLog {
         s"cannot $verb column $colName of $tablePath: the graft.clusterBy " +
           "property clusters on it (every write would fail) — re-point or " +
           "drop the clustering first (ALTER TABLE … CLUSTER BY …/NONE)")
+    }
+    // Generated columns brick writes two ways: dropping/renaming the
+    // GENERATED column itself leaves a property targeting a column that
+    // no longer exists, and touching a column its EXPRESSION reads
+    // leaves the generation unresolvable — both fail every subsequent
+    // write, the exact dangling-property mode clusterBy guards against.
+    props.foreach { case (k, expr) if k.startsWith(GeneratedPropPrefix) =>
+      val target = k.stripPrefix(GeneratedPropPrefix)
+      require(!target.equalsIgnoreCase(colName),
+        s"cannot $verb column $colName of $tablePath: it is a generated " +
+          s"column ($k = $expr) — unset the property first")
+      val refs = spark.sessionState.sqlParser.parseExpression(expr).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.last
+      }
+      require(!refs.exists(_.equalsIgnoreCase(colName)),
+        s"cannot $verb column $colName of $tablePath: generated column " +
+          s"$target's expression references it ($expr) — re-point or unset " +
+          "the property first")
+      case _ => ()
     }
   }
 
@@ -2829,6 +2918,7 @@ object CommitLog {
     val fs = fsOf(spark, dir)
     val (version, entries) = liveFilesFull(spark, tablePath)
     if (entries.isEmpty) return version
+    requireDeterministicPredicate(spark, schema, predicate, "deleteWhere")
     if (deletionVectors)
       return deleteWhereMor(spark, tablePath, schema, predicate, publisher,
         version, entries)
@@ -3373,6 +3463,7 @@ object CommitLog {
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
     val (version, liveEntries) = liveFilesFull(spark, tablePath)
+    requireBasenameSoundness(liveEntries, s"keyed rewrite on $tablePath")
     val filesWithStats = liveEntries.map(e => (e.name, e.stats))
     val entryByName = entriesByName(liveEntries)
     val files = filesWithStats.map(_._1)

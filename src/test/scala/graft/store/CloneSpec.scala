@@ -184,6 +184,48 @@ class CloneSpec extends SparkSpec {
       ex.getMessage.contains("basename collision"))
   }
 
+  test("a LEGACY ledger with colliding basenames fails basename-keyed rewrites loudly") {
+    import spark.implicits._
+    // the commit-time fence only covers clone/restore commits published
+    // after it landed — forge the pre-fence shape directly (two absolute
+    // references sharing a basename) and verify the basename-keyed
+    // PROBES refuse it instead of merging two files' match counts under
+    // one key and silently leaving the loser's rows live
+    val t = freshDir("legacy")
+    def land(sub: String, ids: Seq[Long]): String = {
+      val d = freshDir(s"legacy_$sub")
+      ids.toDF("id").coalesce(1).write.mode("overwrite").parquet(d)
+      val hp = new org.apache.hadoop.fs.Path(d)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(hp).map(_.getPath)
+        .find(_.getName.startsWith("part-")).get
+      fs.rename(part, new org.apache.hadoop.fs.Path(d, "dup.parquet"))
+      s"$d/dup.parquet"
+    }
+    val f1 = land("a", Seq(1L, 2L))
+    val f2 = land("b", Seq(3L, 4L))
+    CommitLog.commitOrAbort(spark, t, adds = Seq(f1, f2),
+      removes = Seq.empty, publisher = RenameOrLinkPublisher,
+      opTag = Some("forged-legacy"), abortOnLostRace = () => false)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    // reads are reference-keyed and stay sound
+    assert(spark.read.format("graftlog").load(t).count() == 4)
+    // the predicate-rewrite probe (deleteWhere → removeMatching) refuses
+    val ex = intercept[IllegalArgumentException] {
+      CommitLog.deleteWhere(spark, t, schema, col("id") === 1L)
+    }
+    assert(ex.getMessage.contains("basename collision"), ex.getMessage)
+    // the keyed-rewrite probe (merge/stream upsert path) refuses too
+    val ex2 = intercept[IllegalArgumentException] {
+      CommitLog.keyedRewrite(spark, t, schema, Seq("id"),
+        deleteKeys = Seq(1L).toDF("id"), appendDf = Seq(9L).toDF("id"),
+        opTag = None, publisher = RenameOrLinkPublisher)
+    }
+    assert(ex2.getMessage.contains("basename collision"), ex2.getMessage)
+  }
+
   test("clone refuses a non-absolute source, a self-clone, and an occupied destination") {
     import spark.implicits._
     val src = freshDir("guard_src"); val dst = freshDir("guard_dst")

@@ -188,6 +188,28 @@ class CatalogClusterBySpec extends SparkSpec {
     spark.sql("DROP TABLE graft.cbg")
   }
 
+  test("graft.clusterBy.files validates at SET time: non-numeric and non-positive refused") {
+    val t = "/tmp/graft_test/cluster_files_validate"
+    val hp = new org.apache.hadoop.fs.Path(t)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    // a malformed value must fail the SET that introduces it — accepted,
+    // it would NumberFormatException every subsequent write instead
+    for (bad <- Seq("abc", "0", "-3", "1.5")) {
+      val ex = intercept[IllegalArgumentException] {
+        CommitLog.setProperties(spark, t, Map("graft.clusterBy.files" -> bad))
+      }
+      assert(ex.getMessage.contains("clusterBy.files"), ex.getMessage)
+    }
+    assert(CommitLog.latestVersion(spark, t) == 0,
+      "a refused property set must not commit")
+    // a valid value lands and drives the write-site file count
+    CommitLog.setProperties(spark, t,
+      Map("graft.clusterBy" -> "id", "graft.clusterBy.files" -> "2"))
+    spark.range(0, 100).toDF("id")
+      .write.format("graftlog").mode("append").save(t)
+    assert(CommitLog.liveFiles(spark, t)._2.size == 2)
+  }
+
   test("PARTITIONED BY keeps the loud refusal; double clustering declaration refused") {
     spark.sql("DROP TABLE IF EXISTS graft.cbbad")
     val e = intercept[Exception](

@@ -74,6 +74,48 @@ class GeneratedColumnSpec extends SparkSpec {
     assert(r == ((900000L, 10L)))
   }
 
+  test("a case-variant explicit column takes the VALIDATION branch, never silent overwrite") {
+    val t = freshDir("case")
+    CommitLog.setProperties(spark, t,
+      Map("graft.generated.day" -> "CAST(ts / 86400 AS BIGINT)"))
+    // under the default case-insensitive resolver, DAY *is* the
+    // generated column: a divergent value must fail loudly — the
+    // contains()-based membership would have silently overwritten it
+    val ex = intercept[Exception] {
+      Seq((1L, 100000L, 99L)).toDF("id", "ts", "DAY")
+        .write.format("graftlog").mode("append").save(t)
+    }
+    assert(ex.getMessage.contains("day") ||
+      Option(ex.getCause).exists(_.getMessage.contains("day")),
+      s"case-variant explicit column bypassed validation: ${ex.getMessage}")
+    // and a CONSISTENT case-variant value lands
+    Seq((2L, 100000L, 1L)).toDF("id", "ts", "DAY")
+      .write.format("graftlog").mode("append").save(t)
+    assert(spark.read.format("graftlog").load(t).count() == 1)
+  }
+
+  test("rename/drop refused for a generated column and for its expression inputs") {
+    val t = freshDir("guard")
+    CommitLog.setProperties(spark, t,
+      Map("graft.generated.day" -> "CAST(ts / 86400 AS BIGINT)"))
+    Seq((1L, 100000L)).toDF("id", "ts")
+      .write.format("graftlog").mode("append").save(t)
+    // dropping/renaming the expression INPUT would leave the generation
+    // unresolvable — every subsequent write fails
+    for (op <- Seq(
+        () => CommitLog.dropColumn(spark, t, "ts"),
+        () => CommitLog.renameColumn(spark, t, "ts", "when"),
+        // the generated column itself: property would dangle
+        () => CommitLog.dropColumn(spark, t, "day"),
+        () => CommitLog.renameColumn(spark, t, "day", "d"))) {
+      val ex = intercept[IllegalArgumentException](op())
+      assert(ex.getMessage.contains("generated"), ex.getMessage)
+    }
+    // untouched columns still rename
+    CommitLog.renameColumn(spark, t, "id", "doc_id")
+    assert(CommitLog.tableSchema(spark, t).fieldNames.contains("doc_id"))
+  }
+
   test("streaming appendOnce generates too; the key composes with clusterBy") {
     val t = freshDir("stream")
     CommitLog.setProperties(spark, t, Map(

@@ -216,6 +216,33 @@ abstract class ReplaceWhereBehavior(publisher: AtomicPublisher) extends SparkSpe
       batchId = 2L, publisher).isEmpty)
   }
 
+  test("nondeterministic predicates are refused: probe and rewrite would select different rows") {
+    val t = freshTable()
+    alignedTable(t, (0L, 10L))
+    val before = CommitLog.latestVersion(spark, t)
+    // deleteWhere evaluates the predicate in two jobs (match-count
+    // probe, straggler rewrite); rand() selects a different row set in
+    // each — the verb must refuse, not silently half-delete
+    val ex = intercept[IllegalArgumentException] {
+      CommitLog.deleteWhere(spark, t, schema, rand() < 0.5, publisher)
+    }
+    assert(ex.getMessage.contains("deterministic"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException] {
+      CommitLog.replaceWhere(spark.range(0, 3).toDF("id"), t,
+        rand() < 0.5, publisher)
+    }
+    assert(ex2.getMessage.contains("deterministic"), ex2.getMessage)
+    // the SQL spelling arrives as an unresolved function call — the
+    // analyzed-condition check must catch it too
+    val ex3 = intercept[Exception] {
+      CommitLog.deleteWhere(spark, t, schema, expr("rand() < 0.5"), publisher)
+    }
+    assert(ex3.getMessage.contains("deterministic"), ex3.getMessage)
+    assert(CommitLog.latestVersion(spark, t) == before,
+      "a refused nondeterministic verb must not commit")
+    assert(ids(t) == (0L until 10L).toSet)
+  }
+
   test("replaceWhere refuses a shape change when a ledger exists") {
     val t = freshTable()
     CommitLog.append(spark.range(0, 10).toDF("id"), t, publisher,
