@@ -272,6 +272,10 @@ object Cli {
       val fields = row.schema.fieldNames.zipWithIndex.map { case (n, i) =>
         val v = row.get(i) match {
           case s: String => s""""$s""""
+          case m: scala.collection.Map[_, _] => m.toSeq
+            .sortBy(_._1.toString)
+            .map { case (k, mv) => s""""$k":"$mv"""" }
+            .mkString("{", ",", "}")
           case Some(x) => x.toString
           case None | null => "null"
           case x => x.toString

@@ -3676,12 +3676,17 @@ object CommitLog {
     val schemaSource =
       if (schemaAt(spark, tablePath).isDefined) "ledger"
       else if (entries.nonEmpty) "inferred" else "none"
+    // the property map rides along: clustering, bloom, MOR default and
+    // generated columns are all property-driven behavior — a table
+    // cannot be audited from SQL without seeing them
     Seq((tablePath, version, entries.size.toLong, sizeBytes,
       entries.count(_.dv.isDefined).toLong, dvPositions,
-      constraintsAt(spark, tablePath).size.toLong, schemaSource, lastTs))
+      constraintsAt(spark, tablePath).size.toLong, schemaSource, lastTs,
+      propertiesAt(spark, tablePath)))
       .toDF("table", "version", "num_files", "size_bytes",
         "num_vectored_files", "num_vectored_positions",
-        "num_constraints", "schema_source", "last_commit_ts_ms")
+        "num_constraints", "schema_source", "last_commit_ts_ms",
+        "properties")
   }
 
   /** CDC-style change feed: every row CHANGED by each commit in

@@ -673,7 +673,10 @@ private[store] final class GraftWriteBuilder(path: String)
   *    of a flat-layout table (per-file envelopes live in the same
   *    stats the scanner prunes with); `SUM(bytes)` is table size with
   *    zero file-system calls.
-  *  - `graft.t.detail`: the one-row operational summary.
+  *  - `graft.t.detail`: the one-row operational summary, including the
+  *    table-property map (`detail.properties['graft.clusterBy']`) —
+  *    the SQL audit path for the property-driven behaviors
+  *    (clustering, bloom, MOR default, generated columns).
   *
   * Driver-built metadata frames (log-sized, never data-sized) served
   * through the V1Scan seam; no pushdown — there is nothing to push

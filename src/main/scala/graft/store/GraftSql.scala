@@ -243,7 +243,9 @@ object GraftSql {
     StructField("num_vectored_positions", LongType),
     StructField("num_constraints", LongType),
     StructField("schema_source", StringType),
-    StructField("last_commit_ts_ms", LongType)))
+    StructField("last_commit_ts_ms", LongType),
+    StructField("properties",
+      org.apache.spark.sql.types.MapType(StringType, StringType))))
   private val HistoryResultSchema = StructType(Seq(
     StructField("version", LongType), StructField("operation", StringType),
     StructField("n_added", LongType), StructField("n_removed", LongType),

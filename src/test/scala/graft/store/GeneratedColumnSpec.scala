@@ -116,6 +116,31 @@ class GeneratedColumnSpec extends SparkSpec {
     assert(CommitLog.tableSchema(spark, t).fieldNames.contains("doc_id"))
   }
 
+  test("generated day + CLUSTER BY day: a day predicate prunes to the day's files") {
+    // the end-to-end value claim of the pair: the caller writes only
+    // (id, ts); the WRITER derives day and lays the batch out by it, so
+    // a later day-scoped query prunes by log stats without the caller
+    // ever materializing the partition key itself
+    val t = freshDir("prune")
+    CommitLog.setProperties(spark, t, Map(
+      "graft.generated.day" -> "CAST(ts / 86400 AS BIGINT)",
+      "graft.clusterBy" -> "day",
+      "graft.clusterBy.files" -> "4"))
+    (0L until 100L).map(i => (i, (i / 25L) * 86400L + i)).toDF("id", "ts")
+      .write.format("graftlog").mode("append").save(t)
+    val files = CommitLog.liveFiles(spark, t)._2
+    assert(files.size == 4, s"expected 4 clustered files: $files")
+    val df = spark.read.format("graftlog").load(t).where(col("day") === 2L)
+    assert(df.count() == 25L)
+    assert(df.agg(min("id"), max("id")).as[(Long, Long)].head() == ((50L, 74L)))
+    val scanned = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.totalNumberOfFiles
+    }.sum
+    assert(scanned == 1L,
+      s"day predicate must prune to the day's single clustered file, scanned $scanned of ${files.size}")
+  }
+
   test("streaming appendOnce generates too; the key composes with clusterBy") {
     val t = freshDir("stream")
     CommitLog.setProperties(spark, t, Map(

@@ -92,6 +92,14 @@ class GraftCatalogSpec extends SparkSpec {
     // detail: the one-row summary, joinable
     assert(spark.sql("SELECT count(*) FROM graft.meta.detail")
       .as[Long].head() == 1L)
+    // ...and it carries the PROPERTY MAP — the SQL audit path for
+    // property-driven behavior (clustering, bloom, MOR, generated)
+    spark.sql("ALTER TABLE graft.meta SET TBLPROPERTIES " +
+      "('graft.clusterBy' = 'id', 'team' = 'pipeline')")
+    val props = spark.sql(
+      "SELECT properties['graft.clusterBy'], properties['team'] " +
+        "FROM graft.meta.detail").as[(String, String)].head()
+    assert(props == (("id", "pipeline")), s"got $props")
     // stats envelopes expose LOGICAL names: pre-rename files' stats
     // answer under the renamed column (the statsToLogical remap)
     spark.sql("ALTER TABLE graft.meta RENAME COLUMN v TO w")
