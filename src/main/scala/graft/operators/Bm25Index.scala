@@ -97,6 +97,24 @@ object Bm25Index {
     p
   }
 
+  /** ONE change-feed micro-batch applied to BOTH index tables
+    * EXACTLY-ONCE — the `foreachBatch` bridge for the standard
+    * streaming consumer (`spark.readStream.format("graftlog")` over
+    * the corpus table). Each sink fences on its own `txn=` ledger, so
+    * a crash BETWEEN the two applies resumes cleanly: the replayed
+    * batch finds the postings ledger already at `batchId` (aborts,
+    * no double-count) and the doclens apply — the one that never
+    * landed — goes through. */
+  def applyIndexChangesOnce(spark: SparkSession, postingsTable: String,
+      docLensTable: String, idCol: String, textCol: String,
+      batch: DataFrame, queryId: String, batchId: Long): Unit = {
+    CdcStream.applyChangesOnce(spark, postingsTable, postingsSchema(idCol),
+      Seq(idCol), batch, queryId, batchId, postingsTransform(idCol, textCol))
+    CdcStream.applyChangesOnce(spark, docLensTable, docLensSchema(idCol),
+      Seq(idCol), batch, queryId, batchId, docLensTransform(idCol, textCol))
+    ()
+  }
+
   /** BM25 top-k against the at-rest index — identical scoring, ranking
     * and tie-breaks to [[CorpusOps.bm25TopK]] (the shared oracle SQL
     * pins result equivalence), but the corpus-sized work is GONE:

@@ -47,18 +47,20 @@ object CorpusQueries {
   private val Bm25K = 10
 
   /** DuckDB replay of the full BM25 pipeline from raw text — SHARED by
-    * text_bm25_topk (from-scratch recompute) and text_bm25_indexed
-    * (at-rest postings probe): the indexed path must reproduce the
-    * recompute bit-for-bit or its hash diverges here. */
-  private def bm25OracleSql: String =
+    * text_bm25_topk (from-scratch recompute), text_bm25_indexed
+    * (at-rest postings probe), and stream_bm25_incremental (the
+    * streaming consumer, whose `docPred` mirrors a source DELETE): any
+    * of the three diverging from the recompute breaks its hash here. */
+  private[queries] def bm25OracleSqlFor(docPred: String): String =
     s"""WITH q(query_id, query_text) AS (VALUES
        |  (1, '${Bm25Queries(0)}'), (2, '${Bm25Queries(1)}'), (3, '${Bm25Queries(2)}')),
-       |tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+       |d AS (SELECT doc_id, text FROM documents WHERE $docPred),
+       |tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM d),
        |tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tokf GROUP BY doc_id, term),
        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
-       |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_docs,
+       |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM d) AS n_docs,
        |                 (SELECT CAST(count(*) AS DOUBLE) FROM tokf) AS total_tok),
        |qt AS (SELECT DISTINCT query_id, unnest(str_split(query_text, ' ')) AS term FROM q),
        |scored AS (
@@ -75,6 +77,16 @@ object CorpusQueries {
        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS BIGINT) AS doc_rank,
        |       doc_id, bm25
        |FROM ranked WHERE rn <= $Bm25K""".stripMargin
+
+  private def bm25OracleSql: String = bm25OracleSqlFor("TRUE")
+
+  /** The literal BM25 probe frame, shared by the three BM25 rows. */
+  private[queries] def bm25Probes(s: SparkSession): DataFrame =
+    s.createDataFrame(
+      Bm25Queries.zipWithIndex.map { case (t, i) => (i + 1L, t) })
+      .toDF("query_id", "query_text")
+
+  private[queries] val Bm25TopK: Int = Bm25K
 
   /** corpus_trained_quality hyperparameters (shared Spark/oracle). */
   private val TqIters = 3

@@ -175,8 +175,8 @@ object SimilarityQueries {
     * this DuckDB recomputation exactly (centroids = first 10 by id,
     * structurally coupled to Similarity.initialCentroids via the
     * ORDER BY vec_id LIMIT 10 CTE). */
-  private val IvfOracleSql =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  private def ivfOracleSqlFor(queryPred: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 10),
       |assign AS (
       |  SELECT vec_id, cid FROM (
@@ -184,7 +184,7 @@ object SimilarityQueries {
       |      row_number() OVER (PARTITION BY e.vec_id
       |        ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.cid) AS rn
       |    FROM e, cent) WHERE rn = 1),
-      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE $queryPred),
       |probes AS (
       |  SELECT qid, cid FROM (
       |    SELECT q.qid, cent.cid,
@@ -202,6 +202,8 @@ object SimilarityQueries {
       |  JOIN e ON e.vec_id = a.vec_id)
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
       |FROM scored WHERE rank <= 10""".stripMargin
+
+  private val IvfOracleSql = ivfOracleSqlFor("vec_id < 5")
 
   val queries: Seq[Q] = Seq(
 
@@ -255,6 +257,18 @@ object SimilarityQueries {
       val e = emb(s, dir)
       Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, k = 10,
         numCentroids = 10, nProbe = 3)
+    },
+
+    // ── IVF batch top-k at corpus query scale (|Q| = N): same oracle
+    // pipeline with every vector as a query, served by ivfTopKLarge's
+    // cid-keyed shuffle joins — the plan that survives when the probe
+    // side is too large to broadcast (cross-corpus retrieval, mining).
+    Q(
+      "ann_ivf_large_topk",
+      ivfOracleSqlFor("TRUE")) { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.ivfTopKLarge(e, e, k = 10,
+        Similarity.initialCentroids(e, 10), nProbe = 3)
     },
 
     // ── Product-quantization ADC top-k: the memory-compression half of

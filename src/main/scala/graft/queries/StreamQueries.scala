@@ -586,6 +586,66 @@ object StreamQueries {
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_digest"))
     },
 
+    // ── Streaming incremental BM25 index maintenance: the corpus
+    // table's change feed (two appends + a row-level DELETE) drains
+    // through the standard streaming API into the postings + doclens
+    // tables — TWO exactly-once sinks per micro-batch, each fenced by
+    // its own txn= ledger, crash injected BETWEEN them (after the
+    // postings commit of batch 1, before its doclens commit and before
+    // Spark's offset commit) so the replay must skip the landed half
+    // and land the missing half. The probe then answers from the index
+    // alone; the oracle replays BM25 from scratch over the surviving
+    // documents — tf, df, dl, N and avgdl must all reflect the delete.
+    Q(
+      "stream_bm25_incremental",
+      CorpusQueries.bm25OracleSqlFor("NOT (doc_id % 7 = 3)")) { (s, dir) =>
+      import graft.operators.Bm25Index
+      import graft.store.CommitLog
+      val base = "/tmp/graft_state/bm25_stream"
+      val (srcT, postT, lensT) =
+        (s"$base/src", s"$base/postings", s"$base/doclens")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val d = graft.Tables.load(s, dir, "documents").select("doc_id", "text")
+      CommitLog.append(d.filter(col("doc_id") % 2 === 0), srcT)
+      CommitLog.append(d.filter(col("doc_id") % 2 === 1), srcT)
+      CommitLog.deleteWhere(s, srcT, d.schema, col("doc_id") % 7 === 3)
+      val ckpt = Files.createTempDirectory("graft_ckpt_bm25").toString
+      def run(boomAt: Long): Unit = {
+        val q = s.readStream.format("graftlog")
+          .schema(d.schema)
+          .option("maxVersionsPerTrigger", 1L)
+          .load(srcT)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             batchId: Long) =>
+              if (batchId == boomAt) {
+                // half-applied batch: postings landed, doclens not yet
+                graft.store.CdcStream.applyChangesOnce(s, postT,
+                  Bm25Index.postingsSchema("doc_id"), Seq("doc_id"),
+                  batch.toDF(), "bm25idx", batchId,
+                  Bm25Index.postingsTransform("doc_id", "text"))
+                throw new RuntimeException("injected mid-apply crash")
+              }
+              Bm25Index.applyIndexChangesOnce(s, postT, lensT,
+                "doc_id", "text", batch.toDF(), "bm25idx", batchId)
+              ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+      try run(boomAt = 1L)
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException
+        if e.getMessage.contains("injected") => () }
+      run(boomAt = -1L)
+      Bm25Index.bm25TopKFromIndex(s, postT, lensT, "doc_id",
+        CorpusQueries.bm25Probes(s), k = CorpusQueries.Bm25TopK)
+    },
+
     // ── Streaming deterministic HLL: registers as running state (max
     // merges monotonically — bounded at 2^b registers per group
     // forever), drained estimate ≡ the batch estimate BIT-FOR-BIT
