@@ -25,12 +25,11 @@ import org.apache.spark.sql.types._
   *    orders of magnitude smaller than the text.
   *
   * There is deliberately NO stored (term, df) table: df(t) is exactly
-  * the number of postings rows for `t`, and every probe must read
-  * those rows anyway for their tf — so df falls out of the probe scan
-  * as a per-term window count over data already in hand. A stored df
-  * would be a second merge-maintained aggregate (per-term counters
-  * cannot ride the keyed-by-doc retraction path) bringing zero read
-  * savings.
+  * the number of postings rows for `t`, and the probe reads those rows
+  * anyway for their tf — so df is a query-term-sized aggregate over
+  * the same pruned scan. A stored df would be a second
+  * merge-maintained aggregate (per-term counters cannot ride the
+  * keyed-by-doc retraction path) bringing zero read savings.
   *
   * Both tables are keyed by the doc id, so source DELETEs and merge
   * updates retract a document's postings row-for-row through the
@@ -123,14 +122,15 @@ object Bm25Index {
     *    set, so only queried terms' rows leave the scan (after a
     *    `compact(clusterBy = "term")` the log's range stats prune
     *    whole files before a byte is read);
-    *  - df is a per-term window count over those same rows — no second
-    *    scan, no vocab-sized anything;
+    *  - df is a partial+final aggregate over a second, identically
+    *    pruned and column-pruned scan, broadcast back query-term-sized
+    *    — never a per-term co-location of a hot term's postings;
     *  - N and avgdl are two scalar aggregates over the doc-count-sized
     *    doclens table, one broadcast row.
     *
-    * Everything after the pruned scan carries scalars; the only
-    * remaining exchanges are the per-term window and the per-query
-    * top-k window. */
+    * The postings never shuffle at all: every join against them is a
+    * broadcast, and the only exchange in the plan is the per-query
+    * top-k window over (query_id, doc, score) scalars. */
   def bm25TopKFromIndex(spark: SparkSession, postingsTable: String,
       docLensTable: String, idCol: String, queries: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -142,16 +142,20 @@ object Bm25Index {
       .filter(col("term") =!= "").distinct()
     val post = CommitLog.read(spark, postingsTable, postingsSchema(idCol))
       .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
-    // df(t) = |postings rows of t| — counted over the rows the probe
-    // already reads, per-term window, no stored aggregate
-    val withDf = post.withColumn("df",
-      count(lit(1)).over(Window.partitionBy("term")))
+    // df(t) = |postings rows of t| — a partial+final aggregate over the
+    // pruned scan (map-side combine; the final side is ≤ |query terms|
+    // rows) broadcast back, NOT a per-term window: a window would
+    // co-locate every posting of a hot term ("the") in ONE task — the
+    // exact skew bomb a stopword's postings list is. The second scan
+    // this costs is pruned identically and column-pruned to `term`.
+    val dfQ = post.groupBy("term").agg(count(lit(1)).as("df"))
     val lens = CommitLog.read(spark, docLensTable, docLensSchema(idCol))
     val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
         coalesce(sum("dl"), lit(0L)).cast("double").as("total_tok"))
       .select(col("n_docs"), (col("total_tok") / col("n_docs")).as("avgdl"))
-    val scored = withDf
+    val scored = post
       .join(broadcast(qterms), "term")
+      .join(broadcast(dfQ), "term")
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col(idCol),
         (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *

@@ -257,10 +257,17 @@ object CorpusOps {
     * Everything after the scan carries scalars.
     *
     * `queries` must expose (query_id, query_text); tokenization is the
-    * engine-wide whitespace contract ([[graft.text.TextOps.tokens]]). */
+    * engine-wide whitespace contract ([[graft.text.TextOps.tokens]]).
+    *
+    * `positives` optionally supplies known gold (query_id, positive_id)
+    * pairs excluded BEFORE the rank cut — the BM25-negatives recipe
+    * (the classic lexical hard-negative source for retriever training:
+    * top BM25 hits that are NOT the gold passage). Exclusion after the
+    * cut would burn slots instead of freeing them. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      positives: Option[DataFrame] = None): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params: k1=$k1 b=$b")
     val tok = docs
@@ -297,10 +304,97 @@ object CorpusOps {
             (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))).as("s"))
     val agg = scored.groupBy("query_id", idCol)
       .agg(round(sum("s"), 6).as("bm25"))
+    // gold exclusion on scalar (query_id, id) pairs, pre-cut
+    val excl = positives.fold(agg) { p =>
+      agg.join(p.select(col("query_id"), col("positive_id").as(idCol)),
+        Seq("query_id", idCol), "left_anti")
+    }
     val w = Window.partitionBy("query_id").orderBy(col("bm25").desc, col(idCol))
-    agg.withColumn("doc_rank", row_number().over(w).cast("long"))
+    excl.withColumn("doc_rank", row_number().over(w).cast("long"))
       .filter(col("doc_rank") <= k)
       .select(col("query_id"), col("doc_rank"), col(idCol), col("bm25"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher) of two rankings
+    * over the same id space — the standard hybrid-retrieval combiner
+    * (lexical BM25 × dense cosine) for curation and retriever-training
+    * candidate generation: rrf(q, d) = Σ_r 1/(k0 + rank_r(q, d)) over
+    * the rankings that contain (q, d); a document absent from one
+    * ranking simply contributes nothing. Scores are rounded to 6 dp
+    * BEFORE the fused rank cut (the engine-wide cross-engine cut
+    * discipline), ties broken by id.
+    *
+    * Both inputs must expose (query_id, `idCol`, rank). Scale shape:
+    * the union and the fused aggregate carry three scalar columns; one
+    * exchange for the per-(query, id) sum, one for the per-query top-k
+    * window — input sizes are ranking-sized (|Q| × k_in), never
+    * corpus-sized. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, k: Int,
+      k0: Int = 60): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(k0 >= 0, s"k0 must be non-negative: $k0")
+    def slim(df: DataFrame) =
+      df.select(col("query_id"), col(idCol), col("rank"))
+    val fused = slim(a).unionAll(slim(b))
+      .groupBy("query_id", idCol)
+      .agg(round(sum(lit(1.0) / (lit(k0) + col("rank"))), 6).as("rrf"))
+    val w = Window.partitionBy("query_id").orderBy(col("rrf").desc, col(idCol))
+    fused.withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= k)
+      .select(col("query_id"), col("fused_rank"), col(idCol), col("rrf"))
+  }
+
+  /** Ranked-retrieval evaluation — MRR@k and nDCG@k per query, the
+    * report a retrieval stack (BM25 / ANN / fused) publishes against a
+    * labeled eval set. `ranked` exposes (query_id, idCol, rank);
+    * `labels` exposes (query_id, idCol, rel) with graded relevance
+    * ≥ 0 (sparse: unlabeled pairs are rel 0 by construction).
+    *
+    *  - rr    = 1 / min rank of a rel>0 document within the cut, 0 if
+    *            none retrieved;
+    *  - dcg   = Σ_{rank ≤ k} (2^rel − 1) / log2(rank + 1);
+    *  - idcg  = the same sum over the IDEAL ordering of that query's
+    *            labels (rel desc, id asc — deterministic), truncated
+    *            at k; ndcg = dcg/idcg, 0 when the query has no
+    *            positive labels.
+    *
+    * All values rounded to 6 dp. Scale shape: one ranking⋈labels hash
+    * join on scalar keys, per-query aggregates, and a labels-only
+    * window for the ideal ordering — eval-set-sized throughout, no
+    * corpus anywhere. */
+  def rankingMetrics(ranked: DataFrame, labels: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val cut = ranked.filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("rank"))
+    val lab = labels.select(col("query_id"), col(idCol),
+      col("rel").cast("double").as("rel"))
+    val hits = cut.join(lab, Seq("query_id", idCol))
+      .select(col("query_id"), col("rank"), col("rel"))
+    val perQ = hits.groupBy("query_id").agg(
+      min(when(col("rel") > 0, col("rank"))).as("first_hit"),
+      sum((pow(lit(2.0), col("rel")) - 1.0) /
+        log2(col("rank").cast("double") + 1.0)).as("dcg"))
+    // ideal DCG from the labels alone: rel desc, id asc, truncate at k
+    val iw = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col(idCol))
+    val ideal = lab.filter(col("rel") > 0)
+      .withColumn("pos", row_number().over(iw))
+      .filter(col("pos") <= k)
+      .groupBy("query_id")
+      .agg(sum((pow(lit(2.0), col("rel")) - 1.0) /
+        log2(col("pos").cast("double") + 1.0)).as("idcg"))
+    // every ranked query reports, even with zero hits or zero labels
+    cut.select("query_id").distinct()
+      .join(perQ, Seq("query_id"), "left_outer")
+      .join(ideal, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        round(coalesce(lit(1.0) / col("first_hit"), lit(0.0)), 6).as("rr"),
+        round(coalesce(col("dcg"), lit(0.0)), 6).as("dcg"),
+        round(coalesce(col("idcg"), lit(0.0)), 6).as("idcg"),
+        round(when(coalesce(col("idcg"), lit(0.0)) > 0,
+          coalesce(col("dcg"), lit(0.0)) / col("idcg"))
+          .otherwise(lit(0.0)), 6).as("ndcg"))
   }
 
   /** The trained-quality-classifier feature vector: bias + the four

@@ -46,14 +46,24 @@ object CorpusQueries {
     "vector scan filter", "customer order join", "stream window agg")
   private val Bm25K = 10
 
-  /** DuckDB replay of the full BM25 pipeline from raw text — SHARED by
-    * text_bm25_topk (from-scratch recompute), text_bm25_indexed
-    * (at-rest postings probe), and stream_bm25_incremental (the
-    * streaming consumer, whose `docPred` mirrors a source DELETE): any
-    * of the three diverging from the recompute breaks its hash here. */
-  private[queries] def bm25OracleSqlFor(docPred: String): String =
-    s"""WITH q(query_id, query_text) AS (VALUES
-       |  (1, '${Bm25Queries(0)}'), (2, '${Bm25Queries(1)}'), (3, '${Bm25Queries(2)}')),
+  /** The literal-probe q CTE the three core BM25 rows share. */
+  private def bm25LiteralQCte: String =
+    s"""q(query_id, query_text) AS (VALUES
+       |  (1, '${Bm25Queries(0)}'), (2, '${Bm25Queries(1)}'), (3, '${Bm25Queries(2)}'))""".stripMargin
+
+  /** DuckDB replay of the full BM25 pipeline from raw text, as a CTE
+    * chain ending in `ranked` — SHARED by text_bm25_topk (from-scratch
+    * recompute), text_bm25_indexed (at-rest postings probe),
+    * stream_bm25_incremental (streaming consumer; `docPred` mirrors a
+    * source DELETE), text_bm25_negatives (`goldPred` mirrors the
+    * exclusion frame) and the RRF/metrics composites (`qCte` swaps in
+    * query-by-example probes): any surface diverging from the shared
+    * recompute breaks its hash here. */
+  private[queries] def bm25Ctes(docPred: String, qCte: String,
+      goldPred: Option[String]): String = {
+    val exclSrc = goldPred
+      .map(g => s"(SELECT * FROM agg WHERE NOT ($g))").getOrElse("agg")
+    s"""$qCte,
        |d AS (SELECT doc_id, text FROM documents WHERE $docPred),
        |tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM d),
        |tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
@@ -73,10 +83,17 @@ object CorpusQueries {
        |        FROM scored GROUP BY query_id, doc_id),
        |ranked AS (SELECT query_id, doc_id, bm25,
        |                  row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rn
-       |           FROM agg)
-       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS BIGINT) AS doc_rank,
+       |           FROM $exclSrc)""".stripMargin
+  }
+
+  private def bm25TopSelect: String =
+    s"""SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS BIGINT) AS doc_rank,
        |       doc_id, bm25
        |FROM ranked WHERE rn <= $Bm25K""".stripMargin
+
+  private[queries] def bm25OracleSqlFor(docPred: String): String =
+    s"""WITH ${bm25Ctes(docPred, bm25LiteralQCte, None)}
+       |$bm25TopSelect""".stripMargin
 
   private def bm25OracleSql: String = bm25OracleSqlFor("TRUE")
 
@@ -543,6 +560,118 @@ object CorpusQueries {
         Bm25Queries.zipWithIndex.map { case (t, i) => (i + 1L, t) })
         .toDF("query_id", "query_text")
       Bm25Index.bm25TopKFromIndex(s, postT, lensT, "doc_id", probes, k = Bm25K)
+    },
+
+    // ── BM25 negatives (the classic lexical hard-negative source for
+    // retriever training): top BM25 hits EXCLUDING known gold pairs,
+    // the exclusion applied before the rank cut so a gold hit frees
+    // its slot for a real negative. Gold is rule-generated (query q
+    // claims docs with doc_id ≡ q mod 5) so DuckDB replays the
+    // anti-filter exactly. ────────────────────────────────────────────
+    Q(
+      "text_bm25_negatives",
+      s"""WITH ${bm25Ctes("TRUE", bm25LiteralQCte,
+             Some("doc_id % 5 = query_id % 5"))}
+         |$bm25TopSelect""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val probes = bm25Probes(s)
+      val gold = d.select(col("doc_id").as("positive_id"))
+        .crossJoin(broadcast(probes.select("query_id")))
+        .filter(col("positive_id") % 5 === col("query_id") % 5)
+      CorpusOps.bm25TopK(d, "doc_id", "text", probes, k = Bm25K,
+        positives = Some(gold))
+    },
+
+    // ── Hybrid retrieval by reciprocal-rank fusion: query-by-example
+    // (the query IS a document — its text probes BM25, its embedding
+    // probes cosine), both top-20 rankings fused as Σ 1/(60 + rank)
+    // with a 6-dp round before the fused cut. The oracle replays both
+    // rankings and the fusion; the document id space is shared with
+    // embeddings by fixture construction (doc_id = vec_id). ───────────
+    Q(
+      "retrieval_rrf_hybrid",
+      s"""WITH ${bm25Ctes("TRUE",
+             "q AS (SELECT doc_id AS query_id, text AS query_text " +
+               "FROM documents WHERE doc_id < 3)", None)},
+         |bmr AS (SELECT query_id, doc_id, rn AS rank FROM ranked WHERE rn <= 20),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |qe AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+         |cos AS (
+         |  SELECT qe.query_id, e.vec_id AS doc_id,
+         |    row_number() OVER (PARTITION BY qe.query_id
+         |      ORDER BY list_cosine_similarity(qe.qv, e.v) DESC, e.vec_id) AS rank
+         |  FROM qe, e),
+         |cosr AS (SELECT query_id, doc_id, rank FROM cos WHERE rank <= 20),
+         |u AS (SELECT * FROM bmr UNION ALL SELECT * FROM cosr),
+         |fused AS (SELECT query_id, doc_id,
+         |            round(sum(1.0 / (60 + rank)), 6) AS rrf
+         |          FROM u GROUP BY query_id, doc_id),
+         |fr AS (SELECT query_id, doc_id, rrf,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY rrf DESC, doc_id) AS fused_rank
+         |       FROM fused)
+         |SELECT CAST(query_id AS BIGINT) AS query_id,
+         |       CAST(fused_rank AS BIGINT) AS fused_rank, doc_id, rrf
+         |FROM fr WHERE fused_rank <= 10""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val probes = d.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("text").as("query_text"))
+      val bm = CorpusOps.bm25TopK(d, "doc_id", "text", probes, k = 20)
+        .select(col("query_id"), col("doc_id"), col("doc_rank").as("rank"))
+      val e = Tables.load(s, dir, "embeddings")
+      val cos = graft.sim.Similarity
+        .bruteForceTopK(e.filter(col("vec_id") < 3), e, k = 20)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      CorpusOps.rrfFuse(bm, cos, "doc_id", k = 10)
+    },
+
+    // ── Ranked-retrieval eval (MRR@10, nDCG@10) against rule-generated
+    // graded labels (rel 2 on ≡ mod 5, rel 1 on ≡ mod 3): the report a
+    // retrieval stack publishes per eval query. The oracle replays the
+    // BM25 ranking, the label rule, DCG, the ideal ordering, and both
+    // metrics to 6 dp. ─────────────────────────────────────────────────
+    Q(
+      "retrieval_rank_metrics",
+      s"""WITH ${bm25Ctes("TRUE", bm25LiteralQCte, None)},
+         |cutq AS (SELECT query_id, doc_id, rn AS rank FROM ranked WHERE rn <= $Bm25K),
+         |labp AS (
+         |  SELECT q.query_id, d2.doc_id,
+         |    CASE WHEN d2.doc_id % 5 = q.query_id % 5 THEN 2.0
+         |         WHEN d2.doc_id % 3 = q.query_id % 3 THEN 1.0 END AS rel
+         |  FROM documents d2, q
+         |  WHERE d2.doc_id % 5 = q.query_id % 5 OR d2.doc_id % 3 = q.query_id % 3),
+         |hits AS (SELECT c.query_id, c.rank, l.rel
+         |         FROM cutq c JOIN labp l USING (query_id, doc_id)),
+         |perq AS (SELECT query_id,
+         |           min(CASE WHEN rel > 0 THEN rank END) AS first_hit,
+         |           sum((pow(2.0, rel) - 1.0) / log2(rank + 1.0)) AS dcg
+         |         FROM hits GROUP BY query_id),
+         |ideal AS (
+         |  SELECT query_id, sum((pow(2.0, rel) - 1.0) / log2(pos + 1.0)) AS idcg
+         |  FROM (SELECT query_id, rel, doc_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY rel DESC, doc_id) AS pos
+         |        FROM labp)
+         |  WHERE pos <= $Bm25K GROUP BY query_id)
+         |SELECT CAST(qs.query_id AS BIGINT) AS query_id,
+         |  round(coalesce(1.0 / first_hit, 0.0), 6) AS rr,
+         |  round(coalesce(dcg, 0.0), 6) AS dcg,
+         |  round(coalesce(idcg, 0.0), 6) AS idcg,
+         |  round(CASE WHEN coalesce(idcg, 0.0) > 0
+         |             THEN coalesce(dcg, 0.0) / idcg ELSE 0.0 END, 6) AS ndcg
+         |FROM (SELECT DISTINCT query_id FROM cutq) qs
+         |LEFT JOIN perq USING (query_id) LEFT JOIN ideal USING (query_id)""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val probes = bm25Probes(s)
+      val ranked = CorpusOps.bm25TopK(d, "doc_id", "text", probes, k = Bm25K)
+        .select(col("query_id"), col("doc_id"), col("doc_rank").as("rank"))
+      val labels = d.select("doc_id")
+        .crossJoin(broadcast(probes.select("query_id")))
+        .select(col("query_id"), col("doc_id"),
+          when(col("doc_id") % 5 === col("query_id") % 5, 2.0)
+            .when(col("doc_id") % 3 === col("query_id") % 3, 1.0).as("rel"))
+        .filter(col("rel").isNotNull)
+      CorpusOps.rankingMetrics(ranked, labels, "doc_id", k = Bm25K)
     },
 
     // ── Corpus-trained bigram LM quality score (perplexity proxy): the

@@ -657,4 +657,59 @@ class CorpusOpsSpec extends SparkSpec {
     assert(twice.agg(sum("n_removed")).as[Long].head() == 0L,
       "a deduped corpus has no recurring paragraphs left")
   }
+
+  test("rrfFuse: hand-computed fusion, absent-from-one-ranking contributes nothing") {
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("query_id", "doc_id", "rank")
+    val got = CorpusOps.rrfFuse(a, b, "doc_id", k = 10)
+      .select("query_id", "fused_rank", "doc_id", "rrf")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._2)
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // d20 in both rankings: 1/62 + 1/61; d10 and d30 in one each
+    assert(got.toSeq == Seq(
+      (1L, 1L, 20L, r6(1.0 / 62 + 1.0 / 61)),
+      (1L, 2L, 10L, r6(1.0 / 61)),
+      (1L, 3L, 30L, r6(1.0 / 62))))
+  }
+
+  test("rankingMetrics: hand-computed MRR/nDCG; zero-label queries report zeros") {
+    val ranked = Seq(
+      (1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L), // q1: hit at rank 2
+      (2L, 40L, 1L)) // q2: no labels at all
+      .toDF("query_id", "doc_id", "rank")
+    val labels = Seq(
+      (1L, 20L, 2.0), // retrieved at rank 2
+      (1L, 99L, 1.0)) // relevant but NOT retrieved — hurts ndcg via idcg
+      .toDF("query_id", "doc_id", "rel")
+    val got = CorpusOps.rankingMetrics(ranked, labels, "doc_id", k = 3)
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val log2_3 = math.log(3.0) / math.log(2.0)
+    val dcg = 3.0 / log2_3 // (2^2-1)/log2(2+1)
+    val idcg = 3.0 / 1.0 + 1.0 / log2_3 // ideal: rel2 at pos1, rel1 at pos2
+    assert(got(1L) == ((0.5, r6(dcg), r6(idcg), r6(dcg / idcg))), s"got ${got(1L)}")
+    assert(got(2L) == ((0.0, 0.0, 0.0, 0.0)), s"got ${got(2L)}")
+  }
+
+  test("bm25TopK gold exclusion removes the pair pre-cut and re-closes the ranking") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val probes = Seq((1L, "vector scan filter")).toDF("query_id", "query_text")
+    val full = CorpusOps.bm25TopK(docs, "doc_id", "text", probes, k = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(full.length > 11, "fixture must rank more docs than the cut")
+    // gold = the would-be TOP hit: the strongest displacement case
+    val top = full.minBy(p => (-p._3, p._2))
+    val gold = Seq((top._1, top._2)).toDF("query_id", "positive_id")
+    val got = CorpusOps.bm25TopK(docs, "doc_id", "text", probes, k = 10,
+        positives = Some(gold))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(!got.exists(p => p._3 == top._2), "the gold doc surfaced as a negative")
+    val expected = full.filterNot(p => p._2 == top._2)
+      .sortBy(p => (-p._3, p._2)).take(10).zipWithIndex
+      .map { case (p, i) => (p._1, i + 1L, p._2, p._3) }.toSet
+    assert(got.toSet == expected, "gold-excluded ranking is not the filtered re-rank")
+  }
 }

@@ -433,8 +433,10 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
     // gold = each anchor's would-be TOP negative: the strongest possible
     // displacement — if the anti-join ran after the rank cut, the gold
-    // pair would burn slot 1 instead of freeing it
-    val gold = full.groupBy(_._1).map { case (_, g) => g.head }.toSeq
+    // pair would burn slot 1 instead of freeing it (picked by score,
+    // not collect order, which is not rank-contractual)
+    val gold = full.groupBy(_._1)
+      .map { case (_, g) => g.minBy(p => (-p._3, p._2)) }.toSeq
     val goldDf = spark.createDataFrame(gold.map(p => (p._1, p._2)))
       .toDF("anchor_id", "positive_id")
     val got = Similarity.hardNegatives(anchors, corpus, k = 10,
