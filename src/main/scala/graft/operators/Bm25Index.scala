@@ -118,10 +118,14 @@ object Bm25Index {
     * and tie-breaks to [[CorpusOps.bm25TopK]] (the shared oracle SQL
     * pins result equivalence), but the corpus-sized work is GONE:
     *
-    *  - the postings scan is SEMI-JOINED to the broadcast query-term
-    *    set, so only queried terms' rows leave the scan (after a
-    *    `compact(clusterBy = "term")` the log's range stats prune
-    *    whole files before a byte is read);
+    *  - the query-term set becomes a LITERAL `isin` predicate on the
+    *    postings scan (collected driver-side — query terms are request
+    *    metadata, bounded by the probe batch, the exact
+    *    [[graft.sim.Similarity.ivfTopKFromIndex]] probed-cells
+    *    contract), so parquet pushdown skips row groups and, after a
+    *    `compact(clusterBy = "term")`, the log's range stats prune
+    *    whole files before a byte is read (Bm25IndexSpec pins the
+    *    file count);
     *  - df is a partial+final aggregate over a second, identically
     *    pruned and column-pruned scan, broadcast back query-term-sized
     *    — never a per-term co-location of a hot term's postings;
@@ -140,8 +144,15 @@ object Bm25Index {
       .select(col("query_id"),
         explode(graft.text.TextOps.tokens(col("query_text"))).as("term"))
       .filter(col("term") =!= "").distinct()
-    val post = CommitLog.read(spark, postingsTable, postingsSchema(idCol))
-      .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
+    // the queried terms as a LITERAL predicate (driver-side, probe-
+    // batch-sized): a semi-join restriction would read every postings
+    // file — a literal isin reaches the scan, so row groups skip by
+    // footer stats and term-clustered files prune from the log alone
+    val terms = qterms.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val post = spark.read.format("graftlog").load(postingsTable)
+      .filter(col("term").isin(terms: _*))
+      .select(col(idCol), col("term"), col("tf"), col("dl"))
     // df(t) = |postings rows of t| — a partial+final aggregate over the
     // pruned scan (map-side combine; the final side is ≤ |query terms|
     // rows) broadcast back, NOT a per-term window: a window would

@@ -60,6 +60,41 @@ class Bm25IndexSpec extends SparkSpec {
       "indexed probe diverges from the from-scratch recompute")
   }
 
+  test("term-clustered postings prune the probe scan to the term's files") {
+    val (srcT, postT, lensT) = freshDirs("prune")
+    CommitLog.append(docs, srcT)
+    Bm25Index.drainIntoIndex(spark, srcT, docs.schema, postT, lensT,
+      "doc_id", "text")
+    // re-cluster the postings by term into several small files — the
+    // production maintenance step the probe's docstring names
+    CommitLog.compact(spark, postT, targetBytes = 8 * 1024,
+      clusterBy = Some("term"))
+    val live = CommitLog.liveFiles(spark, postT)._2
+    assert(live.size >= 2, s"fixture too small to split: $live")
+    val oneTerm = spark.createDataFrame(Seq((1L, "vector")))
+      .toDF("query_id", "query_text")
+    // AQE off so the physical tree is inspectable (the PlanAuditSpec
+    // pattern); pruning happens at scan planning either way
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probe = Bm25Index.bm25TopKFromIndex(spark, postT, lensT, "doc_id",
+        oneTerm, k = 5)
+      assert(probe.count() > 0)
+      // every postings scan in the probe plan (tf side + df side) must
+      // prune: the literal isin reaches the log's range stats, so only
+      // the files whose [min,max] term range can hold 'vector' are read
+      val perScan = probe.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.schema.fieldNames.contains("tf") =>
+          f.selectedPartitions.totalNumberOfFiles
+      }
+      assert(perScan.nonEmpty)
+      perScan.foreach(n => assert(n < live.size,
+        s"postings probe scanned $n of ${live.size} term-clustered files — no pruning"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("source DELETE retracts a document's postings and doclens row") {
     val (srcT, postT, lensT) = freshDirs("delete")
     CommitLog.append(docs, srcT)
