@@ -270,11 +270,12 @@ object Cli {
     case "log-detail" :: table :: Nil =>
       val row = graft.store.CommitLog.detail(spark, table).collect().head
       val fields = row.schema.fieldNames.zipWithIndex.map { case (n, i) =>
+        def js(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
         val v = row.get(i) match {
-          case s: String => s""""$s""""
+          case s: String => s""""${js(s)}""""
           case m: scala.collection.Map[_, _] => m.toSeq
             .sortBy(_._1.toString)
-            .map { case (k, mv) => s""""$k":"$mv"""" }
+            .map { case (k, mv) => s""""${js(k.toString)}":"${js(mv.toString)}"""" }
             .mkString("{", ",", "}")
           case Some(x) => x.toString
           case None | null => "null"

@@ -522,9 +522,7 @@ object CorpusQueries {
     Q(
       "text_bm25_topk",
       bm25OracleSql) { (s, dir) =>
-      val probes = s.createDataFrame(
-        Bm25Queries.zipWithIndex.map { case (t, i) => (i + 1L, t) })
-        .toDF("query_id", "query_text")
+      val probes = bm25Probes(s)
       CorpusOps.bm25TopK(docs(s, dir), "doc_id", "text", probes, k = Bm25K)
     },
 
@@ -556,9 +554,7 @@ object CorpusQueries {
         if ex.getMessage.startsWith("injected") => () }
       Bm25Index.drainIntoIndex(s, srcT, d.schema, postT, lensT,
         "doc_id", "text", maxVersionsPerBatch = 1L)
-      val probes = s.createDataFrame(
-        Bm25Queries.zipWithIndex.map { case (t, i) => (i + 1L, t) })
-        .toDF("query_id", "query_text")
+      val probes = bm25Probes(s)
       Bm25Index.bm25TopKFromIndex(s, postT, lensT, "doc_id", probes, k = Bm25K)
     },
 

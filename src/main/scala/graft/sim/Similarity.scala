@@ -375,16 +375,8 @@ object Similarity {
     * (query_id, vec_id, score) stream both [[ivfTopKWith]] and
     * [[hardNegatives]] rank. */
   private def ivfScored(queries: DataFrame, corpus: DataFrame,
-      cents: Centroids, nProbe: Int): DataFrame = {
-    val cells = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .withColumn("cid", nearestCid(corpus, cents, col("e")))
-    val probes = queries
-      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
-      .withColumn("cid", explode(probeCids(queries, cents, col("qe"), nProbe)))
-    cells.join(broadcast(probes), "cid")
-      .select(col("query_id"), col("vec_id"),
-        nativeCosine(corpus)(col("qe"), col("e")).as("score"))
-  }
+      cents: Centroids, nProbe: Int): DataFrame =
+    ivfScoredWith(queries, corpus, cents, nProbe)(broadcast)
 
   /** [[ivfScored]]'s corpus-scale sibling for |Q| ≈ N probe sets
     * (hard-negative mining over a full training set): both sides keep
@@ -394,13 +386,24 @@ object Similarity {
     * scores AT the join so only (query_id, vec_id, score) scalars flow
     * downstream. The [[lshTopKLarge]] pattern on the IVF probe shape. */
   private def ivfScoredLarge(queries: DataFrame, corpus: DataFrame,
-      cents: Centroids, nProbe: Int): DataFrame = {
+      cents: Centroids, nProbe: Int): DataFrame =
+    ivfScoredWith(queries, corpus, cents, nProbe)(_.hint("shuffle_hash"))
+
+  /** Assignment, probing and scoring shared by both IVF probe shapes —
+    * `probeSide` picks the join strategy for the probe frame
+    * (broadcast for serving batches, shuffle-hash for |Q| ≈ N), which
+    * is the ONLY legitimate difference: a scoring or assignment change
+    * lands in both variants by construction (SimilaritySpec pins the
+    * result equivalence). */
+  private def ivfScoredWith(queries: DataFrame, corpus: DataFrame,
+      cents: Centroids, nProbe: Int)(
+      probeSide: DataFrame => DataFrame): DataFrame = {
     val cells = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("cid", nearestCid(corpus, cents, col("e")))
     val probes = queries
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
       .withColumn("cid", explode(probeCids(queries, cents, col("qe"), nProbe)))
-    cells.join(probes.hint("shuffle_hash"), Seq("cid"))
+    cells.join(probeSide(probes), Seq("cid"))
       .select(col("query_id"), col("vec_id"),
         nativeCosine(corpus)(col("qe"), col("e")).as("score"))
   }

@@ -793,6 +793,18 @@ object CommitLog {
     // malformed value accepted here would brick every subsequent write
     // instead of failing the SET that introduced it
     if (k == "graft.clusterBy.files") clusterByFiles(v)
+    if (k.startsWith(GeneratedPropPrefix)) {
+      require(k.length > GeneratedPropPrefix.length,
+        s"empty generated-column name: $k = $v")
+      // the expression is parsed by every write AND by rename/drop
+      // guards — an unparseable one would brick all of them
+      try SparkSession.active.sessionState.sqlParser.parseExpression(v)
+      catch {
+        case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+          throw new IllegalArgumentException(
+            s"$k is not a parseable SQL expression: '$v' (${e.getMessage})")
+      }
+    }
   }
 
   def setProperties(spark: SparkSession, tablePath: String,
@@ -2983,6 +2995,9 @@ object CommitLog {
     import org.apache.spark.sql.functions.{col, lit}
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = fsOf(spark, dir)
+    // the _dv_f keying below is by basename — a legacy colliding ledger
+    // would attach one file's positions to the other's vector
+    requireBasenameSoundness(entries, s"merge-on-read delete on $tablePath")
     val byName = entriesByName(entries)
     // one evaluation feeds the vector write, the CDC write, and the
     // affected-file collect — a non-deterministic predicate must not
@@ -3076,6 +3091,12 @@ object CommitLog {
     val fs = fsOf(spark, dir)
     val (version, entries) = liveFilesFull(spark, tablePath)
     if (entries.isEmpty) return version
+    // same double-evaluation exposure as deleteWhere/replaceWhere: the
+    // predicate runs for the probe, the when(hit) rewrite, and both
+    // CDC image filters — a nondeterministic one updates rows that
+    // were never probed and images a third row set
+    requireDeterministicPredicate(spark, schema, predicate, "updateWhere")
+    requireBasenameSoundness(entries, s"keyed update on $tablePath")
     val byName = entriesByName(entries)
     // post-image projection over the PRE-update row (all assignments
     // read the original columns — the SQL simultaneous-SET rule)

@@ -224,6 +224,19 @@ class CloneSpec extends SparkSpec {
         opTag = None, publisher = RenameOrLinkPublisher)
     }
     assert(ex2.getMessage.contains("basename collision"), ex2.getMessage)
+    // ...as do the other two basename-keyed probes: the merge-on-read
+    // delete (positions keyed by _metadata basename would attach the
+    // loser's rows to the winner's vector) and the keyed update
+    val ex3 = intercept[IllegalArgumentException] {
+      CommitLog.deleteWhere(spark, t, schema, col("id") === 1L,
+        deletionVectors = true)
+    }
+    assert(ex3.getMessage.contains("basename collision"), ex3.getMessage)
+    val ex4 = intercept[IllegalArgumentException] {
+      CommitLog.updateWhere(spark, t, schema, col("id") === 1L,
+        Map("id" -> (col("id") + 100L)))
+    }
+    assert(ex4.getMessage.contains("basename collision"), ex4.getMessage)
   }
 
   test("clone refuses a non-absolute source, a self-clone, and an occupied destination") {

@@ -94,6 +94,22 @@ class GeneratedColumnSpec extends SparkSpec {
     assert(spark.read.format("graftlog").load(t).count() == 1)
   }
 
+  test("an unparseable or name-less generated property fails at SET, not at the next write") {
+    val t = freshDir("setguard")
+    // every write AND every rename/drop guard parses the expression —
+    // accepted malformed, it bricks all of them
+    val ex = intercept[IllegalArgumentException] {
+      CommitLog.setProperties(spark, t, Map("graft.generated.day" -> "CAST(("))
+    }
+    assert(ex.getMessage.contains("parseable"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException] {
+      CommitLog.setProperties(spark, t, Map("graft.generated." -> "id + 1"))
+    }
+    assert(ex2.getMessage.contains("generated"), ex2.getMessage)
+    assert(CommitLog.latestVersion(spark, t) == 0,
+      "a refused generated property must not commit")
+  }
+
   test("rename/drop refused for a generated column and for its expression inputs") {
     val t = freshDir("guard")
     CommitLog.setProperties(spark, t,

@@ -238,6 +238,13 @@ abstract class ReplaceWhereBehavior(publisher: AtomicPublisher) extends SparkSpe
       CommitLog.deleteWhere(spark, t, schema, expr("rand() < 0.5"), publisher)
     }
     assert(ex3.getMessage.contains("deterministic"), ex3.getMessage)
+    // updateWhere evaluates the predicate up to FOUR times (probe,
+    // when(hit) rewrite, two CDC image filters) — same refusal
+    val ex4 = intercept[IllegalArgumentException] {
+      CommitLog.updateWhere(spark, t, schema, rand() < 0.5,
+        Map("id" -> (col("id") + 100L)), publisher)
+    }
+    assert(ex4.getMessage.contains("deterministic"), ex4.getMessage)
     assert(CommitLog.latestVersion(spark, t) == before,
       "a refused nondeterministic verb must not commit")
     assert(ids(t) == (0L until 10L).toSet)

@@ -25,6 +25,12 @@ run_one() {  # $1 = arm name, $2 = classes dir
     -Dspark.sql.session.timeZone=UTC \
     -cp "$2:/root/repo/src/main/resources:/opt/spark/jars/*" \
     graft.Bench 2>/dev/null | grep '"metric"' | tail -1)
+  # fail LOUDLY if the run produced no JSON (bad classpath, crash):
+  # a silent half-line would poison the A/B instead of aborting it
+  if [ -z "$line" ]; then
+    echo "FATAL: bench run for arm '$1' ($2) emitted no JSON" >&2
+    exit 1
+  fi
   echo "{\"arm\":\"$1\",$( echo "$line" | cut -c2- )" >> "$OUT"
 }
 sleep 45   # let the box cool before the first timed run
