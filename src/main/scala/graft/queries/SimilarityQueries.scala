@@ -611,6 +611,56 @@ object SimilarityQueries {
         dupThreshold = 0.95, positives = Some(gold))
     },
 
+    // ── Hard negatives from the AT-REST cid-partitioned index: the
+    // candidate read is partition pruning (probed cells only), the
+    // exclusions and rank cut identical — same oracle as
+    // ann_hard_negatives, so index-probe ≡ in-memory is value-pinned.
+    Q(
+      "ann_hard_negatives_index",
+      hardNegOracleSql(anchorPred = "vec_id < 5", positivePred = None)) { (s, dir) =>
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val corpus = e.unionAll(e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      val cents = Similarity.initialCentroids(corpus, 10)
+      val idx = "/tmp/graft_state/hardneg_ivf_idx"
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      Similarity.writeIvfIndex(corpus, idx, cents)
+      Similarity.hardNegativesFromIndex(s, idx,
+        corpus.filter(col("vec_id") < 5), k = 10, cents, nProbe = 3,
+        dupThreshold = 0.95)
+    },
+
+    // ── Semantic decontamination (cross-set embedding near-dup): the
+    // benchmark is planted as exact copies of 8 corpus vectors under
+    // ref ids +20000 — every plant must be caught (sign blocks are
+    // exact for identity, cos = 1.0 ≥ 0.95); the oracle replays
+    // blocking and scoring across the two sets. The lexical
+    // decontaminate row (corpus_decontaminate) catches verbatim
+    // leakage; this is its paraphrase-robust sibling. ──────────────────
+    Q(
+      "corpus_semantic_decontaminate",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ref AS (SELECT vec_id + 20000 AS ref_id, v FROM e WHERE vec_id < 8),
+        |cb AS (SELECT vec_id, v,
+        |         array_to_string(list_transform(v[1:16],
+        |           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS block
+        |       FROM e),
+        |rb AS (SELECT ref_id, v,
+        |         array_to_string(list_transform(v[1:16],
+        |           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS block
+        |       FROM ref)
+        |SELECT c.vec_id AS corpus_id, r.ref_id,
+        |       list_cosine_similarity(c.v, r.v) AS cos
+        |FROM cb c JOIN rb r USING (block)
+        |WHERE list_cosine_similarity(c.v, r.v) >= 0.95""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val bench = e.filter(col("vec_id") < 8)
+        .select((col("vec_id") + 20000).as("vec_id"), col("embedding"))
+      Similarity.crossSetNearDup(e, bench, threshold = 0.95, blockDims = 16)
+    },
+
     // ── Sign-LSH ANN: approximate scale path, fully oracle-bound ──────
     // The hyperplanes are DETERMINISTIC literals (parity of the first
     // hex digit of sha256("table:plane:dim")), so DuckDB recomputes the

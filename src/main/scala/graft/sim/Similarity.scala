@@ -353,6 +353,17 @@ object Similarity {
     * identical to ivfTopKWith over the same centroids. */
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       queries: DataFrame, k: Int, cents: Centroids, nProbe: Int): DataFrame = {
+    val scored = ivfScoredFromIndex(spark, indexPath, queries, cents, nProbe)
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "score")
+  }
+
+  /** The partition-pruned candidate stream shared by
+    * [[ivfTopKFromIndex]] and [[hardNegativesFromIndex]]. */
+  private def ivfScoredFromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame, cents: Centroids,
+      nProbe: Int): DataFrame = {
     val probes = queries
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
       .withColumn("cid", explode(probeCids(queries, cents, col("qe"), nProbe)))
@@ -362,13 +373,25 @@ object Similarity {
       .collect().map(_.getLong(0)).toSeq
     val cells = spark.read.parquet(indexPath)
       .filter(col("cid").isin(probedCells: _*))
-    val scored = cells.join(broadcast(probes), "cid")
+    cells.join(broadcast(probes), "cid")
       .select(col("query_id"), col("vec_id"),
         nativeCosine(queries)(col("qe"), col("e")).as("score"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "score")
   }
+
+  /** [[hardNegatives]] against the AT-REST cid-partitioned index
+    * ([[writeIvfIndex]]): candidate selection is PARTITION PRUNING —
+    * the mining batch reads only its probed cells' directories — and
+    * the exclusions + rank cut are [[rankNegatives]] unchanged, so
+    * results match the in-memory variant over the same centroids
+    * (shared oracle). The broadcast probe suits eval-scale anchor
+    * batches; a full-training-set sweep belongs on
+    * [[hardNegativesLarge]] over the corpus table itself. */
+  def hardNegativesFromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, anchors: DataFrame, k: Int, cents: Centroids,
+      nProbe: Int, dupThreshold: Double,
+      positives: Option[DataFrame] = None): DataFrame =
+    rankNegatives(ivfScoredFromIndex(spark, indexPath, anchors, cents, nProbe),
+      k, dupThreshold, positives)
 
   /** Shared IVF candidate scoring: corpus assigned per-row, queries
     * probe nProbe cells, candidates scored by exact cosine — the
@@ -641,6 +664,38 @@ object Similarity {
     * Scale: expected block size ≈ N / 2^blockDims for centered data —
     * size blockDims ≈ log2(N) − 8 so blocks stay O(hundreds) as the
     * corpus grows (16 bits ≈ right for ~10M rows; 100 TB wants ~30). */
+  /** Cross-set embedding near-dup — SEMANTIC DECONTAMINATION: corpus
+    * vectors whose cosine to ANY reference (benchmark/eval-set) vector
+    * reaches `threshold`, found through the same sign-block candidate
+    * generation as [[nearDupPairs]] but across TWO frames. The n-gram
+    * decontamination ([[graft.operators.CorpusOps.decontaminate]])
+    * catches verbatim leakage; this catches the paraphrased/translated
+    * leakage that survives lexical overlap — the pair is how a
+    * training build scrubs eval sets.
+    *
+    * Scale shape: the reference side is eval-set-sized by contract and
+    * BROADCASTS (the decontaminate precedent); the corpus never
+    * shuffles — blocking and scoring are scan-side against the
+    * broadcast block map, emitting only matched (corpus_id, ref_id,
+    * cos) scalars. Sign-blocking is approximate the usual way
+    * ([[nearDupRecallReport]] measures the config); the blocked
+    * candidate set is deterministic, so the operator is fully
+    * oracle-bound. */
+  def crossSetNearDup(corpus: DataFrame, reference: DataFrame,
+      threshold: Double, blockDims: Int = 16): DataFrame = {
+    def blocked(df: DataFrame, idAs: String, embAs: String): DataFrame = {
+      val e = asDouble(col("embedding"))
+      val block = array_join(
+        transform(slice(e, 1, blockDims), x => when(x >= 0, "1").otherwise("0")), "")
+      df.select(col("vec_id").as(idAs), e.as(embAs), block.as("block"))
+    }
+    blocked(corpus, "corpus_id", "ce")
+      .join(broadcast(blocked(reference, "ref_id", "re")), Seq("block"))
+      .select(col("corpus_id"), col("ref_id"),
+        nativeCosine(corpus)(col("ce"), col("re")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   def nearDupPairs(corpus: DataFrame, threshold: Double, blockDims: Int = 16): DataFrame = {
     val e = asDouble(col("embedding"))
     val block = array_join(

@@ -459,6 +459,28 @@ class SimilaritySpec extends SparkSpec {
     assert(gotLarge.toSet == expected)
   }
 
+  test("crossSetNearDup: planted benchmark copies always caught; block-breaking flip hidden (the documented miss)") {
+    import spark.implicits._
+    val dim = 32
+    val base = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(dim)(j =>
+        (if (j == i % dim) 4.0 else 0.25 + 0.01 * ((i * 7 + j) % 5)).toFloat).toSeq)
+    }
+    val corpus = base.toDF("vec_id", "embedding")
+    // benchmark = 5 exact copies + 1 copy with coordinate 0's sign
+    // flipped (cosine still ≈ 0.96 but it lands in a different block)
+    val bench = (base.take(5).map { case (id, v) => (1000L + id, v) } :+
+      ((1999L, base(6)._2.updated(0, -base(6)._2(0))))).toDF("vec_id", "embedding")
+    val hits = Similarity.crossSetNearDup(corpus, bench, threshold = 0.9)
+      .select("corpus_id", "ref_id").as[(Long, Long)].collect().toSet
+    // identity plants: sign blocks are exact, all five caught
+    assert((0L until 5L).forall(i => hits.contains((i, 1000L + i))), s"got $hits")
+    // the flipped plant is HIDDEN by blocking — the approximation the
+    // docstring declares and nearDupRecallReport measures
+    assert(!hits.exists(_._2 == 1999L),
+      "a block-breaking flip should not be catchable by sign blocks")
+  }
+
   test("sign-block recall report: identical vectors always found, block-breaking flips measured lost") {
     import spark.implicits._
     // a controlled corpus: orthogonal-ish base vectors, exact copies
