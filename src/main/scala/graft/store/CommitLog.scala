@@ -1781,10 +1781,10 @@ object CommitLog {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       }
     require(cond.forall(_.deterministic),
-      s"$verb predicate must be deterministic — it is evaluated once to " +
-        s"probe matching files and again to rewrite/image rows, and a " +
-        s"nondeterministic predicate (e.g. rand()) selects a different row " +
-        s"set each time: $predicate")
+      s"$verb expression must be deterministic — row-level verbs evaluate " +
+        s"it more than once (match probe then rewrite/CDC images), and a " +
+        s"nondeterministic expression (e.g. rand()) yields a different " +
+        s"result each time: $predicate")
   }
 
   private def replaceWhereCore(df: DataFrame, tablePath: String,
@@ -3094,8 +3094,14 @@ object CommitLog {
     // same double-evaluation exposure as deleteWhere/replaceWhere: the
     // predicate runs for the probe, the when(hit) rewrite, and both
     // CDC image filters — a nondeterministic one updates rows that
-    // were never probed and images a third row set
+    // were never probed and images a third row set. Assignments
+    // evaluate twice too (the data write and the CDC post-images): a
+    // rand()-bearing SET would publish a change feed that disagrees
+    // with the table.
     requireDeterministicPredicate(spark, schema, predicate, "updateWhere")
+    assignments.foreach { case (c, a) =>
+      requireDeterministicPredicate(spark, schema,
+        a <=> a, s"updateWhere SET $c") }
     requireBasenameSoundness(entries, s"keyed update on $tablePath")
     val byName = entriesByName(entries)
     // post-image projection over the PRE-update row (all assignments

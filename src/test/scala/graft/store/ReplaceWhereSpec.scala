@@ -245,6 +245,13 @@ abstract class ReplaceWhereBehavior(publisher: AtomicPublisher) extends SparkSpe
         Map("id" -> (col("id") + 100L)), publisher)
     }
     assert(ex4.getMessage.contains("deterministic"), ex4.getMessage)
+    // ...and a nondeterministic SET assignment (evaluated once for the
+    // data write, again for the CDC post-images) refuses likewise
+    val ex5 = intercept[IllegalArgumentException] {
+      CommitLog.updateWhere(spark, t, schema, col("id") === 1L,
+        Map("id" -> (rand() * 100).cast("long")), publisher)
+    }
+    assert(ex5.getMessage.contains("deterministic"), ex5.getMessage)
     assert(CommitLog.latestVersion(spark, t) == before,
       "a refused nondeterministic verb must not commit")
     assert(ids(t) == (0L until 10L).toSet)
