@@ -661,6 +661,51 @@ object SimilarityQueries {
       Similarity.crossSetNearDup(e, bench, threshold = 0.95, blockDims = 16)
     },
 
+    // ── Margin-based bitext mining (the LASER/CCMatrix parallel-pair
+    // miner): src = first 40 vectors, tgt = exact "translations" of the
+    // first 20 (+30000, cos 1.0) plus the rest of the corpus as
+    // distractors. Both kNN directions run the replayable IVF path
+    // (k=4, nProbe=3, first-10 centroid seeds), margins = cos over the
+    // mean of both sides' avg-kNN similarity, forward-best per source
+    // at threshold 1.0. The oracle replays both IVF chains, both
+    // averages, the 6-dp margin, the per-source argmax, and the cut —
+    // planted translations must mine (spec-pinned too). ────────────────
+    Q(
+      "retrieval_bitext_mine",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |src AS (SELECT vec_id, v FROM e WHERE vec_id < 40),
+         |tgt AS (SELECT vec_id + 30000 AS vec_id, v FROM e
+         |        WHERE vec_id < 20 OR vec_id >= 40),
+         |${ivfChainCtes("f", "tgt", "src", k = 4)},
+         |${ivfChainCtes("b", "src", "tgt", k = 4)},
+         |afwd AS (SELECT query_id AS src_id, avg(score) AS avg_fwd
+         |         FROM fscored GROUP BY query_id),
+         |abwd AS (SELECT query_id AS tgt_id, avg(score) AS avg_bwd
+         |         FROM bscored GROUP BY query_id),
+         |cand AS (
+         |  SELECT f.query_id AS src_id, f.vec_id AS tgt_id, f.score AS cos,
+         |    round(f.score / ((avg_fwd + avg_bwd) / 2.0), 6) AS margin
+         |  FROM fscored f
+         |  JOIN afwd ON afwd.src_id = f.query_id
+         |  JOIN abwd ON abwd.tgt_id = f.vec_id),
+         |best AS (
+         |  SELECT src_id, tgt_id, cos, margin,
+         |    row_number() OVER (PARTITION BY src_id
+         |      ORDER BY margin DESC, tgt_id) AS rn
+         |  FROM cand)
+         |SELECT src_id, tgt_id, cos, margin
+         |FROM best WHERE rn = 1 AND margin >= 1.0""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val src = e.filter(col("vec_id") < 40)
+      val tgt = e.filter(col("vec_id") < 20 || col("vec_id") >= 40)
+        .select((col("vec_id") + 30000).as("vec_id"), col("embedding"))
+      val fwd = Similarity.ivfTopKWith(src, tgt, k = 4,
+        Similarity.initialCentroids(tgt, 10), nProbe = 3)
+      val bwd = Similarity.ivfTopKWith(tgt, src, k = 4,
+        Similarity.initialCentroids(src, 10), nProbe = 3)
+      Similarity.marginBitextMine(fwd, bwd, threshold = 1.0)
+    },
+
     // ── Sign-LSH ANN: approximate scale path, fully oracle-bound ──────
     // The hyperplanes are DETERMINISTIC literals (parity of the first
     // hex digit of sha256("table:plane:dim")), so DuckDB recomputes the
@@ -842,6 +887,37 @@ object SimilarityQueries {
        |SELECT anchor_id, CAST(rn AS BIGINT) AS neg_rank, negative_id, score
        |FROM ranked WHERE rn <= 10""".stripMargin
   }
+
+  /** One direction's IVF top-k as a CTE chain ending in
+    * `<p>scored` (query_id, vec_id, score, rank ≤ `k`) — the exact
+    * ivfTopKWith replay (first-10-by-id centroid seed, nProbe 3,
+    * deterministic tie-breaks), parameterized by corpus/query CTE
+    * names so two directions coexist in one statement (the bitext
+    * miner needs both). */
+  private def ivfChainCtes(p: String, corpusCte: String, queryCte: String,
+      k: Int): String =
+    s"""${p}cent AS (SELECT vec_id AS cid, v AS cv FROM $corpusCte ORDER BY vec_id LIMIT 10),
+       |${p}assign AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT c.vec_id, c.v, ${p}cent.cid,
+       |      row_number() OVER (PARTITION BY c.vec_id
+       |        ORDER BY list_cosine_similarity(c.v, ${p}cent.cv) DESC, ${p}cent.cid) AS rn
+       |    FROM $corpusCte c, ${p}cent) WHERE rn = 1),
+       |${p}probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.vec_id AS qid, ${p}cent.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.v, ${p}cent.cv) DESC, ${p}cent.cid) AS rn
+       |    FROM $queryCte q, ${p}cent) WHERE rn <= 3),
+       |${p}scored AS (
+       |  SELECT query_id, vec_id, score, rank FROM (
+       |    SELECT p.qid AS query_id, a.vec_id,
+       |      list_cosine_similarity(q.v, a.v) AS score,
+       |      row_number() OVER (PARTITION BY p.qid
+       |        ORDER BY list_cosine_similarity(q.v, a.v) DESC, a.vec_id) AS rank
+       |    FROM ${p}probes p
+       |    JOIN ${p}assign a ON a.cid = p.cid
+       |    JOIN $queryCte q ON q.vec_id = p.qid) WHERE rank <= $k)""".stripMargin
 
   /** Shared WITH prefix: the f64 corpus and the predicate-selected
     * query set. Every ANN oracle builds on these two names. */

@@ -519,6 +519,54 @@ object Similarity {
     rankNegatives(ivfScoredLarge(anchors, corpus, cents, nProbe), k,
       dupThreshold, positives)
 
+  /** Margin-based bitext mining (Artetxe & Schwenk's ratio margin —
+    * the LASER/CCMatrix recipe for mining parallel training pairs from
+    * two monolingual corpora embedded in one space): a forward pair
+    * (x, y) scores cos(x, y) normalized by the mean of both sides'
+    * average-kNN similarity, which suppresses hubs (vectors similar to
+    * everything) that a raw cosine threshold mines as false pairs.
+    *
+    *   margin(x, y) = cos(x, y) / ((avgNN_fwd(x) + avgNN_bwd(y)) / 2)
+    *
+    * `fwd`/`bwd` are the two directions' top-k frames in the engine's
+    * ANN result shape (query_id, rank, vec_id, score) — from ANY kNN
+    * supplier ([[bruteForceTopK]] for exact small sets, [[ivfTopKWith]]
+    * / [[ivfTopKLarge]] / [[lshTopKLarge]] at scale), so the miner
+    * composes with the whole similarity family instead of hard-wiring
+    * one. Per source vector the BEST margin candidate survives
+    * (forward mining), cut at `threshold`; margins are rounded to 6 dp
+    * BEFORE the argmax (ties by target id) — the engine-wide
+    * cross-engine cut discipline.
+    *
+    * Scale shape: both inputs are top-k-sized (|side| × k scalar
+    * rows); the two averages are partial+final aggregates; candidate
+    * margins join on scalar keys; one per-source window picks the
+    * winner. Nothing here touches an embedding — the kNN supplier
+    * already paid that cost under its own contract. */
+  def marginBitextMine(fwd: DataFrame, bwd: DataFrame,
+      threshold: Double): DataFrame = {
+    require(threshold > 0, s"margin threshold must be positive: $threshold")
+    val avgFwd = fwd.groupBy(col("query_id").as("src_id"))
+      .agg(avg("score").as("avg_fwd"))
+    val avgBwd = bwd.groupBy(col("query_id").as("tgt_id"))
+      .agg(avg("score").as("avg_bwd"))
+    val cand = fwd
+      .select(col("query_id").as("src_id"), col("vec_id").as("tgt_id"),
+        col("score").as("cos"))
+      .join(avgFwd, "src_id")
+      // a forward candidate absent from the backward query set has no
+      // avgNN_bwd — margin undefined, the pair cannot be judged: inner
+      // join drops it (bwd must cover the target side by contract)
+      .join(avgBwd, "tgt_id")
+      .select(col("src_id"), col("tgt_id"), col("cos"),
+        round(col("cos") / ((col("avg_fwd") + col("avg_bwd")) / 2.0), 6)
+          .as("margin"))
+    val w = Window.partitionBy("src_id")
+      .orderBy(col("margin").desc, col("tgt_id"))
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn").filter(col("margin") >= threshold)
+  }
+
   /** Deterministic ±1 hyperplane: component j of plane p in table t is
     * the parity of the first hex digit of sha256("t:p:j"). Built
     * driver-side (tiny) and embedded as literals — zero per-row hash

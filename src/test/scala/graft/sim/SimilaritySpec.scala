@@ -459,6 +459,36 @@ class SimilaritySpec extends SparkSpec {
     assert(gotLarge.toSet == expected)
   }
 
+  test("marginBitextMine: planted translations mined as forward-best pairs; hubs normalized") {
+    val src = e.filter(col("vec_id") < 40).select("vec_id", "embedding")
+    val tgt = e.filter(col("vec_id") < 20 || col("vec_id") >= 40)
+      .select((col("vec_id") + 30000).as("vec_id"), col("embedding"))
+    val fwd = Similarity.ivfTopKWith(src, tgt, k = 4,
+      Similarity.initialCentroids(tgt, 10), nProbe = 3)
+    val bwd = Similarity.ivfTopKWith(tgt, src, k = 4,
+      Similarity.initialCentroids(src, 10), nProbe = 3)
+    val mined = Similarity.marginBitextMine(fwd, bwd, threshold = 1.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    // each planted translation (exact copy, cos 1.0) is its source's
+    // forward-best pair, with a margin strictly above 1
+    for (i <- 0L until 20L) {
+      val (t, cos, m) = mined.getOrElse(i, fail(s"src $i mined nothing"))
+      assert(t == i + 30000L, s"src $i mined $t, not its planted translation")
+      assert(cos > 0.9999 && m > 1.0, s"src $i: cos=$cos margin=$m")
+    }
+    // at most one pair per source (forward-best), margins all ≥ cut
+    assert(mined.values.forall(_._3 >= 1.0))
+    // planted pairs out-margin every unplanted mined pair on average —
+    // the hub normalization doing its job (raw cosine alone could not
+    // separate an exact pair from a hub's inflated similarity)
+    val planted = (0L until 20L).map(mined(_)._3)
+    val rest = mined.filter { case (k, _) => k >= 20L }.values.map(_._3)
+    assert(rest.isEmpty ||
+      planted.sum / planted.size > rest.sum / rest.size,
+      s"planted margins do not dominate: $planted vs $rest")
+  }
+
   test("crossSetNearDup: planted benchmark copies always caught; block-breaking flip hidden (the documented miss)") {
     import spark.implicits._
     val dim = 32
