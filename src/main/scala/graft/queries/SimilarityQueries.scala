@@ -622,11 +622,17 @@ object SimilarityQueries {
       val corpus = e.unionAll(e.filter(col("vec_id") < 5)
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
       val cents = Similarity.initialCentroids(corpus, 10)
-      val idx = "/tmp/graft_state/hardneg_ivf_idx"
-      val fs = new org.apache.hadoop.fs.Path(idx)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
-      Similarity.writeIvfIndex(corpus, idx, cents)
+      // content-keyed write-once staging (the ann_ivf_index_topk
+      // pattern): the dup-augmented corpus is a pure function of the
+      // fixture, so the row measures the partition-pruned PROBE it
+      // claims, not a per-invocation index rebuild — while still never
+      // reusing a stale index across fixture regeneration
+      val idx = graft.store.Staging.contentKeyed(
+        s, s"$dir/embeddings.parquet",
+        s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index",
+        salt = "hardneg_k10") { tmp =>
+        Similarity.writeIvfIndex(corpus, tmp, cents)
+      }
       Similarity.hardNegativesFromIndex(s, idx,
         corpus.filter(col("vec_id") < 5), k = 10, cents, nProbe = 3,
         dupThreshold = 0.95)
@@ -687,7 +693,8 @@ object SimilarityQueries {
          |    round(f.score / ((avg_fwd + avg_bwd) / 2.0), 6) AS margin
          |  FROM fscored f
          |  JOIN afwd ON afwd.src_id = f.query_id
-         |  JOIN abwd ON abwd.tgt_id = f.vec_id),
+         |  JOIN abwd ON abwd.tgt_id = f.vec_id
+         |  WHERE avg_fwd + avg_bwd > 0),
          |best AS (
          |  SELECT src_id, tgt_id, cos, margin,
          |    row_number() OVER (PARTITION BY src_id

@@ -558,6 +558,11 @@ object Similarity {
       // avgNN_bwd — margin undefined, the pair cannot be judged: inner
       // join drops it (bwd must cover the target side by contract)
       .join(avgBwd, "tgt_id")
+      // a zero denominator (mutually orthogonal neighborhoods — every
+      // kNN score 0) makes the margin NaN/Infinity, and Spark ranks
+      // NaN ABOVE everything: such a pair would win the argmax and
+      // pass any threshold. No similarity signal = nothing to mine.
+      .filter(col("avg_fwd") + col("avg_bwd") > 0)
       .select(col("src_id"), col("tgt_id"), col("cos"),
         round(col("cos") / ((col("avg_fwd") + col("avg_bwd")) / 2.0), 6)
           .as("margin"))

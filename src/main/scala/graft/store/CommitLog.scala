@@ -1772,19 +1772,22 @@ object CommitLog {
     * ANALYZED condition (an empty frame with the table's shape), so
     * SQL-path predicates arriving as unresolved function calls are
     * caught too, not just pre-built Column trees. */
-  private def requireDeterministicPredicate(spark: SparkSession,
-      schema: StructType, predicate: org.apache.spark.sql.Column,
+  private[store] def requireDeterministicPredicate(spark: SparkSession,
+      schema: StructType, expr: org.apache.spark.sql.Column,
       verb: String): Unit = {
-    val cond = spark.createDataFrame(
+    // analyzed through a PROJECT, not a Filter comparison: the check
+    // must accept any expression type (a map-valued SET assignment has
+    // no ordering, so wrapping it in <=> would fail analysis on a
+    // perfectly deterministic update)
+    val exprs = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      .filter(predicate).queryExecution.analyzed.collectFirst {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-      }
-    require(cond.forall(_.deterministic),
+      .select(expr.as("__graft_det_chk"))
+      .queryExecution.analyzed.expressions
+    require(exprs.forall(_.deterministic),
       s"$verb expression must be deterministic — row-level verbs evaluate " +
         s"it more than once (match probe then rewrite/CDC images), and a " +
         s"nondeterministic expression (e.g. rand()) yields a different " +
-        s"result each time: $predicate")
+        s"result each time: $expr")
   }
 
   private def replaceWhereCore(df: DataFrame, tablePath: String,
@@ -3100,8 +3103,7 @@ object CommitLog {
     // with the table.
     requireDeterministicPredicate(spark, schema, predicate, "updateWhere")
     assignments.foreach { case (c, a) =>
-      requireDeterministicPredicate(spark, schema,
-        a <=> a, s"updateWhere SET $c") }
+      requireDeterministicPredicate(spark, schema, a, s"updateWhere SET $c") }
     requireBasenameSoundness(entries, s"keyed update on $tablePath")
     val byName = entriesByName(entries)
     // post-image projection over the PRE-update row (all assignments

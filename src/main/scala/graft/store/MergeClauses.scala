@@ -115,6 +115,30 @@ final class MergeClauses private (
     val files = filesWithStats.map(_._1)
     val cols = schema.fieldNames.toSeq
     val nonKey = cols.filterNot(keyCols.contains)
+    // Clause conditions evaluate MORE THAN ONCE over the same joined
+    // frame (the data rewrite, the CDC pre-image filter, the CDC
+    // post-image filter) — the exposure deleteWhere/replaceWhere/
+    // updateWhere fence, so MERGE fences it too: a rand()-bearing
+    // condition would publish a change feed that disagrees with the
+    // table. Checked against the namespace each clause actually sees.
+    locally {
+      import org.apache.spark.sql.types.{BooleanType, StructField}
+      val joinedSchema = StructType(schema.fields.toSeq ++
+        schema.fields.toSeq.filterNot(f => keyCols.contains(f.name))
+          .map(f => StructField(SrcPrefix + f.name, f.dataType)) :+
+        StructField(s"${SrcPrefix}present", BooleanType))
+      matched.foreach {
+        case MatchedUpdate(_, Some(c)) => CommitLog
+          .requireDeterministicPredicate(spark, joinedSchema, c, "merge WHEN MATCHED")
+        case MatchedDelete(Some(c)) => CommitLog
+          .requireDeterministicPredicate(spark, joinedSchema, c, "merge WHEN MATCHED DELETE")
+        case _ => ()
+      }
+      insertClause.flatten.foreach(c => CommitLog.requireDeterministicPredicate(
+        spark, source.schema, c, "merge WHEN NOT MATCHED"))
+      bySourceDelete.flatten.foreach(c => CommitLog.requireDeterministicPredicate(
+        spark, schema, c, "merge WHEN NOT MATCHED BY SOURCE"))
+    }
     // single evaluation of the source for every pass below
     val src = source.select(cols.map(col): _*).localCheckpoint(true)
     val dup = src.groupBy(keyCols.map(col): _*)

@@ -178,6 +178,28 @@ abstract class MergeClausesBehavior(publisher: AtomicPublisher) extends SparkSpe
     assert(acc2.value == 10L,
       s"clause merge evaluated its source ${acc2.value / 10.0}×")
   }
+  test("nondeterministic clause conditions are refused in every namespace") {
+    val t = freshTable()
+    CommitLog.append(baseRows(0, 10).toDF("id", "cat", "v", "w"), t, publisher)
+    val source = Seq((1L, "src", "upd", -1L)).toDF("id", "cat", "v", "w")
+    // each clause's condition evaluates for the rewrite AND both CDC
+    // image filters — rand() would publish a feed disagreeing with the
+    // table, so the fence refuses up front, per namespace
+    def refused(build: MergeClauses => MergeClauses): Unit = {
+      val ex = intercept[IllegalArgumentException] {
+        build(MergeClauses.into(spark, t, schema, source, Seq("id")))
+          .withPublisher(publisher).execute()
+      }
+      assert(ex.getMessage.contains("deterministic"), ex.getMessage)
+    }
+    refused(_.whenMatchedDelete(Some(rand() < 0.5)))
+    refused(_.whenMatchedUpdate(Seq("v"), Some(rand() < 0.5)))
+    refused(_.whenMatchedUpdate(Seq("v")).whenNotMatchedInsert(Some(rand() < 0.5)))
+    refused(_.whenMatchedUpdate(Seq("v"))
+      .whenNotMatchedBySourceDelete(Some(rand() < 0.5)))
+    assert(CommitLog.read(spark, t, schema).count() == 10,
+      "a refused merge must not change the table")
+  }
 }
 
 /** HDFS/local semantics. */

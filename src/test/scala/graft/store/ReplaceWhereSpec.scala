@@ -257,6 +257,21 @@ abstract class ReplaceWhereBehavior(publisher: AtomicPublisher) extends SparkSpe
     assert(ids(t) == (0L until 10L).toSet)
   }
 
+  test("the determinism fence accepts non-orderable (map-typed) deterministic assignments") {
+    val t = freshTable()
+    val df = spark.range(0, 3).toDF("id")
+      .withColumn("m", map(lit("k"), col("id")))
+    CommitLog.append(df, t, publisher)
+    // a map-valued SET is deterministic but has no ordering — the fence
+    // must analyze it through a projection, not a comparison
+    CommitLog.updateWhere(spark, t, df.schema, col("id") === 1L,
+      Map("m" -> map(lit("k"), lit(99L))), publisher)
+    val got = CommitLog.read(spark, t, df.schema)
+      .filter(col("id") === 1L)
+      .select(element_at(col("m"), "k")).as[Long].head()
+    assert(got == 99L)
+  }
+
   test("replaceWhere refuses a shape change when a ledger exists") {
     val t = freshTable()
     CommitLog.append(spark.range(0, 10).toDF("id"), t, publisher,
