@@ -315,6 +315,76 @@ object CorpusOps {
       .select(col("query_id"), col("doc_rank"), col(idCol), col("bm25"))
   }
 
+  /** Per-doc hashed n-gram feature stream (unigrams + bigrams bucketed
+    * by md5 — the DSIR paper's hashed n-gram features): one (id,
+    * bucket) row per gram OCCURRENCE, so a per-bucket aggregate over
+    * the stream is the corpus's hashed-n-gram count vector and a
+    * per-doc aggregate is the doc's. Deterministic (md5), so both the
+    * weights and the selection replay in the oracle. */
+  private def gramBuckets(df: DataFrame, idCols: Seq[Column],
+      textCol: String, buckets: Int): DataFrame = {
+    val w = filter(graft.text.TextOps.tokens(col(textCol)), _ =!= lit(""))
+    val bi = when(size(w) >= 2,
+      zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    df.select((idCols :+ explode(concat(w, bi)).as("gram")): _*)
+      .select((idCols :+
+        graft.core.Hashing.md5Bucket(col("gram"), buckets).as("bucket")): _*)
+  }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.,
+    * NeurIPS 2023), the principled "select raw data that looks like my
+    * target domain" operator: estimate hashed-n-gram bag-of-words
+    * distributions for the TARGET sample and the RAW corpus, weight
+    * every raw document by its log importance ratio
+    *
+    *   log w(doc) = Σ_grams [ ln p̂_target(bucket) − ln p̂_raw(bucket) ]
+    *
+    * (add-one smoothing over the `buckets` hashed features on both
+    * sides), and keep the top `k` (the paper resamples with Gumbel
+    * noise; the deterministic top-k is the reproducible variant —
+    * rerun/retry-stable, which a curation pipeline needs more than
+    * sampling jitter). Weights round to 6 dp before the cut, ties by
+    * id; gram-less documents carry no evidence and are never selected.
+    *
+    * Scale shape: the bucket-count tables are ≤ `buckets` rows (the
+    * whole point of feature hashing — the "distribution" is a bounded
+    * vector however large the corpora), so the log-ratio table
+    * BROADCASTS; the raw corpus pays one tokenization scan and one
+    * per-doc aggregate; the target sample is eval-sized by contract.
+    * Nothing vocabulary- or corpus-sized shuffles. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, buckets: Int = 1024): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(buckets >= 2 && buckets <= 65536,
+      s"buckets must be in 2..65536 (md5Bucket's entropy bound): $buckets")
+    val rawGrams = gramBuckets(raw, Seq(col(idCol)), textCol, buckets)
+    val cr = rawGrams.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val ct = gramBuckets(target, Seq.empty, textCol, buckets)
+      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val totals = cr.agg(sum("cr").cast("double").as("tr"))
+      .crossJoin(ct.agg(coalesce(sum("ct"), lit(0L)).cast("double").as("tt")))
+    // log-ratio per bucket PRESENT IN RAW (absent-from-raw buckets can
+    // never be referenced by a raw doc); a bucket absent from the
+    // target takes the smoothed floor 1/(tt + buckets)
+    val lr = cr.join(ct, Seq("bucket"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("tt") + buckets)) -
+          log((col("cr") + 1.0) / (col("tr") + buckets))).as("lr"))
+    val weights = rawGrams.join(broadcast(lr), "bucket")
+      .groupBy(idCol).agg(round(sum("lr"), 6).as("dsir_weight"))
+    // the global cut plans as TakeOrderedAndProject (k rows per
+    // partition, k merged on the driver) — a rank WINDOW here would
+    // single-partition the whole weighted corpus; ranks attach after,
+    // over the k survivors only
+    val top = weights.orderBy(col("dsir_weight").desc, col(idCol)).limit(k)
+    val w = Window.orderBy(col("dsir_weight").desc, col(idCol))
+    top.withColumn("sel_rank", row_number().over(w).cast("long"))
+      .select(col(idCol), col("sel_rank"), col("dsir_weight"))
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher) of two rankings
     * over the same id space — the standard hybrid-retrieval combiner
     * (lexical BM25 × dense cosine) for curation and retriever-training

@@ -670,6 +670,54 @@ object CorpusQueries {
       CorpusOps.rankingMetrics(ranked, labels, "doc_id", k = Bm25K)
     },
 
+    // ── DSIR selection (Data Selection via Importance Resampling):
+    // hashed unigram+bigram distributions for the en-language target
+    // sample and the whole raw corpus (256 md5 buckets, add-one
+    // smoothed), every raw doc weighted by its summed log importance
+    // ratio, deterministic top-60 cut. The oracle replays grams,
+    // hashing, both distributions, the per-doc weights to 6 dp, and
+    // the cut — the selection cannot drift from the math. ────────────
+    Q(
+      "corpus_dsir_select",
+      s"""WITH rw AS (SELECT doc_id, list_filter(str_split(text, ' '), t -> t <> '') AS w
+         |           FROM documents),
+         |rg AS (
+         |  SELECT doc_id, unnest(list_concat(w, CASE WHEN len(w) >= 2
+         |    THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+         |    ELSE [] END)) AS g
+         |  FROM rw),
+         |rgb AS (SELECT doc_id, ${OracleSnippets.md5BucketSql("g", 256)} AS bucket FROM rg),
+         |tw AS (SELECT list_filter(str_split(text, ' '), t -> t <> '') AS w
+         |       FROM documents WHERE lang = 'en'),
+         |tg AS (
+         |  SELECT unnest(list_concat(w, CASE WHEN len(w) >= 2
+         |    THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+         |    ELSE [] END)) AS g
+         |  FROM tw),
+         |tgb AS (SELECT ${OracleSnippets.md5BucketSql("g", 256)} AS bucket FROM tg),
+         |cr AS (SELECT bucket, count(*) AS cr FROM rgb GROUP BY bucket),
+         |ct AS (SELECT bucket, count(*) AS ct FROM tgb GROUP BY bucket),
+         |tot AS (SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM cr) AS tr,
+         |               (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) FROM ct) AS tt),
+         |lr AS (
+         |  SELECT cr.bucket,
+         |    ln((coalesce(ct, 0) + 1.0) / (tt + 256)) -
+         |    ln((cr + 1.0) / (tr + 256)) AS lr
+         |  FROM cr LEFT JOIN ct ON ct.bucket = cr.bucket CROSS JOIN tot),
+         |wts AS (
+         |  SELECT doc_id, round(sum(lr), 6) AS dsir_weight
+         |  FROM rgb JOIN lr USING (bucket) GROUP BY doc_id),
+         |ranked AS (
+         |  SELECT doc_id, dsir_weight,
+         |    row_number() OVER (ORDER BY dsir_weight DESC, doc_id) AS rn
+         |  FROM wts)
+         |SELECT doc_id, CAST(rn AS BIGINT) AS sel_rank, dsir_weight
+         |FROM ranked WHERE rn <= 60""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      CorpusOps.dsirSelect(d, d.filter(col("lang") === "en"),
+        "doc_id", "text", k = 60, buckets = 256)
+    },
+
     // ── Corpus-trained bigram LM quality score (perplexity proxy): the
     // model counts come from the corpus itself, add-one smoothed over
     // the unigram vocabulary; per-document mean log-prob hash-checked

@@ -658,6 +658,27 @@ class CorpusOpsSpec extends SparkSpec {
       "a deduped corpus has no recurring paragraphs left")
   }
 
+  test("dsirSelect enriches the target domain: en-targeted selection beats the base rate") {
+    val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val k = 30
+    val sel = CorpusOps.dsirSelect(d, d.filter(col("lang") === "en"),
+      "doc_id", "text", k = k, buckets = 256)
+    val ids = sel.select("doc_id").as[Long].collect().toSet
+    assert(ids.size == k)
+    val selEn = d.filter(col("doc_id").isin(ids.toSeq: _*) &&
+      col("lang") === "en").count().toDouble / k
+    val baseEn = d.filter(col("lang") === "en").count().toDouble / d.count()
+    assert(selEn > baseEn,
+      s"selection must enrich the target domain: $selEn vs base $baseEn")
+    assert(selEn >= 0.6, s"en-targeted selection only $selEn en")
+    // weights are 6-dp rounded and the rank order is (weight desc, id)
+    val rows = sel.select("sel_rank", "dsir_weight", "doc_id")
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 > b._2 || (a._2 == b._2 && a._3 < b._3) },
+      "selection not ordered by (weight desc, id)")
+  }
+
   test("rrfFuse: hand-computed fusion, absent-from-one-ranking contributes nothing") {
     val a = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("query_id", "doc_id", "rank")
     val b = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("query_id", "doc_id", "rank")
