@@ -173,6 +173,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("DSIR selection cut plans as TakeOrdered, never a global rank window") {
+    val plan = finalPlan("corpus_dsir_select")
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
+    // the log-ratio table must broadcast (bounded by the hash width) —
+    // the per-gram join against it cannot shuffle the corpus stream
+    assert(plan.contains("BroadcastHashJoin"), s"log-ratio table not broadcast:\n$plan")
+  }
+
   test("vocab top-k plans as TakeOrdered, never a global sort of the vocabulary") {
     val plan = finalPlan("vocab_top_tokens")
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
