@@ -324,14 +324,23 @@ object CorpusOps {
   private def gramBuckets(df: DataFrame, idCols: Seq[Column],
       textCol: String, buckets: Int): DataFrame = {
     val w = filter(graft.text.TextOps.tokens(col(textCol)), _ =!= lit(""))
-    val bi = when(size(w) >= 2,
-      zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
-        (a, b) => concat(a, lit(" "), b)))
-      .otherwise(array().cast("array<string>"))
+    val bi = adjacentPairs(w, "array<string>")((a, b) => concat(a, lit(" "), b))
     df.select((idCols :+ explode(concat(w, bi)).as("gram")): _*)
       .select((idCols :+
         graft.core.Hashing.md5Bucket(col("gram"), buckets).as("bucket")): _*)
   }
+
+  /** Adjacent-token pairs of `w`, empty-safe (size < 2 → []), combined
+    * by the caller (struct pairs for the bigram LM, "a b" strings for
+    * hashed grams) — single-sourced so the engine-side bigram
+    * definition cannot drift between consumers; both mirror DuckDB's
+    * 1-indexed `range(1, len(w))` transform. */
+  private def adjacentPairs(w: Column, resultType: String)(
+      combine: (Column, Column) => Column): Column =
+    when(size(w) >= 2,
+      zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        combine))
+      .otherwise(array().cast(resultType))
 
   /** DSIR — Data Selection via Importance Resampling (Xie et al.,
     * NeurIPS 2023), the principled "select raw data that looks like my
@@ -359,8 +368,16 @@ object CorpusOps {
     require(k > 0, s"k must be positive: $k")
     require(buckets >= 2 && buckets <= 65536,
       s"buckets must be in 2..65536 (md5Bucket's entropy bound): $buckets")
-    val rawGrams = gramBuckets(raw, Seq(col(idCol)), textCol, buckets)
-    val cr = rawGrams.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    // per-(doc, bucket) counts FIRST, with both downstream consumers
+    // (the raw distribution and the per-doc weights) deriving from this
+    // one aggregate — its (id, bucket)-keyed exchange subtree is
+    // identical in both branches, so ReuseExchange runs the corpus
+    // scan + tokenize + hash pipeline ONCE (the bigramLmScore trick;
+    // grouping rawGrams separately per consumer would defeat reuse and
+    // double the dominant cost)
+    val perDoc = gramBuckets(raw, Seq(col(idCol)), textCol, buckets)
+      .groupBy(idCol, "bucket").agg(count(lit(1)).as("n"))
+    val cr = perDoc.groupBy("bucket").agg(sum("n").as("cr"))
     val ct = gramBuckets(target, Seq.empty, textCol, buckets)
       .groupBy("bucket").agg(count(lit(1)).as("ct"))
     val totals = cr.agg(sum("cr").cast("double").as("tr"))
@@ -373,8 +390,8 @@ object CorpusOps {
       .select(col("bucket"),
         (log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("tt") + buckets)) -
           log((col("cr") + 1.0) / (col("tr") + buckets))).as("lr"))
-    val weights = rawGrams.join(broadcast(lr), "bucket")
-      .groupBy(idCol).agg(round(sum("lr"), 6).as("dsir_weight"))
+    val weights = perDoc.join(broadcast(lr), "bucket")
+      .groupBy(idCol).agg(round(sum(col("n") * col("lr")), 6).as("dsir_weight"))
     // the global cut plans as TakeOrderedAndProject (k rows per
     // partition, k merged on the driver) — a rank WINDOW here would
     // single-partition the whole weighted corpus; ranks attach after,
@@ -564,15 +581,10 @@ object CorpusOps {
     // and inflate V for every probability
     val tok = docs.select(col(idCol),
       filter(graft.text.TextOps.tokens(col(textCol)), t => t =!= "").as("w"))
-    val emptyBigrams = array().cast("array<struct<w1:string,w2:string>>")
     val bigrams = tok
       .select(col(idCol),
-        explode(when(size(col("w")) >= 2,
-          zip_with(
-            slice(col("w"), lit(1), size(col("w")) - 1),
-            slice(col("w"), lit(2), size(col("w")) - 1),
-            (a, b) => struct(a.as("w1"), b.as("w2"))))
-          .otherwise(emptyBigrams)).as("bg"))
+        explode(adjacentPairs(col("w"), "array<struct<w1:string,w2:string>>")(
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val uni = tok.select(explode(col("w")).as("w1")).groupBy("w1").agg(count(lit(1)).as("c1"))
     val v = uni.agg(count(lit(1)).cast("double").as("v"))

@@ -695,7 +695,8 @@ object CorpusQueries {
          |    ELSE [] END)) AS g
          |  FROM tw),
          |tgb AS (SELECT ${OracleSnippets.md5BucketSql("g", 256)} AS bucket FROM tg),
-         |cr AS (SELECT bucket, count(*) AS cr FROM rgb GROUP BY bucket),
+         |dn AS (SELECT doc_id, bucket, count(*) AS n FROM rgb GROUP BY doc_id, bucket),
+         |cr AS (SELECT bucket, sum(n) AS cr FROM dn GROUP BY bucket),
          |ct AS (SELECT bucket, count(*) AS ct FROM tgb GROUP BY bucket),
          |tot AS (SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM cr) AS tr,
          |               (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) FROM ct) AS tt),
@@ -705,8 +706,8 @@ object CorpusQueries {
          |    ln((cr + 1.0) / (tr + 256)) AS lr
          |  FROM cr LEFT JOIN ct ON ct.bucket = cr.bucket CROSS JOIN tot),
          |wts AS (
-         |  SELECT doc_id, round(sum(lr), 6) AS dsir_weight
-         |  FROM rgb JOIN lr USING (bucket) GROUP BY doc_id),
+         |  SELECT doc_id, round(sum(n * lr), 6) AS dsir_weight
+         |  FROM dn JOIN lr USING (bucket) GROUP BY doc_id),
          |ranked AS (
          |  SELECT doc_id, dsir_weight,
          |    row_number() OVER (ORDER BY dsir_weight DESC, doc_id) AS rn

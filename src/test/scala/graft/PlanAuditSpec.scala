@@ -176,9 +176,14 @@ class PlanAuditSpec extends SparkSpec {
   test("DSIR selection cut plans as TakeOrdered, never a global rank window") {
     val plan = finalPlan("corpus_dsir_select")
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
-    // the log-ratio table must broadcast (bounded by the hash width) —
-    // the per-gram join against it cannot shuffle the corpus stream
+    // the per-doc-count join against the log-ratio table must broadcast
+    // — a contains(BroadcastHashJoin) alone can't pin that (the tiny
+    // bucket×bucket join broadcasts anyway), but NO join in this plan
+    // may sort-merge: the corpus-derived side is always the streamed
+    // side of a broadcast
     assert(plan.contains("BroadcastHashJoin"), s"log-ratio table not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a corpus-sized side regressed to a shuffle join:\n$plan")
   }
 
   test("vocab top-k plans as TakeOrdered, never a global sort of the vocabulary") {
