@@ -417,14 +417,28 @@ object CorpusOps {
     * window — input sizes are ranking-sized (|Q| × k_in), never
     * corpus-sized. */
   def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, k: Int,
-      k0: Int = 60): DataFrame = {
+      k0: Int = 60): DataFrame =
+    rrfFuseWeighted(Seq(a -> 1.0, b -> 1.0), idCol, k, k0)
+
+  /** [[rrfFuse]] generalized to N WEIGHTED rankings — the production
+    * hybrid-search shape (w_lex · BM25 + w_dense · cosine + w_prior ·
+    * a query-independent quality prior):
+    * rrf(q, d) = Σ_r w_r / (k0 + rank_r(q, d)). Same rounding/cut
+    * discipline and scale shape as the two-way form: everything is
+    * ranking-sized scalars, one keyed aggregate, one top-k window. */
+  def rrfFuseWeighted(rankings: Seq[(DataFrame, Double)], idCol: String,
+      k: Int, k0: Int = 60): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(k0 >= 0, s"k0 must be non-negative: $k0")
-    def slim(df: DataFrame) =
-      df.select(col("query_id"), col(idCol), col("rank"))
-    val fused = slim(a).unionAll(slim(b))
+    require(rankings.nonEmpty, "no rankings to fuse")
+    require(rankings.forall(_._2 > 0), s"ranking weights must be positive")
+    val slim = rankings.map { case (df, w) =>
+      df.select(col("query_id"), col(idCol),
+        (lit(w) / (lit(k0) + col("rank"))).as("contrib"))
+    }
+    val fused = slim.reduce(_ unionAll _)
       .groupBy("query_id", idCol)
-      .agg(round(sum(lit(1.0) / (lit(k0) + col("rank"))), 6).as("rrf"))
+      .agg(round(sum("contrib"), 6).as("rrf"))
     val w = Window.partitionBy("query_id").orderBy(col("rrf").desc, col(idCol))
     fused.withColumn("fused_rank", row_number().over(w).cast("long"))
       .filter(col("fused_rank") <= k)

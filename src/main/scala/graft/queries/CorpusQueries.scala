@@ -114,6 +114,19 @@ object CorpusQueries {
     * weight update) per iteration — generated from the same
     * (TqIters, TqLr) the Spark side trains with, so the two cannot
     * drift. */
+  /** The fixed quality model's feature CTE (`f`), shared by the
+    * trained-classifier trajectory replay and the quality-prior
+    * ranking in the weighted fusion row. */
+  private def qualityFeaturesCte: String =
+    s"""f AS (
+       |  SELECT doc_id,
+       |    least(1.0, CAST(length(text) AS DOUBLE) / 500.0) AS x1,
+       |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text) AS x2,
+       |    least(1.0, CAST(${OracleSnippets.hitsSql(TextOps.Stopwords)} AS DOUBLE)
+       |                 / len(str_split(text, ' ')) * 4.0) AS x3,
+       |    ${OracleSnippets.dupFractionSql} AS x4
+       |  FROM documents)""".stripMargin
+
   private def trainedQualityOracleSql: String = {
     val wx = "b + w1*x1 + w2*x2 + w3*x3 + w4*x4"
     val iterCtes = (1 to TqIters).map { k =>
@@ -128,14 +141,7 @@ object CorpusQueries {
          |         round(w4 - $TqLr*g4, 6) AS w4
          |  FROM w${k - 1} CROSS JOIN g$k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH f AS (
-       |  SELECT doc_id,
-       |    least(1.0, CAST(length(text) AS DOUBLE) / 500.0) AS x1,
-       |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text) AS x2,
-       |    least(1.0, CAST(${OracleSnippets.hitsSql(TextOps.Stopwords)} AS DOUBLE)
-       |                 / len(str_split(text, ' ')) * 4.0) AS x3,
-       |    ${OracleSnippets.dupFractionSql} AS x4
-       |  FROM documents),
+    s"""WITH $qualityFeaturesCte,
        |fy AS (
        |  SELECT *, CASE WHEN 1.0/(1.0 + exp(-(-1.0 + 2.0*x1 - 3.0*x2 + 2.0*x3 - 5.0*x4))) >= 0.5
        |                 THEN 1.0 ELSE 0.0 END AS y
@@ -619,6 +625,72 @@ object CorpusQueries {
         .bruteForceTopK(e.filter(col("vec_id") < 3), e, k = 20)
         .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
       CorpusOps.rrfFuse(bm, cos, "doc_id", k = 10)
+    },
+
+    // ── Weighted three-way fusion: 0.6·BM25 + 0.3·cosine + 0.1·quality
+    // PRIOR (query-independent — the fixed model's score ranks the
+    // whole corpus once, top-20 contributing to every query). The
+    // production hybrid-search shape: relevance from two retrievers,
+    // tempered by a document-quality prior. Oracle replays all three
+    // rankings and the weighted fusion. ──────────────────────────────
+    Q(
+      "retrieval_rrf_weighted",
+      s"""WITH ${bm25Ctes("TRUE",
+             "q AS (SELECT doc_id AS query_id, text AS query_text " +
+               "FROM documents WHERE doc_id < 3)", None)},
+         |bmr AS (SELECT query_id, doc_id, rn AS rank FROM ranked WHERE rn <= 20),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |qe AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+         |cos AS (
+         |  SELECT qe.query_id, e.vec_id AS doc_id,
+         |    row_number() OVER (PARTITION BY qe.query_id
+         |      ORDER BY list_cosine_similarity(qe.qv, e.v) DESC, e.vec_id) AS rank
+         |  FROM qe, e),
+         |cosr AS (SELECT query_id, doc_id, rank FROM cos WHERE rank <= 20),
+         |$qualityFeaturesCte,
+         |qs AS (SELECT doc_id,
+         |         round(1.0/(1.0 + exp(-(-1.0 + 2.0*x1 - 3.0*x2 + 2.0*x3 - 5.0*x4))), 6) AS qs
+         |       FROM f),
+         |prior0 AS (SELECT doc_id,
+         |             row_number() OVER (ORDER BY qs DESC, doc_id) AS rank
+         |           FROM qs),
+         |prior AS (SELECT q.query_id, p.doc_id, p.rank
+         |          FROM prior0 p CROSS JOIN q WHERE p.rank <= 20),
+         |u AS (SELECT query_id, doc_id, 0.6 / (60 + rank) AS contrib FROM bmr
+         |      UNION ALL SELECT query_id, doc_id, 0.3 / (60 + rank) FROM cosr
+         |      UNION ALL SELECT query_id, doc_id, 0.1 / (60 + rank) FROM prior),
+         |fused AS (SELECT query_id, doc_id, round(sum(contrib), 6) AS rrf
+         |          FROM u GROUP BY query_id, doc_id),
+         |fr AS (SELECT query_id, doc_id, rrf,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY rrf DESC, doc_id) AS fused_rank
+         |       FROM fused)
+         |SELECT CAST(query_id AS BIGINT) AS query_id,
+         |       CAST(fused_rank AS BIGINT) AS fused_rank, doc_id, rrf
+         |FROM fr WHERE fused_rank <= 10""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val probes = d.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("text").as("query_text"))
+      val bm = CorpusOps.bm25TopK(d, "doc_id", "text", probes, k = 20)
+        .select(col("query_id"), col("doc_id"), col("doc_rank").as("rank"))
+      val e = Tables.load(s, dir, "embeddings")
+      val cos = graft.sim.Similarity
+        .bruteForceTopK(e.filter(col("vec_id") < 3), e, k = 20)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      // query-independent quality prior: the corpus ranked ONCE by the
+      // fixed model (6-dp rounded before the rank — the cut discipline),
+      // top-20 attached to every query id; the global cut is
+      // TakeOrdered-shaped (orderBy.limit), never a full-corpus window
+      val topQ = d.select(col("doc_id"),
+          round(TextOps.qualityModelScore(col("text")), 6).as("qs"))
+        .orderBy(col("qs").desc, col("doc_id")).limit(20)
+      val pw = org.apache.spark.sql.expressions.Window
+        .orderBy(col("qs").desc, col("doc_id"))
+      val prior = topQ.withColumn("rank", row_number().over(pw).cast("long"))
+        .crossJoin(broadcast(probes.select("query_id")))
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      CorpusOps.rrfFuseWeighted(
+        Seq(bm -> 0.6, cos -> 0.3, prior -> 0.1), "doc_id", k = 10)
     },
 
     // ── Ranked-retrieval eval (MRR@10, nDCG@10) against rule-generated

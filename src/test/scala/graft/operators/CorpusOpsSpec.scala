@@ -692,6 +692,15 @@ class CorpusOpsSpec extends SparkSpec {
       (1L, 1L, 20L, r6(1.0 / 62 + 1.0 / 61)),
       (1L, 2L, 10L, r6(1.0 / 61)),
       (1L, 3L, 30L, r6(1.0 / 62))))
+    // weighted N-way: per-ranking weights scale each contribution —
+    // hand-computed, down-weighting b demotes its exclusive d30 hard
+    val gotW = CorpusOps.rrfFuseWeighted(Seq(a -> 0.9, b -> 0.1), "doc_id", k = 10)
+      .select("fused_rank", "doc_id", "rrf")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(gotW.toSeq == Seq(
+      (1L, 20L, r6(0.9 / 62 + 0.1 / 61)),
+      (2L, 10L, r6(0.9 / 61)),
+      (3L, 30L, r6(0.1 / 62))), s"weighted fusion unexpected: ${gotW.toSeq}")
   }
 
   test("rankingMetrics: hand-computed MRR/nDCG; zero-label queries report zeros") {
