@@ -366,6 +366,33 @@ object CorpusOps {
   def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, k: Int, buckets: Int = 1024): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    // TakeOrdered merges k rows ON THE DRIVER — the right plan for
+    // report-sized selections (and the only one that yields a global
+    // sel_rank without a single-partition window), a scale-killer at
+    // DSIR's production regime (k ≈ corpus fraction). The bound is the
+    // trainQualityWeights loud-iters pattern: ~4M (id, weight) rows ≈
+    // 100 MB driver heap, far past any report, far short of any OOM.
+    require(k <= (1 << 22),
+      s"k=$k exceeds dsirSelect's driver-merge bound ${1 << 22} — " +
+        "corpus-fraction selection budgets belong on dsirSelectThreshold, " +
+        "whose quantile-bracket cut never materializes O(k) rows anywhere")
+    val weights = dsirWeights(raw, target, idCol, textCol, buckets)
+    // the global cut plans as TakeOrderedAndProject (k rows per
+    // partition, k merged on the driver) — a rank WINDOW here would
+    // single-partition the whole weighted corpus; ranks attach after,
+    // over the k survivors only
+    val top = weights.orderBy(col("dsir_weight").desc, col(idCol)).limit(k)
+    val w = Window.orderBy(col("dsir_weight").desc, col(idCol))
+    top.withColumn("sel_rank", row_number().over(w).cast("long"))
+      .select(col(idCol), col("sel_rank"), col("dsir_weight"))
+  }
+
+  /** The DSIR importance weights without any cut: one row per raw
+    * document carrying its 6-dp-rounded summed log importance ratio —
+    * the corpus-sized, fully distributed half both cut variants share
+    * (see [[dsirSelect]] for the math and the scale-shape argument). */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1024): DataFrame = {
     require(buckets >= 2 && buckets <= 65536,
       s"buckets must be in 2..65536 (md5Bucket's entropy bound): $buckets")
     // per-(doc, bucket) counts FIRST, with both downstream consumers
@@ -390,16 +417,95 @@ object CorpusOps {
       .select(col("bucket"),
         (log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("tt") + buckets)) -
           log((col("cr") + 1.0) / (col("tr") + buckets))).as("lr"))
-    val weights = perDoc.join(broadcast(lr), "bucket")
+    perDoc.join(broadcast(lr), "bucket")
       .groupBy(idCol).agg(round(sum(col("n") * col("lr")), 6).as("dsir_weight"))
-    // the global cut plans as TakeOrderedAndProject (k rows per
-    // partition, k merged on the driver) — a rank WINDOW here would
-    // single-partition the whole weighted corpus; ranks attach after,
-    // over the k survivors only
-    val top = weights.orderBy(col("dsir_weight").desc, col(idCol)).limit(k)
-    val w = Window.orderBy(col("dsir_weight").desc, col(idCol))
-    top.withColumn("sel_rank", row_number().over(w).cast("long"))
-      .select(col(idCol), col("sel_rank"), col("dsir_weight"))
+  }
+
+  /** [[dsirSelect]] at PRODUCTION selection budgets (k ≈ a corpus
+    * fraction, 10⁷–10⁹ documents): the same top-k-by-(weight desc, id)
+    * set, selected by a DISTRIBUTED THRESHOLD CUT instead of a
+    * driver-merged TakeOrdered — no plan node ever materializes O(k)
+    * rows on the driver or in a single task. Returns (idCol,
+    * dsir_weight) for exactly the selected documents; deliberately NO
+    * global `sel_rank` — a rank over 10⁸ survivors would serialize
+    * them through one window task for a number nothing downstream
+    * reads (selection is membership; report-sized audits belong on
+    * [[dsirSelect]]).
+    *
+    * Mechanics — quantile bracket + exact boundary resolution:
+    *  1. weight cutoff bracketed at quantile 1−k/N via
+    *     `approxQuantile` (one pass over the persisted weights) at
+    *     widening margins, each bracket VERIFIED by exact counts;
+    *  2. rows above the bracket's high edge are in unconditionally;
+    *  3. the boundary slice (between the bracket edges) — sized by the
+    *     quantile error budget (≈ relErr·N rows), independent of k —
+    *     resolves exactly: ranked by (weight desc, id) and cut to the
+    *     remaining budget. Catalyst rewrites the rank-filtered window
+    *     into an INTERIOR TakeOrderedAndProject whose limit is that
+    *     remaining budget — executor-merged (non-root) and
+    *     err-bounded, never k rows on the driver (PlanAuditSpec pins
+    *     both). The slice is loud-bounded by `maxBoundary` (only a
+    *     degenerate near-constant weight distribution can exceed it —
+    *     then the quantile cannot separate, and selection is
+    *     arbitrary-by-tie anyway; the error message says so).
+    *
+    * The selected SET is exactly deterministic (6-dp weights, id
+    * ties) whatever bracket the sketch lands on — the bracket affects
+    * intermediate sizes only. The weights frame persists
+    * MEMORY_AND_DISK for the multi-pass (count, quantile, bracket
+    * check, final filter): re-deriving it per pass would re-pay the
+    * corpus tokenization scan four times. */
+  def dsirSelectThreshold(raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, k: Long, buckets: Int = 1024,
+      relErr: Double = 1e-4, maxBoundary: Long = 50000000L): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(relErr > 0 && relErr < 0.1, s"relErr must be in (0, 0.1): $relErr")
+    val weights = dsirWeights(raw, target, idCol, textCol, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = weights.count()
+    if (k >= n) return weights.select(col(idCol), col("dsir_weight"))
+    val q = 1.0 - k.toDouble / n
+    // widening bracket attempts; the last is the no-low-edge fallback
+    // (boundary = everything at or below the high edge) whose validity
+    // is unconditional — only the loud maxBoundary bound can refuse it
+    val brackets = Seq(4 * relErr, 32 * relErr).map(m =>
+      (math.max(0.0, q - m), math.min(1.0, q + m))) :+ (-1.0, math.min(1.0, q + 32 * relErr))
+    val chosen = brackets.view.map { case (qLo, qHi) =>
+      val hi = weights.stat
+        .approxQuantile("dsir_weight", Array(qHi), relErr).head
+      val lo =
+        if (qLo < 0) Double.NegativeInfinity
+        else weights.stat.approxQuantile("dsir_weight", Array(qLo), relErr).head
+      // one pass verifies the bracket exactly: rows strictly above each
+      // edge (ties AT an edge stay in the slice below it)
+      val r = weights.agg(
+        sum(when(col("dsir_weight") > hi, 1L).otherwise(0L)).as("above_hi"),
+        sum(when(col("dsir_weight") > lo, 1L).otherwise(0L)).as("above_lo"))
+        .head()
+      (lo, hi, r.getLong(0), r.getLong(1))
+    }.collectFirst { case ok @ (_, _, aboveHi, aboveLo)
+        if aboveHi <= k && aboveLo >= k => ok }
+      .getOrElse(throw new IllegalStateException(
+        "unreachable: the no-low-edge bracket is always valid"))
+    val (lo, hi, aboveHi, _) = chosen
+    val boundarySize = weights
+      .filter(col("dsir_weight") <= hi && col("dsir_weight") > lo).count()
+    require(boundarySize <= maxBoundary,
+      s"DSIR boundary slice has $boundarySize rows (> $maxBoundary): the " +
+        "weight distribution is too tied for a quantile to separate " +
+        s"(${n} docs, cutoff ≈ $hi) — at near-constant weights the top-k " +
+        "is arbitrary-by-tie; widen maxBoundary knowingly or fix the " +
+        "feature hashing (more buckets) so weights discriminate")
+    val need = k - aboveHi
+    val sure = weights.filter(col("dsir_weight") > hi)
+      .select(col(idCol), col("dsir_weight"))
+    val wnd = Window.orderBy(col("dsir_weight").desc, col(idCol))
+    val picked = weights
+      .filter(col("dsir_weight") <= hi && col("dsir_weight") > lo)
+      .withColumn("_rn", row_number().over(wnd))
+      .filter(col("_rn") <= need)
+      .select(col(idCol), col("dsir_weight"))
+    sure.unionByName(picked)
   }
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher) of two rankings

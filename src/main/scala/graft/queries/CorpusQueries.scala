@@ -751,35 +751,7 @@ object CorpusQueries {
     // the cut — the selection cannot drift from the math. ────────────
     Q(
       "corpus_dsir_select",
-      s"""WITH rw AS (SELECT doc_id, list_filter(str_split(text, ' '), t -> t <> '') AS w
-         |           FROM documents),
-         |rg AS (
-         |  SELECT doc_id, unnest(list_concat(w, CASE WHEN len(w) >= 2
-         |    THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
-         |    ELSE [] END)) AS g
-         |  FROM rw),
-         |rgb AS (SELECT doc_id, ${OracleSnippets.md5BucketSql("g", 256)} AS bucket FROM rg),
-         |tw AS (SELECT list_filter(str_split(text, ' '), t -> t <> '') AS w
-         |       FROM documents WHERE lang = 'en'),
-         |tg AS (
-         |  SELECT unnest(list_concat(w, CASE WHEN len(w) >= 2
-         |    THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
-         |    ELSE [] END)) AS g
-         |  FROM tw),
-         |tgb AS (SELECT ${OracleSnippets.md5BucketSql("g", 256)} AS bucket FROM tg),
-         |dn AS (SELECT doc_id, bucket, count(*) AS n FROM rgb GROUP BY doc_id, bucket),
-         |cr AS (SELECT bucket, sum(n) AS cr FROM dn GROUP BY bucket),
-         |ct AS (SELECT bucket, count(*) AS ct FROM tgb GROUP BY bucket),
-         |tot AS (SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM cr) AS tr,
-         |               (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) FROM ct) AS tt),
-         |lr AS (
-         |  SELECT cr.bucket,
-         |    ln((coalesce(ct, 0) + 1.0) / (tt + 256)) -
-         |    ln((cr + 1.0) / (tr + 256)) AS lr
-         |  FROM cr LEFT JOIN ct ON ct.bucket = cr.bucket CROSS JOIN tot),
-         |wts AS (
-         |  SELECT doc_id, round(sum(n * lr), 6) AS dsir_weight
-         |  FROM dn JOIN lr USING (bucket) GROUP BY doc_id),
+      s"""WITH ${OracleSnippets.dsirWeightsCtes(256)},
          |ranked AS (
          |  SELECT doc_id, dsir_weight,
          |    row_number() OVER (ORDER BY dsir_weight DESC, doc_id) AS rn
@@ -789,6 +761,27 @@ object CorpusQueries {
       val d = docs(s, dir)
       CorpusOps.dsirSelect(d, d.filter(col("lang") === "en"),
         "doc_id", "text", k = 60, buckets = 256)
+    },
+
+    // ── DSIR at a CORPUS-FRACTION selection budget (k = 200 of the
+    // 500-doc fixture, 40%): the distributed threshold cut — quantile
+    // bracket + exact boundary resolution, no driver-merged TakeOrdered
+    // — must select EXACTLY the same top-k-by-(weight desc, id) set as
+    // the driver-k math; the oracle replays the weights off the shared
+    // CTE chain and cuts by rank, so the bracket mechanics cannot leak
+    // into the result. Membership + weight only — no global rank at
+    // this regime (see dsirSelectThreshold's docstring). ──────────────
+    Q(
+      "corpus_dsir_select_threshold",
+      s"""WITH ${OracleSnippets.dsirWeightsCtes(256)},
+         |ranked AS (
+         |  SELECT doc_id, dsir_weight,
+         |    row_number() OVER (ORDER BY dsir_weight DESC, doc_id) AS rn
+         |  FROM wts)
+         |SELECT doc_id, dsir_weight FROM ranked WHERE rn <= 200""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      CorpusOps.dsirSelectThreshold(d, d.filter(col("lang") === "en"),
+        "doc_id", "text", k = 200L, buckets = 256, relErr = 0.01)
     },
 
     // ── Corpus-trained bigram LM quality score (perplexity proxy): the

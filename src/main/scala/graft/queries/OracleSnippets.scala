@@ -111,6 +111,44 @@ private[queries] object OracleSnippets {
     s"((4096 * ${hexDigit(1)} + 256 * ${hexDigit(2)} + 16 * ${hexDigit(3)} + ${hexDigit(4)}) % $n)"
   }
 
+  /** DuckDB mirror of CorpusOps.dsirWeights: hashed unigram+bigram
+    * bucket distributions for the en-language target sample and the
+    * whole raw corpus, add-one smoothed log importance ratios, per-doc
+    * 6-dp summed weights — the CTE chain through `wts(doc_id,
+    * dsir_weight)` that BOTH dsir rows (driver-k and threshold cut)
+    * rank, single-sourced so the selection math cannot drift between
+    * them. */
+  def dsirWeightsCtes(buckets: Int): String =
+    s"""rw AS (SELECT doc_id, list_filter(str_split(text, ' '), t -> t <> '') AS w
+       |           FROM documents),
+       |rg AS (
+       |  SELECT doc_id, unnest(list_concat(w, CASE WHEN len(w) >= 2
+       |    THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+       |    ELSE [] END)) AS g
+       |  FROM rw),
+       |rgb AS (SELECT doc_id, ${md5BucketSql("g", buckets)} AS bucket FROM rg),
+       |tw AS (SELECT list_filter(str_split(text, ' '), t -> t <> '') AS w
+       |       FROM documents WHERE lang = 'en'),
+       |tg AS (
+       |  SELECT unnest(list_concat(w, CASE WHEN len(w) >= 2
+       |    THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+       |    ELSE [] END)) AS g
+       |  FROM tw),
+       |tgb AS (SELECT ${md5BucketSql("g", buckets)} AS bucket FROM tg),
+       |dn AS (SELECT doc_id, bucket, count(*) AS n FROM rgb GROUP BY doc_id, bucket),
+       |cr AS (SELECT bucket, sum(n) AS cr FROM dn GROUP BY bucket),
+       |ct AS (SELECT bucket, count(*) AS ct FROM tgb GROUP BY bucket),
+       |tot AS (SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM cr) AS tr,
+       |               (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) FROM ct) AS tt),
+       |lr AS (
+       |  SELECT cr.bucket,
+       |    ln((coalesce(ct, 0) + 1.0) / (tt + $buckets)) -
+       |    ln((cr + 1.0) / (tr + $buckets)) AS lr
+       |  FROM cr LEFT JOIN ct ON ct.bucket = cr.bucket CROSS JOIN tot),
+       |wts AS (
+       |  SELECT doc_id, round(sum(n * lr), 6) AS dsir_weight
+       |  FROM dn JOIN lr USING (bucket) GROUP BY doc_id)""".stripMargin
+
   // ── BPE (CorpusOps.learnBpeMerges / applyBpePieceCounts) ────────────
 
   /** One left-to-right merge pass of rule `(a, b)` (columns of the

@@ -116,13 +116,15 @@ object CommitLog {
     * (removeMatching / keyedRewrite), where two colliding files' match
     * counts merge under one key and only the entriesByName winner gets
     * removed/rewritten — matching rows of the loser silently stay
-    * live. So the probe consumers re-check: absolute references are
-    * the ONLY way a collision can exist (bare names share one
-    * directory — the filesystem dedups), so the O(live set) driver
-    * check runs only when one is present. */
+    * live. So the probe consumers re-check: any MULTI-SEGMENT
+    * reference (absolute, URI, or table-dir-relative subdirectory
+    * path — name resolution treats all three as paths) can alias
+    * another entry's basename; bare names share one directory — the
+    * filesystem dedups — so the O(live set) driver check runs only
+    * when a path-like reference is present. */
   private def requireBasenameSoundness(entries: Seq[LiveEntry],
       context: String): Unit =
-    if (entries.exists(e => e.name.startsWith("/") || e.name.contains("://")))
+    if (entries.exists(e => e.name.contains("/")))
       requireDistinctBasenames(entries, s"$context (legacy cloned ledger)")
 
   /** Live entries keyed by BOTH their ledger name and its basename —
@@ -784,7 +786,8 @@ object CommitLog {
   /** The ONE rendering of the property-encoding rule — every surface
     * that lands `#property=` tags (SET TBLPROPERTIES, catalog CREATE
     * … TBLPROPERTIES) validates through here. */
-  private[store] def validateProperty(k: String, v: String): Unit = {
+  private[store] def validateProperty(spark: SparkSession, k: String,
+      v: String): Unit = {
     require(k.nonEmpty && !k.exists(c => c.isWhitespace || c == ':'),
       s"property key must be whitespace/colon-free: $k")
     require(!v.exists(c => c == '\n' || c == '\r'),
@@ -797,8 +800,12 @@ object CommitLog {
       require(k.length > GeneratedPropPrefix.length,
         s"empty generated-column name: $k = $v")
       // the expression is parsed by every write AND by rename/drop
-      // guards — an unparseable one would brick all of them
-      try SparkSession.active.sessionState.sqlParser.parseExpression(v)
+      // guards — an unparseable one would brick all of them. The
+      // caller's session supplies the parser: SparkSession.active
+      // would fail with an unrelated "no active session" on a thread
+      // that has one in scope but not activated (a catalog call off
+      // the driver's main thread).
+      try spark.sessionState.sqlParser.parseExpression(v)
       catch {
         case e: org.apache.spark.sql.catalyst.parser.ParseException =>
           throw new IllegalArgumentException(
@@ -811,7 +818,7 @@ object CommitLog {
       props: Map[String, String],
       publisher: AtomicPublisher = RenameOrLinkPublisher): Long = {
     require(props.nonEmpty, "no properties to set")
-    props.foreach { case (k, v) => validateProperty(k, v) }
+    props.foreach { case (k, v) => validateProperty(spark, k, v) }
     commitOrAbort(spark, tablePath, adds = Seq.empty, removes = Seq.empty,
       publisher = publisher, opTag = Some("properties"),
       abortOnLostRace = () => false,
@@ -835,7 +842,7 @@ object CommitLog {
       props: Map[String, String],
       publisher: AtomicPublisher = RenameOrLinkPublisher): Boolean = {
     require(props.nonEmpty, "no properties to set")
-    props.foreach { case (k, v) => validateProperty(k, v) }
+    props.foreach { case (k, v) => validateProperty(spark, k, v) }
     def taken() = propertiesAt(spark, tablePath).keySet.exists(props.contains)
     if (taken()) return false
     commitOrAbort(spark, tablePath, adds = Seq.empty, removes = Seq.empty,
@@ -2584,7 +2591,19 @@ object CommitLog {
       require(!target.equalsIgnoreCase(colName),
         s"cannot $verb column $colName of $tablePath: it is a generated " +
           s"column ($k = $expr) — unset the property first")
-      val refs = spark.sessionState.sqlParser.parseExpression(expr).collect {
+      // same wrap as validateProperty: a legacy value stored before
+      // SET-time validation landed must fail with the clear message,
+      // not a raw ParseException mid-ALTER
+      val parsed =
+        try spark.sessionState.sqlParser.parseExpression(expr)
+        catch {
+          case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+            throw new IllegalArgumentException(
+              s"$k is not a parseable SQL expression: '$expr' " +
+                s"(${e.getMessage}) — unset the malformed property before " +
+                s"altering $tablePath")
+        }
+      val refs = parsed.collect {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
           a.nameParts.last
       }

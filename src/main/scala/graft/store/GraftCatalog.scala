@@ -191,7 +191,7 @@ class GraftCatalog extends TableCatalog {
     // winner's ledger — the schema fence aborts it loudly instead.
     val user = properties.asScala.filterNot { case (k, _) => ReservedProps(k) } ++
       clusterProp
-    user.foreach { case (k, v) => CommitLog.validateProperty(k, v) }
+    user.foreach { case (k, v) => CommitLog.validateProperty(spark, k, v) }
     CommitLog.commitOrAbort(spark, path, adds = Seq.empty, removes = Seq.empty,
       publisher = RenameOrLinkPublisher, opTag = Some("create"),
       abortOnLostRace = () => false, schemaJson = Some(schema.json),
@@ -248,7 +248,7 @@ class GraftCatalog extends TableCatalog {
     // just-dropped column, dropping down to zero columns, etc. would
     // each pass against the pre-alter snapshot alone and still
     // partially apply.
-    sets.foreach { case (k, v) => CommitLog.validateProperty(k, v) }
+    sets.foreach { case (k, v) => CommitLog.validateProperty(spark, k, v) }
     if (unsets.nonEmpty) {
       val cur = CommitLog.propertiesAt(spark, path)
       val missing = unsets.filterNot(cur.contains)

@@ -186,6 +186,28 @@ class PlanAuditSpec extends SparkSpec {
       s"a corpus-sized side regressed to a shuffle join:\n$plan")
   }
 
+  test("DSIR threshold cut: nothing O(k) merges on the driver or in one task") {
+    // fixture regime: k=200 of 500 docs, relErr=0.01 — the bracket
+    // leaves a boundary slice of a few dozen rows, so `need` ≪ k
+    val k = 200
+    val plan = finalPlan("corpus_dsir_select_threshold")
+    assert(!plan.contains("CollectLimit"),
+      s"threshold cut collects on the driver:\n$plan")
+    // Catalyst rewrites the boundary window's rank filter into an
+    // INTERIOR TakeOrderedAndProject — the right plan: non-root, so it
+    // merges on an executor, and its limit is the boundary budget
+    // `need` (quantile-error-sized, k-independent), never k. Pin both:
+    // every TakeOrdered in the plan is interior (the root is the
+    // union) and err-sized.
+    val limits = "TakeOrderedAndProject\\(limit=(\\d+)".r
+      .findAllMatchIn(plan).map(_.group(1).toInt).toList
+    assert(limits.forall(_ < k / 2),
+      s"a TakeOrdered merges O(k) rows — limits $limits vs k=$k:\n$plan")
+    assert(plan.contains("Union"), s"missing sure ∪ boundary union:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a corpus-sized side regressed to a shuffle join:\n$plan")
+  }
+
   test("vocab top-k plans as TakeOrdered, never a global sort of the vocabulary") {
     val plan = finalPlan("vocab_top_tokens")
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")

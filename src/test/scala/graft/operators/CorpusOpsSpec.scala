@@ -679,6 +679,42 @@ class CorpusOpsSpec extends SparkSpec {
       "selection not ordered by (weight desc, id)")
   }
 
+  test("dsirSelectThreshold selects exactly dsirSelect's set at every bracket regime") {
+    val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val tgt = d.filter(col("lang") === "en")
+    // tight bracket (first attempt valid), loose bracket (forces the
+    // widening walk at 500 docs), and k ≥ n (the take-all early exit)
+    for ((k, relErr) <- Seq((200L, 0.01), (123L, 0.0005), (5000L, 0.01))) {
+      val want = CorpusOps.dsirSelect(d, tgt, "doc_id", "text",
+        k = math.min(k, (1 << 22).toLong).toInt, buckets = 256)
+        .select("doc_id", "dsir_weight").as[(Long, Double)].collect().toSet
+      val got = CorpusOps.dsirSelectThreshold(d, tgt, "doc_id", "text",
+        k = k, buckets = 256, relErr = relErr)
+        .select("doc_id", "dsir_weight").as[(Long, Double)].collect().toSet
+      assert(got == want, s"threshold cut diverged at k=$k relErr=$relErr")
+    }
+  }
+
+  test("dsir loud bounds: driver-merge k cap, degenerate-tie boundary cap") {
+    val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val tgt = d.filter(col("lang") === "en")
+    val e1 = intercept[IllegalArgumentException] {
+      CorpusOps.dsirSelect(d, tgt, "doc_id", "text", k = (1 << 22) + 1)
+    }
+    assert(e1.getMessage.contains("dsirSelectThreshold"),
+      "the refusal must name the corpus-fraction remedy")
+    // a constant corpus → every weight identical → no quantile can
+    // separate → the boundary slice is the whole corpus and must trip
+    // the loud maxBoundary bound, naming the degeneracy
+    val const = d.select(col("doc_id"), lit("same text here").as("text"))
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusOps.dsirSelectThreshold(const, const.limit(10), "doc_id", "text",
+        k = 50L, buckets = 256, maxBoundary = 100L).collect()
+    }
+    assert(e2.getMessage.contains("arbitrary-by-tie"),
+      s"degenerate-tie refusal missing: ${e2.getMessage}")
+  }
+
   test("rrfFuse: hand-computed fusion, absent-from-one-ranking contributes nothing") {
     val a = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("query_id", "doc_id", "rank")
     val b = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("query_id", "doc_id", "rank")
