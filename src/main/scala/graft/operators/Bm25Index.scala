@@ -114,6 +114,35 @@ object Bm25Index {
     ()
   }
 
+  /** The (postings, doclens) sink versions carrying the same consumed
+    * SOURCE version — min of the two ledger heads, located in each
+    * ledger by binary search. Captured once, up front: the probe reads
+    * both tables `asOf` these, so a drain advancing either table
+    * between ledger read and scan cannot tear the snapshot either. */
+  private[operators] def alignedVersions(spark: SparkSession,
+      postingsTable: String, docLensTable: String): (Long, Long) = {
+    val pv = CommitLog.latestVersion(spark, postingsTable)
+    val dv = CommitLog.latestVersion(spark, docLensTable)
+    val pc = CommitLog.lastConsumed(spark, postingsTable, asOf = pv)
+    val dc = CommitLog.lastConsumed(spark, docLensTable, asOf = dv)
+    if (pc == dc) return (pv, dv)
+    val target = math.min(pc, dc)
+    def pin(table: String, head: Long, headConsumed: Long): Long = {
+      if (headConsumed == target) return head
+      val v = CommitLog.versionAtConsumed(spark, table, target, upTo = head)
+      val got = CommitLog.lastConsumed(spark, table, asOf = v)
+      require(got == target,
+        s"BM25 index tables cannot align: $table has no snapshot at " +
+          s"consumed source version $target (nearest below: $got at sink " +
+          s"version $v) — postings at $pc, doclens at $dc were drained " +
+          "with different batch boundaries (or a checkpoint pruned the " +
+          "granular ledger); re-drain both through drainIntoIndex (one " +
+          "maxVersionsPerBatch) and probe again")
+      v
+    }
+    (pin(postingsTable, pv, pc), pin(docLensTable, dv, dc))
+  }
+
   /** BM25 top-k against the at-rest index — identical scoring, ranking
     * and tie-breaks to [[CorpusOps.bm25TopK]] (the shared oracle SQL
     * pins result equivalence), but the corpus-sized work is GONE:
@@ -134,12 +163,31 @@ object Bm25Index {
     *
     * The postings never shuffle at all: every join against them is a
     * broadcast, and the only exchange in the plan is the per-query
-    * top-k window over (query_id, doc, score) scalars. */
+    * top-k window over (query_id, doc, score) scalars.
+    *
+    * TORN-WINDOW SAFETY: the two index tables advance on independent
+    * `consumed=` ledgers ([[drainIntoIndex]] applies postings, then
+    * doclens), so "read both at latest" between the two applies would
+    * score documents postings carries but doclens hasn't counted —
+    * stale N/avgdl, inconsistently-weighted new hits. Both reads
+    * therefore pin to the sink versions carrying the MIN ALIGNED
+    * consumed source version (binary search over each ledger,
+    * [[CommitLog.versionAtConsumed]]); a mid-drain probe sees the last
+    * fully-applied source version on both tables, never a torn mix. A
+    * ledger pair that cannot align exactly (different
+    * `maxVersionsPerBatch` drains landing on disjoint batch
+    * boundaries) fails loud. Streaming-maintained indexes
+    * ([[applyIndexChangesOnce]]) fence on `txn=` ledgers instead —
+    * consumed is 0 on both sides, alignment is a no-op, and the
+    * documented pattern there stays probe-after-the-batch (the
+    * foreachBatch caller owns the probe schedule). */
   def bm25TopKFromIndex(spark: SparkSession, postingsTable: String,
       docLensTable: String, idCol: String, queries: DataFrame, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      maxProbeTerms: Int = 16384): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params: k1=$k1 b=$b")
+    val (postAsOf, lensAsOf) = alignedVersions(spark, postingsTable, docLensTable)
     val qterms = queries
       .select(col("query_id"),
         explode(graft.text.TextOps.tokens(col("query_text"))).as("term"))
@@ -150,7 +198,17 @@ object Bm25Index {
     // footer stats and term-clustered files prune from the log alone
     val terms = qterms.select("term").distinct()
       .collect().map(_.getString(0)).toSeq
-    val post = spark.read.format("graftlog").load(postingsTable)
+    // the literal-predicate contract, enforced: each term lands in
+    // every file's row-group filter, so an unbounded batch builds an
+    // unbounded expression tree evaluated per file
+    require(terms.size <= maxProbeTerms,
+      s"${terms.size} distinct query terms exceed the probe-batch bound " +
+        s"$maxProbeTerms — the term set becomes a literal isin predicate " +
+        "on the postings scan (that is what makes probing file pruning); " +
+        "split the query batch and union the results, or raise " +
+        "maxProbeTerms knowingly")
+    val post = spark.read.format("graftlog")
+      .option("versionAsOf", postAsOf.toString).load(postingsTable)
       .filter(col("term").isin(terms: _*))
       .select(col(idCol), col("term"), col("tf"), col("dl"))
     // df(t) = |postings rows of t| — a partial+final aggregate over the
@@ -160,7 +218,8 @@ object Bm25Index {
     // exact skew bomb a stopword's postings list is. The second scan
     // this costs is pruned identically and column-pruned to `term`.
     val dfQ = post.groupBy("term").agg(count(lit(1)).as("df"))
-    val lens = CommitLog.read(spark, docLensTable, docLensSchema(idCol))
+    val lens = CommitLog.read(spark, docLensTable, docLensSchema(idCol),
+      asOf = lensAsOf)
     val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
         coalesce(sum("dl"), lit(0L)).cast("double").as("total_tok"))
       .select(col("n_docs"), (col("total_tok") / col("n_docs")).as("avgdl"))

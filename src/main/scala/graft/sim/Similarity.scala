@@ -359,16 +359,32 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "score")
   }
 
+  /** The probed-cells literal-predicate bound ([[ivfScoredFromIndex]]):
+    * past this an isin partition filter stops being a pruning win. */
+  val MaxProbedCells: Int = 100000
+
   /** The partition-pruned candidate stream shared by
     * [[ivfTopKFromIndex]] and [[hardNegativesFromIndex]]. */
   private def ivfScoredFromIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, queries: DataFrame, cents: Centroids,
       nProbe: Int): DataFrame = {
+    // the probed cell set is index metadata (≤ |Q| × nProbe, and never
+    // more than the centroid count) — collected so the scan sees a
+    // LITERAL partition predicate. The literal-predicate contract,
+    // enforced: each cell id lands in the scan's partition filter, so
+    // the bound is the centroid count itself — which writeIvfIndex
+    // capped when it built the index (cells are partition DIRECTORIES;
+    // a k past ~10⁵ belongs on a coarser quantizer, not more
+    // partitions). A probe set that big stops pruning anything anyway:
+    // probing most cells IS a full scan — use ivfTopKLarge then.
+    require(cents.size <= MaxProbedCells,
+      s"${cents.size} centroids exceed the probed-cells literal bound " +
+        s"$MaxProbedCells — an isin over that many partition values " +
+        "evaluates per file and prunes nothing; re-shard the index with " +
+        "a coarser quantizer or probe via ivfTopKLarge")
     val probes = queries
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
       .withColumn("cid", explode(probeCids(queries, cents, col("qe"), nProbe)))
-    // the probed cell set is index metadata (≤ |Q| × nProbe ≤ k ids) —
-    // collected so the scan sees a LITERAL partition predicate
     val probedCells = probes.select("cid").distinct()
       .collect().map(_.getLong(0)).toSeq
     val cells = spark.read.parquet(indexPath)

@@ -2436,9 +2436,34 @@ object CommitLog {
     * `consumed=<v>` commit tags and checkpoint-carried headers — the
     * IncrementalView checkpoint, prune-surviving for the same reason
     * as [[lastTxnBatch]]. 0 when never consumed. */
-  def lastConsumed(spark: SparkSession, tablePath: String): Long = {
+  def lastConsumed(spark: SparkSession, tablePath: String,
+      asOf: Long = Long.MaxValue): Long = {
     val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
-    ledgerTags(fsOf(spark, log), log)._2
+    ledgerTags(fsOf(spark, log), log, upTo = asOf)._2
+  }
+
+  /** The LARGEST sink version (≤ `upTo`) whose consumed ledger is at
+    * or below `srcVersion` — the inverse lookup a torn-window-free
+    * probe needs to pin two independently-drained sibling tables to
+    * the same SOURCE version (Bm25Index's postings/doclens pair).
+    * Binary search over the monotone consumed fold: O(log V) ledger
+    * reads, each one listing + one checkpoint + the post-checkpoint
+    * commit headers. The caller must verify the version found carries
+    * EXACTLY the source version it wants: a checkpoint that subsumed
+    * the granular tags, or batch boundaries that never landed on it,
+    * both surface as consumed < srcVersion — a loud mismatch, never a
+    * silently-still-torn snapshot. */
+  def versionAtConsumed(spark: SparkSession, tablePath: String,
+      srcVersion: Long, upTo: Long): Long = {
+    var lo = 0L
+    var hi = upTo
+    // invariant: consumedAt(lo) ≤ srcVersion (version 0 consumed 0)
+    while (lo < hi) {
+      val mid = lo + (hi - lo + 1) / 2
+      if (lastConsumed(spark, tablePath, asOf = mid) <= srcVersion) lo = mid
+      else hi = mid - 1
+    }
+    lo
   }
 
   /** The logged table schema effective at `asOf` (latest by default):

@@ -95,6 +95,50 @@ class Bm25IndexSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("mid-drain probe reads the aligned pre-batch snapshot, never a torn mix") {
+    val (srcT, postT, lensT) = freshDirs("torn")
+    val batchA = docs.filter(col("doc_id") % 2 === 0)
+    val batchB = docs.filter(col("doc_id") % 2 =!= 0)
+    CommitLog.append(batchA, srcT)
+    Bm25Index.drainIntoIndex(spark, srcT, docs.schema, postT, lensT,
+      "doc_id", "text")
+    // second source version: crash AFTER the postings apply, BEFORE the
+    // doclens drain — the exact torn window (postings at source v2,
+    // doclens at v1)
+    CommitLog.append(batchB, srcT)
+    intercept[RuntimeException] {
+      Bm25Index.drainIntoIndex(spark, srcT, docs.schema, postT, lensT,
+        "doc_id", "text",
+        afterBatch = (_, _) => throw new RuntimeException("injected"))
+    }
+    assert(CommitLog.lastConsumed(spark, postT) >
+      CommitLog.lastConsumed(spark, lensT), "fixture failed to tear")
+    // the probe must NOT mix batch-B postings with batch-A doclens: it
+    // pins both reads to the last aligned source version = batch A only
+    assert(topk(postT, lensT) == recompute(batchA),
+      "mid-drain probe is torn — it must equal the pre-batch recompute")
+    // resume heals the tear; the probe advances to the full corpus
+    Bm25Index.drainIntoIndex(spark, srcT, docs.schema, postT, lensT,
+      "doc_id", "text")
+    assert(topk(postT, lensT) == recompute(docs),
+      "post-resume probe diverges from the full recompute")
+  }
+
+  test("probe-batch term bound refuses loud and names the split remedy") {
+    val (srcT, postT, lensT) = freshDirs("cap")
+    CommitLog.append(docs.limit(5), srcT)
+    Bm25Index.drainIntoIndex(spark, srcT, docs.schema, postT, lensT,
+      "doc_id", "text")
+    val wide = spark.createDataFrame(Seq((1L, "alpha beta gamma delta")))
+      .toDF("query_id", "query_text")
+    val e = intercept[IllegalArgumentException] {
+      Bm25Index.bm25TopKFromIndex(spark, postT, lensT, "doc_id", wide,
+        k = 5, maxProbeTerms = 3)
+    }
+    assert(e.getMessage.contains("split the query batch"),
+      s"refusal must name the remedy: ${e.getMessage}")
+  }
+
   test("source DELETE retracts a document's postings and doclens row") {
     val (srcT, postT, lensT) = freshDirs("delete")
     CommitLog.append(docs, srcT)

@@ -334,6 +334,19 @@ class SimilaritySpec extends SparkSpec {
       s"probe set did not become a partition filter:\n$plan")
   }
 
+  test("probed-cells literal bound refuses loud past MaxProbedCells") {
+    // the bound trips on the centroid count alone — before any data or
+    // index I/O, so an oversharded quantizer fails at plan time
+    val tooMany: Similarity.Centroids =
+      (0L to Similarity.MaxProbedCells.toLong).map(i => i -> Seq(1.0, 0.0))
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKFromIndex(spark, "/tmp/nonexistent_idx", queries,
+        k = 5, tooMany, nProbe = 1)
+    }
+    assert(e1.getMessage.contains("ivfTopKLarge"),
+      s"refusal must name the corpus-scale remedy: ${e1.getMessage}")
+  }
+
   test("near-dup blocking finds planted exact copies and nothing below threshold") {
     val corpus = e.select("vec_id", "embedding")
       .unionAll(e.filter(col("vec_id") < 20)
