@@ -44,7 +44,12 @@ object Bm25Index {
     StructField(idCol, LongType),
     StructField("term", StringType),
     StructField("tf", LongType),
-    StructField("dl", LongType)))
+    StructField("dl", LongType),
+    // 1-based positions of the term among the document's NON-EMPTY
+    // tokens (sorted) — the phrase/proximity signal. Delta-encoded
+    // ints in parquet; column-pruned away by the plain BM25 probe, so
+    // tf/df scoring never pays for it.
+    StructField("positions", ArrayType(LongType))))
 
   def docLensSchema(idCol: String): StructType = StructType(Seq(
     StructField(idCol, LongType),
@@ -63,12 +68,16 @@ object Bm25Index {
     * keyed contract), so a retracted document drops all its postings. */
   private[graft] def postingsTransform(idCol: String, textCol: String)(
       d: DataFrame): DataFrame = {
+    // positions index the FILTERED (non-empty) token sequence, 1-based
+    // — the same sequence dl counts, so position ≤ dl by construction
     val tok = d.select(col(idCol),
-        explode(graft.text.TextOps.tokens(col(textCol))).as("term"))
-      .filter(col("term") =!= "")
-    val tf = tok.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+        posexplode(filter(graft.text.TextOps.tokens(col(textCol)),
+          _ =!= lit(""))).as(Seq("pos", "term")))
+      .select(col(idCol), col("term"), (col("pos") + 1).cast("long").as("p"))
+    val tf = tok.groupBy(idCol, "term")
+      .agg(count(lit(1)).as("tf"), sort_array(collect_list("p")).as("positions"))
     tf.join(d.select(col(idCol), dlExpr(col(textCol)).as("dl")), idCol)
-      .select(col(idCol), col("term"), col("tf"), col("dl"))
+      .select(col(idCol), col("term"), col("tf"), col("dl"), col("positions"))
   }
 
   private[graft] def docLensTransform(idCol: String, textCol: String)(
@@ -238,5 +247,59 @@ object Bm25Index {
     agg.withColumn("doc_rank", row_number().over(w).cast("long"))
       .filter(col("doc_rank") <= k)
       .select(col("query_id"), col("doc_rank"), col(idCol), col("bm25"))
+  }
+
+  /** PHRASE top-k against the positional postings — the standard
+    * second-stage lexical signal BM25's bag-of-words cannot express
+    * ("data selection" ≠ documents containing both words somewhere).
+    * A document matches at anchor position `a` when every phrase term
+    * `t_o` (0-based offset `o`) has a posting position `a + o`; the
+    * score is the number of complete anchors (overlapping occurrences
+    * each count — "x x x" holds two "x x"), ranked descending, ties by
+    * doc id. Duplicate terms in the phrase are distinct offsets, so the
+    * completeness test counts DISTINCT matched offsets per anchor.
+    *
+    * Scale shape — the same pruned probe as [[bm25TopKFromIndex]]: the
+    * phrase terms become a literal `isin` on the postings scan (row
+    * groups skip, term-clustered files prune), positions explode only
+    * for queried terms (linear in their corpus occurrences — inherent
+    * to phrase search), and everything past the explode is scalar
+    * (query_id, doc, offset, anchor) rows through two keyed
+    * aggregates and the per-query top-k window. Single-table probe —
+    * doclens isn't read, so there is no torn-window pair to align. */
+  def phraseTopKFromIndex(spark: SparkSession, postingsTable: String,
+      idCol: String, phrases: DataFrame, k: Int,
+      maxProbeTerms: Int = 16384): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val q = phrases.select(col("query_id"),
+        posexplode(filter(graft.text.TextOps.tokens(col("query_text")),
+          _ =!= lit(""))).as(Seq("off", "term")))
+      .select(col("query_id"), col("off").cast("long").as("off"), col("term"))
+    val qlen = q.groupBy("query_id").agg(count(lit(1)).as("phrase_len"))
+    val terms = q.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(terms.size <= maxProbeTerms,
+      s"${terms.size} distinct phrase terms exceed the probe-batch bound " +
+        s"$maxProbeTerms — split the query batch and union the results, " +
+        "or raise maxProbeTerms knowingly")
+    val post = spark.read.format("graftlog").load(postingsTable)
+      .filter(col("term").isin(terms: _*))
+      .select(col(idCol), col("term"), col("positions"))
+    val anchors = post.join(broadcast(q), "term")
+      .select(col("query_id"), col(idCol), col("off"),
+        explode(col("positions")).as("p"))
+      .select(col("query_id"), col(idCol), col("off"),
+        (col("p") - col("off")).as("anchor"))
+      .filter(col("anchor") >= 1)
+      .groupBy("query_id", idCol, "anchor")
+      .agg(countDistinct("off").as("hit"))
+    val counts = anchors.join(broadcast(qlen), "query_id")
+      .filter(col("hit") === col("phrase_len"))
+      .groupBy("query_id", idCol).agg(count(lit(1)).as("phrase_count"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("phrase_count").desc, col(idCol))
+    counts.withColumn("doc_rank", row_number().over(w).cast("long"))
+      .filter(col("doc_rank") <= k)
+      .select(col("query_id"), col("doc_rank"), col(idCol), col("phrase_count"))
   }
 }

@@ -584,6 +584,57 @@ object CorpusQueries {
         positives = Some(gold))
     },
 
+    // ── PHRASE retrieval against the POSITIONAL postings index: a doc
+    // matches at anchor a when every phrase term t_o has a posting
+    // position a+o; score = number of complete anchors (overlapping
+    // occurrences count; "table table" exercises duplicate-term
+    // offsets), ranked desc with doc-id ties. The oracle replays token
+    // positions, offsets, the anchor join, the distinct-offset
+    // completeness test and the cut — integer math, hash-exact. ───────
+    Q(
+      "text_bm25_phrase",
+      """WITH rw AS (SELECT doc_id, list_filter(str_split(text, ' '), t -> t <> '') AS w
+        |           FROM documents),
+        |tp AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+        |         i -> {'p': i, 't': w[i]})) AS u FROM rw),
+        |tok AS (SELECT doc_id, CAST(u.p AS BIGINT) AS p, u.t AS term FROM tp),
+        |pq AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'table hash'),
+        |         (2, 'big order scan'), (3, 'table table')) v(query_id, phrase)),
+        |qx AS (SELECT query_id, unnest(list_transform(
+        |         range(1, len(str_split(phrase, ' ')) + 1),
+        |         i -> {'o': i - 1, 't': str_split(phrase, ' ')[i]})) AS u FROM pq),
+        |qoff AS (SELECT query_id, CAST(u.o AS BIGINT) AS off, u.t AS term FROM qx),
+        |qlen AS (SELECT query_id, count(*) AS plen FROM qoff GROUP BY query_id),
+        |cand AS (SELECT q.query_id, t.doc_id, q.off, t.p - q.off AS anchor
+        |         FROM qoff q JOIN tok t USING (term) WHERE t.p - q.off >= 1),
+        |anch AS (SELECT query_id, doc_id, anchor, count(DISTINCT off) AS hit
+        |         FROM cand GROUP BY 1, 2, 3),
+        |pc AS (SELECT a.query_id, a.doc_id, CAST(count(*) AS BIGINT) AS phrase_count
+        |       FROM anch a JOIN qlen l USING (query_id)
+        |       WHERE a.hit = l.plen GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, doc_id, phrase_count,
+        |             row_number() OVER (PARTITION BY query_id
+        |               ORDER BY phrase_count DESC, doc_id) AS rn
+        |           FROM pc)
+        |SELECT query_id, CAST(rn AS BIGINT) AS doc_rank, doc_id, phrase_count
+        |FROM ranked WHERE rn <= 10""".stripMargin) { (s, dir) =>
+      import graft.operators.Bm25Index
+      val d = docs(s, dir).select("doc_id", "text")
+      val base = "/tmp/graft_state/bm25_phrase"
+      val (srcT, postT, lensT) =
+        (s"$base/src", s"$base/postings", s"$base/doclens")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      graft.store.CommitLog.append(d, srcT)
+      Bm25Index.drainIntoIndex(s, srcT, d.schema, postT, lensT,
+        "doc_id", "text")
+      val phrases = s.createDataFrame(Seq(
+        (1L, "table hash"), (2L, "big order scan"), (3L, "table table")))
+        .toDF("query_id", "query_text")
+      Bm25Index.phraseTopKFromIndex(s, postT, "doc_id", phrases, k = 10)
+    },
+
     // ── Hybrid retrieval by reciprocal-rank fusion: query-by-example
     // (the query IS a document — its text probes BM25, its embedding
     // probes cosine), both top-20 rankings fused as Σ 1/(60 + rank)

@@ -139,6 +139,32 @@ class Bm25IndexSpec extends SparkSpec {
       s"refusal must name the remedy: ${e.getMessage}")
   }
 
+  test("phrase scorer: hand-traced anchors, overlap and duplicate-term offsets") {
+    val (srcT, postT, lensT) = freshDirs("phrase")
+    import spark.implicits._
+    val tiny = Seq((1L, "a b a b"), (2L, "a a a"), (3L, "b a"))
+      .toDF("doc_id", "text")
+    CommitLog.append(tiny, srcT)
+    Bm25Index.drainIntoIndex(spark, srcT, tiny.schema, postT, lensT,
+      "doc_id", "text")
+    val phrases = Seq((1L, "a b"), (2L, "a a")).toDF("query_id", "query_text")
+    val got = Bm25Index.phraseTopKFromIndex(spark, postT, "doc_id", phrases, k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // "a b": doc1 anchors {1, 3}; doc3's b-then-a never completes.
+    // "a a": doc2's run of three holds the OVERLAPPING anchors {1, 2};
+    // doc1's alternation never has a at adjacent positions.
+    assert(got == Set((1L, 1L, 1L, 2L), (2L, 1L, 2L, 2L)),
+      s"hand trace diverged: $got")
+    // retraction: deleting the only matching doc empties its query
+    CommitLog.deleteWhere(spark, srcT, tiny.schema, col("doc_id") === 2)
+    Bm25Index.drainIntoIndex(spark, srcT, tiny.schema, postT, lensT,
+      "doc_id", "text")
+    val after = Bm25Index.phraseTopKFromIndex(spark, postT, "doc_id", phrases, k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(after == Set((1L, 1L, 1L, 2L)),
+      s"retracted doc still matches: $after")
+  }
+
   test("source DELETE retracts a document's postings and doclens row") {
     val (srcT, postT, lensT) = freshDirs("delete")
     CommitLog.append(docs, srcT)
