@@ -901,6 +901,197 @@ object CorpusOps {
       .limit(k)
   }
 
+  // ── Unigram LM tokenizer (the SentencePiece complement to BPE) ─────
+
+  /** Viterbi segmentation of one word under a unigram-LM piece table —
+    * the decode every unigram tokenizer ships (SentencePiece's
+    * default): dp(i) = best dp(j) + logp(syms[j..i)) over the last
+    * `maxPieceLen` split points; ties on EXACT score break to the
+    * lexicographically smallest piece list, so training and the DuckDB
+    * oracle replay cut identically. Single code points NOT in the
+    * vocabulary fall back to `floorLogp` (the smoothed zero-count
+    * probability) — every position stays reachable, so unseen
+    * characters at apply time degrade instead of failing. Code-point
+    * symbols, like [[segmentBpe]]. */
+  def viterbiSegment(word: String, logp: scala.collection.Map[String, Double],
+      floorLogp: Double, maxPieceLen: Int): Seq[String] = {
+    val syms = toSymbols(word)
+    val n = syms.length
+    if (n == 0) return Seq.empty
+    def lexLt(a: Vector[String], b: Vector[String]): Boolean = {
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val c = a(i).compareTo(b(i))
+        if (c != 0) return c < 0
+        i += 1
+      }
+      a.length < b.length
+    }
+    val best = new Array[(Double, Vector[String])](n + 1)
+    best(0) = (0.0, Vector.empty)
+    var i = 1
+    while (i <= n) {
+      var cur: (Double, Vector[String]) = null
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (best(j) != null) {
+          val piece = syms.slice(j, i).mkString
+          val lp =
+            if (i - j == 1) logp.getOrElse(piece, floorLogp)
+            else logp.getOrElse(piece, Double.NaN)
+          if (!lp.isNaN) {
+            val sc = best(j)._1 + lp
+            val sg = best(j)._2 :+ piece
+            if (cur == null || sc > cur._1 ||
+                (sc == cur._1 && lexLt(sg, cur._2))) cur = (sc, sg)
+          }
+        }
+        j += 1
+      }
+      best(i) = cur // never null: the single-code-point fallback always applies
+      i += 1
+    }
+    best(n)._2
+  }
+
+  /** One unigram-LM vocabulary state: (piece, count, 6-dp log prob)
+    * rows plus the smoothed zero-count floor the Viterbi falls back to
+    * for unknown single code points. */
+  final case class UnigramVocab(pieces: Seq[(String, Long, Double)],
+      floorLogp: Double) {
+    def logp: Map[String, Double] = pieces.map(p => p._1 -> p._3).toMap
+  }
+
+  private def unigramMStep(counts: Seq[(String, Long)]): UnigramVocab = {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val t = counts.map(_._2).sum.toDouble
+    val v = counts.size.toDouble
+    UnigramVocab(
+      counts.map { case (p, c) => (p, c, r6(math.log((c + 1.0) / (t + v)))) },
+      r6(math.log(1.0 / (t + v))))
+  }
+
+  /** Train a unigram-LM tokenizer (the SentencePiece architecture;
+    * Kudo 2018) — the OTHER production tokenizer family next to the
+    * BPE chain: seed the piece inventory from substring frequencies,
+    * then run `emRounds` hard-EM rounds (Viterbi E-step under the
+    * current probabilities, count-renormalizing M-step with add-one
+    * smoothing) pruning to the `vocabSize` highest-count pieces each
+    * round. Single-code-point pieces are NEVER pruned (coverage: every
+    * word must stay segmentable), and probabilities round to 6 dp so
+    * the whole EM trajectory replays in the oracle — seed counts, each
+    * round's segmentations, counts, pruning cut and re-smoothed probs.
+    * Hard-EM (Viterbi counts, not forward-backward expectations) is
+    * the deterministic, cross-engine-replayable variant; the pruning
+    * criterion is count (the likelihood-loss ranking's monotone proxy
+    * under a fixed segmentation).
+    *
+    * Scale shape — the tokenizer-trainer split, FULLY distributed
+    * (unlike [[learnBpeMerges]], nothing word-table-sized ever reaches
+    * the driver): the corpus pays ONE tokenization scan for the
+    * word-frequency table, which persists (vocabulary-sized, reused by
+    * the seed pass and every round); the seed substring aggregate and
+    * each E-step are one aggregation job each — Viterbi runs inside
+    * mapPartitions with the piece table BROADCAST (it is ≤ seedSize +
+    * alphabet rows by construction), and only piece-count tables
+    * (vocab-sized) are ever collected. `emRounds` is loud-bounded, the
+    * trainQualityWeights precedent. */
+  def trainUnigramLm(docs: DataFrame, textCol: String, vocabSize: Int,
+      emRounds: Int, maxPieceLen: Int = 4, seedSize: Int = 65536,
+      minFreq: Long = 1L): UnigramVocab = {
+    require(vocabSize >= 1 && vocabSize <= (1 << 21),
+      s"vocabSize must be in 1..${1 << 21}: $vocabSize")
+    require(emRounds >= 1 && emRounds <= 16,
+      s"emRounds must be in 1..16 (each is a full E-step aggregation " +
+        s"job; the trajectory is meant to be short): $emRounds")
+    require(maxPieceLen >= 2 && maxPieceLen <= 16,
+      s"maxPieceLen must be in 2..16: $maxPieceLen")
+    require(seedSize >= 1 && seedSize <= (1 << 21),
+      s"seedSize must be in 1..${1 << 21}: $seedSize")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wf = docs
+      .select(explode(graft.text.TextOps.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seed substring counts, distributed: every (start, len ≤
+    // maxPieceLen) window of every word, weighted by word frequency.
+    // Spark's length/substr index CODE POINTS (as do DuckDB's and
+    // toSymbols), so all three sides window identically.
+    val subs = wf
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")))).as("s"))
+      .select(col("w"), col("freq"), col("s"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("w")) - col("s") + 1))).as("l"))
+      .select(col("w").substr(col("s"), col("l")).as("piece"), col("freq"))
+    val seedCounts = subs.groupBy("piece").agg(sum("freq").as("cnt"))
+    // top-seedSize TakeOrdered ∪ ALL single code points (coverage;
+    // bounded by the corpus alphabet — code-point space, not vocab)
+    val seed = seedCounts.orderBy(col("cnt").desc, col("piece")).limit(seedSize)
+      .unionByName(seedCounts.filter(length(col("piece")) === 1))
+      .distinct().as[(String, Long)].collect().toSeq
+    var vocab = unigramMStep(seed)
+    var round = 0
+    while (round < emRounds) {
+      val lpB = spark.sparkContext.broadcast(vocab.logp)
+      val floor = vocab.floorLogp
+      val mpl = maxPieceLen
+      // E-step: one aggregation job — counts land vocab-sized (the
+      // segmentation can only emit pieces the broadcast table holds,
+      // plus floor singles already counted in the alphabet)
+      val counts = wf.as[(String, Long)]
+        .mapPartitions { it =>
+          it.flatMap { case (w, f) =>
+            viterbiSegment(w, lpB.value, floor, mpl).map(p => (p, f)) }
+        }.toDF("piece", "freq")
+        .groupBy("piece").agg(sum("freq").as("cnt"))
+        .as[(String, Long)].collect()
+      val cmap = counts.toMap
+      val top = counts.sortBy { case (p, c) => (-c, p) }.take(vocabSize)
+      val singles = vocab.pieces.collect {
+        case (p, _, _) if p.codePointCount(0, p.length) == 1 =>
+          (p, cmap.getOrElse(p, 0L))
+      }
+      vocab = unigramMStep((top ++ singles).distinct.toSeq)
+      lpB.destroy()
+      round += 1
+    }
+    wf.unpersist()
+    vocab
+  }
+
+  /** Apply a trained unigram-LM vocabulary to the corpus: per-document
+    * (token count, Viterbi piece count) — [[applyBpePieceCounts]]'s
+    * shape on the unigram decode. Each DISTINCT word segments exactly
+    * once, inside mapPartitions with the piece table broadcast;
+    * nothing vocab- or corpus-sized is collected. Token-free documents
+    * are absent (the BPE-apply absence contract). */
+  def applyUnigramPieceCounts(docs: DataFrame, idCol: String,
+      textCol: String, vocab: UnigramVocab,
+      maxPieceLen: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs
+      .select(col(idCol), explode(graft.text.TextOps.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val perDocTok = tok.groupBy(idCol, "token").agg(count(lit(1)).as("cnt"))
+    val lpB = spark.sparkContext.broadcast(vocab.logp)
+    val floor = vocab.floorLogp
+    val mpl = maxPieceLen
+    val pieces = perDocTok.select("token").distinct().as[String]
+      .mapPartitions { it =>
+        it.map(w => (w, viterbiSegment(w, lpB.value, floor, mpl).length.toLong))
+      }.toDF("token", "n_pieces")
+    perDocTok.join(pieces, "token")
+      .groupBy(idCol)
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("n_pieces")).as("n_pieces"))
+  }
+
   /** Length-bucketed inference batching: docs bucket by the power-of-2
     * ceiling of their token count (bucket = bit-length of tok−1, an
     * INTEGER computation so engines agree exactly — f64 log2 wobbles

@@ -2024,6 +2024,40 @@ object CorpusQueries {
       CorpusOps.bpePieceFrequencies(d, "text", merges, k = 50)
     },
 
+    // ── Unigram-LM tokenizer TRAINING (the SentencePiece complement
+    // to the BPE chain): substring-frequency seed (top-64 ∪ all single
+    // code points), 2 hard-EM rounds — Viterbi E-step, count-pruning
+    // to 32 pieces (singles never pruned), add-one re-smoothing at
+    // 6 dp. The oracle unrolls the WHOLE trajectory: the seed cut,
+    // each round's per-word DP (max over the last-4 split points,
+    // score ties to the lexicographically smallest piece list), the
+    // count aggregation, the pruning cut and the re-smoothed probs —
+    // one segmentation flipping anywhere flips counts and the hash. ──
+    Q(
+      "vocab_unigram_lm",
+      OracleSnippets.unigramVocabSql(seedSize = 64, vocabSize = 32,
+        emRounds = 2, maxPieceLen = 4, maxWordLen = 12)) { (s, dir) =>
+      import s.implicits._
+      CorpusOps.trainUnigramLm(docs(s, dir), "text", vocabSize = 32,
+        emRounds = 2, maxPieceLen = 4, seedSize = 64)
+        .pieces.toDF("piece", "n_occurrences", "logp")
+    },
+
+    // ── Unigram-LM application (train → apply round trip): per-doc
+    // (token, Viterbi piece) counts under the trained vocabulary —
+    // distinct words segment once, distributedly, with the piece
+    // table broadcast; the oracle appends one more DP chain under the
+    // final vocabulary and replays the per-document join. ────────────
+    Q(
+      "vocab_unigram_apply",
+      OracleSnippets.unigramApplySql(seedSize = 64, vocabSize = 32,
+        emRounds = 2, maxPieceLen = 4, maxWordLen = 12)) { (s, dir) =>
+      val d = docs(s, dir)
+      val vocab = CorpusOps.trainUnigramLm(d, "text", vocabSize = 32,
+        emRounds = 2, maxPieceLen = 4, seedSize = 64)
+      CorpusOps.applyUnigramPieceCounts(d, "doc_id", "text", vocab)
+    },
+
     // ── Length-bucketed inference batching: docs bucket by the
     // power-of-2 ceiling of their token count (integer bit-length, so
     // both engines agree exactly at the boundaries), batch in id order

@@ -252,6 +252,133 @@ private[queries] object OracleSnippets {
        |FROM pf GROUP BY piece
        |ORDER BY n_occurrences DESC, piece LIMIT $topK""".stripMargin
 
+  // ── Unigram LM (CorpusOps.trainUnigramLm / applyUnigramPieceCounts) ─
+
+  /** One UNROLLED Viterbi DP chain under vocabulary CTE `vocabCte`
+    * (columns piece/logp) with floor CTE `floorCte` (column fl):
+    * `${p}_i` holds, per word of length ≥ i, the best (score, segs)
+    * prefix ending at code point i — max over the last `maxPieceLen`
+    * split points, score ties to the lexicographically smallest piece
+    * list (the viterbiSegment tie-break). Length-1 pieces LEFT JOIN
+    * with the floor fallback; longer pieces must be in the vocabulary.
+    * `${p}_fin` is the full segmentation of every word (words longer
+    * than `maxWordLen` would be DROPPED here — a loud row-count
+    * mismatch against the engine, never a silent miscount). */
+  private def unigramViterbiCtes(p: String, vocabCte: String,
+      floorCte: String, maxPieceLen: Int, maxWordLen: Int): String = {
+    val dp0 = s"""${p}_0 AS MATERIALIZED (SELECT w, len, freq, CAST(0 AS DOUBLE) AS score,
+                 |  CAST([] AS VARCHAR[]) AS segs FROM wl)""".stripMargin
+    val steps = (1 to maxWordLen).map { i =>
+      val branches = (1 to math.min(maxPieceLen, i)).map { l =>
+        val start = i - l + 1
+        if (l == 1)
+          s"""SELECT d.w, d.len, d.freq,
+             |  d.score + coalesce(v.logp, (SELECT fl FROM $floorCte)) AS score,
+             |  list_append(d.segs, substring(d.w, $i, 1)) AS segs
+             |FROM ${p}_${i - 1} d LEFT JOIN $vocabCte v
+             |  ON v.piece = substring(d.w, $i, 1)
+             |WHERE d.len >= $i""".stripMargin
+        else
+          s"""SELECT d.w, d.len, d.freq, d.score + v.logp AS score,
+             |  list_append(d.segs, substring(d.w, $start, $l)) AS segs
+             |FROM ${p}_${i - l} d JOIN $vocabCte v
+             |  ON v.piece = substring(d.w, $start, $l)
+             |WHERE d.len >= $i""".stripMargin
+      }
+      s"""${p}_$i AS MATERIALIZED (
+         |  SELECT w, len, freq, score, segs FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY w
+         |      ORDER BY score DESC, segs) AS rn
+         |    FROM (${branches.mkString("\n    UNION ALL\n    ")}))
+         |  WHERE rn = 1)""".stripMargin
+    }
+    val fin = (1 to maxWordLen)
+      .map(i => s"SELECT w, freq, segs FROM ${p}_$i WHERE len = $i")
+      .mkString("\n  UNION ALL\n  ")
+    (Seq(dp0) ++ steps :+ s"${p}_fin AS MATERIALIZED (\n  $fin)").mkString(",\n")
+  }
+
+  /** DuckDB mirror of the full unigram-LM TRAINING trajectory,
+    * unrolled like [[bpeTrainingCtes]]: substring-frequency seed (top
+    * `seedSize` ∪ all single code points), then `emRounds` hard-EM
+    * rounds — each a full Viterbi DP chain under the previous round's
+    * vocabulary, piece-count aggregation, count-pruning to `vocabSize`
+    * (singles always kept), and add-one re-smoothing with the 6-dp
+    * logp round. Callers continue from `vocab_$emRounds` /
+    * `vfl_$emRounds` (and may append one more [[unigramViterbiCtes]]
+    * chain for the apply half). */
+  def unigramTrainingCtes(seedSize: Int, vocabSize: Int, emRounds: Int,
+      maxPieceLen: Int, maxWordLen: Int): String = {
+    val head = Seq(
+      """w0 AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w)""".stripMargin,
+      "wl AS MATERIALIZED (SELECT w, length(w) AS len, freq FROM w0)",
+      s"""sub0 AS (
+         |  SELECT substring(w, s.i, l.j) AS piece, freq
+         |  FROM wl, unnest(range(1, len + 1)) s(i),
+         |       unnest(range(1, $maxPieceLen + 1)) l(j)
+         |  WHERE s.i + l.j - 1 <= len)""".stripMargin,
+      """seed0 AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+        |          FROM sub0 GROUP BY piece)""".stripMargin,
+      s"""keep_0 AS MATERIALIZED (
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+         |    FROM seed0) WHERE rn <= $seedSize
+         |  UNION
+         |  SELECT piece, cnt FROM seed0 WHERE length(piece) = 1)""".stripMargin) ++
+      vocabCtes(0)
+    val rounds = (1 to emRounds).flatMap { r =>
+      Seq(
+        unigramViterbiCtes(s"dp$r", s"vocab_${r - 1}", s"vfl_${r - 1}",
+          maxPieceLen, maxWordLen),
+        s"""cnt_$r AS MATERIALIZED (
+           |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT unnest(segs) AS piece, freq FROM dp${r}_fin)
+           |  GROUP BY piece)""".stripMargin,
+        s"""keep_$r AS MATERIALIZED (
+           |  SELECT piece, cnt FROM (
+           |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+           |    FROM cnt_$r) WHERE rn <= $vocabSize
+           |  UNION
+           |  SELECT v.piece, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+           |  FROM vocab_${r - 1} v LEFT JOIN cnt_$r c USING (piece)
+           |  WHERE length(v.piece) = 1)""".stripMargin) ++ vocabCtes(r)
+    }
+    (head ++ rounds).mkString(",\n")
+  }
+
+  /** The smoothed-probability triple off a `keep_$r` count table:
+    * totals, 6-dp logp per piece, and the zero-count floor. */
+  private def vocabCtes(r: Int): Seq[String] = Seq(
+    s"vstat_$r AS MATERIALIZED (SELECT CAST(sum(cnt) AS DOUBLE) AS t, " +
+      s"CAST(count(*) AS DOUBLE) AS v FROM keep_$r)",
+    s"""vocab_$r AS MATERIALIZED (SELECT piece, cnt,
+       |  round(ln((cnt + 1.0) / (t + v)), 6) AS logp
+       |FROM keep_$r CROSS JOIN vstat_$r)""".stripMargin,
+    s"vfl_$r AS MATERIALIZED (SELECT round(ln(1.0 / (t + v)), 6) AS fl FROM vstat_$r)")
+
+  /** The trained vocabulary as rows — the vocab_unigram_lm oracle. */
+  def unigramVocabSql(seedSize: Int, vocabSize: Int, emRounds: Int,
+      maxPieceLen: Int, maxWordLen: Int): String =
+    s"""WITH ${unigramTrainingCtes(seedSize, vocabSize, emRounds, maxPieceLen, maxWordLen)}
+       |SELECT piece, cnt AS n_occurrences, logp FROM vocab_$emRounds""".stripMargin
+
+  /** Train-then-apply round trip: one more Viterbi chain under the
+    * FINAL vocabulary segments every corpus word; per-document piece
+    * counts follow the bpeApplySql join shape. */
+  def unigramApplySql(seedSize: Int, vocabSize: Int, emRounds: Int,
+      maxPieceLen: Int, maxWordLen: Int): String =
+    s"""WITH ${unigramTrainingCtes(seedSize, vocabSize, emRounds, maxPieceLen, maxWordLen)},
+       |${unigramViterbiCtes("ap", s"vocab_$emRounds", s"vfl_$emRounds", maxPieceLen, maxWordLen)},
+       |pieces AS (SELECT w, len(segs) AS n_pieces FROM ap_fin),
+       |tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |       CAST(sum(n_pieces) AS BIGINT) AS n_pieces
+       |FROM tok JOIN pieces ON pieces.w = tok.token
+       |WHERE token <> '' GROUP BY doc_id""".stripMargin
+
   /** DuckDB mirror of Dedup.nearDupPairs over a corpus CTE named
     * `corpus(doc_id, text)`: bigram shingles → 12-hash signature →
     * 4×3 bands with the 64-bucket skew cap → verified Jaccard pairs.

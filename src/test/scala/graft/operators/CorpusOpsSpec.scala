@@ -330,6 +330,75 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("viterbiSegment: hand-traced decodes — argmax, exact-score ties, floor fallback") {
+    val lp = Map("ab" -> -1.0, "a" -> -2.0, "b" -> -2.5, "abc" -> -1.2, "c" -> -3.0)
+    // whole-word piece beats any split: abc = -1.2 vs ab+c = -4.0
+    assert(CorpusOps.viterbiSegment("abc", lp, -10.0, 4) == Seq("abc"))
+    assert(CorpusOps.viterbiSegment("abab", lp, -10.0, 4) == Seq("ab", "ab"))
+    // EXACT score tie (aa = -2.0 either way) → lexicographically
+    // smallest piece list wins: ["a","a"] < ["aa"]
+    val tie = Map("aa" -> -2.0, "a" -> -1.0)
+    assert(CorpusOps.viterbiSegment("aa", tie, -10.0, 4) == Seq("a", "a"))
+    // unseen single code point falls back to the floor, never fails
+    assert(CorpusOps.viterbiSegment("az", lp, -10.0, 4) == Seq("a", "z"))
+    assert(CorpusOps.viterbiSegment("", lp, -10.0, 4) == Seq.empty)
+  }
+
+  test("trainUnigramLm: coverage singles survive pruning; probs are the smoothed counts") {
+    val d = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    val vocab = CorpusOps.trainUnigramLm(d, "text", vocabSize = 32,
+      emRounds = 2, maxPieceLen = 4, seedSize = 64)
+    val singles = d.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(explode(split(col("w"), "")).as("c")).distinct()
+      .as[String].collect().toSet
+    val pieceSet = vocab.pieces.map(_._1).toSet
+    assert(singles.subsetOf(pieceSet),
+      s"coverage broken — missing singles: ${singles -- pieceSet}")
+    assert(vocab.pieces.size <= 32 + singles.size)
+    // every logp is exactly the 6-dp smoothed count ratio, and the
+    // floor is the zero-count case of the same formula
+    val t = vocab.pieces.map(_._2).sum.toDouble
+    val v = vocab.pieces.size.toDouble
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    vocab.pieces.foreach { case (p, c, l) =>
+      assert(l == r6(math.log((c + 1.0) / (t + v))), s"logp drifted for $p") }
+    assert(vocab.floorLogp == r6(math.log(1.0 / (t + v))))
+    // multi-code-point pieces actually trained in (not a char model)
+    assert(vocab.pieces.exists(p => p._1.length > 1 && p._2 > 0),
+      "no multi-cp piece survived — EM learned nothing")
+  }
+
+  test("applyUnigramPieceCounts builds its plan without running any job") {
+    val d = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    val vocab = CorpusOps.trainUnigramLm(d, "text", vocabSize = 16,
+      emRounds = 1, maxPieceLen = 4, seedSize = 32)
+    val docsDf = spark.range(4).select(col("id").as("doc_id"),
+      concat(lit("hug pug hugs word"), col("id").cast("string")).as("text"))
+    docsDf.count()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = CorpusOps.applyUnigramPieceCounts(docsDf, "doc_id", "text", vocab)
+      spark.sparkContext.parallelize(Seq(1)).count() // FIFO sentinel drain
+      val deadline = System.currentTimeMillis() + 30000
+      while (jobs.get() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(jobs.get() == 1,
+        s"building the apply frame ran ${jobs.get() - 1} job(s)")
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("MapPartitions"),
+        "vocabulary segmentation is not a mapPartitions stage")
+      assert(!plan.contains("LocalTableScan"),
+        "a driver-materialized vocabulary leaf is in the plan")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("bpePieceFrequencies: hand-computed vocabulary totals, rank and tie order") {
     val docsDf = Seq(
       (1L, Array.fill(10)("hug").mkString(" ")),
