@@ -4,8 +4,10 @@ package graft
   * prints ONE JSON line {"metric":...,"value":...,"queries":{...}}.
   *
   * Runs each query once untimed (JIT + parquet footer warm-up), then takes
-  * the best of two timed runs — measuring plan execution, not JVM warm-up,
-  * to approximate steady-state cluster throughput.
+  * the MIN OF THREE timed runs — the one-JVM min-of-3 protocol the
+  * interleaved A/B adjudications (BENCH_AB_r08/r11/r15) converged on:
+  * per-query minima are the stable statistic on a box whose run-to-run
+  * spread (±17%) dwarfs real regressions; means re-litigate noise.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,7 +25,7 @@ object Bench {
       val run = () => { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); () }
       try {
         run() // warm-up
-        (q.name, math.min(timeOnce(run), timeOnce(run)), true)
+        (q.name, Seq.fill(3)(timeOnce(run)).min, true)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] FAILED ${q.name}: ${e.getMessage}")
@@ -43,7 +45,7 @@ object Bench {
     val r1Set = Set("q1_pricing_summary", "q2_forecast_revenue",
       "q3_revenue_by_nation", "q7_top_customers_per_nation", "q21_brand_supplier_volume")
     val r1Total = results.filter(r => r._3 && r1Set(r._1)).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"r1_subset_total":$r1Total,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"r1_subset_total":$r1Total,"runs":3,"stat":"min","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

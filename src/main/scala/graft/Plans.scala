@@ -17,7 +17,9 @@ object Plans {
     "corpus_token_budget", "join_bucketed_colocated",
     "vocab_tfidf_top_terms", "corpus_lm_score",
     "emb_source_drift", "corpus_manifest", "dedup_entity_fuzzy",
-    "dedup_containment", "profile_table", "ann_pq_topk", "ann_ivf_pq_topk")
+    "dedup_containment", "profile_table", "ann_pq_topk", "ann_ivf_pq_topk",
+    "ann_ivf_pq_residual", "corpus_dsir_select_threshold", "text_bm25_phrase",
+    "vocab_unigram_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -176,10 +176,26 @@ object CorpusOps {
     * document counts).
     *
     * Scale shape: one hash exchange on `strataCol`, then an
-    * independent per-stratum window — no global sort. Stratum
-    * cardinality (sources/domains) is plan-sized, not corpus-sized;
-    * a skewed giant stratum wants a shard sub-key the same way
-    * `packConcatChunk`'s shardCol bounds its windows.
+    * independent per-stratum window — no global sort.
+    *
+    * STRATUM-CARDINALITY CONTRACT: the running total is order-defined
+    * WITHIN a stratum, so each stratum's cumulative sum is one window
+    * partition = ONE task sorting that stratum's rows. Strata here are
+    * mixing-plan sources/domains — tens to thousands, each a corpus
+    * FRACTION — so parallelism is the stratum count and the per-task
+    * row count is N/|strata|; a single giant stratum (one source
+    * holding most of 100 TB) serializes through one task. That is
+    * inherent to an EXACT prefix-sum cut on an unsharded key: a
+    * two-phase cumsum (per-shard partials + broadcast offsets) needs
+    * ORDER-ALIGNED shards, i.e. a range partition on (orderCol, id),
+    * which costs a sampling pass and a full range shuffle — not worth
+    * it below extreme skew. For that regime, pre-split the stratum
+    * (`packLengthBucketed`'s md5-shard pattern) and give each shard
+    * its own budget, or cut by threshold instead: the quantile-bracket
+    * machinery of [[dsirSelectThreshold]] applies verbatim with
+    * token-weighted counts. Rows-unbounded-preceding over SCALAR
+    * (order, id, tok) columns keeps even a 10⁹-row stratum's task
+    * streaming, not resident.
     */
   def selectToTokenBudget(
       df: DataFrame,

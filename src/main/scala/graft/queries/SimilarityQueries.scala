@@ -111,6 +111,66 @@ object SimilarityQueries {
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
       |FROM ranked WHERE rank <= 10""".stripMargin
 
+  /** RESIDUAL IVF-PQ oracle (FAISS IndexIVFPQ): cosine cells and the
+    * first-10 centroid seed as in IvfPqOracleSql, but the codebook is
+    * the residuals of the first 16 vectors (each minus its own cell
+    * centroid), every vector encodes ITS residual, and ADC compares
+    * the query's residual to the probed cell against the residual
+    * reconstruction — subtractions and sum order mirror the engine's
+    * kernels element-for-element, so the f64 scores hash-equal. */
+  private val IvfPqResidualOracleSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS centv FROM e ORDER BY vec_id LIMIT 10),
+      |assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, cent.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.v, cent.centv) DESC, cent.cid) AS rn
+      |    FROM e, cent) WHERE rn = 1),
+      |res AS (
+      |  SELECT e.vec_id, a.cid,
+      |    list_transform(range(1, 65), i -> e.v[i] - c.centv[i]) AS rv
+      |  FROM e JOIN assign a USING (vec_id) JOIN cent c ON c.cid = a.cid),
+      |cb AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, rv AS cv
+      |  FROM res ORDER BY vec_id LIMIT 16),
+      |subs AS (SELECT unnest(range(4)) AS s),
+      |enc AS (
+      |  SELECT vec_id, cid, s, code FROM (
+      |    SELECT r.vec_id, r.cid, subs.s, cb.code,
+      |      row_number() OVER (PARTITION BY r.vec_id, subs.s ORDER BY
+      |        list_sum(list_transform(range(s*16 + 1, (s+1)*16 + 1),
+      |          i -> (r.rv[i] - cb.cv[i]) * (r.rv[i] - cb.cv[i]))) ASC,
+      |        cb.code) AS rn
+      |    FROM res r, subs, cb) WHERE rn = 1),
+      |recon AS (
+      |  SELECT enc.vec_id, any_value(enc.cid) AS cid,
+      |    flatten(list(cb.cv[enc.s*16 + 1 : (enc.s+1)*16] ORDER BY enc.s)) AS rv
+      |  FROM enc JOIN cb USING (code) GROUP BY enc.vec_id),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |probes AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT q.qid, cent.cid,
+      |      row_number() OVER (PARTITION BY q.qid
+      |        ORDER BY list_cosine_similarity(q.qv, cent.centv) DESC, cent.cid) AS rn
+      |    FROM q, cent) WHERE rn <= 3),
+      |qres AS (
+      |  SELECT p.qid, p.cid,
+      |    list_transform(range(1, 65), i -> q.qv[i] - c.centv[i]) AS qrv
+      |  FROM probes p JOIN q ON q.qid = p.qid JOIN cent c ON c.cid = p.cid),
+      |scored AS (
+      |  SELECT qr.qid AS query_id, r.vec_id,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (qr.qrv[i] - r.rv[i]) * (qr.qrv[i] - r.rv[i]))) AS score
+      |  FROM qres qr JOIN recon r ON r.cid = qr.cid),
+      |ranked AS (
+      |  SELECT query_id, vec_id, score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score ASC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
+      |FROM ranked WHERE rank <= 10""".stripMargin
+
   /** IVF-PQ + refine oracle: the IvfPqOracleSql pipeline through the
     * ADC ranking, then the refine stage re-derived relationally — the
     * top 30 (= refineFactor 3 × k 10) ADC candidates per query
@@ -293,6 +353,19 @@ object SimilarityQueries {
       IvfPqOracleSql) { (s, dir) =>
       val e = emb(s, dir)
       Similarity.ivfPqTopK(e.filter(col("vec_id") < 5), e, k = 10,
+        numCentroids = 10, nProbe = 3, m = 4, numCodes = 16)
+    },
+
+    // ── RESIDUAL IVF-PQ (FAISS IndexIVFPQ): vectors code the residual
+    // to their cell centroid — the code budget spends its resolution on
+    // what cell assignment hasn't explained; ADC runs residual-vs-
+    // residual in the probed cell. Oracle replays cells, residuals,
+    // the residual codebook, codes and the ADC ranking, hash-exact. ───
+    Q(
+      "ann_ivf_pq_residual",
+      IvfPqResidualOracleSql) { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.ivfPqResidualTopK(e.filter(col("vec_id") < 5), e, k = 10,
         numCentroids = 10, nProbe = 3, m = 4, numCodes = 16)
     },
 

@@ -142,6 +142,69 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "score")
   }
 
+  /** The centroid vector of `cid` as a column — a k-way when-chain
+    * over the driver-held centroid table (k = centroid count, codegen
+    * stays linear); shared by the residual encode and probe sides so
+    * the two subtract the SAME vector. */
+  private def centroidVec(cents: Centroids, cid: Column): Column =
+    cents.tail.foldLeft(
+      when(cid === cents.head._1, litVec(cents.head._2))) {
+      case (acc, (c, v)) => acc.when(cid === c, litVec(v))
+    }
+
+  /** IVF-PQ with RESIDUAL encoding — the FAISS IndexIVFPQ convention:
+    * each vector is coded as the residual to ITS CELL CENTROID rather
+    * than raw. Residuals of clustered data are small and centered, so
+    * the same code budget (m × numCodes) spends its quantization
+    * resolution on the part the cell assignment has not already
+    * explained — recall at equal budget beats-or-ties the raw-vector
+    * [[ivfPqTopK]] on clustered corpora (spec-pinned). ADC compares
+    * the QUERY's residual to the same probed cell against the coded
+    * reconstruction: ‖(q−c) − recon(x−c)‖² = ‖q − (c + recon)‖², the
+    * proper IVF-PQ distance.
+    *
+    * The residual codebook is the deterministic seed convention ON THE
+    * RESIDUAL SPACE: residuals of the first `numCodes` corpus vectors
+    * by id, each minus its own cell centroid — computed through the
+    * same column expressions the index uses, so the oracle replays it.
+    * Plan shape is [[ivfPqTopK]] unchanged: per-row cid + residual +
+    * codes (no exchange carries an embedding), broadcast probe join,
+    * scalar ADC, one top-k window. */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      numCentroids: Int, nProbe: Int, m: Int, numCodes: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val cents = initialCentroids(corpus, numCentroids)
+    def residual(e: Column, cid: Column): Column =
+      zip_with(e, centroidVec(cents, cid), (a, b) => a - b)
+    val rcb: Seq[Seq[Double]] = corpus
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .orderBy(col("vec_id")).limit(numCodes)
+      .withColumn("cid", nearestCid(corpus, cents, col("e")))
+      .select(col("vec_id"), residual(col("e"), col("cid")).as("r"))
+      .orderBy(col("vec_id"))
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    require(rcb.nonEmpty && rcb.head.size % m == 0,
+      s"embedding dim ${rcb.headOption.fold(0)(_.size)} must divide into $m subspaces")
+    val rcbLit = typedLit(rcb)
+    val index = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("cid", nearestCid(corpus, cents, col("e")))
+      .select(col("vec_id"), col("cid"),
+        call_function("graft_pq_encode", residual(col("e"), col("cid")),
+          rcbLit, lit(m)).as("codes"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+      .withColumn("cid", explode(probeCids(queries, cents, col("qe"), nProbe)))
+      .select(col("query_id"), col("cid"),
+        residual(col("qe"), col("cid")).as("qres"))
+    val scored = index.join(broadcast(probes), "cid")
+      .select(col("query_id"), col("vec_id"),
+        call_function("graft_pq_adc", col("qres"), col("codes"), rcbLit,
+          lit(m)).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "score")
+  }
+
   /** IVF-PQ with a REFINE stage (FAISS's `refine` flag / IndexRefine):
     * the ADC pass is lossy — scores come from each candidate's
     * reconstruction, so the true nearest neighbor can sit at ADC rank

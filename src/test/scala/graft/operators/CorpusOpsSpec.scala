@@ -129,6 +129,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept(2L) == 700L, "running total must accumulate in score-desc order")
   }
 
+  test("selectToTokenBudget plan: one stratum-keyed exchange, no global sort") {
+    // the stratum-cardinality contract (docstring): the cumsum window
+    // partitions by the stratum ONLY — parallelism = |strata|, each
+    // task a streaming rows-frame over scalars. Pin that the plan
+    // sorts/partitions per stratum and never globally.
+    val docsDf = Seq(
+      (1L, "A", 300L, 0.9), (2L, "A", 400L, 0.8), (4L, "B", 900L, 0.99)
+    ).toDF("doc_id", "src", "tok", "score")
+    val out = CorpusOps.selectToTokenBudget(docsDf, "src", "score", "doc_id", "tok", 800L)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(src".r.findFirstIn(plan).isDefined,
+      s"cumsum exchange not keyed by the stratum:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"a global sort crept into the budget cut:\n$plan")
+    assert("Window \\[.*partitionBy|windowspecdefinition\\(src".r.findFirstIn(plan).isDefined,
+      s"window not partitioned by the stratum:\n$plan")
+  }
+
   test("tfIdfTopTerms: hand-computed scores, rank order, and tie-break") {
     val docsDf = Seq(
       (1L, "a a b"),   // tf a=2 b=1
