@@ -118,8 +118,8 @@ object SimilarityQueries {
     * the query's residual to the probed cell against the residual
     * reconstruction — subtractions and sum order mirror the engine's
     * kernels element-for-element, so the f64 scores hash-equal. */
-  private val IvfPqResidualOracleSql =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  private val IvfPqResidualPrefix =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |cent AS (SELECT vec_id AS cid, v AS centv FROM e ORDER BY vec_id LIMIT 10),
       |assign AS (
       |  SELECT vec_id, cid FROM (
@@ -167,9 +167,27 @@ object SimilarityQueries {
       |  SELECT query_id, vec_id, score,
       |    row_number() OVER (PARTITION BY query_id
       |      ORDER BY score ASC, vec_id) AS rank
-      |  FROM scored)
-      |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
-      |FROM ranked WHERE rank <= 10""".stripMargin
+      |  FROM scored)""".stripMargin
+
+  private val IvfPqResidualOracleSql =
+    s"""WITH $IvfPqResidualPrefix
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
+       |FROM ranked WHERE rank <= 10""".stripMargin
+
+  /** Residual ADC shortlist (3×10) + exact cosine re-rank — the
+    * IvfPqRefineOracleSql tail on the residual prefix. */
+  private val IvfPqResidualRefineOracleSql =
+    s"""WITH $IvfPqResidualPrefix,
+       |refined AS (
+       |  SELECT s.query_id, s.vec_id,
+       |    list_cosine_similarity(q.qv, e.v) AS score,
+       |    row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY list_cosine_similarity(q.qv, e.v) DESC, s.vec_id) AS rank
+       |  FROM (SELECT query_id, vec_id FROM ranked WHERE rank <= 30) s
+       |  JOIN q ON q.qid = s.query_id
+       |  JOIN e ON e.vec_id = s.vec_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
+       |FROM refined WHERE rank <= 10""".stripMargin
 
   /** IVF-PQ + refine oracle: the IvfPqOracleSql pipeline through the
     * ADC ranking, then the refine stage re-derived relationally — the
@@ -367,6 +385,41 @@ object SimilarityQueries {
       val e = emb(s, dir)
       Similarity.ivfPqResidualTopK(e.filter(col("vec_id") < 5), e, k = 10,
         numCentroids = 10, nProbe = 3, m = 4, numCodes = 16)
+    },
+
+    // ── Residual IVF-PQ + refine: the full FAISS serving stack
+    // (IndexIVFPQ + IndexRefine) — residual ADC shortlist, exact
+    // cosine re-rank; oracle replays both stages, hash-exact. ─────────
+    Q(
+      "ann_ivf_pq_residual_refine",
+      IvfPqResidualRefineOracleSql) { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.ivfPqResidualRefineTopK(e.filter(col("vec_id") < 5), e,
+        k = 10, numCentroids = 10, nProbe = 3, m = 4, numCodes = 16,
+        refineFactor = 3)
+    },
+
+    // ── IVF-PQ against the WRITTEN coded index: (vec_id, codes) rows
+    // under cid= partition directories — the compressed at-rest serving
+    // layout; probing is partition pruning over m-int rows. Same oracle
+    // as the in-memory IVF-PQ: index path ≡ recompute. ────────────────
+    Q(
+      "ann_ivf_pq_index_topk",
+      IvfPqOracleSql) { (s, dir) =>
+      val e = emb(s, dir)
+      val cents = Similarity.initialCentroids(e, 10)
+      var cbOut: Seq[Seq[Double]] = null
+      val idx = graft.store.Staging.contentKeyed(
+        s, s"$dir/embeddings.parquet",
+        s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index",
+        salt = "ivfpq_k10_m4") { tmp =>
+        cbOut = Similarity.writeIvfPqIndex(e, tmp, cents, m = 4, numCodes = 16)
+      }
+      // a staged (reused) index skips the build — the codebook is the
+      // same deterministic seed either way
+      val cb = if (cbOut != null) cbOut else Similarity.pqCodebook(e, 16)
+      Similarity.ivfPqTopKFromIndex(s, idx, e.filter(col("vec_id") < 5),
+        k = 10, cents, cb, nProbe = 3, m = 4)
     },
 
     // ── IVF-PQ + refine (FAISS IndexRefine): the ADC shortlist (3×k

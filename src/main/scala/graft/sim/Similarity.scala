@@ -229,8 +229,31 @@ object Similarity {
       numCentroids: Int, nProbe: Int, m: Int, numCodes: Int,
       refineFactor: Int): DataFrame = {
     require(refineFactor >= 1, s"refineFactor must be >= 1: $refineFactor")
-    val shortlist = ivfPqTopK(queries, corpus, k * refineFactor,
-      numCentroids, nProbe, m, numCodes).select("query_id", "vec_id")
+    refineExact(ivfPqTopK(queries, corpus, k * refineFactor,
+      numCentroids, nProbe, m, numCodes), queries, corpus, k)
+  }
+
+  /** [[ivfPqRefineTopK]] on the RESIDUAL-coded shortlist — the full
+    * FAISS serving stack (IndexIVFPQ + IndexRefine): residual ADC
+    * picks refineFactor·k candidates, exact cosine re-ranks them.
+    * Recall ≥ plain residual IVF-PQ at equal probe budget by
+    * construction (the refine invariant, spec-pinned for both coding
+    * variants); same broadcast-shortlist plan shape. */
+  def ivfPqResidualRefineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      numCentroids: Int, nProbe: Int, m: Int, numCodes: Int,
+      refineFactor: Int): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor must be >= 1: $refineFactor")
+    refineExact(ivfPqResidualTopK(queries, corpus, k * refineFactor,
+      numCentroids, nProbe, m, numCodes), queries, corpus, k)
+  }
+
+  /** The refine stage both coding variants share: fetch TRUE
+    * embeddings for the (query-batch-sized, broadcast) shortlist only
+    * and re-rank by exact cosine — the corpus scan streams, no corpus
+    * shuffle, the final window moves scalars. */
+  private def refineExact(shortlistRanked: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int): DataFrame = {
+    val shortlist = shortlistRanked.select("query_id", "vec_id")
     val q = queries.select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("qe"))
     val rescored = corpus
@@ -242,6 +265,64 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
     rescored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "score")
+  }
+
+  /** Materialize the PQ-CODED IVF index at rest: one parquet partition
+    * directory per cell, rows (vec_id, codes) — m small ints per
+    * vector instead of d floats, the memory-resident coded
+    * posting-list layout real vector stores ship ([[writeIvfIndex]]
+    * stores raw vectors; this is its compressed sibling for corpora
+    * whose raw embeddings don't fit the serving tier). Returns the
+    * codebook used (driver-held index metadata the probe needs, like
+    * the centroids). Incremental INSERT works exactly as
+    * [[appendToIvfIndex]]: under fixed (centroids, codebook) the row
+    * for a vector is a pure function of the vector, so appends are
+    * exact. */
+  def writeIvfPqIndex(corpus: DataFrame, path: String, cents: Centroids,
+      m: Int, numCodes: Int): Seq[Seq[Double]] = {
+    GraftFunctions.register(corpus.sparkSession)
+    val cb = pqCodebook(corpus, numCodes)
+    require(cb.nonEmpty && cb.head.size % m == 0,
+      s"embedding dim ${cb.headOption.fold(0)(_.size)} must divide into $m subspaces")
+    val cbLit = typedLit(cb)
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("cid", nearestCid(corpus, cents, col("e")))
+      .select(col("vec_id"), col("cid"),
+        call_function("graft_pq_encode", col("e"), cbLit, lit(m)).as("codes"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    cb
+  }
+
+  /** IVF-PQ top-k against the written coded index: probed cells become
+    * a literal partition filter (directory pruning, the
+    * [[ivfTopKFromIndex]] contract incl. its MaxProbedCells bound),
+    * then the scan reads m ints per candidate and ADC ranks — results
+    * identical to [[ivfPqTopK]] over the same (centroids, codebook)
+    * (shared oracle). */
+  def ivfPqTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame, k: Int, cents: Centroids,
+      cb: Seq[Seq[Double]], nProbe: Int, m: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    require(cents.size <= MaxProbedCells,
+      s"${cents.size} centroids exceed the probed-cells literal bound " +
+        s"$MaxProbedCells — an isin over that many partition values " +
+        "evaluates per file and prunes nothing; re-shard the index with " +
+        "a coarser quantizer or probe via ivfTopKLarge")
+    val cbLit = typedLit(cb)
+    val probes = queries
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+      .withColumn("cid", explode(probeCids(queries, cents, col("qe"), nProbe)))
+    val probedCells = probes.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cells = spark.read.parquet(indexPath)
+      .filter(col("cid").isin(probedCells: _*))
+    val scored = cells.join(broadcast(probes), "cid")
+      .select(col("query_id"), col("vec_id"),
+        call_function("graft_pq_adc", col("qe"), col("codes"), cbLit,
+          lit(m)).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "score")
   }
 

@@ -367,6 +367,36 @@ class SimilaritySpec extends SparkSpec {
     assert(res >= raw,
       s"residual coding must not lose recall at equal budget: res=$res raw=$raw")
     assert(res >= 0.5, s"residual recall unusably low on clustered data: $res")
+    // the refine invariant holds on the residual shortlist too: exact
+    // re-rank of a superset never loses recall
+    val resRef = recall(Similarity.ivfPqResidualRefineTopK(queriesC, corpus,
+      k = 10, numCentroids = 10, nProbe = 3, m = 4, numCodes = 16,
+      refineFactor = 3))
+    assert(resRef >= res,
+      s"residual refine lost recall vs its own shortlist: ref=$resRef res=$res")
+  }
+
+  test("coded IVF-PQ at-rest index: probing is partition pruning; results match in-memory") {
+    val cents = Similarity.initialCentroids(e, 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    val cb = Similarity.writeIvfPqIndex(e, dir, cents, m = 4, numCodes = 16)
+    val fromIdx = Similarity.ivfPqTopKFromIndex(spark, dir, queries, k = 10,
+      cents, cb, nProbe = 3, m = 4)
+    val inMem = Similarity.ivfPqTopK(queries, e, k = 10,
+      numCentroids = 10, nProbe = 3, m = 4, numCodes = 16)
+    assert(fromIdx.exceptAll(inMem).count() == 0 && inMem.exceptAll(fromIdx).count() == 0,
+      "coded index path diverges from in-memory IVF-PQ")
+    fromIdx.collect()
+    val plan = fromIdx.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).isDefined,
+      s"probe set did not become a partition filter:\n$plan")
+    // the INDEX scan reads m ints per row, never a raw embedding
+    // column (the query side reads embeddings — that's the probe)
+    val idxSchemas = "Location: InMemoryFileIndex[^\\n]*graft_ivfpq[^\\n]*ReadSchema: (\\S+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(idxSchemas.nonEmpty, s"no coded-index scan in the plan:\n$plan")
+    idxSchemas.foreach(sch => assert(!sch.contains("embedding"),
+      s"coded index scan still reads raw embeddings: $sch"))
   }
 
   test("probed-cells literal bound refuses loud past MaxProbedCells") {
