@@ -86,6 +86,46 @@ object CorpusQueries {
        |           FROM $exclSrc)""".stripMargin
   }
 
+  /** Shared phrase-retrieval oracle over the positional postings:
+    * token positions, phrase offsets, the anchor join, the
+    * distinct-offset completeness test and the cut — integer math,
+    * hash-exact. `docPred` mirrors source DELETEs so the batch row
+    * (TRUE) and the streaming-consumer row cannot drift. */
+  private[queries] def phraseOracleSqlFor(docPred: String): String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE $docPred),
+       |rw AS (SELECT doc_id, list_filter(str_split(text, ' '), t -> t <> '') AS w
+       |           FROM d),
+       |tp AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+       |         i -> {'p': i, 't': w[i]})) AS u FROM rw),
+       |tok AS (SELECT doc_id, CAST(u.p AS BIGINT) AS p, u.t AS term FROM tp),
+       |pq AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'table hash'),
+       |         (2, 'big order scan'), (3, 'table table')) v(query_id, phrase)),
+       |qx AS (SELECT query_id, unnest(list_transform(
+       |         range(1, len(str_split(phrase, ' ')) + 1),
+       |         i -> {'o': i - 1, 't': str_split(phrase, ' ')[i]})) AS u FROM pq),
+       |qoff AS (SELECT query_id, CAST(u.o AS BIGINT) AS off, u.t AS term FROM qx),
+       |qlen AS (SELECT query_id, count(*) AS plen FROM qoff GROUP BY query_id),
+       |cand AS (SELECT q.query_id, t.doc_id, q.off, t.p - q.off AS anchor
+       |         FROM qoff q JOIN tok t USING (term) WHERE t.p - q.off >= 1),
+       |anch AS (SELECT query_id, doc_id, anchor, count(DISTINCT off) AS hit
+       |         FROM cand GROUP BY 1, 2, 3),
+       |pc AS (SELECT a.query_id, a.doc_id, CAST(count(*) AS BIGINT) AS phrase_count
+       |       FROM anch a JOIN qlen l USING (query_id)
+       |       WHERE a.hit = l.plen GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, doc_id, phrase_count,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY phrase_count DESC, doc_id) AS rn
+       |           FROM pc)
+       |SELECT query_id, CAST(rn AS BIGINT) AS doc_rank, doc_id, phrase_count
+       |FROM ranked WHERE rn <= 10""".stripMargin
+
+  /** The literal phrase probes both phrase rows share (a bigram, a
+    * trigram, and a duplicate-term phrase). */
+  private[queries] def phraseProbes(s: SparkSession): DataFrame =
+    s.createDataFrame(Seq(
+      (1L, "table hash"), (2L, "big order scan"), (3L, "table table")))
+      .toDF("query_id", "query_text")
+
   private def bm25TopSelect: String =
     s"""SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS BIGINT) AS doc_rank,
        |       doc_id, bm25
@@ -593,31 +633,7 @@ object CorpusQueries {
     // completeness test and the cut — integer math, hash-exact. ───────
     Q(
       "text_bm25_phrase",
-      """WITH rw AS (SELECT doc_id, list_filter(str_split(text, ' '), t -> t <> '') AS w
-        |           FROM documents),
-        |tp AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
-        |         i -> {'p': i, 't': w[i]})) AS u FROM rw),
-        |tok AS (SELECT doc_id, CAST(u.p AS BIGINT) AS p, u.t AS term FROM tp),
-        |pq AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'table hash'),
-        |         (2, 'big order scan'), (3, 'table table')) v(query_id, phrase)),
-        |qx AS (SELECT query_id, unnest(list_transform(
-        |         range(1, len(str_split(phrase, ' ')) + 1),
-        |         i -> {'o': i - 1, 't': str_split(phrase, ' ')[i]})) AS u FROM pq),
-        |qoff AS (SELECT query_id, CAST(u.o AS BIGINT) AS off, u.t AS term FROM qx),
-        |qlen AS (SELECT query_id, count(*) AS plen FROM qoff GROUP BY query_id),
-        |cand AS (SELECT q.query_id, t.doc_id, q.off, t.p - q.off AS anchor
-        |         FROM qoff q JOIN tok t USING (term) WHERE t.p - q.off >= 1),
-        |anch AS (SELECT query_id, doc_id, anchor, count(DISTINCT off) AS hit
-        |         FROM cand GROUP BY 1, 2, 3),
-        |pc AS (SELECT a.query_id, a.doc_id, CAST(count(*) AS BIGINT) AS phrase_count
-        |       FROM anch a JOIN qlen l USING (query_id)
-        |       WHERE a.hit = l.plen GROUP BY 1, 2),
-        |ranked AS (SELECT query_id, doc_id, phrase_count,
-        |             row_number() OVER (PARTITION BY query_id
-        |               ORDER BY phrase_count DESC, doc_id) AS rn
-        |           FROM pc)
-        |SELECT query_id, CAST(rn AS BIGINT) AS doc_rank, doc_id, phrase_count
-        |FROM ranked WHERE rn <= 10""".stripMargin) { (s, dir) =>
+      phraseOracleSqlFor("TRUE")) { (s, dir) =>
       import graft.operators.Bm25Index
       val d = docs(s, dir).select("doc_id", "text")
       val base = "/tmp/graft_state/bm25_phrase"
@@ -629,10 +645,7 @@ object CorpusQueries {
       graft.store.CommitLog.append(d, srcT)
       Bm25Index.drainIntoIndex(s, srcT, d.schema, postT, lensT,
         "doc_id", "text")
-      val phrases = s.createDataFrame(Seq(
-        (1L, "table hash"), (2L, "big order scan"), (3L, "table table")))
-        .toDF("query_id", "query_text")
-      Bm25Index.phraseTopKFromIndex(s, postT, "doc_id", phrases, k = 10)
+      Bm25Index.phraseTopKFromIndex(s, postT, "doc_id", phraseProbes(s), k = 10)
     },
 
     // ── Hybrid retrieval by reciprocal-rank fusion: query-by-example

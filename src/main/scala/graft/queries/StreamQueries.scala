@@ -646,6 +646,61 @@ object StreamQueries {
         CorpusQueries.bm25Probes(s), k = CorpusQueries.Bm25TopK)
     },
 
+    // ── Streaming POSITIONAL phrase retrieval: the same standard
+    // streaming consumer maintains the positions-bearing postings
+    // exactly-once (crash injected mid-apply as above; a source DELETE
+    // retracts the deleted docs' position lists row-for-row), then the
+    // phrase probe ranks anchor-complete occurrences over the pruned
+    // scan — the oracle replays positions over the post-DELETE corpus. ─
+    Q(
+      "stream_bm25_phrase",
+      CorpusQueries.phraseOracleSqlFor("NOT (doc_id % 7 = 3)")) { (s, dir) =>
+      import graft.operators.Bm25Index
+      import graft.store.CommitLog
+      val base = "/tmp/graft_state/bm25_stream_phrase"
+      val (srcT, postT, lensT) =
+        (s"$base/src", s"$base/postings", s"$base/doclens")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val d = graft.Tables.load(s, dir, "documents").select("doc_id", "text")
+      CommitLog.append(d.filter(col("doc_id") % 2 === 0), srcT)
+      CommitLog.append(d.filter(col("doc_id") % 2 === 1), srcT)
+      CommitLog.deleteWhere(s, srcT, d.schema, col("doc_id") % 7 === 3)
+      val ckpt = Files.createTempDirectory("graft_ckpt_bm25p").toString
+      def run(boomAt: Long): Unit = {
+        val q = s.readStream.format("graftlog")
+          .schema(d.schema)
+          .option("maxVersionsPerTrigger", 1L)
+          .load(srcT)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             batchId: Long) =>
+              if (batchId == boomAt) {
+                graft.store.CdcStream.applyChangesOnce(s, postT,
+                  Bm25Index.postingsSchema("doc_id"), Seq("doc_id"),
+                  batch.toDF(), "bm25phr", batchId,
+                  Bm25Index.postingsTransform("doc_id", "text"))
+                throw new RuntimeException("injected mid-apply crash")
+              }
+              Bm25Index.applyIndexChangesOnce(s, postT, lensT,
+                "doc_id", "text", batch.toDF(), "bm25phr", batchId)
+              ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+      try run(boomAt = 1L)
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException
+        if e.getMessage.contains("injected") => () }
+      run(boomAt = -1L)
+      Bm25Index.phraseTopKFromIndex(s, postT, "doc_id",
+        CorpusQueries.phraseProbes(s), k = 10)
+    },
+
     // ── Streaming deterministic HLL: registers as running state (max
     // merges monotonically — bounded at 2^b registers per group
     // forever), drained estimate ≡ the batch estimate BIT-FOR-BIT
