@@ -129,27 +129,43 @@ object Bm25Index {
     * both tables `asOf` these, so a drain advancing either table
     * between ledger read and scan cannot tear the snapshot either. */
   private[operators] def alignedVersions(spark: SparkSession,
-      postingsTable: String, docLensTable: String): (Long, Long) = {
+      postingsTable: String, docLensTable: String,
+      txnQueryId: Option[String] = None): (Long, Long) = {
+    // the ledger both tables advance on: consumed= for drainIntoIndex
+    // consumers, txn=<queryId> for streaming applyIndexChangesOnce
+    // consumers (the caller knows which maintains its index)
+    val fold: (String, Long) => Long = txnQueryId match {
+      case Some(qid) => (t, v) => CommitLog.lastTxnBatch(spark, t, qid, asOf = v)
+      case None => (t, v) => CommitLog.lastConsumed(spark, t, asOf = v)
+    }
+    val pin: (String, Long) => Long = txnQueryId match {
+      case Some(qid) =>
+        (t, target) => CommitLog.versionAtTxnBatch(spark, t, qid, target,
+          upTo = CommitLog.latestVersion(spark, t))
+      case None =>
+        (t, target) => CommitLog.versionAtConsumed(spark, t, target,
+          upTo = CommitLog.latestVersion(spark, t))
+    }
     val pv = CommitLog.latestVersion(spark, postingsTable)
     val dv = CommitLog.latestVersion(spark, docLensTable)
-    val pc = CommitLog.lastConsumed(spark, postingsTable, asOf = pv)
-    val dc = CommitLog.lastConsumed(spark, docLensTable, asOf = dv)
+    val pc = fold(postingsTable, pv)
+    val dc = fold(docLensTable, dv)
     if (pc == dc) return (pv, dv)
     val target = math.min(pc, dc)
-    def pin(table: String, head: Long, headConsumed: Long): Long = {
-      if (headConsumed == target) return head
-      val v = CommitLog.versionAtConsumed(spark, table, target, upTo = head)
-      val got = CommitLog.lastConsumed(spark, table, asOf = v)
+    def pinChecked(table: String, head: Long, headFold: Long): Long = {
+      if (headFold == target) return head
+      val v = pin(table, target)
+      val got = fold(table, v)
       require(got == target,
         s"BM25 index tables cannot align: $table has no snapshot at " +
-          s"consumed source version $target (nearest below: $got at sink " +
-          s"version $v) — postings at $pc, doclens at $dc were drained " +
-          "with different batch boundaries (or a checkpoint pruned the " +
-          "granular ledger); re-drain both through drainIntoIndex (one " +
-          "maxVersionsPerBatch) and probe again")
+          s"${txnQueryId.fold("consumed source version")(q => s"txn $q batch")} " +
+          s"$target (nearest below: $got at sink version $v) — postings " +
+          s"at $pc, doclens at $dc advanced with different batch " +
+          "boundaries (or a checkpoint pruned the granular ledger); " +
+          "re-drain both and probe again")
       v
     }
-    (pin(postingsTable, pv, pc), pin(docLensTable, dv, dc))
+    (pinChecked(postingsTable, pv, pc), pinChecked(docLensTable, dv, dc))
   }
 
   /** BM25 top-k against the at-rest index — identical scoring, ranking
@@ -187,16 +203,21 @@ object Bm25Index {
     * `maxVersionsPerBatch` drains landing on disjoint batch
     * boundaries) fails loud. Streaming-maintained indexes
     * ([[applyIndexChangesOnce]]) fence on `txn=` ledgers instead —
-    * consumed is 0 on both sides, alignment is a no-op, and the
-    * documented pattern there stays probe-after-the-batch (the
+    * pass that consumer's query id as `txnQueryId` and the SAME
+    * alignment pins both reads to the last fully-applied BATCH (a
+    * probe racing the gap between the two applies sees the pre-batch
+    * snapshot); without it, consumed is 0 on both sides, alignment is
+    * a no-op, and the probe-after-the-batch pattern applies (the
     * foreachBatch caller owns the probe schedule). */
   def bm25TopKFromIndex(spark: SparkSession, postingsTable: String,
       docLensTable: String, idCol: String, queries: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
-      maxProbeTerms: Int = 16384): DataFrame = {
+      maxProbeTerms: Int = 16384,
+      txnQueryId: Option[String] = None): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params: k1=$k1 b=$b")
-    val (postAsOf, lensAsOf) = alignedVersions(spark, postingsTable, docLensTable)
+    val (postAsOf, lensAsOf) =
+      alignedVersions(spark, postingsTable, docLensTable, txnQueryId)
     val qterms = queries
       .select(col("query_id"),
         explode(graft.text.TextOps.tokens(col("query_text"))).as("term"))
@@ -237,16 +258,8 @@ object Bm25Index {
       .join(broadcast(dfQ), "term")
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col(idCol),
-        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-          (col("tf") * lit(k1 + 1.0)) /
-          (col("tf") + lit(k1) *
-            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))).as("s"))
-    val agg = scored.groupBy("query_id", idCol)
-      .agg(round(sum("s"), 6).as("bm25"))
-    val w = Window.partitionBy("query_id").orderBy(col("bm25").desc, col(idCol))
-    agg.withColumn("doc_rank", row_number().over(w).cast("long"))
-      .filter(col("doc_rank") <= k)
-      .select(col("query_id"), col("doc_rank"), col(idCol), col("bm25"))
+        CorpusOps.bm25ScoreCol(k1, b).as("s"))
+    CorpusOps.rankBm25(scored, idCol, k, positives = None)
   }
 
   /** PHRASE top-k against the positional postings — the standard

@@ -313,11 +313,25 @@ object CorpusOps {
       .join(broadcast(dfQueried), "term")
       .join(dl, idCol)
       .crossJoin(broadcast(stats))
-      .select(col("query_id"), col(idCol),
-        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-          (col("tf") * lit(k1 + 1.0)) /
-          (col("tf") + lit(k1) *
-            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))).as("s"))
+      .select(col("query_id"), col(idCol), bm25ScoreCol(k1, b).as("s"))
+    rankBm25(scored, idCol, k, positives)
+  }
+
+  /** The ONE rendering of the per-(query, doc, term) BM25 score —
+    * shared by the from-scratch probes (serving-sized and
+    * corpus-scale) and [[Bm25Index.bm25TopKFromIndex]], so the scoring
+    * math cannot drift between the recompute and the index. Expects
+    * tf/df/dl/n_docs/avgdl in scope. */
+  private[operators] def bm25ScoreCol(k1: Double, b: Double): Column =
+    log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+      (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+
+  /** Shared BM25 ranking tail: 6-dp sum per (query, doc), optional
+    * gold anti-join PRE-cut, per-query top-k window over scalars. */
+  private[operators] def rankBm25(scored: DataFrame, idCol: String, k: Int,
+      positives: Option[DataFrame]): DataFrame = {
     val agg = scored.groupBy("query_id", idCol)
       .agg(round(sum("s"), 6).as("bm25"))
     // gold exclusion on scalar (query_id, id) pairs, pre-cut
@@ -329,6 +343,60 @@ object CorpusOps {
     excl.withColumn("doc_rank", row_number().over(w).cast("long"))
       .filter(col("doc_rank") <= k)
       .select(col("query_id"), col("doc_rank"), col(idCol), col("bm25"))
+  }
+
+  /** [[bm25TopK]] for CORPUS-SCALE query batches (|Q| ≈ N — the
+    * lexical-mining sweep shape: every training query retrieves its
+    * BM25 candidates), where the serving-sized plan's two broadcasts
+    * break: the query-term table is |Q|-sized and the distinct query
+    * vocabulary approaches the corpus vocabulary, so nothing
+    * query-derived fits an executor broadcast. Both meet the postings
+    * in SHUFFLE-HASH joins on the scalar `term` key instead (the
+    * [[graft.sim.Similarity.ivfTopKLarge]] pattern on the inverted
+    * index), and scoring happens AT the join so only (query_id, doc,
+    * score) scalars flow downstream.
+    *
+    * `maxDf` is the HOT-TERM bound that makes the sweep honest: a
+    * stopword's postings list times its query occurrences is a
+    * quadratic per-term blowup no shuffle can absorb (the reason real
+    * lexical-mining systems prune by document frequency or impact).
+    * Terms with df > maxDf are dropped from scoring on BOTH sides —
+    * their idf ≈ ln(1 + ε) contributes least of any term — bounding
+    * every term key's postings side at maxDf rows; AQE's skew split
+    * handles residual query-side imbalance. The semantic is therefore
+    * DF-CAPPED BM25 (scores differ from [[bm25TopK]] exactly by the
+    * dropped near-zero-idf terms; N and avgdl stay full-corpus), and
+    * the oracle replays the cap. */
+  def bm25TopKLarge(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k: Int, maxDf: Long,
+      k1: Double = 1.2, b: Double = 0.75,
+      positives: Option[DataFrame] = None): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(maxDf > 0, s"maxDf must be positive: $maxDf")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params: k1=$k1 b=$b")
+    val tok = docs
+      .select(col(idCol), explode(graft.text.TextOps.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+    // the cap drops terms from SCORING only — N and avgdl keep the
+    // textbook full-corpus denominators
+    val dfKept = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      .crossJoin(tok.agg(count(lit(1)).cast("double").as("total_tok")))
+      .select(col("n_docs"), (col("total_tok") / col("n_docs")).as("avgdl"))
+    val qterms = queries
+      .select(col("query_id"),
+        explode(graft.text.TextOps.tokens(col("query_text"))).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val scored = tf
+      .join(qterms.hint("shuffle_hash"), "term")
+      .join(dfKept.hint("shuffle_hash"), "term") // inner join IS the cap
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col(idCol), bm25ScoreCol(k1, b).as("s"))
+    rankBm25(scored, idCol, k, positives)
   }
 
   /** Per-doc hashed n-gram feature stream (unigrams + bigrams bucketed
@@ -1106,6 +1174,37 @@ object CorpusOps {
       .groupBy(idCol)
       .agg(sum(col("cnt")).as("n_tokens"),
         sum(col("cnt") * col("n_pieces")).as("n_pieces"))
+  }
+
+  /** The unigram tokenizer's SHIPPED vocabulary with corpus
+    * frequencies: every piece the Viterbi decode produces over the
+    * corpus, weighted by word frequency — [[bpePieceFrequencies]]'
+    * shape on the unigram decode (top-`k` by occurrences, ties on the
+    * piece string; TakeOrdered cut, nothing collected). Distinct from
+    * the TRAINED counts in [[UnigramVocab]] only when applied to a
+    * different corpus than the trainer saw. */
+  def unigramPieceFrequencies(docs: DataFrame, textCol: String,
+      vocab: UnigramVocab, k: Int, maxPieceLen: Int = 4): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wordFreq = docs
+      .select(explode(graft.text.TextOps.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val lpB = spark.sparkContext.broadcast(vocab.logp)
+    val floor = vocab.floorLogp
+    val mpl = maxPieceLen
+    val segmented = wordFreq.as[(String, Long)]
+      .mapPartitions { it =>
+        it.map { case (w, f) =>
+          (f, viterbiSegment(w, lpB.value, floor, mpl).toArray) }
+      }.toDF("freq", "pieces")
+    segmented
+      .select(col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("piece"))
+      .limit(k)
   }
 
   /** Length-bucketed inference batching: docs bucket by the power-of-2

@@ -60,9 +60,12 @@ object CorpusQueries {
     * query-by-example probes): any surface diverging from the shared
     * recompute breaks its hash here. */
   private[queries] def bm25Ctes(docPred: String, qCte: String,
-      goldPred: Option[String]): String = {
+      goldPred: Option[String], dfCap: Option[Long] = None): String = {
     val exclSrc = goldPred
       .map(g => s"(SELECT * FROM agg WHERE NOT ($g))").getOrElse("agg")
+    // the df-capped (corpus-scale) variant drops hot terms from
+    // SCORING only — N/avgdl keep the full-corpus denominators
+    val capPred = dfCap.map(c => s"WHERE df <= $c").getOrElse("")
     s"""$qCte,
        |d AS (SELECT doc_id, text FROM documents WHERE $docPred),
        |tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM d),
@@ -78,7 +81,7 @@ object CorpusQueries {
        |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
        |           (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (total_tok / n_docs))) AS s
        |  FROM tf JOIN qt USING (term) JOIN df USING (term)
-       |       JOIN dl USING (doc_id) CROSS JOIN stats),
+       |       JOIN dl USING (doc_id) CROSS JOIN stats $capPred),
        |agg AS (SELECT query_id, doc_id, round(sum(s), 6) AS bm25
        |        FROM scored GROUP BY query_id, doc_id),
        |ranked AS (SELECT query_id, doc_id, bm25,
@@ -622,6 +625,25 @@ object CorpusQueries {
         .filter(col("positive_id") % 5 === col("query_id") % 5)
       CorpusOps.bm25TopK(d, "doc_id", "text", probes, k = Bm25K,
         positives = Some(gold))
+    },
+
+    // ── BM25 at corpus QUERY scale (|Q| = N): every document retrieves
+    // its own lexical top-10 — the mining-sweep shape, served by
+    // bm25TopKLarge's shuffle-hash term joins (nothing query-derived
+    // broadcasts) under the df ≤ 390 hot-term cap that bounds every
+    // term key's postings side. The oracle replays the identical
+    // df-capped scoring, so the cap is part of the checked semantics. ─
+    Q(
+      "text_bm25_large",
+      s"""WITH ${bm25Ctes("TRUE",
+             "q AS (SELECT doc_id AS query_id, text AS query_text FROM documents)",
+             None, dfCap = Some(390L))}
+         |$bm25TopSelect""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val probes = d.select(col("doc_id").as("query_id"),
+        col("text").as("query_text"))
+      CorpusOps.bm25TopKLarge(d, "doc_id", "text", probes, k = Bm25K,
+        maxDf = 390L)
     },
 
     // ── PHRASE retrieval against the POSITIONAL postings index: a doc
@@ -2069,6 +2091,20 @@ object CorpusQueries {
       val vocab = CorpusOps.trainUnigramLm(d, "text", vocabSize = 32,
         emRounds = 2, maxPieceLen = 4, seedSize = 64)
       CorpusOps.applyUnigramPieceCounts(d, "doc_id", "text", vocab)
+    },
+
+    // ── Unigram-LM shipped vocabulary with corpus frequencies: the
+    // top-50 pieces the trained tokenizer's Viterbi decode produces,
+    // weighted by word frequency — the bpe_piece_freq twin; the oracle
+    // reads pieces straight off the apply chain's segmentations. ──────
+    Q(
+      "vocab_unigram_piece_freq",
+      OracleSnippets.unigramPieceFreqSql(seedSize = 64, vocabSize = 32,
+        emRounds = 2, maxPieceLen = 4, maxWordLen = 12, topK = 50)) { (s, dir) =>
+      val d = docs(s, dir)
+      val vocab = CorpusOps.trainUnigramLm(d, "text", vocabSize = 32,
+        emRounds = 2, maxPieceLen = 4, seedSize = 64)
+      CorpusOps.unigramPieceFrequencies(d, "text", vocab, k = 50)
     },
 
     // ── Length-bucketed inference batching: docs bucket by the

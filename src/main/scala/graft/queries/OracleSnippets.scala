@@ -379,6 +379,18 @@ private[queries] object OracleSnippets {
        |FROM tok JOIN pieces ON pieces.w = tok.token
        |WHERE token <> '' GROUP BY doc_id""".stripMargin
 
+  /** Piece-frequency vocabulary off the apply chain's segmentations —
+    * the vocab_unigram_piece_freq oracle (bpePieceFreqSql's shape on
+    * the unigram decode). */
+  def unigramPieceFreqSql(seedSize: Int, vocabSize: Int, emRounds: Int,
+      maxPieceLen: Int, maxWordLen: Int, topK: Int): String =
+    s"""WITH ${unigramTrainingCtes(seedSize, vocabSize, emRounds, maxPieceLen, maxWordLen)},
+       |${unigramViterbiCtes("ap", s"vocab_$emRounds", s"vfl_$emRounds", maxPieceLen, maxWordLen)},
+       |pf AS (SELECT unnest(segs) AS piece, freq FROM ap_fin)
+       |SELECT piece, CAST(sum(freq) AS BIGINT) AS n_occurrences
+       |FROM pf GROUP BY piece
+       |ORDER BY n_occurrences DESC, piece LIMIT $topK""".stripMargin
+
   /** DuckDB mirror of Dedup.nearDupPairs over a corpus CTE named
     * `corpus(doc_id, text)`: bigram shingles → 12-hash signature →
     * 4×3 bands with the 64-bucket skew cap → verified Jaccard pairs.

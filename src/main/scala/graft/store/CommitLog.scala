@@ -2427,9 +2427,9 @@ object CommitLog {
     * still existing, or pruning would silently re-open the
     * exactly-once window. */
   def lastTxnBatch(spark: SparkSession, tablePath: String,
-      queryId: String): Long = {
+      queryId: String, asOf: Long = Long.MaxValue): Long = {
     val log = new org.apache.hadoop.fs.Path(tablePath, LogDir)
-    ledgerTags(fsOf(spark, log), log)._1.getOrElse(queryId, -1L)
+    ledgerTags(fsOf(spark, log), log, upTo = asOf)._1.getOrElse(queryId, -1L)
   }
 
   /** Highest source version a view table has consumed, parsed from
@@ -2454,13 +2454,29 @@ object CommitLog {
     * both surface as consumed < srcVersion — a loud mismatch, never a
     * silently-still-torn snapshot. */
   def versionAtConsumed(spark: SparkSession, tablePath: String,
-      srcVersion: Long, upTo: Long): Long = {
+      srcVersion: Long, upTo: Long): Long =
+    versionAtLedger(v => lastConsumed(spark, tablePath, asOf = v),
+      srcVersion, upTo)
+
+  /** [[versionAtConsumed]] on a `txn=<queryId>` ledger instead — the
+    * streaming-consumer twin: the sink version at which the query's
+    * committed batch id was ≤ `batchId`. */
+  def versionAtTxnBatch(spark: SparkSession, tablePath: String,
+      queryId: String, batchId: Long, upTo: Long): Long =
+    versionAtLedger(v => lastTxnBatch(spark, tablePath, queryId, asOf = v),
+      batchId, upTo)
+
+  /** Largest version ≤ `upTo` whose monotone ledger fold is ≤
+    * `target` — binary search, O(log V) ledger reads. The fold at
+    * version 0 is its never-written sentinel (0 for consumed, −1 for
+    * txn), both ≤ any valid target, so the invariant holds at lo=0. */
+  private def versionAtLedger(foldAt: Long => Long, target: Long,
+      upTo: Long): Long = {
     var lo = 0L
     var hi = upTo
-    // invariant: consumedAt(lo) ≤ srcVersion (version 0 consumed 0)
     while (lo < hi) {
       val mid = lo + (hi - lo + 1) / 2
-      if (lastConsumed(spark, tablePath, asOf = mid) <= srcVersion) lo = mid
+      if (foldAt(mid) <= target) lo = mid
       else hi = mid - 1
     }
     lo

@@ -208,6 +208,21 @@ class PlanAuditSpec extends SparkSpec {
       s"a corpus-sized side regressed to a shuffle join:\n$plan")
   }
 
+  test("corpus-scale BM25 sweep: term joins shuffle-hash, nothing query-derived broadcasts") {
+    val plan = finalPlan("text_bm25_large")
+    // the two term-keyed joins (postings ⋈ query terms, postings ⋈
+    // capped df) must be shuffle-hash — at |Q| ≈ N neither side fits a
+    // broadcast; only the 1-row stats frame may broadcast
+    val shj = "ShuffledHashJoin \\[term".r.findAllIn(plan).size
+    assert(shj >= 2, s"expected ≥2 shuffle-hash term joins, got $shj:\n$plan")
+    // the doc-keyed dl join may broadcast ADAPTIVELY (AQE sees a tiny
+    // fixture; at corpus size it regresses to a shuffle join on its
+    // own) — what must NEVER broadcast is a TERM-keyed side, which is
+    // query-derived and |Q|-scaled
+    assert(!plan.contains("BroadcastHashJoin [term"),
+      s"a query-derived term side is broadcast in the corpus-scale sweep:\n$plan")
+  }
+
   test("vocab top-k plans as TakeOrdered, never a global sort of the vocabulary") {
     val plan = finalPlan("vocab_top_tokens")
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")

@@ -124,6 +124,37 @@ class Bm25IndexSpec extends SparkSpec {
       "post-resume probe diverges from the full recompute")
   }
 
+  test("txn-ledger alignment: a probe racing the two streaming applies sees the pre-batch snapshot") {
+    val (_, postT, lensT) = freshDirs("txn_torn")
+    val batchA = docs.filter(col("doc_id") % 2 === 0)
+    val batchB = docs.filter(col("doc_id") % 2 =!= 0)
+    def asChanges(d: org.apache.spark.sql.DataFrame, v: Long) = d
+      .withColumn(CommitLog.ChangeTypeCol, lit("insert"))
+      .withColumn("_commit_version", lit(v))
+    def probe() = Bm25Index.bm25TopKFromIndex(spark, postT, lensT,
+      "doc_id", probes, k = 10, txnQueryId = Some("q16"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // batch 0 fully applied → aligned at batch 0
+    Bm25Index.applyIndexChangesOnce(spark, postT, lensT, "doc_id", "text",
+      asChanges(batchA, 1L), "q16", batchId = 0L)
+    assert(probe() == recompute(batchA))
+    // batch 1 HALF-applied (postings only — the crash window between
+    // the two applies): the aligned probe must still see batch 0
+    graft.store.CdcStream.applyChangesOnce(spark, postT,
+      Bm25Index.postingsSchema("doc_id"), Seq("doc_id"),
+      asChanges(batchB, 2L), "q16", 1L,
+      Bm25Index.postingsTransform("doc_id", "text"))
+    assert(CommitLog.lastTxnBatch(spark, postT, "q16") >
+      CommitLog.lastTxnBatch(spark, lensT, "q16"), "fixture failed to tear")
+    assert(probe() == recompute(batchA),
+      "txn-aligned probe is torn — it must equal the pre-batch recompute")
+    // the replayed batch heals: postings fences, doclens applies
+    Bm25Index.applyIndexChangesOnce(spark, postT, lensT, "doc_id", "text",
+      asChanges(batchB, 2L), "q16", batchId = 1L)
+    assert(probe() == recompute(docs))
+  }
+
   test("probe-batch term bound refuses loud and names the split remedy") {
     val (srcT, postT, lensT) = freshDirs("cap")
     CommitLog.append(docs.limit(5), srcT)

@@ -803,6 +803,38 @@ class CorpusOpsSpec extends SparkSpec {
       s"degenerate-tie refusal missing: ${e2.getMessage}")
   }
 
+  test("bm25TopKLarge ≡ bm25TopK when the df cap doesn't bite; capped drops only hot terms") {
+    val d = graft.Tables.load(spark, sf("sf0.001"), "documents")
+      .select("doc_id", "text")
+    val probes = Seq((1L, "vector scan filter"), (2L, "customer order join"))
+      .toDF("query_id", "query_text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double)].collect().toSet
+    // an un-binding cap (maxDf ≥ N) changes nothing but the join plan
+    val uncapped = rows(CorpusOps.bm25TopKLarge(d, "doc_id", "text",
+      probes, k = 10, maxDf = 1000000L))
+    val serving = rows(CorpusOps.bm25TopK(d, "doc_id", "text", probes, k = 10))
+    assert(uncapped == serving,
+      "shuffle-join sweep diverged from the serving plan at an un-binding cap")
+    // a binding cap re-scores: results may differ, but only through the
+    // dropped hot terms — every kept term still scores identically, so
+    // a query whose terms are ALL under the cap is unchanged
+    val dfs = d.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "").distinct()
+      .groupBy("term").count().as[(String, Long)].collect().toMap
+    val allUnder = probes.as[(Long, String)].collect().filter {
+      case (_, t) => t.split(" ").forall(w => dfs.getOrElse(w, 0L) <= 300L)
+    }.map(_._1).toSet
+    if (allUnder.nonEmpty) {
+      val capped = rows(CorpusOps.bm25TopKLarge(d, "doc_id", "text",
+        probes, k = 10, maxDf = 300L))
+      assert(capped.filter(r => allUnder(r._1)) ==
+        serving.filter(r => allUnder(r._1)),
+        "the cap changed a query none of whose terms it dropped")
+    }
+  }
+
   test("rrfFuse: hand-computed fusion, absent-from-one-ranking contributes nothing") {
     val a = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("query_id", "doc_id", "rank")
     val b = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("query_id", "doc_id", "rank")
