@@ -9,7 +9,9 @@ package graft
   * is the human-readable evidence.) */
 object Plans {
   val Headliners: Seq[String] = Seq(
-    "q1_pricing_summary", "q3_revenue_by_nation", "q24_running_qty_bucketed",
+    "q1_pricing_summary", "q2_forecast_revenue", "q3_revenue_by_nation",
+    "q7_top_customers_per_nation", "q21_brand_supplier_volume",
+    "text_quality", "q24_running_qty_bucketed",
     "dedup_minhash_lsh", "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk",
     "ann_ivf_index_topk", "corpus_curation", "events_asof_join",
     "pack_sequences", "corpus_decontaminate", "vocab_top_tokens",

@@ -14,6 +14,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Footer-inferred schema per fixture path, once per JVM. Without
+    * this every `spark.read.parquet` runs a one-task schema-inference
+    * job (~40-60 ms of driver+scheduler overhead at any scale — q3
+    * paid four of them per bench run; guide §1 measured it, §5 "the
+    * driver should do almost no data work" motivates it). Fixture
+    * paths are immutable for the life of a JVM (the driver regenerates
+    * fixtures only between processes; streaming stages are
+    * content-keyed paths), so the cache can never serve a stale
+    * schema. Metadata only — never rows: every query still computes
+    * from the parquet inputs. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** Read a parquet path with the (cached) footer schema — one
+    * inference job per path per JVM instead of one per query run. */
+  def readCached(spark: SparkSession, path: String): DataFrame = {
+    val sch = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(path)
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Every declared query flows through here — make the graft native
     // functions (cosine, token hits, minhash bands) available on the
@@ -32,7 +53,7 @@ object Tables {
       // fixture vintage (session tz is UTC, so the NTZ cast is
       // value-preserving).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
+      val df = readCached(spark, s"$dir/$name.parquet")
       df.schema("ts").dataType match {
         case LongType =>
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -40,7 +61,7 @@ object Tables {
           df.withColumn("ts", col("ts").cast("timestamp"))
         case _ => df
       }
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    } else readCached(spark, s"$dir/$name.parquet")
   }
 
   /** Register every fixture table as a temp view (for SQL-surface queries). */

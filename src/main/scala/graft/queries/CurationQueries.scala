@@ -40,7 +40,21 @@ object CurationQueries {
          |  ON k.doc_id = drop_ids.id_b
          |WHERE drop_ids.id_b IS NULL""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val scored = docs
+      // Spread gate (the Dedup.nearDupPairs pattern, guide §2.5 "input
+      // skew: one huge unsplittable file → repartition immediately
+      // after the read"): the fixture corpus is a single-row-group
+      // file, so without this the CPU-heavy scoring kernels below run
+      // as ONE task (measured 0.68 s serial of a 1.9 s query). The
+      // gate keeps the shuffle a small-input-only fixup — a cluster
+      // scan with >= defaultParallelism splits passes through
+      // untouched, so nothing extra ever shuffles at 100 TB.
+      val scanParts = docs.select(col("doc_id"))
+        .queryExecution.executedPlan.execute().getNumPartitions
+      val spreadDocs =
+        if (scanParts < s.sparkContext.defaultParallelism)
+          docs.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        else docs
+      val scored = spreadDocs
         .select(col("doc_id"), col("text"),
           TextOps.qualityScore(col("text")).as("quality"),
           TextOps.langId(col("text")).as("pred_lang"))
@@ -68,10 +82,9 @@ object CurationQueries {
         .join(keptIds.select("doc_id"), Seq("doc_id"))
       // partitionsHint: probing keptText itself would replan its join
       // (and under AQE materialize the broadcast a second time); the
-      // broadcast join preserves the scan's partitioning, so the cheap
-      // exchange-free probe of the raw scan is the same number
-      val scanParts = docs.select(col("doc_id"))
-        .queryExecution.executedPlan.execute().getNumPartitions
+      // broadcast join preserves the scan's partitioning, so the raw
+      // scan's partition count (already probed for the spread gate) is
+      // the same number
       val dropIds = Dedup.nearDupPairs(keptText, "doc_id", "text", threshold = 0.6,
           partitionsHint = Some(scanParts))
         .select(col("id_b").as("doc_id")).distinct()

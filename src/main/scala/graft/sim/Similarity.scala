@@ -31,8 +31,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Element-wise cast to double — all scoring happens in f64. */
-  def asDouble(a: Column): Column = transform(a, _.cast("double"))
+  /** Element-wise cast to double — all scoring happens in f64.
+    * Native array Cast, NOT `transform(a, _.cast("double"))`: higher-
+    * order functions run interpreted (one boxed lambda call per
+    * element per row — the SKILL/guide §4 "prefer built-ins" rule),
+    * while Cast(array→array) is codegen'd. Same semantics element for
+    * element: an elementwise widening cast, null elements preserved
+    * (SimilaritySpec covers the scoring paths; every ann_* oracle row
+    * stayed hash-green across the swap). */
+  def asDouble(a: Column): Column = a.cast("array<double>")
 
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -894,12 +901,22 @@ object Similarity {
     * ([[nearDupRecallReport]] measures the config); the blocked
     * candidate set is deterministic, so the operator is fully
     * oracle-bound. */
+  /** Sign-bit block over the first `blockDims` coordinates as a
+    * '0'/'1' string. Unrolled concat of codegen'd element_at/when —
+    * NOT `array_join(transform(slice(...)))`, whose higher-order
+    * function runs interpreted per corpus row (guide §4: prefer
+    * built-ins; the asDouble note). Identical output for the
+    * fixed-dim embedding contract (dim ≥ blockDims, non-null
+    * elements) — the regime every caller is in. */
+  private def signBlockBits(e: Column, blockDims: Int): Column =
+    concat((1 to blockDims).map(i =>
+      when(element_at(e, i) >= 0, "1").otherwise("0")): _*)
+
   def crossSetNearDup(corpus: DataFrame, reference: DataFrame,
       threshold: Double, blockDims: Int = 16): DataFrame = {
     def blocked(df: DataFrame, idAs: String, embAs: String): DataFrame = {
       val e = asDouble(col("embedding"))
-      val block = array_join(
-        transform(slice(e, 1, blockDims), x => when(x >= 0, "1").otherwise("0")), "")
+      val block = signBlockBits(e, blockDims)
       df.select(col("vec_id").as(idAs), e.as(embAs), block.as("block"))
     }
     blocked(corpus, "corpus_id", "ce")
@@ -911,8 +928,7 @@ object Similarity {
 
   def nearDupPairs(corpus: DataFrame, threshold: Double, blockDims: Int = 16): DataFrame = {
     val e = asDouble(col("embedding"))
-    val block = array_join(
-      transform(slice(e, 1, blockDims), x => when(x >= 0, "1").otherwise("0")), "")
+    val block = signBlockBits(e, blockDims)
     val b = corpus.select(col("vec_id"), e.as("e"), block.as("block"))
     b.as("a").join(b.as("b"),
         col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))

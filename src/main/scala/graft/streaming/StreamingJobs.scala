@@ -51,7 +51,9 @@ object StreamingJobs {
         .repartition(parts)
         .write.mode("overwrite").parquet(tmp)
     }
-    val schema = spark.read.parquet(stage).schema
+    // content-keyed stage path → Tables.readCached can never serve a
+    // stale schema; saves the per-run footer-inference job
+    val schema = graft.Tables.readCached(spark, stage).schema
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(stage)
@@ -97,7 +99,7 @@ object StreamingJobs {
         .foreach { case (st, i) =>
           fs.setTimes(st.getPath, OrderedMtimeBase + i * 60000L, -1) }
     }
-    val schema = spark.read.parquet(stage).schema
+    val schema = graft.Tables.readCached(spark, stage).schema
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(stage)
