@@ -42,6 +42,28 @@ object Profile {
       }
     })
 
+    // Sweep mode: `Profile ALL [sfDir]` times EVERY declared query once
+    // (warm JVM amortized across the sweep) and prints them sorted by
+    // cost — the guide §1 "find the slowest thing first" ranking over
+    // the whole 240-query surface, which Bench (10 headliners) and
+    // Verify (no timing) cannot give. Measurement only; noop sink.
+    if (name == "ALL") {
+      val timed = SparkEntry.allQueries.map { q =>
+        val t0 = System.nanoTime()
+        val ok = try {
+          q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+        } catch { case e: Throwable =>
+          System.err.println(s"[profile] ${q.name} FAILED: ${e.getMessage}"); false
+        }
+        (q.name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+      timed.sortBy(-_._2).foreach { case (n, t, ok) =>
+        println(f"$t%8.3f s  $n${if (ok) "" else "  FAILED"}") }
+      println(f"TOTAL ${timed.map(_._2).sum}%.3f s over ${timed.size} queries")
+      spark.stop()
+      return
+    }
+
     val fn = SparkEntry.queries(name)
     def once(): Double = {
       val t0 = System.nanoTime()

@@ -247,16 +247,42 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8, maxDf: Int = 64): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2: $maxDf")
-    val sh = df.select(col(idCol).as("doc_id"),
-        explode(wordShingles(col(textCol), n)).as("s"))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // Spread gate (the nearDupPairs pattern, guide §2.5): an
+    // underpartitioned corpus pins the shingle kernel to the scan's
+    // task count (measured: 2 tasks × ~4 s per kernel stage at sf0.1);
+    // a cluster-scale scan passes through untouched.
+    val sc = df.sparkSession.sparkContext
+    val inputParts = base.queryExecution.executedPlan.execute().getNumPartitions
+    val spread =
+      if (inputParts < sc.defaultParallelism)
+        base.repartition(sc.defaultParallelism, col("doc_id"))
+      else base
+    val sh = spread.select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.wordShingles(col("text"), n)).as("s"))
       .select(col("doc_id"), md5(col("s")).as("fp"))
-    // distinct-shingle counts from the exploded frame (wordShingles is
-    // interpreted — never evaluate it twice per doc)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val dfCounts = sh.groupBy("fp").agg(count(lit(1)).as("df"))
+    // Distinct-shingle count per doc via the NATIVE shingle-stats
+    // kernel (one codegen'd pass, no explode) — NOT a groupBy over the
+    // exploded frame: that consumer re-ran the whole interpreted
+    // wordShingles lineage a second time (plans don't share diamond
+    // subtrees; guide §1.2 "don't compute things you throw away").
+    // Equal by construction: wordShingles is array_distinct'd, and
+    // shingleStats[2] IS the distinct n-gram count (the oracle's
+    // len(sh3)). Docs with < n tokens have no shingles and never match.
+    val sizes = spread.select(col("doc_id"),
+      element_at(graft.functions.GraftFunctions.shingleStats(col("text"), n), 2)
+        .as("n_sh"))
+    // df cap as a count-over-fp window (the substringSpanPairs/
+    // nearDupPairs bucket-guard shape): ONE fp exchange that the
+    // self-join below reuses for both sides, where the former
+    // groupBy(fp)+join-back re-ran the kernel lineage for the index
+    // branch — the third ~4 s kernel stage in the sf0.1 profile.
+    val idx = sh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
       .filter(col("df") >= 2 && col("df") <= maxDf)
-      .select("fp")
-    val idx = sh.join(dfCounts, "fp")
+      .select("doc_id", "fp")
     val matches = idx.as("a")
       .join(idx.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

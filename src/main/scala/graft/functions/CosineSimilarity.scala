@@ -234,6 +234,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[ShingleStats].getName, "graft_shingle_stats"),
     ShingleStats.fromArgs _)
 
+  val wordShinglesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_word_shingles"),
+    new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
+    WordShingles.fromArgs _)
+
   val nfcDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_nfc"),
     new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
@@ -281,6 +286,7 @@ object GraftFunctions {
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(cosineDescriptor, tokenHitsDescriptor, minhashBandsDescriptor,
       shingleJaccardDescriptor, lshBucketsDescriptor, shingleStatsDescriptor,
+      wordShinglesDescriptor,
       nfcDescriptor, hllBucketDescriptor, hllRhoDescriptor, hllEstDescriptor,
       PqExpressions.encodeDescriptor, PqExpressions.adcDescriptor)
 
@@ -318,6 +324,10 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(tables),
       org.apache.spark.sql.functions.lit(planes),
       org.apache.spark.sql.functions.lit(dim))
+
+  def wordShingles(text: Column, n: Int): Column =
+    call_function("graft_word_shingles", text,
+      org.apache.spark.sql.functions.lit(n))
 
   def shingleStats(text: Column, n: Int): Column =
     call_function("graft_shingle_stats", text,

@@ -79,6 +79,37 @@ object TextKernels {
   private def shingleSet(text: UTF8String, n: Int): JHashSet[String] =
     shingleSetOf(text.toString.split(" ", -1), n)
 
+  /** Distinct word n-gram shingle ARRAY in FIRST-OCCURRENCE order —
+    * the native form of `Dedup.wordShingles` (bit-identical output:
+    * same `split(text, ' ', -1)` tokenization with empty tokens kept,
+    * same `array_distinct` first-occurrence ordering, empty array for
+    * docs with fewer than n tokens). Exists because the composed
+    * `array_distinct(transform(sequence(...)))` runs interpreted —
+    * one boxed lambda walk per doc per evaluation, which round-16
+    * profiling measured at 3-8 s serial stages in every shingle-array
+    * consumer (containment, decontamination, pairwise Jaccard). */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n) return EmptyStringArray
+    val seen = new JHashSet[String](math.max(16, toks.length * 2))
+    val out = new java.util.ArrayList[AnyRef](toks.length)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val s = sb.toString
+      if (seen.add(s)) out.add(UTF8String.fromString(s))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** `[total_ngram_occurrences, distinct_ngrams]` in one pass — the
     * within-document repetition signal (Gopher-style duplicate n-gram
     * fraction = 1 − distinct/total). [0, 0] for docs with < n tokens. */
@@ -337,6 +368,38 @@ object ShingleStats {
       case Literal(v: Int, IntegerType) => ShingleStats(args.head, v)
       case other => throw new IllegalArgumentException(
         s"graft_shingle_stats n must be an int literal, got $other")
+    }
+  }
+}
+
+/** `graft_word_shingles(text, n)` → `array<string>` of the distinct
+  * word n-gram shingles in first-occurrence order (TextKernels
+  * .wordShingles — the codegen'd `Dedup.wordShingles`). */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_word_shingles"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.wordShingles(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextKernels.wordShingles($t, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  private[functions] def fromArgs(args: Seq[Expression]): WordShingles = {
+    require(args.length == 2, s"graft_word_shingles expects 2 args, got ${args.length}")
+    args(1) match {
+      case Literal(v: Int, IntegerType) => WordShingles(args.head, v)
+      case other => throw new IllegalArgumentException(
+        s"graft_word_shingles n must be an int literal, got $other")
     }
   }
 }

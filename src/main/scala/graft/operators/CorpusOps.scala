@@ -70,10 +70,24 @@ object CorpusOps {
       benchIdCol: String,
       textCol: String,
       n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // Native shingle kernel (graft_word_shingles ≡ Dedup.wordShingles,
+    // TextExpressionsSpec-pinned) + the nearDupPairs spread gate: the
+    // sf0.1 profile showed the interpreted HOF walk pinned to the
+    // 2-task fixture scan for 8 s; a cluster-scale scan passes through
+    // the gate untouched.
+    val sc = corpus.sparkSession.sparkContext
+    val corpusBase = corpus.select(col(idCol), col(textCol))
+    val scanParts =
+      corpusBase.queryExecution.executedPlan.execute().getNumPartitions
+    val corpusSpread =
+      if (scanParts < sc.defaultParallelism)
+        corpusBase.repartition(sc.defaultParallelism, col(idCol))
+      else corpusBase
     def shingled(df: DataFrame, id: String, as: String) =
       df.select(col(id).as(as),
-        explode(graft.dedup.Dedup.wordShingles(col(textCol), n)).as("sh"))
-    shingled(corpus, idCol, idCol)
+        explode(graft.functions.GraftFunctions.wordShingles(col(textCol), n)).as("sh"))
+    shingled(corpusSpread, idCol, idCol)
       .join(broadcast(shingled(bench, benchIdCol, benchIdCol)), "sh")
       // wordShingles is per-doc distinct, so count(*) counts DISTINCT
       // shared n-grams
@@ -390,9 +404,17 @@ object CorpusOps {
       .select(col("query_id"),
         explode(graft.text.TextOps.tokens(col("query_text"))).as("term"))
       .filter(col("term") =!= "").distinct()
+    // The df-cap join applies FIRST (guide §3: the selective join
+    // before the multiplying one). Inner joins commute, so the result
+    // is identical either way, but the intermediate is not: capping
+    // after the query join materializes Σ_t df(t)·qd(t) over ALL terms
+    // — the hot-term quadratic blowup maxDf exists to prevent (measured
+    // at sf0.1: 448M intermediate rows, a 50 s single stage; capped
+    // first it is 62.5k rows, and the stage vanishes). dfKept is an
+    // aggregate of tf on term, so this join reuses tf's term exchange.
     val scored = tf
-      .join(qterms.hint("shuffle_hash"), "term")
       .join(dfKept.hint("shuffle_hash"), "term") // inner join IS the cap
+      .join(qterms.hint("shuffle_hash"), "term")
       .join(dl, idCol)
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col(idCol), bm25ScoreCol(k1, b).as("s"))

@@ -115,6 +115,38 @@ class TextExpressionsSpec extends SparkSpec {
     assert(hitsEval == Seq(6L, 2L, 4L, 0L))
   }
 
+  test("wordShingles kernel ≡ composed array_distinct(transform(...)) form, order included") {
+    GraftFunctions.register(spark)
+    // corpus covers fixture docs, UTF-8, single-token and empty rows;
+    // add consecutive-space text (empty tokens kept by split(' ', -1))
+    // and an exact-n-token doc (the size(w) == n boundary)
+    val rows = corpus.unionAll {
+      import spark.implicits._
+      val idType = docs.schema("doc_id").dataType
+      Seq((900010L, "a  b a  b"), (900011L, "x y z"), (900012L, "x y"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id").cast(idType), col("text"))
+    }
+    Seq(1, 2, 3).foreach { n =>
+      val diff = rows.select(
+        GraftFunctions.wordShingles(col("text"), n).as("k"),
+        Dedup.wordShingles(col("text"), n).as("c"))
+        .filter(col("k") =!= col("c")) // array equality is ORDERED —
+      // first-occurrence order must match, not just the set
+      assert(diff.count() == 0, s"n=$n kernel drifted from composed form")
+    }
+    // codegen actually engaged (not CodegenFallback) — the range(1)
+    // probe keeps the optimizer from constant-folding the kernel into
+    // a LocalTableScan (same trick as the memberCounts codegen test)
+    val probe = spark.range(1).select(
+      concat(lit("a b c"), when(col("id") === 0, lit("")).otherwise(lit(" y")))
+        .as("text"))
+      .select(GraftFunctions.wordShingles(col("text"), 2).as("sh"))
+    assert(probe.queryExecution.executedPlan.toString.contains("*("),
+      "wordShingles fell out of whole-stage codegen")
+    assert(probe.head().getSeq[String](0) == Seq("a b", "b c"))
+  }
+
   test("shingleJaccard kernel ≡ composed wordShingles+jaccard form (incl. null on empty∪empty)") {
     GraftFunctions.register(spark)
     // adjacent-id pairs over the corpus, incl. the UTF-8/short/empty rows
