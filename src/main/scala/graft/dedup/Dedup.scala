@@ -248,18 +248,14 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.8, maxDf: Int = 64): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2: $maxDf")
     graft.functions.GraftFunctions.register(df.sparkSession)
+    // Native shingle kernel (graft_word_shingles ≡ the composed
+    // wordShingles, TextExpressionsSpec-pinned); no spread repartition
+    // — the kernel pass is cheap enough serially that shuffling text
+    // to parallelize it would break the "no exchange carries document
+    // text" structural pin for nothing (the property that holds the
+    // operator together at 100 TB).
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    // Spread gate (the nearDupPairs pattern, guide §2.5): an
-    // underpartitioned corpus pins the shingle kernel to the scan's
-    // task count (measured: 2 tasks × ~4 s per kernel stage at sf0.1);
-    // a cluster-scale scan passes through untouched.
-    val sc = df.sparkSession.sparkContext
-    val inputParts = base.queryExecution.executedPlan.execute().getNumPartitions
-    val spread =
-      if (inputParts < sc.defaultParallelism)
-        base.repartition(sc.defaultParallelism, col("doc_id"))
-      else base
-    val sh = spread.select(col("doc_id"),
+    val sh = base.select(col("doc_id"),
         explode(graft.functions.GraftFunctions.wordShingles(col("text"), n)).as("s"))
       .select(col("doc_id"), md5(col("s")).as("fp"))
     // Distinct-shingle count per doc via the NATIVE shingle-stats
@@ -270,7 +266,7 @@ object Dedup {
     // Equal by construction: wordShingles is array_distinct'd, and
     // shingleStats[2] IS the distinct n-gram count (the oracle's
     // len(sh3)). Docs with < n tokens have no shingles and never match.
-    val sizes = spread.select(col("doc_id"),
+    val sizes = base.select(col("doc_id"),
       element_at(graft.functions.GraftFunctions.shingleStats(col("text"), n), 2)
         .as("n_sh"))
     // df cap as a count-over-fp window (the substringSpanPairs/
@@ -465,13 +461,24 @@ object Dedup {
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < maxIter) {
+        // The previous label rides through the min-aggregate as a
+        // second column (each id contributes exactly ONE non-null prev
+        // — its own old-labels row; neighbor rows carry null), so the
+        // convergence test is a filter over the frame this round
+        // materializes anyway — NOT the extra shuffle join per round
+        // the loop used to pay just to count changes (guide §2.4;
+        // measured: one fewer job + one fewer exchange per iteration
+        // across the six components-consuming queries).
         val neighborLabels = edges.join(labels, edges("dst") === labels("id"))
-          .select(edges("src").as("id"), col("component"))
-        val updated = labels.select("id", "component").unionAll(neighborLabels)
-          .groupBy("id").agg(min("component").as("component"))
+          .select(edges("src").as("id"), col("component"),
+            lit(null).cast(labels.schema("component").dataType).as("prev"))
+        val updated = labels
+          .select(col("id"), col("component"), col("component").as("prev"))
+          .unionAll(neighborLabels)
+          .groupBy("id").agg(min("component").as("component"),
+            max("prev").as("prev"))
           .persist()
-        changed = updated.join(labels.withColumnRenamed("component", "prev"), "id")
-          .filter(col("component") =!= col("prev")).count()
+        changed = updated.filter(col("component") =!= col("prev")).count()
         labels.unpersist(blocking = false)
         labels = updated
         iter += 1

@@ -72,22 +72,15 @@ object CorpusOps {
       n: Int): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     // Native shingle kernel (graft_word_shingles ≡ Dedup.wordShingles,
-    // TextExpressionsSpec-pinned) + the nearDupPairs spread gate: the
-    // sf0.1 profile showed the interpreted HOF walk pinned to the
-    // 2-task fixture scan for 8 s; a cluster-scale scan passes through
-    // the gate untouched.
-    val sc = corpus.sparkSession.sparkContext
-    val corpusBase = corpus.select(col(idCol), col(textCol))
-    val scanParts =
-      corpusBase.queryExecution.executedPlan.execute().getNumPartitions
-    val corpusSpread =
-      if (scanParts < sc.defaultParallelism)
-        corpusBase.repartition(sc.defaultParallelism, col(idCol))
-      else corpusBase
+    // TextExpressionsSpec-pinned): the interpreted HOF walk cost 8 s
+    // on the 2-task fixture scan at sf0.1; the kernel pass is ~150 ms
+    // on the same scan, so no spread repartition is needed — which
+    // preserves the PlanAuditSpec pin that NO exchange ever carries
+    // corpus text (the property that matters at 100 TB).
     def shingled(df: DataFrame, id: String, as: String) =
       df.select(col(id).as(as),
         explode(graft.functions.GraftFunctions.wordShingles(col(textCol), n)).as("sh"))
-    shingled(corpusSpread, idCol, idCol)
+    shingled(corpus, idCol, idCol)
       .join(broadcast(shingled(bench, benchIdCol, benchIdCol)), "sh")
       // wordShingles is per-doc distinct, so count(*) counts DISTINCT
       // shared n-grams

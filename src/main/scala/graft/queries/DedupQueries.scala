@@ -369,16 +369,11 @@ object DedupQueries {
         |  CAST(len(list_intersect(a.sh3, b.sh3)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.sh3, b.sh3))) AS jaccard3
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin) { (s, dir) =>
-      // Native shingle kernel (≡ Dedup.wordShingles) + spread gate:
-      // the interpreted HOF ran serially on BOTH sides of the
-      // self-join (two 1-task 3.2 s stages at sf0.1); the fixture scan
-      // is one split, a cluster scan passes through untouched.
-      val d0 = docs(s, dir).select("doc_id", "text")
-      val parts = d0.queryExecution.executedPlan.execute().getNumPartitions
-      val d = if (parts < s.sparkContext.defaultParallelism)
-        d0.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      else d0
-      val sh = d.select(col("doc_id"),
+      // Native shingle kernel (≡ Dedup.wordShingles): the interpreted
+      // HOF ran serially on BOTH sides of the self-join (two 1-task
+      // 3.2 s stages at sf0.1); the codegen'd kernel makes each pass
+      // ~80 ms, so no text-shuffling spread is needed.
+      val sh = docs(s, dir).select(col("doc_id"),
         graft.functions.GraftFunctions.wordShingles(col("text"), 3).as("sh3"))
       sh.as("a").join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
