@@ -21,7 +21,10 @@ object Plans {
     "emb_source_drift", "corpus_manifest", "dedup_entity_fuzzy",
     "dedup_containment", "profile_table", "ann_pq_topk", "ann_ivf_pq_topk",
     "ann_ivf_pq_residual", "corpus_dsir_select_threshold", "text_bm25_phrase",
-    "vocab_unigram_apply")
+    "vocab_unigram_apply",
+    // round-16 optimization targets (plan-diff evidence for the MD)
+    "text_bm25_large", "dedup_ngram_jaccard", "dedup_keep_best",
+    "emb_quantize_error")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1053,7 +1053,11 @@ object Similarity {
   def int8QuantizeError(df: DataFrame, idCol: String, embCol: String): DataFrame = {
     val e = asDouble(col(embCol))
     df.select(col(idCol), e.as("emb"))
-      .withColumn("mx", array_max(transform(col("emb"), v => abs(v))))
+      // max |v| = max(max(v), -min(v)) — two codegen'd array extrema
+      // instead of an interpreted per-element abs transform (guide §4:
+      // prefer built-ins; identical value for any non-empty numeric
+      // array, and embeddings are fixed-dim non-null by contract)
+      .withColumn("mx", greatest(array_max(col("emb")), -array_min(col("emb"))))
       .filter(col("mx") > 0)
       .select(col(idCol), col("mx"), explode(col("emb")).as("v"))
       .withColumn("err",
