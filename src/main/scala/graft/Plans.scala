@@ -24,7 +24,7 @@ object Plans {
     "vocab_unigram_apply",
     // round-16 optimization targets (plan-diff evidence for the MD)
     "text_bm25_large", "dedup_ngram_jaccard", "dedup_keep_best",
-    "emb_quantize_error")
+    "emb_quantize_error", "text_fingerprint")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -373,8 +373,13 @@ object Dedup {
     // the higher-order function (Spark internal error)
     val base = records.select(col(idCol).as("id"), col(nameCol).as("name"),
       col(blockCol).as("blk"))
+    // native kernel (graft_deletion_keys ≡ the composed deletionKeys,
+    // KernelPropertySpec-pinned) — the composed transform ran
+    // interpreted per record (round-16 profile: the bulk of
+    // dedup_entity_fuzzy's 1.7 s)
+    graft.functions.GraftFunctions.register(records.sparkSession)
     val keys = base.select(col("id"), col("name"), col("blk"),
-      explode(deletionKeys(col("name"))).as("bk"))
+      explode(graft.functions.GraftFunctions.deletionKeys(col("name"))).as("bk"))
     val sized = keys
       .withColumn("bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("blk", "bk")))

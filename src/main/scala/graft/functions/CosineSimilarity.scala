@@ -239,6 +239,19 @@ object GraftFunctions {
     new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
     WordShingles.fromArgs _)
 
+  val rollingFpDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_rolling_fp"),
+    new ExpressionInfo(classOf[RollingMinMd5].getName, "graft_rolling_fp"),
+    RollingMinMd5.fromArgs _)
+
+  val deletionKeysDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_deletion_keys"),
+    new ExpressionInfo(classOf[DeletionKeysExpr].getName, "graft_deletion_keys"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, s"graft_deletion_keys expects 1 arg, got ${args.length}")
+      DeletionKeysExpr(args.head)
+    })
+
   val nfcDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_nfc"),
     new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
@@ -286,7 +299,7 @@ object GraftFunctions {
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(cosineDescriptor, tokenHitsDescriptor, minhashBandsDescriptor,
       shingleJaccardDescriptor, lshBucketsDescriptor, shingleStatsDescriptor,
-      wordShinglesDescriptor,
+      wordShinglesDescriptor, rollingFpDescriptor, deletionKeysDescriptor,
       nfcDescriptor, hllBucketDescriptor, hllRhoDescriptor, hllEstDescriptor,
       PqExpressions.encodeDescriptor, PqExpressions.adcDescriptor)
 
@@ -328,6 +341,13 @@ object GraftFunctions {
   def wordShingles(text: Column, n: Int): Column =
     call_function("graft_word_shingles", text,
       org.apache.spark.sql.functions.lit(n))
+
+  def rollingFp(text: Column, k: Int): Column =
+    call_function("graft_rolling_fp", text,
+      org.apache.spark.sql.functions.lit(k))
+
+  def deletionKeys(name: Column): Column =
+    call_function("graft_deletion_keys", name)
 
   def shingleStats(text: Column, n: Int): Column =
     call_function("graft_shingle_stats", text,

@@ -205,6 +205,71 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Minimum md5 (lowercase hex) over the sliding character k-grams —
+    * the native form of TextOps.rollingFingerprint's
+    * `array_min(transform(sequence(...), i => md5(substr(i, k))))`.
+    * Identical value: positions are CODE POINTS (Spark `substr` and
+    * `length` count code points, so the kernel walks UTF-8 start
+    * bytes), each window digests the same UTF-8 bytes, and min over
+    * lowercase hex strings == unsigned byte-order min over raw
+    * digests. Texts shorter than k (including empty — md5 of the empty
+    * window) produce exactly one window, matching the composed form's
+    * `greatest(length - (k-1), 1)` floor. One thread-local digest and
+    * one hex encode per doc instead of an interpreted per-window
+    * lambda with a string allocation per hex compare. */
+  def rollingMinMd5(text: UTF8String, k: Int): UTF8String = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val nc = text.numChars()
+    val starts = new Array[Int](nc + 1)
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if ((bytes(i) & 0xc0) != 0x80 && c < nc) { starts(c) = i; c += 1 }
+      i += 1
+    }
+    starts(nc) = n
+    val md = md5Digest.get()
+    val last = math.max(nc - k, 0)
+    var best: Array[Byte] = null
+    var s = 0
+    while (s <= last) {
+      val from = starts(s)
+      val until = starts(math.min(s + k, nc))
+      md.reset()
+      md.update(bytes, from, until - from)
+      val d = md.digest()
+      if (best == null || unsignedLess(d, best)) best = d
+      s += 1
+    }
+    val sb = new java.lang.StringBuilder(32)
+    appendHex(sb, best)
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** The symmetric-delete blocking key set — the native form of
+    * Dedup.deletionKeys' `array_union(array(name), transform(...))`:
+    * the name itself, then every one-CODE-POINT-deleted variant in
+    * deletion-position order, first-occurrence distinct (exactly
+    * array_union's ordering). Empty name → [name] (the composed form's
+    * `otherwise(empty)` branch unions to the same). */
+  def deletionKeys(name: UTF8String): ArrayData = {
+    val s = name.toString
+    val out = new java.util.LinkedHashSet[String]()
+    out.add(s)
+    var idx = 0
+    while (idx < s.length) {
+      val next = s.offsetByCodePoints(idx, 1)
+      out.add(s.substring(0, idx) + s.substring(next))
+      idx = next
+    }
+    val arr = new Array[AnyRef](out.size)
+    var j = 0
+    val it = out.iterator()
+    while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(arr)
+  }
+
   val EmptyStringArray: ArrayData = new GenericArrayData(new Array[AnyRef](0))
 
   private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
@@ -402,6 +467,59 @@ object WordShingles {
         s"graft_word_shingles n must be an int literal, got $other")
     }
   }
+}
+
+/** `graft_rolling_fp(text, k)` → the minimum md5 hex over sliding
+  * character k-grams (TextKernels.rollingMinMd5 — the codegen'd
+  * TextOps.rollingFingerprint). */
+case class RollingMinMd5(child: Expression, k: Int)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "graft_rolling_fp"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.rollingMinMd5(t.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextKernels.rollingMinMd5($t, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingMinMd5 =
+    copy(child = newChild)
+}
+
+object RollingMinMd5 {
+  private[functions] def fromArgs(args: Seq[Expression]): RollingMinMd5 = {
+    require(args.length == 2, s"graft_rolling_fp expects 2 args, got ${args.length}")
+    args(1) match {
+      case Literal(v: Int, IntegerType) => RollingMinMd5(args.head, v)
+      case other => throw new IllegalArgumentException(
+        s"graft_rolling_fp k must be an int literal, got $other")
+    }
+  }
+}
+
+/** `graft_deletion_keys(name)` → `array<string>` of the symmetric-
+  * delete blocking keys (TextKernels.deletionKeys — the codegen'd
+  * Dedup.deletionKeys). */
+case class DeletionKeysExpr(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_deletion_keys"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.deletionKeys(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextKernels.deletionKeys($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): DeletionKeysExpr =
+    copy(child = newChild)
 }
 
 /** `graft_nfc(text)` → Unicode NFC normalization (TextKernels.nfc). */

@@ -204,6 +204,13 @@ object TextOps {
     * 8-grams (winnowing-style rolling-hash fingerprint, robust to
     * local edits), alongside md5(text) as the exact fingerprint. */
   def rollingFingerprint(text: Column, k: Int = 8): Column =
+    graft.functions.GraftFunctions.rollingFp(text, k)
+
+  /** Composed REFERENCE form of the rolling fingerprint — the
+    * interpreted O(len) per-window-lambda pipeline the native kernel
+    * replaced (round-16: ~2 s of the sweep in one query); the
+    * KernelPropertySpec equivalence pin executes this. */
+  def rollingFingerprintComposed(text: Column, k: Int = 8): Column =
     array_min(transform(
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => md5(text.substr(i, lit(k)))))

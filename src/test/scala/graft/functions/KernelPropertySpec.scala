@@ -87,6 +87,41 @@ class KernelPropertySpec extends SparkSpec {
     assert(diff.count() == 0, s"diverged on: ${diff.select("t").collect().mkString(", ")}")
   }
 
+  /** Adversarial texts plus ASTRAL-PLANE chars (4-byte UTF-8 /
+    * surrogate pairs) — the rolling-fp and deletion-key kernels walk
+    * code points, which `length`/`substr` also count; a UTF-16-char
+    * walk would silently split a surrogate pair. */
+  private val textAstral: Gen[String] = Gen.frequency(
+    3 -> text,
+    1 -> text.map(t => "🚀" + t + "𝕏"),
+    1 -> Gen.oneOf("🚀", "a🚀b", "🚀🚀🚀", "é🚀é"))
+
+  test("property: rollingMinMd5 ≡ composed array_min(md5 windows) over adversarial texts") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = samples(textAstral, 200).toDF("t")
+    Seq(1, 3, 8).foreach { k =>
+      val diff = df.select(col("t"),
+        GraftFunctions.rollingFp(col("t"), k).as("kk"),
+        graft.text.TextOps.rollingFingerprintComposed(col("t"), k).as("c"))
+        .filter(col("kk") =!= col("c"))
+      assert(diff.count() == 0,
+        s"k=$k diverged on: ${diff.select("t").collect().mkString(", ")}")
+    }
+  }
+
+  test("property: deletionKeys kernel ≡ composed array_union form, order included") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = samples(textAstral, 200).toDF("t")
+    val diff = df.select(col("t"),
+      GraftFunctions.deletionKeys(col("t")).as("k"),
+      Dedup.deletionKeys(col("t")).as("c"))
+      .filter(col("k") =!= col("c")) // ordered array compare
+    assert(diff.count() == 0,
+      s"diverged on: ${diff.select("t").collect().mkString(", ")}")
+  }
+
   test("property: lshBuckets ≡ per-plane HOF form over arbitrary-sign vectors") {
     GraftFunctions.register(spark)
     import spark.implicits._
