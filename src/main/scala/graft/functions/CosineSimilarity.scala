@@ -239,6 +239,14 @@ object GraftFunctions {
     new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
     WordShingles.fromArgs _)
 
+  val wordGramsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_word_grams"),
+    new ExpressionInfo(classOf[WordGrams].getName, "graft_word_grams"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, s"graft_word_grams expects 1 arg, got ${args.length}")
+      WordGrams(args.head)
+    })
+
   val rollingFpDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_rolling_fp"),
     new ExpressionInfo(classOf[RollingMinMd5].getName, "graft_rolling_fp"),
@@ -300,6 +308,7 @@ object GraftFunctions {
     Seq(cosineDescriptor, tokenHitsDescriptor, minhashBandsDescriptor,
       shingleJaccardDescriptor, lshBucketsDescriptor, shingleStatsDescriptor,
       wordShinglesDescriptor, rollingFpDescriptor, deletionKeysDescriptor,
+      wordGramsDescriptor,
       nfcDescriptor, hllBucketDescriptor, hllRhoDescriptor, hllEstDescriptor,
       PqExpressions.encodeDescriptor, PqExpressions.adcDescriptor)
 
@@ -341,6 +350,9 @@ object GraftFunctions {
   def wordShingles(text: Column, n: Int): Column =
     call_function("graft_word_shingles", text,
       org.apache.spark.sql.functions.lit(n))
+
+  def wordGrams(text: Column): Column =
+    call_function("graft_word_grams", text)
 
   def rollingFp(text: Column, k: Int): Column =
     call_function("graft_rolling_fp", text,

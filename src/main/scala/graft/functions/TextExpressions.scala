@@ -270,6 +270,38 @@ object TextKernels {
     new GenericArrayData(arr)
   }
 
+  /** Unigrams followed by adjacent bigrams of the NON-EMPTY tokens —
+    * the native form of CorpusOps.gramBuckets' gram stream
+    * (`concat(filter(split(text,' '), _ != ''), zip_with(slice, slice,
+    * concat))`): same tokenization, same empty-token drop, same order
+    * (all unigrams with duplicates, then bigrams of consecutive
+    * surviving tokens joined by one space). The composed form runs two
+    * interpreted HOF walks per corpus row on DSIR's dominant scan. */
+  def wordGrams(text: UTF8String): ArrayData = {
+    val toks0 = text.toString.split(" ", -1)
+    var nw = 0
+    var i = 0
+    while (i < toks0.length) { if (!toks0(i).isEmpty) nw += 1; i += 1 }
+    if (nw == 0) return EmptyStringArray
+    val w = new Array[String](nw)
+    var j = 0
+    i = 0
+    while (i < toks0.length) {
+      if (!toks0(i).isEmpty) { w(j) = toks0(i); j += 1 }
+      i += 1
+    }
+    val nb = math.max(nw - 1, 0)
+    val out = new Array[AnyRef](nw + nb)
+    i = 0
+    while (i < nw) { out(i) = UTF8String.fromString(w(i)); i += 1 }
+    i = 0
+    while (i < nb) {
+      out(nw + i) = UTF8String.fromString(w(i) + " " + w(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   val EmptyStringArray: ArrayData = new GenericArrayData(new Array[AnyRef](0))
 
   private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
@@ -467,6 +499,27 @@ object WordShingles {
         s"graft_word_shingles n must be an int literal, got $other")
     }
   }
+}
+
+/** `graft_word_grams(text)` → `array<string>` of the non-empty-token
+  * unigrams followed by their adjacent bigrams (TextKernels.wordGrams
+  * — the codegen'd DSIR gram stream). */
+case class WordGrams(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_word_grams"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.wordGrams(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextKernels.wordGrams($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGrams =
+    copy(child = newChild)
 }
 
 /** `graft_rolling_fp(text, k)` → the minimum md5 hex over sliding

@@ -422,9 +422,13 @@ object CorpusOps {
     * weights and the selection replay in the oracle. */
   private def gramBuckets(df: DataFrame, idCols: Seq[Column],
       textCol: String, buckets: Int): DataFrame = {
-    val w = filter(graft.text.TextOps.tokens(col(textCol)), _ =!= lit(""))
-    val bi = adjacentPairs(w, "array<string>")((a, b) => concat(a, lit(" "), b))
-    df.select((idCols :+ explode(concat(w, bi)).as("gram")): _*)
+    // native kernel (graft_word_grams ≡ the composed filter/zip_with
+    // gram stream, KernelPropertySpec-pinned): the composed form ran
+    // two interpreted HOF walks per row on DSIR's dominant scan — the
+    // raw corpus, the one input that IS 100 TB-sized in production
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select((idCols :+ explode(
+        graft.functions.GraftFunctions.wordGrams(col(textCol))).as("gram")): _*)
       .select((idCols :+
         graft.core.Hashing.md5Bucket(col("gram"), buckets).as("bucket")): _*)
   }

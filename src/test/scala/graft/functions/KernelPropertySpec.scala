@@ -122,6 +122,24 @@ class KernelPropertySpec extends SparkSpec {
       s"diverged on: ${diff.select("t").collect().mkString(", ")}")
   }
 
+  test("property: wordGrams ≡ composed filter/zip_with gram stream, order included") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = samples(textAstral, 200).toDF("t")
+    // the composed DSIR gram stream gramBuckets used to build inline
+    val w = filter(split(col("t"), " ", -1), _ =!= lit(""))
+    val composed = concat(w,
+      when(size(w) >= 2,
+        zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+        .otherwise(array().cast("array<string>")))
+    val diff = df.select(col("t"),
+      GraftFunctions.wordGrams(col("t")).as("k"), composed.as("c"))
+      .filter(col("k") =!= col("c")) // ordered compare: unigrams then bigrams
+    assert(diff.count() == 0,
+      s"diverged on: ${diff.select("t").collect().mkString(", ")}")
+  }
+
   test("property: lshBuckets ≡ per-plane HOF form over arbitrary-sign vectors") {
     GraftFunctions.register(spark)
     import spark.implicits._
